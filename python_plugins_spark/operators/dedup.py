@@ -1,0 +1,387 @@
+"""Deduplication operators for training-data pipelines.
+
+Families implemented (all engine-portable deterministic hashing — see
+:mod:`python_plugins_spark.functions`):
+
+- **exact** — hash-groupBy on the raw or normalized content;
+  deterministic survivor (min id), unlike bare ``dropDuplicates``.
+- **MinHash + LSH** — word-shingle -> 32-bit hash set -> k permutation
+  minima -> banded signature -> bucket self-join for candidate pairs ->
+  optional exact-Jaccard verification. The LSH band join is the scale
+  path: candidate generation is an equi-join on (band_id, band_key),
+  i.e. one shuffle, no O(n^2) compare.
+- **SimHash** — 60-bit frequency-weighted fingerprint; near-dup =
+  Hamming distance <= d, candidates via 15-bit band buckets.
+- **n-gram Jaccard** — exact similarity on shingle sets; O(n^2) unless
+  given LSH candidates, so at scale always feed it candidate pairs.
+
+Every operator has a ``*_oracle_sql`` twin generating DuckDB SQL with
+identical constants (permutation seeds, band layout, shingle width) so
+the driver's hash-compare validates the full pipeline, not a toy.
+
+Scale notes (100 TB): signatures are one narrow projection pass
+(md5 + array ops, all codegen); the band join shuffles only
+(band_id, band_key, doc_id) — a few dozen bytes per doc per band.
+Skewed buckets (boilerplate docs) are handled by AQE skew-join; for
+pathological cases cap bucket size with ``max_bucket`` before the
+self-join, which is what production dedup pipelines do to bound the
+pair explosion.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from python_plugins_spark.functions import (
+    MINHASH_PRIME,
+    hash32,
+    hash60,
+    minhash_perm,
+    norm_text,
+    tokens,
+    word_shingles,
+)
+from python_plugins_spark.functions import oracle_fragments as O
+from python_plugins_spark.operators.relational import dedup_rows
+
+# Deterministic permutation parameters: part of the operator contract,
+# mirrored into the oracle SQL. a < 2^16 keeps a*h+b < 2^48 (overflow-
+# safe signed-64 in both engines).
+_rng = random.Random(42)
+DEFAULT_NUM_HASHES = 32
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (_rng.randrange(1, 1 << 16), _rng.randrange(0, 1 << 32))
+    for _ in range(DEFAULT_NUM_HASHES)
+]
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15
+
+
+# ---------------------------------------------------------------- exact
+
+def dedup_exact(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one deterministic survivor (min id) per distinct content."""
+    return dedup_rows(df, content_cols, [F.col(id_col).asc()])
+
+
+def dedup_exact_oracle_sql(table: str, content_cols: list[str], id_col: str, cols: str) -> str:
+    keys = ", ".join(content_cols)
+    return f"""
+        SELECT {cols} FROM (
+          SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY {id_col}) AS _rn
+          FROM {table}
+        ) WHERE _rn = 1
+    """
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized,
+    punctuation-stripped lower-cased text."""
+    cleaned = F.regexp_replace(norm_text(text), "[^a-z0-9 ]", "")
+    return F.md5(cleaned)
+
+
+def sql_fingerprint(col: str) -> str:
+    cleaned = f"regexp_replace({O.sql_norm_text(col)}, '[^a-z0-9 ]', '', 'g')"
+    return f"md5({cleaned})"
+
+
+# -------------------------------------------------------------- minhash
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) per document; docs with < ``shingle``
+    tokens are dropped (no shingle set to hash)."""
+    params = MINHASH_PARAMS[:num_hashes]
+    sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle))
+    hashes = F.transform(sh, hash32)
+    df = df.select(F.col(id_col), hashes.alias("_h")).filter(F.size("_h") > 0)
+    sig = F.array(*[minhash_perm(F.col("_h"), a, b) for a, b in params])
+    return df.select(id_col, sig.alias("sig"))
+
+
+def minhash_bands(
+    sig_df: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Explode a signature into (id, band_id, band_key) rows; band_key
+    is the comma-joined slice of the signature."""
+    rows = num_hashes // bands
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("sig"), j * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
+                ).alias("band_key"),
+            )
+            for j in range(bands)
+        ]
+    )
+    return sig_df.select(id_col, F.explode(entries).alias("b")).select(
+        id_col, "b.band_id", "b.band_key"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    shingle: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing at least
+    one LSH band. One narrow shuffle on (band_id, band_key)."""
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle)
+    band = minhash_bands(sig, id_col, num_hashes, bands)
+    if max_bucket is not None:
+        counts = band.groupBy("band_id", "band_key").count()
+        band = band.join(
+            counts.filter(F.col("count") <= max_bucket).drop("count"),
+            on=["band_id", "band_key"],
+        )
+    a = band.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_key"
+    )
+    b = band.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
+    return (
+        a.join(b, on=["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _sql_minhash_sig_cte(
+    table: str, text_col: str, id_col: str, num_hashes: int, shingle: int
+) -> str:
+    params = MINHASH_PARAMS[:num_hashes]
+    toks = O.sql_tokens(text_col)
+    shingles = O.sql_word_shingles("t", shingle)
+    perms = ", ".join(O.sql_minhash_perm("h", a, b) for a, b in params)
+    return f"""
+        _tok AS (SELECT {id_col}, {toks} AS t FROM {table}),
+        _sh AS (SELECT {id_col}, list_distinct({shingles}) AS s FROM _tok),
+        _hs AS (SELECT {id_col}, list_transform(s, x -> {O.sql_hash32('x')}) AS h
+                FROM _sh WHERE len(s) > 0),
+        _sig AS (SELECT {id_col}, [{perms}] AS sig FROM _hs)
+    """
+
+
+def minhash_signature_oracle_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle: int = 3,
+) -> str:
+    """Oracle flattens the signature to (id, pos, minhash) rows (arrays
+    don't hash portably through the driver's comparator)."""
+    cte = _sql_minhash_sig_cte(table, text_col, id_col, num_hashes, shingle)
+    return f"""
+        WITH {cte}
+        SELECT {id_col}, i AS pos, sig[i + 1] AS minhash
+        FROM _sig CROSS JOIN (SELECT unnest(range(0, {num_hashes})) AS i)
+    """
+
+
+def minhash_lsh_pairs_oracle_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    shingle: int = 3,
+) -> str:
+    rows = num_hashes // bands
+    cte = _sql_minhash_sig_cte(table, text_col, id_col, num_hashes, shingle)
+    return f"""
+        WITH {cte},
+        _band AS (
+          SELECT {id_col}, j AS band_id,
+                 array_to_string(sig[j * {rows} + 1 : j * {rows} + {rows}], ',') AS band_key
+          FROM _sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS j)
+        )
+        SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+        FROM _band a JOIN _band b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.{id_col} < b.{id_col}
+    """
+
+
+# -------------------------------------------------------------- jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct word-shingle sets. With
+    ``candidates`` (id_a, id_b) this verifies only those pairs (the
+    scale path, fed from :func:`minhash_lsh_pairs`); without it, an
+    O(n^2) self-join — only for small inputs."""
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle)).alias("s"),
+    ).filter(F.size("s") > 0)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b"))
+    if candidates is not None:
+        pairs = candidates.join(a, on="id_a").join(b, on="id_b")
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b")).cast("double")
+    union = F.size(F.array_union("s_a", "s_b")).cast("double")
+    jac = inter / union
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_oracle_sql(
+    table: str, text_col: str, id_col: str, threshold: float, shingle: int = 3
+) -> str:
+    toks = O.sql_tokens(text_col)
+    shingles = O.sql_word_shingles("t", shingle)
+    return f"""
+        WITH _tok AS (SELECT {id_col}, {toks} AS t FROM {table}),
+        _sh AS (SELECT {id_col}, list_distinct({shingles}) AS s FROM _tok),
+        _nz AS (SELECT * FROM _sh WHERE len(s) > 0),
+        _pairs AS (
+          SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+                 round(len(list_intersect(a.s, b.s))::DOUBLE
+                       / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 6) AS jaccard
+          FROM _nz a CROSS JOIN _nz b WHERE a.{id_col} < b.{id_col}
+        )
+        SELECT id_a, id_b, jaccard FROM _pairs WHERE jaccard >= {threshold}
+    """
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """60-bit frequency-weighted SimHash per document: explode tokens,
+    one hash60 per token, per-bit +/-1 vote sum, sign -> bit. The
+    explode+groupBy is a single map-side-combined hash aggregation —
+    scales linearly in total token count."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    tok = tok.select(id_col, hash60(F.col("_t")).alias("_h"))
+    votes = [
+        F.sum(
+            F.when((F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+        ).alias(f"_s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bits = tok.groupBy(id_col).agg(*votes)
+    value = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        value = term if value is None else value + term
+    return bits.select(id_col, value.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= d. Candidates share one
+    of four 15-bit bands (guarantees recall for d <= 3 by pigeonhole);
+    verification is a cheap bit_count(xor)."""
+    sh = simhash(df, text_col, id_col)
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                (
+                    F.shiftright(F.col("simhash"), j * SIMHASH_BAND_BITS)
+                    .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                ).alias("band_val"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    band = sh.select(id_col, "simhash", F.explode(entries).alias("b")).select(
+        id_col, "simhash", "b.band_id", "b.band_val"
+    )
+    a = band.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_id", "band_val"
+    )
+    b = band.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_id", "band_val"
+    )
+    pairs = (
+        a.join(b, on=["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _sql_simhash_cte(table: str, text_col: str, id_col: str) -> str:
+    toks = O.sql_tokens(text_col)
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    value = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+        _tok AS (SELECT {id_col}, unnest({toks}) AS tk FROM {table}),
+        _h AS (SELECT {id_col}, {O.sql_hash60('tk')} AS h FROM _tok),
+        _bits AS (SELECT {id_col}, {votes} FROM _h GROUP BY {id_col}),
+        _sh AS (SELECT {id_col}, {value} AS simhash FROM _bits)
+    """
+
+
+def simhash_oracle_sql(table: str, text_col: str, id_col: str) -> str:
+    return f"WITH {_sql_simhash_cte(table, text_col, id_col)} SELECT {id_col}, simhash FROM _sh"
+
+
+def simhash_pairs_oracle_sql(
+    table: str, text_col: str, id_col: str, max_hamming: int = 3
+) -> str:
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return f"""
+        WITH {_sql_simhash_cte(table, text_col, id_col)},
+        _band AS (
+          SELECT {id_col}, simhash, j AS band_id, (simhash >> (j * {SIMHASH_BAND_BITS})) & {mask} AS band_val
+          FROM _sh CROSS JOIN (SELECT unnest(range(0, {n_bands})) AS j)
+        ),
+        _pairs AS (
+          SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+                          a.simhash AS sh_a, b.simhash AS sh_b
+          FROM _band a JOIN _band b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.{id_col} < b.{id_col}
+        )
+        SELECT id_a, id_b, bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT))::INT AS hamming
+        FROM _pairs
+        WHERE bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) <= {max_hamming}
+    """

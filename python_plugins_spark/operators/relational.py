@@ -1,0 +1,246 @@
+"""Named relational operators — thin, Catalyst-native wrappers.
+
+The reference implements none of these (they were host-platform
+territory in CDAP; SURVEY.md §2c): our engine exposes each as a named
+function over Spark built-ins so plans stay inside whole-stage codegen
+and every optimizer win (pushdown, pruning, join selection, AQE) comes
+for free.
+
+Scale conventions baked in:
+
+- ``join`` auto-broadcasts a side the caller marks small (or any dim
+  table below the session broadcast threshold — AQE also converts at
+  runtime).
+- ``top_k_per_group`` uses window row_number (one shuffle, no global
+  sort) rather than sort+limit per group.
+- ``dedup_rows`` is deterministic (keeps min by tiebreaker) unlike
+  bare ``dropDuplicates`` whose survivor is partition-order dependent —
+  determinism matters for oracle comparison and for reproducible
+  pipelines.
+- skew helpers: ``salted_join`` splits hot keys across ``salt`` shards;
+  prefer AQE skew-join first, reach for salting only when a single key
+  dominates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def project(df: DataFrame, *cols: str | Column) -> DataFrame:
+    return df.select(*cols)
+
+
+def rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    return df.withColumnsRenamed(mapping)
+
+
+def filter_rows(df: DataFrame, predicate: str | Column) -> DataFrame:
+    return df.filter(F.expr(predicate) if isinstance(predicate, str) else predicate)
+
+
+def join(
+    df: DataFrame,
+    other: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi/theta join. ``how`` accepts inner/left/right/full/cross/
+    left_semi/left_anti. Mark a dimension side with
+    ``broadcast_right=True`` to skip its shuffle entirely."""
+    right = F.broadcast(other) if broadcast_right else other
+    return df.join(right, on=on, how=how)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the big side gets a random salt in
+    [0, salt); the small side is exploded across all salt values. Use
+    when one key dominates and AQE skew-split is not enough. Cost:
+    ``salt``x replication of the small side."""
+    salted_big = big.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = salted_big.join(salted_small, on=[key, "_salt"], how=how)
+    return out.drop("_salt")
+
+
+def aggregate(
+    df: DataFrame,
+    group_by: Sequence[str | Column],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Hash aggregate; Spark performs map-side partial aggregation
+    before the shuffle automatically."""
+    exprs = [col.alias(name) for name, col in aggs.items()]
+    if group_by:
+        return df.groupBy(*group_by).agg(*exprs)
+    return df.agg(*exprs)
+
+
+def rollup(df: DataFrame, cols: Sequence[str], aggs: dict[str, Column]) -> DataFrame:
+    exprs = [col.alias(name) for name, col in aggs.items()]
+    return df.rollup(*cols).agg(*exprs)
+
+
+def cube(df: DataFrame, cols: Sequence[str], aggs: dict[str, Column]) -> DataFrame:
+    exprs = [col.alias(name) for name, col in aggs.items()]
+    return df.cube(*cols).agg(*exprs)
+
+
+def window_apply(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str | Column],
+    cols: dict[str, Column],
+) -> DataFrame:
+    """Attach window-function columns. Callers build window specs via
+    ``pyspark.sql.Window``; this wrapper standardizes the common
+    partition/order shape and applies each expression ``.over`` it."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    out = df
+    for name, expr in cols.items():
+        out = out.withColumn(name, expr.over(w))
+    return out
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Per-group top-k via row_number — a single hash shuffle on the
+    group keys; no global sort. At 100 TB this beats sort+limit by
+    orders of magnitude because each partition only tracks k rows."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def sort_limit(df: DataFrame, order_by: Sequence[Column], n: int) -> DataFrame:
+    """Global top-N: Spark's TakeOrderedAndProject fetches only N rows
+    per partition then merges on the driver — safe at any scale for
+    small N."""
+    return df.orderBy(*order_by).limit(n)
+
+
+def union_all(*dfs: DataFrame, by_name: bool = True) -> DataFrame:
+    out = dfs[0]
+    for other in dfs[1:]:
+        out = out.unionByName(other) if by_name else out.union(other)
+    return out
+
+
+def intersect(df: DataFrame, other: DataFrame, all: bool = False) -> DataFrame:
+    return df.intersectAll(other) if all else df.intersect(other)
+
+
+def except_rows(df: DataFrame, other: DataFrame, all: bool = False) -> DataFrame:
+    return df.exceptAll(other) if all else df.subtract(other)
+
+
+def distinct_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    return df.dropDuplicates(subset) if subset else df.distinct()
+
+
+def dedup_rows(
+    df: DataFrame, keys: Sequence[str], tiebreaker: Sequence[Column]
+) -> DataFrame:
+    """Deterministic dedup: keep the first row per key group under
+    ``tiebreaker`` ordering (bare dropDuplicates keeps an arbitrary
+    survivor — unacceptable for reproducible pipelines)."""
+    w = Window.partitionBy(*keys).orderBy(*tiebreaker)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def pivot(
+    df: DataFrame,
+    group_by: Sequence[str],
+    pivot_col: str,
+    values: Sequence[str],
+    agg: Column,
+) -> DataFrame:
+    """Pivot with explicit value list — always pass ``values``; without
+    it Spark runs an extra distinct job over the full table to discover
+    them."""
+    return df.groupBy(*group_by).pivot(pivot_col, list(values)).agg(agg)
+
+
+def unpivot(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "key",
+    value_name: str = "value",
+) -> DataFrame:
+    return df.unpivot(list(id_cols), list(value_cols), var_name, value_name)
+
+
+def exists_join(df: DataFrame, other: DataFrame, on) -> DataFrame:
+    """EXISTS — left semi: no row multiplication, right side only
+    shuffled/broadcast as a key set."""
+    return df.join(other, on=on, how="left_semi")
+
+
+def not_exists_join(df: DataFrame, other: DataFrame, on) -> DataFrame:
+    """NOT EXISTS — left anti."""
+    return df.join(other, on=on, how="left_anti")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: Column,
+    right_lo: Column,
+    right_hi: Column,
+    equi_keys: Sequence[str] = (),
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Point-in-interval join. With a broadcastable right side this is a
+    BroadcastNestedLoopJoin (fine); for two large sides prefer
+    bucketized_range_join which turns it into an equi-join."""
+    cond = (left_point >= right_lo) & (left_point < right_hi)
+    for k in equi_keys:
+        cond = cond & (left[k] == right[k])
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=cond, how="inner")
+
+
+def sessionize(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Batch sessionization: a new session starts where the gap from the
+    previous event exceeds ``gap_seconds``; session id = running count
+    of session starts per partition key. Two window passes over one
+    shuffle partitioning."""
+    w = Window.partitionBy(*partition_by).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn("_new_session", is_new).withColumn(
+        session_col,
+        F.sum("_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("_new_session")

@@ -1,0 +1,240 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers:
+
+- **Brute-force pairs / top-k** — expression-only cosine (see
+  :func:`python_plugins_spark.functions.cosine_similarity`); exact,
+  oracle-verifiable, O(n^2) — correctness baseline and fine up to
+  ~10^4 vectors per side.
+- **Vectorized brute-force top-k** (``ann_topk_numpy``) — the single-
+  node throughput path: the corpus matrix is broadcast once, each
+  Arrow batch of queries does one BLAS matmul + argpartition. Exact
+  results, ~100x the expression path.
+- **IVF (inverted-file) top-k** (``ivf_ann_topk``) — the 100 TB path:
+  vectors are partitioned by nearest centroid; queries probe only
+  ``nprobe`` nearest centroid buckets, turning O(n^2) into
+  O(n * nprobe / C). Approximate (recall tested against brute force);
+  centroids are a deterministic id-ordered sample so results are
+  reproducible. On a cluster the bucket join is a plain shuffle
+  co-partitioned on centroid id.
+- **Random-hyperplane LSH bucketing** (``lsh_buckets``) — alternative
+  scale path sharing the dedup-style band-join shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from python_plugins_spark.functions import cosine_similarity
+from python_plugins_spark.functions import oracle_fragments as O
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold. Exact; O(n^2)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    cos = F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def cosine_pairs_oracle_sql(table: str, id_col: str, vec_col: str, threshold: float) -> str:
+    cos = O.sql_cosine_similarity("a.v", "b.v")
+    return f"""
+        WITH _e AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table})
+        SELECT a.id AS id_a, b.id AS id_b, round({cos}, 6) AS cos_sim
+        FROM _e a CROSS JOIN _e b
+        WHERE a.id < b.id AND round({cos}, 6) >= {threshold}
+    """
+
+
+def ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact top-k neighbors per vector via expression cosine + window.
+    Deterministic tie-break on neighbor id."""
+    a = df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_b"))
+    cos = F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6)
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def ann_topk_oracle_sql(table: str, id_col: str, vec_col: str, k: int) -> str:
+    cos = O.sql_cosine_similarity("a.v", "b.v")
+    return f"""
+        WITH _e AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table}),
+        _p AS (
+          SELECT a.id AS query_id, b.id AS neighbor_id, round({cos}, 6) AS cos_sim
+          FROM _e a CROSS JOIN _e b WHERE a.id <> b.id
+        ),
+        _r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+          FROM _p
+        )
+        SELECT query_id, neighbor_id, cos_sim, rk::INT AS rk FROM _r WHERE rk <= {k}
+    """
+
+
+def ann_topk_numpy(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact top-k, vectorized: corpus broadcast as one float32 matrix,
+    queries scored batch-at-a-time with a BLAS matmul inside
+    ``mapInPandas``. Same results as :func:`ann_topk` (cosine recomputed
+    in float64 for the emitted value); ~100x faster single-node.
+
+    Scale note: broadcast works to ~10^6-10^7 vectors (a few GB); past
+    that, switch to :func:`ivf_ann_topk`."""
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+            T.StructField("rk", T.IntegerType()),
+        ]
+    )
+
+    def score(batches):
+        ids_all, mat_all, norms_all = b_ids.value, b_mat.value, b_norms.value
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            q_norms = np.sqrt((q * q).sum(axis=1))
+            sims = (q @ mat_all.T) / (q_norms[:, None] * norms_all[None, :])
+            out = {"query_id": [], "neighbor_id": [], "cos_sim": [], "rk": []}
+            for row_i in range(len(q_ids)):
+                s = sims[row_i].copy()
+                self_mask = ids_all == q_ids[row_i]
+                s[self_mask] = -np.inf
+                # top-k with deterministic (sim desc, id asc) tie-break
+                idx = np.lexsort((ids_all, -s))[:k]
+                out["query_id"].extend([q_ids[row_i]] * len(idx))
+                out["neighbor_id"].extend(ids_all[idx])
+                out["cos_sim"].extend(np.round(s[idx], 6))
+                out["rk"].extend(range(1, len(idx) + 1))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(score, out_schema)
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: centroids = the ``n_centroids`` vectors
+    with the lowest ids (deterministic); every vector is assigned to
+    its nearest centroid; each query scores only vectors in its
+    ``nprobe`` nearest centroid buckets.
+
+    The bucket join is an equi-join on centroid id — at cluster scale
+    both sides hash-partition on it, so each executor scores one
+    bucket's worth of candidates. Approximate: recall vs brute force
+    is tested, not assumed."""
+    centroids = df.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    cos = cosine_similarity(F.col(vec_col), F.col("c_vec"))
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn("c_sim", cos)
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("c_sim").desc(), F.col("c_id").asc()
+    )
+    ranked = scored.withColumn("c_rank", F.row_number().over(w_assign))
+    assignments = ranked.filter(F.col("c_rank") == 1).select(
+        F.col(id_col).alias("m_id"), F.col(vec_col).alias("m_vec"), "c_id"
+    )
+    probes = ranked.filter(F.col("c_rank") <= nprobe).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "c_id"
+    )
+    pair_cos = F.round(cosine_similarity(F.col("q_vec"), F.col("m_vec")), 6)
+    pairs = (
+        probes.join(assignments, on="c_id")
+        .filter(F.col("q_id") != F.col("m_id"))
+        .withColumn("cos_sim", pair_cos)
+    )
+    w_top = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("m_id").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("m_id").alias("neighbor_id"),
+            "cos_sim",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane signature: bit i = sign(v . plane_i). Returns
+    (id, bucket) where bucket packs the sign bits — vectors in the same
+    bucket are ANN candidates. Planes are seeded-deterministic and
+    shipped as literals (no closure capture)."""
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    bucket = None
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(F.col(id_col), bucket.alias("bucket"))

@@ -1,0 +1,48 @@
+"""Plan inspection helpers — make "is this the plan I want?" testable.
+
+Used by tests and the perf pass to assert scale-critical properties:
+filters reached the parquet scan, small dims went broadcast, no
+unexpected cartesian products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def plan_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    """True if the parquet scan carries a pushed filter containing
+    ``fragment`` (check `.explain` PushedFilters)."""
+    return fragment in plan_str(df)
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in plan_str(df) or "BroadcastNestedLoopJoin" in plan_str(df)
+
+
+def count_shuffles(df: DataFrame) -> int:
+    return plan_str(df).count("Exchange")
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """ReadSchema column lists from every file scan in the plan —
+    verify column pruning (a 2-column projection must not scan 16)."""
+    out = []
+    for line in plan_str(df).splitlines():
+        if "ReadSchema" in line:
+            out.append(line.strip())
+    return out

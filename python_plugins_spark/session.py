@@ -1,0 +1,83 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The reference plugin inherits its runtime from the host CDAP platform
+(``pom.xml:134-137``); our engine owns session construction instead and
+bakes in the scale-oriented defaults (AQE, Arrow, sane shuffle
+parallelism, UTC timestamps for oracle comparability).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size: the unit of work crossing the JVM<->Python boundary in
+# mapInPandas/pandas_udf. 10k rows amortizes per-batch overhead while
+# keeping per-batch memory bounded (~10-50 MB for wide rows).
+_ARROW_BATCH_ROWS = 10_000
+
+
+def _default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "python_plugins_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    Defaults are chosen for correctness-at-scale first:
+
+    - AQE on (runtime join-strategy switches, skew-join splitting,
+      partition coalescing) so small-SF test plans and 100 TB plans both
+      come out right without hand-tuning.
+    - Arrow on for every JVM<->Python crossing.
+    - ``spark.sql.session.timeZone=UTC`` so timestamp semantics match a
+      UTC-naive oracle (DuckDB) and are cluster-location-independent.
+    - shuffle partitions default to local core count in local mode; on a
+      real cluster pass ``shuffle_partitions`` sized to ~2-3x total
+      executor cores (AQE coalesces the excess).
+    """
+    cpus = _default_parallelism()
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(_ARROW_BATCH_ROWS))
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,21 @@
+from python_plugins_spark.sources.io import (
+    TABLES,
+    load_table,
+    load_tables,
+    read_csv,
+    read_json,
+    read_parquet,
+    register_views,
+    write_parquet,
+)
+
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "read_csv",
+    "read_json",
+    "read_parquet",
+    "register_views",
+    "write_parquet",
+]

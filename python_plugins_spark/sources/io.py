@@ -1,0 +1,108 @@
+"""Sources & sinks.
+
+The reference ships no real connectors (its tests wire ``MockSource`` /
+``MockSink``; see reference ``BasePythonTransformTest.java:215-222``) —
+in CDAP the platform supplies IO. Our engine exposes Spark's native
+readers/writers directly so filters and projections prune at the scan
+(parquet pushdown, partition pruning), which is the behavior that
+matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# The driver-generated star schema (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    df = spark.read.parquet(path)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        # Schema inference requires an extra pass over the data; fine for
+        # exploration, wrong for production scans.
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None, **options
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Load one driver table: ``{sf_dir}/{name}.parquet``."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every driver table as a temp view for ``spark.sql``."""
+    for name in TABLES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+) -> None:
+    """Parquet sink. ``partition_by`` for partition pruning on later
+    scans; ``bucket_by=(n, cols)`` writes a bucketed table so later
+    equi-joins/aggs on those cols avoid a shuffle (requires saveAsTable).
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        table = os.path.basename(path.rstrip("/")).replace(".", "_")
+        writer.bucketBy(n, *cols).sortBy(*cols).option("path", path).format(
+            "parquet"
+        ).saveAsTable(table)
+        return
+    writer.parquet(path)

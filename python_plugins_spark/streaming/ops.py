@@ -1,0 +1,197 @@
+"""Structured Streaming surface.
+
+The reference plugin is deployable unchanged into batch and streaming
+pipelines (reference ``pom.xml:134-137`` declares both
+``cdap-data-pipeline`` and ``cdap-data-streams`` parents) but contains
+zero streaming-specific code — the host platform ran it per-record
+either way. Our equivalent: :func:`python_transform` works on a
+streaming DataFrame as-is (``mapInPandas`` is streaming-compatible);
+this module adds what CDAP's platform provided around it — watermarks,
+tumbling/sliding/session windows, stateful aggregation, and the
+multi-port split for streams (via ``foreachBatch``, since a streaming
+plan can't be filtered three ways without recomputation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState
+
+from python_plugins_spark.operators.transform import TransformResult, python_transform
+
+
+def read_stream_parquet(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """File-source stream over a parquet directory (schema required —
+    streaming sources never infer). One file = one micro-batch unit;
+    for smoke tests ``run_to_memory_sink`` drains it synchronously."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    group_cols: list[str],
+    aggs: dict[str, Any],
+    watermark: str = "10 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is given) event-time window
+    aggregation with a watermark bounding state size — without the
+    watermark, state grows forever at 100 TB stream scale."""
+    exprs = [col.alias(name) for name, col in aggs.items()]
+    win = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), *group_cols)
+        .agg(*exprs)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            *[F.col(name) for name in aggs],
+        )
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_cols: list[str],
+    aggs: dict[str, Any],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge into
+    one session per group key (native ``session_window`` keeps state
+    bounded by the watermark)."""
+    exprs = [col.alias(name) for name, col in aggs.items()]
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("win"), *group_cols)
+        .agg(*exprs)
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            *group_cols,
+            *[F.col(name) for name in aggs],
+        )
+    )
+
+
+def streaming_python_transform(
+    df: DataFrame,
+    script: str | None = None,
+    func: Callable | None = None,
+    output_schema=None,
+    **kwargs,
+) -> TransformResult:
+    """The reference's batch/streaming duality: the identical transform
+    operator applied to a streaming DataFrame. Multi-port results on a
+    stream must be consumed via :func:`split_ports_foreach_batch`."""
+    return python_transform(df, script=script, func=func, output_schema=output_schema, **kwargs)
+
+
+def split_ports_foreach_batch(
+    result: TransformResult,
+    on_output: Callable[[DataFrame, int], None],
+    on_error: Callable[[DataFrame, int], None] | None = None,
+    on_alert: Callable[[DataFrame, int], None] | None = None,
+):
+    """Consume a multi-port streaming transform exactly once per
+    micro-batch: persist the tagged batch, route each port to its sink,
+    unpersist. Returns the DataStreamWriter (caller .start()s it)."""
+    tagged = result._tagged
+    if tagged is None:
+        raise ValueError("transform has no error/alert ports; write result.output directly")
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            on_output(batch_df.filter(F.col("_port") == "out").select("_out.*"), epoch_id)
+            if on_error is not None:
+                on_error(batch_df.filter(F.col("_port") == "error").select("_error.*"), epoch_id)
+            if on_alert is not None:
+                on_alert(
+                    batch_df.filter(F.col("_port") == "alert").select(
+                        F.col("_alert").alias("alert")
+                    ),
+                    epoch_id,
+                )
+        finally:
+            batch_df.unpersist()
+
+    return tagged.writeStream.foreachBatch(handle)
+
+
+def stateful_running_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    output_schema: str = None,
+) -> DataFrame:
+    """Custom stateful operator template: running count+sum per key via
+    ``applyInPandasWithState`` — the shape any bespoke streaming state
+    machine takes in this engine."""
+    out_schema = T.StructType(
+        [T.StructField(c, df.schema[c].dataType) for c in key_cols]
+        + [
+            T.StructField("running_count", T.LongType()),
+            T.StructField("running_sum", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("cnt", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        cnt, total = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            {
+                **{c: [k] for c, k in zip(key_cols, key)},
+                "running_count": [cnt],
+                "running_sum": [total],
+            }
+        )
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain all available input synchronously into an in-memory table
+    and return it as a DataFrame — turns a streaming query into a
+    testable batch result."""
+    query = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return df.sparkSession.table(name)
