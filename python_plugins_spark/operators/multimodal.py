@@ -103,8 +103,9 @@ def decode_stub_features(
 
 def decode_stub_features_oracle_sql(table: str, content_col: str, id_col: str) -> str:
     """DuckDB twin of the fake decode: md5 of the UTF-8 bytes drives the
-    same pseudo-feature arithmetic."""
-    h = f"md5(encode({content_col}))"
+    same pseudo-feature arithmetic (DuckDB md5(VARCHAR) hashes the
+    string's UTF-8 bytes — the exact payload bytes Spark hashes)."""
+    h = f"md5({content_col})"
     return f"""
         WITH _h AS (SELECT {id_col}, {h} AS h FROM {table})
         SELECT {id_col},

@@ -38,8 +38,8 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
     out = df.select(
         F.col(id_col),
-        F.length(t).alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(tok_chars.cast("double") / n_tokens, 6).alias("avg_token_len"),
         F.round(punct_count(t).cast("double") / F.length(t), 6).alias("punct_ratio"),
         F.round(digit_count(t).cast("double") / F.length(t), 6).alias("digit_ratio"),
@@ -145,8 +145,8 @@ def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     t = F.col(text_col)
     return df.select(
         F.col(id_col),
-        F.size(tokens(t)).alias("n_words"),
-        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_PATTERN), 0)).alias("n_bpe_tokens"),
+        F.size(tokens(t)).cast("long").alias("n_words"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_PATTERN), 0)).cast("long").alias("n_bpe_tokens"),
     )
 
 

@@ -1,5 +1,6 @@
 from python_plugins_spark.sources.io import (
     TABLES,
+    fix_nanos_ts,
     load_table,
     load_tables,
     read_csv,
@@ -11,6 +12,7 @@ from python_plugins_spark.sources.io import (
 
 __all__ = [
     "TABLES",
+    "fix_nanos_ts",
     "load_table",
     "load_tables",
     "read_csv",

@@ -70,8 +70,26 @@ def read_json(
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Load one driver table: ``{sf_dir}/{name}.parquet``."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one driver table: ``{sf_dir}/{name}.parquet``.
+
+    Nanosecond parquet timestamps (read as long via
+    ``spark.sql.legacy.parquet.nanosAsLong``) are converted to
+    microsecond timestamps — same truncation DuckDB applies."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return fix_nanos_ts(df, "ts")
+
+
+def fix_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Convert a nanos-as-long timestamp column to a real timestamp
+    (micros, truncating — the same thing DuckDB does when reading
+    TIMESTAMP_NS parquet)."""
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get(col) == "bigint":
+        df = df.withColumn(
+            col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long"))
+        )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -30,9 +30,17 @@ def read_stream_parquet(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> DataFrame:
     """File-source stream over a parquet directory (schema required —
-    streaming sources never infer). One file = one micro-batch unit;
-    for smoke tests ``run_to_memory_sink`` drains it synchronously."""
-    return spark.readStream.schema(schema).parquet(path)
+    streaming sources never infer). A single-file path is handled via
+    pathGlobFilter on its parent directory (the file source only
+    accepts directories). One file = one micro-batch unit; for smoke
+    tests ``run_to_memory_sink`` drains it synchronously."""
+    import os
+
+    reader = spark.readStream.schema(schema)
+    if path.endswith(".parquet") and os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)
 
 
 def tumbling_window_agg(
