@@ -1,0 +1,144 @@
+"""Relational / as-of / dedup / similarity operator tests beyond what
+the oracle-verified query registry covers: determinism, equivalence of
+alternative implementations, recall of approximate paths."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_plugins_spark.operators import dedup as D
+from python_plugins_spark.operators import relational as R
+from python_plugins_spark.operators import similarity as S
+from python_plugins_spark.operators.asof import asof_join, asof_join_pandas
+from python_plugins_spark.sources.io import load_table
+
+
+def test_dedup_rows_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 2), ("b", 9)], "k string, v int"
+    )
+    out = R.dedup_rows(df, ["k"], [F.col("v").asc()])
+    assert {(r.k, r.v) for r in out.collect()} == {("a", 1), ("b", 9)}
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    salted = R.salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        "k",
+        salt=4,
+    ).count()
+    assert plain == salted
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", i) for i in range(10)] + [("g2", i) for i in range(3)], "g string, v int"
+    )
+    out = R.top_k_per_group(df, ["g"], [F.col("v").desc()], 2)
+    got = sorted((r.g, r.v) for r in out.collect())
+    assert got == [("g1", 8), ("g1", 9), ("g2", 1), ("g2", 2)]
+
+
+def test_sessionize(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),   # same session (gap 600 < 1800)
+        (1, "2024-01-01 02:00:00"),   # new session
+        (2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts_s string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    out = R.sessionize(df, ["user_id"], "ts", 1800)
+    per_user = {
+        r.user_id: r.n
+        for r in out.groupBy("user_id").agg(F.countDistinct("session_id").alias("n")).collect()
+    }
+    assert per_user == {1: 2, 2: 1}
+
+
+def test_asof_union_window_matches_merge_asof(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    left = ev.select("event_id", "user_id", "ts").filter(F.col("user_id") <= 20)
+    right = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") <= 20))
+        .select("user_id", "ts", "value")
+    )
+    a = asof_join(left, right, ["user_id"], "ts", "ts", ["value"])
+    b = asof_join_pandas(left, right, "user_id", "ts", "ts", ["value"])
+    got_a = {(r.event_id, None if r.value_asof is None else round(r.value_asof, 6))
+             for r in a.collect()}
+    got_b = {(r.event_id, None if r.value_asof is None else round(r.value_asof, 6))
+             for r in b.collect()}
+    assert got_a == got_b
+
+
+def test_minhash_lsh_finds_planted_neardups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    docs = [
+        (0, base),
+        (1, base + " extra"),               # near-dup of 0
+        (2, "completely different words about spark query engines and database systems"),
+        (3, "another unrelated document mentioning benchmarks and storage formats"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(df, "text", "doc_id").collect()}
+    assert (0, 1) in pairs
+    assert (2, 3) not in pairs
+
+
+def test_jaccard_verification_filters_candidates(spark):
+    docs = [
+        (0, "a b c d e f g h i j"),
+        (1, "a b c d e f g h i k"),   # high overlap
+        (2, "z y x w v u t s r q"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = D.ngram_jaccard_pairs(df, "text", "doc_id", 0.5)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.5
+    assert (0, 2) not in pairs
+
+
+def test_simhash_close_for_neardups(spark):
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),
+        (2, "totally different content entirely unrelated words here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = {r.doc_id: r.simhash for r in D.simhash(df, "text", "doc_id").collect()}
+    ham01 = bin(sh[0] ^ sh[1]).count("1")
+    ham02 = bin(sh[0] ^ sh[2]).count("1")
+    assert ham01 < ham02
+
+
+def test_ann_numpy_matches_expression_topk(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    expr = {(r.query_id, r.rk): r.neighbor_id for r in S.ann_topk(emb, "vec_id", "embedding", 3).collect()}
+    fast = {(r.query_id, r.rk): r.neighbor_id for r in S.ann_topk_numpy(emb, "vec_id", "embedding", 3).collect()}
+    # neighbor sets should agree except where float64-vs-BLAS rounding
+    # flips a near-tie; require >= 99% agreement
+    agree = sum(1 for k in expr if fast.get(k) == expr[k])
+    assert agree / len(expr) >= 0.99
+
+
+def test_ivf_recall(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = S.ann_topk(emb, "vec_id", "embedding", 5).collect()
+    approx = S.ivf_ann_topk(emb, "vec_id", "embedding", 5, n_centroids=8, nprobe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_lsh_buckets_groups_similar(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = S.lsh_buckets(emb, "vec_id", "embedding", n_planes=8)
+    assert out.count() == emb.count()
+    n_buckets = out.select("bucket").distinct().count()
+    assert 1 < n_buckets <= 256
