@@ -145,14 +145,16 @@ def ann_topk_numpy(
             sims = (q @ mat_all.T) / (q_norms[:, None] * norms_all[None, :])
             out = {"query_id": [], "neighbor_id": [], "cos_sim": [], "rk": []}
             for row_i in range(len(q_ids)):
-                s = sims[row_i].copy()
+                s = np.round(sims[row_i], 6)
                 self_mask = ids_all == q_ids[row_i]
                 s[self_mask] = -np.inf
-                # top-k with deterministic (sim desc, id asc) tie-break
+                # rank by (ROUNDED sim desc, id asc) — the same ordering
+                # the expression path and the SQL oracle use, so the
+                # selected set and rk values are identical
                 idx = np.lexsort((ids_all, -s))[:k]
                 out["query_id"].extend([q_ids[row_i]] * len(idx))
                 out["neighbor_id"].extend(ids_all[idx])
-                out["cos_sim"].extend(np.round(s[idx], 6))
+                out["cos_sim"].extend(s[idx])
                 out["rk"].extend(range(1, len(idx) + 1))
             yield pd.DataFrame(out)
 

