@@ -88,29 +88,35 @@ def asof_join_pandas(
         T.StructField(f"{c}{suffix}", right.schema[c].dataType, True) for c in value_cols
     ]
     out_schema = T.StructType(out_fields)
-    l_tag = left.withColumn("_side", F.lit(1))
-    r_cols = [on, right_ts] + value_cols
-    r_tag = right.select(*r_cols).withColumn("_side", F.lit(0))
-    # align columns for cogroup via applyInPandas on the union key
     left_names = left.columns
+    out_names = left_names + [f"{c}{suffix}" for c in value_cols]
 
-    def merge(key, pdfs):
-        lpdf, rpdf = pdfs
+    # Re-alias every right-side column to a fresh name: when left and
+    # right derive from the same source, shared expression ids make
+    # Spark prune/conflate columns across the cogroup (self-join
+    # ambiguity); fresh aliases force distinct attributes.
+    r = right.select(
+        F.col(on).alias(on),
+        F.col(right_ts).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+
+    def merge(lpdf, rpdf):
         lpdf = lpdf.sort_values(left_ts, kind="mergesort")
-        rpdf = rpdf.sort_values(right_ts, kind="mergesort")
-        renamed = rpdf[[right_ts] + value_cols].rename(
-            columns={c: f"{c}{suffix}" for c in value_cols}
+        if len(rpdf) == 0:
+            # empty right group: merge_asof chokes on the object-dtype
+            # empty key column; emit nulls directly
+            for c in value_cols:
+                lpdf[f"{c}{suffix}"] = None
+            return lpdf[out_names]
+        rpdf = rpdf.sort_values("_r_ts", kind="mergesort")
+        renamed = rpdf[["_r_ts"] + [f"_r_{c}" for c in value_cols]].rename(
+            columns={f"_r_{c}": f"{c}{suffix}" for c in value_cols}
         )
         merged = pd.merge_asof(
-            lpdf,
-            renamed,
-            left_on=left_ts,
-            right_on=right_ts if right_ts == left_ts else right_ts,
-            direction="backward",
+            lpdf, renamed, left_on=left_ts, right_on="_r_ts", direction="backward"
         )
-        return merged[left_names + [f"{c}{suffix}" for c in value_cols]]
+        return merged[out_names]
 
-    grouped = left.groupBy(on).cogroup(right.select(*r_cols).groupBy(on))
-    return grouped.applyInPandas(
-        lambda key, l, r: merge(key, (l, r)), out_schema
-    )
+    grouped = left.groupBy(on).cogroup(r.groupBy(on))
+    return grouped.applyInPandas(merge, out_schema)

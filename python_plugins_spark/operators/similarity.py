@@ -214,6 +214,32 @@ def ivf_ann_topk(
     )
 
 
+def lsh_planes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes — part of the operator
+    contract, mirrored literally into the oracle SQL."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def lsh_buckets_oracle_sql(
+    table: str, id_col: str, vec_col: str, n_planes: int, dim: int, seed: int = 42
+) -> str:
+    """DuckDB twin of lsh_buckets: identical plane literals (repr of
+    the float64s — shortest round-trip strings, parsed back to the
+    exact same doubles), identical fold order."""
+    planes = lsh_planes(n_planes, dim, seed)
+    bits = []
+    for i in range(n_planes):
+        lst = ", ".join(repr(float(x)) for x in planes[i])
+        dot = (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> ({vec_col})[i]::DOUBLE * ([{lst}])[i]), (x, y) -> x + y)"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)")
+    value = " + ".join(bits)
+    return f"SELECT {id_col}, {value} AS bucket FROM {table}"
+
+
 def lsh_buckets(
     df: DataFrame,
     id_col: str,
@@ -227,8 +253,7 @@ def lsh_buckets(
     shipped as literals (no closure capture)."""
     first = df.select(vec_col).first()
     dim = len(first[0])
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim)
+    planes = lsh_planes(n_planes, dim, seed)
     bucket = None
     for i in range(n_planes):
         plane = F.array(*[F.lit(float(x)) for x in planes[i]])

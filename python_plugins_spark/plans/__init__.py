@@ -35,7 +35,24 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    return plan_str(df).count("Exchange")
+    """Number of shuffle exchanges (broadcast exchanges excluded — a
+    broadcast is the thing that SAVES the shuffle)."""
+    plan = physical_plan(df)
+    return (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition")
+    )
+
+
+def has_codegen(df: DataFrame) -> bool:
+    """True if any stage is whole-stage-codegen compiled. Uses the
+    codegen explain mode (AQE hides the `*(n)` markers in the
+    unexecuted adaptive plan)."""
+    if "*(" in physical_plan(df):
+        return True
+    report = plan_str(df, "codegen")
+    return "WholeStageCodegen subtree" in report and "Found 0 WholeStageCodegen" not in report
 
 
 def scan_read_schema(df: DataFrame) -> list[str]:

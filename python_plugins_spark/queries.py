@@ -1150,3 +1150,367 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# =====================================================================
+# Batch 2: grouping sets, extended windows, exact percentiles,
+# correlated aggregates, vocab stats, LSH buckets, sliding windows,
+# session-window streaming, stateful streaming, frame sampling,
+# skew-resistant join, join-strategy hints, approx sketches
+# =====================================================================
+
+@register(
+    "grouping_sets_qty",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_qty(spark, sf_dir):
+    """Arbitrary GROUPING SETS (beyond rollup/cube) via Spark SQL."""
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "window_lag_lead_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(lag(o_totalprice) OVER w, 4) AS prev_price,
+           round(lead(o_totalprice) OVER w, 4) AS next_price,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING), 4) AS min_price
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_lag_lead_ntile(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.lag("o_totalprice").over(w), 4).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 4).alias("next_price"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.first("o_totalprice").over(w_full), 4).alias("min_price"),
+    )
+
+
+@register(
+    "percentiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentiles_exact(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont: both linear-interpolate on the sorted set)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "having_big_spenders",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+    FROM orders GROUP BY o_custkey
+    HAVING sum(o_totalprice) > 1000000
+    """,
+)
+def having_big_spenders(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.sum("o_totalprice").alias("_raw_total"),
+        )
+        .filter(F.col("_raw_total") > 1000000)
+        .drop("_raw_total")
+    )
+
+
+@register(
+    "correlated_above_avg_orders",
+    oracle="""
+    SELECT o.o_orderkey, round(o.o_totalprice, 4) AS o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def correlated_above_avg_orders(spark, sf_dir):
+    """Scalar-subquery predicate (Catalyst evaluates the subquery once
+    and broadcasts the scalar)."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("_corr_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, round(o.o_totalprice, 4) AS o_totalprice
+        FROM _corr_orders o
+        WHERE o.o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM _corr_orders)
+        """
+    )
+
+
+@register(
+    "vocab_per_source",
+    oracle="""
+    SELECT source, count(DISTINCT tk) AS vocab, count(*) AS total_tokens
+    FROM (SELECT source, unnest(str_split_regex(lower(trim(text)), '\\s+')) AS tk
+          FROM documents)
+    GROUP BY source
+    """,
+)
+def vocab_per_source(spark, sf_dir):
+    """Distinct-token vocabulary per source: explode + distinct agg —
+    at 100 TB this is the canonical two-phase (partial distinct)
+    aggregation shape."""
+    from python_plugins_spark.functions import tokens as _tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("source", F.explode(_tokens(F.col("text"))).alias("tk"))
+    return tok.groupBy("source").agg(
+        F.countDistinct("tk").alias("vocab"), F.count("*").alias("total_tokens")
+    )
+
+
+@register(
+    "lsh_buckets_embeddings",
+    oracle=S.lsh_buckets_oracle_sql("embeddings", "vec_id", "embedding", 16, 64),
+)
+def lsh_buckets_embeddings(spark, sf_dir):
+    """Random-hyperplane LSH bucket assignment (the ANN scale path's
+    partitioning key), hash-verified against plane-literal SQL."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.lsh_buckets(emb, "vec_id", "embedding", n_planes=16)
+
+
+@register(
+    "sliding_window_events",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 5 minutes, ts) - (k * INTERVAL 5 minutes),
+                    '{_STRF}') AS window_start,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events CROSS JOIN (VALUES (0), (1)) o(k)
+    GROUP BY 1
+    """,
+)
+def sliding_window_events(spark, sf_dir):
+    """Sliding windows (10-min length, 5-min slide): every event lands
+    in exactly two windows."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(_ts(F.col("win.start")).alias("window_start"), "n", "total_value")
+    )
+
+
+@register(
+    "streaming_session_windows",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_STRF}') AS session_start,
+           strftime(max(ts) + INTERVAL 30 minutes, '{_STRF}') AS session_end,
+           count(*) AS n
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_session_windows(spark, sf_dir):
+    """Native session_window on a real stream, verified against the
+    batch gap-sessionization oracle (a session extends while the gap is
+    < 30 min; window end = last event + gap)."""
+    import uuid
+
+    from python_plugins_spark.sources.io import fix_nanos_ts
+    from python_plugins_spark.streaming import read_stream_parquet, run_to_memory_sink
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = fix_nanos_ts(
+        read_stream_parquet(spark, f"{sf_dir}/events.parquet", raw_schema)
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            _ts(F.col("win.start")).alias("session_start"),
+            _ts(F.col("win.end")).alias("session_end"),
+            "n",
+        )
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    return run_to_memory_sink(agg, name, output_mode="complete")
+
+
+@register(
+    "stateful_running_totals",
+    oracle="""
+    SELECT event_type, count(*) AS running_count, round(sum(value), 4) AS running_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def stateful_running_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-key running count+sum. With the whole table as one micro-batch
+    the final state equals the batch aggregate — which is exactly what
+    the oracle checks."""
+    import uuid
+
+    from python_plugins_spark.sources.io import fix_nanos_ts
+    from python_plugins_spark.streaming import (
+        read_stream_parquet,
+        run_to_memory_sink,
+        stateful_running_agg,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = fix_nanos_ts(
+        read_stream_parquet(spark, f"{sf_dir}/events.parquet", raw_schema)
+    )
+    out = stateful_running_agg(stream, ["event_type"], "value")
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    got = run_to_memory_sink(out, name, output_mode="update")
+    return got.select(
+        "event_type",
+        "running_count",
+        F.round(F.col("running_sum"), 4).alias("running_sum"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, k AS frame_no,
+           substr(text, 1 + (k * length(text)) // 4, 16) AS frame_str
+    FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) o(k)
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: 4 evenly-spaced 16-byte slices per
+    payload (the 1->N fan-out a video frame sampler has). Payload bytes
+    are the UTF-8 text, so the string oracle is byte-exact (corpus is
+    ASCII)."""
+    docs = load_table(spark, "documents", sf_dir)
+    with_payload = MM.attach_payload(docs, "text")
+    frames = MM.sample_frames(with_payload, "payload", "doc_id", n_frames=4, frame_bytes=16)
+    return frames.select(
+        "doc_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.col("frame_bytes").cast("string").alias("frame_str"),
+    )
+
+
+@register(
+    "asof_join_pandas_purchase",
+    oracle=f"""
+    SELECT event_id,
+           round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_asof
+    FROM events WHERE user_id <= 10
+    """,
+)
+def asof_join_pandas_purchase(spark, sf_dir):
+    """The applyInPandas/merge_asof implementation of the as-of join —
+    same semantics as the union-window one, cross-checked by sharing
+    its oracle shape."""
+    from python_plugins_spark.operators.asof import asof_join_pandas
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") <= 10)
+    left = ev.select("event_id", "user_id", "ts", "event_type")
+    right = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join_pandas(left, right, "user_id", "ts", "ts", ["value"])
+    return joined.select(
+        "event_id", F.round(F.col("value_asof"), 4).alias("value_asof")
+    )
+
+
+@register(
+    "salted_join_orders",
+    oracle="""
+    SELECT o.o_orderstatus, count(*) AS n, round(sum(l.l_quantity), 4) AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def salted_join_orders(spark, sf_dir):
+    """Skew-resistant salted join (16-way key split) — result-identical
+    to the plain equi-join the oracle runs."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("k"), "o_orderstatus"
+    )
+    joined = R.salted_join(li, o, "k", salt=16)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("total_qty")
+    )
+
+
+@register(
+    "join_merge_hint",
+    oracle="""
+    SELECT l.l_returnflag, count(*) AS n, round(avg(o.o_totalprice), 4) AS avg_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_merge_hint(spark, sf_dir):
+    """Explicit sort-merge-join strategy hint (the right choice when
+    both sides are huge and sorted output can be reused)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+    )
+
+
+@register("approx_sketches")
+def approx_sketches(spark, sf_dir):
+    """Approximate sketches (HLL distinct, quantile sketch) — no SQL
+    oracle by design (DuckDB's approx algorithms differ); rows-only
+    check + exactness-bounds asserted in tests."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
+    )
