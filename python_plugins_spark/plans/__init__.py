@@ -46,13 +46,14 @@ def count_shuffles(df: DataFrame) -> int:
 
 
 def has_codegen(df: DataFrame) -> bool:
-    """True if any stage is whole-stage-codegen compiled. Uses the
-    codegen explain mode (AQE hides the `*(n)` markers in the
-    unexecuted adaptive plan)."""
+    """True if any stage is whole-stage-codegen compiled. AQE only
+    materializes the final plan during execution, so this runs the
+    frame through the noop sink first and then reads the executed
+    plan's `*(n)` markers."""
     if "*(" in physical_plan(df):
         return True
-    report = plan_str(df, "codegen")
-    return "WholeStageCodegen subtree" in report and "Found 0 WholeStageCodegen" not in report
+    df.write.mode("overwrite").format("noop").save()
+    return "*(" in physical_plan(df)
 
 
 def scan_read_schema(df: DataFrame) -> list[str]:
