@@ -52,7 +52,9 @@ def has_codegen(df: DataFrame) -> bool:
     plan's `*(n)` markers."""
     if "*(" in physical_plan(df):
         return True
-    df.write.mode("overwrite").format("noop").save()
+    # df.collect() drives THIS frame's QueryExecution (a count()/noop
+    # write would plan a separate execution and leave ours unadapted)
+    df.collect()
     return "*(" in physical_plan(df)
 
 
