@@ -240,6 +240,59 @@ def lsh_buckets_oracle_sql(
     return f"SELECT {id_col}, {value} AS bucket FROM {table}"
 
 
+def lsh_bucketed_neardup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for cosine near-dup: candidates = pairs sharing an
+    LSH bucket (equi-join on the packed sign bits — one narrow
+    shuffle), verified with exact cosine. Fewer planes -> bigger
+    buckets -> higher recall, more verification work."""
+    from python_plugins_spark.functions import cosine_similarity
+
+    bucketed = lsh_buckets(df, id_col, vec_col, n_planes, seed)
+    withb = df.join(bucketed, on=id_col)
+    a = withb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
+    )
+    b = withb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket"
+    )
+    cos = F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6)
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def lsh_bucketed_neardup_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int,
+    dim: int,
+    seed: int = 42,
+) -> str:
+    bucket_sql = lsh_buckets_oracle_sql(table, id_col, vec_col, n_planes, dim, seed)
+    cos = O.sql_cosine_similarity("a.v", "b.v")
+    return f"""
+        WITH _b AS ({bucket_sql}),
+        _e AS (SELECT t.{id_col} AS id, t.{vec_col} AS v, _b.bucket
+               FROM {table} t JOIN _b ON t.{id_col} = _b.{id_col})
+        SELECT a.id AS id_a, b.id AS id_b, round({cos}, 6) AS cos_sim
+        FROM _e a JOIN _e b ON a.bucket = b.bucket AND a.id < b.id
+        WHERE round({cos}, 6) >= {threshold}
+    """
+
+
 def lsh_buckets(
     df: DataFrame,
     id_col: str,

@@ -1514,3 +1514,107 @@ def approx_sketches(spark, sf_dir):
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
     )
+
+
+# =====================================================================
+# Batch 3: sources & sinks (partitioned parquet, CSV, JSON) and the
+# LSH-bucketed embedding near-dup scale path
+# =====================================================================
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+@register(
+    "sink_partitioned_pruning",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders WHERE year(o_orderdate) = 1997
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_partitioned_pruning(spark, sf_dir):
+    """Partitioned parquet sink + partition-pruned scan: orders written
+    partitioned by order year, read back with a partition filter — the
+    filter prunes directories, not rows (at 100 TB, the difference
+    between touching 1/7th of the data and all of it)."""
+    import os
+
+    o = load_table(spark, "orders", sf_dir)
+    path = os.path.join(_SCRATCH, f"orders_by_year_{os.path.basename(sf_dir.rstrip('/'))}")
+    (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("order_year") == 1997)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
+
+
+@register(
+    "csv_source_roundtrip",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_suppliers, round(sum(s.s_acctbal), 4) AS total_bal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def csv_source_roundtrip(spark, sf_dir):
+    """CSV sink + schema-explicit CSV source (no inference pass), then
+    a broadcast join — exercises the text-format connector path."""
+    import os
+
+    from python_plugins_spark.sources.io import read_csv
+
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    path = os.path.join(_SCRATCH, f"supplier_csv_{os.path.basename(sf_dir.rstrip('/'))}")
+    s.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(spark, path, schema=s.schema)
+    return (
+        back.join(F.broadcast(n), back.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 4).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "json_source_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def json_source_roundtrip(spark, sf_dir):
+    """JSON-lines sink + schema-explicit JSON source."""
+    import os
+
+    from python_plugins_spark.sources.io import read_json
+
+    c = load_table(spark, "customer", sf_dir)
+    path = os.path.join(_SCRATCH, f"customer_json_{os.path.basename(sf_dir.rstrip('/'))}")
+    c.write.mode("overwrite").json(path)
+    back = read_json(spark, path, schema=c.schema)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal")
+    )
+
+
+@register(
+    "embedding_lsh_neardup",
+    oracle=S.lsh_bucketed_neardup_oracle_sql(
+        "embeddings", "vec_id", "embedding", 0.3, 8, 64
+    ),
+)
+def embedding_lsh_neardup(spark, sf_dir):
+    """The embedding near-dup SCALE path: LSH-bucket candidates (one
+    equi-join) + exact cosine verification — versus the O(n^2)
+    cosine_pairs baseline. Verified against a plane-literal SQL oracle
+    end to end."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.lsh_bucketed_neardup(emb, "vec_id", "embedding", 0.3, n_planes=8)

@@ -290,3 +290,36 @@ def test_streaming_compatible(spark, sf_dir):
     name = f"t_{uuid.uuid4().hex[:8]}"
     got = run_to_memory_sink(res.output, name, output_mode="append")
     assert got.count() == raw.count()
+
+
+def test_union_type_tagged_struct(spark):
+    """General Avro unions (no Spark equivalent) surface as tagged
+    structs per the schema bridge (SURVEY.md §7); the transform can
+    read and emit them."""
+    import json
+
+    from python_plugins_spark.schema import cdap_schema_to_spark
+
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "int"},
+                {"name": "u", "type": ["string", "int"]},
+            ],
+        }
+    )
+    st = cdap_schema_to_spark(schema_json)
+    df = spark.createDataFrame(
+        [(1, ("str", "hello", None)), (2, ("int", None, 42))], st
+    )
+    script = """
+def transform(record, emitter, context):
+    u = record['u']
+    val = u['member_0'] if u['tag'] == 'str' else u['member_1']
+    emitter.emit({'id': record['id'], 'rendered': str(val)})
+"""
+    out = python_transform(df, script=script, output_schema="id int, rendered string").output
+    got = {r.id: r.rendered for r in out.collect()}
+    assert got == {1: "hello", 2: "42"}
