@@ -260,6 +260,14 @@ class TransformResult:
     errors: DataFrame | None = None
     alerts: DataFrame | None = None
     _tagged: DataFrame | None = None
+    _accumulators: dict | None = None
+
+    def metrics_values(self) -> dict[str, int]:
+        """Driver-side values of the declared metric counters after an
+        action has run (reference: ``context.getMetrics().count`` wired
+        through StageMetrics, ``PythonEvaluator.java:268-284``). Spark
+        accumulators are at-least-once under task retries."""
+        return {name: acc.value for name, acc in (self._accumulators or {}).items()}
 
     def persist(self, level: str = "MEMORY_AND_DISK") -> "TransformResult":
         if self._tagged is not None:
@@ -341,7 +349,9 @@ def python_transform(
             for pdf in batches:
                 yield user_batch_fn(pdf)
 
-        return TransformResult(output=df.mapInPandas(run_batches, out_schema))
+        return TransformResult(
+            output=df.mapInPandas(run_batches, out_schema), _accumulators=accumulators
+        )
 
     multi_port = emit_errors or emit_alerts
 
@@ -396,7 +406,7 @@ def python_transform(
             return _records_to_pdf(emitter.rows, out_schema)
 
         out_df = df.mapInPandas(make_fn(), out_schema)
-        return TransformResult(output=out_df)
+        return TransformResult(output=out_df, _accumulators=accumulators)
 
     # Multi-port: one physical pass emits a tagged frame; each port is a
     # filtered view (SURVEY.md §2a #2-4 mapping).
@@ -449,7 +459,9 @@ def python_transform(
         if emit_alerts
         else None
     )
-    return TransformResult(output=output, errors=errors, alerts=alerts, _tagged=tagged)
+    return TransformResult(
+        output=output, errors=errors, alerts=alerts, _tagged=tagged, _accumulators=accumulators
+    )
 
 
 def columnar_transform(

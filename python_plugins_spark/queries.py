@@ -1618,3 +1618,53 @@ def embedding_lsh_neardup(spark, sf_dir):
     end to end."""
     emb = load_table(spark, "embeddings", sf_dir)
     return S.lsh_bucketed_neardup(emb, "vec_id", "embedding", 0.3, n_planes=8)
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue, count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + conjunctive pushed filters + global
+    agg — zero shuffles beyond the single-partition final sum."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "argmax_minmax_by",
+    oracle="""
+    SELECT l_returnflag,
+           max(struct_pack(p := l_extendedprice, k := l_orderkey)).k AS priciest_order,
+           min(struct_pack(p := l_extendedprice, k := l_orderkey)).k AS cheapest_order,
+           round(max(l_extendedprice), 4) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def argmax_minmax_by(spark, sf_dir):
+    """argmax/argmin aggregates. Bare max_by/min_by resolve ties
+    arbitrarily (engine-dependent); the lexicographic struct-max makes
+    the survivor deterministic on both engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.max(F.struct("l_extendedprice", "l_orderkey"))["l_orderkey"].alias("priciest_order"),
+        F.min(F.struct("l_extendedprice", "l_orderkey"))["l_orderkey"].alias("cheapest_order"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+    )

@@ -187,11 +187,8 @@ def transform(record, emitter, context):
 """
     res = python_transform(primitives, script=script, metrics=["seen", "bools"])
     res.output.count()
-    # accumulator values visible driver-side after the action
-    # (internal handle: re-run via python_transform return not exposed;
-    # assert via spark accumulators registry is overkill — count again)
-    out = res.output.collect()
-    assert len(out) == 4
+    vals = res.metrics_values()
+    assert vals["seen"] == 4 and vals["bools"] == 2
 
 
 def test_error_port_and_fail_fast(spark, primitives):
