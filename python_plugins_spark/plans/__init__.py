@@ -58,6 +58,25 @@ def has_codegen(df: DataFrame) -> bool:
     return "*(" in physical_plan(df)
 
 
+def field_lineage(df: DataFrame, transform_name: str = "Python") -> dict:
+    """Submit-time field lineage, mirroring the reference's
+    ``FieldTransformOperation(name, description, inFields, outFields)``
+    (reference ``PythonEvaluator.java:242-259``): input fields are what
+    the scans actually read (post column-pruning), output fields are
+    the result schema."""
+    inputs: list[str] = []
+    for line in plan_str(df).splitlines():
+        line = line.strip()
+        if line.startswith("ReadSchema:"):
+            body = line.split("struct<", 1)[-1].rstrip(">")
+            inputs.extend(f.split(":")[0] for f in body.split(",") if f)
+    return {
+        "operation": transform_name,
+        "in_fields": sorted(set(inputs)),
+        "out_fields": df.columns,
+    }
+
+
 def scan_read_schema(df: DataFrame) -> list[str]:
     """ReadSchema column lists from every file scan in the plan —
     verify column pruning (a 2-column projection must not scan 16)."""

@@ -33,6 +33,8 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    python_binary: str | None = None,
+    python_path: list[str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-aware defaults.
 
@@ -74,6 +76,18 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Interpreter / library-path selection — parity with the
+    # reference's `pythonBinary` / `pythonPath` config
+    # (reference PythonEvaluator.java:111-121, applied at
+    # Py4jPythonExecutor.java:147-149): Spark's worker processes run
+    # under the chosen interpreter with the extra dirs importable.
+    if python_binary:
+        builder = builder.config("spark.pyspark.python", python_binary).config(
+            "spark.pyspark.driver.python", python_binary
+        )
+    if python_path:
+        joined = ":".join(python_path)
+        builder = builder.config("spark.executorEnv.PYTHONPATH", joined)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()

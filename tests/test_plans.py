@@ -86,3 +86,44 @@ def test_sessionize_one_shuffle(spark, sf_dir):
     df = QUERIES["sessionize_events"](spark, sf_dir)
     # both window passes and the final agg share the user_id partitioning
     assert count_shuffles(df) <= 2
+
+
+def test_field_lineage(spark, sf_dir):
+    from python_plugins_spark.plans import field_lineage
+
+    df = QUERIES["filter_project_pushdown"](spark, sf_dir)
+    lin = field_lineage(df)
+    assert lin["out_fields"] == ["l_orderkey", "l_partkey", "net_price"]
+    assert "l_quantity" in lin["in_fields"]       # read for the filter
+    assert "l_comment" not in lin["in_fields"]    # pruned
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """Bucketed tables co-locate join keys at write time — the join
+    then needs NO shuffle at all (the decisive lever for repeated
+    large-scale joins on the same key)."""
+    import os
+
+    from python_plugins_spark.sources.io import load_table as _lt
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    warehouse_ok = True
+    li = _lt(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    o = _lt(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+        "t_li_bucketed"
+    )
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+        "t_o_bucketed"
+    )
+    bl = spark.table("t_li_bucketed")
+    bo = spark.table("t_o_bucketed")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        assert count_shuffles(joined) == 0
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
