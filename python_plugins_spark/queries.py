@@ -1090,6 +1090,9 @@ def streaming_tumbling_counts(spark, sf_dir):
 
     from python_plugins_spark.sources.io import fix_nanos_ts
 
+    from python_plugins_spark.sources.io import ensure_session_confs
+
+    ensure_session_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = fix_nanos_ts(
         read_stream_parquet(spark, f"{sf_dir}/events.parquet", raw_schema)
@@ -1123,6 +1126,9 @@ def streaming_transform_filter(spark, sf_dir):
 
     from python_plugins_spark.sources.io import fix_nanos_ts
 
+    from python_plugins_spark.sources.io import ensure_session_confs
+
+    ensure_session_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = fix_nanos_ts(
         read_stream_parquet(spark, f"{sf_dir}/events.parquet", raw_schema)
@@ -1360,6 +1366,9 @@ def streaming_session_windows(spark, sf_dir):
     from python_plugins_spark.sources.io import fix_nanos_ts
     from python_plugins_spark.streaming import read_stream_parquet, run_to_memory_sink
 
+    from python_plugins_spark.sources.io import ensure_session_confs
+
+    ensure_session_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = fix_nanos_ts(
         read_stream_parquet(spark, f"{sf_dir}/events.parquet", raw_schema)
@@ -1399,6 +1408,9 @@ def stateful_running_totals(spark, sf_dir):
         stateful_running_agg,
     )
 
+    from python_plugins_spark.sources.io import ensure_session_confs
+
+    ensure_session_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = fix_nanos_ts(
         read_stream_parquet(spark, f"{sf_dir}/events.parquet", raw_schema)
@@ -1668,3 +1680,55 @@ def argmax_minmax_by(spark, sf_dir):
         F.min(F.struct("l_extendedprice", "l_orderkey"))["l_orderkey"].alias("cheapest_order"),
         F.round(F.max("l_extendedprice"), 4).alias("max_price"),
     )
+
+
+@register(
+    "set_ops_bag_semantics",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT ALL
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def set_ops_bag_semantics(spark, sf_dir):
+    """INTERSECT ALL (bag semantics — duplicates preserved by
+    multiplicity), the variant dropDuplicates-style set ops can't
+    express."""
+    c = load_table(spark, "customer", sf_dir)
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_nationkey")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    return R.intersect(rich, building, all=True)
+
+
+@register(
+    "udtf_tokenize",
+    oracle="""
+    SELECT doc_id, u.p AS pos, u.t AS token
+    FROM (
+      SELECT doc_id,
+             unnest([{'p': i - 1, 't': tk[i]} for i in range(1, len(tk) + 1)]) AS u
+      FROM (SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS tk
+            FROM documents WHERE doc_id < 50)
+    )
+    """,
+)
+def udtf_tokenize(spark, sf_dir):
+    """A real Python UDTF (table function, Spark 3.5+): one input row
+    -> N (pos, token) rows — the 1->N surface as a catalog-registered
+    function rather than the transform operator."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, token string")
+    class Tokenize:
+        def eval(self, doc_id, text: str):
+            for i, tok in enumerate(text.strip().lower().split()):
+                yield doc_id, i, tok
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    docs.createOrReplaceTempView("_udtf_docs")
+    out = spark.sql(
+        "SELECT t.doc_id, t.pos, t.token FROM _udtf_docs d, "
+        "LATERAL tokenize_udtf(d.doc_id, d.text) t"
+    )
+    return out.select("doc_id", F.col("pos").cast("long").alias("pos"), "token")

@@ -69,12 +69,26 @@ def read_json(
     return reader.json(path)
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any externally-built SparkSession safe for this engine's
+    queries (the driver hands us ITS session, not ours):
+
+    - nanos parquet timestamps readable (events table);
+    - session timezone pinned UTC so timestamp formatting matches a
+      UTC-naive oracle regardless of host timezone.
+
+    Both are runtime-settable SQL confs; idempotent."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one driver table: ``{sf_dir}/{name}.parquet``.
 
     Nanosecond parquet timestamps (read as long via
     ``spark.sql.legacy.parquet.nanosAsLong``) are converted to
     microsecond timestamps — same truncation DuckDB applies."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return fix_nanos_ts(df, "ts")
 
