@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "text_stats_docs",
     "sessionize_events",
     "json_extract_events",
+    "embedding_lsh_neardup",
+    "dedup_exact_documents",
+    "multimodal_fake_decode",
+    "streaming_tumbling_counts",
 ]
 
 
