@@ -1736,3 +1736,471 @@ def udtf_tokenize(spark, sf_dir):
         "LATERAL tokenize_udtf(d.doc_id, d.text) t"
     )
     return out.select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+# =====================================================================
+# Batch 4: TPC-H subquery/outer-join/disjunctive shapes, higher-order
+# array functions, regex extraction, stream-stream join, ORC, alert
+# port, broadcast lookup
+# =====================================================================
+
+@register(
+    "q4_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi condition ->
+    left-semi join. The lineitem side is pre-projected to two columns
+    so the semi-join shuffle carries minimal payload."""
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           n.n_name
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, global
+    top-20 (TakeOrderedAndProject after a 3-join + agg)."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: outer join with a join-side predicate (NOT a
+    post-filter — null-extended rows must survive), then a distribution
+    re-aggregation."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
+           count(*) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01' AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio over a broadcast
+    part join."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = load_table(spark, "part", sf_dir)
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", net).otherwise(0.0))
+                / F.sum(net),
+                6,
+            ).alias("promo_pct"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly, count(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#19'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-part average, de-correlated into
+    a window aggregate over the joined frame (one shuffle on partkey
+    instead of a re-scan per part — the classic decorrelation win)."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#19")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    return (
+        joined.withColumn("_avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q18_big_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(o.o_totalprice, 4) AS o_totalprice,
+           round(sum(l.l_quantity), 4) AS total_qty
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    HAVING sum(l.l_quantity) > 300
+    """,
+)
+def q18_big_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING over a grouped join. The qualifying
+    orderkey set is computed first (pre-aggregation on the fact table
+    alone), then joined back — at scale this prunes the wide join to
+    the ~0.1% of orders that qualify."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 300)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            _ts(F.col("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+            F.round(F.col("_qty"), 4).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_pred",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue, count(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_pred(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive predicates spanning
+    both join sides — stays a single broadcast hash join with the OR
+    as a post-join filter (Catalyst also pushes the derivable
+    single-side bounds down to each scan)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS numcust, round(sum(c.c_acctbal), 4) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subquery threshold + anti join (rich
+    customers with no urgent orders — predicate chosen so the result
+    is non-empty at every test SF)."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    rich = c.filter(F.col("c_acctbal") > avg_bal)
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+    )
+
+
+@register(
+    "higher_order_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS max_val,
+           round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')
+                 / len(embedding), 4) AS mean_val
+    FROM embeddings
+    """,
+)
+def higher_order_array_funcs(spark, sf_dir):
+    """Higher-order array functions (transform/filter/aggregate) —
+    vector math entirely JVM-side, no Python: the cheap path for
+    embedding feature engineering at 100 TB."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x)), 4).alias(
+            "l2_norm"
+        ),
+        F.size(F.filter(e, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.array_max(e), 4).alias("max_val"),
+        F.round(F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x) / F.size(e), 4).alias(
+            "mean_val"
+        ),
+    )
+
+
+@register(
+    "regex_extract_docs",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '^(\\w+)', 1) AS first_word,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+           len(regexp_extract_all(text, '\\bthe\\b')) AS n_the
+    FROM documents
+    """,
+)
+def regex_extract_docs(spark, sf_dir):
+    """Regex catalog: extract / global-replace / count — JVM regex,
+    no Python (the reference needed user scripts for any of this)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("long").alias("n_digits"),
+        F.regexp_count(F.col("text"), F.lit(r"\bthe\b")).cast("long").alias("n_the"),
+    )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join with an event-time bound (clicks within
+    10 min before a purchase, same user). Both sides watermarked so
+    state is bounded at scale; with the whole table in one micro-batch
+    the result equals the batch join the oracle runs."""
+    import uuid
+
+    from python_plugins_spark.sources.io import ensure_session_confs, fix_nanos_ts
+    from python_plugins_spark.streaming import read_stream_parquet, run_to_memory_sink
+
+    ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def stream():
+        return fix_nanos_ts(
+            read_stream_parquet(spark, f"{sf_dir}/events.parquet", raw_schema)
+        )
+
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+    name = f"stream_ssjoin_{uuid.uuid4().hex[:8]}"
+    return run_to_memory_sink(joined, name, output_mode="append")
+
+
+@register(
+    "orc_source_roundtrip",
+    oracle="""
+    SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def orc_source_roundtrip(spark, sf_dir):
+    """ORC sink + source roundtrip (the third columnar format after
+    parquet; same pushdown/pruning machinery)."""
+    import os
+
+    p = load_table(spark, "part", sf_dir)
+    path = os.path.join(_SCRATCH, f"part_orc_{os.path.basename(sf_dir.rstrip('/'))}")
+    p.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n"), F.round(F.avg("p_retailprice"), 4).alias("avg_price")
+    )
+
+
+@register(
+    "transform_alert_port",
+    oracle="""
+    SELECT CAST(s_suppkey AS VARCHAR) AS suppkey, 'low_balance' AS severity
+    FROM supplier WHERE s_acctbal < 0
+    """,
+)
+def transform_alert_port(spark, sf_dir):
+    """The alert port (reference PythonEmitter.emitAlert,
+    PythonEvaluator.java:193-195): map<string,string> payloads split
+    from the same tagged pass as the main output."""
+    s = load_table(spark, "supplier", sf_dir)
+    script = """
+def transform(record, emitter, context):
+    if record['s_acctbal'] < 0:
+        emitter.emitAlert({'suppkey': record['s_suppkey'], 'severity': 'low_balance'})
+    emitter.emit(record)
+"""
+    res = python_transform(s, script=script, emit_alerts=True)
+    return res.alerts.select(
+        F.col("alert")["suppkey"].alias("suppkey"),
+        F.col("alert")["severity"].alias("severity"),
+    )
+
+
+@register(
+    "transform_lookup_nation",
+    oracle="""
+    SELECT s.s_suppkey, n.n_name AS nation_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def transform_lookup_nation(spark, sf_dir):
+    """context.getLookup(...) — declared-but-unsupported in the
+    reference (PythonEvaluator.java:271-276 throws); here it works: a
+    broadcast dict resolved lazily on workers (the Spark-native dim
+    lookup for per-record enrichment)."""
+    n_map = {
+        row.n_nationkey: row.n_name
+        for row in load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name").collect()
+    }
+    bc = spark.sparkContext.broadcast(n_map)
+    s = load_table(spark, "supplier", sf_dir)
+    script = """
+def transform(record, emitter, context):
+    nations = context.getLookup('nations')
+    emitter.emit({'s_suppkey': record['s_suppkey'],
+                  'nation_name': nations.get(record['s_nationkey'])})
+"""
+    res = python_transform(
+        s,
+        script=script,
+        output_schema="s_suppkey bigint, nation_name string",
+        lookups={"nations": bc},
+    )
+    return res.output
