@@ -433,3 +433,108 @@ def simhash_pairs_oracle_sql(
         FROM _pairs
         WHERE bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) <= {max_hamming}
     """
+
+
+# ---------------------------------------------- near-dup clustering
+
+def connected_components(
+    edges: DataFrame, vertices: DataFrame, id_col: str, max_iter: int = 25
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    ``label(v) <- min(label(v), min over neighbors)`` until fixpoint.
+
+    Each iteration is one distributed shuffle join + aggregate;
+    ``localCheckpoint`` truncates the lineage so the plan stays flat
+    across iterations. Converges in O(component diameter) rounds —
+    near-dup clusters are shallow (stars around a template), so this
+    terminates in 2-4 rounds in practice; ``max_iter`` bounds
+    pathological chains. At 100 TB the same loop runs unchanged
+    (the alternating large-star/small-star optimization halves round
+    count but adds no new primitive).
+
+    Returns (id, label) with label = min id of the component.
+    """
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    )
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .cache()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                labels.id,
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter("n.label <> o.label")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def neardup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle: int = 3,
+) -> DataFrame:
+    """Full near-dup clustering pipeline: LSH candidates -> exact
+    Jaccard verification -> connected components. Returns
+    (id_col, cluster_id, is_canonical); downstream dedup keeps the
+    canonical (min-id) doc per cluster."""
+    candidates = minhash_lsh_pairs(df, text_col, id_col)
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, threshold, shingle=shingle, candidates=candidates
+    )
+    cc = connected_components(
+        pairs.select("id_a", "id_b"), df.select(id_col), id_col
+    )
+    return cc.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )
+
+
+def neardup_clusters_oracle_sql(
+    table: str, text_col: str, id_col: str, threshold: float, shingle: int = 3
+) -> str:
+    """Recursive-CTE oracle: reachability closure over the verified
+    Jaccard pair graph, min reachable id per node = cluster id."""
+    pairs_sql = ngram_jaccard_pairs_oracle_sql(
+        table, text_col, id_col, threshold, shingle
+    )
+    return f"""
+        WITH RECURSIVE
+        _jp AS ({pairs_sql}),
+        _edges AS (SELECT id_a AS src, id_b AS dst FROM _jp
+                   UNION ALL SELECT id_b, id_a FROM _jp),
+        _walk(id, lab) AS (
+          SELECT {id_col}, {id_col} FROM {table}
+          UNION
+          SELECT e.src, w.lab FROM _edges e JOIN _walk w ON w.id = e.dst
+        )
+        SELECT id AS {id_col}, min(lab) AS cluster_id,
+               id = min(lab) AS is_canonical
+        FROM _walk GROUP BY id
+    """

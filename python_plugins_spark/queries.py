@@ -292,12 +292,16 @@ def semi_join_customers_with_orders(spark, sf_dir):
     "anti_join_customers_without_orders",
     oracle="""
     SELECT c_custkey, round(c_acctbal, 4) AS c_acctbal FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1998-01-01')
     """,
 )
 def anti_join_customers_without_orders(spark, sf_dir):
+    """Anti join; predicate is time-scoped (no 1998+ order) so the
+    result is non-empty at every test SF — a zero-row result would
+    make the oracle hash-match vacuous."""
     c = load_table(spark, "customer", sf_dir)
-    o = load_table(spark, "orders", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderdate") >= "1998-01-01")
     return R.not_exists_join(c, o, c.c_custkey == o.o_custkey).select(
         "c_custkey", F.round(F.col("c_acctbal"), 4).alias("c_acctbal")
     )
@@ -2204,3 +2208,35 @@ def transform(record, emitter, context):
         lookups={"nations": bc},
     )
     return res.output
+
+
+@register(
+    "neardup_clusters_docs",
+    oracle=D.neardup_clusters_oracle_sql("documents", "text", "doc_id", 0.5),
+)
+def neardup_clusters_docs(spark, sf_dir):
+    """End-to-end near-dup clustering: MinHash-LSH candidates -> exact
+    Jaccard >= 0.5 verification -> distributed connected components
+    (min-label propagation). Verified against a recursive-CTE oracle."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.neardup_clusters(docs, "text", "doc_id", 0.5)
+
+
+@register(
+    "dedup_near_keep_canonical",
+    oracle=f"""
+    WITH _cc AS ({D.neardup_clusters_oracle_sql("documents", "text", "doc_id", 0.5)})
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN _cc ON d.doc_id = _cc.doc_id
+    WHERE _cc.is_canonical
+    """,
+)
+def dedup_near_keep_canonical(spark, sf_dir):
+    """The dedup payoff: keep one canonical (min-id) document per
+    near-dup cluster — the corpus a training pipeline would feed on."""
+    docs = load_table(spark, "documents", sf_dir)
+    clusters = D.neardup_clusters(docs, "text", "doc_id", 0.5)
+    keep = clusters.filter(F.col("is_canonical")).select("doc_id")
+    return docs.join(keep, on="doc_id", how="left_semi").select(
+        "doc_id", "lang", "source"
+    )

@@ -142,3 +142,24 @@ def test_lsh_buckets_groups_similar(spark, sf_dir):
     assert out.count() == emb.count()
     n_buckets = out.select("bucket").distinct().count()
     assert 1 < n_buckets <= 256
+
+
+def test_connected_components_synthetic(spark):
+    # two triangles bridged by one edge + an isolate: components {1..6}, {9}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (3, 4)], "id_a long, id_b long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6, 9]], "v long")
+    cc = D.connected_components(edges, vertices, "v")
+    got = {r.id: r.label for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 9: 9}
+
+
+def test_neardup_clusters_canonical_invariants(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    cc = D.neardup_clusters(docs, "text", "doc_id", 0.5).cache()
+    # every doc appears exactly once; cluster_id is a member of the cluster
+    assert cc.count() == docs.count()
+    assert cc.filter("cluster_id > doc_id").count() == 0  # label = min id
+    canon = cc.filter("is_canonical")
+    assert canon.count() == cc.select("cluster_id").distinct().count()
