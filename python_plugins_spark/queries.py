@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — resolves postponed type hints in pandas UDFs
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2239,4 +2241,122 @@ def dedup_near_keep_canonical(spark, sf_dir):
     keep = clusters.filter(F.col("is_canonical")).select("doc_id")
     return docs.join(keep, on="doc_id", how="left_semi").select(
         "doc_id", "lang", "source"
+    )
+
+
+# =====================================================================
+# Batch 5: the full Python-UDF surface (scalar pandas_udf, grouped-agg
+# pandas_udf, applyInPandas) + exact decimal aggregation
+# =====================================================================
+
+@register(
+    "applyinpandas_zscore",
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
+    FROM events
+    """,
+)
+def applyinpandas_zscore(spark, sf_dir):
+    """Group-wise pandas transform (applyInPandas): z-score of value
+    within each event_type. One shuffle on the group key; each group
+    processed as a single Arrow batch — the right surface when the
+    per-group logic genuinely needs pandas (here it doesn't — the
+    window-function oracle IS the cheaper plan — which is exactly the
+    comparison the registry documents)."""
+    import pandas as pd
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["value"].mean()
+        s = pdf["value"].std(ddof=1)
+        pdf = pdf.copy()
+        pdf["z"] = ((pdf["value"] - m) / s).round(4)
+        return pdf[["event_id", "event_type", "z"]]
+
+    return ev.groupBy("event_type").applyInPandas(
+        zscore, "event_id long, event_type string, z double"
+    )
+
+
+@register(
+    "pandas_udaf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pandas_udaf_weighted_avg(spark, sf_dir):
+    """Grouped-aggregate pandas UDF: quantity-weighted average price.
+    Arrow-batched per group — the UDAF surface for aggregations Spark
+    lacks natively."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    @pandas_udf("long")
+    def n_rows(price: pd.Series) -> int:
+        # grouped-agg pandas UDFs can't mix with native aggregates in
+        # one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the count is a
+        # pandas UDAF too
+        return len(price)
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("wavg_price"),
+        n_rows("l_extendedprice").alias("n"),
+    )
+
+
+@register(
+    "pandas_scalar_udf_net",
+    oracle="""
+    SELECT l_linestatus, round(sum(l_extendedprice * (1 - l_discount)), 4) AS net_total
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def pandas_scalar_udf_net(spark, sf_dir):
+    """Scalar pandas UDF (Arrow-vectorized): net price per row, then a
+    native aggregation. ~10-100x faster than a row-at-a-time Python UDF
+    (the reference's per-record RPC was slower still); the built-in
+    Column expression (columnar_fastpath_lineitem) beats both."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def net(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.sum(net("l_extendedprice", "l_discount")), 4).alias("net_total")
+    )
+
+
+@register(
+    "decimal_exact_totals",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS total_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def decimal_exact_totals(spark, sf_dir):
+    """Exact DECIMAL aggregation — bit-identical totals with no
+    rounding convention needed (the money-math path; the reference's
+    codec had no decimal type at all, SURVEY.md §1)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("string")
+        .alias("total_price"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("string").alias("total_qty"),
     )

@@ -77,3 +77,67 @@ def transform(record, emitter, context):
     q.processAllAvailable()
     q.stop()
     assert sink["out"] > 0 and sink["err"] > 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a 10-minute watermark: an event
+    arriving in a later micro-batch, older than (max seen ts -
+    watermark), is dropped; windows close and emit exactly once."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    base = "2024-01-01 10:{m:02d}:00"
+
+    def write_file(name, minutes):
+        rows = [(i, base.format(m=m), 1.0) for i, m in enumerate(minutes)]
+        pdf = spark.createDataFrame(rows, "id long, ts_s string, v double").select(
+            "id", F.col("ts_s").cast("timestamp").alias("ts"), "v"
+        )
+        pdf.coalesce(1).write.mode("append").parquet(src)
+        # distinct mtimes -> deterministic file order under maxFilesPerTrigger
+        time.sleep(1.1)
+
+    # batch 1: events at 10:00-10:04 -> max ts 10:04
+    write_file("a", [0, 1, 2, 3, 4])
+    # batch 2: 10:30. The watermark COMPUTED from this batch (10:20) is
+    # not in force until the batch after next: progress-reported
+    # watermark is post-batch, and the filter uses the pre-batch value.
+    write_file("b", [30])
+    # batch 3: runs under watermark 10:20 -> closes+emits the 10:00
+    # window (5 rows) and evicts its state
+    write_file("c", [31])
+    # batch 4: a very-late 10:01 event — older than the in-force
+    # watermark, dropped before it can resurrect the closed window
+    write_file("d", [1])
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "5 minutes").alias("win"))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+        .select(F.col("win.start").cast("string").alias("ws"), "n", "total")
+    )
+    name = "late_drop_sink"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.ws: (r.n, r.total) for r in spark.table(name).collect()}
+    # the 10:00 window emitted with ONLY batch-1 rows: the late 10:01
+    # event from batch 2 was dropped (n=5, not 6)
+    assert got.get("2024-01-01 10:00:00") == (5, 5.0), got
