@@ -335,6 +335,16 @@ def python_transform(
     args = args or {}
     lookups = lookups or {}
 
+    # The Python loop is CPU-bound per record; an under-partitioned
+    # input (one small parquet file -> 1-3 splits) would serialize it
+    # on a few cores. Repartitioning a small input costs a trivial
+    # shuffle; at real scale inputs already carry >= parallelism
+    # partitions and this is a no-op.
+    if not df.isStreaming:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < parallelism:
+            df = df.repartition(parallelism)
+
     accumulators: dict[str, Any] = {}
     if metrics:
         sc = df.sparkSession.sparkContext
@@ -409,7 +419,10 @@ def python_transform(
         return TransformResult(output=out_df, _accumulators=accumulators)
 
     # Multi-port: one physical pass emits a tagged frame; each port is a
-    # filtered view (SURVEY.md §2a #2-4 mapping).
+    # filtered view (SURVEY.md §2a #2-4 mapping). The main-output fields
+    # are FLAT columns of the tagged frame (not a nested struct): the
+    # common case is ~all rows on the main port, and flat scalar columns
+    # convert to Arrow several times faster than per-row struct dicts.
     error_struct = T.StructType(
         [
             T.StructField("errorCode", T.IntegerType(), True),
@@ -417,42 +430,50 @@ def python_transform(
             T.StructField("invalidRecord", input_schema, True),
         ]
     )
+    out_names = out_schema.fieldNames()
+    in_names = input_schema.fieldNames()
+    reserved = {"_port", "_error", "_alert"}
+    if reserved & set(out_names):
+        raise ValueError(
+            f"output schema field names {reserved & set(out_names)} collide "
+            "with the multi-port tag columns"
+        )
     tagged_schema = T.StructType(
-        [
-            T.StructField("_port", T.StringType(), False),
-            T.StructField("_out", out_schema, True),
+        [T.StructField("_port", T.StringType(), False)]
+        + [T.StructField(f.name, f.dataType, True) for f in out_schema.fields]
+        + [
             T.StructField("_error", error_struct, True),
             T.StructField("_alert", T.MapType(T.StringType(), T.StringType()), True),
         ]
     )
 
-    out_names = out_schema.fieldNames()
-    in_names = input_schema.fieldNames()
-
     def _assemble(emitter: Emitter) -> pd.DataFrame:
-        rows: list[tuple] = []
-        for r in emitter.rows:
-            rows.append((PORT_OUT, {n: r.get(n) for n in out_names}, None, None))
-        for e in emitter.errors:
-            invalid = e.get("invalidRecord") or {}
-            rows.append(
-                (
-                    PORT_ERROR,
-                    None,
-                    {
-                        "errorCode": int(e.get("errorCode", 0) or 0),
-                        "errorMsg": e.get("errorMsg"),
-                        "invalidRecord": {n: invalid.get(n) for n in in_names},
+        n_o, n_e, n_a = len(emitter.rows), len(emitter.errors), len(emitter.alerts)
+        data = {"_port": [PORT_OUT] * n_o + [PORT_ERROR] * n_e + [PORT_ALERT] * n_a}
+        pad = [None] * (n_e + n_a)
+        for name in out_names:
+            data[name] = [r.get(name) for r in emitter.rows] + pad
+        data["_error"] = (
+            [None] * n_o
+            + [
+                {
+                    "errorCode": int(e.get("errorCode", 0) or 0),
+                    "errorMsg": e.get("errorMsg"),
+                    "invalidRecord": {
+                        n: (e.get("invalidRecord") or {}).get(n) for n in in_names
                     },
-                    None,
-                )
-            )
-        for a in emitter.alerts:
-            rows.append((PORT_ALERT, None, None, a))
-        return pd.DataFrame(rows, columns=["_port", "_out", "_error", "_alert"], dtype=object)
+                }
+                for e in emitter.errors
+            ]
+            + [None] * n_a
+        )
+        data["_alert"] = [None] * (n_o + n_e) + list(emitter.alerts)
+        return pd.DataFrame(
+            data, columns=["_port", *out_names, "_error", "_alert"], dtype=object
+        )
 
     tagged = df.mapInPandas(make_fn(), tagged_schema)
-    output = tagged.filter(F.col("_port") == PORT_OUT).select("_out.*")
+    output = tagged.filter(F.col("_port") == PORT_OUT).select(*out_names)
     errors = tagged.filter(F.col("_port") == PORT_ERROR).select("_error.*")
     alerts = (
         tagged.filter(F.col("_port") == PORT_ALERT).select(F.col("_alert").alias("alert"))

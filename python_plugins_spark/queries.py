@@ -2360,3 +2360,328 @@ def decimal_exact_totals(spark, sf_dir):
         .alias("total_price"),
         F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("string").alias("total_qty"),
     )
+
+
+# =====================================================================
+# Batch 6: bucketed co-located join, RANGE window frames, map
+# construction/explosion, multi-granularity rollup
+# =====================================================================
+
+@register(
+    "bucketed_join_colocated",
+    oracle="""
+    SELECT o.o_orderstatus, count(*) AS n, round(sum(l.l_quantity), 4) AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def bucketed_join_colocated(spark, sf_dir):
+    """Bucketed tables co-locate join keys at WRITE time; the join then
+    runs with zero shuffle on either side (asserted in
+    tests/test_plans.py::test_bucketed_join_no_shuffle). At 100 TB this
+    converts every repeated orderkey join from a full shuffle into a
+    local zip of pre-sorted buckets."""
+    import os
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderstatus")
+    li_t, o_t = f"li_bkt_{tag}", f"o_bkt_{tag}"
+    # the warehouse directory outlives the in-memory catalog: a fresh
+    # session sees no table but a stale location -> clear both
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (li_t, o_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(li_t)
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(o_t)
+    lb, ob = spark.table(li_t), spark.table(o_t)
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER (
+             PARTITION BY l_suppkey ORDER BY epoch(l_shipdate)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 4) AS qty_7d
+    FROM lineitem WHERE l_suppkey <= 5
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame over event time (trailing 7 days of quantity per
+    supplier) — value-based framing with peer-row inclusion, the frame
+    type ROWS can't express."""
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_suppkey") <= 5)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.unix_timestamp("l_shipdate"))
+        .rangeBetween(-604800, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 4).alias("qty_7d"),
+    )
+
+
+@register(
+    "map_entries_orders",
+    oracle="""
+    SELECT k, v, count(*) AS n FROM (
+      SELECT 'status' AS k, o_orderstatus AS v FROM orders
+      UNION ALL
+      SELECT 'priority' AS k, o_orderpriority AS v FROM orders
+    ) GROUP BY k, v
+    """,
+)
+def map_entries_orders(spark, sf_dir):
+    """Map construction + entry explosion (create_map -> explode):
+    columns to key/value rows, the MapType surface of the reference's
+    codec (PythonObjectsEncoder.java:55-60) as a relational operator."""
+    o = load_table(spark, "orders", sf_dir)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return (
+        o.select(F.explode(m).alias("k", "v"))
+        .groupBy("k", "v")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "multi_grain_rollup_events",
+    oracle=f"""
+    SELECT CASE WHEN grouping(b5) = 0 THEN '5min'
+                WHEN grouping(bh) = 0 THEN 'hour' ELSE 'day' END AS grain,
+           strftime(coalesce(b5, bh, bd), '{_STRF}') AS bucket,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM (SELECT time_bucket(INTERVAL 5 minutes, ts) AS b5,
+                 date_trunc('hour', ts) AS bh,
+                 date_trunc('day', ts) AS bd, value
+          FROM events)
+    GROUP BY GROUPING SETS ((b5), (bh), (bd))
+    """,
+)
+def multi_grain_rollup_events(spark, sf_dir):
+    """Hypertable-style continuous-aggregate shape: 5-minute, hourly
+    and daily rollups of the event stream in ONE scan + one grouping-
+    sets aggregate (vs three separate passes — at 100 TB the scan is
+    the cost, so 3x fewer reads)."""
+    ev = load_table(spark, "events", sf_dir)
+    ev.select(
+        F.timestamp_seconds((F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long")).alias("b5"),
+        F.date_trunc("hour", F.col("ts")).alias("bh"),
+        F.date_trunc("day", F.col("ts")).alias("bd"),
+        "value",
+    ).createOrReplaceTempView("_mg_events")
+    return spark.sql(
+        f"""
+        SELECT CASE WHEN grouping(b5) = 0 THEN '5min'
+                    WHEN grouping(bh) = 0 THEN 'hour' ELSE 'day' END AS grain,
+               date_format(coalesce(b5, bh, bd), 'yyyy-MM-dd HH:mm:ss') AS bucket,
+               count(*) AS n, round(sum(value), 4) AS total_value
+        FROM _mg_events
+        GROUP BY GROUPING SETS ((b5), (bh), (bd))
+        """
+    )
+
+
+# =====================================================================
+# Batch 7: gap-filled time series, statistical aggregates, ordered
+# string_agg, CDC latest-wins compaction, full-outer & cross joins
+# =====================================================================
+
+@register(
+    "gap_fill_timeseries",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL 1 hour, min(ts)) AS lo,
+             time_bucket(INTERVAL 1 hour, max(ts)) AS hi
+      FROM events
+    ),
+    slots AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 hour)) AS slot FROM bounds),
+    agg AS (
+      SELECT time_bucket(INTERVAL 1 hour, ts) AS slot,
+             count(*) AS n, round(sum(value), 4) AS total_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT strftime(s.slot, '{_STRF}') AS slot,
+           coalesce(a.n, 0) AS n,
+           coalesce(a.total_value, 0.0) AS total_value
+    FROM slots s LEFT JOIN agg a ON s.slot = a.slot
+    """,
+)
+def gap_fill_timeseries(spark, sf_dir):
+    """Gap-filled hourly series (hypertable `time_bucket_gapfill`
+    shape): generate the full slot spine with `sequence()`, left-join
+    the aggregate, zero-fill empty hours. The spine is one row per
+    hour — broadcastable at any corpus scale."""
+    ev = load_table(spark, "events", sf_dir)
+    agg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("slot"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("slot")
+    )
+    return (
+        spine.join(agg, on="slot", how="left")
+        .select(
+            _ts(F.col("slot")).alias("slot"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("total_value"), F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "stats_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           round(var_samp(l_quantity), 4) AS qty_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_aggregates(spark, sf_dir):
+    """Statistical aggregate catalog: correlation, covariance,
+    stddev, variance — all single-pass JVM aggregates."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+    )
+
+
+@register(
+    "string_agg_ordered",
+    oracle="""
+    SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def string_agg_ordered(spark, sf_dir):
+    """Deterministic ordered string aggregation: collect_list is
+    unordered by contract, so sort_array before joining — same result
+    on any partitioning."""
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )
+
+
+@register(
+    "cdc_upsert_latest",
+    oracle="""
+    SELECT user_id, event_type,
+           strftime(max_ts, '%Y-%m-%d %H:%M:%S') AS last_ts, round(last_value, 4) AS last_value
+    FROM (
+      SELECT user_id, event_type, ts AS max_ts, value AS last_value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_upsert_latest(spark, sf_dir):
+    """CDC compaction (latest-wins upsert): one deterministic survivor
+    per key by (ts, event_id) — the merge step of an upsert sink on a
+    format without MERGE support. One shuffle on the key; at scale this
+    is the standard log-compaction pass before publishing a snapshot."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            _ts(F.col("ts")).alias("last_ts"),
+            F.round(F.col("value"), 4).alias("last_value"),
+        )
+    )
+
+
+@register(
+    "full_outer_join_activity",
+    oracle="""
+    SELECT coalesce(a.k, b.k) AS custkey,
+           a.n_small_orders, b.n_big_orders
+    FROM (SELECT o_custkey AS k, count(*) AS n_small_orders
+          FROM orders WHERE o_totalprice < 50000 GROUP BY 1) a
+    FULL OUTER JOIN
+         (SELECT o_custkey AS k, count(*) AS n_big_orders
+          FROM orders WHERE o_totalprice > 300000 GROUP BY 1) b
+      ON a.k = b.k
+    """,
+)
+def full_outer_join_activity(spark, sf_dir):
+    """Full outer join with null-extension on BOTH sides (customers
+    with only small or only big orders)."""
+    o = load_table(spark, "orders", sf_dir)
+    small = (
+        o.filter(F.col("o_totalprice") < 50000)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_small_orders"))
+    )
+    big = (
+        o.filter(F.col("o_totalprice") > 300000)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_big_orders"))
+    )
+    return small.join(big, on="k", how="full").select(
+        F.col("k").alias("custkey"), "n_small_orders", "n_big_orders"
+    )
+
+
+@register(
+    "cross_join_dims",
+    oracle="""
+    SELECT r.r_name, s.tier, count(*) AS n_nations
+    FROM region r
+    CROSS JOIN (VALUES ('gold'), ('silver')) s(tier)
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, s.tier
+    """,
+)
+def cross_join_dims(spark, sf_dir):
+    """Explicit cross join (dimension expansion) — broadcast nested
+    loop on a literal frame."""
+    r = load_table(spark, "region", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    tiers = spark.createDataFrame([("gold",), ("silver",)], "tier string")
+    return (
+        r.crossJoin(F.broadcast(tiers))
+        .join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "tier")
+        .agg(F.count("*").alias("n_nations"))
+    )

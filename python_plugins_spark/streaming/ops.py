@@ -124,11 +124,15 @@ def split_ports_foreach_batch(
     tagged = result._tagged
     if tagged is None:
         raise ValueError("transform has no error/alert ports; write result.output directly")
+    # main-port fields are flat columns of the tagged frame
+    out_names = result.output.columns
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
         try:
-            on_output(batch_df.filter(F.col("_port") == "out").select("_out.*"), epoch_id)
+            on_output(
+                batch_df.filter(F.col("_port") == "out").select(*out_names), epoch_id
+            )
             if on_error is not None:
                 on_error(batch_df.filter(F.col("_port") == "error").select("_error.*"), epoch_id)
             if on_alert is not None:

@@ -107,7 +107,14 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
     from python_plugins_spark.sources.io import load_table as _lt
 
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
-    warehouse_ok = True
+    # clear any stale location left by an interrupted previous run (the
+    # warehouse dir outlives the in-memory catalog)
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_li_bucketed", "t_o_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     li = _lt(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
     o = _lt(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
     li.write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable(
