@@ -2685,3 +2685,196 @@ def cross_join_dims(spark, sf_dir):
         .groupBy("r_name", "tier")
         .agg(F.count("*").alias("n_nations"))
     )
+
+
+# =====================================================================
+# Batch 8: remaining TPC-H shapes (q2/q15/q20/q21 adapted to the
+# trimmed schema) + error-routing transform
+# =====================================================================
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l.l_partkey, l.l_suppkey, round(avg(l.l_extendedprice / l.l_quantity), 6) AS unit_cost
+      FROM lineitem l GROUP BY l.l_partkey, l.l_suppkey
+    )
+    SELECT c.l_partkey AS p_partkey, p.p_brand,
+           min(struct_pack(uc := c.unit_cost, sk := c.l_suppkey)).sk AS best_suppkey,
+           round(min(c.unit_cost), 6) AS best_unit_cost
+    FROM costs c JOIN part p ON p.p_partkey = c.l_partkey
+    WHERE p.p_size <= 10
+    GROUP BY c.l_partkey, p.p_brand
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: no partsupp table — unit costs derive
+    from lineitem): cheapest supplier per small part, deterministic
+    argmin via lexicographic struct-min."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_size") <= 10)
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias("unit_cost")
+    )
+    return (
+        costs.join(F.broadcast(p), costs.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"), "p_brand")
+        .agg(
+            F.min(F.struct(F.col("unit_cost"), F.col("l_suppkey")))["l_suppkey"].alias(
+                "best_suppkey"
+            ),
+            F.round(F.min("unit_cost"), 6).alias("best_unit_cost"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: view + scalar max subquery (which supplier(s)
+    hit the quarter's top revenue). The revenue frame is computed once
+    and reused for both the max and the equality filter."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_revenue"
+        )
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    w = Window.partitionBy()
+    top = (
+        revenue.withColumn("_max", F.max("total_revenue").over(w))
+        .filter(F.col("total_revenue") == F.col("_max"))
+        .drop("_max")
+    )
+    return s.join(top, s.s_suppkey == top.l_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@register(
+    "q20_heavy_part_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%blue%'
+      GROUP BY l.l_suppkey HAVING sum(l.l_quantity) > 2000
+    )
+    """,
+)
+def q20_heavy_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: IN over an aggregated-with-HAVING subquery ->
+    semi join against the pre-aggregated key set."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%blue%"))
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 2000)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    return s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, count(DISTINCT o.o_orderkey) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def q21_sole_late_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (late = shipped >90 days after order date, since
+    the trimmed schema has no commit/receipt dates): suppliers who were
+    the ONLY late supplier on a multi-supplier finalized order —
+    EXISTS + NOT EXISTS as semi/anti joins on the same fact table."""
+    s = load_table(spark, "supplier", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    # multi-supplier orders: another supplier appears on the order
+    others = li.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s")
+    )
+    l1_multi = l1.join(
+        others,
+        (l1.l_orderkey == others.o_k) & (l1.l_suppkey != others.o_s),
+        "left_semi",
+    )
+    # ...but nobody ELSE was late on it
+    late_others = l1.select(
+        F.col("l_orderkey").alias("lo_k"), F.col("l_suppkey").alias("lo_s")
+    )
+    sole = l1_multi.join(
+        late_others,
+        (l1_multi.l_orderkey == late_others.lo_k)
+        & (l1_multi.l_suppkey != late_others.lo_s),
+        "left_anti",
+    )
+    return (
+        sole.join(s, sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+
+
+@register(
+    "transform_route_errors",
+    oracle="""
+    SELECT errorCode, count(*) AS n FROM (
+      SELECT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS errorCode FROM customer
+    ) GROUP BY errorCode
+    """,
+)
+def transform_route_errors(spark, sf_dir):
+    """on_error='route': a raising record doesn't fail the task — it
+    lands on the error port with the traceback as errorMsg (errorCode
+    1), while healthy records flow on (errorCode 0 here counts the
+    main port)."""
+    c = load_table(spark, "customer", sf_dir)
+    script = """
+def transform(record, emitter, context):
+    if record['c_acctbal'] < 0:
+        raise ValueError('negative balance: %s' % record['c_custkey'])
+    emitter.emit(record)
+"""
+    res = python_transform(c, script=script, on_error="route")
+    res.persist()
+    ok = res.output.select(F.lit(0).alias("errorCode"))
+    bad = res.errors.select(F.col("errorCode"))
+    return ok.unionByName(bad).groupBy("errorCode").agg(F.count("*").alias("n"))
