@@ -134,3 +134,34 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
+
+
+def test_new_tpch_shapes_shuffle_budget(spark, sf_dir):
+    """Shuffle budgets for the batch-4/8 TPC-H shapes: a regression
+    here means a broadcast stopped firing or a pre-aggregation moved
+    after a join."""
+    budgets = {
+        "q4_priority_exists": 1,
+        "q14_promo_revenue": 1,
+        "q17_small_qty_revenue": 2,   # join shuffle + window on partkey
+        "q18_big_orders": 2,          # pre-agg + join-back
+        "q19_disjunctive_pred": 1,
+        "cdc_upsert_latest": 1,
+        "gap_fill_timeseries": 2,     # agg + spine join
+        "decimal_exact_totals": 1,
+        "multi_grain_rollup_events": 1,
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, sf_dir)
+        n = count_shuffles(df)
+        assert n <= budget, f"{name}: {n} shuffles (budget {budget})"
+
+
+def test_q19_broadcasts_part(spark, sf_dir):
+    df = QUERIES["q19_disjunctive_pred"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_q17_broadcasts_filtered_part(spark, sf_dir):
+    df = QUERIES["q17_small_qty_revenue"](spark, sf_dir)
+    assert has_broadcast_join(df)
