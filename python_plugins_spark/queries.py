@@ -2878,3 +2878,123 @@ def transform(record, emitter, context):
     ok = res.output.select(F.lit(0).alias("errorCode"))
     bad = res.errors.select(F.col("errorCode"))
     return ok.unionByName(bad).groupBy("errorCode").agg(F.count("*").alias("n"))
+
+
+# =====================================================================
+# Batch 9: CDAP Avro-JSON schema surface through the driver gate,
+# VARIANT semi-structured type
+# =====================================================================
+
+@register(
+    "transform_cdap_avro_schema",
+    oracle="""
+    SELECT n_nationkey AS key, upper(n_name) AS name_uc, n_regionkey AS region
+    FROM nation
+    """,
+)
+def transform_cdap_avro_schema(spark, sf_dir):
+    """The reference's ACTUAL schema config surface: output schema
+    declared as a CDAP/Avro-JSON string (PythonEvaluator.java:291-297),
+    parsed by the schema bridge — nullable fields as union-with-null,
+    exactly like the reference's tests (BasePythonTransformTest.java:68-73)."""
+    n = load_table(spark, "nation", sf_dir)
+    avro_schema = """
+    {"type": "record", "name": "etlSchemaBody", "fields": [
+      {"name": "key", "type": "int"},
+      {"name": "name_uc", "type": ["string", "null"]},
+      {"name": "region", "type": ["null", "int"]}
+    ]}
+    """
+    script = """
+def transform(record, emitter, context):
+    emitter.emit({'key': record['n_nationkey'],
+                  'name_uc': record['n_name'].upper(),
+                  'region': record['n_regionkey']})
+"""
+    return python_transform(n, script=script, output_schema=avro_schema).output
+
+
+@register(
+    "variant_json_events",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(try_cast(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_json_events(spark, sf_dir):
+    """Semi-structured VARIANT path (Spark 4): parse_json into a
+    VARIANT column once, then typed extraction — the open-schema
+    ingestion pattern (vs get_json_object re-parsing the string per
+    extraction)."""
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("vprops")
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.try_variant_get(F.col("vprops"), "$.k", "int")), 4).alias("avg_k"),
+    )
+
+
+@register(
+    "streaming_etl_foreachbatch",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value * 2), 4) AS doubled_total
+    FROM events WHERE event_type IN ('purchase', 'click')
+    GROUP BY event_type
+    """,
+)
+def streaming_etl_foreachbatch(spark, sf_dir):
+    """End-to-end streaming ETL: stream -> python_transform ->
+    foreachBatch sink writing parquet partitioned by event_type ->
+    batch read-back with partition pruning. The full
+    source->transform->sink pipeline the reference could only be one
+    stage of (BasePythonTransformTest.java:215-222), as one operator."""
+    import os
+    import shutil
+    import uuid
+
+    from python_plugins_spark.sources.io import ensure_session_confs, fix_nanos_ts
+    from python_plugins_spark.streaming import read_stream_parquet
+
+    ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = fix_nanos_ts(
+        read_stream_parquet(spark, f"{sf_dir}/events.parquet", raw_schema)
+    )
+    script = """
+def transform(record, emitter, context):
+    if record['event_type'] in ('purchase', 'click'):
+        emitter.emit({'event_type': record['event_type'],
+                      'doubled': record['value'] * 2})
+"""
+    from python_plugins_spark.operators.transform import python_transform as _pt
+
+    res = _pt(
+        stream, script=script, output_schema="event_type string, doubled double"
+    )
+    sink = os.path.join(
+        _SCRATCH, f"stream_etl_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(sink, ignore_errors=True)
+
+    def write_batch(batch_df, epoch_id):
+        batch_df.write.mode("append").partitionBy("event_type").parquet(sink)
+
+    q = (
+        res.output.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", f"{sink}_ckpt_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(sink)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("doubled"), 4).alias("doubled_total"),
+    )

@@ -320,3 +320,27 @@ def transform(record, emitter, context):
     out = python_transform(df, script=script, output_schema="id int, rendered string").output
     got = {r.id: r.rendered for r in out.collect()}
     assert got == {1: "hello", 2: "42"}
+
+
+def test_observe_metrics_driver_readable(spark, sf_dir):
+    """df.observe(): named aggregate metrics collected as a side effect
+    of the action — the Spark-native equivalent of the reference's
+    StageMetrics counters (PythonEvaluator.java:268-284), with no
+    second pass over the data."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.sources.io import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    obs = Observation("io_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("records_in"),
+        F.sum((F.col("l_quantity") >= 45).cast("long")).alias("bulk_records"),
+    )
+    out = observed.filter(F.col("l_quantity") < 45)
+    n_out = out.count()
+    got = obs.get
+    assert got["records_in"] == li.count()
+    assert got["records_in"] - got["bulk_records"] == n_out
