@@ -29,8 +29,18 @@ def main() -> None:
 
     spark = get_spark("bench")
 
-    # one warm-up action so JVM/codegen startup isn't billed to q1
+    # Warm-up: JIT/codegen + parquet-reader paths, exercised on the
+    # smallest SF so no bench-SF data is cached into the timed runs.
+    # Standard benchmarking practice — the timed numbers then measure
+    # the engine, not JVM startup billed to whichever query runs first.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in BENCH_QUERIES:
+            try:
+                QUERIES[name](spark, warm_dir).count()
+            except Exception as exc:  # never let warm-up kill the bench
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -68,6 +68,16 @@ def get_spark(
         # not directly readable; surface them as long and convert in
         # load_table (truncation to micros matches DuckDB's behavior).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Scan-split size. Default 128m means a local single-file table
+        # under 128 MB scans on ONE core; 4m keeps every core busy at
+        # test SFs while still being a reasonable floor on a cluster
+        # (AQE coalesces over-split outputs; at 100 TB per-file row
+        # groups dominate and this knob matters far less). Override via
+        # SPARK_GRAFT_MAX_PARTITION_BYTES for cluster deployments.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(_ARROW_BATCH_ROWS))
         .config("spark.python.worker.reuse", "true")
