@@ -69,7 +69,8 @@ def test_enum_rejected():
         cdap_schema_to_spark(bad)
 
 
-def test_ddl_shorthand():
+def test_ddl_shorthand(spark):
+    # DDL-string parsing goes through the active session's parser
     st = cdap_schema_to_spark("a int, b string")
     assert st.fieldNames() == ["a", "b"]
 
@@ -98,3 +99,19 @@ def test_logical_types_roundtrip():
     assert back["ts"].dataType == T.TimestampType()
     assert back["d"].dataType == T.DateType()
     assert back["dec"].dataType == T.DecimalType(10, 2)
+
+
+def test_general_union_tagged_struct():
+    """Non-nullable general unions (SURVEY.md §7 hard-parts decision):
+    emulated as a tagged struct of optional member fields, instead of
+    replicating the reference's exception-driven member probing
+    (PythonObjectsEncoder.java:78-88,203-213)."""
+    s = cdap_schema_to_spark(
+        '{"type":"record","name":"r","fields":['
+        '{"name":"u","type":["string","long"]},'
+        '{"name":"nu","type":["null","string","long"]}]}'
+    )
+    u = s["u"].dataType
+    assert u.simpleString() == "struct<tag:string,member_0:string,member_1:bigint>"
+    assert not s["u"].nullable
+    assert s["nu"].nullable  # null member -> nullable tagged struct
