@@ -2998,3 +2998,34 @@ def transform(record, emitter, context):
         F.count("*").alias("n"),
         F.round(F.sum("doubled"), 4).alias("doubled_total"),
     )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    SELECT label, pos, round(avg(CAST(x AS DOUBLE)), 6) AS centroid_val, count(*) AS n_vecs
+    FROM (SELECT label, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def label_centroids(spark, sf_dir):
+    """Per-label embedding centroids via posexplode + (label, dim)
+    aggregation — the distributed way to average vectors (k-means
+    update step / class prototypes). The shuffle carries one scalar per
+    (vector, dimension); partial aggregation compresses it map-side to
+    one partial sum per (label, dim, partition)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid_val"),
+        F.count("*").alias("n_vecs"),
+    ).select(
+        F.col("label").cast("long").alias("label"),
+        F.col("pos").cast("long").alias("pos"),
+        "centroid_val",
+        "n_vecs",
+    )
