@@ -57,6 +57,12 @@ BENCH_QUERIES = [
     "dedup_exact_documents",
     "multimodal_fake_decode",
     "streaming_tumbling_counts",
+    "q13_order_distribution",
+    "q18_big_orders",
+    "cdc_upsert_latest",
+    "label_centroids",
+    "higher_order_array_funcs",
+    "applyinpandas_zscore",
 ]
 
 
