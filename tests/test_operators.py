@@ -163,3 +163,23 @@ def test_neardup_clusters_canonical_invariants(spark, sf_dir):
     assert cc.filter("cluster_id > doc_id").count() == 0  # label = min id
     canon = cc.filter("is_canonical")
     assert canon.count() == cc.select("cluster_id").distinct().count()
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Data-lake schema evolution: files written under an old schema
+    coexist with new-column files; mergeSchema reads the union, nulls
+    for the missing column — the append-only ingestion reality at
+    100 TB where rewriting history is not an option."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    v1.write.mode("append").parquet(path)
+    v2 = spark.createDataFrame(
+        [(3, "c", 0.5)], "id long, name string, score double"
+    )
+    v2.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[3] == 0.5 and rows[1] is None and rows[2] is None

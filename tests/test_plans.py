@@ -165,3 +165,11 @@ def test_q19_broadcasts_part(spark, sf_dir):
 def test_q17_broadcasts_filtered_part(spark, sf_dir):
     df = QUERIES["q17_small_qty_revenue"](spark, sf_dir)
     assert has_broadcast_join(df)
+
+
+def test_topk_window_group_limit(spark, sf_dir):
+    """Per-group top-k must trigger WindowGroupLimit (rank pushdown):
+    each partition keeps only k candidates per group BEFORE the sort —
+    the difference between sorting 100 TB and sorting k*groups rows."""
+    df = QUERIES["topk_per_group_price"](spark, sf_dir)
+    assert "WindowGroupLimit" in plan_str(df)
