@@ -3035,3 +3035,132 @@ def label_centroids(spark, sf_dir):
         "centroid_val",
         "n_vecs",
     )
+
+
+@register(
+    "gap_interpolate_linear",
+    oracle=f"""
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS slot,
+             CAST(round(avg(value) * 10000) AS BIGINT) AS v4
+      FROM events WHERE event_type = 'purchase' AND hour(ts) % 3 <> 0
+      GROUP BY 1
+    ),
+    bounds AS (SELECT min(slot) AS lo, max(slot) AS hi FROM agg),
+    slots AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 hour)) AS slot FROM bounds),
+    joined AS (
+      SELECT s.slot, a.v4,
+             last_value(a.v4 IGNORE NULLS) OVER w AS prev_v,
+             last_value(CASE WHEN a.v4 IS NOT NULL THEN s.slot END IGNORE NULLS) OVER w AS prev_t,
+             first_value(a.v4 IGNORE NULLS) OVER w2 AS next_v,
+             first_value(CASE WHEN a.v4 IS NOT NULL THEN s.slot END IGNORE NULLS) OVER w2 AS next_t
+      FROM slots s LEFT JOIN agg a ON s.slot = a.slot
+      WINDOW w AS (ORDER BY s.slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w2 AS (ORDER BY s.slot ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT strftime(slot, '{_STRF}') AS slot,
+           CASE WHEN v4 IS NOT NULL THEN v4 / 10000.0
+                WHEN prev_v IS NULL THEN next_v / 10000.0
+                WHEN next_v IS NULL THEN prev_v / 10000.0
+                ELSE ((2 * (prev_v * CAST(epoch(next_t) - epoch(slot) AS BIGINT)
+                            + next_v * CAST(epoch(slot) - epoch(prev_t) AS BIGINT))
+                       + CAST(epoch(next_t) - epoch(prev_t) AS BIGINT))
+                      // (2 * CAST(epoch(next_t) - epoch(prev_t) AS BIGINT))) / 10000.0
+           END AS v_interp,
+           (v4 IS NULL) AS was_gap
+    FROM joined
+    """,
+)
+def gap_interpolate_linear(spark, sf_dir):
+    """Linear-interpolation gap fill (hypertable `interpolate()`):
+    hourly averages with artificial gaps, missing slots interpolated
+    between the nearest non-null neighbors via last/first IGNORE NULLS
+    windows. The windows run over the SPINE (one row per hour), not the
+    raw events — a single-partition window over a frame that stays tiny
+    at any corpus scale (the heavy lifting, the per-slot aggregate,
+    shuffles on slot as usual)."""
+    ev = load_table(spark, "events", sf_dir)
+    agg = (
+        ev.filter((F.col("event_type") == "purchase") & (F.hour("ts") % 3 != 0))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("slot"))
+        # FIXED-POINT before interpolation: interpolating in exact
+        # integer ten-thousandths (single float division at the end)
+        # makes the result bit-identical across engines — raw-double
+        # interpolation lands on .5 rounding boundaries at exact
+        # midpoints, where 1-ulp accumulation noise flips the digit
+        .agg(F.round(F.avg("value") * 10000).cast("long").alias("v4"))
+    )
+    bounds = agg.agg(F.min("slot").alias("lo"), F.max("slot").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("slot")
+    )
+    j = spine.join(agg, on="slot", how="left")
+    w_back = Window.orderBy("slot").rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.orderBy("slot").rowsBetween(0, Window.unboundedFollowing)
+    slot_if_v = F.when(F.col("v4").isNotNull(), F.col("slot"))
+    j = j.select(
+        "slot",
+        "v4",
+        F.last("v4", ignorenulls=True).over(w_back).alias("prev_v"),
+        F.last(slot_if_v, ignorenulls=True).over(w_back).alias("prev_t"),
+        F.first("v4", ignorenulls=True).over(w_fwd).alias("next_v"),
+        F.first(slot_if_v, ignorenulls=True).over(w_fwd).alias("next_t"),
+    )
+    es, ep, en = (
+        F.unix_timestamp("slot"),
+        F.unix_timestamp("prev_t"),
+        F.unix_timestamp("next_t"),
+    )
+    # half-up rounding to 4dp done in INTEGER arithmetic ((2n+d) div 2d):
+    # Spark's BigDecimal round and DuckDB's scaled-double round disagree
+    # on exact .xxxx5 midpoints, which linear interpolation produces
+    # constantly (midpoint of two 4dp values); integers never do
+    num = F.col("prev_v") * (en - es) + F.col("next_v") * (es - ep)
+    den = en - ep
+    j = j.withColumn("_num", num).withColumn("_den", den)
+    interp = (
+        F.when(F.col("v4").isNotNull(), F.col("v4") / 10000.0)
+        .when(F.col("prev_v").isNull(), F.col("next_v") / 10000.0)
+        .when(F.col("next_v").isNull(), F.col("prev_v") / 10000.0)
+        .otherwise(F.expr("(2 * _num + _den) div (2 * _den)") / 10000.0)
+    )
+    return j.select(
+        _ts(F.col("slot")).alias("slot"),
+        interp.alias("v_interp"),
+        F.col("v4").isNull().alias("was_gap"),
+    )
+
+
+@register(
+    "streaming_dedup_watermark",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS n FROM (
+      SELECT DISTINCT user_id, event_type, ts FROM events
+    ) GROUP BY user_id, event_type
+    """,
+)
+def streaming_dedup_watermark(spark, sf_dir):
+    """Streaming deduplication: dropDuplicates on (user_id, event_type,
+    ts) with a watermark bounding the dedup state (old keys are evicted
+    once the watermark passes — without it, state grows with the
+    stream). Single-micro-batch result equals batch DISTINCT, which the
+    oracle checks; state eviction semantics follow the watermark rules
+    verified in tests/test_streaming.py."""
+    import uuid
+
+    from python_plugins_spark.sources.io import ensure_session_confs, fix_nanos_ts
+    from python_plugins_spark.streaming import read_stream_parquet, run_to_memory_sink
+
+    ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = fix_nanos_ts(
+        read_stream_parquet(spark, f"{sf_dir}/events.parquet", raw_schema)
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type", "ts"])
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    return run_to_memory_sink(deduped, name, output_mode="complete")
