@@ -3164,3 +3164,80 @@ def streaming_dedup_watermark(spark, sf_dir):
     )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     return run_to_memory_sink(deduped, name, output_mode="complete")
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per document — the classic text-pipeline
+    relevance operator as three aggregations sharing one tokenization:
+    tf (doc,term), df (term, broadcastable — vocabulary << corpus),
+    and the corpus count as a literal. Ranking uses the ROUNDED score +
+    term tie-break so both engines select the identical set."""
+    from python_plugins_spark.functions import tokens as _tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), on="term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+@register(
+    "histogram_events",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(value), 4) AS bin_min,
+           round(max(value), 4) AS bin_max
+    FROM events GROUP BY 1, 2
+    """,
+)
+def histogram_events(spark, sf_dir):
+    """Fixed-width histogram (floor binning — engine-portable, unlike
+    width_bucket which DuckDB lacks): one hash aggregate, the
+    distributed histogram primitive."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 50.0).cast("long").alias("bin"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 4).alias("bin_min"),
+        F.round(F.max("value"), 4).alias("bin_max"),
+    )
