@@ -3241,3 +3241,37 @@ def histogram_events(spark, sf_dir):
         F.round(F.min("value"), 4).alias("bin_min"),
         F.round(F.max("value"), 4).alias("bin_max"),
     )
+
+
+@register(
+    "binaryfile_source_ingest",
+    oracle="""
+    SELECT doc_id, length(text) AS byte_len, md5(text) AS content_md5
+    FROM documents WHERE doc_id < 40
+    """,
+)
+def binaryfile_source_ingest(spark, sf_dir):
+    """Multimodal ingestion source: opaque files on disk read via the
+    binaryFile format as (path, content-bytes) rows — the entry point
+    for image/audio corpora. Files are materialized from the documents
+    table (ASCII corpus -> bytes == utf8 text, so the md5 oracle is
+    exact); doc identity recovered from the file name, exactly as a
+    real media pipeline keys on object-store paths."""
+    import os
+    import shutil
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 40)
+    root = os.path.join(_SCRATCH, f"bin_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    for row in docs.select("doc_id", "text").collect():
+        with open(os.path.join(root, f"{row.doc_id}.bin"), "wb") as f:
+            f.write(row.text.encode("utf-8"))
+    binf = spark.read.format("binaryFile").load(root)
+    return binf.select(
+        F.regexp_extract(F.element_at(F.split("path", "/"), -1), r"(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length("content").cast("long").alias("byte_len"),
+        F.md5("content").alias("content_md5"),
+    )

@@ -183,3 +183,27 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows[3] == 0.5 and rows[1] is None and rows[2] is None
+
+
+def test_stratified_sample_determinism(spark, sf_dir):
+    """sampleBy: per-stratum sampling fractions honored (+-50% at these
+    counts) and bit-deterministic under a fixed seed — corpus
+    subsampling for training mixes must be reproducible."""
+    docs = load_table(spark, "documents", sf_dir)
+    fractions = {"en": 0.5, "de": 0.2, "fr": 0.1}
+    s1 = docs.sampleBy("lang", fractions, seed=42)
+    s2 = docs.sampleBy("lang", fractions, seed=42)
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2  # same seed -> identical sample
+    totals = {r.lang: r.n for r in docs.groupBy("lang").count()
+              .withColumnRenamed("count", "n").collect()}
+    got = {r.lang: r.n for r in s1.groupBy("lang").count()
+           .withColumnRenamed("count", "n").collect()}
+    # variance check only where the stratum is large enough for the
+    # bound to be meaningful (binomial sd at n=70, p=0.2 is ~33% of the
+    # mean — small strata legitimately miss a +-50% band)
+    for lang, frac in fractions.items():
+        if totals.get(lang, 0) >= 150:
+            ratio = got.get(lang, 0) / totals[lang]
+            assert frac * 0.5 <= ratio <= frac * 1.5, (lang, ratio)
