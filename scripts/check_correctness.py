@@ -100,7 +100,8 @@ def main() -> int:
             except Exception:
                 pass
         else:
-            print(f"ok    {name}: rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
+            empty = " EMPTY-RESULT (vacuous match!)" if len(spark_pdf) == 0 else ""
+            print(f"ok    {name}: rows={len(spark_pdf)}{empty} [{time.time()-t0:.1f}s]")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
