@@ -201,3 +201,31 @@ def doc_fingerprint_oracle_sql(table: str, text_col: str, id_col: str) -> str:
                list_min(list_transform(ws, w -> {O.sql_hash32('w')})) AS min_window_hash
         FROM _w
     """
+
+
+def boilerplate_ngrams(
+    df: DataFrame, text_col: str, id_col: str, shingle: int = 3, min_docs: int = 5
+) -> DataFrame:
+    """Word n-grams shared by >= ``min_docs`` distinct documents:
+    the boilerplate/template-text signal. Returns (gram, n_docs)."""
+    from python_plugins_spark.operators.dedup import shingle_rows
+
+    sh = shingle_rows(df, text_col, id_col, shingle)
+    return (
+        sh.groupBy(F.col("_s").alias("gram"))
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_ngrams_oracle_sql(
+    table: str, text_col: str, id_col: str, shingle: int, min_docs: int
+) -> str:
+    toks = O.sql_tokens(text_col)
+    shingles = O.sql_word_shingles("t", shingle)
+    return f"""
+        WITH _tok AS (SELECT {id_col}, {toks} AS t FROM {table}),
+        _sh AS (SELECT {id_col}, unnest({shingles}) AS gram FROM _tok)
+        SELECT gram, count(DISTINCT {id_col}) AS n_docs
+        FROM _sh GROUP BY gram HAVING count(DISTINCT {id_col}) >= {min_docs}
+    """

@@ -3275,3 +3275,232 @@ def binaryfile_source_ingest(spark, sf_dir):
         F.length("content").cast("long").alias("byte_len"),
         F.md5("content").alias("content_md5"),
     )
+
+
+# =====================================================================
+# Batch 10: q7/q8/q9/q12 TPC-H shapes; boilerplate detection and PII
+# scrubbing for LLM data prep
+# =====================================================================
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+                      JOIN orders o ON o.o_orderkey = l.l_orderkey
+                      JOIN customer c ON c.c_custkey = o.o_custkey
+                      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+                      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume — the same dimension
+    table joined twice under different roles, with a cross-role
+    disjunctive filter."""
+    s = load_table(spark, "supplier", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n1 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                  JOIN orders o ON o.o_orderkey = l.l_orderkey
+                  JOIN customer c ON c.c_custkey = o.o_custkey
+                  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+                  JOIN region r ON r.r_regionkey = n1.n_regionkey
+                  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: a nation's share of regional promo volume per
+    year — conditional-sum ratio over a 7-way join (all dims broadcast,
+    only orders|x|lineitem shuffles)."""
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n1 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+    )
+    return joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+            / F.sum(vol),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.1 * p.p_retailprice * l.l_quantity AS amount
+      FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                  JOIN orders o ON o.o_orderkey = l.l_orderkey
+                  JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q9_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: no partsupp -> unit cost proxied at 10%
+    of retail price): profit on a part family by supplier nation and
+    order year."""
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%red%"))
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+
+
+@register(
+    "q12_priority_by_class",
+    oracle="""
+    SELECT l.l_returnflag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_priority_by_class(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode -> returnflag on the trimmed schema):
+    conditional counts split by priority class over a fact join."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "boilerplate_ngrams",
+    oracle=TX.boilerplate_ngrams_oracle_sql("documents", "text", "doc_id", 3, 5),
+)
+def boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate detection: word trigrams appearing in >= 5 distinct
+    documents — the cross-document repetition signal used to strip
+    template/header text before LLM training. Shares the dedup
+    module's shingle machinery (one shuffle on doc_id for shingling,
+    one distinct-agg on the gram)."""
+    return TX.boilerplate_ngrams(
+        load_table(spark, "documents", sf_dir), "text", "doc_id", 3, 5
+    )
+
+
+@register(
+    "scrub_pii_docs",
+    oracle="""
+    SELECT doc_id,
+           length(text) - length(regexp_replace(text, '[0-9]+(\\.[0-9]+)?', '', 'g'))
+             AS chars_scrubbed,
+           md5(regexp_replace(text, '[0-9]+(\\.[0-9]+)?', '<NUM>', 'g')) AS scrubbed_md5
+    FROM documents
+    """,
+)
+def scrub_pii_docs(spark, sf_dir):
+    """PII-style scrubbing: numeric tokens replaced with a sentinel
+    (the shape of email/phone/SSN redaction — same regexp_replace
+    machinery, swap the pattern). md5 of the scrubbed text proves
+    byte-identical transformation against the oracle."""
+    docs = load_table(spark, "documents", sf_dir)
+    pat = r"[0-9]+(\.[0-9]+)?"
+    scrubbed = F.regexp_replace(F.col("text"), pat, "<NUM>")
+    removed = F.length("text") - F.length(F.regexp_replace(F.col("text"), pat, ""))
+    return docs.select(
+        "doc_id",
+        removed.cast("long").alias("chars_scrubbed"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+    )
