@@ -173,3 +173,56 @@ def test_topk_window_group_limit(spark, sf_dir):
     the difference between sorting 100 TB and sorting k*groups rows."""
     df = QUERIES["topk_per_group_price"](spark, sf_dir)
     assert "WindowGroupLimit" in plan_str(df)
+
+
+def test_aqe_runtime_broadcast_conversion(spark):
+    """AQE converts a planned sort-merge join to broadcast at RUNTIME
+    once the shuffled side's true size is known — the safety net when
+    static size estimates are wrong (stale stats are the norm on a
+    100 TB lake)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # defeat static
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
+    try:
+        big = F.broadcast  # noqa: F841 — keep import usage obvious
+        left = spark.range(1_000_000).withColumn("k", F.col("id") % 1000)
+        right = spark.range(500).withColumnRenamed("id", "k")
+        j = left.join(right, "k").agg(F.count("*").alias("n"))
+        # collect() drives THIS frame's QueryExecution (see has_codegen)
+        assert j.collect()[0].n > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE splits a skewed shuffle partition across tasks
+    (SortMergeJoin(skew=true)): one pathological key no longer pins the
+    join on a single straggler task."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        skew = spark.range(2_000_000).withColumn(
+            "k", F.when(F.col("id") % 100 < 98, F.lit(7)).otherwise(F.col("id") % 1000)
+        )
+        right = (
+            spark.range(1000)
+            .withColumnRenamed("id", "k")
+            .withColumn("payload", F.lit("x"))
+        )
+        j = skew.join(right.hint("merge"), "k").agg(F.count("*").alias("n"))
+        assert j.collect()[0].n == 2_000_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        for c in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        ):
+            spark.conf.unset(c)
