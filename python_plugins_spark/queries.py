@@ -3504,3 +3504,55 @@ def scrub_pii_docs(spark, sf_dir):
         removed.cast("long").alias("chars_scrubbed"),
         F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
     )
+
+
+@register(
+    "q11_value_concentration",
+    oracle="""
+    SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 4) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * l_quantity)
+           > (SELECT sum(l_extendedprice * l_quantity) * 0.0008 FROM lineitem)
+    """,
+)
+def q11_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape: groups whose share exceeds a fraction of the
+    GLOBAL total — scalar subquery against the same fact table; the
+    global sum is computed once and broadcast into the HAVING."""
+    li = load_table(spark, "lineitem", sf_dir)
+    val = F.col("l_extendedprice") * F.col("l_quantity")
+    total = li.agg(F.sum(val)).collect()[0][0]
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(val), 4).alias("part_value"),
+            F.sum(val).alias("_raw"),
+        )
+        .filter(F.col("_raw") > total * 0.0008)
+        .drop("_raw")
+    )
+
+
+@register(
+    "q16_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#4' AND p.p_size IN (1, 5, 10, 15, 20)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q16_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    under exclusion filters (broadcast the filtered part dim; the
+    distinct agg is the only shuffle)."""
+    p = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#4") & F.col("p_size").isin(1, 5, 10, 15, 20)
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
