@@ -3556,3 +3556,35 @@ def q16_supplier_counts(spark, sf_dir):
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "scd2_history",
+    oracle=f"""
+    SELECT user_id, event_type,
+           round(value, 4) AS value,
+           strftime(ts, '{_STRF}') AS valid_from,
+           strftime(lead(ts) OVER w, '{_STRF}') AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE user_id <= 20
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    """,
+)
+def scd2_history(spark, sf_dir):
+    """SCD type-2 history build (no MERGE needed): each change of a
+    key becomes a versioned row with [valid_from, valid_to) from the
+    next change's timestamp; open-ended rows are current. One window
+    pass — the emulation the v1 engine uses where Delta's MERGE INTO
+    would otherwise apply."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") <= 20)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value"), 4).alias("value"),
+        _ts(F.col("ts")).alias("valid_from"),
+        _ts(nxt).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
