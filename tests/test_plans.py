@@ -226,3 +226,11 @@ def test_aqe_skew_join_split(spark):
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
         ):
             spark.conf.unset(c)
+
+
+def test_minhash_lsh_pipeline_shuffle_budget(spark, sf_dir):
+    """End-to-end LSH candidate generation: signature (1 shuffle) +
+    band self-join (1 shuffle) — the whole dedup candidate pipeline in
+    two shuffles of narrow rows."""
+    df = QUERIES["minhash_lsh_candidates"](spark, sf_dir)
+    assert count_shuffles(df) <= 2
