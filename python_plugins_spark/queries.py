@@ -3588,3 +3588,46 @@ def scd2_history(spark, sf_dir):
         _ts(nxt).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "neardup_clusters_recursive_sql",
+    oracle=D.neardup_clusters_oracle_sql("documents", "text", "doc_id", 0.5),
+)
+def neardup_clusters_recursive_sql(spark, sf_dir):
+    """Near-dup clustering via a RECURSIVE CTE (Spark 4.1 supports
+    WITH RECURSIVE): reachability closure over the verified pair graph
+    — the declarative twin of the iterative min-label implementation
+    (neardup_clusters_docs), sharing its oracle verbatim. The recursion
+    runs over the pair graph (tiny after LSH+Jaccard), not the corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    candidates = D.minhash_lsh_pairs(docs, "text", "doc_id")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", 0.5, candidates=candidates)
+    # materialize: every recursion iteration re-references the view, and
+    # an unmaterialized view would re-run the whole LSH+Jaccard pipeline
+    # per iteration (~8x the work)
+    pairs.select("id_a", "id_b").cache().createOrReplaceTempView("_rc_pairs")
+    spark.table("_rc_pairs").count()
+    docs.select("doc_id").cache().createOrReplaceTempView("_rc_docs")
+    spark.table("_rc_docs").count()
+    # Spark 4.1 recursion supports UNION ALL only (no dedup across
+    # iterations), so cycles would ping-pong forever; the walk is
+    # depth-bounded and prunes non-improving labels (lab < src). Near-
+    # dup components are shallow stars — depth 8 covers diameters the
+    # iterative implementation needs 8 rounds for.
+    return spark.sql(
+        """
+        WITH RECURSIVE _walk(id, lab, depth) AS (
+          SELECT doc_id, doc_id, 0 FROM _rc_docs
+          UNION ALL
+          SELECT e.src, w.lab, w.depth + 1
+          FROM (SELECT id_a AS src, id_b AS dst FROM _rc_pairs
+                UNION ALL SELECT id_b, id_a FROM _rc_pairs) e
+          JOIN _walk w ON w.id = e.dst
+          WHERE w.depth < 8 AND w.lab < e.src
+        )
+        SELECT id AS doc_id, min(lab) AS cluster_id,
+               id = min(lab) AS is_canonical
+        FROM _walk GROUP BY id
+        """
+    )
