@@ -3631,3 +3631,44 @@ def neardup_clusters_recursive_sql(spark, sf_dir):
         FROM _walk GROUP BY id
         """
     )
+
+
+@register(
+    "transform_union_type",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'str' ELSE 'long' END AS tag,
+           CASE WHEN o_totalprice > 200000 THEN 'big:' || o_orderstatus END AS member_0,
+           CASE WHEN o_totalprice <= 200000 THEN CAST(round(o_totalprice) AS BIGINT) END
+             AS member_1
+    FROM orders WHERE o_custkey <= 50
+    """,
+)
+def transform_union_type(spark, sf_dir):
+    """General (non-null) CDAP union types end-to-end (SURVEY.md §7
+    hard part): declared as ["string","long"] in the Avro-JSON output
+    schema, emulated as a tagged struct {tag, member_0, member_1} —
+    explicit-tag dispatch instead of the reference's exception-driven
+    member probing (PythonObjectsEncoder.java:78-88)."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") <= 50)
+    avro_schema = """
+    {"type": "record", "name": "out", "fields": [
+      {"name": "o_orderkey", "type": "long"},
+      {"name": "u", "type": ["string", "long"]}
+    ]}
+    """
+    script = """
+def transform(record, emitter, context):
+    if record['o_totalprice'] > 200000:
+        u = {'tag': 'str', 'member_0': 'big:' + record['o_orderstatus'], 'member_1': None}
+    else:
+        u = {'tag': 'long', 'member_0': None, 'member_1': int(round(record['o_totalprice']))}
+    emitter.emit({'o_orderkey': record['o_orderkey'], 'u': u})
+"""
+    out = python_transform(o, script=script, output_schema=avro_schema).output
+    return out.select(
+        "o_orderkey",
+        F.col("u.tag").alias("tag"),
+        F.col("u.member_0").alias("member_0"),
+        F.col("u.member_1").alias("member_1"),
+    )
