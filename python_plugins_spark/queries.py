@@ -3672,3 +3672,31 @@ def transform(record, emitter, context):
         F.col("u.member_0").alias("member_0"),
         F.col("u.member_1").alias("member_1"),
     )
+
+
+@register(
+    "text_source_roundtrip",
+    oracle="""
+    SELECT count(*) AS n_lines,
+           sum(length(text)) AS total_chars,
+           min(length(text)) AS min_len,
+           max(length(text)) AS max_len
+    FROM documents
+    """,
+)
+def text_source_roundtrip(spark, sf_dir):
+    """Line-oriented text format: documents written one per line, read
+    back as raw lines (the ingestion format of most web-scrape dumps;
+    corpus is single-line ASCII so line == document)."""
+    import os
+
+    docs = load_table(spark, "documents", sf_dir)
+    path = os.path.join(_SCRATCH, f"text_{os.path.basename(sf_dir.rstrip('/'))}")
+    docs.select("text").write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return lines.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).alias("min_len"),
+        F.max(F.length("value")).alias("max_len"),
+    )
