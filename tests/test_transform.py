@@ -344,3 +344,35 @@ def test_observe_metrics_driver_readable(spark, sf_dir):
     got = obs.get
     assert got["records_in"] == li.count()
     assert got["records_in"] - got["bulk_records"] == n_out
+
+
+def test_numeric_decode_coercions(spark):
+    """Emitted Python numbers coerce to the declared field type on
+    decode (reference PythonEvaluatorTest.java:153-174: Number.xxxValue
+    coercions): int -> double/float fields, small int -> long, and
+    missing numerics -> null — without the reference's exception-driven
+    union probing."""
+    src = spark.createDataFrame([(1,)], "id long")
+    script = """
+def transform(record, emitter, context):
+    emitter.emit({'id': record['id'],
+                  'as_double': 7,          # int into double field
+                  'as_long': 3,            # int into long field
+                  'big': 2**52,            # large int survives exactly
+                  'as_float': 1.5})        # float into float field
+"""
+    from python_plugins_spark.operators.transform import python_transform
+
+    out = python_transform(
+        src,
+        script=script,
+        output_schema=(
+            "id long, as_double double, as_long long, big long, "
+            "as_float float, missing double"
+        ),
+    ).output.collect()[0]
+    assert out.as_double == 7.0 and isinstance(out.as_double, float)
+    assert out.as_long == 3
+    assert out.big == 2**52
+    assert abs(out.as_float - 1.5) < 1e-6
+    assert out.missing is None
