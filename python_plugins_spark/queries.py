@@ -3700,3 +3700,57 @@ def text_source_roundtrip(spark, sf_dir):
         F.min(F.length("value")).alias("min_len"),
         F.max(F.length("value")).alias("max_len"),
     )
+
+
+@register(
+    "filtered_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4)
+             AS discounted_price,
+           round(avg(l_tax) FILTER (WHERE l_linestatus = 'F'), 6) AS avg_tax_finished
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def filtered_aggregates(spark, sf_dir):
+    """ANSI aggregate FILTER clauses — per-aggregate predicates in a
+    single pass (vs one scan per conditional aggregate)."""
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("_fa_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+               round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 4)
+                 AS discounted_price,
+               round(avg(l_tax) FILTER (WHERE l_linestatus = 'F'), 6) AS avg_tax_finished
+        FROM _fa_lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "inline_structs_orders",
+    oracle="""
+    SELECT o_orderkey, u.m AS metric, round(u.v, 4) AS val
+    FROM (
+      SELECT o_orderkey, unnest([
+        {'m': 'total', 'v': o_totalprice},
+        {'m': 'half', 'v': o_totalprice / 2}
+      ]) AS u
+      FROM orders WHERE o_custkey <= 25
+    )
+    """,
+)
+def inline_structs_orders(spark, sf_dir):
+    """inline(): explode an array of structs into columns directly —
+    the struct-fanout variant of explode (reference ARRAY-of-RECORD
+    types, PythonObjectsEncoder.java:53-62, as a relational op)."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") <= 25)
+    arr = F.array(
+        F.struct(F.lit("total").alias("m"), F.col("o_totalprice").alias("v")),
+        F.struct(F.lit("half").alias("m"), (F.col("o_totalprice") / 2).alias("v")),
+    )
+    return o.select("o_orderkey", F.inline(arr)).select(
+        "o_orderkey", F.col("m").alias("metric"), F.round(F.col("v"), 4).alias("val")
+    )
