@@ -3754,3 +3754,53 @@ def inline_structs_orders(spark, sf_dir):
     return o.select("o_orderkey", F.inline(arr)).select(
         "o_orderkey", F.col("m").alias("metric"), F.round(F.col("v"), 4).alias("val")
     )
+
+
+@register(
+    "crosstab_status_priority",
+    oracle="""
+    SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+           count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def crosstab_status_priority(spark, sf_dir):
+    """Contingency table via df.stat.crosstab — the DataFrame stat API
+    surface (pair-frequency matrix in one pass)."""
+    o = load_table(spark, "orders", sf_dir)
+    ct = o.stat.crosstab("o_orderstatus", "o_orderpriority")
+    cols = [c for c in ct.columns if c != "o_orderstatus_o_orderpriority"]
+    return ct.select(
+        "o_orderstatus_o_orderpriority",
+        *[F.col(f"`{c}`").cast("long").alias(c) for c in sorted(cols)],
+    )
+
+
+@register(
+    "null_safe_join",
+    oracle="""
+    WITH a AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer),
+         b AS (SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS seg FROM customer)
+    SELECT coalesce(a.seg, '<null>') AS seg, count(*) AS n
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    GROUP BY 1
+    """,
+)
+def null_safe_join(spark, sf_dir):
+    """Null-safe equality join (eqNullSafe / IS NOT DISTINCT FROM):
+    null keys MATCH null keys — still a hash join (null-safe equality
+    is an equi-join key), unlike `=` which silently drops null rows."""
+    c = load_table(spark, "customer", sf_dir)
+    a = c.select(
+        "c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    )
+    b = a.select("seg").distinct().withColumnRenamed("seg", "b_seg")
+    return (
+        a.join(b, a.seg.eqNullSafe(b.b_seg))
+        .groupBy(F.coalesce(F.col("seg"), F.lit("<null>")).alias("seg"))
+        .agg(F.count("*").alias("n"))
+    )
