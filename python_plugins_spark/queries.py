@@ -3804,3 +3804,48 @@ def null_safe_join(spark, sf_dir):
         .groupBy(F.coalesce(F.col("seg"), F.lit("<null>")).alias("seg"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "running_distinct_users",
+    oracle=f"""
+    WITH marked AS (
+      SELECT event_type, ts, event_id,
+             CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT event_type, strftime(ts, '{_STRF}') AS ts_s, event_id,
+           sum(first_seen) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS distinct_users_so_far
+    FROM marked
+    """,
+)
+def running_distinct_users(spark, sf_dir):
+    """Running DISTINCT count over event time. Spark has no
+    COUNT(DISTINCT) OVER; the collect_set-size workaround holds every
+    distinct key in window state. This is the scale formulation: mark
+    each key's FIRST occurrence (one row_number pass), then a running
+    sum of markers — state per window row is one integer regardless of
+    key cardinality. Both engines run the identical construction."""
+    ev = load_table(spark, "events", sf_dir)
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn(
+            "first_seen",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+        )
+        .select(
+            "event_type",
+            _ts(F.col("ts")).alias("ts_s"),
+            "event_id",
+            F.sum("first_seen").over(w_run).alias("distinct_users_so_far"),
+        )
+    )
