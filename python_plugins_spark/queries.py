@@ -3849,3 +3849,24 @@ def running_distinct_users(spark, sf_dir):
             F.sum("first_seen").over(w_run).alias("distinct_users_so_far"),
         )
     )
+
+
+@register(
+    "bool_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_discount <= 0.1) AS all_low_discount,
+           bool_or(l_quantity >= 50) AS any_max_qty,
+           count(*) FILTER (WHERE l_tax = 0) AS n_tax_free
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def bool_aggregates(spark, sf_dir):
+    """Boolean aggregates (every/any) + a filtered count — predicate
+    summaries in one hash aggregate."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.every(F.col("l_discount") <= 0.1).alias("all_low_discount"),
+        F.some(F.col("l_quantity") >= 50).alias("any_max_qty"),
+        F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_tax_free"),
+    )

@@ -207,3 +207,25 @@ def test_stratified_sample_determinism(spark, sf_dir):
         if totals.get(lang, 0) >= 150:
             ratio = got.get(lang, 0) / totals[lang]
             assert frac * 0.5 <= ratio <= frac * 1.5, (lang, ratio)
+
+
+def test_hll_sketch_mergeability(spark, sf_dir):
+    """Datasketches HLL: per-group sketches UNION-merge to the same
+    estimate as sketching the whole column directly — the property that
+    lets 100 TB rollups pre-aggregate sketches per partition/day and
+    combine later without rescanning."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, "lineitem", sf_dir)
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0].est
+    direct = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("est")
+    ).collect()[0].est
+    exact = li.select("l_partkey").distinct().count()
+    assert merged == direct  # merge is lossless vs direct sketching
+    assert abs(direct - exact) / exact < 0.05  # HLL accuracy envelope
