@@ -3870,3 +3870,57 @@ def bool_aggregates(spark, sf_dir):
         F.some(F.col("l_quantity") >= 50).alias("any_max_qty"),
         F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_tax_free"),
     )
+
+
+@register(
+    "hash_encode_docs",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           to_base64(text::BLOB) AS b64,
+           lower(hex(substr(text, 1, 8))) AS head_hex
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def hash_encode_docs(spark, sf_dir):
+    """Hash/encoding scalar catalog: md5, sha256, base64, hex — the
+    content-addressing primitives of dedup and caching layers."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        # Spark base64 emits MIME 76-char line wraps; strip for RFC 4648
+        F.regexp_replace(F.base64(F.col("text").cast("binary")), "[\\r\\n]", "").alias(
+            "b64"
+        ),
+        F.lower(F.hex(F.substring("text", 1, 8))).alias("head_hex"),
+    )
+
+
+@register(
+    "levenshtein_candidate_pairs",
+    oracle=f"""
+    WITH _jp AS ({D.ngram_jaccard_pairs_oracle_sql("documents", "text", "doc_id", 0.5)}),
+    t AS (SELECT doc_id, text FROM documents)
+    SELECT p.id_a, p.id_b, levenshtein(a.text, b.text) AS edit_dist
+    FROM _jp p JOIN t a ON a.doc_id = p.id_a JOIN t b ON b.doc_id = p.id_b
+    """,
+)
+def levenshtein_candidate_pairs(spark, sf_dir):
+    """Edit-distance verification on near-dup candidate pairs — the
+    character-level complement to shingle Jaccard. O(len^2) per pair,
+    so it ONLY ever runs on the candidate set, never the corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    candidates = D.minhash_lsh_pairs(docs, "text", "doc_id")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", 0.5, candidates=candidates)
+    t = docs.select("doc_id", "text")
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, on="id_a")
+        .join(b, on="id_b")
+        .select("id_a", "id_b", F.levenshtein("ta", "tb").cast("long").alias("edit_dist"))
+    )
