@@ -3924,3 +3924,59 @@ def levenshtein_candidate_pairs(spark, sf_dir):
         .join(b, on="id_b")
         .select("id_a", "id_b", F.levenshtein("ta", "tb").cast("long").alias("edit_dist"))
     )
+
+
+@register(
+    "transform_batch_mode",
+    oracle="""
+    SELECT l_returnflag, round(sum(l_extendedprice * (1 - l_discount)), 4) AS net_sum
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def transform_batch_mode(spark, sf_dir):
+    """batch_mode: the vectorized escape hatch of python_transform —
+    user code receives a whole pandas DataFrame per Arrow batch (no
+    per-record loop, no emitter). The right mode when the user logic is
+    already columnar pandas."""
+    import pandas as pd
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+
+    def net(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": pdf["l_returnflag"],
+                "net": pdf["l_extendedprice"] * (1.0 - pdf["l_discount"]),
+            }
+        )
+
+    out = python_transform(
+        li, func=net, output_schema="l_returnflag string, net double", batch_mode=True
+    ).output
+    return out.groupBy("l_returnflag").agg(F.round(F.sum("net"), 4).alias("net_sum"))
+
+
+@register(
+    "explode_outer_long_tokens",
+    oracle="""
+    SELECT d.doc_id, t.tok
+    FROM documents d LEFT JOIN LATERAL (
+      SELECT unnest(list_filter(str_split_regex(lower(trim(d.text)), '\\s+'),
+                    x -> length(x) > 6)) AS tok
+    ) t ON true
+    """,
+)
+def explode_outer_long_tokens(spark, sf_dir):
+    """explode_outer: null-preserving explosion — documents whose
+    filtered token array is EMPTY survive with a null token (plain
+    explode silently drops them, the classic lost-rows bug in
+    fan-out pipelines)."""
+    from python_plugins_spark.functions import tokens as _tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    long_toks = F.filter(_tokens(F.col("text")), lambda x: F.length(x) > 6)
+    return docs.select(
+        "doc_id", F.explode_outer(long_toks).alias("tok")
+    )
