@@ -3980,3 +3980,37 @@ def explode_outer_long_tokens(spark, sf_dir):
     return docs.select(
         "doc_id", F.explode_outer(long_toks).alias("tok")
     )
+
+
+@register(
+    "date_arithmetic_orders",
+    oracle="""
+    SELECT o_orderkey,
+           date_diff('day', o_orderdate, TIMESTAMP '1998-12-31') AS days_to_eoy,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+           quarter(o_orderdate) AS q,
+           isodow(o_orderdate) AS dow,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS qstart
+    FROM orders WHERE o_custkey <= 100
+    """,
+)
+def date_arithmetic_orders(spark, sf_dir):
+    """Date-arithmetic catalog: day differences, month addition,
+    quarter extraction/truncation, ISO weekday — cross-engine
+    semantics pinned (Spark dayofweek is Sunday-based; weekday()+1
+    equals ISO dow)."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("1998-12-31"), F.col("o_orderdate")).cast("long").alias(
+            "days_to_eoy"
+        ),
+        F.date_format(F.add_months(F.col("o_orderdate"), 3), "yyyy-MM-dd").alias(
+            "plus3m"
+        ),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("dow"),
+        F.date_format(F.date_trunc("quarter", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "qstart"
+        ),
+    )
