@@ -4014,3 +4014,33 @@ def date_arithmetic_orders(spark, sf_dir):
             "qstart"
         ),
     )
+
+
+@register(
+    "safe_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice / nullif(o_custkey % 3, 0), 4) AS per_bucket,
+           try_cast(substr(o_orderpriority, 1, 1) AS INT) AS prio_digit,
+           try_cast(o_orderpriority AS INT) AS prio_whole
+    FROM orders WHERE o_custkey <= 200
+    """,
+)
+def safe_arithmetic(spark, sf_dir):
+    """Error-safe arithmetic: try_divide (null on /0 instead of a task
+    failure under ANSI mode) and try_cast (null on malformed input) —
+    the non-throwing path for dirty data at scale."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") <= 200)
+    return o.select(
+        "o_orderkey",
+        F.round(F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3), 4).alias(
+            "per_bucket"
+        ),
+        F.try_to_number(F.substring("o_orderpriority", 1, 1), F.lit("9"))
+        .cast("int")
+        .alias("prio_digit"),
+        # whole string is not a number -> null on both engines
+        F.try_to_number(F.col("o_orderpriority"), F.lit("999999999")).cast("int").alias(
+            "prio_whole"
+        ),
+    )
