@@ -229,3 +229,30 @@ def test_hll_sketch_mergeability(spark, sf_dir):
     exact = li.select("l_partkey").distinct().count()
     assert merged == direct  # merge is lossless vs direct sketching
     assert abs(direct - exact) / exact < 0.05  # HLL accuracy envelope
+
+
+def test_nested_types_parquet_roundtrip(spark, tmp_path):
+    """Nested ARRAY/MAP/STRUCT columns survive a parquet write/read
+    byte-exactly (the reference codec's recursive types,
+    PythonObjectsEncoder.java:53-62, as storage-layer types)."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(
+            id=1,
+            arr=[1, 2, 3],
+            m={"a": 1.5, "b": -2.0},
+            st=Row(name="x", vals=[0.1, 0.2]),
+            arr_of_st=[Row(k="p", v=3.14), Row(k="e", v=2.71)],
+        ),
+        Row(id=2, arr=[], m={}, st=Row(name=None, vals=[]), arr_of_st=[]),
+    ]
+    df = spark.createDataFrame(rows)
+    path = str(tmp_path / "nested")
+    df.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert back.schema == df.schema
+    a, b = sorted(back.collect(), key=lambda r: r.id)
+    assert a.arr == [1, 2, 3] and a.m == {"a": 1.5, "b": -2.0}
+    assert a.st.name == "x" and a.arr_of_st[0].k == "p"
+    assert b.arr == [] and b.m == {} and b.st.vals == []
