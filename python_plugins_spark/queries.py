@@ -26,6 +26,7 @@ import pandas as pd  # noqa: F401 — resolves postponed type hints in pandas UD
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_plugins_spark.functions import oracle_fragments as OF
 from python_plugins_spark.operators import dedup as D
 from python_plugins_spark.operators import multimodal as MM
 from python_plugins_spark.operators import relational as R
@@ -4044,3 +4045,255 @@ def safe_arithmetic(spark, sf_dir):
             "prio_whole"
         ),
     )
+
+# =====================================================================
+# SQL-surface widening: lateral join, GROUP BY ALL, regression /
+# bitwise aggregates, positional explode
+# =====================================================================
+
+@register(
+    "lateral_join_top_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 4) AS price
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) o
+    WHERE c.c_custkey <= 300
+    """,
+)
+def lateral_join_top_orders(spark, sf_dir):
+    """Correlated LATERAL subquery (Spark 3.2+): per-customer top-2
+    orders expressed as a dependent join. Catalyst decorrelates it into
+    a DomainJoin + window rather than N per-row subquery executions, so
+    the plan is one shuffle on the correlation key — the same physical
+    shape as the explicit row_number formulation, but declared the way
+    an ANSI-SQL user would write it. Deterministic tie-break via
+    (price DESC, orderkey)."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("_lat_customer")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 4) AS price
+        FROM _lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM _lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o
+        WHERE c.c_custkey <= 300
+        """
+    )
+
+
+@register(
+    "group_by_all_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 4) AS revenue, count(*) AS n
+    FROM orders GROUP BY ALL
+    """,
+)
+def group_by_all_revenue(spark, sf_dir):
+    """GROUP BY ALL (Spark 3.4+ / DuckDB): group keys inferred as every
+    non-aggregate select item — identical semantics in both engines."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("_gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 4) AS revenue, count(*) AS n
+        FROM _gba_orders GROUP BY ALL
+        """
+    )
+
+
+@register(
+    "regression_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+           round(corr(l_extendedprice, l_quantity), 4) AS pearson,
+           regr_count(l_extendedprice, l_quantity) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def regression_aggregates(spark, sf_dir):
+    """Linear-regression aggregate family (regr_slope / intercept / r2
+    / count) + Pearson correlation in one hash aggregate — the OLS
+    summary statistics both engines compute from the same co-moment
+    accumulators. Intercept rounds at 2dp: it sits at the scale of
+    avg(price) (~1e4-1e5) where cross-engine accumulation-order noise
+    (~1e-9 relative) would breach a 4dp ulp."""
+    li = load_table(spark, "lineitem", sf_dir)
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 2).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        F.round(F.regr_r2(y, x), 4).alias("r2"),
+        F.round(F.corr(y, x), 4).alias("pearson"),
+        F.regr_count(y, x).alias("n"),
+    )
+
+
+@register(
+    "bitwise_aggregates",
+    oracle="""
+    SELECT o_orderstatus,
+           bit_and(o_orderkey) AS key_and,
+           bit_or(o_orderkey) AS key_or,
+           bit_xor(o_orderkey) AS key_xor,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def bitwise_aggregates(spark, sf_dir):
+    """Bitwise AND/OR/XOR aggregates — order-independent integer folds
+    (bitmap-style set summaries, feature-flag intersections)."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "posexplode_tokens",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {OF.sql_tokens('text')} AS toks
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+           unnest(toks) AS tok
+    FROM t
+    """,
+)
+def posexplode_tokens(spark, sf_dir):
+    """posexplode: explosion WITH ORDINALITY — the token's position
+    survives the fan-out (needed whenever order carries meaning:
+    n-gram reconstruction, positional weighting). DuckDB twin zips
+    parallel unnests of the value and its generate_subscripts index."""
+    from python_plugins_spark.functions import tokens as _tokens
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 60)
+    return docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+# =====================================================================
+# Training-pipeline ops: benchmark contamination, intra-document
+# repetition, domain-mix rebalancing
+# =====================================================================
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {OF.sql_tokens('text')} AS toks FROM documents
+    ),
+    s AS (SELECT doc_id, {OF.sql_word_shingles('toks', 3)} AS gs FROM t),
+    e AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM s),
+    b AS (SELECT DISTINCT g FROM e WHERE doc_id % 97 = 0),
+    c AS (SELECT doc_id, g FROM e WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id, count(*) AS n_hit
+    FROM c JOIN b USING (g) GROUP BY c.doc_id
+    """,
+)
+def contamination_ngram_overlap(spark, sf_dir):
+    """Benchmark-contamination check: training docs sharing word
+    n-grams with a held-out eval set (here: every 97th doc stands in
+    for the benchmark; production uses 8-13-grams — 3 here for signal
+    density on the small synthetic corpus). Scale shape: the benchmark
+    shingle set is tiny relative to the corpus, so it broadcasts —
+    the corpus-side scan never shuffles, each task filters its shingles
+    against the broadcast set and only (doc_id, hit) survivors reach
+    the final doc_id aggregation."""
+    from python_plugins_spark.functions import tokens as _tokens, word_shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles(_tokens(F.col("text")), 3)).alias("g")
+    ).distinct()
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    cand = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        cand.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+
+
+@register(
+    "repetition_ratio_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {OF.sql_tokens('text')} AS toks FROM documents
+    ),
+    s AS (SELECT doc_id, toks, {OF.sql_word_shingles('toks', 3)} AS gs FROM t)
+    SELECT doc_id,
+           len(toks) AS n_toks,
+           (len(toks) - len(list_distinct(toks))) * 10000 // greatest(len(toks), 1)
+             AS tok_rep_bp,
+           (len(gs) - len(list_distinct(gs))) * 10000 // greatest(len(gs), 1)
+             AS gram_rep_bp
+    FROM s
+    """,
+)
+def repetition_ratio_docs(spark, sf_dir):
+    """Intra-document repetition: duplicated-token and duplicated-
+    trigram fractions, in integer basis points — integer div on both
+    engines, so no cross-engine FP rounding at all. High gram_rep_bp
+    flags looping/boilerplate text, a standard pre-training quality
+    gate. Pure per-row map — no shuffle."""
+    from python_plugins_spark.functions import tokens as _tokens, word_shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        _tokens(F.col("text")).alias("toks"),
+        word_shingles(_tokens(F.col("text")), 3).alias("gs"),
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.expr(
+            "(size(toks) - size(array_distinct(toks))) * 10000L"
+            " div greatest(size(toks), 1)"
+        ).alias("tok_rep_bp"),
+        F.expr(
+            "(size(gs) - size(array_distinct(gs))) * 10000L"
+            " div greatest(size(gs), 1)"
+        ).alias("gram_rep_bp"),
+    )
+
+
+@register(
+    "domain_mix_rebalance",
+    oracle=f"""
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE ({OF.sql_hash32("'mix-' || d.doc_id::VARCHAR")} % 10000)
+          < (1 + {OF.sql_hash32("'w-' || d.source")} % 3) * 2500
+    """,
+)
+def domain_mix_rebalance(spark, sf_dir):
+    """Domain-mix rebalancing: per-source sampling rates (the
+    "downsample CommonCrawl, keep Wikipedia" mixing step) applied with
+    a deterministic content-hash Bernoulli filter — the keep decision
+    is a pure function of (doc_id, source), so it is reproducible
+    across engines, runs, and task retries (no RNG state), and the
+    acceptance test is all-integer: h(doc) % 10000 < rate_bp(source).
+    Here rates are hash-derived (25/50/75%) in lieu of a config map.
+    Scale shape: pure per-row filter on the corpus scan — no shuffle,
+    no collect; a real weight table would broadcast."""
+    from python_plugins_spark.functions import hash32
+
+    docs = load_table(spark, "documents", sf_dir)
+    h = hash32(F.concat(F.lit("mix-"), F.col("doc_id").cast("string")))
+    rate_bp = (1 + hash32(F.concat(F.lit("w-"), F.col("source"))) % 3) * 2500
+    return docs.filter(h % 10000 < rate_bp).select("doc_id", "source")

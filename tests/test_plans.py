@@ -237,3 +237,30 @@ def test_minhash_lsh_pipeline_shuffle_budget(spark, sf_dir):
     beyond signature/band/distinct"."""
     df = QUERIES["minhash_lsh_candidates"](spark, sf_dir)
     assert count_shuffles(df) <= 4
+
+
+def test_lateral_join_decorrelates_to_window(spark, sf_dir):
+    """LATERAL (... ORDER BY ... LIMIT 2) must decorrelate into a
+    WindowGroupLimit over one shuffle on the correlation key, with the
+    filtered outer side broadcast — NOT a per-outer-row re-execution
+    (which would be O(customers) subquery runs at scale)."""
+    df = QUERIES["lateral_join_top_orders"](spark, sf_dir)
+    plan = plan_str(df)
+    assert "WindowGroupLimit" in plan
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_contamination_broadcasts_benchmark_set(spark, sf_dir):
+    """The benchmark shingle set is tiny relative to the corpus: it
+    must reach the corpus side as a broadcast, so the 100 TB scan never
+    shuffles its exploded shingles for the join."""
+    df = QUERIES["contamination_ngram_overlap"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_domain_mix_rebalance_no_shuffle(spark, sf_dir):
+    """Hash-Bernoulli mix sampling is a pure per-row filter — zero
+    exchanges in the plan."""
+    df = QUERIES["domain_mix_rebalance"](spark, sf_dir)
+    assert count_shuffles(df) == 0
