@@ -4297,3 +4297,214 @@ def domain_mix_rebalance(spark, sf_dir):
     h = hash32(F.concat(F.lit("mix-"), F.col("doc_id").cast("string")))
     rate_bp = (1 + hash32(F.concat(F.lit("w-"), F.col("source"))) % 3) * 2500
     return docs.filter(h % 10000 < rate_bp).select("doc_id", "source")
+
+
+# =====================================================================
+# Distributed global index, stream-static enrichment, XML codec,
+# data-quality profile, token entropy
+# =====================================================================
+
+@register(
+    "global_sequence_orders",
+    oracle="""
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY o_orderkey) - 1 AS seq
+    FROM orders
+    """,
+)
+def global_sequence_orders(spark, sf_dir):
+    """Contiguous 0-based global sequence in key order WITHOUT a
+    single-partition window (`row_number() OVER (ORDER BY ...)` with no
+    PARTITION BY collapses 100 TB onto one task). Scale formulation:
+    range-partition on the key, number rows locally per partition, then
+    shift each partition by the cumulative count of the partitions
+    before it — the per-partition count table is tiny, so the offset
+    join broadcasts. The fact data shuffles ONCE (the range
+    partitioning); local numbering is the per-partition counter of
+    monotonically_increasing_id taken above the in-partition sort, a
+    narrow op (a window on pid would re-shuffle everything a second
+    time)."""
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey")
+    part = (
+        o.repartitionByRange(16, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+        # monotonically_increasing_id = (pid << 33) + per-partition counter,
+        # evaluated ABOVE the sort (nondeterministic exprs don't get pushed
+        # through it), so the counter runs in key order within the partition.
+        .withColumn(
+            "local_rn",
+            F.monotonically_increasing_id()
+            - (F.col("pid").cast("long") * F.lit(1 << 33)),
+        )
+    )
+    counts = part.groupBy("pid").agg(F.count("*").alias("cnt"))
+    offsets = counts.select(
+        "pid",
+        (
+            F.sum("cnt").over(
+                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("cnt")
+        ).alias("offset"),
+    )
+    return part.join(F.broadcast(offsets), "pid").select(
+        "o_orderkey",
+        (F.col("offset") + F.col("local_rn")).cast("long").alias("seq"),
+    )
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n, round(sum(e.value), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def streaming_static_enrich(spark, sf_dir):
+    """Stream-static join: the streaming fact is enriched against a
+    batch dimension (re-read per micro-batch; broadcast when small) and
+    aggregated — the standard streaming-ETL lookup shape. The static
+    side needs no watermark; state is bounded by the aggregate keys."""
+    import uuid
+
+    from python_plugins_spark.sources.io import ensure_session_confs, fix_nanos_ts
+    from python_plugins_spark.streaming import read_stream_parquet, run_to_memory_sink
+
+    ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = fix_nanos_ts(
+        read_stream_parquet(spark, f"{sf_dir}/events.parquet", raw_schema)
+    )
+    dim = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    enriched = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey, "inner"
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value")
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    return run_to_memory_sink(agg, name, output_mode="complete")
+
+
+@register(
+    "xml_roundtrip_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS price
+    FROM orders WHERE o_custkey <= 100
+    """,
+)
+def xml_roundtrip_orders(spark, sf_dir):
+    """XML codec roundtrip (Spark 4 native to_xml/from_xml): struct ->
+    XML string -> parsed struct must be lossless for the typed fields.
+    The oracle reads the base table directly, so any serialization
+    drift (precision, escaping) breaks the hash."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") <= 100)
+    xml = o.select(
+        "o_orderkey",
+        F.to_xml(F.struct("o_orderstatus", "o_totalprice")).alias("x"),
+    )
+    parsed = xml.select(
+        "o_orderkey",
+        F.from_xml(
+            "x", "o_orderstatus string, o_totalprice double"
+        ).alias("r"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("r.o_orderstatus").alias("o_orderstatus"),
+        F.round("r.o_totalprice", 4).alias("price"),
+    )
+
+
+@register(
+    "dq_profile_orders",
+    oracle="""
+    SELECT 'row_count' AS check_name, count(*)::BIGINT AS metric FROM orders
+    UNION ALL
+    SELECT 'orderkey_dupes', count(*) - count(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'custkey_nulls', count(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+    UNION ALL
+    SELECT 'fk_orphans', count(*) FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'nonpositive_price', count(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+    UNION ALL
+    SELECT 'date_out_of_range', count(*) FILTER (WHERE o_orderdate > DATE '1998-12-31')
+    FROM orders
+    """,
+)
+def dq_profile_orders(spark, sf_dir):
+    """Data-quality expectation suite in two aggregate jobs: the
+    single-pass checks (row count, key uniqueness, null ratio, domain
+    ranges) fold into ONE scan + ONE partial+final aggregate, unpivoted
+    to (check_name, metric) rows; referential integrity is a broadcast
+    anti-join count against the dimension. The 100 TB shape: no check
+    adds a scan — they share one."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir).select("c_custkey")
+    one_pass = o.agg(
+        F.count("*").alias("row_count"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("orderkey_dupes"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("custkey_nulls"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpositive_price"),
+        F.count(F.when(F.col("o_orderdate") > F.lit("1998-12-31").cast("date"), 1)).alias(
+            "date_out_of_range"
+        ),
+    ).selectExpr(
+        "stack(5, 'row_count', row_count, 'orderkey_dupes', orderkey_dupes,"
+        " 'custkey_nulls', custkey_nulls, 'nonpositive_price', nonpositive_price,"
+        " 'date_out_of_range', date_out_of_range) AS (check_name, metric)"
+    )
+    orphans = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("metric"))
+        .select(F.lit("fk_orphans").alias("check_name"), "metric")
+    )
+    return one_pass.unionByName(orphans)
+
+
+@register(
+    "token_entropy_per_source",
+    oracle=f"""
+    WITH e AS (
+      SELECT source, unnest({OF.sql_tokens('text')}) AS tok FROM documents
+    ),
+    tc AS (SELECT source, tok, count(*) AS cnt FROM e GROUP BY source, tok),
+    tot AS (SELECT source, sum(cnt) AS total FROM tc GROUP BY source)
+    SELECT tc.source,
+           count(*) AS vocab,
+           sum(tc.cnt)::BIGINT AS n_tokens,
+           round(-sum((tc.cnt / tot.total) * ln(tc.cnt / tot.total)), 4)
+             AS entropy_nats
+    FROM tc JOIN tot USING (source)
+    GROUP BY tc.source
+    """,
+)
+def token_entropy_per_source(spark, sf_dir):
+    """Unigram Shannon entropy per source — the token-diversity signal
+    used to spot degenerate/templated domains in pre-training mixes.
+    Two aggregations: (source, token) counts, then the entropy fold per
+    source; per-source totals are a tiny aggregate broadcast back onto
+    the count table."""
+    from python_plugins_spark.functions import tokens as _tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    tc = (
+        docs.select("source", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = tc.groupBy("source").agg(F.sum("cnt").alias("total"))
+    p = F.col("cnt") / F.col("total")
+    return (
+        tc.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("vocab"),
+            F.sum("cnt").alias("n_tokens"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"),
+        )
+    )

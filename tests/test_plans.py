@@ -264,3 +264,13 @@ def test_domain_mix_rebalance_no_shuffle(spark, sf_dir):
     exchanges in the plan."""
     df = QUERIES["domain_mix_rebalance"](spark, sf_dir)
     assert count_shuffles(df) == 0
+
+
+def test_global_sequence_single_fact_shuffle(spark, sf_dir):
+    """The distributed global-index fact data must move exactly once:
+    range partitioning on the key. A hash exchange on the key would
+    mean the local-numbering step re-shuffled the corpus."""
+    df = QUERIES["global_sequence_orders"](spark, sf_dir)
+    plan = plan_str(df)
+    assert "rangepartitioning(o_orderkey" in plan
+    assert "hashpartitioning(o_orderkey" not in plan
