@@ -4508,3 +4508,183 @@ def token_entropy_per_source(spark, sf_dir):
             F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"),
         )
     )
+
+
+# =====================================================================
+# Product-analytics shapes (funnel, cohort) and an iterative graph
+# algorithm (PageRank) with an unrolled cross-engine oracle
+# =====================================================================
+
+@register(
+    "funnel_conversion_events",
+    oracle=f"""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT v.user_id,
+           strftime(v.t1, '{_STRF}') AS first_view,
+           strftime(c.t2, '{_STRF}') AS first_click,
+           strftime(p.t3, '{_STRF}') AS first_purchase
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def funnel_conversion_events(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): each stage's
+    timestamp must strictly follow the previous stage's. Three
+    conditional min-aggregates chained by joins — every stage is a
+    key-partitioned aggregate over the (already small) survivors of
+    the previous one, so the event scan happens three times but only
+    ever shuffles on user_id. Unconverted users surface with null
+    later stages (left joins), not dropped rows."""
+    ev = load_table(spark, "events", sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            _ts(F.col("t1")).alias("first_view"),
+            _ts(F.col("t2")).alias("first_click"),
+            _ts(F.col("t3")).alias("first_purchase"),
+        )
+    )
+
+
+@register(
+    "cohort_retention_events",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id, min(ts)::DATE AS cohort_day FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, e.ts::DATE) AS offset_d
+      FROM events e JOIN firstday f USING (user_id)
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, offset_d,
+           count(*) AS n_users
+    FROM act WHERE offset_d <= 7 GROUP BY 1, 2
+    """,
+)
+def cohort_retention_events(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity day, counted
+    again at day offsets 0..7. The cohort table is per-user (small) —
+    it joins back to the event stream on user_id, then a distinct on
+    (cohort, offset, user) before the count so multi-event days count
+    once."""
+    ev = load_table(spark, "events", sf_dir)
+    firstday = ev.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    act = (
+        ev.join(firstday, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("offset_d"),
+        )
+        .distinct()
+    )
+    return (
+        act.filter(F.col("offset_d") <= 7)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("offset_d").cast("long").alias("offset_d"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def _pagerank_oracle_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Loop-unrolled PageRank as chained CTEs — DuckDB runs the exact
+    double-precision recurrence the Spark loop runs (same literals,
+    same operation order), so values hash-match at 6 dp."""
+    edge_expr = "(json_extract_string(props, '$.k')::BIGINT * 7) % 150"
+    parts = [
+        f"WITH edges AS (SELECT DISTINCT user_id AS src, {edge_expr} AS dst "
+        f"FROM events WHERE user_id <> {edge_expr})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, (SELECT 1.0 / n FROM nn) AS r FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"r{i + 1} AS (SELECT n.node, "
+            f"(SELECT {1 - d} / nn.n FROM nn) + {d} * coalesce(s.m, 0.0) AS r "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node, sum(r{i}.r / deg.outdeg) AS m "
+            f"FROM edges e JOIN r{i} ON r{i}.node = e.src "
+            f"JOIN deg ON deg.src = e.src GROUP BY e.dst) s USING (node))"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, round(r, 6) AS pr FROM r{iters}"
+    )
+
+
+@register("pagerank_events_graph", oracle=_pagerank_oracle_sql())
+def pagerank_events_graph(spark, sf_dir):
+    """Iterative PageRank (5 damped iterations) over a deterministic
+    graph derived from the event stream. Each iteration is one
+    shuffle-join of the rank vector with the edge list plus a
+    destination-keyed aggregate — the canonical iterative-dataflow
+    shape. At scale: the edge list is the invariant; persist it
+    partitioned by src so every iteration's join is co-located, and
+    checkpoint the rank vector every few iterations to truncate
+    lineage. Dangling-node mass leaks (no redistribution) — both
+    engines implement the identical recurrence, oracle unrolled as
+    chained CTEs."""
+    d = 0.85
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    dst = (k * 7) % 150
+    edges = (
+        ev.select(F.col("user_id").alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    for _ in range(5):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("m"))
+        )
+        ranks = nodes.join(
+            contrib, nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit((1 - d) / n_nodes)
+                + F.lit(d) * F.coalesce(F.col("m"), F.lit(0.0))
+            ).alias("r"),
+        )
+    return ranks.select("node", F.round("r", 6).alias("pr"))
