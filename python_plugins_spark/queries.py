@@ -4688,3 +4688,185 @@ def pagerank_events_graph(spark, sf_dir):
             ).alias("r"),
         )
     return ranks.select("node", F.round("r", 6).alias("pr"))
+
+
+# =====================================================================
+# Function-surface completeness: distribution windows, array set ops,
+# null-handling, extended string/math catalogs
+# =====================================================================
+
+@register(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           dense_rank() OVER w AS drank
+    FROM orders WHERE o_custkey <= 150
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_funcs(spark, sf_dir):
+    """Distribution window functions (percent_rank, cume_dist,
+    dense_rank) — rank normalization within partitions; ordering is
+    made total with the unique key so both engines rank identically."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") <= 150)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+    )
+
+
+@register(
+    "array_set_operations",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_sort(list_distinct({OF.sql_tokens('text')})) AS a,
+             list_sort(list_distinct({OF.sql_word_shingles(OF.sql_tokens('text'), 1)})) AS b
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id,
+           len(list_intersect(a, b)) AS n_common,
+           list_sort(list_filter(a, x -> NOT list_contains(b, x))) AS only_a,
+           len(a) AS n_a
+    FROM t
+    """,
+)
+def array_set_operations(spark, sf_dir):
+    """Array set algebra (intersect / except / distinct / sort) — both
+    engines sort the results so set semantics (unordered) hash-match.
+    The two token derivations intentionally coincide, making except
+    empty and intersect total — the identity is the cross-engine
+    check."""
+    from python_plugins_spark.functions import tokens as _tokens, word_shingles
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 40)
+    a = F.sort_array(F.array_distinct(_tokens(F.col("text"))))
+    b = F.sort_array(F.array_distinct(word_shingles(_tokens(F.col("text")), 1)))
+    return docs.select(
+        "doc_id",
+        F.size(F.array_intersect(a, b)).cast("long").alias("n_common"),
+        F.sort_array(F.array_except(a, b)).alias("only_a"),
+        F.size(a).cast("long").alias("n_a"),
+    )
+
+
+@register(
+    "null_handling_catalog",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+           CASE WHEN nullif(o_custkey % 7, 0) IS NULL THEN -1.0
+                ELSE round(o_totalprice / (o_custkey % 7), 4) END AS per_mod,
+           (o_custkey % 7 = 0) AS is_mod7,
+           ifnull(nullif(o_orderpriority, o_orderpriority), 'same') AS always_same
+    FROM orders WHERE o_custkey <= 200
+    """,
+)
+def null_handling_catalog(spark, sf_dir):
+    """Null-handling scalar catalog: nullif / coalesce / ifnull /
+    nvl2-style branching — the building blocks of defensive SQL over
+    dirty data."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") <= 200)
+    mod7 = F.nullif(F.col("o_custkey") % 7, F.lit(0))
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.when(mod7.isNull(), F.lit(-1.0))
+        .otherwise(F.round(F.col("o_totalprice") / mod7, 4))
+        .alias("per_mod"),
+        (F.col("o_custkey") % 7 == 0).alias("is_mod7"),
+        F.ifnull(F.nullif("o_orderpriority", F.col("o_orderpriority")), F.lit("same")).alias(
+            "always_same"
+        ),
+    )
+
+
+@register(
+    "string_catalog_extended",
+    oracle="""
+    SELECT doc_id,
+           lpad(lang, 5, '_') AS lang_pad,
+           translate(lower(source), 'src', 'SRC') AS src_up,
+           split_part(source, 'c', 2) AS src_num,
+           reverse(lang) AS lang_rev,
+           repeat(lang, 2) AS lang_twice,
+           left(text, 12) AS head,
+           right(text, 6) AS tail_chars,
+           initcap_part
+    FROM (
+      SELECT *,
+        CASE WHEN length(text) = 0 THEN ''
+             ELSE upper(substr(text, 1, 1)) || lower(substr(text, 2)) END AS initcap_part
+      FROM documents
+    ) WHERE doc_id < 80
+    """,
+)
+def string_catalog_extended(spark, sf_dir):
+    """Extended string catalog: pad / translate / split_part / reverse
+    / repeat / left / right + a portable first-letter capitalization
+    (Spark's initcap capitalizes EVERY word — the oracle pins the
+    single-word-start semantics both engines can express)."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 80)
+    first_cap = F.when(F.length("text") == 0, F.lit("")).otherwise(
+        F.concat(
+            F.upper(F.substring("text", 1, 1)),
+            F.lower(F.expr("substring(text, 2)")),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.lpad("lang", 5, "_").alias("lang_pad"),
+        F.translate(F.lower("source"), "src", "SRC").alias("src_up"),
+        F.split_part("source", F.lit("c"), F.lit(2)).alias("src_num"),
+        F.reverse("lang").alias("lang_rev"),
+        F.repeat("lang", 2).alias("lang_twice"),
+        F.substring("text", 1, 12).alias("head"),
+        F.expr("right(text, 6)").alias("tail_chars"),
+        first_cap.alias("initcap_part"),
+    )
+
+
+@register(
+    "math_catalog_extended",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_extendedprice < 0 THEN 0
+                WHEN l_extendedprice >= 100000 THEN 21
+                ELSE floor(l_extendedprice / 5000)::BIGINT + 1 END AS price_bucket,
+           round(ln(l_extendedprice + 1), 4) AS ln_price,
+           round(log10(l_extendedprice + 1), 4) AS log10_price,
+           round(sqrt(l_quantity), 4) AS sqrt_qty,
+           round(pow(l_discount, 2), 6) AS disc_sq,
+           sign(l_quantity - 25) AS qty_sign,
+           ceil(l_tax * 100) AS tax_pct_ceil,
+           floor(l_extendedprice / 1000) AS price_k
+    FROM lineitem WHERE l_orderkey < 400
+    """,
+)
+def math_catalog_extended(spark, sf_dir):
+    """Extended math catalog incl. width_bucket (equi-width histogram
+    bucketing as a scalar, the vectorized path histogram_events builds
+    on), logs, roots, sign, ceil/floor."""
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") < 400)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.width_bucket("l_extendedprice", F.lit(0), F.lit(100000), F.lit(20)).alias(
+            "price_bucket"
+        ),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("ln_price"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 4).alias("log10_price"),
+        F.round(F.sqrt("l_quantity"), 4).alias("sqrt_qty"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.signum(F.col("l_quantity") - 25).alias("qty_sign"),
+        F.ceil(F.col("l_tax") * 100).alias("tax_pct_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
+    )
