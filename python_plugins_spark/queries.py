@@ -4870,3 +4870,95 @@ def math_catalog_extended(spark, sf_dir):
         F.ceil(F.col("l_tax") * 100).alias("tax_pct_ceil"),
         F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
     )
+
+
+@register(
+    "cdc_apply_with_deletes",
+    oracle=f"""
+    WITH log AS (
+      SELECT user_id, event_type, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log
+    )
+    SELECT user_id, event_type, strftime(ts, '{_STRF}') AS last_ts,
+           round(value, 4) AS last_value
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_with_deletes(spark, sf_dir):
+    """Full CDC apply: upserts AND tombstones. Latest entry per key
+    wins; if the survivor is a delete, the key vanishes from the
+    snapshot (filtering deletes BEFORE the window would wrongly
+    resurrect an older upsert). Same one-shuffle log compaction as the
+    upsert-only variant — the tombstone check is a post-window
+    filter."""
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            "event_type",
+            _ts(F.col("ts")).alias("last_ts"),
+            F.round(F.col("value"), 4).alias("last_value"),
+        )
+    )
+
+
+@register(
+    "ohlc_bars_events",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_type, time_bucket(INTERVAL 15 minutes, ts) AS bucket, value,
+             row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL 15 minutes, ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL 15 minutes, ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, strftime(bucket, '{_STRF}') AS bucket,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+           count(*) AS n
+    FROM w GROUP BY event_type, bucket
+    """,
+)
+def ohlc_bars_events(spark, sf_dir):
+    """Time-series downsampling to OHLC bars (open/high/low/close per
+    15-minute bucket) — first/last are made deterministic by the
+    (ts, event_id) total order, computed as rank-1 markers in the same
+    window pass, then folded in one hash aggregate. One shuffle; at
+    stream scale this same shape runs incrementally under a watermark."""
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "bucket", F.window("ts", "15 minutes")["start"]
+    )
+    wa = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    marked = ev.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return marked.groupBy("event_type", F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket")).agg(
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4).alias("close"),
+        F.count("*").alias("n"),
+    )
