@@ -4962,3 +4962,129 @@ def ohlc_bars_events(spark, sf_dir):
         F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4).alias("close"),
         F.count("*").alias("n"),
     )
+
+
+# =====================================================================
+# Spark-4 extensibility surfaces: custom Python DataSource, mapInArrow,
+# union-by-name schema drift
+# =====================================================================
+
+@register(
+    "python_datasource_readings",
+    oracle="""
+    SELECT x AS id, CAST(x // 250 AS INT) AS part,
+           ((x * 2654435761) % 1000) / 100.0 AS val
+    FROM range(1000) t(x)
+    """,
+)
+def python_datasource_readings(spark, sf_dir):
+    """Custom Python DataSource (Spark 4): a user-registered format
+    with real input partitions — the Spark-idiomatic version of the
+    reference's source-plugin surface (its test DAG wires MockSource
+    -> evaluator -> MockSink, BasePythonTransformTest.java:215-222).
+    Deterministic generator, so the 4-task parallel scan is
+    value-verified against an oracle replaying the recurrence."""
+    from python_plugins_spark.sources.pydatasource import register as reg_ds
+
+    reg_ds(spark)
+    return spark.read.format("synthetic_readings").load()
+
+
+@register(
+    "mapinarrow_filtered_net",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS net_sum,
+           count(*) AS n
+    FROM lineitem WHERE l_quantity >= 30 GROUP BY l_returnflag
+    """,
+)
+def mapinarrow_filtered_net(spark, sf_dir):
+    """mapInArrow: the zero-copy batch escape hatch below mapInPandas —
+    user code sees raw pyarrow RecordBatches (no pandas conversion),
+    the right surface for columnar libraries. The batch does the
+    filter+project; the aggregate stays JVM-side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    )
+
+    def batch_net(batches):
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            t = t.filter(pc.greater_equal(t["l_quantity"], 30))
+            net = pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+            out = pa.table(
+                {"l_returnflag": t["l_returnflag"], "net": net}
+            )
+            for ob in out.to_batches():
+                yield ob
+
+    mapped = li.mapInArrow(batch_net, "l_returnflag string, net double")
+    return mapped.groupBy("l_returnflag").agg(
+        F.round(F.sum("net"), 4).alias("net_sum"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "union_by_name_drift",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 4) AS price, o_orderstatus,
+           NULL::VARCHAR AS o_orderpriority
+    FROM orders WHERE o_custkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, NULL::DOUBLE AS price, o_orderstatus, o_orderpriority
+    FROM orders WHERE o_custkey % 5 = 1
+    """,
+)
+def union_by_name_drift(spark, sf_dir):
+    """Schema-drift union: two extracts with different column sets
+    merged positionally-by-NAME with missing columns null-filled
+    (unionByName(allowMissingColumns=True)) — the schema-evolution
+    append path; a positional UNION here would silently misalign."""
+    o = load_table(spark, "orders", sf_dir)
+    a = o.filter(F.col("o_custkey") % 5 == 0).select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("price"), "o_orderstatus"
+    )
+    b = o.filter(F.col("o_custkey") % 5 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
+    "collated_group_counts",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS m
+      FROM documents
+    )
+    SELECT lower(any_value(m)) AS src, count(*) AS n
+    FROM t GROUP BY m COLLATE NOCASE
+    """,
+)
+def collated_group_counts(spark, sf_dir):
+    """Collation-aware grouping (Spark 4 UTF8_LCASE ≙ DuckDB NOCASE):
+    case-insensitive equality as a COLUMN PROPERTY instead of
+    lower()-wrapping every comparison — pushed into the hash of the
+    aggregate itself. Output canonicalized via lower(any_value):
+    deterministic because all members of a collated group share one
+    lowercase image."""
+    docs = load_table(spark, "documents", sf_dir)
+    m = F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(
+        F.col("source")
+    )
+    return (
+        docs.select(m.alias("m"))
+        .groupBy(F.collate(F.col("m"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.lower(F.any_value(F.col("m"))).alias("src"),
+            F.count("*").alias("n"),
+        )
+        .select("src", "n")
+    )

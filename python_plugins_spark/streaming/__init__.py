@@ -3,6 +3,7 @@ from python_plugins_spark.streaming.ops import (
     run_to_memory_sink,
     session_window_agg,
     split_ports_foreach_batch,
+    stateful_max_tracker,
     stateful_running_agg,
     streaming_python_transform,
     tumbling_window_agg,
@@ -13,6 +14,7 @@ __all__ = [
     "run_to_memory_sink",
     "session_window_agg",
     "split_ports_foreach_batch",
+    "stateful_max_tracker",
     "stateful_running_agg",
     "streaming_python_transform",
     "tumbling_window_agg",

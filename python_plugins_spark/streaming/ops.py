@@ -207,3 +207,46 @@ def run_to_memory_sink(
     finally:
         query.stop()
     return df.sparkSession.table(name)
+
+
+def stateful_max_tracker(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-key running max via ``transformWithStateInPandas`` (Spark
+    4's successor to applyInPandasWithState): typed per-key ValueState,
+    explicit processor lifecycle (init/handleInputRows/close), RocksDB
+    state store. The shape any bespoke streaming accumulator takes on
+    the modern API.
+
+    NOT in the query registry: the API's state-server protocol needs a
+    working ``google.protobuf`` (absent in this container, no pip) —
+    it raises STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE here.
+    ``applyInPandasWithState`` (stateful_running_totals) is the
+    exercised stateful path; this operator is the forward-compatible
+    twin, kept compiling and unit-importable."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class MaxTracker(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._max = handle.getValueState("vmax", "m double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            cur = self._max.get()[0] if self._max.exists() else None
+            for pdf in rows:
+                if len(pdf):
+                    m = float(pdf[value_col].max())
+                    cur = m if cur is None or m > cur else cur
+            if cur is not None:
+                self._max.update((cur,))
+                yield pd.DataFrame({key_col: [key[0]], "max_value": [cur]})
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=MaxTracker(),
+        outputStructType=f"{key_col} string, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
