@@ -5088,3 +5088,180 @@ def collated_group_counts(spark, sf_dir):
         )
         .select("src", "n")
     )
+
+
+# =====================================================================
+# URL parsing, PII masking, XPath, period-over-period, robust stats,
+# ties-aware top-k
+# =====================================================================
+
+@register(
+    "parse_url_docs",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/docs/' || doc_id AS path,
+           'lang=' || lang AS query,
+           lang AS lang_param
+    FROM documents WHERE doc_id < 120
+    """,
+)
+def parse_url_docs(spark, sf_dir):
+    """URL decomposition (parse_url: HOST / PATH / QUERY / named query
+    param) — the first step of URL-based corpus filtering and
+    per-domain dedup. URLs are synthesized deterministically so the
+    oracle can state the expected parts directly."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 120)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+@register(
+    "mask_pii_docs",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked
+    FROM documents
+    WHERE regexp_matches(text, '^[\\x00-\\x7F]*$') AND doc_id < 200
+    """,
+)
+def mask_pii_docs(spark, sf_dir):
+    """Structural PII masking (Spark 3.5 mask()): letters -> X/x,
+    digits -> n, punctuation preserved — shape-preserving redaction
+    (complementing scrub_pii_docs' pattern replacement). Restricted to
+    ASCII docs because mask() classifies the full Unicode case tables
+    while the oracle's character classes are ASCII."""
+    docs = load_table(spark, "documents", sf_dir).filter(
+        (F.col("doc_id") < 200) & F.col("text").rlike(r"^[\x00-\x7F]*$")
+    )
+    return docs.select("doc_id", F.mask("text").alias("masked"))
+
+
+@register(
+    "xpath_extract_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus AS status, CAST(o_custkey AS VARCHAR) AS cust
+    FROM orders WHERE o_custkey <= 80
+    """,
+)
+def xpath_extract_orders(spark, sf_dir):
+    """XPath extraction over XML payloads (xpath_string) — the
+    ingest-side complement of xml_roundtrip_orders: navigate a
+    document tree by path expression. XML is built from the row, so
+    the oracle states the expected extraction from the base table."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") <= 80)
+    xml = F.to_xml(F.struct("o_orderstatus", "o_custkey"))
+    return o.select(
+        "o_orderkey",
+        F.xpath_string(xml, F.lit("ROW/o_orderstatus")).alias("status"),
+        F.xpath_string(xml, F.lit("ROW/o_custkey")).alias("cust"),
+    )
+
+
+@register(
+    "period_over_period_revenue",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority, date_trunc('month', o_orderdate) AS mon,
+             round(sum(o_totalprice), 4) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, strftime(mon, '%Y-%m-%d') AS mon, rev,
+           round((rev - lag(rev) OVER w) / lag(rev) OVER w, 6) AS pct_change
+    FROM m WINDOW w AS (PARTITION BY o_orderpriority ORDER BY mon)
+    """,
+)
+def period_over_period_revenue(spark, sf_dir):
+    """Period-over-period growth: monthly revenue per priority with
+    lag-based % change. The ratio is computed from the ALREADY-rounded
+    revenues, so both engines divide identical inputs — no cross-engine
+    FP divergence inside the ratio."""
+    o = load_table(spark, "orders", sf_dir)
+    m = o.groupBy(
+        "o_orderpriority", F.date_trunc("month", "o_orderdate").alias("mon")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+    w = Window.partitionBy("o_orderpriority").orderBy("mon")
+    prev = F.lag("rev").over(w)
+    return m.select(
+        "o_orderpriority",
+        F.date_format("mon", "yyyy-MM-dd").alias("mon"),
+        "rev",
+        F.round((F.col("rev") - prev) / prev, 6).alias("pct_change"),
+    )
+
+
+@register(
+    "mad_robust_stats",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(any_value(med.med), 4) AS median_price,
+           round(quantile_cont(abs(l.l_extendedprice - med.med), 0.5), 4) AS mad
+    FROM lineitem l JOIN med USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def mad_robust_stats(spark, sf_dir):
+    """Robust dispersion: median absolute deviation — a nested exact
+    quantile (median of |x - group median|). Two aggregation passes
+    over the fact; the per-group medians are a tiny table broadcast
+    back for the deviation pass. Spark percentile() and DuckDB
+    quantile_cont share linear-interpolation semantics."""
+    li = load_table(spark, "lineitem", sf_dir)
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.any_value("med"), 4).alias("median_price"),
+            F.round(
+                F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), F.lit(0.5)),
+                4,
+            ).alias("mad"),
+        )
+    )
+
+
+@register(
+    "topk_with_ties_orders",
+    oracle="""
+    SELECT o_orderkey, price_band FROM (
+      SELECT o_orderkey, floor(o_totalprice / 50000)::BIGINT AS price_band,
+             rank() OVER (ORDER BY floor(o_totalprice / 50000) DESC) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def topk_with_ties_orders(spark, sf_dir):
+    """Top-k WITH TIES (ANSI FETCH FIRST ... WITH TIES): rank()-based
+    cut so every row tied with the k-th survives — LIMIT would
+    nondeterministically drop tie members, the classic unstable-top-k
+    bug. Catalyst turns the rank filter into WindowGroupLimit, so
+    partial limits run before the shuffle."""
+    o = load_table(spark, "orders", sf_dir)
+    band = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    rk = F.rank().over(Window.orderBy(band.desc()))
+    return (
+        o.select("o_orderkey", band.alias("price_band"), rk.alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderkey", "price_band")
+    )
