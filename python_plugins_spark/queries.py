@@ -4955,12 +4955,27 @@ def ohlc_bars_events(spark, sf_dir):
         F.row_number().over(wa).alias("rn_a"),
         F.row_number().over(wd).alias("rn_d"),
     )
-    return marked.groupBy("event_type", F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket")).agg(
-        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4).alias("open"),
-        F.round(F.max("value"), 4).alias("high"),
-        F.round(F.min("value"), 4).alias("low"),
-        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4).alias("close"),
-        F.count("*").alias("n"),
+    # group on the RAW bucket (the window's partitioning) so the agg
+    # reuses the window exchange; formatting after the agg — grouping
+    # on the formatted string would hash differently and re-shuffle
+    return (
+        marked.groupBy("event_type", "bucket")
+        .agg(
+            F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4).alias("close"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
     )
 
 
@@ -5264,4 +5279,75 @@ def topk_with_ties_orders(spark, sf_dir):
         o.select("o_orderkey", band.alias("price_band"), rk.alias("rk"))
         .filter(F.col("rk") <= 3)
         .select("o_orderkey", "price_band")
+    )
+
+
+@register(
+    "transpose_pricing_summary",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+             count(*)::DOUBLE AS count_order
+      FROM lineitem GROUP BY 1
+    )
+    SELECT 'sum_qty' AS key,
+           (SELECT sum_qty FROM s WHERE l_returnflag = 'A') AS A,
+           (SELECT sum_qty FROM s WHERE l_returnflag = 'N') AS N,
+           (SELECT sum_qty FROM s WHERE l_returnflag = 'R') AS R
+    UNION ALL
+    SELECT 'count_order',
+           (SELECT count_order FROM s WHERE l_returnflag = 'A'),
+           (SELECT count_order FROM s WHERE l_returnflag = 'N'),
+           (SELECT count_order FROM s WHERE l_returnflag = 'R')
+    """,
+)
+def transpose_pricing_summary(spark, sf_dir):
+    """DataFrame.transpose (Spark 4): measures-as-rows presentation of
+    a small aggregate — index values become columns, every measure cast
+    to the common type (double). Only ever applied to POST-aggregation
+    frames (a transpose of big data would pivot on unbounded
+    cardinality)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    base = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count("*").cast("double").alias("count_order"),
+    )
+    return base.transpose()
+
+
+@register(
+    "json_dropmalformed_source",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 <> 0
+    """,
+)
+def json_dropmalformed_source(spark, sf_dir):
+    """Malformed-record policy on the JSON source: a JSONL fixture
+    (deterministically derived from `documents`; every 7th line is
+    truncated garbage) read under mode=DROPMALFORMED — bad lines
+    vanish, good lines parse with the declared schema. The fixture
+    generator collects only (id, n_chars) pairs; the READ is the
+    operator under test. PERMISSIVE + columnNameOfCorruptRecord is the
+    auditing alternative (see docs)."""
+    import os
+
+    rows = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    )
+    os.makedirs("/root/repo/.scratch", exist_ok=True)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/root/repo/.scratch/corrupt_{tag}.jsonl"
+    with open(path, "w") as fh:
+        for r in rows:
+            if r.doc_id % 7 == 0:
+                fh.write(f'{{"doc_id": {r.doc_id}, "n_chars": OOPS\n')
+            else:
+                fh.write(f'{{"doc_id": {r.doc_id}, "n_chars": {r.n_chars}}}\n')
+    return (
+        spark.read.schema("doc_id bigint, n_chars bigint")
+        .option("mode", "DROPMALFORMED")
+        .json(path)
     )

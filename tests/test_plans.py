@@ -274,3 +274,11 @@ def test_global_sequence_single_fact_shuffle(spark, sf_dir):
     plan = plan_str(df)
     assert "rangepartitioning(o_orderkey" in plan
     assert "hashpartitioning(o_orderkey" not in plan
+
+
+def test_ohlc_single_shuffle(spark, sf_dir):
+    """OHLC bars: the rank-marker window and the fold aggregate share
+    one hash partitioning on (event_type, bucket) — grouping on the
+    formatted bucket string instead would re-shuffle the stream."""
+    df = QUERIES["ohlc_bars_events"](spark, sf_dir)
+    assert count_shuffles(df) == 1
