@@ -5351,3 +5351,62 @@ def json_dropmalformed_source(spark, sf_dir):
         .option("mode", "DROPMALFORMED")
         .json(path)
     )
+
+
+@register(
+    "csv_multiline_quoted_roundtrip",
+    oracle="""
+    SELECT doc_id, md5('a,"b"' || chr(10) || text) AS text_md5
+    FROM documents WHERE doc_id < 150
+    """,
+)
+def csv_multiline_quoted_roundtrip(spark, sf_dir):
+    """CSV escaping torture test: every value is prefixed with an
+    embedded comma, double-quote AND newline, written with quoting,
+    and read back with multiLine=true — md5 of the round-tripped text
+    must equal md5 of the constructed original. The config that makes
+    it lossless (quote/escape/multiLine) is the point; default
+    line-split parsing would shred these rows."""
+    import os
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 150)
+    dirty = docs.select(
+        "doc_id",
+        F.concat(F.lit('a,"b"'), F.lit("\n"), F.col("text")).alias("t"),
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"dirty_csv_{tag}")
+    dirty.write.mode("overwrite").option("header", "true").option(
+        "escape", '"'
+    ).csv(path)
+    back = (
+        spark.read.schema("doc_id bigint, t string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    return back.select("doc_id", F.md5(F.col("t").cast("binary")).alias("text_md5"))
+
+
+@register(
+    "parquet_zstd_roundtrip",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 4) AS total
+    FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_returnflag
+    """,
+)
+def parquet_zstd_roundtrip(spark, sf_dir):
+    """Codec-explicit parquet sink (zstd) + read-back aggregate — the
+    storage-efficiency knob for cold corpus tiers; the roundtrip proves
+    codec choice never touches values."""
+    import os
+
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") < 2000)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"zstd_li_{tag}")
+    li.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 4).alias("total")
+    )
