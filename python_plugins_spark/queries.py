@@ -5410,3 +5410,187 @@ def parquet_zstd_roundtrip(spark, sf_dir):
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 4).alias("total")
     )
+
+
+# =====================================================================
+# Training-corpus curation II: deterministic splits, chunking, EWMA,
+# graph triangles (SURVEY.md §2c LLM-pipeline ops)
+# =====================================================================
+
+@register(
+    "hash_split_train_test",
+    oracle="""
+    WITH tagged AS (
+        SELECT source,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT source, split, count(*) AS n_docs
+    FROM tagged GROUP BY source, split
+    """,
+)
+def hash_split_train_test(spark, sf_dir):
+    """Deterministic ~90/5/5 train/val/test split keyed on md5(doc_id) —
+    the standard leakage-safe corpus split (same doc always lands in the
+    same split across runs, machines, and engines; no RNG state to
+    coordinate). Lexicographic compare on the first hex byte is
+    engine-portable: md5 is bit-identical everywhere, so the assignment
+    is too. At scale this is a narrow stateless projection — no
+    shuffle for the tagging itself, one partial-agg shuffle for the
+    audit counts. Reference carries no split op; this is the §2c
+    training-pipeline surface."""
+    docs = load_table(spark, "documents", sf_dir)
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id, s AS chunk_start,
+           len(t[s + 1 : s + 64]) AS n_tokens,
+           md5(array_to_string(t[s + 1 : s + 64], ' ')) AS chunk_md5
+    FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 1, 48)) AS s)
+    """,
+)
+def doc_chunk_overlap(spark, sf_dir):
+    """Sliding-window document chunking (64-token windows, stride 48 →
+    16-token overlap) — the standard pre-tokenization step for context-
+    bounded training samples and RAG indexing. Pure built-ins: split →
+    sequence(0, n-1, 48) → explode → slice, all inside whole-stage
+    codegen; no Python, no UDF. The explode is a narrow 1→N flatMap —
+    no shuffle at any scale; chunk text is emitted as md5 so the gate
+    compares content without hauling full strings."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = (
+        docs.withColumn("t", F.split(F.trim("text"), r"\s+"))
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "t")
+    )
+    starts = F.sequence(F.lit(0), F.size("t") - 1, F.lit(48))
+    chunk = F.slice("t", F.col("chunk_start") + 1, 64)
+    return (
+        toks.select("doc_id", "t", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )
+
+
+@register(
+    "triangle_count_graph",
+    oracle="""
+    WITH dedges AS (
+        SELECT DISTINCT user_id AS src,
+               (json_extract_string(props, '$.k')::BIGINT * 7) % 150 AS dst
+        FROM events
+        WHERE user_id <> (json_extract_string(props, '$.k')::BIGINT * 7) % 150
+    ),
+    ue AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM dedges
+    )
+    SELECT count(*) AS n_triangles,
+           (SELECT count(*) FROM ue) AS n_edges
+    FROM ue e1
+    JOIN ue e2 ON e2.a = e1.b
+    JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def triangle_count_graph(spark, sf_dir):
+    """Triangle counting on the undirected event graph (same derived
+    edge set as pagerank_events_graph): canonicalize edges to a<b, then
+    the classic e1(a,b)⋈e2(b,c)⋈e3(a,c) with a<b<c so each triangle
+    is counted exactly once. Two shuffle joins on edge endpoints; at
+    scale the standard mitigation is degree-ordered orientation (each
+    edge directed low-degree→high-degree) which bounds the join fan-out
+    by sqrt(|E|) — the a<b canonical form here is its fixed-order
+    special case. Graph metric for corpus link-analysis QA."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    dst = (k * 7) % 150
+    edges = (
+        ev.select(F.col("user_id").alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+    )
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
+        edges.agg(F.count("*").alias("n_edges"))
+    )
+
+
+@register(
+    "ewma_last_per_user",
+    oracle="""
+    WITH folded AS (
+        SELECT user_id,
+               count(*) AS n_events,
+               list_reduce(list(value ORDER BY ts, event_id),
+                           (acc, x) -> 0.2::DOUBLE * x + 0.8::DOUBLE * acc) AS ewma
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id, n_events, round(ewma, 4) AS ewma
+    FROM folded WHERE user_id % 10 = 0
+    """,
+)
+def ewma_last_per_user(spark, sf_dir):
+    """Exponentially-weighted moving average (alpha=0.2) of each user's
+    event values in time order — the recursive e_t = a*x_t + (1-a)*e_{t-1}
+    smoother used for decayed engagement/quality scores. The recurrence
+    is a true left fold, expressed natively as F.aggregate over the
+    time-sorted collected array: one shuffle (groupBy user), fold runs
+    JVM-side in codegen, no Python. Both engines fold in the identical
+    element order (ts, event_id tiebreak), so doubles match bit-for-bit
+    before the 4 dp round. At 100 TB the collected per-user array is the
+    bound — fine for bounded per-key history; unbounded keys would move
+    to applyInPandasWithState. user_id % 10 filter keeps gate output
+    compact without losing fold-depth coverage."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") % 10 == 0)
+    vals = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    folded = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), vals.alias("vals"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.aggregate(
+                    F.slice("vals", 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+                    F.element_at("vals", 1),
+                    lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+                ),
+                4,
+            ).alias("ewma"),
+        )
+    )
+    return folded
