@@ -5594,3 +5594,187 @@ def ewma_last_per_user(spark, sf_dir):
         )
     )
     return folded
+
+
+@register(
+    "map_lambda_catalog",
+    oracle="""
+    SELECT o_orderkey,
+           array_to_string(list_sort(list_filter(
+               ['PRIORITY=priority:' || lower(o_orderpriority),
+                'STATUS=status:' || lower(o_orderstatus)],
+               s -> s NOT LIKE '%:f%')), ';') AS entries
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def map_lambda_catalog(spark, sf_dir):
+    """Map higher-order-function surface: build a MapType column, then
+    transform_keys (upper), transform_values (key-prefixed lowercase),
+    map_filter (drop values containing ':f'), and emit via map_entries
+    as a sorted joined string so the unordered map hashes stably. All
+    four lambdas run JVM-side inside codegen — the map column never
+    leaves Tungsten rows. Covers the §2c scalar-function category's map
+    lambda family (reference reaches nested maps only through Python
+    dict access, PythonEvaluatorTest.java:298-376)."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 500)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    m = F.transform_keys(m, lambda k, v: F.upper(k))
+    m = F.transform_values(m, lambda k, v: F.concat(F.lower(k), F.lit(":"), F.lower(v)))
+    m = F.map_filter(m, lambda k, v: ~v.contains(":f"))
+    entries = F.array_join(
+        F.sort_array(
+            F.transform(F.map_entries(m), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
+        ),
+        ";",
+    )
+    return o.select("o_orderkey", entries.alias("entries"))
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE * x::DOUBLE)))) AS l2,
+               list_transform(embedding,
+                              x -> trunc(x::DOUBLE / sqrt(list_sum(list_transform(embedding,
+                                         y -> (y::DOUBLE * y::DOUBLE)))) * 127)::INTEGER) AS qv
+        FROM embeddings
+    )
+    SELECT vec_id, round(l2, 4) AS l2_norm,
+           list_sum(qv)::BIGINT AS q_checksum,
+           list_min(qv) AS q_min, list_max(qv) AS q_max
+    FROM q WHERE l2 > 0 AND vec_id % 5 = 0
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Int8 embedding quantization (x/||x|| * 127, truncated) — the
+    4x-compression step before ANN index build; storage at 100 TB of
+    vectors is the real cost driver. Norm + quantize are array lambdas
+    (F.aggregate / F.transform), all JVM-side, no Python: a narrow
+    per-row map over the vector column, zero shuffle. Truncation (not
+    round-half) is used so the int mapping is engine-exact; checksum +
+    min/max per vector verify the full quantized payload without
+    hauling 384 ints per row through the gate."""
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") % 5 == 0)
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    l2 = F.sqrt(sq)
+    withn = emb.select("vec_id", "embedding", l2.alias("l2")).filter(F.col("l2") > 0)
+    qv = F.transform(
+        "embedding",
+        lambda x: (x.cast("double") / F.col("l2") * 127).cast("int"),  # cast int == trunc
+    )
+    return withn.select(
+        "vec_id",
+        F.round("l2", 4).alias("l2_norm"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_checksum"),
+        F.array_min(qv).alias("q_min"),
+        F.array_max(qv).alias("q_max"),
+    )
+
+
+@register(
+    "bigram_transitions",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    bg AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+        WHERE len(t) >= 2
+    ),
+    cnt AS (
+        SELECT w1, w2, count(*) AS n,
+               sum(count(*)) OVER (PARTITION BY w1) AS n_from
+        FROM bg GROUP BY w1, w2
+    )
+    SELECT w1, w2, n, round(n / n_from::DOUBLE, 6) AS p
+    FROM cnt ORDER BY n DESC, w1, w2 LIMIT 20
+    """,
+)
+def bigram_transitions(spark, sf_dir):
+    """Bigram language-model transition table: P(w2|w1) as bigram count
+    over start-word mass, top-20 transitions. The n-gram LM is the
+    classic corpus-statistics op (KenLM-style counting); shape = 1→N
+    narrow explode, one partial-agg shuffle on (w1,w2), a lightweight
+    window for the conditional denominator reusing the same w1
+    clustering, then TakeOrderedAndProject for the global top-k (no
+    full sort). Tie-break (n DESC, w1, w2) pins the selected set across
+    engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    bg = toks.select(
+        F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "t"
+    ).select(
+        F.element_at("t", F.col("i")).alias("w1"),
+        F.element_at("t", F.col("i") + 1).alias("w2"),
+    )
+    cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    cnt = cnt.withColumn("n_from", F.sum("n").over(Window.partitionBy("w1")))
+    return (
+        cnt.select(
+            "w1", "w2", "n",
+            F.round(F.col("n") / F.col("n_from").cast("double"), 6).alias("p"),
+        )
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@register(
+    "zorder_interleave_lineitem",
+    oracle="""
+    WITH z AS (
+        SELECT (SELECT sum(((l_partkey % 65536) // (1::BIGINT << i) % 2) * (1::BIGINT << (2*i))
+                         + ((l_suppkey % 65536) // (1::BIGINT << i) % 2) * (1::BIGINT << (2*i+1)))
+                FROM unnest(generate_series(0, 15)) AS u(i)) AS zval
+        FROM lineitem
+    )
+    SELECT zval // 65536 AS z_bucket, count(*) AS n,
+           min(zval) AS z_min, max(zval) AS z_max
+    FROM z GROUP BY z_bucket
+    """,
+)
+def zorder_interleave_lineitem(spark, sf_dir):
+    """Z-order (Morton) interleave of (l_partkey, l_suppkey) — the
+    multi-dimensional clustering key used to lay out 100 TB so range
+    predicates on EITHER dimension prune file-level min/max zones
+    (Delta OPTIMIZE ZORDER's core primitive). Bit interleave is a pure
+    16-step integer fold (F.aggregate over sequence(0,15)) — all
+    codegen, no UDF, no shuffle for key derivation; the bucket
+    histogram then shows the space-filling curve's locality (each
+    bucket = one contiguous z-range you'd write as one file group)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    x = F.col("l_partkey") % 65536
+    y = F.col("l_suppkey") % 65536
+    p = lambda i: F.pow(F.lit(2.0), i.cast("double")).cast("long")
+    p2 = lambda i: F.pow(F.lit(4.0), i.cast("double")).cast("long")
+    zval = F.aggregate(
+        F.sequence(F.lit(0), F.lit(15)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + (x.cast("long") / p(i)).cast("long") % 2 * p2(i)
+        + (y.cast("long") / p(i)).cast("long") % 2 * 2 * p2(i),
+    )
+    return (
+        li.select(zval.alias("zval"))
+        .groupBy((F.col("zval") / 65536).cast("long").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+        )
+    )
