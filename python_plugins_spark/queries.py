@@ -5778,3 +5778,35 @@ def zorder_interleave_lineitem(spark, sf_dir):
             F.max("zval").alias("z_max"),
         )
     )
+
+
+@register(
+    "hash_sample_per_source",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, rk FROM ranked WHERE rk <= 7
+    """,
+)
+def hash_sample_per_source(spark, sf_dir):
+    """Fixed-k per-group deterministic sample (k=7 docs per source),
+    rank-ordered by md5(doc_id) — the reproducible 'eyeball sample'
+    / eval-holdout selector: stable across runs, engines, and task
+    retries, unlike rand()-based sampleBy. Hash-ordering makes the
+    pick uniform over each group while staying a pure function of the
+    key. Plan shape is the per-group top-k pattern: one shuffle on
+    source, WindowGroupLimit pushes rk<=7 below the sort at scale so
+    no group is fully sorted. Complements domain_mix_rebalance
+    (rate-based Bernoulli) with count-based selection."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 7)
+    )

@@ -197,3 +197,71 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
 
     got = sorted(r.doubled for r in spark.read.parquet(out).collect())
     assert got == [2, 4, 6, 20, 40], got  # first file NOT duplicated
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """Watermarked stream-stream LEFT OUTER join (impressions left,
+    clicks right, click within 10 min of impression): matched rows emit
+    as soon as both sides arrive; an unmatched impression emits with a
+    NULL click only after the watermark passes the end of its join
+    range (state eviction proves bounded state at scale)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    imp_dir = str(tmp_path / "imp")
+    clk_dir = str(tmp_path / "clk")
+    os.makedirs(imp_dir)
+    os.makedirs(clk_dir)
+
+    def write(path, rows):
+        spark.createDataFrame(rows, "id long, ts_s string").select(
+            "id", F.col("ts_s").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)
+
+    # impression 1 gets a click, impression 2 never does
+    write(imp_dir, [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:01:00")])
+    write(clk_dir, [(100, "2024-01-01 10:02:00")])
+    schema = spark.read.parquet(imp_dir).schema
+
+    imp = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(imp_dir)
+        .select(F.col("id").alias("imp_id"), F.col("ts").alias("imp_ts"))
+        .withWatermark("imp_ts", "5 minutes")
+    )
+    clk = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(clk_dir)
+        .select(F.col("id").alias("clk_id"), F.col("ts").alias("clk_ts"))
+        .withWatermark("clk_ts", "5 minutes")
+    )
+    joined = imp.join(
+        clk,
+        (F.col("clk_id") == F.col("imp_id") * 100)
+        & (F.col("clk_ts") >= F.col("imp_ts"))
+        & (F.col("clk_ts") <= F.col("imp_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    ).select("imp_id", F.col("clk_id").isNotNull().alias("clicked"))
+
+    name = "ss_left_outer_sink"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        first = {r.imp_id: r.clicked for r in spark.table(name).collect()}
+        # matched row is out; the unmatched one is still held in state
+        assert first.get(1) is True, first
+        assert 2 not in first, first
+
+        # advance both watermarks far past imp2's join range, twice
+        # (in-force watermark lags one batch behind the computed one)
+        for m in (40, 41):
+            write(imp_dir, [(90 + m, f"2024-01-01 10:{m:02d}:00")])
+            write(clk_dir, [(190 + m, f"2024-01-01 10:{m:02d}:00")])
+            q.processAllAvailable()
+        got = {r.imp_id: r.clicked for r in spark.table(name).collect()}
+        assert got.get(2) is False, got  # NULL-padded emit after eviction
+    finally:
+        q.stop()
