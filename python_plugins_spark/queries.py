@@ -5810,3 +5810,216 @@ def hash_sample_per_source(spark, sf_dir):
         docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 7)
     )
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs / df.df) AS w
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      WHERE df.df BETWEEN 2 AND 50
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(dot / (na.nn * nb.nn), 4) AS cosine
+    FROM dots
+    JOIN nrm na ON na.doc_id = doc_a
+    JOIN nrm nb ON nb.doc_id = doc_b
+    ORDER BY cosine DESC, doc_a, doc_b LIMIT 20
+    """,
+)
+def tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine similarity via inverted-index join — the
+    text-side complement to dense embedding ANN: postings (doc, term,
+    weight) self-join on term, partial dot products aggregate per doc
+    pair, norms join back. The scale lever is pruning hot postings —
+    terms with df>50 (stopwords) are dropped BEFORE the self-join,
+    bounding per-term fan-out to df^2 <= 2500 (without it one stopword
+    posting list of length L costs L^2 pairs). df is also the broadcast
+    side. Top-20 by rounded cosine with (a,b) tie-break pins the set
+    across engines."""
+    from python_plugins_spark.functions import tokens as _tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = (
+        tok.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df").between(2, 50))
+    )
+    w = tf.join(F.broadcast(df_), on="term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn"))
+    a = w.alias("a")
+    b = w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = nrm.alias("na")
+    nb = nrm.alias("nb")
+    return (
+        dots.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("dot") / (F.col("na.nn") * F.col("nb.nn")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+@register(
+    "event_pmi_pairs",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    nu AS (SELECT count(DISTINCT user_id)::DOUBLE AS n FROM events),
+    m AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_ab
+      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT t1, t2, n_ab,
+           round(ln((n_ab * nu.n) / (m1.n_t::DOUBLE * m2.n_t)), 6) AS pmi
+    FROM pairs
+    JOIN m m1 ON m1.event_type = t1
+    JOIN m m2 ON m2.event_type = t2
+    CROSS JOIN nu
+    """,
+)
+def event_pmi_pairs(spark, sf_dir):
+    """Pointwise mutual information between event types co-occurring in
+    a user's history — the association-mining primitive behind feature
+    co-occurrence and collocation detection: PMI = ln(P(a,b)/(P(a)P(b))).
+    Shape: distinct (user,type) projection, self-join on user (bounded
+    fan-out: types-per-user is small), pair counts, then two broadcast
+    joins against the tiny per-type marginal table. The n_ab*N/(na*nb)
+    ratio is formed in one expression so both engines evaluate the same
+    double before the 6 dp round."""
+    ev = load_table(spark, "events", sf_dir)
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = float(ev.select("user_id").distinct().count())
+    m = ut.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2")
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    m1 = m.alias("m1")
+    m2 = m.alias("m2")
+    return (
+        pairs.join(F.broadcast(m1), F.col("m1.event_type") == F.col("t1"))
+        .join(F.broadcast(m2), F.col("m2.event_type") == F.col("t2"))
+        .select(
+            "t1", "t2", "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.lit(n_users))
+                    / (F.col("m1.n_t").cast("double") * F.col("m2.n_t"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@register(
+    "pareto_frontier_parts",
+    oracle="""
+    WITH pts AS (
+        SELECT DISTINCT round(p_retailprice)::BIGINT AS price, p_size AS size
+        FROM part
+    )
+    SELECT price, size FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.price <= p.price AND q.size >= p.size
+          AND (q.price < p.price OR q.size > p.size)
+    )
+    """,
+)
+def pareto_frontier_parts(spark, sf_dir):
+    """Pareto frontier (skyline operator): parts not dominated on
+    (minimize price, maximize size). Expressed as an anti-join with the
+    dominance predicate — Catalyst plans the non-equi condition as a
+    broadcast nested-loop anti-join over the deduplicated point set
+    (distinct first: dominance only depends on the point, so the
+    quadratic step runs on |unique points|, not |rows|). At 100 TB the
+    standard skyline refinement applies: pre-filter with a coarse grid
+    (each cell keeps its local frontier, only cell winners enter the
+    global NLJ) — the dedup here is that idea's degenerate form. All
+    comparisons are integer-exact."""
+    pts = (
+        load_table(spark, "part", sf_dir)
+        .select(
+            F.round("p_retailprice").cast("long").alias("price"),
+            F.col("p_size").alias("size"),
+        )
+        .distinct()
+    )
+    p = pts.alias("p")
+    q = pts.alias("q")
+    dominated = (
+        (F.col("q.price") <= F.col("p.price"))
+        & (F.col("q.size") >= F.col("p.size"))
+        & ((F.col("q.price") < F.col("p.price")) | (F.col("q.size") > F.col("p.size")))
+    )
+    return p.join(q, dominated, "left_anti").select("price", "size")
+
+
+@register(
+    "file_metadata_scan",
+    oracle="""
+    SELECT 'orders.parquet' AS file_name, count(*) AS n_rows FROM orders
+    UNION ALL SELECT 'lineitem.parquet', count(*) FROM lineitem
+    UNION ALL SELECT 'part.parquet', count(*) FROM part
+    """,
+)
+def file_metadata_scan(spark, sf_dir):
+    """Hidden `_metadata` file-source column (Spark's per-file lineage
+    surface): row counts keyed by originating file name across a
+    multi-table scan — the debugging/audit primitive for 'which input
+    file produced these rows' at 100 TB (skew hunting, bad-file
+    quarantine). `_metadata.file_name` is constant-folded per split, so
+    the aggregate is a near-free partial count per file; no Python and
+    no extra scan of data columns (column pruning leaves only the
+    virtual column)."""
+    out = None
+    for t in ("orders", "lineitem", "part"):
+        d = (
+            load_table(spark, t, sf_dir)
+            .select(F.col("_metadata.file_name").alias("file_name"))
+            .groupBy("file_name")
+            .agg(F.count("*").alias("n_rows"))
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
