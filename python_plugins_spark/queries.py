@@ -5867,6 +5867,12 @@ def tfidf_cosine_pairs(spark, sf_dir):
         "term",
         (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
     )
+    # The postings relation feeds the self-join twice plus the norm
+    # aggregate: without materialization the corpus is scanned and
+    # re-tokenized once per reference (16 scans at plan time). Persist
+    # collapses the diamond to one tokenization — at 100 TB this is the
+    # difference between 1x and 4x corpus I/O.
+    w = w.persist()
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn"))
     a = w.alias("a")
     b = w.alias("b")

@@ -282,3 +282,45 @@ def test_ohlc_single_shuffle(spark, sf_dir):
     formatted bucket string instead would re-shuffle the stream."""
     df = QUERIES["ohlc_bars_events"](spark, sf_dir)
     assert count_shuffles(df) == 1
+
+
+def test_doc_chunking_no_shuffle(spark, sf_dir):
+    """Sliding-window chunking is a pure narrow flatMap — any Exchange
+    here would mean re-shuffling the whole corpus at 100 TB."""
+    df = QUERIES["doc_chunk_overlap"](spark, sf_dir)
+    assert count_shuffles(df) == 0
+
+
+def test_hash_sample_window_group_limit(spark, sf_dir):
+    """Fixed-k hash sample must push rk<=7 below the per-group sort
+    (WindowGroupLimit) and cost exactly the one partition-by shuffle."""
+    df = QUERIES["hash_sample_per_source"](spark, sf_dir)
+    assert "WindowGroupLimit" in plan_str(df)
+    assert count_shuffles(df) == 1
+
+
+def test_bigram_topk_no_global_sort(spark, sf_dir):
+    """Global top-20 transitions must plan as TakeOrderedAndProject
+    (per-partition heaps + driver merge), never a full sort of the
+    bigram table."""
+    df = QUERIES["bigram_transitions"](spark, sf_dir)
+    p = plan_str(df)
+    assert "TakeOrderedAndProject" in p
+    assert count_shuffles(df) <= 2  # (w1,w2) agg + w1 window
+
+
+def test_zorder_key_derivation_single_shuffle(spark, sf_dir):
+    """Morton-key derivation is per-row codegen; only the bucket
+    histogram aggregate may shuffle."""
+    df = QUERIES["zorder_interleave_lineitem"](spark, sf_dir)
+    assert count_shuffles(df) == 1
+    assert has_codegen(df)
+
+
+def test_tfidf_cosine_caches_postings(spark, sf_dir):
+    """The postings diamond (self-join a/b + norms) must read the
+    persisted relation, not re-tokenize the corpus per reference."""
+    df = QUERIES["tfidf_cosine_pairs"](spark, sf_dir)
+    p = plan_str(df)
+    assert "InMemoryTableScan" in p
+    assert has_broadcast_join(df)  # df-prune side stays broadcast
