@@ -6029,3 +6029,134 @@ def file_metadata_scan(spark, sf_dir):
         )
         out = d if out is None else out.unionByName(d)
     return out
+
+
+# =====================================================================
+# Spark 4 SQL authoring surface: SQL UDFs, pipe syntax, session
+# variables, parameterized queries (§2c scalar-function category —
+# the declarative counterpart of the reference's script-side helpers,
+# PythonEvaluatorTest.java:359-364)
+# =====================================================================
+
+@register(
+    "sql_udf_disc_charge",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS disc_total,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS charge_total
+    FROM lineitem WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    """,
+)
+def sql_udf_disc_charge(spark, sf_dir):
+    """Declarative SQL scalar UDFs (CREATE FUNCTION ... RETURN expr,
+    Spark 4): named business expressions reused across queries with
+    ZERO runtime cost — the body is inlined into the plan at analysis
+    time, so the aggregate below is plain codegen arithmetic, unlike a
+    Python UDF which would serialize every row. This is the right home
+    for the reference's per-record helper functions
+    (PythonEvaluatorTest.java:359-364) when they are pure
+    expressions."""
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("_sqludf_li")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charge(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN disc_price(p, d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(disc_price(l_extendedprice, l_discount)), 4) AS disc_total,
+               round(sum(charge(l_extendedprice, l_discount, l_tax)), 4) AS charge_total
+        FROM _sqludf_li WHERE l_quantity >= 30
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "sql_pipe_revenue",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_pipe_revenue(spark, sf_dir):
+    """SQL pipe syntax (|>, Spark 4): linear dataflow authoring where
+    each stage reads top-to-bottom — the SQL-side equivalent of
+    DataFrame chaining. Compiles to the identical plan as the nested
+    form (same pushdown, same single partial-agg shuffle); purely an
+    authoring-surface feature, so the oracle is the classic
+    formulation."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("_pipe_orders")
+    return spark.sql(
+        """
+        FROM _pipe_orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE count(*) AS n_orders,
+                     round(sum(o_totalprice), 4) AS revenue
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, revenue
+        """
+    )
+
+
+@register(
+    "parameterized_sql_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE o_totalprice > 150000 AND o_orderdate >= TIMESTAMP '1995-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def parameterized_sql_orders(spark, sf_dir):
+    """Named-parameter SQL binding (spark.sql(..., args=...)) — the
+    injection-safe templating surface for the reference's runtime
+    arguments (context.getArguments(), PythonEvaluator.java:284):
+    values bind as typed literals in the parsed plan, so constant
+    folding and parquet filter pushdown see them exactly like inline
+    constants."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM _param_orders
+        WHERE o_totalprice > :min_price AND o_orderdate >= :since
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 150000, "since": "1995-01-01 00:00:00"},
+    )
+
+
+@register(
+    "session_variable_threshold",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(avg(l_quantity), 4) AS avg_qty
+    FROM lineitem WHERE l_quantity > 42
+    GROUP BY l_returnflag
+    """,
+)
+def session_variable_threshold(spark, sf_dir):
+    """SQL session variables (DECLARE/SET VAR, Spark 4): session-scoped
+    typed state for multi-statement scripts — the runtime-parameter
+    channel when queries are authored as SQL scripts rather than
+    DataFrame code. The variable reference folds to a literal at
+    analysis, keeping pushdown intact (PushedFilters shows the
+    resolved constant)."""
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("_var_li")
+    spark.sql("DECLARE OR REPLACE VARIABLE qty_cut DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR qty_cut = 42.0")
+    return spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n, round(avg(l_quantity), 4) AS avg_qty
+        FROM _var_li WHERE l_quantity > qty_cut
+        GROUP BY l_returnflag
+        """
+    )
