@@ -6160,3 +6160,133 @@ def session_variable_threshold(spark, sf_dir):
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "python_datasource_stream",
+    oracle="""
+    SELECT CAST(x % 4 AS INT) AS part, count(*) AS n,
+           round(sum(((x * 2654435761) % 1000) / 100.0), 4) AS total
+    FROM range(1000) t(x)
+    GROUP BY part
+    """,
+)
+def python_datasource_stream(spark, sf_dir):
+    """Custom Python DataSource as a STREAMING source (Spark 4
+    SimpleDataSourceStreamReader): dict offsets checkpointed by the
+    engine, deterministic micro-batches (100 ids each), drained with
+    availableNow into a memory sink. Replaying between the same two
+    offsets regenerates identical rows — the purity contract that
+    makes end-to-end exactly-once recovery possible for a custom
+    source. Oracle replays the full recurrence in batch."""
+    import uuid
+
+    from python_plugins_spark.sources.pydatasource import register as reg_ds
+    from python_plugins_spark.streaming import run_to_memory_sink
+
+    reg_ds(spark)
+    stream = (
+        spark.readStream.format("synthetic_readings")
+        .option("rows_per_batch", "100")
+        .option("max_id", "1000")
+        .load()
+    )
+    agg = stream.groupBy("part").agg(
+        F.count("*").alias("n"), F.round(F.sum("val"), 4).alias("total")
+    )
+    name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    return run_to_memory_sink(agg, name, output_mode="complete")
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, event_type, ts FROM events
+    )
+    SELECT user_id, count(*) AS n_distinct
+    FROM d GROUP BY user_id
+    """,
+)
+def streaming_dedup_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark (Spark 3.5+): dedups records whose
+    event times fall within the watermark delay of the first-seen copy —
+    unlike dropDuplicates, the event-time column need not be part of
+    the key and state is evicted purely by the delay, the right
+    semantics for at-least-once sources that retry with slightly
+    different arrival times. Single-batch drain equals batch DISTINCT,
+    which the oracle checks."""
+    import uuid
+
+    from python_plugins_spark.sources.io import ensure_session_confs, fix_nanos_ts
+    from python_plugins_spark.streaming import read_stream_parquet, run_to_memory_sink
+
+    ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = fix_nanos_ts(
+        read_stream_parquet(spark, f"{sf_dir}/events.parquet", raw_schema)
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "ts"])
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_distinct"))
+    )
+    name = f"stream_ddww_{uuid.uuid4().hex[:8]}"
+    return run_to_memory_sink(deduped, name, output_mode="complete")
+
+
+@register(
+    "udtf_analyze_ngrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE doc_id < 60 AND length(trim(text)) > 0
+    )
+    SELECT doc_id,
+           t[i] AS g1, t[i + 1] AS g2, t[i + 2] AS g3
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+    WHERE len(t) >= 3
+    """,
+)
+def udtf_analyze_ngrams(spark, sf_dir):
+    """Polymorphic Python UDTF (Spark 4 `analyze`): the output schema —
+    one column per n-gram position — is computed at ANALYSIS time from
+    the literal `n` argument, so the same UDTF serves any n with a
+    typed, named schema (g1..gn) instead of an opaque array. This is
+    the table-function face of the reference's 1->N emitter
+    (PythonEvaluator.java:262-266) with compile-time shape. Rows
+    stream through Arrow batches; the lateral explode is narrow (no
+    shuffle)."""
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class NGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            width = int(n.value)
+            st = StructType()
+            for i in range(1, width + 1):
+                st = st.add(f"g{i}", "string")
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text: str, n: int):
+            toks = text.strip().lower().split()
+            for i in range(len(toks) - n + 1):
+                yield tuple(toks[i : i + n])
+
+    spark.udtf.register("doc_ngrams", NGrams)
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter((F.col("doc_id") < 60) & (F.length(F.trim("text")) > 0))
+    )
+    docs.createOrReplaceTempView("_udtf_ng_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, g.g1, g.g2, g.g3
+        FROM _udtf_ng_docs d,
+             LATERAL doc_ngrams(d.text, 3) g
+        """
+    )

@@ -15,7 +15,12 @@ replays the same integer recurrence.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 N_PARTITIONS = 4
 ROWS_PER_PARTITION = 250
@@ -39,6 +44,12 @@ class SyntheticReadingsSource(DataSource):
             int(self.options.get("rows_per_partition", ROWS_PER_PARTITION)),
         )
 
+    def simpleStreamReader(self, schema):
+        return SyntheticReadingsStreamReader(
+            int(self.options.get("rows_per_batch", 100)),
+            int(self.options.get("max_id", 1000)),
+        )
+
 
 class SyntheticReadingsReader(DataSourceReader):
     def __init__(self, n_partitions: int, rows_per_partition: int) -> None:
@@ -59,3 +70,32 @@ class SyntheticReadingsReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent registration of the custom format on a session."""
     spark.dataSource.register(SyntheticReadingsSource)
+
+
+class SyntheticReadingsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader for the same deterministic recurrence: each
+    batch advances the offset by ``rows_per_batch`` ids. Offsets are
+    plain dicts checkpointed by the engine — replaying a batch between
+    the same offsets regenerates identical rows (pure function of id),
+    which is exactly the contract exactly-once recovery needs from a
+    source."""
+
+    def __init__(self, rows_per_batch: int, max_id: int) -> None:
+        self.rows_per_batch = rows_per_batch
+        self.max_id = max_id
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.rows_per_batch, self.max_id)
+        return (
+            iter([(i, i % 4, ((i * MIX) % 1000) / 100.0) for i in range(lo, hi)]),
+            {"next": hi},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [(i, i % 4, ((i * MIX) % 1000) / 100.0) for i in range(start["next"], end["next"])]
+        )
