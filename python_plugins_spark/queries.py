@@ -6290,3 +6290,115 @@ def udtf_analyze_ngrams(spark, sf_dir):
              LATERAL doc_ngrams(d.text, 3) g
         """
     )
+
+
+def _kmeans_oracle_sql(iters: int = 3) -> str:
+    """Loop-unrolled Lloyd's k-means in LONG (vec_id, dim, val) form —
+    pure relational algebra, so DuckDB replays the exact recurrence the
+    Spark loop runs: distances and centroids are rounded (6 dp) each
+    iteration, making the discrete argmin engine-stable."""
+    parts = [
+        """WITH v AS (
+        SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS val
+        FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
+    )""",
+        """c0 AS (
+        SELECT (vec_id // 10)::INT AS cid, dim, round(val, 6) AS val
+        FROM v WHERE vec_id IN (0, 10, 20, 30)
+    )""",
+    ]
+    for n in range(1, iters + 1):
+        parts.append(
+            f"""d{n} AS (
+        SELECT v.vec_id, c.cid,
+               round(sum((v.val - c.val) * (v.val - c.val)), 6) AS d2
+        FROM v JOIN c{n - 1} c USING (dim) GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"""a{n} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d{n}
+        ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""c{n} AS (
+        SELECT a.cid, v.dim, round(avg(v.val), 6) AS val
+        FROM a{n} a JOIN v USING (vec_id) GROUP BY 1, 2
+    )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT c.cid, m.n_members, round(sum(c.val), 4) AS centroid_checksum
+    FROM c{iters} c
+    JOIN (SELECT cid, count(*) AS n_members FROM a{iters} GROUP BY 1) m USING (cid)
+    GROUP BY c.cid, m.n_members"""
+    )
+
+
+@register("kmeans_embeddings_3iter", oracle=_kmeans_oracle_sql())
+def kmeans_embeddings_3iter(spark, sf_dir):
+    """Lloyd's k-means (k=4, 3 unrolled iterations) over embeddings in
+    LONG relational form — the scale-honest formulation for high-dim /
+    huge-N clustering: explode vectors to (vec_id, dim, val) once, then
+    every iteration is (broadcast-join with the k x dims centroid
+    table) -> per-(vec,centroid) distance aggregate -> windowed argmin
+    -> centroid re-average. The centroid relation is tiny (k*64 rows)
+    and broadcast, so each iteration shuffles only on vec_id /
+    (cid,dim) aggregates — never a crossJoin of dense vectors. Per-
+    iteration 6 dp rounding of distances and centroids pins the
+    discrete assignment across engines (same trick as
+    pagerank_events_graph); checksum output keeps the gate payload
+    small. At 100 TB: persist the long table, checkpoint centroids per
+    iteration (truncates lineage), and salt the argmin window if one
+    vector id space is skewed."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id", (F.col("pos") + 1).alias("dim"), F.col("x").cast("double").alias("val")
+    )
+    v = v.persist()
+    c = (
+        v.filter(F.col("vec_id").isin(0, 10, 20, 30))
+        .select(
+            (F.col("vec_id") / 10).cast("int").alias("cid"),
+            "dim",
+            F.round("val", 6).alias("val"),
+        )
+    )
+    for _ in range(3):
+        cv = F.broadcast(c.withColumnRenamed("val", "cval"))
+        d = (
+            v.join(cv, on="dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.round(
+                    F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))),
+                    6,
+                ).alias("d2")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        a = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        c = (
+            a.join(v, on="vec_id")
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("val"))
+        )
+        a_last = a
+    members = a_last.groupBy("cid").agg(F.count("*").alias("n_members"))
+    return (
+        c.groupBy("cid")
+        .agg(F.round(F.sum("val"), 4).alias("centroid_checksum"))
+        .join(members, on="cid")
+        .select("cid", "n_members", "centroid_checksum")
+    )
