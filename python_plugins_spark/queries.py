@@ -6402,3 +6402,95 @@ def kmeans_embeddings_3iter(spark, sf_dir):
         .join(members, on="cid")
         .select("cid", "n_members", "centroid_checksum")
     )
+
+
+@register(
+    "json_permissive_corrupt_capture",
+    oracle="""
+    SELECT (doc_id % 7 = 0) AS is_corrupt, count(*) AS n,
+           sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS good_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def json_permissive_corrupt_capture(spark, sf_dir):
+    """PERMISSIVE mode + columnNameOfCorruptRecord: the source-level
+    dead-letter port. Malformed JSONL lines survive as NULL-parsed rows
+    carrying the raw line in `_bad`, so the stream splits into a good
+    port and an auditable error port — the exact semantics of the
+    reference's emitError channel (PythonEvaluator.java:198-207) pushed
+    down into the scan. Same deterministic fixture as
+    json_dropmalformed_source (every 7th line truncated); the audit
+    aggregate proves no row was silently lost: good + corrupt counts
+    reconcile to the corpus."""
+    import os
+
+    rows = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    )
+    os.makedirs("/root/repo/.scratch", exist_ok=True)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/root/repo/.scratch/corrupt_perm_{tag}.jsonl"
+    with open(path, "w") as fh:
+        for r in rows:
+            if r.doc_id % 7 == 0:
+                fh.write(f'{{"doc_id": {r.doc_id}, "n_chars": OOPS\n')
+            else:
+                fh.write(f'{{"doc_id": {r.doc_id}, "n_chars": {r.n_chars}}}\n')
+    raw = (
+        spark.read.schema("doc_id bigint, n_chars bigint, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    return (
+        raw.groupBy(F.col("_bad").isNotNull().alias("is_corrupt"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("_bad").isNull(), F.col("n_chars"))).alias("good_chars"),
+        )
+    )
+
+
+@register(
+    "array_sort_comparator",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS t
+        FROM documents WHERE doc_id < 80 AND length(trim(text)) > 0
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(
+               list_sort(list_transform(t,
+                   s -> lpad(CAST(length(s) AS VARCHAR), 4, '0') || s)),
+               k -> k[5:]), ' ') AS by_len
+    FROM toks
+    """,
+)
+def array_sort_comparator(spark, sf_dir):
+    """array_sort with a CUSTOM comparator lambda (length asc, then
+    lexicographic) — the in-row ordering surface for array columns; the
+    comparator runs inside codegen, no UDF. DuckDB has no comparator
+    lambdas, so the oracle proves cross-engine semantics via the
+    classic key-decoration trick (prefix a zero-padded length key, sort,
+    strip) — same order, two formulations. Dedup first (list_distinct)
+    so ties are only between distinct equal-length tokens, fully
+    resolved by the lexicographic tiebreak."""
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter((F.col("doc_id") < 80) & (F.length(F.trim("text")) > 0))
+    )
+    t = F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+    cmp_ = lambda l, r: (
+        F.when(F.length(l) < F.length(r), -1)
+        .when(F.length(l) > F.length(r), 1)
+        .when(l < r, -1)
+        .when(l > r, 1)
+        .otherwise(0)
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(F.array_sort(t, cmp_), " ").alias("by_len"),
+    )
