@@ -6494,3 +6494,68 @@ def array_sort_comparator(spark, sf_dir):
         "doc_id",
         F.array_join(F.array_sort(t, cmp_), " ").alias("by_len"),
     )
+
+
+@register(
+    "bigram_perplexity_docs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+        WHERE len(t) >= 2
+    ),
+    cab AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+    ca AS (SELECT w1, sum(c_ab) AS c_a FROM cab GROUP BY 1),
+    vv AS (SELECT count(DISTINCT w2) AS v FROM cab)
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(-ln((cab.c_ab + 1.0) / (ca.c_a + vv.v))), 4) AS nll
+    FROM bg
+    JOIN cab USING (w1, w2) JOIN ca USING (w1) CROSS JOIN vv
+    WHERE bg.doc_id < 120
+    GROUP BY bg.doc_id
+    """,
+)
+def bigram_perplexity_docs(spark, sf_dir):
+    """Per-document negative log-likelihood under a corpus bigram model
+    with add-one smoothing — the KenLM-style fluency/quality filter
+    (high NLL = gibberish or boilerplate-free outlier, the standard
+    perplexity gate in pretraining pipelines). The corpus LM (bigram +
+    unigram-mass tables) is built once from the same tokenization and
+    joined back to each document's bigrams on (w1,w2) — at 100 TB the
+    LM tables are the small side (vocabulary-bounded) and broadcast,
+    so scoring stays a map-side pipeline over the corpus scan. Scoring
+    restricted to doc_id<120 keeps the gate payload bounded; the model
+    is always corpus-wide."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    bg = toks.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "t"
+    ).select(
+        "doc_id",
+        F.element_at("t", F.col("i")).alias("w1"),
+        F.element_at("t", F.col("i") + 1).alias("w2"),
+    )
+    bg = bg.persist()  # model build + scoring share one tokenization pass
+    cab = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    ca = cab.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
+    v = cab.select(F.countDistinct("w2").alias("v")).first()[0]
+    nll = -F.log((F.col("c_ab") + 1.0) / (F.col("c_a") + F.lit(float(v))))
+    return (
+        bg.filter(F.col("doc_id") < 120)
+        .join(cab, on=["w1", "w2"])
+        .join(ca, on="w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("nll"),
+        )
+    )

@@ -324,3 +324,42 @@ def test_tfidf_cosine_caches_postings(spark, sf_dir):
     p = plan_str(df)
     assert "InMemoryTableScan" in p
     assert has_broadcast_join(df)  # df-prune side stays broadcast
+
+
+def test_rebalance_hint_inserted(spark, sf_dir):
+    """REBALANCE hint: AQE-managed output re-partitioning (splits big
+    partitions, coalesces small) — the skew-safe pre-write layout knob,
+    unlike repartition(n)'s fixed width."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = li.hint("rebalance")._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in p
+
+
+def test_runtime_bloom_filter_join_reduction(spark, sf_dir):
+    """Runtime bloom-filter injection (Spark's semi-join reduction): a
+    selective dimension filter is turned into a bloom probe on the fact
+    side BEFORE the shuffle, cutting shuffled bytes by the join
+    selectivity — at 100 TB this is the difference between shuffling
+    the whole fact table and shuffling the matching slice. Thresholds
+    are production-scale; we lower the scan-size floor so the sf0.01
+    fixture qualifies."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, "lineitem", sf_dir)
+        o = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 400000)
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        p = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "might_contain" in p or "bloom" in p
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
