@@ -6559,3 +6559,53 @@ def bigram_perplexity_docs(spark, sf_dir):
             F.round(F.avg(nll), 4).alias("nll"),
         )
     )
+
+
+@register(
+    "chi_square_independence",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, user_id % 3 AS ubucket, count(*)::DOUBLE AS o
+        FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT o.*,
+               sum(o.o) OVER (PARTITION BY event_type) AS row_tot,
+               sum(o.o) OVER (PARTITION BY ubucket) AS col_tot,
+               sum(o.o) OVER () AS n
+        FROM obs o
+    )
+    SELECT round(sum((o - row_tot * col_tot / n) * (o - row_tot * col_tot / n)
+                     / (row_tot * col_tot / n)), 6) AS chi2,
+           count(*) AS n_cells
+    FROM margins
+    """,
+)
+def chi_square_independence(spark, sf_dir):
+    """Chi-square test of independence (event_type x user-bucket
+    contingency table) computed relationally: observed counts in one
+    partial-agg shuffle, expected counts from row/column/grand margins
+    as three windows over the TINY contingency table (cells =
+    |types| x |buckets|, never the event count), then one fold to the
+    statistic. The pattern behind drift detection and
+    feature-association screening at corpus scale: all heavy lifting
+    is the one groupBy; everything after runs on cells."""
+    ev = load_table(spark, "events", sf_dir)
+    obs = (
+        ev.groupBy("event_type", (F.col("user_id") % 3).alias("ubucket"))
+        .agg(F.count("*").cast("double").alias("o"))
+    )
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("ubucket")
+    w_all = Window.partitionBy()
+    m = obs.select(
+        "o",
+        F.sum("o").over(w_row).alias("row_tot"),
+        F.sum("o").over(w_col).alias("col_tot"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return m.agg(
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias("chi2"),
+        F.count("*").alias("n_cells"),
+    )

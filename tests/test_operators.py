@@ -256,3 +256,40 @@ def test_nested_types_parquet_roundtrip(spark, tmp_path):
     assert a.arr == [1, 2, 3] and a.m == {"a": 1.5, "b": -2.0}
     assert a.st.name == "x" and a.arr_of_st[0].k == "p"
     assert b.arr == [] and b.m == {} and b.st.vals == []
+
+
+def test_freq_items_superset(spark, sf_dir):
+    """df.stat.freqItems is a one-pass approximate heavy-hitters sketch
+    (Karp-Papadimitriou-Shenker): it may over-report but must NEVER
+    miss an item above the support threshold — the property that makes
+    it a safe pre-filter for exact counting at scale."""
+    from python_plugins_spark.sources.io import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    approx = set(ev.stat.freqItems(["event_type"], 0.2).first()[0])
+    total = ev.count()
+    truly_frequent = {
+        r.event_type
+        for r in ev.groupBy("event_type").count().collect()
+        if r["count"] > 0.2 * total
+    }
+    assert truly_frequent <= approx, (truly_frequent, approx)
+
+
+def test_sampleby_seeded_deterministic(spark, sf_dir):
+    """Stratified sampleBy with an explicit seed is reproducible within
+    an engine (retry-stable task output) and respects per-stratum
+    fractions within sampling tolerance."""
+    from python_plugins_spark.sources.io import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    fr = {"web": 0.5, "wiki": 0.1}
+    a = docs.sampleBy("source", fr, seed=7).groupBy("source").count().collect()
+    b = docs.sampleBy("source", fr, seed=7).groupBy("source").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    counts = {r.source: r["count"] for r in a}
+    base = {r.source: r["count"] for r in docs.groupBy("source").count().collect()}
+    for src, f in fr.items():
+        if src in base and base[src] >= 50:
+            got = counts.get(src, 0) / base[src]
+            assert abs(got - f) < 0.15, (src, got, f)
