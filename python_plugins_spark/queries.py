@@ -6609,3 +6609,135 @@ def chi_square_independence(spark, sf_dir):
         F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias("chi2"),
         F.count("*").alias("n_cells"),
     )
+
+
+# =====================================================================
+# Warehouse lifecycle: compaction, dynamic partition overwrite,
+# schema evolution (§2c sinks category — the table-maintenance ops a
+# 100 TB corpus store lives or dies by)
+# =====================================================================
+
+@register(
+    "compact_small_files",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS qty
+    FROM lineitem WHERE l_orderkey < 4000 GROUP BY l_returnflag
+    """,
+)
+def compact_small_files(spark, sf_dir):
+    """Small-file compaction: a fragmented dataset (32 shards — the
+    classic too-many-tasks / NameNode-pressure pathology) rewritten
+    through coalesce(2) into large files, then read back and verified
+    byte-identical by aggregate. coalesce is the right primitive here:
+    it MERGES partitions without a shuffle (repartition would pay one);
+    at 100 TB you'd target file size via
+    spark.sql.files.maxRecordsPerFile and AQE rebalance instead of a
+    fixed count. The oracle pins that compaction is content-neutral."""
+    import os
+
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") < 4000)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    frag = os.path.join(_SCRATCH, f"frag_{tag}")
+    compact = os.path.join(_SCRATCH, f"compact_{tag}")
+    li.repartition(32).write.mode("overwrite").parquet(frag)
+    frag_df = spark.read.parquet(frag)
+    frag_df.coalesce(2).write.mode("overwrite").parquet(compact)
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    n_comp = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
+    assert n_comp < n_frag, (n_frag, n_comp)
+    return (
+        spark.read.parquet(compact)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("qty"))
+    )
+
+
+@register(
+    "dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                          ELSE o_totalprice END), 4) AS total
+    FROM orders WHERE o_orderkey < 6000
+    GROUP BY o_orderstatus
+    """,
+)
+def dynamic_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite (partitionOverwriteMode=dynamic):
+    rewriting ONE partition of a partitioned table replaces only the
+    partitions present in the incoming data — the incremental-restate
+    primitive (fix yesterday's partition without touching the other
+    9,999). Static mode would truncate the whole table first; the
+    read-back proves untouched partitions survived and the restated
+    one carries the new values (status-F prices doubled)."""
+    import os
+
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 6000)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"dyn_part_{tag}")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    restated = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    (
+        restated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+    )
+
+
+@register(
+    "parquet_merge_schema_evolution",
+    oracle="""
+    SELECT
+        count(*) AS n_rows,
+        sum(CASE WHEN n_nation IS NULL THEN 1 ELSE 0 END) AS n_legacy,
+        sum(n_nation) AS nation_sum
+    FROM (
+        SELECT s_suppkey, NULL::BIGINT AS n_nation FROM supplier WHERE s_suppkey % 2 = 0
+        UNION ALL
+        SELECT s_suppkey, s_nationkey AS n_nation FROM supplier WHERE s_suppkey % 2 = 1
+    )
+    """,
+)
+def parquet_merge_schema_evolution(spark, sf_dir):
+    """Additive schema evolution on a parquet dataset: generation-1
+    files lack a column that generation-2 files carry; mergeSchema=true
+    reconciles the footers into the union schema, null-filling legacy
+    rows — how a long-lived corpus store absorbs new metadata columns
+    without rewriting history. (Footer merging scans all footers: at
+    100 TB you pin the schema in a metastore instead; the read-side
+    semantics are what's verified here.)"""
+    import os
+
+    sup = load_table(spark, "supplier", sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"evolve_{tag}")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        sup.filter(F.col("s_suppkey") % 2 == 0)
+        .select("s_suppkey")
+        .write.mode("append")
+        .parquet(path)
+    )
+    (
+        sup.filter(F.col("s_suppkey") % 2 == 1)
+        .select("s_suppkey", F.col("s_nationkey").alias("n_nation"))
+        .write.mode("append")
+        .parquet(path)
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("n_nation").isNull().cast("long")).alias("n_legacy"),
+        F.sum("n_nation").alias("nation_sum"),
+    )
