@@ -6741,3 +6741,89 @@ def parquet_merge_schema_evolution(spark, sf_dir):
         F.sum(F.col("n_nation").isNull().cast("long")).alias("n_legacy"),
         F.sum("n_nation").alias("nation_sum"),
     )
+
+
+@register(
+    "jdbc_roundtrip_partitioned",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders WHERE o_orderkey < 5000
+    GROUP BY o_orderstatus
+    """,
+)
+def jdbc_roundtrip_partitioned(spark, sf_dir):
+    """JDBC source/sink roundtrip against embedded Derby (the JDBC
+    driver shipped with Spark's own jars): write a table out, read it
+    back as a PARTITIONED scan (partitionColumn/lower/upper/
+    numPartitions=4), so the read issues 4 range-predicate queries in
+    parallel — the only way a JDBC ingest scales; an unpartitioned
+    read funnels the whole table through one task. Aggregate-only
+    pushdown caveat: Spark pushes the range predicates, not the
+    groupBy, so at 100 TB you land JDBC data into parquet once and
+    query that (this op IS that landing step)."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    url = f"jdbc:derby:{_SCRATCH}/derby_{tag};create=true"
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") < 5000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    (
+        o.write.mode("overwrite")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders_jdbc")
+        .save()
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders_jdbc")
+        .option("partitionColumn", "o_orderkey")
+        .option("lowerBound", "0")
+        .option("upperBound", "5000")
+        .option("numPartitions", "4")
+        .load()
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
+
+
+@register(
+    "str_to_map_stack_unpivot",
+    oracle="""
+    SELECT o_orderkey, k, v FROM (
+        SELECT o_orderkey, 'status' AS k, o_orderstatus AS v
+        FROM orders WHERE o_orderkey < 300
+        UNION ALL
+        SELECT o_orderkey, 'prio', o_orderpriority
+        FROM orders WHERE o_orderkey < 300
+    )
+    """,
+)
+def str_to_map_stack_unpivot(spark, sf_dir):
+    """Key=value wire-format parsing (str_to_map) + stack() row
+    generation: serialize attributes to 'k=v;k=v', parse back to a map,
+    then unpivot map lookups into (key, value) rows with stack — the
+    pattern for ingesting loosely-typed kv logs (the reference's
+    record-as-dict worldview, PythonObjectsEncoder.java:38-213) into
+    relational form. All codegen: str_to_map and stack are native
+    expressions; stack is the fixed-arity UNPIVOT (see
+    unpivot_lineitem_measures for the API form)."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 300)
+    kv = F.concat(
+        F.lit("status="), F.col("o_orderstatus"),
+        F.lit(";prio="), F.col("o_orderpriority"),
+    )
+    m = F.expr("str_to_map(kv, ';', '=')")
+    return (
+        o.select("o_orderkey", kv.alias("kv"))
+        .select("o_orderkey", m.alias("m"))
+        .select(
+            "o_orderkey",
+            F.expr("stack(2, 'status', m['status'], 'prio', m['prio']) AS (k, v)"),
+        )
+    )
