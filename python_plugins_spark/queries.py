@@ -6827,3 +6827,151 @@ def str_to_map_stack_unpivot(spark, sf_dir):
             F.expr("stack(2, 'status', m['status'], 'prio', m['prio']) AS (k, v)"),
         )
     )
+
+
+@register(
+    "multimodal_audio_frame_energy",
+    oracle="""
+    WITH clips AS (
+        SELECT doc_id FROM documents WHERE doc_id < 50
+    ),
+    wins AS (
+        SELECT doc_id, s AS win_start
+        FROM clips, LATERAL (SELECT unnest(generate_series(0, 120, 20)) AS s)
+    )
+    SELECT doc_id, win_start,
+           round(sqrt(list_sum(list_transform(generate_series(win_start, win_start + 39),
+                 i -> pow((((doc_id * 31 + i * 17) % 201 - 100) / 100.0), 2))) / 40.0),
+                 6) AS rms
+    FROM wins
+    """,
+)
+def multimodal_audio_frame_energy(spark, sf_dir):
+    """Audio feature extraction plumbing: framed RMS energy over a
+    sliding window (40-sample frames, hop 20 — the standard STFT
+    windowing shape). The waveform is a deterministic synthetic PCM
+    recurrence (no audio libs in this container — the decode stub
+    pattern of multimodal_fake_decode), but the windowing math, frame
+    fan-out, and in-order energy fold are the real pipeline: per-clip
+    arrays stay row-local (sequence -> transform -> slice -> fold, all
+    codegen, zero shuffle), which is exactly how you'd frame 100 TB of
+    decoded PCM without moving it."""
+    clips = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50).select("doc_id")
+    samples = F.transform(
+        F.sequence(F.lit(0), F.lit(159)),
+        lambda i: ((F.col("doc_id") * 31 + i * 17) % 201 - 100) / 100.0,
+    )
+    wins = clips.select(
+        "doc_id",
+        samples.alias("pcm"),
+        F.explode(F.sequence(F.lit(0), F.lit(120), F.lit(20))).alias("win_start"),
+    )
+    frame = F.slice("pcm", F.col("win_start") + 1, 40)
+    energy = F.aggregate(frame, F.lit(0.0), lambda acc, x: acc + x * x)
+    return wins.select(
+        "doc_id",
+        "win_start",
+        F.round(F.sqrt(energy / 40.0), 6).alias("rms"),
+    )
+
+
+@register(
+    "image_patch_grid",
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id,
+               (64 + (doc_id % 5) * 32)::INT AS w,
+               (48 + (doc_id % 3) * 16)::INT AS h
+        FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id, px, py,
+           px * 16 AS x0, py * 16 AS y0,
+           least(px * 16 + 16, w) AS x1, least(py * 16 + 16, h) AS y1
+    FROM imgs,
+         LATERAL (SELECT unnest(generate_series(0, (w + 15) // 16 - 1)) AS px),
+         LATERAL (SELECT unnest(generate_series(0, (h + 15) // 16 - 1)) AS py)
+    """,
+)
+def image_patch_grid(spark, sf_dir):
+    """ViT-style image patch extraction plumbing: from per-image
+    (width, height) metadata — here a deterministic synthetic shape, as
+    the container has no image libs — derive the 16x16 patch grid with
+    edge clamping, fanning each image out to its patch coordinate rows.
+    This is the schema + fan-out half of vision preprocessing (the
+    pixel gather happens inside the decode UDF at the produced
+    offsets); double explode is narrow, so patching 100 TB of images
+    is shuffle-free."""
+    imgs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            (64 + (F.col("doc_id") % 5) * 32).cast("int").alias("w"),
+            (48 + (F.col("doc_id") % 3) * 16).cast("int").alias("h"),
+        )
+    )
+    px = F.explode(F.sequence(F.lit(0), ((F.col("w") + 15) / 16).cast("int") - 1)).alias("px")
+    out = imgs.select("doc_id", "w", "h", px)
+    py = F.explode(F.sequence(F.lit(0), ((F.col("h") + 15) / 16).cast("int") - 1)).alias("py")
+    out = out.select("doc_id", "w", "h", "px", py)
+    return out.select(
+        "doc_id",
+        "px",
+        "py",
+        (F.col("px") * 16).alias("x0"),
+        (F.col("py") * 16).alias("y0"),
+        F.least(F.col("px") * 16 + 16, F.col("w")).alias("x1"),
+        F.least(F.col("py") * 16 + 16, F.col("h")).alias("y1"),
+    )
+
+
+@register(
+    "sentence_split_docs",
+    oracle="""
+    WITH marked AS (
+        SELECT doc_id,
+               regexp_replace(trim(text) || ' ', '((\\S+ ){8})', '\\1@@ ', 'g') AS mt
+        FROM documents WHERE doc_id < 100 AND length(trim(text)) > 0
+    ),
+    sent AS (
+        SELECT doc_id, trim(s) AS s, i
+        FROM (SELECT doc_id, string_split(mt, '@@') AS parts FROM marked),
+             LATERAL (SELECT unnest(parts) AS s,
+                             unnest(generate_series(1, len(parts))) AS i)
+        WHERE length(trim(s)) > 0
+    )
+    SELECT doc_id, i AS sent_idx, length(s) AS n_chars, md5(s) AS sent_md5
+    FROM sent
+    """,
+)
+def sentence_split_docs(spark, sf_dir):
+    """Sentence segmentation with ordinal positions — the unit-of-text
+    operator under chunkers, quality filters, and contamination checks.
+    The synthetic corpus carries no terminal punctuation, so boundaries
+    are first INJECTED deterministically (after every 8th token, via an
+    engine-portable regexp_replace) and then segmented — exercising the
+    real split/ordinal/fan-out path on genuinely multi-sentence rows.
+    posexplode keeps the sentence index so downstream ops can
+    reconstruct order; empty tail fragments are dropped symmetrically
+    in both engines.
+    Narrow 1->N fan-out over the corpus scan; sentence payloads leave
+    as md5 so the gate stays light."""
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter((F.col("doc_id") < 100) & (F.length(F.trim("text")) > 0))
+    )
+    marked = F.regexp_replace(
+        F.concat(F.trim("text"), F.lit(" ")), r"((\S+ ){8})", "$1@@ "
+    )
+    parts = F.split(marked, "@@")
+    sent = (
+        docs.select("doc_id", F.posexplode(parts).alias("pos", "s"))
+        .select("doc_id", (F.col("pos") + 1).alias("sent_idx"), F.trim("s").alias("s"))
+        .filter(F.length("s") > 0)
+    )
+    return sent.select(
+        "doc_id",
+        "sent_idx",
+        F.length("s").alias("n_chars"),
+        F.md5("s").alias("sent_md5"),
+    )
