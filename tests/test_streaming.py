@@ -265,3 +265,84 @@ def test_stream_stream_left_outer_join(spark, tmp_path):
         assert got.get(2) is False, got  # NULL-padded emit after eviction
     finally:
         q.stop()
+
+
+def test_stateful_event_time_timeout_session_close(spark, tmp_path):
+    """applyInPandasWithState with EventTimeTimeout: a per-user session
+    accumulates across micro-batches; when the watermark passes the
+    session's timeout timestamp (last event + 5 min gap), the function
+    is re-invoked with hasTimedOut=True, emits the closed session, and
+    removes the state — the full lifecycle of a custom session-gap
+    operator (state is provably bounded: closed keys leave the store)."""
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+
+    def write(rows):
+        spark.createDataFrame(rows, "user string, ts_s string, v double").select(
+            "user", F.col("ts_s").cast("timestamp").alias("ts"), "v"
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    GAP_MS = 5 * 60 * 1000
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            n, tot = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user": [key[0]], "n": [int(n)], "total": [float(tot)], "closed": [True]}
+            )
+        else:
+            n, tot, last_ms = 0, 0.0, 0
+            for pdf in pdfs:
+                n += len(pdf)
+                tot += float(pdf["v"].sum())
+                last_ms = max(last_ms, int(pdf["ts"].max().timestamp() * 1000))
+            if state.exists:
+                pn, pt = state.get
+                n += pn
+                tot += pt
+            state.update((n, tot))
+            state.setTimeoutTimestamp(last_ms + GAP_MS)
+            yield pd.DataFrame(
+                {"user": [key[0]], "n": [int(n)], "total": [float(tot)], "closed": [False]}
+            )
+
+    # batch 1: user A's session (10:00, 10:02)
+    write([("A", "2024-01-01 10:00:00", 1.0), ("A", "2024-01-01 10:02:00", 2.0)])
+    # batches 2+3: user B far ahead — advances the watermark past A's
+    # timeout (10:07); two batches because the in-force watermark lags
+    write([("B", "2024-01-01 10:30:00", 5.0)])
+    write([("B", "2024-01-01 10:31:00", 5.0)])
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    out = stream.groupBy("user").applyInPandasWithState(
+        fn,
+        outputStructType="user string, n int, total double, closed boolean",
+        stateStructType="n int, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = "sess_timeout_sink"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    closed = [r for r in rows if r.closed and r.user == "A"]
+    assert len(closed) == 1, rows
+    assert closed[0].n == 2 and abs(closed[0].total - 3.0) < 1e-9, closed
