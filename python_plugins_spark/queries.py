@@ -6975,3 +6975,169 @@ def sentence_split_docs(spark, sf_dir):
         F.length("s").alias("n_chars"),
         F.md5("s").alias("sent_md5"),
     )
+
+
+@register(
+    "uuid5_deterministic_ids",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, md5('pps:doc:' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-5' ||
+           substr(hx, 14, 3) || '-' ||
+           CASE substr(hx, 17, 1)
+                WHEN '0' THEN '8' WHEN '1' THEN '9' WHEN '2' THEN 'a' WHEN '3' THEN 'b'
+                WHEN '4' THEN '8' WHEN '5' THEN '9' WHEN '6' THEN 'a' WHEN '7' THEN 'b'
+                WHEN '8' THEN '8' WHEN '9' THEN '9' WHEN 'a' THEN 'a' WHEN 'b' THEN 'b'
+                WHEN 'c' THEN '8' WHEN 'd' THEN '9' WHEN 'e' THEN 'a' ELSE 'b' END ||
+           substr(hx, 18, 3) || '-' || substr(hx, 21, 12) AS stable_uuid
+    FROM h
+    """,
+)
+def uuid5_deterministic_ids(spark, sf_dir):
+    """Deterministic namespaced UUIDs (v5-style: name hash + fixed
+    version/variant bits) — stable cross-system join keys minted from
+    content identity, unlike uuid()'s per-run randomness which breaks
+    retries and reconciliation. Pure string/bit surgery on md5(name):
+    narrow map, no shuffle, reproducible everywhere. The variant
+    nibble folds the top two bits to RFC-4122's 10xx pattern — spelled
+    as an explicit hex CASE so both engines compute identical bytes."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    hx = F.md5(F.concat(F.lit("pps:doc:"), F.col("doc_id").cast("string")))
+    variant_map = {
+        **{c: "8" for c in "048c"}, **{c: "9" for c in "159d"},
+        **{c: "a" for c in "26ae"}, **{c: "b" for c in "37bf"},
+    }
+    vcol = F.substring(hx, 17, 1)
+    variant = F.lit("b")
+    for k, v in list(variant_map.items())[:-1]:
+        variant = F.when(vcol == k, v).otherwise(variant)
+    uuid5 = F.concat_ws(
+        "-",
+        F.substring(hx, 1, 8),
+        F.substring(hx, 9, 4),
+        F.concat(F.lit("5"), F.substring(hx, 14, 3)),
+        F.concat(variant, F.substring(hx, 18, 3)),
+        F.substring(hx, 21, 12),
+    )
+    return docs.select("doc_id", uuid5.alias("stable_uuid"))
+
+
+@register(
+    "zscore_broadcast_stats",
+    oracle="""
+    WITH stats AS (
+        SELECT avg(l_quantity) AS mq, stddev_samp(l_quantity) AS sq,
+               avg(l_extendedprice) AS mp, stddev_samp(l_extendedprice) AS sp
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           round((l_quantity - mq) / sq, 4) AS z_qty,
+           round((l_extendedprice - mp) / sp, 4) AS z_price
+    FROM lineitem, stats
+    WHERE l_orderkey < 1000
+    """,
+)
+def zscore_broadcast_stats(spark, sf_dir):
+    """Global standardization (z-score) via the two-pass broadcast
+    pattern: ONE aggregate computes all moments in a single scan (a
+    1-row stats relation), which then broadcast-joins back onto the
+    fact — the distributed formulation of fit/transform. Contrast with
+    applyinpandas_zscore (per-group, pandas): this one is whole-corpus,
+    pure JVM, and the stats side is O(1) regardless of data size. At
+    100 TB the two scans are the cost — observe() can piggyback pass 1
+    onto an existing job."""
+    li = load_table(spark, "lineitem", sf_dir)
+    stats = li.agg(
+        F.avg("l_quantity").alias("mq"),
+        F.stddev_samp("l_quantity").alias("sq"),
+        F.avg("l_extendedprice").alias("mp"),
+        F.stddev_samp("l_extendedprice").alias("sp"),
+    )
+    return (
+        li.filter(F.col("l_orderkey") < 1000)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round((F.col("l_quantity") - F.col("mq")) / F.col("sq"), 4).alias("z_qty"),
+            F.round((F.col("l_extendedprice") - F.col("mp")) / F.col("sp"), 4).alias("z_price"),
+        )
+    )
+
+
+@register(
+    "json_schema_inference",
+    oracle="""
+    SELECT n_chars // 100 AS len_bucket, count(*) AS n,
+           sum(doc_id) AS id_sum
+    FROM documents WHERE doc_id % 7 <> 0
+    GROUP BY len_bucket
+    """,
+)
+def json_schema_inference(spark, sf_dir):
+    """Schema-on-read: the JSON source with NO declared schema — Spark
+    samples the file, infers field names/types, and the inferred frame
+    feeds a typed aggregate. The operational surface for landing
+    unknown feeds; at 100 TB you cap the sampling cost
+    (samplingRatio) or pin the schema after first contact (inference
+    is an extra pass by design). Reuses the dropmalformed fixture's
+    good lines so inference also proves tolerant-reader behavior."""
+    import os
+
+    rows = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "n_chars")
+        .filter(F.col("doc_id") % 7 != 0)
+        .orderBy("doc_id")
+        .collect()
+    )
+    os.makedirs(_SCRATCH, exist_ok=True)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"{_SCRATCH}/infer_{tag}.jsonl"
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(f'{{"doc_id": {r.doc_id}, "n_chars": {r.n_chars}}}\n')
+    inferred = spark.read.json(path)  # no schema: inference pass
+    assert set(inferred.columns) == {"doc_id", "n_chars"}, inferred.columns
+    return (
+        inferred.groupBy((F.col("n_chars") / 100).cast("long").alias("len_bucket"))
+        .agg(F.count("*").alias("n"), F.sum("doc_id").alias("id_sum"))
+    )
+
+
+@register(
+    "from_csv_line_parse",
+    oracle="""
+    SELECT o_orderkey,
+           string_split(CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus || ',' ||
+                        CAST(round(o_totalprice, 2) AS VARCHAR), ',')[2] AS status,
+           round(CAST(string_split(CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus || ',' ||
+                        CAST(round(o_totalprice, 2) AS VARCHAR), ',')[3] AS DOUBLE), 2) AS price
+    FROM orders WHERE o_orderkey < 400
+    """,
+)
+def from_csv_line_parse(spark, sf_dir):
+    """Embedded-CSV column parsing (from_csv): delimited lines INSIDE a
+    column — the log-ingestion shape where each record carries a CSV
+    payload — parsed into a typed struct by the expression engine (no
+    second scan, no UDF). The inverse (to_csv) serializes the line
+    here, so the query is a full codec roundtrip; DuckDB replays it
+    with split-and-cast."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 400)
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round("o_totalprice", 2).cast("string"),
+    )
+    return o.select("o_orderkey", line.alias("line")).select(
+        "o_orderkey",
+        F.from_csv(F.col("line"), F.lit("k BIGINT, status STRING, price DOUBLE")).alias("p"),
+    ).select(
+        "o_orderkey",
+        F.col("p.status").alias("status"),
+        F.round("p.price", 2).alias("price"),
+    )
