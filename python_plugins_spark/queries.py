@@ -7141,3 +7141,128 @@ def from_csv_line_parse(spark, sf_dir):
         F.col("p.status").alias("status"),
         F.round("p.price", 2).alias("price"),
     )
+
+
+@register(
+    "degree_distribution_graph",
+    oracle="""
+    WITH dedges AS (
+        SELECT DISTINCT user_id AS src,
+               (json_extract_string(props, '$.k')::BIGINT * 7) % 150 AS dst
+        FROM events
+        WHERE user_id <> (json_extract_string(props, '$.k')::BIGINT * 7) % 150
+    ),
+    ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM dedges),
+    deg AS (
+        SELECT node, count(*) AS degree
+        FROM (SELECT a AS node FROM ue UNION ALL SELECT b FROM ue)
+        GROUP BY node
+    )
+    SELECT degree, count(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def degree_distribution_graph(spark, sf_dir):
+    """Degree distribution of the undirected event graph — the first
+    diagnostic for any graph workload (skew census: a power-law tail
+    is exactly the key-skew that breaks joins, so this histogram IS
+    the input to salting / degree-orientation decisions for
+    pagerank_events_graph and triangle_count_graph). Two key-partitioned
+    aggregates over the edge list; the second runs on the tiny
+    (node, degree) relation."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    dst = (k * 7) % 150
+    edges = (
+        ev.select(F.col("user_id").alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    nodes = edges.select(F.col("a").alias("node")).unionAll(
+        edges.select(F.col("b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+@register(
+    "date_dim_generate",
+    oracle="""
+    SELECT strftime(d, '%Y-%m-%d') AS d,
+           CAST(isodow(d) AS INT) AS iso_dow,
+           CAST(isodow(d) IN (6, 7) AS BOOLEAN) AS is_weekend,
+           CAST(month(d) AS INT) AS month,
+           CAST(quarter(d) AS INT) AS quarter,
+           strftime(d, '%Y-%m') AS year_month
+    FROM generate_series(DATE '1995-01-01', DATE '1995-12-31', INTERVAL 1 DAY) t(d)
+    """,
+)
+def date_dim_generate(spark, sf_dir):
+    """Generated calendar dimension (one year of days with ISO weekday,
+    weekend flag, month/quarter, year-month key) — the standard
+    broadcast-side date spine for fiscal rollups and gap-free
+    time-series joins. Born from sequence(), never read from disk; at
+    any scale this relation is a few KB and always the broadcast side.
+    ISO weekday (Mon=1..Sun=7) is computed portably from the known
+    epoch anchor, pinning cross-engine weekday semantics (see
+    date_arithmetic_orders for the extraction-function family)."""
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    # Spark dayofweek: Sun=1..Sat=7 -> ISO Mon=1..Sun=7
+    iso_dow = ((F.dayofweek("d") + 5) % 7 + 1).cast("int")
+    return days.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        iso_dow.alias("iso_dow"),
+        iso_dow.isin(6, 7).alias("is_weekend"),
+        F.month("d").cast("int").alias("month"),
+        F.quarter("d").cast("int").alias("quarter"),
+        F.date_format("d", "yyyy-MM").alias("year_month"),
+    )
+
+
+@register(
+    "write_audit_publish",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n, round(sum(c_acctbal), 4) AS bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def write_audit_publish(spark, sf_dir):
+    """Write-Audit-Publish: land data in an invisible staging location,
+    AUDIT it there (row-count reconciliation + a null-key expectation —
+    the audit reads staging, never the source of truth), and only then
+    atomically promote it to the published path (directory rename; on
+    a real lakehouse this is the Iceberg/Delta branch-commit). Readers
+    of the published path never observe a partial write — the
+    correctness contract the pattern exists for. The gate reads the
+    PUBLISHED copy."""
+    import os
+    import shutil
+
+    c = load_table(spark, "customer", sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    staging = os.path.join(_SCRATCH, f"wap_staging_{tag}")
+    published = os.path.join(_SCRATCH, f"wap_published_{tag}")
+    c.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    # audit: volume + integrity expectations against STAGING
+    n_src, n_stg = c.count(), staged.count()
+    assert n_stg == n_src, (n_src, n_stg)
+    assert staged.filter(F.col("c_custkey").isNull()).count() == 0
+    # publish: atomic swap
+    shutil.rmtree(published, ignore_errors=True)
+    os.rename(staging, published)
+    return (
+        spark.read.parquet(published)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 4).alias("bal"))
+    )
