@@ -7266,3 +7266,116 @@ def write_audit_publish(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 4).alias("bal"))
     )
+
+
+@register(
+    "winsorize_doc_lengths",
+    oracle="""
+    WITH bounds AS (
+        SELECT quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n,
+           round(avg(least(greatest(n_chars::DOUBLE, lo), hi)), 4) AS wins_mean,
+           sum(CASE WHEN n_chars::DOUBLE < lo OR n_chars::DOUBLE > hi
+                    THEN 1 ELSE 0 END) AS n_clamped
+    FROM documents, bounds
+    GROUP BY source
+    """,
+)
+def winsorize_doc_lengths(spark, sf_dir):
+    """Winsorization (clamp to [p05, p95]) of document lengths — the
+    outlier-robust preprocessing gate before any mean-based corpus
+    statistic (a handful of mega-documents otherwise dominate
+    per-source averages and batch-size planning). Same two-pass
+    broadcast shape as zscore_broadcast_stats: exact interpolated
+    percentiles in one aggregate (Spark percentile == DuckDB
+    quantile_cont), 1-row bounds relation broadcast back, clamp is
+    codegen least/greatest. n_clamped reports the tail mass actually
+    touched."""
+    docs = load_table(spark, "documents", sf_dir)
+    bounds = docs.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    x = F.col("n_chars").cast("double")
+    clamped = F.least(F.greatest(x, F.col("lo")), F.col("hi"))
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(clamped), 4).alias("wins_mean"),
+            F.sum(((x < F.col("lo")) | (x > F.col("hi"))).cast("long")).alias("n_clamped"),
+        )
+    )
+
+
+@register(
+    "corpus_pipeline_end_to_end",
+    oracle="""
+    WITH clean AS (
+        SELECT doc_id, source, trim(text) AS text
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    dedup AS (
+        SELECT min(doc_id) AS doc_id, min_by(source, doc_id) AS source, text
+        FROM clean GROUP BY text
+    ),
+    tagged AS (
+        SELECT *,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+                    ELSE 'test' END AS split,
+               string_split_regex(text, '\\s+') AS toks
+        FROM dedup
+    ),
+    chunks AS (
+        SELECT split, source, len(toks[s + 1 : s + 64]) AS n_tokens
+        FROM tagged,
+             LATERAL (SELECT unnest(generate_series(0, len(toks) - 1, 48)) AS s)
+    )
+    SELECT split, source, count(*) AS n_chunks, sum(n_tokens) AS total_tokens
+    FROM chunks GROUP BY split, source
+    """,
+)
+def corpus_pipeline_end_to_end(spark, sf_dir):
+    """The composed corpus pipeline in ONE dataflow — clean -> exact
+    dedup (min-id survivor per content) -> leakage-safe md5 split ->
+    64/48 sliding chunking -> per-(split,source) token audit — proving
+    the engine's operators COMPOSE as lazy declarative stages: Catalyst
+    sees the whole graph at once (the dedup groupBy is the single
+    shuffle; tagging, chunking, and audit fold into the surrounding
+    stages), which is the point of building on a planner instead of
+    wiring stage-by-stage like the reference's host DAG
+    (BasePythonTransformTest.java:215-222). Dedup keyed on full text
+    here; at 100 TB key on md5(text) so the shuffle carries 16-byte
+    keys, and the chunk audit becomes the corpus's training-readiness
+    report."""
+    docs = load_table(spark, "documents", sf_dir)
+    clean = (
+        docs.select("doc_id", "source", F.trim("text").alias("text"))
+        .filter(F.length("text") > 0)
+    )
+    dedup = clean.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.min_by("source", "doc_id").alias("source")
+    )
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    tagged = dedup.select(
+        "doc_id",
+        "source",
+        F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test").alias("split"),
+        F.split("text", r"\s+").alias("toks"),
+    )
+    chunks = tagged.select(
+        "split",
+        "source",
+        F.explode(F.sequence(F.lit(0), F.size("toks") - 1, F.lit(48))).alias("s"),
+        "toks",
+    ).select(
+        "split", "source", F.size(F.slice("toks", F.col("s") + 1, 64)).alias("n_tokens")
+    )
+    return chunks.groupBy("split", "source").agg(
+        F.count("*").alias("n_chunks"), F.sum("n_tokens").alias("total_tokens")
+    )
