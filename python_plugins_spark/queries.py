@@ -5524,10 +5524,11 @@ def triangle_count_graph(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir)
     k = F.get_json_object("props", "$.k").cast("long")
     dst = (k * 7) % 150
+    # no pre-canonical distinct: the post-canonical one subsumes it
+    # ((u,v) and (v,u) both land on (min,max)) — saves a full shuffle
     edges = (
         ev.select(F.col("user_id").alias("src"), dst.alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
         .select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
@@ -7176,7 +7177,6 @@ def degree_distribution_graph(spark, sf_dir):
     edges = (
         ev.select(F.col("user_id").alias("src"), dst.alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
         .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
     )
