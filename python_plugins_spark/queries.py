@@ -7180,9 +7180,9 @@ def degree_distribution_graph(spark, sf_dir):
         .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
     )
-    nodes = edges.select(F.col("a").alias("node")).unionAll(
-        edges.select(F.col("b").alias("node"))
-    )
+    # explode, not union: a union would instantiate the deduped edge
+    # subtree twice in the plan; the narrow 1->2 fan-out reads it once
+    nodes = edges.select(F.explode(F.array("a", "b")).alias("node"))
     deg = nodes.groupBy("node").agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
 

@@ -363,3 +363,21 @@ def test_runtime_bloom_filter_join_reduction(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_corpus_pipeline_shuffle_budget(spark, sf_dir):
+    """The composed clean->dedup->split->chunk->audit pipeline must
+    cost exactly 2 shuffles (content dedup + final audit aggregate):
+    tagging and chunking are narrow and fold into those stages. More
+    exchanges would mean a stage boundary crept into the map-side
+    chain."""
+    df = QUERIES["corpus_pipeline_end_to_end"](spark, sf_dir)
+    assert count_shuffles(df) == 2
+
+
+def test_graph_edges_single_distinct_shuffle(spark, sf_dir):
+    """Canonical undirected edge derivation dedups ONCE (after
+    least/greatest canonicalization) — the pre-canonical distinct it
+    used to carry was a second full shuffle of the edge list."""
+    df = QUERIES["degree_distribution_graph"](spark, sf_dir)
+    assert count_shuffles(df) == 3  # canonical distinct + 2 degree aggs

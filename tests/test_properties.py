@@ -133,3 +133,17 @@ def test_schema_bridge_roundtrip(types):
     )
     back = cdap_schema_to_spark(spark_schema_to_cdap(schema))
     assert back == schema
+
+
+def test_uuid5_format_and_stability(spark, sf_dir):
+    """Minted UUIDs are RFC-4122-shaped (version 5, variant 10xx) and
+    a pure function of the key: two evaluations agree exactly."""
+    import re
+
+    from python_plugins_spark.queries import QUERIES
+
+    a = {r.doc_id: r.stable_uuid for r in QUERIES["uuid5_deterministic_ids"](spark, sf_dir).collect()}
+    b = {r.doc_id: r.stable_uuid for r in QUERIES["uuid5_deterministic_ids"](spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
+    pat = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$")
+    assert all(pat.match(u) for u in a.values()), list(a.values())[:3]
