@@ -7379,3 +7379,63 @@ def corpus_pipeline_end_to_end(spark, sf_dir):
     return chunks.groupBy("split", "source").agg(
         F.count("*").alias("n_chunks"), F.sum("n_tokens").alias("total_tokens")
     )
+
+
+@register(
+    "vocab_overlap_sources",
+    oracle="""
+    WITH st AS (
+        SELECT DISTINCT source, unnest(str_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    sizes AS (SELECT source, count(*) AS nv FROM st GROUP BY 1),
+    inter AS (
+        SELECT a.source AS s1, b.source AS s2, count(*) AS n_common
+        FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT s1, s2, n_common,
+           round(n_common / (za.nv + zb.nv - n_common)::DOUBLE, 6) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.source = s1
+    JOIN sizes zb ON zb.source = s2
+    """,
+)
+def vocab_overlap_sources(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between corpus sources — the
+    domain-drift / near-duplicate-source detector run before choosing
+    mixing weights (two sources sharing 95% vocabulary are one domain;
+    one drifting over time flags contamination). Shape: distinct
+    (source, term) projection — vocabulary-bounded, tiny vs the corpus
+    — self-joined on term; per-term fan-out is #sources carrying the
+    term (bounded by the source count, not corpus size). Marginal
+    sizes broadcast back; the corpus itself is scanned once."""
+    docs = load_table(spark, "documents", sf_dir)
+    st = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("source", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"))
+        .distinct()
+    )
+    st = st.persist()  # vocab table feeds sizes + both join sides
+    sizes = st.groupBy("source").agg(F.count("*").alias("nv"))
+    a = st.alias("a")
+    b = st.alias("b")
+    inter = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    return (
+        inter.join(F.broadcast(za), F.col("za.source") == F.col("s1"))
+        .join(F.broadcast(zb), F.col("zb.source") == F.col("s2"))
+        .select(
+            "s1", "s2", "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("za.nv") + F.col("zb.nv") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
