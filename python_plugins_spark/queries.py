@@ -7439,3 +7439,49 @@ def vocab_overlap_sources(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "applyinarrow_group_profile",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+           round(min(l_discount), 4) AS min_disc,
+           round(max(l_discount), 4) AS max_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def applyinarrow_group_profile(spark, sf_dir):
+    """groupBy().applyInArrow (Spark 4): grouped-map where user code
+    receives each group as a raw pyarrow Table — the zero-pandas
+    sibling of applyInPandas (no DataFrame conversion cost, columnar
+    end-to-end), the right surface for Arrow-native libraries
+    (polars/datafusion-style kernels) over grouped data. One shuffle
+    on the group key; the per-group profile runs in pyarrow.compute.
+    Complements mapInArrow (partition-wise, mapinarrow_filtered_net)
+    with keyed semantics."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def profile(t: pa.Table) -> pa.Table:
+        # exact integer-cents sum: float summation order is shuffle-
+        # dependent, so the auditable total is fixed-point
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": [t["l_returnflag"][0].as_py()],
+                "n": [t.num_rows],
+                "price_cents": [pc.sum(cents).as_py() or 0],
+                "min_disc": [round(pc.min(t["l_discount"]).as_py(), 4)],
+                "max_disc": [round(pc.max(t["l_discount"]).as_py(), 4)],
+            }
+        )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    return li.groupBy("l_returnflag").applyInArrow(
+        profile,
+        schema="l_returnflag string, n long, price_cents long, min_disc double, max_disc double",
+    )

@@ -376,3 +376,21 @@ def transform(record, emitter, context):
     assert out.big == 2**52
     assert abs(out.as_float - 1.5) < 1e-6
     assert out.missing is None
+
+
+def test_toarrow_driver_interchange(spark, sf_dir):
+    """DataFrame.toArrow (Spark 4): the driver-side Arrow interchange
+    surface — results hand off to pyarrow/polars/duckdb without a
+    pandas hop. Values must match a collect() exactly."""
+    import pyarrow as pa
+
+    from python_plugins_spark.sources.io import load_table
+
+    df = (
+        load_table(spark, "nation", sf_dir)
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+    t = df.toArrow()
+    assert isinstance(t, pa.Table)
+    assert t.column("n_nationkey").to_pylist() == [r.n_nationkey for r in df.collect()]
