@@ -7485,3 +7485,59 @@ def applyinarrow_group_profile(spark, sf_dir):
         profile,
         schema="l_returnflag string, n long, price_cents long, min_disc double, max_disc double",
     )
+
+
+@register(
+    "udtf_table_arg_sessions",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+           round(max(value), 4) AS max_value
+    FROM events
+    WHERE user_id < 30
+    GROUP BY user_id
+    """,
+)
+def udtf_table_arg_sessions(spark, sf_dir):
+    """Python UDTF over a TABLE argument with PARTITION BY (Spark 4):
+    the table function consumes each user's rows as a keyed stream
+    (eval per row, terminate per partition) — the SQL-native face of a
+    custom per-key aggregator, same execution contract as the
+    reference's whole-stream evaluator (PythonEvaluator.java:262-266)
+    but with engine-managed keying: Spark shuffles on the PARTITION BY
+    column and feeds each group to one UDTF instance. max is
+    order-insensitive and counts are integers, so results are exact
+    under any arrival order."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, n_purchases bigint, max_value double")
+    class UserProfile:
+        def __init__(self):
+            self.uid = None
+            self.n = 0
+            self.np = 0
+            self.vmax = None
+
+        def eval(self, row):
+            self.uid = row["user_id"]
+            self.n += 1
+            if row["event_type"] == "purchase":
+                self.np += 1
+            v = float(row["value"])
+            self.vmax = v if self.vmax is None else max(self.vmax, v)
+
+        def terminate(self):
+            if self.uid is not None:
+                yield (self.uid, self.n, self.np, round(self.vmax, 4))
+
+    spark.udtf.register("user_profile_udtf", UserProfile)
+    (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "event_type", "value")
+        .createOrReplaceTempView("_udtf_tbl_events")
+    )
+    return spark.sql(
+        "SELECT * FROM user_profile_udtf(TABLE(_udtf_tbl_events) PARTITION BY user_id)"
+    )
