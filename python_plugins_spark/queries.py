@@ -7541,3 +7541,98 @@ def udtf_table_arg_sessions(spark, sf_dir):
     return spark.sql(
         "SELECT * FROM user_profile_udtf(TABLE(_udtf_tbl_events) PARTITION BY user_id)"
     )
+
+
+@register(
+    "udtf_ordered_sessions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE user_id < 40
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(CASE WHEN prev_ts IS NULL
+                      OR date_diff('second', prev_ts, ts) > 3600
+                    THEN 1 ELSE 0 END) AS n_sessions
+    FROM seq GROUP BY user_id
+    """,
+)
+def udtf_ordered_sessions(spark, sf_dir):
+    """Python UDTF over TABLE(...) PARTITION BY ... ORDER BY (Spark 4):
+    the engine delivers each user's events IN TIME ORDER to a stateful
+    row-at-a-time function — order-sensitive keyed streaming over a
+    batch table, here counting 1-hour-gap sessions with a one-variable
+    state machine. This is the exact computational contract of the
+    reference's per-record evaluator (initialize/transform/destroy,
+    Py4jPythonExecutor.java:139-223) with Spark doing the shuffle AND
+    the sort; the window-function oracle proves the imperative and
+    declarative formulations agree."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, n_sessions bigint")
+    class SessionCounter:
+        def __init__(self):
+            self.uid = None
+            self.n = 0
+            self.sessions = 0
+            self.last_epoch = None
+
+        def eval(self, row):
+            self.uid = row["user_id"]
+            self.n += 1
+            e = row["ts"].timestamp()
+            if self.last_epoch is None or e - self.last_epoch > 3600:
+                self.sessions += 1
+            self.last_epoch = e
+
+        def terminate(self):
+            if self.uid is not None:
+                yield (self.uid, self.n, self.sessions)
+
+    spark.udtf.register("session_counter_udtf", SessionCounter)
+    (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") < 40)
+        .select("user_id", "event_id", "ts")
+        .createOrReplaceTempView("_udtf_sess_events")
+    )
+    return spark.sql(
+        """
+        SELECT * FROM session_counter_udtf(
+            TABLE(_udtf_sess_events) PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        """
+    )
+
+
+@register(
+    "pivot_multi_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F_n,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS F_qty,
+           count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_n,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS O_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_multi_agg(spark, sf_dir):
+    """Pivot with MULTIPLE aggregates per pivot value (count + sum per
+    line status): Spark expands to one hash aggregate with
+    conditionally-filtered aggregation expressions — exactly the CASE
+    matrix the oracle spells out, proving no extra pass per measure.
+    Pivot values are enumerated explicitly ('F','O'), which at scale
+    skips the distinct-value discovery job (an unenumerated pivot
+    costs one extra scan)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("qty"))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F_n"), F.col("F_qty"), F.col("O_n"), F.col("O_qty"),
+    )
