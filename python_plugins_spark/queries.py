@@ -7636,3 +7636,31 @@ def pivot_multi_agg(spark, sf_dir):
         "l_returnflag",
         F.col("F_n"), F.col("F_qty"), F.col("O_n"), F.col("O_qty"),
     )
+
+
+@register(
+    "higher_moments_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(skewness(l_quantity), 4) AS skew_qty,
+           round(kurtosis(l_quantity), 4) AS kurt_qty,
+           round(skewness(l_extendedprice), 4) AS skew_price,
+           round(kurtosis(l_extendedprice), 4) AS kurt_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def higher_moments_stats(spark, sf_dir):
+    """Third and fourth standardized moments (skewness / excess
+    kurtosis) per group — the distribution-shape diagnostics behind
+    outlier policy and partition-skew forecasting (a heavy right tail
+    in the key-frequency distribution is tomorrow's hot partition).
+    Single-pass moment aggregation (Spark and DuckDB both use the
+    corrected one-pass formulas and agree at 4 dp); one partial-agg
+    shuffle, same shape as q1."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+        F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
+        F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_price"),
+    )
