@@ -756,8 +756,10 @@ def range_join_value_tiers(spark, sf_dir):
     "transform_revenue_agg",
     oracle="""
     SELECT l_returnflag,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue,
-           round(sum(l_extendedprice * (1 - l_discount) * 0.07), 4) AS total_tax,
+           round(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100.0, 4)
+               AS total_revenue,
+           round(sum(floor(l_extendedprice * (1 - l_discount) * 0.07::DOUBLE * 100 + 0.5)) / 100.0, 4)
+               AS total_tax,
            count(*) AS n
     FROM lineitem
     WHERE l_quantity < 49
@@ -790,9 +792,13 @@ def transform(record, emitter, context):
         args={"taxrate": "0.07"},
         emit_errors=True,
     )
+    # exact fixed-point totals: each row's revenue/tax is floored to
+    # integer cents (floor(x*100+0.5) is half-up in BOTH engines — no
+    # round-mode divergence), so the group sums are integers and the
+    # result is independent of summation order at any scale
     return res.output.groupBy("l_returnflag").agg(
-        F.round(F.sum("revenue"), 4).alias("total_revenue"),
-        F.round(F.sum("tax"), 4).alias("total_tax"),
+        F.round(F.sum(F.floor(F.col("revenue") * 100 + 0.5)) / 100.0, 4).alias("total_revenue"),
+        F.round(F.sum(F.floor(F.col("tax") * 100 + 0.5)) / 100.0, 4).alias("total_tax"),
         F.count("*").alias("n"),
     )
 
