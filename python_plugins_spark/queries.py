@@ -7670,3 +7670,310 @@ def higher_moments_stats(spark, sf_dir):
         F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
         F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_price"),
     )
+
+
+# =====================================================================
+# Distribution diagnostics & exact-distinct structures (SURVEY.md §2c
+# "statistics/profiling" family, extended)
+# =====================================================================
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+    ),
+    t AS (SELECT count(*) AS n FROM d)
+    SELECT digit,
+           count(*) AS n_orders,
+           round(count(*) * 1.0 / (SELECT n FROM t), 6) AS observed_p,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+           round(abs(count(*) * 1.0 / (SELECT n FROM t) - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
+    FROM d GROUP BY digit
+    """,
+)
+def benford_first_digit(spark, sf_dir):
+    """Benford's-law first-significant-digit audit over order totals —
+    the classic anomaly screen for fabricated or truncated numeric
+    columns in an ingestion pipeline. The digit is taken on the EXACT
+    cent-integer rendered as a string (no float log10 at the digit
+    boundary, where engines could disagree on floor(log10(x)) for
+    values like 1000.00). One narrow scan + 9-group aggregate; at 100
+    TB this is a map-side-combine dream — 9 groups means the shuffle
+    carries 9 rows per task. Parity: reference-style DQ profiling
+    (cf. reference wrangler column-statistics transforms)."""
+    o = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = o.select(F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit"))
+    total = d.count()
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(F.col("n_orders") / F.lit(float(total)), 6).alias("observed_p"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_p"),
+            F.round(
+                F.abs(F.col("n_orders") / F.lit(float(total)) - F.log10(1.0 + 1.0 / F.col("digit"))), 6
+            ).alias("abs_dev"),
+        )
+    )
+
+
+@register(
+    "ks_two_sample_events",
+    oracle="""
+    WITH s AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g2
+        FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    pv AS (SELECT v, sum(g1) AS d1, sum(g2) AS d2 FROM s GROUP BY v),
+    t AS (SELECT sum(d1) AS n1, sum(d2) AS n2 FROM pv),
+    c AS (
+        SELECT sum(d1) OVER (ORDER BY v) AS c1,
+               sum(d2) OVER (ORDER BY v) AS c2
+        FROM pv
+    )
+    SELECT round(max(abs(c1 * 1.0 / (SELECT n1 FROM t) - c2 * 1.0 / (SELECT n2 FROM t))), 6) AS ks_d,
+           (SELECT n1 FROM t) AS n1,
+           (SELECT n2 FROM t) AS n2
+    FROM c
+    """,
+)
+def ks_two_sample_events(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the `value`
+    distributions of click vs view events — the drift detector a
+    training pipeline runs between yesterday's and today's feature
+    snapshots. Distributed shape: per-value counts FIRST (groupBy v —
+    full map-side combine, ties collapsed), then one ordered window
+    over the (much smaller) distinct-value set for the running ECDFs.
+    At 100 TB the distinct grid, not the raw stream, pays the global
+    sort; if even that is too wide, quantize v to a fixed grid first
+    (binned-ECDF KS upper-bounds the error by the bin mass)."""
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.filter(F.col("event_type").isin("click", "view") & F.col("value").isNotNull()).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("g2"),
+    )
+    pv = s.groupBy("v").agg(F.sum("g1").alias("d1"), F.sum("g2").alias("d2"))
+    n1, n2 = pv.agg(F.sum("d1"), F.sum("d2")).first()
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = pv.select(
+        (F.sum("d1").over(w) / F.lit(float(n1))).alias("f1"),
+        (F.sum("d2").over(w) / F.lit(float(n2))).alias("f2"),
+    )
+    return c.agg(
+        F.round(F.max(F.abs(F.col("f1") - F.col("f2"))), 6).alias("ks_d"),
+        F.lit(int(n1)).alias("n1"),
+        F.lit(int(n2)).alias("n2"),
+    )
+
+
+@register(
+    "acf_daily_revenue",
+    oracle="""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day, round(sum(value), 4) AS rev
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    l AS (
+        SELECT rev,
+               lag(rev, 1) OVER (ORDER BY day) AS r1,
+               lag(rev, 2) OVER (ORDER BY day) AS r2,
+               lag(rev, 3) OVER (ORDER BY day) AS r3
+        FROM d
+    )
+    SELECT round(corr(rev, r1), 4) AS acf1,
+           round(corr(rev, r2), 4) AS acf2,
+           round(corr(rev, r3), 4) AS acf3,
+           count(*) AS n_days
+    FROM l
+    """,
+)
+def acf_daily_revenue(spark, sf_dir):
+    """Lag-1..3 autocorrelation of the daily purchase-revenue series —
+    seasonality screening before forecasting. The heavy part (daily
+    rollup of the raw stream) is a fully-parallel hash aggregate; the
+    window + corr run on the tiny day-grain series. The daily sums are
+    rounded to 4 dp BEFORE the lag/corr so both engines correlate
+    bit-identical inputs (corr's co-moment accumulation then matches at
+    4 dp, as in regression_aggregates)."""
+    ev = load_table(spark, "events", sf_dir)
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("rev"))
+    )
+    w = Window.orderBy("day")
+    lagged = d.select(
+        "rev",
+        F.lag("rev", 1).over(w).alias("r1"),
+        F.lag("rev", 2).over(w).alias("r2"),
+        F.lag("rev", 3).over(w).alias("r3"),
+    )
+    return lagged.agg(
+        F.round(F.corr("rev", "r1"), 4).alias("acf1"),
+        F.round(F.corr("rev", "r2"), 4).alias("acf2"),
+        F.round(F.corr("rev", "r3"), 4).alias("acf3"),
+        F.count("*").alias("n_days"),
+    )
+
+
+@register(
+    "bitmap_distinct_users",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def bitmap_distinct_users(spark, sf_dir):
+    """EXACT distinct-user counts via Spark's bitmap aggregate family
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg
+    / bitmap_count) instead of count(DISTINCT ...). Why it matters at
+    scale: count-distinct expands to a two-phase aggregate keyed on the
+    raw value, shuffling every distinct (type, user) pair; the bitmap
+    path shuffles ONE 4KB bitmap per (type, bucket) — mergeable like a
+    sketch but exact, and the per-bucket bitmaps can be persisted as an
+    incremental distinct-count index (rollup across days = bitmap_or).
+    Oracle is the semantic ground truth count(DISTINCT)."""
+    ev = load_table(spark, "events", sf_dir)
+    per_bucket = ev.groupBy(
+        "event_type", F.bitmap_bucket_number(F.col("user_id")).alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position(F.col("user_id"))).alias("bm"))
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum(F.bitmap_count(F.col("bm"))).alias("n_users"))
+    )
+
+
+# =====================================================================
+# Graph extensions: bounded BFS reachability, structural similarity
+# =====================================================================
+
+_GRAPH_EDGE_EXPR = "(json_extract_string(props, '$.k')::BIGINT * 7) % 150"
+
+
+@register(
+    "bfs_reachable_hops",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT user_id AS src, {_GRAPH_EDGE_EXPR} AS dst
+        FROM events WHERE user_id <> {_GRAPH_EDGE_EXPR}
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    walk(node, d) AS (
+        SELECT node, 0 FROM nodes WHERE node % 50 = 0
+        UNION
+        SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.d < 4
+    )
+    SELECT node, min(d) AS hops FROM walk GROUP BY node
+    """,
+)
+def bfs_reachable_hops(spark, sf_dir):
+    """Bounded breadth-first reachability: minimum hop count (<= 4)
+    from a deterministic seed set (node % 50 == 0) over the event
+    graph. Spark runs the textbook frontier loop — each hop is one
+    src-keyed join + union; the final min-groupBy collapses duplicate
+    discoveries. Same co-location argument as PageRank: persist edges
+    partitioned by src and every hop's join is shuffle-free. The
+    oracle is a depth-bounded recursive CTE with set (UNION) semantics
+    so the walk stays polynomial. Lineage grows per hop — checkpoint
+    the frontier every few iterations in a deep traversal."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    dst = (k * 7) % 150
+    edges = (
+        ev.select(F.col("user_id").alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    frontier = nodes.filter(F.col("node") % 50 == 0).select(
+        "node", F.lit(0).alias("d")
+    )
+    reached = frontier
+    for hop in range(1, 5):
+        frontier = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), F.lit(hop).alias("d"))
+            .distinct()
+        )
+        reached = reached.union(frontier)
+    return reached.groupBy("node").agg(F.min("d").cast("long").alias("hops"))
+
+
+@register(
+    "node_jaccard_neighbors",
+    oracle=f"""
+    WITH e0 AS (
+        SELECT DISTINCT user_id AS a, {_GRAPH_EDGE_EXPR} AS b
+        FROM events WHERE user_id <> {_GRAPH_EDGE_EXPR}
+    ),
+    und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM e0),
+    adj AS (SELECT u AS node, v AS nbr FROM und UNION SELECT v, u FROM und),
+    deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+    inter AS (
+        SELECT x.node AS a, y.node AS b, count(*) AS n_common
+        FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+        GROUP BY x.node, y.node
+    )
+    SELECT i.a, i.b, i.n_common,
+           round(i.n_common * 1.0 / (da.d + db.d - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN deg da ON da.node = i.a
+    JOIN deg db ON db.node = i.b
+    WHERE i.n_common * 1.0 / (da.d + db.d - i.n_common) >= 0.2
+    """,
+)
+def node_jaccard_neighbors(spark, sf_dir):
+    """Structural (neighbor-set Jaccard) node similarity over the
+    undirected event graph — the link-prediction / entity-resolution
+    primitive. The candidate generation is the wedge join (adjacency
+    self-joined on the shared neighbor), which enumerates exactly the
+    pairs with n_common >= 1 instead of all O(V^2) pairs — the same
+    blocking idea as MinHash-LSH banding, here exact. Skew warning at
+    scale: a celebrity node of degree D contributes D^2 wedges;
+    cap/salt hub neighbors (or drop top-0.01% degree nodes) before the
+    self-join, exactly as the LSH path caps bucket width."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    dst = (k * 7) % 150
+    e0 = (
+        ev.select(F.col("user_id").alias("a"), dst.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = e0.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
+    x = adj.alias("x")
+    y = adj.alias("y")
+    inter = (
+        x.join(y, (F.col("x.nbr") == F.col("y.nbr")) & (F.col("x.node") < F.col("y.node")))
+        .groupBy(F.col("x.node").alias("a"), F.col("y.node").alias("b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    j = F.col("n_common") / (F.col("da") + F.col("db") - F.col("n_common"))
+    return (
+        inter.join(da, "a")
+        .join(db, "b")
+        .filter(j >= 0.2)
+        .select("a", "b", "n_common", F.round(j, 6).alias("jaccard"))
+    )
