@@ -7977,3 +7977,223 @@ def node_jaccard_neighbors(spark, sf_dir):
         .filter(j >= 0.2)
         .select("a", "b", "n_common", F.round(j, 6).alias("jaccard"))
     )
+
+
+# =====================================================================
+# Corpus reporting & containment dedup & imputation & communities
+# =====================================================================
+
+@register(
+    "dataset_card_by_source",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           sum(len({OF.sql_tokens("text")})) AS total_tokens,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(1.0 - count(DISTINCT {D.sql_fingerprint("text")}) * 1.0 / count(*), 6) AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def dataset_card_by_source(spark, sf_dir):
+    """The per-source "dataset card" rollup a training-data pipeline
+    publishes with every corpus release: document count, language
+    spread, total whitespace-token volume, mean length, and the
+    exact-duplicate rate (1 - distinct normalized-fingerprints /
+    docs). One hash aggregate over the corpus; the two count-DISTINCTs
+    expand into a single multi-distinct plan. At 100 TB, swap the
+    distincts for approx_count_distinct (HLL) and this becomes a
+    single map-side-combinable pass — the exact version here is the
+    audit-grade variant."""
+    from python_plugins_spark.functions import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(
+            "source",
+            "lang",
+            "n_chars",
+            F.size(tokens(F.col("text"))).alias("n_tok"),
+            D.fingerprint_col(F.col("text")).alias("fp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(
+                1.0 - F.countDistinct("fp") * F.lit(1.0) / F.count("*"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@register(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH _tok AS (SELECT doc_id, {OF.sql_tokens("text")} AS t FROM documents),
+    _sh AS (SELECT doc_id, list_distinct({OF.sql_word_shingles("t", 3)}) AS s FROM _tok),
+    _nz AS (SELECT * FROM _sh WHERE len(s) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE, 6) AS containment
+    FROM _nz a CROSS JOIN _nz b
+    WHERE a.doc_id <> b.doc_id
+      AND round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE, 6) >= 0.6
+    """,
+)
+def ngram_containment_pairs(spark, sf_dir):
+    """DIRECTIONAL n-gram containment |A∩B| / |A| — catches the
+    subset-duplicate that symmetric Jaccard misses (a paragraph
+    wholesale-copied into a longer page scores ~1.0 containment but
+    low Jaccard). Asymmetric, so both (a,b) and (b,a) are scored. The
+    all-pairs join here is the exactness baseline for the gate; the
+    scale path feeds the same scorer from minhash_lsh_candidates
+    exactly as ngram_jaccard_pairs does (containment LSH banding on
+    the shorter side's signature)."""
+    from python_plugins_spark.functions import tokens, word_shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("s"),
+    ).filter(F.size("s") > 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    cont = F.round(
+        F.size(F.array_intersect("s_a", "s_b")).cast("double")
+        / F.size("s_a").cast("double"),
+        6,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= 0.6)
+        .select("id_a", "id_b", "containment")
+    )
+
+
+@register(
+    "locf_carry_forward",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL 1 hour, min(ts)) AS lo,
+             time_bucket(INTERVAL 1 hour, max(ts)) AS hi
+      FROM events
+    ),
+    slots AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 hour)) AS slot FROM bounds),
+    agg AS (
+      SELECT time_bucket(INTERVAL 1 hour, ts) AS slot,
+             round(sum(value), 4) AS total_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    joined AS (
+      SELECT s.slot, a.total_value FROM slots s LEFT JOIN agg a ON s.slot = a.slot
+    )
+    SELECT strftime(slot, '{_STRF}') AS slot,
+           coalesce(last_value(total_value IGNORE NULLS) OVER (
+               ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0.0) AS filled_value,
+           (total_value IS NULL) AS was_imputed
+    FROM joined
+    """,
+)
+def locf_carry_forward(spark, sf_dir):
+    """Last-observation-carried-forward imputation over the hourly
+    spine — the other half of gap_fill_timeseries (zero-fill vs
+    carry-forward), i.e. TimescaleDB's `locf()` gapfill mode. The
+    carry is `last(value, ignorenulls=True)` over an ordered running
+    frame; on the one-row-per-hour spine the global order is cheap at
+    any corpus scale (partition by series key when there are many
+    series). `was_imputed` keeps the imputation auditable."""
+    ev = load_table(spark, "events", sf_dir)
+    agg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("slot"))
+        .agg(F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("slot")
+    )
+    w = Window.orderBy("slot").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(agg, on="slot", how="left")
+        .select(
+            _ts(F.col("slot")).alias("slot"),
+            F.coalesce(
+                F.last("total_value", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("filled_value"),
+            F.col("total_value").isNull().alias("was_imputed"),
+        )
+    )
+
+
+def _label_prop_oracle_sql(iters: int = 4) -> str:
+    """Loop-unrolled min-label propagation as chained CTEs (same
+    pattern as the PageRank and k-means oracles): DuckDB runs the
+    identical integer recurrence, so labels match exactly."""
+    parts = [
+        f"""WITH e0 AS (
+        SELECT DISTINCT user_id AS a, {_GRAPH_EDGE_EXPR} AS b
+        FROM events WHERE user_id <> {_GRAPH_EDGE_EXPR}
+    )""",
+        "und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM e0)",
+        "adj AS (SELECT u AS node, v AS nbr FROM und UNION SELECT v, u FROM und)",
+        "nodes AS (SELECT DISTINCT node FROM adj)",
+        "l0 AS (SELECT node, node AS lbl FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"l{i + 1} AS (SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl "
+            f"FROM l{i} n LEFT JOIN ("
+            f"SELECT a.node, min(l.lbl) AS mn FROM adj a "
+            f"JOIN l{i} l ON l.node = a.nbr GROUP BY a.node) m USING (node))"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, lbl AS community FROM l{iters}"
+    )
+
+
+@register("label_propagation_communities", oracle=_label_prop_oracle_sql())
+def label_propagation_communities(spark, sf_dir):
+    """Min-label propagation (4 synchronous rounds) over the
+    undirected event graph — the cheap community/connected-component
+    sketch: every node takes the minimum label among itself and its
+    neighbors each round, so labels flood k hops in k rounds. Each
+    round is one adjacency join + min-aggregate, the same src-keyed
+    co-location story as PageRank/BFS; rounds to convergence ≈ graph
+    diameter, and the fixed 4-round cut is what makes an exact
+    unrolled oracle possible (the unbounded-correct variant is
+    dedup.connected_components)."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    dst = (k * 7) % 150
+    e0 = (
+        ev.select(F.col("user_id").alias("a"), dst.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = e0.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    labels = adj.select("node").distinct().select("node", F.col("node").alias("lbl"))
+    for _ in range(4):
+        nbr_min = (
+            adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node")
+            .agg(F.min("lbl").alias("mn"))
+        )
+        labels = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("mn"), F.col("lbl"))).alias("lbl"),
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
