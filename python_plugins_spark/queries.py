@@ -8197,3 +8197,135 @@ def label_propagation_communities(spark, sf_dir):
             F.least(F.col("lbl"), F.coalesce(F.col("mn"), F.col("lbl"))).alias("lbl"),
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+@register(
+    "observed_metrics_audit",
+    oracle="""
+    SELECT count(*) AS n_kept,
+           round(sum(o_totalprice), 4) AS kept_revenue,
+           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+           round(max(o_totalprice), 4) AS max_price
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def observed_metrics_audit(spark, sf_dir):
+    """Inline data-quality gate via Spark's Observation API: the
+    metrics (row count, kept revenue, urgent-order count, max price)
+    are accumulated ON the already-running pipeline pass — zero extra
+    scans, unlike a separate audit query that re-reads the source. At
+    100 TB that second scan is the entire cost of auditing; `observe`
+    makes the audit free and the write-audit-publish gate (see
+    write_audit_publish) can consume these metrics directly. The
+    observed row is returned as a one-row DataFrame for the gate."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, "orders", sf_dir)
+    obs = Observation("audit")
+    kept = o.filter(F.col("o_orderstatus") == "O").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.sum("o_totalprice"), 4).alias("kept_revenue"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("n_urgent"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+    # one action drives the pipeline; metrics ride along with it
+    kept.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_kept"], m["kept_revenue"], m["n_urgent"], m["max_price"])],
+        "n_kept long, kept_revenue double, n_urgent long, max_price double",
+    )
+
+
+@register(
+    "readability_flesch_docs",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(str_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+        FROM documents
+    )
+    SELECT doc_id,
+           round(206.835
+                 - 1.015 * (n_words::DOUBLE / ceil(n_words / 8.0))
+                 - 84.6 * (n_syll::DOUBLE / n_words), 4) AS flesch
+    FROM t WHERE n_words > 0
+    """,
+)
+def readability_flesch_docs(spark, sf_dir):
+    """Flesch reading-ease per document — the classic quality filter
+    knob alongside quality_score. Syllables are approximated by
+    vowel-group runs ([aeiouy]+), the standard cheap heuristic; the
+    synthetic corpus carries no terminal punctuation (see
+    sentence_split_docs), so sentences are deterministic 8-token
+    pseudo-sentences (ceil(words/8)) — identical arithmetic in both
+    engines. Pure narrow projection: no shuffle at all, perfectly
+    scan-parallel at any corpus size."""
+    t = F.lower(F.col("text"))
+    n_words = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    n_syll = F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), 0))
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id", n_words.alias("n_words"), n_syll.alias("n_syll")
+    ).filter(F.col("n_words") > 0)
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (F.col("n_words").cast("double") / F.ceil(F.col("n_words") / 8.0))
+        - 84.6 * (F.col("n_syll").cast("double") / F.col("n_words"))
+    )
+    return base.select("doc_id", F.round(flesch, 4).alias("flesch"))
+
+
+@register(
+    "quality_tier_binning",
+    oracle="""
+    WITH q AS (
+        WITH _t AS (SELECT doc_id, text AS txt, str_split_regex(lower(trim(text)), '\\s+') AS t FROM documents)
+        SELECT doc_id,
+               round(0.4 * least(len(t)::DOUBLE / 100.0, 1.0)
+                   + 0.3 * (1.0 - length(regexp_replace(txt, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(txt))
+                   + 0.3 * least((len(list_filter(t, t -> list_contains(['the', 'a', 'and', 'of', 'to', 'in', 'is', 'it', 'that', 'for'], t)))::DOUBLE / len(t)::DOUBLE) * 5.0, 1.0), 6) AS quality
+        FROM _t),
+    toks AS (
+        SELECT doc_id, len(str_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+        FROM documents
+    ),
+    tiered AS (
+        SELECT q.doc_id, q.quality, t.n_tok,
+               ntile(4) OVER (ORDER BY q.quality, q.doc_id) AS tier
+        FROM q JOIN toks t ON q.doc_id = t.doc_id
+    )
+    SELECT tier, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+           round(avg(quality), 6) AS avg_quality
+    FROM tiered GROUP BY tier
+    """,
+)
+def quality_tier_binning(spark, sf_dir):
+    """Quality-tier curriculum binning: quartile tiers (ntile over the
+    rounded quality score with doc_id tiebreak — a total order, so
+    both engines cut identical tiers), then token mass per tier. This
+    is the "how much training data do we have at each quality level"
+    report that decides mixing weights. ntile needs a global sort;
+    at 100 TB replace it with fixed score thresholds from an
+    approx-quantile pass (two scans, no global sort) — the tier
+    semantics below are the exact-gate version."""
+    from python_plugins_spark.operators.text import quality_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = quality_score(docs, "text", "doc_id")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tok")
+    )
+    w = Window.orderBy("quality", "doc_id")
+    tiered = q.join(toks, "doc_id").select(
+        "quality", "n_tok", F.ntile(4).over(w).alias("tier")
+    )
+    return tiered.groupBy("tier").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
