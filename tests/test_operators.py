@@ -9,6 +9,7 @@ from python_plugins_spark.operators import dedup as D
 from python_plugins_spark.operators import relational as R
 from python_plugins_spark.operators import similarity as S
 from python_plugins_spark.operators.asof import asof_join, asof_join_pandas
+from python_plugins_spark.queries import QUERIES
 from python_plugins_spark.sources.io import load_table
 
 
@@ -293,3 +294,87 @@ def test_sampleby_seeded_deterministic(spark, sf_dir):
         if src in base and base[src] >= 50:
             got = counts.get(src, 0) / base[src]
             assert abs(got - f) < 0.15, (src, got, f)
+
+
+# ------------------------------------------------ session-4 additions
+
+def test_bfs_seeds_at_zero_and_hop_bound(spark, sf_dir):
+    rows = QUERIES["bfs_reachable_hops"](spark, sf_dir).collect()
+    hops = {r["node"]: r["hops"] for r in rows}
+    assert rows and all(0 <= h <= 4 for h in hops.values())
+    # every seed (node % 50 == 0) that appears is at distance 0
+    assert all(h == 0 for n, h in hops.items() if n % 50 == 0)
+
+
+def test_bitmap_distinct_matches_count_distinct(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from python_plugins_spark.sources.io import load_table
+
+    got = {
+        r["event_type"]: r["n_users"]
+        for r in QUERIES["bitmap_distinct_users"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact
+
+
+def test_ks_statistic_bounds(spark, sf_dir):
+    row = QUERIES["ks_two_sample_events"](spark, sf_dir).first()
+    assert 0.0 <= row["ks_d"] <= 1.0
+    assert row["n1"] > 0 and row["n2"] > 0
+
+
+def test_label_propagation_labels_are_minima(spark, sf_dir):
+    rows = QUERIES["label_propagation_communities"](spark, sf_dir).collect()
+    comm = {r["node"]: r["community"] for r in rows}
+    # labels only ever decrease from the identity initialization, and
+    # every label is itself a node id
+    assert all(c <= n for n, c in comm.items())
+    assert all(c in comm for c in comm.values())
+
+
+def test_locf_fills_exactly_the_gap_slots(spark, sf_dir):
+    locf = {
+        r["slot"]: (r["filled_value"], r["was_imputed"])
+        for r in QUERIES["locf_carry_forward"](spark, sf_dir).collect()
+    }
+    zerofill = {
+        r["slot"]: r["total_value"]
+        for r in QUERIES["gap_fill_timeseries"](spark, sf_dir).collect()
+    }
+    assert set(locf) == set(zerofill)
+    # imputed flag is set exactly where the zero-fill variant zeroed
+    assert all((zerofill[s] == 0.0) == imp for s, (_, imp) in locf.items())
+    assert all(v is not None for v, _ in locf.values())
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc wholly contained in a long doc scores containment
+    1.0 even when symmetric Jaccard is far below its threshold."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from python_plugins_spark.functions import tokens, word_shingles
+
+    words = " ".join(f"w{i}" for i in range(30))
+    long_doc = words + " " + " ".join(f"x{i}" for i in range(300))
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2], "text": [words, long_doc]}))
+    sh = df.select(
+        "doc_id", F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("s")
+    )
+    a = sh.filter("doc_id = 1").select(F.col("s").alias("s_a"))
+    b = sh.filter("doc_id = 2").select(F.col("s").alias("s_b"))
+    row = a.crossJoin(b).select(
+        (F.size(F.array_intersect("s_a", "s_b")) / F.size("s_a")).alias("cont"),
+        (
+            F.size(F.array_intersect("s_a", "s_b"))
+            / F.size(F.array_union("s_a", "s_b"))
+        ).alias("jac"),
+    ).first()
+    assert row["cont"] == 1.0
+    assert row["jac"] < 0.2
