@@ -68,6 +68,11 @@ def get_spark(
         # not directly readable; surface them as long and convert in
         # load_table (truncation to micros matches DuckDB's behavior).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Read parquet naive timestamps as TIMESTAMP (not NTZ): with the
+        # session pinned to UTC the values are identical, and the full
+        # tz-sensitive function catalog (unix_micros, window(), ...)
+        # stays usable. See sources/io.py:ensure_session_confs.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Scan-split size. Default 128m means a local single-file table
         # under 128 MB scans on ONE core; 4m keeps every core busy at
         # test SFs while still being a reasonable floor on a cluster

@@ -80,6 +80,12 @@ def ensure_session_confs(spark: SparkSession) -> None:
     Both are runtime-settable SQL confs; idempotent."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) columns would otherwise
+    # surface as TIMESTAMP_NTZ, which tz-sensitive functions
+    # (unix_micros, window(), ...) reject. With the session pinned to
+    # UTC, reading them as regular TIMESTAMP is value-identical to the
+    # naive oracle's view and keeps the whole function catalog usable.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
