@@ -5,9 +5,14 @@ ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``value`` is total wall-clock over the headline set. Each query is
-fully materialized via a count-ish action (no driver-side row
-transfer inflating the number, same convention either engine would
-use).
+fully materialized via a noop-format write (computes EVERY output
+column; no driver-side row transfer inflating the number).
+
+MATERIALIZATION CONVENTION CHANGE (round 2): rounds 1 used
+``df.count()``, which lets Catalyst prune output columns of
+expression-heavy queries. BENCH_r02 onward uses the noop write and is
+the go-forward baseline; it may read slower than BENCH_r01's 21.985 s
+without any regression, because it times strictly more work.
 """
 
 from __future__ import annotations
@@ -35,10 +40,26 @@ def main() -> None:
     # the engine, not JVM startup billed to whichever query runs first.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     warm_dir = "/root/testdata/sf0.001"
+    def materialize(df) -> int:
+        """Fully compute EVERY output column (BENCH_r02+ convention).
+
+        A bare count() lets Catalyst prune the output columns, so
+        expression-heavy queries were partly un-timed; a noop-format
+        write with an attached observation materializes all columns
+        with zero driver-side row transfer and still yields the row
+        count from the same single pass."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        observed.write.format("noop").mode("overwrite").save()
+        return obs.get["n"]
+
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name in BENCH_QUERIES:
             try:
-                QUERIES[name](spark, warm_dir).count()
+                materialize(QUERIES[name](spark, warm_dir))
             except Exception as exc:  # never let warm-up kill the bench
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
@@ -47,7 +68,7 @@ def main() -> None:
         fn = QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        n = materialize(df)
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 

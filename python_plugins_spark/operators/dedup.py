@@ -323,6 +323,75 @@ def ngram_jaccard_pairs_oracle_sql(
     """
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """DIRECTIONAL n-gram containment |A∩B| / |A| — catches the
+    subset-duplicate that symmetric Jaccard misses (a paragraph
+    wholesale-copied into a longer page scores ~1.0 containment but low
+    Jaccard). Asymmetric: both (a,b) and (b,a) are scored.
+
+    Candidate generation is EXACT prefix filtering (Bayardo/Chaudhuri
+    "Scaling Up All Pairs Similarity Search" / PPJoin): order each
+    document's shingles rarest-first (document frequency asc, shingle
+    asc); if containment(A→B) >= t then among A's first
+    floor((1-t)*|A|)+1 shingles at least one must appear in B — so
+    joining only A-prefix shingles against the full inverted index
+    loses no qualifying pair. Rare-first ordering means frequent
+    shingles almost never land in a prefix, bounding the candidate
+    blow-up that a naive shingle-inverted-index join would hit on
+    boilerplate. Shuffles: explode->df-count (one), prefix window
+    (partitioned by doc), candidate equi-join on shingle, verify join —
+    all key-partitioned; nothing is all-pairs and nothing transits the
+    driver. Pass ``candidates`` (id_a, id_b) to skip generation and
+    verify an externally-supplied pair set instead."""
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle)).alias("s"),
+    ).filter(F.size("s") > 0)
+    if candidates is None:
+        tok = sh.select(F.col(id_col), F.explode("s").alias("g"))
+        gdf = tok.groupBy("g").agg(F.count("*").alias("g_df"))
+        from pyspark.sql import Window
+
+        w_doc = Window.partitionBy(id_col).orderBy("g_df", "g")
+        w_cnt = Window.partitionBy(id_col)
+        ranked = (
+            tok.join(gdf, on="g")
+            .withColumn("rn", F.row_number().over(w_doc))
+            .withColumn("n_sh", F.count("*").over(w_cnt))
+        )
+        prefix_len = F.floor((1.0 - threshold) * F.col("n_sh")) + 1
+        probe = ranked.filter(F.col("rn") <= prefix_len).select(
+            F.col(id_col).alias("id_a"), "g"
+        )
+        index = tok.select(F.col(id_col).alias("id_b"), "g")
+        candidates = (
+            probe.join(index, on="g")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("s").alias("s_b"))
+    pairs = candidates.join(a, on="id_a").join(b, on="id_b")
+    cont = F.round(
+        F.size(F.array_intersect("s_a", "s_b")).cast("double")
+        / F.size("s_a").cast("double"),
+        6,
+    )
+    return (
+        pairs.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 # -------------------------------------------------------------- simhash
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

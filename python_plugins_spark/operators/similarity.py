@@ -105,23 +105,43 @@ def ann_topk_oracle_sql(table: str, id_col: str, vec_col: str, k: int) -> str:
     """
 
 
+#: Hard cap for :func:`ann_topk_numpy`'s driver-assembled broadcast.
+#: Past this, the distributed block path (:func:`ann_topk_blocked`) or
+#: :func:`ivf_ann_topk` must be used instead.
+ANN_NUMPY_MAX_ROWS = 2_000_000
+
+
 def ann_topk_numpy(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int,
+    max_rows: int = ANN_NUMPY_MAX_ROWS,
 ) -> DataFrame:
-    """Exact top-k, vectorized: corpus broadcast as one float32 matrix,
+    """Exact top-k, vectorized: corpus broadcast as one float64 matrix,
     queries scored batch-at-a-time with a BLAS matmul inside
     ``mapInPandas``. Same results as :func:`ann_topk` (cosine recomputed
     in float64 for the emitted value); ~100x faster single-node.
 
-    Scale note: broadcast works to ~10^6-10^7 vectors (a few GB); past
-    that, switch to :func:`ivf_ann_topk`."""
+    SIZE-GATED UTILITY, not a flagship path: the corpus matrix is
+    assembled driver-side (Arrow transfer on a two-column projection)
+    and refuses inputs above ``max_rows``. The registered/benchmarked
+    exact-ANN query is :func:`ann_topk_blocked`, which never moves
+    table data through the driver; at corpus scale use
+    :func:`ivf_ann_topk`."""
     spark = df.sparkSession
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    projected = df.select(id_col, vec_col)
+    n = projected.count()
+    if n > max_rows:
+        raise ValueError(
+            f"ann_topk_numpy is size-gated: corpus has {n} rows > "
+            f"max_rows={max_rows}; use ann_topk_blocked or ivf_ann_topk"
+        )
+    # Arrow-batched transfer of the projected frame (no per-row
+    # Row-object materialization as with .collect()).
+    tbl = projected.toArrow()
+    ids = tbl.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.array(tbl.column(1).to_pylist(), dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
@@ -159,6 +179,118 @@ def ann_topk_numpy(
             yield pd.DataFrame(out)
 
     return df.select(id_col, vec_col).mapInPandas(score, out_schema)
+
+
+def ann_topk_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_query_blocks: int = 8,
+    n_corpus_blocks: int = 8,
+) -> DataFrame:
+    """EXACT distributed top-k cosine — the flagship exact-ANN path.
+
+    Classic block-matrix KNN (Cannon-style 2D replication): both sides
+    are hash-packed into blocks (``groupBy(block).agg(collect_list)``),
+    query blocks are replicated across corpus-block indices and vice
+    versa, and the (qblk, cblk) grid is assembled with a plain
+    EQUI-join on the composite key — no CartesianProduct, no
+    broadcast of either side. Each grid cell is scored with one BLAS
+    matmul inside ``mapInPandas`` keeping only the block-local top-k
+    per query; a partitioned window reduces the Qb*Cb*k survivors to
+    the global top-k.
+
+    Scale shape: NO table data transits the driver; communication is
+    O(n * (Qb + Cb)) vectors (each side moves once per opposing block),
+    and the final window is partitioned by query id. Compute is the
+    unavoidable O(n^2) of exact search, spread across Qb*Cb independent
+    tasks; for sub-quadratic approximate search use :func:`ivf_ann_topk`.
+    Block rows must fit in task memory: pick n_*_blocks ~ n_rows *
+    dim * 8 bytes / ~256MB on a real cluster.
+
+    Ranking matches :func:`ann_topk` and the SQL oracle exactly:
+    (round(cos, 6) DESC, neighbor_id ASC), self-pairs excluded."""
+    qb = (
+        df.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_query_blocks)).alias("qblk"),
+        )
+        .groupBy("qblk")
+        .agg(F.collect_list("q_id").alias("q_ids"), F.collect_list("q_vec").alias("q_vecs"))
+    )
+    cb = (
+        df.select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_corpus_blocks)).alias("cblk"),
+        )
+        .groupBy("cblk")
+        .agg(F.collect_list("c_id").alias("c_ids"), F.collect_list("c_vec").alias("c_vecs"))
+    )
+    # 2D grid via block replication: Qb x Cb packed rows, equi-joined
+    # on the composite (qblk, cblk) key — full Qb*Cb-way parallelism.
+    qb_exp = qb.withColumn(
+        "cblk", F.explode(F.sequence(F.lit(0), F.lit(n_corpus_blocks - 1)))
+    )
+    cb_exp = cb.withColumn(
+        "qblk", F.explode(F.sequence(F.lit(0), F.lit(n_query_blocks - 1)))
+    )
+    grid = qb_exp.join(cb_exp, on=["qblk", "cblk"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score_blocks(batches):
+        for pdf in batches:
+            out = {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            for _, row in pdf.iterrows():
+                q_ids = np.asarray(row["q_ids"], dtype=np.int64)
+                q = np.array(list(row["q_vecs"]), dtype=np.float64)
+                c_ids = np.asarray(row["c_ids"], dtype=np.int64)
+                c = np.array(list(row["c_vecs"]), dtype=np.float64)
+                qn = np.sqrt((q * q).sum(axis=1))
+                cn = np.sqrt((c * c).sum(axis=1))
+                sims = np.round((q @ c.T) / (qn[:, None] * cn[None, :]), 6)
+                # self-pair exclusion within the block
+                self_mask = q_ids[:, None] == c_ids[None, :]
+                sims[self_mask] = -np.inf
+                kk = min(k, sims.shape[1])
+                for i in range(len(q_ids)):
+                    s = sims[i]
+                    # block-local top-k under the global ordering
+                    # (rounded sim desc, id asc) — safe to prune: the
+                    # global top-k per query is a subset of the union
+                    # of block-local top-k sets
+                    idx = np.lexsort((c_ids, -s))[:kk]
+                    idx = idx[s[idx] > -np.inf]
+                    out["query_id"].extend([q_ids[i]] * len(idx))
+                    out["neighbor_id"].extend(c_ids[idx])
+                    out["cos_sim"].extend(s[idx])
+            if out["query_id"]:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.asarray(out["query_id"], dtype=np.int64),
+                        "neighbor_id": np.asarray(out["neighbor_id"], dtype=np.int64),
+                        "cos_sim": np.asarray(out["cos_sim"], dtype=np.float64),
+                    }
+                )
+
+    local = grid.mapInPandas(score_blocks, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
+    )
 
 
 def ivf_ann_topk(
@@ -247,6 +379,7 @@ def lsh_bucketed_neardup(
     threshold: float,
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path for cosine near-dup: candidates = pairs sharing an
     LSH bucket (equi-join on the packed sign bits — one narrow
@@ -254,7 +387,7 @@ def lsh_bucketed_neardup(
     buckets -> higher recall, more verification work."""
     from python_plugins_spark.functions import cosine_similarity
 
-    bucketed = lsh_buckets(df, id_col, vec_col, n_planes, seed)
+    bucketed = lsh_buckets(df, id_col, vec_col, n_planes, seed, dim=dim)
     withb = df.join(bucketed, on=id_col)
     a = withb.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
@@ -299,13 +432,17 @@ def lsh_buckets(
     vec_col: str,
     n_planes: int = 16,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane signature: bit i = sign(v . plane_i). Returns
     (id, bucket) where bucket packs the sign bits — vectors in the same
     bucket are ANN candidates. Planes are seeded-deterministic and
-    shipped as literals (no closure capture)."""
-    first = df.select(vec_col).first()
-    dim = len(first[0])
+    shipped as literals (no closure capture). Pass ``dim`` explicitly
+    to keep plan construction action-free (otherwise a one-row probe
+    infers it)."""
+    if dim is None:
+        first = df.select(vec_col).first()
+        dim = len(first[0])
     planes = lsh_planes(n_planes, dim, seed)
     bucket = None
     for i in range(n_planes):

@@ -1012,10 +1012,14 @@ def simhash_near_pairs(spark, sf_dir):
 
 
 @register(
-    "embedding_neardup_pairs",
+    "embedding_neardup_exact_baseline",
     oracle=S.cosine_pairs_oracle_sql("embeddings", "vec_id", "embedding", 0.4),
 )
-def embedding_neardup_pairs(spark, sf_dir):
+def embedding_neardup_exact_baseline(spark, sf_dir):
+    """O(n^2) exact cosine pairs — kept ONLY as the oracle-checkable
+    exactness baseline. The flagship near-dup path is
+    ``embedding_lsh_neardup`` (LSH-bucketed candidates + exact
+    verification, one equi-join)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return S.cosine_pairs(emb, "vec_id", "embedding", 0.4)
 
@@ -1025,11 +1029,14 @@ def embedding_neardup_pairs(spark, sf_dir):
     oracle=S.ann_topk_oracle_sql("embeddings", "vec_id", "embedding", 5),
 )
 def ann_topk_cosine(spark, sf_dir):
-    """Exact top-k via the vectorized path (broadcast corpus + BLAS
-    matmul per Arrow batch) — same results as the expression path
-    (ranked by rounded sim, id tie-break), ~50x faster."""
+    """Exact top-k via the distributed block-matrix path: hash-packed
+    query/corpus blocks, one BLAS matmul per block pair in
+    ``mapInPandas``, partitioned-window global reduce. No table data
+    transits the driver (the size-gated single-node broadcast variant
+    is ``S.ann_topk_numpy``; the sub-quadratic approximate path is
+    ``ann_topk_ivf``)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return S.ann_topk_numpy(emb, "vec_id", "embedding", 5)
+    return S.ann_topk_blocked(emb, "vec_id", "embedding", 5)
 
 
 @register("ann_topk_ivf")
@@ -1332,7 +1339,7 @@ def lsh_buckets_embeddings(spark, sf_dir):
     """Random-hyperplane LSH bucket assignment (the ANN scale path's
     partitioning key), hash-verified against plane-literal SQL."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return S.lsh_buckets(emb, "vec_id", "embedding", n_planes=16)
+    return S.lsh_buckets(emb, "vec_id", "embedding", n_planes=16, dim=64)
 
 
 @register(
@@ -1652,7 +1659,7 @@ def embedding_lsh_neardup(spark, sf_dir):
     cosine_pairs baseline. Verified against a plane-literal SQL oracle
     end to end."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return S.lsh_bucketed_neardup(emb, "vec_id", "embedding", 0.3, n_planes=8)
+    return S.lsh_bucketed_neardup(emb, "vec_id", "embedding", 0.3, n_planes=8, dim=64)
 
 
 @register(
@@ -8043,35 +8050,14 @@ def dataset_card_by_source(spark, sf_dir):
     """,
 )
 def ngram_containment_pairs(spark, sf_dir):
-    """DIRECTIONAL n-gram containment |A∩B| / |A| — catches the
-    subset-duplicate that symmetric Jaccard misses (a paragraph
-    wholesale-copied into a longer page scores ~1.0 containment but
-    low Jaccard). Asymmetric, so both (a,b) and (b,a) are scored. The
-    all-pairs join here is the exactness baseline for the gate; the
-    scale path feeds the same scorer from minhash_lsh_candidates
-    exactly as ngram_jaccard_pairs does (containment LSH banding on
-    the shorter side's signature)."""
-    from python_plugins_spark.functions import tokens, word_shingles
-
+    """Candidate-fed directional containment: EXACT prefix-filter
+    candidate generation (PPJoin-style rarest-first prefixes — no
+    crossJoin, no recall loss) + containment verification restricted
+    to candidate pairs. The brute-force all-pairs form lives only in
+    the oracle SQL; the hash match proves the prefix filter's
+    exactness on real data."""
     docs = load_table(spark, "documents", sf_dir)
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("s"),
-    ).filter(F.size("s") > 0)
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
-    cont = F.round(
-        F.size(F.array_intersect("s_a", "s_b")).cast("double")
-        / F.size("s_a").cast("double"),
-        6,
-    )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") != F.col("id_b"))
-        .withColumn("containment", cont)
-        .filter(F.col("containment") >= 0.6)
-        .select("id_a", "id_b", "containment")
-    )
+    return D.ngram_containment_pairs(docs, "text", "doc_id", 0.6, shingle=3)
 
 
 @register(

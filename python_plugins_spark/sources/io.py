@@ -88,6 +88,15 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
+# Inferred schema per parquet path. Passing an explicit schema on
+# subsequent reads skips the footer-inference job entirely — plan
+# construction becomes action-free (and at scale, explicit schemas are
+# what production readers do anyway). Safe to cache: the driver tables
+# are read-only and the schema-affecting confs are pinned by
+# ensure_session_confs before the first inference.
+_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one driver table: ``{sf_dir}/{name}.parquet``.
 
@@ -95,7 +104,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     ``spark.sql.legacy.parquet.nanosAsLong``) are converted to
     microsecond timestamps — same truncation DuckDB applies."""
     ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     return fix_nanos_ts(df, "ts")
 
 

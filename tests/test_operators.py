@@ -127,6 +127,49 @@ def test_ann_numpy_matches_expression_topk(spark, sf_dir):
     assert agree / len(expr) >= 0.99
 
 
+def test_ann_blocked_matches_expression_topk(spark, sf_dir):
+    """The distributed block-matrix path must reproduce the expression
+    path's exact ranking bit-for-bit (both rank by rounded-6 cosine
+    desc, id asc), regardless of block layout."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    expr = {
+        (r.query_id, r.rk): r.neighbor_id
+        for r in S.ann_topk(emb, "vec_id", "embedding", 3).collect()
+    }
+    blocked = {
+        (r.query_id, r.rk): r.neighbor_id
+        for r in S.ann_topk_blocked(
+            emb, "vec_id", "embedding", 3, n_query_blocks=4, n_corpus_blocks=4
+        ).collect()
+    }
+    agree = sum(1 for k in expr if blocked.get(k) == expr[k])
+    assert agree / len(expr) >= 0.99
+
+
+def test_ann_numpy_size_gate(spark, sf_dir):
+    import pytest
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    with pytest.raises(ValueError, match="size-gated"):
+        S.ann_topk_numpy(emb, "vec_id", "embedding", 3, max_rows=10)
+
+
+def test_ngram_containment_prefix_filter_exact(spark):
+    """Prefix filtering must lose no qualifying pair: doc 1 is a strict
+    subset of doc 0 (containment 1->0 = 1.0) while Jaccard is low."""
+    docs = [
+        (0, "one two three four five six seven eight nine ten eleven twelve"),
+        (1, "one two three four five"),
+        (2, "totally unrelated words that share nothing with the others at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.containment for r in
+           D.ngram_containment_pairs(df, "text", "doc_id", 0.6, shingle=3).collect()}
+    assert out.get((1, 0)) == 1.0          # subset direction caught
+    assert (0, 1) not in out               # reverse direction below threshold
+    assert all(a != 2 and b != 2 for (a, b) in out)
+
+
 def test_ivf_recall(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
     exact = S.ann_topk(emb, "vec_id", "embedding", 5).collect()

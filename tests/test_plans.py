@@ -375,6 +375,47 @@ def test_corpus_pipeline_shuffle_budget(spark, sf_dir):
     assert count_shuffles(df) == 2
 
 
+def test_bench_flagships_scale_safe(spark, sf_dir):
+    """Every benchmarked flagship must be scale-shaped (VERDICT r1
+    item 2): (a) zero Spark jobs during plan CONSTRUCTION — a build-time
+    job means table data transited the driver (the old ann_topk_cosine
+    collect()); (b) no CartesianProduct over table data in the physical
+    plan — packed-block fan-outs must be equi-joins. Streaming
+    flagships are exempt from (a): they drain a real stream into the
+    memory sink at build by design."""
+    from python_plugins_spark.queries import BENCH_QUERIES, QUERIES
+    from python_plugins_spark.sources.io import TABLES
+
+    # Warm the schema cache: first-touch parquet footer inference is a
+    # legitimate metadata job, not table data through the driver.
+    for t in TABLES:
+        load_table(spark, t, sf_dir)
+
+    sc = spark.sparkContext
+    for name in BENCH_QUERIES:
+        if name.startswith("streaming_"):
+            continue
+        group = f"construct-{name}"
+        sc.setJobGroup(group, "plan-construction probe")
+        try:
+            df = QUERIES[name](spark, sf_dir)
+        finally:
+            sc.setJobGroup("", "")
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert not jobs, f"{name}: {len(jobs)} Spark jobs ran during plan construction"
+        plan = plan_str(df)
+        assert "CartesianProduct" not in plan, f"{name}: CartesianProduct in plan"
+
+
+def test_ngram_containment_prefix_filter_no_crossjoin(spark, sf_dir):
+    """Prefix-filtered containment must candidate via equi-joins only
+    (rarest-first prefix inverted index), never an all-pairs product."""
+    df = QUERIES["ngram_containment_pairs"](spark, sf_dir)
+    plan = plan_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_graph_edges_single_distinct_shuffle(spark, sf_dir):
     """Canonical undirected edge derivation dedups ONCE (after
     least/greatest canonicalization) — the pre-canonical distinct it
