@@ -272,9 +272,12 @@ def ngram_jaccard_pairs(
     base = df
     if candidates is not None:
         # the candidate frame is consumed three times (two id sides +
-        # the pair join) — cache it so an expensive upstream (e.g. the
-        # LSH pipeline) runs once
+        # the pair join); a lazy cache() still recomputes the upstream
+        # LSH pipeline per consumer when all three scans land in one
+        # job, so materialize it eagerly — the standard barrier any
+        # multi-consumer iterative pipeline pays once
         candidates = candidates.cache()
+        candidates.count()
         # compute shingle arrays only for docs that appear in a
         # candidate pair — at scale the candidate set is a tiny
         # fraction of the corpus
@@ -307,17 +310,31 @@ def ngram_jaccard_pairs(
 def ngram_jaccard_pairs_oracle_sql(
     table: str, text_col: str, id_col: str, threshold: float, shingle: int = 3
 ) -> str:
+    """Exact all-pairs Jaccard, computed via an inverted-index
+    equi-join instead of a literal CROSS JOIN: pairs sharing zero
+    shingles have jaccard 0 and can never reach a positive threshold,
+    so grouping the shingle self-join by pair is value-identical to
+    the O(n^2) form while keeping the oracle itself tractable. Still
+    fully independent of the Spark side's MinHash/LSH machinery —
+    recall of the LSH candidate stage is proven by the hash match, not
+    assumed."""
     toks = O.sql_tokens(text_col)
     shingles = O.sql_word_shingles("t", shingle)
     return f"""
         WITH _tok AS (SELECT {id_col}, {toks} AS t FROM {table}),
         _sh AS (SELECT {id_col}, list_distinct({shingles}) AS s FROM _tok),
         _nz AS (SELECT * FROM _sh WHERE len(s) > 0),
+        _ex AS (SELECT {id_col} AS id, unnest(s) AS g FROM _nz),
+        _int AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+          FROM _ex a JOIN _ex b ON a.g = b.g AND a.id < b.id
+          GROUP BY 1, 2
+        ),
+        _n AS (SELECT {id_col} AS id, len(s) AS n FROM _nz),
         _pairs AS (
-          SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
-                 round(len(list_intersect(a.s, b.s))::DOUBLE
-                       / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 6) AS jaccard
-          FROM _nz a CROSS JOIN _nz b WHERE a.{id_col} < b.{id_col}
+          SELECT i.id_a, i.id_b,
+                 round(i.inter::DOUBLE / (la.n + lb.n - i.inter)::DOUBLE, 6) AS jaccard
+          FROM _int i JOIN _n la ON la.id = i.id_a JOIN _n lb ON lb.id = i.id_b
         )
         SELECT id_a, id_b, jaccard FROM _pairs WHERE jaccard >= {threshold}
     """
@@ -523,14 +540,19 @@ def connected_components(
 
     Returns (id, label) with label = min id of the component.
     """
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    )
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .cache()
     )
+    # Only vertices touched by an edge can ever change label; isolated
+    # vertices keep label = id and are unioned back at the end. After
+    # LSH+verify the pair graph is typically orders of magnitude
+    # smaller than the corpus, so the iteration frames shrink
+    # accordingly — the decisive win at 100 TB (and locally: the
+    # convergence-check join runs on the active set, not the corpus).
+    active = sym.select(F.col("src").alias("v")).distinct().localCheckpoint()
+    labels = active.select(F.col("v").alias("id"), F.col("v").alias("label"))
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.dst == labels.id)
@@ -557,7 +579,12 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
-    return labels
+    isolated = (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(active.withColumnRenamed("v", "id"), on="id", how="left_anti")
+        .select("id", F.col("id").alias("label"))
+    )
+    return labels.union(isolated)
 
 
 def neardup_clusters(

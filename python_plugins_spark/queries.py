@@ -980,6 +980,31 @@ def minhash_lsh_candidates(spark, sf_dir):
     return D.minhash_lsh_pairs(docs, "text", "doc_id")
 
 
+# The verified near-dup pair graph (LSH candidates -> exact Jaccard
+# >= 0.5) is the shared upstream of four registry queries. Memoize the
+# checkpointed result per (application, sf_dir): the driver's
+# correctness gate runs queries back-to-back in one session, and
+# recomputing a ~10 s pipeline four times is pure waste (the memo is
+# also exactly what a production pipeline does — materialize the pair
+# graph once, fan out consumers).
+_NEARDUP_EDGES_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, jaccard) verified pairs, eagerly checkpointed."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _NEARDUP_EDGES_MEMO.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, "documents", sf_dir)
+    candidates = D.minhash_lsh_pairs(docs, "text", "doc_id")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", 0.5, candidates=candidates
+    ).localCheckpoint()
+    _NEARDUP_EDGES_MEMO[key] = pairs
+    return pairs
+
+
 @register(
     "jaccard_similar_pairs",
     oracle=D.ngram_jaccard_pairs_oracle_sql("documents", "text", "doc_id", 0.5),
@@ -988,9 +1013,7 @@ def jaccard_similar_pairs(spark, sf_dir):
     """Exact-verification stage: Jaccard >= 0.5 on LSH candidates (the
     oracle brute-forces all pairs — LSH recall at this threshold is
     guaranteed-in-practice by 8 bands x 4 rows, verified by the match)."""
-    docs = load_table(spark, "documents", sf_dir)
-    candidates = D.minhash_lsh_pairs(docs, "text", "doc_id")
-    return D.ngram_jaccard_pairs(docs, "text", "doc_id", 0.5, candidates=candidates)
+    return _neardup_edges(spark, sf_dir)
 
 
 @register(
@@ -1452,6 +1475,57 @@ def stateful_running_totals(spark, sf_dir):
         "event_type",
         "running_count",
         F.round(F.col("running_sum"), 4).alias("running_sum"),
+    )
+
+
+@register(
+    "streaming_stateful_max",
+    oracle="""
+    SELECT event_type, round(max(value), 4) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_stateful_max(spark, sf_dir):
+    """Per-key running max via ``transformWithStateInPandas`` — Spark
+    4's modern stateful API (typed ValueState + explicit processor
+    lifecycle), un-gated by the vendored protobuf shim
+    (vendor/protobuf_shim.py). Whole table in one micro-batch => final
+    state equals the batch MAX the oracle computes."""
+    import uuid
+
+    from python_plugins_spark.sources.io import ensure_session_confs, fix_nanos_ts
+    from python_plugins_spark.streaming import (
+        read_stream_parquet,
+        run_to_memory_sink,
+        stateful_max_tracker,
+    )
+
+    ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = fix_nanos_ts(
+        read_stream_parquet(spark, f"{sf_dir}/events.parquet", raw_schema)
+    )
+    out = stateful_max_tracker(stream, "event_type", "value")
+    # transformWithState keeps each state variable in its own column
+    # family — only the RocksDB provider supports that (the default
+    # HDFS-backed store rejects it). Per-query conf, picked up at
+    # stream start; restored after the drain.
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        name = f"stream_twsmax_{uuid.uuid4().hex[:8]}"
+        got = run_to_memory_sink(out, name, output_mode="update")
+    finally:
+        if old_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old_prov)
+    return got.select(
+        "event_type", F.round(F.col("max_value"), 4).alias("max_value")
     )
 
 
@@ -2238,10 +2312,17 @@ def transform(record, emitter, context):
 )
 def neardup_clusters_docs(spark, sf_dir):
     """End-to-end near-dup clustering: MinHash-LSH candidates -> exact
-    Jaccard >= 0.5 verification -> distributed connected components
-    (min-label propagation). Verified against a recursive-CTE oracle."""
+    Jaccard >= 0.5 verification (shared pair graph) -> distributed
+    connected components (min-label propagation). Verified against a
+    recursive-CTE oracle."""
     docs = load_table(spark, "documents", sf_dir)
-    return D.neardup_clusters(docs, "text", "doc_id", 0.5)
+    edges = _neardup_edges(spark, sf_dir)
+    cc = D.connected_components(edges.select("id_a", "id_b"), docs.select("doc_id"), "doc_id")
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )
 
 
 @register(
@@ -2257,7 +2338,7 @@ def dedup_near_keep_canonical(spark, sf_dir):
     """The dedup payoff: keep one canonical (min-id) document per
     near-dup cluster — the corpus a training pipeline would feed on."""
     docs = load_table(spark, "documents", sf_dir)
-    clusters = D.neardup_clusters(docs, "text", "doc_id", 0.5)
+    clusters = QUERIES["neardup_clusters_docs"](spark, sf_dir)
     keep = clusters.filter(F.col("is_canonical")).select("doc_id")
     return docs.join(keep, on="doc_id", how="left_semi").select(
         "doc_id", "lang", "source"
@@ -3615,15 +3696,12 @@ def neardup_clusters_recursive_sql(spark, sf_dir):
     (neardup_clusters_docs), sharing its oracle verbatim. The recursion
     runs over the pair graph (tiny after LSH+Jaccard), not the corpus."""
     docs = load_table(spark, "documents", sf_dir)
-    candidates = D.minhash_lsh_pairs(docs, "text", "doc_id")
-    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", 0.5, candidates=candidates)
-    # materialize: every recursion iteration re-references the view, and
-    # an unmaterialized view would re-run the whole LSH+Jaccard pipeline
-    # per iteration (~8x the work)
-    pairs.select("id_a", "id_b").cache().createOrReplaceTempView("_rc_pairs")
-    spark.table("_rc_pairs").count()
-    docs.select("doc_id").cache().createOrReplaceTempView("_rc_docs")
-    spark.table("_rc_docs").count()
+    # shared, already-checkpointed pair graph: every recursion
+    # iteration re-references the view, so it must be materialized —
+    # an unmaterialized view would re-run the whole LSH+Jaccard
+    # pipeline per iteration (~8x the work)
+    _neardup_edges(spark, sf_dir).select("id_a", "id_b").createOrReplaceTempView("_rc_pairs")
+    docs.select("doc_id").localCheckpoint().createOrReplaceTempView("_rc_docs")
     # Spark 4.1 recursion supports UNION ALL only (no dedup across
     # iterations), so cycles would ping-pong forever; the walk is
     # depth-bounded and prunes non-improving labels (lab < src). Near-
@@ -3927,8 +4005,7 @@ def levenshtein_candidate_pairs(spark, sf_dir):
     character-level complement to shingle Jaccard. O(len^2) per pair,
     so it ONLY ever runs on the candidate set, never the corpus."""
     docs = load_table(spark, "documents", sf_dir)
-    candidates = D.minhash_lsh_pairs(docs, "text", "doc_id")
-    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", 0.5, candidates=candidates)
+    pairs = _neardup_edges(spark, sf_dir)
     t = docs.select("doc_id", "text")
     a = t.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
     b = t.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
@@ -6201,7 +6278,7 @@ def python_datasource_stream(spark, sf_dir):
     reg_ds(spark)
     stream = (
         spark.readStream.format("synthetic_readings")
-        .option("rows_per_batch", "100")
+        .option("rows_per_batch", "250")
         .option("max_id", "1000")
         .load()
     )
@@ -8038,15 +8115,24 @@ def dataset_card_by_source(spark, sf_dir):
 
 @register(
     "ngram_containment_pairs",
+    # exact all-pairs containment via inverted-index join (a zero-
+    # overlap pair can never reach a positive threshold — value-
+    # identical to the CROSS JOIN form, tractable oracle)
     oracle=f"""
     WITH _tok AS (SELECT doc_id, {OF.sql_tokens("text")} AS t FROM documents),
     _sh AS (SELECT doc_id, list_distinct({OF.sql_word_shingles("t", 3)}) AS s FROM _tok),
-    _nz AS (SELECT * FROM _sh WHERE len(s) > 0)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE, 6) AS containment
-    FROM _nz a CROSS JOIN _nz b
-    WHERE a.doc_id <> b.doc_id
-      AND round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE, 6) >= 0.6
+    _nz AS (SELECT * FROM _sh WHERE len(s) > 0),
+    _ex AS (SELECT doc_id AS id, unnest(s) AS g FROM _nz),
+    _int AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM _ex a JOIN _ex b ON a.g = b.g AND a.id <> b.id
+      GROUP BY 1, 2
+    ),
+    _n AS (SELECT doc_id AS id, len(s) AS n FROM _nz)
+    SELECT i.id_a, i.id_b,
+           round(i.inter::DOUBLE / la.n::DOUBLE, 6) AS containment
+    FROM _int i JOIN _n la ON la.id = i.id_a
+    WHERE round(i.inter::DOUBLE / la.n::DOUBLE, 6) >= 0.6
     """,
 )
 def ngram_containment_pairs(spark, sf_dir):

@@ -56,6 +56,18 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # Vendored protobuf for transformWithStateInPandas (see
+    # vendor/protobuf_shim.py): shim the driver now, and prepend the
+    # sitecustomize dir to PYTHONPATH so python WORKERS run the same
+    # shim at interpreter startup. Must happen before the JVM forks.
+    from python_plugins_spark.vendor import protobuf_shim
+
+    protobuf_shim.ensure_protobuf()
+    _shim_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "vendor", "pythonpath")
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _shim_dir not in _pp.split(":"):
+        os.environ["PYTHONPATH"] = f"{_shim_dir}:{_pp}" if _pp else _shim_dir
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -104,6 +116,15 @@ def get_spark(
         joined = ":".join(python_path)
         builder = builder.config("spark.executorEnv.PYTHONPATH", joined)
     for key, value in (extra_conf or {}).items():
+        if key == "spark.sql.session.timeZone" and value != "UTC":
+            # Value-identity of naive-parquet timestamp reads (and every
+            # oracle comparison) depends on the session staying UTC —
+            # a silent override would shift every timestamp value.
+            raise ValueError(
+                "spark.sql.session.timeZone must remain UTC: naive parquet "
+                "timestamps are read as TIMESTAMP on the premise that the "
+                "session timezone is UTC (see sources/io.py:ensure_session_confs)"
+            )
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -216,12 +216,19 @@ def stateful_max_tracker(df: DataFrame, key_col: str, value_col: str) -> DataFra
     state store. The shape any bespoke streaming accumulator takes on
     the modern API.
 
-    NOT in the query registry: the API's state-server protocol needs a
-    working ``google.protobuf`` (absent in this container, no pip) —
-    it raises STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE here.
-    ``applyInPandasWithState`` (stateful_running_totals) is the
-    exercised stateful path; this operator is the forward-compatible
-    twin, kept compiling and unit-importable."""
+    The API's state-server protocol needs ``google.protobuf``, which
+    this container lacks — vendored via
+    :mod:`python_plugins_spark.vendor.protobuf_shim` (Cloud SDK's
+    bundled pure-Python protobuf 6.32 + a relaxed minor-version gate).
+    Exercised end-to-end by ``tests/test_streaming.py`` and the
+    ``streaming_stateful_max`` registry query."""
+    from python_plugins_spark.vendor.protobuf_shim import ensure_protobuf
+
+    if not ensure_protobuf():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf and no "
+            "vendorable copy was found (see vendor/protobuf_shim.py)"
+        )
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

@@ -346,3 +346,27 @@ def test_stateful_event_time_timeout_session_close(spark, tmp_path):
     closed = [r for r in rows if r.closed and r.user == "A"]
     assert len(closed) == 1, rows
     assert closed[0].n == 2 and abs(closed[0].total - 3.0) < 1e-9, closed
+
+
+def test_transform_with_state_max_tracker(spark, sf_dir):
+    """transformWithStateInPandas end-to-end (un-gated by the vendored
+    protobuf shim): per-key ValueState running max over one micro-batch
+    must equal the batch MAX."""
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.queries import QUERIES
+
+    got = {
+        r.event_type: r.max_value
+        for r in QUERIES["streaming_stateful_max"](spark, sf_dir).collect()
+    }
+    from python_plugins_spark.sources.io import load_table
+
+    expect = {
+        r.event_type: r.m
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(F.round(F.max("value"), 4).alias("m"))
+        .collect()
+    }
+    assert got == expect
