@@ -1722,6 +1722,36 @@ def json_source_roundtrip(spark, sf_dir):
 
 
 @register(
+    "avro_source_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 4) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def avro_source_roundtrip(spark, sf_dir):
+    """Avro sink + source via the pure-Python object-container
+    DataSource (sources/avro_py.py — no spark-avro jar in this env;
+    the reference's schema contract is Avro-JSON, reference
+    PythonEvaluator.java:291-297). Write customer as deflate-coded
+    Avro through the Spark writer (one container per partition), read
+    it back (one task per file, schema from the container header), and
+    aggregate. tests/test_operators.py cross-validates the written
+    files against the JVM org.apache.avro DataFileReader."""
+    import os
+
+    from python_plugins_spark.sources.avro_py import register as reg_avro
+
+    reg_avro(spark)
+    c = load_table(spark, "customer", sf_dir)
+    path = os.path.join(_SCRATCH, f"customer_avro_{os.path.basename(sf_dir.rstrip('/'))}")
+    c.write.format("avro_py").mode("overwrite").save(path)
+    back = spark.read.format("avro_py").load(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 4).alias("total_bal")
+    )
+
+
+@register(
     "embedding_lsh_neardup",
     oracle=S.lsh_bucketed_neardup_oracle_sql(
         "embeddings", "vec_id", "embedding", 0.3, 8, 64
