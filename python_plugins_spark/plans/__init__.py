@@ -77,6 +77,30 @@ def field_lineage(df: DataFrame, transform_name: str = "Python") -> dict:
     }
 
 
+def field_transform_operation(
+    script: str,
+    input_df: DataFrame,
+    output_df: DataFrame,
+    name: str = "Python",
+) -> dict:
+    """CDAP wire-format field-lineage record for a python_transform —
+    the exact shape the reference emits at submit time (reference
+    ``PythonEvaluator.java:242-259``:
+    ``new FieldTransformOperation("Python", config.script,
+    inputFields, outputFields)`` where the field lists are the full
+    declared input/output schema names, and FieldTransformOperation
+    carries OperationType TRANSFORM). Unlike :func:`field_lineage`
+    (plan-derived, post-pruning), this mirrors the reference: inputs
+    are the DECLARED input schema, not what the optimized scan reads."""
+    return {
+        "name": name,
+        "description": script,
+        "inputFields": list(input_df.columns),
+        "outputFields": list(output_df.columns),
+        "type": "TRANSFORM",
+    }
+
+
 def scan_read_schema(df: DataFrame) -> list[str]:
     """ReadSchema column lists from every file scan in the plan —
     verify column pruning (a 2-column projection must not scan 16)."""

@@ -3381,18 +3381,12 @@ def binaryfile_source_ingest(spark, sf_dir):
     for image/audio corpora. Files are materialized from the documents
     table (ASCII corpus -> bytes == utf8 text, so the md5 oracle is
     exact); doc identity recovered from the file name, exactly as a
-    real media pipeline keys on object-store paths."""
-    import os
-    import shutil
+    real media pipeline keys on object-store paths. Fixture files come
+    from sources/fixtures.py (shared setup, not part of the read path
+    under test)."""
+    from python_plugins_spark.sources.fixtures import binary_doc_dir
 
-    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 40)
-    root = os.path.join(_SCRATCH, f"bin_{os.path.basename(sf_dir.rstrip('/'))}")
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root)
-    for row in docs.select("doc_id", "text").collect():
-        with open(os.path.join(root, f"{row.doc_id}.bin"), "wb") as f:
-            f.write(row.text.encode("utf-8"))
-    binf = spark.read.format("binaryFile").load(root)
+    binf = spark.read.format("binaryFile").load(binary_doc_dir(sf_dir))
     return binf.select(
         F.regexp_extract(F.element_at(F.split("path", "/"), -1), r"(\d+)", 1)
         .cast("long")
@@ -5446,26 +5440,12 @@ def json_dropmalformed_source(spark, sf_dir):
     (deterministically derived from `documents`; every 7th line is
     truncated garbage) read under mode=DROPMALFORMED — bad lines
     vanish, good lines parse with the declared schema. The fixture
-    generator collects only (id, n_chars) pairs; the READ is the
+    lives in sources/fixtures.py (shared setup); the READ is the
     operator under test. PERMISSIVE + columnNameOfCorruptRecord is the
     auditing alternative (see docs)."""
-    import os
+    from python_plugins_spark.sources.fixtures import corrupt_jsonl
 
-    rows = (
-        load_table(spark, "documents", sf_dir)
-        .select("doc_id", "n_chars")
-        .orderBy("doc_id")
-        .collect()
-    )
-    os.makedirs("/root/repo/.scratch", exist_ok=True)
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/root/repo/.scratch/corrupt_{tag}.jsonl"
-    with open(path, "w") as fh:
-        for r in rows:
-            if r.doc_id % 7 == 0:
-                fh.write(f'{{"doc_id": {r.doc_id}, "n_chars": OOPS\n')
-            else:
-                fh.write(f'{{"doc_id": {r.doc_id}, "n_chars": {r.n_chars}}}\n')
+    path = corrupt_jsonl(sf_dir, variant="corrupt")
     return (
         spark.read.schema("doc_id bigint, n_chars bigint")
         .option("mode", "DROPMALFORMED")
@@ -6540,26 +6520,12 @@ def json_permissive_corrupt_capture(spark, sf_dir):
     port and an auditable error port — the exact semantics of the
     reference's emitError channel (PythonEvaluator.java:198-207) pushed
     down into the scan. Same deterministic fixture as
-    json_dropmalformed_source (every 7th line truncated); the audit
-    aggregate proves no row was silently lost: good + corrupt counts
-    reconcile to the corpus."""
-    import os
+    json_dropmalformed_source (every 7th line truncated; shared setup
+    in sources/fixtures.py); the audit aggregate proves no row was
+    silently lost: good + corrupt counts reconcile to the corpus."""
+    from python_plugins_spark.sources.fixtures import corrupt_jsonl
 
-    rows = (
-        load_table(spark, "documents", sf_dir)
-        .select("doc_id", "n_chars")
-        .orderBy("doc_id")
-        .collect()
-    )
-    os.makedirs("/root/repo/.scratch", exist_ok=True)
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/root/repo/.scratch/corrupt_perm_{tag}.jsonl"
-    with open(path, "w") as fh:
-        for r in rows:
-            if r.doc_id % 7 == 0:
-                fh.write(f'{{"doc_id": {r.doc_id}, "n_chars": OOPS\n')
-            else:
-                fh.write(f'{{"doc_id": {r.doc_id}, "n_chars": {r.n_chars}}}\n')
+    path = corrupt_jsonl(sf_dir, variant="corrupt_perm")
     raw = (
         spark.read.schema("doc_id bigint, n_chars bigint, _bad string")
         .option("mode", "PERMISSIVE")
@@ -7205,23 +7171,11 @@ def json_schema_inference(spark, sf_dir):
     unknown feeds; at 100 TB you cap the sampling cost
     (samplingRatio) or pin the schema after first contact (inference
     is an extra pass by design). Reuses the dropmalformed fixture's
-    good lines so inference also proves tolerant-reader behavior."""
-    import os
+    good lines (shared setup in sources/fixtures.py) so inference also
+    proves tolerant-reader behavior."""
+    from python_plugins_spark.sources.fixtures import inferable_jsonl
 
-    rows = (
-        load_table(spark, "documents", sf_dir)
-        .select("doc_id", "n_chars")
-        .filter(F.col("doc_id") % 7 != 0)
-        .orderBy("doc_id")
-        .collect()
-    )
-    os.makedirs(_SCRATCH, exist_ok=True)
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"{_SCRATCH}/infer_{tag}.jsonl"
-    with open(path, "w") as fh:
-        for r in rows:
-            fh.write(f'{{"doc_id": {r.doc_id}, "n_chars": {r.n_chars}}}\n')
-    inferred = spark.read.json(path)  # no schema: inference pass
+    inferred = spark.read.json(inferable_jsonl(sf_dir))  # no schema: inference pass
     assert set(inferred.columns) == {"doc_id", "n_chars"}, inferred.columns
     return (
         inferred.groupBy((F.col("n_chars") / 100).cast("long").alias("len_bucket"))
@@ -8407,14 +8361,18 @@ def readability_flesch_docs(spark, sf_dir):
     """,
 )
 def quality_tier_binning(spark, sf_dir):
-    """Quality-tier curriculum binning: quartile tiers (ntile over the
-    rounded quality score with doc_id tiebreak — a total order, so
-    both engines cut identical tiers), then token mass per tier. This
-    is the "how much training data do we have at each quality level"
-    report that decides mixing weights. ntile needs a global sort;
-    at 100 TB replace it with fixed score thresholds from an
-    approx-quantile pass (two scans, no global sort) — the tier
-    semantics below are the exact-gate version."""
+    """Quality-tier curriculum binning: quartile tiers over the total
+    order (quality, doc_id), then token mass per tier — the "how much
+    training data at each quality level" report that decides mixing
+    weights.
+
+    Scale formulation (no single-partition WindowExec): the ntile(4)
+    the oracle runs is computed DISTRIBUTED — range-partition on the
+    sort key, number rows locally per partition, shift by broadcast
+    per-partition offsets (the global_sequence_orders pattern), then
+    apply ntile's exact bucket arithmetic (first n%k tiles get one
+    extra row) to the global rank. The fact data shuffles once; the
+    only windows run on the 16-row per-partition count table."""
     from python_plugins_spark.operators.text import quality_score
 
     docs = load_table(spark, "documents", sf_dir)
@@ -8422,9 +8380,42 @@ def quality_tier_binning(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tok")
     )
-    w = Window.orderBy("quality", "doc_id")
-    tiered = q.join(toks, "doc_id").select(
-        "quality", "n_tok", F.ntile(4).over(w).alias("tier")
+    part = (
+        q.join(toks, "doc_id")
+        .repartitionByRange(16, "quality", "doc_id")
+        .sortWithinPartitions("quality", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "local_rn",
+            F.monotonically_increasing_id()
+            - (F.col("pid").cast("long") * F.lit(1 << 33)),
+        )
+    )
+    counts = part.groupBy("pid").agg(F.count("*").alias("cnt"))
+    # cumulative offsets via a triangular join on the 16-row count
+    # table (broadcast both ways) — not even a reduced-input window,
+    # so the plan carries zero single-partition WindowExec nodes
+    c2 = counts.select(F.col("pid").alias("pid2"), F.col("cnt").alias("cnt2"))
+    offsets = (
+        counts.join(F.broadcast(c2), F.col("pid2") <= F.col("pid"))
+        .groupBy("pid", "cnt")
+        .agg(F.sum("cnt2").alias("cum"))
+        .select("pid", (F.col("cum") - F.col("cnt")).alias("offset"))
+        .crossJoin(F.broadcast(part.groupBy().agg(F.count("*").alias("n_total"))))
+    )
+    r = F.col("offset") + F.col("local_rn") + 1  # 1-based global rank
+    n = F.col("n_total")
+    base = F.floor(n / 4)
+    rem = n % 4
+    cut = rem * (base + 1)
+    tier = (
+        F.when(base == 0, r)
+        .when(r <= cut, F.floor((r - 1) / (base + 1)) + 1)
+        .otherwise(rem + F.floor((r - 1 - cut) / base) + 1)
+        .cast("int")
+    )
+    tiered = part.join(F.broadcast(offsets), "pid").select(
+        "quality", "n_tok", tier.alias("tier")
     )
     return tiered.groupBy("tier").agg(
         F.count("*").alias("n_docs"),

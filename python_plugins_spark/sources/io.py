@@ -75,9 +75,13 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
     - nanos parquet timestamps readable (events table);
     - session timezone pinned UTC so timestamp formatting matches a
-      UTC-naive oracle regardless of host timezone.
+      UTC-naive oracle regardless of host timezone;
+    - naive parquet timestamps read as TIMESTAMP, not NTZ (next
+      bullet-comment below).
 
-    Both are runtime-settable SQL confs; idempotent."""
+    All are runtime-settable SQL confs; idempotent. The UTC pin is a
+    correctness premise, not a preference — ``get_spark`` rejects
+    ``extra_conf`` overrides of it (session.py)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Parquet TIMESTAMP(isAdjustedToUTC=false) columns would otherwise

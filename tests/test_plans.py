@@ -98,6 +98,38 @@ def test_field_lineage(spark, sf_dir):
     assert "l_comment" not in lin["in_fields"]    # pruned
 
 
+def test_field_transform_operation_wire_format(spark, sf_dir):
+    """The CDAP FieldTransformOperation shape for the flagship
+    transform must match a hand-built expected record (reference
+    PythonEvaluator.java:242-259: name='Python', description=script,
+    inputFields=declared input schema, outputFields=output schema,
+    type=TRANSFORM)."""
+    from python_plugins_spark.operators.transform import python_transform
+    from python_plugins_spark.plans import field_transform_operation
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    script = (
+        "def transform(record, emitter, context):\n"
+        "    emitter.emit({'l_returnflag': record['l_returnflag'],\n"
+        "                  'revenue': record['l_extendedprice'] * (1 - record['l_discount'])})\n"
+    )
+    res = python_transform(
+        li,
+        script=script,
+        output_schema="l_returnflag string, revenue double",
+    )
+    op = field_transform_operation(script, li, res.output)
+    assert op == {
+        "name": "Python",
+        "description": script,
+        "inputFields": ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"],
+        "outputFields": ["l_returnflag", "revenue"],
+        "type": "TRANSFORM",
+    }
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir):
     """Bucketed tables co-locate join keys at write time — the join
     then needs NO shuffle at all (the decisive lever for repeated
