@@ -2875,8 +2875,10 @@ def q2_min_cost_supplier(spark, sf_dir):
 )
 def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: view + scalar max subquery (which supplier(s)
-    hit the quarter's top revenue). The revenue frame is computed once
-    and reused for both the max and the equality filter."""
+    hit the quarter's top revenue). The scalar max is a 1-row global
+    aggregate broadcast back onto the revenue frame — no global window
+    (an unpartitioned max().over() would single-partition the revenue
+    frame; the aggregate+broadcast form scales with supplier count)."""
     li = load_table(spark, "lineitem", sf_dir).filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
@@ -2886,9 +2888,9 @@ def q15_top_supplier(spark, sf_dir):
         )
     )
     s = load_table(spark, "supplier", sf_dir)
-    w = Window.partitionBy()
+    mx = revenue.agg(F.max("total_revenue").alias("_max"))
     top = (
-        revenue.withColumn("_max", F.max("total_revenue").over(w))
+        revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_max"))
         .drop("_max")
     )
@@ -4453,14 +4455,15 @@ def global_sequence_orders(spark, sf_dir):
         )
     )
     counts = part.groupBy("pid").agg(F.count("*").alias("cnt"))
-    offsets = counts.select(
-        "pid",
-        (
-            F.sum("cnt").over(
-                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, 0)
-            )
-            - F.col("cnt")
-        ).alias("offset"),
+    # cumulative offsets via a triangular join on the 16-row count
+    # table (cheaper to reason about than a reduced-input window, and
+    # emits no single-partition WindowExec at all)
+    c2 = counts.select(F.col("pid").alias("pid2"), F.col("cnt").alias("cnt2"))
+    offsets = (
+        counts.join(F.broadcast(c2), F.col("pid2") <= F.col("pid"))
+        .groupBy("pid", "cnt")
+        .agg((F.sum("cnt2") - F.first("cnt")).alias("offset"))
+        .select("pid", "offset")
     )
     return part.join(F.broadcast(offsets), "pid").select(
         "o_orderkey",
@@ -5381,17 +5384,27 @@ def mad_robust_stats(spark, sf_dir):
     """,
 )
 def topk_with_ties_orders(spark, sf_dir):
-    """Top-k WITH TIES (ANSI FETCH FIRST ... WITH TIES): rank()-based
-    cut so every row tied with the k-th survives — LIMIT would
-    nondeterministically drop tie members, the classic unstable-top-k
-    bug. Catalyst turns the rank filter into WindowGroupLimit, so
-    partial limits run before the shuffle."""
+    """Top-k WITH TIES (ANSI FETCH FIRST ... WITH TIES): every row
+    tied with the k-th survives — LIMIT would nondeterministically
+    drop tie members, the classic unstable-top-k bug.
+
+    Scale formulation (no single-partition rank window, which is what
+    the oracle runs): ``rank() <= k`` over ORDER BY m DESC is exactly
+    ``m >= (k-th largest m, duplicates counted)``. So: take the top-k
+    rows with TakeOrderedAndProject (per-partition heaps + driver
+    merge of k rows), reduce them to the 1-row threshold, broadcast
+    it, and filter the fact scan — two scans, zero global sorts."""
     o = load_table(spark, "orders", sf_dir)
     band = F.floor(F.col("o_totalprice") / 50000).cast("long")
-    rk = F.rank().over(Window.orderBy(band.desc()))
+    banded = o.select("o_orderkey", band.alias("price_band"))
+    thr = (
+        banded.orderBy(F.col("price_band").desc())
+        .limit(3)
+        .agg(F.min("price_band").alias("thr"))
+    )
     return (
-        o.select("o_orderkey", band.alias("price_band"), rk.alias("rk"))
-        .filter(F.col("rk") <= 3)
+        banded.crossJoin(F.broadcast(thr))
+        .filter(F.col("price_band") >= F.col("thr"))
         .select("o_orderkey", "price_band")
     )
 
@@ -8421,4 +8434,142 @@ def quality_tier_binning(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH _tok AS (SELECT doc_id, {OF.sql_tokens("text")} AS t FROM documents),
+    _sh AS (SELECT doc_id, {OF.sql_word_shingles("t", 3)} AS s FROM _tok),
+    _h AS (SELECT doc_id,
+                  list_transform(s, x -> (('0x' || substr(md5(x), 1, 8))::UBIGINT)::BIGINT) AS hl
+           FROM _sh WHERE len(s) >= 4),
+    _w AS (
+      SELECT doc_id, i AS pos, list_min(hl[i : i + 3]) AS fp
+      FROM _h, LATERAL (SELECT unnest(generate_series(1, len(hl) - 3)) AS i)
+    )
+    SELECT doc_id, fp, min(pos)::BIGINT AS first_window
+    FROM _w GROUP BY doc_id, fp
+    """,
+)
+def winnowing_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS plagiarism-detection algorithm): hash every positional 3-gram,
+    slide a window of 4 hashes, keep each window's minimum — guarantees
+    any shared substring of >= (w + k - 1) tokens yields at least one
+    shared fingerprint, at ~1/w the storage of full k-gram sets. The
+    entire derivation is per-row array expressions (codegen, zero
+    shuffles before the per-doc dedup aggregate) — the scale-relevant
+    contrast with MinHash, which needs global permutation state."""
+    from python_plugins_spark.functions import tokens, word_shingles
+
+    K, W = 3, 4
+    docs = load_table(spark, "documents", sf_dir)
+    sh = word_shingles(tokens(F.col("text")), K)
+    hashes = F.transform(
+        sh, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+    )
+    # materialize the hash array as a column BEFORE the sliding-window
+    # pass: expression trees have no CSE across higher-order lambdas,
+    # so slicing the raw `hashes` expression per window would re-run
+    # the md5 array per window — O(n^2) hashing per document
+    withh = docs.select("doc_id", hashes.alias("hl"))
+    fps = F.when(
+        F.size("hl") >= W,
+        F.transform(
+            F.sequence(F.lit(1), F.size("hl") - (W - 1)),
+            lambda i: F.array_min(F.slice(F.col("hl"), i, W)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    exploded = withh.select("doc_id", F.posexplode(fps).alias("pos", "fp"))
+    return exploded.groupBy("doc_id", "fp").agg(
+        (F.min("pos") + 1).cast("long").alias("first_window")
+    )
+
+
+@register(
+    "oov_rate_docs",
+    oracle=f"""
+    WITH _tok AS (SELECT doc_id, unnest({OF.sql_tokens("text")}) AS t FROM documents),
+    _c AS (SELECT t, count(*) AS c FROM _tok GROUP BY t),
+    _v AS (SELECT t FROM _c ORDER BY c DESC, t ASC LIMIT 500)
+    SELECT doc_id, count(*) AS n_tok,
+           round(1.0 - sum(CASE WHEN t IN (SELECT t FROM _v) THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE, 6) AS oov_rate
+    FROM _tok GROUP BY doc_id
+    """,
+)
+def oov_rate_docs(spark, sf_dir):
+    """Tokenizer-vocabulary coverage gate: fraction of each document's
+    tokens outside the corpus top-500 vocabulary (count desc, token asc
+    tie-break — a total order, so both engines cut the same vocab).
+    High OOV flags encoding damage, boilerplate markup, or
+    out-of-domain text before it poisons tokenizer training. Scale
+    shape: the vocabulary is a TakeOrderedAndProject top-k (heaps +
+    driver merge of 500 rows) broadcast back to the exploded token
+    stream — the corpus shuffles once for the per-doc aggregate."""
+    from python_plugins_spark.functions import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t").asc())
+        .limit(500)
+        .select("t", F.lit(1).alias("in_v"))
+    )
+    joined = tok.join(F.broadcast(vocab), on="t", how="left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.round(
+            1.0 - F.sum(F.coalesce(F.col("in_v"), F.lit(0))) / F.count("*"), 6
+        ).alias("oov_rate"),
+    )
+
+
+@register(
+    "pack_token_budget_bins",
+    oracle=f"""
+    WITH _n AS (
+      SELECT source, doc_id, len({OF.sql_tokens("text")}) AS n_tok FROM documents
+    ),
+    _b AS (
+      SELECT source, n_tok,
+             floor(coalesce(sum(n_tok) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 8192)::BIGINT AS bin
+      FROM _n
+    )
+    SELECT source, bin, count(*) AS n_docs, sum(n_tok) AS total_tokens
+    FROM _b GROUP BY source, bin
+    """,
+)
+def pack_token_budget_bins(spark, sf_dir):
+    """Sequence packing for training: assign documents (in deterministic
+    doc_id order within each source) to consecutive ~8192-token bins by
+    cumulative token count — the batch-construction step that turns a
+    ragged corpus into fixed-budget training sequences. The running sum
+    is a window PARTITIONED by source (each source packs independently,
+    so at 100 TB no single-partition sort exists); the bin report is
+    one more aggregate on the same partitioning."""
+    from python_plugins_spark.functions import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    n = docs.select("source", "doc_id", F.size(tokens(F.col("text"))).alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = n.select(
+        "source",
+        "n_tok",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / 8192)
+        .cast("long")
+        .alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens")
     )
