@@ -1479,6 +1479,54 @@ def stateful_running_totals(spark, sf_dir):
 
 
 @register(
+    "streaming_stateful_topn",
+    oracle="""
+    SELECT event_type, rk::INT AS rk, round(value, 4) AS value FROM (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value DESC) AS rk
+      FROM events
+    ) WHERE rk <= 3
+    """,
+)
+def streaming_stateful_topn(spark, sf_dir):
+    """Per-key running top-3 via ``transformWithStateInPandas`` with
+    typed ListState (list put/get bounded to n elements — state that
+    cannot grow with the stream). Whole table in one micro-batch =>
+    final state equals the batch per-key top-3 the oracle computes
+    (value ties produce identical row multisets either way)."""
+    import uuid
+
+    from python_plugins_spark.sources.io import ensure_session_confs, fix_nanos_ts
+    from python_plugins_spark.streaming import (
+        read_stream_parquet,
+        run_to_memory_sink,
+        stateful_topn_tracker,
+    )
+
+    ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = fix_nanos_ts(
+        read_stream_parquet(spark, f"{sf_dir}/events.parquet", raw_schema)
+    )
+    out = stateful_topn_tracker(stream, "event_type", "value", n=3)
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        name = f"stream_twstopn_{uuid.uuid4().hex[:8]}"
+        got = run_to_memory_sink(out, name, output_mode="update")
+    finally:
+        if old_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old_prov)
+    return got.select("event_type", "rk", F.round(F.col("value"), 4).alias("value"))
+
+
+@register(
     "streaming_stateful_max",
     oracle="""
     SELECT event_type, round(max(value), 4) AS max_value

@@ -4,6 +4,7 @@ from python_plugins_spark.streaming.ops import (
     session_window_agg,
     split_ports_foreach_batch,
     stateful_max_tracker,
+    stateful_topn_tracker,
     stateful_running_agg,
     streaming_python_transform,
     tumbling_window_agg,
@@ -15,6 +16,7 @@ __all__ = [
     "session_window_agg",
     "split_ports_foreach_batch",
     "stateful_max_tracker",
+    "stateful_topn_tracker",
     "stateful_running_agg",
     "streaming_python_transform",
     "tumbling_window_agg",

@@ -257,3 +257,54 @@ def stateful_max_tracker(df: DataFrame, key_col: str, value_col: str) -> DataFra
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stateful_topn_tracker(
+    df: DataFrame, key_col: str, value_col: str, n: int = 3
+) -> DataFrame:
+    """Per-key running top-n via ``transformWithStateInPandas`` with
+    typed ListState — the state-variable surface beyond a scalar
+    ValueState (list put/get, bounded to n elements per key so state
+    never grows with the stream). Emits the key's current top-n with
+    dense 1-based ranks after every batch."""
+    from python_plugins_spark.vendor.protobuf_shim import ensure_protobuf
+
+    if not ensure_protobuf():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf and no "
+            "vendorable copy was found (see vendor/protobuf_shim.py)"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TopN(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState("topn", "v double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            cur = [r[0] for r in self._top.get()]
+            for pdf in rows:
+                if len(pdf):
+                    cur.extend(float(x) for x in pdf[value_col])
+                    cur = sorted(cur, reverse=True)[:n]
+            if cur:
+                self._top.put([(v,) for v in cur])
+                yield pd.DataFrame(
+                    {
+                        key_col: [key[0]] * len(cur),
+                        "rk": range(1, len(cur) + 1),
+                        "value": cur,
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=TopN(),
+        outputStructType=f"{key_col} string, rk int, value double",
+        outputMode="Update",
+        timeMode="None",
+    )
