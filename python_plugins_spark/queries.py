@@ -5171,6 +5171,38 @@ def python_datasource_readings(spark, sf_dir):
 
 
 @register(
+    "python_datasource_pushdown",
+    oracle="""
+    SELECT CAST(x // 250 AS INT) AS part, count(*) AS n,
+           round(sum(((x * 2654435761) % 1000) / 100.0), 4) AS total
+    FROM range(1000) t(x)
+    WHERE CAST(x // 250 AS INT) = 2 AND x >= 520 AND x < 740
+    GROUP BY 1
+    """,
+)
+def python_datasource_pushdown(spark, sf_dir):
+    """Filter pushdown INTO the custom Python DataSource (Spark 4.1
+    ``pushFilters``): the part-equality predicate prunes input
+    partitions before task scheduling (3 of 4 splits never exist) and
+    the id range narrows row generation inside the surviving split —
+    the custom-source analogue of partition pruning + predicate
+    pushdown on a parquet scan. The oracle replays the recurrence with
+    the same WHERE clause, proving the pushed and post-scan semantics
+    agree."""
+    from python_plugins_spark.sources.pydatasource import register as reg_ds
+
+    reg_ds(spark)
+    df = (
+        spark.read.format("synthetic_readings")
+        .load()
+        .filter((F.col("part") == 2) & (F.col("id") >= 520) & (F.col("id") < 740))
+    )
+    return df.groupBy("part").agg(
+        F.count("*").alias("n"), F.round(F.sum("val"), 4).alias("total")
+    )
+
+
+@register(
     "mapinarrow_filtered_net",
     oracle="""
     SELECT l_returnflag,

@@ -95,6 +95,9 @@ def get_spark(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
         )
+        # Let custom Python DataSources consume pushed filters
+        # (sources/pydatasource.py implements pushFilters).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(_ARROW_BATCH_ROWS))
         .config("spark.python.worker.reuse", "true")

@@ -90,6 +90,10 @@ def ensure_session_confs(spark: SparkSession) -> None:
     # UTC, reading them as regular TIMESTAMP is value-identical to the
     # naive oracle's view and keeps the whole function catalog usable.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Python DataSource filter pushdown (pushFilters) is opt-in; our
+    # custom source implements it, and Spark ERRORS (rather than
+    # ignoring the method) when the conf is off.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
 # Inferred schema per parquet path. Passing an explicit schema on

@@ -52,23 +52,69 @@ class SyntheticReadingsSource(DataSource):
 
 
 class SyntheticReadingsReader(DataSourceReader):
+    """Reader with FILTER PUSHDOWN (Spark 4.1 ``pushFilters``): id
+    range predicates and part equality are consumed by the source —
+    range predicates narrow row GENERATION, part equality PRUNES whole
+    input partitions before any task is scheduled (the custom-source
+    analogue of partition pruning on a file source). Unhandled filters
+    are returned to Spark and evaluated post-scan as usual."""
+
     def __init__(self, n_partitions: int, rows_per_partition: int) -> None:
         self.n_partitions = n_partitions
         self.rows_per_partition = rows_per_partition
+        self.id_min = 0
+        self.id_max_excl = n_partitions * rows_per_partition
+        self.part_eq: int | None = None
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr == ("part",) and isinstance(f, EqualTo):
+                self.part_eq = int(f.value)
+            elif attr == ("id",) and isinstance(f, GreaterThan):
+                self.id_min = max(self.id_min, int(f.value) + 1)
+            elif attr == ("id",) and isinstance(f, GreaterThanOrEqual):
+                self.id_min = max(self.id_min, int(f.value))
+            elif attr == ("id",) and isinstance(f, LessThan):
+                self.id_max_excl = min(self.id_max_excl, int(f.value))
+            elif attr == ("id",) and isinstance(f, LessThanOrEqual):
+                self.id_max_excl = min(self.id_max_excl, int(f.value) + 1)
+            else:
+                yield f  # not handled — Spark applies it post-scan
 
     def partitions(self):
-        # one InputPartition per split: Spark schedules each as a task,
-        # so the synthetic scan parallelizes exactly like a file source
-        return [InputPartition(i) for i in range(self.n_partitions)]
+        # one InputPartition per surviving split: Spark schedules each
+        # as a task, so the synthetic scan parallelizes exactly like a
+        # file source — and pruned splits never become tasks
+        parts = range(self.n_partitions)
+        if self.part_eq is not None:
+            parts = [p for p in parts if p == self.part_eq]
+        return [InputPartition(i) for i in parts]
 
     def read(self, partition: InputPartition):
         base = partition.value * self.rows_per_partition
-        for i in range(base, base + self.rows_per_partition):
+        lo = max(base, self.id_min)
+        hi = min(base + self.rows_per_partition, self.id_max_excl)
+        for i in range(lo, hi):
             yield (i, partition.value, ((i * MIX) % 1000) / 100.0)
 
 
 def register(spark) -> None:
-    """Idempotent registration of the custom format on a session."""
+    """Idempotent registration of the custom format on a session (and
+    of the confs the source needs — pushFilters is an opt-in surface
+    and Spark errors if the reader implements it while the conf is
+    off)."""
+    from python_plugins_spark.sources.io import ensure_session_confs
+
+    ensure_session_confs(spark)
     spark.dataSource.register(SyntheticReadingsSource)
 
 

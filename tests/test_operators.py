@@ -421,3 +421,33 @@ def test_containment_catches_subset_jaccard_misses(spark):
     ).first()
     assert row["cont"] == 1.0
     assert row["jac"] < 0.2
+
+
+def test_python_datasource_filter_pushdown_prunes():
+    """pushFilters must consume part-equality (partition pruning) and
+    id-range (generation narrowing) predicates, returning only the
+    unhandled filter for Spark to evaluate post-scan."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        InputPartition,
+        LessThan,
+    )
+
+    from python_plugins_spark.sources.pydatasource import SyntheticReadingsReader
+
+    r = SyntheticReadingsReader(4, 250)
+    remaining = list(
+        r.pushFilters(
+            [
+                EqualTo(("part",), 2),
+                GreaterThanOrEqual(("id",), 520),
+                LessThan(("id",), 740),
+                EqualTo(("val",), 1.0),  # not handled by the source
+            ]
+        )
+    )
+    assert remaining == [EqualTo(("val",), 1.0)]
+    assert [p.value for p in r.partitions()] == [2]  # 3 of 4 splits pruned
+    ids = [row[0] for row in r.read(InputPartition(2))]
+    assert ids and min(ids) == 520 and max(ids) == 739
