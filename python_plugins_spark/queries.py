@@ -2520,6 +2520,41 @@ def pandas_scalar_udf_net(spark, sf_dir):
 
 
 @register(
+    "arrow_optimized_udf_band",
+    oracle="""
+    SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS band,
+           count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def arrow_optimized_udf_band(spark, sf_dir):
+    """Arrow-optimized Python UDF (``@udf(useArrow=True)``, Spark
+    3.5+/4): row-signature Python code, Arrow-batched transport — the
+    migration path for legacy row UDFs that can't be rewritten as
+    pandas UDFs (per-row logic with scalars in/out) but shouldn't pay
+    pickle-per-row. Still an optimization barrier: the banding here is
+    trivially a CASE expression (the oracle), which is the point the
+    docstring of python_transform makes — this query exists to cover
+    the API surface."""
+    from pyspark.sql.functions import udf
+
+    @udf("string", useArrow=True)
+    def band(price: float) -> str:
+        if price >= 300000:
+            return "high"
+        if price >= 100000:
+            return "mid"
+        return "low"
+
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy(band("o_totalprice").alias("band")).agg(
+        F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price")
+    )
+
+
+@register(
     "decimal_exact_totals",
     oracle="""
     SELECT l_returnflag,

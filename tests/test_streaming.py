@@ -370,3 +370,104 @@ def test_transform_with_state_max_tracker(spark, sf_dir):
         .collect()
     }
     assert got == expect
+
+
+def test_transform_with_state_processing_time_timer(spark):
+    """transformWithStateInPandas TIMER surface: a processing-time
+    timer registered in batch 1 must fire by batch 2 (two micro-batches
+    via maxFilesPerTrigger=1) and route through handleExpiredTimer —
+    the state-expiry mechanism any TTL'd session store needs."""
+    import os
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/repo/.scratch/tws_timer_src"
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    pq.write_table(pa.table({"k": ["A"], "v": [1.0]}), os.path.join(src, "f1.parquet"))
+    pq.write_table(pa.table({"k": ["B"], "v": [2.0]}), os.path.join(src, "f2.parquet"))
+
+    class TimerTracker(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._seen = handle.getValueState("seen", "n long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = self._seen.get()[0] if self._seen.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._seen.update((n,))
+            # fire on the NEXT batch: expiry is already in the past
+            self._handle.registerTimer(
+                timer_values.getCurrentProcessingTimeInMs() + 1
+            )
+            yield pd.DataFrame({"k": [key[0]], "event": ["rows"], "n": [n]})
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            yield pd.DataFrame({"k": [key[0]], "event": ["timer"], "n": [-1]})
+
+        def close(self) -> None:
+            pass
+
+    stream = (
+        spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stream.groupBy("k").transformWithStateInPandas(
+        statefulProcessor=TimerTracker(),
+        outputStructType="k string, event string, n long",
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        # 2 keys total: 4 state partitions instead of 32 keeps the
+        # per-batch RocksDB open/commit cost test-sized
+        "spark.sql.shuffle.partitions": "4",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_timer_sink")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            # the data batches drain in a few seconds; B's still-pending
+            # timer keeps the query alive past them, so bound the wait
+            # instead of awaiting self-termination
+            import time as _time
+
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                rows_so_far = spark.table("tws_timer_sink").collect()
+                if any(r.event == "timer" for r in rows_so_far):
+                    break
+                _time.sleep(1)
+        finally:
+            q.stop()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    rows = spark.table("tws_timer_sink").collect()
+    events = {(r.k, r.event) for r in rows}
+    assert ("A", "rows") in events and ("B", "rows") in events
+    # A's batch-1 timer expired before batch 2 ran
+    assert ("A", "timer") in events, rows
