@@ -6365,6 +6365,66 @@ def parameterized_sql_orders(spark, sf_dir):
 
 
 @register(
+    "sql_scripting_threshold_search",
+    oracle="""
+    WITH p AS (SELECT unnest(range(0, 12)) AS e),
+    c AS (SELECT e,
+                 (SELECT count(*) FROM orders WHERE o_totalprice > power(10, e)) AS n
+          FROM p),
+    t AS (SELECT CAST(power(10, min(e)) AS BIGINT) AS threshold FROM c WHERE n < 100)
+    SELECT t.threshold,
+           (SELECT count(*) FROM orders o WHERE o.o_totalprice > t.threshold) AS n_above
+    FROM t
+    """,
+)
+def sql_scripting_threshold_search(spark, sf_dir):
+    """SQL scripting (Spark 4 BEGIN/DECLARE/WHILE): a data-driven
+    control-flow loop entirely inside the SQL engine — escalate a
+    power-of-10 price threshold until fewer than 100 orders exceed it,
+    then report it. Each loop iteration is one scalar-subquery
+    aggregate (a distributed job); the loop variable lives in the
+    script frame. The oracle replays the search declaratively over the
+    candidate exponent grid."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("_script_orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr BIGINT DEFAULT 1;
+          WHILE (SELECT count(*) FROM _script_orders WHERE o_totalprice > thr) >= 100 DO
+            SET thr = thr * 10;
+          END WHILE;
+          SELECT thr AS threshold,
+                 (SELECT count(*) FROM _script_orders WHERE o_totalprice > thr) AS n_above;
+        END
+        """
+    )
+
+
+@register(
+    "execute_immediate_orders",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(max(o_totalprice), 4) AS max_price
+    FROM orders WHERE o_totalprice > 250000 GROUP BY o_orderstatus
+    """,
+)
+def execute_immediate_orders(spark, sf_dir):
+    """EXECUTE IMMEDIATE (dynamic SQL with USING parameter binding):
+    the query text arrives as a string at runtime — the lakehouse
+    equivalent of the reference's script-as-config surface — with the
+    threshold bound as a typed parameter, not spliced into the text
+    (injection-safe, and the optimizer sees a literal)."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("_dyn_orders")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderstatus, count(*) AS n, round(max(o_totalprice), 4) AS max_price
+           FROM _dyn_orders WHERE o_totalprice > ? GROUP BY o_orderstatus'
+          USING 250000
+        """
+    )
+
+
+@register(
     "session_variable_threshold",
     oracle="""
     SELECT l_returnflag, count(*) AS n, round(avg(l_quantity), 4) AS avg_qty

@@ -471,3 +471,79 @@ def test_transform_with_state_processing_time_timer(spark):
     assert ("A", "rows") in events and ("B", "rows") in events
     # A's batch-1 timer expired before batch 2 ran
     assert ("A", "timer") in events, rows
+
+
+def test_transform_with_state_map_state(spark, sf_dir):
+    """transformWithStateInPandas MapState surface: per-user map of
+    event_type -> running count, folded across batches and emitted as
+    (user_bucket, event_type, n). Single-batch drain must equal the
+    batch group-by."""
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from python_plugins_spark.sources.io import ensure_session_confs, fix_nanos_ts, load_table
+    from python_plugins_spark.streaming import read_stream_parquet, run_to_memory_sink
+
+    ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = fix_nanos_ts(
+        read_stream_parquet(spark, f"{sf_dir}/events.parquet", raw_schema)
+    ).select((F.col("user_id") % 4).cast("string").alias("bucket"), "event_type")
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._m = handle.getMapState("counts", "et string", "n long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            for pdf in rows:
+                for et, cnt in pdf.groupby("event_type").size().items():
+                    cur = self._m.getValue((et,)) if self._m.containsKey((et,)) else (0,)
+                    self._m.updateValue((et,), (cur[0] + int(cnt),))
+            out = [(k[0], v[0]) for k, v in self._m.iterator()]
+            yield pd.DataFrame(
+                {
+                    "bucket": [key[0]] * len(out),
+                    "event_type": [k for k, _ in out],
+                    "n": [v for _, v in out],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = stream.groupBy("bucket").transformWithStateInPandas(
+        statefulProcessor=TypeCounts(),
+        outputStructType="bucket string, event_type string, n long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = run_to_memory_sink(
+            out, f"tws_map_{uuid.uuid4().hex[:8]}", output_mode="update"
+        )
+        got_rows = {(r.bucket, r.event_type): r.n for r in got.collect()}
+    finally:
+        if old is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old)
+    expect = {
+        (r.bucket, r.event_type): r.n
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy((F.col("user_id") % 4).cast("string").alias("bucket"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got_rows == expect
