@@ -7449,6 +7449,91 @@ def degree_distribution_graph(spark, sf_dir):
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
 
 
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled-CTE oracle for the fixed-round k-core peel (same
+    discipline as the kmeans/pagerank oracles: replay the exact
+    recurrence, don't re-derive it)."""
+    ctes = [
+        """_d AS (
+        SELECT DISTINCT user_id AS src,
+               (json_extract_string(props, '$.k')::BIGINT * 7) % 150 AS dst
+        FROM events
+        WHERE user_id <> (json_extract_string(props, '$.k')::BIGINT * 7) % 150
+    )""",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM _d)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""deg{i} AS MATERIALIZED (
+            SELECT node, count(*) AS deg
+            FROM (SELECT a AS node FROM e{p} UNION ALL SELECT b FROM e{p})
+            GROUP BY node
+        )"""
+        )
+        ctes.append(f"keep{i} AS MATERIALIZED (SELECT node FROM deg{i} WHERE deg >= {k})")
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+            SELECT a, b FROM e{p}
+            WHERE a IN (SELECT node FROM keep{i}) AND b IN (SELECT node FROM keep{i})
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT node, count(*) AS degree
+        FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+        GROUP BY node
+        """
+    )
+
+
+@register("kcore_decomposition_graph", oracle=_kcore_oracle_sql(3, 4))
+def kcore_decomposition_graph(spark, sf_dir):
+    """k-core decomposition (k=3, fixed 4 peel rounds): iteratively
+    drop nodes of degree < k and the edges touching them — the graph
+    QA step that isolates the densely-connected core from tendrils
+    (spam/link-farm detection on web corpora). Fixed-round semantics
+    keep the recurrence engine-portable; each round is two
+    key-partitioned hops (degree aggregate + two semi-joins against
+    the tiny keep-set), lineage truncated per round exactly like
+    connected_components. At 100 TB: persist edges partitioned on the
+    endpoint, broadcast the shrinking keep-set."""
+    ev = load_table(spark, "events", sf_dir)
+    K, ROUNDS = 3, 4
+    kk = F.get_json_object("props", "$.k").cast("long")
+    dst = (kk * 7) % 150
+    edges = (
+        ev.select(F.col("user_id").alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(ROUNDS):
+        deg = (
+            edges.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        # checkpoint the (tiny) keep-set: both broadcast semi-joins
+        # would otherwise independently recompute the degree aggregate
+        keep = deg.filter(F.col("deg") >= K).select("node").localCheckpoint()
+        edges = (
+            edges.join(
+                F.broadcast(keep.withColumnRenamed("node", "a")), "a", "left_semi"
+            )
+            .join(F.broadcast(keep.withColumnRenamed("node", "b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        edges.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+
+
 @register(
     "date_dim_generate",
     oracle="""
