@@ -389,11 +389,19 @@ def test_transform_with_state_processing_time_timer(spark):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    import time as _t
+
     src = "/root/repo/.scratch/tws_timer_src"
     shutil.rmtree(src, ignore_errors=True)
     os.makedirs(src)
+    # distinct mtimes -> deterministic file order/batching under
+    # maxFilesPerTrigger (same-second files can merge into one batch,
+    # and A's timer then has no later batch to fire in)
     pq.write_table(pa.table({"k": ["A"], "v": [1.0]}), os.path.join(src, "f1.parquet"))
+    _t.sleep(1.1)
     pq.write_table(pa.table({"k": ["B"], "v": [2.0]}), os.path.join(src, "f2.parquet"))
+    _t.sleep(1.1)
+    pq.write_table(pa.table({"k": ["C"], "v": [3.0]}), os.path.join(src, "f3.parquet"))
 
     class TimerTracker(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -452,7 +460,7 @@ def test_transform_with_state_processing_time_timer(spark):
             # instead of awaiting self-termination
             import time as _time
 
-            deadline = _time.time() + 60
+            deadline = _time.time() + 120
             while _time.time() < deadline:
                 rows_so_far = spark.table("tws_timer_sink").collect()
                 if any(r.event == "timer" for r in rows_so_far):
