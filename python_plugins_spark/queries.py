@@ -1800,6 +1800,63 @@ def avro_source_roundtrip(spark, sf_dir):
 
 
 @register(
+    "delta_roundtrip_orders",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def delta_roundtrip_orders(spark, sf_dir):
+    """Delta-protocol table (pure-Python transaction log over native
+    parquet scans — sources/delta_py.py; no delta jar in this env):
+    overwrite-commit the even-key half, append-commit the odd-key
+    half, snapshot-read the table and aggregate. The log replay is
+    driver metadata (like a parquet footer); the scan is Spark's
+    vectorized parquet reader over exactly the active file set."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import read_delta, write_delta
+
+    o = load_table(spark, "orders", sf_dir)
+    path = os.path.join(_SCRATCH, f"delta_orders_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 0), path, mode="overwrite")
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append")
+    back = read_delta(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
+
+
+@register(
+    "delta_time_travel_orders",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
+    """,
+)
+def delta_time_travel_orders(spark, sf_dir):
+    """Delta time travel: after overwrite(v0 evens) + append(v1 odds) +
+    overwrite(v2 tiny slice), reading version_as_of=0 reconstructs the
+    v0 snapshot exactly — the reproducibility primitive for training-
+    data lineage ("which corpus version did this run train on")."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import read_delta, write_delta
+
+    o = load_table(spark, "orders", sf_dir)
+    path = os.path.join(_SCRATCH, f"delta_tt_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 0), path, mode="overwrite")
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append")
+    write_delta(o.filter(F.col("o_orderkey") < 10), path, mode="overwrite")
+    back = read_delta(spark, path, version_as_of=0)
+    return back.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+
+@register(
     "embedding_lsh_neardup",
     oracle=S.lsh_bucketed_neardup_oracle_sql(
         "embeddings", "vec_id", "embedding", 0.3, 8, 64
