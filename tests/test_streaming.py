@@ -555,3 +555,84 @@ def test_transform_with_state_map_state(spark, sf_dir):
         .collect()
     }
     assert got_rows == expect
+
+
+def test_transform_with_state_initial_state(spark):
+    """transformWithStateInPandas initialState: seed per-key state from
+    a BATCH frame (the state-migration path when cutting a pipeline
+    over to the new API), then fold one micro-batch on top. Keys A/B
+    seeded 100/200; stream adds A:5, C:7 -> final maxes 100, 200, 7."""
+    import os
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    src = "/root/repo/.scratch/tws_init_src"
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    pq.write_table(
+        pa.table({"k": ["A", "C"], "v": [5.0, 7.0]}), os.path.join(src, "f1.parquet")
+    )
+
+    init = spark.createDataFrame([("A", 100.0), ("B", 200.0)], "k string, v0 double")
+
+    class SeededMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._max = handle.getValueState("m", "m double")
+
+        def handleInitialState(self, key, initialState, timer_values):
+            self._max.update((float(initialState["v0"].iloc[0]),))
+
+        def handleInputRows(self, key, rows, timer_values):
+            cur = self._max.get()[0] if self._max.exists() else None
+            for pdf in rows:
+                if len(pdf):
+                    m = float(pdf["v"].max())
+                    cur = m if cur is None or m > cur else cur
+            if cur is not None:
+                self._max.update((cur,))
+                yield pd.DataFrame({"k": [key[0]], "max_value": [cur]})
+
+        def close(self) -> None:
+            pass
+
+    stream = spark.readStream.schema("k string, v double").parquet(src)
+    out = stream.groupBy("k").transformWithStateInPandas(
+        statefulProcessor=SeededMax(),
+        outputStructType="k string, max_value double",
+        outputMode="Update",
+        timeMode="None",
+        initialState=init.groupBy("k"),
+    )
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_init_sink")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old)
+    got = {r.k: r.max_value for r in spark.table("tws_init_sink").collect()}
+    # A: seeded 100 beats streamed 5; C: unseeded, streamed 7.
+    # B emits nothing (no input rows this batch) but its state exists.
+    assert got == {"A": 100.0, "C": 7.0}, got
