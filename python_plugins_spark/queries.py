@@ -1800,6 +1800,66 @@ def avro_source_roundtrip(spark, sf_dir):
 
 
 @register(
+    "try_arithmetic_catalog",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL ELSE round(l_extendedprice / l_discount, 4) END
+             AS price_per_disc,
+           TRY_CAST(l_returnflag AS DOUBLE) AS flag_num,
+           TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_num,
+           CASE WHEN l_orderkey::HUGEINT * 100000000000000000 > 9223372036854775807
+                THEN NULL
+                ELSE CAST(l_orderkey * 100000000000000000 AS BIGINT) END AS big_prod
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def try_arithmetic_catalog(spark, sf_dir):
+    """ANSI-safe `try_*` function family: try_divide (NULL on /0
+    instead of error under ANSI mode), try_cast (NULL on malformed),
+    try_multiply (NULL on overflow) — the error-tolerant arithmetic a
+    dirty corpus needs so one bad row can't fail a 100 TB job. The
+    oracle replays each guard as an explicit CASE."""
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide("l_extendedprice", "l_discount"), 4).alias("price_per_disc"),
+        F.col("l_returnflag").try_cast("double").alias("flag_num"),
+        F.col("l_quantity").cast("string").try_cast("double").alias("qty_num"),
+        # integral overflow -> NULL (float multiply saturates to inf
+        # instead, which is why the probe uses bigints)
+        F.try_multiply(F.col("l_orderkey"), F.lit(100_000_000_000_000_000)).alias(
+            "big_prod"
+        ),
+    )
+
+
+@register(
+    "aes_roundtrip_customers",
+    oracle="""
+    SELECT c_custkey, c_name, length(c_name) AS name_len
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def aes_roundtrip_customers(spark, sf_dir):
+    """Column-level encryption: aes_encrypt (GCM, random IV) ->
+    aes_decrypt must be the identity on the plaintext — the
+    at-rest-PII pattern where a column is encrypted before landing and
+    decrypted under key access. GCM output is nondeterministic
+    (random IV), so the oracle checks the ROUNDTRIP (decrypted ==
+    original), which is exactly the property that matters."""
+    key = F.lit("0123456789abcdef")  # 16-byte AES-128 key
+    c = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") <= 200)
+    enc = c.select(
+        "c_custkey", F.aes_encrypt(F.col("c_name"), key).alias("ct")
+    )
+    return enc.select(
+        "c_custkey",
+        F.aes_decrypt(F.col("ct"), key).cast("string").alias("c_name"),
+    ).withColumn("name_len", F.length("c_name").cast("long"))
+
+
+@register(
     "delta_roundtrip_orders",
     oracle="""
     SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total

@@ -176,3 +176,18 @@ def write_delta(df: DataFrame, table_path: str, mode: str = "append") -> int:
             fh.write(json.dumps(a) + "\n")
     os.replace(tmp, commit)  # atomic single-writer commit
     return version
+
+
+def vacuum_delta(table_path: str) -> list[str]:
+    """Delete data files no longer referenced by the CURRENT snapshot;
+    returns the deleted file names. NOTE: destroys time travel to
+    versions whose files are removed — exactly Delta's VACUUM
+    trade-off (production adds a retention window; this minimal layer
+    vacuums everything unreferenced, which suits compaction tests)."""
+    _, active = _replay(table_path)
+    deleted = []
+    for f in os.listdir(table_path):
+        if f.endswith(".parquet") and f not in active:
+            os.remove(os.path.join(table_path, f))
+            deleted.append(f)
+    return sorted(deleted)

@@ -70,3 +70,16 @@ def test_delta_invalid_version_raises(spark):
     write_delta(spark.range(3), path, "overwrite")
     with pytest.raises(ValueError, match="version 7 not in log"):
         read_delta(spark, path, version_as_of=7)
+
+
+def test_delta_vacuum_drops_unreferenced(spark):
+    from python_plugins_spark.sources.delta_py import vacuum_delta
+
+    path = _fresh("delta_t5")
+    write_delta(spark.range(10), path, "overwrite")   # v0 files
+    write_delta(spark.range(3), path, "overwrite")    # v1 replaces them
+    before = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    deleted = vacuum_delta(path)
+    assert deleted and set(deleted) < before
+    # current snapshot unaffected; v0 time travel is now (by design) broken
+    assert read_delta(spark, path).count() == 3
