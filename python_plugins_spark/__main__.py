@@ -62,11 +62,16 @@ def main(argv: list[str] | None = None) -> int:
             print(plan_str(QUERIES[args.query](spark, args.sf_dir)))
             return 0
         if args.cmd == "check":
+            import os
             import subprocess
 
+            script = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "scripts",
+                "check_correctness.py",
+            )
             return subprocess.call(
-                [sys.executable, "scripts/check_correctness.py", args.sf_dir]
-                + args.queries
+                [sys.executable, script, args.sf_dir] + args.queries
             )
     finally:
         spark.stop()
