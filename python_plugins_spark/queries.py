@@ -1800,6 +1800,71 @@ def avro_source_roundtrip(spark, sf_dir):
 
 
 @register(
+    "sentence_global_dedup",
+    oracle=f"""
+    WITH _s AS (
+      SELECT doc_id, i AS pos, s
+      FROM (SELECT doc_id, string_split_regex(text, '\\.\\s+') AS parts FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i),
+           LATERAL (SELECT trim(parts[i]) AS s)
+      WHERE length(trim(parts[i])) > 0
+    ),
+    _first AS (
+      SELECT doc_id, pos, s,
+             row_number() OVER (PARTITION BY lower(s) ORDER BY doc_id, pos) AS rn
+      FROM _s
+    )
+    SELECT doc_id,
+           count(*) FILTER (WHERE rn = 1) AS kept_sentences,
+           count(*) AS total_sentences,
+           md5(coalesce(string_agg(s, '. ' ORDER BY pos) FILTER (WHERE rn = 1), ''))
+             AS kept_md5
+    FROM _first GROUP BY doc_id
+    """,
+)
+def sentence_global_dedup(spark, sf_dir):
+    """C4-style GLOBAL sentence-level dedup: a sentence is kept only
+    at its first occurrence across the whole corpus ((doc_id, pos)
+    order) — the classic boilerplate killer (nav text, disclaimers,
+    licence blocks repeat verbatim across millions of pages; document-
+    level dedup never sees them). One shuffle partitioned BY SENTENCE
+    (the dedup key — skew on mega-duplicated sentences is exactly what
+    AQE skew-split handles), then a per-doc reassembly aggregate.
+    Output per doc: kept/total sentence counts and the md5 of the
+    deduped rejoined text."""
+    docs = load_table(spark, "documents", sf_dir)
+    parts = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), r"\.\s+")).alias("pos0", "s_raw")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), F.trim("s_raw").alias("s")
+    ).filter(F.length("s") > 0)
+    w = Window.partitionBy(F.lower("s")).orderBy("doc_id", "pos")
+    flagged = parts.withColumn("rn", F.row_number().over(w))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.when(F.col("rn") == 1, 1)).alias("kept_sentences"),
+        F.count("*").alias("total_sentences"),
+        F.md5(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("rn") == 1, F.struct("pos", "s")
+                                )
+                            )
+                        ),
+                        lambda x: x["s"],
+                    ),
+                    ". ",
+                ),
+                F.lit(""),
+            )
+        ).alias("kept_md5"),
+    )
+
+
+@register(
     "try_arithmetic_catalog",
     oracle="""
     SELECT l_orderkey, l_linenumber,
