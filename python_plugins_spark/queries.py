@@ -1800,6 +1800,97 @@ def avro_source_roundtrip(spark, sf_dir):
 
 
 @register(
+    "embedding_truncate_energy",
+    oracle="""
+    WITH _n AS (
+      SELECT vec_id,
+             sqrt(list_reduce(list_transform(embedding[1:16], x -> x::DOUBLE * x::DOUBLE),
+                              (a, b) -> a + b)) AS norm16,
+             sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                              (a, b) -> a + b)) AS norm_full
+      FROM embeddings
+    )
+    SELECT vec_id, round(norm16 / norm_full, 6) AS energy_ratio_16
+    FROM _n WHERE norm_full > 0
+    """,
+)
+def embedding_truncate_energy(spark, sf_dir):
+    """Matryoshka-style truncation diagnostic: the fraction of each
+    vector's L2 energy captured by its first 16 dimensions — the
+    number that decides whether truncated (cheaper) embeddings are
+    safe for coarse retrieval stages. Pure per-row array expressions;
+    zero shuffles."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    norm16 = F.sqrt(sq(F.slice(F.col("embedding"), 1, 16)))
+    norm_full = F.sqrt(sq(F.col("embedding")))
+    return (
+        emb.select("vec_id", norm16.alias("n16"), norm_full.alias("nf"))
+        .filter(F.col("nf") > 0)
+        .select("vec_id", F.round(F.col("n16") / F.col("nf"), 6).alias("energy_ratio_16"))
+    )
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             least(1.0, greatest(0.05,
+               1.0
+               - CASE WHEN length(text) < 100 THEN 0.4 ELSE 0.0 END
+             )) AS w
+      FROM documents
+    )
+    SELECT d.source, count(*) AS n_kept, sum(len({OF.sql_tokens("d.text")})) AS kept_tokens
+    FROM documents d JOIN q ON d.doc_id = q.doc_id
+    WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':qws'), 1, 8))::UBIGINT)::DOUBLE
+          / 4294967296.0 < q.w
+    GROUP BY d.source
+    """,
+)
+def quality_weighted_sample(spark, sf_dir):
+    """Deterministic quality-weighted sampling: keep each document
+    with probability proportional to a quality weight (short docs
+    down-weighted), decided by comparing an md5-derived uniform in
+    [0,1) against the weight — reproducible across runs/engines, no
+    RNG state, embarrassingly parallel (the standard corpus-mixing
+    primitive: weights become expected token-mix proportions). Pure
+    filter + one aggregate shuffle."""
+    from python_plugins_spark.functions import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.05),
+            F.lit(1.0) - F.when(F.length("text") < 100, 0.4).otherwise(0.0),
+        ),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":qws"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.withColumn("_w", w)
+        .filter(u < F.col("_w"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(F.size(tokens(F.col("text")))).alias("kept_tokens"),
+        )
+    )
+
+
+@register(
     "sentence_global_dedup",
     oracle=f"""
     WITH _s AS (
