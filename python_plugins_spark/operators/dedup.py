@@ -357,7 +357,7 @@ def ngram_containment_pairs(
     "Scaling Up All Pairs Similarity Search" / PPJoin): order each
     document's shingles rarest-first (document frequency asc, shingle
     asc); if containment(A→B) >= t then among A's first
-    floor((1-t)*|A|)+1 shingles at least one must appear in B — so
+    |A|-ceil(t*|A|)+1 shingles at least one must appear in B — so
     joining only A-prefix shingles against the full inverted index
     loses no qualifying pair. Rare-first ordering means frequent
     shingles almost never land in a prefix, bounding the candidate
@@ -383,7 +383,16 @@ def ngram_containment_pairs(
             .withColumn("rn", F.row_number().over(w_doc))
             .withColumn("n_sh", F.count("*").over(w_cnt))
         )
-        prefix_len = F.floor((1.0 - threshold) * F.col("n_sh")) + 1
+        # exact integer bound |A| - ceil(t*|A|) + 1: float floor((1-t)*n)
+        # under-counts when 1-t rounds down (e.g. t=0.8 -> 0.19999...),
+        # which would drop pairs with containment exactly at the
+        # threshold; the epsilon keeps ceil from over-rounding exact
+        # products like 0.8*5=4.000000000000001
+        prefix_len = (
+            F.col("n_sh")
+            - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+            + 1
+        )
         probe = ranked.filter(F.col("rn") <= prefix_len).select(
             F.col(id_col).alias("id_a"), "g"
         )

@@ -33,6 +33,7 @@ import os
 import struct
 import uuid
 import zlib
+from dataclasses import dataclass
 from datetime import date, datetime, timedelta
 
 from pyspark.sql import types as T
@@ -131,6 +132,11 @@ def _encode(node, v, out: io.BytesIO) -> None:
             return
         kind = node["type"]
         if kind == "record":
+            if len(v) != len(node["fields"]):
+                raise ValueError(
+                    f"record arity mismatch: schema has {len(node['fields'])} "
+                    f"fields but row has {len(v)} values"
+                )
             for f, fv in zip(node["fields"], v):
                 _encode(f["type"], fv, out)
             return
@@ -394,44 +400,99 @@ class AvroPyDataSource(DataSource):
         path = self.options["path"]
         codec = self.options.get("codec", "deflate")
         os.makedirs(path, exist_ok=True)
-        if overwrite:
-            for f in _list_avro_files(path):
-                os.remove(f)
+        # Two-phase commit: nothing is deleted or made visible at plan
+        # time. Tasks write hidden ``.staging-<run>-*`` files; commit()
+        # renames only the files named in WriterCommitMessages (so
+        # retried/speculative duplicates never surface) and removes the
+        # pre-existing files *after* every task has succeeded — the
+        # same old-data-survives-until-job-commit guarantee a Hadoop
+        # FileOutputCommitter gives the reference's spark-avro path.
         node = json.loads(spark_schema_to_cdap(schema, name="row"))
-        return AvroPyWriter(path, node, codec)
+        return AvroPyWriter(path, node, codec,
+                            old_files=_list_avro_files(path) if overwrite else [])
 
 
 class AvroPyReader(DataSourceReader):
     def __init__(self, path: str) -> None:
         self.files = _list_avro_files(path)
+        # Pin the expected schema from the first file; read() verifies
+        # every other file's embedded header against it so a
+        # mixed-schema directory errors instead of silently yielding
+        # tuples whose field order/width disagree with the read schema.
+        self.expected_node = None
+        if self.files:
+            with open(self.files[0], "rb") as fh:
+                self.expected_node, _, _ = read_header(fh)
 
     def partitions(self):
         # one task per container file — parallel like any file source
         return [InputPartition(f) for f in self.files]
 
     def read(self, partition: InputPartition):
+        with open(partition.value, "rb") as fh:
+            node, _, _ = read_header(fh)
+        if self.expected_node is not None and node != self.expected_node:
+            raise ValueError(
+                f"avro schema mismatch: {partition.value} declares a different "
+                f"schema than {self.files[0]}; refusing to decode a "
+                f"mixed-schema directory"
+            )
         yield from read_container(partition.value)
 
 
+@dataclass
+class AvroCommitMessage(WriterCommitMessage):
+    staged: str | None  # staging-file basename, None for an empty task
+
+
 class AvroPyWriter(DataSourceWriter):
-    def __init__(self, path: str, schema_node: dict, codec: str) -> None:
+    def __init__(self, path: str, schema_node: dict, codec: str,
+                 old_files: list[str] | None = None) -> None:
         self.path = path
         self.schema_node = schema_node
         self.codec = codec
+        self.old_files = old_files or []
+        # Unique per write job: lets commit/abort sweep exactly this
+        # job's orphans (failed attempts, speculative duplicates).
+        self.run_id = uuid.uuid4().hex
+
+    def _staging_name(self) -> str:
+        # leading '.' keeps staging files invisible to _list_avro_files
+        return f".staging-{self.run_id}-{uuid.uuid4().hex}.avro"
 
     def write(self, iterator) -> WriterCommitMessage:
-        part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
+        name = self._staging_name()
+        part = os.path.join(self.path, name)
         n = write_container(part, self.schema_node, iterator, codec=self.codec)
         if n == 0:
             os.remove(part)  # don't leave empty containers behind
-        return WriterCommitMessage()
+            return AvroCommitMessage(staged=None)
+        return AvroCommitMessage(staged=name)
+
+    def _sweep_staging(self) -> None:
+        prefix = f".staging-{self.run_id}-"
+        for f in os.listdir(self.path):
+            if f.startswith(prefix):
+                os.remove(os.path.join(self.path, f))
 
     def commit(self, messages) -> None:
+        committed = [m.staged for m in messages
+                     if getattr(m, "staged", None) is not None]
+        for name in committed:
+            final = "part-" + name[len(f".staging-{self.run_id}-"):]
+            os.rename(os.path.join(self.path, name),
+                      os.path.join(self.path, final))
+        # only now is it safe to drop the overwritten generation
+        for f in self.old_files:
+            if os.path.exists(f):
+                os.remove(f)
+        self._sweep_staging()  # orphans from failed/speculative attempts
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass
 
     def abort(self, messages) -> None:
-        pass
+        # old data untouched; this job's staging files removed
+        self._sweep_staging()
 
 
 def register(spark) -> None:

@@ -451,3 +451,22 @@ def test_python_datasource_filter_pushdown_prunes():
     assert [p.value for p in r.partitions()] == [2]  # 3 of 4 splits pruned
     ids = [row[0] for row in r.read(InputPartition(2))]
     assert ids and min(ids) == 520 and max(ids) == 739
+
+
+def test_containment_prefix_exact_at_boundary(spark):
+    """ADVICE r2: the float prefix length floor((1-t)*n)+1 dropped
+    pairs whose containment is EXACTLY the threshold when 1-t rounds
+    down (t=0.8 -> 0.1999...). Doc A has 5 shingles, exactly 4 of which
+    appear in B (containment 0.8); A's rarest shingle is the one NOT in
+    B, so a one-element prefix misses the pair while the exact
+    |A|-ceil(t*|A|)+1 = 2 prefix finds it."""
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, "a b c d e f x")],
+        "doc_id int, text string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.containment
+        for r in D.ngram_containment_pairs(df, "text", "doc_id", 0.8, shingle=3).collect()
+    }
+    assert out.get((0, 1)) == 0.8
+    assert out.get((1, 0)) == 0.8
