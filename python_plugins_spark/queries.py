@@ -2073,6 +2073,48 @@ def delta_time_travel_orders(spark, sf_dir):
 
 
 @register(
+    "delta_checkpoint_read",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def delta_checkpoint_read(spark, sf_dir):
+    """Delta checkpoint path (sources/delta_py.py): 12 commits force a
+    parquet checkpoint at v10 + a ``_last_checkpoint`` pointer, so the
+    snapshot read seeds from the checkpoint and replays only v11..v12
+    JSON — O(interval) log replay instead of O(all commits), which is
+    what keeps a long-lived 100 TB table's metadata path constant-time.
+    v12 re-appends slice 0 (a deliberate duplicate); time travel to
+    v11 must exclude it, proving checkpoint-seeded time travel, and the
+    v11 snapshot (= the whole table, slices 0..11) is oracle-checked
+    against the plain-parquet aggregate."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        last_checkpoint_version,
+        read_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir)
+    path = os.path.join(_SCRATCH, f"delta_cp_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    for i in range(13):  # v0..v12, one slice each — checkpoint lands at v10
+        write_delta(
+            o.filter(F.col("o_orderkey") % 12 == i % 12),
+            path,
+            mode="overwrite" if i == 0 else "append",
+        )
+    assert last_checkpoint_version(path) == 10
+    back = read_delta(spark, path, version_as_of=11)  # slices 0..10 (v12 excluded)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
+
+
+@register(
     "embedding_lsh_neardup",
     oracle=S.lsh_bucketed_neardup_oracle_sql(
         "embeddings", "vec_id", "embedding", 0.3, 8, 64

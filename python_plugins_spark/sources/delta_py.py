@@ -6,22 +6,44 @@ a Delta table is a directory of parquet data files plus a
 the add-set minus the remove-set after replaying commits in order.
 
 No delta-spark jar or delta-rs exists in this environment, so the LOG
-layer is implemented here in ~150 lines — but all heavy IO stays on
-Spark's native parquet path: ``read_delta`` replays the log (tiny JSON
-files, driver-side metadata exactly like a parquet footer) and hands
-the active file list to ``spark.read.parquet``, so column pruning,
-filter pushdown, and vectorized scanning work unchanged;
-``write_delta`` writes parquet through Spark and then commits one JSON
-log entry. Supported surface: append / overwrite atomically via the
-log, snapshot reads, and time travel (``version_as_of``). Not
-implemented (documented): checkpoints, deletion vectors, column
-mapping, concurrent-writer conflict detection.
+layer is implemented here — but all heavy IO stays on Spark's native
+parquet path: ``read_delta`` replays the log (tiny JSON files,
+driver-side metadata exactly like a parquet footer) and hands the
+active file list to ``spark.read.parquet``, so column pruning, filter
+pushdown, and vectorized scanning work unchanged; ``write_delta``
+writes parquet through Spark and then commits one JSON log entry.
+
+Supported surface:
+
+- append / overwrite, made visible atomically via the log;
+- snapshot reads and time travel (``version_as_of``);
+- **parquet checkpoints** every ``_CHECKPOINT_INTERVAL`` commits plus
+  the ``_last_checkpoint`` pointer (protocol "Checkpoints" section):
+  replay seeds from the newest checkpoint at-or-before the target
+  version and applies only the JSON commits after it, so log replay is
+  O(interval) instead of O(all commits) — the difference between a
+  10-commit scan and a 10-million-commit scan on a long-lived table;
+- **optimistic concurrency**: the commit is a put-if-absent of
+  ``<version>.json`` (hard-link trick — ``os.link`` fails atomically
+  if the destination exists, the POSIX equivalent of the protocol's
+  "new file must not already exist" rule). On conflict the writer
+  re-reads the snapshot, rebuilds its action list against the new
+  state (appends are always re-appliable; overwrite recomputes its
+  remove-set), and retries — Delta's optimistic-concurrency loop;
+- **retention-windowed VACUUM**: only files whose ``remove``
+  tombstone is older than ``retention_hours`` are deleted, so
+  readers of recent snapshots / time travel within the window are
+  safe (Delta's ``deletedFileRetentionDuration``, default 168 h).
+
+Not implemented (documented): deletion vectors, column mapping,
+generated columns, CDC files.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -29,6 +51,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _LOG_DIR = "_delta_log"
+_CHECKPOINT_INTERVAL = 10
+_DEFAULT_RETENTION_HOURS = 168.0
+
+
+class DeltaConcurrentWriteError(RuntimeError):
+    """Raised when the optimistic-concurrency retry budget is exhausted
+    (another writer keeps winning the put-if-absent commit race)."""
 
 
 def _log_path(table_path: str) -> str:
@@ -41,7 +70,7 @@ def _commit_files(table_path: str) -> list[tuple[int, str]]:
         return []
     out = []
     for f in os.listdir(log):
-        if f.endswith(".json"):
+        if f.endswith(".json") and not f.startswith("_"):
             try:
                 out.append((int(f[: -len(".json")]), os.path.join(log, f)))
             except ValueError:
@@ -49,35 +78,233 @@ def _commit_files(table_path: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def _replay(table_path: str, version_as_of: int | None = None):
-    """Replay the log -> (schema_json, active file map path->add)."""
-    commits = _commit_files(table_path)
-    if not commits:
-        raise FileNotFoundError(f"no Delta log at {_log_path(table_path)}")
-    if version_as_of is not None:
-        commits = [(v, p) for v, p in commits if v <= version_as_of]
-        if not commits or commits[-1][0] != version_as_of:
-            raise ValueError(
-                f"version {version_as_of} not in log "
-                f"(have {[v for v, _ in _commit_files(table_path)]})"
-            )
-    schema_json = None
-    active: dict[str, dict] = {}
-    for _, path in commits:
+def _checkpoint_versions(table_path: str) -> list[int]:
+    log = _log_path(table_path)
+    if not os.path.isdir(log):
+        return []
+    out = []
+    for f in os.listdir(log):
+        if f.endswith(".checkpoint.parquet"):
+            try:
+                out.append(int(f[: -len(".checkpoint.parquet")]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _checkpoint_path(table_path: str, version: int) -> str:
+    return os.path.join(_log_path(table_path), f"{version:020d}.checkpoint.parquet")
+
+
+# --------------------------------------------------- checkpoint codec
+
+def _cp_schema():
+    import pyarrow as pa
+
+    # protocol "Checkpoint Schema": one top-level nullable struct per
+    # action kind, one row per action (format/configuration trimmed to
+    # the fields this layer reads back)
+    return pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("format", pa.struct([("provider", pa.string())])),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+            (
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def _write_checkpoint(table_path: str, version: int, state: "_State") -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows: list[dict] = []
+    if state.protocol is not None:
+        rows.append({"protocol": state.protocol})
+    if state.meta is not None:
+        m = state.meta
+        rows.append(
+            {
+                "metaData": {
+                    "id": m.get("id"),
+                    "format": {"provider": m.get("format", {}).get("provider", "parquet")},
+                    "schemaString": m.get("schemaString"),
+                    "partitionColumns": m.get("partitionColumns", []),
+                    "createdTime": m.get("createdTime"),
+                }
+            }
+        )
+    for add in state.active.values():
+        rows.append(
+            {
+                "add": {
+                    "path": add["path"],
+                    "partitionValues": add.get("partitionValues", {}) or {},
+                    "size": add.get("size"),
+                    "modificationTime": add.get("modificationTime"),
+                    "dataChange": False,
+                }
+            }
+        )
+    # tombstones ride along so a post-checkpoint VACUUM still knows
+    # each dead file's deletion time (protocol: checkpoints retain
+    # remove actions until the retention window expires); ones whose
+    # file is already vacuumed are dropped here, which is how the
+    # tombstone set stays bounded on a long-lived table
+    for path, ts in state.tombstones.items():
+        if not os.path.exists(os.path.join(table_path, path)):
+            continue
+        rows.append(
+            {"remove": {"path": path, "deletionTimestamp": ts, "dataChange": False}}
+        )
+    table = pa.Table.from_pylist(rows, schema=_cp_schema())
+    cp = _checkpoint_path(table_path, version)
+    tmp = cp + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, cp)
+    last = os.path.join(_log_path(table_path), "_last_checkpoint")
+    tmp = last + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    os.replace(tmp, last)
+
+
+def _read_checkpoint(table_path: str, version: int) -> "_State":
+    import pyarrow.parquet as pq
+
+    state = _State()
+    for row in pq.read_table(_checkpoint_path(table_path, version)).to_pylist():
+        if row.get("protocol") is not None:
+            state.protocol = row["protocol"]
+        elif row.get("metaData") is not None:
+            m = dict(row["metaData"])
+            pv = m.get("partitionColumns")
+            m["partitionColumns"] = list(pv) if pv is not None else []
+            state.meta = m
+        elif row.get("add") is not None:
+            a = dict(row["add"])
+            pv = a.get("partitionValues")
+            # pyarrow maps round-trip as a list of (k, v) pairs
+            a["partitionValues"] = dict(pv) if pv else {}
+            state.active[a["path"]] = a
+        elif row.get("remove") is not None:
+            r = row["remove"]
+            state.tombstones[r["path"]] = r["deletionTimestamp"]
+    return state
+
+
+# ------------------------------------------------------------- replay
+
+class _State:
+    """Replayed table state: protocol, metaData, active add-set, and
+    remove tombstones (path -> deletionTimestamp ms)."""
+
+    def __init__(self) -> None:
+        self.protocol: dict | None = None
+        self.meta: dict | None = None
+        self.active: dict[str, dict] = {}
+        self.tombstones: dict[str, int] = {}
+
+    def apply_commit(self, path: str) -> None:
         with open(path) as fh:
             for line in fh:
                 if not line.strip():
                     continue
                 action = json.loads(line)
-                if "metaData" in action:
-                    schema_json = action["metaData"]["schemaString"]
+                if "protocol" in action:
+                    self.protocol = action["protocol"]
+                elif "metaData" in action:
+                    self.meta = action["metaData"]
                 elif "add" in action:
-                    active[action["add"]["path"]] = action["add"]
+                    add = action["add"]
+                    self.active[add["path"]] = add
+                    self.tombstones.pop(add["path"], None)
                 elif "remove" in action:
-                    active.pop(action["remove"]["path"], None)
-    if schema_json is None:
+                    rm = action["remove"]
+                    self.active.pop(rm["path"], None)
+                    self.tombstones[rm["path"]] = rm.get(
+                        "deletionTimestamp", int(time.time() * 1000)
+                    )
+
+
+def _replay_state(
+    table_path: str,
+    version_as_of: int | None = None,
+    use_checkpoint: bool = True,
+) -> _State:
+    commits = _commit_files(table_path)
+    if not commits:
+        raise FileNotFoundError(f"no Delta log at {_log_path(table_path)}")
+    if version_as_of is not None:
+        wanted = [(v, p) for v, p in commits if v <= version_as_of]
+        if not wanted or wanted[-1][0] != version_as_of:
+            raise ValueError(
+                f"version {version_as_of} not in log "
+                f"(have {[v for v, _ in commits]})"
+            )
+        commits = wanted
+
+    state = _State()
+    start_after = -1
+    if use_checkpoint:
+        target = commits[-1][0]
+        cps = [v for v in _checkpoint_versions(table_path) if v <= target]
+        if cps:
+            start_after = cps[-1]
+            state = _read_checkpoint(table_path, start_after)
+    for v, path in commits:
+        if v > start_after:
+            state.apply_commit(path)
+    if state.meta is None or state.meta.get("schemaString") is None:
         raise ValueError("log contains no metaData action")
-    return schema_json, active
+    return state
+
+
+def _replay(table_path: str, version_as_of: int | None = None):
+    """Replay the log -> (schema_json, active file map path->add).
+    Kept as the narrow two-tuple the readers/vacuum historically use;
+    checkpoint seeding is transparent."""
+    state = _replay_state(table_path, version_as_of)
+    return state.meta["schemaString"], state.active
 
 
 def read_delta(
@@ -99,19 +326,59 @@ def table_version(table_path: str) -> int:
     return commits[-1][0] if commits else -1
 
 
-def write_delta(df: DataFrame, table_path: str, mode: str = "append") -> int:
+def last_checkpoint_version(table_path: str) -> int | None:
+    """Version recorded in ``_last_checkpoint``, or None."""
+    p = os.path.join(_log_path(table_path), "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)["version"]
+
+
+# ------------------------------------------------------------- commit
+
+def _put_if_absent(content: str, dst: str) -> bool:
+    """Atomically create ``dst`` with ``content`` iff it does not
+    exist. POSIX ``link(2)`` fails with EEXIST atomically even on the
+    same directory, which ``os.replace`` (silent overwrite) cannot —
+    this is the primitive that makes two same-version writers a
+    detected conflict instead of a lost update."""
+    tmp = dst + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write(content)
+    try:
+        os.link(tmp, dst)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
+def write_delta(
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    max_retries: int = 10,
+) -> int:
     """Write a new table version; returns the committed version number.
 
     The parquet data is written by Spark into a staging subdir, the
-    files are moved into the table root, and ONE json commit makes
-    them visible atomically (readers replay only the log, so partially
-    moved files are invisible until the commit lands) — the core Delta
-    idea. ``mode``: 'append' adds files; 'overwrite' also removes every
-    previously active file in the same commit."""
+    files are moved into the table root (invisible to readers, who
+    only trust the log), and ONE json commit makes them visible
+    atomically. ``mode``: 'append' adds files; 'overwrite' also removes
+    every previously active file in the same commit.
+
+    Concurrency: the commit is a put-if-absent of ``<version>.json``.
+    If another writer claimed the version first, the action list is
+    rebuilt against the new snapshot and the commit retried — an
+    append commutes with any concurrent commit, and overwrite
+    recomputes its remove-set so it still means "replace the table as
+    of commit time". ``DeltaConcurrentWriteError`` after
+    ``max_retries`` losses."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_log_path(table_path), exist_ok=True)
-    version = table_version(table_path) + 1
     now_ms = int(time.time() * 1000)
 
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
@@ -120,7 +387,7 @@ def write_delta(df: DataFrame, table_path: str, mode: str = "append") -> int:
     for f in sorted(os.listdir(staging)):
         if not f.endswith(".parquet"):
             continue
-        name = f"part-{version:010d}-{uuid.uuid4().hex}.parquet"
+        name = f"part-{uuid.uuid4().hex}.parquet"
         src = os.path.join(staging, f)
         dst = os.path.join(table_path, name)
         size = os.path.getsize(src)
@@ -136,58 +403,83 @@ def write_delta(df: DataFrame, table_path: str, mode: str = "append") -> int:
                 }
             }
         )
-    import shutil
-
     shutil.rmtree(staging, ignore_errors=True)
 
-    actions: list[dict] = []
-    if version == 0:
-        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
-        actions.append(
-            {
-                "metaData": {
-                    "id": str(uuid.uuid4()),
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
-                    "partitionColumns": [],
-                    "configuration": {},
-                    "createdTime": now_ms,
-                }
-            }
-        )
-    if mode == "overwrite" and version > 0:
-        _, active = _replay(table_path)
-        for path in active:
+    for attempt in range(max_retries + 1):
+        version = table_version(table_path) + 1
+        actions: list[dict] = []
+        if version == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
             actions.append(
                 {
-                    "remove": {
-                        "path": path,
-                        "deletionTimestamp": now_ms,
-                        "dataChange": True,
+                    "metaData": {
+                        "id": str(uuid.uuid4()),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": now_ms,
                     }
                 }
             )
-    actions.extend(adds)
+        if mode == "overwrite" and version > 0:
+            # re-read per attempt: the remove-set must reflect the
+            # snapshot we are actually replacing, including files a
+            # concurrent winner just added
+            _, active = _replay(table_path)
+            for path in active:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": path,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        actions.extend(adds)
 
-    commit = os.path.join(_log_path(table_path), f"{version:020d}.json")
-    tmp = commit + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
-    os.replace(tmp, commit)  # atomic single-writer commit
-    return version
+        commit = os.path.join(_log_path(table_path), f"{version:020d}.json")
+        body = "".join(json.dumps(a) + "\n" for a in actions)
+        if _put_if_absent(body, commit):
+            if version > 0 and version % _CHECKPOINT_INTERVAL == 0:
+                _write_checkpoint(
+                    table_path, version, _replay_state(table_path, version)
+                )
+            return version
+    raise DeltaConcurrentWriteError(
+        f"lost the commit race {max_retries + 1} times at {table_path}"
+    )
 
 
-def vacuum_delta(table_path: str) -> list[str]:
-    """Delete data files no longer referenced by the CURRENT snapshot;
-    returns the deleted file names. NOTE: destroys time travel to
-    versions whose files are removed — exactly Delta's VACUUM
-    trade-off (production adds a retention window; this minimal layer
-    vacuums everything unreferenced, which suits compaction tests)."""
-    _, active = _replay(table_path)
+# ------------------------------------------------------------- vacuum
+
+def vacuum_delta(
+    table_path: str,
+    retention_hours: float = _DEFAULT_RETENTION_HOURS,
+    dry_run: bool = False,
+) -> list[str]:
+    """Delete data files no longer referenced by the CURRENT snapshot
+    whose ``remove`` tombstone is older than ``retention_hours``
+    (Delta's ``deletedFileRetentionDuration``, default 168 h); returns
+    the deleted file names. Untracked parquet files (no tombstone —
+    e.g. debris from a crashed writer) fall back to file mtime for the
+    age check. Time travel to versions whose files are removed stops
+    working — exactly Delta's VACUUM trade-off. ``retention_hours=0``
+    reclaims everything unreferenced immediately (compaction tests)."""
+    state = _replay_state(table_path)
+    cutoff_ms = (time.time() - retention_hours * 3600.0) * 1000.0
     deleted = []
     for f in os.listdir(table_path):
-        if f.endswith(".parquet") and f not in active:
-            os.remove(os.path.join(table_path, f))
+        if not f.endswith(".parquet") or f in state.active:
+            continue
+        ts = state.tombstones.get(f)
+        if ts is None:
+            ts = os.path.getmtime(os.path.join(table_path, f)) * 1000.0
+        if ts <= cutoff_ms:
+            if not dry_run:
+                os.remove(os.path.join(table_path, f))
             deleted.append(f)
     return sorted(deleted)

@@ -72,14 +72,92 @@ def test_delta_invalid_version_raises(spark):
         read_delta(spark, path, version_as_of=7)
 
 
-def test_delta_vacuum_drops_unreferenced(spark):
+def test_delta_vacuum_retention_window(spark):
+    """VACUUM honours the retention window: fresh tombstones survive
+    the default/positive-retention pass (time travel within the window
+    stays intact), retention_hours=0 reclaims immediately."""
     from python_plugins_spark.sources.delta_py import vacuum_delta
 
     path = _fresh("delta_t5")
     write_delta(spark.range(10), path, "overwrite")   # v0 files
     write_delta(spark.range(3), path, "overwrite")    # v1 replaces them
     before = {f for f in os.listdir(path) if f.endswith(".parquet")}
-    deleted = vacuum_delta(path)
-    assert deleted and set(deleted) < before
+    # tombstones are seconds old -> a 1h retention deletes nothing,
+    # and v0 time travel still works
+    assert vacuum_delta(path, retention_hours=1.0) == []
+    assert read_delta(spark, path, version_as_of=0).count() == 10
+    # dry_run reports but does not delete
+    would = vacuum_delta(path, retention_hours=0, dry_run=True)
+    assert would and set(would) < before
+    assert read_delta(spark, path, version_as_of=0).count() == 10
+    deleted = vacuum_delta(path, retention_hours=0)
+    assert deleted == would
     # current snapshot unaffected; v0 time travel is now (by design) broken
     assert read_delta(spark, path).count() == 3
+
+
+def test_delta_checkpoint_write_and_replay(spark):
+    """Every 10th commit writes a parquet checkpoint + _last_checkpoint;
+    replay seeded from the checkpoint must equal the full JSON replay,
+    and must survive the pre-checkpoint commits becoming unreadable
+    (the point of checkpoints: O(interval) replay)."""
+    from python_plugins_spark.sources.delta_py import (
+        _replay_state,
+        last_checkpoint_version,
+    )
+
+    path = _fresh("delta_cp")
+    write_delta(spark.range(0, 5), path, "overwrite")          # v0
+    for i in range(1, 13):                                      # v1..v12
+        write_delta(spark.range(i * 100, i * 100 + 2), path, "append")
+    assert table_version(path) == 12
+    assert last_checkpoint_version(path) == 10
+
+    full = _replay_state(path, use_checkpoint=False)
+    seeded = _replay_state(path, use_checkpoint=True)
+    assert seeded.active.keys() == full.active.keys()
+    assert seeded.meta["schemaString"] == full.meta["schemaString"]
+
+    # snapshot and time travel across the checkpoint boundary
+    assert read_delta(spark, path).count() == 5 + 12 * 2
+    assert read_delta(spark, path, version_as_of=9).count() == 5 + 9 * 2
+    assert read_delta(spark, path, version_as_of=11).count() == 5 + 11 * 2
+
+    # corrupt a pre-checkpoint commit: checkpointed replay is immune
+    log = os.path.join(path, "_delta_log")
+    with open(os.path.join(log, f"{3:020d}.json"), "w") as fh:
+        fh.write("")  # truncated
+    assert read_delta(spark, path).count() == 5 + 12 * 2
+
+
+def test_delta_concurrent_writers_no_lost_update(spark):
+    """Two interleaved writers: the commit is put-if-absent, so a
+    version collision is detected and retried instead of silently
+    overwriting the other writer's commit. All appended rows must
+    survive with distinct version numbers."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = _fresh("delta_occ")
+    write_delta(spark.range(0, 1), path, "overwrite")  # v0
+
+    def appender(i):
+        return write_delta(spark.range(1000 * i, 1000 * i + 5), path, "append")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = list(ex.map(appender, range(1, 7)))
+    assert sorted(versions) == [1, 2, 3, 4, 5, 6]  # no duplicates
+    assert read_delta(spark, path).count() == 1 + 6 * 5
+
+
+def test_delta_put_if_absent_primitive(tmp_path):
+    """The commit primitive must refuse to overwrite an existing
+    version file (the lost-update guard os.replace cannot give)."""
+    from python_plugins_spark.sources.delta_py import _put_if_absent
+
+    dst = str(tmp_path / "00000000000000000001.json")
+    assert _put_if_absent("winner\n", dst)
+    assert not _put_if_absent("loser\n", dst)
+    with open(dst) as fh:
+        assert fh.read() == "winner\n"
+    # no tmp debris
+    assert os.listdir(tmp_path) == [os.path.basename(dst)]
