@@ -78,17 +78,61 @@ class ScriptValidationError(ValueError):
     creation in ``configurePipeline``, ``PythonEvaluator.java:232-239``)."""
 
 
+def _python2_rewrite(script: str) -> str:
+    """Best-effort Python-2 -> 3 source rewrite (stdlib ``lib2to3``
+    fixers: print statement, ``has_key``, ``except E, e``, ``<>``,
+    ``raise E, v``, ``xrange``, long/octal literals). The reference's
+    Interpreted mode is Jython 2.5 and its own test scripts are
+    Python 2 (``print "emitting..."``,
+    ``PythonTransformNativeTest.java:60-62``), so a verbatim CDAP
+    migration script must still run here. Scripts the fixers cannot
+    mechanically convert keep raising :class:`ScriptValidationError`."""
+    from lib2to3.refactor import RefactoringTool
+
+    fixers = [
+        "lib2to3.fixes.fix_" + f
+        for f in (
+            "print",
+            "has_key",
+            "except",
+            "ne",
+            "raise",
+            "xrange",
+            "numliterals",
+            "long",
+        )
+    ]
+    tool = RefactoringTool(fixers)
+    src = script if script.endswith("\n") else script + "\n"
+    return str(tool.refactor_string(src, "<python_transform>"))
+
+
+def _compile_script(script: str):
+    """Compile, falling back to the Python-2 shim on SyntaxError.
+    Returns the code object; raises :class:`ScriptValidationError`
+    (carrying the ORIGINAL syntax error) if neither parse succeeds.
+    Used on the driver (validation) and on executors (fn load), so a
+    py2 script behaves identically in both places."""
+    try:
+        return compile(script, "<python_transform>", "exec")
+    except SyntaxError as exc:
+        try:
+            rewritten = _python2_rewrite(script)
+            return compile(rewritten, "<python_transform>", "exec")
+        except ScriptValidationError:
+            raise
+        except Exception:
+            raise ScriptValidationError(f"could not compile script: {exc}") from exc
+
+
 def validate_script(script: str) -> None:
     """Driver-side fail-fast compile check (EP1 parity)."""
-    try:
-        compile(script, "<python_transform>", "exec")
-    except SyntaxError as exc:
-        raise ScriptValidationError(f"could not compile script: {exc}") from exc
+    _compile_script(script)
 
 
 def _load_transform_fn(script: str) -> Callable:
     namespace: dict[str, Any] = {}
-    exec(compile(script, "<python_transform>", "exec"), namespace)
+    exec(_compile_script(script), namespace)
     fn = namespace.get("transform")
     if not callable(fn):
         raise ScriptValidationError("script must define `def transform(record, emitter, context)`")

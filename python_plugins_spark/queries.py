@@ -832,6 +832,39 @@ def transform(record, emitter, context):
 
 
 @register(
+    "transform_python2_script",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal
+    FROM customer WHERE c_custkey % 2 = 0
+    """,
+)
+def transform_python2_script(spark, sf_dir):
+    """A VERBATIM Python-2 CDAP script (print statement, ``has_key``,
+    ``except E, e``, ``<>``, ``long()``) — the dialect the reference's
+    Jython 2.5 Interpreted mode runs and its own tests use
+    (``print "emitting..."``, PythonTransformNativeTest.java:60-62).
+    The deploy-time compile detects the SyntaxError, applies the
+    lib2to3 shim (operators/transform.py:_python2_rewrite), and the
+    script runs unmodified — closing the last migration gap for users
+    carrying Python-2 pipeline scripts."""
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    script = """
+def transform(record, emitter, context):
+    if record['c_custkey'] < 3:
+        print "emitting records"
+    try:
+        x = long(record['c_custkey'])
+    except Exception, e:
+        x = 0
+    if record.has_key('c_custkey') and record['c_nationkey'] <> 99 and x % 2 == 0:
+        emitter.emit(record)
+"""
+    return python_transform(c, script=script).output
+
+
+@register(
     "transform_fanout_region",
     oracle="""
     SELECT r_regionkey, r_name, 'orig' AS variant FROM region
