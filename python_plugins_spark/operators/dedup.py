@@ -264,12 +264,27 @@ def ngram_jaccard_pairs(
     threshold: float,
     shingle: int = 3,
     candidates: DataFrame | None = None,
+    max_rows: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct word-shingle sets. With
     ``candidates`` (id_a, id_b) this verifies only those pairs (the
     scale path, fed from :func:`minhash_lsh_pairs`); without it, an
-    O(n^2) self-join — only for small inputs."""
+    O(n^2) self-join, size-gated at
+    :data:`~python_plugins_spark.operators.similarity.PAIRWISE_MAX_ROWS`
+    (override with ``max_rows``) — point big corpora at the LSH
+    candidate path instead."""
     base = df
+    if candidates is None:
+        from python_plugins_spark.operators.similarity import (
+            PAIRWISE_MAX_ROWS,
+            _gate_pairwise,
+        )
+
+        _gate_pairwise(
+            df, id_col, "ngram_jaccard_pairs (candidates=None)",
+            "minhash_lsh_pairs candidates + ngram_jaccard_pairs(candidates=...)",
+            max_rows if max_rows is not None else PAIRWISE_MAX_ROWS,
+        )
     if candidates is not None:
         # the candidate frame is consumed three times (two id sides +
         # the pair join); a lazy cache() still recomputes the upstream

@@ -33,13 +33,39 @@ from python_plugins_spark.functions import cosine_similarity
 from python_plugins_spark.functions import oracle_fragments as O
 
 
+#: Hard cap for the O(n^2) correctness baselines (`cosine_pairs`,
+#: `ann_topk`, candidate-less `ngram_jaccard_pairs`). ~100k rows is
+#: 10^10 pair evaluations — already minutes of compute; anything
+#: larger must use the bucketed/blocked scale paths.
+PAIRWISE_MAX_ROWS = 100_000
+
+
+def _gate_pairwise(df: DataFrame, id_col: str, fn_name: str,
+                   alternative: str, max_rows: int) -> None:
+    """Refuse O(n^2) baselines on big inputs (same guard pattern as
+    :data:`ANN_NUMPY_MAX_ROWS`): a library user pointing one of these
+    at a 100 TB frame gets an immediate error naming the scale path,
+    not a cluster-melting cross join. The count is a deliberate
+    driver-side action — these functions are small-input baselines by
+    contract, never pipeline building blocks."""
+    n = df.select(id_col).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{fn_name} is an O(n^2) correctness baseline, size-gated at "
+            f"{max_rows} rows (input has {n}); use {alternative}"
+        )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float,
+    max_rows: int = PAIRWISE_MAX_ROWS,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine >= threshold. Exact; O(n^2)."""
+    """All pairs (id_a < id_b) with cosine >= threshold. Exact; O(n^2);
+    size-gated — the scale path is :func:`lsh_bucketed_neardup`."""
+    _gate_pairwise(df, id_col, "cosine_pairs", "lsh_bucketed_neardup", max_rows)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     cos = F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6)
@@ -67,9 +93,12 @@ def ann_topk(
     id_col: str,
     vec_col: str,
     k: int,
+    max_rows: int = PAIRWISE_MAX_ROWS,
 ) -> DataFrame:
     """Exact top-k neighbors per vector via expression cosine + window.
-    Deterministic tie-break on neighbor id."""
+    Deterministic tie-break on neighbor id. O(n^2); size-gated — the
+    scale paths are :func:`ann_topk_blocked` / :func:`ivf_ann_topk`."""
+    _gate_pairwise(df, id_col, "ann_topk", "ann_topk_blocked or ivf_ann_topk", max_rows)
     a = df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("v_a"))
     b = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_b"))
     cos = F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6)
@@ -386,7 +415,8 @@ def lsh_bucketed_neardup(
     """Scale path for cosine near-dup: candidates = pairs sharing an
     LSH bucket (equi-join on the packed sign bits — one narrow
     shuffle), verified with exact cosine. Fewer planes -> bigger
-    buckets -> higher recall, more verification work."""
+    buckets -> higher recall, more verification work. ``dim`` is
+    required (forwarded to :func:`lsh_buckets`)."""
     from python_plugins_spark.functions import cosine_similarity
 
     bucketed = lsh_buckets(df, id_col, vec_col, n_planes, seed, dim=dim)
@@ -439,12 +469,16 @@ def lsh_buckets(
     """Random-hyperplane signature: bit i = sign(v . plane_i). Returns
     (id, bucket) where bucket packs the sign bits — vectors in the same
     bucket are ANN candidates. Planes are seeded-deterministic and
-    shipped as literals (no closure capture). Pass ``dim`` explicitly
-    to keep plan construction action-free (otherwise a one-row probe
-    infers it)."""
+    shipped as literals (no closure capture). ``dim`` (the embedding
+    dimension) is REQUIRED: inferring it would need a ``df.first()``
+    probe, i.e. a silent driver-side Spark job inside what callers
+    reasonably treat as pure plan construction."""
     if dim is None:
-        first = df.select(vec_col).first()
-        dim = len(first[0])
+        raise TypeError(
+            "lsh_buckets requires dim= (the embedding dimension); "
+            "inferring it would run a driver-side action during plan "
+            "construction"
+        )
     planes = lsh_planes(n_planes, dim, seed)
     bucket = None
     for i in range(n_planes):

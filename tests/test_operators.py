@@ -182,7 +182,7 @@ def test_ivf_recall(spark, sf_dir):
 
 def test_lsh_buckets_groups_similar(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
-    out = S.lsh_buckets(emb, "vec_id", "embedding", n_planes=8)
+    out = S.lsh_buckets(emb, "vec_id", "embedding", n_planes=8, dim=64)
     assert out.count() == emb.count()
     n_buckets = out.select("bucket").distinct().count()
     assert 1 < n_buckets <= 256
@@ -470,3 +470,47 @@ def test_containment_prefix_exact_at_boundary(spark):
     }
     assert out.get((0, 1)) == 0.8
     assert out.get((1, 0)) == 0.8
+
+
+def test_pairwise_baselines_size_gated(spark):
+    """VERDICT r2: the O(n^2) correctness baselines must refuse
+    over-threshold inputs with an error naming the scale path, the
+    same guard ann_topk_numpy already had."""
+    emb = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=7) for _ in range(4)]).alias("embedding"),
+    )
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"), F.lit("some words here").alias("text")
+    )
+    with pytest.raises(ValueError, match="size-gated.*lsh_bucketed_neardup"):
+        S.cosine_pairs(emb, "vec_id", "embedding", 0.5, max_rows=10)
+    with pytest.raises(ValueError, match="size-gated.*ann_topk_blocked"):
+        S.ann_topk(emb, "vec_id", "embedding", 3, max_rows=10)
+    with pytest.raises(ValueError, match="size-gated.*minhash_lsh_pairs"):
+        D.ngram_jaccard_pairs(docs, "text", "doc_id", 0.5, max_rows=10)
+    # under the gate they still build (lazy) plans
+    assert S.cosine_pairs(emb, "vec_id", "embedding", 0.5, max_rows=100) is not None
+    # the candidate-fed path is the scale path: never gated
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    assert D.ngram_jaccard_pairs(docs, "text", "doc_id", 0.5, candidates=cand, max_rows=1) is not None
+
+
+def test_lsh_buckets_requires_dim_and_is_action_free(spark, sf_dir):
+    """VERDICT r2: dim=None used to run df.first() during plan
+    construction. Now dim is required, and building the bucketed plan
+    must launch zero Spark jobs."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    with pytest.raises(TypeError, match="requires dim"):
+        S.lsh_buckets(emb, "vec_id", "embedding", n_planes=8)
+
+    sc = spark.sparkContext
+    group = "construct-lsh-buckets"
+    sc.setJobGroup(group, "plan-construction probe")
+    try:
+        df = S.lsh_buckets(emb, "vec_id", "embedding", n_planes=8, dim=64)
+        df2 = S.lsh_bucketed_neardup(emb, "vec_id", "embedding", 0.3, n_planes=8, dim=64)
+    finally:
+        sc.setJobGroup("", "")
+    assert not sc.statusTracker().getJobIdsForGroup(group)
+    assert df.count() > 0 and df2 is not None
