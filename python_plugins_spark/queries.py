@@ -2527,13 +2527,21 @@ def q19_disjunctive_pred(spark, sf_dir):
 def q22_idle_customers(spark, sf_dir):
     """TPC-H Q22 shape: scalar subquery threshold + anti join (rich
     customers with no urgent orders — predicate chosen so the result
-    is non-empty at every test SF)."""
+    is non-empty at every test SF). The scalar aggregate is a one-row
+    broadcast crossJoin, not a collect(): one job, one whole plan for
+    AQE to optimize (VERDICT r2 #7)."""
     c = load_table(spark, "customer", sf_dir)
     o = load_table(spark, "orders", sf_dir).filter(
         F.col("o_orderpriority") == "1-URGENT"
     ).select("o_custkey")
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
-    rich = c.filter(F.col("c_acctbal") > avg_bal)
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg_bal"))
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .drop("_avg_bal")
+    )
     idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return idle.groupBy("c_mktsegment").agg(
         F.count("*").alias("numcust"),
@@ -3479,6 +3487,41 @@ def transform(record, emitter, context):
 
 
 @register(
+    "transform_enum_schema",
+    oracle="""
+    SELECT o_orderkey AS key,
+           CASE o_orderstatus WHEN 'F' THEN 'FULFILLED'
+                              WHEN 'O' THEN 'OPEN'
+                              ELSE 'PENDING' END AS status
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def transform_enum_schema(spark, sf_dir):
+    """CDAP output schema with an Avro ENUM field — the reference
+    codec hard-rejects enum (PythonObjectsEncoder.java:51-52,67); the
+    schema bridge maps symbols to their string names (with a
+    deploy-time warning), so enum-bearing pipeline configs run instead
+    of failing deployment. Roundtrip: script emits symbol names, the
+    declared enum field lands as a string column."""
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") <= 2000)
+    avro_schema = """
+    {"type": "record", "name": "etlSchemaBody", "fields": [
+      {"name": "key", "type": "long"},
+      {"name": "status",
+       "type": {"type": "enum", "name": "Status",
+                "symbols": ["FULFILLED", "OPEN", "PENDING"]}}
+    ]}
+    """
+    script = """
+def transform(record, emitter, context):
+    m = {'F': 'FULFILLED', 'O': 'OPEN'}
+    emitter.emit({'key': record['o_orderkey'],
+                  'status': m.get(record['o_orderstatus'], 'PENDING')})
+"""
+    return python_transform(o, script=script, output_schema=avro_schema).output
+
+
+@register(
     "variant_json_events",
     oracle="""
     SELECT event_type,
@@ -4070,19 +4113,21 @@ def scrub_pii_docs(spark, sf_dir):
 )
 def q11_value_concentration(spark, sf_dir):
     """TPC-H Q11 shape: groups whose share exceeds a fraction of the
-    GLOBAL total — scalar subquery against the same fact table; the
-    global sum is computed once and broadcast into the HAVING."""
+    GLOBAL total — scalar subquery against the same fact table. The
+    global sum stays in-plan as a one-row broadcast crossJoin (no
+    collect(): one job, whole-plan AQE — VERDICT r2 #7)."""
     li = load_table(spark, "lineitem", sf_dir)
     val = F.col("l_extendedprice") * F.col("l_quantity")
-    total = li.agg(F.sum(val)).collect()[0][0]
+    total = li.agg(F.sum(val).alias("_total"))
     return (
         li.groupBy("l_partkey")
         .agg(
             F.round(F.sum(val), 4).alias("part_value"),
             F.sum(val).alias("_raw"),
         )
-        .filter(F.col("_raw") > total * 0.0008)
-        .drop("_raw")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("_raw") > F.col("_total") * 0.0008)
+        .drop("_raw", "_total")
     )
 
 

@@ -8,7 +8,8 @@ reproduces that contract on Spark types:
 - primitive map per the reference codec switch
   (``PythonObjectsEncoder.java:38-68``): null/boolean/int/long/float/
   double/bytes/string.
-- ``enum`` is rejected, matching the codec's explicit unsupported branch
+- ``enum`` maps to string (symbol name) with a deploy-time warning —
+  a strict superset of the reference codec, which rejects enum outright
   (``PythonObjectsEncoder.java:51-52,67``).
 - nullability is union-with-null, i.e. ``["string","null"]`` becomes a
   nullable string field (reference models nullability the same way,
@@ -27,6 +28,7 @@ annotations.
 from __future__ import annotations
 
 import json
+import warnings
 from typing import Any
 
 from pyspark.sql import types as T
@@ -126,9 +128,18 @@ def _parse_type(node: Any) -> tuple[T.DataType, bool]:
             vdtype, vnullable = _parse_type(node["values"])
             return T.MapType(kdtype, vdtype, valueContainsNull=vnullable), False
         if kind == "enum":
-            raise SchemaParseError(
-                "enum is unsupported (matches reference codec PythonObjectsEncoder.java:51-52)"
+            # The reference codec hard-rejects enum
+            # (PythonObjectsEncoder.java:51-52,67); mapping symbols to
+            # their string names is a strict superset — scripts see the
+            # symbol as a plain string. Warn so the relaxation is
+            # visible at deploy time.
+            warnings.warn(
+                f"avro enum {node.get('name', '?')!r} mapped to string "
+                f"(symbols: {node.get('symbols', [])}); the reference "
+                "rejects enum outright",
+                stacklevel=2,
             )
+            return T.StringType(), False
         if isinstance(kind, (str, list, dict)) and kind is not None:
             # logical-type annotated primitive, e.g.
             # {"type":"long","logicalType":"timestamp-micros"}

@@ -454,3 +454,46 @@ def test_graph_edges_single_distinct_shuffle(spark, sf_dir):
     used to carry was a second full shuffle of the edge list."""
     df = QUERIES["degree_distribution_graph"](spark, sf_dir)
     assert count_shuffles(df) == 3  # canonical distinct + 2 degree aggs
+
+
+def test_scalar_subquery_broadcast_not_collect(spark, sf_dir):
+    """VERDICT r2 #7: q22/q11's scalar aggregate must stay IN the plan
+    as a one-row broadcast (BroadcastNestedLoopJoin over the aggregate)
+    — zero Spark jobs during plan construction (the old collect()[0][0]
+    split each query into two jobs and forfeited whole-plan AQE)."""
+    # first-touch parquet footer inference is a legitimate metadata job;
+    # warm it so the probe only sees query-building work
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, t, sf_dir)
+    sc = spark.sparkContext
+    for name in ("q22_idle_customers", "q11_value_concentration"):
+        group = f"construct-{name}"
+        sc.setJobGroup(group, "plan-construction probe")
+        try:
+            df = QUERIES[name](spark, sf_dir)
+        finally:
+            sc.setJobGroup("", "")
+        assert not sc.statusTracker().getJobIdsForGroup(group), (
+            f"{name}: scalar subquery ran a driver-side job at plan build"
+        )
+        plan = plan_str(df)
+        assert "BroadcastNestedLoopJoin" in plan, (
+            f"{name}: expected the one-row aggregate broadcast in-plan"
+        )
+
+
+def test_locf_global_window_bounded_by_spine(spark, sf_dir):
+    """VERDICT r2 #4: locf_carry_forward's unpartitioned ordered window
+    is only acceptable because its input is the hourly SPINE (one row
+    per hour between min and max ts), never fact rows. Pin that bound:
+    the query's output cardinality must equal the spine size, so a
+    refactor that windows over events rows breaks this test."""
+    ev = load_table(spark, "events", sf_dir)
+    lo, hi = ev.agg(
+        F.date_trunc("hour", F.min("ts")), F.date_trunc("hour", F.max("ts"))
+    ).first()
+    expected_hours = int((hi - lo).total_seconds() // 3600) + 1
+    df = QUERIES["locf_carry_forward"](spark, sf_dir)
+    n = df.count()
+    assert n == expected_hours, f"window input widened: {n} rows vs {expected_hours} spine slots"
+    assert n < ev.count(), "spine must be far smaller than the fact table"

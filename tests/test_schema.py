@@ -55,18 +55,27 @@ def test_alltypes_parse():
     assert u.fieldNames() == ["tag", "member_0", "member_1"]
 
 
-def test_enum_rejected():
-    bad = json.dumps(
+def test_enum_maps_to_string_with_warning():
+    """VERDICT r2 #9: enum -> StringType (symbol name), a strict
+    superset of the reference codec's hard-unsupported branch
+    (PythonObjectsEncoder.java:51-52,67); the relaxation must be
+    visible as a deploy-time warning."""
+    import warnings
+
+    schema = json.dumps(
         {
             "type": "record",
             "name": "r",
             "fields": [
-                {"name": "e", "type": {"type": "enum", "name": "E", "symbols": ["A"]}}
+                {"name": "e", "type": {"type": "enum", "name": "E", "symbols": ["A", "B"]}}
             ],
         }
     )
-    with pytest.raises(SchemaParseError):
-        cdap_schema_to_spark(bad)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        st = cdap_schema_to_spark(schema)
+    assert st["e"].dataType == T.StringType()
+    assert any("enum 'E' mapped to string" in str(w.message) for w in caught)
 
 
 def test_ddl_shorthand(spark):
