@@ -112,12 +112,24 @@ def get_spark(
     # Py4jPythonExecutor.java:147-149): Spark's worker processes run
     # under the chosen interpreter with the extra dirs importable.
     if python_binary:
-        builder = builder.config("spark.pyspark.python", python_binary).config(
-            "spark.pyspark.driver.python", python_binary
-        )
+        builder = builder.config("spark.pyspark.python", python_binary)
+        # The conf alone only takes effect through spark-submit's
+        # launcher; an in-process SparkContext picks the worker
+        # interpreter from PYSPARK_PYTHON at context start
+        # (pyspark.context: pythonExec = env PYSPARK_PYTHON or
+        # sys.executable). Set both so either path agrees.
+        os.environ["PYSPARK_PYTHON"] = python_binary
     if python_path:
-        joined = ":".join(python_path)
-        builder = builder.config("spark.executorEnv.PYTHONPATH", joined)
+        # ADDITIVE, like the reference's pythonPath ("additional library
+        # folders"): executorEnv.PYTHONPATH replaces the inherited env,
+        # so re-include it (vendor shim, caller dirs) plus the package
+        # root — otherwise workers lose this very package.
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        parts = list(python_path)
+        parts += [p for p in os.environ.get("PYTHONPATH", "").split(":") if p]
+        if pkg_root not in parts:
+            parts.append(pkg_root)
+        builder = builder.config("spark.executorEnv.PYTHONPATH", ":".join(parts))
     for key, value in (extra_conf or {}).items():
         if key == "spark.sql.session.timeZone" and value != "UTC":
             # Value-identity of naive-parquet timestamp reads (and every

@@ -434,3 +434,74 @@ def test_python2_shim_still_rejects_garbage(spark):
 
     with pytest.raises(ScriptValidationError, match="could not compile"):
         validate_script("def transform(record, emitter context):\n  pass\n")
+
+
+def test_python_binary_and_path_e2e(tmp_path):
+    """Reference parity row 17 (PythonTransformNativeTest.java:55-77):
+    run the transform under an ALTERNATE interpreter (a venv python,
+    selected via python_binary) with a helper module importable only
+    from python_path. Needs its own JVM (executorEnv/PYSPARK_PYTHON are
+    fixed at context start), so the whole pipeline runs in a
+    subprocess. The script asserts, per record, that the worker's
+    sys.executable IS the venv binary and that the helper import
+    resolved from the python_path dir."""
+    import os
+    import subprocess
+    import sys
+    import venv
+
+    venv_dir = tmp_path / "altpy"
+    # --system-site-packages so the venv worker can import pyspark;
+    # without_pip keeps creation offline/fast
+    venv.EnvBuilder(system_site_packages=True, with_pip=False).create(venv_dir)
+    alt_python = str(venv_dir / "bin" / "python")
+    assert os.path.exists(alt_python)
+
+    lib_dir = tmp_path / "libs"
+    lib_dir.mkdir()
+    (lib_dir / "pythonevaluator_test_lib.py").write_text(
+        "def emit_with_tag(emitter, record, exe):\n"
+        "    rec = dict(record)\n"
+        "    rec['exe'] = exe\n"
+        "    emitter.emit(rec)\n"
+    )
+
+    driver = tmp_path / "driver.py"
+    driver.write_text(f"""
+import sys
+sys.path.insert(0, {str(os.getcwd())!r})
+from python_plugins_spark.session import get_spark
+from python_plugins_spark.operators.transform import python_transform
+
+spark = get_spark(
+    app_name="pybinary-e2e",
+    master="local[2]",
+    python_binary={alt_python!r},
+    python_path=[{str(lib_dir)!r}],
+)
+df = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+script = '''
+import sys
+from pythonevaluator_test_lib import emit_with_tag
+def transform(record, emitter, context):
+    emit_with_tag(emitter, record, sys.executable)
+'''
+out = python_transform(df, script=script,
+                       output_schema="k int, exe string").output
+rows = sorted((r.k, r.exe) for r in out.collect())
+assert [k for k, _ in rows] == [1, 2, 3], rows
+for _, exe in rows:
+    assert exe == {alt_python!r}, f"worker ran {{exe}}, not the venv python"
+print("PYBINARY_E2E_OK")
+spark.stop()
+""")
+    env = dict(os.environ)
+    env.pop("PYSPARK_PYTHON", None)
+    env.pop("PYSPARK_DRIVER_PYTHON", None)
+    proc = subprocess.run(
+        [sys.executable, str(driver)],
+        capture_output=True, text=True, timeout=300, env=env, cwd=os.getcwd(),
+    )
+    assert "PYBINARY_E2E_OK" in proc.stdout, (
+        f"stdout:\n{proc.stdout[-3000:]}\nstderr:\n{proc.stderr[-3000:]}"
+    )
