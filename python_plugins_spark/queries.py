@@ -2148,6 +2148,76 @@ def delta_checkpoint_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_snapshot_read",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def iceberg_snapshot_read(spark, sf_dir):
+    """Iceberg-spec table (pure-Python metadata: version-hint →
+    metadata.json → Avro manifest list → Avro manifests → native
+    parquet scan; sources/iceberg_py.py — no iceberg jar or pyiceberg
+    in this env). Two commits (overwrite evens, append odds) make two
+    snapshots; the current-snapshot read must see exactly the union —
+    snapshot isolation via immutable metadata, oracle-checked against
+    the plain table."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import read_iceberg, write_iceberg
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(_SCRATCH, f"ice_orders_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(o.filter(F.col("o_orderkey") % 2 == 0), path, mode="overwrite")
+    write_iceberg(o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append")
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
+
+
+@register(
+    "iceberg_pruned_scan",
+    oracle="""
+    SELECT count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def iceberg_pruned_scan(spark, sf_dir):
+    """Iceberg's core scale property: the manifest walk prunes data
+    files from partition values BEFORE any file is listed or opened —
+    on a 100 TB table the scan list shrinks at metadata cost, not IO
+    cost. Table is identity-partitioned by o_orderstatus; the eq
+    predicate must leave only that partition's files (asserted), and
+    the result equals the plain filtered aggregate."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import (
+        plan_files,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(_SCRATCH, f"ice_part_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(o, path, mode="overwrite", partition_by="o_orderstatus")
+    pruned = plan_files(path, eq={"o_orderstatus": "F"})
+    assert pruned and len(pruned) < len(plan_files(path))
+    back = read_iceberg(spark, path, eq={"o_orderstatus": "F"})
+    return back.agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
+
+
+@register(
     "embedding_lsh_neardup",
     oracle=S.lsh_bucketed_neardup_oracle_sql(
         "embeddings", "vec_id", "embedding", 0.3, 8, 64

@@ -1,0 +1,508 @@
+"""Minimal Apache Iceberg table support, implemented from the PUBLIC
+Iceberg table spec (https://iceberg.apache.org/spec/): a table is a
+directory of parquet data files plus a ``metadata/`` tree —
+``v<N>.metadata.json`` (schema, partition spec, snapshot list) →
+per-snapshot **manifest list** (Avro) → **manifest files** (Avro, one
+entry per data file with partition values and column bounds) → data
+files. ``version-hint.text`` names the current metadata version
+(the spec's file-system-catalog convention).
+
+No iceberg-spark runtime or pyiceberg exists in this environment, so
+the metadata layer is implemented here, reusing this repo's own Avro
+object-container codec (:mod:`.avro_py`) for manifest/manifest-list
+files — Iceberg's manifests ARE Avro files by spec. As with
+:mod:`.delta_py`, every heavy read stays on Spark's native vectorized
+parquet scan; the metadata walk is tiny driver-side IO, like reading a
+parquet footer.
+
+What the metadata layer buys at scale (and what the registry queries
+exercise):
+
+- **snapshot isolation + time travel**: each commit is a new immutable
+  snapshot; readers pin one snapshot id.
+- **manifest/file pruning WITHOUT listing or opening data files**:
+  partition values and per-column lower/upper bounds live in the
+  manifests, so a predicate eliminates files from the scan list before
+  Spark ever sees them — at 100 TB this is the difference between
+  scanning 3 files and 30,000 (directory listing alone can take
+  minutes; Iceberg's core design point).
+
+Documented divergences from the byte-exact spec (this is a minimal
+single-writer filesystem-catalog subset, same spirit as delta_py):
+
+- manifest ``partition`` and ``lower_bounds``/``upper_bounds`` are
+  Avro ``map<string,string>`` with JSON-encoded values, not the spec's
+  field-id-keyed binary single-value serialization;
+- top-level primitive columns only in bounds (nested types scan fine
+  but don't contribute prune stats);
+- one manifest per commit, no manifest compaction, no delete files
+  (format-version 2 row-level deletes), no catalog atomicity beyond
+  the version-hint rename.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from datetime import date, datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from python_plugins_spark.sources.avro_py import read_container, write_container
+
+_META_DIR = "metadata"
+_DATA_DIR = "data"
+
+
+# ------------------------------------------------- schema bridge
+
+_SPARK_TO_ICE = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.StringType: "string",
+    T.BinaryType: "binary",
+    T.DateType: "date",
+    T.TimestampType: "timestamp",
+}
+
+_ICE_TO_SPARK = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+}
+
+
+def spark_schema_to_iceberg(schema: T.StructType) -> dict:
+    """Spark StructType -> Iceberg schema JSON (spec 'Schemas': struct
+    with field ids). Top-level primitives only (the subset the tables
+    this layer writes need)."""
+    fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        ice = _SPARK_TO_ICE.get(type(f.dataType))
+        if ice is None:
+            raise ValueError(
+                f"iceberg_py writes top-level primitive columns only; "
+                f"{f.name} is {f.dataType.simpleString()}"
+            )
+        fields.append(
+            {"id": i, "name": f.name, "required": not f.nullable, "type": ice}
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def iceberg_schema_to_spark(node: dict) -> T.StructType:
+    fields = []
+    for f in node["fields"]:
+        dt = _ICE_TO_SPARK.get(f["type"])
+        if dt is None:
+            raise ValueError(f"unsupported iceberg type {f['type']!r}")
+        fields.append(T.StructField(f["name"], dt, not f.get("required", False)))
+    return T.StructType(fields)
+
+
+# ------------------------------------------------- avro node shapes
+
+# manifest entry (spec 'Manifests', trimmed): one row per data file
+_MANIFEST_ENTRY_NODE = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},  # 1=ADDED 0=EXISTING 2=DELETED
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+        {"name": "partition", "type": {"type": "map", "values": "string"}},
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+        {"name": "lower_bounds", "type": {"type": "map", "values": "string"}},
+        {"name": "upper_bounds", "type": {"type": "map", "values": "string"}},
+    ],
+}
+
+# manifest-list entry (spec 'Manifest Lists', trimmed)
+_MANIFEST_FILE_NODE = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+    ],
+}
+
+
+# ------------------------------------------------- bounds encoding
+
+def _enc_bound(v) -> str:
+    """JSON-encode a stats value canonically (dates/timestamps as ISO
+    strings, which order lexicographically — the property pruning
+    relies on)."""
+    if isinstance(v, datetime):
+        return json.dumps(v.isoformat(sep=" "))
+    if isinstance(v, date):
+        return json.dumps(v.isoformat())
+    if isinstance(v, bytes):
+        return json.dumps(v.hex())
+    return json.dumps(v)
+
+
+def _dec_bound(s: str):
+    return json.loads(s)
+
+
+def _cmp_key(v):
+    """Comparable form of a decoded bound / query literal."""
+    if isinstance(v, datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, date):
+        return v.isoformat()
+    return v
+
+
+# ------------------------------------------------- metadata files
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, _META_DIR)
+
+
+def current_metadata_version(path: str) -> int | None:
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    if not os.path.exists(hint):
+        return None
+    with open(hint) as fh:
+        return int(fh.read().strip())
+
+
+def _load_metadata(path: str, version: int | None = None) -> dict:
+    if version is None:
+        version = current_metadata_version(path)
+    if version is None:
+        raise FileNotFoundError(f"no Iceberg table at {path} (no version-hint.text)")
+    with open(os.path.join(_meta_dir(path), f"v{version}.metadata.json")) as fh:
+        return json.load(fh)
+
+
+def table_snapshots(path: str) -> list[dict]:
+    """[{snapshot-id, timestamp-ms, operation}] oldest-first."""
+    meta = _load_metadata(path)
+    return [
+        {
+            "snapshot-id": s["snapshot-id"],
+            "timestamp-ms": s["timestamp-ms"],
+            "operation": s.get("summary", {}).get("operation"),
+        }
+        for s in meta.get("snapshots", [])
+    ]
+
+
+# ------------------------------------------------- write path
+
+def _file_column_bounds(parquet_path: str, schema: T.StructType):
+    """(record_count, lower, upper) from the parquet FOOTER via
+    pyarrow — real statistics, the same ones a Java Iceberg writer
+    would persist."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(parquet_path).metadata
+    names = {f.name for f in schema.fields}
+    lower: dict[str, str] = {}
+    upper: dict[str, str] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in names:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue
+            if name not in lower or _cmp_key(mn) < _cmp_key(_dec_bound(lower[name])):
+                lower[name] = _enc_bound(mn)
+            if name not in upper or _cmp_key(mx) > _cmp_key(_dec_bound(upper[name])):
+                upper[name] = _enc_bound(mx)
+    return md.num_rows, lower, upper
+
+
+def write_iceberg(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: str | None = None,
+) -> int:
+    """Commit a new snapshot; returns the snapshot id.
+
+    Data is written by Spark as parquet (``partitionBy`` for identity
+    partitioning — the spec's identity transform), each file's footer
+    stats become the manifest's bounds, ONE manifest (Avro) describes
+    the new files, and a new manifest list + metadata json + version
+    hint publish the snapshot. ``mode='append'`` carries the previous
+    snapshot's manifests forward; ``'overwrite'`` starts the manifest
+    list fresh."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+    cur_version = current_metadata_version(path)
+    meta = _load_metadata(path, cur_version) if cur_version is not None else None
+    now_ms = int(time.time() * 1000)
+    snapshot_id = (cur_version or 0) + 1
+
+    if meta is not None:
+        existing_schema = iceberg_schema_to_spark(meta["schemas"][0])
+        if [f.name for f in existing_schema.fields] != [f.name for f in df.schema.fields]:
+            raise ValueError("schema mismatch with existing table")
+        part_field = (meta["partition-specs"][0]["fields"] or [{}])[0].get("name")
+        if partition_by is None:
+            partition_by = part_field
+        elif partition_by != part_field:
+            raise ValueError(
+                f"table is partitioned by {part_field!r}, not {partition_by!r}"
+            )
+
+    # ---- data files via Spark, staged then moved under data/
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(staging)
+
+    data_schema = (
+        T.StructType([f for f in df.schema.fields if f.name != partition_by])
+        if partition_by
+        else df.schema
+    )
+    entries = []
+    for root, _dirs, files in os.walk(staging):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            src = os.path.join(root, f)
+            rel = os.path.relpath(root, staging)
+            part: dict[str, str] = {}
+            if rel != ".":
+                # 'col=value' identity-partition dir (hive layout)
+                k, _, v = rel.partition("=")
+                part[k] = v
+            dst_dir = os.path.join(path, _DATA_DIR, rel) if rel != "." else os.path.join(path, _DATA_DIR)
+            os.makedirs(dst_dir, exist_ok=True)
+            name = f"{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(dst_dir, name)
+            os.replace(src, dst)
+            n_rows, lower, upper = _file_column_bounds(dst, data_schema)
+            entries.append(
+                (
+                    1,  # ADDED
+                    os.path.relpath(dst, path),
+                    "PARQUET",
+                    part,
+                    n_rows,
+                    os.path.getsize(dst),
+                    lower,
+                    upper,
+                )
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    # ---- one manifest for this commit
+    manifest_name = f"manifest-{snapshot_id}-{uuid.uuid4().hex}.avro"
+    manifest_path = os.path.join(_meta_dir(path), manifest_name)
+    write_container(manifest_path, _MANIFEST_ENTRY_NODE, entries)
+
+    # ---- manifest list: prior manifests (append) + this one
+    prior: list[tuple] = []
+    if mode == "append" and meta is not None and meta.get("current-snapshot-id"):
+        cur_snap = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        prior = list(read_container(os.path.join(path, cur_snap["manifest-list"])))
+    ml_rows = prior + [
+        (
+            os.path.relpath(manifest_path, path),
+            os.path.getsize(manifest_path),
+            0,
+            snapshot_id,
+            len(entries),
+            0,
+            0,
+        )
+    ]
+    ml_name = f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+    ml_path = os.path.join(_meta_dir(path), ml_name)
+    write_container(ml_path, _MANIFEST_FILE_NODE, ml_rows)
+
+    # ---- metadata json + version hint
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "manifest-list": os.path.relpath(ml_path, path),
+        "summary": {
+            "operation": "append" if mode == "append" else "overwrite",
+            "added-data-files": str(len(entries)),
+        },
+    }
+    spec_fields = (
+        [
+            {
+                "name": partition_by,
+                "transform": "identity",
+                "source-id": [f.name for f in df.schema.fields].index(partition_by) + 1,
+                "field-id": 1000,
+            }
+        ]
+        if partition_by
+        else []
+    )
+    new_meta = {
+        "format-version": 2,
+        "table-uuid": (meta or {}).get("table-uuid", str(uuid.uuid4())),
+        "location": path,
+        "last-updated-ms": now_ms,
+        "schemas": [spark_schema_to_iceberg(df.schema)],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
+        "snapshots": ((meta or {}).get("snapshots", [])) + [snapshot],
+        "current-snapshot-id": snapshot_id,
+        "snapshot-log": ((meta or {}).get("snapshot-log", []))
+        + [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}],
+    }
+    meta_file = os.path.join(_meta_dir(path), f"v{snapshot_id}.metadata.json")
+    tmp = meta_file + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(new_meta, fh)
+    os.replace(tmp, meta_file)
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    tmp = hint + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write(str(snapshot_id))
+    os.replace(tmp, hint)
+    return snapshot_id
+
+
+# ------------------------------------------------- read path
+
+def plan_files(
+    path: str,
+    snapshot_id: int | None = None,
+    eq: dict | None = None,
+    ranges: dict | None = None,
+) -> list[dict]:
+    """The Iceberg scan-planning walk: metadata → manifest list →
+    manifests → pruned data-file entries. Pruning happens HERE, on
+    manifest metadata only — no data file is listed or opened:
+
+    - ``eq={col: v}``: drop files whose identity-partition value or
+      [lower, upper] bounds exclude v;
+    - ``ranges={col: (lo, hi)}``: drop files whose bounds are disjoint
+      from the closed interval (None = unbounded side).
+
+    Returns [{path, partition, record_count, lower, upper}]."""
+    meta = _load_metadata(path)
+    snaps = meta.get("snapshots", [])
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    snap = next((s for s in snaps if s["snapshot-id"] == snapshot_id), None)
+    if snap is None:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table "
+            f"(have {[s['snapshot-id'] for s in snaps]})"
+        )
+    out: list[dict] = []
+    for ml in read_container(os.path.join(path, snap["manifest-list"])):
+        manifest_rel = ml[0]
+        for e in read_container(os.path.join(path, manifest_rel)):
+            status, file_path, _fmt, part, n_rows, _size, lower, upper = e
+            if status == 2:  # DELETED
+                continue
+            keep = True
+            for col, v in (eq or {}).items():
+                if col in part:
+                    if part[col] != str(v):
+                        keep = False
+                        break
+                elif col in lower and col in upper:
+                    vk = _cmp_key(v)
+                    if not (_cmp_key(_dec_bound(lower[col])) <= vk
+                            <= _cmp_key(_dec_bound(upper[col]))):
+                        keep = False
+                        break
+            if keep:
+                for col, (lo, hi) in (ranges or {}).items():
+                    if col in lower and col in upper:
+                        f_lo = _cmp_key(_dec_bound(lower[col]))
+                        f_hi = _cmp_key(_dec_bound(upper[col]))
+                        if (hi is not None and f_lo > _cmp_key(hi)) or (
+                            lo is not None and f_hi < _cmp_key(lo)
+                        ):
+                            keep = False
+                            break
+            if keep:
+                out.append(
+                    {
+                        "path": file_path,
+                        "partition": part,
+                        "record_count": n_rows,
+                        "lower": lower,
+                        "upper": upper,
+                    }
+                )
+    return out
+
+
+def read_iceberg(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    eq: dict | None = None,
+    ranges: dict | None = None,
+) -> DataFrame:
+    """Snapshot (or time-travel) read with manifest-level pruning; the
+    surviving file list goes straight to Spark's vectorized parquet
+    scan. ``eq``/``ranges`` prune files from metadata but rows are NOT
+    re-filtered here — callers keep their own .filter(), which Spark
+    then pushes into the (already minimal) scan; identical semantics
+    to Iceberg's split planning + Spark residual filters."""
+    meta = _load_metadata(path)
+    schema = iceberg_schema_to_spark(meta["schemas"][0])
+    part_fields = meta["partition-specs"][0]["fields"]
+    files = plan_files(path, snapshot_id, eq=eq, ranges=ranges)
+    if not files:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(path, f["path"]) for f in files]
+    if part_fields:
+        # hive-layout identity partitions: let Spark derive the
+        # partition column from dir names, against the base path
+        reader = (
+            spark.read.option("basePath", path)
+            .schema(schema)
+            .parquet(*paths)
+        )
+        # partitionBy writes the partition col last; restore order
+        return reader.select(*[f.name for f in schema.fields])
+    return spark.read.schema(schema).parquet(*paths)
