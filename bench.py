@@ -13,6 +13,13 @@ MATERIALIZATION CONVENTION CHANGE (round 2): rounds 1 used
 expression-heavy queries. BENCH_r02 onward uses the noop write and is
 the go-forward baseline; it may read slower than BENCH_r01's 21.985 s
 without any regression, because it times strictly more work.
+
+Round 3 adds a second pass timing every query under the ROUND-1
+``count()`` convention, published as ``queries_count_convention`` in
+the same JSON line (the headline ``value`` stays noop-based). This
+gives a same-convention axis against BENCH_r01, so apparent
+regressions that are really just "the old convention never computed
+those columns" can be adjudicated instead of argued.
 """
 
 from __future__ import annotations
@@ -72,6 +79,20 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Second pass, round-1 ``count()`` convention (column-pruned) — the
+    # same-convention comparison axis vs BENCH_r01. Runs after the noop
+    # pass so codegen/readers are warm for both, biasing neither.
+    count_timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        count_timings[name] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# [count-conv] {name}: {count_timings[name]:.3f}s ({n} rows)",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -80,6 +101,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_count_convention": count_timings,
+                "count_convention_total": round(sum(count_timings.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
