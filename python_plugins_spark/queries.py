@@ -2148,6 +2148,55 @@ def delta_checkpoint_read(spark, sf_dir):
 
 
 @register(
+    "delta_merge_upsert",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(CASE WHEN o_orderkey % 4 = 1 THEN 2 * o_totalprice
+                          ELSE o_totalprice END), 4) AS total
+    FROM orders
+    WHERE o_orderkey % 4 IN (0, 1, 2) AND o_orderkey % 8 <> 1
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_merge_upsert(spark, sf_dir):
+    """MERGE INTO on the Delta layer (sources/delta_py.py merge_delta),
+    exercising all three clauses in one commit: target = orderkeys
+    %4 in (0,1); source = orderkeys %4 in (1,2). Matched rows with
+    key %8 == 1 are deleted, the remaining matched rows take
+    ``t.o_totalprice + s.o_totalprice`` (doubling, since source rows
+    are the same orders), and unmatched source rows (%4 == 2) insert.
+    The rewrite is file-pruned: only parts containing a matched key
+    are rewritten — merge cost is O(matched data), not O(table)."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir)
+    path = os.path.join(_SCRATCH, f"delta_merge_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.filter(F.col("o_orderkey") % 4 < 2), path, mode="overwrite")
+    src = o.filter((F.col("o_orderkey") % 4).isin(1, 2))
+    merge_delta(
+        spark,
+        src,
+        path,
+        on=["o_orderkey"],
+        when_matched_update={"o_totalprice": "t.o_totalprice + s.o_totalprice"},
+        when_matched_delete="s.o_orderkey % 8 = 1",
+        when_not_matched_insert=True,
+    )
+    back = read_delta(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
+
+
+@register(
     "iceberg_snapshot_read",
     oracle="""
     SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total

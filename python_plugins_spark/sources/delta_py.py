@@ -33,7 +33,12 @@ Supported surface:
 - **retention-windowed VACUUM**: only files whose ``remove``
   tombstone is older than ``retention_hours`` are deleted, so
   readers of recent snapshots / time travel within the window are
-  safe (Delta's ``deletedFileRetentionDuration``, default 168 h).
+  safe (Delta's ``deletedFileRetentionDuration``, default 168 h);
+- **MERGE INTO** (:func:`merge_delta`): equi-key upsert/delete with
+  the file-pruned rewrite — only data files containing at least one
+  matched row are rewritten, found via ``input_file_name()`` + a
+  broadcast semi-join on the source keys; serializable via the same
+  put-if-absent commit (a lost race re-runs the whole merge).
 
 Not implemented (documented): deletion vectors, column mapping,
 generated columns, CDC files.
@@ -355,6 +360,36 @@ def _put_if_absent(content: str, dst: str) -> bool:
         os.remove(tmp)
 
 
+def _stage_data_files(df: DataFrame, table_path: str, now_ms: int) -> list[dict]:
+    """Write ``df`` as parquet parts into the table root under fresh
+    uuid names (invisible to readers, who only trust the log); return
+    the ``add`` actions for a later commit."""
+    staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    adds = []
+    for f in sorted(os.listdir(staging)):
+        if not f.endswith(".parquet"):
+            continue
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        src = os.path.join(staging, f)
+        dst = os.path.join(table_path, name)
+        size = os.path.getsize(src)
+        os.replace(src, dst)
+        adds.append(
+            {
+                "add": {
+                    "path": name,
+                    "partitionValues": {},
+                    "size": size,
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
 def write_delta(
     df: DataFrame,
     table_path: str,
@@ -380,30 +415,7 @@ def write_delta(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_log_path(table_path), exist_ok=True)
     now_ms = int(time.time() * 1000)
-
-    staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
-    adds = []
-    for f in sorted(os.listdir(staging)):
-        if not f.endswith(".parquet"):
-            continue
-        name = f"part-{uuid.uuid4().hex}.parquet"
-        src = os.path.join(staging, f)
-        dst = os.path.join(table_path, name)
-        size = os.path.getsize(src)
-        os.replace(src, dst)
-        adds.append(
-            {
-                "add": {
-                    "path": name,
-                    "partitionValues": {},
-                    "size": size,
-                    "modificationTime": now_ms,
-                    "dataChange": True,
-                }
-            }
-        )
-    shutil.rmtree(staging, ignore_errors=True)
+    adds = _stage_data_files(df, table_path, now_ms)
 
     for attempt in range(max_retries + 1):
         version = table_version(table_path) + 1
@@ -483,3 +495,191 @@ def vacuum_delta(
                 os.remove(os.path.join(table_path, f))
             deleted.append(f)
     return sorted(deleted)
+
+
+# -------------------------------------------------------------- merge
+
+class DeltaMergeCardinalityError(RuntimeError):
+    """Raised when more than one source row matches the same target
+    row — the result of the update would be nondeterministic, so the
+    merge is rejected (the same rule the Delta MERGE command applies)."""
+
+
+def merge_delta(
+    spark: SparkSession,
+    source: DataFrame,
+    table_path: str,
+    on: list[str],
+    when_matched_update: dict[str, str] | str | None = "all",
+    when_matched_delete: str | None = None,
+    when_not_matched_insert: bool = True,
+    max_retries: int = 3,
+) -> int:
+    """MERGE INTO the Delta table: upsert/delete ``source`` rows into
+    the target by equi-key ``on``. Returns the committed version.
+
+    Semantics (mirrors the Delta Lake MERGE command):
+
+    - ``when_matched_delete``: SQL predicate over ``t``/``s`` aliases;
+      matched rows satisfying it are deleted (checked before update).
+    - ``when_matched_update``: ``"all"`` sets every target column to
+      the source's value; a dict maps target column -> SQL expression
+      over ``t`` (target) / ``s`` (source) aliases; ``None`` leaves
+      matched rows unchanged.
+    - ``when_not_matched_insert``: source rows matching no target row
+      are inserted (columns missing from the source become NULL).
+    - More than one source row matching one target row raises
+      :class:`DeltaMergeCardinalityError` (nondeterministic update).
+
+    Scale design: this is the FILE-PRUNED rewrite a real lakehouse
+    merge does. Matching is one equi-join on the merge key; the set of
+    data files that contain at least one matched row ("touched files")
+    is found with ``input_file_name()`` + a semi-join against the
+    source keys — driver-side metadata is only that file-name list.
+    ONLY touched files are rewritten; untouched files (the overwhelming
+    majority on a 100 TB table keyed by e.g. date) survive the commit
+    unchanged, so merge cost is O(matched data + inserts), not
+    O(table). The commit removes touched files and adds the rewritten
+    + inserted parts in one atomic log entry; a concurrent commit
+    between snapshot read and our put-if-absent loses nothing — the
+    whole merge re-runs against the new snapshot (serializable, the
+    strictest Delta isolation level)."""
+    from pyspark.sql import functions as F
+
+    for _attempt in range(max_retries + 1):
+        read_version = table_version(table_path)
+        if read_version < 0:
+            raise FileNotFoundError(f"no Delta table at {table_path}")
+        schema_json, active = _replay(table_path)
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        cols = [f.name for f in schema.fields]
+        now_ms = int(time.time() * 1000)
+
+        src_cols = set(source.columns)
+        missing = [k for k in on if k not in src_cols]
+        if missing:
+            raise ValueError(f"merge keys missing from source: {missing}")
+        # Reject duplicate-key sources outright (slightly stricter than
+        # the Delta command, which errors only when the duplicates
+        # MATCH a target row): a merge keyed on `on` should leave the
+        # table unique per key, and a dup that happens to miss today
+        # corrupts that invariant silently.
+        src = source
+        dup = (
+            src.groupBy(*on).count().filter(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            raise DeltaMergeCardinalityError(
+                f"multiple source rows share merge key {dict((k, dup[0][k]) for k in on)}"
+            )
+
+        if active:
+            paths = [os.path.join(table_path, p) for p in active]
+            tgt = spark.read.schema(schema).parquet(*paths)
+            skeys = src.select(*on).distinct()
+            touched_rows = (
+                tgt.withColumn("_file", F.input_file_name())
+                .join(F.broadcast(skeys), on=on, how="leftsemi")
+                .select("_file")
+                .distinct()
+                .collect()
+            )
+            touched = sorted(
+                os.path.basename(r["_file"].split("://", 1)[-1]) for r in touched_rows
+            )
+        else:
+            touched = []
+
+        t_alias, s_alias = "t", "s"
+        out_parts = []
+        if touched:
+            touched_paths = [os.path.join(table_path, p) for p in touched]
+            tt = spark.read.schema(schema).parquet(*touched_paths).alias(t_alias)
+            joined = tt.join(
+                src.alias(s_alias),
+                on=[F.col(f"{t_alias}.{k}") == F.col(f"{s_alias}.{k}") for k in on],
+                how="left",
+            )
+            matched = F.col(f"{s_alias}.{on[0]}").isNotNull()
+            keep = F.lit(True)
+            if when_matched_delete is not None:
+                keep = ~(matched & F.expr(when_matched_delete))
+            if when_matched_update == "all":
+                upd = {
+                    c: F.col(f"{s_alias}.{c}") for c in cols if c in src_cols
+                }
+            elif isinstance(when_matched_update, dict):
+                upd = {c: F.expr(e) for c, e in when_matched_update.items()}
+            else:
+                upd = {}
+            rewritten = joined.filter(keep).select(
+                *[
+                    (
+                        F.when(matched, upd[c]).otherwise(F.col(f"{t_alias}.{c}"))
+                        if c in upd
+                        else F.col(f"{t_alias}.{c}")
+                    ).cast(schema[c].dataType).alias(c)
+                    for c in cols
+                ]
+            )
+            out_parts.append(rewritten)
+
+        if when_not_matched_insert:
+            if touched:
+                tkeys = (
+                    spark.read.schema(schema)
+                    .parquet(*[os.path.join(table_path, p) for p in touched])
+                    .select(*on)
+                    .distinct()
+                )
+                inserts = src.join(tkeys, on=on, how="leftanti")
+            else:
+                # no file contains any matching key -> every source row inserts
+                inserts = src
+            out_parts.append(
+                inserts.select(
+                    *[
+                        (
+                            F.col(c) if c in src_cols else F.lit(None)
+                        ).cast(schema[c].dataType).alias(c)
+                        for c in cols
+                    ]
+                )
+            )
+
+        adds: list[dict] = []
+        if out_parts:
+            out = out_parts[0]
+            for extra in out_parts[1:]:
+                out = out.unionByName(extra)
+            adds = _stage_data_files(out, table_path, now_ms)
+
+        actions: list[dict] = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+            for p in touched
+        ] + adds
+        commit = os.path.join(_log_path(table_path), f"{read_version + 1:020d}.json")
+        body = "".join(json.dumps(a) + "\n" for a in actions)
+        if _put_if_absent(body, commit):
+            version = read_version + 1
+            if version % _CHECKPOINT_INTERVAL == 0:
+                _write_checkpoint(
+                    table_path, version, _replay_state(table_path, version)
+                )
+            return version
+        # lost the race: undo our staged parts and re-run the whole
+        # merge against the new snapshot (serializable isolation)
+        for a in adds:
+            try:
+                os.remove(os.path.join(table_path, a["add"]["path"]))
+            except FileNotFoundError:
+                pass
+    raise DeltaConcurrentWriteError(
+        f"lost the merge commit race {max_retries + 1} times at {table_path}"
+    )

@@ -161,3 +161,126 @@ def test_delta_put_if_absent_primitive(tmp_path):
         assert fh.read() == "winner\n"
     # no tmp debris
     assert os.listdir(tmp_path) == [os.path.basename(dst)]
+
+
+# ---------------------------------------------------------------- merge
+
+def test_delta_merge_upsert_delete_insert(spark):
+    """All three MERGE clauses in one pass: matched+delete-predicate
+    rows vanish, remaining matched rows take the update expression
+    (referencing both t and s), unmatched source rows insert."""
+    import pytest
+    from python_plugins_spark.sources.delta_py import merge_delta
+
+    path = _fresh("delta_merge1")
+    tgt = spark.range(10).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.lit("old").alias("tag"),
+    )
+    write_delta(tgt, path, "overwrite")  # v0: k=0..9
+    src = spark.range(5, 15).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 100).alias("v"),
+        F.lit("new").alias("tag"),
+    )
+    v = merge_delta(
+        spark,
+        src,
+        path,
+        on=["k"],
+        when_matched_update={"v": "t.v + s.v", "tag": "s.tag"},
+        when_matched_delete="s.k % 2 = 1",  # delete matched odd keys 5,7,9
+        when_not_matched_insert=True,
+    )
+    assert v == 1
+    rows = {r.k: (r.v, r.tag) for r in read_delta(spark, path).collect()}
+    # untouched originals
+    assert rows[0] == (0, "old") and rows[4] == (40, "old")
+    # matched evens updated: v = 10k + 100k
+    assert rows[6] == (660, "new") and rows[8] == (880, "new")
+    # matched odds deleted
+    assert 5 not in rows and 7 not in rows and 9 not in rows
+    # inserts
+    assert rows[10] == (1000, "new") and rows[14] == (1400, "new")
+    assert len(rows) == 12  # 10 - 3 deleted + 5 inserted
+
+
+def test_delta_merge_prunes_untouched_files(spark):
+    """Only data files containing a matched key are rewritten: after a
+    merge touching one of two files, the untouched file must still be
+    in the active set (same physical part)."""
+    from python_plugins_spark.sources.delta_py import _replay, merge_delta
+
+    path = _fresh("delta_merge2")
+    write_delta(spark.range(0, 100).selectExpr("id AS k", "id AS v"), path, "overwrite")
+    write_delta(spark.range(100, 200).selectExpr("id AS k", "id AS v"), path, "append")
+    _, active_before = _replay(path)
+    touched_files = set()
+    untouched_files = set()
+    scan = spark.read.parquet(
+        *[os.path.join(path, p) for p in active_before]
+    ).withColumn("_f", F.input_file_name())
+    per_file = {}
+    for r in scan.select("k", "_f").collect():
+        per_file.setdefault(os.path.basename(r._f), set()).add(r.k)
+    for f, ks in per_file.items():
+        (touched_files if any(k < 10 for k in ks) else untouched_files).add(f)
+    assert touched_files and untouched_files
+    src = spark.range(0, 10).selectExpr("id AS k", "id + 1000 AS v")
+    merge_delta(spark, src, path, on=["k"], when_matched_update="all")
+    _, active_after = _replay(path)
+    # every file without a matched key survived as the same physical
+    # part; every file containing one was rewritten (removed)
+    assert untouched_files <= set(active_after)
+    assert touched_files.isdisjoint(set(active_after))
+    rows = {r.k: r.v for r in read_delta(spark, path).collect()}
+    assert rows[5] == 1005 and rows[50] == 50 and rows[150] == 150
+    assert len(rows) == 200
+
+
+def test_delta_merge_duplicate_source_keys_rejected(spark):
+    import pytest
+    from python_plugins_spark.sources.delta_py import (
+        DeltaMergeCardinalityError,
+        merge_delta,
+    )
+
+    path = _fresh("delta_merge3")
+    write_delta(spark.range(5).selectExpr("id AS k", "id AS v"), path, "overwrite")
+    dup = spark.createDataFrame([(1, 7), (1, 8)], "k long, v long")
+    with pytest.raises(DeltaMergeCardinalityError):
+        merge_delta(spark, dup, path, on=["k"])
+
+
+def test_delta_merge_concurrent_commit_retries(spark):
+    """A commit landing between the merge's snapshot read and its
+    put-if-absent must not be lost: the merge re-runs against the new
+    snapshot (serializable isolation)."""
+    import python_plugins_spark.sources.delta_py as dp
+
+    path = _fresh("delta_merge4")
+    write_delta(spark.range(10).selectExpr("id AS k", "id AS v"), path, "overwrite")
+
+    real_put = dp._put_if_absent
+    state = {"stolen": False}
+
+    def racing_put(content, dst):
+        if not state["stolen"]:
+            state["stolen"] = True
+            # concurrent writer appends k=100 and claims our version
+            dp.write_delta(
+                spark.range(100, 101).selectExpr("id AS k", "id AS v"), path, "append"
+            )
+        return real_put(content, dst)
+
+    dp._put_if_absent = racing_put
+    try:
+        src = spark.range(0, 3).selectExpr("id AS k", "id + 50 AS v")
+        v = dp.merge_delta(spark, src, path, on=["k"], when_matched_update="all")
+    finally:
+        dp._put_if_absent = real_put
+    rows = {r.k: r.v for r in read_delta(spark, path).collect()}
+    assert rows[100] == 100  # the concurrent append survived
+    assert rows[0] == 50 and rows[2] == 52 and rows[5] == 5
+    assert v == 2  # lost v1 to the racer, committed at v2
