@@ -1,0 +1,254 @@
+"""Mergeable approximate-aggregation sketches, deterministic across
+engines.
+
+At 100 TB the only sane way to answer "how many distinct users per
+day, and overall?" or "how often does each template occur?" is a
+MERGEABLE sketch: build small fixed-size summaries per partition /
+group / day with one linear pass, then combine summaries instead of
+re-scanning data. Spark's built-in approx_count_distinct gives no
+portable register representation, so these sketches are built from
+the same engine-portable md5 hashing the dedup family uses
+(functions.hash60) — every intermediate is reproducible bit-for-bit
+in DuckDB, which is what lets the driver's oracle validate an
+*approximate* structure exactly.
+
+- **HyperLogLog** (Flajolet et al. 2007, the HLL practical variant of
+  Heule et al. "HyperLogLog in Practice"): p-bit register index, the
+  remaining 60-p hash bits feed the leading-zero rank. Ranks use
+  ``length(bin(w))`` — integer-exact in both engines — never
+  ``floor(log2(w))``, whose 1-ulp libm differences would break
+  cross-engine determinism. The estimator's register sum is kept as
+  an exact BIGINT (sum of 2^(RANK_MAX - r), every term an integer),
+  so the only floating-point steps are one multiply and one divide —
+  both IEEE-correctly-rounded from identical integers — plus the
+  small-range ln() correction, which callers round (the registered
+  queries round to 4 decimals; 1 ulp at that magnitude is ~1e-12).
+
+- **Count-min** (Cormode & Muthukrishnan 2005): d independent
+  md5-derived row hashes into w counters; point frequency estimate =
+  min over rows. All-integer, trivially mergeable by elementwise sum
+  (counter layout is (row, col, count) rows — a groupBy-sum merges
+  sketches of any number of partitions).
+
+Scale shape: both sketches are ONE map-side-combinable aggregation
+over (group, register/cell) — the shuffle carries at most
+``groups x m`` tiny rows regardless of input size, and merging a
+thousand per-day sketches is a groupBy over thousands of rows, not a
+re-scan of a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from python_plugins_spark.functions import hash60
+from python_plugins_spark.functions import oracle_fragments as O
+
+HLL_P = 10                      # 2^10 = 1024 registers
+HLL_M = 1 << HLL_P
+HLL_RANK_MAX = 60 - HLL_P + 1   # rank when all 50 suffix bits are 0
+# alpha_m for m >= 128 (Flajolet et al., Fig. 3)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _hll_pieces(col: Column) -> tuple[Column, Column]:
+    """(register index, rank) of one value's 60-bit md5 hash."""
+    h = hash60(col)
+    idx = h.bitwiseAND(F.lit(HLL_M - 1))
+    w = F.shiftright(h, HLL_P)
+    # leading zeros in the (60-p)-bit suffix + 1; bin() drops leading
+    # zeros so its length IS the msb position (integer-exact, portable)
+    rank = F.when(w == 0, F.lit(HLL_RANK_MAX)).otherwise(
+        F.lit(HLL_RANK_MAX) - F.length(F.bin(w))
+    )
+    return idx, rank
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Sketch rows ``(group..., reg, rank)`` — max rank per register.
+    One map-side-combined aggregate; at most ``groups x 1024`` output
+    rows. Sketches for different groups/days/partitions merge by
+    ``groupBy(reg).agg(max(rank))`` — see :func:`hll_merge`."""
+    group_cols = group_cols or []
+    idx, rank = _hll_pieces(F.col(value_col).cast("string"))
+    return (
+        df.select(*group_cols, idx.alias("reg"), rank.alias("rank"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def hll_merge(sketches: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge sketch rows (possibly spanning many original groups) into
+    one sketch per ``group_cols`` key — elementwise register max."""
+    group_cols = group_cols or []
+    return sketches.groupBy(*group_cols, "reg").agg(F.max("rank").alias("rank"))
+
+
+def hll_estimate(
+    sketches: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Distinct-count estimate per group from sketch rows.
+
+    The register sum is exact integer arithmetic: each register
+    contributes 2^(RANK_MAX - rank); absent registers (rank 0, never
+    touched) contribute 2^RANK_MAX. ``est`` is the raw HLL estimator
+    with the small-range linear-counting correction (E <= 2.5m and
+    empty registers present -> m * ln(m / V))."""
+    group_cols = group_cols or []
+    agg = sketches.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RANK_MAX} - rank)")).alias(
+            "_present_sum"
+        ),
+        F.count("*").alias("_nregs"),
+    )
+    # registers never touched: rank 0 -> term 2^RANK_MAX each
+    zeros = F.lit(HLL_M) - F.col("_nregs")
+    int_sum = F.col("_present_sum") + zeros * F.lit(1 << HLL_RANK_MAX)
+    # sum(2^-rank) = int_sum / 2^RANK_MAX; fold the 2^RANK_MAX into the
+    # numerator so the float path is one multiply + one divide
+    raw = (
+        F.lit(HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_RANK_MAX))
+        / int_sum.cast("double")
+    )
+    corrected = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*group_cols, corrected.alias("est"))
+
+
+def hll_oracle_sql(
+    table: str, value_expr: str, group_cols: list[str] | None = None
+) -> str:
+    """DuckDB SQL computing the identical estimate (same md5 hash,
+    same bin()-based rank, same integer register sum)."""
+    group_cols = group_cols or []
+    gsel = "".join(f"{g}, " for g in group_cols)
+    gby = ("GROUP BY " + ", ".join(group_cols)) if group_cols else ""
+    m, rmax, alpha = HLL_M, HLL_RANK_MAX, HLL_ALPHA
+    num = alpha * m * m * float(1 << rmax)
+    return f"""
+      WITH hashed AS (
+        SELECT {gsel}
+               {O.sql_hash60(f"CAST({value_expr} AS VARCHAR)")} AS h
+        FROM {table}
+      ), pieces AS (
+        SELECT {gsel} h & {m - 1} AS reg,
+               CASE WHEN h >> {HLL_P} = 0 THEN {rmax}
+                    ELSE {rmax} - length(bin(h >> {HLL_P})) END AS rank
+        FROM hashed
+      ), regs AS (
+        SELECT {gsel} reg, max(rank) AS rank FROM pieces GROUP BY {gsel} reg
+      ), summed AS (
+        SELECT {gsel}
+               sum((CAST(1 AS BIGINT) << ({rmax} - rank))) AS present_sum,
+               count(*) AS nregs
+        FROM regs {gby}
+      )
+      SELECT {gsel}
+             CASE WHEN ({num!r} / CAST(present_sum + ({m} - nregs) * (CAST(1 AS BIGINT) << {rmax}) AS DOUBLE)) <= {2.5 * m}
+                       AND ({m} - nregs) > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - nregs AS DOUBLE))
+                  ELSE {num!r} / CAST(present_sum + ({m} - nregs) * (CAST(1 AS BIGINT) << {rmax}) AS DOUBLE)
+             END AS est
+      FROM summed
+    """
+
+
+# ------------------------------------------------------------ count-min
+
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+
+def cm_cell(col: Column, row: int) -> Column:
+    """Column index of ``col`` in count-min row ``row`` (md5-derived,
+    engine-portable)."""
+    return hash60(
+        F.concat(F.lit(f"cm{row}|"), col.cast("string"))
+    ).bitwiseAND(F.lit(CM_WIDTH - 1))
+
+
+def cm_sketch(
+    df: DataFrame, value_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Count-min sketch rows ``(group..., row, col, cnt)``. One
+    explode of DEPTH cells per input row, then a map-side-combined
+    sum — at most ``groups x DEPTH x WIDTH`` output rows. Sketches
+    merge by summing cnt over (row, col)."""
+    group_cols = group_cols or []
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                cm_cell(F.col(value_col), r).alias("col"),
+            )
+            for r in range(CM_DEPTH)
+        ]
+    )
+    return (
+        df.select(*group_cols, F.explode(cells).alias("c"))
+        .select(*group_cols, "c.row", "c.col")
+        .groupBy(*group_cols, "row", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cm_point_estimate(
+    sketch: DataFrame, items: DataFrame, item_col: str
+) -> DataFrame:
+    """Frequency estimate for each item: min over the DEPTH rows of
+    the item's counter. The join is an equi-join on (row, col) against
+    the tiny sketch (broadcastable: DEPTH x WIDTH rows)."""
+    probes = items.select(
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        cm_cell(F.col(item_col), r).alias("col"),
+                    )
+                    for r in range(CM_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select(item_col, "c.row", "c.col")
+    return (
+        probes.join(F.broadcast(sketch), on=["row", "col"], how="left")
+        .fillna(0, subset=["cnt"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+def cm_oracle_sql(table: str, value_expr: str, probe_sql: str, item_col: str) -> str:
+    """DuckDB SQL for sketch + point estimates of ``probe_sql`` items
+    (identical md5 row hashes)."""
+    rows_cells = " UNION ALL ".join(
+        f"""SELECT {r} AS row,
+            {O.sql_hash60(f"'cm{r}|' || CAST({value_expr} AS VARCHAR)")} & {CM_WIDTH - 1} AS col
+            FROM {table}"""
+        for r in range(CM_DEPTH)
+    )
+    probe_cells = " UNION ALL ".join(
+        f"""SELECT {item_col}, {r} AS row,
+            {O.sql_hash60(f"'cm{r}|' || CAST({item_col} AS VARCHAR)")} & {CM_WIDTH - 1} AS col
+            FROM probes"""
+        for r in range(CM_DEPTH)
+    )
+    return f"""
+      WITH cells AS ({rows_cells}),
+      sketch AS (
+        SELECT row, col, count(*) AS cnt FROM cells GROUP BY row, col
+      ),
+      probes AS ({probe_sql}),
+      probe_cells AS ({probe_cells})
+      SELECT p.{item_col}, min(coalesce(s.cnt, 0)) AS est
+      FROM probe_cells p LEFT JOIN sketch s ON p.row = s.row AND p.col = s.col
+      GROUP BY p.{item_col}
+    """

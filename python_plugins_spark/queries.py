@@ -9346,3 +9346,92 @@ def pack_token_budget_bins(spark, sf_dir):
     return binned.groupBy("source", "bin").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens")
     )
+
+
+# --------------------------------------------------------------------------
+# mergeable sketches (operators/sketch.py): HLL + count-min, deterministic
+# across engines so the oracle validates the approximate structure exactly
+# --------------------------------------------------------------------------
+
+def _sketch_mod():
+    from python_plugins_spark.operators import sketch
+
+    return sketch
+
+
+@register(
+    "hll_distinct_customers",
+    oracle=None,  # set below (needs the module-level helper)
+)
+def hll_distinct_customers(spark, sf_dir):
+    """Per-orderstatus distinct-customer estimate via the deterministic
+    HyperLogLog sketch (operators/sketch.py): md5-hash registers,
+    bin()-length ranks, exact-integer register sum. One map-side-
+    combined aggregate; the shuffle carries <= groups x 1024 register
+    rows no matter how large orders is — the sketch shape that makes
+    distinct-counting a 100 TB corpus a metadata-sized problem."""
+    SK = _sketch_mod()
+    o = load_table(spark, "orders", sf_dir)
+    regs = SK.hll_registers(o, "o_custkey", ["o_orderstatus"])
+    return SK.hll_estimate(regs, ["o_orderstatus"]).select(
+        "o_orderstatus", F.round("est", 4).alias("est_distinct")
+    )
+
+
+@register(
+    "hll_merge_rollup",
+    oracle=None,  # set below
+)
+def hll_merge_rollup(spark, sf_dir):
+    """Mergeability proof, cross-engine: Spark builds ONE SKETCH PER
+    ORDERPRIORITY and merges them (elementwise register max) into a
+    global sketch; the DuckDB oracle computes the GLOBAL sketch
+    directly. The value-hash match proves sketch merging is lossless —
+    the property that lets a 100 TB pipeline keep per-day sketches and
+    answer any date-range distinct query without rescanning."""
+    SK = _sketch_mod()
+    o = load_table(spark, "orders", sf_dir)
+    per_group = SK.hll_registers(o, "o_custkey", ["o_orderpriority"])
+    merged = SK.hll_merge(per_group)  # drop the group -> one global sketch
+    return SK.hll_estimate(merged).select(F.round("est", 4).alias("est_distinct"))
+
+
+@register(
+    "countmin_priority_freq",
+    oracle=None,  # set below
+)
+def countmin_priority_freq(spark, sf_dir):
+    """Count-min frequency sketch (4 x 256 md5-derived counters) built
+    over orders, probed for every priority value. All-integer and
+    mergeable by counter sum; the probe join broadcasts the KB-sized
+    sketch. Estimates upper-bound true counts (collisions only ever
+    inflate), which the sanity pytest asserts."""
+    SK = _sketch_mod()
+    o = load_table(spark, "orders", sf_dir)
+    sk = SK.cm_sketch(o, "o_orderpriority")
+    items = o.select("o_orderpriority").distinct()
+    return SK.cm_point_estimate(sk, items, "o_orderpriority").select(
+        "o_orderpriority", F.col("est").alias("est_freq")
+    )
+
+
+def _install_sketch_oracles():
+    from python_plugins_spark.operators import sketch as SK
+
+    ORACLES["hll_distinct_customers"] = f"""
+        SELECT o_orderstatus, round(est, 4) AS est_distinct
+        FROM ({SK.hll_oracle_sql("orders", "o_custkey", ["o_orderstatus"])})
+    """
+    ORACLES["hll_merge_rollup"] = f"""
+        SELECT round(est, 4) AS est_distinct
+        FROM ({SK.hll_oracle_sql("orders", "o_custkey")})
+    """
+    ORACLES["countmin_priority_freq"] = f"""
+        SELECT o_orderpriority, est AS est_freq
+        FROM ({SK.cm_oracle_sql("orders", "o_orderpriority",
+                                "SELECT DISTINCT o_orderpriority FROM orders",
+                                "o_orderpriority")})
+    """
+
+
+_install_sketch_oracles()

@@ -514,3 +514,61 @@ def test_lsh_buckets_requires_dim_and_is_action_free(spark, sf_dir):
         sc.setJobGroup("", "")
     assert not sc.statusTracker().getJobIdsForGroup(group)
     assert df.count() > 0 and df2 is not None
+
+
+# ------------------------------------------------------------- sketches
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    """HLL standard error is ~1.04/sqrt(m) ≈ 3.25% at m=1024; assert
+    the estimate lands within 4 standard errors of truth."""
+    from python_plugins_spark.operators import sketch as SK
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = o.select("o_custkey").distinct().count()
+    est = SK.hll_estimate(SK.hll_registers(o, "o_custkey")).collect()[0]["est"]
+    assert abs(est - exact) / exact < 4 * 1.04 / (SK.HLL_M ** 0.5)
+
+
+def test_hll_merge_equals_direct(spark, sf_dir):
+    """Merging per-group sketches must equal the directly-built global
+    sketch exactly — register max is lossless."""
+    from python_plugins_spark.operators import sketch as SK
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    merged = SK.hll_merge(SK.hll_registers(o, "o_custkey", ["o_orderstatus"]))
+    direct = SK.hll_registers(o, "o_custkey")
+    m = {(r.reg): r.rank for r in merged.collect()}
+    d = {(r.reg): r.rank for r in direct.collect()}
+    assert m == d
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    """Count-min collisions only inflate counters: est >= true count
+    for every probed item, with equality when no row collides."""
+    from python_plugins_spark.operators import sketch as SK
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sk = SK.cm_sketch(o, "o_custkey")
+    items = o.select("o_custkey").distinct()
+    est = {r.o_custkey: r.est for r in SK.cm_point_estimate(sk, items, "o_custkey").collect()}
+    true = {r.o_custkey: r["count"] for r in o.groupBy("o_custkey").count().collect()}
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true)
+
+
+def test_countmin_sketches_merge_by_sum(spark, sf_dir):
+    """Summing two half-table sketches equals the whole-table sketch."""
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.operators import sketch as SK
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    whole = SK.cm_sketch(o, "o_orderpriority")
+    lo = SK.cm_sketch(o.filter(F.col("o_orderkey") % 2 == 0), "o_orderpriority")
+    hi = SK.cm_sketch(o.filter(F.col("o_orderkey") % 2 == 1), "o_orderpriority")
+    summed = (
+        lo.unionByName(hi).groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    )
+    a = {(r.row, r.col): r.cnt for r in whole.collect()}
+    b = {(r.row, r.col): r.cnt for r in summed.collect()}
+    assert a == b
