@@ -2197,6 +2197,58 @@ def delta_merge_upsert(spark, sf_dir):
 
 
 @register(
+    "delta_optimize_zorder_read",
+    oracle="""
+    SELECT count(*) AS n, sum(o_orderkey) AS key_sum,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 200
+      AND o_totalprice BETWEEN 50000 AND 150000
+    """,
+)
+def delta_optimize_zorder_read(spark, sf_dir):
+    """OPTIMIZE ZORDER BY + stats skipping on the Delta layer: orders
+    is written as 8 unclustered parts, rewritten z-ordered on
+    (o_custkey, o_totalprice) in one dataChange=False commit, then a
+    selective 2-D box is read with ``prune`` (file-level min/max
+    elimination) + the exact filter. The in-code assertion pins the
+    layout benefit — the pruned scan must touch fewer files than the
+    table holds — and the oracle pins exactness: skipping must never
+    drop a qualifying row. This is the layout+skipping pair that turns
+    'one tenant, one price band, 100 TB' into a few-file read."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        optimize_delta,
+        read_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir)
+    path = os.path.join(_SCRATCH, f"delta_z_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.repartition(8), path, mode="overwrite")
+    res = optimize_delta(
+        spark, path, target_file_size=256 * 1024, zorder_by=["o_custkey", "o_totalprice"]
+    )
+    box = {"o_custkey": (100, 200), "o_totalprice": (50000.0, 150000.0)}
+    pruned = read_delta(spark, path, prune=box)
+    if res["version"] is not None and len(res["added"]) >= 4:
+        assert len(pruned.inputFiles()) < len(res["added"]), (
+            "z-order + stats pruning failed to skip any file"
+        )
+    return pruned.filter(
+        F.col("o_custkey").between(100, 200)
+        & F.col("o_totalprice").between(50000, 150000)
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
+@register(
     "iceberg_snapshot_read",
     oracle="""
     SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total

@@ -141,6 +141,7 @@ def _cp_schema():
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
                     ]
                 ),
             ),
@@ -187,6 +188,7 @@ def _write_checkpoint(table_path: str, version: int, state: "_State") -> None:
                     "size": add.get("size"),
                     "modificationTime": add.get("modificationTime"),
                     "dataChange": False,
+                    "stats": add.get("stats"),
                 }
             }
         )
@@ -230,6 +232,8 @@ def _read_checkpoint(table_path: str, version: int) -> "_State":
             pv = a.get("partitionValues")
             # pyarrow maps round-trip as a list of (k, v) pairs
             a["partitionValues"] = dict(pv) if pv else {}
+            if a.get("stats") is None:
+                a.pop("stats", None)
             state.active[a["path"]] = a
         elif row.get("remove") is not None:
             r = row["remove"]
@@ -313,17 +317,54 @@ def _replay(table_path: str, version_as_of: int | None = None):
 
 
 def read_delta(
-    spark: SparkSession, table_path: str, version_as_of: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version_as_of: int | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Snapshot (or time-travel) read: replay the log, scan the active
     parquet files natively. An empty snapshot returns an empty frame
-    with the table schema."""
+    with the table schema.
+
+    ``prune`` is a data-skipping hint: ``{col: (lo, hi)}`` inclusive
+    ranges (either end may be None). Files whose logged min/max stats
+    provably miss every range are NOT scanned — metadata-only
+    elimination, the Delta stats-skipping that (with a Z-ordered
+    layout) turns a selective 100 TB scan into a few-file read. It is
+    a HINT, not a filter: callers still apply the exact predicate;
+    files without stats are conservatively kept."""
     schema_json, active = _replay(table_path, version_as_of)
     schema = T.StructType.fromJson(json.loads(schema_json))
-    if not active:
+    keep = list(active)
+    if prune:
+        keep = [p for p in keep if _stats_may_match(active[p], prune)]
+    if not keep:
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(table_path, p) for p in active]
+    paths = [os.path.join(table_path, p) for p in keep]
     return spark.read.schema(schema).parquet(*paths)
+
+
+def _stats_may_match(add: dict, prune: dict[str, tuple]) -> bool:
+    """False only when the file's logged stats PROVE no row can match
+    every (lo, hi) range — missing stats keep the file (correctness
+    over skipping)."""
+    raw = add.get("stats")
+    if not raw:
+        return True
+    try:
+        stats = json.loads(raw) if isinstance(raw, str) else raw
+    except (TypeError, ValueError):
+        return True
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    for col, (lo, hi) in prune.items():
+        if col not in mins or col not in maxs:
+            continue
+        if lo is not None and maxs[col] < lo:
+            return False
+        if hi is not None and mins[col] > hi:
+            return False
+    return True
 
 
 def table_version(table_path: str) -> int:
@@ -360,10 +401,59 @@ def _put_if_absent(content: str, dst: str) -> bool:
         os.remove(tmp)
 
 
+def _file_stats(parquet_path: str) -> dict | None:
+    """Per-file stats for the ``add`` action's ``stats`` field
+    (protocol "Per-file Statistics"): numRecords plus min/maxValues
+    for primitive leaf columns, straight from the parquet footer —
+    the same numbers a Java Delta writer persists, and what
+    :func:`read_delta`'s ``prune`` uses for data skipping."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(parquet_path).metadata
+    except Exception:
+        return None
+
+    def _plain(v):
+        if isinstance(v, bytes):
+            try:
+                return v.decode()
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        if isinstance(v, (int, float, str, bool)):
+            return v
+        return None
+
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaf — skip (protocol allows subset)
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = _plain(st.min), _plain(st.max)
+            if mn is None or mx is None:
+                continue
+            if name not in mins or mn < mins[name]:
+                mins[name] = mn
+            if name not in maxs or mx > maxs[name]:
+                maxs[name] = mx
+    return {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs}
+
+
 def _stage_data_files(df: DataFrame, table_path: str, now_ms: int) -> list[dict]:
     """Write ``df`` as parquet parts into the table root under fresh
     uuid names (invisible to readers, who only trust the log); return
-    the ``add`` actions for a later commit."""
+    the ``add`` actions (with per-file stats) for a later commit."""
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(staging)
     adds = []
@@ -374,18 +464,18 @@ def _stage_data_files(df: DataFrame, table_path: str, now_ms: int) -> list[dict]
         src = os.path.join(staging, f)
         dst = os.path.join(table_path, name)
         size = os.path.getsize(src)
+        stats = _file_stats(src)
         os.replace(src, dst)
-        adds.append(
-            {
-                "add": {
-                    "path": name,
-                    "partitionValues": {},
-                    "size": size,
-                    "modificationTime": now_ms,
-                    "dataChange": True,
-                }
-            }
-        )
+        add = {
+            "path": name,
+            "partitionValues": {},
+            "size": size,
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        if stats is not None:
+            add["stats"] = json.dumps(stats)
+        adds.append({"add": add})
     shutil.rmtree(staging, ignore_errors=True)
     return adds
 
@@ -682,4 +772,142 @@ def merge_delta(
                 pass
     raise DeltaConcurrentWriteError(
         f"lost the merge commit race {max_retries + 1} times at {table_path}"
+    )
+
+
+# ----------------------------------------------------------- optimize
+
+_ZORDER_BITS = 16
+
+
+def _morton_key(df: DataFrame, zorder_by: list[str]) -> "DataFrame":
+    """Attach ``_z``: the bit-interleaved (Morton) key of the z-order
+    columns, each linearly binned to 16 bits between its table-wide
+    min and max. One tiny min/max aggregate is collected (OPTIMIZE is
+    a maintenance command — a driver action here is the norm, exactly
+    like a file listing); the binning itself is pure expressions."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in zorder_by:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"_mx_{c}")]
+    bounds = df.agg(*aggs).collect()[0]
+    ncols = len(zorder_by)
+    scaled = []
+    for c in zorder_by:
+        mn, mx = bounds[f"_mn_{c}"], bounds[f"_mx_{c}"]
+        span = (mx - mn) if (mx is not None and mn is not None and mx > mn) else 1.0
+        v = F.least(
+            F.lit((1 << _ZORDER_BITS) - 1),
+            F.floor(
+                (F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
+                * F.lit(float((1 << _ZORDER_BITS) - 1))
+            ).cast("long"),
+        )
+        scaled.append(F.coalesce(v, F.lit(0)))
+    z = F.lit(0).cast("long")
+    for bit in range(_ZORDER_BITS):
+        for j, s in enumerate(scaled):
+            z = z + F.shiftleft(
+                F.shiftright(s, bit).bitwiseAND(F.lit(1)), bit * ncols + j
+            )
+    return df.withColumn("_z", z)
+
+
+def optimize_delta(
+    spark: SparkSession,
+    table_path: str,
+    target_file_size: int = 128 * 1024 * 1024,
+    zorder_by: list[str] | None = None,
+    max_retries: int = 3,
+) -> dict:
+    """OPTIMIZE: rewrite data files for layout, changing no rows.
+
+    - **Compaction** (default): active files smaller than half the
+      target are bin-packed into ~target-size parts — the small-file
+      cure for append-heavy tables (each streaming micro-batch or
+      merge leaves small parts; scan cost is per-file overhead-bound
+      long before it is byte-bound).
+    - **Z-order** (``zorder_by``): ALL active files are rewritten,
+      range-partitioned and sorted by the Morton interleave of the
+      given columns, so each output file covers a tight hyper-rectangle
+      of the z-space — after which the per-file min/max stats make
+      :func:`read_delta`'s ``prune`` skip most files for selective
+      multi-column predicates. This is the layout step that turns
+      "scan 100 TB for one day x one tenant" into "read 3 files".
+
+    Commits ``remove``(old) + ``add``(new) with ``dataChange=False``
+    (readers of any version see identical rows; incremental consumers
+    know nothing changed). Same put-if-absent optimistic-concurrency
+    loop as writes; a lost race re-plans against the new snapshot.
+    Returns ``{"version", "removed", "added"}`` (version None if
+    nothing needed rewriting)."""
+    from pyspark.sql import functions as F
+
+    for _attempt in range(max_retries + 1):
+        read_version = table_version(table_path)
+        if read_version < 0:
+            raise FileNotFoundError(f"no Delta table at {table_path}")
+        schema_json, active = _replay(table_path)
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        if zorder_by:
+            victims = dict(active)
+        else:
+            victims = {
+                p: a for p, a in active.items()
+                if a.get("size", 0) < target_file_size // 2
+            }
+        if len(victims) < 2:
+            return {"version": None, "removed": [], "added": []}
+        total = sum(a.get("size", 0) for a in victims.values())
+        n_out = max(1, -(-total // target_file_size))
+        now_ms = int(time.time() * 1000)
+
+        src = spark.read.schema(schema).parquet(
+            *[os.path.join(table_path, p) for p in victims]
+        )
+        if zorder_by:
+            keyed = _morton_key(src, zorder_by)
+            packed = (
+                keyed.repartitionByRange(n_out, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        else:
+            packed = src.repartition(n_out)
+        adds = _stage_data_files(packed, table_path, now_ms)
+        for a in adds:
+            a["add"]["dataChange"] = False
+
+        actions = [
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": False,
+                }
+            }
+            for p in victims
+        ] + adds
+        commit = os.path.join(_log_path(table_path), f"{read_version + 1:020d}.json")
+        body = "".join(json.dumps(a) + "\n" for a in actions)
+        if _put_if_absent(body, commit):
+            version = read_version + 1
+            if version % _CHECKPOINT_INTERVAL == 0:
+                _write_checkpoint(
+                    table_path, version, _replay_state(table_path, version)
+                )
+            return {
+                "version": version,
+                "removed": sorted(victims),
+                "added": [a["add"]["path"] for a in adds],
+            }
+        for a in adds:
+            try:
+                os.remove(os.path.join(table_path, a["add"]["path"]))
+            except FileNotFoundError:
+                pass
+    raise DeltaConcurrentWriteError(
+        f"lost the optimize commit race {max_retries + 1} times at {table_path}"
     )

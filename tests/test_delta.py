@@ -284,3 +284,110 @@ def test_delta_merge_concurrent_commit_retries(spark):
     assert rows[100] == 100  # the concurrent append survived
     assert rows[0] == 50 and rows[2] == 52 and rows[5] == 5
     assert v == 2  # lost v1 to the racer, committed at v2
+
+
+# ------------------------------------------------------------- optimize
+
+def test_delta_add_actions_carry_file_stats(spark):
+    from python_plugins_spark.sources.delta_py import _replay
+
+    path = _fresh("delta_stats1")
+    write_delta(
+        spark.range(100).selectExpr("id AS k", "CAST(id * 2 AS DOUBLE) AS v"),
+        path,
+        "overwrite",
+    )
+    import json as _json
+
+    _, active = _replay(path)
+    assert active
+    for add in active.values():
+        st = _json.loads(add["stats"])
+        assert st["numRecords"] > 0
+        assert st["minValues"]["k"] >= 0 and st["maxValues"]["k"] <= 99
+
+
+def test_delta_optimize_compacts_small_files(spark):
+    """20 tiny appends -> one optimize -> few files, identical rows,
+    dataChange=False, and history still time-travels."""
+    from python_plugins_spark.sources.delta_py import _replay, optimize_delta
+
+    path = _fresh("delta_opt1")
+    for i in range(20):
+        write_delta(
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id AS k").coalesce(1),
+            path,
+            "overwrite" if i == 0 else "append",
+        )
+    _, before = _replay(path)
+    assert len(before) >= 20
+    res = optimize_delta(spark, path)
+    assert res["version"] == 20
+    _, after = _replay(path)
+    assert len(after) < len(before) / 4
+    assert {r.k for r in read_delta(spark, path).collect()} == set(range(200))
+    # history intact: v5 snapshot = first 6 slices
+    assert read_delta(spark, path, version_as_of=5).count() == 60
+
+
+def test_delta_zorder_enables_file_skipping(spark):
+    """Uniform 2-D data, z-ordered into 16 files: a small (x, y) box
+    must scan a minority of files via stats pruning and still return
+    exactly the right rows."""
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.sources.delta_py import (
+        _replay,
+        optimize_delta,
+        read_delta,
+    )
+
+    path = _fresh("delta_z1")
+    n = 40_000
+    df = spark.range(n).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 7919) % 200).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    write_delta(df.repartition(8), path, "overwrite")
+    res = optimize_delta(
+        spark, path, target_file_size=24 * 1024, zorder_by=["x", "y"]
+    )
+    assert res["version"] == 1 and len(res["added"]) >= 6
+    _, active = _replay(path)
+    total = len(active)
+    box = {"x": (20, 39), "y": (60, 79)}
+    pruned = read_delta(spark, path, prune=box)
+    scanned = pruned.inputFiles()
+    assert len(scanned) < total / 2, (len(scanned), total)
+    got = pruned.filter(
+        (F.col("x").between(20, 39)) & (F.col("y").between(60, 79))
+    )
+    want = df.filter((F.col("x").between(20, 39)) & (F.col("y").between(60, 79)))
+    assert got.count() == want.count()
+    assert {r.payload for r in got.collect()} == {r.payload for r in want.collect()}
+
+
+def test_delta_stats_survive_checkpoint(spark):
+    """Replay seeded from a parquet checkpoint must still carry per-
+    file stats, or pruning silently dies on long-lived tables."""
+    import json as _json
+
+    from python_plugins_spark.sources.delta_py import (
+        _replay_state,
+        last_checkpoint_version,
+    )
+
+    path = _fresh("delta_stats2")
+    for i in range(11):  # v0..v10 -> checkpoint at v10
+        write_delta(
+            spark.range(i * 5, (i + 1) * 5).selectExpr("id AS k"),
+            path,
+            "overwrite" if i == 0 else "append",
+        )
+    assert last_checkpoint_version(path) == 10
+    state = _replay_state(path)  # seeds from checkpoint
+    assert state.active
+    for add in state.active.values():
+        st = _json.loads(add["stats"])
+        assert "minValues" in st and st["numRecords"] > 0
