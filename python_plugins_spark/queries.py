@@ -2249,6 +2249,89 @@ def delta_optimize_zorder_read(spark, sf_dir):
 
 
 @register(
+    "delta_deletion_vector_read",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders
+    WHERE NOT (o_orderkey % 10 < 3) AND NOT (o_custkey % 7 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_deletion_vector_read(spark, sf_dir):
+    """Deletion vectors (merge-on-read DELETE, sources/delta_dv.py):
+    two successive DV deletes — the second unions into the first
+    file-level bitmaps — then a snapshot read that anti-joins the
+    executor-decoded (file, row_index) deleted set against
+    ``_metadata.row_index``. No data file is rewritten by either
+    delete (asserted below: the active file set is unchanged), which
+    is the point of DVs at 100 TB — a delete costs O(deleted rows) in
+    sidecar bytes, not O(touched files) in parquet rewrites. Bitmaps
+    are protocol-shaped RoaringBitmapArray sidecars; the commit
+    upgrades to readerVersion 3 / ``deletionVectors`` table feature."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        _replay_state,
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir)
+    path = os.path.join(_SCRATCH, f"delta_dv_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.repartition(6), path, mode="overwrite")
+    before = set(_replay_state(path).active)
+    delete_delta(spark, path, "o_orderkey % 10 < 3", mode="dv")
+    delete_delta(spark, path, "o_custkey % 7 = 0", mode="dv")
+    after = set(_replay_state(path).active)
+    assert after == before, "DV delete must not rewrite/replace data files"
+    back = read_delta(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
+
+
+@register(
+    "delta_delete_rewrite",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders
+    WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_delete_rewrite(spark, sf_dir):
+    """Copy-on-write DELETE (``mode="rewrite"``): only files containing
+    at least one matched row are rewritten without those rows; readers
+    need no table feature (reads stay pure parquet scans). The
+    complement of the DV path — pick rewrite when deletes are rare and
+    bulky, DVs when they are frequent and sparse."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir)
+    path = os.path.join(_SCRATCH, f"delta_cow_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.repartition(6), path, mode="overwrite")
+    delete_delta(
+        spark, path, "o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0",
+        mode="rewrite",
+    )
+    back = read_delta(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
+
+
+@register(
     "iceberg_snapshot_read",
     oracle="""
     SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total

@@ -40,8 +40,21 @@ Supported surface:
   broadcast semi-join on the source keys; serializable via the same
   put-if-absent commit (a lost race re-runs the whole merge).
 
-Not implemented (documented): deletion vectors, column mapping,
-generated columns, CDC files.
+- **deletion vectors** (:func:`delete_delta` with ``mode="dv"``):
+  merge-on-read DELETE — matched row indices are serialized as
+  protocol-shaped RoaringBitmapArray sidecars (``delta_dv`` /
+  ``roaring`` modules) and attached to the surviving ``add`` actions
+  as ``deletionVector`` descriptors; the commit rewrites NO data
+  files (O(deleted rows) instead of O(touched files' bytes) — the
+  point of DVs on a 100 TB table). ``read_delta`` filters DV'd rows
+  with an executor-decoded anti-join on ``_metadata.row_index``.
+  A DV delete upgrades the protocol to readerVersion 3 /
+  writerVersion 7 with the ``deletionVectors`` table feature, as the
+  spec requires. ``mode="rewrite"`` is the classic copy-on-write
+  path (rewrites touched files, no reader feature needed).
+
+Not implemented (documented): column mapping, generated columns,
+CDC files.
 """
 
 from __future__ import annotations
@@ -117,6 +130,8 @@ def _cp_schema():
                     [
                         ("minReaderVersion", pa.int32()),
                         ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -142,6 +157,20 @@ def _cp_schema():
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        (
+                            # protocol: descriptor rides on the add in
+                            # checkpoints exactly as in JSON commits
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int64()),
+                                    ("sizeInBytes", pa.int64()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -189,6 +218,7 @@ def _write_checkpoint(table_path: str, version: int, state: "_State") -> None:
                     "modificationTime": add.get("modificationTime"),
                     "dataChange": False,
                     "stats": add.get("stats"),
+                    "deletionVector": add.get("deletionVector"),
                 }
             }
         )
@@ -221,7 +251,13 @@ def _read_checkpoint(table_path: str, version: int) -> "_State":
     state = _State()
     for row in pq.read_table(_checkpoint_path(table_path, version)).to_pylist():
         if row.get("protocol") is not None:
-            state.protocol = row["protocol"]
+            proto = {
+                k: v for k, v in dict(row["protocol"]).items() if v is not None
+            }
+            for k in ("readerFeatures", "writerFeatures"):
+                if k in proto:
+                    proto[k] = list(proto[k])
+            state.protocol = proto
         elif row.get("metaData") is not None:
             m = dict(row["metaData"])
             pv = m.get("partitionColumns")
@@ -234,6 +270,8 @@ def _read_checkpoint(table_path: str, version: int) -> "_State":
             a["partitionValues"] = dict(pv) if pv else {}
             if a.get("stats") is None:
                 a.pop("stats", None)
+            if a.get("deletionVector") is None:
+                a.pop("deletionVector", None)
             state.active[a["path"]] = a
         elif row.get("remove") is not None:
             r = row["remove"]
@@ -341,7 +379,15 @@ def read_delta(
     if not keep:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(table_path, p) for p in keep]
-    return spark.read.schema(schema).parquet(*paths)
+    scan = spark.read.schema(schema).parquet(*paths)
+    dv_adds = {
+        p: active[p] for p in keep if active[p].get("deletionVector")
+    }
+    if dv_adds:
+        from .delta_dv import apply_dvs
+
+        scan = apply_dvs(spark, scan, table_path, dv_adds, [f.name for f in schema.fields])
+    return scan
 
 
 def _stats_may_match(add: dict, prune: dict[str, tuple]) -> bool:
@@ -573,11 +619,26 @@ def vacuum_delta(
     reclaims everything unreferenced immediately (compaction tests)."""
     state = _replay_state(table_path)
     cutoff_ms = (time.time() - retention_hours * 3600.0) * 1000.0
+    live_bins = set()
+    for add in state.active.values():
+        desc = add.get("deletionVector")
+        if desc and desc.get("storageType") == "u":
+            live_bins.add(_dv_sidecar_name(desc))
     deleted = []
     for f in os.listdir(table_path):
-        if not f.endswith(".parquet") or f in state.active:
+        if f.endswith(".parquet"):
+            if f in state.active:
+                continue
+            ts = state.tombstones.get(f)
+        elif f.endswith(".bin") and f.startswith("deletion_vector_"):
+            # DV sidecar: referenced iff some ACTIVE add points at it
+            # (superseded DVs — re-deletes, purged files — age out by
+            # mtime like any other unreferenced file)
+            if f in live_bins:
+                continue
+            ts = None
+        else:
             continue
-        ts = state.tombstones.get(f)
         if ts is None:
             ts = os.path.getmtime(os.path.join(table_path, f)) * 1000.0
         if ts <= cutoff_ms:
@@ -585,6 +646,232 @@ def vacuum_delta(
                 os.remove(os.path.join(table_path, f))
             deleted.append(f)
     return sorted(deleted)
+
+
+# ------------------------------------------------------------- delete
+
+def _dv_scan(
+    spark: SparkSession,
+    table_path: str,
+    schema: T.StructType,
+    subset: dict[str, dict],
+    keep_meta: bool = False,
+):
+    """Scan the given add-set with deletion vectors applied. With
+    ``keep_meta`` the frame carries ``__file`` (data file name) and
+    ``__idx`` (physical ``_metadata.row_index``) — the row identity a
+    DV keys on — alongside the table columns."""
+    from pyspark.sql import functions as F
+
+    from .delta_dv import deleted_rows_df
+
+    paths = [os.path.join(table_path, p) for p in subset]
+    scan = spark.read.schema(schema).parquet(*paths)
+    cols = [f.name for f in schema.fields]
+    keyed = scan.withColumns(
+        {
+            "__file": F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            "__idx": F.col("_metadata.row_index"),
+        }
+    )
+    dv_adds = {p: a for p, a in subset.items() if a.get("deletionVector")}
+    if dv_adds:
+        total = sum(a["deletionVector"].get("cardinality", 0) for a in dv_adds.values())
+        deleted = deleted_rows_df(spark, table_path, dv_adds).withColumn(
+            "__dv_file", F.element_at(F.split(F.col("__dv_file"), "/"), -1)
+        )
+        keyed = keyed.join(
+            F.broadcast(deleted) if total <= 1_000_000 else deleted,
+            on=[
+                keyed["__file"] == F.col("__dv_file"),
+                keyed["__idx"] == F.col("__dv_idx"),
+            ],
+            how="left_anti",
+        )
+    return keyed.select(*(cols + ["__file", "__idx"] if keep_meta else cols))
+
+
+def delete_delta(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    mode: str = "dv",
+    max_retries: int = 3,
+) -> int:
+    """DELETE FROM the Delta table WHERE ``predicate`` (SQL over the
+    table columns). Returns the committed version (the current version
+    unchanged if nothing matched).
+
+    ``mode="dv"`` is merge-on-read: each touched data file keeps its
+    bytes; the matched physical row indices are serialized as a
+    RoaringBitmapArray sidecar and the file's ``add`` is re-committed
+    with a ``deletionVector`` descriptor (protocol readerVersion 3 /
+    writerVersion 7 + the ``deletionVectors`` table feature, upgraded
+    in the same commit on first use). Cost is O(matched rows), not
+    O(touched bytes) — deleting one GDPR row from a 1 GB file writes
+    ~50 bytes, the reason DVs exist. A file that already carries a DV
+    gets the union of old + new indices (decoded executor-side).
+
+    Scale design: the per-file bitmap is built and its sidecar written
+    by ``applyInPandas`` ON THE EXECUTOR holding that file's matched
+    rows — the driver sees only O(#touched files) descriptor rows, so
+    a delete touching a million files never ships row indices through
+    the driver. (Single sidecar per file per delete; tiny bitmaps go
+    inline in the descriptor instead.)
+
+    ``mode="rewrite"`` is classic copy-on-write: touched files are
+    rewritten without the matched rows (no reader feature required;
+    reads stay pure parquet scans)."""
+    from pyspark.sql import functions as F
+
+    from .delta_dv import load_dv, write_dv_file
+
+    if mode not in ("dv", "rewrite"):
+        raise ValueError(f"mode must be dv|rewrite, got {mode!r}")
+
+    for _attempt in range(max_retries + 1):
+        read_version = table_version(table_path)
+        if read_version < 0:
+            raise FileNotFoundError(f"no Delta table at {table_path}")
+        state = _replay_state(table_path)
+        schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
+        active = state.active
+        now_ms = int(time.time() * 1000)
+        if not active:
+            return read_version
+
+        live = _dv_scan(spark, table_path, schema, active, keep_meta=True)
+        matched = live.filter(F.expr(predicate))
+
+        new_dv_files: list[str] = []
+        if mode == "dv":
+            old_descs = {
+                p: a["deletionVector"]
+                for p, a in active.items()
+                if a.get("deletionVector")
+            }
+
+            desc_schema = T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField("desc_json", T.StringType()),
+                ]
+            )
+
+            def build_dv(pdf):
+                import pandas as pd
+
+                fname = pdf["__file"].iloc[0]
+                idx = set(int(i) for i in pdf["__idx"])
+                old = old_descs.get(fname)
+                if old is not None:
+                    idx.update(load_dv(table_path, old))
+                descs = write_dv_file(table_path, {fname: sorted(idx)})
+                return pd.DataFrame(
+                    {"path": [fname], "desc_json": [json.dumps(descs[fname])]}
+                )
+
+            desc_rows = (
+                matched.select("__file", "__idx")
+                .groupBy("__file")
+                .applyInPandas(build_dv, schema=desc_schema)
+                .collect()
+            )
+            if not desc_rows:
+                return read_version
+            touched_descs = {r["path"]: json.loads(r["desc_json"]) for r in desc_rows}
+            new_dv_files = [
+                os.path.join(table_path, _dv_sidecar_name(d))
+                for d in touched_descs.values()
+                if d["storageType"] == "u"
+            ]
+
+            actions: list[dict] = []
+            proto = state.protocol or {}
+            rf = set(proto.get("readerFeatures") or [])
+            if proto.get("minReaderVersion", 1) < 3 or "deletionVectors" not in rf:
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": sorted(rf | {"deletionVectors"}),
+                            "writerFeatures": sorted(
+                                set(proto.get("writerFeatures") or [])
+                                | {"deletionVectors"}
+                            ),
+                        }
+                    }
+                )
+            for p, desc in sorted(touched_descs.items()):
+                old_add = active[p]
+                new_add = {
+                    k: v for k, v in old_add.items() if k != "deletionVector"
+                }
+                new_add["dataChange"] = True
+                new_add["modificationTime"] = now_ms
+                new_add["deletionVector"] = desc
+                actions.append(
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                actions.append({"add": new_add})
+            adds_staged: list[dict] = []
+        else:
+            touched_rows = matched.select("__file").distinct().collect()
+            touched = sorted(r["__file"] for r in touched_rows)
+            if not touched:
+                return read_version
+            sub = {p: active[p] for p in touched}
+            keep = _dv_scan(spark, table_path, schema, sub).filter(
+                ~F.coalesce(F.expr(predicate), F.lit(False))
+            )
+            adds_staged = _stage_data_files(keep, table_path, now_ms)
+            actions = [
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+                for p in touched
+            ] + adds_staged
+
+        commit = os.path.join(_log_path(table_path), f"{read_version + 1:020d}.json")
+        body = "".join(json.dumps(a) + "\n" for a in actions)
+        if _put_if_absent(body, commit):
+            version = read_version + 1
+            if version % _CHECKPOINT_INTERVAL == 0:
+                _write_checkpoint(
+                    table_path, version, _replay_state(table_path, version)
+                )
+            return version
+        # lost the race: drop our sidecars / staged parts, re-run
+        for f in new_dv_files:
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+        for a in adds_staged:
+            try:
+                os.remove(os.path.join(table_path, a["add"]["path"]))
+            except FileNotFoundError:
+                pass
+    raise DeltaConcurrentWriteError(
+        f"lost the delete commit race {max_retries + 1} times at {table_path}"
+    )
+
+
+def _dv_sidecar_name(desc: dict) -> str:
+    from .delta_dv import descriptor_path
+
+    return os.path.basename(descriptor_path("", desc))
 
 
 # -------------------------------------------------------------- merge
@@ -664,27 +951,27 @@ def merge_delta(
             )
 
         if active:
-            paths = [os.path.join(table_path, p) for p in active]
-            tgt = spark.read.schema(schema).parquet(*paths)
+            # DV-aware scan: a row already deleted by a deletion
+            # vector must neither mark its file "touched" nor survive
+            # into the rewrite below
+            tgt = _dv_scan(spark, table_path, schema, active, keep_meta=True)
             skeys = src.select(*on).distinct()
             touched_rows = (
-                tgt.withColumn("_file", F.input_file_name())
-                .join(F.broadcast(skeys), on=on, how="leftsemi")
-                .select("_file")
+                tgt.join(F.broadcast(skeys), on=on, how="leftsemi")
+                .select("__file")
                 .distinct()
                 .collect()
             )
-            touched = sorted(
-                os.path.basename(r["_file"].split("://", 1)[-1]) for r in touched_rows
-            )
+            touched = sorted(r["__file"] for r in touched_rows)
         else:
             touched = []
 
         t_alias, s_alias = "t", "s"
         out_parts = []
         if touched:
-            touched_paths = [os.path.join(table_path, p) for p in touched]
-            tt = spark.read.schema(schema).parquet(*touched_paths).alias(t_alias)
+            tt = _dv_scan(
+                spark, table_path, schema, {p: active[p] for p in touched}
+            ).alias(t_alias)
             joined = tt.join(
                 src.alias(s_alias),
                 on=[F.col(f"{t_alias}.{k}") == F.col(f"{s_alias}.{k}") for k in on],
@@ -717,8 +1004,9 @@ def merge_delta(
         if when_not_matched_insert:
             if touched:
                 tkeys = (
-                    spark.read.schema(schema)
-                    .parquet(*[os.path.join(table_path, p) for p in touched])
+                    _dv_scan(
+                        spark, table_path, schema, {p: active[p] for p in touched}
+                    )
                     .select(*on)
                     .distinct()
                 )
@@ -854,19 +1142,22 @@ def optimize_delta(
         if zorder_by:
             victims = dict(active)
         else:
+            # small files get bin-packed; DV'd files get rewritten too
+            # (OPTIMIZE is the DV *purge* point: the rewrite drops the
+            # deleted rows physically and the new add carries no DV)
             victims = {
                 p: a for p, a in active.items()
                 if a.get("size", 0) < target_file_size // 2
+                or a.get("deletionVector")
             }
-        if len(victims) < 2:
+        n_dv = sum(1 for a in victims.values() if a.get("deletionVector"))
+        if len(victims) < 2 and n_dv == 0:
             return {"version": None, "removed": [], "added": []}
         total = sum(a.get("size", 0) for a in victims.values())
         n_out = max(1, -(-total // target_file_size))
         now_ms = int(time.time() * 1000)
 
-        src = spark.read.schema(schema).parquet(
-            *[os.path.join(table_path, p) for p in victims]
-        )
+        src = _dv_scan(spark, table_path, schema, victims)
         if zorder_by:
             keyed = _morton_key(src, zorder_by)
             packed = (

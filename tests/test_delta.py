@@ -391,3 +391,197 @@ def test_delta_stats_survive_checkpoint(spark):
     for add in state.active.values():
         st = _json.loads(add["stats"])
         assert "minValues" in st and st["numRecords"] > 0
+
+
+# ---------------------------------------------------- deletion vectors
+
+def test_roaring_codec_roundtrip_and_layout():
+    """RoaringBitmapArray portable serialization (sources/roaring.py):
+    roundtrips across container kinds and the exact byte layout of a
+    minimal example, pinned by hand from the public format spec."""
+    import random
+    import struct
+
+    from python_plugins_spark.sources.roaring import (
+        deserialize_rba,
+        dv_frame,
+        dv_unframe,
+        serialize_rba,
+    )
+
+    rng = random.Random(11)
+    cases = [
+        [],
+        [0],
+        [7, 65535, 65536, 131071],
+        list(range(5000)),                            # bitmap container
+        sorted(rng.sample(range(1 << 20), 9000)),     # mixed containers
+        [5, (1 << 32) + 3, (1 << 33) + 9],            # 64-bit highs
+        sorted(rng.sample(range(1 << 16), 4096)),     # exactly ARRAY_MAX
+    ]
+    for c in cases:
+        b = serialize_rba(c)
+        assert deserialize_rba(b) == sorted(set(c))
+        frame, size, _ = dv_frame(b)
+        assert dv_unframe(frame, 0, size) == b
+
+    b = serialize_rba([7])
+    assert struct.unpack_from("<iq", b, 0) == (1681511377, 1)   # magic, count
+    assert struct.unpack_from("<ii", b, 12) == (12346, 1)        # cookie, n
+    assert struct.unpack_from("<HH", b, 20) == (0, 0)            # key, card-1
+    assert struct.unpack_from("<H", b, 28) == (7,)               # the value
+
+
+def test_roaring_decodes_run_containers():
+    """We never WRITE run containers (optional optimization) but must
+    READ them — a native writer may. Hand-craft a cookie-12347 bitmap
+    with one run container [10, 14] and one array container."""
+    import struct
+
+    from python_plugins_spark.sources.roaring import _decode_rb32
+
+    buf = bytearray()
+    n = 2
+    buf += struct.pack("<i", 12347 | ((n - 1) << 16))
+    buf += bytes([0b01])                  # container 0 is a run
+    buf += struct.pack("<HH", 0, 4)       # key 0, card-1 = 4 (10..14)
+    buf += struct.pack("<HH", 1, 1)       # key 1, card-1 = 1
+    # n < NO_OFFSET_THRESHOLD -> no offset header
+    buf += struct.pack("<H", 1)           # 1 run
+    buf += struct.pack("<HH", 10, 4)      # start 10, length-1 = 4
+    buf += struct.pack("<HH", 3, 9)       # array values under key 1
+    vals, pos = _decode_rb32(bytes(buf), 0)
+    assert vals == [10, 11, 12, 13, 14, (1 << 16) + 3, (1 << 16) + 9]
+    assert pos == len(buf)
+
+
+def test_z85_known_vector_and_roundtrip():
+    """The ZeroMQ Z85 reference vector: 0x86 0x4F 0xD2 0x6F 0xB5 0x59
+    0xF7 0x5B encodes to "HelloWorld" (public RFC draft example)."""
+    from python_plugins_spark.sources.delta_dv import z85_decode, z85_encode
+
+    raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert z85_encode(raw) == "HelloWorld"
+    assert z85_decode("HelloWorld") == raw
+    import uuid
+
+    u = uuid.uuid4()
+    assert z85_decode(z85_encode(u.bytes)) == u.bytes
+
+
+def test_delta_dv_delete_read_union_and_purge(spark):
+    """Full DV lifecycle: delete attaches descriptors without touching
+    data files; a second delete unions bitmaps; reads anti-join the
+    deleted set; OPTIMIZE purges DVs physically; VACUUM reclaims the
+    orphaned sidecars. Protocol upgrades to reader 3 / writer 7 with
+    the deletionVectors feature on first DV commit."""
+    from python_plugins_spark.sources.delta_py import (
+        _replay_state,
+        delete_delta,
+        optimize_delta,
+        read_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    path = _fresh("delta_dv1")
+    df = spark.range(0, 4000).selectExpr("id", "id % 5 as k")
+    write_delta(df.repartition(4), path, "overwrite")
+    before = set(_replay_state(path).active)
+
+    delete_delta(spark, path, "k = 2", mode="dv")
+    st = _replay_state(path)
+    assert set(st.active) == before, "DV delete must not replace data files"
+    assert st.protocol["minReaderVersion"] == 3
+    assert "deletionVectors" in st.protocol["readerFeatures"]
+    n_dv = sum(1 for a in st.active.values() if a.get("deletionVector"))
+    assert n_dv >= 1
+    assert read_delta(spark, path).count() == 3200
+
+    delete_delta(spark, path, "k = 4", mode="dv")   # unions into existing DVs
+    assert read_delta(spark, path).count() == 2400
+    got = {r.id for r in read_delta(spark, path).filter("id < 10").collect()}
+    assert got == {0, 1, 3, 5, 6, 8}
+
+    res = optimize_delta(spark, path)
+    assert res["version"] is not None
+    st2 = _replay_state(path)
+    assert not any(a.get("deletionVector") for a in st2.active.values())
+    assert read_delta(spark, path).count() == 2400
+
+    removed = vacuum_delta(path, retention_hours=0)
+    assert any(f.endswith(".bin") for f in removed), "sidecars must vacuum"
+    assert read_delta(spark, path).count() == 2400
+
+
+def test_delta_dv_inline_small_bitmap(spark):
+    """A delete matching a handful of rows inlines the bitmap in the
+    descriptor (storageType 'i') — no sidecar file for a 3-row
+    delete."""
+    from python_plugins_spark.sources.delta_py import (
+        _replay_state,
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    path = _fresh("delta_dv2")
+    write_delta(spark.range(0, 1000).coalesce(1), path, "overwrite")
+    delete_delta(spark, path, "id IN (3, 500, 999)", mode="dv")
+    st = _replay_state(path)
+    descs = [a["deletionVector"] for a in st.active.values() if a.get("deletionVector")]
+    assert len(descs) == 1 and descs[0]["storageType"] == "i"
+    assert descs[0]["cardinality"] == 3
+    assert not [f for f in os.listdir(path) if f.endswith(".bin")]
+    assert read_delta(spark, path).count() == 997
+
+
+def test_delta_dv_survives_checkpoint_and_time_travel(spark):
+    """DV descriptors ride through parquet checkpoints, and time
+    travel to the pre-delete version still sees every row."""
+    from python_plugins_spark.sources.delta_py import (
+        _replay_state,
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    path = _fresh("delta_dv3")
+    write_delta(spark.range(0, 500).coalesce(2), path, "overwrite")  # v0
+    delete_delta(spark, path, "id % 2 = 0", mode="dv")               # v1
+    for v in range(2, 11):                                           # v2..v10
+        write_delta(
+            spark.range(1000 * v, 1000 * v + 10).coalesce(1), path, "append"
+        )
+    from python_plugins_spark.sources.delta_py import last_checkpoint_version
+
+    assert last_checkpoint_version(path) == 10
+    st = _replay_state(path)   # seeds from the checkpoint
+    assert any(a.get("deletionVector") for a in st.active.values())
+    assert read_delta(spark, path).count() == 250 + 90
+    assert read_delta(spark, path, version_as_of=0).count() == 500
+
+
+def test_delta_merge_respects_deletion_vectors(spark):
+    """A MERGE after a DV delete must not resurrect deleted rows: the
+    rewrite of a touched file keeps the DV filter, and the new part
+    carries no DV."""
+    from python_plugins_spark.sources.delta_py import (
+        delete_delta,
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    path = _fresh("delta_dv4")
+    df = spark.range(0, 100).selectExpr("id", "id * 10 as v")
+    write_delta(df.coalesce(1), path, "overwrite")
+    delete_delta(spark, path, "id >= 90", mode="dv")
+    src = spark.range(95, 105).selectExpr("id", "id * 1000 as v")
+    merge_delta(spark, src, path, on=["id"])  # update-all + insert
+    back = read_delta(spark, path)
+    assert back.count() == 100   # 90 survivors + 10 inserted (95..104)
+    # deleted ids 90..94 stay gone; 95..99 come back as INSERTS
+    vals = {r.id: r.v for r in back.filter("id >= 88").collect()}
+    assert set(vals) == {88, 89} | set(range(95, 105))
+    assert vals[95] == 95000 and vals[88] == 880
