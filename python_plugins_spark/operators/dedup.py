@@ -112,14 +112,16 @@ def minhash_signature(
     params = MINHASH_PARAMS[:num_hashes]
     sh = shingle_rows(df, text_col, id_col, shingle)
     hashed = sh.select(id_col, hash32(F.col("_s")).alias("_h"))
+    # SQL-string expressions: one py4j parse per permutation instead of
+    # ~6 Column round-trips each (see the build-latency note in
+    # :func:`simhash`)
     mins = [
-        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"_m{i}")
+        F.expr(f"min(({a} * _h + {b}) % {MINHASH_PRIME})").alias(f"_m{i}")
         for i, (a, b) in enumerate(params)
     ]
     sig = hashed.groupBy(id_col).agg(*mins)
-    return sig.select(
-        id_col, F.array(*[F.col(f"_m{i}") for i in range(len(params))]).alias("sig")
-    )
+    arr = ", ".join(f"_m{i}" for i in range(len(params)))
+    return sig.select(id_col, F.expr(f"array({arr})").alias("sig"))
 
 
 def shingle_rows(
@@ -147,20 +149,15 @@ def minhash_bands(
     """Explode a signature into (id, band_id, band_key) rows; band_key
     is the comma-joined slice of the signature."""
     rows = num_hashes // bands
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_id"),
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("sig"), j * rows + 1, rows),
-                        lambda x: x.cast("string"),
-                    ),
-                ).alias("band_key"),
-            )
+    entries = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({j} AS band_id, "
+            f"array_join(transform(slice(sig, {j * rows + 1}, {rows}), "
+            f"x -> cast(x AS string)), ',') AS band_key)"
             for j in range(bands)
-        ]
+        )
+        + ")"
     )
     return sig_df.select(id_col, F.explode(entries).alias("b")).select(
         id_col, "b.band_id", "b.band_key"
@@ -177,23 +174,34 @@ def minhash_lsh_pairs(
     max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing at least
-    one LSH band. One narrow shuffle on (band_id, band_key)."""
+    one LSH band.
+
+    Shape: band rows group into per-bucket sorted id ARRAYS (one
+    shuffle on (band_id, band_key)), and pairs are generated locally
+    inside each bucket with array HOFs — no self-join, so the
+    signature subtree is computed ONCE instead of once per join side
+    (the former a/b self-join + bucket-count pre-join evaluated it up
+    to 4x; exchange reuse is not guaranteed across an aggregate
+    boundary). Three shuffles total: signature, bucket group, pair
+    distinct. Pair blow-up is quadratic in bucket size exactly as the
+    join formulation was — cap pathological boilerplate buckets with
+    ``max_bucket`` at scale (what production dedup pipelines do)."""
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle)
     band = minhash_bands(sig, id_col, num_hashes, bands)
-    if max_bucket is not None:
-        counts = band.groupBy("band_id", "band_key").count()
-        band = band.join(
-            counts.filter(F.col("count") <= max_bucket).drop("count"),
-            on=["band_id", "band_key"],
-        )
-    a = band.select(
-        F.col(id_col).alias("id_a"), "band_id", "band_key"
+    buckets = band.groupBy("band_id", "band_key").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
     )
-    b = band.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    buckets = buckets.filter(F.size("_ids") >= 2)
+    pair_structs = F.expr(
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids)), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
     return (
-        a.join(b, on=["band_id", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_structs).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
         .distinct()
     )
 
@@ -459,25 +467,26 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
     tok = tok.select(id_col, hash60(F.col("_t")).alias("_h"))
     half = SIMHASH_BITS // 2
+    # Wide expression trees are built as SQL strings (ONE py4j parse
+    # per expression) instead of chained Column ops: the Column form
+    # costs a JVM round-trip per operator — ~300 round-trips here,
+    # ~0.8 s of pure plan-BUILD latency per query run, which dwarfed
+    # the aggregate's actual execution.
     sums = [
-        F.sum(
-            F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(_SIMHASH_PACK_MASK))
-        ).alias(f"_p{j}")
+        F.expr(f"sum(shiftright(_h, {j}) & {_SIMHASH_PACK_MASK}L)").alias(f"_p{j}")
         for j in range(half)
     ] + [F.count("*").alias("_n")]
     bits = tok.groupBy(id_col).agg(*sums)
-    value = None
+    terms = []
     for j in range(SIMHASH_BITS):
         if j < half:
-            s_j = F.col(f"_p{j}").bitwiseAND(F.lit(_SIMHASH_FIELD_MASK))
+            s_j = f"(_p{j} & {_SIMHASH_FIELD_MASK}L)"
         else:
-            s_j = F.shiftright(F.col(f"_p{j - half}"), 30)
+            s_j = f"shiftright(_p{j - half}, 30)"
         # vote sum = 2*S_j - n; bit set iff > 0 (ties -> 0, matching the
         # oracle's sum-of-(+/-1) > 0 convention)
-        term = F.when(s_j * 2 > F.col("_n"), F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        value = term if value is None else value + term
+        terms.append(f"(CASE WHEN {s_j} * 2 > _n THEN {1 << j}L ELSE 0L END)")
+    value = F.expr(" + ".join(terms))
     return bits.select(id_col, value.alias("simhash"))
 
 

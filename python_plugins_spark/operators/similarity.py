@@ -480,14 +480,22 @@ def lsh_buckets(
             "construction"
         )
     planes = lsh_planes(n_planes, dim, seed)
-    bucket = None
+    # One SQL-string expression for the whole packed signature: the
+    # Column-API form (64 F.lit per plane + lambda builders) costs
+    # ~500 py4j round-trips, ~0.7 s of plan-build latency per query.
+    # double('<repr>') round-trips the exact float64 (Java
+    # Double.parseDouble of Python repr), matching the oracle's
+    # literals bit-for-bit; the fold order (left-to-right, 0.0 init)
+    # is identical to the previous zip_with/aggregate form.
+    bits = []
     for i in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        arr = ", ".join(f"double('{repr(float(x))}')" for x in planes[i])
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({arr}), "
+            "(x, y) -> cast(x AS double) * y), "
+            "cast(0.0 AS double), (acc, v) -> acc + v)"
         )
-        bit = F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bit if bucket is None else bucket + bit
-    return df.select(F.col(id_col), bucket.alias("bucket"))
+        bits.append(
+            f"(CASE WHEN {dot} >= 0 THEN {1 << i}L ELSE 0L END)"
+        )
+    return df.select(F.col(id_col), F.expr(" + ".join(bits)).alias("bucket"))

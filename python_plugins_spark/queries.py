@@ -1189,7 +1189,11 @@ def streaming_tumbling_counts(spark, sf_dir):
         .select(_ts(F.col("win.start")).alias("window_start"), "event_type", "n")
     )
     name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    return run_to_memory_sink(agg, name, output_mode="complete")
+    # bounded drain, small keyspace (window x event_type): 8 state
+    # stores instead of 32 — see run_to_memory_sink(state_partitions=)
+    return run_to_memory_sink(
+        agg, name, output_mode="complete", state_partitions=8
+    )
 
 
 @register(

@@ -191,17 +191,39 @@ def stateful_running_agg(
 
 
 def run_to_memory_sink(
-    df: DataFrame, name: str, output_mode: str = "complete"
+    df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain all available input synchronously into an in-memory table
     and return it as a DataFrame — turns a streaming query into a
-    testable batch result."""
-    query = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    testable batch result.
+
+    ``state_partitions`` temporarily overrides
+    ``spark.sql.shuffle.partitions`` for the duration of the query
+    start (a streaming query pins the value it sees at first start
+    into its checkpoint). Stateful micro-batches pay a fixed
+    per-partition state-store cost every batch; for a bounded drain
+    whose state is small, 32 stores are ~all overhead — callers with
+    small keyspaces pass 4-8. Cluster deployments with real state
+    volume should leave it unset (the session default sizes state to
+    the cluster)."""
+    spark = df.sparkSession
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         query.processAllAvailable()
     finally:
