@@ -2406,6 +2406,50 @@ def iceberg_pruned_scan(spark, sf_dir):
 
 
 @register(
+    "iceberg_positional_delete_read",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders
+    WHERE NOT (o_orderkey % 10 < 2) AND NOT (o_custkey % 9 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_positional_delete_read(spark, sf_dir):
+    """Iceberg v2 merge-on-read DELETE (sources/iceberg_py.py
+    delete_iceberg): two successive deletes commit position-delete
+    parquet files (content=1 manifest entries) — no data file is
+    rewritten — and the snapshot read anti-joins (file, pos) against
+    ``_metadata.row_index``. Both sides of the anti-join are native
+    vectorized parquet scans; the Iceberg twin of the Delta
+    deletion-vector query."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import (
+        delete_iceberg,
+        plan_files,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(_SCRATCH, f"ice_del_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(o.repartition(5), path, mode="overwrite")
+    before = sorted(f["path"] for f in plan_files(path))
+    delete_iceberg(spark, path, "o_orderkey % 10 < 2")
+    delete_iceberg(spark, path, "o_custkey % 9 = 0")
+    after = sorted(f["path"] for f in plan_files(path))
+    assert after == before, "position deletes must not rewrite data files"
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
+
+
+@register(
     "embedding_lsh_neardup",
     oracle=S.lsh_bucketed_neardup_oracle_sql(
         "embeddings", "vec_id", "embedding", 0.3, 8, 64

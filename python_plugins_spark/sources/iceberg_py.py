@@ -130,6 +130,10 @@ _MANIFEST_ENTRY_NODE = {
         {"name": "file_size_in_bytes", "type": "long"},
         {"name": "lower_bounds", "type": {"type": "map", "values": "string"}},
         {"name": "upper_bounds", "type": {"type": "map", "values": "string"}},
+        # spec v2 'content': 0=DATA, 1=POSITION_DELETES (2=EQUALITY_
+        # DELETES is not implemented). Kept LAST so older tuples would
+        # still destructure positionally.
+        {"name": "content", "type": "int"},
     ],
 }
 
@@ -324,6 +328,7 @@ def write_iceberg(
                     os.path.getsize(dst),
                     lower,
                     upper,
+                    0,  # content: DATA
                 )
             )
     shutil.rmtree(staging, ignore_errors=True)
@@ -405,6 +410,174 @@ def write_iceberg(
     return snapshot_id
 
 
+# ------------------------------------------------- position deletes
+
+# spec 'Position Delete Files' schema: (file_path, pos) rows sorted by
+# (file_path, pos); the spec reserves field ids 2147483546/2147483545.
+_POS_DELETE_SCHEMA = T.StructType(
+    [
+        T.StructField("file_path", T.StringType(), False),
+        T.StructField("pos", T.LongType(), False),
+    ]
+)
+
+
+def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
+    """Row-level DELETE via format-version-2 **position delete files**
+    (merge-on-read): matched rows become (data file path, row position)
+    rows in a parquet delete file, committed as a new snapshot whose
+    manifest carries ``content=1``. NO data file is rewritten — the
+    Iceberg analogue of delta_py's deletion vectors, with the same
+    scale property (a delete costs O(matched rows), not O(touched
+    bytes)) and one structural difference: the deleted-position list is
+    itself parquet, so the read-side anti-join scans it with Spark's
+    vectorized reader — no custom decode step at all.
+
+    Returns the new snapshot id (the current one unchanged if nothing
+    matched). Appends after the delete are unaffected by construction:
+    position rows name data files by path, and new files get fresh
+    uuid names."""
+    from pyspark.sql import functions as F
+
+    meta = _load_metadata(path)
+    schema = iceberg_schema_to_spark(meta["schemas"][0])
+    live = read_iceberg(spark, path)
+    matched = (
+        live.withColumns(
+            {
+                "__file": F.col("_metadata.file_path"),
+                "__pos": F.col("_metadata.row_index"),
+            }
+        )
+        .filter(F.expr(predicate))
+        .select(
+            # manifest paths are table-relative; _metadata is absolute.
+            # Recover the relative form through the data/ dir marker.
+            F.concat(
+                F.lit(_DATA_DIR + "/"),
+                F.element_at(F.split(F.col("__file"), "/" + _DATA_DIR + "/"), -1),
+            ).alias("file_path"),
+            F.col("__pos").alias("pos"),
+        )
+        .orderBy("file_path", "pos")  # spec: sorted by (file_path, pos)
+    )
+
+    # stage the delete file via Spark, then move under data/
+    staging = os.path.join(path, f".staging-del-{uuid.uuid4().hex}")
+    matched.coalesce(1).write.mode("overwrite").parquet(staging)
+    parts = [
+        f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
+    ]
+    import pyarrow.parquet as pq
+
+    n_deleted = sum(
+        pq.ParquetFile(os.path.join(staging, f)).metadata.num_rows for f in parts
+    )
+    if n_deleted == 0:
+        shutil.rmtree(staging, ignore_errors=True)
+        return meta.get("current-snapshot-id")
+
+    now_ms = int(time.time() * 1000)
+    snapshot_id = (current_metadata_version(path) or 0) + 1
+    entries = []
+    for f in parts:
+        name = f"{uuid.uuid4().hex}-deletes.parquet"
+        dst = os.path.join(path, _DATA_DIR, name)
+        src = os.path.join(staging, f)
+        size = os.path.getsize(src)
+        n_rows = pq.ParquetFile(src).metadata.num_rows
+        os.replace(src, dst)
+        entries.append(
+            (
+                1,  # ADDED
+                os.path.relpath(dst, path),
+                "PARQUET",
+                {},
+                n_rows,
+                size,
+                {},
+                {},
+                1,  # content: POSITION_DELETES
+            )
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    manifest_name = f"manifest-{snapshot_id}-{uuid.uuid4().hex}.avro"
+    manifest_path = os.path.join(_meta_dir(path), manifest_name)
+    write_container(manifest_path, _MANIFEST_ENTRY_NODE, entries)
+
+    cur_snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    prior = list(read_container(os.path.join(path, cur_snap["manifest-list"])))
+    ml_rows = prior + [
+        (
+            os.path.relpath(manifest_path, path),
+            os.path.getsize(manifest_path),
+            0,
+            snapshot_id,
+            len(entries),
+            0,
+            0,
+        )
+    ]
+    ml_name = f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+    ml_path = os.path.join(_meta_dir(path), ml_name)
+    write_container(ml_path, _MANIFEST_FILE_NODE, ml_rows)
+
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "manifest-list": os.path.relpath(ml_path, path),
+        "summary": {
+            "operation": "delete",
+            "added-delete-files": str(len(entries)),
+            "added-position-deletes": str(n_deleted),
+        },
+    }
+    new_meta = dict(meta)
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    meta_file = os.path.join(_meta_dir(path), f"v{snapshot_id}.metadata.json")
+    tmp = meta_file + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(new_meta, fh)
+    os.replace(tmp, meta_file)
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    tmp = hint + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write(str(snapshot_id))
+    os.replace(tmp, hint)
+    return snapshot_id
+
+
+def plan_delete_files(path: str, snapshot_id: int | None = None) -> list[str]:
+    """Table-relative paths of the snapshot's position-delete files
+    (``content=1`` manifest entries). Never pruned by data predicates —
+    a delete file's rows can target any data file."""
+    meta = _load_metadata(path)
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    snap = next(
+        (s for s in meta.get("snapshots", []) if s["snapshot-id"] == snapshot_id),
+        None,
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {snapshot_id} not in table")
+    out = []
+    for ml in read_container(os.path.join(path, snap["manifest-list"])):
+        for e in read_container(os.path.join(path, ml[0])):
+            status, file_path, *_rest, content = e
+            if status != 2 and content == 1:
+                out.append(file_path)
+    return out
+
+
 # ------------------------------------------------- read path
 
 def plan_files(
@@ -437,8 +610,8 @@ def plan_files(
     for ml in read_container(os.path.join(path, snap["manifest-list"])):
         manifest_rel = ml[0]
         for e in read_container(os.path.join(path, manifest_rel)):
-            status, file_path, _fmt, part, n_rows, _size, lower, upper = e
-            if status == 2:  # DELETED
+            status, file_path, _fmt, part, n_rows, _size, lower, upper, content = e
+            if status == 2 or content != 0:  # DELETED entry / delete file
                 continue
             keep = True
             for col, v in (eq or {}).items():
@@ -488,6 +661,8 @@ def read_iceberg(
     re-filtered here — callers keep their own .filter(), which Spark
     then pushes into the (already minimal) scan; identical semantics
     to Iceberg's split planning + Spark residual filters."""
+    from pyspark.sql import functions as F
+
     meta = _load_metadata(path)
     schema = iceberg_schema_to_spark(meta["schemas"][0])
     part_fields = meta["partition-specs"][0]["fields"]
@@ -498,11 +673,48 @@ def read_iceberg(
     if part_fields:
         # hive-layout identity partitions: let Spark derive the
         # partition column from dir names, against the base path
-        reader = (
+        scan = (
             spark.read.option("basePath", path)
             .schema(schema)
             .parquet(*paths)
+            .select(*[f.name for f in schema.fields])
+        )  # partitionBy writes the partition col last; restore order
+    else:
+        scan = spark.read.schema(schema).parquet(*paths)
+
+    deletes = plan_delete_files(path, snapshot_id)
+    if deletes:
+        # merge-on-read: anti-join the scan against the position-delete
+        # rows on (data file name, row position). Delete files are
+        # parquet, so BOTH sides are vectorized native scans; file
+        # NAMES (uuid-unique) key the join because manifests store
+        # table-relative paths while _metadata is absolute.
+        pos_df = spark.read.schema(_POS_DELETE_SCHEMA).parquet(
+            *[os.path.join(path, d) for d in deletes]
         )
-        # partitionBy writes the partition col last; restore order
-        return reader.select(*[f.name for f in schema.fields])
-    return spark.read.schema(schema).parquet(*paths)
+        pos_keyed = pos_df.select(
+            F.element_at(F.split("file_path", "/"), -1).alias("__del_file"),
+            F.col("pos").alias("__del_pos"),
+        )
+        keyed = scan.withColumns(
+            {
+                "__file": F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ),
+                "__pos": F.col("_metadata.row_index"),
+            }
+        )
+        del_bytes = sum(
+            os.path.getsize(os.path.join(path, d)) for d in deletes
+        )
+        scan = keyed.join(
+            # broadcast only a provably small deleted-set; a delete-
+            # heavy table shuffles (and should then be compacted)
+            F.broadcast(pos_keyed) if del_bytes <= 64 * 1024 * 1024 else pos_keyed,
+            on=[
+                keyed["__file"] == F.col("__del_file"),
+                keyed["__pos"] == F.col("__del_pos"),
+            ],
+            how="left_anti",
+        ).select(*[f.name for f in schema.fields])
+    return scan

@@ -104,3 +104,84 @@ def test_iceberg_invalid_snapshot_raises(spark):
     write_iceberg(spark.range(3).select("id"), path, "overwrite")
     with pytest.raises(ValueError, match="snapshot 77 not in table"):
         read_iceberg(spark, path, snapshot_id=77)
+
+
+# ------------------------------------------------- position deletes
+
+def test_iceberg_positional_delete_lifecycle(spark):
+    """v2 merge-on-read DELETE: position-delete parquet + content=1
+    manifest entry; deletes accumulate, time travel sees pre-delete
+    rows, appends after a delete are unaffected."""
+    from python_plugins_spark.sources.iceberg_py import (
+        delete_iceberg,
+        plan_delete_files,
+        plan_files,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = _fresh("ice_del1")
+    df = spark.range(0, 3000).selectExpr("id", "id % 4 as k")
+    write_iceberg(df.repartition(3), path, mode="overwrite")
+    data_before = sorted(f["path"] for f in plan_files(path))
+
+    s = delete_iceberg(spark, path, "k = 1")
+    assert s == 2
+    assert sorted(f["path"] for f in plan_files(path)) == data_before
+    dels = plan_delete_files(path)
+    assert len(dels) == 1 and dels[0].endswith("-deletes.parquet")
+    assert read_iceberg(spark, path).count() == 2250
+
+    delete_iceberg(spark, path, "k = 3")          # accumulates
+    assert read_iceberg(spark, path).count() == 1500
+    got = {r.id for r in read_iceberg(spark, path).filter("id < 8").collect()}
+    assert got == {0, 2, 4, 6}
+
+    # time travel: snapshot 1 predates both deletes
+    assert read_iceberg(spark, path, snapshot_id=1).count() == 3000
+    assert plan_delete_files(path, snapshot_id=1) == []
+
+    # append after delete: new rows with previously-deleted k survive
+    write_iceberg(df.filter("k = 1").limit(5), path, mode="append")
+    assert read_iceberg(spark, path).count() == 1505
+
+
+def test_iceberg_delete_file_spec_shape(spark):
+    """The delete file is plain parquet with the spec's (file_path,
+    pos) columns, sorted by (file_path, pos), and file_path values
+    name real data files of the table."""
+    from python_plugins_spark.sources.iceberg_py import (
+        delete_iceberg,
+        plan_delete_files,
+        plan_files,
+        write_iceberg,
+    )
+
+    path = _fresh("ice_del2")
+    df = spark.range(0, 1000).selectExpr("id", "id % 2 as k")
+    write_iceberg(df.repartition(2), path, mode="overwrite")
+    delete_iceberg(spark, path, "k = 0")
+    (del_rel,) = plan_delete_files(path)
+    pos = spark.read.parquet(os.path.join(path, del_rel))
+    assert pos.schema.simpleString() == "struct<file_path:string,pos:bigint>"
+    rows = pos.collect()
+    keys = [(r.file_path, r.pos) for r in rows]
+    assert keys == sorted(keys), "spec: sorted by (file_path, pos)"
+    data_paths = {f["path"] for f in plan_files(path)}
+    assert {r.file_path for r in rows} <= data_paths
+
+
+def test_iceberg_delete_nothing_is_noop(spark):
+    from python_plugins_spark.sources.iceberg_py import (
+        delete_iceberg,
+        plan_delete_files,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = _fresh("ice_del3")
+    write_iceberg(spark.range(100).selectExpr("id", "id as k"), path, "overwrite")
+    s = delete_iceberg(spark, path, "k > 1000000")
+    assert s == 1                       # unchanged snapshot id
+    assert plan_delete_files(path) == []
+    assert read_iceberg(spark, path).count() == 100
