@@ -692,3 +692,144 @@ def neardup_clusters_oracle_sql(
                id = min(lab) AS is_canonical
         FROM _walk GROUP BY id
     """
+
+
+# -------------------------------------- repeated-substring (span) dedup
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 10,
+    min_dups: int = 2,
+) -> DataFrame:
+    """Maximal repeated-substring spans, the scalable relational
+    formulation of suffix-array substring dedup (the public
+    "Deduplicating Training Data Makes Language Models Better"
+    recipe): a token span is REPEATED if every length-``n`` token
+    window inside it occurs at least ``min_dups`` times corpus-wide
+    (occurrences counted globally, so a doc repeating its own
+    boilerplate counts). Returns one row per maximal span:
+    ``(id, span_start, span_end, span_tokens)`` with 0-based inclusive
+    token positions.
+
+    Shape (all codegen, no UDFs):
+
+    1. n-gram windows with their start positions (lead() over the
+       exploded token sequence — shuffle 1, by id);
+    2. occurrence count per window hash (map-side-combined aggregate —
+       shuffle 2, by hash) filtered to >= min_dups;
+    3. semi-join window positions against the repeated-hash set
+       (shuffle 3, equi-join on the 8-byte hash — only hash+position
+       rows move, never text);
+    4. per-doc gaps-and-islands merge: windows at positions p cover
+       [p, p+n-1]; runs of overlapping/adjacent windows coalesce into
+       one span via a running-max-end window + cumulative island id
+       (shuffle 4, by id — AQE coalesces; at 100 TB a repartition(id)
+       after step 3 lets steps 4's two windows and the final group
+       share one exchange).
+
+    The n-gram window length trades recall for cost exactly as in the
+    suffix-array original: spans shorter than ``n`` tokens are not
+    detected; every repeated span >= n tokens is found exactly (no
+    probabilistic step — hash collisions aside, md5-32 over a corpus
+    keeps them negligible and only ever ADD a span)."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tk")
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_tk")] + [F.lead("_tk", j).over(w) for j in range(1, n)]
+    last = F.lead("_tk", n - 1).over(w)
+    grams = (
+        tok.select(
+            F.col(id_col),
+            F.col("_pos"),
+            F.concat_ws(" ", *parts).alias("_s"),
+            last.isNotNull().alias("_ok"),
+        )
+        .filter("_ok")
+        .select(id_col, "_pos", hash32(F.col("_s")).alias("_h"))
+    )
+    hot = (
+        grams.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_dups)
+        .select("_h")
+    )
+    rep = grams.join(hot, on="_h", how="leftsemi").select(
+        id_col, F.col("_pos").alias("_start"), (F.col("_pos") + (n - 1)).alias("_end")
+    )
+    wd = Window.partitionBy(id_col).orderBy("_start")
+    prev_max_end = F.max("_end").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = rep.withColumn(
+        "_new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("_start") > prev_max_end + 1), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "_island",
+        F.sum("_new_island").over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(F.min("_start").alias("span_start"), F.max("_end").alias("span_end"))
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def repeated_ngram_spans_oracle_sql(
+    table: str, text_col: str, id_col: str, n: int = 10, min_dups: int = 2
+) -> str:
+    """DuckDB twin: identical tokenization, hash, counting, and
+    gaps-and-islands merge (positions via the list-comprehension
+    index, 0-based to match posexplode)."""
+    toks = O.sql_tokens(text_col)
+    return f"""
+        WITH _tok AS (SELECT {id_col}, {toks} AS t FROM {table}),
+        _grams AS (
+          SELECT {id_col}, u.g['p'] AS p, {O.sql_hash32("u.g['s']")} AS h
+          FROM (
+            SELECT {id_col},
+                   unnest([{{'p': i - 1,
+                             's': array_to_string(t[i : i + {n - 1}], ' ')}}
+                           for i in range(1, len(t) - {n - 2})]) AS g
+            FROM _tok WHERE len(t) >= {n}
+          ) u
+        ),
+        _hot AS (SELECT h FROM _grams GROUP BY h HAVING count(*) >= {min_dups}),
+        _rep AS (
+          SELECT {id_col}, p AS s, p + {n - 1} AS e
+          FROM _grams WHERE h IN (SELECT h FROM _hot)
+        ),
+        _flag AS (
+          SELECT {id_col}, s, e,
+                 CASE WHEN max(e) OVER (PARTITION BY {id_col} ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      IS NULL
+                      OR s > max(e) OVER (PARTITION BY {id_col} ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                 THEN 1 ELSE 0 END AS ni
+          FROM _rep
+        ),
+        _isl AS (
+          SELECT {id_col}, s, e,
+                 sum(ni) OVER (PARTITION BY {id_col} ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM _flag
+        )
+        SELECT {id_col}, min(s) AS span_start, max(e) AS span_end,
+               max(e) - min(s) + 1 AS span_tokens
+        FROM _isl GROUP BY {id_col}, island
+    """

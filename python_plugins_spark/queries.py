@@ -2406,6 +2406,20 @@ def iceberg_pruned_scan(spark, sf_dir):
 
 
 @register(
+    "repeated_ngram_spans_docs",
+    oracle=D.repeated_ngram_spans_oracle_sql("documents", "text", "doc_id", 8, 2),
+)
+def repeated_ngram_spans_docs(spark, sf_dir):
+    """Substring-level dedup (operators/dedup.py repeated_ngram_spans):
+    maximal token spans whose every 8-token window repeats >= 2 times
+    corpus-wide — the relational formulation of suffix-array substring
+    dedup. Feeds span-removal / doc-filtering stages in a training-data
+    pipeline; exact (not probabilistic), zero UDFs."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.repeated_ngram_spans(docs, "text", "doc_id", n=8, min_dups=2)
+
+
+@register(
     "iceberg_positional_delete_read",
     oracle="""
     SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total

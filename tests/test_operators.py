@@ -572,3 +572,40 @@ def test_countmin_sketches_merge_by_sum(spark, sf_dir):
     a = {(r.row, r.col): r.cnt for r in whole.collect()}
     b = {(r.row, r.col): r.cnt for r in summed.collect()}
     assert a == b
+
+
+def test_repeated_ngram_spans_semantics(spark):
+    """Hand-crafted corpus pins the span algebra: a 5-token phrase
+    repeated across two docs yields one maximal span per doc; two
+    repeated windows overlapping by one token merge into ONE island;
+    a unique doc yields nothing; spans shorter than n are invisible."""
+    from python_plugins_spark.operators.dedup import repeated_ngram_spans
+
+    boiler = "the quick brown fox jumps"            # 5 tokens
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta"),     # span [0,4]
+        (2, f"zeta {boiler} omega"),                 # span [1,5]
+        (3, "totally unique words nothing shared here at all"),
+        # doc 4: boiler twice, separated by one token -> windows at
+        # 0 and 6 cover [0,4] and [6,10]; gap of exactly one token
+        # (pos 5) keeps them SEPARATE islands (start 6 > end 4 + 1)
+        (4, f"{boiler} x {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = repeated_ngram_spans(df, "text", "doc_id", n=5, min_dups=2)
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in out.collect()}
+    assert (1, 0, 4, 5) in got
+    assert (2, 1, 5, 5) in got
+    assert not any(d == 3 for d, *_ in got)
+    assert (4, 0, 4, 5) in got and (4, 6, 10, 5) in got
+
+    # adjacent/overlapping windows merge: doc 5/6 share a 6-token
+    # phrase -> two 5-token windows (starts 0,1) coalesce to [0,5]
+    rows2 = [
+        (5, "one two three four five six tail5"),
+        (6, "one two three four five six tail6"),
+    ]
+    df2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    out2 = repeated_ngram_spans(df2, "text", "doc_id", n=5, min_dups=2)
+    got2 = {(r.doc_id, r.span_start, r.span_end) for r in out2.collect()}
+    assert got2 == {(5, 0, 5), (6, 0, 5)}
