@@ -244,3 +244,44 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     ).drop("_new_session")
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """ANALYZE-style column profile in ONE pass: per column, row count,
+    null count, exact distinct count (of non-null values), and
+    lexicographic min/max of the string form. Returns
+    ``(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)``.
+
+    Shape: ``stack()`` unpivots to narrow (col_name, val) rows — one
+    shuffle keyed by column name, one aggregate. The row multiplication
+    (x n_cols) is the standard profiling trade against the alternative
+    single-row plan (one count-distinct per column = an Expand with the
+    same multiplication, but all in one hot aggregate). For a 100 TB
+    table profile a sample or swap count_distinct for approx_ —
+    this operator is the exact-QA path."""
+    k = len(cols)
+    stack_args = ", ".join(f"'{c}', cast(`{c}` AS string)" for c in cols)
+    stacked = df.select(
+        F.expr(f"stack({k}, {stack_args})").alias("col_name", "val")
+    )
+    return stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("val")).alias("n_nulls"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+def profile_columns_oracle_sql(table: str, cols: Sequence[str]) -> str:
+    """DuckDB twin: one SELECT per column UNION ALL'd, identical
+    string-cast semantics (varchar min/max is lexicographic in both)."""
+    parts = [
+        f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+                   count(*) - count({c}::VARCHAR) AS n_nulls,
+                   count(DISTINCT {c}::VARCHAR) AS n_distinct,
+                   min({c}::VARCHAR) AS min_val, max({c}::VARCHAR) AS max_val
+            FROM {table}"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)

@@ -2406,6 +2406,23 @@ def iceberg_pruned_scan(spark, sf_dir):
 
 
 @register(
+    "profile_orders_columns",
+    oracle=R.profile_columns_oracle_sql(
+        "orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    ),
+)
+def profile_orders_columns(spark, sf_dir):
+    """One-pass column profiling (operators/relational.py
+    profile_columns): row/null/exact-distinct counts + string min/max
+    per column via a stack() unpivot and one aggregate — the QA step a
+    training-data pipeline runs before trusting a new snapshot."""
+    o = load_table(spark, "orders", sf_dir)
+    return R.profile_columns(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    )
+
+
+@register(
     "repeated_ngram_spans_docs",
     oracle=D.repeated_ngram_spans_oracle_sql("documents", "text", "doc_id", 8, 2),
 )

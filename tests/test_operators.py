@@ -609,3 +609,21 @@ def test_repeated_ngram_spans_semantics(spark):
     out2 = repeated_ngram_spans(df2, "text", "doc_id", n=5, min_dups=2)
     got2 = {(r.doc_id, r.span_start, r.span_end) for r in out2.collect()}
     assert got2 == {(5, 0, 5), (6, 0, 5)}
+
+
+def test_profile_columns_null_and_distinct_accounting(spark):
+    """Nulls count into n_nulls and never into n_distinct; min/max are
+    lexicographic over the string form."""
+    from python_plugins_spark.operators.relational import profile_columns
+
+    rows = [(1, "a"), (2, None), (3, "b"), (4, "a"), (5, None)]
+    df = spark.createDataFrame(rows, ["k", "tag"])
+    prof = {r.col_name: r for r in profile_columns(df, ["k", "tag"]).collect()}
+    assert prof["k"].n_rows == 5 and prof["k"].n_nulls == 0
+    assert prof["k"].n_distinct == 5
+    assert prof["tag"].n_nulls == 2 and prof["tag"].n_distinct == 2
+    assert prof["tag"].min_val == "a" and prof["tag"].max_val == "b"
+    # lexicographic, not numeric: "10" < "9" as strings
+    df2 = spark.createDataFrame([(9,), (10,)], ["v"])
+    p2 = profile_columns(df2, ["v"]).collect()[0]
+    assert p2.min_val == "10" and p2.max_val == "9"
