@@ -2336,6 +2336,53 @@ def delta_delete_rewrite(spark, sf_dir):
 
 
 @register(
+    "delta_cdf_insert_delete",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS o_totalprice,
+           'insert' AS _change_type, 1 AS _commit_version
+    FROM orders WHERE o_orderkey % 2 = 1
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS o_totalprice,
+           'delete' AS _change_type, 2 AS _commit_version
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def delta_cdf_insert_delete(spark, sf_dir):
+    """Derived Change Data Feed (sources/delta_py.py table_changes):
+    row-level changes between snapshots computed from the log alone —
+    append commits yield 'insert' rows, merge-on-read DV deletes yield
+    'delete' rows (the NEW deleted-set minus the OLD, executor-side),
+    layout commits yield nothing, and in-place rewrites are refused
+    rather than emitting false changes. The contract an incremental
+    downstream consumer reads."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        delete_delta,
+        table_changes,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(_SCRATCH, f"delta_cdf_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 0), path, mode="overwrite")  # v0
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append")     # v1
+    delete_delta(spark, path, "o_orderkey % 7 = 0", mode="dv")                   # v2
+    ch = table_changes(spark, path, 1, 2)
+    return ch.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        "_change_type",
+        "_commit_version",
+    )
+
+
+@register(
     "iceberg_snapshot_read",
     oracle="""
     SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total

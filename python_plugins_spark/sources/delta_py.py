@@ -1202,3 +1202,156 @@ def optimize_delta(
     raise DeltaConcurrentWriteError(
         f"lost the optimize commit race {max_retries + 1} times at {table_path}"
     )
+
+
+# --------------------------------------------------- change data feed
+
+def table_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Derived Change Data Feed: row-level changes between snapshots,
+    computed FROM THE LOG (the protocol's add/remove/deletionVector
+    actions) with no materialized _change_data files. Returns the table
+    columns plus ``_change_type`` ('insert' | 'delete') and
+    ``_commit_version`` — the contract an incremental consumer
+    (streaming backfill, downstream sync) reads.
+
+    Exactly derivable commit kinds:
+
+    - **append** (adds only): every row of the added files is an
+      'insert' at that version;
+    - **DV delete** (remove+re-add of the same path with a new
+      deletionVector): the 'delete' rows are the NEW deleted-set minus
+      the OLD — computed as an executor-side anti-join of the two
+      decoded DV frames, never driver-materialized;
+    - **layout commits** (``dataChange=False``: OPTIMIZE/Z-order):
+      no changes, skipped.
+
+    Rewrite commits (copy-on-write delete/merge/overwrite: a
+    dataChange remove of one file plus adds of different files) are
+    NOT row-derivable from the log — the file diff conflates updated
+    rows with co-located untouched ones. This function raises for
+    those versions rather than emit false changes; pipelines that
+    rewrite in place and need CDC should write through merge-on-read
+    deletes (``delete_delta(mode='dv')``) or materialize CDC at write
+    time. (The same boundary the reference Delta implementation draws:
+    without the CDF table feature enabled, changes are only derivable
+    from blind appends and pure deletes.)"""
+    from pyspark.sql import functions as F
+
+    from .delta_dv import deleted_rows_df
+
+    commits = dict(_commit_files(table_path))
+    if to_version is None:
+        to_version = table_version(table_path)
+    schema_json, _ = _replay(table_path, to_version)
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    cols = [f.name for f in schema.fields]
+
+    frames: list[DataFrame] = []
+    for v in range(from_version, to_version + 1):
+        if v not in commits:
+            raise ValueError(f"version {v} not in log")
+        adds: dict[str, dict] = {}
+        removes: dict[str, dict] = {}
+        with open(commits[v]) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    adds[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    removes[action["remove"]["path"]] = action["remove"]
+        data_adds = {p: a for p, a in adds.items() if a.get("dataChange")}
+        data_removes = {p: r for p, r in removes.items() if r.get("dataChange")}
+        if not data_adds and not data_removes:
+            continue  # layout-only (or metadata-only) commit
+
+        dv_pairs = {
+            p: a
+            for p, a in data_adds.items()
+            if p in data_removes and a.get("deletionVector")
+        }
+        plain_adds = {p: a for p, a in data_adds.items() if p not in dv_pairs}
+        plain_removes = {p: r for p, r in data_removes.items() if p not in dv_pairs}
+        if plain_removes:
+            raise ValueError(
+                f"version {v} rewrites files in place "
+                f"({sorted(plain_removes)[:3]}...): row-level changes are "
+                "not derivable from the log — use merge-on-read deletes "
+                "or materialized CDC for this table"
+            )
+
+        if plain_adds:
+            ins = _dv_scan(spark, table_path, schema, plain_adds).select(
+                *cols,
+                F.lit("insert").alias("_change_type"),
+                F.lit(v).alias("_commit_version"),
+            )
+            frames.append(ins)
+
+        if dv_pairs:
+            old_state = _replay_state(table_path, v - 1)
+            new_del = deleted_rows_df(spark, table_path, dv_pairs)
+            old_dv = {
+                p: a
+                for p, a in old_state.active.items()
+                if p in dv_pairs and a.get("deletionVector")
+            }
+            if old_dv:
+                old_del = deleted_rows_df(spark, table_path, old_dv)
+                new_del = new_del.join(
+                    old_del.withColumnsRenamed(
+                        {"__dv_file": "__o_f", "__dv_idx": "__o_i"}
+                    ),
+                    on=[
+                        new_del["__dv_file"] == F.col("__o_f"),
+                        new_del["__dv_idx"] == F.col("__o_i"),
+                    ],
+                    how="left_anti",
+                )
+            delta_del = new_del.withColumn(
+                "__dv_file", F.element_at(F.split("__dv_file", "/"), -1)
+            )
+            scan = spark.read.schema(schema).parquet(
+                *[os.path.join(table_path, p) for p in dv_pairs]
+            )
+            keyed = scan.withColumns(
+                {
+                    "__file": F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ),
+                    "__idx": F.col("_metadata.row_index"),
+                }
+            )
+            dels = keyed.join(
+                delta_del,
+                on=[
+                    keyed["__file"] == F.col("__dv_file"),
+                    keyed["__idx"] == F.col("__dv_idx"),
+                ],
+                how="leftsemi",
+            ).select(
+                *cols,
+                F.lit("delete").alias("_change_type"),
+                F.lit(v).alias("_commit_version"),
+            )
+            frames.append(dels)
+
+    if not frames:
+        out_schema = T.StructType(
+            schema.fields
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_commit_version", T.IntegerType(), False),
+            ]
+        )
+        return spark.createDataFrame([], out_schema)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -585,3 +585,44 @@ def test_delta_merge_respects_deletion_vectors(spark):
     vals = {r.id: r.v for r in back.filter("id >= 88").collect()}
     assert set(vals) == {88, 89} | set(range(95, 105))
     assert vals[95] == 95000 and vals[88] == 880
+
+
+# --------------------------------------------------- change data feed
+
+def test_delta_cdf_inserts_deletes_and_layout_skip(spark):
+    """table_changes derives inserts from appends, deletes from DV
+    commits (delta of old vs new deleted-sets), skips layout commits,
+    and refuses in-place rewrites."""
+    import pytest
+
+    from python_plugins_spark.sources.delta_py import (
+        delete_delta,
+        optimize_delta,
+        table_changes,
+        write_delta,
+    )
+
+    path = _fresh("delta_cdf1")
+    df = spark.range(0, 800).selectExpr("id", "id % 4 as k")
+    write_delta(df.filter("id < 500"), path, "overwrite")   # v0
+    write_delta(df.filter("id >= 500"), path, "append")     # v1
+    delete_delta(spark, path, "k = 1", mode="dv")           # v2
+    delete_delta(spark, path, "k = 2", mode="dv")           # v3 (delta only)
+    optimize_delta(spark, path)                             # v4 layout
+
+    ch = table_changes(spark, path, 1, 3)
+    by = {
+        (r["_change_type"], r["_commit_version"]): r["count"]
+        for r in ch.groupBy("_change_type", "_commit_version").count().collect()
+    }
+    assert by[("insert", 1)] == 300
+    assert by[("delete", 2)] == 200          # k=1 rows
+    assert by[("delete", 3)] == 200          # k=2 only — NOT k=1 again
+    ids_v3 = {r.id for r in ch.filter("_commit_version = 3").collect()}
+    assert all(i % 4 == 2 for i in ids_v3)
+
+    assert table_changes(spark, path, 4, 4).count() == 0   # layout skip
+
+    write_delta(df.limit(5), path, "overwrite")             # v5 rewrite
+    with pytest.raises(ValueError, match="not derivable"):
+        table_changes(spark, path, 5, 5).count()
