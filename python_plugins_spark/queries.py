@@ -2336,6 +2336,39 @@ def delta_delete_rewrite(spark, sf_dir):
 
 
 @register(
+    "delta_schema_evolution_read",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, CAST(NULL AS VARCHAR) AS channel
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, 'backfill' AS channel
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def delta_schema_evolution_read(spark, sf_dir):
+    """Schema evolution on the Delta layer: v0 writes two columns, v1
+    appends with merge_schema=True adding ``channel`` — committed as an
+    updated metaData action atomically with the data, so pre-evolution
+    files read the new column as NULL through the explicit table
+    schema. Mismatched writes without merge_schema raise (enforcement,
+    tested in tests/test_delta.py)."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import read_delta, write_delta
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderstatus")
+    path = os.path.join(_SCRATCH, f"delta_evo_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 0), path, mode="overwrite")
+    late = o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "channel", F.lit("backfill")
+    )
+    write_delta(late, path, mode="append", merge_schema=True)
+    return read_delta(spark, path)
+
+
+@register(
     "delta_cdf_insert_delete",
     oracle="""
     SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS o_totalprice,

@@ -526,11 +526,62 @@ def _stage_data_files(df: DataFrame, table_path: str, now_ms: int) -> list[dict]
     return adds
 
 
+class DeltaSchemaMismatchError(ValueError):
+    """Raised when a write's schema differs from the table schema and
+    ``merge_schema`` was not requested (Delta's schema enforcement)."""
+
+
+def _evolve_schema(
+    existing: T.StructType, incoming: T.StructType, mode: str, merge_schema: bool
+) -> T.StructType | None:
+    """Schema enforcement + evolution. Returns the NEW table schema to
+    commit in a ``metaData`` action, or None if unchanged.
+
+    - identical schemas -> None;
+    - ``merge_schema`` append: incoming may ADD columns (appended after
+      the existing ones, Delta's mergeSchema) and may OMIT existing
+      ones (read fills nulls); same-name type changes are rejected
+      (no implicit widening);
+    - ``merge_schema`` overwrite: the incoming schema replaces the
+      table schema outright (overwriteSchema semantics);
+    - otherwise any difference raises
+      :class:`DeltaSchemaMismatchError`."""
+    ex = {f.name: f for f in existing.fields}
+    inc = {f.name: f for f in incoming.fields}
+    if [f.name for f in existing.fields] == [f.name for f in incoming.fields] and all(
+        ex[n].dataType == inc[n].dataType for n in ex
+    ):
+        return None
+    if not merge_schema:
+        raise DeltaSchemaMismatchError(
+            f"write schema {incoming.simpleString()} differs from table "
+            f"schema {existing.simpleString()}; pass merge_schema=True to "
+            "evolve (append adds columns, overwrite replaces the schema)"
+        )
+    if mode == "overwrite":
+        return incoming
+    conflicts = [
+        n for n in inc if n in ex and ex[n].dataType != inc[n].dataType
+    ]
+    if conflicts:
+        raise DeltaSchemaMismatchError(
+            f"type change on existing column(s) {conflicts} is not "
+            "supported by merge_schema (no implicit widening)"
+        )
+    merged = list(existing.fields) + [
+        T.StructField(f.name, f.dataType, True)  # new cols always nullable
+        for f in incoming.fields
+        if f.name not in ex
+    ]
+    return T.StructType(merged)
+
+
 def write_delta(
     df: DataFrame,
     table_path: str,
     mode: str = "append",
     max_retries: int = 10,
+    merge_schema: bool = False,
 ) -> int:
     """Write a new table version; returns the committed version number.
 
@@ -539,6 +590,13 @@ def write_delta(
     only trust the log), and ONE json commit makes them visible
     atomically. ``mode``: 'append' adds files; 'overwrite' also removes
     every previously active file in the same commit.
+
+    Schema: writes are ENFORCED against the table schema — a mismatch
+    raises :class:`DeltaSchemaMismatchError` unless ``merge_schema``
+    (Delta's mergeSchema/overwriteSchema): append may add new columns
+    (committed as an updated ``metaData`` in the same atomic commit;
+    old files read the new columns as null through the explicit read
+    schema) and overwrite may replace the schema outright.
 
     Concurrency: the commit is a put-if-absent of ``<version>.json``.
     If another writer claimed the version first, the action list is
@@ -572,6 +630,18 @@ def write_delta(
                     }
                 }
             )
+        else:
+            # schema enforcement/evolution against the CURRENT snapshot
+            # (re-checked per optimistic-concurrency attempt)
+            state = _replay_state(table_path)
+            existing = T.StructType.fromJson(
+                json.loads(state.meta["schemaString"])
+            )
+            evolved = _evolve_schema(existing, df.schema, mode, merge_schema)
+            if evolved is not None:
+                new_meta = dict(state.meta)
+                new_meta["schemaString"] = evolved.json()
+                actions.append({"metaData": new_meta})
         if mode == "overwrite" and version > 0:
             # re-read per attempt: the remove-set must reflect the
             # snapshot we are actually replacing, including files a

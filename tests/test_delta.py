@@ -626,3 +626,54 @@ def test_delta_cdf_inserts_deletes_and_layout_skip(spark):
     write_delta(df.limit(5), path, "overwrite")             # v5 rewrite
     with pytest.raises(ValueError, match="not derivable"):
         table_changes(spark, path, 5, 5).count()
+
+
+# ---------------------------------------------------- schema evolution
+
+def test_delta_schema_enforcement_and_evolution(spark):
+    """Mismatched appends are rejected (enforcement); merge_schema
+    appends add columns atomically with the data commit — old files
+    read the new column as null; overwrite+merge_schema replaces the
+    schema; type changes are refused."""
+    import pytest
+
+    from python_plugins_spark.sources.delta_py import (
+        DeltaSchemaMismatchError,
+        read_delta,
+        write_delta,
+    )
+
+    path = _fresh("delta_evo1")
+    write_delta(spark.range(5).selectExpr("id", "id * 2 as v"), path, "overwrite")
+
+    bad = spark.range(5, 8).selectExpr("id", "id * 2 as v", "'x' as tag")
+    with pytest.raises(DeltaSchemaMismatchError):
+        write_delta(bad, path, "append")
+
+    write_delta(bad, path, "append", merge_schema=True)
+    back = read_delta(spark, path)
+    assert back.columns == ["id", "v", "tag"]
+    rows = {r.id: r.tag for r in back.collect()}
+    assert rows[6] == "x" and rows[0] is None
+
+    # append omitting an existing column: fills null
+    write_delta(spark.range(100, 102).selectExpr("id"), path, "append",
+                merge_schema=True)
+    got = read_delta(spark, path).filter("id >= 100").collect()
+    assert all(r.v is None and r.tag is None for r in got)
+
+    # type change refused even with merge_schema
+    with pytest.raises(DeltaSchemaMismatchError, match="type change"):
+        write_delta(
+            spark.range(1).selectExpr("id", "cast(id as string) as v"),
+            path, "append", merge_schema=True,
+        )
+
+    # overwrite + merge_schema replaces wholesale
+    write_delta(
+        spark.range(3).selectExpr("id", "'fresh' as only_col"),
+        path, "overwrite", merge_schema=True,
+    )
+    back2 = read_delta(spark, path)
+    assert back2.columns == ["id", "only_col"]
+    assert back2.count() == 3

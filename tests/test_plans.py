@@ -261,14 +261,19 @@ def test_aqe_skew_join_split(spark):
 
 
 def test_minhash_lsh_pipeline_shuffle_budget(spark, sf_dir):
-    """End-to-end LSH candidate generation: signature + band self-join
-    + pair distinct. With exchange reuse the signature subtree's
-    shuffles appear once (2 total); whether reuse fires in the initial
-    plan text depends on session state, so the budget allows the
-    un-reused count — the invariant is "no O(n^2) stage and no shuffle
-    beyond signature/band/distinct"."""
+    """End-to-end LSH candidate generation: signature (window+agg share
+    one id partitioning), bucket group, pair distinct — 3 shuffles on a
+    fresh session; the budget allows headroom because the printed
+    exchange count varies with accumulated session state (codegen/AQE
+    stage caches), observed up to 2x on a long-lived session. The hard
+    scale invariants are the absence of any O(n^2) stage: no
+    CartesianProduct, no BroadcastNestedLoop (the former self-join
+    formulation is gone — pairs generate inside buckets)."""
     df = QUERIES["minhash_lsh_candidates"](spark, sf_dir)
-    assert count_shuffles(df) <= 4
+    plan = plan_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert count_shuffles(df) <= 6
 
 
 def test_lateral_join_decorrelates_to_window(spark, sf_dir):
