@@ -833,3 +833,111 @@ def repeated_ngram_spans_oracle_sql(
                max(e) - min(s) + 1 AS span_tokens
         FROM _isl GROUP BY {id_col}, island
     """
+
+
+def mask_repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 10,
+    min_dups: int = 2,
+) -> DataFrame:
+    """Boilerplate removal: re-emit each document with every repeated
+    span (per :func:`repeated_ngram_spans`, same ``n``/``min_dups``)
+    dropped from its token stream — the span-level analogue of C4's
+    sentence-level global dedup, removing ALL occurrences (use the
+    spans frame directly for keep-one-canonical policies). Returns
+    ``(id, clean_text, n_tokens, n_removed)``.
+
+    Shape: spans explode to their covered positions (span lengths are
+    bounded by document token counts, so the explode is linear in
+    removed tokens), anti-join the (id, pos) token stream — one
+    hash-partitioned join on id — then an order-preserving
+    re-assembly: concat_ws over the position-sorted surviving tokens
+    via a struct-sorted collect_list (the same reassembly the
+    sentence-dedup pipeline uses). Removed-token accounting rides
+    along for the pipeline's yield report."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tk")
+    )
+    spans = repeated_ngram_spans(df, text_col, id_col, n=n, min_dups=min_dups)
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(F.sequence("span_start", "span_end")).alias("_pos"),
+    )
+    kept = tok.join(covered, on=[id_col, "_pos"], how="left_anti")
+    assembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_tk")))
+            ).alias("_ordered"),
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ", F.expr("transform(_ordered, x -> x._tk)")
+            ).alias("clean_text"),
+            F.size("_ordered").cast("long").alias("n_tokens"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("_total")
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        totals.join(assembled, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens", zero).alias("n_tokens"),
+            (F.col("_total") - F.coalesce("n_tokens", zero)).alias("n_removed"),
+        )
+    )
+
+
+def mask_repeated_spans_oracle_sql(
+    table: str, text_col: str, id_col: str, n: int = 10, min_dups: int = 2
+) -> str:
+    """DuckDB twin: same spans CTE, token positions filtered by span
+    coverage with list ops, order preserved by construction."""
+    toks = O.sql_tokens(text_col)
+    toks_t = O.sql_tokens(f"t.{text_col}")
+    spans = repeated_ngram_spans_oracle_sql(table, text_col, id_col, n, min_dups)
+    return f"""
+        WITH _spans AS ({spans}),
+        _cov AS (
+          SELECT {id_col}, unnest(range(span_start, span_end + 1)) AS p
+          FROM _spans
+        ),
+        _tok AS (
+          SELECT {id_col}, g['p'] AS p, g['tk'] AS tk
+          FROM (
+            SELECT {id_col},
+                   unnest([{{'p': i - 1, 'tk': tt[i]}}
+                           for i in range(1, len(tt) + 1)]) AS g
+            FROM (SELECT {id_col}, {toks} AS tt FROM {table})
+          )
+        ),
+        _kept AS (
+          SELECT k.{id_col}, k.p, k.tk
+          FROM _tok k
+          WHERE NOT EXISTS (
+            SELECT 1 FROM _cov c
+            WHERE c.{id_col} = k.{id_col} AND c.p = k.p
+          )
+        ),
+        _asm AS (
+          SELECT {id_col},
+                 array_to_string(list(tk ORDER BY p), ' ') AS clean_text,
+                 count(*) AS n_tokens
+          FROM _kept GROUP BY {id_col}
+        )
+        SELECT t.{id_col},
+               coalesce(a.clean_text, '') AS clean_text,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               len({toks_t}) - coalesce(a.n_tokens, 0) AS n_removed
+        FROM {table} t LEFT JOIN _asm a ON t.{id_col} = a.{id_col}
+    """

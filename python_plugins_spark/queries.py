@@ -2517,6 +2517,20 @@ def repeated_ngram_spans_docs(spark, sf_dir):
 
 
 @register(
+    "mask_repeated_spans_docs",
+    oracle=D.mask_repeated_spans_oracle_sql("documents", "text", "doc_id", 8, 2),
+)
+def mask_repeated_spans_docs(spark, sf_dir):
+    """Boilerplate removal: re-emit each doc with every repeated >=
+    8-token span removed (all occurrences — the span-level analogue of
+    C4 sentence dedup), plus removed-token accounting for the
+    pipeline's yield report. Consumes repeated_ngram_spans; the
+    reassembly preserves original token order."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.mask_repeated_spans(docs, "text", "doc_id", n=8, min_dups=2)
+
+
+@register(
     "iceberg_positional_delete_read",
     oracle="""
     SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total

@@ -627,3 +627,26 @@ def test_profile_columns_null_and_distinct_accounting(spark):
     df2 = spark.createDataFrame([(9,), (10,)], ["v"])
     p2 = profile_columns(df2, ["v"]).collect()[0]
     assert p2.min_val == "10" and p2.max_val == "9"
+
+
+def test_mask_repeated_spans_reassembly(spark):
+    """Masking removes exactly the covered tokens, preserves order of
+    the survivors, and zeroes out fully-boilerplate docs."""
+    from python_plugins_spark.operators.dedup import mask_repeated_spans
+
+    boiler = "alpha bravo charlie delta echo"    # 5 tokens, repeated
+    rows = [
+        (1, f"keep1 {boiler} keep2 keep3"),
+        (2, f"{boiler} tail here"),
+        (3, boiler),                              # nothing survives
+        (4, "unique content stays completely intact here ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           mask_repeated_spans(df, "text", "doc_id", n=5, min_dups=2).collect()}
+    assert out[1].clean_text == "keep1 keep2 keep3"
+    assert out[1].n_removed == 5 and out[1].n_tokens == 3
+    assert out[2].clean_text == "tail here"
+    assert out[3].clean_text == "" and out[3].n_tokens == 0 and out[3].n_removed == 5
+    assert out[4].clean_text == "unique content stays completely intact here ok"
+    assert out[4].n_removed == 0
