@@ -2575,6 +2575,49 @@ def iceberg_positional_delete_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_equality_delete_read",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders
+    WHERE o_orderpriority <> '1-URGENT' AND NOT (o_orderkey % 10 < 2)
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_equality_delete_read(spark, sf_dir):
+    """Iceberg v2 EQUALITY deletes (content=2) composed with position
+    deletes: the equality commit deletes every '1-URGENT' row by VALUE
+    with no table scan at delete time (the CDC-upsert shape — a delete
+    is one small parquet write + a metadata commit, whatever the table
+    size), then a positional delete stacks on top. The read applies
+    both merge-on-read layers: an equi-join on the equality columns
+    (scoped to data files from earlier snapshots, per the spec's
+    sequence-number rule) and the (file, pos) anti-join."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import (
+        delete_iceberg,
+        equality_delete_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    path = os.path.join(_SCRATCH, f"ice_eqdel_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(o.repartition(4), path, mode="overwrite")
+    keys = spark.createDataFrame([("1-URGENT",)], ["o_orderpriority"])
+    equality_delete_iceberg(spark, path, keys)
+    delete_iceberg(spark, path, "o_orderkey % 10 < 2")
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
+
+
+@register(
     "embedding_lsh_neardup",
     oracle=S.lsh_bucketed_neardup_oracle_sql(
         "embeddings", "vec_id", "embedding", 0.3, 8, 64

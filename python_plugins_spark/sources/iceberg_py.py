@@ -130,10 +130,11 @@ _MANIFEST_ENTRY_NODE = {
         {"name": "file_size_in_bytes", "type": "long"},
         {"name": "lower_bounds", "type": {"type": "map", "values": "string"}},
         {"name": "upper_bounds", "type": {"type": "map", "values": "string"}},
-        # spec v2 'content': 0=DATA, 1=POSITION_DELETES (2=EQUALITY_
-        # DELETES is not implemented). Kept LAST so older tuples would
-        # still destructure positionally.
+        # spec v2 'content': 0=DATA, 1=POSITION_DELETES, 2=EQUALITY_DELETES
         {"name": "content", "type": "int"},
+        # spec 'equality_ids': schema field ids an equality-delete file
+        # matches on (empty for data / position-delete files)
+        {"name": "equality_ids", "type": {"type": "array", "items": "int"}},
     ],
 }
 
@@ -329,6 +330,7 @@ def write_iceberg(
                     lower,
                     upper,
                     0,  # content: DATA
+                    [],  # equality_ids
                 )
             )
     shutil.rmtree(staging, ignore_errors=True)
@@ -498,10 +500,27 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
                 {},
                 {},
                 1,  # content: POSITION_DELETES
+                [],  # equality_ids
             )
         )
     shutil.rmtree(staging, ignore_errors=True)
 
+    return _commit_delete_snapshot(
+        path, meta, snapshot_id, now_ms, entries,
+        {"added-position-deletes": str(n_deleted)},
+    )
+
+
+def _commit_delete_snapshot(
+    path: str,
+    meta: dict,
+    snapshot_id: int,
+    now_ms: int,
+    entries: list[tuple],
+    summary_extra: dict[str, str],
+) -> int:
+    """Shared tail of a delete commit: write the manifest, extend the
+    manifest list, publish metadata json + version hint."""
     manifest_name = f"manifest-{snapshot_id}-{uuid.uuid4().hex}.avro"
     manifest_path = os.path.join(_meta_dir(path), manifest_name)
     write_container(manifest_path, _MANIFEST_ENTRY_NODE, entries)
@@ -533,7 +552,7 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
         "summary": {
             "operation": "delete",
             "added-delete-files": str(len(entries)),
-            "added-position-deletes": str(n_deleted),
+            **summary_extra,
         },
     }
     new_meta = dict(meta)
@@ -556,10 +575,81 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
     return snapshot_id
 
 
-def plan_delete_files(path: str, snapshot_id: int | None = None) -> list[str]:
-    """Table-relative paths of the snapshot's position-delete files
-    (``content=1`` manifest entries). Never pruned by data predicates —
-    a delete file's rows can target any data file."""
+def equality_delete_iceberg(
+    spark: SparkSession, path: str, keys_df: DataFrame
+) -> int:
+    """Row-level DELETE via **equality delete files** (spec content=2):
+    ``keys_df``'s rows name the values to delete on its columns (which
+    must be table columns), written as a parquet delete file with the
+    matching ``equality_ids``. The point versus position deletes: NO
+    table scan happens at delete time — deleting a billion-row key set
+    from a 100 TB table is a metadata commit plus one small parquet
+    write, the shape CDC upsert pipelines need. Scoping follows the
+    spec's sequence-number rule (via the manifests' added_snapshot_id):
+    the delete applies only to rows whose data file predates it, so
+    re-inserting a deleted key later works."""
+    meta = _load_metadata(path)
+    schema = iceberg_schema_to_spark(meta["schemas"][0])
+    name_to_id = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    bad = [c for c in keys_df.columns if c not in name_to_id]
+    if bad:
+        raise ValueError(f"equality-delete columns not in table schema: {bad}")
+    for c in keys_df.columns:
+        want = schema[c].dataType
+        got = keys_df.schema[c].dataType
+        if want != got:
+            raise ValueError(
+                f"equality-delete column {c}: type {got.simpleString()} "
+                f"!= table type {want.simpleString()}"
+            )
+    eq_ids = sorted(name_to_id[c] for c in keys_df.columns)
+
+    staging = os.path.join(path, f".staging-eqdel-{uuid.uuid4().hex}")
+    keys_df.distinct().coalesce(1).write.mode("overwrite").parquet(staging)
+    import pyarrow.parquet as pq
+
+    now_ms = int(time.time() * 1000)
+    snapshot_id = (current_metadata_version(path) or 0) + 1
+    entries = []
+    for f in sorted(os.listdir(staging)):
+        if not f.endswith(".parquet"):
+            continue
+        src = os.path.join(staging, f)
+        n_rows = pq.ParquetFile(src).metadata.num_rows
+        if n_rows == 0:
+            continue
+        name = f"{uuid.uuid4().hex}-eq-deletes.parquet"
+        dst = os.path.join(path, _DATA_DIR, name)
+        size = os.path.getsize(src)
+        os.replace(src, dst)
+        entries.append(
+            (
+                1,  # ADDED
+                os.path.relpath(dst, path),
+                "PARQUET",
+                {},
+                n_rows,
+                size,
+                {},
+                {},
+                2,  # content: EQUALITY_DELETES
+                eq_ids,
+            )
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    if not entries:
+        return meta.get("current-snapshot-id")
+    return _commit_delete_snapshot(
+        path, meta, snapshot_id, now_ms, entries,
+        {"added-equality-deletes": str(sum(e[4] for e in entries))},
+    )
+
+
+def plan_delete_files(path: str, snapshot_id: int | None = None) -> list[dict]:
+    """The snapshot's delete files as
+    ``{path, content (1=pos, 2=eq), equality_ids, snapshot_id}`` dicts.
+    Never pruned by data predicates — a delete file's rows can target
+    any data file."""
     meta = _load_metadata(path)
     if snapshot_id is None:
         snapshot_id = meta.get("current-snapshot-id")
@@ -572,9 +662,17 @@ def plan_delete_files(path: str, snapshot_id: int | None = None) -> list[str]:
     out = []
     for ml in read_container(os.path.join(path, snap["manifest-list"])):
         for e in read_container(os.path.join(path, ml[0])):
-            status, file_path, *_rest, content = e
-            if status != 2 and content == 1:
-                out.append(file_path)
+            status, file_path = e[0], e[1]
+            content, eq_ids = e[8], list(e[9])
+            if status != 2 and content in (1, 2):
+                out.append(
+                    {
+                        "path": file_path,
+                        "content": content,
+                        "equality_ids": eq_ids,
+                        "snapshot_id": int(ml[3]),
+                    }
+                )
     return out
 
 
@@ -610,7 +708,8 @@ def plan_files(
     for ml in read_container(os.path.join(path, snap["manifest-list"])):
         manifest_rel = ml[0]
         for e in read_container(os.path.join(path, manifest_rel)):
-            status, file_path, _fmt, part, n_rows, _size, lower, upper, content = e
+            (status, file_path, _fmt, part, n_rows, _size, lower,
+             upper, content, _eq_ids) = e
             if status == 2 or content != 0:  # DELETED entry / delete file
                 continue
             keep = True
@@ -643,6 +742,9 @@ def plan_files(
                         "record_count": n_rows,
                         "lower": lower,
                         "upper": upper,
+                        # the manifest's added_snapshot_id — equality
+                        # deletes scope to files from EARLIER snapshots
+                        "snapshot_id": int(ml[3]),
                     }
                 )
     return out
@@ -682,39 +784,88 @@ def read_iceberg(
     else:
         scan = spark.read.schema(schema).parquet(*paths)
 
-    deletes = plan_delete_files(path, snapshot_id)
-    if deletes:
-        # merge-on-read: anti-join the scan against the position-delete
-        # rows on (data file name, row position). Delete files are
-        # parquet, so BOTH sides are vectorized native scans; file
-        # NAMES (uuid-unique) key the join because manifests store
-        # table-relative paths while _metadata is absolute.
+    delete_entries = plan_delete_files(path, snapshot_id)
+    pos_dels = [d for d in delete_entries if d["content"] == 1]
+    eq_dels = [d for d in delete_entries if d["content"] == 2]
+    out_cols = [f.name for f in schema.fields]
+    if not delete_entries:
+        return scan
+
+    # _metadata only resolves on the raw file-scan relation, so the row
+    # identity (file name, position) and the file's adding snapshot are
+    # captured ONCE here and carried through the anti-joins as hidden
+    # columns, dropped at the end.
+    file_snap = {os.path.basename(f["path"]): f["snapshot_id"] for f in files}
+    snap_map = F.create_map(
+        *[x for k, v in file_snap.items() for x in (F.lit(k), F.lit(v))]
+    )
+    fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    scan = scan.withColumns(
+        {
+            "__file": fname,
+            "__pos": F.col("_metadata.row_index"),
+            "__snap": snap_map[fname],
+        }
+    )
+
+    if pos_dels:
+        # merge-on-read positions: anti-join the scan against the
+        # position-delete rows on (data file name, row position).
+        # Delete files are parquet, so BOTH sides are vectorized
+        # native scans; file NAMES (uuid-unique) key the join because
+        # manifests store table-relative paths while _metadata is
+        # absolute.
         pos_df = spark.read.schema(_POS_DELETE_SCHEMA).parquet(
-            *[os.path.join(path, d) for d in deletes]
+            *[os.path.join(path, d["path"]) for d in pos_dels]
         )
         pos_keyed = pos_df.select(
             F.element_at(F.split("file_path", "/"), -1).alias("__del_file"),
             F.col("pos").alias("__del_pos"),
         )
-        keyed = scan.withColumns(
-            {
-                "__file": F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ),
-                "__pos": F.col("_metadata.row_index"),
-            }
-        )
         del_bytes = sum(
-            os.path.getsize(os.path.join(path, d)) for d in deletes
+            os.path.getsize(os.path.join(path, d["path"])) for d in pos_dels
         )
-        scan = keyed.join(
+        scan = scan.join(
             # broadcast only a provably small deleted-set; a delete-
             # heavy table shuffles (and should then be compacted)
             F.broadcast(pos_keyed) if del_bytes <= 64 * 1024 * 1024 else pos_keyed,
             on=[
-                keyed["__file"] == F.col("__del_file"),
-                keyed["__pos"] == F.col("__del_pos"),
+                scan["__file"] == F.col("__del_file"),
+                scan["__pos"] == F.col("__del_pos"),
             ],
             how="left_anti",
-        ).select(*[f.name for f in schema.fields])
-    return scan
+        )
+
+    if eq_dels:
+        # merge-on-read equality (spec content=2): a row is deleted if
+        # its equality-column values match any delete row written in a
+        # LATER snapshot than the row's data file (the spec's sequence-
+        # number rule, carried here by the manifests' added_snapshot_id
+        # — rows appended after the delete are untouched). Each delete
+        # file is scanned natively and stamped with its snapshot; the
+        # anti-join is an equi-join on the value columns with a
+        # residual __snap < __dsnap filter.
+        id_to_name = {f["id"]: f["name"] for f in meta["schemas"][0]["fields"]}
+        by_cols: dict[tuple, list[dict]] = {}
+        for d in eq_dels:
+            key = tuple(sorted(d["equality_ids"]))
+            by_cols.setdefault(key, []).append(d)
+        for key, group in by_cols.items():
+            cols = [id_to_name[i] for i in key]
+            parts = []
+            for d in group:
+                part = spark.read.parquet(os.path.join(path, d["path"]))
+                parts.append(
+                    part.select(
+                        *[F.col(c).alias(f"__eq_{c}") for c in cols],
+                        F.lit(d["snapshot_id"]).alias("__dsnap"),
+                    )
+                )
+            eq_df = parts[0]
+            for p in parts[1:]:
+                eq_df = eq_df.unionByName(p)
+            cond = [scan[c] == F.col(f"__eq_{c}") for c in cols] + [
+                scan["__snap"] < F.col("__dsnap")
+            ]
+            scan = scan.join(F.broadcast(eq_df), on=cond, how="left_anti")
+    return scan.select(*out_cols)

@@ -129,7 +129,8 @@ def test_iceberg_positional_delete_lifecycle(spark):
     assert s == 2
     assert sorted(f["path"] for f in plan_files(path)) == data_before
     dels = plan_delete_files(path)
-    assert len(dels) == 1 and dels[0].endswith("-deletes.parquet")
+    assert len(dels) == 1 and dels[0]["path"].endswith("-deletes.parquet")
+    assert dels[0]["content"] == 1 and dels[0]["equality_ids"] == []
     assert read_iceberg(spark, path).count() == 2250
 
     delete_iceberg(spark, path, "k = 3")          # accumulates
@@ -161,8 +162,8 @@ def test_iceberg_delete_file_spec_shape(spark):
     df = spark.range(0, 1000).selectExpr("id", "id % 2 as k")
     write_iceberg(df.repartition(2), path, mode="overwrite")
     delete_iceberg(spark, path, "k = 0")
-    (del_rel,) = plan_delete_files(path)
-    pos = spark.read.parquet(os.path.join(path, del_rel))
+    (del_entry,) = plan_delete_files(path)
+    pos = spark.read.parquet(os.path.join(path, del_entry["path"]))
     assert pos.schema.simpleString() == "struct<file_path:string,pos:bigint>"
     rows = pos.collect()
     keys = [(r.file_path, r.pos) for r in rows]
@@ -185,3 +186,65 @@ def test_iceberg_delete_nothing_is_noop(spark):
     assert s == 1                       # unchanged snapshot id
     assert plan_delete_files(path) == []
     assert read_iceberg(spark, path).count() == 100
+
+
+def test_iceberg_equality_delete_scoped_by_snapshot(spark):
+    """Equality deletes match by VALUE with no delete-time scan, apply
+    only to data files from earlier snapshots (re-inserted keys
+    survive), compose with position deletes, and support multiple
+    equality-column groups."""
+    from python_plugins_spark.sources.iceberg_py import (
+        delete_iceberg,
+        equality_delete_iceberg,
+        plan_delete_files,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = _fresh("ice_eq1")
+    df = spark.range(0, 600).selectExpr(
+        "id", "id % 6 as k", "concat('u', id % 20) as user"
+    )
+    write_iceberg(df.repartition(2), path, mode="overwrite")        # snap 1
+    equality_delete_iceberg(
+        spark, path, spark.createDataFrame([("u5",)], ["user"])
+    )                                                                # snap 2
+    dels = plan_delete_files(path)
+    assert [d["content"] for d in dels] == [2]
+    assert dels[0]["equality_ids"] == [3]  # 'user' is field id 3
+    assert read_iceberg(spark, path).count() == 570
+
+    # re-insert after the delete: scoping keeps it
+    write_iceberg(
+        spark.createDataFrame([(9000, 0, "u5")], ["id", "k", "user"]),
+        path, mode="append",
+    )                                                                # snap 3
+    assert read_iceberg(spark, path).filter("user = 'u5'").count() == 1
+
+    delete_iceberg(spark, path, "k = 2")                             # position
+    equality_delete_iceberg(
+        spark, path, spark.createDataFrame([(1,)], ["k"])            # 2nd group
+    )
+    got = read_iceberg(spark, path).count()
+    want = df.filter("user <> 'u5' and k <> 2 and k <> 1").count() + 1
+    assert got == want
+
+
+def test_iceberg_equality_delete_validates_columns(spark):
+    import pytest
+
+    from python_plugins_spark.sources.iceberg_py import (
+        equality_delete_iceberg,
+        write_iceberg,
+    )
+
+    path = _fresh("ice_eq2")
+    write_iceberg(spark.range(10).selectExpr("id", "id % 2 as k"), path, "overwrite")
+    with pytest.raises(ValueError, match="not in table schema"):
+        equality_delete_iceberg(
+            spark, path, spark.createDataFrame([("x",)], ["nope"])
+        )
+    with pytest.raises(ValueError, match="type"):
+        equality_delete_iceberg(
+            spark, path, spark.createDataFrame([("1",)], ["k"])  # string != long
+        )
