@@ -53,8 +53,16 @@ Supported surface:
   spec requires. ``mode="rewrite"`` is the classic copy-on-write
   path (rewrites touched files, no reader feature needed).
 
+- **derived Change Data Feed** (:func:`table_changes`): row-level
+  insert/delete changes between versions computed from the log
+  alone (appends + DV deletes are exactly derivable; in-place
+  rewrites are refused rather than guessed);
+- **schema enforcement + evolution** (``write_delta(merge_schema=)``)
+  — mismatches raise, appends add nullable columns atomically with
+  the data commit, overwrite replaces the schema.
+
 Not implemented (documented): column mapping, generated columns,
-CDC files.
+materialized _change_data files.
 """
 
 from __future__ import annotations

@@ -35,9 +35,15 @@ single-writer filesystem-catalog subset, same spirit as delta_py):
   field-id-keyed binary single-value serialization;
 - top-level primitive columns only in bounds (nested types scan fine
   but don't contribute prune stats);
-- one manifest per commit, no manifest compaction, no delete files
-  (format-version 2 row-level deletes), no catalog atomicity beyond
-  the version-hint rename.
+- one manifest per commit, no manifest compaction, no catalog
+  atomicity beyond the version-hint rename;
+- **row-level deletes (format-version 2) ARE implemented**: position
+  delete files (content=1, :func:`delete_iceberg`) and equality
+  delete files (content=2, :func:`equality_delete_iceberg`), both
+  merge-on-read with native parquet scans on every side; equality
+  scoping uses the manifests' added_snapshot_id in place of the
+  spec's per-entry sequence numbers (equivalent ordering for this
+  layer's one-manifest-per-commit writes).
 """
 
 from __future__ import annotations
