@@ -2369,6 +2369,86 @@ def delta_schema_evolution_read(spark, sf_dir):
 
 
 @register(
+    "delta_update_read",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice * 2 ELSE o_totalprice END), 4) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def delta_update_read(spark, sf_dir):
+    """Merge-on-read UPDATE (sources/delta_py.py update_delta): one
+    atomic commit deletion-vectors the matched rows out of their files
+    AND appends them with SET applied — O(matched rows), no touched-
+    file rewrite. The in-code assertion pins that: the pre-update data
+    files are all still active after the commit."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        _replay_state,
+        read_delta,
+        update_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    path = os.path.join(_SCRATCH, f"delta_upd_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.repartition(5), path, mode="overwrite")
+    before = set(_replay_state(path).active)
+    update_delta(
+        spark, path, "o_orderpriority = '1-URGENT'",
+        {"o_totalprice": "o_totalprice * 2"},
+    )
+    after = set(_replay_state(path).active)
+    assert before <= after, "UPDATE must keep every pre-update file active"
+    back = read_delta(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
+
+
+@register(
+    "delta_restore_read",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def delta_restore_read(spark, sf_dir):
+    """RESTORE TABLE (sources/delta_py.py restore_delta): after a DV
+    delete damages the table, restoring to the pre-delete version
+    commits the old active set back — history preserved (the restore
+    is itself a commit), nothing rewritten."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        delete_delta,
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(_SCRATCH, f"delta_rst_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.repartition(4), path, mode="overwrite")   # v0
+    delete_delta(spark, path, "o_orderkey % 3 = 0", mode="dv")  # v1 (oops)
+    restore_delta(spark, path, 0)                            # v2 = v0 again
+    back = read_delta(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
+
+
+@register(
     "delta_cdf_insert_delete",
     oracle="""
     SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS o_totalprice,

@@ -1433,3 +1433,235 @@ def table_changes(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# ------------------------------------------------------------- update
+
+def update_delta(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    max_retries: int = 3,
+) -> int:
+    """UPDATE ... SET ... WHERE — merge-on-read, ONE atomic commit:
+    matched rows get deletion-vector'd out of their files AND re-appended
+    with the ``set_exprs`` applied (SQL expressions over the row's
+    columns), so the commit is O(matched rows) written + O(matched)
+    sidecar bytes, never a rewrite of touched files. Readers of the
+    committed version see exactly the updated table; readers of prior
+    versions are untouched. Returns the committed version (unchanged
+    if nothing matched).
+
+    This is the DV-era UPDATE shape: compare a classic copy-on-write
+    UPDATE on a 100 TB table where one row per file changes — CoW
+    rewrites every touched file (~the whole table), this writes one
+    small parquet of updated rows plus tiny bitmaps."""
+    from pyspark.sql import functions as F
+
+    from .delta_dv import load_dv, write_dv_file
+
+    bad = predicate is None or not isinstance(set_exprs, dict) or not set_exprs
+    if bad:
+        raise ValueError("update_delta needs a predicate and a non-empty set_exprs")
+
+    for _attempt in range(max_retries + 1):
+        read_version = table_version(table_path)
+        if read_version < 0:
+            raise FileNotFoundError(f"no Delta table at {table_path}")
+        state = _replay_state(table_path)
+        schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
+        cols = [f.name for f in schema.fields]
+        unknown = [c for c in set_exprs if c not in cols]
+        if unknown:
+            raise ValueError(f"SET columns not in table: {unknown}")
+        active = state.active
+        now_ms = int(time.time() * 1000)
+        if not active:
+            return read_version
+
+        live = _dv_scan(spark, table_path, schema, active, keep_meta=True)
+        matched = live.filter(F.expr(predicate))
+
+        # new rows: matched with SET applied (cast back to the column type)
+        updated = matched.select(
+            *[
+                (
+                    F.expr(set_exprs[c]).cast(schema[c].dataType).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                )
+                for c in cols
+            ]
+        )
+        adds_staged = _stage_data_files(updated, table_path, now_ms)
+        if not adds_staged:
+            return read_version
+
+        # DVs for the matched rows' OLD positions (union with existing)
+        old_descs = {
+            p: a["deletionVector"]
+            for p, a in active.items()
+            if a.get("deletionVector")
+        }
+        desc_schema = T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("desc_json", T.StringType()),
+            ]
+        )
+
+        def build_dv(pdf):
+            import pandas as pd
+
+            fname = pdf["__file"].iloc[0]
+            idx = set(int(i) for i in pdf["__idx"])
+            old = old_descs.get(fname)
+            if old is not None:
+                idx.update(load_dv(table_path, old))
+            descs = write_dv_file(table_path, {fname: sorted(idx)})
+            return pd.DataFrame(
+                {"path": [fname], "desc_json": [json.dumps(descs[fname])]}
+            )
+
+        desc_rows = (
+            matched.select("__file", "__idx")
+            .groupBy("__file")
+            .applyInPandas(build_dv, schema=desc_schema)
+            .collect()
+        )
+        if not desc_rows:
+            # predicate matched nothing after all (race with the write
+            # above staging empty parts shouldn't happen, but be safe)
+            for a in adds_staged:
+                try:
+                    os.remove(os.path.join(table_path, a["add"]["path"]))
+                except FileNotFoundError:
+                    pass
+            return read_version
+        touched_descs = {r["path"]: json.loads(r["desc_json"]) for r in desc_rows}
+        new_dv_files = [
+            os.path.join(table_path, _dv_sidecar_name(d))
+            for d in touched_descs.values()
+            if d["storageType"] == "u"
+        ]
+
+        actions: list[dict] = []
+        proto = state.protocol or {}
+        rf = set(proto.get("readerFeatures") or [])
+        if proto.get("minReaderVersion", 1) < 3 or "deletionVectors" not in rf:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(rf | {"deletionVectors"}),
+                        "writerFeatures": sorted(
+                            set(proto.get("writerFeatures") or [])
+                            | {"deletionVectors"}
+                        ),
+                    }
+                }
+            )
+        for p, desc in sorted(touched_descs.items()):
+            old_add = active[p]
+            new_add = {k: v for k, v in old_add.items() if k != "deletionVector"}
+            new_add["dataChange"] = True
+            new_add["modificationTime"] = now_ms
+            new_add["deletionVector"] = desc
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+            actions.append({"add": new_add})
+        actions.extend(adds_staged)
+
+        commit = os.path.join(_log_path(table_path), f"{read_version + 1:020d}.json")
+        body = "".join(json.dumps(a) + "\n" for a in actions)
+        if _put_if_absent(body, commit):
+            version = read_version + 1
+            if version % _CHECKPOINT_INTERVAL == 0:
+                _write_checkpoint(
+                    table_path, version, _replay_state(table_path, version)
+                )
+            return version
+        for f in new_dv_files:
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+        for a in adds_staged:
+            try:
+                os.remove(os.path.join(table_path, a["add"]["path"]))
+            except FileNotFoundError:
+                pass
+    raise DeltaConcurrentWriteError(
+        f"lost the update commit race {max_retries + 1} times at {table_path}"
+    )
+
+
+# ------------------------------------------------------------ restore
+
+def restore_delta(spark: SparkSession, table_path: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION — commit a new version whose active
+    file set equals the target snapshot's: removes files added since,
+    re-adds files removed since (possible while VACUUM's retention
+    window holds them — the same constraint the reference RESTORE
+    documents). History is preserved: the restore is itself a commit,
+    so nothing is rewritten and the mis-step remains auditable."""
+    cur_version = table_version(table_path)
+    if cur_version < 0:
+        raise FileNotFoundError(f"no Delta table at {table_path}")
+    target = _replay_state(table_path, version)
+    current = _replay_state(table_path)
+    now_ms = int(time.time() * 1000)
+
+    # files the restore re-activates must still exist on disk
+    missing = [
+        p for p in target.active
+        if p not in current.active
+        and not os.path.exists(os.path.join(table_path, p))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore to version {version}: data files vacuumed "
+            f"({missing[:3]}...)"
+        )
+
+    actions: list[dict] = []
+    if target.meta.get("schemaString") != current.meta.get("schemaString"):
+        actions.append({"metaData": target.meta})
+    for p in current.active:
+        if p not in target.active or current.active[p] != target.active[p]:
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    for p, add in target.active.items():
+        if p not in current.active or current.active[p] != add:
+            actions.append({"add": add})
+    if not actions:
+        return cur_version  # already identical
+
+    new_version = cur_version + 1
+    commit = os.path.join(_log_path(table_path), f"{new_version:020d}.json")
+    body = "".join(json.dumps(a) + "\n" for a in actions)
+    if not _put_if_absent(body, commit):
+        raise DeltaConcurrentWriteError(
+            f"concurrent commit during restore at {table_path}"
+        )
+    if new_version % _CHECKPOINT_INTERVAL == 0:
+        _write_checkpoint(
+            table_path, new_version, _replay_state(table_path, new_version)
+        )
+    return new_version

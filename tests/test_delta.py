@@ -677,3 +677,77 @@ def test_delta_schema_enforcement_and_evolution(spark):
     back2 = read_delta(spark, path)
     assert back2.columns == ["id", "only_col"]
     assert back2.count() == 3
+
+
+# ------------------------------------------------------ update/restore
+
+def test_delta_update_merge_on_read_atomic(spark):
+    """UPDATE via DV+append in ONE commit: matched rows change, others
+    don't, version bumps once, no touched file is rewritten, and a
+    second update composes with the first's DVs."""
+    from python_plugins_spark.sources.delta_py import (
+        _replay_state,
+        read_delta,
+        table_version,
+        update_delta,
+        write_delta,
+    )
+
+    path = _fresh("delta_upd1")
+    df = spark.range(0, 400).selectExpr("id", "id % 4 as k", "cast(id as double) as v")
+    write_delta(df.coalesce(2), path, "overwrite")
+    files_before = set(_replay_state(path).active)
+
+    v = update_delta(spark, path, "k = 1", {"v": "v + 0.5"})
+    assert v == 1 and table_version(path) == 1
+    assert files_before <= set(_replay_state(path).active)
+    back = read_delta(spark, path)
+    assert back.count() == 400
+    assert back.filter("k = 1 and v != id + 0.5").count() == 0
+    assert back.filter("k = 0 and v != id").count() == 0
+
+    update_delta(spark, path, "k = 1", {"v": "v * 2"})  # stacks on update 1
+    b2 = read_delta(spark, path)
+    assert b2.filter("k = 1 and v != (id + 0.5) * 2").count() == 0
+    assert b2.count() == 400
+
+    # SET on unknown column / empty set rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="not in table"):
+        update_delta(spark, path, "k = 0", {"nope": "1"})
+    with pytest.raises(ValueError, match="non-empty"):
+        update_delta(spark, path, "k = 0", {})
+
+
+def test_delta_restore_preserves_history_and_refuses_vacuumed(spark):
+    """RESTORE re-activates the target snapshot's files as a new
+    commit; time travel still reaches every intermediate version;
+    restoring past a vacuum raises."""
+    import pytest
+
+    from python_plugins_spark.sources.delta_py import (
+        delete_delta,
+        read_delta,
+        restore_delta,
+        table_version,
+        vacuum_delta,
+        write_delta,
+    )
+
+    path = _fresh("delta_rst1")
+    write_delta(spark.range(100).selectExpr("id"), path, "overwrite")    # v0
+    write_delta(spark.range(100, 150).selectExpr("id"), path, "append")  # v1
+    delete_delta(spark, path, "id < 10", mode="dv")                      # v2
+    rv = restore_delta(spark, path, 1)
+    assert rv == 3
+    assert read_delta(spark, path).count() == 150
+    assert read_delta(spark, path, version_as_of=2).count() == 140  # history kept
+
+    # restore to v0 then vacuum kills v1's files; restore back to v1 fails
+    restore_delta(spark, path, 0)                                        # v4
+    vacuum_delta(path, retention_hours=0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        restore_delta(spark, path, 1)
+    assert read_delta(spark, path).count() == 100
+    assert table_version(path) == 4
