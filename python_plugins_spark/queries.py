@@ -4097,6 +4097,59 @@ def variant_json_events(spark, sf_dir):
 
 
 @register(
+    "streaming_delta_ingest",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events WHERE event_type <> 'error' GROUP BY event_type
+    """,
+)
+def streaming_delta_ingest(spark, sf_dir):
+    """Streaming ingestion INTO the Delta layer: each micro-batch
+    commits one atomic append through write_delta's put-if-absent loop
+    (exactly-once visibility per batch — a reader never sees a partial
+    micro-batch, unlike raw parquet appends), then the table is
+    snapshot-read back. The lakehouse landing pattern: stream ->
+    foreachBatch -> ACID table -> batch consumers."""
+    import os
+    import shutil
+    import uuid
+
+    from python_plugins_spark.sources.delta_py import read_delta, write_delta
+    from python_plugins_spark.sources.io import ensure_session_confs, fix_nanos_ts
+    from python_plugins_spark.streaming import read_stream_parquet
+
+    ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = fix_nanos_ts(
+        read_stream_parquet(spark, f"{sf_dir}/events.parquet", raw_schema)
+    )
+    filtered = stream.filter(F.col("event_type") != "error").select(
+        "event_id", "event_type", "value"
+    )
+    table = os.path.join(
+        _SCRATCH, f"stream_delta_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+
+    def commit_batch(batch_df, epoch_id):
+        write_delta(batch_df, table, mode="append")
+
+    q = (
+        filtered.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", f"{table}_ckpt_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = read_delta(spark, table)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+
+
+@register(
     "streaming_etl_foreachbatch",
     oracle="""
     SELECT event_type, count(*) AS n, round(sum(value * 2), 4) AS doubled_total

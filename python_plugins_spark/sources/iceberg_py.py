@@ -875,3 +875,89 @@ def read_iceberg(
             ]
             scan = scan.join(F.broadcast(eq_df), on=cond, how="left_anti")
     return scan.select(*out_cols)
+
+
+# ------------------------------------------------- snapshot expiration
+
+def expire_snapshots(
+    path: str,
+    keep_last: int = 1,
+    older_than_ms: int | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """Iceberg maintenance: drop old snapshots from table metadata and
+    delete data/delete/manifest files referenced ONLY by them (the
+    spec's expire-snapshots action — Iceberg's analogue of Delta
+    VACUUM, but metadata-driven: reachability is computed from
+    manifests, never by listing the data directory).
+
+    Keeps the ``keep_last`` newest snapshots (always including the
+    current one); with ``older_than_ms`` also keeps any newer ones.
+    Time travel to expired snapshots stops working — exactly the
+    Iceberg trade-off. Returns ``{"expired": [ids], "deleted":
+    [files]}``."""
+    meta = _load_metadata(path)
+    snaps = sorted(meta.get("snapshots", []), key=lambda s: s["snapshot-id"])
+    if len(snaps) <= keep_last:
+        return {"expired": [], "deleted": []}
+    cutoff = len(snaps) - max(1, keep_last)
+    expired, kept = [], []
+    for i, s in enumerate(snaps):
+        old_enough = (
+            older_than_ms is None or s["timestamp-ms"] < older_than_ms
+        )
+        if i < cutoff and old_enough and s["snapshot-id"] != meta.get(
+            "current-snapshot-id"
+        ):
+            expired.append(s)
+        else:
+            kept.append(s)
+    if not expired:
+        return {"expired": [], "deleted": []}
+
+    def _referenced(snap_list):
+        files = set()
+        manifests = set()
+        for s in snap_list:
+            ml_rel = s["manifest-list"]
+            manifests.add(ml_rel)
+            for ml in read_container(os.path.join(path, ml_rel)):
+                manifests.add(ml[0])
+                for e in read_container(os.path.join(path, ml[0])):
+                    if e[0] != 2:
+                        files.add(e[1])
+        return files, manifests
+
+    live_files, live_manifests = _referenced(kept)
+    dead_files, dead_manifests = _referenced(expired)
+    to_delete = sorted(
+        (dead_files - live_files) | (dead_manifests - live_manifests)
+    )
+    if not dry_run:
+        for rel in to_delete:
+            try:
+                os.remove(os.path.join(path, rel))
+            except FileNotFoundError:
+                pass
+        new_meta = dict(meta)
+        new_meta["snapshots"] = kept
+        expired_ids = {s["snapshot-id"] for s in expired}
+        new_meta["snapshot-log"] = [
+            e for e in meta.get("snapshot-log", [])
+            if e["snapshot-id"] not in expired_ids
+        ]
+        version = (current_metadata_version(path) or 0) + 1
+        meta_file = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
+        tmp = meta_file + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(new_meta, fh)
+        os.replace(tmp, meta_file)
+        hint = os.path.join(_meta_dir(path), "version-hint.text")
+        tmp = hint + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, hint)
+    return {
+        "expired": [s["snapshot-id"] for s in expired],
+        "deleted": to_delete,
+    }

@@ -248,3 +248,42 @@ def test_iceberg_equality_delete_validates_columns(spark):
         equality_delete_iceberg(
             spark, path, spark.createDataFrame([("1",)], ["k"])  # string != long
         )
+
+
+def test_iceberg_expire_snapshots_reachability(spark):
+    """Expiration drops old snapshots and deletes exactly the files
+    reachable ONLY from them; the current snapshot's data survives and
+    time travel to expired ids raises."""
+    import pytest
+
+    from python_plugins_spark.sources.iceberg_py import (
+        expire_snapshots,
+        read_iceberg,
+        table_snapshots,
+        write_iceberg,
+    )
+
+    path = _fresh("ice_exp1")
+    write_iceberg(spark.range(100).selectExpr("id"), path, "overwrite")   # s1
+    write_iceberg(spark.range(100, 150).selectExpr("id"), path, "append") # s2
+    write_iceberg(spark.range(500).selectExpr("id"), path, "overwrite")   # s3
+    assert len(table_snapshots(path)) == 3
+
+    res = expire_snapshots(path, keep_last=1)
+    assert res["expired"] == [1, 2]
+    # s1/s2's data files are unreachable from s3 (overwrite) -> deleted
+    assert any(f.startswith("data/") for f in res["deleted"])
+    assert len(table_snapshots(path)) == 1
+    assert read_iceberg(spark, path).count() == 500
+    with pytest.raises(ValueError, match="snapshot 1 not in table"):
+        read_iceberg(spark, path, snapshot_id=1).count()
+
+    # append-only lineage: expiring keeps files still referenced by
+    # the survivor
+    path2 = _fresh("ice_exp2")
+    write_iceberg(spark.range(10).selectExpr("id"), path2, "overwrite")
+    write_iceberg(spark.range(10, 20).selectExpr("id"), path2, "append")
+    res2 = expire_snapshots(path2, keep_last=1)
+    assert res2["expired"] == [1]
+    assert not any(f.startswith("data/") for f in res2["deleted"])
+    assert read_iceberg(spark, path2).count() == 20
