@@ -4150,6 +4150,61 @@ def streaming_delta_ingest(spark, sf_dir):
 
 
 @register(
+    "delta_stream_source_read",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def delta_stream_source_read(spark, sf_dir):
+    """Delta table as a STREAMING SOURCE (sources/delta_stream.py — a
+    Spark 4 Python DataSource streaming reader): offsets are log
+    versions, micro-batch planning replays only the commit JSONs in
+    range, and each added data file becomes one executor-side task.
+    Two append commits land first; the stream drains them and the
+    memory-sink table must equal the batch aggregate — the
+    lakehouse-to-stream bridge (downstream jobs tail the table instead
+    of re-scanning it)."""
+    import os
+    import shutil
+    import uuid
+
+    from python_plugins_spark.sources import delta_stream
+    from python_plugins_spark.sources.delta_py import write_delta
+    from python_plugins_spark.sources.io import ensure_session_confs
+
+    ensure_session_confs(spark)
+    delta_stream.register(spark)
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    table = os.path.join(
+        _SCRATCH, f"dstream_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    write_delta(ev.filter(F.col("event_id") % 2 == 0), table, mode="overwrite")
+    write_delta(ev.filter(F.col("event_id") % 2 == 1), table, mode="append")
+
+    stream = spark.readStream.format("delta_py_stream").option("path", table).load()
+    name = f"dstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+
+
+@register(
     "streaming_etl_foreachbatch",
     oracle="""
     SELECT event_type, count(*) AS n, round(sum(value * 2), 4) AS doubled_total

@@ -636,3 +636,77 @@ def test_transform_with_state_initial_state(spark):
     # A: seeded 100 beats streamed 5; C: unseeded, streamed 7.
     # B emits nothing (no input rows this batch) but its state exists.
     assert got == {"A": 100.0, "C": 7.0}, got
+
+
+def test_delta_stream_source_tails_and_resumes(spark, tmp_path):
+    """The Delta streaming source delivers each commit exactly once:
+    initial drain replays existing versions, a live append arrives as
+    its own micro-batch, and a RESTART from the engine checkpoint
+    resumes at the committed version (no replay, no loss)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.sources import delta_stream
+    from python_plugins_spark.sources.delta_py import write_delta
+
+    delta_stream.register(spark)
+    table = str(tmp_path / "dstream_t")
+    ckpt = str(tmp_path / "dstream_ckpt")
+    sink = str(tmp_path / "dstream_sink")
+    df = spark.range(0, 90).selectExpr("id", "id % 3 as k")
+    write_delta(df.filter("id < 30"), table, "overwrite")     # v0
+    write_delta(df.filter("id >= 30 and id < 60"), table, "append")  # v1
+
+    def drain():
+        q = (
+            spark.readStream.format("delta_py_stream")
+            .option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    drain()
+    assert spark.read.parquet(sink).count() == 60
+
+    # append while the stream is DOWN; restart resumes from checkpoint
+    write_delta(df.filter("id >= 60"), table, "append")       # v2
+    drain()
+    got = spark.read.parquet(sink)
+    assert got.count() == 90                      # no dupes, no loss
+    assert got.agg(F.sum("id")).collect()[0][0] == 90 * 89 // 2
+
+
+def test_delta_stream_source_refuses_non_append(spark, tmp_path):
+    import pytest
+
+    from python_plugins_spark.sources import delta_stream
+    from python_plugins_spark.sources.delta_py import delete_delta, write_delta
+
+    delta_stream.register(spark)
+    table = str(tmp_path / "dstream_na")
+    write_delta(spark.range(50).selectExpr("id", "id % 5 as k"), table, "overwrite")
+    delete_delta(spark, table, "k = 0", mode="dv")
+
+    q = (
+        spark.readStream.format("delta_py_stream")
+        .option("path", table)
+        .load()
+        .writeStream.format("memory")
+        .queryName("dsna")
+        .outputMode("append")
+        .start()
+    )
+    with pytest.raises(Exception, match="not append-only"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
