@@ -4205,6 +4205,66 @@ def delta_stream_source_read(spark, sf_dir):
 
 
 @register(
+    "delta_cdf_stream_read",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, 'insert' AS _change_type,
+           CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS _commit_version
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, 'delete' AS _change_type,
+           2 AS _commit_version
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+)
+def delta_cdf_stream_read(spark, sf_dir):
+    """CDC as a STREAM (sources/delta_stream.py readChangeFeed=true):
+    the streaming twin of table_changes — append commits arrive as
+    'insert' micro-batch rows, DV deletes as 'delete' rows (the DV
+    delta decoded on executors), each stamped with its commit version.
+    The downstream-sync primitive: a consumer keeps an exact replica by
+    applying the feed, never re-scanning the table."""
+    import os
+    import shutil
+    import uuid
+
+    from python_plugins_spark.sources import delta_stream
+    from python_plugins_spark.sources.delta_py import delete_delta, write_delta
+    from python_plugins_spark.sources.io import ensure_session_confs
+
+    ensure_session_confs(spark)
+    delta_stream.register(spark)
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderstatus")
+    table = os.path.join(
+        _SCRATCH, f"cdcstream_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 0), table, mode="overwrite")
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 1), table, mode="append")
+    delete_delta(spark, table, "o_orderkey % 11 = 0", mode="dv")
+
+    stream = (
+        spark.readStream.format("delta_py_stream")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    name = f"cdcstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "o_orderkey", "o_orderstatus", "_change_type", "_commit_version"
+    )
+
+
+@register(
     "streaming_etl_foreachbatch",
     oracle="""
     SELECT event_type, count(*) AS n, round(sum(value * 2), 4) AS doubled_total

@@ -43,7 +43,11 @@ from pyspark.sql.datasource import (
 class DeltaStreamSource(DataSource):
     """Options: ``path`` (required), ``starting_version`` (default 0 —
     first batch replays the table from its beginning),
-    ``ignoreChanges`` (default false)."""
+    ``ignoreChanges`` (default false), ``readChangeFeed`` (default
+    false — when true the stream is the CDC stream: table columns plus
+    ``_change_type`` ('insert' | 'delete') and ``_commit_version``,
+    derived per commit exactly like :func:`delta_py.table_changes`;
+    max_versions_per_batch bounds a micro-batch's commit span)."""
 
     @classmethod
     def name(cls) -> str:
@@ -53,12 +57,29 @@ class DeltaStreamSource(DataSource):
         from .delta_py import _replay
 
         schema_json, _ = _replay(self.options["path"])
-        return T.StructType.fromJson(json.loads(schema_json))
+        base = T.StructType.fromJson(json.loads(schema_json))
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            return T.StructType(
+                base.fields
+                + [
+                    T.StructField("_change_type", T.StringType(), False),
+                    T.StructField("_commit_version", T.IntegerType(), False),
+                ]
+            )
+        return base
 
     def streamReader(self, schema):
-        return DeltaStreamReader(
+        common = (
             self.options["path"],
             int(self.options.get("starting_version", 0)),
+        )
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            return DeltaChangeFeedStreamReader(
+                *common,
+                int(self.options.get("max_versions_per_batch", 0)) or None,
+            )
+        return DeltaStreamReader(
+            *common,
             str(self.options.get("ignorechanges", "false")).lower() == "true",
         )
 
@@ -124,6 +145,139 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # the engine's checkpoint IS the consumption record
+
+
+class _ChangePartition(InputPartition):
+    """One CDC task: either a whole added file ('insert') or a
+    DV-delta over one file ('delete' — the NEW deleted positions minus
+    the OLD, decoded and diffed on the executor)."""
+
+    def __init__(self, abs_path, change_type, version, table_path,
+                 new_desc=None, old_desc=None):
+        self.abs_path = abs_path
+        self.change_type = change_type
+        self.version = version
+        self.table_path = table_path
+        self.new_desc = new_desc
+        self.old_desc = old_desc
+
+
+class DeltaChangeFeedStreamReader(DataSourceStreamReader):
+    """CDC tail of the log (streaming twin of
+    :func:`delta_py.table_changes`): append commits plan one 'insert'
+    partition per added file; DV-delete commits plan one 'delete'
+    partition per (file, new DV, old DV) pair; layout commits plan
+    nothing; in-place rewrites raise (not row-derivable)."""
+
+    def __init__(self, table_path, starting_version, max_versions=None):
+        self.table_path = table_path
+        self.starting_version = starting_version
+        self.max_versions = max_versions
+        self._consumed: int | None = None  # last version handed out
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version - 1}
+
+    def latestOffset(self) -> dict:
+        from .delta_py import table_version
+
+        cur = table_version(self.table_path)
+        if self.max_versions is not None and self._consumed is not None:
+            # admission control (maxFilesPerTrigger analogue): bound a
+            # micro-batch's commit span so a backlogged table drains in
+            # bounded batches instead of one giant catch-up batch. The
+            # cap applies from the last PLANNED version; the first
+            # batch after a restart is uncapped (the reader can't see
+            # the checkpointed offset until partitions() is called).
+            cur = min(cur, self._consumed + self.max_versions)
+        return {"version": cur}
+
+    def partitions(self, start: dict, end: dict):
+        from .delta_py import _commit_files, _replay_state
+
+        commits = dict(_commit_files(self.table_path))
+        lo, hi = start["version"] + 1, end["version"]
+        self._consumed = hi
+        parts: list[_ChangePartition] = []
+        for v in range(lo, hi + 1):
+            if v not in commits:
+                continue
+            adds, removes = {}, {}
+            with open(commits[v]) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "add" in action:
+                        adds[action["add"]["path"]] = action["add"]
+                    elif "remove" in action:
+                        removes[action["remove"]["path"]] = action["remove"]
+            data_adds = {p: a for p, a in adds.items() if a.get("dataChange")}
+            data_removes = {
+                p: r for p, r in removes.items() if r.get("dataChange")
+            }
+            if not data_adds and not data_removes:
+                continue
+            dv_pairs = {
+                p: a
+                for p, a in data_adds.items()
+                if p in data_removes and a.get("deletionVector")
+            }
+            plain_removes = {
+                p: r for p, r in data_removes.items() if p not in dv_pairs
+            }
+            if plain_removes:
+                raise ValueError(
+                    f"version {v} rewrites files in place: CDC rows are "
+                    "not derivable from the log for this commit"
+                )
+            old_state = _replay_state(self.table_path, v - 1) if dv_pairs else None
+            for p, a in data_adds.items():
+                if p in dv_pairs:
+                    old_add = old_state.active.get(p, {})
+                    parts.append(
+                        _ChangePartition(
+                            os.path.join(self.table_path, p),
+                            "delete",
+                            v,
+                            self.table_path,
+                            new_desc=a["deletionVector"],
+                            old_desc=old_add.get("deletionVector"),
+                        )
+                    )
+                elif not a.get("deletionVector"):
+                    parts.append(
+                        _ChangePartition(
+                            os.path.join(self.table_path, p),
+                            "insert",
+                            v,
+                            self.table_path,
+                        )
+                    )
+        return parts
+
+    def read(self, partition: _ChangePartition):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.abs_path)
+        if partition.change_type == "insert":
+            rows = range(table.num_rows)
+        else:
+            from .delta_dv import load_dv
+
+            new_idx = set(load_dv(partition.table_path, partition.new_desc))
+            if partition.old_desc is not None:
+                new_idx -= set(load_dv(partition.table_path, partition.old_desc))
+            rows = sorted(new_idx)
+        cols = [table.column(i).to_pylist() for i in range(table.num_columns)]
+        for r in rows:
+            yield tuple(c[r] for c in cols) + (
+                partition.change_type,
+                partition.version,
+            )
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 def register(spark) -> None:

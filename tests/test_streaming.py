@@ -710,3 +710,49 @@ def test_delta_stream_source_refuses_non_append(spark, tmp_path):
             q.processAllAvailable()
         finally:
             q.stop()
+
+
+def test_delta_cdf_stream_update_and_rate_limit(spark, tmp_path):
+    """readChangeFeed streams an UPDATE as paired delete+insert rows at
+    one version, and max_versions_per_batch bounds each micro-batch's
+    commit span after the first batch."""
+    import uuid as _uuid
+
+    from python_plugins_spark.sources import delta_stream
+    from python_plugins_spark.sources.delta_py import (
+        update_delta,
+        write_delta,
+    )
+
+    delta_stream.register(spark)
+    table = str(tmp_path / "cdcs_t")
+    df = spark.range(0, 200).selectExpr("id", "id % 4 as k", "cast(id as double) as v")
+    write_delta(df.coalesce(1), table, "overwrite")            # v0
+    update_delta(spark, table, "k = 3", {"v": "v * -1"})        # v1
+
+    name = f"cdcs_{_uuid.uuid4().hex[:6]}"
+    q = (
+        spark.readStream.format("delta_py_stream")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .option("max_versions_per_batch", "1")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t = spark.table(name)
+    by = {
+        (r["_change_type"], r["_commit_version"]): r["count"]
+        for r in t.groupBy("_change_type", "_commit_version").count().collect()
+    }
+    assert by[("insert", 0)] == 200
+    assert by[("delete", 1)] == 50 and by[("insert", 1)] == 50
+    # the update's inserted rows carry the NEW values
+    upd = t.filter("_commit_version = 1 and _change_type = 'insert'")
+    assert upd.filter("v != -1.0 * id").count() == 0
