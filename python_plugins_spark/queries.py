@@ -2369,6 +2369,53 @@ def delta_schema_evolution_read(spark, sf_dir):
 
 
 @register(
+    "delta_partitioned_pruned_read",
+    oracle="""
+    SELECT count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders WHERE o_orderstatus = 'F' AND NOT (o_orderkey % 5 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_partitioned_pruned_read(spark, sf_dir):
+    """Hive-partitioned Delta table (partition_by= on write_delta):
+    adds carry the protocol's partitionValues, data files omit the
+    partition column, reads reconstruct it via basePath — and the
+    prune hint eliminates whole partitions from the scan list before
+    Spark sees a file (asserted: the pruned scan touches fewer files
+    than the table holds). A DV delete stacks on the partitioned
+    layout to prove the merge-on-read machinery composes with it."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        _replay_state,
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(_SCRATCH, f"delta_part_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o, path, mode="overwrite", partition_by=["o_orderstatus"])
+    delete_delta(spark, path, "o_orderkey % 5 = 0", mode="dv")
+    n_active = len(_replay_state(path).active)
+    pruned = read_delta(spark, path, prune={"o_orderstatus": ("F", "F")})
+    assert len(pruned.inputFiles()) < n_active, "partition pruning failed"
+    return (
+        pruned.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .select("n", "total")
+    )
+
+
+@register(
     "delta_update_read",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,

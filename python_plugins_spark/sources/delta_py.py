@@ -374,20 +374,22 @@ def read_delta(
 
     ``prune`` is a data-skipping hint: ``{col: (lo, hi)}`` inclusive
     ranges (either end may be None). Files whose logged min/max stats
-    provably miss every range are NOT scanned — metadata-only
-    elimination, the Delta stats-skipping that (with a Z-ordered
-    layout) turns a selective 100 TB scan into a few-file read. It is
-    a HINT, not a filter: callers still apply the exact predicate;
-    files without stats are conservatively kept."""
-    schema_json, active = _replay(table_path, version_as_of)
-    schema = T.StructType.fromJson(json.loads(schema_json))
+    OR hive partition values provably miss every range are NOT
+    scanned — metadata-only elimination, the Delta stats-skipping that
+    (with a Z-ordered or partitioned layout) turns a selective 100 TB
+    scan into a few-file read. It is a HINT, not a filter: callers
+    still apply the exact predicate; files without stats are
+    conservatively kept."""
+    state = _replay_state(table_path, version_as_of)
+    schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
+    active = state.active
+    part_cols = state.meta.get("partitionColumns") or []
     keep = list(active)
     if prune:
         keep = [p for p in keep if _stats_may_match(active[p], prune)]
     if not keep:
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(table_path, p) for p in keep]
-    scan = spark.read.schema(schema).parquet(*paths)
+    scan = _scan_files(spark, table_path, schema, keep, part_cols)
     dv_adds = {
         p: active[p] for p in keep if active[p].get("deletionVector")
     }
@@ -396,6 +398,29 @@ def read_delta(
 
         scan = apply_dvs(spark, scan, table_path, dv_adds, [f.name for f in schema.fields])
     return scan
+
+
+def _scan_files(
+    spark: SparkSession,
+    table_path: str,
+    schema: T.StructType,
+    rel_paths: list[str],
+    part_cols: list[str],
+) -> DataFrame:
+    """Native parquet scan over table-relative paths. Partitioned
+    tables (hive layout; data files OMIT the partition columns, per the
+    protocol) read with ``basePath`` so Spark reconstructs the
+    partition columns from the dir names — the same values the adds'
+    ``partitionValues`` record."""
+    paths = [os.path.join(table_path, p) for p in rel_paths]
+    if part_cols:
+        return (
+            spark.read.option("basePath", table_path)
+            .schema(schema)
+            .parquet(*paths)
+            .select(*[f.name for f in schema.fields])
+        )
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def _stats_may_match(add: dict, prune: dict[str, tuple]) -> bool:
@@ -411,7 +436,23 @@ def _stats_may_match(add: dict, prune: dict[str, tuple]) -> bool:
         return True
     mins = stats.get("minValues") or {}
     maxs = stats.get("maxValues") or {}
+    pvals = add.get("partitionValues") or {}
     for col, (lo, hi) in prune.items():
+        if col in pvals:
+            # hive partition value (always a string in the add): a
+            # numeric-looking value compares numerically against the
+            # bounds; otherwise only exact-point ranges can eliminate
+            v = pvals[col]
+            try:
+                fv = float(v)
+                if lo is not None and fv < float(lo):
+                    return False
+                if hi is not None and fv > float(hi):
+                    return False
+            except (TypeError, ValueError):
+                if lo is not None and lo == hi and str(lo) != v:
+                    return False
+            continue
         if col not in mins or col not in maxs:
             continue
         if lo is not None and maxs[col] < lo:
@@ -504,32 +545,56 @@ def _file_stats(parquet_path: str) -> dict | None:
     return {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs}
 
 
-def _stage_data_files(df: DataFrame, table_path: str, now_ms: int) -> list[dict]:
+def _stage_data_files(
+    df: DataFrame,
+    table_path: str,
+    now_ms: int,
+    partition_by: list[str] | None = None,
+) -> list[dict]:
     """Write ``df`` as parquet parts into the table root under fresh
     uuid names (invisible to readers, who only trust the log); return
-    the ``add`` actions (with per-file stats) for a later commit."""
+    the ``add`` actions (with per-file stats) for a later commit.
+
+    With ``partition_by``, parts land in hive-layout ``col=value/``
+    dirs and each add carries the protocol's ``partitionValues`` map
+    (data files themselves omit the partition columns, exactly as the
+    protocol specifies — readers reconstruct them from the add)."""
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     adds = []
-    for f in sorted(os.listdir(staging)):
-        if not f.endswith(".parquet"):
-            continue
-        name = f"part-{uuid.uuid4().hex}.parquet"
-        src = os.path.join(staging, f)
-        dst = os.path.join(table_path, name)
-        size = os.path.getsize(src)
-        stats = _file_stats(src)
-        os.replace(src, dst)
-        add = {
-            "path": name,
-            "partitionValues": {},
-            "size": size,
-            "modificationTime": now_ms,
-            "dataChange": True,
-        }
-        if stats is not None:
-            add["stats"] = json.dumps(stats)
-        adds.append({"add": add})
+    for root, _dirs, fnames in os.walk(staging):
+        for f in sorted(fnames):
+            if not f.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            pvals: dict[str, str] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    pvals[k] = v
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            src = os.path.join(root, f)
+            dst_dir = (
+                os.path.join(table_path, rel_dir) if rel_dir != "." else table_path
+            )
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, name)
+            size = os.path.getsize(src)
+            stats = _file_stats(src)
+            os.replace(src, dst)
+            add = {
+                "path": os.path.relpath(dst, table_path),
+                "partitionValues": pvals,
+                "size": size,
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+            if stats is not None:
+                add["stats"] = json.dumps(stats)
+            adds.append({"add": add})
     shutil.rmtree(staging, ignore_errors=True)
     return adds
 
@@ -590,6 +655,7 @@ def write_delta(
     mode: str = "append",
     max_retries: int = 10,
     merge_schema: bool = False,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write a new table version; returns the committed version number.
 
@@ -617,7 +683,26 @@ def write_delta(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_log_path(table_path), exist_ok=True)
     now_ms = int(time.time() * 1000)
-    adds = _stage_data_files(df, table_path, now_ms)
+
+    # resolve the partition spec BEFORE staging: an existing table's
+    # partitionColumns are the contract (None inherits; a mismatch on
+    # an existing table raises — repartitioning is a rewrite, not a
+    # write mode)
+    if table_version(table_path) >= 0:
+        existing_parts = (
+            _replay_state(table_path).meta.get("partitionColumns") or []
+        )
+        if partition_by is None:
+            partition_by = existing_parts or None
+        elif list(partition_by) != list(existing_parts):
+            raise ValueError(
+                f"table is partitioned by {existing_parts}, "
+                f"got partition_by={list(partition_by)}"
+            )
+    missing_parts = [c for c in (partition_by or []) if c not in df.columns]
+    if missing_parts:
+        raise ValueError(f"partition columns not in data: {missing_parts}")
+    adds = _stage_data_files(df, table_path, now_ms, partition_by)
 
     for attempt in range(max_retries + 1):
         version = table_version(table_path) + 1
@@ -632,7 +717,7 @@ def write_delta(
                         "id": str(uuid.uuid4()),
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": df.schema.json(),
-                        "partitionColumns": [],
+                        "partitionColumns": list(partition_by or []),
                         "configuration": {},
                         "createdTime": now_ms,
                     }
@@ -703,26 +788,33 @@ def vacuum_delta(
         if desc and desc.get("storageType") == "u":
             live_bins.add(_dv_sidecar_name(desc))
     deleted = []
-    for f in os.listdir(table_path):
-        if f.endswith(".parquet"):
-            if f in state.active:
+    for root, dirs, fnames in os.walk(table_path):
+        # never descend into the log or in-flight staging dirs
+        dirs[:] = [
+            d for d in dirs
+            if d != _LOG_DIR and not d.startswith(".staging-")
+        ]
+        for fn in fnames:
+            rel = os.path.relpath(os.path.join(root, fn), table_path)
+            if fn.endswith(".parquet"):
+                if rel in state.active:
+                    continue
+                ts = state.tombstones.get(rel)
+            elif fn.endswith(".bin") and fn.startswith("deletion_vector_"):
+                # DV sidecar: referenced iff some ACTIVE add points at
+                # it (superseded DVs — re-deletes, purged files — age
+                # out by mtime like any other unreferenced file)
+                if fn in live_bins:
+                    continue
+                ts = None
+            else:
                 continue
-            ts = state.tombstones.get(f)
-        elif f.endswith(".bin") and f.startswith("deletion_vector_"):
-            # DV sidecar: referenced iff some ACTIVE add points at it
-            # (superseded DVs — re-deletes, purged files — age out by
-            # mtime like any other unreferenced file)
-            if f in live_bins:
-                continue
-            ts = None
-        else:
-            continue
-        if ts is None:
-            ts = os.path.getmtime(os.path.join(table_path, f)) * 1000.0
-        if ts <= cutoff_ms:
-            if not dry_run:
-                os.remove(os.path.join(table_path, f))
-            deleted.append(f)
+            if ts is None:
+                ts = os.path.getmtime(os.path.join(table_path, rel)) * 1000.0
+            if ts <= cutoff_ms:
+                if not dry_run:
+                    os.remove(os.path.join(table_path, rel))
+                deleted.append(rel)
     return sorted(deleted)
 
 
@@ -734,17 +826,19 @@ def _dv_scan(
     schema: T.StructType,
     subset: dict[str, dict],
     keep_meta: bool = False,
+    part_cols: list[str] | None = None,
 ):
     """Scan the given add-set with deletion vectors applied. With
     ``keep_meta`` the frame carries ``__file`` (data file name) and
     ``__idx`` (physical ``_metadata.row_index``) — the row identity a
-    DV keys on — alongside the table columns."""
+    DV keys on — alongside the table columns. ``part_cols`` marks a
+    hive-partitioned table (partition columns reconstructed from dir
+    names via basePath)."""
     from pyspark.sql import functions as F
 
     from .delta_dv import deleted_rows_df
 
-    paths = [os.path.join(table_path, p) for p in subset]
-    scan = spark.read.schema(schema).parquet(*paths)
+    scan = _scan_files(spark, table_path, schema, list(subset), part_cols or [])
     cols = [f.name for f in schema.fields]
     keyed = scan.withColumns(
         {
@@ -818,13 +912,20 @@ def delete_delta(
         if not active:
             return read_version
 
-        live = _dv_scan(spark, table_path, schema, active, keep_meta=True)
+        part_cols = state.meta.get("partitionColumns") or []
+        live = _dv_scan(
+            spark, table_path, schema, active, keep_meta=True,
+            part_cols=part_cols,
+        )
         matched = live.filter(F.expr(predicate))
 
         new_dv_files: list[str] = []
+        # __file is the BASENAME (uuid-unique); active keys are
+        # table-relative paths (with hive partition dirs) — translate
+        name_to_rel = {os.path.basename(p): p for p in active}
         if mode == "dv":
             old_descs = {
-                p: a["deletionVector"]
+                os.path.basename(p): a["deletionVector"]
                 for p, a in active.items()
                 if a.get("deletionVector")
             }
@@ -857,7 +958,10 @@ def delete_delta(
             )
             if not desc_rows:
                 return read_version
-            touched_descs = {r["path"]: json.loads(r["desc_json"]) for r in desc_rows}
+            touched_descs = {
+                name_to_rel[r["path"]]: json.loads(r["desc_json"])
+                for r in desc_rows
+            }
             new_dv_files = [
                 os.path.join(table_path, _dv_sidecar_name(d))
                 for d in touched_descs.values()
@@ -902,14 +1006,16 @@ def delete_delta(
             adds_staged: list[dict] = []
         else:
             touched_rows = matched.select("__file").distinct().collect()
-            touched = sorted(r["__file"] for r in touched_rows)
+            touched = sorted(name_to_rel[r["__file"]] for r in touched_rows)
             if not touched:
                 return read_version
             sub = {p: active[p] for p in touched}
-            keep = _dv_scan(spark, table_path, schema, sub).filter(
-                ~F.coalesce(F.expr(predicate), F.lit(False))
+            keep = _dv_scan(
+                spark, table_path, schema, sub, part_cols=part_cols
+            ).filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+            adds_staged = _stage_data_files(
+                keep, table_path, now_ms, part_cols or None
             )
-            adds_staged = _stage_data_files(keep, table_path, now_ms)
             actions = [
                 {
                     "remove": {
@@ -1005,8 +1111,10 @@ def merge_delta(
         read_version = table_version(table_path)
         if read_version < 0:
             raise FileNotFoundError(f"no Delta table at {table_path}")
-        schema_json, active = _replay(table_path)
-        schema = T.StructType.fromJson(json.loads(schema_json))
+        state = _replay_state(table_path)
+        schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
+        active = state.active
+        part_cols = state.meta.get("partitionColumns") or []
         cols = [f.name for f in schema.fields]
         now_ms = int(time.time() * 1000)
 
@@ -1032,7 +1140,10 @@ def merge_delta(
             # DV-aware scan: a row already deleted by a deletion
             # vector must neither mark its file "touched" nor survive
             # into the rewrite below
-            tgt = _dv_scan(spark, table_path, schema, active, keep_meta=True)
+            tgt = _dv_scan(
+                spark, table_path, schema, active, keep_meta=True,
+                part_cols=part_cols,
+            )
             skeys = src.select(*on).distinct()
             touched_rows = (
                 tgt.join(F.broadcast(skeys), on=on, how="leftsemi")
@@ -1040,7 +1151,9 @@ def merge_delta(
                 .distinct()
                 .collect()
             )
-            touched = sorted(r["__file"] for r in touched_rows)
+            # __file is the basename; active keys carry partition dirs
+            name_to_rel = {os.path.basename(p): p for p in active}
+            touched = sorted(name_to_rel[r["__file"]] for r in touched_rows)
         else:
             touched = []
 
@@ -1048,7 +1161,8 @@ def merge_delta(
         out_parts = []
         if touched:
             tt = _dv_scan(
-                spark, table_path, schema, {p: active[p] for p in touched}
+                spark, table_path, schema, {p: active[p] for p in touched},
+                part_cols=part_cols,
             ).alias(t_alias)
             joined = tt.join(
                 src.alias(s_alias),
@@ -1083,7 +1197,9 @@ def merge_delta(
             if touched:
                 tkeys = (
                     _dv_scan(
-                        spark, table_path, schema, {p: active[p] for p in touched}
+                        spark, table_path, schema,
+                        {p: active[p] for p in touched},
+                        part_cols=part_cols,
                     )
                     .select(*on)
                     .distinct()
@@ -1108,7 +1224,7 @@ def merge_delta(
             out = out_parts[0]
             for extra in out_parts[1:]:
                 out = out.unionByName(extra)
-            adds = _stage_data_files(out, table_path, now_ms)
+            adds = _stage_data_files(out, table_path, now_ms, part_cols or None)
 
         actions: list[dict] = [
             {
@@ -1215,8 +1331,10 @@ def optimize_delta(
         read_version = table_version(table_path)
         if read_version < 0:
             raise FileNotFoundError(f"no Delta table at {table_path}")
-        schema_json, active = _replay(table_path)
-        schema = T.StructType.fromJson(json.loads(schema_json))
+        state = _replay_state(table_path)
+        schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
+        active = state.active
+        part_cols = state.meta.get("partitionColumns") or []
         if zorder_by:
             victims = dict(active)
         else:
@@ -1235,7 +1353,7 @@ def optimize_delta(
         n_out = max(1, -(-total // target_file_size))
         now_ms = int(time.time() * 1000)
 
-        src = _dv_scan(spark, table_path, schema, victims)
+        src = _dv_scan(spark, table_path, schema, victims, part_cols=part_cols)
         if zorder_by:
             keyed = _morton_key(src, zorder_by)
             packed = (
@@ -1245,7 +1363,7 @@ def optimize_delta(
             )
         else:
             packed = src.repartition(n_out)
-        adds = _stage_data_files(packed, table_path, now_ms)
+        adds = _stage_data_files(packed, table_path, now_ms, part_cols or None)
         for a in adds:
             a["add"]["dataChange"] = False
 
@@ -1325,8 +1443,9 @@ def table_changes(
     commits = dict(_commit_files(table_path))
     if to_version is None:
         to_version = table_version(table_path)
-    schema_json, _ = _replay(table_path, to_version)
-    schema = T.StructType.fromJson(json.loads(schema_json))
+    end_state = _replay_state(table_path, to_version)
+    schema = T.StructType.fromJson(json.loads(end_state.meta["schemaString"]))
+    part_cols = end_state.meta.get("partitionColumns") or []
     cols = [f.name for f in schema.fields]
 
     frames: list[DataFrame] = []
@@ -1365,7 +1484,9 @@ def table_changes(
             )
 
         if plain_adds:
-            ins = _dv_scan(spark, table_path, schema, plain_adds).select(
+            ins = _dv_scan(
+                spark, table_path, schema, plain_adds, part_cols=part_cols
+            ).select(
                 *cols,
                 F.lit("insert").alias("_change_type"),
                 F.lit(v).alias("_commit_version"),
@@ -1395,8 +1516,8 @@ def table_changes(
             delta_del = new_del.withColumn(
                 "__dv_file", F.element_at(F.split("__dv_file", "/"), -1)
             )
-            scan = spark.read.schema(schema).parquet(
-                *[os.path.join(table_path, p) for p in dv_pairs]
+            scan = _scan_files(
+                spark, table_path, schema, list(dv_pairs), part_cols
             )
             keyed = scan.withColumns(
                 {
@@ -1480,7 +1601,11 @@ def update_delta(
         if not active:
             return read_version
 
-        live = _dv_scan(spark, table_path, schema, active, keep_meta=True)
+        part_cols = state.meta.get("partitionColumns") or []
+        live = _dv_scan(
+            spark, table_path, schema, active, keep_meta=True,
+            part_cols=part_cols,
+        )
         matched = live.filter(F.expr(predicate))
 
         # new rows: matched with SET applied (cast back to the column type)
@@ -1494,13 +1619,17 @@ def update_delta(
                 for c in cols
             ]
         )
-        adds_staged = _stage_data_files(updated, table_path, now_ms)
+        adds_staged = _stage_data_files(
+            updated, table_path, now_ms, part_cols or None
+        )
         if not adds_staged:
             return read_version
 
-        # DVs for the matched rows' OLD positions (union with existing)
+        # DVs for the matched rows' OLD positions (union with existing).
+        # __file is the basename; active keys are table-relative paths
+        name_to_rel = {os.path.basename(p): p for p in active}
         old_descs = {
-            p: a["deletionVector"]
+            os.path.basename(p): a["deletionVector"]
             for p, a in active.items()
             if a.get("deletionVector")
         }
@@ -1539,7 +1668,9 @@ def update_delta(
                 except FileNotFoundError:
                     pass
             return read_version
-        touched_descs = {r["path"]: json.loads(r["desc_json"]) for r in desc_rows}
+        touched_descs = {
+            name_to_rel[r["path"]]: json.loads(r["desc_json"]) for r in desc_rows
+        }
         new_dv_files = [
             os.path.join(table_path, _dv_sidecar_name(d))
             for d in touched_descs.values()

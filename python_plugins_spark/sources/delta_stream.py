@@ -54,10 +54,18 @@ class DeltaStreamSource(DataSource):
         return "delta_py_stream"
 
     def schema(self) -> T.StructType:
-        from .delta_py import _replay
+        from .delta_py import _replay_state
 
-        schema_json, _ = _replay(self.options["path"])
-        base = T.StructType.fromJson(json.loads(schema_json))
+        state = _replay_state(self.options["path"])
+        if state.meta.get("partitionColumns"):
+            # partitioned data files OMIT the partition columns; the
+            # per-file pyarrow read tasks would emit misaligned rows
+            raise NotImplementedError(
+                "delta_py_stream does not support hive-partitioned "
+                "tables yet (partition columns live in dir names, not "
+                "the data files)"
+            )
+        base = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
         if str(self.options.get("readchangefeed", "false")).lower() == "true":
             return T.StructType(
                 base.fields

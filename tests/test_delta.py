@@ -751,3 +751,65 @@ def test_delta_restore_preserves_history_and_refuses_vacuumed(spark):
         restore_delta(spark, path, 1)
     assert read_delta(spark, path).count() == 100
     assert table_version(path) == 4
+
+
+# ------------------------------------------------- partitioned tables
+
+def test_delta_partitioned_lifecycle(spark):
+    """partition_by writes hive dirs + partitionValues; appends inherit
+    (and mismatches raise); prune eliminates partitions; DV delete,
+    UPDATE, MERGE, OPTIMIZE, and VACUUM all compose with the layout."""
+    import pytest
+
+    from python_plugins_spark.sources.delta_py import (
+        _replay_state,
+        delete_delta,
+        merge_delta,
+        optimize_delta,
+        read_delta,
+        update_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    path = _fresh("delta_part1")
+    df = spark.range(0, 800).selectExpr(
+        "id", "id % 4 as grp", "cast(id as double) as v"
+    )
+    write_delta(df, path, "overwrite", partition_by=["grp"])
+    st = _replay_state(path)
+    assert st.meta["partitionColumns"] == ["grp"]
+    assert all("grp" in a["partitionValues"] for a in st.active.values())
+    back = read_delta(spark, path)
+    assert back.columns == ["id", "grp", "v"] and back.count() == 800
+
+    with pytest.raises(ValueError, match="partitioned by"):
+        write_delta(df.limit(1), path, "append", partition_by=["id"])
+    write_delta(df.filter("id < 4"), path, "append")  # inherits ['grp']
+
+    pruned = read_delta(spark, path, prune={"grp": (2, 2)})
+    assert len(pruned.inputFiles()) < len(_replay_state(path).active)
+    assert pruned.filter("grp != 2").count() == 0
+
+    delete_delta(spark, path, "grp = 1 and id < 200", mode="dv")
+    # base 800 rows + 4 appended (ids 0..3); grp=1&id<200 matches 50
+    # base rows + appended id=1 -> 51 deleted
+    n_after = read_delta(spark, path).count()
+    assert n_after == 804 - 51
+
+    update_delta(spark, path, "grp = 3", {"v": "v * -1"})
+    b = read_delta(spark, path)
+    assert b.filter("grp = 3 and v > 0").count() == 0
+    assert b.filter("grp = 2 and v < 0").count() == 0
+
+    src = spark.range(798, 810).selectExpr(
+        "id", "id % 4 as grp", "cast(-5.0 as double) as v"
+    )
+    merge_delta(spark, src, path, on=["id"])
+    b2 = read_delta(spark, path)
+    assert b2.filter("id >= 798 and v != -5.0").count() == 0
+
+    n_before_opt = b2.count()
+    optimize_delta(spark, path)
+    vacuum_delta(path, retention_hours=0)
+    assert read_delta(spark, path).count() == n_before_opt
