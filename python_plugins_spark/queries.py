@@ -2496,6 +2496,53 @@ def delta_restore_read(spark, sf_dir):
 
 
 @register(
+    "delta_snapshot_diff",
+    oracle="""
+    SELECT o_orderkey, 'removed' AS _diff FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, 'changed' AS _diff FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_orderkey % 7 <> 0
+          AND o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, 'added' AS _diff FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def delta_snapshot_diff(spark, sf_dir):
+    """Semantic diff of two table versions (sources/delta_py.py
+    snapshot_diff): compares STATES, not log actions, so it covers
+    in-place rewrites the change feed refuses — one full outer join on
+    the key with null-safe value comparison classifying each key as
+    added / removed / changed. Here v0 holds the even orders; v3 has
+    deleted the %7 keys, doubled the urgent totals (UPDATE), and
+    appended the odds — the diff must recover exactly those three
+    sets."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        delete_delta,
+        snapshot_diff,
+        update_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = os.path.join(_SCRATCH, f"delta_diff_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 0), path, mode="overwrite")  # v0
+    delete_delta(spark, path, "o_orderkey % 7 = 0", mode="dv")                   # v1
+    update_delta(
+        spark, path, "o_orderpriority = '1-URGENT'",
+        {"o_totalprice": "o_totalprice * 2"},
+    )                                                                            # v2
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append")     # v3
+    return snapshot_diff(spark, path, 0, 3, ["o_orderkey"])
+
+
+@register(
     "delta_incremental_view_maintenance",
     oracle="""
     SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total

@@ -1796,3 +1796,50 @@ def restore_delta(spark: SparkSession, table_path: str, version: int) -> int:
             table_path, new_version, _replay_state(table_path, new_version)
         )
     return new_version
+
+
+# --------------------------------------------------------------- diff
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_path: str,
+    version_a: int,
+    version_b: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Semantic row diff between two snapshots, keyed by ``key_cols``:
+    returns ``(key..., _diff)`` with ``_diff`` in
+    'added' | 'removed' | 'changed'. Works for ANY commit history —
+    including the in-place rewrites :func:`table_changes` refuses —
+    because it compares table STATES, not log actions: one full outer
+    join of the two snapshot reads on the key, with non-key columns
+    compared null-safely. Cost is O(both snapshots) (the price of not
+    having derivable changes; prefer the CDF when the history allows
+    it)."""
+    from pyspark.sql import functions as F
+
+    a = read_delta(spark, table_path, version_as_of=version_a).alias("a")
+    b = read_delta(spark, table_path, version_as_of=version_b).alias("b")
+    val_cols = [c for c in a.columns if c not in key_cols]
+    cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
+    joined = a.join(b, on=cond, how="full_outer")
+    a_present = F.col(f"a.{key_cols[0]}").isNotNull()
+    b_present = F.col(f"b.{key_cols[0]}").isNotNull()
+    same = F.lit(True)
+    for c in val_cols:
+        same = same & F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+    diff = (
+        F.when(~a_present, F.lit("added"))
+        .when(~b_present, F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        joined.select(
+            *[
+                F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k)
+                for k in key_cols
+            ],
+            diff.alias("_diff"),
+        )
+        .filter(F.col("_diff").isNotNull())
+    )
