@@ -229,3 +229,113 @@ def boilerplate_ngrams_oracle_sql(
         SELECT gram, count(DISTINCT {id_col}) AS n_docs
         FROM _sh GROUP BY gram HAVING count(DISTINCT {id_col}) >= {min_docs}
     """
+
+
+# Gopher quality-filter rules (public "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher" paper, Rae et al.
+# 2021, Table A1) — the deterministic subset, with the exact constants
+# as the operator contract:
+GOPHER_STOP_SET = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document Gopher filter verdicts: one boolean per rule plus
+    the conjunction. Rules (paper constants):
+
+    - ``ok_word_count``: 50 <= #words <= 100000
+    - ``ok_mean_word_len``: 3 <= mean word length <= 10
+    - ``ok_symbol_ratio``: (# '#' occurrences + # '...' occurrences)
+      / #words <= 0.1
+    - ``ok_bullet_lines``: <= 90% of lines start with a bullet
+      ('-' or '*')
+    - ``ok_ellipsis_lines``: <= 30% of lines end with '...'
+    - ``ok_alpha_words``: >= 80% of words contain a letter
+    - ``ok_stopwords``: contains >= 2 distinct words of
+      {the, be, to, of, and, that, have, with}
+
+    All expression-level (array HOFs — linear per document, no UDFs,
+    no shuffle: a pure projection pass that composes with any
+    filter/sample downstream)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_w = F.size(toks).cast("double")
+    mean_wl = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        .cast("double") / n_w
+    )
+    n_hash = F.size(F.split(t, "#", -1)) - 1
+    n_ell = F.size(F.split(t, r"\.\.\.", -1)) - 1
+    lines = F.split(t, "\n", -1)
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike("^[-*]"))).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike("\\.\\.\\.$"))).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("double") / n_w
+    )
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOP_SET])
+    n_stops = F.size(F.array_intersect(toks, stop_arr))
+
+    rules = {
+        "ok_word_count": (n_w >= 50) & (n_w <= 100000),
+        "ok_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "ok_symbol_ratio": ((n_hash + n_ell).cast("double") / n_w) <= 0.1,
+        "ok_bullet_lines": bullet_frac <= 0.9,
+        "ok_ellipsis_lines": ellipsis_frac <= 0.3,
+        "ok_alpha_words": alpha_frac >= 0.8,
+        "ok_stopwords": n_stops >= 2,
+    }
+    passes = None
+    for c in rules.values():
+        passes = c if passes is None else (passes & c)
+    return df.select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in rules.items()],
+        passes.alias("passes_gopher"),
+    )
+
+
+def gopher_rules_oracle_sql(table: str, text_col: str, id_col: str) -> str:
+    toks = O.sql_tokens(text_col)
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOP_SET)
+    return f"""
+        WITH _t AS (SELECT {id_col}, {text_col} AS txt, {toks} AS t FROM {table}),
+        _m AS (
+          SELECT {id_col},
+            len(t)::DOUBLE AS n_w,
+            list_reduce(list_transform(t, x -> length(x)), (a, b) -> a + b)::DOUBLE
+              / len(t) AS mean_wl,
+            (length(txt) - length(replace(txt, '#', ''))) AS n_hash,
+            (length(txt) - length(replace(txt, '...', ''))) / 3 AS n_ell,
+            str_split(txt, chr(10)) AS lines,
+            len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+              / len(t) AS alpha_frac,
+            len(list_intersect(t, [{stops}])) AS n_stops
+          FROM _t
+        )
+        SELECT {id_col},
+          (n_w >= 50 AND n_w <= 100000) AS ok_word_count,
+          (mean_wl >= 3.0 AND mean_wl <= 10.0) AS ok_mean_word_len,
+          ((n_hash + n_ell)::DOUBLE / n_w <= 0.1) AS ok_symbol_ratio,
+          (len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*]')))::DOUBLE
+             / len(lines) <= 0.9) AS ok_bullet_lines,
+          (len(list_filter(lines, l -> regexp_matches(rtrim(l), '\\.\\.\\.$')))::DOUBLE
+             / len(lines) <= 0.3) AS ok_ellipsis_lines,
+          (alpha_frac >= 0.8) AS ok_alpha_words,
+          (n_stops >= 2) AS ok_stopwords,
+          ((n_w >= 50 AND n_w <= 100000)
+           AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+           AND ((n_hash + n_ell)::DOUBLE / n_w <= 0.1)
+           AND (len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*]')))::DOUBLE
+                  / len(lines) <= 0.9)
+           AND (len(list_filter(lines, l -> regexp_matches(rtrim(l), '\\.\\.\\.$')))::DOUBLE
+                  / len(lines) <= 0.3)
+           AND (alpha_frac >= 0.8)
+           AND (n_stops >= 2)) AS passes_gopher
+        FROM _m
+    """

@@ -2761,6 +2761,21 @@ def repeated_ngram_spans_docs(spark, sf_dir):
 
 
 @register(
+    "gopher_quality_rules_docs",
+    oracle=TX.gopher_rules_oracle_sql("documents", "text", "doc_id"),
+)
+def gopher_quality_rules_docs(spark, sf_dir):
+    """Gopher quality-filter verdicts (operators/text.py gopher_rules;
+    public Rae et al. 2021 Table A1 constants): per-document booleans
+    for word count, mean word length, symbol ratio, bullet/ellipsis
+    line fractions, alphabetic-word fraction, and the stopword
+    requirement, plus the conjunction — the standard pre-training
+    corpus gate, as a pure projection pass."""
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.gopher_rules(docs, "text", "doc_id")
+
+
+@register(
     "mask_repeated_spans_docs",
     oracle=D.mask_repeated_spans_oracle_sql("documents", "text", "doc_id", 8, 2),
 )
