@@ -961,3 +961,34 @@ def expire_snapshots(
         "expired": [s["snapshot-id"] for s in expired],
         "deleted": to_delete,
     }
+
+
+# ------------------------------------------------- compaction
+
+def rewrite_data_files(
+    spark: SparkSession, path: str, target_parts: int | None = None
+) -> dict:
+    """Iceberg maintenance twin of Delta OPTIMIZE: materialize the
+    current snapshot (all merge-on-read position/equality deletes
+    APPLIED) into fresh data files and commit them as a new snapshot
+    with an empty delete-file stack — the "purge" point that keeps the
+    read-side anti-join layers from accumulating forever. Prior
+    snapshots remain readable until :func:`expire_snapshots`.
+
+    Returns ``{"snapshot_id", "files_before", "delete_files_before",
+    "files_after"}``."""
+    files_before = plan_files(path)
+    dels_before = plan_delete_files(path)
+    meta = _load_metadata(path)
+    part_field = (meta["partition-specs"][0]["fields"] or [{}])[0].get("name")
+
+    df = read_iceberg(spark, path)
+    if target_parts:
+        df = df.repartition(target_parts)
+    snap = write_iceberg(df, path, mode="overwrite", partition_by=part_field)
+    return {
+        "snapshot_id": snap,
+        "files_before": len(files_before),
+        "delete_files_before": len(dels_before),
+        "files_after": len(plan_files(path)),
+    }

@@ -287,3 +287,64 @@ def test_iceberg_expire_snapshots_reachability(spark):
     assert res2["expired"] == [1]
     assert not any(f.startswith("data/") for f in res2["deleted"])
     assert read_iceberg(spark, path2).count() == 20
+
+
+def test_iceberg_rewrite_data_files_purges_deletes(spark):
+    """Compaction materializes the delete-applied snapshot into fresh
+    files: rows identical, delete-file stack empty, old snapshot still
+    time-travelable."""
+    from python_plugins_spark.sources.iceberg_py import (
+        delete_iceberg,
+        equality_delete_iceberg,
+        plan_delete_files,
+        read_iceberg,
+        rewrite_data_files,
+        write_iceberg,
+    )
+
+    path = _fresh("ice_rw1")
+    df = spark.range(0, 1000).selectExpr("id", "id % 5 as k")
+    write_iceberg(df.repartition(4), path, mode="overwrite")
+    delete_iceberg(spark, path, "k = 0")
+    equality_delete_iceberg(spark, path, spark.createDataFrame([(3,)], ["k"]))
+    before = read_iceberg(spark, path).count()
+    assert before == 600 and len(plan_delete_files(path)) == 2
+
+    res = rewrite_data_files(spark, path, target_parts=2)
+    assert plan_delete_files(path) == []
+    after = read_iceberg(spark, path)
+    assert after.count() == before
+    assert after.filter("k in (0, 3)").count() == 0
+    assert res["delete_files_before"] == 2
+    # pre-compaction snapshot still readable with its deletes applied
+    assert read_iceberg(spark, path, snapshot_id=3).count() == 600
+
+
+def test_iceberg_partitioned_with_row_deletes(spark):
+    """Position + equality deletes compose with identity-partitioned
+    tables (partition col reconstructed via basePath; delete files
+    target partition-dir-relative paths)."""
+    from python_plugins_spark.sources.iceberg_py import (
+        delete_iceberg,
+        equality_delete_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = _fresh("ice_pdel1")
+    df = spark.range(0, 900).selectExpr(
+        "id", "concat('g', id % 3) as grp", "cast(id as double) as v"
+    )
+    write_iceberg(df, path, mode="overwrite", partition_by="grp")
+    delete_iceberg(spark, path, "grp = 'g1' and id < 300")
+    n1 = read_iceberg(spark, path).count()
+    assert n1 == 900 - df.filter("grp = 'g1' and id < 300").count()
+    equality_delete_iceberg(
+        spark, path, spark.createDataFrame([("g2",)], ["grp"])
+    )
+    back = read_iceberg(spark, path)
+    assert back.filter("grp = 'g2'").count() == 0
+    assert back.count() == n1 - 300
+    # partition pruning still works on the survivors
+    pruned = read_iceberg(spark, path, eq={"grp": "g0"})
+    assert pruned.filter("grp != 'g0'").count() == 0
