@@ -2496,6 +2496,54 @@ def delta_restore_read(spark, sf_dir):
 
 
 @register(
+    "lakehouse_pipeline_end_to_end",
+    oracle="""
+    SELECT lang, count(*) AS n, sum(n_chars) AS chars,
+           sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS curated
+    FROM documents WHERE n_chars >= 200
+    GROUP BY lang
+    """,
+)
+def lakehouse_pipeline_end_to_end(spark, sf_dir):
+    """One pipeline through the round's whole lakehouse surface, with
+    the final snapshot oracle-checked against plain SQL: documents land
+    as a lang-partitioned Delta table; a quality gate DV-deletes short
+    docs (merge-on-read — no rewrite); an UPDATE re-labels one
+    partition's source in a single DV+append commit; OPTIMIZE purges
+    the DVs physically; VACUUM reclaims the dead files and sidecars;
+    and the surviving snapshot aggregates per lang. Every maintenance
+    step must be row-invisible except the two intended mutations."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        delete_delta,
+        optimize_delta,
+        read_delta,
+        update_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = os.path.join(_SCRATCH, f"lakehouse_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(docs, path, mode="overwrite", partition_by=["lang"])
+    delete_delta(spark, path, "n_chars < 200", mode="dv")
+    update_delta(spark, path, "lang = 'de'", {"source": "'curated'"})
+    optimize_delta(spark, path)
+    vacuum_delta(path, retention_hours=0)
+    back = read_delta(spark, path)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.when(F.col("source") == "curated", 1).otherwise(0)).alias("curated"),
+    )
+
+
+@register(
     "delta_snapshot_diff",
     oracle="""
     SELECT o_orderkey, 'removed' AS _diff FROM orders

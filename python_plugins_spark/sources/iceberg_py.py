@@ -992,3 +992,37 @@ def rewrite_data_files(
         "delete_files_before": len(dels_before),
         "files_after": len(plan_files(path)),
     }
+
+
+def remove_orphan_files(
+    path: str, older_than_hours: float = 72.0, dry_run: bool = False
+) -> list[str]:
+    """Iceberg's remove-orphan-files action: delete files under
+    ``data/`` referenced by NO snapshot (debris from writers that
+    crashed between staging and metadata publication). Only files
+    older than ``older_than_hours`` (mtime) are removed, so an
+    in-flight writer's freshly staged files survive — the same safety
+    window the reference action uses. Returns the deleted
+    table-relative paths."""
+    meta = _load_metadata(path)
+    referenced: set[str] = set()
+    for s in meta.get("snapshots", []):
+        for ml in read_container(os.path.join(path, s["manifest-list"])):
+            for e in read_container(os.path.join(path, ml[0])):
+                referenced.add(e[1])
+    cutoff = time.time() - older_than_hours * 3600.0
+    deleted = []
+    data_root = os.path.join(path, _DATA_DIR)
+    for root, dirs, files in os.walk(data_root):
+        dirs[:] = [d for d in dirs if not d.startswith(".staging")]
+        for f in files:
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, path)
+            if rel in referenced:
+                continue
+            if os.path.getmtime(full) > cutoff:
+                continue
+            if not dry_run:
+                os.remove(full)
+            deleted.append(rel)
+    return sorted(deleted)

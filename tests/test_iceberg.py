@@ -348,3 +348,33 @@ def test_iceberg_partitioned_with_row_deletes(spark):
     # partition pruning still works on the survivors
     pruned = read_iceberg(spark, path, eq={"grp": "g0"})
     assert pruned.filter("grp != 'g0'").count() == 0
+
+
+def test_iceberg_remove_orphan_files(spark):
+    """Unreferenced data files older than the safety window are
+    removed; referenced files and fresh debris survive."""
+    import os as _os
+    import time as _time
+
+    from python_plugins_spark.sources.iceberg_py import (
+        read_iceberg,
+        remove_orphan_files,
+        write_iceberg,
+    )
+
+    path = _fresh("ice_orph1")
+    write_iceberg(spark.range(100).selectExpr("id"), path, "overwrite")
+
+    # plant an old orphan and a fresh one
+    old_orphan = _os.path.join(path, "data", "orphan-old.parquet")
+    new_orphan = _os.path.join(path, "data", "orphan-new.parquet")
+    for p in (old_orphan, new_orphan):
+        with open(p, "wb") as fh:
+            fh.write(b"junk")
+    _os.utime(old_orphan, (_time.time() - 100 * 3600,) * 2)
+
+    assert remove_orphan_files(path, dry_run=True) == ["data/orphan-old.parquet"]
+    deleted = remove_orphan_files(path)
+    assert deleted == ["data/orphan-old.parquet"]
+    assert _os.path.exists(new_orphan)
+    assert read_iceberg(spark, path).count() == 100
