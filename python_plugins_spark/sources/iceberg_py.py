@@ -966,7 +966,10 @@ def expire_snapshots(
 # ------------------------------------------------- compaction
 
 def rewrite_data_files(
-    spark: SparkSession, path: str, target_parts: int | None = None
+    spark: SparkSession,
+    path: str,
+    target_parts: int | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Iceberg maintenance twin of Delta OPTIMIZE: materialize the
     current snapshot (all merge-on-read position/equality deletes
@@ -974,6 +977,13 @@ def rewrite_data_files(
     with an empty delete-file stack — the "purge" point that keeps the
     read-side anti-join layers from accumulating forever. Prior
     snapshots remain readable until :func:`expire_snapshots`.
+
+    ``zorder_by`` range-partitions and sorts the rewrite on the Morton
+    interleave of the given columns (reusing delta_py's encoder), so
+    each output file covers a tight hyper-rectangle and the manifests'
+    per-column bounds make :func:`plan_files` ``ranges=`` pruning
+    selective on multi-column predicates — Iceberg's sort-order
+    rewrite.
 
     Returns ``{"snapshot_id", "files_before", "delete_files_before",
     "files_after"}``."""
@@ -983,7 +993,17 @@ def rewrite_data_files(
     part_field = (meta["partition-specs"][0]["fields"] or [{}])[0].get("name")
 
     df = read_iceberg(spark, path)
-    if target_parts:
+    if zorder_by:
+        from .delta_py import _morton_key
+
+        n_out = target_parts or 8
+        df = (
+            _morton_key(df, zorder_by)
+            .repartitionByRange(n_out, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    elif target_parts:
         df = df.repartition(target_parts)
     snap = write_iceberg(df, path, mode="overwrite", partition_by=part_field)
     return {

@@ -378,3 +378,34 @@ def test_iceberg_remove_orphan_files(spark):
     assert deleted == ["data/orphan-old.parquet"]
     assert _os.path.exists(new_orphan)
     assert read_iceberg(spark, path).count() == 100
+
+
+def test_iceberg_zorder_rewrite_enables_range_pruning(spark):
+    """A z-ordered rewrite clusters the 2-D space so manifest bounds
+    prune most files for a selective box; the pruned read stays
+    exact."""
+    from python_plugins_spark.sources.iceberg_py import (
+        plan_files,
+        read_iceberg,
+        rewrite_data_files,
+        write_iceberg,
+    )
+
+    path = _fresh("ice_z1")
+    df = spark.range(0, 20000).selectExpr(
+        "id", "cast(hash(id) % 1000 as long) as x",
+        "cast(hash(id + 7) % 1000 as long) as y",
+    )
+    write_iceberg(df.repartition(8), path, mode="overwrite")
+    res = rewrite_data_files(spark, path, target_parts=8, zorder_by=["x", "y"])
+    assert res["files_after"] >= 4
+    box = {"x": (0, 100), "y": (0, 100)}
+    pruned = plan_files(path, ranges=box)
+    assert 0 < len(pruned) < res["files_after"], "z-order pruning failed"
+    got = (
+        read_iceberg(spark, path, ranges=box)
+        .filter("x between 0 and 100 and y between 0 and 100")
+        .count()
+    )
+    want = df.filter("x between 0 and 100 and y between 0 and 100").count()
+    assert got == want
