@@ -3944,6 +3944,86 @@ def string_agg_ordered(spark, sf_dir):
     )
 
 
+def _scd2_history(spark, sf_dir):
+    """Shared SCD Type-2 build over the events change stream (see
+    scd2_history_events)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("valid_from", _ts(F.col("ts")))
+        .withColumn("valid_to", _ts(F.lead("ts").over(w)))
+        .withColumn(
+            "is_current", F.lead("ts").over(w).isNull()
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            "valid_from",
+            "valid_to",
+            "is_current",
+        )
+    )
+
+
+@register(
+    "scd2_history_events",
+    oracle=f"""
+    SELECT user_id, event_type, round(value, 4) AS value,
+           strftime(ts, '{_STRF}') AS valid_from,
+           strftime(lead(ts) OVER w, '{_STRF}') AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type
+                 ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def scd2_history_events(spark, sf_dir):
+    """SCD Type 2 (slowly-changing-dimension history): every change to
+    a (user, event_type) key becomes a versioned row with
+    [valid_from, valid_to) validity and an is_current flag — the
+    warehouse pattern that preserves full history instead of
+    overwriting (the temporal complement of cdc_upsert_latest's
+    latest-wins compaction). One shuffle on the key; both window
+    passes (valid_to + is_current) share the partitioning."""
+    return _scd2_history(spark, sf_dir)
+
+
+@register(
+    "scd2_as_of_lookup",
+    oracle=f"""
+    WITH h AS (
+      SELECT user_id, event_type, round(value, 4) AS value, ts AS vf,
+             lead(ts) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts ASC, event_id ASC) AS vt
+      FROM events
+    )
+    SELECT user_id, event_type, value
+    FROM h
+    WHERE vf <= TIMESTAMP '2024-03-01 00:00:00'
+      AND (vt IS NULL OR vt > TIMESTAMP '2024-03-01 00:00:00')
+    """,
+)
+def scd2_as_of_lookup(spark, sf_dir):
+    """Point-in-time lookup against the SCD2 history: the dimension
+    state as of one instant — each key's single row whose validity
+    interval covers the probe time. This is what 'train on the corpus
+    exactly as it stood on date X' compiles to against a versioned
+    dimension."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    probe = F.lit("2024-03-01 00:00:00").cast("timestamp")
+    h = ev.withColumn("vt", F.lead("ts").over(w))
+    return (
+        h.filter((F.col("ts") <= probe) & (F.col("vt").isNull() | (F.col("vt") > probe)))
+        .select("user_id", "event_type", F.round("value", 4).alias("value"))
+    )
+
+
 @register(
     "cdc_upsert_latest",
     oracle="""
