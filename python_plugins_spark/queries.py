@@ -2808,6 +2808,24 @@ def repeated_ngram_spans_docs(spark, sf_dir):
     return D.repeated_ngram_spans(docs, "text", "doc_id", n=8, min_dups=2)
 
 
+@register("bpe_train_merges_docs")  # rows-only: iterative argmax loop
+def bpe_train_merges_docs(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/tokenizer.py,
+    public Sennrich et al. 2016 algorithm): ONE corpus pass builds the
+    weighted distinct-word table; 12 merge rounds then run tiny
+    aggregate+rewrite jobs over that vocabulary-sized table — N merges
+    never rescan the corpus, which is what makes tokenizer training
+    feasible at 100 TB. Deterministic (count desc, pair asc
+    tie-break); verified against a pure-Python reference
+    implementation in tests (no SQL oracle: an iterative argmax is not
+    one DuckDB query — rows-only entry like IVF ANN)."""
+    docs = load_table(spark, "documents", sf_dir)
+    from python_plugins_spark.operators.tokenizer import bpe_train
+
+    _merges, mdf = bpe_train(docs, "text", 12)
+    return mdf
+
+
 @register(
     "gopher_quality_rules_docs",
     oracle=TX.gopher_rules_oracle_sql("documents", "text", "doc_id"),

@@ -650,3 +650,33 @@ def test_mask_repeated_spans_reassembly(spark):
     assert out[3].clean_text == "" and out[3].n_tokens == 0 and out[3].n_removed == 5
     assert out[4].clean_text == "unique content stays completely intact here ok"
     assert out[4].n_removed == 0
+
+
+def test_bpe_train_matches_reference_and_encodes(spark):
+    """Distributed BPE training equals the pure-Python reference
+    (same merges, same order, same tie-breaks) and the encoder applies
+    merges greedily left-to-right."""
+    from python_plugins_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_train,
+        bpe_train_reference,
+    )
+
+    texts = [
+        "low low low low low",
+        "lower lower widest widest widest",
+        "newest newest newest newest newest newest",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    merges, mdf = bpe_train(df, "text", 8)
+    assert merges == bpe_train_reference(texts, 8)
+    ranks = [r.rank for r in mdf.orderBy("rank").collect()]
+    assert ranks == list(range(8))
+
+    enc = {r.doc_id: r for r in bpe_encode(df, "text", "doc_id", merges).collect()}
+    assert enc[0].pieces == ["low", "</w>"] * 5
+    assert enc[2].pieces == ["newest</w>"] * 6
+    # unseen word falls back to smaller pieces, never fails
+    df2 = spark.createDataFrame([(9, "lowest slow")], ["doc_id", "text"])
+    out = bpe_encode(df2, "text", "doc_id", merges).collect()[0]
+    assert "".join(out.pieces).replace("</w>", " ").strip() == "lowest slow"
