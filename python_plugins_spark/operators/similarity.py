@@ -499,3 +499,217 @@ def lsh_buckets(
             f"(CASE WHEN {dot} >= 0 THEN {1 << i}L ELSE 0L END)"
         )
     return df.select(F.col(id_col), F.expr(" + ".join(bits)).alias("bucket"))
+
+
+# ------------------------------------------- product quantization (PQ)
+
+def pq_train_codebooks(
+    df, vec_col: str, dim: int, m: int = 8, k: int = 16, iters: int = 5,
+    sample_rows: int = 20000, seed: int = 42,
+):
+    """Train product-quantization codebooks (public Jégou et al. 2011
+    scheme): split the ``dim``-dim space into ``m`` subspaces and run
+    k-means (k=``k``) in each. Returns an (m, k, dim/m) numpy array.
+
+    Training runs on a deterministic hash-ordered sample collected to
+    the driver — codebook fitting is a tiny dense problem (the sample
+    is bounded by ``sample_rows``); the ENCODE/SEARCH passes, which
+    touch the full corpus, stay distributed. Seeded k-means++-style
+    init from the sample's own rows keeps it deterministic."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sample = (
+        df.select(vec_col)
+        .orderBy(F.md5(F.col(vec_col).cast("string")))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, k, sub))
+    for mi in range(m):
+        Xi = X[:, mi * sub : (mi + 1) * sub]
+        idx = rng.choice(len(Xi), size=k, replace=False)
+        C = Xi[idx].copy()
+        for _ in range(iters):
+            d = ((Xi[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    C[c] = Xi[mask].mean(axis=0)
+        books[mi] = C
+    return books
+
+
+def pq_encode(df, id_col: str, vec_col: str, books):
+    """Encode vectors as m-byte PQ codes: (id, code array<int>). The
+    codebooks ship as a broadcast-sized closure constant (m*k*sub
+    floats); encoding is one distributed Arrow pass — at 100 TB this
+    is the compression step that turns a 256-byte float64[32] into
+    m bytes (here 8 ints), a 32x memory cut for ANN serving."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m, k, sub = books.shape
+    B = books.copy()
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("code", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            vecs = np.array(list(pdf["v"]), dtype=np.float64)
+            codes = np.zeros((len(vecs), m), dtype=np.int32)
+            for mi in range(m):
+                Xi = vecs[:, mi * sub : (mi + 1) * sub]
+                d = ((Xi[:, None, :] - B[mi][None, :, :]) ** 2).sum(axis=2)
+                codes[:, mi] = d.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "code": list(codes)})
+
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .mapInPandas(enc, schema)
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def pq_topk(
+    df_codes, queries_df, id_col: str, vec_col: str, books, kk: int = 10,
+    rerank_vectors=None,
+):
+    """Asymmetric-distance PQ search: each query builds its m x k
+    lookup table of exact subspace distances to every centroid, then a
+    code's approximate distance is m table lookups — no vector
+    reconstruction, no float math per candidate beyond the adds. One
+    distributed pass over the code table per query batch; queries ship
+    with their LUTs through the closure-free grid join below.
+
+    With ``rerank_vectors`` (a frame holding the original vectors)
+    the ADC pass becomes a SHORTLIST (kk*10 per query) that an exact
+    distributed re-rank then orders — the standard PQ serving shape:
+    codes prune ~99% of the corpus, exact math touches only the
+    shortlist. Returns (query_id, neighbor_id, adist, rk) with rk by
+    (distance asc, neighbor_id asc). Approximate by construction —
+    recall is asserted against exact search in tests, like IVF."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    m, k, sub = books.shape
+    B = books.copy()
+
+    q_rows = queries_df.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    # m x k exact subspace distances per query, shipped as a task const
+    luts = np.zeros((len(Q), m, k))
+    for mi in range(m):
+        Qi = Q[:, mi * sub : (mi + 1) * sub]
+        luts[:, mi, :] = ((Qi[:, None, :] - B[mi][None, :, :]) ** 2).sum(axis=2)
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("adist", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            codes = np.array(list(pdf["code"]), dtype=np.int64)  # n x m
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(q_ids)):
+                lut = luts[qi]  # m x k
+                d = lut[np.arange(m)[None, :], codes].sum(axis=1)
+                # per-batch cap must be the SHORTLIST size: a
+                # batch-local top-k smaller than the global shortlist
+                # silently drops candidates at batch boundaries
+                top = np.argsort(d, kind="stable")[: kk * 10]
+                out_q.extend([q_ids[qi]] * len(top))
+                out_n.extend(ids[top])
+                out_d.extend(d[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adist": out_d}
+            )
+
+    cand = (
+        df_codes.select(F.col(id_col).alias("id"), "code")
+        .mapInPandas(score, schema)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    if rerank_vectors is None:
+        return (
+            cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= kk)
+            .select(
+                "query_id", "neighbor_id",
+                F.round("adist", 6).alias("adist"), "rk",
+            )
+        )
+
+    # exact re-rank of the ADC shortlist (the standard PQ serving
+    # shape: codes prune 99% of the corpus, exact math runs only on
+    # the shortlist — distributed equi-join on neighbor_id)
+    shortlist = cand.withColumn("srk", F.row_number().over(w)).filter(
+        F.col("srk") <= kk * 10
+    )
+    vecs = rerank_vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    q_map = {int(q): Q[i] for i, q in enumerate(q_ids)}
+
+    rs = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("dist", T.DoubleType()),
+        ]
+    )
+
+    def exact(batches):
+        for pdf in batches:
+            qv = np.array([q_map[int(q)] for q in pdf["query_id"]])
+            nv = np.array(list(pdf["nv"]), dtype=np.float64)
+            d = ((qv - nv) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "dist": d,
+                }
+            )
+
+    reranked = (
+        shortlist.join(vecs, on="neighbor_id")
+        .select("query_id", "neighbor_id", "nv")
+        .mapInPandas(exact, rs)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= kk)
+        .select("query_id", "neighbor_id", F.round("dist", 6).alias("adist"), "rk")
+    )

@@ -2808,6 +2808,32 @@ def repeated_ngram_spans_docs(spark, sf_dir):
     return D.repeated_ngram_spans(docs, "text", "doc_id", n=8, min_dups=2)
 
 
+@register("pq_ann_topk_rerank")  # rows-only: approximate by design
+def pq_ann_topk_rerank(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py, public
+    Jégou et al. 2011): 64-dim embeddings compress to 8 one-byte codes
+    (32x memory cut — the difference between an in-RAM and an on-disk
+    corpus index at 100 TB), queries score codes via per-query lookup
+    tables (asymmetric distance), and an exact distributed re-rank
+    orders the kk*10 shortlist — codes prune ~99% of the corpus,
+    exact math touches only the shortlist. Approximate by design;
+    recall vs exact search asserted in tests (like IVF)."""
+    from python_plugins_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = pq_train_codebooks(emb, "embedding", dim=64, m=8, k=16)
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    queries = emb.orderBy("vec_id").limit(20)
+    return pq_topk(
+        codes, queries, "vec_id", "embedding", books, kk=10,
+        rerank_vectors=emb,
+    )
+
+
 @register("bpe_train_merges_docs")  # rows-only: iterative argmax loop
 def bpe_train_merges_docs(spark, sf_dir):
     """Distributed BPE tokenizer training (operators/tokenizer.py,

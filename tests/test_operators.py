@@ -680,3 +680,51 @@ def test_bpe_train_matches_reference_and_encodes(spark):
     df2 = spark.createDataFrame([(9, "lowest slow")], ["doc_id", "text"])
     out = bpe_encode(df2, "text", "doc_id", merges).collect()[0]
     assert "".join(out.pieces).replace("</w>", " ").strip() == "lowest slow"
+
+
+def test_pq_recall_against_exact_topk(spark, sf_dir):
+    """PQ asymmetric-distance search must reach reasonable recall@10
+    vs exact L2 ranking on the embeddings table (8 subspaces x 16
+    centroids on 64-dim vectors), and codes must be valid indices."""
+    import numpy as np
+
+    from python_plugins_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train_codebooks(emb, "embedding", dim=64, m=8, k=16, sample_rows=400)
+    assert books.shape == (8, 16, 8)
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    row = codes.first()
+    assert len(row.code) == 8 and all(0 <= c < 16 for c in row.code)
+
+    queries = emb.limit(12)
+    approx = pq_topk(
+        codes, queries, "vec_id", "embedding", books, kk=10,
+        rerank_vectors=emb,
+    )
+
+    # exact L2 top-10 via numpy on the (small) test table
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    got = {
+        q: set(
+            r.neighbor_id
+            for r in approx.filter(f"query_id = {q}").collect()
+        )
+        for q in [r.vec_id for r in queries.collect()]
+    }
+    hits = tot = 0
+    for q in got:
+        qv = X[ids == q][0]
+        d = ((X - qv) ** 2).sum(axis=1)
+        d[ids == q] = np.inf
+        exact = set(ids[np.argsort(d, kind="stable")[:10]])
+        hits += len(exact & got[q])
+        tot += 10
+    recall = hits / tot
+    assert recall >= 0.7, f"PQ shortlist+rerank recall@10 too low: {recall:.2f}"
