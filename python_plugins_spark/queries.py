@@ -2969,6 +2969,51 @@ def iceberg_equality_delete_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_cdf_insert_delete",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, 'insert' AS _change_type,
+           2 AS _commit_snapshot
+    FROM orders WHERE o_orderkey % 2 = 1
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority, 'delete' AS _change_type,
+           3 AS _commit_snapshot
+    FROM orders WHERE o_orderkey % 11 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority, 'delete' AS _change_type,
+           4 AS _commit_snapshot
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def iceberg_cdf_insert_delete(spark, sf_dir):
+    """Derived CDC on the Iceberg layer (table_changes_iceberg — the
+    format twin of the Delta change feed): the append snapshot yields
+    'insert' rows; the position-delete snapshot yields exactly its
+    newly deleted rows; the equality-delete snapshot yields every
+    earlier-file row matching the delete keys. Each stamped with its
+    snapshot id — the incremental-consumer contract, format two."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import (
+        delete_iceberg,
+        equality_delete_iceberg,
+        table_changes_iceberg,
+        write_iceberg,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    path = os.path.join(_SCRATCH, f"ice_cdf_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(o.filter(F.col("o_orderkey") % 2 == 0), path, mode="overwrite")  # s1
+    write_iceberg(o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append")     # s2
+    delete_iceberg(spark, path, "o_orderkey % 11 = 0")                             # s3
+    equality_delete_iceberg(
+        spark, path, spark.createDataFrame([("1-URGENT",)], ["o_orderpriority"])
+    )                                                                              # s4
+    return table_changes_iceberg(spark, path, 2, 4)
+
+
+@register(
     "embedding_lsh_neardup",
     oracle=S.lsh_bucketed_neardup_oracle_sql(
         "embeddings", "vec_id", "embedding", 0.3, 8, 64

@@ -1046,3 +1046,136 @@ def remove_orphan_files(
                 os.remove(full)
             deleted.append(rel)
     return sorted(deleted)
+
+
+# ------------------------------------------------- change data feed
+
+def table_changes_iceberg(
+    spark: SparkSession,
+    path: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """Derived CDC between snapshots (the Iceberg twin of
+    delta_py.table_changes): append snapshots yield their added data
+    files' rows as 'insert'; delete snapshots yield 'delete' rows —
+    position deletes via the delete file's (file_path, pos) rows
+    joined back to the data scan, equality deletes via the value rows
+    joined on the equality columns (scoped to earlier-snapshot data
+    files, mirroring the read path). Overwrite snapshots (operation
+    'overwrite'/'replace') are refused — a wholesale rewrite is not
+    row-derivable. Returns table columns + _change_type +
+    _commit_snapshot."""
+    from pyspark.sql import functions as F
+
+    meta = _load_metadata(path)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if to_snapshot is None:
+        to_snapshot = meta.get("current-snapshot-id")
+    schema = iceberg_schema_to_spark(meta["schemas"][0])
+    cols = [f.name for f in schema.fields]
+    id_to_name = {f["id"]: f["name"] for f in meta["schemas"][0]["fields"]}
+
+    def _entries(snapshot):
+        out = []
+        for ml in read_container(os.path.join(path, snapshot["manifest-list"])):
+            if int(ml[3]) != snapshot["snapshot-id"]:
+                continue  # carried-forward manifest, not this commit's
+            for e in read_container(os.path.join(path, ml[0])):
+                if e[0] != 2:
+                    out.append(e)
+        return out
+
+    frames = []
+    for sid in range(from_snapshot, to_snapshot + 1):
+        snap = snaps.get(sid)
+        if snap is None:
+            continue
+        op = snap.get("summary", {}).get("operation", "append")
+        new_entries = _entries(snap)
+        if op in ("overwrite", "replace") and sid != 1:
+            raise ValueError(
+                f"snapshot {sid} is an overwrite: row-level changes are "
+                "not derivable; use snapshot-state diffing instead"
+            )
+        data_new = [e for e in new_entries if e[8] == 0]
+        pos_new = [e for e in new_entries if e[8] == 1]
+        eq_new = [e for e in new_entries if e[8] == 2]
+
+        if data_new:
+            scan = spark.read.schema(schema).parquet(
+                *[os.path.join(path, e[1]) for e in data_new]
+            )
+            frames.append(
+                scan.select(
+                    *cols,
+                    F.lit("insert").alias("_change_type"),
+                    F.lit(sid).alias("_commit_snapshot"),
+                )
+            )
+        if pos_new:
+            pos_df = spark.read.schema(_POS_DELETE_SCHEMA).parquet(
+                *[os.path.join(path, e[1]) for e in pos_new]
+            ).select(
+                F.element_at(F.split("file_path", "/"), -1).alias("__f"),
+                F.col("pos").alias("__p"),
+            )
+            # the deleted rows live in data files of EARLIER snapshots
+            victims = [f["path"] for f in plan_files(path, sid)]
+            dscan = spark.read.schema(schema).parquet(
+                *[os.path.join(path, p) for p in victims]
+            ).withColumns(
+                {
+                    "__f": F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ),
+                    "__p": F.col("_metadata.row_index"),
+                }
+            )
+            frames.append(
+                dscan.join(F.broadcast(pos_df), on=["__f", "__p"], how="leftsemi")
+                .select(
+                    *cols,
+                    F.lit("delete").alias("_change_type"),
+                    F.lit(sid).alias("_commit_snapshot"),
+                )
+            )
+        if eq_new:
+            files = plan_files(path, sid)
+            earlier = [
+                f["path"] for f in files if f["snapshot_id"] < sid
+            ]
+            if earlier:
+                dscan = spark.read.schema(schema).parquet(
+                    *[os.path.join(path, p) for p in earlier]
+                )
+                for e in eq_new:
+                    eq_cols = [id_to_name[i] for i in e[9]]
+                    keys = spark.read.parquet(os.path.join(path, e[1])).select(
+                        *[F.col(c).alias(f"__k_{c}") for c in eq_cols]
+                    )
+                    cond = [
+                        dscan[c] == F.col(f"__k_{c}") for c in eq_cols
+                    ]
+                    frames.append(
+                        dscan.join(F.broadcast(keys), on=cond, how="leftsemi")
+                        .select(
+                            *cols,
+                            F.lit("delete").alias("_change_type"),
+                            F.lit(sid).alias("_commit_snapshot"),
+                        )
+                    )
+
+    if not frames:
+        out_schema = T.StructType(
+            schema.fields
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_commit_snapshot", T.IntegerType(), False),
+            ]
+        )
+        return spark.createDataFrame([], out_schema)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
