@@ -3626,6 +3626,52 @@ def neardup_clusters_docs(spark, sf_dir):
 
 
 @register(
+    "leakage_safe_split_docs",
+    oracle=f"""
+    WITH _cc AS ({D.neardup_clusters_oracle_sql("documents", "text", "doc_id", 0.5)}),
+    tagged AS (
+        SELECT _cc.doc_id,
+               CASE WHEN substr(md5(CAST(_cc.cluster_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(_cc.cluster_id AS VARCHAR)), 1, 2) < 'f3'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM _cc
+    )
+    SELECT split, count(*) AS n_docs, count(DISTINCT doc_id) AS n_distinct
+    FROM tagged GROUP BY split
+    """,
+)
+def leakage_safe_split_docs(spark, sf_dir):
+    """LEAKAGE-SAFE train/val/test split: the split key is the
+    near-dup CLUSTER id, not the document id — every member of a
+    near-duplicate cluster lands in the same split, so paraphrased or
+    boilerplate-shifted copies of a test document can never leak into
+    train (the failure mode a plain per-doc hash split has, and a
+    well-documented benchmark-contamination vector). Deterministic
+    md5-keyed assignment on the canonical cluster id; the cluster
+    graph is the same verified LSH+Jaccard+connected-components
+    pipeline the dedup queries use, and the whole composition is
+    oracle-checked (recursive-CTE clusters + identical hash split in
+    DuckDB)."""
+    docs = load_table(spark, "documents", sf_dir)
+    edges = _neardup_edges(spark, sf_dir)
+    cc = D.connected_components(
+        edges.select("id_a", "id_b"), docs.select("doc_id"), "doc_id"
+    )
+    h2 = F.substring(F.md5(F.col("label").cast("string")), 1, 2)
+    split = F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test")
+    return (
+        cc.select(F.col("id").alias("doc_id"), split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("doc_id").alias("n_distinct"),
+        )
+    )
+
+
+@register(
     "dedup_near_keep_canonical",
     oracle=f"""
     WITH _cc AS ({D.neardup_clusters_oracle_sql("documents", "text", "doc_id", 0.5)})
