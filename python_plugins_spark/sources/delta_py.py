@@ -1843,3 +1843,27 @@ def snapshot_diff(
         )
         .filter(F.col("_diff").isNotNull())
     )
+
+
+def count_delta(table_path: str, version_as_of: int | None = None) -> int | None:
+    """METADATA-ONLY row count: sum of the adds' ``numRecords`` stats
+    minus their deletion-vector cardinalities — COUNT(*) without
+    touching a single data file (the optimization a lakehouse reader
+    applies when every active add carries stats; a 100 TB count
+    becomes a log replay). Returns None when any active file lacks
+    stats (caller falls back to a scan) — never guesses."""
+    state = _replay_state(table_path, version_as_of)
+    total = 0
+    for add in state.active.values():
+        raw = add.get("stats")
+        if not raw:
+            return None
+        stats = json.loads(raw) if isinstance(raw, str) else raw
+        n = stats.get("numRecords")
+        if n is None:
+            return None
+        total += int(n)
+        dv = add.get("deletionVector")
+        if dv:
+            total -= int(dv.get("cardinality", 0))
+    return total

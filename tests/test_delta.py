@@ -813,3 +813,25 @@ def test_delta_partitioned_lifecycle(spark):
     optimize_delta(spark, path)
     vacuum_delta(path, retention_hours=0)
     assert read_delta(spark, path).count() == n_before_opt
+
+
+def test_delta_metadata_only_count(spark):
+    """count_delta equals the scan count across appends, DV deletes,
+    updates, and time travel — without reading data files."""
+    from python_plugins_spark.sources.delta_py import (
+        count_delta,
+        delete_delta,
+        read_delta,
+        update_delta,
+        write_delta,
+    )
+
+    path = _fresh("delta_cnt1")
+    df = spark.range(0, 700).selectExpr("id", "id % 3 as k")
+    write_delta(df.coalesce(2), path, "overwrite")
+    assert count_delta(path) == 700
+    delete_delta(spark, path, "k = 1", mode="dv")
+    assert count_delta(path) == read_delta(spark, path).count()
+    update_delta(spark, path, "k = 2", {"k": "k"})
+    assert count_delta(path) == read_delta(spark, path).count() == 700 - 233
+    assert count_delta(path, version_as_of=0) == 700
