@@ -502,3 +502,61 @@ def test_locf_global_window_bounded_by_spine(spark, sf_dir):
     n = df.count()
     assert n == expected_hours, f"window input widened: {n} rows vs {expected_hours} spine slots"
     assert n < ev.count(), "spine must be far smaller than the fact table"
+
+
+def test_gopher_rules_zero_shuffle(spark, sf_dir):
+    """Quality gating is a pure projection pass — no exchange."""
+    df = QUERIES["gopher_quality_rules_docs"](spark, sf_dir)
+    assert count_shuffles(df) == 0
+    assert "CartesianProduct" not in plan_str(df)
+
+
+def test_repeated_spans_no_cartesian_and_bounded_shuffles(spark, sf_dir):
+    """Substring dedup: gram windows (by id), hash counts (by hash),
+    semi-join back, island merge (by id) — bounded exchanges, never a
+    cross product."""
+    df = QUERIES["repeated_ngram_spans_docs"](spark, sf_dir)
+    plan = plan_str(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert count_shuffles(df) <= 6
+
+
+def test_scd2_single_key_partitioning(spark, sf_dir):
+    """Both window passes (valid_to, is_current) share one shuffle on
+    the dimension key."""
+    df = QUERIES["scd2_history_events"](spark, sf_dir)
+    assert count_shuffles(df) <= 1
+
+
+def test_profile_columns_single_aggregate_shuffle(spark, sf_dir):
+    """The stack() unpivot is narrow; profiling is one aggregate
+    exchange on col_name."""
+    df = QUERIES["profile_orders_columns"](spark, sf_dir)
+    assert count_shuffles(df) <= 2  # partial+final agg; AQE may split
+
+
+def test_delta_dv_read_no_build_time_actions(spark, tmp_path):
+    """Building a DV-filtered Delta read plan runs ZERO Spark jobs:
+    log replay is driver file IO; DV decode is deferred to executors
+    (mapInPandas inside the plan), so plan construction stays
+    action-free — the property that lets the read compose into larger
+    lazy pipelines."""
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.sources.delta_py import (
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "dv_actions")
+    write_delta(spark.range(5000).selectExpr("id", "id % 5 as k"), path, "overwrite")
+    delete_delta(spark, path, "k = 2", mode="dv")
+
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = read_delta(spark, path).filter(F.col("k") > 0).select("id")
+    _ = df.columns  # force analysis
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "plan build ran a Spark job"
+    assert df.count() == 3000
