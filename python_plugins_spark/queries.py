@@ -2969,6 +2969,46 @@ def iceberg_equality_delete_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_upsert_read",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 4 IN (1, 2) THEN -1.0
+                ELSE round(o_totalprice, 4) END AS o_totalprice
+    FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+    """,
+)
+def iceberg_upsert_read(spark, sf_dir):
+    """One-commit Iceberg UPSERT (upsert_iceberg — the Flink-CDC
+    shape): a single snapshot carries the equality delete on the merge
+    keys AND the fresh rows; sequence scoping erases only the OLD
+    versions. No table scan at write time — upsert cost is O(source)
+    at any table size. Target holds %4 in (0,1); source replaces %4=1
+    with sentinel values and inserts %4=2."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import (
+        read_iceberg,
+        upsert_iceberg,
+        write_iceberg,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    path = os.path.join(_SCRATCH, f"ice_ups_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(o.filter(F.col("o_orderkey") % 4 < 2), path, mode="overwrite")
+    src = (
+        o.filter((F.col("o_orderkey") % 4).isin(1, 2))
+        .withColumn("o_totalprice", F.lit(-1.0))
+    )
+    upsert_iceberg(spark, path, src, on=["o_orderkey"])
+    back = read_iceberg(spark, path)
+    return back.select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )
+
+
+@register(
     "iceberg_cdf_insert_delete",
     oracle="""
     SELECT o_orderkey, o_orderpriority, 'insert' AS _change_type,

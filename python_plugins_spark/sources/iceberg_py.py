@@ -1179,3 +1179,85 @@ def table_changes_iceberg(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# ------------------------------------------------- upsert (CDC merge)
+
+def upsert_iceberg(
+    spark: SparkSession, path: str, source: DataFrame, on: list[str]
+) -> int:
+    """ONE-COMMIT UPSERT (the Flink-CDC-into-Iceberg shape): a single
+    snapshot carries BOTH an equality-delete file on the merge keys
+    AND the source rows as new data files. The spec's sequence
+    scoping makes it correct by construction: the equality delete
+    applies only to data files from STRICTLY EARLIER snapshots, so it
+    erases old versions of the keys while the same snapshot's new
+    files — which carry the fresh rows — are untouched. No table scan
+    at write time: upsert cost is O(source), whatever the table size.
+
+    Unpartitioned tables only (the same boundary as the streaming
+    source). Returns the new snapshot id."""
+    import pyarrow.parquet as pq
+
+    meta = _load_metadata(path)
+    if meta["partition-specs"][0]["fields"]:
+        raise NotImplementedError("upsert_iceberg: unpartitioned tables only")
+    schema = iceberg_schema_to_spark(meta["schemas"][0])
+    name_to_id = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    missing = [k for k in on if k not in source.columns]
+    if missing:
+        raise ValueError(f"merge keys missing from source: {missing}")
+    if [f.name for f in schema.fields] != list(source.columns):
+        raise ValueError(
+            f"source columns {list(source.columns)} != table columns "
+            f"{[f.name for f in schema.fields]}"
+        )
+    eq_ids = sorted(name_to_id[k] for k in on)
+
+    now_ms = int(time.time() * 1000)
+    snapshot_id = (current_metadata_version(path) or 0) + 1
+    entries = []
+
+    # equality-delete file: just the distinct source keys
+    staging = os.path.join(path, f".staging-ups-{uuid.uuid4().hex}")
+    source.select(*on).distinct().coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(staging, "del")
+    )
+    source.write.mode("overwrite").parquet(os.path.join(staging, "data"))
+
+    for f in sorted(os.listdir(os.path.join(staging, "del"))):
+        if not f.endswith(".parquet"):
+            continue
+        src = os.path.join(staging, "del", f)
+        n_rows = pq.ParquetFile(src).metadata.num_rows
+        if n_rows == 0:
+            continue
+        name = f"{uuid.uuid4().hex}-eq-deletes.parquet"
+        dst = os.path.join(path, _DATA_DIR, name)
+        size = os.path.getsize(src)
+        os.replace(src, dst)
+        entries.append(
+            (1, os.path.relpath(dst, path), "PARQUET", {}, n_rows, size,
+             {}, {}, 2, eq_ids)
+        )
+    data_schema = schema
+    for f in sorted(os.listdir(os.path.join(staging, "data"))):
+        if not f.endswith(".parquet"):
+            continue
+        src = os.path.join(staging, "data", f)
+        name = f"{uuid.uuid4().hex}.parquet"
+        dst = os.path.join(path, _DATA_DIR, name)
+        size = os.path.getsize(src)
+        n_rows, lower, upper = _file_column_bounds(src, data_schema)
+        os.replace(src, dst)
+        entries.append(
+            (1, os.path.relpath(dst, path), "PARQUET", {}, n_rows, size,
+             lower, upper, 0, [])
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    if not entries:
+        return meta.get("current-snapshot-id")
+    return _commit_delete_snapshot(
+        path, meta, snapshot_id, now_ms, entries,
+        {"operation-detail": "upsert", "merge-keys": ",".join(on)},
+    )

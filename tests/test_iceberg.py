@@ -409,3 +409,39 @@ def test_iceberg_zorder_rewrite_enables_range_pruning(spark):
     )
     want = df.filter("x between 0 and 100 and y between 0 and 100").count()
     assert got == want
+
+
+def test_iceberg_one_commit_upsert(spark):
+    """upsert_iceberg commits equality deletes + new data in ONE
+    snapshot: matched keys take the source values, unmatched insert,
+    untouched rows survive, and time travel sees the pre-upsert
+    state."""
+    from python_plugins_spark.sources.iceberg_py import (
+        read_iceberg,
+        table_snapshots,
+        upsert_iceberg,
+        write_iceberg,
+    )
+
+    path = _fresh("ice_ups1")
+    df = spark.range(0, 100).selectExpr("id", "cast(id as double) as v")
+    write_iceberg(df.repartition(2), path, mode="overwrite")   # snap 1
+    src = spark.range(90, 110).selectExpr("id", "cast(-1.0 as double) as v")
+    s = upsert_iceberg(spark, path, src, on=["id"])
+    assert s == 2 and len(table_snapshots(path)) == 2
+
+    back = read_iceberg(spark, path)
+    assert back.count() == 110
+    assert back.filter("id >= 90 and v != -1.0").count() == 0
+    assert back.filter("id < 90 and v != id").count() == 0
+    assert read_iceberg(spark, path, snapshot_id=1).count() == 100
+
+    # second upsert over the first (keys overlap): latest wins
+    upsert_iceberg(
+        spark, path,
+        spark.range(95, 100).selectExpr("id", "cast(7.0 as double) as v"),
+        on=["id"],
+    )
+    b2 = read_iceberg(spark, path)
+    assert b2.count() == 110
+    assert {r.v for r in b2.filter("id between 95 and 99").collect()} == {7.0}
