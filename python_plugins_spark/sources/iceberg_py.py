@@ -202,6 +202,16 @@ def current_metadata_version(path: str) -> int | None:
         return int(fh.read().strip())
 
 
+def _current_schema_node(meta: dict) -> dict:
+    """The metadata's CURRENT schema (spec: schemas list +
+    current-schema-id; evolution appends new schemas, ids stable)."""
+    sid = meta.get("current-schema-id", 0)
+    for sc in meta.get("schemas", []):
+        if sc.get("schema-id", 0) == sid:
+            return sc
+    return meta["schemas"][0]
+
+
 def _load_metadata(path: str, version: int | None = None) -> dict:
     if version is None:
         version = current_metadata_version(path)
@@ -264,6 +274,7 @@ def write_iceberg(
     path: str,
     mode: str = "append",
     partition_by: str | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit a new snapshot; returns the snapshot id.
 
@@ -283,10 +294,56 @@ def write_iceberg(
     now_ms = int(time.time() * 1000)
     snapshot_id = (cur_version or 0) + 1
 
+    evolved_node = None
     if meta is not None:
-        existing_schema = iceberg_schema_to_spark(meta["schemas"][0])
-        if [f.name for f in existing_schema.fields] != [f.name for f in df.schema.fields]:
-            raise ValueError("schema mismatch with existing table")
+        cur_node = _current_schema_node(meta)
+        existing_schema = iceberg_schema_to_spark(cur_node)
+        ex_names = [f.name for f in existing_schema.fields]
+        in_names = [f.name for f in df.schema.fields]
+        if ex_names != in_names:
+            if not merge_schema:
+                raise ValueError(
+                    f"schema mismatch with existing table "
+                    f"({in_names} vs {ex_names}); pass merge_schema=True "
+                    "to evolve (append adds columns, overwrite replaces)"
+                )
+            if mode == "overwrite":
+                evolved_node = spark_schema_to_iceberg(df.schema)
+                evolved_node["schema-id"] = len(meta["schemas"])
+            else:
+                ex_by_name = {f["name"]: f for f in cur_node["fields"]}
+                conflicts = [
+                    f.name for f in df.schema.fields
+                    if f.name in ex_by_name
+                    and _SPARK_TO_ICE.get(type(f.dataType))
+                    != ex_by_name[f.name]["type"]
+                ]
+                if conflicts:
+                    raise ValueError(
+                        f"type change on existing column(s) {conflicts} "
+                        "not supported by merge_schema"
+                    )
+                next_id = max(f["id"] for f in cur_node["fields"]) + 1
+                new_fields = list(cur_node["fields"])
+                for f in df.schema.fields:
+                    if f.name not in ex_by_name:
+                        ice = _SPARK_TO_ICE.get(type(f.dataType))
+                        if ice is None:
+                            raise ValueError(
+                                f"unsupported evolved column type for {f.name}"
+                            )
+                        # spec: new columns take FRESH field ids, ids
+                        # of existing columns never change
+                        new_fields.append(
+                            {"id": next_id, "name": f.name,
+                             "required": False, "type": ice}
+                        )
+                        next_id += 1
+                evolved_node = {
+                    "type": "struct",
+                    "schema-id": len(meta["schemas"]),
+                    "fields": new_fields,
+                }
         part_field = (meta["partition-specs"][0]["fields"] or [{}])[0].get("name")
         if partition_by is None:
             partition_by = part_field
@@ -396,8 +453,16 @@ def write_iceberg(
         "table-uuid": (meta or {}).get("table-uuid", str(uuid.uuid4())),
         "location": path,
         "last-updated-ms": now_ms,
-        "schemas": [spark_schema_to_iceberg(df.schema)],
-        "current-schema-id": 0,
+        "schemas": (
+            (meta or {}).get("schemas", []) + [evolved_node]
+            if evolved_node is not None
+            else ((meta or {}).get("schemas") or [spark_schema_to_iceberg(df.schema)])
+        ),
+        "current-schema-id": (
+            evolved_node["schema-id"]
+            if evolved_node is not None
+            else (meta or {}).get("current-schema-id", 0)
+        ),
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
         "snapshots": ((meta or {}).get("snapshots", [])) + [snapshot],
@@ -448,7 +513,7 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
     from pyspark.sql import functions as F
 
     meta = _load_metadata(path)
-    schema = iceberg_schema_to_spark(meta["schemas"][0])
+    schema = iceberg_schema_to_spark(_current_schema_node(meta))
     live = read_iceberg(spark, path)
     matched = (
         live.withColumns(
@@ -595,8 +660,8 @@ def equality_delete_iceberg(
     the delete applies only to rows whose data file predates it, so
     re-inserting a deleted key later works."""
     meta = _load_metadata(path)
-    schema = iceberg_schema_to_spark(meta["schemas"][0])
-    name_to_id = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    schema = iceberg_schema_to_spark(_current_schema_node(meta))
+    name_to_id = {f["name"]: f["id"] for f in _current_schema_node(meta)["fields"]}
     bad = [c for c in keys_df.columns if c not in name_to_id]
     if bad:
         raise ValueError(f"equality-delete columns not in table schema: {bad}")
@@ -772,7 +837,7 @@ def read_iceberg(
     from pyspark.sql import functions as F
 
     meta = _load_metadata(path)
-    schema = iceberg_schema_to_spark(meta["schemas"][0])
+    schema = iceberg_schema_to_spark(_current_schema_node(meta))
     part_fields = meta["partition-specs"][0]["fields"]
     files = plan_files(path, snapshot_id, eq=eq, ranges=ranges)
     if not files:
@@ -851,7 +916,7 @@ def read_iceberg(
         # file is scanned natively and stamped with its snapshot; the
         # anti-join is an equi-join on the value columns with a
         # residual __snap < __dsnap filter.
-        id_to_name = {f["id"]: f["name"] for f in meta["schemas"][0]["fields"]}
+        id_to_name = {f["id"]: f["name"] for f in _current_schema_node(meta)["fields"]}
         by_cols: dict[tuple, list[dict]] = {}
         for d in eq_dels:
             key = tuple(sorted(d["equality_ids"]))
@@ -1072,9 +1137,9 @@ def table_changes_iceberg(
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     if to_snapshot is None:
         to_snapshot = meta.get("current-snapshot-id")
-    schema = iceberg_schema_to_spark(meta["schemas"][0])
+    schema = iceberg_schema_to_spark(_current_schema_node(meta))
     cols = [f.name for f in schema.fields]
-    id_to_name = {f["id"]: f["name"] for f in meta["schemas"][0]["fields"]}
+    id_to_name = {f["id"]: f["name"] for f in _current_schema_node(meta)["fields"]}
 
     def _entries(snapshot):
         out = []
@@ -1202,8 +1267,8 @@ def upsert_iceberg(
     meta = _load_metadata(path)
     if meta["partition-specs"][0]["fields"]:
         raise NotImplementedError("upsert_iceberg: unpartitioned tables only")
-    schema = iceberg_schema_to_spark(meta["schemas"][0])
-    name_to_id = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    schema = iceberg_schema_to_spark(_current_schema_node(meta))
+    name_to_id = {f["name"]: f["id"] for f in _current_schema_node(meta)["fields"]}
     missing = [k for k in on if k not in source.columns]
     if missing:
         raise ValueError(f"merge keys missing from source: {missing}")

@@ -445,3 +445,42 @@ def test_iceberg_one_commit_upsert(spark):
     b2 = read_iceberg(spark, path)
     assert b2.count() == 110
     assert {r.v for r in b2.filter("id between 95 and 99").collect()} == {7.0}
+
+
+def test_iceberg_schema_evolution_append(spark):
+    """merge_schema append adds columns with FRESH field ids (existing
+    ids stable, per spec); old files read the new column as null;
+    mismatches without the flag raise; equality deletes keyed on an
+    evolved column use its new field id."""
+    import pytest
+
+    from python_plugins_spark.sources.iceberg_py import (
+        _current_schema_node,
+        _load_metadata,
+        equality_delete_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = _fresh("ice_evo1")
+    write_iceberg(spark.range(10).selectExpr("id", "id * 2 as v"), path, "overwrite")
+    bad = spark.range(10, 13).selectExpr("id", "id * 2 as v", "'x' as tag")
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_iceberg(bad, path, "append")
+
+    write_iceberg(bad, path, "append", merge_schema=True)
+    node = _current_schema_node(_load_metadata(path))
+    ids = {f["name"]: f["id"] for f in node["fields"]}
+    assert ids["id"] == 1 and ids["v"] == 2 and ids["tag"] == 3
+    back = read_iceberg(spark, path)
+    assert back.columns == ["id", "v", "tag"]
+    rows = {r.id: r.tag for r in back.collect()}
+    assert rows[11] == "x" and rows[0] is None
+
+    # equality delete on the EVOLVED column: old (null-tag) rows are
+    # untouched, matching new rows go
+    equality_delete_iceberg(
+        spark, path, spark.createDataFrame([("x",)], ["tag"])
+    )
+    b2 = read_iceberg(spark, path)
+    assert b2.count() == 10 and b2.filter("tag = 'x'").count() == 0
