@@ -10516,3 +10516,62 @@ def _install_sketch_oracles():
 
 
 _install_sketch_oracles()
+
+
+# =====================================================================
+# Retrieval suite (operators/retrieval.py): BM25, SemDeDup, RRF hybrid
+# =====================================================================
+
+def _install_retrieval_queries():
+    from python_plugins_spark.operators import retrieval as RV
+
+    @register(
+        "bm25_topk_docs",
+        oracle=RV.bm25_topk_oracle_sql("documents", "text", "doc_id"),
+    )
+    def bm25_topk_docs(spark, sf_dir):
+        """Okapi BM25 top-10 docs for the corpus's 5 highest-df terms —
+        the lexical-retrieval workhorse as pure relational algebra (one
+        tokenization pass -> tf/dl/df aggregates; broadcast query-term
+        and corpus-stats relations; per-term ranking window). See
+        operators/retrieval.py for the 100 TB argument."""
+        docs = load_table(spark, "documents", sf_dir)
+        return RV.bm25_topk(docs, "text", "doc_id")
+
+    @register(
+        "semantic_dedup_embeddings",
+        oracle=RV.semantic_dedup_oracle_sql(
+            "embeddings", "vec_id", "embedding", threshold=0.98, dim=64
+        ),
+    )
+    def semantic_dedup_embeddings(spark, sf_dir):
+        """SemDeDup-style semantic dedup: LSH-cluster embeddings, drop
+        any vector with an earlier intra-cluster neighbor at cosine >=
+        0.98, keep the rest. Candidates come from a bucket equi-join
+        (never crossJoin); decision is one aggregated anti-join."""
+        emb = load_table(spark, "embeddings", sf_dir)
+        return RV.semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.98, dim=64
+        )
+
+    @register(
+        "hybrid_rrf_retrieval",
+        oracle=RV.rrf_hybrid_oracle_sql(
+            "documents", "embeddings", "doc_id", "text", "vec_id",
+            "embedding", anchor_id=0,
+        ),
+    )
+    def hybrid_rrf_retrieval(spark, sf_dir):
+        """Reciprocal-rank-fusion hybrid retrieval for "documents like
+        doc 0": lexical top-50 (token overlap with the anchor) fused
+        with semantic top-50 (cosine to the anchor embedding) at
+        1/(60+rank) each. Both lists are TakeOrdered limits, so no
+        corpus-wide single-partition window exists in the plan."""
+        docs = load_table(spark, "documents", sf_dir)
+        emb = load_table(spark, "embeddings", sf_dir)
+        return RV.rrf_hybrid(
+            docs, emb, "doc_id", "text", "vec_id", "embedding", anchor_id=0
+        )
+
+
+_install_retrieval_queries()
