@@ -194,12 +194,73 @@ def _meta_dir(path: str) -> str:
     return os.path.join(path, _META_DIR)
 
 
-def current_metadata_version(path: str) -> int | None:
+class IcebergConcurrentWriteError(RuntimeError):
+    """A concurrent writer committed the metadata version this commit
+    was built against (or the retry budget ran out). The operation's
+    scan results are tied to the snapshot it read, so the safe recovery
+    is to re-run the whole operation against the new snapshot."""
+
+
+def _put_if_absent(content: str, dst: str) -> bool:
+    """Atomically create ``dst`` iff absent — POSIX ``link(2)`` fails
+    with EEXIST atomically, unlike ``os.replace`` (silent overwrite).
+    This is the primitive that turns two same-version committers into
+    a detected conflict instead of a lost update (same mechanism as
+    delta_py's commit)."""
+    tmp = dst + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write(content)
+    try:
+        os.link(tmp, dst)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
+def _advance_hint(path: str, version: int) -> None:
+    """Move ``version-hint.text`` forward, never backward: two racing
+    winners of v and v+1 may publish hints out of order, so the hint is
+    advisory — :func:`current_metadata_version` trusts the metadata
+    files themselves."""
     hint = os.path.join(_meta_dir(path), "version-hint.text")
-    if not os.path.exists(hint):
-        return None
-    with open(hint) as fh:
-        return int(fh.read().strip())
+    try:
+        with open(hint) as fh:
+            existing = int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        existing = 0
+    target = max(existing, version)
+    tmp = hint + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write(str(target))
+    os.replace(tmp, hint)
+
+
+def current_metadata_version(path: str) -> int | None:
+    """Newest committed metadata version. The ``v*.metadata.json``
+    files are authoritative (each is a put-if-absent commit); the hint
+    file is only a fast-path floor, because a slow writer can publish
+    the hint for v after the winner of v+1 published theirs."""
+    meta = _meta_dir(path)
+    best = None
+    hint = os.path.join(meta, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            try:
+                best = int(fh.read().strip())
+            except ValueError:
+                best = None
+    if os.path.isdir(meta):
+        for f in os.listdir(meta):
+            if f.startswith("v") and f.endswith(".metadata.json"):
+                try:
+                    v = int(f[1 : -len(".metadata.json")])
+                except ValueError:
+                    continue
+                if best is None or v > best:
+                    best = v
+    return best
 
 
 def _current_schema_node(meta: dict) -> dict:
@@ -275,6 +336,7 @@ def write_iceberg(
     mode: str = "append",
     partition_by: str | None = None,
     merge_schema: bool = False,
+    expected_version: int | None = None,
 ) -> int:
     """Commit a new snapshot; returns the snapshot id.
 
@@ -284,7 +346,15 @@ def write_iceberg(
     the new files, and a new manifest list + metadata json + version
     hint publish the snapshot. ``mode='append'`` carries the previous
     snapshot's manifests forward; ``'overwrite'`` starts the manifest
-    list fresh."""
+    list fresh.
+
+    Concurrency: the metadata publish is a put-if-absent of
+    ``v<N>.metadata.json``. A lost race rebases (append: iff the
+    schema is unchanged; overwrite: unconditionally) and retries up to
+    10 times; ``expected_version=`` turns the commit into a
+    compare-and-swap that raises :class:`IcebergConcurrentWriteError`
+    instead of rebasing — required when the data being committed was
+    derived from that exact base snapshot (compaction, rewrite)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_meta_dir(path), exist_ok=True)
@@ -403,39 +473,6 @@ def write_iceberg(
     manifest_path = os.path.join(_meta_dir(path), manifest_name)
     write_container(manifest_path, _MANIFEST_ENTRY_NODE, entries)
 
-    # ---- manifest list: prior manifests (append) + this one
-    prior: list[tuple] = []
-    if mode == "append" and meta is not None and meta.get("current-snapshot-id"):
-        cur_snap = next(
-            s for s in meta["snapshots"]
-            if s["snapshot-id"] == meta["current-snapshot-id"]
-        )
-        prior = list(read_container(os.path.join(path, cur_snap["manifest-list"])))
-    ml_rows = prior + [
-        (
-            os.path.relpath(manifest_path, path),
-            os.path.getsize(manifest_path),
-            0,
-            snapshot_id,
-            len(entries),
-            0,
-            0,
-        )
-    ]
-    ml_name = f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
-    ml_path = os.path.join(_meta_dir(path), ml_name)
-    write_container(ml_path, _MANIFEST_FILE_NODE, ml_rows)
-
-    # ---- metadata json + version hint
-    snapshot = {
-        "snapshot-id": snapshot_id,
-        "timestamp-ms": now_ms,
-        "manifest-list": os.path.relpath(ml_path, path),
-        "summary": {
-            "operation": "append" if mode == "append" else "overwrite",
-            "added-data-files": str(len(entries)),
-        },
-    }
     spec_fields = (
         [
             {
@@ -448,39 +485,105 @@ def write_iceberg(
         if partition_by
         else []
     )
-    new_meta = {
-        "format-version": 2,
-        "table-uuid": (meta or {}).get("table-uuid", str(uuid.uuid4())),
-        "location": path,
-        "last-updated-ms": now_ms,
-        "schemas": (
-            (meta or {}).get("schemas", []) + [evolved_node]
-            if evolved_node is not None
-            else ((meta or {}).get("schemas") or [spark_schema_to_iceberg(df.schema)])
-        ),
-        "current-schema-id": (
-            evolved_node["schema-id"]
-            if evolved_node is not None
-            else (meta or {}).get("current-schema-id", 0)
-        ),
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-        "default-spec-id": 0,
-        "snapshots": ((meta or {}).get("snapshots", [])) + [snapshot],
-        "current-snapshot-id": snapshot_id,
-        "snapshot-log": ((meta or {}).get("snapshot-log", []))
-        + [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}],
-    }
-    meta_file = os.path.join(_meta_dir(path), f"v{snapshot_id}.metadata.json")
-    tmp = meta_file + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        json.dump(new_meta, fh)
-    os.replace(tmp, meta_file)
-    hint = os.path.join(_meta_dir(path), "version-hint.text")
-    tmp = hint + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        fh.write(str(snapshot_id))
-    os.replace(tmp, hint)
-    return snapshot_id
+
+    # ---- optimistic-concurrency commit loop: build the manifest list
+    # and metadata against the CURRENT base, publish with put-if-absent
+    # (the manifest written above is base-independent and reused across
+    # attempts); on a lost race, append rebases onto the winner's
+    # snapshot iff the schema is unchanged, overwrite rebases
+    # unconditionally (its intent is "replace whatever is there"), and
+    # compare-and-swap callers (expected_version=, e.g. a compaction
+    # whose rewrite materialized the OLD snapshot) abort instead of
+    # silently dropping the winner's rows.
+    if expected_version is not None and (cur_version or 0) != expected_version:
+        raise IcebergConcurrentWriteError(
+            f"table moved to version {cur_version} while this commit was "
+            f"built against version {expected_version}; re-run the operation"
+        )
+    for _attempt in range(10):
+        snapshot_id = (cur_version or 0) + 1
+        prior: list[tuple] = []
+        if mode == "append" and meta is not None and meta.get("current-snapshot-id"):
+            cur_snap = next(
+                s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"]
+            )
+            prior = list(read_container(os.path.join(path, cur_snap["manifest-list"])))
+        ml_rows = prior + [
+            (
+                os.path.relpath(manifest_path, path),
+                os.path.getsize(manifest_path),
+                0,
+                snapshot_id,
+                len(entries),
+                0,
+                0,
+            )
+        ]
+        ml_name = f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+        ml_path = os.path.join(_meta_dir(path), ml_name)
+        write_container(ml_path, _MANIFEST_FILE_NODE, ml_rows)
+
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": now_ms,
+            "manifest-list": os.path.relpath(ml_path, path),
+            "summary": {
+                "operation": "append" if mode == "append" else "overwrite",
+                "added-data-files": str(len(entries)),
+            },
+        }
+        new_meta = {
+            "format-version": 2,
+            "table-uuid": (meta or {}).get("table-uuid", str(uuid.uuid4())),
+            "location": path,
+            "last-updated-ms": now_ms,
+            "schemas": (
+                (meta or {}).get("schemas", []) + [evolved_node]
+                if evolved_node is not None
+                else ((meta or {}).get("schemas") or [spark_schema_to_iceberg(df.schema)])
+            ),
+            "current-schema-id": (
+                evolved_node["schema-id"]
+                if evolved_node is not None
+                else (meta or {}).get("current-schema-id", 0)
+            ),
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "default-spec-id": 0,
+            "snapshots": ((meta or {}).get("snapshots", [])) + [snapshot],
+            "current-snapshot-id": snapshot_id,
+            "snapshot-log": ((meta or {}).get("snapshot-log", []))
+            + [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}],
+        }
+        meta_file = os.path.join(_meta_dir(path), f"v{snapshot_id}.metadata.json")
+        if _put_if_absent(json.dumps(new_meta), meta_file):
+            _advance_hint(path, snapshot_id)
+            return snapshot_id
+
+        # lost the race — rebase or abort
+        os.remove(ml_path)
+        if expected_version is not None:
+            raise IcebergConcurrentWriteError(
+                f"concurrent commit at version {snapshot_id}: this commit "
+                f"required base version {expected_version}; re-run the "
+                "operation against the current snapshot"
+            )
+        new_version = current_metadata_version(path)
+        new_base = _load_metadata(path, new_version)
+        if mode == "append":
+            if (
+                new_base.get("schemas") != (meta or {}).get("schemas")
+                or new_base.get("current-schema-id")
+                != (meta or {}).get("current-schema-id")
+            ):
+                raise IcebergConcurrentWriteError(
+                    "concurrent commit changed the table schema; re-run "
+                    "the append against the current snapshot"
+                )
+        meta, cur_version = new_base, new_version
+    raise IcebergConcurrentWriteError(
+        "optimistic-concurrency retry budget exhausted (10 attempts)"
+    )
 
 
 # ------------------------------------------------- position deletes
@@ -634,15 +737,15 @@ def _commit_delete_snapshot(
         {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
     ]
     meta_file = os.path.join(_meta_dir(path), f"v{snapshot_id}.metadata.json")
-    tmp = meta_file + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        json.dump(new_meta, fh)
-    os.replace(tmp, meta_file)
-    hint = os.path.join(_meta_dir(path), "version-hint.text")
-    tmp = hint + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        fh.write(str(snapshot_id))
-    os.replace(tmp, hint)
+    if not _put_if_absent(json.dumps(new_meta), meta_file):
+        # The delete rows were computed against the base snapshot; a
+        # winner may have rewritten/moved those rows, so rebasing could
+        # delete the wrong positions. Abort; caller re-runs the scan.
+        raise IcebergConcurrentWriteError(
+            f"concurrent commit at version {snapshot_id}: delete was "
+            "planned against a stale snapshot; re-run it"
+        )
+    _advance_hint(path, snapshot_id)
     return snapshot_id
 
 
@@ -999,11 +1102,9 @@ def expire_snapshots(
         (dead_files - live_files) | (dead_manifests - live_manifests)
     )
     if not dry_run:
-        for rel in to_delete:
-            try:
-                os.remove(os.path.join(path, rel))
-            except FileNotFoundError:
-                pass
+        # Publish the trimmed metadata FIRST (put-if-absent — a
+        # concurrent commit aborts the expiration before anything is
+        # destroyed), and only then remove the now-unreachable files.
         new_meta = dict(meta)
         new_meta["snapshots"] = kept
         expired_ids = {s["snapshot-id"] for s in expired}
@@ -1013,15 +1114,17 @@ def expire_snapshots(
         ]
         version = (current_metadata_version(path) or 0) + 1
         meta_file = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
-        tmp = meta_file + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump(new_meta, fh)
-        os.replace(tmp, meta_file)
-        hint = os.path.join(_meta_dir(path), "version-hint.text")
-        tmp = hint + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-        os.replace(tmp, hint)
+        if not _put_if_absent(json.dumps(new_meta), meta_file):
+            raise IcebergConcurrentWriteError(
+                f"concurrent commit at version {version}: snapshot "
+                "expiration planned against a stale snapshot; re-run it"
+            )
+        _advance_hint(path, version)
+        for rel in to_delete:
+            try:
+                os.remove(os.path.join(path, rel))
+            except FileNotFoundError:
+                pass
     return {
         "expired": [s["snapshot-id"] for s in expired],
         "deleted": to_delete,
@@ -1054,7 +1157,8 @@ def rewrite_data_files(
     "files_after"}``."""
     files_before = plan_files(path)
     dels_before = plan_delete_files(path)
-    meta = _load_metadata(path)
+    base_version = current_metadata_version(path)
+    meta = _load_metadata(path, base_version)
     part_field = (meta["partition-specs"][0]["fields"] or [{}])[0].get("name")
 
     df = read_iceberg(spark, path)
@@ -1070,7 +1174,13 @@ def rewrite_data_files(
         )
     elif target_parts:
         df = df.repartition(target_parts)
-    snap = write_iceberg(df, path, mode="overwrite", partition_by=part_field)
+    # CAS commit: the rewrite materialized THIS base snapshot; if any
+    # writer lands in between, rebasing the overwrite would silently
+    # drop their rows — abort instead and let the caller re-run.
+    snap = write_iceberg(
+        df, path, mode="overwrite", partition_by=part_field,
+        expected_version=base_version,
+    )
     return {
         "snapshot_id": snap,
         "files_before": len(files_before),

@@ -484,3 +484,112 @@ def test_iceberg_schema_evolution_append(spark):
     )
     b2 = read_iceberg(spark, path)
     assert b2.count() == 10 and b2.filter("tag = 'x'").count() == 0
+
+
+# ------------------------------------------------ optimistic concurrency
+
+def test_iceberg_concurrent_appends_all_commit(spark):
+    """8 threads append to the same table concurrently; OCC must let
+    every writer land (losers rebase), with no lost updates and a
+    linear snapshot history."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from python_plugins_spark.sources.iceberg_py import (
+        current_metadata_version, read_iceberg, table_snapshots, write_iceberg,
+    )
+
+    path = _fresh("ice_occ_append")
+    write_iceberg(
+        spark.range(0).select(F.col("id"), F.lit(0).alias("w")), path, "overwrite"
+    )
+
+    def appender(w):
+        df = spark.range(w * 100, w * 100 + 10).select(
+            F.col("id"), F.lit(w).alias("w")
+        )
+        return write_iceberg(df, path, "append")
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        snaps = list(ex.map(appender, range(8)))
+    assert sorted(snaps) == list(range(2, 10))  # 8 distinct versions, no gap
+    assert current_metadata_version(path) == 9
+    got = read_iceberg(spark, path).select("id").collect()
+    want = {w * 100 + i for w in range(8) for i in range(10)}
+    assert {r.id for r in got} == want  # every writer's rows survived
+    assert len(table_snapshots(path)) == 9
+
+
+def test_iceberg_stale_delete_commit_aborts(spark):
+    """A delete planned against snapshot N must abort (not silently
+    publish) if another writer committed N+1 first: the deleted row
+    positions may no longer be valid."""
+    import json as _json
+
+    import pytest
+
+    from python_plugins_spark.sources.iceberg_py import (
+        IcebergConcurrentWriteError, _commit_delete_snapshot, _load_metadata,
+        current_metadata_version, write_iceberg,
+    )
+
+    path = _fresh("ice_occ_delete")
+    write_iceberg(spark.range(20).select(F.col("id")), path, "overwrite")
+    stale_meta = _load_metadata(path)
+    stale_target = (current_metadata_version(path) or 0) + 1
+    # competitor commits first
+    write_iceberg(spark.range(20, 25).select(F.col("id")), path, "append")
+    with pytest.raises(IcebergConcurrentWriteError):
+        _commit_delete_snapshot(
+            path, stale_meta, stale_target, 0, [], {"added-position-deletes": "0"}
+        )
+
+
+def test_iceberg_rewrite_cas_aborts_on_concurrent_append(spark):
+    """Compaction materializes the base snapshot, so a concurrent
+    append must abort the rewrite's overwrite commit instead of being
+    silently dropped by a rebase."""
+    import pytest
+
+    import python_plugins_spark.sources.iceberg_py as I
+
+    path = _fresh("ice_occ_rewrite")
+    I.write_iceberg(spark.range(10).select(F.col("id")), path, "overwrite")
+    I.write_iceberg(spark.range(10, 20).select(F.col("id")), path, "append")
+
+    orig = I.write_iceberg
+
+    def racing_write(df, p, mode="append", **kw):
+        # inject a competitor append between the rewrite's base read
+        # and its CAS overwrite commit
+        if kw.get("expected_version") is not None:
+            orig(
+                spark.range(100, 105).select(F.col("id")), p, "append"
+            )
+        return orig(df, p, mode, **kw)
+
+    I.write_iceberg = racing_write
+    try:
+        with pytest.raises(I.IcebergConcurrentWriteError):
+            I.rewrite_data_files(spark, path, target_parts=1)
+    finally:
+        I.write_iceberg = orig
+    # competitor's rows are intact, rewrite left no new snapshot rows
+    ids = {r.id for r in I.read_iceberg(spark, path).collect()}
+    assert ids == set(range(20)) | {100, 101, 102, 103, 104}
+
+
+def test_iceberg_version_scan_beats_stale_hint(spark):
+    """v*.metadata.json files are authoritative; a stale (lower)
+    version hint must not roll the table back."""
+    from python_plugins_spark.sources.iceberg_py import (
+        current_metadata_version, read_iceberg, write_iceberg,
+    )
+
+    path = _fresh("ice_occ_hint")
+    write_iceberg(spark.range(5).select(F.col("id")), path, "overwrite")
+    write_iceberg(spark.range(5, 9).select(F.col("id")), path, "append")
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    with open(hint, "w") as fh:
+        fh.write("1")  # simulate a laggard writer's out-of-order hint
+    assert current_metadata_version(path) == 2
+    assert read_iceberg(spark, path).count() == 9
