@@ -10575,3 +10575,48 @@ def _install_retrieval_queries():
 
 
 _install_retrieval_queries()
+
+
+# =====================================================================
+# Record linkage (operators/linkage.py): blocking + fuzzy verification
+# =====================================================================
+
+def _install_linkage_queries():
+    from python_plugins_spark.operators import linkage as LK
+
+    _BLOCKS = [["c_nationkey"], ["c_mktsegment"]]
+
+    @register(
+        "fuzzy_match_customers",
+        oracle=LK.fuzzy_pairs_oracle_sql(
+            "customer", "c_custkey", "c_name", _BLOCKS, max_dist=1
+        ),
+    )
+    def fuzzy_match_customers(spark, sf_dir):
+        """Entity-resolution candidate pairs: two blocking passes
+        (nation, market segment) union-deduped, then Levenshtein<=1
+        verification on candidates only — the scale-safe fuzzy join
+        (never an unblocked O(N^2) product)."""
+        c = load_table(spark, "customer", sf_dir)
+        return LK.fuzzy_pairs(c, "c_custkey", "c_name", _BLOCKS, max_dist=1)
+
+    @register(
+        "entity_ids_customers",
+        oracle=f"""
+        WITH pairs AS ({LK.fuzzy_pairs_oracle_sql(
+            "customer", "c_custkey", "c_name", _BLOCKS, max_dist=1)}),
+        best AS (SELECT id_b AS id, min(id_a) AS entity_id FROM pairs GROUP BY 1)
+        SELECT c.c_custkey, coalesce(b.entity_id, c.c_custkey) AS entity_id
+        FROM customer c LEFT JOIN best b ON c.c_custkey = b.id
+        """,
+    )
+    def entity_ids_customers(spark, sf_dir):
+        """Greedy one-hop canonicalization of the verified match pairs:
+        each record adopts the smallest id it fuzzy-matches (full
+        transitive closure is the neardup_clusters operator)."""
+        c = load_table(spark, "customer", sf_dir)
+        pairs = LK.fuzzy_pairs(c, "c_custkey", "c_name", _BLOCKS, max_dist=1)
+        return LK.resolve_entities(pairs, c, "c_custkey")
+
+
+_install_linkage_queries()

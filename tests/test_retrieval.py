@@ -86,3 +86,32 @@ def test_rrf_fuses_both_lists_via_takeordered(spark, sf_dir):
     # a doc ranked in both lists must outscore one ranked in neither
     both = [r for r in rows if r.r_lex is not None and r.r_sem is not None]
     assert both, "expected at least one doc present in both lists"
+
+
+# ---------------------------------------------------- record linkage
+
+def test_fuzzy_pairs_blocked_no_cartesian(spark, sf_dir):
+    df = QUERIES["fuzzy_match_customers"](spark, sf_dir)
+    plan = plan_str(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    rows = df.collect()
+    assert all(r.id_a < r.id_b and r.dist <= 1 for r in rows)
+
+
+def test_fuzzy_pairs_requires_blocking(spark):
+    import pytest
+
+    from python_plugins_spark.operators.linkage import fuzzy_pairs
+
+    df = spark.range(3).select(F.col("id"), F.lit("x").alias("t"))
+    with pytest.raises(ValueError):
+        fuzzy_pairs(df, "id", "t", [])
+
+
+def test_entity_ids_cover_all_records(spark, sf_dir):
+    df = QUERIES["entity_ids_customers"](spark, sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    rows = df.collect()
+    assert len(rows) == c.count()
+    # entity id is never larger than the record's own id (min-adopt)
+    assert all(r.entity_id <= r.c_custkey for r in rows)
