@@ -10620,3 +10620,80 @@ def _install_linkage_queries():
 
 
 _install_linkage_queries()
+
+
+# =====================================================================
+# Format conversion (sources/convert.py): Iceberg <-> Delta, zero-copy
+# =====================================================================
+
+def _install_convert_queries():
+    @register(
+        "convert_iceberg_to_delta_read",
+        oracle="""
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+        FROM orders GROUP BY o_orderstatus
+        """,
+    )
+    def convert_iceberg_to_delta_read(spark, sf_dir):
+        """Zero-copy format migration: an Iceberg snapshot republished
+        as Delta version 0 (hard-linked data files + one metadata
+        commit — the public CONVERT TO DELTA shape), then read through
+        the Delta layer and checked against the plain table."""
+        import os
+        import shutil
+
+        from python_plugins_spark.sources.convert import convert_iceberg_to_delta
+        from python_plugins_spark.sources.delta_py import read_delta
+        from python_plugins_spark.sources.iceberg_py import write_iceberg
+
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        ice = os.path.join(_SCRATCH, f"cvq_ice_{tag}")
+        dlt = os.path.join(_SCRATCH, f"cvq_delta_{tag}")
+        shutil.rmtree(ice, ignore_errors=True)
+        shutil.rmtree(dlt, ignore_errors=True)
+        write_iceberg(o, ice, mode="overwrite")
+        convert_iceberg_to_delta(ice, dlt)
+        back = read_delta(spark, dlt)
+        return back.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+        )
+
+    @register(
+        "convert_delta_to_iceberg_read",
+        oracle="""
+        SELECT o_orderpriority, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+        FROM orders GROUP BY o_orderpriority
+        """,
+    )
+    def convert_delta_to_iceberg_read(spark, sf_dir):
+        """The reverse migration (Iceberg's snapshot/migrate shape):
+        a Delta snapshot republished as Iceberg v1 metadata over
+        hard-linked files, read through the Iceberg layer."""
+        import os
+        import shutil
+
+        from python_plugins_spark.sources.convert import convert_delta_to_iceberg
+        from python_plugins_spark.sources.delta_py import write_delta
+        from python_plugins_spark.sources.iceberg_py import read_iceberg
+
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        dlt = os.path.join(_SCRATCH, f"cvq_delta_src_{tag}")
+        ice = os.path.join(_SCRATCH, f"cvq_ice_dst_{tag}")
+        shutil.rmtree(dlt, ignore_errors=True)
+        shutil.rmtree(ice, ignore_errors=True)
+        write_delta(o, dlt, mode="overwrite")
+        convert_delta_to_iceberg(dlt, ice)
+        back = read_iceberg(spark, ice)
+        return back.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+
+
+_install_convert_queries()

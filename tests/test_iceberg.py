@@ -593,3 +593,73 @@ def test_iceberg_version_scan_beats_stale_hint(spark):
         fh.write("1")  # simulate a laggard writer's out-of-order hint
     assert current_metadata_version(path) == 2
     assert read_iceberg(spark, path).count() == 9
+
+
+# ------------------------------------------------ format conversion
+
+def test_convert_iceberg_to_delta_partitioned(spark):
+    from python_plugins_spark.sources.convert import convert_iceberg_to_delta
+    from python_plugins_spark.sources.delta_py import read_delta
+    from python_plugins_spark.sources.iceberg_py import write_iceberg
+
+    ice, dlt = _fresh("cv_ice_p"), _fresh("cv_dlt_p")
+    df = spark.range(60).select(
+        F.col("id"), (F.col("id") % 3).alias("g"), (F.col("id") * 2.0).alias("x")
+    )
+    write_iceberg(df, ice, "overwrite", partition_by="g")
+    convert_iceberg_to_delta(ice, dlt)
+    back = read_delta(spark, dlt)
+    assert back.count() == 60
+    assert {r.g: r.n for r in back.groupBy("g").agg(F.count("*").alias("n")).collect()} \
+        == {0: 20, 1: 20, 2: 20}
+    # conversion is zero-copy: delta files are hard links (same inode)
+    import os as _os
+    ice_files = {
+        _os.stat(_os.path.join(dp, f)).st_ino
+        for dp, _, fs in _os.walk(_os.path.join(ice, "data"))
+        for f in fs if f.endswith(".parquet")
+    }
+    dlt_files = {
+        _os.stat(_os.path.join(dp, f)).st_ino
+        for dp, _, fs in _os.walk(dlt)
+        for f in fs if f.endswith(".parquet") and "_delta_log" not in dp
+    }
+    assert dlt_files and dlt_files <= ice_files
+
+
+def test_convert_refuses_pending_deletes(spark):
+    import pytest
+
+    from python_plugins_spark.sources.convert import (
+        convert_delta_to_iceberg, convert_iceberg_to_delta,
+    )
+    from python_plugins_spark.sources.delta_py import delete_delta, write_delta
+    from python_plugins_spark.sources.iceberg_py import delete_iceberg, write_iceberg
+
+    ice = _fresh("cv_ref_ice")
+    write_iceberg(spark.range(30).select(F.col("id")), ice, "overwrite")
+    delete_iceberg(spark, ice, "id < 5")
+    with pytest.raises(ValueError, match="delete file"):
+        convert_iceberg_to_delta(ice, _fresh("cv_ref_dlt"))
+
+    dlt = _fresh("cv_ref_dlt_src")
+    write_delta(spark.range(30).select(F.col("id")), dlt, "overwrite")
+    delete_delta(spark, dlt, "id < 5")  # deletion-vector path
+    with pytest.raises(ValueError, match="deletion vector"):
+        convert_delta_to_iceberg(dlt, _fresh("cv_ref_ice_dst"))
+
+
+def test_convert_refuses_existing_target(spark):
+    import pytest
+
+    from python_plugins_spark.sources.convert import convert_iceberg_to_delta
+    from python_plugins_spark.sources.delta_py import (
+        DeltaConcurrentWriteError, write_delta,
+    )
+    from python_plugins_spark.sources.iceberg_py import write_iceberg
+
+    ice, dlt = _fresh("cv_ex_ice"), _fresh("cv_ex_dlt")
+    write_iceberg(spark.range(10).select(F.col("id")), ice, "overwrite")
+    write_delta(spark.range(5).select(F.col("id")), dlt, "overwrite")
+    with pytest.raises(DeltaConcurrentWriteError):
+        convert_iceberg_to_delta(ice, dlt)
