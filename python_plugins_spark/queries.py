@@ -10697,3 +10697,102 @@ def _install_convert_queries():
 
 
 _install_convert_queries()
+
+
+# =====================================================================
+# ML-prep suite: hashing-trick features, target encoding, k-anonymity
+# =====================================================================
+
+@register(
+    "feature_hashing_docs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    )
+    SELECT doc_id, {OF.sql_hash32('term')} % 256 AS bucket, count(*) AS n
+    FROM tok GROUP BY 1, 2
+    """,
+)
+def feature_hashing_docs(spark, sf_dir):
+    """Hashing-trick featurization (public Weinberger et al. 2009):
+    token -> md5-derived bucket in a fixed 256-dim space, counts per
+    (doc, bucket). No vocabulary pass, no driver state — the property
+    that makes the trick THE featurizer at corpus scale (a dictionary
+    encoder needs a global vocab build + broadcast; this is one
+    map-side-combined aggregate)."""
+    from python_plugins_spark.functions import hash32, tokens as _tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    return tok.select(
+        "doc_id", (hash32(F.col("term")) % 256).alias("bucket")
+    ).groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
+
+
+@register(
+    "target_encoding_priority",
+    oracle="""
+    WITH g AS (SELECT avg(o_totalprice) AS gm FROM orders)
+    SELECT o_orderpriority, count(*) AS n,
+           round((sum(o_totalprice) + 10.0 * g.gm) / (count(*) + 10.0), 4) AS encoded
+    FROM orders CROSS JOIN g
+    GROUP BY o_orderpriority, g.gm
+    """,
+)
+def target_encoding_priority(spark, sf_dir):
+    """Smoothed target (mean) encoding — the categorical-feature
+    workhorse: encoded = (sum_y + m*global_mean)/(n + m), m=10. The
+    global mean arrives as a broadcast one-row relation, so the whole
+    encoding is one hash aggregate + a map-side join; the category
+    table it produces is broadcastable back onto the fact table."""
+    o = load_table(spark, "orders", sf_dir)
+    gm = o.agg(F.avg("o_totalprice").alias("gm"))
+    return (
+        o.crossJoin(F.broadcast(gm))
+        .groupBy("o_orderpriority", "gm")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                (F.sum("o_totalprice") + 10.0 * F.first("gm")) / (F.count("*") + 10.0),
+                4,
+            ).alias("encoded"),
+        )
+        .select("o_orderpriority", "n", "encoded")
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+             count(*) AS class_size
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT class_size, count(*) AS n_classes,
+           sum(class_size) AS n_records
+    FROM classes GROUP BY class_size
+    """,
+)
+def k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers (nation, segment,
+    account-balance bucket): the histogram of equivalence-class sizes.
+    Rows in classes of size < k are re-identification risks a privacy
+    review gates on before a dataset release; the audit is two hash
+    aggregates, no joins."""
+    c = load_table(spark, "customer", sf_dir)
+    classes = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count("*").alias("class_size"))
+    )
+    return classes.groupBy("class_size").agg(
+        F.count("*").alias("n_classes"),
+        F.sum("class_size").alias("n_records"),
+    )
