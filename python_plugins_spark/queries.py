@@ -10796,3 +10796,38 @@ def k_anonymity_audit(spark, sf_dir):
         F.count("*").alias("n_classes"),
         F.sum("class_size").alias("n_records"),
     )
+
+
+# =====================================================================
+# Streaming online dedup: state across micro-batches in a Delta table
+# =====================================================================
+
+@register(
+    "streaming_online_dedup",
+    oracle=D.dedup_exact_oracle_sql(
+        "documents", ["text"], "doc_id", "doc_id, lang, source"
+    ),
+)
+def streaming_online_dedup(spark, sf_dir):
+    """Online corpus dedup — the streaming form of the ingest-time
+    dedup every training-data pipeline runs: documents arrive in
+    micro-batches, each batch is deduped within itself (min doc_id per
+    content fingerprint) AND against the fingerprints of everything
+    already accepted, and survivors append atomically to a Delta
+    table that doubles as the dedup state. Batches are arrival-ordered
+    (file mtimes), and waves are id-ranged so first-arrival == min-id,
+    making the online result equal to the batch oracle. At scale the
+    anti-join runs fingerprint-vs-fingerprint (two narrow columns) and
+    the state table is just the survivor set — no extra state store.
+    (Cross-batch removal on data with REAL cross-wave duplicates is
+    exercised by tests/test_streaming.py::test_online_dedup_cross_batch.)"""
+    import os
+
+    from python_plugins_spark.streaming.ops import online_exact_dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return online_exact_dedup(
+        spark, docs, "doc_id", "text", ["doc_id", "lang", "source"],
+        os.path.join(_SCRATCH, f"online_dedup_{tag}"),
+    )

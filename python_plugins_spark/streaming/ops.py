@@ -330,3 +330,100 @@ def stateful_topn_tracker(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def online_exact_dedup(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_cols: list[str],
+    scratch_dir: str,
+    n_waves: int = 3,
+) -> DataFrame:
+    """Online (streaming) exact dedup: split ``df`` into ``n_waves``
+    arrival-ordered micro-batches (ascending ``id_col`` ranges, file
+    mtimes forcing source order), then run a foreachBatch pipeline
+    where every batch is deduped within itself (min id per content
+    fingerprint) AND against the fingerprints of all previously
+    accepted rows, with survivors appended atomically to a Delta table
+    that doubles as the dedup state. Returns the survivor DataFrame
+    (``keep_cols``).
+
+    Because waves are id-ranged, first-arrival == min-id, so the
+    online result equals the batch ``dedup_exact`` oracle. At scale
+    the cross-batch check is an anti-join on the two-column
+    fingerprint projection of the state table — no separate state
+    store, and the state grows exactly as fast as the accepted corpus.
+    """
+    import os
+    import shutil
+    import time
+    import uuid
+
+    from python_plugins_spark.sources.delta_py import read_delta, write_delta
+    from python_plugins_spark.sources.io import ensure_session_confs
+
+    ensure_session_confs(spark)
+    n_rows = df.count()
+    run = uuid.uuid4().hex[:8]
+    waves_dir = os.path.join(scratch_dir, f"waves_{run}")
+    table = os.path.join(scratch_dir, f"state_{run}")
+    shutil.rmtree(waves_dir, ignore_errors=True)
+    shutil.rmtree(table, ignore_errors=True)
+    os.makedirs(waves_dir)
+
+    lo_id, hi_id = df.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    span = (hi_id - lo_id + 1 + n_waves - 1) // n_waves or 1
+    now = time.time()
+    for i in range(n_waves):
+        lo = lo_id + i * span
+        hi = lo + span
+        tmp = os.path.join(scratch_dir, f"wave_tmp_{run}_{i}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.filter((F.col(id_col) >= lo) & (F.col(id_col) < hi)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(waves_dir, f"wave{i}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(waves_dir)
+    )
+
+    from pyspark.sql import Window
+
+    def dedup_batch(bdf, epoch_id):
+        keyed = bdf.withColumn("_k", F.md5(F.col(text_col)))
+        w = Window.partitionBy("_k").orderBy(F.col(id_col).asc())
+        in_batch = (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.isdir(os.path.join(table, "_delta_log")):
+            seen = read_delta(bdf.sparkSession, table).select("_k")
+            fresh = in_batch.join(seen, on="_k", how="left_anti")
+        else:
+            fresh = in_batch
+        write_delta(fresh.select(*keep_cols, "_k"), table, mode="append")
+
+    q = (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option(
+            "checkpointLocation", os.path.join(scratch_dir, f"ckpt_{run}")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_delta(spark, table).select(*keep_cols)

@@ -756,3 +756,35 @@ def test_delta_cdf_stream_update_and_rate_limit(spark, tmp_path):
     # the update's inserted rows carry the NEW values
     upd = t.filter("_commit_version = 1 and _change_type = 'insert'")
     assert upd.filter("v != -1.0 * id").count() == 0
+
+
+def test_online_dedup_cross_batch(spark):
+    """The streaming dedup must drop a duplicate that arrives in a
+    LATER micro-batch than its original (cross-batch state), dedupe
+    within a batch, and keep the min-id survivor — equal to the batch
+    dedup_exact result."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.streaming.ops import online_exact_dedup
+
+    scratch = "/root/repo/.scratch/online_dedup_test"
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+
+    rows = [
+        # wave 0 (ids 0-3): in-batch duplicate pair (0, 2)
+        (0, "alpha", "s0"), (1, "beta", "s0"), (2, "alpha", "s0"), (3, "gamma", "s0"),
+        # wave 1 (ids 4-7): 'beta' and 'gamma' are cross-batch dups
+        (4, "beta", "s1"), (5, "delta", "s1"), (6, "gamma", "s1"), (7, "epsilon", "s1"),
+        # wave 2 (ids 8-11): dup of wave-0 and wave-1 content
+        (8, "alpha", "s2"), (9, "delta", "s2"), (10, "zeta", "s2"), (11, "beta", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = online_exact_dedup(
+        spark, df, "doc_id", "text", ["doc_id", "source"], scratch, n_waves=3
+    )
+    got = {(r.doc_id, r.source) for r in out.collect()}
+    assert got == {(0, "s0"), (1, "s0"), (3, "s0"), (5, "s1"), (7, "s1"), (10, "s2")}
