@@ -713,3 +713,102 @@ def pq_topk(
         .filter(F.col("rk") <= kk)
         .select("query_id", "neighbor_id", F.round("dist", 6).alias("adist"), "rk")
     )
+
+
+# ----------------------------------------- persisted ANN index (LSH)
+
+def build_lsh_index(
+    emb: DataFrame,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    dim: int,
+    seed: int = 42,
+) -> int:
+    """Build-once/search-many ANN: persist the (id, bucket, vector)
+    LSH index as a Delta table. The expensive pass over the corpus
+    happens here exactly once; searches read the index and never touch
+    the raw corpus. Returns the committed Delta version."""
+    from python_plugins_spark.sources.delta_py import write_delta
+
+    buckets = lsh_buckets(emb, id_col, vec_col, n_planes=n_planes, seed=seed, dim=dim)
+    indexed = emb.select(id_col, vec_col).join(buckets, on=id_col)
+    return write_delta(indexed, index_path, mode="overwrite")
+
+
+def search_lsh_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_planes: int,
+    dim: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Top-k neighbors for every query row against a persisted LSH
+    index: bucket the queries with the SAME seeded planes, equi-join
+    on the bucket key (candidates only — never a crossJoin against the
+    corpus), exact cosine re-rank inside the bucket. Queries whose
+    bucket is empty produce no rows (the recall/latency trade the
+    index encodes). Returns (query_id, neighbor_id, cos_sim, rk)."""
+    from pyspark.sql import Window
+
+    from python_plugins_spark.functions import cosine_similarity
+    from python_plugins_spark.sources.delta_py import read_delta
+
+    index = read_delta(spark, index_path).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_iv"),
+        "bucket",
+    )
+    qb = lsh_buckets(queries, id_col, vec_col, n_planes=n_planes, seed=seed, dim=dim)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")) \
+        .join(qb.withColumnRenamed(id_col, "query_id"), on="query_id")
+    scored = (
+        q.join(index, on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("_qv"), F.col("_iv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def lsh_index_search_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_planes: int,
+    dim: int,
+    seed: int = 42,
+) -> str:
+    bucket_sql = lsh_buckets_oracle_sql(table, id_col, vec_col, n_planes, dim, seed)
+    cos = O.sql_cosine_similarity("a.v", "b.v")
+    return f"""
+    WITH _b AS ({bucket_sql}),
+    _e AS (SELECT t.{id_col} AS id, t.{vec_col} AS v, _b.bucket
+           FROM {table} t JOIN _b ON t.{id_col} = _b.{id_col}),
+    _s AS (
+      SELECT a.id AS query_id, b.id AS neighbor_id, round({cos}, 6) AS cos_sim
+      FROM _e a JOIN _e b ON a.bucket = b.bucket AND a.id <> b.id
+    ),
+    _r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+      FROM _s
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM _r WHERE rk <= {k}
+    """

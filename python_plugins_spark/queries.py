@@ -10831,3 +10831,34 @@ def streaming_online_dedup(spark, sf_dir):
         spark, docs, "doc_id", "text", ["doc_id", "lang", "source"],
         os.path.join(_SCRATCH, f"online_dedup_{tag}"),
     )
+
+
+# =====================================================================
+# Persisted ANN index: build once into Delta, search many
+# =====================================================================
+
+@register(
+    "ann_lsh_index_persisted",
+    oracle=S.lsh_index_search_oracle_sql(
+        "embeddings", "vec_id", "embedding", k=3, n_planes=8, dim=64
+    ),
+)
+def ann_lsh_index_persisted(spark, sf_dir):
+    """Build-once/search-many ANN: the (id, bucket, vector) LSH index
+    is persisted as a Delta table, then every embedding queries it —
+    bucket equi-join candidates, exact cosine re-rank, top-3. The
+    search never touches the raw corpus; rebuilds are index-table
+    overwrites (ACID swap). Deterministic planes make it oracle-
+    checkable, unlike IVF."""
+    import os
+    import shutil
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = os.path.join(_SCRATCH, f"lsh_index_{tag}")
+    shutil.rmtree(idx, ignore_errors=True)
+    S.build_lsh_index(emb, idx, "vec_id", "embedding", n_planes=8, dim=64)
+    return S.search_lsh_index(
+        spark, idx, emb, "vec_id", "embedding", k=3, n_planes=8, dim=64
+    )
+
