@@ -10862,3 +10862,45 @@ def ann_lsh_index_persisted(spark, sf_dir):
         spark, idx, emb, "vec_id", "embedding", k=3, n_planes=8, dim=64
     )
 
+
+
+@register(
+    "delta_check_constraint_gate",
+    oracle="""
+    SELECT count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders WHERE o_totalprice > 0
+    """,
+)
+def delta_check_constraint_gate(spark, sf_dir):
+    """Delta CHECK constraints (protocol 'delta.constraints.*' keys):
+    ALTER ADD verifies existing rows with one aggregate; every later
+    write enforces the predicate via an observation riding the staging
+    write (zero extra passes), rejecting violating batches atomically.
+    Here a violating append bounces off the gate and the table's
+    contents provably still satisfy the constraint."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        DeltaConstraintViolationError, add_check_constraint, read_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    p = os.path.join(_SCRATCH, f"ck_gate_{tag}")
+    shutil.rmtree(p, ignore_errors=True)
+    write_delta(o.filter(F.col("o_totalprice") > 0), p, mode="overwrite")
+    add_check_constraint(spark, p, "price_pos", "o_totalprice > 0")
+    try:
+        write_delta(
+            o.limit(100).select("o_orderkey", (-F.col("o_totalprice")).alias("o_totalprice")),
+            p, mode="append",
+        )
+        raise AssertionError("constraint gate did not fire")
+    except DeltaConstraintViolationError:
+        pass
+    back = read_delta(spark, p)
+    return back.agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )

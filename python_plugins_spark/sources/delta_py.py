@@ -604,6 +604,78 @@ class DeltaSchemaMismatchError(ValueError):
     ``merge_schema`` was not requested (Delta's schema enforcement)."""
 
 
+class DeltaConstraintViolationError(ValueError):
+    """Raised when written rows violate a table CHECK constraint
+    (protocol ``delta.constraints.<name>`` configuration keys)."""
+
+
+_CONSTRAINT_PREFIX = "delta.constraints."
+
+
+def table_constraints(table_path: str) -> dict[str, str]:
+    """Active CHECK constraints: {name: sql_expr}."""
+    state = _replay_state(table_path)
+    cfg = (state.meta or {}).get("configuration") or {}
+    return {
+        k[len(_CONSTRAINT_PREFIX):]: v
+        for k, v in cfg.items()
+        if k.startswith(_CONSTRAINT_PREFIX)
+    }
+
+
+def add_check_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str,
+    max_retries: int = 10,
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT (protocol "CHECK Constraints"):
+    verifies the EXISTING rows satisfy ``expr`` (one distributed
+    aggregate — the same scan Delta runs), then commits the
+    ``delta.constraints.<name>`` configuration key. Subsequent
+    :func:`write_delta` calls enforce it on incoming data for free via
+    an observation on the staging write (no extra pass). Returns the
+    committed version."""
+    bad = read_delta(spark, table_path).filter(f"NOT ({expr})").count()
+    if bad:
+        raise DeltaConstraintViolationError(
+            f"cannot add constraint {name!r}: {bad} existing row(s) "
+            f"violate ({expr})"
+        )
+    for _ in range(max_retries + 1):
+        state = _replay_state(table_path)
+        new_meta = dict(state.meta)
+        cfg = dict(new_meta.get("configuration") or {})
+        cfg[_CONSTRAINT_PREFIX + name] = expr
+        new_meta["configuration"] = cfg
+        version = table_version(table_path) + 1
+        commit = os.path.join(_log_path(table_path), f"{version:020d}.json")
+        if _put_if_absent(json.dumps({"metaData": new_meta}) + "\n", commit):
+            return version
+    raise DeltaConcurrentWriteError(
+        f"lost the commit race {max_retries + 1} times at {table_path}"
+    )
+
+
+def drop_check_constraint(
+    table_path: str, name: str, max_retries: int = 10
+) -> int:
+    """ALTER TABLE DROP CONSTRAINT; returns the committed version."""
+    for _ in range(max_retries + 1):
+        state = _replay_state(table_path)
+        cfg = dict((state.meta or {}).get("configuration") or {})
+        if _CONSTRAINT_PREFIX + name not in cfg:
+            raise KeyError(f"no constraint named {name!r}")
+        new_meta = dict(state.meta)
+        del cfg[_CONSTRAINT_PREFIX + name]
+        new_meta["configuration"] = cfg
+        version = table_version(table_path) + 1
+        commit = os.path.join(_log_path(table_path), f"{version:020d}.json")
+        if _put_if_absent(json.dumps({"metaData": new_meta}) + "\n", commit):
+            return version
+    raise DeltaConcurrentWriteError(
+        f"lost the commit race {max_retries + 1} times at {table_path}"
+    )
+
+
 def _evolve_schema(
     existing: T.StructType, incoming: T.StructType, mode: str, merge_schema: bool
 ) -> T.StructType | None:
@@ -688,10 +760,16 @@ def write_delta(
     # partitionColumns are the contract (None inherits; a mismatch on
     # an existing table raises — repartitioning is a rewrite, not a
     # write mode)
+    constraints: dict[str, str] = {}
     if table_version(table_path) >= 0:
-        existing_parts = (
-            _replay_state(table_path).meta.get("partitionColumns") or []
-        )
+        _pre_state = _replay_state(table_path)
+        existing_parts = _pre_state.meta.get("partitionColumns") or []
+        cfg = _pre_state.meta.get("configuration") or {}
+        constraints = {
+            k[len(_CONSTRAINT_PREFIX):]: v
+            for k, v in cfg.items()
+            if k.startswith(_CONSTRAINT_PREFIX)
+        }
         if partition_by is None:
             partition_by = existing_parts or None
         elif list(partition_by) != list(existing_parts):
@@ -702,7 +780,39 @@ def write_delta(
     missing_parts = [c for c in (partition_by or []) if c not in df.columns]
     if missing_parts:
         raise ValueError(f"partition columns not in data: {missing_parts}")
+
+    # CHECK-constraint enforcement rides the staging write as an
+    # observation — violation counts come out of the SAME action that
+    # writes the parquet, zero extra passes over the data.
+    obs = None
+    if constraints:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        df = df.observe(
+            obs,
+            *[
+                F.sum(F.when(~F.expr(e), 1).otherwise(0)).alias(n)
+                for n, e in sorted(constraints.items())
+            ],
+        )
     adds = _stage_data_files(df, table_path, now_ms, partition_by)
+    if obs is not None:
+        violated = {n: v for n, v in obs.get.items() if v}
+        if violated:
+            for a in adds:  # staged files are invisible; remove them
+                try:
+                    os.remove(os.path.join(table_path, a["add"]["path"]))
+                except FileNotFoundError:
+                    pass
+            details = ", ".join(
+                f"{n} ({constraints[n]}): {v} row(s)"
+                for n, v in sorted(violated.items())
+            )
+            raise DeltaConstraintViolationError(
+                f"write violates CHECK constraint(s): {details}"
+            )
 
     for attempt in range(max_retries + 1):
         version = table_version(table_path) + 1

@@ -835,3 +835,36 @@ def test_delta_metadata_only_count(spark):
     update_delta(spark, path, "k = 2", {"k": "k"})
     assert count_delta(path) == read_delta(spark, path).count() == 700 - 233
     assert count_delta(path, version_as_of=0) == 700
+
+
+def test_delta_check_constraints_lifecycle(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.sources.delta_py import (
+        DeltaConstraintViolationError, add_check_constraint,
+        drop_check_constraint, read_delta, table_constraints, write_delta,
+    )
+
+    p = _fresh("ck_lifecycle")
+    write_delta(spark.range(10).select(F.col("id"), (F.col("id") * 2.0).alias("x")),
+                p, "overwrite")
+    add_check_constraint(spark, p, "x_nonneg", "x >= 0")
+    assert table_constraints(p) == {"x_nonneg": "x >= 0"}
+
+    # conforming append passes
+    write_delta(spark.range(10, 12).select(F.col("id"), F.lit(1.0).alias("x")),
+                p, "append")
+    # violating append is rejected atomically (no partial data)
+    with pytest.raises(DeltaConstraintViolationError):
+        write_delta(spark.range(2).select(F.col("id"), F.lit(-1.0).alias("x")),
+                    p, "append")
+    assert read_delta(spark, p).count() == 12
+    # adding a constraint existing rows violate is rejected
+    with pytest.raises(DeltaConstraintViolationError):
+        add_check_constraint(spark, p, "id_small", "id < 5")
+    # drop re-opens the gate
+    drop_check_constraint(p, "x_nonneg")
+    write_delta(spark.range(2).select(F.col("id"), F.lit(-1.0).alias("x")),
+                p, "append")
+    assert read_delta(spark, p).count() == 14
