@@ -10904,3 +10904,51 @@ def delta_check_constraint_gate(spark, sf_dir):
     return back.agg(
         F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
     )
+
+
+@register(
+    "recursive_cte_amortization",
+    oracle="""
+    WITH RECURSIVE am(o_orderkey, p, bal_u, pay_u) AS (
+      SELECT o_orderkey, 0,
+             CAST(round(o_totalprice * 1000000, 0) AS BIGINT),
+             (CAST(round(o_totalprice * 1000000, 0) AS BIGINT) * 53 + 600) // 1200
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT o_orderkey, p + 1, (bal_u * 1005 + 500) // 1000 - pay_u, pay_u
+      FROM am WHERE p < 24 AND bal_u > 0
+    )
+    SELECT o_orderkey, max(p) AS periods,
+           round(min(bal_u) / 1000000.0, 6) AS final_bal
+    FROM am GROUP BY o_orderkey
+    """,
+)
+def recursive_cte_amortization(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4 recursive CTEs): a 24-period
+    amortization schedule — per-row state recurrence (balance
+    compounds 0.5%/period, fixed payment subtracts, stop on payoff)
+    that plain relational algebra cannot express without loop
+    unrolling. Linear recursion: each step maps the previous step's
+    rows 1:1, so depth bounds the work (rows x 25, no path explosion;
+    Spark's UNION ALL recursion is safe here). The recurrence runs in
+    exact integer micro-units (half-up via (n*1005+500) div 1000), so
+    there is no per-step float rounding to diverge between engines —
+    the float-tie lesson from the first draft of this query. The
+    balance strictly decreases, so min(bal) is the final balance."""
+    o = load_table(spark, "orders", sf_dir)
+    view = "orders_rcte_v"
+    o.createOrReplaceTempView(view)
+    return spark.sql(f"""
+      WITH RECURSIVE am(o_orderkey, p, bal_u, pay_u) AS (
+        SELECT o_orderkey, 0,
+               CAST(round(o_totalprice * 1000000, 0) AS BIGINT),
+               (CAST(round(o_totalprice * 1000000, 0) AS BIGINT) * 53 + 600) DIV 1200
+        FROM {view} WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT o_orderkey, p + 1, (bal_u * 1005 + 500) DIV 1000 - pay_u, pay_u
+        FROM am WHERE p < 24 AND bal_u > 0
+      )
+      SELECT o_orderkey, max(p) AS periods,
+             round(min(bal_u) / CAST(1000000 AS DOUBLE), 6) AS final_bal
+      FROM am GROUP BY o_orderkey
+    """)
