@@ -10952,3 +10952,37 @@ def recursive_cte_amortization(spark, sf_dir):
              round(min(bal_u) / CAST(1000000 AS DOUBLE), 6) AS final_bal
       FROM am GROUP BY o_orderkey
     """)
+
+
+@register(
+    "wrangler_recipe_customers",
+    oracle="""
+    SELECT c_custkey AS cust_id, upper(c_mktsegment) AS segment,
+           concat(substr(c_name, 1, length(c_name) - 4), '****') AS c_name,
+           CAST(trunc(c_acctbal) AS BIGINT) AS bal_int,
+           CASE WHEN c_acctbal >= 5000 THEN 'high' ELSE 'normal' END AS tier
+    FROM customer WHERE c_nationkey < 10
+    """,
+)
+def wrangler_recipe_customers(spark, sf_dir):
+    """Directive-recipe data prep (operators/wrangler.py): six steps —
+    filter, rename, uppercase, mask-last-n, set-type, set-column —
+    compile into ONE Catalyst plan (no UDFs, no per-step
+    materialization), so pushdown/pruning/codegen see through the
+    whole recipe. The deploy-time-validation stance matches the
+    transform operator: an unknown directive fails at compile."""
+    from python_plugins_spark.operators.wrangler import wrangle
+
+    c = load_table(spark, "customer", sf_dir)
+    recipe = """
+    # analyst-style prep recipe
+    filter-rows-on "c_nationkey < 10"
+    rename c_custkey cust_id
+    uppercase c_mktsegment
+    mask-last-n c_name 4
+    set-column bal_int "CAST(c_acctbal AS BIGINT)"
+    set-column tier "CASE WHEN c_acctbal >= 5000 THEN 'high' ELSE 'normal' END"
+    keep cust_id c_mktsegment c_name bal_int tier
+    rename c_mktsegment segment
+    """
+    return wrangle(c, recipe)

@@ -728,3 +728,44 @@ def test_pq_recall_against_exact_topk(spark, sf_dir):
         tot += 10
     recall = hits / tot
     assert recall >= 0.7, f"PQ shortlist+rerank recall@10 too low: {recall:.2f}"
+
+
+# ------------------------------------------------- wrangler directives
+
+def test_wrangler_single_plan_and_errors(spark, sf_dir):
+    """A recipe must compile to ONE Catalyst plan (pushdown through
+    all steps) and reject unknown directives/bad arity at compile."""
+    import pytest
+
+    from python_plugins_spark.operators.wrangler import DirectiveError, wrangle
+    from python_plugins_spark.plans import plan_str
+    from python_plugins_spark.sources.io import load_table
+
+    c = load_table(spark, "customer", sf_dir)
+    df = wrangle(c, [
+        'filter-rows-on "c_nationkey < 5"',
+        "rename c_custkey id",
+        "mask-last-n c_name 3",
+        "keep id c_name",
+    ])
+    plan = plan_str(df)
+    # the filter reaches the parquet scan through all later steps
+    assert "PushedFilters" in plan and "c_nationkey" in plan
+    rows = df.collect()
+    assert rows and all(r.c_name.endswith("***") for r in rows)
+    assert all(not r.c_name.endswith("****") for r in rows)  # exactly 3
+
+    with pytest.raises(DirectiveError, match="unknown directive"):
+        wrangle(c, ["frobnicate c_name"])
+    with pytest.raises(DirectiveError, match="argument"):
+        wrangle(c, ["rename c_custkey"])
+
+
+def test_wrangler_mask_shorter_than_n(spark):
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.operators.wrangler import wrangle
+
+    df = spark.createDataFrame([("ab",), ("abcdef",)], "s string")
+    out = {r.s for r in wrangle(df, ["mask-last-n s 4"]).collect()}
+    assert out == {"**", "ab****"}
