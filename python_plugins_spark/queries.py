@@ -10986,3 +10986,110 @@ def wrangler_recipe_customers(spark, sf_dir):
     rename c_mktsegment segment
     """
     return wrangle(c, recipe)
+
+
+@register(
+    "stream_stream_left_outer_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id AS p_user,
+           c.event_id AS click_id
+    FROM events p
+    LEFT JOIN events c
+      ON c.event_type = 'click' AND c.user_id = p.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_stream_left_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER join — the watermark-emission case the
+    inner join never exercises: a purchase with no click in the
+    preceding 10 min must still emit (with nulls), which Spark only
+    does once the GLOBAL watermark passes the row's join window. A
+    sentinel second micro-batch (one far-future row per side, filtered
+    back out) advances both sides' watermarks so every unmatched row
+    flushes; without it the one-batch drain would silently degrade to
+    an inner join. State stays bounded by the same watermark that
+    gates emission."""
+    import os
+    import shutil
+    import time as _time
+    import uuid
+
+    from python_plugins_spark.sources.io import ensure_session_confs
+    from python_plugins_spark.streaming import run_to_memory_sink
+
+    ensure_session_confs(spark)
+    ev = load_table(spark, "events", sf_dir)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    waves = os.path.join(_SCRATCH, f"ssoj_waves_{tag}")
+    shutil.rmtree(waves, ignore_errors=True)
+    os.makedirs(waves)
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    base = ev.select(*cols)
+    tmp = os.path.join(_SCRATCH, f"ssoj_tmp_{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    base.coalesce(1).write.mode("overwrite").parquet(tmp)
+    now = _time.time()
+    i = 0
+    for f in sorted(os.listdir(tmp)):
+        if f.endswith(".parquet"):
+            dst = os.path.join(waves, f"wave0_{i}.parquet")
+            os.replace(os.path.join(tmp, f), dst)
+            os.utime(dst, (now, now))
+            i += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    # sentinel wave: one far-future row per side, ids < 0, so both
+    # streams' watermarks advance past every real join window
+    import datetime as _dt
+
+    far = max_ts + _dt.timedelta(hours=2)
+    sent = spark.createDataFrame(
+        [(-1, far, -1, "purchase", 0.0, "{}"), (-2, far, -2, "click", 0.0, "{}")],
+        base.schema,
+    )
+    sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    dst = os.path.join(waves, "wave1.parquet")
+    os.replace(os.path.join(tmp, part), dst)
+    os.utime(dst, (now + 20, now + 20))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def stream():
+        return (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(waves)
+        )
+
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select("purchase_id", "p_user", "click_id")
+    name = f"ssoj_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory_sink(joined, name, output_mode="append", state_partitions=4)
+    return out.filter(F.col("p_user") >= 0)
