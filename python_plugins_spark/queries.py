@@ -11093,3 +11093,58 @@ def stream_stream_left_outer_join(spark, sf_dir):
     name = f"ssoj_{uuid.uuid4().hex[:8]}"
     out = run_to_memory_sink(joined, name, output_mode="append", state_partitions=4)
     return out.filter(F.col("p_user") >= 0)
+
+
+@register(
+    "iceberg_stream_source_read",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def iceberg_stream_source_read(spark, sf_dir):
+    """Iceberg table as a STREAMING SOURCE (sources/iceberg_stream.py
+    — format twin of the Delta streaming source): offsets are snapshot
+    ids, micro-batch planning opens each snapshot's own immutable
+    metadata and keeps only manifests added by that snapshot, and each
+    added data file becomes one executor-side pyarrow task. Two append
+    snapshots land first; the drained memory-sink table must equal the
+    batch aggregate."""
+    import os
+    import shutil
+    import uuid
+
+    from python_plugins_spark.sources import iceberg_stream
+    from python_plugins_spark.sources.iceberg_py import write_iceberg
+    from python_plugins_spark.sources.io import ensure_session_confs
+
+    ensure_session_confs(spark)
+    iceberg_stream.register(spark)
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        _SCRATCH, f"istream_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    write_iceberg(o.filter(F.col("o_orderkey") % 2 == 0), table, mode="overwrite")
+    write_iceberg(o.filter(F.col("o_orderkey") % 2 == 1), table, mode="append")
+
+    stream = (
+        spark.readStream.format("iceberg_py_stream").option("path", table).load()
+    )
+    name = f"istream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.table(name)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )

@@ -1,0 +1,160 @@
+"""Iceberg table as a STRUCTURED STREAMING SOURCE (Spark 4 Python
+DataSource streaming API): ``spark.readStream.format("iceberg_py_stream")
+.option("path", table).load()`` tails the snapshot history, emitting
+each snapshot's appended data files as a micro-batch — the format twin
+of :mod:`.delta_stream`.
+
+- **offsets are snapshot ids** (this layer assigns them densely, one
+  per metadata version): ``{"snapshot": N}`` means "snapshots <= N are
+  consumed". The engine checkpoints offsets, so a restart resumes
+  exactly after the last committed snapshot — exactly-once delivery of
+  each snapshot's rows, inherited from metadata immutability (a
+  published ``vN.metadata.json`` never changes, and stays on disk even
+  after `expire_snapshots` trims the snapshot list).
+- **partition planning is metadata-only**: for each snapshot in range
+  the planner opens that snapshot's OWN metadata file, walks its
+  manifest list, and keeps only manifests added BY that snapshot
+  (``added_snapshot_id == N``) — one InputPartition per added data
+  file; the driver never touches row data.
+- **reads are executor-side**: each task opens its one parquet file
+  with pyarrow.
+
+Change semantics: the stream is the APPEND stream. Snapshots that add
+delete files (position or equality) or that overwrite the table raise
+by default; ``ignoreChanges=true`` instead emits just the snapshot's
+genuinely new data files (the documented trade-off: rows logically
+deleted by a merge-on-read commit are not retracted).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class IcebergStreamSource(DataSource):
+    """Options: ``path`` (required), ``starting_snapshot`` (default 1 —
+    first batch replays the table from its beginning),
+    ``ignoreChanges`` (default false)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_py_stream"
+
+    def schema(self) -> T.StructType:
+        from .iceberg_py import (
+            _current_schema_node,
+            _load_metadata,
+            iceberg_schema_to_spark,
+        )
+
+        meta = _load_metadata(self.options["path"])
+        spec = (meta.get("partition-specs") or [{}])[0].get("fields") or []
+        if spec:
+            # partitioned data files OMIT the partition column; per-file
+            # pyarrow tasks would emit misaligned rows
+            raise NotImplementedError(
+                "iceberg_py_stream does not support identity-partitioned "
+                "tables yet (partition values live in dir names/manifests, "
+                "not the data files)"
+            )
+        return iceberg_schema_to_spark(_current_schema_node(meta))
+
+    def streamReader(self, schema):
+        return IcebergStreamReader(
+            self.options["path"],
+            int(self.options.get("starting_snapshot", 1)),
+            str(self.options.get("ignorechanges", "false")).lower() == "true",
+        )
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, abs_path: str):
+        self.abs_path = abs_path
+
+
+class IcebergStreamReader(DataSourceStreamReader):
+    def __init__(self, table_path: str, starting_snapshot: int, ignore_changes: bool):
+        self.table_path = table_path
+        self.starting_snapshot = starting_snapshot
+        self.ignore_changes = ignore_changes
+
+    def initialOffset(self) -> dict:
+        return {"snapshot": self.starting_snapshot - 1}
+
+    def latestOffset(self) -> dict:
+        from .iceberg_py import current_metadata_version
+
+        return {"snapshot": current_metadata_version(self.table_path) or 0}
+
+    def partitions(self, start: dict, end: dict):
+        from .avro_py import read_container
+        from .iceberg_py import _load_metadata, _meta_dir
+
+        parts: list[_FilePartition] = []
+        for v in range(start["snapshot"] + 1, end["snapshot"] + 1):
+            meta_file = os.path.join(_meta_dir(self.table_path), f"v{v}.metadata.json")
+            if not os.path.exists(meta_file):
+                continue  # e.g. a maintenance-only metadata rewrite gap
+            meta = _load_metadata(self.table_path, v)
+            snap = next(
+                (s for s in meta.get("snapshots", []) if s["snapshot-id"] == v),
+                None,
+            )
+            if snap is None:
+                continue  # snapshot-less metadata commit (expire, etc.)
+            op = snap.get("summary", {}).get("operation")
+            ml_path = os.path.join(self.table_path, snap["manifest-list"])
+            ml_rows = list(read_container(ml_path))
+            if op not in (None, "append") and not self.ignore_changes:
+                # an overwrite that replaced NOTHING (every manifest was
+                # added by this snapshot — e.g. the table-creating
+                # commit) is append-equivalent; a real replacement is not
+                if any(int(ml[3]) != v for ml in ml_rows) or v > 1:
+                    raise ValueError(
+                        f"snapshot {v} of {self.table_path} is {op!r}, not "
+                        "append-only; set ignoreChanges=true to stream "
+                        "only newly added data files"
+                    )
+            for ml in ml_rows:
+                if int(ml[3]) != v:  # added_snapshot_id: not this commit's
+                    continue
+                manifest_rel = ml[0]
+                for e in read_container(os.path.join(self.table_path, manifest_rel)):
+                    status, file_path, _fmt, _part, _n, _sz, _lo, _hi, content, _eq = e
+                    if status != 1:  # only ADDED entries
+                        continue
+                    if content != 0:  # a delete file in this commit
+                        if self.ignore_changes:
+                            continue
+                        raise ValueError(
+                            f"snapshot {v} of {self.table_path} adds delete "
+                            "files; set ignoreChanges=true to stream only "
+                            "newly added data files"
+                        )
+                    parts.append(
+                        _FilePartition(os.path.join(self.table_path, file_path))
+                    )
+        return parts
+
+    def read(self, partition: _FilePartition):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.abs_path)
+        for batch in table.to_batches():
+            cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+            yield from zip(*cols)
+
+    def commit(self, end: dict) -> None:
+        pass  # the engine's checkpoint IS the consumption record
+
+
+def register(spark) -> None:
+    """Idempotent registration of the streaming format."""
+    spark.dataSource.register(IcebergStreamSource)

@@ -788,3 +788,81 @@ def test_online_dedup_cross_batch(spark):
     )
     got = {(r.doc_id, r.source) for r in out.collect()}
     assert got == {(0, "s0"), (1, "s0"), (3, "s0"), (5, "s1"), (7, "s1"), (10, "s2")}
+
+
+def test_iceberg_stream_source_tails_and_resumes(spark, tmp_path):
+    """Format twin of the Delta stream tests: the Iceberg source
+    replays existing snapshots, resumes from the engine checkpoint
+    after a restart, and delivers each snapshot exactly once."""
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.sources import iceberg_stream
+    from python_plugins_spark.sources.iceberg_py import write_iceberg
+
+    iceberg_stream.register(spark)
+    table = str(tmp_path / "istream_t")
+    ckpt = str(tmp_path / "istream_ckpt")
+    sink = str(tmp_path / "istream_sink")
+    df = spark.range(0, 90).selectExpr("id", "id % 3 as k")
+    write_iceberg(df.filter("id < 30"), table, "overwrite")             # v1
+    write_iceberg(df.filter("id >= 30 and id < 60"), table, "append")   # v2
+
+    def drain():
+        q = (
+            spark.readStream.format("iceberg_py_stream")
+            .option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    drain()
+    assert spark.read.parquet(sink).count() == 60
+
+    write_iceberg(df.filter("id >= 60"), table, "append")               # v3
+    drain()
+    got = spark.read.parquet(sink)
+    assert got.count() == 90
+    assert got.agg(F.sum("id")).collect()[0][0] == 90 * 89 // 2
+
+
+def test_iceberg_stream_source_refuses_delete_and_overwrite(spark, tmp_path):
+    import pytest
+
+    from python_plugins_spark.sources import iceberg_stream
+    from python_plugins_spark.sources.iceberg_py import (
+        delete_iceberg, write_iceberg,
+    )
+
+    iceberg_stream.register(spark)
+    table = str(tmp_path / "istream_na")
+    write_iceberg(spark.range(50).selectExpr("id", "id % 5 as k"), table, "overwrite")
+    delete_iceberg(spark, table, "k = 0")  # position-delete snapshot
+
+    def drain(ignore):
+        reader = spark.readStream.format("iceberg_py_stream").option("path", table)
+        if ignore:
+            reader = reader.option("ignoreChanges", "true")
+        q = (
+            reader.load().writeStream.format("memory")
+            .queryName(f"istream_na_{ignore}")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    with pytest.raises(Exception, match="delete files|not[- ]append"):
+        drain(False)
+    # ignoreChanges streams only genuinely-new data files
+    drain(True)
+    assert spark.table("istream_na_True").count() == 50
