@@ -4614,7 +4614,11 @@ def streaming_delta_ingest(spark, sf_dir):
     shutil.rmtree(table, ignore_errors=True)
 
     def commit_batch(batch_df, epoch_id):
-        write_delta(batch_df, table, mode="append")
+        # SetTransaction idempotence: a retried/duplicate delivery of
+        # the same epoch skips instead of double-appending — true
+        # exactly-once, not just per-batch atomicity
+        write_delta(batch_df, table, mode="append",
+                    txn=("streaming_delta_ingest", epoch_id))
 
     q = (
         filtered.writeStream.foreachBatch(commit_batch)

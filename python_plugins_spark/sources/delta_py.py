@@ -151,9 +151,20 @@ def _cp_schema():
                         ("format", pa.struct([("provider", pa.string())])),
                         ("schemaString", pa.string()),
                         ("partitionColumns", pa.list_(pa.string())),
+                        # configuration must survive checkpointing or a
+                        # checkpoint-seeded replay silently drops CHECK
+                        # constraints and any other table properties
+                        ("configuration", pa.map_(pa.string(), pa.string())),
                         ("createdTime", pa.int64()),
                     ]
                 ),
+            ),
+            (
+                # protocol: SetTransaction actions persist in checkpoints
+                # (one per appId) — losing them would break streaming
+                # sinks' exactly-once batchId dedup across a checkpoint
+                "txn",
+                pa.struct([("appId", pa.string()), ("version", pa.int64())]),
             ),
             (
                 "add",
@@ -212,10 +223,13 @@ def _write_checkpoint(table_path: str, version: int, state: "_State") -> None:
                     "format": {"provider": m.get("format", {}).get("provider", "parquet")},
                     "schemaString": m.get("schemaString"),
                     "partitionColumns": m.get("partitionColumns", []),
+                    "configuration": m.get("configuration", {}) or {},
                     "createdTime": m.get("createdTime"),
                 }
             }
         )
+    for app_id, txn_version in sorted(state.txns.items()):
+        rows.append({"txn": {"appId": app_id, "version": txn_version}})
     for add in state.active.values():
         rows.append(
             {
@@ -270,7 +284,12 @@ def _read_checkpoint(table_path: str, version: int) -> "_State":
             m = dict(row["metaData"])
             pv = m.get("partitionColumns")
             m["partitionColumns"] = list(pv) if pv is not None else []
+            cfg = m.get("configuration")
+            m["configuration"] = dict(cfg) if cfg else {}
             state.meta = m
+        elif row.get("txn") is not None:
+            t = row["txn"]
+            state.txns[t["appId"]] = int(t["version"])
         elif row.get("add") is not None:
             a = dict(row["add"])
             pv = a.get("partitionValues")
@@ -290,14 +309,17 @@ def _read_checkpoint(table_path: str, version: int) -> "_State":
 # ------------------------------------------------------------- replay
 
 class _State:
-    """Replayed table state: protocol, metaData, active add-set, and
-    remove tombstones (path -> deletionTimestamp ms)."""
+    """Replayed table state: protocol, metaData, active add-set,
+    remove tombstones (path -> deletionTimestamp ms), and application
+    transaction versions (protocol ``txn`` / SetTransaction — the
+    idempotence record exactly-once streaming sinks key on)."""
 
     def __init__(self) -> None:
         self.protocol: dict | None = None
         self.meta: dict | None = None
         self.active: dict[str, dict] = {}
         self.tombstones: dict[str, int] = {}
+        self.txns: dict[str, int] = {}
 
     def apply_commit(self, path: str) -> None:
         with open(path) as fh:
@@ -318,6 +340,11 @@ class _State:
                     self.active.pop(rm["path"], None)
                     self.tombstones[rm["path"]] = rm.get(
                         "deletionTimestamp", int(time.time() * 1000)
+                    )
+                elif "txn" in action:
+                    txn = action["txn"]
+                    self.txns[txn["appId"]] = max(
+                        self.txns.get(txn["appId"], -1), int(txn["version"])
                     )
 
 
@@ -721,6 +748,15 @@ def _evolve_schema(
     return T.StructType(merged)
 
 
+def txn_version(table_path: str, app_id: str) -> int:
+    """Highest committed SetTransaction version for ``app_id``, or -1.
+    The idempotence query a restarting streaming sink runs first."""
+    try:
+        return _replay_state(table_path).txns.get(app_id, -1)
+    except FileNotFoundError:
+        return -1
+
+
 def write_delta(
     df: DataFrame,
     table_path: str,
@@ -728,8 +764,20 @@ def write_delta(
     max_retries: int = 10,
     merge_schema: bool = False,
     partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
-    """Write a new table version; returns the committed version number.
+    """Write a new table version; returns the committed version number
+    — or -1 if ``txn`` marked the write as already applied (see below).
+
+    ``txn=(app_id, version)`` makes the write IDEMPOTENT via the
+    protocol's SetTransaction action: the commit records the pair, and
+    a later write with the same app_id and a version <= the recorded
+    one is skipped entirely (returns -1, stages nothing). This is the
+    exactly-once contract for streaming foreachBatch sinks — pass the
+    query name and epoch/batch id, and a batch retried after a crash
+    or a duplicate delivery cannot double-append. The check re-runs
+    inside the optimistic-concurrency loop, so two racing writers of
+    the same batch resolve to one commit and one skip.
 
     The parquet data is written by Spark into a staging subdir, the
     files are moved into the table root (invisible to readers, who
@@ -763,6 +811,8 @@ def write_delta(
     constraints: dict[str, str] = {}
     if table_version(table_path) >= 0:
         _pre_state = _replay_state(table_path)
+        if txn is not None and _pre_state.txns.get(txn[0], -1) >= txn[1]:
+            return -1  # batch already applied; nothing staged
         existing_parts = _pre_state.meta.get("partitionColumns") or []
         cfg = _pre_state.meta.get("configuration") or {}
         constraints = {
@@ -860,6 +910,21 @@ def write_delta(
                         }
                     }
                 )
+        if txn is not None:
+            if version > 0 and _replay_state(table_path).txns.get(txn[0], -1) >= txn[1]:
+                # a racing writer committed this batch between our
+                # pre-check and this attempt: clean the invisible
+                # staged files and skip
+                for a in adds:
+                    try:
+                        os.remove(os.path.join(table_path, a["add"]["path"]))
+                    except FileNotFoundError:
+                        pass
+                return -1
+            actions.append(
+                {"txn": {"appId": txn[0], "version": int(txn[1]),
+                         "lastUpdated": now_ms}}
+            )
         actions.extend(adds)
 
         commit = os.path.join(_log_path(table_path), f"{version:020d}.json")

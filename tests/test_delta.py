@@ -868,3 +868,62 @@ def test_delta_check_constraints_lifecycle(spark):
     write_delta(spark.range(2).select(F.col("id"), F.lit(-1.0).alias("x")),
                 p, "append")
     assert read_delta(spark, p).count() == 14
+
+
+def test_delta_txn_idempotent_writes(spark):
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.sources.delta_py import (
+        read_delta, txn_version, write_delta,
+    )
+
+    p = _fresh("txn_idem")
+    write_delta(spark.range(5).select(F.col("id")), p, "overwrite")
+    v1 = write_delta(spark.range(5, 10).select(F.col("id")), p, "append",
+                     txn=("sink-app", 0))
+    assert v1 == 1 and txn_version(p, "sink-app") == 0
+    # duplicate delivery of batch 0: skipped, nothing staged
+    v2 = write_delta(spark.range(5, 10).select(F.col("id")), p, "append",
+                     txn=("sink-app", 0))
+    assert v2 == -1
+    assert read_delta(spark, p).count() == 10
+    # next batch goes through; an unrelated app is independent
+    assert write_delta(spark.range(10, 12).select(F.col("id")), p, "append",
+                       txn=("sink-app", 1)) == 2
+    assert write_delta(spark.range(12, 13).select(F.col("id")), p, "append",
+                       txn=("other-app", 0)) == 3
+    assert read_delta(spark, p).count() == 13
+    assert txn_version(p, "sink-app") == 1
+    assert txn_version(p, "nope") == -1
+
+
+def test_delta_checkpoint_preserves_constraints_and_txns(spark):
+    """Replay seeded from a parquet checkpoint must retain the
+    metaData configuration (CHECK constraints) and SetTransaction
+    versions — both were absent from the original checkpoint codec."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.sources.delta_py import (
+        _CHECKPOINT_INTERVAL, DeltaConstraintViolationError,
+        add_check_constraint, last_checkpoint_version, read_delta,
+        table_constraints, txn_version, write_delta,
+    )
+
+    p = _fresh("ckpt_cfg_txn")
+    write_delta(spark.range(3).select(F.col("id")), p, "overwrite")
+    add_check_constraint(spark, p, "id_nonneg", "id >= 0")
+    write_delta(spark.range(3, 6).select(F.col("id")), p, "append",
+                txn=("app-x", 7))
+    # force past a checkpoint boundary
+    one = spark.range(6, 7).select(F.col("id"))
+    while (last_checkpoint_version(p) or -1) < 1:
+        write_delta(one, p, "append")
+    assert (last_checkpoint_version(p) or -1) >= _CHECKPOINT_INTERVAL - 1
+    # checkpoint-seeded replay still sees both
+    assert table_constraints(p) == {"id_nonneg": "id >= 0"}
+    assert txn_version(p, "app-x") == 7
+    with pytest.raises(DeltaConstraintViolationError):
+        write_delta(spark.range(1).select((F.col("id") - 5).alias("id")),
+                    p, "append")
+    assert read_delta(spark, p).filter("id < 0").count() == 0
