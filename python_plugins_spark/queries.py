@@ -11152,3 +11152,70 @@ def iceberg_stream_source_read(spark, sf_dir):
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
     )
+
+
+@register(
+    "iceberg_stream_cdc_read",
+    oracle="""
+    SELECT 'insert' AS _change_type, count(*) AS n,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders
+    UNION ALL
+    SELECT 'delete', count(*), round(sum(o_totalprice), 4)
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def iceberg_stream_cdc_read(spark, sf_dir):
+    """Streaming CDC over an Iceberg table (iceberg_py_stream with
+    readChangeFeed): the append snapshot streams as 'insert' rows, the
+    position-delete snapshot streams the DELETED ROWS' VALUES as
+    'delete' rows — planned from immutable snapshot metadata, read
+    executor-side. Aggregated by change type against the batch
+    oracle."""
+    import os
+    import shutil
+    import uuid
+
+    from python_plugins_spark.sources import iceberg_stream
+    from python_plugins_spark.sources.iceberg_py import (
+        delete_iceberg, write_iceberg,
+    )
+    from python_plugins_spark.sources.io import ensure_session_confs
+
+    ensure_session_confs(spark)
+    iceberg_stream.register(spark)
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        _SCRATCH, f"icdc_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    write_iceberg(o, table, mode="overwrite")
+    delete_iceberg(spark, table, "o_orderstatus = 'F'")
+
+    stream = (
+        spark.readStream.format("iceberg_py_stream")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    name = f"icdc_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("_change_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )

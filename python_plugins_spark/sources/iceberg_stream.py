@@ -64,9 +64,23 @@ class IcebergStreamSource(DataSource):
                 "tables yet (partition values live in dir names/manifests, "
                 "not the data files)"
             )
-        return iceberg_schema_to_spark(_current_schema_node(meta))
+        base = iceberg_schema_to_spark(_current_schema_node(meta))
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            return T.StructType(
+                base.fields
+                + [
+                    T.StructField("_change_type", T.StringType(), False),
+                    T.StructField("_commit_snapshot", T.IntegerType(), False),
+                ]
+            )
+        return base
 
     def streamReader(self, schema):
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            return IcebergChangeFeedStreamReader(
+                self.options["path"],
+                int(self.options.get("starting_snapshot", 1)),
+            )
         return IcebergStreamReader(
             self.options["path"],
             int(self.options.get("starting_snapshot", 1)),
@@ -158,3 +172,158 @@ class IcebergStreamReader(DataSourceStreamReader):
 def register(spark) -> None:
     """Idempotent registration of the streaming format."""
     spark.dataSource.register(IcebergStreamSource)
+
+
+class _CdcPartition(InputPartition):
+    """One CDC task. kinds:
+    - 'insert': whole added data file;
+    - 'pos-delete': one position-delete file — the task reads its
+      (file_path, pos) rows, then each victim data file, and emits the
+      deleted rows;
+    - 'eq-delete': one (earlier data file, equality delete file) pair —
+      the task filters the data file by the delete file's key values.
+    """
+
+    def __init__(self, kind, version, table_path, data_path=None,
+                 delete_path=None, eq_cols=None):
+        self.kind = kind
+        self.version = version
+        self.table_path = table_path
+        self.data_path = data_path
+        self.delete_path = delete_path
+        self.eq_cols = eq_cols or []
+
+
+class IcebergChangeFeedStreamReader(DataSourceStreamReader):
+    """Streaming twin of :func:`iceberg_py.table_changes_iceberg`:
+    append snapshots plan one 'insert' partition per added data file;
+    position-delete snapshots one partition per delete file;
+    equality-delete snapshots one partition per (earlier data file,
+    delete file) pair — every row read happens executor-side.
+    Overwrite snapshots (other than the table-creating one) raise:
+    a wholesale rewrite is not row-derivable."""
+
+    def __init__(self, table_path: str, starting_snapshot: int):
+        self.table_path = table_path
+        self.starting_snapshot = starting_snapshot
+
+    def initialOffset(self) -> dict:
+        return {"snapshot": self.starting_snapshot - 1}
+
+    def latestOffset(self) -> dict:
+        from .iceberg_py import current_metadata_version
+
+        return {"snapshot": current_metadata_version(self.table_path) or 0}
+
+    def partitions(self, start: dict, end: dict):
+        from .avro_py import read_container
+        from .iceberg_py import _load_metadata, _meta_dir, plan_files
+
+        parts: list[_CdcPartition] = []
+        for v in range(start["snapshot"] + 1, end["snapshot"] + 1):
+            meta_file = os.path.join(_meta_dir(self.table_path), f"v{v}.metadata.json")
+            if not os.path.exists(meta_file):
+                continue
+            meta = _load_metadata(self.table_path, v)
+            snap = next(
+                (s for s in meta.get("snapshots", []) if s["snapshot-id"] == v),
+                None,
+            )
+            if snap is None:
+                continue
+            op = snap.get("summary", {}).get("operation", "append")
+            if op in ("overwrite", "replace") and v != 1:
+                raise ValueError(
+                    f"snapshot {v} is an overwrite: row-level changes are "
+                    "not derivable from metadata"
+                )
+            id_to_name = {
+                f["id"]: f["name"]
+                for f in meta["schemas"][-1]["fields"]
+            }
+            new_entries = []
+            for ml in read_container(
+                os.path.join(self.table_path, snap["manifest-list"])
+            ):
+                if int(ml[3]) != v:
+                    continue
+                for e in read_container(os.path.join(self.table_path, ml[0])):
+                    if e[0] != 2:
+                        new_entries.append(e)
+            for e in new_entries:
+                if e[8] == 0:  # data file -> inserts
+                    parts.append(
+                        _CdcPartition(
+                            "insert", v, self.table_path,
+                            data_path=os.path.join(self.table_path, e[1]),
+                        )
+                    )
+                elif e[8] == 1:  # position delete file
+                    parts.append(
+                        _CdcPartition(
+                            "pos-delete", v, self.table_path,
+                            delete_path=os.path.join(self.table_path, e[1]),
+                        )
+                    )
+                elif e[8] == 2:  # equality delete file
+                    eq_cols = [id_to_name[i] for i in e[9]]
+                    for f in plan_files(self.table_path, v):
+                        if f["snapshot_id"] < v:
+                            parts.append(
+                                _CdcPartition(
+                                    "eq-delete", v, self.table_path,
+                                    data_path=os.path.join(
+                                        self.table_path, f["path"]
+                                    ),
+                                    delete_path=os.path.join(
+                                        self.table_path, e[1]
+                                    ),
+                                    eq_cols=eq_cols,
+                                )
+                            )
+        return parts
+
+    def read(self, partition: _CdcPartition):
+        import pyarrow.parquet as pq
+
+        tag = {
+            "insert": "insert", "pos-delete": "delete", "eq-delete": "delete"
+        }[partition.kind]
+
+        def rows_of(table, idx=None):
+            cols = [table.column(i).to_pylist() for i in range(table.num_columns)]
+            rng = range(table.num_rows) if idx is None else idx
+            for r in rng:
+                yield tuple(c[r] for c in cols) + (tag, partition.version)
+
+        if partition.kind == "insert":
+            yield from rows_of(pq.read_table(partition.data_path))
+            return
+        if partition.kind == "pos-delete":
+            dels = pq.read_table(partition.delete_path).to_pylist()
+            by_file: dict[str, list[int]] = {}
+            for d in dels:
+                base = os.path.basename(d["file_path"])
+                by_file.setdefault(base, []).append(int(d["pos"]))
+            data_dir = os.path.join(partition.table_path, "data")
+            for base, positions in sorted(by_file.items()):
+                table = pq.read_table(os.path.join(data_dir, base))
+                yield from rows_of(table, sorted(positions))
+            return
+        # eq-delete: filter the data file by the delete file's keys
+        keys = pq.read_table(partition.delete_path).to_pylist()
+        keyset = {
+            tuple(k[c] for c in partition.eq_cols) for k in keys
+        }
+        table = pq.read_table(partition.data_path)
+        names = table.schema.names
+        cols = {n: table.column(i).to_pylist() for i, n in enumerate(names)}
+        idx = [
+            r for r in range(table.num_rows)
+            if tuple(cols[c][r] for c in partition.eq_cols) in keyset
+        ]
+        for r in idx:
+            yield tuple(cols[n][r] for n in names) + (tag, partition.version)
+
+    def commit(self, end: dict) -> None:
+        pass

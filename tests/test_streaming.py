@@ -866,3 +866,48 @@ def test_iceberg_stream_source_refuses_delete_and_overwrite(spark, tmp_path):
     # ignoreChanges streams only genuinely-new data files
     drain(True)
     assert spark.table("istream_na_True").count() == 50
+
+
+def test_iceberg_stream_cdc_insert_and_deletes(spark, tmp_path):
+    """Streaming CDC twin of table_changes_iceberg: appends stream as
+    'insert' rows, position-delete and equality-delete snapshots as
+    'delete' rows carrying the deleted rows' values — all derived from
+    metadata + executor-side file reads."""
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.sources import iceberg_stream
+    from python_plugins_spark.sources.iceberg_py import (
+        delete_iceberg, equality_delete_iceberg, write_iceberg,
+    )
+
+    iceberg_stream.register(spark)
+    table = str(tmp_path / "icdc_t")
+    df = spark.range(20).selectExpr("id", "id % 4 as k")
+    write_iceberg(df, table, "overwrite")                       # v1 inserts
+    delete_iceberg(spark, table, "id < 3")                      # v2 pos-del
+    equality_delete_iceberg(
+        spark, table, spark.createDataFrame([(3,)], "k bigint")  # v3 eq-del
+    )
+
+    q = (
+        spark.readStream.format("iceberg_py_stream")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("icdc_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("icdc_sink").collect()
+    ins = {(r.id, r._commit_snapshot) for r in rows if r._change_type == "insert"}
+    dels = {(r.id, r._commit_snapshot) for r in rows if r._change_type == "delete"}
+    assert ins == {(i, 1) for i in range(20)}
+    # v2 deleted ids 0,1,2; v3 deleted k==3 ids among the REMAINING
+    # files' rows (eq deletes scope to earlier files; ids 3,7,11,15,19)
+    assert {d for d in dels if d[1] == 2} == {(0, 2), (1, 2), (2, 2)}
+    assert {d[0] for d in dels if d[1] == 3} == {3, 7, 11, 15, 19}
