@@ -57,16 +57,17 @@ class DeltaStreamSource(DataSource):
         from .delta_py import _replay_state
 
         state = _replay_state(self.options["path"])
-        if state.meta.get("partitionColumns"):
-            # partitioned data files OMIT the partition columns; the
-            # per-file pyarrow read tasks would emit misaligned rows
+        cdc = str(self.options.get("readchangefeed", "false")).lower() == "true"
+        if state.meta.get("partitionColumns") and cdc:
+            # the DV position-diff tasks would need partition-aware row
+            # reassembly; the append stream below reattaches partition
+            # values per task, but the CDC path does not yet
             raise NotImplementedError(
-                "delta_py_stream does not support hive-partitioned "
-                "tables yet (partition columns live in dir names, not "
-                "the data files)"
+                "delta_py_stream readChangeFeed does not support "
+                "hive-partitioned tables yet"
             )
         base = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
-        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+        if cdc:
             return T.StructType(
                 base.fields
                 + [
@@ -89,19 +90,43 @@ class DeltaStreamSource(DataSource):
         return DeltaStreamReader(
             *common,
             str(self.options.get("ignorechanges", "false")).lower() == "true",
+            schema,
         )
 
 
+def _pv_cast(v: str | None, dtype: T.DataType):
+    """Partition value string (the add action's partitionValues map)
+    -> Python value of the partition column's declared type."""
+    if v is None or v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    import datetime as _dt
+
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(v)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(v)
+    if isinstance(dtype, T.BooleanType):
+        return v.lower() == "true"
+    if isinstance(dtype, T.DateType):
+        return _dt.date.fromisoformat(v)
+    if isinstance(dtype, T.TimestampType):
+        return _dt.datetime.fromisoformat(v)
+    return v
+
+
 class _FilePartition(InputPartition):
-    def __init__(self, abs_path: str):
+    def __init__(self, abs_path: str, pvals: dict | None = None):
         self.abs_path = abs_path
+        self.pvals = pvals or {}
 
 
 class DeltaStreamReader(DataSourceStreamReader):
-    def __init__(self, table_path: str, starting_version: int, ignore_changes: bool):
+    def __init__(self, table_path: str, starting_version: int,
+                 ignore_changes: bool, schema: T.StructType | None = None):
         self.table_path = table_path
         self.starting_version = starting_version
         self.ignore_changes = ignore_changes
+        self.table_schema = schema
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version - 1}
@@ -139,7 +164,10 @@ class DeltaStreamReader(DataSourceStreamReader):
                 if add.get("deletionVector"):
                     continue  # re-add of an existing file (DV attach)
                 parts.append(
-                    _FilePartition(os.path.join(self.table_path, add["path"]))
+                    _FilePartition(
+                        os.path.join(self.table_path, add["path"]),
+                        add.get("partitionValues") or {},
+                    )
                 )
         return parts
 
@@ -147,9 +175,29 @@ class DeltaStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.abs_path)
-        for batch in table.to_batches():
-            cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
-            yield from zip(*cols)
+        if not partition.pvals:
+            for batch in table.to_batches():
+                cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+                yield from zip(*cols)
+            return
+        # hive-partitioned: data files omit the partition columns —
+        # reattach each column's constant (typed) value in declared
+        # field order
+        fields = self.table_schema.fields
+        file_cols = {
+            n: table.column(i).to_pylist()
+            for i, n in enumerate(table.schema.names)
+        }
+        consts = {
+            f.name: _pv_cast(partition.pvals.get(f.name), f.dataType)
+            for f in fields
+            if f.name in partition.pvals
+        }
+        for r in range(table.num_rows):
+            yield tuple(
+                consts[f.name] if f.name in consts else file_cols[f.name][r]
+                for f in fields
+            )
 
     def commit(self, end: dict) -> None:
         pass  # the engine's checkpoint IS the consumption record

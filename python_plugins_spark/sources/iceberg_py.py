@@ -54,6 +54,7 @@ import shutil
 import time
 import uuid
 from datetime import date, datetime
+from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -99,7 +100,11 @@ def spark_schema_to_iceberg(schema: T.StructType) -> dict:
     this layer writes need)."""
     fields = []
     for i, f in enumerate(schema.fields, start=1):
-        ice = _SPARK_TO_ICE.get(type(f.dataType))
+        if isinstance(f.dataType, T.DecimalType):
+            # spec primitive: decimal(P,S)
+            ice = f"decimal({f.dataType.precision},{f.dataType.scale})"
+        else:
+            ice = _SPARK_TO_ICE.get(type(f.dataType))
         if ice is None:
             raise ValueError(
                 f"iceberg_py writes top-level primitive columns only; "
@@ -114,9 +119,14 @@ def spark_schema_to_iceberg(schema: T.StructType) -> dict:
 def iceberg_schema_to_spark(node: dict) -> T.StructType:
     fields = []
     for f in node["fields"]:
-        dt = _ICE_TO_SPARK.get(f["type"])
+        t = f["type"]
+        if isinstance(t, str) and t.startswith("decimal(") and t.endswith(")"):
+            p, s = t[len("decimal("):-1].split(",")
+            dt = T.DecimalType(int(p), int(s))
+        else:
+            dt = _ICE_TO_SPARK.get(t)
         if dt is None:
-            raise ValueError(f"unsupported iceberg type {f['type']!r}")
+            raise ValueError(f"unsupported iceberg type {t!r}")
         fields.append(T.StructField(f["name"], dt, not f.get("required", False)))
     return T.StructType(fields)
 
@@ -172,11 +182,18 @@ def _enc_bound(v) -> str:
         return json.dumps(v.isoformat())
     if isinstance(v, bytes):
         return json.dumps(v.hex())
+    if isinstance(v, Decimal):
+        # exact decimal string, tagged so decode restores Decimal (a
+        # float round-trip would corrupt high-precision bounds)
+        return json.dumps({"__dec__": str(v)})
     return json.dumps(v)
 
 
 def _dec_bound(s: str):
-    return json.loads(s)
+    v = json.loads(s)
+    if isinstance(v, dict) and "__dec__" in v:
+        return Decimal(v["__dec__"])
+    return v
 
 
 def _cmp_key(v):
@@ -185,6 +202,8 @@ def _cmp_key(v):
         return v.isoformat(sep=" ")
     if isinstance(v, date):
         return v.isoformat()
+    if isinstance(v, Decimal):
+        return float(v)
     return v
 
 

@@ -56,16 +56,16 @@ class IcebergStreamSource(DataSource):
 
         meta = _load_metadata(self.options["path"])
         spec = (meta.get("partition-specs") or [{}])[0].get("fields") or []
-        if spec:
-            # partitioned data files OMIT the partition column; per-file
-            # pyarrow tasks would emit misaligned rows
+        cdc = str(self.options.get("readchangefeed", "false")).lower() == "true"
+        if spec and cdc:
+            # CDC's delete-diff tasks don't reassemble partition
+            # columns yet; the append stream below reattaches them
             raise NotImplementedError(
-                "iceberg_py_stream does not support identity-partitioned "
-                "tables yet (partition values live in dir names/manifests, "
-                "not the data files)"
+                "iceberg_py_stream readChangeFeed does not support "
+                "identity-partitioned tables yet"
             )
         base = iceberg_schema_to_spark(_current_schema_node(meta))
-        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+        if cdc:
             return T.StructType(
                 base.fields
                 + [
@@ -85,19 +85,23 @@ class IcebergStreamSource(DataSource):
             self.options["path"],
             int(self.options.get("starting_snapshot", 1)),
             str(self.options.get("ignorechanges", "false")).lower() == "true",
+            schema,
         )
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, abs_path: str):
+    def __init__(self, abs_path: str, pvals: dict | None = None):
         self.abs_path = abs_path
+        self.pvals = pvals or {}
 
 
 class IcebergStreamReader(DataSourceStreamReader):
-    def __init__(self, table_path: str, starting_snapshot: int, ignore_changes: bool):
+    def __init__(self, table_path: str, starting_snapshot: int,
+                 ignore_changes: bool, schema: T.StructType | None = None):
         self.table_path = table_path
         self.starting_snapshot = starting_snapshot
         self.ignore_changes = ignore_changes
+        self.table_schema = schema
 
     def initialOffset(self) -> dict:
         return {"snapshot": self.starting_snapshot - 1}
@@ -141,7 +145,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                     continue
                 manifest_rel = ml[0]
                 for e in read_container(os.path.join(self.table_path, manifest_rel)):
-                    status, file_path, _fmt, _part, _n, _sz, _lo, _hi, content, _eq = e
+                    status, file_path, _fmt, part, _n, _sz, _lo, _hi, content, _eq = e
                     if status != 1:  # only ADDED entries
                         continue
                     if content != 0:  # a delete file in this commit
@@ -153,7 +157,10 @@ class IcebergStreamReader(DataSourceStreamReader):
                             "newly added data files"
                         )
                     parts.append(
-                        _FilePartition(os.path.join(self.table_path, file_path))
+                        _FilePartition(
+                            os.path.join(self.table_path, file_path),
+                            dict(part or {}),
+                        )
                     )
         return parts
 
@@ -161,9 +168,30 @@ class IcebergStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.abs_path)
-        for batch in table.to_batches():
-            cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
-            yield from zip(*cols)
+        if not partition.pvals:
+            for batch in table.to_batches():
+                cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+                yield from zip(*cols)
+            return
+        # identity-partitioned: data files omit the partition column —
+        # reattach its constant (typed) value in declared field order
+        from .delta_stream import _pv_cast
+
+        fields = self.table_schema.fields
+        file_cols = {
+            n: table.column(i).to_pylist()
+            for i, n in enumerate(table.schema.names)
+        }
+        consts = {
+            f.name: _pv_cast(str(partition.pvals.get(f.name)), f.dataType)
+            for f in fields
+            if f.name in partition.pvals
+        }
+        for r in range(table.num_rows):
+            yield tuple(
+                consts[f.name] if f.name in consts else file_cols[f.name][r]
+                for f in fields
+            )
 
     def commit(self, end: dict) -> None:
         pass  # the engine's checkpoint IS the consumption record

@@ -911,3 +911,41 @@ def test_iceberg_stream_cdc_insert_and_deletes(spark, tmp_path):
     # files' rows (eq deletes scope to earlier files; ids 3,7,11,15,19)
     assert {d for d in dels if d[1] == 2} == {(0, 2), (1, 2), (2, 2)}
     assert {d[0] for d in dels if d[1] == 3} == {3, 7, 11, 15, 19}
+
+
+def test_stream_sources_partitioned_tables(spark, tmp_path):
+    """Both table-format stream sources must reattach partition-column
+    values (omitted from the data files) executor-side, in declared
+    field order and declared type."""
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.sources import delta_stream, iceberg_stream
+    from python_plugins_spark.sources.delta_py import write_delta
+    from python_plugins_spark.sources.iceberg_py import write_iceberg
+
+    delta_stream.register(spark)
+    iceberg_stream.register(spark)
+    df = spark.range(30).selectExpr("id", "id % 3 as g", "id * 1.5 as x")
+
+    dt = str(tmp_path / "pstream_d")
+    write_delta(df, dt, "overwrite", partition_by=["g"])
+    it = str(tmp_path / "pstream_i")
+    write_iceberg(df, it, "overwrite", partition_by="g")
+
+    for fmt, table in (("delta_py_stream", dt), ("iceberg_py_stream", it)):
+        q = (
+            spark.readStream.format(fmt).option("path", table).load()
+            .writeStream.format("memory")
+            .queryName(f"pstream_{fmt}")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.table(f"pstream_{fmt}")
+        assert got.count() == 30, fmt
+        per_g = {r.g: r.n for r in got.groupBy("g").agg(F.count("*").alias("n")).collect()}
+        assert per_g == {0: 10, 1: 10, 2: 10}, fmt
+        assert got.agg(F.sum("id")).collect()[0][0] == 30 * 29 // 2, fmt
