@@ -514,7 +514,22 @@ def write_iceberg(
     # compare-and-swap callers (expected_version=, e.g. a compaction
     # whose rewrite materialized the OLD snapshot) abort instead of
     # silently dropping the winner's rows.
+    def _abort_cleanup():
+        # this writer's data files and manifest are invisible (no
+        # metadata references them) but would otherwise linger until
+        # remove_orphan_files; delete them on a CAS/conflict abort
+        for e in entries:
+            try:
+                os.remove(os.path.join(path, e[1]))
+            except FileNotFoundError:
+                pass
+        try:
+            os.remove(manifest_path)
+        except FileNotFoundError:
+            pass
+
     if expected_version is not None and (cur_version or 0) != expected_version:
+        _abort_cleanup()
         raise IcebergConcurrentWriteError(
             f"table moved to version {cur_version} while this commit was "
             f"built against version {expected_version}; re-run the operation"
@@ -582,6 +597,7 @@ def write_iceberg(
         # lost the race — rebase or abort
         os.remove(ml_path)
         if expected_version is not None:
+            _abort_cleanup()
             raise IcebergConcurrentWriteError(
                 f"concurrent commit at version {snapshot_id}: this commit "
                 f"required base version {expected_version}; re-run the "
@@ -600,6 +616,7 @@ def write_iceberg(
                     "the append against the current snapshot"
                 )
         meta, cur_version = new_base, new_version
+    _abort_cleanup()
     raise IcebergConcurrentWriteError(
         "optimistic-concurrency retry budget exhausted (10 attempts)"
     )
