@@ -10545,17 +10545,21 @@ def _install_retrieval_queries():
     @register(
         "semantic_dedup_embeddings",
         oracle=RV.semantic_dedup_oracle_sql(
-            "embeddings", "vec_id", "embedding", threshold=0.98, dim=64
+            "embeddings", "vec_id", "embedding", threshold=0.35, dim=64
         ),
     )
     def semantic_dedup_embeddings(spark, sf_dir):
         """SemDeDup-style semantic dedup: LSH-cluster embeddings, drop
         any vector with an earlier intra-cluster neighbor at cosine >=
-        0.98, keep the rest. Candidates come from a bucket equi-join
-        (never crossJoin); decision is one aggregated anti-join."""
+        the threshold, keep the rest. Candidates come from a bucket
+        equi-join (never crossJoin); decision is one aggregated
+        anti-join. The synthetic embeddings have no true near-dups
+        (max pairwise cosine ~0.51), so the threshold is 0.35 — low
+        enough that the DROP path is actually exercised by the gate
+        (9 drops at sf0.01), not vacuously green."""
         emb = load_table(spark, "embeddings", sf_dir)
         return RV.semantic_dedup(
-            emb, "vec_id", "embedding", threshold=0.98, dim=64
+            emb, "vec_id", "embedding", threshold=0.35, dim=64
         )
 
     @register(
