@@ -11223,3 +11223,53 @@ def iceberg_stream_cdc_read(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 4).alias("total"),
         )
     )
+
+
+@register(
+    "interleaved_multimodal_docs",
+    oracle="""
+    SELECT doc_id, 0 AS seq_no, 'text' AS kind,
+           md5(substr(text, 1, CAST(floor(length(text) / 2) AS INT))) AS payload_ref
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1, 'image', md5('img-' || doc_id) FROM documents
+    UNION ALL
+    SELECT doc_id, 2, 'text',
+           md5(substr(text, CAST(floor(length(text) / 2) AS INT) + 1, length(text)))
+    FROM documents
+    """,
+)
+def interleaved_multimodal_docs(spark, sf_dir):
+    """Interleaved multimodal sequence construction (the MMC4/OBELICS
+    public recipe shape): each document becomes an ordered sequence of
+    typed segments — text chunk, image slot, text chunk — flattened to
+    (doc_id, seq_no, kind, payload_ref) rows so position and type
+    survive the shuffle and the downstream packer can reassemble
+    deterministically. Payloads are content-addressed (md5 refs) — the
+    binary image bytes live in the multimodal suite's BinaryType
+    plumbing; here the JOIN-KEY layer is what's exercised. Pure
+    expressions, one projection per segment kind, no UDFs."""
+    docs = load_table(spark, "documents", sf_dir)
+    half = F.floor(F.length("text") / 2).cast("int")
+    text_col = F.col("text")
+    t0 = docs.select(
+        "doc_id",
+        F.lit(0).cast("int").alias("seq_no"),
+        F.lit("text").alias("kind"),
+        F.md5(text_col.substr(F.lit(1), half)).alias("payload_ref"),
+    )
+    t1 = docs.select(
+        "doc_id",
+        F.lit(1).cast("int").alias("seq_no"),
+        F.lit("image").alias("kind"),
+        F.md5(F.concat(F.lit("img-"), F.col("doc_id").cast("string"))).alias(
+            "payload_ref"
+        ),
+    )
+    t2 = docs.select(
+        "doc_id",
+        F.lit(2).cast("int").alias("seq_no"),
+        F.lit("text").alias("kind"),
+        F.md5(text_col.substr(half + 1, F.length("text"))).alias("payload_ref"),
+    )
+    return t0.unionByName(t1).unionByName(t2)
