@@ -265,9 +265,11 @@ class IcebergChangeFeedStreamReader(DataSourceStreamReader):
                     f"snapshot {v} is an overwrite: row-level changes are "
                     "not derivable from metadata"
                 )
+            from .iceberg_py import _current_schema_node
+
             id_to_name = {
                 f["id"]: f["name"]
-                for f in meta["schemas"][-1]["fields"]
+                for f in _current_schema_node(meta)["fields"]
             }
             new_entries = []
             for ml in read_container(
