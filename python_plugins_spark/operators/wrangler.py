@@ -94,7 +94,11 @@ def wrangle(df: DataFrame, directives: list[str] | str) -> DataFrame:
             df = df.withColumn(toks[1], fn(F.col(toks[1])))
         elif op == "split-to-columns":
             _need(toks, 4, line_no, "split-to-columns <col> <delim> <a> <b>")
-            parts = F.split(F.col(toks[1]), toks[2], 2)
+            import re as _re
+
+            # the directive delimiter is LITERAL; F.split takes a Java
+            # regex, so '.' or '|' unescaped would split on everything
+            parts = F.split(F.col(toks[1]), _re.escape(toks[2]), 2)
             df = df.withColumn(toks[3], parts.getItem(0)).withColumn(
                 toks[4], parts.getItem(1)
             )

@@ -175,7 +175,14 @@ class DeltaStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.abs_path)
-        if not partition.pvals:
+        names = (
+            [f.name for f in self.table_schema.fields]
+            if self.table_schema is not None
+            else None
+        )
+        if not partition.pvals and (
+            names is None or list(table.schema.names) == names
+        ):
             for batch in table.to_batches():
                 cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
                 yield from zip(*cols)
@@ -193,9 +200,14 @@ class DeltaStreamReader(DataSourceStreamReader):
             for f in fields
             if f.name in partition.pvals
         }
+        none_col = [None] * table.num_rows
         for r in range(table.num_rows):
+            # columns absent from the file (added later by schema
+            # evolution) null-fill, matching the batch reader
             yield tuple(
-                consts[f.name] if f.name in consts else file_cols[f.name][r]
+                consts[f.name]
+                if f.name in consts
+                else file_cols.get(f.name, none_col)[r]
                 for f in fields
             )
 

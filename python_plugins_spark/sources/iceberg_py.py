@@ -94,17 +94,23 @@ _ICE_TO_SPARK = {
 }
 
 
+def _spark_type_to_ice(dtype: T.DataType) -> str | None:
+    """Spark type -> Iceberg primitive name, incl. parametrized
+    decimal(P,S) (which a type-keyed dict cannot hold). Every caller
+    that maps types — initial writes AND merge_schema evolution —
+    must go through this, not _SPARK_TO_ICE directly."""
+    if isinstance(dtype, T.DecimalType):
+        return f"decimal({dtype.precision},{dtype.scale})"
+    return _SPARK_TO_ICE.get(type(dtype))
+
+
 def spark_schema_to_iceberg(schema: T.StructType) -> dict:
     """Spark StructType -> Iceberg schema JSON (spec 'Schemas': struct
     with field ids). Top-level primitives only (the subset the tables
     this layer writes need)."""
     fields = []
     for i, f in enumerate(schema.fields, start=1):
-        if isinstance(f.dataType, T.DecimalType):
-            # spec primitive: decimal(P,S)
-            ice = f"decimal({f.dataType.precision},{f.dataType.scale})"
-        else:
-            ice = _SPARK_TO_ICE.get(type(f.dataType))
+        ice = _spark_type_to_ice(f.dataType)
         if ice is None:
             raise ValueError(
                 f"iceberg_py writes top-level primitive columns only; "
@@ -336,7 +342,13 @@ def _file_column_bounds(parquet_path: str, schema: T.StructType):
             st = col.statistics
             if st is None or not st.has_min_max:
                 continue
-            mn, mx = st.min, st.max
+            try:
+                mn, mx = st.min, st.max
+            except Exception:
+                # pyarrow can't decode stats for every physical type
+                # (e.g. FIXED_LEN_BYTE_ARRAY decimals); the column
+                # simply contributes no pruning bounds
+                continue
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode(), mx.decode()
@@ -404,7 +416,7 @@ def write_iceberg(
                 conflicts = [
                     f.name for f in df.schema.fields
                     if f.name in ex_by_name
-                    and _SPARK_TO_ICE.get(type(f.dataType))
+                    and _spark_type_to_ice(f.dataType)
                     != ex_by_name[f.name]["type"]
                 ]
                 if conflicts:
@@ -416,7 +428,7 @@ def write_iceberg(
                 new_fields = list(cur_node["fields"])
                 for f in df.schema.fields:
                     if f.name not in ex_by_name:
-                        ice = _SPARK_TO_ICE.get(type(f.dataType))
+                        ice = _spark_type_to_ice(f.dataType)
                         if ice is None:
                             raise ValueError(
                                 f"unsupported evolved column type for {f.name}"
@@ -603,6 +615,15 @@ def write_iceberg(
                 f"required base version {expected_version}; re-run the "
                 "operation against the current snapshot"
             )
+        if evolved_node is not None:
+            # our evolved schema node was built (and id-numbered)
+            # against the OLD base; rebasing would publish a duplicate
+            # or mislabeled schema-id — re-run the evolution instead
+            _abort_cleanup()
+            raise IcebergConcurrentWriteError(
+                "concurrent commit raced a schema-evolving write; "
+                "re-run it against the current snapshot"
+            )
         new_version = current_metadata_version(path)
         new_base = _load_metadata(path, new_version)
         if mode == "append":
@@ -611,9 +632,24 @@ def write_iceberg(
                 or new_base.get("current-schema-id")
                 != (meta or {}).get("current-schema-id")
             ):
+                _abort_cleanup()
                 raise IcebergConcurrentWriteError(
                     "concurrent commit changed the table schema; re-run "
                     "the append against the current snapshot"
+                )
+        else:
+            # overwrite rebase is only sound if our data files still
+            # match the (possibly winner-created) current schema —
+            # otherwise B's files would publish under A's schema
+            ours = spark_schema_to_iceberg(df.schema)["fields"]
+            theirs = _current_schema_node(new_base)["fields"]
+            if [(f["name"], f["type"]) for f in ours] != [
+                (f["name"], f["type"]) for f in theirs
+            ]:
+                _abort_cleanup()
+                raise IcebergConcurrentWriteError(
+                    "concurrent commit established a different schema; "
+                    "re-run the overwrite against the current snapshot"
                 )
         meta, cur_version = new_base, new_version
     _abort_cleanup()
@@ -651,7 +687,8 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
     uuid names."""
     from pyspark.sql import functions as F
 
-    meta = _load_metadata(path)
+    base_version = current_metadata_version(path)
+    meta = _load_metadata(path, base_version)
     schema = iceberg_schema_to_spark(_current_schema_node(meta))
     live = read_iceberg(spark, path)
     matched = (
@@ -690,7 +727,7 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
         return meta.get("current-snapshot-id")
 
     now_ms = int(time.time() * 1000)
-    snapshot_id = (current_metadata_version(path) or 0) + 1
+    snapshot_id = (base_version or 0) + 1  # pinned to the PLANNED base
     entries = []
     for f in parts:
         name = f"{uuid.uuid4().hex}-deletes.parquet"
@@ -798,7 +835,8 @@ def equality_delete_iceberg(
     spec's sequence-number rule (via the manifests' added_snapshot_id):
     the delete applies only to rows whose data file predates it, so
     re-inserting a deleted key later works."""
-    meta = _load_metadata(path)
+    base_version = current_metadata_version(path)
+    meta = _load_metadata(path, base_version)
     schema = iceberg_schema_to_spark(_current_schema_node(meta))
     name_to_id = {f["name"]: f["id"] for f in _current_schema_node(meta)["fields"]}
     bad = [c for c in keys_df.columns if c not in name_to_id]
@@ -819,7 +857,7 @@ def equality_delete_iceberg(
     import pyarrow.parquet as pq
 
     now_ms = int(time.time() * 1000)
-    snapshot_id = (current_metadata_version(path) or 0) + 1
+    snapshot_id = (base_version or 0) + 1  # pinned to the PLANNED base
     entries = []
     for f in sorted(os.listdir(staging)):
         if not f.endswith(".parquet"):
@@ -1100,7 +1138,8 @@ def expire_snapshots(
     Time travel to expired snapshots stops working — exactly the
     Iceberg trade-off. Returns ``{"expired": [ids], "deleted":
     [files]}``."""
-    meta = _load_metadata(path)
+    base_version = current_metadata_version(path)
+    meta = _load_metadata(path, base_version)
     snaps = sorted(meta.get("snapshots", []), key=lambda s: s["snapshot-id"])
     if len(snaps) <= keep_last:
         return {"expired": [], "deleted": []}
@@ -1148,7 +1187,7 @@ def expire_snapshots(
             e for e in meta.get("snapshot-log", [])
             if e["snapshot-id"] not in expired_ids
         ]
-        version = (current_metadata_version(path) or 0) + 1
+        version = (base_version or 0) + 1  # pinned to the PLANNED base
         meta_file = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
         if not _put_if_absent(json.dumps(new_meta), meta_file):
             raise IcebergConcurrentWriteError(
@@ -1410,7 +1449,8 @@ def upsert_iceberg(
     source). Returns the new snapshot id."""
     import pyarrow.parquet as pq
 
-    meta = _load_metadata(path)
+    base_version = current_metadata_version(path)
+    meta = _load_metadata(path, base_version)
     if meta["partition-specs"][0]["fields"]:
         raise NotImplementedError("upsert_iceberg: unpartitioned tables only")
     schema = iceberg_schema_to_spark(_current_schema_node(meta))
@@ -1426,7 +1466,7 @@ def upsert_iceberg(
     eq_ids = sorted(name_to_id[k] for k in on)
 
     now_ms = int(time.time() * 1000)
-    snapshot_id = (current_metadata_version(path) or 0) + 1
+    snapshot_id = (base_version or 0) + 1  # pinned to the PLANNED base
     entries = []
 
     # equality-delete file: just the distinct source keys

@@ -9,8 +9,10 @@ of :mod:`.delta_stream`.
   consumed". The engine checkpoints offsets, so a restart resumes
   exactly after the last committed snapshot — exactly-once delivery of
   each snapshot's rows, inherited from metadata immutability (a
-  published ``vN.metadata.json`` never changes, and stays on disk even
-  after `expire_snapshots` trims the snapshot list).
+  published ``vN.metadata.json`` never changes). If `expire_snapshots`
+  deletes an unconsumed snapshot's manifests, the stream fails loudly
+  (Kafka's failOnDataLoss stance) rather than silently skipping rows —
+  size the retention window to the slowest consumer.
 - **partition planning is metadata-only**: for each snapshot in range
   the planner opens that snapshot's OWN metadata file, walks its
   manifest list, and keeps only manifests added BY that snapshot
@@ -129,12 +131,24 @@ class IcebergStreamReader(DataSourceStreamReader):
                 continue  # snapshot-less metadata commit (expire, etc.)
             op = snap.get("summary", {}).get("operation")
             ml_path = os.path.join(self.table_path, snap["manifest-list"])
-            ml_rows = list(read_container(ml_path))
+            try:
+                ml_rows = list(read_container(ml_path))
+            except FileNotFoundError:
+                # expire_snapshots deleted this snapshot's manifests
+                # before the stream consumed it — exactly-once resume
+                # is impossible past this point; fail loudly (the
+                # Kafka failOnDataLoss stance) instead of silently
+                # skipping rows
+                raise ValueError(
+                    f"snapshot {v} of {self.table_path} was expired "
+                    "before the stream consumed it; restart with a "
+                    "fresh starting_snapshot (data loss)"
+                )
             if op not in (None, "append") and not self.ignore_changes:
-                # an overwrite that replaced NOTHING (every manifest was
-                # added by this snapshot — e.g. the table-creating
-                # commit) is append-equivalent; a real replacement is not
-                if any(int(ml[3]) != v for ml in ml_rows) or v > 1:
+                # only the table-CREATING overwrite (v == 1, nothing
+                # replaced) is append-equivalent; any later overwrite
+                # retracted rows the stream cannot express
+                if v > 1:
                     raise ValueError(
                         f"snapshot {v} of {self.table_path} is {op!r}, not "
                         "append-only; set ignoreChanges=true to stream "
@@ -168,7 +182,14 @@ class IcebergStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.abs_path)
-        if not partition.pvals:
+        names = (
+            [f.name for f in self.table_schema.fields]
+            if self.table_schema is not None
+            else None
+        )
+        if not partition.pvals and (
+            names is None or list(table.schema.names) == names
+        ):
             for batch in table.to_batches():
                 cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
                 yield from zip(*cols)
@@ -187,9 +208,14 @@ class IcebergStreamReader(DataSourceStreamReader):
             for f in fields
             if f.name in partition.pvals
         }
+        none_col = [None] * table.num_rows
         for r in range(table.num_rows):
+            # columns absent from the file (added later by schema
+            # evolution) null-fill, matching the batch reader
             yield tuple(
-                consts[f.name] if f.name in consts else file_cols[f.name][r]
+                consts[f.name]
+                if f.name in consts
+                else file_cols.get(f.name, none_col)[r]
                 for f in fields
             )
 

@@ -663,3 +663,96 @@ def test_convert_refuses_existing_target(spark):
     write_delta(spark.range(5).select(F.col("id")), dlt, "overwrite")
     with pytest.raises(DeltaConcurrentWriteError):
         convert_iceberg_to_delta(ice, dlt)
+
+
+# -------------------------------------- review fixes (round-3 session)
+
+def test_iceberg_delete_detects_commit_during_scan(spark):
+    """A commit landing between the delete's metadata load and its
+    publish must make the delete fail, not silently erase the
+    concurrent commit (the snapshot id is pinned to the PLANNED base,
+    so put-if-absent collides)."""
+    import pytest
+
+    import python_plugins_spark.sources.iceberg_py as I
+
+    path = _fresh("ice_del_race")
+    I.write_iceberg(spark.range(20).select(F.col("id")), path, "overwrite")
+
+    orig_read = I.read_iceberg
+    raced = {"done": False}
+
+    def racing_read(spark_, p, **kw):
+        out = orig_read(spark_, p, **kw)
+        if not raced["done"]:
+            raced["done"] = True
+            I.write_iceberg(spark.range(20, 25).select(F.col("id")), p, "append")
+        return out
+
+    I.read_iceberg = racing_read
+    try:
+        with pytest.raises(I.IcebergConcurrentWriteError):
+            I.delete_iceberg(spark, path, "id < 5")
+    finally:
+        I.read_iceberg = orig_read
+    # the racer's rows survived, nothing was deleted
+    assert {r.id for r in I.read_iceberg(spark, path).collect()} == set(range(25))
+
+
+def test_iceberg_expire_detects_commit_during_walk(spark):
+    """expire_snapshots publishes at planned-base+1, so a commit during
+    the reachability walk is a detected conflict, not a lost update."""
+    import pytest
+
+    import python_plugins_spark.sources.iceberg_py as I
+
+    path = _fresh("ice_exp_race")
+    I.write_iceberg(spark.range(5).select(F.col("id")), path, "overwrite")
+    I.write_iceberg(spark.range(5, 10).select(F.col("id")), path, "append")
+    I.write_iceberg(spark.range(10, 15).select(F.col("id")), path, "append")
+    # inject a competitor append DURING the reachability walk (first
+    # manifest read), after expire has loaded its base metadata
+    orig = I.read_container
+    raced = {"done": False}
+
+    def racing_read(p_, *a, **k):
+        if not raced["done"]:
+            raced["done"] = True
+            I.write_iceberg(
+                spark.range(15, 20).select(F.col("id")), path, "append"
+            )
+        return orig(p_, *a, **k)
+
+    I.read_container = racing_read
+    try:
+        with pytest.raises(I.IcebergConcurrentWriteError):
+            I.expire_snapshots(path, keep_last=1)
+    finally:
+        I.read_container = orig
+    # the racer's rows survived and nothing was physically deleted
+    assert {r.id for r in I.read_iceberg(spark, path).collect()} == set(range(20))
+
+
+def test_iceberg_merge_schema_with_decimal_column(spark):
+    """merge_schema evolution must tolerate existing decimal columns
+    and accept new decimal columns (the type map special-case)."""
+    from pyspark.sql import functions as F
+
+    import python_plugins_spark.sources.iceberg_py as I
+
+    path = _fresh("ice_dec_evolve")
+    df = spark.range(5).select(
+        F.col("id"), F.expr("CAST(id AS DECIMAL(10,2))").alias("d")
+    )
+    I.write_iceberg(df, path, "overwrite")
+    # append adding a NEW decimal column; existing decimal must not
+    # be flagged as a type change
+    df2 = spark.range(5, 8).select(
+        F.col("id"),
+        F.expr("CAST(id AS DECIMAL(10,2))").alias("d"),
+        F.expr("CAST(id * 2 AS DECIMAL(6,1))").alias("d2"),
+    )
+    I.write_iceberg(df2, path, "append", merge_schema=True)
+    back = I.read_iceberg(spark, path)
+    assert back.count() == 8
+    assert dict(back.dtypes)["d2"] == "decimal(6,1)"
