@@ -58,14 +58,6 @@ class DeltaStreamSource(DataSource):
 
         state = _replay_state(self.options["path"])
         cdc = str(self.options.get("readchangefeed", "false")).lower() == "true"
-        if state.meta.get("partitionColumns") and cdc:
-            # the DV position-diff tasks would need partition-aware row
-            # reassembly; the append stream below reattaches partition
-            # values per task, but the CDC path does not yet
-            raise NotImplementedError(
-                "delta_py_stream readChangeFeed does not support "
-                "hive-partitioned tables yet"
-            )
         base = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
         if cdc:
             return T.StructType(
@@ -86,6 +78,7 @@ class DeltaStreamSource(DataSource):
             return DeltaChangeFeedStreamReader(
                 *common,
                 int(self.options.get("max_versions_per_batch", 0)) or None,
+                schema,
             )
         return DeltaStreamReader(
             *common,
@@ -221,13 +214,14 @@ class _ChangePartition(InputPartition):
     the OLD, decoded and diffed on the executor)."""
 
     def __init__(self, abs_path, change_type, version, table_path,
-                 new_desc=None, old_desc=None):
+                 new_desc=None, old_desc=None, pvals=None):
         self.abs_path = abs_path
         self.change_type = change_type
         self.version = version
         self.table_path = table_path
         self.new_desc = new_desc
         self.old_desc = old_desc
+        self.pvals = pvals or {}
 
 
 class DeltaChangeFeedStreamReader(DataSourceStreamReader):
@@ -237,10 +231,12 @@ class DeltaChangeFeedStreamReader(DataSourceStreamReader):
     partition per (file, new DV, old DV) pair; layout commits plan
     nothing; in-place rewrites raise (not row-derivable)."""
 
-    def __init__(self, table_path, starting_version, max_versions=None):
+    def __init__(self, table_path, starting_version, max_versions=None,
+                 schema: T.StructType | None = None):
         self.table_path = table_path
         self.starting_version = starting_version
         self.max_versions = max_versions
+        self.table_schema = schema
         self._consumed: int | None = None  # last version handed out
 
     def initialOffset(self) -> dict:
@@ -311,6 +307,7 @@ class DeltaChangeFeedStreamReader(DataSourceStreamReader):
                             self.table_path,
                             new_desc=a["deletionVector"],
                             old_desc=old_add.get("deletionVector"),
+                            pvals=a.get("partitionValues") or {},
                         )
                     )
                 elif not a.get("deletionVector"):
@@ -320,6 +317,7 @@ class DeltaChangeFeedStreamReader(DataSourceStreamReader):
                             "insert",
                             v,
                             self.table_path,
+                            pvals=a.get("partitionValues") or {},
                         )
                     )
         return parts
@@ -337,12 +335,36 @@ class DeltaChangeFeedStreamReader(DataSourceStreamReader):
             if partition.old_desc is not None:
                 new_idx -= set(load_dv(partition.table_path, partition.old_desc))
             rows = sorted(new_idx)
-        cols = [table.column(i).to_pylist() for i in range(table.num_columns)]
+        if not partition.pvals and self.table_schema is None:
+            cols = [table.column(i).to_pylist() for i in range(table.num_columns)]
+            for r in rows:
+                yield tuple(c[r] for c in cols) + (
+                    partition.change_type,
+                    partition.version,
+                )
+            return
+        # partitioned (or schema-aware) reassembly: the CDC schema is
+        # table columns + (_change_type, _commit_version); partition
+        # values are constants from the add action, evolution-added
+        # columns null-fill
+        fields = self.table_schema.fields[:-2]
+        file_cols = {
+            n: table.column(i).to_pylist()
+            for i, n in enumerate(table.schema.names)
+        }
+        consts = {
+            f.name: _pv_cast(partition.pvals.get(f.name), f.dataType)
+            for f in fields
+            if f.name in partition.pvals
+        }
+        none_col = [None] * table.num_rows
         for r in rows:
-            yield tuple(c[r] for c in cols) + (
-                partition.change_type,
-                partition.version,
-            )
+            yield tuple(
+                consts[f.name]
+                if f.name in consts
+                else file_cols.get(f.name, none_col)[r]
+                for f in fields
+            ) + (partition.change_type, partition.version)
 
     def commit(self, end: dict) -> None:
         pass

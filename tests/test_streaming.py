@@ -949,3 +949,39 @@ def test_stream_sources_partitioned_tables(spark, tmp_path):
         per_g = {r.g: r.n for r in got.groupBy("g").agg(F.count("*").alias("n")).collect()}
         assert per_g == {0: 10, 1: 10, 2: 10}, fmt
         assert got.agg(F.sum("id")).collect()[0][0] == 30 * 29 // 2, fmt
+
+
+def test_delta_cdc_stream_partitioned(spark, tmp_path):
+    """The CDC stream over a hive-partitioned Delta table must emit
+    insert AND delete rows with partition-column values reattached
+    (data files omit them; DV deletes diff positions per file)."""
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.sources import delta_stream
+    from python_plugins_spark.sources.delta_py import delete_delta, write_delta
+
+    delta_stream.register(spark)
+    table = str(tmp_path / "cdcp_t")
+    df = spark.range(30).selectExpr("id", "id % 3 as g")
+    write_delta(df, table, "overwrite", partition_by=["g"])     # v0 inserts
+    delete_delta(spark, table, "id < 5", mode="dv")             # v1 DV deletes
+
+    q = (
+        spark.readStream.format("delta_py_stream")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdcp_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("cdcp_sink").collect()
+    ins = {(r.id, r.g) for r in rows if r._change_type == "insert"}
+    dels = {(r.id, r.g) for r in rows if r._change_type == "delete"}
+    assert ins == {(i, i % 3) for i in range(30)}
+    assert dels == {(i, i % 3) for i in range(5)}  # partition value real
