@@ -59,13 +59,6 @@ class IcebergStreamSource(DataSource):
         meta = _load_metadata(self.options["path"])
         spec = (meta.get("partition-specs") or [{}])[0].get("fields") or []
         cdc = str(self.options.get("readchangefeed", "false")).lower() == "true"
-        if spec and cdc:
-            # CDC's delete-diff tasks don't reassemble partition
-            # columns yet; the append stream below reattaches them
-            raise NotImplementedError(
-                "iceberg_py_stream readChangeFeed does not support "
-                "identity-partitioned tables yet"
-            )
         base = iceberg_schema_to_spark(_current_schema_node(meta))
         if cdc:
             return T.StructType(
@@ -82,6 +75,7 @@ class IcebergStreamSource(DataSource):
             return IcebergChangeFeedStreamReader(
                 self.options["path"],
                 int(self.options.get("starting_snapshot", 1)),
+                schema,
             )
         return IcebergStreamReader(
             self.options["path"],
@@ -239,13 +233,14 @@ class _CdcPartition(InputPartition):
     """
 
     def __init__(self, kind, version, table_path, data_path=None,
-                 delete_path=None, eq_cols=None):
+                 delete_path=None, eq_cols=None, pvals=None):
         self.kind = kind
         self.version = version
         self.table_path = table_path
         self.data_path = data_path
         self.delete_path = delete_path
         self.eq_cols = eq_cols or []
+        self.pvals = pvals or {}
 
 
 class IcebergChangeFeedStreamReader(DataSourceStreamReader):
@@ -257,9 +252,11 @@ class IcebergChangeFeedStreamReader(DataSourceStreamReader):
     Overwrite snapshots (other than the table-creating one) raise:
     a wholesale rewrite is not row-derivable."""
 
-    def __init__(self, table_path: str, starting_snapshot: int):
+    def __init__(self, table_path: str, starting_snapshot: int,
+                 schema: T.StructType | None = None):
         self.table_path = table_path
         self.starting_snapshot = starting_snapshot
+        self.table_schema = schema
 
     def initialOffset(self) -> dict:
         return {"snapshot": self.starting_snapshot - 1}
@@ -312,6 +309,7 @@ class IcebergChangeFeedStreamReader(DataSourceStreamReader):
                         _CdcPartition(
                             "insert", v, self.table_path,
                             data_path=os.path.join(self.table_path, e[1]),
+                            pvals=dict(e[3] or {}),
                         )
                     )
                 elif e[8] == 1:  # position delete file
@@ -335,6 +333,7 @@ class IcebergChangeFeedStreamReader(DataSourceStreamReader):
                                         self.table_path, e[1]
                                     ),
                                     eq_cols=eq_cols,
+                                    pvals=dict(f["partition"] or {}),
                                 )
                             )
         return parts
@@ -342,44 +341,97 @@ class IcebergChangeFeedStreamReader(DataSourceStreamReader):
     def read(self, partition: _CdcPartition):
         import pyarrow.parquet as pq
 
+        from .delta_stream import _pv_cast
+
         tag = {
             "insert": "insert", "pos-delete": "delete", "eq-delete": "delete"
         }[partition.kind]
+        fields = (
+            self.table_schema.fields[:-2]
+            if self.table_schema is not None
+            else None
+        )
 
-        def rows_of(table, idx=None):
-            cols = [table.column(i).to_pylist() for i in range(table.num_columns)]
+        def emit(table, pvals, idx=None):
+            """Schema-ordered rows + (change_type, version): partition
+            constants reattached, evolution-added columns null-filled;
+            positional fallback when no schema was provided."""
+            if fields is None:
+                cols = [
+                    table.column(i).to_pylist()
+                    for i in range(table.num_columns)
+                ]
+                rng = range(table.num_rows) if idx is None else idx
+                for r in rng:
+                    yield tuple(c[r] for c in cols) + (tag, partition.version)
+                return
+            file_cols = {
+                n: table.column(i).to_pylist()
+                for i, n in enumerate(table.schema.names)
+            }
+            consts = {
+                f.name: _pv_cast(str(pvals[f.name]), f.dataType)
+                for f in fields
+                if f.name in pvals
+            }
+            none_col = [None] * table.num_rows
             rng = range(table.num_rows) if idx is None else idx
             for r in rng:
-                yield tuple(c[r] for c in cols) + (tag, partition.version)
+                yield tuple(
+                    consts[f.name]
+                    if f.name in consts
+                    else file_cols.get(f.name, none_col)[r]
+                    for f in fields
+                ) + (tag, partition.version)
 
         if partition.kind == "insert":
-            yield from rows_of(pq.read_table(partition.data_path))
+            yield from emit(pq.read_table(partition.data_path), partition.pvals)
             return
         if partition.kind == "pos-delete":
             dels = pq.read_table(partition.delete_path).to_pylist()
             by_file: dict[str, list[int]] = {}
             for d in dels:
-                base = os.path.basename(d["file_path"])
-                by_file.setdefault(base, []).append(int(d["pos"]))
-            data_dir = os.path.join(partition.table_path, "data")
-            for base, positions in sorted(by_file.items()):
-                table = pq.read_table(os.path.join(data_dir, base))
-                yield from rows_of(table, sorted(positions))
+                fp = d["file_path"]
+                # the delete file records the victim's full path; keep
+                # the table-relative part so partitioned layouts
+                # (data/k=v/...) resolve and carry their values
+                if fp.startswith("data/"):
+                    rel = fp  # already table-relative (this layer's writer)
+                elif "/data/" in fp:
+                    rel = "data/" + fp.split("/data/", 1)[1]
+                else:
+                    rel = os.path.join("data", os.path.basename(fp))
+                by_file.setdefault(rel, []).append(int(d["pos"]))
+            for rel, positions in sorted(by_file.items()):
+                pvals = {
+                    k: v
+                    for seg in rel.split("/")[1:-1]
+                    for k, _, v in [seg.partition("=")]
+                }
+                table = pq.read_table(os.path.join(partition.table_path, rel))
+                yield from emit(table, pvals, sorted(positions))
             return
-        # eq-delete: filter the data file by the delete file's keys
+        # eq-delete: filter the data file by the delete file's keys —
+        # key columns may include the partition column, so match on
+        # the fully reassembled rows
         keys = pq.read_table(partition.delete_path).to_pylist()
-        keyset = {
-            tuple(k[c] for c in partition.eq_cols) for k in keys
-        }
+        keyset = {tuple(k[c] for c in partition.eq_cols) for k in keys}
         table = pq.read_table(partition.data_path)
-        names = table.schema.names
-        cols = {n: table.column(i).to_pylist() for i, n in enumerate(names)}
-        idx = [
-            r for r in range(table.num_rows)
-            if tuple(cols[c][r] for c in partition.eq_cols) in keyset
-        ]
-        for r in idx:
-            yield tuple(cols[n][r] for n in names) + (tag, partition.version)
+        if fields is not None:
+            name_pos = {f.name: i for i, f in enumerate(fields)}
+            for row in emit(table, partition.pvals):
+                if tuple(row[name_pos[c]] for c in partition.eq_cols) in keyset:
+                    yield row
+        else:
+            names = table.schema.names
+            cols = {n: table.column(i).to_pylist() for i, n in enumerate(names)}
+            for r in range(table.num_rows):
+                if tuple(
+                    cols[c][r] for c in partition.eq_cols
+                ) in keyset:
+                    yield tuple(cols[n][r] for n in names) + (
+                        tag, partition.version
+                    )
 
     def commit(self, end: dict) -> None:
         pass
