@@ -11302,3 +11302,64 @@ def interleaved_multimodal_docs(spark, sf_dir):
         F.md5(text_col.substr(half + 1, F.length("text"))).alias("payload_ref"),
     )
     return t0.unionByName(t1).unionByName(t2)
+
+
+@register(
+    "delta_cdc_stream_partitioned_read",
+    oracle="""
+    SELECT 'insert' AS _change_type, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY 2
+    UNION ALL
+    SELECT 'delete', o_orderpriority, count(*)
+    FROM orders WHERE o_orderkey % 10 = 0 GROUP BY 2
+    """,
+)
+def delta_cdc_stream_partitioned_read(spark, sf_dir):
+    """CDC stream over a hive-PARTITIONED Delta table: inserts and
+    deletion-vector deletes emit with the partition column reattached
+    executor-side (data files omit it per the protocol). Aggregated by
+    change type and partition value against the batch oracle — so the
+    gate checks the reassembled partition values, not just row
+    counts."""
+    import os
+    import shutil
+    import uuid
+
+    from python_plugins_spark.sources import delta_stream
+    from python_plugins_spark.sources.delta_py import delete_delta, write_delta
+    from python_plugins_spark.sources.io import ensure_session_confs
+
+    ensure_session_confs(spark)
+    delta_stream.register(spark)
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table = os.path.join(
+        _SCRATCH, f"cdcp_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    write_delta(o, table, mode="overwrite", partition_by=["o_orderpriority"])
+    delete_delta(spark, table, "o_orderkey % 10 = 0", mode="dv")
+
+    stream = (
+        spark.readStream.format("delta_py_stream")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    name = f"cdcp_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("_change_type", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
