@@ -335,7 +335,14 @@ class DeltaChangeFeedStreamReader(DataSourceStreamReader):
             if partition.old_desc is not None:
                 new_idx -= set(load_dv(partition.table_path, partition.old_desc))
             rows = sorted(new_idx)
-        if not partition.pvals and self.table_schema is None:
+        base_names = (
+            [f.name for f in self.table_schema.fields[:-2]]
+            if self.table_schema is not None
+            else None
+        )
+        if not partition.pvals and (
+            base_names is None or list(table.schema.names) == base_names
+        ):
             cols = [table.column(i).to_pylist() for i in range(table.num_columns)]
             for r in rows:
                 yield tuple(c[r] for c in cols) + (

@@ -355,8 +355,12 @@ class IcebergChangeFeedStreamReader(DataSourceStreamReader):
         def emit(table, pvals, idx=None):
             """Schema-ordered rows + (change_type, version): partition
             constants reattached, evolution-added columns null-filled;
-            positional fallback when no schema was provided."""
-            if fields is None:
+            positional fast path when the file already matches the
+            schema exactly."""
+            if fields is None or (
+                not pvals
+                and list(table.schema.names) == [f.name for f in fields]
+            ):
                 cols = [
                     table.column(i).to_pylist()
                     for i in range(table.num_columns)
@@ -398,7 +402,9 @@ class IcebergChangeFeedStreamReader(DataSourceStreamReader):
                 if fp.startswith("data/"):
                     rel = fp  # already table-relative (this layer's writer)
                 elif "/data/" in fp:
-                    rel = "data/" + fp.split("/data/", 1)[1]
+                    # LAST '/data/' — a table rooted under a path that
+                    # itself contains '/data/' must not split early
+                    rel = "data/" + fp.rsplit("/data/", 1)[1]
                 else:
                     rel = os.path.join("data", os.path.basename(fp))
                 by_file.setdefault(rel, []).append(int(d["pos"]))
@@ -418,10 +424,32 @@ class IcebergChangeFeedStreamReader(DataSourceStreamReader):
         keyset = {tuple(k[c] for c in partition.eq_cols) for k in keys}
         table = pq.read_table(partition.data_path)
         if fields is not None:
-            name_pos = {f.name: i for i, f in enumerate(fields)}
-            for row in emit(table, partition.pvals):
-                if tuple(row[name_pos[c]] for c in partition.eq_cols) in keyset:
-                    yield row
+            from .delta_stream import _pv_cast as _pvc
+
+            file_cols = {
+                n: table.column(i).to_pylist()
+                for i, n in enumerate(table.schema.names)
+            }
+            consts = {
+                f.name: _pvc(str(partition.pvals[f.name]), f.dataType)
+                for f in fields
+                if f.name in partition.pvals
+            }
+            none_col = [None] * table.num_rows
+
+            def cell(name, r):
+                if name in consts:
+                    return consts[name]
+                return file_cols.get(name, none_col)[r]
+
+            idx = [
+                r for r in range(table.num_rows)
+                if tuple(cell(c, r) for c in partition.eq_cols) in keyset
+            ]
+            for r in idx:
+                yield tuple(cell(f.name, r) for f in fields) + (
+                    tag, partition.version
+                )
         else:
             names = table.schema.names
             cols = {n: table.column(i).to_pylist() for i, n in enumerate(names)}

@@ -955,8 +955,6 @@ def test_delta_cdc_stream_partitioned(spark, tmp_path):
     """The CDC stream over a hive-partitioned Delta table must emit
     insert AND delete rows with partition-column values reattached
     (data files omit them; DV deletes diff positions per file)."""
-    from pyspark.sql import functions as F
-
     from python_plugins_spark.sources import delta_stream
     from python_plugins_spark.sources.delta_py import delete_delta, write_delta
 
@@ -992,8 +990,6 @@ def test_iceberg_cdc_stream_partitioned(spark, tmp_path):
     position deletes, and equality deletes (keyed on the PARTITION
     column, which data files omit) all emit with partition values
     reassembled."""
-    from pyspark.sql import functions as F
-
     from python_plugins_spark.sources import iceberg_stream
     from python_plugins_spark.sources.iceberg_py import (
         delete_iceberg, equality_delete_iceberg, write_iceberg,
