@@ -67,3 +67,46 @@ def test_fuzzy_pairs_multipass_is_union_of_passes(spark, rows):
         }
 
     assert run([["b1"], ["b2"]]) == run([["b1"]]) | run([["b2"]])
+
+
+# ---------------------------------------------- wrangler properties
+
+@settings(max_examples=15, deadline=None)
+@given(
+    vals=st.lists(
+        st.text(alphabet="ab.|c", min_size=0, max_size=8), min_size=1, max_size=6
+    ),
+    n=st.integers(min_value=1, max_value=5),
+)
+def test_wrangler_mask_preserves_length(spark, vals, n):
+    from python_plugins_spark.operators.wrangler import wrangle
+
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    out = [r.s for r in wrangle(df, [f"mask-last-n s {n}"]).collect()]
+    assert sorted(len(o) for o in out) == sorted(len(v) for v in vals)
+    for o in out:
+        assert o.endswith("*" * min(n, len(o))) or len(o) == 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=5),
+            st.text(alphabet="cd", min_size=1, max_size=5),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    delim=st.sampled_from([".", "|", "+", "-", ","]),
+)
+def test_wrangler_split_literal_delimiter(spark, pairs, delim):
+    """split-to-columns must treat regex metacharacters as literal
+    delimiters (the review-pass fix)."""
+    from python_plugins_spark.operators.wrangler import wrangle
+
+    rows = [(a + delim + b, a, b) for a, b in pairs]
+    df = spark.createDataFrame(rows, "s string, ea string, eb string")
+    out = wrangle(df, [f'split-to-columns s "{delim}" ga gb']).collect()
+    for r in out:
+        assert r.ga == r.ea and r.gb == r.eb, (r.s, delim)
