@@ -11,7 +11,12 @@ Engine-portability conventions (so value hashes match):
 - timestamps are emitted as formatted strings (Spark session TZ is
   pinned UTC; DuckDB is UTC-naive);
 - floating aggregates are rounded (4 dp for sums/avgs — accumulated FP
-  error across partition orders is ~1e-9 relative, far below rounding);
+  error across partition orders is ~1e-9 relative, far below rounding).
+  EXCEPTION — whole-table-magnitude sums (e.g. sum(o_totalprice) over
+  one status group ~1e10 at sf0.1): fixed-decimal-place rounding does
+  not scale with magnitude, so those sums aggregate EXACTLY as
+  DECIMAL(18,2) per-row casts (identical on both engines) and cast
+  back to DOUBLE for comparison — scale-proof at any SF;
 - every computed column is aliased identically on both sides;
 - top-N queries order by (rounded measure, unique key) so the selected
   set is identical under either engine's sort.
@@ -1329,7 +1334,7 @@ def percentiles_exact(spark, sf_dir):
 @register(
     "having_big_spenders",
     oracle="""
-    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+    SELECT o_custkey, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders GROUP BY o_custkey
     HAVING sum(o_totalprice) > 1000000
     """,
@@ -1340,7 +1345,7 @@ def having_big_spenders(spark, sf_dir):
         o.groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
             F.sum("o_totalprice").alias("_raw_total"),
         )
         .filter(F.col("_raw_total") > 1000000)
@@ -1728,7 +1733,7 @@ _SCRATCH = "/root/repo/.scratch"
 @register(
     "sink_partitioned_pruning",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders WHERE year(o_orderdate) = 1997
     GROUP BY o_orderstatus
     """,
@@ -1750,7 +1755,7 @@ def sink_partitioned_pruning(spark, sf_dir):
     )
     back = spark.read.parquet(path).filter(F.col("order_year") == 1997)
     return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
     )
 
 
@@ -2055,7 +2060,7 @@ def aes_roundtrip_customers(spark, sf_dir):
 @register(
     "delta_roundtrip_orders",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -2078,7 +2083,7 @@ def delta_roundtrip_orders(spark, sf_dir):
     write_delta(o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append")
     back = read_delta(spark, path)
     return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
     )
 
 
@@ -2112,7 +2117,7 @@ def delta_time_travel_orders(spark, sf_dir):
 @register(
     "delta_checkpoint_read",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -2147,7 +2152,7 @@ def delta_checkpoint_read(spark, sf_dir):
     assert last_checkpoint_version(path) == 10
     back = read_delta(spark, path, version_as_of=11)  # slices 0..10 (v12 excluded)
     return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
     )
 
 
@@ -2155,8 +2160,8 @@ def delta_checkpoint_read(spark, sf_dir):
     "delta_merge_upsert",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,
-           round(sum(CASE WHEN o_orderkey % 4 = 1 THEN 2 * o_totalprice
-                          ELSE o_totalprice END), 4) AS total
+           CAST(sum(CAST(CASE WHEN o_orderkey % 4 = 1 THEN 2 * o_totalprice
+                          ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     WHERE o_orderkey % 4 IN (0, 1, 2) AND o_orderkey % 8 <> 1
     GROUP BY o_orderstatus
@@ -2196,7 +2201,7 @@ def delta_merge_upsert(spark, sf_dir):
     )
     back = read_delta(spark, path)
     return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
     )
 
 
@@ -2204,7 +2209,7 @@ def delta_merge_upsert(spark, sf_dir):
     "delta_optimize_zorder_read",
     oracle="""
     SELECT count(*) AS n, sum(o_orderkey) AS key_sum,
-           round(sum(o_totalprice), 4) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     WHERE o_custkey BETWEEN 100 AND 200
       AND o_totalprice BETWEEN 50000 AND 150000
@@ -2248,14 +2253,14 @@ def delta_optimize_zorder_read(spark, sf_dir):
     ).agg(
         F.count("*").alias("n"),
         F.sum("o_orderkey").alias("key_sum"),
-        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
 
 
 @register(
     "delta_deletion_vector_read",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     WHERE NOT (o_orderkey % 10 < 3) AND NOT (o_custkey % 7 = 0)
     GROUP BY o_orderstatus
@@ -2293,14 +2298,14 @@ def delta_deletion_vector_read(spark, sf_dir):
     assert after == before, "DV delete must not rewrite/replace data files"
     back = read_delta(spark, path)
     return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
     )
 
 
 @register(
     "delta_delete_rewrite",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0)
     GROUP BY o_orderstatus
@@ -2331,7 +2336,7 @@ def delta_delete_rewrite(spark, sf_dir):
     )
     back = read_delta(spark, path)
     return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
     )
 
 
@@ -2371,7 +2376,7 @@ def delta_schema_evolution_read(spark, sf_dir):
 @register(
     "delta_partitioned_pruned_read",
     oracle="""
-    SELECT count(*) AS n, round(sum(o_totalprice), 4) AS total
+    SELECT count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders WHERE o_orderstatus = 'F' AND NOT (o_orderkey % 5 = 0)
     GROUP BY o_orderstatus
     """,
@@ -2409,7 +2414,7 @@ def delta_partitioned_pruned_read(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
         .select("n", "total")
     )
@@ -2419,8 +2424,9 @@ def delta_partitioned_pruned_read(spark, sf_dir):
     "delta_update_read",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,
-           round(sum(CASE WHEN o_orderpriority = '1-URGENT'
-                          THEN o_totalprice * 2 ELSE o_totalprice END), 4) AS total
+           CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice * 2 ELSE o_totalprice END
+                          AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -2455,14 +2461,14 @@ def delta_update_read(spark, sf_dir):
     assert before <= after, "UPDATE must keep every pre-update file active"
     back = read_delta(spark, path)
     return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
     )
 
 
 @register(
     "delta_restore_read",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -2491,7 +2497,7 @@ def delta_restore_read(spark, sf_dir):
     restore_delta(spark, path, 0)                            # v2 = v0 again
     back = read_delta(spark, path)
     return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
     )
 
 
@@ -2593,7 +2599,7 @@ def delta_snapshot_diff(spark, sf_dir):
 @register(
     "delta_incremental_view_maintenance",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders WHERE NOT (o_orderkey % 6 = 0)
     GROUP BY o_orderstatus
     """,
@@ -2624,12 +2630,13 @@ def delta_incremental_view_maintenance(spark, sf_dir):
     path = os.path.join(_SCRATCH, f"delta_ivm_{os.path.basename(sf_dir.rstrip('/'))}")
     shutil.rmtree(path, ignore_errors=True)
     write_delta(o.filter(F.col("o_orderkey") % 2 == 0), path, mode="overwrite")  # v0
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
     view0 = (
         read_delta(spark, path, version_as_of=0)
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.sum("o_totalprice").alias("total"),
+            F.sum(dec).alias("total"),
         )
     )
     write_delta(o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append")     # v1
@@ -2641,9 +2648,7 @@ def delta_incremental_view_maintenance(spark, sf_dir):
             F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
         ).cast("long").alias("dn"),
         F.sum(
-            F.when(
-                F.col("_change_type") == "insert", F.col("o_totalprice")
-            ).otherwise(-F.col("o_totalprice"))
+            F.when(F.col("_change_type") == "insert", dec).otherwise(-dec)
         ).alias("dtotal"),
     )
     maintained = (
@@ -2651,9 +2656,10 @@ def delta_incremental_view_maintenance(spark, sf_dir):
         .select(
             "o_orderstatus",
             (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
-            F.round(
-                F.coalesce("total", F.lit(0.0)) + F.coalesce("dtotal", F.lit(0.0)), 4
-            ).alias("total"),
+            (
+                F.coalesce(F.col("total"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("dtotal"), F.lit(0).cast("decimal(18,2)"))
+            ).cast("double").alias("total"),
         )
         .filter(F.col("n") > 0)
     )
@@ -2710,7 +2716,7 @@ def delta_cdf_insert_delete(spark, sf_dir):
 @register(
     "iceberg_snapshot_read",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -2736,14 +2742,14 @@ def iceberg_snapshot_read(spark, sf_dir):
     write_iceberg(o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append")
     back = read_iceberg(spark, path)
     return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
     )
 
 
 @register(
     "iceberg_pruned_scan",
     oracle="""
-    SELECT count(*) AS n, round(sum(o_totalprice), 4) AS total
+    SELECT count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders WHERE o_orderstatus = 'F'
     """,
 )
@@ -2773,7 +2779,7 @@ def iceberg_pruned_scan(spark, sf_dir):
     assert pruned and len(pruned) < len(plan_files(path))
     back = read_iceberg(spark, path, eq={"o_orderstatus": "F"})
     return back.agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
     )
 
 
@@ -2884,7 +2890,7 @@ def mask_repeated_spans_docs(spark, sf_dir):
 @register(
     "iceberg_positional_delete_read",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     WHERE NOT (o_orderkey % 10 < 2) AND NOT (o_custkey % 9 = 0)
     GROUP BY o_orderstatus
@@ -2921,14 +2927,14 @@ def iceberg_positional_delete_read(spark, sf_dir):
     assert after == before, "position deletes must not rewrite data files"
     back = read_iceberg(spark, path)
     return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
     )
 
 
 @register(
     "iceberg_equality_delete_read",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     WHERE o_orderpriority <> '1-URGENT' AND NOT (o_orderkey % 10 < 2)
     GROUP BY o_orderstatus
@@ -2964,7 +2970,7 @@ def iceberg_equality_delete_read(spark, sf_dir):
     delete_iceberg(spark, path, "o_orderkey % 10 < 2")
     back = read_iceberg(spark, path)
     return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
     )
 
 
@@ -5726,7 +5732,8 @@ def levenshtein_candidate_pairs(spark, sf_dir):
 @register(
     "transform_batch_mode",
     oracle="""
-    SELECT l_returnflag, round(sum(l_extendedprice * (1 - l_discount)), 4) AS net_sum
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS net_sum
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -5752,7 +5759,9 @@ def transform_batch_mode(spark, sf_dir):
     out = python_transform(
         li, func=net, output_schema="l_returnflag string, net double", batch_mode=True
     ).output
-    return out.groupBy("l_returnflag").agg(F.round(F.sum("net"), 4).alias("net_sum"))
+    return out.groupBy("l_returnflag").agg(
+        F.sum(F.col("net").cast("decimal(18,6)")).cast("double").alias("net_sum")
+    )
 
 
 @register(
@@ -5886,7 +5895,7 @@ def lateral_join_top_orders(spark, sf_dir):
     "group_by_all_revenue",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           round(sum(o_totalprice), 4) AS revenue, count(*) AS n
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS n
     FROM orders GROUP BY ALL
     """,
 )
@@ -5897,7 +5906,7 @@ def group_by_all_revenue(spark, sf_dir):
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               round(sum(o_totalprice), 4) AS revenue, count(*) AS n
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS n
         FROM _gba_orders GROUP BY ALL
         """
     )
@@ -6133,6 +6142,12 @@ def global_sequence_orders(spark, sf_dir):
             F.monotonically_increasing_id()
             - (F.col("pid").cast("long") * F.lit(1 << 33)),
         )
+        # freeze the physical partitioning: the counts branch and the
+        # rank branch below must see the SAME pid/local_rn assignment,
+        # and under AQE the two branches can otherwise re-evaluate the
+        # exchange with different coalescing (observed at sf0.1 as
+        # off-by-a-few tier populations)
+        .localCheckpoint(eager=True)
     )
     counts = part.groupBy("pid").agg(F.count("*").alias("cnt"))
     # cumulative offsets via a triangular join on the 16-row count
@@ -7021,7 +7036,7 @@ def xpath_extract_orders(spark, sf_dir):
     oracle="""
     WITH m AS (
       SELECT o_orderpriority, date_trunc('month', o_orderdate) AS mon,
-             round(sum(o_totalprice), 4) AS rev
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
       FROM orders GROUP BY 1, 2
     )
     SELECT o_orderpriority, strftime(mon, '%Y-%m-%d') AS mon, rev,
@@ -7037,7 +7052,7 @@ def period_over_period_revenue(spark, sf_dir):
     o = load_table(spark, "orders", sf_dir)
     m = o.groupBy(
         "o_orderpriority", F.date_trunc("month", "o_orderdate").alias("mon")
-    ).agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("rev"))
     w = Window.partitionBy("o_orderpriority").orderBy("mon")
     prev = F.lag("rev").over(w)
     return m.select(
@@ -7907,7 +7922,7 @@ def sql_udf_disc_charge(spark, sf_dir):
     "sql_pipe_revenue",
     oracle="""
     SELECT o_orderpriority, count(*) AS n_orders,
-           round(sum(o_totalprice), 4) AS revenue
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders
     WHERE o_orderstatus = 'O'
     GROUP BY o_orderpriority
@@ -7926,7 +7941,7 @@ def sql_pipe_revenue(spark, sf_dir):
         FROM _pipe_orders
         |> WHERE o_orderstatus = 'O'
         |> AGGREGATE count(*) AS n_orders,
-                     round(sum(o_totalprice), 4) AS revenue
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
            GROUP BY o_orderpriority
         |> SELECT o_orderpriority, n_orders, revenue
         """
@@ -8561,7 +8576,7 @@ def dynamic_partition_overwrite(spark, sf_dir):
     return (
         spark.read.parquet(path)
         .groupBy("o_orderstatus")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .agg(F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"))
     )
 
 
@@ -8618,7 +8633,7 @@ def parquet_merge_schema_evolution(spark, sf_dir):
 @register(
     "jdbc_roundtrip_partitioned",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders WHERE o_orderkey < 5000
     GROUP BY o_orderstatus
     """,
@@ -8660,7 +8675,7 @@ def jdbc_roundtrip_partitioned(spark, sf_dir):
         .load()
     )
     return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
     )
 
 
@@ -10130,7 +10145,7 @@ def label_propagation_communities(spark, sf_dir):
     "observed_metrics_audit",
     oracle="""
     SELECT count(*) AS n_kept,
-           round(sum(o_totalprice), 4) AS kept_revenue,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS kept_revenue,
            sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
            round(max(o_totalprice), 4) AS max_price
     FROM orders WHERE o_orderstatus = 'O'
@@ -10152,7 +10167,7 @@ def observed_metrics_audit(spark, sf_dir):
     kept = o.filter(F.col("o_orderstatus") == "O").observe(
         obs,
         F.count(F.lit(1)).alias("n_kept"),
-        F.round(F.sum("o_totalprice"), 4).alias("kept_revenue"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("kept_revenue"),
         F.sum(
             F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
         ).alias("n_urgent"),
@@ -10261,6 +10276,12 @@ def quality_tier_binning(spark, sf_dir):
             F.monotonically_increasing_id()
             - (F.col("pid").cast("long") * F.lit(1 << 33)),
         )
+        # freeze the physical partitioning: the counts branch and the
+        # rank branch below must see the SAME pid/local_rn assignment,
+        # and under AQE the two branches can otherwise re-evaluate the
+        # exchange with different coalescing (observed at sf0.1 as
+        # off-by-a-few tier populations)
+        .localCheckpoint(eager=True)
     )
     counts = part.groupBy("pid").agg(F.count("*").alias("cnt"))
     # cumulative offsets via a triangular join on the 16-row count
@@ -10667,7 +10688,7 @@ def _install_convert_queries():
     @register(
         "convert_iceberg_to_delta_read",
         oracle="""
-        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+        SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders GROUP BY o_orderstatus
         """,
     )
@@ -10695,7 +10716,7 @@ def _install_convert_queries():
         convert_iceberg_to_delta(ice, dlt)
         back = read_delta(spark, dlt)
         return back.groupBy("o_orderstatus").agg(
-            F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+            F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
         )
 
     @register(
@@ -10904,7 +10925,7 @@ def ann_lsh_index_persisted(spark, sf_dir):
 @register(
     "delta_check_constraint_gate",
     oracle="""
-    SELECT count(*) AS n, round(sum(o_totalprice), 4) AS total
+    SELECT count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders WHERE o_totalprice > 0
     """,
 )
@@ -10939,7 +10960,7 @@ def delta_check_constraint_gate(spark, sf_dir):
         pass
     back = read_delta(spark, p)
     return back.agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
     )
 
 
@@ -11135,7 +11156,7 @@ def stream_stream_left_outer_join(spark, sf_dir):
 @register(
     "iceberg_stream_source_read",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -11183,7 +11204,7 @@ def iceberg_stream_source_read(spark, sf_dir):
         q.stop()
     back = spark.table(name)
     return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
     )
 
 
@@ -11191,10 +11212,10 @@ def iceberg_stream_source_read(spark, sf_dir):
     "iceberg_stream_cdc_read",
     oracle="""
     SELECT 'insert' AS _change_type, count(*) AS n,
-           round(sum(o_totalprice), 4) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     UNION ALL
-    SELECT 'delete', count(*), round(sum(o_totalprice), 4)
+    SELECT 'delete', count(*), CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
     FROM orders WHERE o_orderstatus = 'F'
     """,
 )
@@ -11249,7 +11270,7 @@ def iceberg_stream_cdc_read(spark, sf_dir):
         .groupBy("_change_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
     )
 
