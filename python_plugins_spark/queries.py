@@ -82,6 +82,33 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _global_index_part(df, *sort_cols, n_parts: int = 16):
+    """Build the range-partitioned, locally-numbered frame behind the
+    distributed global-index pattern (global_sequence_orders,
+    quality_tier_binning): range-partition on the sort key(s), sort
+    within partitions, and derive (pid, local_rn) from
+    monotonically_increasing_id. The FACT DATA SHUFFLES ONCE — the
+    range exchange; local numbering is a narrow op.
+
+    Callers MUST materialize the result exactly once (eager
+    localCheckpoint) before branching into counts/rank subtrees:
+    under AQE the two branches can otherwise re-evaluate the exchange
+    with different coalescing and disagree on pid/local_rn (observed
+    at sf0.1 as off-by-a-few tier populations). The plan test asserts
+    the single-range-shuffle property on THIS pre-checkpoint frame,
+    since the checkpoint hides the exchange from the final plan."""
+    return (
+        df.repartitionByRange(n_parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "local_rn",
+            F.monotonically_increasing_id()
+            - (F.col("pid").cast("long") * F.lit(1 << 33)),
+        )
+    )
+
+
 def _ts(col, fmt: str = "yyyy-MM-dd HH:mm:ss"):
     return F.date_format(col, fmt)
 
@@ -6130,25 +6157,7 @@ def global_sequence_orders(spark, sf_dir):
     narrow op (a window on pid would re-shuffle everything a second
     time)."""
     o = load_table(spark, "orders", sf_dir).select("o_orderkey")
-    part = (
-        o.repartitionByRange(16, "o_orderkey")
-        .sortWithinPartitions("o_orderkey")
-        .withColumn("pid", F.spark_partition_id())
-        # monotonically_increasing_id = (pid << 33) + per-partition counter,
-        # evaluated ABOVE the sort (nondeterministic exprs don't get pushed
-        # through it), so the counter runs in key order within the partition.
-        .withColumn(
-            "local_rn",
-            F.monotonically_increasing_id()
-            - (F.col("pid").cast("long") * F.lit(1 << 33)),
-        )
-        # freeze the physical partitioning: the counts branch and the
-        # rank branch below must see the SAME pid/local_rn assignment,
-        # and under AQE the two branches can otherwise re-evaluate the
-        # exchange with different coalescing (observed at sf0.1 as
-        # off-by-a-few tier populations)
-        .localCheckpoint(eager=True)
-    )
+    part = _global_index_part(o, "o_orderkey").localCheckpoint(eager=True)
     counts = part.groupBy("pid").agg(F.count("*").alias("cnt"))
     # cumulative offsets via a triangular join on the 16-row count
     # table (cheaper to reason about than a reduced-input window, and
@@ -10266,23 +10275,9 @@ def quality_tier_binning(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tok")
     )
-    part = (
-        q.join(toks, "doc_id")
-        .repartitionByRange(16, "quality", "doc_id")
-        .sortWithinPartitions("quality", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .withColumn(
-            "local_rn",
-            F.monotonically_increasing_id()
-            - (F.col("pid").cast("long") * F.lit(1 << 33)),
-        )
-        # freeze the physical partitioning: the counts branch and the
-        # rank branch below must see the SAME pid/local_rn assignment,
-        # and under AQE the two branches can otherwise re-evaluate the
-        # exchange with different coalescing (observed at sf0.1 as
-        # off-by-a-few tier populations)
-        .localCheckpoint(eager=True)
-    )
+    part = _global_index_part(
+        q.join(toks, "doc_id"), "quality", "doc_id"
+    ).localCheckpoint(eager=True)
     counts = part.groupBy("pid").agg(F.count("*").alias("cnt"))
     # cumulative offsets via a triangular join on the 16-row count
     # table (broadcast both ways) — not even a reduced-input window,

@@ -307,9 +307,20 @@ def test_global_sequence_single_fact_shuffle(spark, sf_dir):
     """The distributed global-index fact data must move exactly once:
     range partitioning on the key. A hash exchange on the key would
     mean the local-numbering step re-shuffled the corpus."""
+    from python_plugins_spark.queries import _global_index_part
+
+    # the query materializes this frame once (eager localCheckpoint —
+    # cross-branch pid/local_rn consistency under AQE), which hides
+    # the exchange from the final plan; assert the single-range-
+    # shuffle property on the pre-checkpoint frame the query builds
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey")
+    pre = _global_index_part(o, "o_orderkey")
+    pre_plan = plan_str(pre)
+    assert "rangepartitioning(o_orderkey" in pre_plan
+    assert "hashpartitioning(o_orderkey" not in pre_plan
+    # and the full query must not add a key re-shuffle or global window
     df = QUERIES["global_sequence_orders"](spark, sf_dir)
     plan = plan_str(df)
-    assert "rangepartitioning(o_orderkey" in plan
     assert "hashpartitioning(o_orderkey" not in plan
 
 
