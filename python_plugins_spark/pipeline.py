@@ -1,0 +1,236 @@
+"""JSON pipeline-spec runner: the host-platform pipeline surface the
+reference plugin lived inside, re-expressed on Spark.
+
+A reference user authored PIPELINES, not code: a JSON document naming
+stages (source -> transforms -> sinks) and the connections between
+them; the platform compiled the DAG onto its execution engine, and the
+PythonEvaluator plugin (the reference, `/root/reference/docs/
+PythonEvaluator-transform.md`) was one stage type with config keys
+``script`` / ``schema`` (+ engine-selection keys). This module
+interprets that document shape directly against this engine, so a
+pipeline definition ports by swapping the artifact names:
+
+    run_pipeline(spark, {
+      "stages": [
+        {"name": "src",  "type": "batchsource.parquet",
+         "config": {"path": ".../orders.parquet"}},
+        {"name": "eval", "type": "transform.python",
+         "config": {"script": "def transform(record, emitter, context): ...",
+                    "schema": "o_orderkey long, fee double"}},
+        {"name": "agg",  "type": "batchaggregator.groupby",
+         "config": {"groupByFields": ["k"],
+                    "aggregates": [{"name": "n", "function": "count",
+                                    "field": "*"}]}},
+        {"name": "sink", "type": "batchsink.parquet",
+         "config": {"path": "/tmp/out"}},
+      ],
+      "connections": [{"from": "src", "to": "eval"},
+                      {"from": "eval", "to": "agg"},
+                      {"from": "agg", "to": "sink"}],
+    })
+
+Execution model: stages are resolved in topological order and each
+stage is a lazy DataFrame transformation — the whole pipeline compiles
+into ONE Catalyst plan per sink (pushdown crosses stage boundaries,
+exactly like the hand-written DataFrame code), and nothing runs until
+a sink stage materializes. Returns {stage_name: DataFrame} for every
+stage so callers can inspect intermediate frames; sinks also run
+their writes.
+
+Stage types (the platform categories the reference's §2c table maps):
+
+- ``batchsource.parquet|csv|json|orc`` — config: path, schema?,
+  options?
+- ``batchsource.delta|iceberg`` — this repo's table layers
+- ``transform.python`` — THE reference surface: script, schema?
+  (Avro-JSON or DDL), args?, on_error? ('fail'|'route')
+- ``transform.wrangler`` — config: directives (list or newline text)
+- ``transform.projection`` — select?/drop?/rename? (CDAP's
+  projection plugin shape)
+- ``transform.filter`` — condition (SQL expr; keeps matching rows)
+- ``batchjoiner`` — joinKeys (list), joinType; takes 2+ inputs
+- ``batchaggregator.groupby`` — groupByFields, aggregates
+  [{name, function, field}] with function in count/sum/avg/min/max/
+  countDistinct
+- ``batchsink.parquet|csv|json|orc`` — path, mode?, partitionBy?
+- ``batchsink.delta|iceberg`` — path, mode?
+
+Unknown stage types, cycles, missing connections, and arity errors
+all raise at COMPILE time (deploy-time validation, the same stance as
+the reference's configurePipeline)."""
+
+from __future__ import annotations
+
+from collections import defaultdict, deque
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class PipelineSpecError(ValueError):
+    """Invalid pipeline document — raised before anything executes."""
+
+
+_AGG_FUNCS = {
+    "count": lambda c: F.count("*") if c == "*" else F.count(c),
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "countDistinct": F.countDistinct,
+}
+
+
+def _toposort(stages: dict, inputs: dict[str, list[str]]) -> list[str]:
+    indeg = {n: len(inputs[n]) for n in stages}
+    out = defaultdict(list)
+    for n, ins in inputs.items():
+        for i in ins:
+            if i not in stages:
+                raise PipelineSpecError(f"connection from unknown stage {i!r}")
+            out[i].append(n)
+    q = deque([n for n, d in indeg.items() if d == 0])
+    order = []
+    while q:
+        n = q.popleft()
+        order.append(n)
+        for m in out[n]:
+            indeg[m] -= 1
+            if indeg[m] == 0:
+                q.append(m)
+    if len(order) != len(stages):
+        cyclic = sorted(set(stages) - set(order))
+        raise PipelineSpecError(f"pipeline has a cycle through {cyclic}")
+    return order
+
+
+def run_pipeline(spark: SparkSession, spec: dict) -> dict[str, DataFrame]:
+    stages = {s["name"]: s for s in spec.get("stages", [])}
+    if not stages:
+        raise PipelineSpecError("pipeline has no stages")
+    if len(stages) != len(spec["stages"]):
+        raise PipelineSpecError("duplicate stage names")
+    inputs: dict[str, list[str]] = {n: [] for n in stages}
+    for c in spec.get("connections", []):
+        if c["to"] not in inputs:
+            raise PipelineSpecError(f"connection to unknown stage {c['to']!r}")
+        inputs[c["to"]].append(c["from"])
+
+    frames: dict[str, DataFrame] = {}
+    for name in _toposort(stages, inputs):
+        stage = stages[name]
+        stype = stage["type"]
+        cfg = stage.get("config", {})
+        ins = [frames[i] for i in inputs[name]]
+
+        def need(n: int):
+            if len(ins) != n:
+                raise PipelineSpecError(
+                    f"stage {name!r} ({stype}) takes {n} input(s), "
+                    f"got {len(ins)}"
+                )
+
+        if stype.startswith("batchsource."):
+            need(0)
+            fmt = stype.split(".", 1)[1]
+            if fmt in ("parquet", "csv", "json", "orc"):
+                reader = spark.read.options(**cfg.get("options", {}))
+                if cfg.get("schema"):
+                    reader = reader.schema(cfg["schema"])
+                frames[name] = getattr(reader, fmt)(cfg["path"])
+            elif fmt == "delta":
+                from python_plugins_spark.sources.delta_py import read_delta
+
+                frames[name] = read_delta(
+                    spark, cfg["path"], version_as_of=cfg.get("version_as_of")
+                )
+            elif fmt == "iceberg":
+                from python_plugins_spark.sources.iceberg_py import read_iceberg
+
+                frames[name] = read_iceberg(
+                    spark, cfg["path"], snapshot_id=cfg.get("snapshot_id")
+                )
+            else:
+                raise PipelineSpecError(f"unknown source format {fmt!r}")
+        elif stype == "transform.python":
+            need(1)
+            from python_plugins_spark.operators.transform import python_transform
+
+            res = python_transform(
+                ins[0],
+                script=cfg["script"],
+                output_schema=cfg.get("schema"),
+                args=cfg.get("args"),
+                on_error=cfg.get("on_error", "fail"),
+            )
+            frames[name] = res.output
+            if res.errors is not None:
+                frames[f"{name}.error"] = res.errors
+        elif stype == "transform.wrangler":
+            need(1)
+            from python_plugins_spark.operators.wrangler import wrangle
+
+            frames[name] = wrangle(ins[0], cfg["directives"])
+        elif stype == "transform.projection":
+            need(1)
+            df = ins[0]
+            for old, new in (cfg.get("rename") or {}).items():
+                df = df.withColumnRenamed(old, new)
+            if cfg.get("drop"):
+                df = df.drop(*cfg["drop"])
+            if cfg.get("select"):
+                df = df.select(*cfg["select"])
+            frames[name] = df
+        elif stype == "transform.filter":
+            need(1)
+            frames[name] = ins[0].filter(F.expr(cfg["condition"]))
+        elif stype == "batchjoiner":
+            if len(ins) < 2:
+                raise PipelineSpecError(
+                    f"stage {name!r} (batchjoiner) needs >= 2 inputs"
+                )
+            df = ins[0]
+            for other in ins[1:]:
+                df = df.join(
+                    other, on=cfg["joinKeys"], how=cfg.get("joinType", "inner")
+                )
+            frames[name] = df
+        elif stype == "batchaggregator.groupby":
+            need(1)
+            aggs = []
+            for a in cfg["aggregates"]:
+                fn = _AGG_FUNCS.get(a["function"])
+                if fn is None:
+                    raise PipelineSpecError(
+                        f"stage {name!r}: unknown aggregate {a['function']!r}"
+                    )
+                aggs.append(fn(a.get("field", "*")).alias(a["name"]))
+            frames[name] = ins[0].groupBy(*cfg["groupByFields"]).agg(*aggs)
+        elif stype.startswith("batchsink."):
+            need(1)
+            fmt = stype.split(".", 1)[1]
+            df = ins[0]
+            frames[name] = df
+            if fmt in ("parquet", "csv", "json", "orc"):
+                writer = df.write.mode(cfg.get("mode", "overwrite"))
+                if cfg.get("partitionBy"):
+                    writer = writer.partitionBy(*cfg["partitionBy"])
+                getattr(writer, fmt)(cfg["path"])
+            elif fmt == "delta":
+                from python_plugins_spark.sources.delta_py import write_delta
+
+                write_delta(
+                    df, cfg["path"], mode=cfg.get("mode", "overwrite"),
+                    partition_by=cfg.get("partitionBy"),
+                )
+            elif fmt == "iceberg":
+                from python_plugins_spark.sources.iceberg_py import write_iceberg
+
+                write_iceberg(
+                    df, cfg["path"], mode=cfg.get("mode", "overwrite"),
+                )
+            else:
+                raise PipelineSpecError(f"unknown sink format {fmt!r}")
+        else:
+            raise PipelineSpecError(f"stage {name!r}: unknown type {stype!r}")
+    return frames

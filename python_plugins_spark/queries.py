@@ -11379,3 +11379,78 @@ def delta_cdc_stream_partitioned_read(spark, sf_dir):
         .groupBy("_change_type", "o_orderpriority")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "pipeline_spec_end_to_end",
+    oracle="""
+    WITH ev AS (
+      SELECT o_orderpriority, o_totalprice * 0.1 AS fee
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(fee AS DECIMAL(18,6))) AS DOUBLE) AS total_fee
+    FROM ev GROUP BY o_orderpriority
+    """,
+)
+def pipeline_spec_end_to_end(spark, sf_dir):
+    """The host-platform surface the reference plugin lived inside: a
+    JSON pipeline document (source -> filter -> PythonEvaluator-shaped
+    transform -> groupBy aggregator -> sink) interpreted by
+    python_plugins_spark.pipeline.run_pipeline. The whole DAG compiles
+    to one Catalyst plan per sink; the python stage uses the
+    reference's exact config keys (script/schema). A reference user's
+    pipeline definition ports by renaming stage types."""
+    import os
+    import shutil
+
+    from python_plugins_spark.pipeline import run_pipeline
+    from python_plugins_spark.sources.delta_py import read_delta
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    sink = os.path.join(_SCRATCH, f"pipe_sink_{tag}")
+    shutil.rmtree(sink, ignore_errors=True)
+    spec = {
+        "stages": [
+            {"name": "orders", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/orders.parquet"}},
+            {"name": "open_only", "type": "transform.filter",
+             "config": {"condition": "o_orderstatus = 'O'"}},
+            {"name": "fee_eval", "type": "transform.python",
+             "config": {
+                 "script": (
+                     "def transform(record, emitter, context):\n"
+                     "    emitter.emit({'o_orderpriority': record['o_orderpriority'],\n"
+                     "                  'fee': record['o_totalprice'] * 0.1})\n"
+                 ),
+                 "schema": "o_orderpriority string, fee double",
+             }},
+            {"name": "by_priority", "type": "batchaggregator.groupby",
+             "config": {
+                 "groupByFields": ["o_orderpriority"],
+                 "aggregates": [
+                     {"name": "n", "function": "count", "field": "*"},
+                     {"name": "fee_dec", "function": "sum", "field": "fee_dec"},
+                 ],
+             }},
+            {"name": "sink", "type": "batchsink.delta",
+             "config": {"path": sink}},
+        ],
+        "connections": [
+            {"from": "orders", "to": "open_only"},
+            {"from": "open_only", "to": "fee_eval"},
+            {"from": "fee_eval", "to": "cast_fee"},
+            {"from": "cast_fee", "to": "by_priority"},
+            {"from": "by_priority", "to": "sink"},
+        ],
+    }
+    # exact-decimal convention for the whole-table-magnitude sum
+    spec["stages"].insert(3, {
+        "name": "cast_fee", "type": "transform.wrangler",
+        "config": {"directives": ['set-column fee_dec "CAST(fee AS DECIMAL(18,6))"']},
+    })
+    run_pipeline(spark, spec)
+    back = read_delta(spark, sink)
+    return back.select(
+        "o_orderpriority", "n", F.col("fee_dec").cast("double").alias("total_fee")
+    )
