@@ -10,6 +10,7 @@ Commands:
     run <name> [--sf-dir D] [--show N]
     explain <name> [--sf-dir D]
     check <name> [...] [--sf-dir D]   Spark-vs-DuckDB oracle compare
+    pipeline <spec.json>              run a JSON pipeline document
 """
 
 from __future__ import annotations
@@ -36,6 +37,11 @@ def main(argv: list[str] | None = None) -> int:
     p_check.add_argument("queries", nargs="+")
     p_check.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
+    p_pipe = sub.add_parser("pipeline", help="run a JSON pipeline document")
+    p_pipe.add_argument("spec", help="path to the pipeline spec JSON")
+    p_pipe.add_argument("--show", type=int, default=0,
+                        help="rows of each terminal stage to print")
+
     args = parser.parse_args(argv)
 
     from python_plugins_spark.queries import ORACLES, QUERIES
@@ -60,6 +66,22 @@ def main(argv: list[str] | None = None) -> int:
             from python_plugins_spark.plans import plan_str
 
             print(plan_str(QUERIES[args.query](spark, args.sf_dir)))
+            return 0
+        if args.cmd == "pipeline":
+            import json as _json
+
+            from python_plugins_spark.pipeline import run_pipeline
+
+            with open(args.spec) as fh:
+                spec = _json.load(fh)
+            frames = run_pipeline(spark, spec)
+            consumed = {c["from"] for c in spec.get("connections", [])}
+            for name, df in frames.items():
+                if name not in consumed:
+                    print(f"# terminal stage {name}: {df.count()} rows",
+                          file=sys.stderr)
+                    if args.show:
+                        df.show(args.show, truncate=False)
             return 0
         if args.cmd == "check":
             import os
