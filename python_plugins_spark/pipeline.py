@@ -52,8 +52,15 @@ Stage types (the platform categories the reference's §2c table maps):
 - ``batchaggregator.groupby`` — groupByFields, aggregates
   [{name, function, field}] with function in count/sum/avg/min/max/
   countDistinct
+- ``transform.router`` — ports: [{port, condition}] (first matching
+  condition wins, CDAP router semantics); downstream stages connect
+  from ``<stage>.<port>``; unmatched rows land on port ``"default"``
 - ``batchsink.parquet|csv|json|orc`` — path, mode?, partitionBy?
 - ``batchsink.delta|iceberg`` — path, mode?
+
+Connections may reference a stage PORT as ``{"from": "ev.error"}`` —
+the python transform's error port and the router's named ports wire
+downstream exactly like main outputs.
 
 Unknown stage types, cycles, missing connections, and arity errors
 all raise at COMPILE time (deploy-time validation, the same stance as
@@ -81,14 +88,19 @@ _AGG_FUNCS = {
 }
 
 
+def _stage_of(src: str) -> str:
+    """Connection sources may be port-qualified: 'ev.error' -> 'ev'."""
+    return src.split(".", 1)[0]
+
+
 def _toposort(stages: dict, inputs: dict[str, list[str]]) -> list[str]:
     indeg = {n: len(inputs[n]) for n in stages}
     out = defaultdict(list)
     for n, ins in inputs.items():
         for i in ins:
-            if i not in stages:
+            if _stage_of(i) not in stages:
                 raise PipelineSpecError(f"connection from unknown stage {i!r}")
-            out[i].append(n)
+            out[_stage_of(i)].append(n)
     q = deque([n for n, d in indeg.items() if d == 0])
     order = []
     while q:
@@ -121,6 +133,12 @@ def run_pipeline(spark: SparkSession, spec: dict) -> dict[str, DataFrame]:
         stage = stages[name]
         stype = stage["type"]
         cfg = stage.get("config", {})
+        missing = [i for i in inputs[name] if i not in frames]
+        if missing:
+            raise PipelineSpecError(
+                f"stage {name!r} consumes unknown port(s) {missing} "
+                "(a port exists only after its producer declares it)"
+            )
         ins = [frames[i] for i in inputs[name]]
 
         def need(n: int):
@@ -166,6 +184,19 @@ def run_pipeline(spark: SparkSession, spec: dict) -> dict[str, DataFrame]:
             frames[name] = res.output
             if res.errors is not None:
                 frames[f"{name}.error"] = res.errors
+        elif stype == "transform.router":
+            need(1)
+            ports = cfg.get("ports") or []
+            if not ports:
+                raise PipelineSpecError(f"stage {name!r}: router needs ports")
+            df = ins[0]
+            claimed = F.lit(False)
+            for pt in ports:
+                cond = F.expr(pt["condition"]) & ~claimed
+                frames[f"{name}.{pt['port']}"] = df.filter(cond)
+                claimed = claimed | F.expr(pt["condition"])
+            frames[f"{name}.default"] = df.filter(~claimed)
+            frames[name] = frames[f"{name}.{ports[0]['port']}"]
         elif stype == "transform.wrangler":
             need(1)
             from python_plugins_spark.operators.wrangler import wrangle

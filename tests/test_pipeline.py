@@ -126,3 +126,64 @@ def test_pipeline_single_fused_plan(spark, sf_dir):
     })
     plan = plan_str(frames["flt"])
     assert "PushedFilters" in plan and "c_nationkey" in plan
+
+
+def test_pipeline_router_and_error_port_wiring(spark, sf_dir):
+    """Router ports (first-match-wins) and the python stage's error
+    port must wire downstream via port-qualified connections."""
+    spec = {
+        "stages": [
+            {"name": "src", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/customer.parquet"}},
+            {"name": "route", "type": "transform.router",
+             "config": {"ports": [
+                 {"port": "rich", "condition": "c_acctbal >= 5000"},
+                 {"port": "poor", "condition": "c_acctbal < 0"},
+             ]}},
+            {"name": "rich_n", "type": "batchaggregator.groupby",
+             "config": {"groupByFields": ["c_mktsegment"],
+                        "aggregates": [{"name": "n", "function": "count",
+                                        "field": "*"}]}},
+            {"name": "ev", "type": "transform.python",
+             "config": {
+                 "script": (
+                     "def transform(record, emitter, context):\n"
+                     "    emitter.emitError({'errorCode': 1, 'errorMsg': 'x',\n"
+                     "                       'invalidRecord': record})\n"
+                 ),
+                 "on_error": "route",
+             }},
+            {"name": "err_n", "type": "batchaggregator.groupby",
+             "config": {"groupByFields": ["errorCode"],
+                        "aggregates": [{"name": "n", "function": "count",
+                                        "field": "*"}]}},
+        ],
+        "connections": [
+            {"from": "src", "to": "route"},
+            {"from": "route.rich", "to": "rich_n"},
+            {"from": "route.poor", "to": "ev"},
+            {"from": "ev.error", "to": "err_n"},
+        ],
+    }
+    frames = run_pipeline(spark, spec)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n_rich = c.filter("c_acctbal >= 5000").count()
+    n_poor = c.filter("c_acctbal < 0").count()
+    n_def = c.count() - n_rich - n_poor
+    assert frames["route.rich"].count() == n_rich
+    assert frames["route.default"].count() == n_def
+    got_rich = sum(r.n for r in frames["rich_n"].collect())
+    assert got_rich == n_rich
+    err_rows = frames["err_n"].collect()
+    assert sum(r.n for r in err_rows) == n_poor
+    # consuming a port that does not exist fails at compile
+    with pytest.raises(PipelineSpecError, match="unknown port"):
+        run_pipeline(spark, {
+            "stages": [
+                {"name": "s", "type": "batchsource.parquet",
+                 "config": {"path": f"{sf_dir}/nation.parquet"}},
+                {"name": "f", "type": "transform.filter",
+                 "config": {"condition": "1=1"}},
+            ],
+            "connections": [{"from": "s.ghost", "to": "f"}],
+        })
