@@ -11454,3 +11454,88 @@ def pipeline_spec_end_to_end(spark, sf_dir):
     return back.select(
         "o_orderpriority", "n", F.col("fee_dec").cast("double").alias("total_fee")
     )
+
+
+@register(
+    "pipeline_router_ports",
+    oracle="""
+    SELECT 'rich' AS port, count(*) AS n FROM customer WHERE c_acctbal >= 5000
+    UNION ALL
+    SELECT 'debt', count(*) FROM customer WHERE c_acctbal < 0
+    UNION ALL
+    SELECT 'default', count(*) FROM customer
+    WHERE NOT (c_acctbal >= 5000) AND NOT (c_acctbal < 0)
+    """,
+)
+def pipeline_router_ports(spark, sf_dir):
+    """Router stage under the oracle gate: a pipeline document splits
+    customers across named ports (first-match-wins; unmatched ->
+    'default'), and the per-port cardinalities must equal the batch
+    predicates. Ports wire downstream via port-qualified connections
+    ('route.rich'), the multi-output shape the reference's error port
+    pioneered."""
+    from python_plugins_spark.pipeline import run_pipeline
+
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/customer.parquet"}},
+            {"name": "route", "type": "transform.router",
+             "config": {"ports": [
+                 {"port": "rich", "condition": "c_acctbal >= 5000"},
+                 {"port": "debt", "condition": "c_acctbal < 0"},
+             ]}},
+        ],
+        "connections": [{"from": "src", "to": "route"}],
+    })
+    parts = [
+        frames["route.rich"].select(F.lit("rich").alias("port")),
+        frames["route.debt"].select(F.lit("debt").alias("port")),
+        frames["route.default"].select(F.lit("default").alias("port")),
+    ]
+    from functools import reduce
+
+    allp = reduce(lambda a, b: a.unionByName(b), parts)
+    return allp.groupBy("port").agg(F.count("*").alias("n"))
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             len(str_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+             len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(n_words) AS words, sum(n_tokens) AS tokens,
+           round(sum(n_tokens)::DOUBLE / sum(n_words), 6) AS fertility
+    FROM t GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility (tokens per whitespace word) by language —
+    the vocabulary-fit diagnostic multilingual-corpus builders track
+    (a language with high fertility is under-served by the tokenizer
+    and over-billed in the token budget). BPE-ish regex token count
+    over one projection pass; two map-side-combined aggregates."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "lang",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_words"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+            )
+        ).alias("n_tokens"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("words"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+    )
