@@ -11539,3 +11539,56 @@ def tokenizer_fertility_by_lang(spark, sf_dir):
             F.sum("n_tokens").cast("double") / F.sum("n_words"), 6
         ).alias("fertility"),
     )
+
+
+@register(
+    "temperature_sampling_allocation",
+    oracle="""
+    WITH avail AS (
+      SELECT source,
+             sum(len(str_split_regex(lower(trim(text)), '\\s+'))) AS tokens
+      FROM documents GROUP BY source
+    ),
+    scored AS (
+      SELECT source, tokens, pow(tokens, 0.5) AS w FROM avail
+    ),
+    tot AS (SELECT sum(tokens) AS all_tokens, sum(w) AS all_w FROM scored)
+    SELECT s.source, s.tokens AS available,
+           CAST(floor(0.5 * t.all_tokens * s.w / t.all_w) AS BIGINT) AS allocated,
+           round(CAST(floor(0.5 * t.all_tokens * s.w / t.all_w) AS BIGINT)
+                 / s.tokens::DOUBLE, 6) AS epochs
+    FROM scored s CROSS JOIN tot t
+    """,
+)
+def temperature_sampling_allocation(spark, sf_dir):
+    """Temperature-based mixture allocation (the public alpha=0.5
+    sampling heuristic from multilingual pretraining): each source's
+    share of a token budget (here 50% of the corpus) is proportional
+    to tokens^alpha, up-weighting small sources without letting big
+    ones dominate. The per-source token table is tiny and the corpus
+    totals arrive as a broadcast one-row relation; `epochs` > 1 flags
+    a source the budget would repeat. Floor in integer tokens keeps
+    both engines' discrete allocations identical."""
+    docs = load_table(spark, "documents", sf_dir)
+    avail = (
+        docs.select(
+            "source",
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("tokens"))
+    )
+    scored = avail.withColumn("w", F.pow(F.col("tokens"), 0.5))
+    tot = scored.agg(
+        F.sum("tokens").alias("all_tokens"), F.sum("w").alias("all_w")
+    )
+    out = scored.crossJoin(F.broadcast(tot))
+    alloc = F.floor(
+        0.5 * F.col("all_tokens") * F.col("w") / F.col("all_w")
+    ).cast("long")
+    return out.select(
+        "source",
+        F.col("tokens").alias("available"),
+        alloc.alias("allocated"),
+        F.round(alloc / F.col("tokens").cast("double"), 6).alias("epochs"),
+    )
