@@ -192,9 +192,12 @@ def run_pipeline(spark: SparkSession, spec: dict) -> dict[str, DataFrame]:
             df = ins[0]
             claimed = F.lit(False)
             for pt in ports:
-                cond = F.expr(pt["condition"]) & ~claimed
-                frames[f"{name}.{pt['port']}"] = df.filter(cond)
-                claimed = claimed | F.expr(pt["condition"])
+                # NULL conditions must not drop the row from every port:
+                # CDAP router semantics send unmatched (incl. NULL-valued)
+                # rows to the default port, so treat NULL as non-matching.
+                port_cond = F.coalesce(F.expr(pt["condition"]), F.lit(False))
+                frames[f"{name}.{pt['port']}"] = df.filter(port_cond & ~claimed)
+                claimed = claimed | port_cond
             frames[f"{name}.default"] = df.filter(~claimed)
             frames[name] = frames[f"{name}.{ports[0]['port']}"]
         elif stype == "transform.wrangler":
@@ -257,8 +260,15 @@ def run_pipeline(spark: SparkSession, spec: dict) -> dict[str, DataFrame]:
             elif fmt == "iceberg":
                 from python_plugins_spark.sources.iceberg_py import write_iceberg
 
+                part = cfg.get("partitionBy") or []
+                if len(part) > 1:
+                    raise PipelineSpecError(
+                        f"stage {name!r}: iceberg sink models a single "
+                        f"identity partition, got partitionBy={part!r}"
+                    )
                 write_iceberg(
                     df, cfg["path"], mode=cfg.get("mode", "overwrite"),
+                    partition_by=part[0] if part else None,
                 )
             else:
                 raise PipelineSpecError(f"unknown sink format {fmt!r}")

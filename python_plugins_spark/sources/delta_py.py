@@ -661,19 +661,35 @@ def add_check_constraint(
     :func:`write_delta` calls enforce it on incoming data for free via
     an observation on the staging write (no extra pass). Returns the
     committed version."""
-    bad = read_delta(spark, table_path).filter(f"NOT ({expr})").count()
-    if bad:
-        raise DeltaConstraintViolationError(
-            f"cannot add constraint {name!r}: {bad} existing row(s) "
-            f"violate ({expr})"
+    def _validate() -> int:
+        # returns the snapshot version the scan proved clean
+        v = table_version(table_path)
+        bad = (
+            read_delta(spark, table_path, version_as_of=v)
+            .filter(f"NOT ({expr})")
+            .count()
         )
+        if bad:
+            raise DeltaConstraintViolationError(
+                f"cannot add constraint {name!r}: {bad} existing row(s) "
+                f"violate ({expr})"
+            )
+        return v
+
+    validated_version = _validate()
     for _ in range(max_retries + 1):
+        # a write landing between the validation scan and the metaData
+        # commit could introduce violating rows; only commit when the
+        # version we're extending IS the one the scan proved clean
+        if table_version(table_path) != validated_version:
+            validated_version = _validate()
+            continue
         state = _replay_state(table_path)
         new_meta = dict(state.meta)
         cfg = dict(new_meta.get("configuration") or {})
         cfg[_CONSTRAINT_PREFIX + name] = expr
         new_meta["configuration"] = cfg
-        version = table_version(table_path) + 1
+        version = validated_version + 1
         commit = os.path.join(_log_path(table_path), f"{version:020d}.json")
         if _put_if_absent(json.dumps({"metaData": new_meta}) + "\n", commit):
             return version

@@ -814,6 +814,19 @@ def _commit_delete_snapshot(
         # The delete rows were computed against the base snapshot; a
         # winner may have rewritten/moved those rows, so rebasing could
         # delete the wrong positions. Abort; caller re-runs the scan.
+        # Remove everything this commit staged (delete parquet files,
+        # manifest, manifest list) — no metadata references them, and
+        # leaving them would orphan files until remove_orphan_files.
+        for e in entries:
+            try:
+                os.remove(os.path.join(path, e[1]))
+            except FileNotFoundError:
+                pass
+        for p in (manifest_path, ml_path):
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
         raise IcebergConcurrentWriteError(
             f"concurrent commit at version {snapshot_id}: delete was "
             "planned against a stale snapshot; re-run it"

@@ -197,8 +197,14 @@ class IcebergStreamReader(DataSourceStreamReader):
             n: table.column(i).to_pylist()
             for i, n in enumerate(table.schema.names)
         }
+        # NULL identity-partition values must stay None — str(None) would
+        # mangle them into the literal "None" (or raise on numeric casts)
         consts = {
-            f.name: _pv_cast(str(partition.pvals.get(f.name)), f.dataType)
+            f.name: _pv_cast(
+                None if partition.pvals.get(f.name) is None
+                else str(partition.pvals.get(f.name)),
+                f.dataType,
+            )
             for f in fields
             if f.name in partition.pvals
         }
@@ -374,7 +380,10 @@ class IcebergChangeFeedStreamReader(DataSourceStreamReader):
                 for i, n in enumerate(table.schema.names)
             }
             consts = {
-                f.name: _pv_cast(str(pvals[f.name]), f.dataType)
+                f.name: _pv_cast(
+                    None if pvals[f.name] is None else str(pvals[f.name]),
+                    f.dataType,
+                )
                 for f in fields
                 if f.name in pvals
             }

@@ -927,3 +927,64 @@ def test_delta_checkpoint_preserves_constraints_and_txns(spark):
         write_delta(spark.range(1).select((F.col("id") - 5).alias("id")),
                     p, "append")
     assert read_delta(spark, p).filter("id < 0").count() == 0
+
+
+def test_delta_add_constraint_revalidates_after_racing_write(spark):
+    """A write landing between add_check_constraint's validation scan
+    and its metaData commit must be re-validated: if the racer's rows
+    violate the constraint, the ALTER fails instead of publishing a
+    constraint the table already breaks."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import python_plugins_spark.sources.delta_py as dp
+
+    p = _fresh("ck_race")
+    dp.write_delta(
+        spark.range(5).select(F.col("id"), (F.col("id") * 1.0).alias("x")),
+        p, "overwrite",
+    )
+
+    real_put = dp._put_if_absent
+    state = {"stolen": False}
+
+    def racing_put(content, dst):
+        if not state["stolen"]:
+            state["stolen"] = True
+            # a concurrent append lands a VIOLATING row after validation
+            dp.write_delta(
+                spark.range(1).select(F.col("id"), F.lit(-9.0).alias("x")),
+                p, "append",
+            )
+        return real_put(content, dst)
+
+    dp._put_if_absent = racing_put
+    try:
+        with pytest.raises(dp.DeltaConstraintViolationError):
+            dp.add_check_constraint(spark, p, "x_nonneg", "x >= 0")
+    finally:
+        dp._put_if_absent = real_put
+    assert dp.table_constraints(p) == {}  # nothing was published
+
+    # benign race: the concurrent row CONFORMS -> re-validate and commit
+    dp.write_delta(  # restate: drop the violating row phase 1 left behind
+        spark.range(5).select(F.col("id"), (F.col("id") * 1.0).alias("x")),
+        p, "overwrite",
+    )
+    state["stolen"] = False
+
+    def racing_put_ok(content, dst):
+        if not state["stolen"]:
+            state["stolen"] = True
+            dp.write_delta(
+                spark.range(1).select(F.col("id"), F.lit(9.0).alias("x")),
+                p, "append",
+            )
+        return real_put(content, dst)
+
+    dp._put_if_absent = racing_put_ok
+    try:
+        dp.add_check_constraint(spark, p, "x_nonneg", "x >= 0")
+    finally:
+        dp._put_if_absent = real_put
+    assert dp.table_constraints(p) == {"x_nonneg": "x >= 0"}

@@ -756,3 +756,58 @@ def test_iceberg_merge_schema_with_decimal_column(spark):
     back = I.read_iceberg(spark, path)
     assert back.count() == 8
     assert dict(back.dtypes)["d2"] == "decimal(6,1)"
+
+
+def test_iceberg_delete_abort_cleans_staged_files(spark):
+    """A delete commit that loses the put-if-absent race must remove
+    everything it staged (delete parquet files, manifest, manifest
+    list) — not leave orphans until remove_orphan_files."""
+    import pytest
+
+    import python_plugins_spark.sources.iceberg_py as I
+
+    path = _fresh("ice_del_orphans")
+    I.write_iceberg(spark.range(20).select(F.col("id")), path, "overwrite")
+
+    def snapshot_files():
+        out = set()
+        for root, _d, files in os.walk(path):
+            for f in files:
+                out.add(os.path.join(root, f))
+        return out
+
+    before = snapshot_files()
+
+    real_put = I._put_if_absent
+    state = {"stolen": False}
+
+    def racing_put(content, dst):
+        if not state["stolen"]:
+            state["stolen"] = True
+            I.write_iceberg(
+                spark.range(20, 25).select(F.col("id")), path, "append"
+            )
+        return real_put(content, dst)
+
+    I._put_if_absent = racing_put
+    try:
+        with pytest.raises(I.IcebergConcurrentWriteError):
+            I.equality_delete_iceberg(
+                spark, path, spark.createDataFrame([(3,)], "id bigint")
+            )
+    finally:
+        I._put_if_absent = real_put
+
+    after = snapshot_files()
+    leaked = {
+        f for f in after - before
+        if "eq-deletes" in f or f.endswith(".avro")
+    }
+    # the racer's own commit files are fine; nothing from the aborted
+    # delete (its delete parquet, manifest, or manifest list) remains
+    aborted = {f for f in leaked if "eq-deletes" in f}
+    assert aborted == set()
+    # racer's append added exactly one manifest + one manifest list
+    racer_avro = {f for f in after - before if f.endswith(".avro")}
+    assert len(racer_avro) == 2
+    assert {r.id for r in I.read_iceberg(spark, path).collect()} == set(range(25))

@@ -187,3 +187,73 @@ def test_pipeline_router_and_error_port_wiring(spark, sf_dir):
             ],
             "connections": [{"from": "s.ghost", "to": "f"}],
         })
+
+
+def test_pipeline_router_null_condition_goes_default(spark, tmp_path):
+    """A row whose routing expression evaluates to NULL is an UNMATCHED
+    row: CDAP router semantics send it to the default port — it must
+    not vanish from every port."""
+    src_path = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0), (4, 7000.0)],
+        "id long, bal double",
+    ).write.parquet(src_path)
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "s", "type": "batchsource.parquet",
+             "config": {"path": src_path}},
+            {"name": "r", "type": "transform.router",
+             "config": {"ports": [
+                 {"port": "hi", "condition": "bal >= 5000"},
+                 {"port": "neg", "condition": "bal < 0"},
+             ]}},
+        ],
+        "connections": [{"from": "s", "to": "r"}],
+    })
+    assert {r.id for r in frames["r.hi"].collect()} == {4}
+    assert {r.id for r in frames["r.neg"].collect()} == {3}
+    assert {r.id for r in frames["r.default"].collect()} == {1, 2}
+
+
+def test_pipeline_iceberg_sink_honors_partition_by(spark, sf_dir, tmp_path):
+    """batchsink.iceberg must forward partitionBy (or reject it), never
+    silently write an unpartitioned table."""
+    from python_plugins_spark.sources.iceberg_py import (
+        current_metadata_version, read_iceberg,
+    )
+
+    tbl = str(tmp_path / "nation_iceberg")
+    run_pipeline(spark, {
+        "stages": [
+            {"name": "s", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/nation.parquet"}},
+            {"name": "k", "type": "batchsink.iceberg",
+             "config": {"path": tbl, "partitionBy": ["n_regionkey"]}},
+        ],
+        "connections": [{"from": "s", "to": "k"}],
+    })
+    import json as _json
+    import os as _os
+
+    v = current_metadata_version(tbl)
+    meta = _json.loads(
+        open(_os.path.join(tbl, "metadata", f"v{v}.metadata.json")).read()
+    )
+    fields = meta["partition-specs"][0]["fields"]
+    assert [f["name"] for f in fields] == ["n_regionkey"]
+    got = read_iceberg(spark, tbl)
+    want = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    assert sorted(map(tuple, got.select(*want.columns).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    with pytest.raises(PipelineSpecError, match="single"):
+        run_pipeline(spark, {
+            "stages": [
+                {"name": "s", "type": "batchsource.parquet",
+                 "config": {"path": f"{sf_dir}/nation.parquet"}},
+                {"name": "k", "type": "batchsink.iceberg",
+                 "config": {"path": str(tmp_path / "t2"),
+                            "partitionBy": ["n_regionkey", "n_name"]}},
+            ],
+            "connections": [{"from": "s", "to": "k"}],
+        })

@@ -1031,3 +1031,34 @@ def test_iceberg_cdc_stream_partitioned(spark, tmp_path):
     d3 = {(r.id, r.g) for r in rows
           if r._change_type == "delete" and r._commit_snapshot == 3}
     assert d3 == {(i, 2) for i in range(24) if i % 3 == 2}
+
+
+def test_iceberg_stream_null_partition_value(spark, tmp_path):
+    """An identity-partitioned table with a NULL partition value must
+    stream the NULL through intact — not the literal string "None" (and
+    numeric partition columns must not raise int("None"))."""
+    from python_plugins_spark.sources import iceberg_stream
+    from python_plugins_spark.sources.iceberg_py import write_iceberg
+
+    iceberg_stream.register(spark)
+    table = str(tmp_path / "inullp_t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, None)], "id long, g string"
+    )
+    write_iceberg(df, table, "overwrite", partition_by="g")
+
+    q = (
+        spark.readStream.format("iceberg_py_stream")
+        .option("path", table)
+        .load()
+        .writeStream.format("memory")
+        .queryName("inullp_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.id, r.g) for r in spark.table("inullp_sink").collect()}
+    assert got == {(1, "a"), (2, None), (3, "a"), (4, None)}
