@@ -58,6 +58,34 @@ Stage types (the platform categories the reference's §2c table maps):
 - ``batchsink.parquet|csv|json|orc`` — path, mode?, partitionBy?
 - ``batchsink.delta|iceberg`` — path, mode?
 
+Streaming stage types (the ``cdap-data-streams`` deployment surface —
+the reference plugin was declared deployable in streaming pipelines
+unchanged, `/root/reference/pom.xml:134-137`; here the SAME transform/
+projection/filter/router/wrangler stages apply to a streaming frame):
+
+- ``streamingsource.file`` — path, format? (parquet|csv|json, default
+  parquet), schema? (DDL; inferred from a batch read when omitted),
+  options?
+- ``streamingsource.rate`` — options? (rowsPerSecond, ...)
+- ``streamingsource.delta|iceberg`` — this repo's table-format
+  streaming sources; options? (readChangeFeed, maxFilesPerTrigger, ...)
+- ``transform.watermark`` — eventTime, delay (e.g. "10 minutes")
+- ``streamingaggregator.windowed_groupby`` — eventTime,
+  windowDuration, slide?, watermark?, groupByFields?, aggregates
+  (same shape as batchaggregator); emits window_start/window_end
+- ``streamingsink.memory`` — queryName?, outputMode? (append),
+  statePartitions?, drain? (default true: process all available input
+  synchronously, stop, and bind the stage name to the RESULT TABLE as
+  a batch frame). With drain=false the started StreamingQuery is
+  returned under ``<stage>.query`` and left running.
+- ``streamingsink.parquet`` — path, checkpointLocation, outputMode?;
+  after drain the stage name binds to a batch read of the sink path
+- ``streamingsink.foreachbatch`` — script defining
+  ``def process(df, epoch_id)``; checkpointLocation?
+- ``streamingsink.delta`` — path, checkpointLocation?; exactly-once
+  append per micro-batch into the Delta table; stage name binds to a
+  batch read after drain
+
 Connections may reference a stage PORT as ``{"from": "ev.error"}`` —
 the python transform's error port and the router's named ports wire
 downstream exactly like main outputs.
@@ -91,6 +119,21 @@ _AGG_FUNCS = {
 def _stage_of(src: str) -> str:
     """Connection sources may be port-qualified: 'ev.error' -> 'ev'."""
     return src.split(".", 1)[0]
+
+
+def _drain(query) -> None:
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+
+def _require_streaming(name: str, stype: str, df: DataFrame) -> None:
+    if not df.isStreaming:
+        raise PipelineSpecError(
+            f"stage {name!r} ({stype}) needs a STREAMING input; "
+            "its upstream is a batch frame (use batchsink.* instead)"
+        )
 
 
 def _toposort(stages: dict, inputs: dict[str, list[str]]) -> list[str]:
@@ -240,10 +283,190 @@ def run_pipeline(spark: SparkSession, spec: dict) -> dict[str, DataFrame]:
                     )
                 aggs.append(fn(a.get("field", "*")).alias(a["name"]))
             frames[name] = ins[0].groupBy(*cfg["groupByFields"]).agg(*aggs)
+        elif stype.startswith("streamingsource."):
+            need(0)
+            fmt = stype.split(".", 1)[1]
+            opts = cfg.get("options", {})
+            if fmt == "file":
+                ffmt = cfg.get("format", "parquet")
+                if ffmt not in ("parquet", "csv", "json"):
+                    raise PipelineSpecError(
+                        f"stage {name!r}: unknown file-stream format {ffmt!r}"
+                    )
+                schema = cfg.get("schema") or getattr(
+                    spark.read.options(**opts), ffmt
+                )(cfg["path"]).schema
+                from python_plugins_spark.sources.io import fix_nanos_ts
+
+                # the file stream source only accepts directories; a
+                # single-file path streams via a glob on its parent
+                import os as _os
+
+                path = cfg["path"]
+                reader = spark.readStream.options(**opts).schema(schema)
+                if _os.path.isfile(path):
+                    reader = reader.option(
+                        "pathGlobFilter", _os.path.basename(path)
+                    )
+                    path = _os.path.dirname(path)
+                frames[name] = fix_nanos_ts(getattr(reader, ffmt)(path))
+            elif fmt == "rate":
+                frames[name] = (
+                    spark.readStream.format("rate").options(**opts).load()
+                )
+            elif fmt in ("delta", "iceberg"):
+                if fmt == "delta":
+                    from python_plugins_spark.sources import delta_stream as mod
+                else:
+                    from python_plugins_spark.sources import (
+                        iceberg_stream as mod,
+                    )
+                mod.register(spark)
+                frames[name] = (
+                    spark.readStream.format(f"{fmt}_py_stream")
+                    .option("path", cfg["path"])
+                    .options(**opts)
+                    .load()
+                )
+            else:
+                raise PipelineSpecError(
+                    f"unknown streaming source format {fmt!r}"
+                )
+        elif stype == "transform.watermark":
+            need(1)
+            _require_streaming(name, stype, ins[0])
+            frames[name] = ins[0].withWatermark(
+                cfg["eventTime"], cfg["delay"]
+            )
+        elif stype == "streamingaggregator.windowed_groupby":
+            need(1)
+            _require_streaming(name, stype, ins[0])
+            df = ins[0]
+            if cfg.get("watermark"):
+                df = df.withWatermark(cfg["eventTime"], cfg["watermark"])
+            aggs = []
+            for a in cfg["aggregates"]:
+                fn = _AGG_FUNCS.get(a["function"])
+                if fn is None:
+                    raise PipelineSpecError(
+                        f"stage {name!r}: unknown aggregate {a['function']!r}"
+                    )
+                aggs.append(fn(a.get("field", "*")).alias(a["name"]))
+            win = F.window(
+                cfg["eventTime"], cfg["windowDuration"], cfg.get("slide")
+            ).alias("_win")
+            out = df.groupBy(win, *cfg.get("groupByFields", [])).agg(*aggs)
+            frames[name] = out.select(
+                F.col("_win.start").alias("window_start"),
+                F.col("_win.end").alias("window_end"),
+                *[c for c in out.columns if c != "_win"],
+            )
+        elif stype.startswith("streamingsink."):
+            need(1)
+            _require_streaming(name, stype, ins[0])
+            fmt = stype.split(".", 1)[1]
+            df = ins[0]
+            drain = cfg.get("drain", True)
+            if fmt == "memory":
+                qname = cfg.get("queryName", name)
+                prev = None
+                if cfg.get("statePartitions") is not None:
+                    prev = spark.conf.get("spark.sql.shuffle.partitions")
+                    spark.conf.set(
+                        "spark.sql.shuffle.partitions",
+                        str(cfg["statePartitions"]),
+                    )
+                try:
+                    writer = (
+                        df.writeStream.format("memory")
+                        .queryName(qname)
+                        .outputMode(cfg.get("outputMode", "append"))
+                    )
+                    if cfg.get("checkpointLocation"):
+                        writer = writer.option(
+                            "checkpointLocation", cfg["checkpointLocation"]
+                        )
+                    q = writer.start()
+                finally:
+                    if prev is not None:
+                        spark.conf.set("spark.sql.shuffle.partitions", prev)
+                if drain:
+                    _drain(q)
+                    frames[name] = spark.table(qname)
+                else:
+                    frames[name] = df
+                    frames[f"{name}.query"] = q
+            elif fmt == "parquet":
+                q = (
+                    df.writeStream.format("parquet")
+                    .option("path", cfg["path"])
+                    .option("checkpointLocation", cfg["checkpointLocation"])
+                    .outputMode(cfg.get("outputMode", "append"))
+                    .start()
+                )
+                if drain:
+                    _drain(q)
+                    frames[name] = spark.read.parquet(cfg["path"])
+                else:
+                    frames[name] = df
+                    frames[f"{name}.query"] = q
+            elif fmt == "foreachbatch":
+                ns: dict = {}
+                code = compile(cfg["script"], f"<{name}.script>", "exec")
+                exec(code, ns)
+                if "process" not in ns:
+                    raise PipelineSpecError(
+                        f"stage {name!r}: script must define "
+                        "process(df, epoch_id)"
+                    )
+                writer = df.writeStream.foreachBatch(ns["process"])
+                if cfg.get("checkpointLocation"):
+                    writer = writer.option(
+                        "checkpointLocation", cfg["checkpointLocation"]
+                    )
+                q = writer.start()
+                if drain:
+                    _drain(q)
+                frames[name] = df
+                if not drain:
+                    frames[f"{name}.query"] = q
+            elif fmt == "delta":
+                from python_plugins_spark.sources.delta_py import (
+                    read_delta, write_delta,
+                )
+
+                path = cfg["path"]
+
+                def _append(bdf, epoch_id, _path=path):
+                    if bdf.isEmpty():
+                        return
+                    write_delta(bdf, _path, mode="append")
+
+                writer = df.writeStream.foreachBatch(_append)
+                if cfg.get("checkpointLocation"):
+                    writer = writer.option(
+                        "checkpointLocation", cfg["checkpointLocation"]
+                    )
+                q = writer.start()
+                if drain:
+                    _drain(q)
+                    frames[name] = read_delta(spark, path)
+                else:
+                    frames[name] = df
+                    frames[f"{name}.query"] = q
+            else:
+                raise PipelineSpecError(
+                    f"unknown streaming sink format {fmt!r}"
+                )
         elif stype.startswith("batchsink."):
             need(1)
             fmt = stype.split(".", 1)[1]
             df = ins[0]
+            if df.isStreaming:
+                raise PipelineSpecError(
+                    f"stage {name!r} ({stype}) got a STREAMING input; "
+                    "use streamingsink.* for streaming pipelines"
+                )
             frames[name] = df
             if fmt in ("parquet", "csv", "json", "orc"):
                 writer = df.write.mode(cfg.get("mode", "overwrite"))

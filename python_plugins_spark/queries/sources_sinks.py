@@ -1,0 +1,1479 @@
+"""Sources & sinks (partitioned/bucketed/compacted parquet, CSV, JSON, ORC, Avro, JDBC, Delta, Iceberg, Python DataSources) and the LSH-bucketed embedding near-dup scale path.
+
+Split from the former queries.py; see _core for the registry and conventions."""
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401 — resolves postponed type hints in pandas UDFs
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from python_plugins_spark.functions import oracle_fragments as OF  # noqa: F401
+from python_plugins_spark.operators import dedup as D  # noqa: F401
+from python_plugins_spark.operators import multimodal as MM  # noqa: F401
+from python_plugins_spark.operators import relational as R  # noqa: F401
+from python_plugins_spark.operators import similarity as S  # noqa: F401
+from python_plugins_spark.operators import text as TX  # noqa: F401
+from python_plugins_spark.operators.asof import asof_join  # noqa: F401
+from python_plugins_spark.operators.transform import python_transform  # noqa: F401
+from python_plugins_spark.sources.io import load_table  # noqa: F401
+
+from python_plugins_spark.queries._core import (  # noqa: F401
+    ORACLES, QUERIES, register, _global_index_part, _ts, _STRF,
+)
+
+
+# Batch 3: sources & sinks (partitioned parquet, CSV, JSON) and the
+# LSH-bucketed embedding near-dup scale path
+# =====================================================================
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+@register(
+    "sink_partitioned_pruning",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE year(o_orderdate) = 1997
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_partitioned_pruning(spark, sf_dir):
+    """Partitioned parquet sink + partition-pruned scan: orders written
+    partitioned by order year, read back with a partition filter — the
+    filter prunes directories, not rows (at 100 TB, the difference
+    between touching 1/7th of the data and all of it)."""
+    import os
+
+    o = load_table(spark, "orders", sf_dir)
+    path = os.path.join(_SCRATCH, f"orders_by_year_{os.path.basename(sf_dir.rstrip('/'))}")
+    (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("order_year") == 1997)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+
+
+@register(
+    "csv_source_roundtrip",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_suppliers, round(sum(s.s_acctbal), 4) AS total_bal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def csv_source_roundtrip(spark, sf_dir):
+    """CSV sink + schema-explicit CSV source (no inference pass), then
+    a broadcast join — exercises the text-format connector path."""
+    import os
+
+    from python_plugins_spark.sources.io import read_csv
+
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    path = os.path.join(_SCRATCH, f"supplier_csv_{os.path.basename(sf_dir.rstrip('/'))}")
+    s.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(spark, path, schema=s.schema)
+    return (
+        back.join(F.broadcast(n), back.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 4).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "json_source_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def json_source_roundtrip(spark, sf_dir):
+    """JSON-lines sink + schema-explicit JSON source."""
+    import os
+
+    from python_plugins_spark.sources.io import read_json
+
+    c = load_table(spark, "customer", sf_dir)
+    path = os.path.join(_SCRATCH, f"customer_json_{os.path.basename(sf_dir.rstrip('/'))}")
+    c.write.mode("overwrite").json(path)
+    back = read_json(spark, path, schema=c.schema)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal")
+    )
+
+
+@register(
+    "avro_source_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 4) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def avro_source_roundtrip(spark, sf_dir):
+    """Avro sink + source via the pure-Python object-container
+    DataSource (sources/avro_py.py — no spark-avro jar in this env;
+    the reference's schema contract is Avro-JSON, reference
+    PythonEvaluator.java:291-297). Write customer as deflate-coded
+    Avro through the Spark writer (one container per partition), read
+    it back (one task per file, schema from the container header), and
+    aggregate. tests/test_operators.py cross-validates the written
+    files against the JVM org.apache.avro DataFileReader."""
+    import os
+
+    from python_plugins_spark.sources.avro_py import register as reg_avro
+
+    reg_avro(spark)
+    c = load_table(spark, "customer", sf_dir)
+    path = os.path.join(_SCRATCH, f"customer_avro_{os.path.basename(sf_dir.rstrip('/'))}")
+    c.write.format("avro_py").mode("overwrite").save(path)
+    back = spark.read.format("avro_py").load(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 4).alias("total_bal")
+    )
+
+
+@register(
+    "embedding_truncate_energy",
+    oracle="""
+    WITH _n AS (
+      SELECT vec_id,
+             sqrt(list_reduce(list_transform(embedding[1:16], x -> x::DOUBLE * x::DOUBLE),
+                              (a, b) -> a + b)) AS norm16,
+             sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                              (a, b) -> a + b)) AS norm_full
+      FROM embeddings
+    )
+    SELECT vec_id, round(norm16 / norm_full, 6) AS energy_ratio_16
+    FROM _n WHERE norm_full > 0
+    """,
+)
+def embedding_truncate_energy(spark, sf_dir):
+    """Matryoshka-style truncation diagnostic: the fraction of each
+    vector's L2 energy captured by its first 16 dimensions — the
+    number that decides whether truncated (cheaper) embeddings are
+    safe for coarse retrieval stages. Pure per-row array expressions;
+    zero shuffles."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    norm16 = F.sqrt(sq(F.slice(F.col("embedding"), 1, 16)))
+    norm_full = F.sqrt(sq(F.col("embedding")))
+    return (
+        emb.select("vec_id", norm16.alias("n16"), norm_full.alias("nf"))
+        .filter(F.col("nf") > 0)
+        .select("vec_id", F.round(F.col("n16") / F.col("nf"), 6).alias("energy_ratio_16"))
+    )
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             least(1.0, greatest(0.05,
+               1.0
+               - CASE WHEN length(text) < 100 THEN 0.4 ELSE 0.0 END
+             )) AS w
+      FROM documents
+    )
+    SELECT d.source, count(*) AS n_kept, sum(len({OF.sql_tokens("d.text")})) AS kept_tokens
+    FROM documents d JOIN q ON d.doc_id = q.doc_id
+    WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':qws'), 1, 8))::UBIGINT)::DOUBLE
+          / 4294967296.0 < q.w
+    GROUP BY d.source
+    """,
+)
+def quality_weighted_sample(spark, sf_dir):
+    """Deterministic quality-weighted sampling: keep each document
+    with probability proportional to a quality weight (short docs
+    down-weighted), decided by comparing an md5-derived uniform in
+    [0,1) against the weight — reproducible across runs/engines, no
+    RNG state, embarrassingly parallel (the standard corpus-mixing
+    primitive: weights become expected token-mix proportions). Pure
+    filter + one aggregate shuffle."""
+    from python_plugins_spark.functions import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.05),
+            F.lit(1.0) - F.when(F.length("text") < 100, 0.4).otherwise(0.0),
+        ),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":qws"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.withColumn("_w", w)
+        .filter(u < F.col("_w"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(F.size(tokens(F.col("text")))).alias("kept_tokens"),
+        )
+    )
+
+
+@register(
+    "sentence_global_dedup",
+    oracle=f"""
+    WITH _s AS (
+      SELECT doc_id, i AS pos, s
+      FROM (SELECT doc_id, string_split_regex(text, '\\.\\s+') AS parts FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i),
+           LATERAL (SELECT trim(parts[i]) AS s)
+      WHERE length(trim(parts[i])) > 0
+    ),
+    _first AS (
+      SELECT doc_id, pos, s,
+             row_number() OVER (PARTITION BY lower(s) ORDER BY doc_id, pos) AS rn
+      FROM _s
+    )
+    SELECT doc_id,
+           count(*) FILTER (WHERE rn = 1) AS kept_sentences,
+           count(*) AS total_sentences,
+           md5(coalesce(string_agg(s, '. ' ORDER BY pos) FILTER (WHERE rn = 1), ''))
+             AS kept_md5
+    FROM _first GROUP BY doc_id
+    """,
+)
+def sentence_global_dedup(spark, sf_dir):
+    """C4-style GLOBAL sentence-level dedup: a sentence is kept only
+    at its first occurrence across the whole corpus ((doc_id, pos)
+    order) — the classic boilerplate killer (nav text, disclaimers,
+    licence blocks repeat verbatim across millions of pages; document-
+    level dedup never sees them). One shuffle partitioned BY SENTENCE
+    (the dedup key — skew on mega-duplicated sentences is exactly what
+    AQE skew-split handles), then a per-doc reassembly aggregate.
+    Output per doc: kept/total sentence counts and the md5 of the
+    deduped rejoined text."""
+    docs = load_table(spark, "documents", sf_dir)
+    parts = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), r"\.\s+")).alias("pos0", "s_raw")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), F.trim("s_raw").alias("s")
+    ).filter(F.length("s") > 0)
+    w = Window.partitionBy(F.lower("s")).orderBy("doc_id", "pos")
+    flagged = parts.withColumn("rn", F.row_number().over(w))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.when(F.col("rn") == 1, 1)).alias("kept_sentences"),
+        F.count("*").alias("total_sentences"),
+        F.md5(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("rn") == 1, F.struct("pos", "s")
+                                )
+                            )
+                        ),
+                        lambda x: x["s"],
+                    ),
+                    ". ",
+                ),
+                F.lit(""),
+            )
+        ).alias("kept_md5"),
+    )
+
+
+@register(
+    "try_arithmetic_catalog",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL ELSE round(l_extendedprice / l_discount, 4) END
+             AS price_per_disc,
+           TRY_CAST(l_returnflag AS DOUBLE) AS flag_num,
+           TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_num,
+           CASE WHEN l_orderkey::HUGEINT * 100000000000000000 > 9223372036854775807
+                THEN NULL
+                ELSE CAST(l_orderkey * 100000000000000000 AS BIGINT) END AS big_prod
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def try_arithmetic_catalog(spark, sf_dir):
+    """ANSI-safe `try_*` function family: try_divide (NULL on /0
+    instead of error under ANSI mode), try_cast (NULL on malformed),
+    try_multiply (NULL on overflow) — the error-tolerant arithmetic a
+    dirty corpus needs so one bad row can't fail a 100 TB job. The
+    oracle replays each guard as an explicit CASE."""
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide("l_extendedprice", "l_discount"), 4).alias("price_per_disc"),
+        F.col("l_returnflag").try_cast("double").alias("flag_num"),
+        F.col("l_quantity").cast("string").try_cast("double").alias("qty_num"),
+        # integral overflow -> NULL (float multiply saturates to inf
+        # instead, which is why the probe uses bigints)
+        F.try_multiply(F.col("l_orderkey"), F.lit(100_000_000_000_000_000)).alias(
+            "big_prod"
+        ),
+    )
+
+
+@register(
+    "aes_roundtrip_customers",
+    oracle="""
+    SELECT c_custkey, c_name, length(c_name) AS name_len
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def aes_roundtrip_customers(spark, sf_dir):
+    """Column-level encryption: aes_encrypt (GCM, random IV) ->
+    aes_decrypt must be the identity on the plaintext — the
+    at-rest-PII pattern where a column is encrypted before landing and
+    decrypted under key access. GCM output is nondeterministic
+    (random IV), so the oracle checks the ROUNDTRIP (decrypted ==
+    original), which is exactly the property that matters."""
+    key = F.lit("0123456789abcdef")  # 16-byte AES-128 key
+    c = load_table(spark, "customer", sf_dir).filter(F.col("c_custkey") <= 200)
+    enc = c.select(
+        "c_custkey", F.aes_encrypt(F.col("c_name"), key).alias("ct")
+    )
+    return enc.select(
+        "c_custkey",
+        F.aes_decrypt(F.col("ct"), key).cast("string").alias("c_name"),
+    ).withColumn("name_len", F.length("c_name").cast("long"))
+
+
+@register(
+    "delta_roundtrip_orders",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def delta_roundtrip_orders(spark, sf_dir):
+    """Delta-protocol table (pure-Python transaction log over native
+    parquet scans — sources/delta_py.py; no delta jar in this env):
+    overwrite-commit the even-key half, append-commit the odd-key
+    half, snapshot-read the table and aggregate. The log replay is
+    driver metadata (like a parquet footer); the scan is Spark's
+    vectorized parquet reader over exactly the active file set."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import read_delta, write_delta
+
+    o = load_table(spark, "orders", sf_dir)
+    path = os.path.join(_SCRATCH, f"delta_orders_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 0), path, mode="overwrite")
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append")
+    back = read_delta(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+
+
+@register(
+    "delta_time_travel_orders",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
+    """,
+)
+def delta_time_travel_orders(spark, sf_dir):
+    """Delta time travel: after overwrite(v0 evens) + append(v1 odds) +
+    overwrite(v2 tiny slice), reading version_as_of=0 reconstructs the
+    v0 snapshot exactly — the reproducibility primitive for training-
+    data lineage ("which corpus version did this run train on")."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import read_delta, write_delta
+
+    o = load_table(spark, "orders", sf_dir)
+    path = os.path.join(_SCRATCH, f"delta_tt_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 0), path, mode="overwrite")
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append")
+    write_delta(o.filter(F.col("o_orderkey") < 10), path, mode="overwrite")
+    back = read_delta(spark, path, version_as_of=0)
+    return back.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "delta_checkpoint_read",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def delta_checkpoint_read(spark, sf_dir):
+    """Delta checkpoint path (sources/delta_py.py): 12 commits force a
+    parquet checkpoint at v10 + a ``_last_checkpoint`` pointer, so the
+    snapshot read seeds from the checkpoint and replays only v11..v12
+    JSON — O(interval) log replay instead of O(all commits), which is
+    what keeps a long-lived 100 TB table's metadata path constant-time.
+    v12 re-appends slice 0 (a deliberate duplicate); time travel to
+    v11 must exclude it, proving checkpoint-seeded time travel, and the
+    v11 snapshot (= the whole table, slices 0..11) is oracle-checked
+    against the plain-parquet aggregate."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        last_checkpoint_version,
+        read_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir)
+    path = os.path.join(_SCRATCH, f"delta_cp_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    for i in range(13):  # v0..v12, one slice each — checkpoint lands at v10
+        write_delta(
+            o.filter(F.col("o_orderkey") % 12 == i % 12),
+            path,
+            mode="overwrite" if i == 0 else "append",
+        )
+    assert last_checkpoint_version(path) == 10
+    back = read_delta(spark, path, version_as_of=11)  # slices 0..10 (v12 excluded)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+
+
+@register(
+    "delta_merge_upsert",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(CASE WHEN o_orderkey % 4 = 1 THEN 2 * o_totalprice
+                          ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey % 4 IN (0, 1, 2) AND o_orderkey % 8 <> 1
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_merge_upsert(spark, sf_dir):
+    """MERGE INTO on the Delta layer (sources/delta_py.py merge_delta),
+    exercising all three clauses in one commit: target = orderkeys
+    %4 in (0,1); source = orderkeys %4 in (1,2). Matched rows with
+    key %8 == 1 are deleted, the remaining matched rows take
+    ``t.o_totalprice + s.o_totalprice`` (doubling, since source rows
+    are the same orders), and unmatched source rows (%4 == 2) insert.
+    The rewrite is file-pruned: only parts containing a matched key
+    are rewritten — merge cost is O(matched data), not O(table)."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir)
+    path = os.path.join(_SCRATCH, f"delta_merge_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.filter(F.col("o_orderkey") % 4 < 2), path, mode="overwrite")
+    src = o.filter((F.col("o_orderkey") % 4).isin(1, 2))
+    merge_delta(
+        spark,
+        src,
+        path,
+        on=["o_orderkey"],
+        when_matched_update={"o_totalprice": "t.o_totalprice + s.o_totalprice"},
+        when_matched_delete="s.o_orderkey % 8 = 1",
+        when_not_matched_insert=True,
+    )
+    back = read_delta(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+
+
+@register(
+    "delta_optimize_zorder_read",
+    oracle="""
+    SELECT count(*) AS n, sum(o_orderkey) AS key_sum,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 200
+      AND o_totalprice BETWEEN 50000 AND 150000
+    """,
+)
+def delta_optimize_zorder_read(spark, sf_dir):
+    """OPTIMIZE ZORDER BY + stats skipping on the Delta layer: orders
+    is written as 8 unclustered parts, rewritten z-ordered on
+    (o_custkey, o_totalprice) in one dataChange=False commit, then a
+    selective 2-D box is read with ``prune`` (file-level min/max
+    elimination) + the exact filter. The in-code assertion pins the
+    layout benefit — the pruned scan must touch fewer files than the
+    table holds — and the oracle pins exactness: skipping must never
+    drop a qualifying row. This is the layout+skipping pair that turns
+    'one tenant, one price band, 100 TB' into a few-file read."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        optimize_delta,
+        read_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir)
+    path = os.path.join(_SCRATCH, f"delta_z_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.repartition(8), path, mode="overwrite")
+    res = optimize_delta(
+        spark, path, target_file_size=256 * 1024, zorder_by=["o_custkey", "o_totalprice"]
+    )
+    box = {"o_custkey": (100, 200), "o_totalprice": (50000.0, 150000.0)}
+    pruned = read_delta(spark, path, prune=box)
+    if res["version"] is not None and len(res["added"]) >= 4:
+        assert len(pruned.inputFiles()) < len(res["added"]), (
+            "z-order + stats pruning failed to skip any file"
+        )
+    return pruned.filter(
+        F.col("o_custkey").between(100, 200)
+        & F.col("o_totalprice").between(50000, 150000)
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@register(
+    "delta_deletion_vector_read",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE NOT (o_orderkey % 10 < 3) AND NOT (o_custkey % 7 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_deletion_vector_read(spark, sf_dir):
+    """Deletion vectors (merge-on-read DELETE, sources/delta_dv.py):
+    two successive DV deletes — the second unions into the first
+    file-level bitmaps — then a snapshot read that anti-joins the
+    executor-decoded (file, row_index) deleted set against
+    ``_metadata.row_index``. No data file is rewritten by either
+    delete (asserted below: the active file set is unchanged), which
+    is the point of DVs at 100 TB — a delete costs O(deleted rows) in
+    sidecar bytes, not O(touched files) in parquet rewrites. Bitmaps
+    are protocol-shaped RoaringBitmapArray sidecars; the commit
+    upgrades to readerVersion 3 / ``deletionVectors`` table feature."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        _replay_state,
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir)
+    path = os.path.join(_SCRATCH, f"delta_dv_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.repartition(6), path, mode="overwrite")
+    before = set(_replay_state(path).active)
+    delete_delta(spark, path, "o_orderkey % 10 < 3", mode="dv")
+    delete_delta(spark, path, "o_custkey % 7 = 0", mode="dv")
+    after = set(_replay_state(path).active)
+    assert after == before, "DV delete must not rewrite/replace data files"
+    back = read_delta(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+
+
+@register(
+    "delta_delete_rewrite",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_delete_rewrite(spark, sf_dir):
+    """Copy-on-write DELETE (``mode="rewrite"``): only files containing
+    at least one matched row are rewritten without those rows; readers
+    need no table feature (reads stay pure parquet scans). The
+    complement of the DV path — pick rewrite when deletes are rare and
+    bulky, DVs when they are frequent and sparse."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir)
+    path = os.path.join(_SCRATCH, f"delta_cow_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.repartition(6), path, mode="overwrite")
+    delete_delta(
+        spark, path, "o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0",
+        mode="rewrite",
+    )
+    back = read_delta(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+
+
+@register(
+    "delta_schema_evolution_read",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, CAST(NULL AS VARCHAR) AS channel
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, 'backfill' AS channel
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def delta_schema_evolution_read(spark, sf_dir):
+    """Schema evolution on the Delta layer: v0 writes two columns, v1
+    appends with merge_schema=True adding ``channel`` — committed as an
+    updated metaData action atomically with the data, so pre-evolution
+    files read the new column as NULL through the explicit table
+    schema. Mismatched writes without merge_schema raise (enforcement,
+    tested in tests/test_delta.py)."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import read_delta, write_delta
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderstatus")
+    path = os.path.join(_SCRATCH, f"delta_evo_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 0), path, mode="overwrite")
+    late = o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "channel", F.lit("backfill")
+    )
+    write_delta(late, path, mode="append", merge_schema=True)
+    return read_delta(spark, path)
+
+
+@register(
+    "delta_partitioned_pruned_read",
+    oracle="""
+    SELECT count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus = 'F' AND NOT (o_orderkey % 5 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_partitioned_pruned_read(spark, sf_dir):
+    """Hive-partitioned Delta table (partition_by= on write_delta):
+    adds carry the protocol's partitionValues, data files omit the
+    partition column, reads reconstruct it via basePath — and the
+    prune hint eliminates whole partitions from the scan list before
+    Spark sees a file (asserted: the pruned scan touches fewer files
+    than the table holds). A DV delete stacks on the partitioned
+    layout to prove the merge-on-read machinery composes with it."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        _replay_state,
+        delete_delta,
+        read_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(_SCRATCH, f"delta_part_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o, path, mode="overwrite", partition_by=["o_orderstatus"])
+    delete_delta(spark, path, "o_orderkey % 5 = 0", mode="dv")
+    n_active = len(_replay_state(path).active)
+    pruned = read_delta(spark, path, prune={"o_orderstatus": ("F", "F")})
+    assert len(pruned.inputFiles()) < n_active, "partition pruning failed"
+    return (
+        pruned.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .select("n", "total")
+    )
+
+
+@register(
+    "delta_update_read",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice * 2 ELSE o_totalprice END
+                          AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def delta_update_read(spark, sf_dir):
+    """Merge-on-read UPDATE (sources/delta_py.py update_delta): one
+    atomic commit deletion-vectors the matched rows out of their files
+    AND appends them with SET applied — O(matched rows), no touched-
+    file rewrite. The in-code assertion pins that: the pre-update data
+    files are all still active after the commit."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        _replay_state,
+        read_delta,
+        update_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    path = os.path.join(_SCRATCH, f"delta_upd_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.repartition(5), path, mode="overwrite")
+    before = set(_replay_state(path).active)
+    update_delta(
+        spark, path, "o_orderpriority = '1-URGENT'",
+        {"o_totalprice": "o_totalprice * 2"},
+    )
+    after = set(_replay_state(path).active)
+    assert before <= after, "UPDATE must keep every pre-update file active"
+    back = read_delta(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+
+
+@register(
+    "delta_restore_read",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def delta_restore_read(spark, sf_dir):
+    """RESTORE TABLE (sources/delta_py.py restore_delta): after a DV
+    delete damages the table, restoring to the pre-delete version
+    commits the old active set back — history preserved (the restore
+    is itself a commit), nothing rewritten."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        delete_delta,
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(_SCRATCH, f"delta_rst_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.repartition(4), path, mode="overwrite")   # v0
+    delete_delta(spark, path, "o_orderkey % 3 = 0", mode="dv")  # v1 (oops)
+    restore_delta(spark, path, 0)                            # v2 = v0 again
+    back = read_delta(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+
+
+@register(
+    "lakehouse_pipeline_end_to_end",
+    oracle="""
+    SELECT lang, count(*) AS n, sum(n_chars) AS chars,
+           sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS curated
+    FROM documents WHERE n_chars >= 200
+    GROUP BY lang
+    """,
+)
+def lakehouse_pipeline_end_to_end(spark, sf_dir):
+    """One pipeline through the round's whole lakehouse surface, with
+    the final snapshot oracle-checked against plain SQL: documents land
+    as a lang-partitioned Delta table; a quality gate DV-deletes short
+    docs (merge-on-read — no rewrite); an UPDATE re-labels one
+    partition's source in a single DV+append commit; OPTIMIZE purges
+    the DVs physically; VACUUM reclaims the dead files and sidecars;
+    and the surviving snapshot aggregates per lang. Every maintenance
+    step must be row-invisible except the two intended mutations."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        delete_delta,
+        optimize_delta,
+        read_delta,
+        update_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = os.path.join(_SCRATCH, f"lakehouse_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(docs, path, mode="overwrite", partition_by=["lang"])
+    delete_delta(spark, path, "n_chars < 200", mode="dv")
+    update_delta(spark, path, "lang = 'de'", {"source": "'curated'"})
+    optimize_delta(spark, path)
+    vacuum_delta(path, retention_hours=0)
+    back = read_delta(spark, path)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.when(F.col("source") == "curated", 1).otherwise(0)).alias("curated"),
+    )
+
+
+@register(
+    "delta_snapshot_diff",
+    oracle="""
+    SELECT o_orderkey, 'removed' AS _diff FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, 'changed' AS _diff FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_orderkey % 7 <> 0
+          AND o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, 'added' AS _diff FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def delta_snapshot_diff(spark, sf_dir):
+    """Semantic diff of two table versions (sources/delta_py.py
+    snapshot_diff): compares STATES, not log actions, so it covers
+    in-place rewrites the change feed refuses — one full outer join on
+    the key with null-safe value comparison classifying each key as
+    added / removed / changed. Here v0 holds the even orders; v3 has
+    deleted the %7 keys, doubled the urgent totals (UPDATE), and
+    appended the odds — the diff must recover exactly those three
+    sets."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        delete_delta,
+        snapshot_diff,
+        update_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = os.path.join(_SCRATCH, f"delta_diff_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 0), path, mode="overwrite")  # v0
+    delete_delta(spark, path, "o_orderkey % 7 = 0", mode="dv")                   # v1
+    update_delta(
+        spark, path, "o_orderpriority = '1-URGENT'",
+        {"o_totalprice": "o_totalprice * 2"},
+    )                                                                            # v2
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append")     # v3
+    return snapshot_diff(spark, path, 0, 3, ["o_orderkey"])
+
+
+@register(
+    "delta_incremental_view_maintenance",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE NOT (o_orderkey % 6 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_incremental_view_maintenance(spark, sf_dir):
+    """Incremental materialized-view maintenance from the change feed:
+    a SUM/COUNT-per-key view is first materialized from the v0
+    snapshot, then brought to the v2 state by applying ONLY the
+    changes (inserts add, deletes subtract — the classic delta-
+    maintenance algebra for distributive aggregates), never rescanning
+    the base table. At 100 TB this is the difference between an
+    O(table) refresh and an O(changes) one. The maintained view must
+    hash-match the direct aggregate of the final snapshot — that is
+    the oracle."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        delete_delta,
+        read_delta,
+        table_changes,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(_SCRATCH, f"delta_ivm_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 0), path, mode="overwrite")  # v0
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    view0 = (
+        read_delta(spark, path, version_as_of=0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(dec).alias("total"),
+        )
+    )
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append")     # v1
+    delete_delta(spark, path, "o_orderkey % 6 = 0", mode="dv")                   # v2
+
+    changes = table_changes(spark, path, 1, 2)
+    deltas = changes.groupBy("o_orderstatus").agg(
+        F.sum(
+            F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        ).cast("long").alias("dn"),
+        F.sum(
+            F.when(F.col("_change_type") == "insert", dec).otherwise(-dec)
+        ).alias("dtotal"),
+    )
+    maintained = (
+        view0.join(deltas, on="o_orderstatus", how="full")
+        .select(
+            "o_orderstatus",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (
+                F.coalesce(F.col("total"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("dtotal"), F.lit(0).cast("decimal(18,2)"))
+            ).cast("double").alias("total"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    return maintained
+
+
+@register(
+    "delta_cdf_insert_delete",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS o_totalprice,
+           'insert' AS _change_type, 1 AS _commit_version
+    FROM orders WHERE o_orderkey % 2 = 1
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS o_totalprice,
+           'delete' AS _change_type, 2 AS _commit_version
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def delta_cdf_insert_delete(spark, sf_dir):
+    """Derived Change Data Feed (sources/delta_py.py table_changes):
+    row-level changes between snapshots computed from the log alone —
+    append commits yield 'insert' rows, merge-on-read DV deletes yield
+    'delete' rows (the NEW deleted-set minus the OLD, executor-side),
+    layout commits yield nothing, and in-place rewrites are refused
+    rather than emitting false changes. The contract an incremental
+    downstream consumer reads."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        delete_delta,
+        table_changes,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(_SCRATCH, f"delta_cdf_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 0), path, mode="overwrite")  # v0
+    write_delta(o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append")     # v1
+    delete_delta(spark, path, "o_orderkey % 7 = 0", mode="dv")                   # v2
+    ch = table_changes(spark, path, 1, 2)
+    return ch.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        "_change_type",
+        "_commit_version",
+    )
+
+
+@register(
+    "iceberg_snapshot_read",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def iceberg_snapshot_read(spark, sf_dir):
+    """Iceberg-spec table (pure-Python metadata: version-hint →
+    metadata.json → Avro manifest list → Avro manifests → native
+    parquet scan; sources/iceberg_py.py — no iceberg jar or pyiceberg
+    in this env). Two commits (overwrite evens, append odds) make two
+    snapshots; the current-snapshot read must see exactly the union —
+    snapshot isolation via immutable metadata, oracle-checked against
+    the plain table."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import read_iceberg, write_iceberg
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(_SCRATCH, f"ice_orders_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(o.filter(F.col("o_orderkey") % 2 == 0), path, mode="overwrite")
+    write_iceberg(o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append")
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+
+
+@register(
+    "iceberg_pruned_scan",
+    oracle="""
+    SELECT count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def iceberg_pruned_scan(spark, sf_dir):
+    """Iceberg's core scale property: the manifest walk prunes data
+    files from partition values BEFORE any file is listed or opened —
+    on a 100 TB table the scan list shrinks at metadata cost, not IO
+    cost. Table is identity-partitioned by o_orderstatus; the eq
+    predicate must leave only that partition's files (asserted), and
+    the result equals the plain filtered aggregate."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import (
+        plan_files,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(_SCRATCH, f"ice_part_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(o, path, mode="overwrite", partition_by="o_orderstatus")
+    pruned = plan_files(path, eq={"o_orderstatus": "F"})
+    assert pruned and len(pruned) < len(plan_files(path))
+    back = read_iceberg(spark, path, eq={"o_orderstatus": "F"})
+    return back.agg(
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+
+
+@register(
+    "profile_orders_columns",
+    oracle=R.profile_columns_oracle_sql(
+        "orders", ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    ),
+)
+def profile_orders_columns(spark, sf_dir):
+    """One-pass column profiling (operators/relational.py
+    profile_columns): row/null/exact-distinct counts + string min/max
+    per column via a stack() unpivot and one aggregate — the QA step a
+    training-data pipeline runs before trusting a new snapshot."""
+    o = load_table(spark, "orders", sf_dir)
+    return R.profile_columns(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    )
+
+
+@register(
+    "repeated_ngram_spans_docs",
+    oracle=D.repeated_ngram_spans_oracle_sql("documents", "text", "doc_id", 8, 2),
+)
+def repeated_ngram_spans_docs(spark, sf_dir):
+    """Substring-level dedup (operators/dedup.py repeated_ngram_spans):
+    maximal token spans whose every 8-token window repeats >= 2 times
+    corpus-wide — the relational formulation of suffix-array substring
+    dedup. Feeds span-removal / doc-filtering stages in a training-data
+    pipeline; exact (not probabilistic), zero UDFs."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.repeated_ngram_spans(docs, "text", "doc_id", n=8, min_dups=2)
+
+
+@register("pq_ann_topk_rerank")  # rows-only: approximate by design
+def pq_ann_topk_rerank(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py, public
+    Jégou et al. 2011): 64-dim embeddings compress to 8 one-byte codes
+    (32x memory cut — the difference between an in-RAM and an on-disk
+    corpus index at 100 TB), queries score codes via per-query lookup
+    tables (asymmetric distance), and an exact distributed re-rank
+    orders the kk*10 shortlist — codes prune ~99% of the corpus,
+    exact math touches only the shortlist. Approximate by design;
+    recall vs exact search asserted in tests (like IVF)."""
+    from python_plugins_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = pq_train_codebooks(emb, "embedding", dim=64, m=8, k=16)
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    queries = emb.orderBy("vec_id").limit(20)
+    return pq_topk(
+        codes, queries, "vec_id", "embedding", books, kk=10,
+        rerank_vectors=emb,
+    )
+
+
+@register("bpe_train_merges_docs")  # rows-only: iterative argmax loop
+def bpe_train_merges_docs(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/tokenizer.py,
+    public Sennrich et al. 2016 algorithm): ONE corpus pass builds the
+    weighted distinct-word table; 12 merge rounds then run tiny
+    aggregate+rewrite jobs over that vocabulary-sized table — N merges
+    never rescan the corpus, which is what makes tokenizer training
+    feasible at 100 TB. Deterministic (count desc, pair asc
+    tie-break); verified against a pure-Python reference
+    implementation in tests (no SQL oracle: an iterative argmax is not
+    one DuckDB query — rows-only entry like IVF ANN)."""
+    docs = load_table(spark, "documents", sf_dir)
+    from python_plugins_spark.operators.tokenizer import bpe_train
+
+    _merges, mdf = bpe_train(docs, "text", 12)
+    return mdf
+
+
+@register(
+    "gopher_quality_rules_docs",
+    oracle=TX.gopher_rules_oracle_sql("documents", "text", "doc_id"),
+)
+def gopher_quality_rules_docs(spark, sf_dir):
+    """Gopher quality-filter verdicts (operators/text.py gopher_rules;
+    public Rae et al. 2021 Table A1 constants): per-document booleans
+    for word count, mean word length, symbol ratio, bullet/ellipsis
+    line fractions, alphabetic-word fraction, and the stopword
+    requirement, plus the conjunction — the standard pre-training
+    corpus gate, as a pure projection pass."""
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.gopher_rules(docs, "text", "doc_id")
+
+
+@register(
+    "mask_repeated_spans_docs",
+    oracle=D.mask_repeated_spans_oracle_sql("documents", "text", "doc_id", 8, 2),
+)
+def mask_repeated_spans_docs(spark, sf_dir):
+    """Boilerplate removal: re-emit each doc with every repeated >=
+    8-token span removed (all occurrences — the span-level analogue of
+    C4 sentence dedup), plus removed-token accounting for the
+    pipeline's yield report. Consumes repeated_ngram_spans; the
+    reassembly preserves original token order."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.mask_repeated_spans(docs, "text", "doc_id", n=8, min_dups=2)
+
+
+@register(
+    "iceberg_positional_delete_read",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE NOT (o_orderkey % 10 < 2) AND NOT (o_custkey % 9 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_positional_delete_read(spark, sf_dir):
+    """Iceberg v2 merge-on-read DELETE (sources/iceberg_py.py
+    delete_iceberg): two successive deletes commit position-delete
+    parquet files (content=1 manifest entries) — no data file is
+    rewritten — and the snapshot read anti-joins (file, pos) against
+    ``_metadata.row_index``. Both sides of the anti-join are native
+    vectorized parquet scans; the Iceberg twin of the Delta
+    deletion-vector query."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import (
+        delete_iceberg,
+        plan_files,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(_SCRATCH, f"ice_del_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(o.repartition(5), path, mode="overwrite")
+    before = sorted(f["path"] for f in plan_files(path))
+    delete_iceberg(spark, path, "o_orderkey % 10 < 2")
+    delete_iceberg(spark, path, "o_custkey % 9 = 0")
+    after = sorted(f["path"] for f in plan_files(path))
+    assert after == before, "position deletes must not rewrite data files"
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+
+
+@register(
+    "iceberg_equality_delete_read",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderpriority <> '1-URGENT' AND NOT (o_orderkey % 10 < 2)
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_equality_delete_read(spark, sf_dir):
+    """Iceberg v2 EQUALITY deletes (content=2) composed with position
+    deletes: the equality commit deletes every '1-URGENT' row by VALUE
+    with no table scan at delete time (the CDC-upsert shape — a delete
+    is one small parquet write + a metadata commit, whatever the table
+    size), then a positional delete stacks on top. The read applies
+    both merge-on-read layers: an equi-join on the equality columns
+    (scoped to data files from earlier snapshots, per the spec's
+    sequence-number rule) and the (file, pos) anti-join."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import (
+        delete_iceberg,
+        equality_delete_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    path = os.path.join(_SCRATCH, f"ice_eqdel_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(o.repartition(4), path, mode="overwrite")
+    keys = spark.createDataFrame([("1-URGENT",)], ["o_orderpriority"])
+    equality_delete_iceberg(spark, path, keys)
+    delete_iceberg(spark, path, "o_orderkey % 10 < 2")
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+
+
+@register(
+    "iceberg_upsert_read",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 4 IN (1, 2) THEN -1.0
+                ELSE round(o_totalprice, 4) END AS o_totalprice
+    FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+    """,
+)
+def iceberg_upsert_read(spark, sf_dir):
+    """One-commit Iceberg UPSERT (upsert_iceberg — the Flink-CDC
+    shape): a single snapshot carries the equality delete on the merge
+    keys AND the fresh rows; sequence scoping erases only the OLD
+    versions. No table scan at write time — upsert cost is O(source)
+    at any table size. Target holds %4 in (0,1); source replaces %4=1
+    with sentinel values and inserts %4=2."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import (
+        read_iceberg,
+        upsert_iceberg,
+        write_iceberg,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    path = os.path.join(_SCRATCH, f"ice_ups_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(o.filter(F.col("o_orderkey") % 4 < 2), path, mode="overwrite")
+    src = (
+        o.filter((F.col("o_orderkey") % 4).isin(1, 2))
+        .withColumn("o_totalprice", F.lit(-1.0))
+    )
+    upsert_iceberg(spark, path, src, on=["o_orderkey"])
+    back = read_iceberg(spark, path)
+    return back.select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )
+
+
+@register(
+    "iceberg_cdf_insert_delete",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, 'insert' AS _change_type,
+           2 AS _commit_snapshot
+    FROM orders WHERE o_orderkey % 2 = 1
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority, 'delete' AS _change_type,
+           3 AS _commit_snapshot
+    FROM orders WHERE o_orderkey % 11 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority, 'delete' AS _change_type,
+           4 AS _commit_snapshot
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def iceberg_cdf_insert_delete(spark, sf_dir):
+    """Derived CDC on the Iceberg layer (table_changes_iceberg — the
+    format twin of the Delta change feed): the append snapshot yields
+    'insert' rows; the position-delete snapshot yields exactly its
+    newly deleted rows; the equality-delete snapshot yields every
+    earlier-file row matching the delete keys. Each stamped with its
+    snapshot id — the incremental-consumer contract, format two."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import (
+        delete_iceberg,
+        equality_delete_iceberg,
+        table_changes_iceberg,
+        write_iceberg,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    path = os.path.join(_SCRATCH, f"ice_cdf_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(o.filter(F.col("o_orderkey") % 2 == 0), path, mode="overwrite")  # s1
+    write_iceberg(o.filter(F.col("o_orderkey") % 2 == 1), path, mode="append")     # s2
+    delete_iceberg(spark, path, "o_orderkey % 11 = 0")                             # s3
+    equality_delete_iceberg(
+        spark, path, spark.createDataFrame([("1-URGENT",)], ["o_orderpriority"])
+    )                                                                              # s4
+    return table_changes_iceberg(spark, path, 2, 4)
+
+
+@register(
+    "embedding_lsh_neardup",
+    oracle=S.lsh_bucketed_neardup_oracle_sql(
+        "embeddings", "vec_id", "embedding", 0.3, 8, 64
+    ),
+)
+def embedding_lsh_neardup(spark, sf_dir):
+    """The embedding near-dup SCALE path: LSH-bucket candidates (one
+    equi-join) + exact cosine verification — versus the O(n^2)
+    cosine_pairs baseline. Verified against a plane-literal SQL oracle
+    end to end."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.lsh_bucketed_neardup(emb, "vec_id", "embedding", 0.3, n_planes=8, dim=64)
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue, count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + conjunctive pushed filters + global
+    agg — zero shuffles beyond the single-partition final sum."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "argmax_minmax_by",
+    oracle="""
+    SELECT l_returnflag,
+           max(struct_pack(p := l_extendedprice, k := l_orderkey)).k AS priciest_order,
+           min(struct_pack(p := l_extendedprice, k := l_orderkey)).k AS cheapest_order,
+           round(max(l_extendedprice), 4) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def argmax_minmax_by(spark, sf_dir):
+    """argmax/argmin aggregates. Bare max_by/min_by resolve ties
+    arbitrarily (engine-dependent); the lexicographic struct-max makes
+    the survivor deterministic on both engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.max(F.struct("l_extendedprice", "l_orderkey"))["l_orderkey"].alias("priciest_order"),
+        F.min(F.struct("l_extendedprice", "l_orderkey"))["l_orderkey"].alias("cheapest_order"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+    )
+
+
+@register(
+    "set_ops_bag_semantics",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT ALL
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def set_ops_bag_semantics(spark, sf_dir):
+    """INTERSECT ALL (bag semantics — duplicates preserved by
+    multiplicity), the variant dropDuplicates-style set ops can't
+    express."""
+    c = load_table(spark, "customer", sf_dir)
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_nationkey")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    return R.intersect(rich, building, all=True)
+
+
+@register(
+    "udtf_tokenize",
+    oracle="""
+    SELECT doc_id, u.p AS pos, u.t AS token
+    FROM (
+      SELECT doc_id,
+             unnest([{'p': i - 1, 't': tk[i]} for i in range(1, len(tk) + 1)]) AS u
+      FROM (SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS tk
+            FROM documents WHERE doc_id < 50)
+    )
+    """,
+)
+def udtf_tokenize(spark, sf_dir):
+    """A real Python UDTF (table function, Spark 3.5+): one input row
+    -> N (pos, token) rows — the 1->N surface as a catalog-registered
+    function rather than the transform operator."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, token string")
+    class Tokenize:
+        def eval(self, doc_id, text: str):
+            for i, tok in enumerate(text.strip().lower().split()):
+                yield doc_id, i, tok
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 50)
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    docs.createOrReplaceTempView("_udtf_docs")
+    out = spark.sql(
+        "SELECT t.doc_id, t.pos, t.token FROM _udtf_docs d, "
+        "LATERAL tokenize_udtf(d.doc_id, d.text) t"
+    )
+    return out.select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+# =====================================================================

@@ -1,0 +1,1146 @@
+"""Operator-suite registrations: BM25/SemDeDup/RRF retrieval, record linkage, format conversion, ML-prep, streaming online dedup, persisted ANN index, tokenizer, wrangler, pipeline runner, recursive CTEs, temperature mixtures.
+
+Split from the former queries.py; see _core for the registry and conventions."""
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401 — resolves postponed type hints in pandas UDFs
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from python_plugins_spark.functions import oracle_fragments as OF  # noqa: F401
+from python_plugins_spark.operators import dedup as D  # noqa: F401
+from python_plugins_spark.operators import multimodal as MM  # noqa: F401
+from python_plugins_spark.operators import relational as R  # noqa: F401
+from python_plugins_spark.operators import similarity as S  # noqa: F401
+from python_plugins_spark.operators import text as TX  # noqa: F401
+from python_plugins_spark.operators.asof import asof_join  # noqa: F401
+from python_plugins_spark.operators.transform import python_transform  # noqa: F401
+from python_plugins_spark.sources.io import load_table  # noqa: F401
+
+from python_plugins_spark.queries._core import (  # noqa: F401
+    ORACLES, QUERIES, register, _global_index_part, _ts, _STRF,
+)
+
+from python_plugins_spark.queries.sources_sinks import _SCRATCH  # noqa: F401
+
+
+# Retrieval suite (operators/retrieval.py): BM25, SemDeDup, RRF hybrid
+# =====================================================================
+
+def _install_retrieval_queries():
+    from python_plugins_spark.operators import retrieval as RV
+
+    @register(
+        "bm25_topk_docs",
+        oracle=RV.bm25_topk_oracle_sql("documents", "text", "doc_id"),
+    )
+    def bm25_topk_docs(spark, sf_dir):
+        """Okapi BM25 top-10 docs for the corpus's 5 highest-df terms —
+        the lexical-retrieval workhorse as pure relational algebra (one
+        tokenization pass -> tf/dl/df aggregates; broadcast query-term
+        and corpus-stats relations; per-term ranking window). See
+        operators/retrieval.py for the 100 TB argument."""
+        docs = load_table(spark, "documents", sf_dir)
+        return RV.bm25_topk(docs, "text", "doc_id")
+
+    @register(
+        "semantic_dedup_embeddings",
+        oracle=RV.semantic_dedup_oracle_sql(
+            "embeddings", "vec_id", "embedding", threshold=0.35, dim=64
+        ),
+    )
+    def semantic_dedup_embeddings(spark, sf_dir):
+        """SemDeDup-style semantic dedup: LSH-cluster embeddings, drop
+        any vector with an earlier intra-cluster neighbor at cosine >=
+        the threshold, keep the rest. Candidates come from a bucket
+        equi-join (never crossJoin); decision is one aggregated
+        anti-join. The synthetic embeddings have no true near-dups
+        (max pairwise cosine ~0.51), so the threshold is 0.35 — low
+        enough that the DROP path is actually exercised by the gate
+        (9 drops at sf0.01), not vacuously green."""
+        emb = load_table(spark, "embeddings", sf_dir)
+        return RV.semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.35, dim=64
+        )
+
+    @register(
+        "hybrid_rrf_retrieval",
+        oracle=RV.rrf_hybrid_oracle_sql(
+            "documents", "embeddings", "doc_id", "text", "vec_id",
+            "embedding", anchor_id=0,
+        ),
+    )
+    def hybrid_rrf_retrieval(spark, sf_dir):
+        """Reciprocal-rank-fusion hybrid retrieval for "documents like
+        doc 0": lexical top-50 (token overlap with the anchor) fused
+        with semantic top-50 (cosine to the anchor embedding) at
+        1/(60+rank) each. Both lists are TakeOrdered limits, so no
+        corpus-wide single-partition window exists in the plan."""
+        docs = load_table(spark, "documents", sf_dir)
+        emb = load_table(spark, "embeddings", sf_dir)
+        return RV.rrf_hybrid(
+            docs, emb, "doc_id", "text", "vec_id", "embedding", anchor_id=0
+        )
+
+
+_install_retrieval_queries()
+
+
+# =====================================================================
+# Record linkage (operators/linkage.py): blocking + fuzzy verification
+# =====================================================================
+
+def _install_linkage_queries():
+    from python_plugins_spark.operators import linkage as LK
+
+    # Blocking design (the scale decision): customer names are a fixed
+    # 9-digit zero-padded key behind a constant prefix. Splitting the
+    # digits into thirds gives PIGEONHOLE-COMPLETE blocking for edit
+    # distance <= 1: one edit damages at most one third, so two thirds
+    # still match exactly — three passes, each an equi-join on
+    # (nation, third_i, third_j), each block a handful of rows. The
+    # first draft blocked on the 5-value market segment and produced
+    # ~22M candidate pairs at sf0.1 (70 s of Levenshtein); this shape
+    # produces thousands. Same recall guarantee, 3 orders cheaper.
+    _AUG = (
+        "(SELECT *, substr(c_name, 10, 3) AS nd1, substr(c_name, 13, 3) AS nd2, "
+        "substr(c_name, 16, 3) AS nd3 FROM customer)"
+    )
+    _BLOCKS = [
+        ["c_nationkey", "nd1", "nd2"],
+        ["c_nationkey", "nd1", "nd3"],
+        ["c_nationkey", "nd2", "nd3"],
+    ]
+
+    def _augmented(spark, sf_dir):
+        c = load_table(spark, "customer", sf_dir)
+        return c.withColumns(
+            {
+                "nd1": F.substring("c_name", 10, 3),
+                "nd2": F.substring("c_name", 13, 3),
+                "nd3": F.substring("c_name", 16, 3),
+            }
+        )
+
+    @register(
+        "fuzzy_match_customers",
+        oracle=LK.fuzzy_pairs_oracle_sql(
+            _AUG, "c_custkey", "c_name", _BLOCKS, max_dist=1
+        ),
+    )
+    def fuzzy_match_customers(spark, sf_dir):
+        """Entity-resolution candidate pairs: three pigeonhole blocking
+        passes (nation + two of three name-digit thirds) union-deduped,
+        then Levenshtein<=1 verification on candidates only — complete
+        recall for same-nation single-edit matches with block sizes in
+        the single digits (never an unblocked O(N^2) product)."""
+        return LK.fuzzy_pairs(
+            _augmented(spark, sf_dir), "c_custkey", "c_name", _BLOCKS, max_dist=1
+        )
+
+    @register(
+        "entity_ids_customers",
+        oracle=f"""
+        WITH pairs AS ({LK.fuzzy_pairs_oracle_sql(
+            _AUG, "c_custkey", "c_name", _BLOCKS, max_dist=1)}),
+        best AS (SELECT id_b AS id, min(id_a) AS entity_id FROM pairs GROUP BY 1)
+        SELECT c.c_custkey, coalesce(b.entity_id, c.c_custkey) AS entity_id
+        FROM customer c LEFT JOIN best b ON c.c_custkey = b.id
+        """,
+    )
+    def entity_ids_customers(spark, sf_dir):
+        """Greedy one-hop canonicalization of the verified match pairs:
+        each record adopts the smallest id it fuzzy-matches (full
+        transitive closure is the neardup_clusters operator)."""
+        c = _augmented(spark, sf_dir)
+        pairs = LK.fuzzy_pairs(c, "c_custkey", "c_name", _BLOCKS, max_dist=1)
+        return LK.resolve_entities(pairs, c, "c_custkey")
+
+
+_install_linkage_queries()
+
+
+# =====================================================================
+# Format conversion (sources/convert.py): Iceberg <-> Delta, zero-copy
+# =====================================================================
+
+def _install_convert_queries():
+    @register(
+        "convert_iceberg_to_delta_read",
+        oracle="""
+        SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_orderstatus
+        """,
+    )
+    def convert_iceberg_to_delta_read(spark, sf_dir):
+        """Zero-copy format migration: an Iceberg snapshot republished
+        as Delta version 0 (hard-linked data files + one metadata
+        commit — the public CONVERT TO DELTA shape), then read through
+        the Delta layer and checked against the plain table."""
+        import os
+        import shutil
+
+        from python_plugins_spark.sources.convert import convert_iceberg_to_delta
+        from python_plugins_spark.sources.delta_py import read_delta
+        from python_plugins_spark.sources.iceberg_py import write_iceberg
+
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        ice = os.path.join(_SCRATCH, f"cvq_ice_{tag}")
+        dlt = os.path.join(_SCRATCH, f"cvq_delta_{tag}")
+        shutil.rmtree(ice, ignore_errors=True)
+        shutil.rmtree(dlt, ignore_errors=True)
+        write_iceberg(o, ice, mode="overwrite")
+        convert_iceberg_to_delta(ice, dlt)
+        back = read_delta(spark, dlt)
+        return back.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
+        )
+
+    @register(
+        "convert_delta_to_iceberg_read",
+        oracle="""
+        SELECT o_orderpriority, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+        FROM orders GROUP BY o_orderpriority
+        """,
+    )
+    def convert_delta_to_iceberg_read(spark, sf_dir):
+        """The reverse migration (Iceberg's snapshot/migrate shape):
+        a Delta snapshot republished as Iceberg v1 metadata over
+        hard-linked files, read through the Iceberg layer."""
+        import os
+        import shutil
+
+        from python_plugins_spark.sources.convert import convert_delta_to_iceberg
+        from python_plugins_spark.sources.delta_py import write_delta
+        from python_plugins_spark.sources.iceberg_py import read_iceberg
+
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        dlt = os.path.join(_SCRATCH, f"cvq_delta_src_{tag}")
+        ice = os.path.join(_SCRATCH, f"cvq_ice_dst_{tag}")
+        shutil.rmtree(dlt, ignore_errors=True)
+        shutil.rmtree(ice, ignore_errors=True)
+        write_delta(o, dlt, mode="overwrite")
+        convert_delta_to_iceberg(dlt, ice)
+        back = read_iceberg(spark, ice)
+        return back.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+
+
+_install_convert_queries()
+
+
+# =====================================================================
+# ML-prep suite: hashing-trick features, target encoding, k-anonymity
+# =====================================================================
+
+@register(
+    "feature_hashing_docs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    )
+    SELECT doc_id, {OF.sql_hash32('term')} % 256 AS bucket, count(*) AS n
+    FROM tok GROUP BY 1, 2
+    """,
+)
+def feature_hashing_docs(spark, sf_dir):
+    """Hashing-trick featurization (public Weinberger et al. 2009):
+    token -> md5-derived bucket in a fixed 256-dim space, counts per
+    (doc, bucket). No vocabulary pass, no driver state — the property
+    that makes the trick THE featurizer at corpus scale (a dictionary
+    encoder needs a global vocab build + broadcast; this is one
+    map-side-combined aggregate)."""
+    from python_plugins_spark.functions import hash32, tokens as _tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    return tok.select(
+        "doc_id", (hash32(F.col("term")) % 256).alias("bucket")
+    ).groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
+
+
+@register(
+    "target_encoding_priority",
+    oracle="""
+    WITH g AS (SELECT avg(o_totalprice) AS gm FROM orders)
+    SELECT o_orderpriority, count(*) AS n,
+           round((sum(o_totalprice) + 10.0 * g.gm) / (count(*) + 10.0), 4) AS encoded
+    FROM orders CROSS JOIN g
+    GROUP BY o_orderpriority, g.gm
+    """,
+)
+def target_encoding_priority(spark, sf_dir):
+    """Smoothed target (mean) encoding — the categorical-feature
+    workhorse: encoded = (sum_y + m*global_mean)/(n + m), m=10. The
+    global mean arrives as a broadcast one-row relation, so the whole
+    encoding is one hash aggregate + a map-side join; the category
+    table it produces is broadcastable back onto the fact table."""
+    o = load_table(spark, "orders", sf_dir)
+    gm = o.agg(F.avg("o_totalprice").alias("gm"))
+    return (
+        o.crossJoin(F.broadcast(gm))
+        .groupBy("o_orderpriority", "gm")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                (F.sum("o_totalprice") + 10.0 * F.first("gm")) / (F.count("*") + 10.0),
+                4,
+            ).alias("encoded"),
+        )
+        .select("o_orderpriority", "n", "encoded")
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+             count(*) AS class_size
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT class_size, count(*) AS n_classes,
+           sum(class_size) AS n_records
+    FROM classes GROUP BY class_size
+    """,
+)
+def k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers (nation, segment,
+    account-balance bucket): the histogram of equivalence-class sizes.
+    Rows in classes of size < k are re-identification risks a privacy
+    review gates on before a dataset release; the audit is two hash
+    aggregates, no joins."""
+    c = load_table(spark, "customer", sf_dir)
+    classes = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count("*").alias("class_size"))
+    )
+    return classes.groupBy("class_size").agg(
+        F.count("*").alias("n_classes"),
+        F.sum("class_size").alias("n_records"),
+    )
+
+
+# =====================================================================
+# Streaming online dedup: state across micro-batches in a Delta table
+# =====================================================================
+
+@register(
+    "streaming_online_dedup",
+    oracle=D.dedup_exact_oracle_sql(
+        "documents", ["text"], "doc_id", "doc_id, lang, source"
+    ),
+)
+def streaming_online_dedup(spark, sf_dir):
+    """Online corpus dedup — the streaming form of the ingest-time
+    dedup every training-data pipeline runs: documents arrive in
+    micro-batches, each batch is deduped within itself (min doc_id per
+    content fingerprint) AND against the fingerprints of everything
+    already accepted, and survivors append atomically to a Delta
+    table that doubles as the dedup state. Batches are arrival-ordered
+    (file mtimes), and waves are id-ranged so first-arrival == min-id,
+    making the online result equal to the batch oracle. At scale the
+    anti-join runs fingerprint-vs-fingerprint (two narrow columns) and
+    the state table is just the survivor set — no extra state store.
+    (Cross-batch removal on data with REAL cross-wave duplicates is
+    exercised by tests/test_streaming.py::test_online_dedup_cross_batch.)"""
+    import os
+
+    from python_plugins_spark.streaming.ops import online_exact_dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return online_exact_dedup(
+        spark, docs, "doc_id", "text", ["doc_id", "lang", "source"],
+        os.path.join(_SCRATCH, f"online_dedup_{tag}"),
+    )
+
+
+# =====================================================================
+# Persisted ANN index: build once into Delta, search many
+# =====================================================================
+
+@register(
+    "ann_lsh_index_persisted",
+    oracle=S.lsh_index_search_oracle_sql(
+        "embeddings", "vec_id", "embedding", k=3, n_planes=8, dim=64
+    ),
+)
+def ann_lsh_index_persisted(spark, sf_dir):
+    """Build-once/search-many ANN: the (id, bucket, vector) LSH index
+    is persisted as a Delta table, then every embedding queries it —
+    bucket equi-join candidates, exact cosine re-rank, top-3. The
+    search never touches the raw corpus; rebuilds are index-table
+    overwrites (ACID swap). Deterministic planes make it oracle-
+    checkable, unlike IVF."""
+    import os
+    import shutil
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = os.path.join(_SCRATCH, f"lsh_index_{tag}")
+    shutil.rmtree(idx, ignore_errors=True)
+    S.build_lsh_index(emb, idx, "vec_id", "embedding", n_planes=8, dim=64)
+    return S.search_lsh_index(
+        spark, idx, emb, "vec_id", "embedding", k=3, n_planes=8, dim=64
+    )
+
+
+
+@register(
+    "delta_check_constraint_gate",
+    oracle="""
+    SELECT count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_totalprice > 0
+    """,
+)
+def delta_check_constraint_gate(spark, sf_dir):
+    """Delta CHECK constraints (protocol 'delta.constraints.*' keys):
+    ALTER ADD verifies existing rows with one aggregate; every later
+    write enforces the predicate via an observation riding the staging
+    write (zero extra passes), rejecting violating batches atomically.
+    Here a violating append bounces off the gate and the table's
+    contents provably still satisfy the constraint."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.delta_py import (
+        DeltaConstraintViolationError, add_check_constraint, read_delta,
+        write_delta,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    p = os.path.join(_SCRATCH, f"ck_gate_{tag}")
+    shutil.rmtree(p, ignore_errors=True)
+    write_delta(o.filter(F.col("o_totalprice") > 0), p, mode="overwrite")
+    add_check_constraint(spark, p, "price_pos", "o_totalprice > 0")
+    try:
+        write_delta(
+            o.limit(100).select("o_orderkey", (-F.col("o_totalprice")).alias("o_totalprice")),
+            p, mode="append",
+        )
+        raise AssertionError("constraint gate did not fire")
+    except DeltaConstraintViolationError:
+        pass
+    back = read_delta(spark, p)
+    return back.agg(
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+
+
+@register(
+    "recursive_cte_amortization",
+    oracle="""
+    WITH RECURSIVE am(o_orderkey, p, bal_u, pay_u) AS (
+      SELECT o_orderkey, 0,
+             CAST(round(o_totalprice * 1000000, 0) AS BIGINT),
+             (CAST(round(o_totalprice * 1000000, 0) AS BIGINT) * 53 + 600) // 1200
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT o_orderkey, p + 1, (bal_u * 1005 + 500) // 1000 - pay_u, pay_u
+      FROM am WHERE p < 24 AND bal_u > 0
+    )
+    SELECT o_orderkey, max(p) AS periods,
+           round(min(bal_u) / 1000000.0, 6) AS final_bal
+    FROM am GROUP BY o_orderkey
+    """,
+)
+def recursive_cte_amortization(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4 recursive CTEs): a 24-period
+    amortization schedule — per-row state recurrence (balance
+    compounds 0.5%/period, fixed payment subtracts, stop on payoff)
+    that plain relational algebra cannot express without loop
+    unrolling. Linear recursion: each step maps the previous step's
+    rows 1:1, so depth bounds the work (rows x 25, no path explosion;
+    Spark's UNION ALL recursion is safe here). The recurrence runs in
+    exact integer micro-units (half-up via (n*1005+500) div 1000), so
+    there is no per-step float rounding to diverge between engines —
+    the float-tie lesson from the first draft of this query. The
+    balance strictly decreases, so min(bal) is the final balance."""
+    o = load_table(spark, "orders", sf_dir)
+    view = "orders_rcte_v"
+    o.createOrReplaceTempView(view)
+    return spark.sql(f"""
+      WITH RECURSIVE am(o_orderkey, p, bal_u, pay_u) AS (
+        SELECT o_orderkey, 0,
+               CAST(round(o_totalprice * 1000000, 0) AS BIGINT),
+               (CAST(round(o_totalprice * 1000000, 0) AS BIGINT) * 53 + 600) DIV 1200
+        FROM {view} WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT o_orderkey, p + 1, (bal_u * 1005 + 500) DIV 1000 - pay_u, pay_u
+        FROM am WHERE p < 24 AND bal_u > 0
+      )
+      SELECT o_orderkey, max(p) AS periods,
+             round(min(bal_u) / CAST(1000000 AS DOUBLE), 6) AS final_bal
+      FROM am GROUP BY o_orderkey
+    """)
+
+
+@register(
+    "wrangler_recipe_customers",
+    oracle="""
+    SELECT c_custkey AS cust_id, upper(c_mktsegment) AS segment,
+           concat(substr(c_name, 1, length(c_name) - 4), '****') AS c_name,
+           CAST(trunc(c_acctbal) AS BIGINT) AS bal_int,
+           CASE WHEN c_acctbal >= 5000 THEN 'high' ELSE 'normal' END AS tier
+    FROM customer WHERE c_nationkey < 10
+    """,
+)
+def wrangler_recipe_customers(spark, sf_dir):
+    """Directive-recipe data prep (operators/wrangler.py): six steps —
+    filter, rename, uppercase, mask-last-n, set-type, set-column —
+    compile into ONE Catalyst plan (no UDFs, no per-step
+    materialization), so pushdown/pruning/codegen see through the
+    whole recipe. The deploy-time-validation stance matches the
+    transform operator: an unknown directive fails at compile."""
+    from python_plugins_spark.operators.wrangler import wrangle
+
+    c = load_table(spark, "customer", sf_dir)
+    recipe = """
+    # analyst-style prep recipe
+    filter-rows-on "c_nationkey < 10"
+    rename c_custkey cust_id
+    uppercase c_mktsegment
+    mask-last-n c_name 4
+    set-column bal_int "CAST(c_acctbal AS BIGINT)"
+    set-column tier "CASE WHEN c_acctbal >= 5000 THEN 'high' ELSE 'normal' END"
+    keep cust_id c_mktsegment c_name bal_int tier
+    rename c_mktsegment segment
+    """
+    return wrangle(c, recipe)
+
+
+@register(
+    "stream_stream_left_outer_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id AS p_user,
+           c.event_id AS click_id
+    FROM events p
+    LEFT JOIN events c
+      ON c.event_type = 'click' AND c.user_id = p.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_stream_left_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER join — the watermark-emission case the
+    inner join never exercises: a purchase with no click in the
+    preceding 10 min must still emit (with nulls), which Spark only
+    does once the GLOBAL watermark passes the row's join window. A
+    sentinel second micro-batch (one far-future row per side, filtered
+    back out) advances both sides' watermarks so every unmatched row
+    flushes; without it the one-batch drain would silently degrade to
+    an inner join. State stays bounded by the same watermark that
+    gates emission."""
+    import os
+    import shutil
+    import time as _time
+    import uuid
+
+    from python_plugins_spark.sources.io import ensure_session_confs
+    from python_plugins_spark.streaming import run_to_memory_sink
+
+    ensure_session_confs(spark)
+    ev = load_table(spark, "events", sf_dir)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    waves = os.path.join(_SCRATCH, f"ssoj_waves_{tag}")
+    shutil.rmtree(waves, ignore_errors=True)
+    os.makedirs(waves)
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    base = ev.select(*cols)
+    tmp = os.path.join(_SCRATCH, f"ssoj_tmp_{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    base.coalesce(1).write.mode("overwrite").parquet(tmp)
+    now = _time.time()
+    i = 0
+    for f in sorted(os.listdir(tmp)):
+        if f.endswith(".parquet"):
+            dst = os.path.join(waves, f"wave0_{i}.parquet")
+            os.replace(os.path.join(tmp, f), dst)
+            os.utime(dst, (now, now))
+            i += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    # sentinel wave: one far-future row per side, ids < 0, so both
+    # streams' watermarks advance past every real join window
+    import datetime as _dt
+
+    far = max_ts + _dt.timedelta(hours=2)
+    sent = spark.createDataFrame(
+        [(-1, far, -1, "purchase", 0.0, "{}"), (-2, far, -2, "click", 0.0, "{}")],
+        base.schema,
+    )
+    sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    dst = os.path.join(waves, "wave1.parquet")
+    os.replace(os.path.join(tmp, part), dst)
+    os.utime(dst, (now + 20, now + 20))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def stream():
+        return (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(waves)
+        )
+
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select("purchase_id", "p_user", "click_id")
+    name = f"ssoj_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory_sink(joined, name, output_mode="append", state_partitions=4)
+    return out.filter(F.col("p_user") >= 0)
+
+
+@register(
+    "iceberg_stream_source_read",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def iceberg_stream_source_read(spark, sf_dir):
+    """Iceberg table as a STREAMING SOURCE (sources/iceberg_stream.py
+    — format twin of the Delta streaming source): offsets are snapshot
+    ids, micro-batch planning opens each snapshot's own immutable
+    metadata and keeps only manifests added by that snapshot, and each
+    added data file becomes one executor-side pyarrow task. Two append
+    snapshots land first; the drained memory-sink table must equal the
+    batch aggregate."""
+    import os
+    import shutil
+    import uuid
+
+    from python_plugins_spark.sources import iceberg_stream
+    from python_plugins_spark.sources.iceberg_py import write_iceberg
+    from python_plugins_spark.sources.io import ensure_session_confs
+
+    ensure_session_confs(spark)
+    iceberg_stream.register(spark)
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        _SCRATCH, f"istream_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    write_iceberg(o.filter(F.col("o_orderkey") % 2 == 0), table, mode="overwrite")
+    write_iceberg(o.filter(F.col("o_orderkey") % 2 == 1), table, mode="append")
+
+    stream = (
+        spark.readStream.format("iceberg_py_stream").option("path", table).load()
+    )
+    name = f"istream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.table(name)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
+    )
+
+
+@register(
+    "iceberg_stream_cdc_read",
+    oracle="""
+    SELECT 'insert' AS _change_type, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    UNION ALL
+    SELECT 'delete', count(*), CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def iceberg_stream_cdc_read(spark, sf_dir):
+    """Streaming CDC over an Iceberg table (iceberg_py_stream with
+    readChangeFeed): the append snapshot streams as 'insert' rows, the
+    position-delete snapshot streams the DELETED ROWS' VALUES as
+    'delete' rows — planned from immutable snapshot metadata, read
+    executor-side. Aggregated by change type against the batch
+    oracle."""
+    import os
+    import shutil
+    import uuid
+
+    from python_plugins_spark.sources import iceberg_stream
+    from python_plugins_spark.sources.iceberg_py import (
+        delete_iceberg, write_iceberg,
+    )
+    from python_plugins_spark.sources.io import ensure_session_confs
+
+    ensure_session_confs(spark)
+    iceberg_stream.register(spark)
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        _SCRATCH, f"icdc_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    write_iceberg(o, table, mode="overwrite")
+    delete_iceberg(spark, table, "o_orderstatus = 'F'")
+
+    stream = (
+        spark.readStream.format("iceberg_py_stream")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    name = f"icdc_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("_change_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "interleaved_multimodal_docs",
+    oracle="""
+    SELECT doc_id, 0 AS seq_no, 'text' AS kind,
+           md5(substr(text, 1, CAST(floor(length(text) / 2) AS INT))) AS payload_ref
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1, 'image', md5('img-' || doc_id) FROM documents
+    UNION ALL
+    SELECT doc_id, 2, 'text',
+           md5(substr(text, CAST(floor(length(text) / 2) AS INT) + 1, length(text)))
+    FROM documents
+    """,
+)
+def interleaved_multimodal_docs(spark, sf_dir):
+    """Interleaved multimodal sequence construction (the MMC4/OBELICS
+    public recipe shape): each document becomes an ordered sequence of
+    typed segments — text chunk, image slot, text chunk — flattened to
+    (doc_id, seq_no, kind, payload_ref) rows so position and type
+    survive the shuffle and the downstream packer can reassemble
+    deterministically. Payloads are content-addressed (md5 refs) — the
+    binary image bytes live in the multimodal suite's BinaryType
+    plumbing; here the JOIN-KEY layer is what's exercised. Pure
+    expressions, one projection per segment kind, no UDFs."""
+    docs = load_table(spark, "documents", sf_dir)
+    half = F.floor(F.length("text") / 2).cast("int")
+    text_col = F.col("text")
+    t0 = docs.select(
+        "doc_id",
+        F.lit(0).cast("int").alias("seq_no"),
+        F.lit("text").alias("kind"),
+        F.md5(text_col.substr(F.lit(1), half)).alias("payload_ref"),
+    )
+    t1 = docs.select(
+        "doc_id",
+        F.lit(1).cast("int").alias("seq_no"),
+        F.lit("image").alias("kind"),
+        F.md5(F.concat(F.lit("img-"), F.col("doc_id").cast("string"))).alias(
+            "payload_ref"
+        ),
+    )
+    t2 = docs.select(
+        "doc_id",
+        F.lit(2).cast("int").alias("seq_no"),
+        F.lit("text").alias("kind"),
+        F.md5(text_col.substr(half + 1, F.length("text"))).alias("payload_ref"),
+    )
+    return t0.unionByName(t1).unionByName(t2)
+
+
+@register(
+    "delta_cdc_stream_partitioned_read",
+    oracle="""
+    SELECT 'insert' AS _change_type, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY 2
+    UNION ALL
+    SELECT 'delete', o_orderpriority, count(*)
+    FROM orders WHERE o_orderkey % 10 = 0 GROUP BY 2
+    """,
+)
+def delta_cdc_stream_partitioned_read(spark, sf_dir):
+    """CDC stream over a hive-PARTITIONED Delta table: inserts and
+    deletion-vector deletes emit with the partition column reattached
+    executor-side (data files omit it per the protocol). Aggregated by
+    change type and partition value against the batch oracle — so the
+    gate checks the reassembled partition values, not just row
+    counts."""
+    import os
+    import shutil
+    import uuid
+
+    from python_plugins_spark.sources import delta_stream
+    from python_plugins_spark.sources.delta_py import delete_delta, write_delta
+    from python_plugins_spark.sources.io import ensure_session_confs
+
+    ensure_session_confs(spark)
+    delta_stream.register(spark)
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table = os.path.join(
+        _SCRATCH, f"cdcp_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    write_delta(o, table, mode="overwrite", partition_by=["o_orderpriority"])
+    delete_delta(spark, table, "o_orderkey % 10 = 0", mode="dv")
+
+    stream = (
+        spark.readStream.format("delta_py_stream")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    name = f"cdcp_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("_change_type", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "pipeline_spec_end_to_end",
+    oracle="""
+    WITH ev AS (
+      SELECT o_orderpriority, o_totalprice * 0.1 AS fee
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(fee AS DECIMAL(18,6))) AS DOUBLE) AS total_fee
+    FROM ev GROUP BY o_orderpriority
+    """,
+)
+def pipeline_spec_end_to_end(spark, sf_dir):
+    """The host-platform surface the reference plugin lived inside: a
+    JSON pipeline document (source -> filter -> PythonEvaluator-shaped
+    transform -> groupBy aggregator -> sink) interpreted by
+    python_plugins_spark.pipeline.run_pipeline. The whole DAG compiles
+    to one Catalyst plan per sink; the python stage uses the
+    reference's exact config keys (script/schema). A reference user's
+    pipeline definition ports by renaming stage types."""
+    import os
+    import shutil
+
+    from python_plugins_spark.pipeline import run_pipeline
+    from python_plugins_spark.sources.delta_py import read_delta
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    sink = os.path.join(_SCRATCH, f"pipe_sink_{tag}")
+    shutil.rmtree(sink, ignore_errors=True)
+    spec = {
+        "stages": [
+            {"name": "orders", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/orders.parquet"}},
+            {"name": "open_only", "type": "transform.filter",
+             "config": {"condition": "o_orderstatus = 'O'"}},
+            {"name": "fee_eval", "type": "transform.python",
+             "config": {
+                 "script": (
+                     "def transform(record, emitter, context):\n"
+                     "    emitter.emit({'o_orderpriority': record['o_orderpriority'],\n"
+                     "                  'fee': record['o_totalprice'] * 0.1})\n"
+                 ),
+                 "schema": "o_orderpriority string, fee double",
+             }},
+            {"name": "by_priority", "type": "batchaggregator.groupby",
+             "config": {
+                 "groupByFields": ["o_orderpriority"],
+                 "aggregates": [
+                     {"name": "n", "function": "count", "field": "*"},
+                     {"name": "fee_dec", "function": "sum", "field": "fee_dec"},
+                 ],
+             }},
+            {"name": "sink", "type": "batchsink.delta",
+             "config": {"path": sink}},
+        ],
+        "connections": [
+            {"from": "orders", "to": "open_only"},
+            {"from": "open_only", "to": "fee_eval"},
+            {"from": "fee_eval", "to": "cast_fee"},
+            {"from": "cast_fee", "to": "by_priority"},
+            {"from": "by_priority", "to": "sink"},
+        ],
+    }
+    # exact-decimal convention for the whole-table-magnitude sum
+    spec["stages"].insert(3, {
+        "name": "cast_fee", "type": "transform.wrangler",
+        "config": {"directives": ['set-column fee_dec "CAST(fee AS DECIMAL(18,6))"']},
+    })
+    run_pipeline(spark, spec)
+    back = read_delta(spark, sink)
+    return back.select(
+        "o_orderpriority", "n", F.col("fee_dec").cast("double").alias("total_fee")
+    )
+
+
+@register(
+    "pipeline_router_ports",
+    oracle="""
+    SELECT 'rich' AS port, count(*) AS n FROM customer WHERE c_acctbal >= 5000
+    UNION ALL
+    SELECT 'debt', count(*) FROM customer WHERE c_acctbal < 0
+    UNION ALL
+    SELECT 'default', count(*) FROM customer
+    WHERE NOT (c_acctbal >= 5000) AND NOT (c_acctbal < 0)
+    """,
+)
+def pipeline_router_ports(spark, sf_dir):
+    """Router stage under the oracle gate: a pipeline document splits
+    customers across named ports (first-match-wins; unmatched ->
+    'default'), and the per-port cardinalities must equal the batch
+    predicates. Ports wire downstream via port-qualified connections
+    ('route.rich'), the multi-output shape the reference's error port
+    pioneered."""
+    from python_plugins_spark.pipeline import run_pipeline
+
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/customer.parquet"}},
+            {"name": "route", "type": "transform.router",
+             "config": {"ports": [
+                 {"port": "rich", "condition": "c_acctbal >= 5000"},
+                 {"port": "debt", "condition": "c_acctbal < 0"},
+             ]}},
+        ],
+        "connections": [{"from": "src", "to": "route"}],
+    })
+    parts = [
+        frames["route.rich"].select(F.lit("rich").alias("port")),
+        frames["route.debt"].select(F.lit("debt").alias("port")),
+        frames["route.default"].select(F.lit("default").alias("port")),
+    ]
+    from functools import reduce
+
+    allp = reduce(lambda a, b: a.unionByName(b), parts)
+    return allp.groupBy("port").agg(F.count("*").alias("n"))
+
+
+@register(
+    "pipeline_streaming_end_to_end",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 5 minutes, ts), '{_STRF}') AS window_start,
+           count(*) AS n,
+           round(sum(value * 2), 4) AS total_doubled
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def pipeline_streaming_end_to_end(spark, sf_dir):
+    """The reference's OTHER deployment surface: the same pipeline
+    document interpreted as a STREAMING pipeline (pom.xml:134-137
+    declares the plugin deployable under cdap-data-streams unchanged).
+    streamingsource.file -> the PythonEvaluator-shaped python stage
+    (filter + computed column, identical config keys) ->
+    streamingaggregator.windowed_groupby -> streamingsink.memory,
+    drained synchronously and verified against the batch oracle — the
+    batch/streaming duality, through the pipeline runner itself."""
+    import uuid
+
+    from python_plugins_spark.pipeline import run_pipeline
+    from python_plugins_spark.sources.io import ensure_session_confs
+
+    ensure_session_confs(spark)
+    qname = f"pipe_stream_{uuid.uuid4().hex[:8]}"
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "streamingsource.file",
+             "config": {"path": f"{sf_dir}/events.parquet"}},
+            {"name": "ev", "type": "transform.python",
+             "config": {
+                 "script": (
+                     "def transform(record, emitter, context):\n"
+                     "    if record['event_type'] == 'purchase':\n"
+                     "        emitter.emit({'ts': record['ts'],\n"
+                     "                      'doubled': record['value'] * 2})\n"
+                 ),
+                 "schema": "ts timestamp, doubled double",
+             }},
+            {"name": "agg", "type": "streamingaggregator.windowed_groupby",
+             "config": {
+                 "eventTime": "ts", "windowDuration": "5 minutes",
+                 "groupByFields": [],
+                 "aggregates": [
+                     {"name": "n", "function": "count", "field": "*"},
+                     {"name": "total", "function": "sum", "field": "doubled"},
+                 ],
+             }},
+            {"name": "sink", "type": "streamingsink.memory",
+             "config": {"queryName": qname, "outputMode": "complete",
+                        "statePartitions": 8}},
+        ],
+        "connections": [
+            {"from": "src", "to": "ev"},
+            {"from": "ev", "to": "agg"},
+            {"from": "agg", "to": "sink"},
+        ],
+    })
+    return frames["sink"].select(
+        _ts(F.col("window_start")).alias("window_start"),
+        "n",
+        F.round("total", 4).alias("total_doubled"),
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             len(str_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+             len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(n_words) AS words, sum(n_tokens) AS tokens,
+           round(sum(n_tokens)::DOUBLE / sum(n_words), 6) AS fertility
+    FROM t GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility (tokens per whitespace word) by language —
+    the vocabulary-fit diagnostic multilingual-corpus builders track
+    (a language with high fertility is under-served by the tokenizer
+    and over-billed in the token budget). BPE-ish regex token count
+    over one projection pass; two map-side-combined aggregates."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "lang",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_words"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+            )
+        ).alias("n_tokens"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("words"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+    )
+
+
+@register(
+    "temperature_sampling_allocation",
+    oracle="""
+    WITH avail AS (
+      SELECT source,
+             sum(len(str_split_regex(lower(trim(text)), '\\s+'))) AS tokens
+      FROM documents GROUP BY source
+    ),
+    scored AS (
+      SELECT source, tokens, pow(tokens, 0.5) AS w FROM avail
+    ),
+    tot AS (SELECT sum(tokens) AS all_tokens, sum(w) AS all_w FROM scored)
+    SELECT s.source, s.tokens AS available,
+           CAST(floor(0.5 * t.all_tokens * s.w / t.all_w) AS BIGINT) AS allocated,
+           round(CAST(floor(0.5 * t.all_tokens * s.w / t.all_w) AS BIGINT)
+                 / s.tokens::DOUBLE, 6) AS epochs
+    FROM scored s CROSS JOIN tot t
+    """,
+)
+def temperature_sampling_allocation(spark, sf_dir):
+    """Temperature-based mixture allocation (the public alpha=0.5
+    sampling heuristic from multilingual pretraining): each source's
+    share of a token budget (here 50% of the corpus) is proportional
+    to tokens^alpha, up-weighting small sources without letting big
+    ones dominate. The per-source token table is tiny and the corpus
+    totals arrive as a broadcast one-row relation; `epochs` > 1 flags
+    a source the budget would repeat. Floor in integer tokens keeps
+    both engines' discrete allocations identical."""
+    docs = load_table(spark, "documents", sf_dir)
+    avail = (
+        docs.select(
+            "source",
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("tokens"))
+    )
+    scored = avail.withColumn("w", F.pow(F.col("tokens"), 0.5))
+    tot = scored.agg(
+        F.sum("tokens").alias("all_tokens"), F.sum("w").alias("all_w")
+    )
+    out = scored.crossJoin(F.broadcast(tot))
+    alloc = F.floor(
+        0.5 * F.col("all_tokens") * F.col("w") / F.col("all_w")
+    ).cast("long")
+    return out.select(
+        "source",
+        F.col("tokens").alias("available"),
+        alloc.alias("allocated"),
+        F.round(alloc / F.col("tokens").cast("double"), 6).alias("epochs"),
+    )

@@ -257,3 +257,159 @@ def test_pipeline_iceberg_sink_honors_partition_by(spark, sf_dir, tmp_path):
             ],
             "connections": [{"from": "s", "to": "k"}],
         })
+
+
+def test_pipeline_streaming_ports_batch_spec_verbatim(spark, sf_dir, tmp_path):
+    """The reference deploys unchanged in batch AND streaming pipelines
+    (pom.xml:134-137): the SAME transform stages (python transform with
+    error port, filter, projection) must produce identical results when
+    only the source/sink stage types are swapped."""
+    transform_stages = [
+        {"name": "ev", "type": "transform.python",
+         "config": {
+             "script": (
+                 "def transform(record, emitter, context):\n"
+                 "    if record['o_totalprice'] is None:\n"
+                 "        emitter.emitError({'errorCode': 1, 'errorMsg': 'np',\n"
+                 "                           'invalidRecord': record})\n"
+                 "    else:\n"
+                 "        record['fee'] = record['o_totalprice'] * 0.01\n"
+                 "        emitter.emit(record)\n"
+             ),
+             "schema": ("o_orderkey long, o_custkey long, "
+                        "o_totalprice double, fee double"),
+             "on_error": "route",
+         }},
+        {"name": "flt", "type": "transform.filter",
+         "config": {"condition": "fee > 1000"}},
+        {"name": "proj", "type": "transform.projection",
+         "config": {"select": ["o_orderkey", "fee"]}},
+    ]
+    wiring = [
+        {"from": "src", "to": "ev"},
+        {"from": "ev", "to": "flt"},
+        {"from": "flt", "to": "proj"},
+        {"from": "proj", "to": "sink"},
+    ]
+    batch = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/orders.parquet"}},
+            *transform_stages,
+            {"name": "sink", "type": "batchsink.parquet",
+             "config": {"path": str(tmp_path / "batch_out")}},
+        ],
+        "connections": wiring,
+    })
+    streaming = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "streamingsource.file",
+             "config": {"path": f"{sf_dir}/orders.parquet"}},
+            *transform_stages,
+            {"name": "sink", "type": "streamingsink.memory",
+             "config": {"queryName": "port_verbatim_sink"}},
+        ],
+        "connections": wiring,
+    })
+    b = sorted((r.o_orderkey, round(r.fee, 6)) for r in batch["proj"].collect())
+    s = sorted((r.o_orderkey, round(r.fee, 6))
+               for r in streaming["sink"].collect())
+    assert b == s and len(b) > 0
+
+
+def test_pipeline_streaming_windowed_agg_and_delta_sink(spark, sf_dir, tmp_path):
+    """streamingaggregator.windowed_groupby + streamingsink.delta: the
+    drained Delta table must equal the batch windowed aggregation."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "win_delta")
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "streamingsource.file",
+             "config": {"path": f"{sf_dir}/events.parquet"}},
+            {"name": "agg", "type": "streamingaggregator.windowed_groupby",
+             "config": {"eventTime": "ts", "windowDuration": "5 minutes",
+                        "watermark": "10 minutes",
+                        "groupByFields": ["event_type"],
+                        "aggregates": [
+                            {"name": "n", "function": "count", "field": "*"}]}},
+            {"name": "sink", "type": "streamingsink.foreachbatch",
+             "config": {"script": (
+                 "import python_plugins_spark.sources.delta_py as dp\n"
+                 "def process(df, epoch_id):\n"
+                 "    if not df.isEmpty():\n"
+                 f"        dp.write_delta(df, {out!r}, mode='append')\n"
+             )}},
+        ],
+        "connections": [{"from": "src", "to": "agg"},
+                        {"from": "agg", "to": "sink"}],
+    })
+    # append-mode windowed agg emits only watermark-closed windows; the
+    # batch reference is the same agg restricted to emitted windows
+    from python_plugins_spark.sources.delta_py import read_delta
+
+    got = {
+        (str(r.window_start), r.event_type): r.n
+        for r in read_delta(spark, out).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want_all = {
+        (str(r.window_start), r.event_type): r.n
+        for r in ev.groupBy(
+            F.window("ts", "5 minutes").alias("w"), "event_type"
+        ).agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .collect()
+    }
+    assert got  # something was emitted
+    for k, v in got.items():
+        assert want_all[k] == v  # every emitted window is exactly right
+
+
+def test_pipeline_streaming_sink_validation(spark, sf_dir):
+    """Deploy-time validation: batch sinks reject streaming frames and
+    vice versa."""
+    with pytest.raises(PipelineSpecError, match="STREAMING"):
+        run_pipeline(spark, {
+            "stages": [
+                {"name": "s", "type": "streamingsource.file",
+                 "config": {"path": f"{sf_dir}/nation.parquet"}},
+                {"name": "k", "type": "batchsink.parquet",
+                 "config": {"path": "/tmp/never"}},
+            ],
+            "connections": [{"from": "s", "to": "k"}],
+        })
+    with pytest.raises(PipelineSpecError, match="STREAMING"):
+        run_pipeline(spark, {
+            "stages": [
+                {"name": "s", "type": "batchsource.parquet",
+                 "config": {"path": f"{sf_dir}/nation.parquet"}},
+                {"name": "k", "type": "streamingsink.memory", "config": {}},
+            ],
+            "connections": [{"from": "s", "to": "k"}],
+        })
+
+
+def test_pipeline_streaming_delta_source_roundtrip(spark, sf_dir, tmp_path):
+    """streamingsource.delta reads this repo's Delta tables through the
+    runner; the drained memory sink sees every committed row."""
+    from python_plugins_spark.sources.delta_py import write_delta
+
+    tbl = str(tmp_path / "src_delta")
+    df = spark.range(50).selectExpr("id", "id % 5 as g")
+    write_delta(df.filter("id < 30"), tbl, "overwrite")
+    write_delta(df.filter("id >= 30"), tbl, "append")
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "s", "type": "streamingsource.delta",
+             "config": {"path": tbl}},
+            {"name": "f", "type": "transform.filter",
+             "config": {"condition": "g != 4"}},
+            {"name": "k", "type": "streamingsink.memory",
+             "config": {"queryName": "delta_rt_sink"}},
+        ],
+        "connections": [{"from": "s", "to": "f"}, {"from": "f", "to": "k"}],
+    })
+    assert {r.id for r in frames["k"].collect()} == {
+        i for i in range(50) if i % 5 != 4
+    }
