@@ -4,32 +4,49 @@ ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is total wall-clock over the headline set. Each query is
-fully materialized via a noop-format write (computes EVERY output
-column; no driver-side row transfer inflating the number).
+``value`` is the sum of PER-QUERY MEDIANS over the headline set. Each
+query is fully materialized via a noop-format write (computes EVERY
+output column; no driver-side row transfer inflating the number).
 
-MATERIALIZATION CONVENTION CHANGE (round 2): rounds 1 used
+MATERIALIZATION CONVENTION CHANGE (round 2): round 1 used
 ``df.count()``, which lets Catalyst prune output columns of
 expression-heavy queries. BENCH_r02 onward uses the noop write and is
 the go-forward baseline; it may read slower than BENCH_r01's 21.985 s
-without any regression, because it times strictly more work.
+without any regression, because it times strictly more work. A second
+pass timing every query under the round-1 ``count()`` convention is
+published as ``queries_count_convention`` for the same-convention axis.
 
-Round 3 adds a second pass timing every query under the ROUND-1
-``count()`` convention, published as ``queries_count_convention`` in
-the same JSON line (the headline ``value`` stays noop-based). This
-gives a same-convention axis against BENCH_r01, so apparent
-regressions that are really just "the old convention never computed
-those columns" can be adjudicated instead of argued.
+MEDIAN-OF-3 (round 4): single-pass timings on this box carry ±30%
+run-to-run noise on sub-second queries, which prior rounds had to
+adjudicate away by argument. Each headline query now runs 3 times;
+``queries`` holds per-query MEDIANS, ``queries_min`` the per-query
+minima, and ``value`` the sum of medians. BENCH_r04 onward is
+median-based; the medians are directly comparable to r2/r3 single-pass
+numbers (a single pass IS a sample of the same distribution — the
+median just removes the noise).
+
+LAKEHOUSE SECTION (round 4): the Delta/Iceberg log layers (~3.5k LoC)
+were correctness-tested but never timed. ``lakehouse_queries`` times
+write/append-past-a-checkpoint/replay-read/CDC-read for both formats
+at the bench SF (single pass each — these are write-heavy and their
+cost is dominated by deterministic IO, not plan noise). Published
+outside the headline total so ``value`` stays comparable round-over-
+round.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_RUNS = 3
+_SCRATCH = "/root/repo/.scratch/bench_lakehouse"
 
 
 def main() -> None:
@@ -47,6 +64,7 @@ def main() -> None:
     # the engine, not JVM startup billed to whichever query runs first.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     warm_dir = "/root/testdata/sf0.001"
+
     def materialize(df) -> int:
         """Fully compute EVERY output column (BENCH_r02+ convention).
 
@@ -70,14 +88,25 @@ def main() -> None:
             except Exception as exc:  # never let warm-up kill the bench
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = materialize(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    # Headline pass: N_RUNS samples per query, interleaved by ROUND
+    # (run 0 of every query, then run 1, ...) so a transient load spike
+    # degrades one sample of many queries rather than all samples of
+    # one — the median then rejects it.
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for run in range(N_RUNS):
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = materialize(df)
+            dt = time.perf_counter() - t0
+            samples[name].append(dt)
+            print(
+                f"# [{run + 1}/{N_RUNS}] {name}: {dt:.3f}s ({n} rows)",
+                file=sys.stderr,
+            )
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    timings_min = {n: round(min(s), 3) for n, s in samples.items()}
 
     # Second pass, round-1 ``count()`` convention (column-pruned) — the
     # same-convention comparison axis vs BENCH_r01. Runs after the noop
@@ -105,6 +134,7 @@ def main() -> None:
         "feature_hashing_docs",
         "wrangler_recipe_customers",
         "recursive_cte_amortization",
+        "pipeline_streaming_end_to_end",
     ]
     extra_timings: dict[str, float] = {}
     for name in EXTRA_QUERIES:
@@ -122,6 +152,8 @@ def main() -> None:
         except Exception as exc:  # extras never fail the bench
             print(f"# extra {name} failed: {exc}", file=sys.stderr)
 
+    lakehouse_timings = _bench_lakehouse(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -129,15 +161,89 @@ def main() -> None:
                 "metric": "headline_queries_total_wall_clock",
                 "value": total,
                 "unit": "sec",
+                "runs_per_query": N_RUNS,
                 "queries": timings,
+                "queries_min": timings_min,
                 "queries_count_convention": count_timings,
                 "count_convention_total": round(sum(count_timings.values()), 3),
                 "extra_queries": extra_timings,
+                "lakehouse_queries": lakehouse_timings,
+                "lakehouse_total": round(sum(lakehouse_timings.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
     spark.stop()
+
+
+def _bench_lakehouse(spark, sf_dir: str) -> dict[str, float]:
+    """Time the Delta/Iceberg log layers end-to-end at the bench SF:
+    overwrite, appends crossing a checkpoint boundary, replay read
+    (forcing full log/metadata resolution in a fresh snapshot), and
+    derived CDC. Timings are single-pass (IO-dominated)."""
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+
+    def timed(name, fn):
+        try:
+            t0 = time.perf_counter()
+            fn()
+            out[name] = round(time.perf_counter() - t0, 3)
+            print(f"# [lakehouse] {name}: {out[name]:.3f}s", file=sys.stderr)
+        except Exception as exc:  # the section never fails the bench
+            print(f"# lakehouse {name} failed: {exc}", file=sys.stderr)
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    # 12 equal slices by key range: 1 overwrite + 11 appends crosses
+    # the checkpoint interval (10) exactly once.
+    slices = [base.filter((F.col("o_orderkey") % 12) == i) for i in range(12)]
+
+    import python_plugins_spark.sources.delta_py as dp
+    import python_plugins_spark.sources.iceberg_py as ip
+
+    shutil.rmtree(_SCRATCH, ignore_errors=True)
+    dtbl = os.path.join(_SCRATCH, "delta_orders")
+    itbl = os.path.join(_SCRATCH, "iceberg_orders")
+
+    timed("delta_write_overwrite", lambda: dp.write_delta(slices[0], dtbl, "overwrite"))
+    timed(
+        "delta_appends_through_checkpoint",
+        lambda: [dp.write_delta(s, dtbl, "append") for s in slices[1:]],
+    )
+    timed(
+        "delta_replay_read",
+        lambda: dp.read_delta(spark, dtbl)
+        .groupBy("o_orderstatus").agg(F.count("*"), F.sum("o_totalprice"))
+        .collect(),
+    )
+    timed(
+        "delta_cdc_read",
+        lambda: dp.table_changes(spark, dtbl, 1)
+        .groupBy("_change_type", "_commit_version").count().collect(),
+    )
+
+    timed("iceberg_write_overwrite", lambda: ip.write_iceberg(slices[0], itbl, "overwrite"))
+    timed(
+        "iceberg_appends",
+        lambda: [ip.write_iceberg(s, itbl, "append") for s in slices[1:]],
+    )
+    timed(
+        "iceberg_replay_read",
+        lambda: ip.read_iceberg(spark, itbl)
+        .groupBy("o_orderstatus").agg(F.count("*"), F.sum("o_totalprice"))
+        .collect(),
+    )
+    timed(
+        "iceberg_cdc_read",
+        lambda: ip.table_changes_iceberg(spark, itbl, 2)
+        .groupBy("_change_type", "_commit_snapshot").count().collect(),
+    )
+    shutil.rmtree(_SCRATCH, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":
