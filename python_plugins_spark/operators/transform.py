@@ -79,32 +79,19 @@ class ScriptValidationError(ValueError):
 
 
 def _python2_rewrite(script: str) -> str:
-    """Best-effort Python-2 -> 3 source rewrite (stdlib ``lib2to3``
-    fixers: print statement, ``has_key``, ``except E, e``, ``<>``,
-    ``raise E, v``, ``xrange``, long/octal literals). The reference's
-    Interpreted mode is Jython 2.5 and its own test scripts are
-    Python 2 (``print "emitting..."``,
+    """Best-effort Python-2 -> 3 source rewrite (print statement,
+    ``has_key``, ``except E, e``, ``<>``, ``raise E, v``, ``xrange``,
+    long/octal literals). The reference's Interpreted mode is Jython
+    2.5 and its own test scripts are Python 2 (``print "emitting..."``,
     ``PythonTransformNativeTest.java:60-62``), so a verbatim CDAP
-    migration script must still run here. Scripts the fixers cannot
-    mechanically convert keep raising :class:`ScriptValidationError`."""
-    from lib2to3.refactor import RefactoringTool
+    migration script must still run here. Implemented on the stdlib
+    ``tokenize`` module (operators/py2shim.py) — the previous
+    ``lib2to3`` engine is removed in Python 3.13. Scripts the rewriter
+    cannot mechanically convert keep raising
+    :class:`ScriptValidationError`."""
+    from python_plugins_spark.operators.py2shim import python2_to_3
 
-    fixers = [
-        "lib2to3.fixes.fix_" + f
-        for f in (
-            "print",
-            "has_key",
-            "except",
-            "ne",
-            "raise",
-            "xrange",
-            "numliterals",
-            "long",
-        )
-    ]
-    tool = RefactoringTool(fixers)
-    src = script if script.endswith("\n") else script + "\n"
-    return str(tool.refactor_string(src, "<python_transform>"))
+    return python2_to_3(script)
 
 
 def _compile_script(script: str):

@@ -783,7 +783,7 @@ def transform_python2_script(spark, sf_dir):
     Jython 2.5 Interpreted mode runs and its own tests use
     (``print "emitting..."``, PythonTransformNativeTest.java:60-62).
     The deploy-time compile detects the SyntaxError, applies the
-    lib2to3 shim (operators/transform.py:_python2_rewrite), and the
+    tokenize-based shim (operators/py2shim.py), and the
     script runs unmodified — closing the last migration gap for users
     carrying Python-2 pipeline scripts."""
     c = load_table(spark, "customer", sf_dir).select(

