@@ -9,12 +9,23 @@ The engine's convention for image/audio/video data at 100 TB scale:
   batched ``mapInPandas`` stages so the bytes cross the JVM<->Python
   boundary once per batch, never per row.
 
-Real codecs (PIL/opencv/ffmpeg) are not in this container, so the
-decode step is STUBBED: ``decode_stub_features`` raises
-``NotImplementedError`` unless ``fake=True``, in which case it derives
-deterministic pseudo-features from the payload's md5 — making the whole
-pipeline (schema, partitioning, UDF signature, batch shape) real and
-testable, including against a DuckDB oracle.
+External codec libraries (PIL/opencv/ffmpeg) are not in this
+container. Formats that need them (JPEG/PNG/MP3/...) keep the STUB:
+``decode_stub_features`` raises ``NotImplementedError`` unless
+``fake=True`` (deterministic pseudo-features from the payload's md5).
+Formats decodable with pure stdlib code are REAL as of round 4:
+
+- WAV  — stdlib ``wave`` encoder + a hand-rolled RIFF chunk parser
+  (:func:`parse_wav`), frame stats from the actual PCM16 samples;
+- BMP  — hand-rolled 24bpp encoder/decoder (bottom-up AND top-down
+  rows, BGR order, 4-byte row padding — :func:`parse_bmp`);
+- PPM  — P6 encoder/decoder with comment-tolerant headers
+  (:func:`parse_ppm`).
+
+Registry queries ``multimodal_wav_rms_real`` / ``image_bmp_patch_real``
+/ ``image_ppm_decode_real`` verify the decoded statistics against
+oracles that recompute them from the generating integer formulas —
+independent of the byte-level codecs entirely.
 """
 
 from __future__ import annotations
@@ -137,3 +148,314 @@ def sample_frames(
             f"substr({payload_col}, 1 + cast(floor(frame_no * length({payload_col}) / {n_frames}) as int), {frame_bytes})"
         ).alias("frame_bytes"),
     )
+
+
+# ---------------------------------------------------------------------
+# REAL codecs for stdlib-decodable formats (round 4). The container has
+# no image/audio libraries, but WAV, BMP and PPM need none: WAV is
+# RIFF chunks + PCM samples, BMP is a fixed header + padded BGR rows,
+# PPM is an ASCII header + raw RGB. These replace the ``fake=True``
+# stub for those formats — the decoded features are computed from the
+# actual pixel/sample bytes, and the registry oracles recompute the
+# same statistics from the generating formulas independently.
+#
+# Encoders: WAV uses the stdlib ``wave`` writer (so the hand-rolled
+# RIFF *parser* below is cross-validated against an independent
+# implementation); BMP/PPM are hand-rolled to the public format specs
+# (BITMAPINFOHEADER: bottom-up rows, BGR byte order, rows padded to 4
+# bytes — the classic decode bugs the tests pin).
+# ---------------------------------------------------------------------
+
+
+def synth_pcm16_samples(seed: int, n: int) -> list[int]:
+    """Deterministic, integer-only PCM16 test signal (no libm — sin()
+    differs across engines in the last ulp; a Weyl-style integer
+    sequence is bit-identical everywhere): s[i] in [-12000, 12000]."""
+    return [
+        ((seed * 2654435761 + i * 40503) % 24001) - 12000 for i in range(n)
+    ]
+
+
+def wav_bytes(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """PCM16 mono WAV via the stdlib ``wave`` writer."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def parse_wav(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Hand-rolled RIFF/WAVE parser (the real decode path): walks the
+    chunk list, reads the fmt chunk, unpacks PCM16 frames. Returns
+    (n_channels, sample_rate, n_frames, samples). Raises ValueError on
+    anything that is not little-endian PCM16."""
+    import struct
+
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV encoding ({audio_format=}, {bits=})")
+    n = len(data) // (2 * n_channels)
+    samples = list(
+        struct.unpack_from(f"<{n * n_channels}h", data, 0)
+    )
+    return n_channels, sample_rate, n, samples
+
+
+def decode_wav_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL audio decode over the Arrow batch path: parse each WAV
+    payload, compute frame stats from the actual samples. RMS is
+    returned as the exact integer sum of squares plus the frame count
+    (portable across engines; callers derive sqrt presentation-side)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("sum_sq", T.LongType()),
+            T.StructField("peak", T.IntegerType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k.name: [] for k in schema.fields}
+            for pid, payload in zip(b[id_col], b[payload_col]):
+                nch, sr, n, samples = parse_wav(bytes(payload))
+                out[id_col].append(int(pid))
+                out["n_channels"].append(nch)
+                out["sample_rate"].append(sr)
+                out["n_frames"].append(n)
+                out["sum_sq"].append(sum(s * s for s in samples))
+                out["peak"].append(max(abs(s) for s in samples) if samples else 0)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(decode, schema)
+
+
+def bmp_bytes(width: int, height: int, pixel_fn) -> bytes:
+    """24bpp bottom-up BMP (BITMAPINFOHEADER). ``pixel_fn(x, y) ->
+    (r, g, b)`` with y=0 the TOP row; the encoder stores rows bottom-up
+    in BGR with 4-byte row padding, per the public format."""
+    import struct
+
+    row_stride = (width * 3 + 3) & ~3
+    img_size = row_stride * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            row += bytes((b & 255, g & 255, r & 255))  # BGR
+        row += b"\x00" * (row_stride - len(row))
+        rows += row
+    return header + bytes(rows)
+
+
+def parse_bmp(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Hand-rolled 24bpp BMP decode: honors the pixel-array offset,
+    bottom-up (or top-down, negative height) row order, BGR byte order
+    and 4-byte row padding. Returns (width, height, pixels) with
+    pixels in row-major top-down (r, g, b) order."""
+    import struct
+
+    if payload[0:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, width, height_raw = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    if bpp != 24 or hdr_size < 40:
+        raise ValueError(f"unsupported BMP ({bpp=}, {hdr_size=})")
+    top_down = height_raw < 0
+    height = abs(height_raw)
+    row_stride = (width * 3 + 3) & ~3
+    pixels: list[tuple[int, int, int]] = []
+    for y in range(height):
+        src_row = y if top_down else height - 1 - y
+        base = data_offset + src_row * row_stride
+        for x in range(width):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            pixels.append((r, g, b))
+    return width, height, pixels
+
+
+def ppm_bytes(width: int, height: int, pixel_fn) -> bytes:
+    """Binary PPM (P6): ASCII header, raw RGB top-down rows."""
+    body = bytearray()
+    for y in range(height):
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            body += bytes((r & 255, g & 255, b & 255))
+    return f"P6\n{width} {height}\n255\n".encode() + bytes(body)
+
+
+def parse_ppm(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """P6 PPM decode: whitespace/comment-tolerant header scan, then
+    raw RGB triplets. Returns (width, height, pixels) top-down."""
+    if payload[0:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pixels = [
+        tuple(payload[pos + 3 * i : pos + 3 * i + 3])
+        for i in range(width * height)
+    ]
+    return width, height, pixels
+
+
+def decode_image_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL image decode (BMP or PPM, auto-detected by magic) over the
+    Arrow batch path: per-image width/height and exact per-channel
+    pixel sums from the decoded pixel array."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for bt in batches:
+            out = {k.name: [] for k in schema.fields}
+            for pid, payload in zip(bt[id_col], bt[payload_col]):
+                raw = bytes(payload)
+                if raw[:2] == b"BM":
+                    w, h, pixels = parse_bmp(raw)
+                elif raw[:2] == b"P6":
+                    w, h, pixels = parse_ppm(raw)
+                else:
+                    raise ValueError("unknown image payload")
+                out[id_col].append(int(pid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(sum(p[0] for p in pixels))
+                out["sum_g"].append(sum(p[1] for p in pixels))
+                out["sum_b"].append(sum(p[2] for p in pixels))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(decode, schema)
+
+
+def synth_wav_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = 2048,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Per-row REAL WAV payload synthesis (ingest-side twin of the
+    decode path): a deterministic integer PCM16 signal seeded by the id
+    column, encoded by the stdlib ``wave`` writer — so the hand-rolled
+    RIFF parser in :func:`decode_wav_features` is cross-validated
+    against an independent encoder implementation."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, payloads = [], []
+            for pid in b[id_col]:
+                ids.append(int(pid))
+                payloads.append(
+                    wav_bytes(
+                        synth_pcm16_samples(int(pid), n_samples), sample_rate
+                    )
+                )
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(synth, schema)
+
+
+def synth_image_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 13,
+    height: int = 12,
+    fmt: str = "bmp",
+) -> DataFrame:
+    """Per-row REAL image payload synthesis: deterministic per-channel
+    integer pixel formulas seeded by the id column, encoded as 24bpp
+    BMP (bottom-up, BGR, padded rows) or P6 PPM. width=13 is chosen so
+    BMP rows need padding — the classic decode bug surface."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    enc = {"bmp": bmp_bytes, "ppm": ppm_bytes}[fmt]
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, payloads = [], []
+            for pid in b[id_col]:
+                s = int(pid)
+                ids.append(s)
+                payloads.append(
+                    enc(
+                        width,
+                        height,
+                        lambda x, y, s=s: (
+                            (s * 9 + 13 * x + y) % 256,
+                            (s * 5 + x + 11 * y) % 256,
+                            (s + 3 * x + 7 * y) % 256,
+                        ),
+                    )
+                )
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(synth, schema)

@@ -1144,3 +1144,111 @@ def temperature_sampling_allocation(spark, sf_dir):
         alloc.alias("allocated"),
         F.round(alloc / F.col("tokens").cast("double"), 6).alias("epochs"),
     )
+
+
+# =====================================================================
+# Real multimodal decode (round 4): WAV / BMP / PPM need no external
+# codec libraries, so for these formats the decode path is REAL — the
+# features come from the actual decoded samples/pixels, and the
+# oracles recompute the identical statistics from the generating
+# integer formulas, fully independently of the byte-level codecs.
+# =====================================================================
+
+@register(
+    "multimodal_wav_rms_real",
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 2654435761 + t.i * 40503) % 24001) - 12000 AS v
+      FROM documents d CROSS JOIN generate_series(0, 2047) t(i)
+    )
+    SELECT doc_id, 1 AS n_channels, 8000 AS sample_rate,
+           2048 AS n_frames,
+           sum(v * v) AS sum_sq, max(abs(v)) AS peak,
+           round(sqrt(sum(v * v) / 2048.0), 4) AS rms
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_wav_rms_real(spark, sf_dir):
+    """REAL audio decode: per-document PCM16 WAV payloads (stdlib
+    ``wave`` encoder, deterministic integer signal) parsed by the
+    hand-rolled RIFF/fmt/data chunk walker
+    (operators/multimodal.py:parse_wav), frame statistics computed
+    from the decoded samples. The oracle recomputes sum-of-squares /
+    peak / RMS from the signal's integer formula with no WAV bytes in
+    sight — a wrong byte order, sample width, or chunk offset in the
+    decoder cannot hash-match. Closes the round-3 gap where every
+    multimodal decode result was synthetic."""
+    docs = load_table(spark, "documents", sf_dir)
+    wavs = MM.synth_wav_payloads(docs, "doc_id")
+    feats = MM.decode_wav_features(wavs, "payload", "doc_id")
+    return feats.select(
+        "doc_id", "n_channels", "sample_rate", "n_frames", "sum_sq", "peak",
+        F.round(F.sqrt(F.col("sum_sq") / F.lit(2048.0)), 4).alias("rms"),
+    )
+
+
+@register(
+    "image_bmp_patch_real",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             (d.doc_id * 9 + 13 * gx.x + gy.y) % 256 AS r,
+             (d.doc_id * 5 + gx.x + 11 * gy.y) % 256 AS g,
+             (d.doc_id + 3 * gx.x + 7 * gy.y) % 256 AS b
+      FROM documents d
+      CROSS JOIN generate_series(0, 12) gx(x)
+      CROSS JOIN generate_series(0, 11) gy(y)
+    )
+    SELECT doc_id, 13 AS width, 12 AS height,
+           sum(r) AS sum_r, sum(g) AS sum_g, sum(b) AS sum_b,
+           round(sum(r + g + b) / (3.0 * 13 * 12 * 255), 6) AS brightness
+    FROM px GROUP BY doc_id
+    """,
+)
+def image_bmp_patch_real(spark, sf_dir):
+    """REAL image decode: per-document 24bpp BMP payloads (hand-rolled
+    encoder: bottom-up rows, BGR order, width 13 so every row carries
+    pad bytes) decoded by operators/multimodal.py:parse_bmp, exact
+    per-channel pixel sums from the decoded array. The oracle
+    recomputes the sums from the pixel-value formulas — any padding,
+    row-order, or channel-order mistake in the decoder shifts bytes
+    between channels/rows and cannot hash-match."""
+    docs = load_table(spark, "documents", sf_dir)
+    bmps = MM.synth_image_payloads(docs, "doc_id", width=13, height=12, fmt="bmp")
+    stats = MM.decode_image_stats(bmps, "payload", "doc_id")
+    return stats.select(
+        "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        F.round(
+            (F.col("sum_r") + F.col("sum_g") + F.col("sum_b"))
+            / F.lit(3.0 * 13 * 12 * 255),
+            6,
+        ).alias("brightness"),
+    )
+
+
+@register(
+    "image_ppm_decode_real",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             (d.doc_id * 9 + 13 * gx.x + gy.y) % 256 AS r,
+             (d.doc_id * 5 + gx.x + 11 * gy.y) % 256 AS g,
+             (d.doc_id + 3 * gx.x + 7 * gy.y) % 256 AS b
+      FROM documents d
+      CROSS JOIN generate_series(0, 12) gx(x)
+      CROSS JOIN generate_series(0, 11) gy(y)
+    )
+    SELECT doc_id, 13 AS width, 12 AS height,
+           sum(r) AS sum_r, sum(g) AS sum_g, sum(b) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def image_ppm_decode_real(spark, sf_dir):
+    """P6 PPM twin of image_bmp_patch_real (same pixel formulas,
+    different wire format: ASCII header + raw top-down RGB). The two
+    queries must agree with the SAME oracle sums — so the BMP and PPM
+    decoders cross-validate each other byte-for-byte."""
+    docs = load_table(spark, "documents", sf_dir)
+    ppms = MM.synth_image_payloads(docs, "doc_id", width=13, height=12, fmt="ppm")
+    return MM.decode_image_stats(ppms, "payload", "doc_id")

@@ -769,3 +769,71 @@ def test_wrangler_mask_shorter_than_n(spark):
     df = spark.createDataFrame([("ab",), ("abcdef",)], "s string")
     out = {r.s for r in wrangle(df, ["mask-last-n s 4"]).collect()}
     assert out == {"**", "ab****"}
+
+
+# ------------------------------------------------------- real codecs
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """Hand-rolled RIFF parser vs the stdlib wave encoder, including
+    an extra odd-length chunk before data (word-alignment rule)."""
+    import struct
+
+    from python_plugins_spark.operators.multimodal import (
+        parse_wav, synth_pcm16_samples, wav_bytes,
+    )
+
+    s = synth_pcm16_samples(42, 515)  # odd frame count
+    raw = wav_bytes(s, 22050)
+    nch, sr, n, dec = parse_wav(raw)
+    assert (nch, sr, n) == (1, 22050, 515) and dec == s
+
+    # splice an odd-length LIST chunk between fmt and data: parsers
+    # that skip the pad byte stay aligned, naive ones derail
+    fmt_end = raw.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = raw[:fmt_end] + extra + raw[fmt_end:]
+    nch, sr, n, dec = parse_wav(spliced)
+    assert dec == s
+
+    import pytest
+
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_wav(b"nope")
+
+
+def test_bmp_codec_padding_and_row_order():
+    from python_plugins_spark.operators.multimodal import bmp_bytes, parse_bmp
+
+    pf = lambda x, y: ((x * 2) % 256, (y * 3) % 256, (x + y) % 256)
+    raw = bmp_bytes(13, 5, pf)  # stride 39 -> padded to 40
+    w, h, px = parse_bmp(raw)
+    assert (w, h) == (13, 5)
+    assert px == [pf(x, y) for y in range(5) for x in range(13)]
+
+    # top-down variant (negative height) must decode identically
+    import struct
+
+    neg = bytearray(raw)
+    struct.pack_into("<i", neg, 22, -5)
+    # flip the stored rows to top-down so pixels stay the same
+    stride, off = 40, 54
+    rows = [bytes(raw[off + i * stride: off + (i + 1) * stride]) for i in range(5)]
+    neg[off:] = b"".join(reversed(rows))
+    w, h, px2 = parse_bmp(bytes(neg))
+    assert (w, h) == (13, 5) and px2 == px
+
+
+def test_ppm_codec_comments_and_whitespace():
+    from python_plugins_spark.operators.multimodal import parse_ppm, ppm_bytes
+
+    pf = lambda x, y: (x % 256, y % 256, (x * y) % 256)
+    raw = ppm_bytes(7, 4, pf)
+    w, h, px = parse_ppm(raw)
+    assert (w, h) == (7, 4) and px == [pf(x, y) for y in range(4) for x in range(7)]
+
+    # header with comments and odd whitespace
+    body = raw.split(b"255\n", 1)[1]
+    weird = b"P6 # a comment\n# another\n 7\t4\n255\n" + body
+    w, h, px2 = parse_ppm(weird)
+    assert (w, h) == (7, 4) and px2 == px
