@@ -1252,3 +1252,53 @@ def image_ppm_decode_real(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     ppms = MM.synth_image_payloads(docs, "doc_id", width=13, height=12, fmt="ppm")
     return MM.decode_image_stats(ppms, "payload", "doc_id")
+
+
+@register(
+    "iceberg_manifest_compact",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey % 6 != 0 GROUP BY o_orderstatus
+    """,
+)
+def iceberg_manifest_compact(spark, sf_dir):
+    """Manifest compaction (Iceberg rewriteManifests): six append
+    commits build six per-commit manifests plus an equality delete;
+    rewrite_manifests merges them into one data manifest + one delete
+    manifest (asserted), and the compacted read — INCLUDING the
+    delete's snapshot scoping, preserved via per-entry
+    added_snapshot_id — must equal the plain filtered aggregate.
+    Closes the round-3 self-documented gap ('one manifest per commit,
+    no manifest compaction')."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import (
+        equality_delete_iceberg, read_iceberg, rewrite_manifests,
+        write_iceberg,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).withColumn("slice", (F.col("o_orderkey") % 6).cast("int"))
+    path = os.path.join(
+        _SCRATCH, f"ice_compact_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    for i in range(6):
+        write_iceberg(
+            o.filter(F.col("slice") == i).drop("slice"), path,
+            mode="overwrite" if i == 0 else "append",
+        )
+    # drop the first slice via an equality delete on its keys
+    keys = o.filter(F.col("slice") == 0).select("o_orderkey")
+    equality_delete_iceberg(spark, path, keys)
+    stats = rewrite_manifests(path)
+    assert stats["manifests_before"] >= 6 and stats["manifests_after"] == 2, stats
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("total"),
+    )

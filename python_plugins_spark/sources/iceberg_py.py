@@ -160,6 +160,18 @@ _MANIFEST_ENTRY_NODE = {
     ],
 }
 
+# Entry node used by rewritten (compacted) manifests: identical plus a
+# per-entry ``added_snapshot_id`` preserving each file's ORIGINAL
+# commit — the spec's inherited-sequence-number mechanism, needed so
+# equality-delete scoping survives manifest compaction. Readers accept
+# both shapes (Avro containers embed the writer schema).
+_MANIFEST_ENTRY_NODE_V2 = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": _MANIFEST_ENTRY_NODE["fields"]
+    + [{"name": "added_snapshot_id", "type": "long"}],
+}
+
 # manifest-list entry (spec 'Manifest Lists', trimmed)
 _MANIFEST_FILE_NODE = {
     "type": "record",
@@ -288,6 +300,17 @@ def current_metadata_version(path: str) -> int | None:
     return best
 
 
+def _require_v2(meta: dict, feature: str) -> None:
+    """Row-level deletes are a format-version-2 feature (spec: v1
+    tables have no delete files); refuse with the upgrade pointer."""
+    if meta.get("format-version", 2) < 2:
+        raise ValueError(
+            f"{feature} require format-version 2; this table is "
+            f"format-version {meta.get('format-version')} — run "
+            "upgrade_format_version() first"
+        )
+
+
 def _current_schema_node(meta: dict) -> dict:
     """The metadata's CURRENT schema (spec: schemas list +
     current-schema-id; evolution appends new schemas, ids stable)."""
@@ -368,6 +391,7 @@ def write_iceberg(
     partition_by: str | None = None,
     merge_schema: bool = False,
     expected_version: int | None = None,
+    format_version: int = 2,
 ) -> int:
     """Commit a new snapshot; returns the snapshot id.
 
@@ -579,8 +603,12 @@ def write_iceberg(
                 "added-data-files": str(len(entries)),
             },
         }
+        if format_version not in (1, 2):
+            raise ValueError(f"unsupported format-version {format_version}")
         new_meta = {
-            "format-version": 2,
+            # an existing table's format version is a table property;
+            # appends/overwrites never silently upgrade it
+            "format-version": (meta or {}).get("format-version", format_version),
             "table-uuid": (meta or {}).get("table-uuid", str(uuid.uuid4())),
             "location": path,
             "last-updated-ms": now_ms,
@@ -689,6 +717,7 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
 
     base_version = current_metadata_version(path)
     meta = _load_metadata(path, base_version)
+    _require_v2(meta, "position delete files")
     schema = iceberg_schema_to_spark(_current_schema_node(meta))
     live = read_iceberg(spark, path)
     matched = (
@@ -850,6 +879,7 @@ def equality_delete_iceberg(
     re-inserting a deleted key later works."""
     base_version = current_metadata_version(path)
     meta = _load_metadata(path, base_version)
+    _require_v2(meta, "equality delete files")
     schema = iceberg_schema_to_spark(_current_schema_node(meta))
     name_to_id = {f["name"]: f["id"] for f in _current_schema_node(meta)["fields"]}
     bad = [c for c in keys_df.columns if c not in name_to_id]
@@ -925,13 +955,14 @@ def plan_delete_files(path: str, snapshot_id: int | None = None) -> list[dict]:
         for e in read_container(os.path.join(path, ml[0])):
             status, file_path = e[0], e[1]
             content, eq_ids = e[8], list(e[9])
+            scope = int(e[10]) if len(e) > 10 else int(ml[3])
             if status != 2 and content in (1, 2):
                 out.append(
                     {
                         "path": file_path,
                         "content": content,
                         "equality_ids": eq_ids,
-                        "snapshot_id": int(ml[3]),
+                        "snapshot_id": scope,
                     }
                 )
     return out
@@ -970,7 +1001,11 @@ def plan_files(
         manifest_rel = ml[0]
         for e in read_container(os.path.join(path, manifest_rel)):
             (status, file_path, _fmt, part, n_rows, _size, lower,
-             upper, content, _eq_ids) = e
+             upper, content, _eq_ids) = e[:10]
+            # rewritten (compacted) manifests carry the ORIGINAL commit
+            # per entry (spec: inherited sequence numbers); plain
+            # manifests inherit the manifest-list row's added snapshot
+            scope = int(e[10]) if len(e) > 10 else int(ml[3])
             if status == 2 or content != 0:  # DELETED entry / delete file
                 continue
             keep = True
@@ -1003,9 +1038,9 @@ def plan_files(
                         "record_count": n_rows,
                         "lower": lower,
                         "upper": upper,
-                        # the manifest's added_snapshot_id — equality
-                        # deletes scope to files from EARLIER snapshots
-                        "snapshot_id": int(ml[3]),
+                        # equality deletes scope to files from EARLIER
+                        # snapshots — per-entry when compacted
+                        "snapshot_id": scope,
                     }
                 )
     return out
@@ -1277,6 +1312,158 @@ def rewrite_data_files(
     }
 
 
+def rewrite_manifests(path: str) -> dict:
+    """Manifest compaction (Iceberg's ``rewriteManifests`` action):
+    merge the current snapshot's per-commit manifests into ONE data
+    manifest (plus one delete manifest when delete files exist) and
+    publish the result as a metadata-only "replace" snapshot. No data
+    file moves; only the metadata tree shrinks.
+
+    Why it matters at scale: this layer writes one manifest per commit,
+    so a long-lived table's scan planning walks O(commits) small Avro
+    files. After compaction, :func:`plan_files` opens O(1) manifests no
+    matter how many commits built the table — the spec's answer to
+    metadata sprawl.
+
+    Correctness subtlety: equality-delete scoping orders data files vs
+    delete files by the manifest-list's ``added_snapshot_id``, which a
+    merged manifest can no longer represent. Compacted manifests
+    therefore carry each entry's ORIGINAL commit as a per-entry
+    ``added_snapshot_id`` (``_MANIFEST_ENTRY_NODE_V2`` — the spec's
+    inherited-sequence-number mechanism), and both
+    :func:`plan_files` / :func:`plan_delete_files` prefer the
+    per-entry value. Tests pin that delete scoping is identical before
+    and after compaction.
+
+    Concurrency: compare-and-swap against the planned base version (a
+    concurrent commit aborts the rewrite; nothing is lost — the
+    staged manifests are removed). Returns ``{"snapshot_id",
+    "manifests_before", "manifests_after"}``."""
+    base_version = current_metadata_version(path)
+    meta = _load_metadata(path, base_version)
+    cur_id = meta.get("current-snapshot-id")
+    if cur_id is None:
+        raise ValueError(f"{path} has no snapshots")
+    cur_snap = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == cur_id
+    )
+    mls = list(read_container(os.path.join(path, cur_snap["manifest-list"])))
+    if len(mls) <= 1:
+        return {
+            "snapshot_id": cur_id,
+            "manifests_before": len(mls),
+            "manifests_after": len(mls),
+        }
+
+    data_entries: list[tuple] = []
+    delete_entries: list[tuple] = []
+    for ml in mls:
+        for e in read_container(os.path.join(path, ml[0])):
+            scope = int(e[10]) if len(e) > 10 else int(ml[3])
+            e10 = tuple(e[:10])
+            if e10[0] == 2:  # DELETED entry: drop on rewrite
+                continue
+            # carried-forward entries are EXISTING (status 0) + scope
+            row = (0,) + e10[1:] + (scope,)
+            (data_entries if e10[8] == 0 else delete_entries).append(row)
+
+    snapshot_id = (base_version or 0) + 1
+    now_ms = int(time.time() * 1000)
+    staged: list[str] = []
+
+    def _stage_manifest(entries):
+        name = f"manifest-{snapshot_id}-{uuid.uuid4().hex}.avro"
+        mp = os.path.join(_meta_dir(path), name)
+        write_container(mp, _MANIFEST_ENTRY_NODE_V2, entries)
+        staged.append(mp)
+        return mp
+
+    ml_rows = []
+    for entries in (data_entries, delete_entries):
+        if not entries:
+            continue
+        mp = _stage_manifest(entries)
+        ml_rows.append(
+            (
+                os.path.relpath(mp, path),
+                os.path.getsize(mp),
+                0,
+                snapshot_id,
+                0,
+                len(entries),
+                0,
+            )
+        )
+    ml_name = f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+    ml_path = os.path.join(_meta_dir(path), ml_name)
+    write_container(ml_path, _MANIFEST_FILE_NODE, ml_rows)
+    staged.append(ml_path)
+
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "manifest-list": os.path.relpath(ml_path, path),
+        "summary": {
+            "operation": "replace",
+            "manifests-rewritten": str(len(mls)),
+            "added-data-files": "0",
+        },
+    }
+    new_meta = dict(meta)
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    meta_file = os.path.join(_meta_dir(path), f"v{snapshot_id}.metadata.json")
+    if not _put_if_absent(json.dumps(new_meta), meta_file):
+        for p_ in staged:
+            try:
+                os.remove(p_)
+            except FileNotFoundError:
+                pass
+        raise IcebergConcurrentWriteError(
+            f"concurrent commit at version {snapshot_id}: re-run "
+            "rewrite_manifests against the current snapshot"
+        )
+    _advance_hint(path, snapshot_id)
+    return {
+        "snapshot_id": snapshot_id,
+        "manifests_before": len(mls),
+        "manifests_after": len(ml_rows),
+    }
+
+
+def upgrade_format_version(path: str, to_version: int = 2) -> int:
+    """Format-version migration (spec: v1 -> v2 is metadata-only — v2
+    readers must read v1 tables, and upgrading adds no files). Commits
+    a metadata-only version bump via put-if-absent; no new snapshot.
+    Unlocks row-level deletes on tables created with
+    ``format_version=1``. Returns the committed metadata version (the
+    current one when already at the target)."""
+    if to_version != 2:
+        raise ValueError("only v1 -> v2 migration exists in the spec")
+    base_version = current_metadata_version(path)
+    meta = _load_metadata(path, base_version)
+    cur = meta.get("format-version", 2)
+    if cur == to_version:
+        return base_version
+    if cur > to_version:
+        raise ValueError(f"cannot downgrade format-version {cur} -> {to_version}")
+    new_meta = dict(meta)
+    new_meta["format-version"] = to_version
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    version = (base_version or 0) + 1
+    meta_file = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
+    if not _put_if_absent(json.dumps(new_meta), meta_file):
+        raise IcebergConcurrentWriteError(
+            f"concurrent commit at version {version}: re-run the upgrade"
+        )
+    _advance_hint(path, version)
+    return version
+
+
 def remove_orphan_files(
     path: str, older_than_hours: float = 72.0, dry_run: bool = False
 ) -> list[str]:
@@ -1355,6 +1542,8 @@ def table_changes_iceberg(
         if snap is None:
             continue
         op = snap.get("summary", {}).get("operation", "append")
+        if op == "replace" and snap.get("summary", {}).get("manifests-rewritten"):
+            continue  # manifest compaction: zero row-level changes
         new_entries = _entries(snap)
         if op in ("overwrite", "replace") and sid != 1:
             raise ValueError(

@@ -138,6 +138,10 @@ class IcebergStreamReader(DataSourceStreamReader):
                     "before the stream consumed it; restart with a "
                     "fresh starting_snapshot (data loss)"
                 )
+            if op == "replace" and snap.get("summary", {}).get(
+                "manifests-rewritten"
+            ):
+                continue  # manifest compaction: adds no rows
             if op not in (None, "append") and not self.ignore_changes:
                 # only the table-CREATING overwrite (v == 1, nothing
                 # replaced) is append-equivalent; any later overwrite
@@ -153,7 +157,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                     continue
                 manifest_rel = ml[0]
                 for e in read_container(os.path.join(self.table_path, manifest_rel)):
-                    status, file_path, _fmt, part, _n, _sz, _lo, _hi, content, _eq = e
+                    status, file_path, _fmt, part, _n, _sz, _lo, _hi, content, _eq = e[:10]
                     if status != 1:  # only ADDED entries
                         continue
                     if content != 0:  # a delete file in this commit
@@ -289,6 +293,10 @@ class IcebergChangeFeedStreamReader(DataSourceStreamReader):
             if snap is None:
                 continue
             op = snap.get("summary", {}).get("operation", "append")
+            if op == "replace" and snap.get("summary", {}).get(
+                "manifests-rewritten"
+            ):
+                continue  # manifest compaction: zero row-level changes
             if op in ("overwrite", "replace") and v != 1:
                 raise ValueError(
                     f"snapshot {v} is an overwrite: row-level changes are "

@@ -811,3 +811,126 @@ def test_iceberg_delete_abort_cleans_staged_files(spark):
     racer_avro = {f for f in after - before if f.endswith(".avro")}
     assert len(racer_avro) == 2
     assert {r.id for r in I.read_iceberg(spark, path).collect()} == set(range(25))
+
+
+def test_iceberg_rewrite_manifests_compacts_with_pruning_intact(spark):
+    """Many-commit table reads through ONE compacted manifest; bounds
+    carried forward keep plan_files pruning selective."""
+    import python_plugins_spark.sources.iceberg_py as I
+
+    path = _fresh("ice_rw_manifests")
+    for i in range(8):
+        I.write_iceberg(
+            spark.range(i * 10, (i + 1) * 10).select(F.col("id")),
+            path, "overwrite" if i == 0 else "append",
+        )
+    assert len(I.plan_files(path)) >= 8
+    stats = I.rewrite_manifests(path)
+    assert stats["manifests_before"] >= 8 and stats["manifests_after"] == 1
+    assert {r.id for r in I.read_iceberg(spark, path).collect()} == set(range(80))
+    # bounds pruning must survive: id=5 lives in exactly one commit's file
+    pruned = I.plan_files(path, ranges={"id": (5, 5)})
+    assert len(pruned) == 1
+    # idempotent: second rewrite is a no-op (already one manifest)
+    stats2 = I.rewrite_manifests(path)
+    assert stats2["manifests_after"] == stats2["manifests_before"] == 1
+    # prior snapshots stay readable (time travel before the compaction)
+    old = I.read_iceberg(spark, path, snapshot_id=3)
+    assert old.count() == 30
+
+
+def test_iceberg_rewrite_manifests_preserves_delete_scoping(spark):
+    """Equality-delete scoping (delete applies only to EARLIER data
+    files) must be identical before and after manifest compaction —
+    the per-entry added_snapshot_id mechanism."""
+    import python_plugins_spark.sources.iceberg_py as I
+
+    path = _fresh("ice_rw_scope")
+    I.write_iceberg(spark.range(10).selectExpr("id", "id % 3 AS g"), path, "overwrite")
+    I.equality_delete_iceberg(spark, path, spark.createDataFrame([(2,)], "id bigint"))
+    # re-insert id=2 AFTER the delete: it must survive
+    I.write_iceberg(
+        spark.createDataFrame([(2, 99)], "id bigint, g bigint"), path, "append"
+    )
+    before = sorted((r.id, r.g) for r in I.read_iceberg(spark, path).collect())
+    assert (2, 99) in before and (2, 2) not in before
+
+    stats = I.rewrite_manifests(path)
+    assert stats["manifests_after"] == 2  # data + delete manifests
+    after = sorted((r.id, r.g) for r in I.read_iceberg(spark, path).collect())
+    assert after == before
+    # the delete file's scope is its ORIGINAL snapshot, not the rewrite's
+    dels = I.plan_delete_files(path)
+    assert len(dels) == 1 and dels[0]["snapshot_id"] == 2
+    # per-file data scopes also preserved
+    scopes = {f["snapshot_id"] for f in I.plan_files(path)}
+    assert scopes == {1, 3}
+
+
+def test_iceberg_rewrite_manifests_then_stream_and_cdc(spark, tmp_path):
+    """The compaction snapshot adds no rows: append-mode streams and
+    the CDC reader skip it instead of raising, and later appends still
+    flow."""
+    from python_plugins_spark.sources import iceberg_stream
+    import python_plugins_spark.sources.iceberg_py as I
+
+    iceberg_stream.register(spark)
+    table = str(tmp_path / "ice_rw_stream")
+    I.write_iceberg(spark.range(10).select(F.col("id")), table, "overwrite")
+    I.write_iceberg(spark.range(10, 20).select(F.col("id")), table, "append")
+    I.rewrite_manifests(table)
+    I.write_iceberg(spark.range(20, 30).select(F.col("id")), table, "append")
+
+    q = (
+        spark.readStream.format("iceberg_py_stream")
+        .option("path", table)
+        .load()
+        .writeStream.format("memory")
+        .queryName("rw_stream_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {r.id for r in spark.table("rw_stream_sink").collect()} == set(range(30))
+
+    cdc = I.table_changes_iceberg(spark, table, 1)
+    ins = {r.id for r in cdc.filter("_change_type = 'insert'").collect()}
+    assert ins == set(range(30))
+
+
+def test_iceberg_v1_table_upgrade_unlocks_deletes(spark):
+    """format_version=1 tables refuse row-level deletes (a v2 feature);
+    upgrade_format_version is a metadata-only commit that unlocks them.
+    Appends never silently upgrade the format."""
+    import json as _json
+
+    import pytest
+
+    import python_plugins_spark.sources.iceberg_py as I
+
+    path = _fresh("ice_v1")
+    I.write_iceberg(
+        spark.range(10).select(F.col("id")), path, "overwrite", format_version=1
+    )
+    I.write_iceberg(spark.range(10, 15).select(F.col("id")), path, "append")
+    meta = I._load_metadata(path)
+    assert meta["format-version"] == 1  # append preserved v1
+
+    with pytest.raises(ValueError, match="format-version 2"):
+        I.delete_iceberg(spark, path, "id < 3")
+    with pytest.raises(ValueError, match="format-version 2"):
+        I.equality_delete_iceberg(
+            spark, path, spark.createDataFrame([(1,)], "id bigint")
+        )
+
+    v = I.upgrade_format_version(path)
+    assert I._load_metadata(path)["format-version"] == 2
+    # metadata-only: same snapshot, no new files
+    assert I._load_metadata(path)["current-snapshot-id"] == 2
+    assert I.upgrade_format_version(path) == v  # idempotent
+
+    I.delete_iceberg(spark, path, "id < 3")
+    assert {r.id for r in I.read_iceberg(spark, path).collect()} == set(range(3, 15))
