@@ -585,9 +585,12 @@ def pq_encode(df, id_col: str, vec_col: str, books):
     )
 
 
+PQ_MAX_QUERIES = 10_000
+
+
 def pq_topk(
     df_codes, queries_df, id_col: str, vec_col: str, books, kk: int = 10,
-    rerank_vectors=None,
+    rerank_vectors=None, max_queries: int = PQ_MAX_QUERIES,
 ):
     """Asymmetric-distance PQ search: each query builds its m x k
     lookup table of exact subspace distances to every centroid, then a
@@ -612,6 +615,21 @@ def pq_topk(
     m, k, sub = books.shape
     B = books.copy()
 
+    # The QUERY SET ships to the driver and then to every task as a
+    # constant (each query's m x k LUT rides the closure) — the PQ
+    # serving shape: a bounded batch of queries against an unbounded
+    # code table. That is a size ASSUMPTION on queries_df, so it is
+    # gated like every other deliberate small-side materialization
+    # (same stance as _gate_pairwise); an unbounded query frame gets
+    # an immediate error naming the join-shaped alternative.
+    n_q = queries_df.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"pq_topk ships the query set as a task constant, gated at "
+            f"{max_queries} queries (got {n_q}); for query sets this "
+            "large use ann_topk_blocked / ivf_ann_topk (join-shaped, "
+            "both sides distributed)"
+        )
     q_rows = queries_df.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).collect()

@@ -837,3 +837,27 @@ def test_ppm_codec_comments_and_whitespace():
     weird = b"P6 # a comment\n# another\n 7\t4\n255\n" + body
     w, h, px2 = parse_ppm(weird)
     assert (w, h) == (7, 4) and px2 == px
+
+
+def test_pq_topk_gates_unbounded_query_sets(spark):
+    """pq_topk ships the query set driver-side (the PQ serving shape);
+    an oversized query frame must be refused with the scale-path
+    pointer, not silently collected."""
+    import numpy as np
+    import pytest
+
+    from python_plugins_spark.operators import similarity as S
+
+    df = spark.range(64).selectExpr(
+        "id", "array(cast(id as double), cast(id+1 as double), "
+        "cast(id+2 as double), cast(id+3 as double)) AS embedding"
+    )
+    books = S.pq_train_codebooks(df, "embedding", dim=4, m=2, k=4, sample_rows=64)
+    codes = S.pq_encode(df, "id", "embedding", books)
+    with pytest.raises(ValueError, match="task constant"):
+        S.pq_topk(codes, df, "id", "embedding", books, max_queries=10)
+    # under the gate the search runs
+    out = S.pq_topk(
+        codes, df.limit(3), "id", "embedding", books, kk=2, max_queries=10
+    )
+    assert out.count() > 0
