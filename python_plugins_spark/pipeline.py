@@ -113,7 +113,43 @@ _AGG_FUNCS = {
     "min": F.min,
     "max": F.max,
     "countDistinct": F.countDistinct,
+    # CDAP GroupByAggregator parity extensions (round 4)
+    "stddev": F.stddev_samp,
+    "variance": F.var_samp,
+    "logicalAnd": F.bool_and,
+    "logicalOr": F.bool_or,
+    # collect* sort their results so pipeline output is deterministic
+    # regardless of partition arrival order
+    "collectList": lambda c: F.sort_array(F.collect_list(c)),
+    "collectSet": lambda c: F.sort_array(F.collect_set(c)),
 }
+
+
+def _agg_expr(stage_name: str, a: dict):
+    """One aggregate spec {name, function, field, args?} -> Column.
+    Argument-taking functions (percentile, concat) read their
+    parameters from ``args``."""
+    fn_name, field = a["function"], a.get("field", "*")
+    args = a.get("args", {})
+    if fn_name == "percentile":
+        p = args.get("percentile")
+        if p is None:
+            raise PipelineSpecError(
+                f"stage {stage_name!r}: percentile needs "
+                "args.percentile in [0, 1]"
+            )
+        return F.percentile(field, F.lit(float(p))).alias(a["name"])
+    if fn_name == "concat":
+        sep = args.get("separator", ",")
+        return F.concat_ws(sep, F.sort_array(F.collect_list(field))).alias(
+            a["name"]
+        )
+    fn = _AGG_FUNCS.get(fn_name)
+    if fn is None:
+        raise PipelineSpecError(
+            f"stage {stage_name!r}: unknown aggregate {fn_name!r}"
+        )
+    return fn(field).alias(a["name"])
 
 
 def _stage_of(src: str) -> str:
@@ -266,22 +302,45 @@ def run_pipeline(spark: SparkSession, spec: dict) -> dict[str, DataFrame]:
                 raise PipelineSpecError(
                     f"stage {name!r} (batchjoiner) needs >= 2 inputs"
                 )
-            df = ins[0]
-            for other in ins[1:]:
-                df = df.join(
-                    other, on=cfg["joinKeys"], how=cfg.get("joinType", "inner")
-                )
-            frames[name] = df
+            if cfg.get("joinCondition"):
+                # CDAP advanced-join parity: an arbitrary SQL condition
+                # referencing inputs by their PRODUCING STAGE name
+                # ("cust.c_custkey = ord.o_custkey AND ord.x > 5") —
+                # theta/range joins, not just equi-keys. Each input is
+                # aliased by its stage; selectedFields (optional)
+                # disambiguates the output columns.
+                if cfg.get("joinKeys"):
+                    raise PipelineSpecError(
+                        f"stage {name!r}: joinKeys and joinCondition "
+                        "are mutually exclusive"
+                    )
+                aliases = [_stage_of(i) for i in inputs[name]]
+                if len(set(aliases)) != len(aliases):
+                    raise PipelineSpecError(
+                        f"stage {name!r}: joinCondition needs distinct "
+                        f"producing stages, got {aliases}"
+                    )
+                df = ins[0].alias(aliases[0])
+                for other, al in zip(ins[1:], aliases[1:]):
+                    df = df.join(
+                        other.alias(al),
+                        on=F.expr(cfg["joinCondition"]),
+                        how=cfg.get("joinType", "inner"),
+                    )
+                if cfg.get("selectedFields"):
+                    df = df.selectExpr(*cfg["selectedFields"])
+                frames[name] = df
+            else:
+                df = ins[0]
+                for other in ins[1:]:
+                    df = df.join(
+                        other, on=cfg["joinKeys"],
+                        how=cfg.get("joinType", "inner"),
+                    )
+                frames[name] = df
         elif stype == "batchaggregator.groupby":
             need(1)
-            aggs = []
-            for a in cfg["aggregates"]:
-                fn = _AGG_FUNCS.get(a["function"])
-                if fn is None:
-                    raise PipelineSpecError(
-                        f"stage {name!r}: unknown aggregate {a['function']!r}"
-                    )
-                aggs.append(fn(a.get("field", "*")).alias(a["name"]))
+            aggs = [_agg_expr(name, a) for a in cfg["aggregates"]]
             frames[name] = ins[0].groupBy(*cfg["groupByFields"]).agg(*aggs)
         elif stype.startswith("streamingsource."):
             need(0)
@@ -344,14 +403,7 @@ def run_pipeline(spark: SparkSession, spec: dict) -> dict[str, DataFrame]:
             df = ins[0]
             if cfg.get("watermark"):
                 df = df.withWatermark(cfg["eventTime"], cfg["watermark"])
-            aggs = []
-            for a in cfg["aggregates"]:
-                fn = _AGG_FUNCS.get(a["function"])
-                if fn is None:
-                    raise PipelineSpecError(
-                        f"stage {name!r}: unknown aggregate {a['function']!r}"
-                    )
-                aggs.append(fn(a.get("field", "*")).alias(a["name"]))
+            aggs = [_agg_expr(name, a) for a in cfg["aggregates"]]
             win = F.window(
                 cfg["eventTime"], cfg["windowDuration"], cfg.get("slide")
             ).alias("_win")

@@ -1302,3 +1302,71 @@ def iceberg_manifest_compact(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double").alias("total"),
     )
+
+
+@register(
+    "pipeline_theta_join_percentiles",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n,
+           round(quantile_cont(o.o_totalprice, 0.5), 4) AS median_price,
+           round(stddev_samp(o.o_totalprice), 4) AS sd_price,
+           min(c.c_nationkey) AS min_nation
+    FROM customer c JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 150000
+    GROUP BY c.c_mktsegment
+    """,
+)
+def pipeline_theta_join_percentiles(spark, sf_dir):
+    """CDAP advanced-join + aggregator parity through the pipeline
+    runner: batchjoiner with a JOIN CONDITION (equi key AND a range
+    predicate, referencing inputs by stage name — the theta-join shape
+    the equi-key config cannot express) feeding a groupby aggregator
+    using the round-4 function extensions (percentile with args,
+    stddev). One fused Catalyst plan; oracle is the plain SQL."""
+    from python_plugins_spark.pipeline import run_pipeline
+
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "cust", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/customer.parquet"}},
+            {"name": "ord", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/orders.parquet"}},
+            {"name": "join", "type": "batchjoiner",
+             "config": {
+                 "joinCondition": (
+                     "cust.c_custkey = ord.o_custkey "
+                     "AND ord.o_totalprice > 150000"
+                 ),
+                 "selectedFields": [
+                     "cust.c_mktsegment AS c_mktsegment",
+                     "cust.c_nationkey AS c_nationkey",
+                     "ord.o_totalprice AS o_totalprice",
+                 ],
+             }},
+            {"name": "agg", "type": "batchaggregator.groupby",
+             "config": {
+                 "groupByFields": ["c_mktsegment"],
+                 "aggregates": [
+                     {"name": "n", "function": "count", "field": "*"},
+                     {"name": "median_price", "function": "percentile",
+                      "field": "o_totalprice",
+                      "args": {"percentile": 0.5}},
+                     {"name": "sd_price", "function": "stddev",
+                      "field": "o_totalprice"},
+                     {"name": "min_nation", "function": "min",
+                      "field": "c_nationkey"},
+                 ],
+             }},
+        ],
+        "connections": [
+            {"from": "cust", "to": "join"},
+            {"from": "ord", "to": "join"},
+            {"from": "join", "to": "agg"},
+        ],
+    })
+    return frames["agg"].select(
+        "c_mktsegment", "n",
+        F.round("median_price", 4).alias("median_price"),
+        F.round("sd_price", 4).alias("sd_price"),
+        "min_nation",
+    )

@@ -413,3 +413,88 @@ def test_pipeline_streaming_delta_source_roundtrip(spark, sf_dir, tmp_path):
     assert {r.id for r in frames["k"].collect()} == {
         i for i in range(50) if i % 5 != 4
     }
+
+
+def test_pipeline_joiner_condition_and_agg_extensions(spark, sf_dir):
+    """batchjoiner joinCondition (theta join by stage alias) and the
+    aggregator's percentile/collectList/collectSet/concat functions."""
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "nat", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/nation.parquet"}},
+            {"name": "reg", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/region.parquet"}},
+            {"name": "j", "type": "batchjoiner",
+             "config": {
+                 "joinCondition": (
+                     "nat.n_regionkey = reg.r_regionkey "
+                     "AND nat.n_nationkey > 2"
+                 ),
+                 "selectedFields": ["reg.r_name AS r_name",
+                                    "nat.n_nationkey AS n_nationkey",
+                                    "nat.n_name AS n_name"],
+             }},
+            {"name": "a", "type": "batchaggregator.groupby",
+             "config": {
+                 "groupByFields": ["r_name"],
+                 "aggregates": [
+                     {"name": "nations", "function": "collectSet",
+                      "field": "n_name"},
+                     {"name": "keys", "function": "collectList",
+                      "field": "n_nationkey"},
+                     {"name": "joined", "function": "concat",
+                      "field": "n_name", "args": {"separator": "|"}},
+                     {"name": "mid_key", "function": "percentile",
+                      "field": "n_nationkey",
+                      "args": {"percentile": 0.5}},
+                 ],
+             }},
+        ],
+        "connections": [
+            {"from": "nat", "to": "j"},
+            {"from": "reg", "to": "j"},
+            {"from": "j", "to": "a"},
+        ],
+    })
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    want = (
+        nat.filter("n_nationkey > 2")
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+    )
+    got = {r.r_name: r for r in frames["a"].collect()}
+    for rr in want.groupBy("r_name").agg(
+        F.sort_array(F.collect_set("n_name")).alias("nations"),
+        F.sort_array(F.collect_list("n_nationkey")).alias("keys"),
+    ).collect():
+        assert got[rr.r_name].nations == rr.nations
+        assert got[rr.r_name].keys == rr.keys
+        assert got[rr.r_name].joined == "|".join(sorted(rr.nations))
+    # validation: joinKeys + joinCondition is a compile error
+    with pytest.raises(PipelineSpecError, match="mutually exclusive"):
+        run_pipeline(spark, {
+            "stages": [
+                {"name": "nat", "type": "batchsource.parquet",
+                 "config": {"path": f"{sf_dir}/nation.parquet"}},
+                {"name": "reg", "type": "batchsource.parquet",
+                 "config": {"path": f"{sf_dir}/region.parquet"}},
+                {"name": "j", "type": "batchjoiner",
+                 "config": {"joinKeys": ["x"], "joinCondition": "1=1"}},
+            ],
+            "connections": [{"from": "nat", "to": "j"},
+                            {"from": "reg", "to": "j"}],
+        })
+    # validation: percentile without its arg is a compile error
+    with pytest.raises(PipelineSpecError, match="percentile"):
+        run_pipeline(spark, {
+            "stages": [
+                {"name": "nat", "type": "batchsource.parquet",
+                 "config": {"path": f"{sf_dir}/nation.parquet"}},
+                {"name": "a", "type": "batchaggregator.groupby",
+                 "config": {"groupByFields": ["n_regionkey"],
+                            "aggregates": [{"name": "p",
+                                            "function": "percentile",
+                                            "field": "n_nationkey"}]}},
+            ],
+            "connections": [{"from": "nat", "to": "a"}],
+        })
