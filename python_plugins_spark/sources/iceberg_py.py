@@ -35,8 +35,10 @@ single-writer filesystem-catalog subset, same spirit as delta_py):
   field-id-keyed binary single-value serialization;
 - top-level primitive columns only in bounds (nested types scan fine
   but don't contribute prune stats);
-- one manifest per commit, no manifest compaction, no catalog
-  atomicity beyond the version-hint rename;
+- one manifest per commit at write time (:func:`rewrite_manifests`
+  compacts them on demand, preserving delete scoping via per-entry
+  added_snapshot_id); no catalog atomicity beyond the version-hint
+  rename;
 - **row-level deletes (format-version 2) ARE implemented**: position
   delete files (content=1, :func:`delete_iceberg`) and equality
   delete files (content=2, :func:`equality_delete_iceberg`), both
