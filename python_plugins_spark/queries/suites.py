@@ -1370,3 +1370,75 @@ def pipeline_theta_join_percentiles(spark, sf_dir):
         F.round("sd_price", 4).alias("sd_price"),
         "min_nation",
     )
+
+
+@register(
+    "msgbus_stream_events",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 4) AS total_value,
+           count(DISTINCT user_id) AS users
+    FROM events GROUP BY event_type
+    """,
+)
+def msgbus_stream_events(spark, sf_dir):
+    """Message-bus (Kafka-shaped) source emulation end-to-end: events
+    rows produce EXECUTOR-SIDE into a 4-partition topic (hash-by-key,
+    one writer per partition — the broker's own model), then a
+    structured-streaming drain consumes the Kafka wire schema
+    (key/value/topic/partition/offset/timestamp), JSON-decodes the
+    values, and the aggregate must equal the plain table's. Proves the
+    full produce -> offsets -> exactly-once-drain -> decode path; no
+    network broker exists in this env, so the surface is the point
+    (sources/msgbus.py)."""
+    import os
+    import shutil
+    import uuid
+
+    from python_plugins_spark.sources import msgbus
+
+    msgbus.register(spark)
+    ev = load_table(spark, "events", sf_dir)
+    root = os.path.join(
+        _SCRATCH, f"msgbus_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    payload = ev.select(
+        F.col("user_id").cast("string").alias("k"),
+        F.to_json(
+            F.struct("event_id", "event_type", "value", "user_id")
+        ).alias("v"),
+        "ts",
+    )
+    msgbus.produce_dataframe(
+        payload, root, "events", key_col="k", value_col="v",
+        ts_col="ts", partitions=4,
+    )
+
+    qname = f"msgbus_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("msgbus")
+        .option("path", root)
+        .option("topic", "events")
+        .load()
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    wire = spark.table(qname)
+    decoded = wire.select(
+        F.from_json(
+            F.col("value").cast("string"),
+            "event_id long, event_type string, value double, user_id long",
+        ).alias("j")
+    ).select("j.*")
+    return decoded.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.countDistinct("user_id").alias("users"),
+    )

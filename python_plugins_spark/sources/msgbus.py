@@ -1,0 +1,293 @@
+"""Message-bus (Kafka-shaped) source emulation.
+
+The host platform around the reference plugin fronts pipelines with a
+message bus; no network broker exists in this environment, so this
+module emulates the Kafka SOURCE API SHAPE over an append-only local
+log — the point is the Spark-side surface (wire schema, partition/
+offset semantics, exactly-once streaming restarts), not the broker.
+
+Broker layout: ``<root>/<topic>/p<N>/*.log`` — each topic partition is
+a directory of segment files, each segment an append-only sequence of
+length-prefixed records::
+
+    <key_len:int32 LE, -1 = null key><key bytes>
+    <value_len:int32 LE><value bytes>
+    <ts_ms:int64 LE>
+
+Semantics mirrored from the real thing:
+
+- **one writer per partition** (Kafka's own model): a DataFrame
+  produce repartitions rows by key hash onto the topic's partitions,
+  and each Spark task owns exactly one partition directory — no
+  cross-task file contention by construction, at any scale;
+- **records with the same key land in the same partition** (hash
+  partitioning), preserving per-key order;
+- **offsets are per-partition record indexes**; the streaming reader
+  checkpoints ``{partition: consumed_count}`` through the engine, so a
+  restart resumes exactly after the last committed record — the
+  exactly-once contract of the real Kafka source;
+- **the wire schema is the Kafka source schema**: key binary, value
+  binary, topic string, partition int, offset long, timestamp.
+
+Reads are executor-side (each InputPartition walks one partition's
+segments); only offset discovery (file sizes/record counts) runs on
+the driver, like a broker metadata fetch.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), False),
+        T.StructField("topic", T.StringType(), False),
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("timestamp", T.TimestampType(), False),
+    ]
+)
+
+
+def _topic_dir(root: str, topic: str) -> str:
+    return os.path.join(root, topic)
+
+
+def _partition_dirs(root: str, topic: str) -> list[str]:
+    td = _topic_dir(root, topic)
+    if not os.path.isdir(td):
+        raise FileNotFoundError(f"no such topic: {topic} under {root}")
+    return sorted(
+        (os.path.join(td, d) for d in os.listdir(td) if d.startswith("p")),
+        key=lambda p: int(os.path.basename(p)[1:]),
+    )
+
+
+def _encode_record(key: bytes | None, value: bytes, ts_ms: int) -> bytes:
+    head = struct.pack("<i", -1 if key is None else len(key))
+    if key is not None:
+        head += key
+    return head + struct.pack("<i", len(value)) + value + struct.pack("<q", ts_ms)
+
+
+def _iter_segment(path: str):
+    """Yield (key, value, ts_ms) records from one segment file."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    pos = 0
+    while pos < len(data):
+        (klen,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        key = None
+        if klen >= 0:
+            key = data[pos : pos + klen]
+            pos += klen
+        (vlen,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        value = data[pos : pos + vlen]
+        pos += vlen
+        (ts,) = struct.unpack_from("<q", data, pos)
+        pos += 8
+        yield key, value, ts
+
+
+def _iter_partition(pdir: str):
+    """Records of one partition in offset order (segments sort by
+    name — producers name them monotonically)."""
+    for seg in sorted(os.listdir(pdir)):
+        if seg.endswith(".log"):
+            yield from _iter_segment(os.path.join(pdir, seg))
+
+
+def _partition_count(pdir: str) -> int:
+    return sum(1 for _ in _iter_partition(pdir))
+
+
+def create_topic(root: str, topic: str, partitions: int) -> None:
+    for i in range(partitions):
+        os.makedirs(os.path.join(_topic_dir(root, topic), f"p{i}"), exist_ok=True)
+
+
+def produce_dataframe(
+    df: DataFrame,
+    root: str,
+    topic: str,
+    key_col: str,
+    value_col: str,
+    ts_col: str | None = None,
+    partitions: int = 4,
+) -> None:
+    """Executor-side produce: rows hash-partition by key onto the
+    topic's partitions; each task writes ONE partition's segment (the
+    one-writer-per-partition model — no contention at any parallelism).
+    Task retries are safe: the segment is staged under a temp name and
+    renamed into place, so the last attempt wins with identical
+    content (the write is a pure function of the partition's rows)."""
+    create_topic(root, topic, partitions)
+    ts = (
+        (F.unix_millis(F.col(ts_col)))
+        if ts_col
+        else F.lit(0).cast("long")
+    )
+    prepared = df.select(
+        F.col(key_col).cast("binary").alias("k"),
+        F.col(value_col).cast("binary").alias("v"),
+        ts.alias("t"),
+        F.pmod(F.crc32(F.col(key_col).cast("binary")), F.lit(partitions))
+        .cast("int")
+        .alias("p"),
+    ).repartition(partitions, "p")
+
+    topic_root = _topic_dir(root, topic)
+
+    def write_partition(rows):
+        by_part: dict[int, list] = {}
+        for r in rows:
+            by_part.setdefault(r.p, []).append(r)
+        for p, rs in by_part.items():
+            # per-key order inside the partition is the arrival order;
+            # sort by (ts, key) for deterministic retries
+            rs.sort(key=lambda r: (r.t, r.k or b""))
+            payload = b"".join(
+                _encode_record(r.k, r.v, r.t) for r in rs
+            )
+            pdir = os.path.join(topic_root, f"p{p}")
+            tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+            os.replace(tmp, os.path.join(pdir, "00000000.log"))
+
+    prepared.foreachPartition(write_partition)
+
+
+def append_records(
+    root: str,
+    topic: str,
+    partition: int,
+    records: list[tuple[bytes | None, bytes, int]],
+) -> None:
+    """Small incremental produce (driver-side test helper): appends a
+    new segment after the existing ones."""
+    pdir = os.path.join(_topic_dir(root, topic), f"p{partition}")
+    os.makedirs(pdir, exist_ok=True)
+    existing = sorted(s for s in os.listdir(pdir) if s.endswith(".log"))
+    nxt = int(existing[-1].split(".")[0]) + 1 if existing else 0
+    payload = b"".join(_encode_record(k, v, t) for k, v, t in records)
+    tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "wb") as fh:
+        fh.write(payload)
+    os.replace(tmp, os.path.join(pdir, f"{nxt:08d}.log"))
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, pdir: str, topic: str, pid: int, start: int, end: int):
+        self.pdir = pdir
+        self.topic = topic
+        self.pid = pid
+        self.start = start
+        self.end = end
+
+
+def _emit_rows(part: _RangePartition):
+    from datetime import datetime, timezone
+
+    for off, (key, value, ts) in enumerate(_iter_partition(part.pdir)):
+        if off < part.start or off >= part.end:
+            continue
+        yield (
+            key,
+            value,
+            part.topic,
+            part.pid,
+            off,
+            datetime.fromtimestamp(ts / 1000.0, tz=timezone.utc).replace(
+                tzinfo=None
+            ),
+        )
+
+
+class MsgBusSource(DataSource):
+    """Options: ``path`` (broker root), ``topic``,
+    ``starting_offsets`` ('earliest', the default, or a JSON dict)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "msgbus"
+
+    def schema(self) -> T.StructType:
+        return WIRE_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return MsgBusBatchReader(self.options["path"], self.options["topic"])
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return MsgBusStreamReader(self.options["path"], self.options["topic"])
+
+
+class MsgBusBatchReader(DataSourceReader):
+    def __init__(self, root: str, topic: str):
+        self.root = root
+        self.topic = topic
+
+    def partitions(self):
+        return [
+            _RangePartition(
+                pdir, self.topic, int(os.path.basename(pdir)[1:]),
+                0, _partition_count(pdir),
+            )
+            for pdir in _partition_dirs(self.root, self.topic)
+        ]
+
+    def read(self, partition: _RangePartition):
+        yield from _emit_rows(partition)
+
+
+class MsgBusStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, topic: str):
+        self.root = root
+        self.topic = topic
+
+    def initialOffset(self) -> dict:
+        return {
+            os.path.basename(p): 0 for p in _partition_dirs(self.root, self.topic)
+        }
+
+    def latestOffset(self) -> dict:
+        return {
+            os.path.basename(p): _partition_count(p)
+            for p in _partition_dirs(self.root, self.topic)
+        }
+
+    def partitions(self, start: dict, end: dict):
+        out = []
+        for pdir in _partition_dirs(self.root, self.topic):
+            pname = os.path.basename(pdir)
+            s, e = int(start.get(pname, 0)), int(end.get(pname, 0))
+            if e > s:
+                out.append(
+                    _RangePartition(pdir, self.topic, int(pname[1:]), s, e)
+                )
+        return out
+
+    def read(self, partition: _RangePartition):
+        yield from _emit_rows(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # the engine checkpoint IS the consumption record
+
+
+def register(spark: SparkSession) -> None:
+    spark.dataSource.register(MsgBusSource)
