@@ -69,6 +69,9 @@ projection/filter/router/wrangler stages apply to a streaming frame):
 - ``streamingsource.rate`` — options? (rowsPerSecond, ...)
 - ``streamingsource.delta|iceberg`` — this repo's table-format
   streaming sources; options? (readChangeFeed, maxFilesPerTrigger, ...)
+- ``streamingsource.msgbus`` — path (broker root), topic: the
+  Kafka-shaped message-bus emulation (sources/msgbus.py), Kafka
+  wire schema out
 - ``transform.watermark`` — eventTime, delay (e.g. "10 minutes")
 - ``streamingaggregator.windowed_groupby`` — eventTime,
   windowDuration, slide?, watermark?, groupByFields?, aggregates
@@ -195,7 +198,13 @@ def _toposort(stages: dict, inputs: dict[str, list[str]]) -> list[str]:
     return order
 
 
-def run_pipeline(spark: SparkSession, spec: dict) -> dict[str, DataFrame]:
+def run_pipeline(
+    spark: SparkSession, spec: dict, dry_run: bool = False
+) -> dict[str, DataFrame]:
+    """Interpret a pipeline document. ``dry_run=True`` compiles every
+    stage (full deploy-time validation, all frames returned) but skips
+    sink writes and never starts streaming queries — the prepareRun
+    phase, used by :func:`pipeline_field_lineage`."""
     stages = {s["name"]: s for s in spec.get("stages", [])}
     if not stages:
         raise PipelineSpecError("pipeline has no stages")
@@ -387,6 +396,17 @@ def run_pipeline(spark: SparkSession, spec: dict) -> dict[str, DataFrame]:
                     .options(**opts)
                     .load()
                 )
+            elif fmt == "msgbus":
+                from python_plugins_spark.sources import msgbus as mod
+
+                mod.register(spark)
+                frames[name] = (
+                    spark.readStream.format("msgbus")
+                    .option("path", cfg["path"])
+                    .option("topic", cfg["topic"])
+                    .options(**opts)
+                    .load()
+                )
             else:
                 raise PipelineSpecError(
                     f"unknown streaming source format {fmt!r}"
@@ -419,6 +439,13 @@ def run_pipeline(spark: SparkSession, spec: dict) -> dict[str, DataFrame]:
             fmt = stype.split(".", 1)[1]
             df = ins[0]
             drain = cfg.get("drain", True)
+            if dry_run:
+                if fmt not in ("memory", "parquet", "foreachbatch", "delta"):
+                    raise PipelineSpecError(
+                        f"unknown streaming sink format {fmt!r}"
+                    )
+                frames[name] = df
+                continue
             if fmt == "memory":
                 qname = cfg.get("queryName", name)
                 prev = None
@@ -520,7 +547,10 @@ def run_pipeline(spark: SparkSession, spec: dict) -> dict[str, DataFrame]:
                     "use streamingsink.* for streaming pipelines"
                 )
             frames[name] = df
-            if fmt in ("parquet", "csv", "json", "orc"):
+            if dry_run:
+                if fmt not in ("parquet", "csv", "json", "orc", "delta", "iceberg"):
+                    raise PipelineSpecError(f"unknown sink format {fmt!r}")
+            elif fmt in ("parquet", "csv", "json", "orc"):
                 writer = df.write.mode(cfg.get("mode", "overwrite"))
                 if cfg.get("partitionBy"):
                     writer = writer.partitionBy(*cfg["partitionBy"])
@@ -550,3 +580,52 @@ def run_pipeline(spark: SparkSession, spec: dict) -> dict[str, DataFrame]:
         else:
             raise PipelineSpecError(f"stage {name!r}: unknown type {stype!r}")
     return frames
+
+
+def pipeline_field_lineage(spark: SparkSession, spec: dict) -> dict:
+    """Submit-time field lineage for a whole pipeline document — the
+    CDAP wire shape the platform records in prepareRun (the reference
+    contributes one FieldTransformOperation per python stage,
+    ``PythonEvaluator.java:242-259``; the platform assembles the
+    per-stage operations into the pipeline's field-lineage document).
+
+    Compiles the pipeline with ``dry_run=True`` (nothing executes) and
+    emits one operation per stage::
+
+        {"pipeline": ..., "operations": [
+            {"name": <stage>, "type": <stage type>,
+             "description": <script/condition/config summary>,
+             "inputFields": {upstream-stage-or-port: [cols...]},
+             "outputFields": [cols...]},
+        ...]}
+
+    Input fields are each upstream port's columns; for the python
+    stage the description is the user script itself — exactly what the
+    reference records."""
+    frames = run_pipeline(spark, spec, dry_run=True)
+    inputs: dict[str, list[str]] = {s_["name"]: [] for s_ in spec["stages"]}
+    for c in spec.get("connections", []):
+        inputs[c["to"]].append(c["from"])
+    ops = []
+    for stage in spec["stages"]:
+        name, stype = stage["name"], stage["type"]
+        cfg = stage.get("config", {})
+        desc = (
+            cfg.get("script")
+            or cfg.get("condition")
+            or cfg.get("joinCondition")
+            or cfg.get("directives")
+            or cfg.get("path", "")
+        )
+        ops.append(
+            {
+                "name": name,
+                "type": stype,
+                "description": desc if isinstance(desc, str) else str(desc),
+                "inputFields": {
+                    src: list(frames[src].columns) for src in inputs[name]
+                },
+                "outputFields": list(frames[name].columns),
+            }
+        )
+    return {"pipeline": spec.get("name", "pipeline"), "operations": ops}

@@ -498,3 +498,67 @@ def test_pipeline_joiner_condition_and_agg_extensions(spark, sf_dir):
             ],
             "connections": [{"from": "nat", "to": "a"}],
         })
+
+
+def test_pipeline_field_lineage_wire_shape(spark, sf_dir, tmp_path):
+    """pipeline_field_lineage compiles without executing (dry run: no
+    sink output, no streaming query) and emits per-stage operations
+    with input/output field lists; the python stage's description is
+    the user script, as the reference records."""
+    from python_plugins_spark.pipeline import pipeline_field_lineage
+
+    out = str(tmp_path / "never_written")
+    script = (
+        "def transform(record, emitter, context):\n"
+        "    emitter.emit({'o_orderkey': record['o_orderkey'],\n"
+        "                  'fee': record['o_totalprice'] * 0.01})\n"
+    )
+    spec = {
+        "name": "lineage_demo",
+        "stages": [
+            {"name": "src", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/orders.parquet"}},
+            {"name": "ev", "type": "transform.python",
+             "config": {"script": script,
+                        "schema": "o_orderkey long, fee double"}},
+            {"name": "sink", "type": "batchsink.parquet",
+             "config": {"path": out}},
+        ],
+        "connections": [{"from": "src", "to": "ev"},
+                        {"from": "ev", "to": "sink"}],
+    }
+    lin = pipeline_field_lineage(spark, spec)
+    import os
+
+    assert not os.path.exists(out)  # dry run wrote nothing
+    ops = {o["name"]: o for o in lin["operations"]}
+    assert lin["pipeline"] == "lineage_demo"
+    assert ops["ev"]["description"] == script
+    assert ops["ev"]["inputFields"]["src"][:2] == ["o_orderkey", "o_custkey"]
+    assert ops["ev"]["outputFields"] == ["o_orderkey", "fee"]
+    assert ops["sink"]["inputFields"]["ev"] == ["o_orderkey", "fee"]
+
+
+def test_pipeline_streaming_msgbus_source(spark, tmp_path):
+    """streamingsource.msgbus wires the Kafka-shaped emulation into the
+    runner; values decode downstream with normal transform stages."""
+    from python_plugins_spark.sources import msgbus
+
+    root = str(tmp_path / "broker")
+    msgbus.create_topic(root, "t", partitions=2)
+    msgbus.append_records(root, "t", 0, [(b"a", b"10", 0), (b"b", b"20", 0)])
+    msgbus.append_records(root, "t", 1, [(b"c", b"30", 0)])
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "streamingsource.msgbus",
+             "config": {"path": root, "topic": "t"}},
+            {"name": "proj", "type": "transform.projection",
+             "config": {"select": ["partition", "offset", "value"]}},
+            {"name": "sink", "type": "streamingsink.memory",
+             "config": {"queryName": "msgbus_pipe_sink"}},
+        ],
+        "connections": [{"from": "src", "to": "proj"},
+                        {"from": "proj", "to": "sink"}],
+    })
+    rows = frames["sink"].collect()
+    assert sorted(int(bytes(r.value)) for r in rows) == [10, 20, 30]
