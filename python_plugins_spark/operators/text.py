@@ -339,3 +339,67 @@ def gopher_rules_oracle_sql(table: str, text_col: str, id_col: str) -> str:
            AND (n_stops >= 2)) AS passes_gopher
         FROM _m
     """
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Common-Crawl-style URL canonicalization, expression-only (zero
+    Python in the hot path): lowercase scheme+host, strip default
+    ports (:80 http / :443 https), drop the fragment, remove utm_*
+    tracking parameters, sort the surviving query parameters, and
+    normalize an empty path to '/'. Two raw URLs that differ only in
+    these respects canonicalize identically — the key the crawl-dedup
+    group-by runs on."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = (
+        F.when(
+            (scheme == "https") & hostport.endswith(":443"),
+            F.substring(hostport, 1, F.length(hostport) - 4),
+        )
+        .when(
+            (scheme == "http") & hostport.endswith(":80"),
+            F.substring(hostport, 1, F.length(hostport) - 3),
+        )
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    rawq = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(rawq, "&"),
+        lambda p: (F.length(p) > 0) & ~p.startswith("utm_"),
+    )
+    q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+
+
+def canonicalize_url_sql(url_expr: str) -> str:
+    """DuckDB twin of :func:`canonicalize_url` (same steps, DuckDB
+    list lambdas)."""
+    scheme = f"lower(regexp_extract({url_expr}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = f"lower(regexp_extract({url_expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    host = (
+        f"CASE WHEN {scheme} = 'https' AND {hostport} LIKE '%:443' "
+        f"THEN substr({hostport}, 1, length({hostport}) - 4) "
+        f"WHEN {scheme} = 'http' AND {hostport} LIKE '%:80' "
+        f"THEN substr({hostport}, 1, length({hostport}) - 3) "
+        f"ELSE {hostport} END"
+    )
+    path = (
+        f"CASE WHEN regexp_extract({url_expr}, "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) = '' THEN '/' "
+        f"ELSE regexp_extract({url_expr}, "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) END"
+    )
+    rawq = f"regexp_extract({url_expr}, '\\?([^#]*)', 1)"
+    q = (
+        f"array_to_string(list_sort(list_filter(str_split({rawq}, '&'), "
+        f"p -> length(p) > 0 AND NOT starts_with(p, 'utm_'))), '&')"
+    )
+    return (
+        f"({scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END)"
+    )

@@ -1442,3 +1442,154 @@ def msgbus_stream_events(spark, sf_dir):
         F.round(F.sum("value"), 4).alias("total_value"),
         F.countDistinct("user_id").alias("users"),
     )
+
+
+def _raw_url_spark(docs):
+    """Deterministically messy raw URLs from the documents table:
+    mixed-case scheme/host, default ports, tracking params in varying
+    order, fragments — every axis canonicalization must fix."""
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https"))
+    host = F.concat(
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+    )
+    qs = F.when(
+        d % 2 == 0,
+        F.concat(F.lit("?utm_source=feed&page="), (d % 40).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("?page="), (d % 40).cast("string"), F.lit("&utm_campaign=x")),
+    )
+    frag = F.when(d % 5 == 0, F.lit("#section-2")).otherwise(F.lit(""))
+    return docs.withColumn(
+        "raw_url",
+        F.concat(scheme, F.lit("://"), host, F.lit("/crawl/item"), qs, frag),
+    )
+
+
+_RAW_URL_SQL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://' ||
+     CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END || source ||
+     '.example.com' ||
+     CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END || '/crawl/item' ||
+     CASE WHEN doc_id % 2 = 0
+          THEN '?utm_source=feed&page=' || (doc_id % 40)::VARCHAR
+          ELSE '?page=' || (doc_id % 40)::VARCHAR || '&utm_campaign=x' END ||
+     CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END)
+"""
+
+
+def _install_url_queries():
+    from python_plugins_spark.operators.text import (
+        canonicalize_url, canonicalize_url_sql,
+    )
+
+    @register(
+        "url_canonicalize_dedup",
+        oracle=f"""
+        WITH raw AS (SELECT doc_id, source, {_RAW_URL_SQL} AS raw_url
+                     FROM documents),
+        canon AS (SELECT doc_id,
+                         {canonicalize_url_sql('raw_url')} AS canonical_url
+                  FROM raw)
+        SELECT canonical_url, count(*) AS n_raw, min(doc_id) AS keeper_doc
+        FROM canon GROUP BY canonical_url HAVING count(*) > 1
+        """,
+    )
+    def url_canonicalize_dedup(spark, sf_dir):
+        """Crawl-frontier URL dedup, the first dedup pass of every web
+        corpus: raw URLs differing only in scheme/host case, default
+        ports, utm_* tracking params, query-param order, or fragments
+        canonicalize to one key, and the group-by keeps the smallest
+        doc_id per canonical URL. Canonicalization is expression-only
+        (operators/text.py:canonicalize_url — regexp + array lambdas,
+        zero Python UDFs, whole-stage codegen); one shuffle on the
+        canonical key at any corpus size. Only actually-collapsed
+        groups return, so the gate fails if any normalization axis
+        breaks."""
+        docs = load_table(spark, "documents", sf_dir)
+        withc = _raw_url_spark(docs).withColumn(
+            "canonical_url", canonicalize_url(F.col("raw_url"))
+        )
+        return (
+            withc.groupBy("canonical_url")
+            .agg(F.count("*").alias("n_raw"), F.min("doc_id").alias("keeper_doc"))
+            .filter(F.col("n_raw") > 1)
+        )
+
+
+_install_url_queries()
+
+
+@register(
+    "sentence_dedup_docs",
+    oracle=f"""
+    WITH marked AS (
+      SELECT doc_id,
+             regexp_replace(trim(text) || ' ', '((\\S+ ){{8}})', '\\1@@ ', 'g') AS m
+      FROM documents WHERE doc_id < 200 AND length(trim(text)) > 0
+    ),
+    sent AS (
+      SELECT doc_id, i AS sent_idx, trim(s) AS s
+      FROM (SELECT doc_id, string_split(m, '@@') AS parts FROM marked),
+           LATERAL (SELECT unnest(parts) AS s,
+                           unnest(generate_series(1, len(parts))) AS i)
+      WHERE length(trim(s)) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, sent_idx, s,
+             row_number() OVER (PARTITION BY s
+                                ORDER BY doc_id, sent_idx) AS rn
+      FROM sent
+    )
+    SELECT doc_id,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE rn = 1) AS n_kept,
+           md5(string_agg(s, ' ' ORDER BY sent_idx)
+               FILTER (WHERE rn = 1)) AS dedup_md5
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def sentence_dedup_docs(spark, sf_dir):
+    """C4-style cross-document sentence dedup: every sentence that
+    already appeared anywhere earlier in the corpus (global first
+    occurrence by (doc_id, sent_idx)) is dropped, and each document is
+    REASSEMBLED from its surviving sentences in original order — the
+    boilerplate-removal pass that deletes repeated headers/footers
+    corpus-wide while leaving first occurrences intact. Plan: one
+    shuffle on the sentence text for the first-occurrence window, one
+    group-by for reassembly; no UDFs, no driver actions."""
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter((F.col("doc_id") < 200) & (F.length(F.trim("text")) > 0))
+    )
+    marked = F.regexp_replace(
+        F.concat(F.trim("text"), F.lit(" ")), r"((\S+ ){8})", "$1@@ "
+    )
+    sent = (
+        docs.select("doc_id", F.posexplode(F.split(marked, "@@")).alias("pos", "s"))
+        .select("doc_id", (F.col("pos") + 1).alias("sent_idx"), F.trim("s").alias("s"))
+        .filter(F.length("s") > 0)
+    )
+    w = Window.partitionBy("s").orderBy("doc_id", "sent_idx")
+    ranked = sent.withColumn("rn", F.row_number().over(w))
+    agg = ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("rn") == 1, F.struct("sent_idx", "s"))
+            )
+        ).alias("kept"),
+    )
+    # a doc whose every sentence appeared earlier has NOTHING left:
+    # NULL digest (matching SQL string_agg FILTER), not md5('')
+    return agg.select(
+        "doc_id", "n_total", "n_kept",
+        F.when(
+            F.col("n_kept") > 0,
+            F.md5(F.concat_ws(" ", F.transform(F.col("kept"), lambda x: x["s"]))),
+        ).alias("dedup_md5"),
+    )
