@@ -1593,3 +1593,53 @@ def sentence_dedup_docs(spark, sf_dir):
             F.md5(F.concat_ws(" ", F.transform(F.col("kept"), lambda x: x["s"]))),
         ).alias("dedup_md5"),
     )
+
+
+@register(
+    "iceberg_hidden_partition_prune",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_custkey = 371 GROUP BY o_orderstatus
+    """,
+)
+def iceberg_hidden_partition_prune(spark, sf_dir):
+    """Iceberg HIDDEN partitioning (round 4): the table is laid out by
+    bucket[8] of o_custkey — a derived key the user never sees — and a
+    plain predicate on the SOURCE column prunes the manifest walk to
+    one bucket's files (asserted: <= 1/4 of the file list) before any
+    file is opened. The spec's core ergonomic: partition pruning
+    without partition-aware queries. Identity/bucket/truncate/day all
+    supported (sources/iceberg_py.py:_transform_col)."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import (
+        plan_files, read_iceberg, write_iceberg,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        _SCRATCH, f"ice_hidden_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(
+        o, path, mode="overwrite",
+        partition_by={"transform": "bucket", "source": "o_custkey", "n": 8},
+    )
+    pruned = plan_files(path, eq={"o_custkey": 371})
+    assert len(pruned) <= len(plan_files(path)) // 4, (
+        len(pruned), len(plan_files(path))
+    )
+    back = read_iceberg(spark, path, eq={"o_custkey": 371})
+    return (
+        back.filter(F.col("o_custkey") == 371)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
+        )
+    )

@@ -302,6 +302,113 @@ def current_metadata_version(path: str) -> int | None:
     return best
 
 
+# ------------------------------------------------- partition transforms
+
+def _normalize_pspec(partition_by):
+    """partition_by (str for identity, or {"transform": ..., "source":
+    ..., n/width} for hidden partitioning) -> normalized spec dict
+    {kind, source, param, pname, tstr} or None."""
+    if partition_by is None:
+        return None
+    if isinstance(partition_by, str):
+        return {"kind": "identity", "source": partition_by, "param": None,
+                "pname": partition_by, "tstr": "identity"}
+    kind = partition_by["transform"]
+    src = partition_by["source"]
+    if kind == "identity":
+        return {"kind": "identity", "source": src, "param": None,
+                "pname": src, "tstr": "identity"}
+    if kind == "bucket":
+        n = int(partition_by["n"])
+        return {"kind": "bucket", "source": src, "param": n,
+                "pname": f"{src}_bucket", "tstr": f"bucket[{n}]"}
+    if kind == "truncate":
+        w = int(partition_by["width"])
+        return {"kind": "truncate", "source": src, "param": w,
+                "pname": f"{src}_trunc", "tstr": f"truncate[{w}]"}
+    if kind == "day":
+        return {"kind": "day", "source": src, "param": None,
+                "pname": f"{src}_day", "tstr": "day"}
+    raise ValueError(f"unknown partition transform {kind!r}")
+
+
+def _pspec_from_meta(meta) -> dict | None:
+    """Reconstruct the normalized spec from committed metadata."""
+    fields = (meta.get("partition-specs") or [{}])[0].get("fields") or []
+    if not fields:
+        return None
+    f = fields[0]
+    tstr = f["transform"]
+    id_to_name = {fd["id"]: fd["name"] for fd in _current_schema_node(meta)["fields"]}
+    src = id_to_name[f["source-id"]]
+    if tstr == "identity":
+        return _normalize_pspec(src)
+    if tstr.startswith("bucket["):
+        return _normalize_pspec(
+            {"transform": "bucket", "source": src, "n": int(tstr[7:-1])}
+        )
+    if tstr.startswith("truncate["):
+        return _normalize_pspec(
+            {"transform": "truncate", "source": src, "width": int(tstr[9:-1])}
+        )
+    if tstr == "day":
+        return _normalize_pspec({"transform": "day", "source": src})
+    raise ValueError(f"unknown committed transform {tstr!r}")
+
+
+def _transform_col(pspec, dtype: T.DataType):
+    """The Spark Column computing the partition value from the source
+    column (``dtype`` is the source column's type). NOTE a documented
+    divergence: bucket uses CRC32 of the value's string form, not the
+    spec's murmur3_32 of the typed bytes — self-consistent between
+    write-side layout and read-side pruning, which is what this
+    layer's correctness needs."""
+    from pyspark.sql import functions as F
+
+    c = F.col(pspec["source"])
+    if pspec["kind"] == "bucket":
+        return F.pmod(
+            F.crc32(c.cast("string").cast("binary")), F.lit(pspec["param"])
+        ).cast("int")
+    if pspec["kind"] == "truncate":
+        w = pspec["param"]
+        # spec: strings truncate to a prefix; integers floor to a
+        # multiple of the width (negatives toward -inf, hence pmod)
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return (c - F.pmod(c, F.lit(w))).cast(dtype)
+        return F.substring(c, 1, w)
+    if pspec["kind"] == "day":
+        return F.to_date(c)
+    raise ValueError(pspec["kind"])
+
+
+def _transform_value(pspec, v) -> str:
+    """Python twin of the write-side transform — evaluates the
+    partition value a predicate constant lands in, for manifest
+    pruning. Must produce exactly the string Spark writes in the
+    hive dir name."""
+    import zlib
+    from datetime import date, datetime
+
+    kind = pspec["kind"]
+    if kind == "identity":
+        return str(v)
+    if kind == "bucket":
+        return str(zlib.crc32(str(v).encode("utf-8")) % pspec["param"])
+    if kind == "truncate":
+        w = pspec["param"]
+        if isinstance(v, int):
+            return str(v - (v % w))
+        return str(v)[:w]
+    if kind == "day":
+        if isinstance(v, datetime):
+            return v.date().isoformat()
+        if isinstance(v, date):
+            return v.isoformat()
+        return str(v)[:10]
+    raise ValueError(kind)
+
+
 def _require_v2(meta: dict, feature: str) -> None:
     """Row-level deletes are a format-version-2 feature (spec: v1
     tables have no delete files); refuse with the upgrade pointer."""
@@ -397,8 +504,16 @@ def write_iceberg(
 ) -> int:
     """Commit a new snapshot; returns the snapshot id.
 
-    Data is written by Spark as parquet (``partitionBy`` for identity
-    partitioning — the spec's identity transform), each file's footer
+    Data is written by Spark as parquet. ``partition_by`` takes a
+    column name (the spec's identity transform — the value is removed
+    from data files and reattached on read) or a HIDDEN-PARTITIONING
+    spec dict — ``{"transform": "bucket", "source": col, "n": N}``,
+    ``{"transform": "truncate", "source": col, "width": W}`` or
+    ``{"transform": "day", "source": ts_col}`` — where the derived
+    value keys the directory layout and manifests while the source
+    column stays in the data files; predicates on the SOURCE column
+    still prune at the manifest walk (:func:`plan_files` evaluates the
+    transform on the predicate constant). Each file's footer
     stats become the manifest's bounds, ONE manifest (Avro) describes
     the new files, and a new manifest list + metadata json + version
     hint publish the snapshot. ``mode='append'`` carries the previous
@@ -471,24 +586,37 @@ def write_iceberg(
                     "schema-id": len(meta["schemas"]),
                     "fields": new_fields,
                 }
-        part_field = (meta["partition-specs"][0]["fields"] or [{}])[0].get("name")
-        if partition_by is None:
-            partition_by = part_field
-        elif partition_by != part_field:
+        committed = _pspec_from_meta(meta)
+        pspec = _normalize_pspec(partition_by)
+        if pspec is None:
+            pspec = committed
+        elif committed is None or (
+            pspec["pname"], pspec["tstr"]
+        ) != (committed["pname"], committed["tstr"]):
+            have = committed and f"{committed['tstr']}({committed['source']})"
+            want = f"{pspec['tstr']}({pspec['source']})"
             raise ValueError(
-                f"table is partitioned by {part_field!r}, not {partition_by!r}"
+                f"table is partitioned by {have!r}, not {want!r}"
             )
+    else:
+        pspec = _normalize_pspec(partition_by)
 
     # ---- data files via Spark, staged then moved under data/
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(partition_by)
+    out_df = df
+    if pspec is not None and pspec["kind"] != "identity":
+        # hidden partitioning: the derived value keys the layout; the
+        # SOURCE column stays in the data files (transforms are lossy)
+        src_type = df.schema[pspec["source"]].dataType
+        out_df = df.withColumn(pspec["pname"], _transform_col(pspec, src_type))
+    writer = out_df.write.mode("overwrite")
+    if pspec is not None:
+        writer = writer.partitionBy(pspec["pname"])
     writer.parquet(staging)
 
     data_schema = (
-        T.StructType([f for f in df.schema.fields if f.name != partition_by])
-        if partition_by
+        T.StructType([f for f in df.schema.fields if f.name != pspec["pname"]])
+        if pspec is not None
         else df.schema
     )
     entries = []
@@ -533,13 +661,15 @@ def write_iceberg(
     spec_fields = (
         [
             {
-                "name": partition_by,
-                "transform": "identity",
-                "source-id": [f.name for f in df.schema.fields].index(partition_by) + 1,
+                "name": pspec["pname"],
+                "transform": pspec["tstr"],
+                "source-id": [f.name for f in df.schema.fields].index(
+                    pspec["source"]
+                ) + 1,
                 "field-id": 1000,
             }
         ]
-        if partition_by
+        if pspec is not None
         else []
     )
 
@@ -998,6 +1128,7 @@ def plan_files(
             f"snapshot {snapshot_id} not in table "
             f"(have {[s['snapshot-id'] for s in snaps]})"
         )
+    pspec = _pspec_from_meta(meta)
     out: list[dict] = []
     for ml in read_container(os.path.join(path, snap["manifest-list"])):
         manifest_rel = ml[0]
@@ -1012,7 +1143,17 @@ def plan_files(
                 continue
             keep = True
             for col, v in (eq or {}).items():
-                if col in part:
+                if (
+                    pspec is not None
+                    and pspec["source"] == col
+                    and pspec["pname"] in part
+                ):
+                    # hidden partitioning: transform the predicate
+                    # constant and compare in partition-value space
+                    if part[pspec["pname"]] != _transform_value(pspec, v):
+                        keep = False
+                        break
+                elif col in part:
                     if part[col] != str(v):
                         keep = False
                         break
@@ -1070,7 +1211,7 @@ def read_iceberg(
     if not files:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(path, f["path"]) for f in files]
-    if part_fields:
+    if part_fields and part_fields[0]["transform"] == "identity":
         # hive-layout identity partitions: let Spark derive the
         # partition column from dir names, against the base path
         scan = (
@@ -1080,6 +1221,9 @@ def read_iceberg(
             .select(*[f.name for f in schema.fields])
         )  # partitionBy writes the partition col last; restore order
     else:
+        # unpartitioned, or a TRANSFORM partition (bucket/truncate/
+        # day): the source column is stored in the data files, so the
+        # derived dir key is layout-only — plain file-list scan
         scan = spark.read.schema(schema).parquet(*paths)
 
     delete_entries = plan_delete_files(path, snapshot_id)
@@ -1284,7 +1428,22 @@ def rewrite_data_files(
     dels_before = plan_delete_files(path)
     base_version = current_metadata_version(path)
     meta = _load_metadata(path, base_version)
-    part_field = (meta["partition-specs"][0]["fields"] or [{}])[0].get("name")
+    committed_pspec = _pspec_from_meta(meta)
+    part_arg = None
+    if committed_pspec is not None:
+        if committed_pspec["kind"] == "identity":
+            part_arg = committed_pspec["source"]
+        elif committed_pspec["kind"] == "bucket":
+            part_arg = {"transform": "bucket",
+                        "source": committed_pspec["source"],
+                        "n": committed_pspec["param"]}
+        elif committed_pspec["kind"] == "truncate":
+            part_arg = {"transform": "truncate",
+                        "source": committed_pspec["source"],
+                        "width": committed_pspec["param"]}
+        else:
+            part_arg = {"transform": committed_pspec["kind"],
+                        "source": committed_pspec["source"]}
 
     df = read_iceberg(spark, path)
     if zorder_by:
@@ -1303,7 +1462,7 @@ def rewrite_data_files(
     # writer lands in between, rebasing the overwrite would silently
     # drop their rows — abort instead and let the caller re-run.
     snap = write_iceberg(
-        df, path, mode="overwrite", partition_by=part_field,
+        df, path, mode="overwrite", partition_by=part_arg,
         expected_version=base_version,
     )
     return {

@@ -934,3 +934,96 @@ def test_iceberg_v1_table_upgrade_unlocks_deletes(spark):
 
     I.delete_iceberg(spark, path, "id < 3")
     assert {r.id for r in I.read_iceberg(spark, path).collect()} == set(range(3, 15))
+
+
+def test_iceberg_bucket_partition_transform(spark):
+    """Hidden partitioning, bucket[N]: layout + manifests key on the
+    derived bucket, the source column stays in the data files, and an
+    equality predicate on the SOURCE column prunes the manifest walk
+    to one bucket's files."""
+    import zlib
+
+    import python_plugins_spark.sources.iceberg_py as I
+
+    path = _fresh("ice_bucket")
+    df = spark.range(200).selectExpr("id", "id * 2 AS v")
+    I.write_iceberg(
+        df, path, "overwrite",
+        partition_by={"transform": "bucket", "source": "id", "n": 4},
+    )
+    back = I.read_iceberg(spark, path)
+    assert sorted(r.id for r in back.collect()) == list(range(200))
+    assert set(back.columns) == {"id", "v"}  # source col present, no id_bucket
+
+    all_files = I.plan_files(path)
+    pruned = I.plan_files(path, eq={"id": 7})
+    want_bucket = str(zlib.crc32(b"7") % 4)
+    assert 0 < len(pruned) < len(all_files)
+    assert all(f["partition"]["id_bucket"] == want_bucket for f in pruned)
+    got = I.read_iceberg(spark, path, eq={"id": 7}).filter("id = 7").collect()
+    assert [(r.id, r.v) for r in got] == [(7, 14)]
+
+    # append with no spec adopts the committed transform
+    I.write_iceberg(spark.range(200, 210).selectExpr("id", "id * 2 AS v"),
+                    path, "append")
+    assert I.read_iceberg(spark, path).count() == 210
+    # mismatched spec is refused
+    import pytest
+
+    with pytest.raises(ValueError, match="partitioned by"):
+        I.write_iceberg(df, path, "append", partition_by="id")
+
+
+def test_iceberg_truncate_and_day_transforms(spark):
+    import python_plugins_spark.sources.iceberg_py as I
+
+    # truncate[50] on a long: files bucket by 50-multiples
+    path = _fresh("ice_trunc")
+    I.write_iceberg(
+        spark.range(100).selectExpr("id", "id AS v"), path, "overwrite",
+        partition_by={"transform": "truncate", "source": "id", "width": 50},
+    )
+    pruned = I.plan_files(path, eq={"id": 63})
+    assert pruned and all(f["partition"]["id_trunc"] == "50" for f in pruned)
+    assert I.read_iceberg(spark, path).count() == 100
+
+    # day on a timestamp
+    path2 = _fresh("ice_day")
+    df = spark.sql(
+        "SELECT id, timestamp'2024-03-01 00:30:00' + make_interval(0,0,0,0,cast(id AS int),0,0) AS ts "
+        "FROM range(60)"
+    )
+    I.write_iceberg(
+        df, path2, "overwrite",
+        partition_by={"transform": "day", "source": "ts"},
+    )
+    from datetime import datetime
+
+    pruned = I.plan_files(path2, eq={"ts": datetime(2024, 3, 2, 5, 0, 0)})
+    assert pruned and all(
+        f["partition"]["ts_day"] == "2024-03-02" for f in pruned
+    )
+    assert len(pruned) < len(I.plan_files(path2))
+    back = I.read_iceberg(spark, path2)
+    assert back.count() == 60 and dict(back.dtypes)["ts"] == "timestamp"
+
+
+def test_iceberg_rewrite_preserves_transform_spec(spark):
+    """Compaction re-commits under the SAME hidden-partitioning spec."""
+    import python_plugins_spark.sources.iceberg_py as I
+
+    path = _fresh("ice_rw_transform")
+    I.write_iceberg(
+        spark.range(100).selectExpr("id", "id AS v"), path, "overwrite",
+        partition_by={"transform": "bucket", "source": "id", "n": 4},
+    )
+    I.write_iceberg(
+        spark.range(100, 150).selectExpr("id", "id AS v"), path, "append",
+    )
+    I.rewrite_data_files(spark, path, target_parts=2)
+    meta = I._load_metadata(path)
+    f = meta["partition-specs"][0]["fields"][0]
+    assert (f["name"], f["transform"]) == ("id_bucket", "bucket[4]")
+    assert I.read_iceberg(spark, path).count() == 150
+    # pruning still works after the rewrite
+    assert 0 < len(I.plan_files(path, eq={"id": 7})) < len(I.plan_files(path))
