@@ -1643,3 +1643,54 @@ def iceberg_hidden_partition_prune(spark, sf_dir):
             .cast("double").alias("total"),
         )
     )
+
+
+@register(
+    "delta_column_mapping_rename",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def delta_column_mapping_rename(spark, sf_dir):
+    """Delta column mapping (protocol 'Column Mapping', mode=name):
+    renaming o_orderstatus -> status is a METADATA-ONLY commit — the
+    parquet files keep their physical column names and are never
+    rewritten (asserted on the file list); the read remaps physical ->
+    logical, and appends after the rename write the original physical
+    name. O(1) schema refactors on a 100 TB table
+    (sources/delta_py.py:enable_column_mapping/rename_column)."""
+    import os
+    import shutil
+
+    import python_plugins_spark.sources.delta_py as dp
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        _SCRATCH, f"delta_cm_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    dp.write_delta(o.filter(F.col("o_orderkey") % 2 == 0), path, "overwrite")
+    files_before = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    dp.enable_column_mapping(path)
+    dp.rename_column(path, "o_orderstatus", "status")
+    assert sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    ) == files_before  # metadata-only: zero files rewritten
+    # append post-rename under the NEW logical schema
+    dp.write_delta(
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .withColumnRenamed("o_orderstatus", "status"),
+        path, "append",
+    )
+    back = dp.read_delta(spark, path)
+    return back.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("total"),
+    )

@@ -411,12 +411,28 @@ def read_delta(
     schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
     active = state.active
     part_cols = state.meta.get("partitionColumns") or []
+    mapped = column_mapping_enabled(state.meta)
+    if prune and mapped:
+        # logged stats key on PHYSICAL parquet names
+        cm = _cm_map(schema)
+        prune = {cm.get(c, c): rng for c, rng in prune.items()}
     keep = list(active)
     if prune:
         keep = [p for p in keep if _stats_may_match(active[p], prune)]
     if not keep:
         return spark.createDataFrame([], schema)
-    scan = _scan_files(spark, table_path, schema, keep, part_cols)
+    if mapped:
+        from pyspark.sql import functions as F
+
+        phys = _cm_physical_schema(schema)
+        scan = _scan_files(spark, table_path, phys, keep, part_cols).select(
+            *[
+                F.col(pf.name).alias(lf.name)
+                for pf, lf in zip(phys.fields, schema.fields)
+            ]
+        )
+    else:
+        scan = _scan_files(spark, table_path, schema, keep, part_cols)
     dv_adds = {
         p: active[p] for p in keep if active[p].get("deletionVector")
     }
@@ -719,6 +735,171 @@ def drop_check_constraint(
     )
 
 
+# ------------------------------------------------- column mapping
+
+_CM_MODE = "delta.columnMapping.mode"
+_CM_MAXID = "delta.columnMapping.maxColumnId"
+_CM_ID = "delta.columnMapping.id"
+_CM_PHYS = "delta.columnMapping.physicalName"
+
+
+def column_mapping_enabled(meta: dict | None) -> bool:
+    return ((meta or {}).get("configuration") or {}).get(_CM_MODE) == "name"
+
+
+def _cm_physical_schema(schema: T.StructType) -> T.StructType:
+    """Logical table schema -> the schema of the PHYSICAL parquet
+    columns (field metadata's physicalName, falling back to the
+    logical name for pre-upgrade fields)."""
+    return T.StructType(
+        [
+            T.StructField(
+                (f.metadata or {}).get(_CM_PHYS, f.name), f.dataType, f.nullable
+            )
+            for f in schema.fields
+        ]
+    )
+
+
+def _cm_map(schema: T.StructType) -> dict[str, str]:
+    """logical name -> physical name."""
+    return {
+        f.name: (f.metadata or {}).get(_CM_PHYS, f.name)
+        for f in schema.fields
+    }
+
+
+def _require_no_mapping(meta: dict | None, op: str) -> None:
+    if column_mapping_enabled(meta):
+        raise ValueError(
+            f"{op} is not supported on column-mapping tables in this "
+            "layer (documented subset); drop the mapping or materialize "
+            "the table first"
+        )
+
+
+def enable_column_mapping(table_path: str, max_retries: int = 10) -> int:
+    """Upgrade a table to column-mapping mode 'name' (protocol 'Column
+    Mapping'): every field gets a stable column id and a physicalName
+    — the parquet column the data files store. Existing fields take
+    their CURRENT name as physicalName (so already-written files need
+    no rewrite — exactly Delta's upgrade semantics), and renames
+    thereafter are metadata-only commits that change the LOGICAL name
+    while the physical layout stays put.
+
+    Documented subset: refused on partitioned tables and tables with
+    deletion vectors (their sidecar paths key on physical layout this
+    layer doesn't remap); row-level ops on mapped tables are refused
+    likewise."""
+    state = _replay_state(table_path)
+    if state.meta.get("partitionColumns"):
+        raise ValueError(
+            "column mapping on partitioned tables is not supported by "
+            "this layer (partitionValues would need physical remapping)"
+        )
+    if any(a.get("deletionVector") for a in state.active.values()):
+        raise ValueError(
+            "column mapping upgrade with live deletion vectors is not "
+            "supported; OPTIMIZE (purge) first"
+        )
+    schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
+    if column_mapping_enabled(state.meta):
+        return table_version(table_path)
+    new_fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        md = dict(f.metadata or {})
+        md[_CM_ID] = i
+        md[_CM_PHYS] = f.name  # existing files stay readable as-is
+        new_fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+    new_schema = T.StructType(new_fields)
+    for _ in range(max_retries + 1):
+        state = _replay_state(table_path)
+        new_meta = dict(state.meta)
+        cfg = dict(new_meta.get("configuration") or {})
+        cfg[_CM_MODE] = "name"
+        cfg[_CM_MAXID] = str(len(new_fields))
+        new_meta["configuration"] = cfg
+        new_meta["schemaString"] = new_schema.json()
+        version = table_version(table_path) + 1
+        commit = os.path.join(_log_path(table_path), f"{version:020d}.json")
+        if _put_if_absent(json.dumps({"metaData": new_meta}) + "\n", commit):
+            return version
+    raise DeltaConcurrentWriteError(
+        f"lost the commit race {max_retries + 1} times at {table_path}"
+    )
+
+
+def rename_column(table_path: str, old: str, new: str, max_retries: int = 10) -> int:
+    """Metadata-only column RENAME (requires column mapping): the
+    logical name changes, the physicalName — and therefore every
+    already-written data file — does not. The rename-without-rewrite
+    that makes schema refactors O(1) on a 100 TB table."""
+    for _ in range(max_retries + 1):
+        state = _replay_state(table_path)
+        if not column_mapping_enabled(state.meta):
+            raise ValueError(
+                "rename_column requires column mapping; run "
+                "enable_column_mapping first"
+            )
+        schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise KeyError(f"no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        new_schema = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name,
+                              f.dataType, f.nullable, dict(f.metadata or {}))
+                for f in schema.fields
+            ]
+        )
+        new_meta = dict(state.meta)
+        new_meta["schemaString"] = new_schema.json()
+        version = table_version(table_path) + 1
+        commit = os.path.join(_log_path(table_path), f"{version:020d}.json")
+        if _put_if_absent(json.dumps({"metaData": new_meta}) + "\n", commit):
+            return version
+    raise DeltaConcurrentWriteError(
+        f"lost the commit race {max_retries + 1} times at {table_path}"
+    )
+
+
+def drop_column(table_path: str, name: str, max_retries: int = 10) -> int:
+    """Metadata-only column DROP (requires column mapping): the field
+    leaves the logical schema; the physical column stays in the data
+    files and readers simply never select it."""
+    for _ in range(max_retries + 1):
+        state = _replay_state(table_path)
+        if not column_mapping_enabled(state.meta):
+            raise ValueError(
+                "drop_column requires column mapping; run "
+                "enable_column_mapping first"
+            )
+        schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
+        if name not in [f.name for f in schema.fields]:
+            raise KeyError(f"no column {name!r}")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the last column")
+        new_schema = T.StructType(
+            [
+                T.StructField(f.name, f.dataType, f.nullable,
+                              dict(f.metadata or {}))
+                for f in schema.fields
+                if f.name != name
+            ]
+        )
+        new_meta = dict(state.meta)
+        new_meta["schemaString"] = new_schema.json()
+        version = table_version(table_path) + 1
+        commit = os.path.join(_log_path(table_path), f"{version:020d}.json")
+        if _put_if_absent(json.dumps({"metaData": new_meta}) + "\n", commit):
+            return version
+    raise DeltaConcurrentWriteError(
+        f"lost the commit race {max_retries + 1} times at {table_path}"
+    )
+
+
 def _evolve_schema(
     existing: T.StructType, incoming: T.StructType, mode: str, merge_schema: bool
 ) -> T.StructType | None:
@@ -825,12 +1006,26 @@ def write_delta(
     # an existing table raises — repartitioning is a rewrite, not a
     # write mode)
     constraints: dict[str, str] = {}
+    cm_physical: list[tuple[str, str]] | None = None
     if table_version(table_path) >= 0:
         _pre_state = _replay_state(table_path)
         if txn is not None and _pre_state.txns.get(txn[0], -1) >= txn[1]:
             return -1  # batch already applied; nothing staged
         existing_parts = _pre_state.meta.get("partitionColumns") or []
         cfg = _pre_state.meta.get("configuration") or {}
+        if cfg.get(_CM_MODE) == "name":
+            if merge_schema:
+                raise ValueError(
+                    "merge_schema on column-mapping tables is not "
+                    "supported by this layer (documented subset)"
+                )
+            _tbl = T.StructType.fromJson(
+                json.loads(_pre_state.meta["schemaString"])
+            )
+            cm_physical = [
+                (f.name, (f.metadata or {}).get(_CM_PHYS, f.name))
+                for f in _tbl.fields
+            ]
         constraints = {
             k[len(_CONSTRAINT_PREFIX):]: v
             for k, v in cfg.items()
@@ -862,6 +1057,22 @@ def write_delta(
                 F.sum(F.when(~F.expr(e), 1).otherwise(0)).alias(n)
                 for n, e in sorted(constraints.items())
             ],
+        )
+    enforce_schema = df.schema
+    if cm_physical is not None:
+        from pyspark.sql import functions as F
+
+        # column-mapping: data files store PHYSICAL names; rewrite the
+        # projection after the constraint observation so the logical
+        # expressions above still resolve
+        if [f.name for f in df.schema.fields] != [ln for ln, _ in cm_physical]:
+            raise DeltaSchemaMismatchError(
+                f"write schema {[f.name for f in df.schema.fields]} differs "
+                f"from table schema {[ln for ln, _ in cm_physical]} "
+                "(column-mapping tables do not evolve in this layer)"
+            )
+        df = df.select(
+            *[F.col(ln).alias(pn) for ln, pn in cm_physical]
         )
     adds = _stage_data_files(df, table_path, now_ms, partition_by)
     if obs is not None:
@@ -906,7 +1117,7 @@ def write_delta(
             existing = T.StructType.fromJson(
                 json.loads(state.meta["schemaString"])
             )
-            evolved = _evolve_schema(existing, df.schema, mode, merge_schema)
+            evolved = _evolve_schema(existing, enforce_schema, mode, merge_schema)
             if evolved is not None:
                 new_meta = dict(state.meta)
                 new_meta["schemaString"] = evolved.json()
@@ -1097,6 +1308,7 @@ def delete_delta(
         if read_version < 0:
             raise FileNotFoundError(f"no Delta table at {table_path}")
         state = _replay_state(table_path)
+        _require_no_mapping(state.meta, "delete_delta")
         schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
         active = state.active
         now_ms = int(time.time() * 1000)
@@ -1303,6 +1515,7 @@ def merge_delta(
         if read_version < 0:
             raise FileNotFoundError(f"no Delta table at {table_path}")
         state = _replay_state(table_path)
+        _require_no_mapping(state.meta, "merge_delta")
         schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
         active = state.active
         part_cols = state.meta.get("partitionColumns") or []
@@ -1523,6 +1736,7 @@ def optimize_delta(
         if read_version < 0:
             raise FileNotFoundError(f"no Delta table at {table_path}")
         state = _replay_state(table_path)
+        _require_no_mapping(state.meta, "optimize_delta")
         schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
         active = state.active
         part_cols = state.meta.get("partitionColumns") or []
@@ -1635,6 +1849,7 @@ def table_changes(
     if to_version is None:
         to_version = table_version(table_path)
     end_state = _replay_state(table_path, to_version)
+    _require_no_mapping(end_state.meta, "table_changes")
     schema = T.StructType.fromJson(json.loads(end_state.meta["schemaString"]))
     part_cols = end_state.meta.get("partitionColumns") or []
     cols = [f.name for f in schema.fields]
@@ -1782,6 +1997,7 @@ def update_delta(
         if read_version < 0:
             raise FileNotFoundError(f"no Delta table at {table_path}")
         state = _replay_state(table_path)
+        _require_no_mapping(state.meta, "update_delta")
         schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
         cols = [f.name for f in schema.fields]
         unknown = [c for c in set_exprs if c not in cols]

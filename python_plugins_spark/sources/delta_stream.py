@@ -54,9 +54,10 @@ class DeltaStreamSource(DataSource):
         return "delta_py_stream"
 
     def schema(self) -> T.StructType:
-        from .delta_py import _replay_state
+        from .delta_py import _replay_state, _require_no_mapping
 
         state = _replay_state(self.options["path"])
+        _require_no_mapping(state.meta, "delta_py_stream")
         cdc = str(self.options.get("readchangefeed", "false")).lower() == "true"
         base = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
         if cdc:
