@@ -252,3 +252,120 @@ def cm_oracle_sql(table: str, value_expr: str, probe_sql: str, item_col: str) ->
       FROM probe_cells p LEFT JOIN sketch s ON p.row = s.row AND p.col = s.col
       GROUP BY p.{item_col}
     """
+
+
+# ------------------------------------------------- histogram quantiles
+
+def hist_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Equi-width histogram sketch over a KNOWN value range — the third
+    mergeable summary (with HLL and count-min): (group, bin, cnt) rows,
+    one map-side-combinable aggregation, shuffle bounded by
+    ``groups x bins`` regardless of input size. Values outside
+    [lo, hi) clamp into the edge bins (the convention monitoring
+    systems use), so the sketch never drops rows.
+
+    Deterministic across engines: the bin index is
+    floor((v - lo) * bins / (hi - lo)) — multiply and divide are
+    IEEE-correctly-rounded from identical doubles, so DuckDB computes
+    the identical integer."""
+    F_ = F
+    v = F_.col(value_col).cast("double")
+    raw = F_.floor((v - F_.lit(float(lo))) * bins / F_.lit(float(hi - lo)))
+    b = F_.least(F_.greatest(raw, F_.lit(0)), F_.lit(bins - 1)).cast("int")
+    return (
+        df.select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F_.count("*").alias("cnt"))
+    )
+
+
+def hist_merge(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge histogram sketches (e.g. per-day partials) by elementwise
+    sum — a groupBy over tiny rows, never a data re-scan."""
+    return sketches.groupBy(*group_cols, "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def hist_quantile(
+    sketch: DataFrame,
+    group_cols: list[str],
+    q: float,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Per-group quantile estimate from the sketch: locate the bin
+    whose cumulative count crosses q*N and interpolate linearly inside
+    it. Error is bounded by the bin width — the estimate a 100 TB
+    latency dashboard runs on merged per-hour sketches. Returns
+    ``group_cols + [est]`` (callers alias/round)."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = sketch.withColumns(
+        {
+            "cum": F.sum("cnt").over(w),
+            "total": F.sum("cnt").over(Window.partitionBy(*group_cols)),
+        }
+    )
+    target = F.col("total") * F.lit(float(q))
+    hit = cum.filter(F.col("cum") >= target).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(*group_cols).orderBy("bin")
+        ),
+    ).filter(F.col("rn") == 1)
+    frac = (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    return hit.select(
+        *group_cols,
+        (
+            F.lit(float(lo))
+            + (F.col("bin").cast("double") + frac) * F.lit(float(width))
+        ).alias("est"),
+    )
+
+
+def hist_quantile_oracle_sql(
+    table: str,
+    value_expr: str,
+    group_expr: str,
+    q: float,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> str:
+    """DuckDB mirror of sketch -> quantile, step for step."""
+    width = (hi - lo) / bins
+    return f"""
+    WITH sk AS (
+      SELECT {group_expr} AS g,
+             CAST(least(greatest(floor((CAST({value_expr} AS DOUBLE) - CAST({lo} AS DOUBLE)) * {bins} / CAST({hi - lo} AS DOUBLE)), 0), {bins - 1}) AS INT) AS bin,
+             count(*) AS cnt
+      FROM {table} GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, bin, cnt,
+             sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY g) AS total
+      FROM sk
+    ),
+    -- every literal CASTs to DOUBLE: DuckDB parses bare decimals as
+    -- DECIMAL and its exact arithmetic diverges from the IEEE doubles
+    -- Spark computes by the final ulp
+    hit AS (
+      SELECT g, bin, cnt, cum, total,
+             row_number() OVER (PARTITION BY g ORDER BY bin) AS rn
+      FROM cum WHERE cum >= total * CAST({q} AS DOUBLE)
+    )
+    SELECT g, (CAST({lo} AS DOUBLE) + (bin::DOUBLE + (total * CAST({q} AS DOUBLE) - (cum - cnt)) / cnt) * CAST({width} AS DOUBLE)) AS est
+    FROM hit WHERE rn = 1
+    """

@@ -73,6 +73,9 @@ projection/filter/router/wrangler stages apply to a streaming frame):
   Kafka-shaped message-bus emulation (sources/msgbus.py), Kafka
   wire schema out
 - ``transform.watermark`` — eventTime, delay (e.g. "10 minutes")
+- ``streamingaggregator.session_window`` — eventTime, gap,
+  watermark?, groupByFields?, aggregates; emits
+  session_start/session_end
 - ``streamingaggregator.windowed_groupby`` — eventTime,
   windowDuration, slide?, watermark?, groupByFields?, aggregates
   (same shape as batchaggregator); emits window_start/window_end
@@ -416,6 +419,20 @@ def run_pipeline(
             _require_streaming(name, stype, ins[0])
             frames[name] = ins[0].withWatermark(
                 cfg["eventTime"], cfg["delay"]
+            )
+        elif stype == "streamingaggregator.session_window":
+            need(1)
+            _require_streaming(name, stype, ins[0])
+            df = ins[0]
+            if cfg.get("watermark"):
+                df = df.withWatermark(cfg["eventTime"], cfg["watermark"])
+            aggs = [_agg_expr(name, a) for a in cfg["aggregates"]]
+            win = F.session_window(cfg["eventTime"], cfg["gap"]).alias("_win")
+            out = df.groupBy(win, *cfg.get("groupByFields", [])).agg(*aggs)
+            frames[name] = out.select(
+                F.col("_win.start").alias("session_start"),
+                F.col("_win.end").alias("session_end"),
+                *[c for c in out.columns if c != "_win"],
             )
         elif stype == "streamingaggregator.windowed_groupby":
             need(1)

@@ -1694,3 +1694,64 @@ def delta_column_mapping_rename(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double").alias("total"),
     )
+
+
+def _install_hist_sketch_queries():
+    from python_plugins_spark.operators import sketch as SK
+
+    _LO, _HI, _BINS = 0.0, 600000.0, 256
+
+    @register(
+        "hist_quantile_sketch_orders",
+        oracle=f"""
+        WITH est AS ({SK.hist_quantile_oracle_sql(
+            "orders", "o_totalprice", "o_orderpriority",
+            0.95, _LO, _HI, _BINS)})
+        SELECT g AS o_orderpriority, round(est, 4) AS p95_est FROM est
+        """,
+    )
+    def hist_quantile_sketch_orders(spark, sf_dir):
+        """Mergeable histogram-quantile sketch (completing the sketch
+        trio with HLL and count-min): per-priority p95 of order price
+        from a 256-bin equi-width summary — ONE map-side-combinable
+        aggregation whose shuffle carries <= groups x bins rows at any
+        input size, then an O(bins) interpolation. The oracle replays
+        the identical sketch -> cumulative -> interpolate pipeline in
+        SQL, validating the approximate structure exactly (the sketch
+        determinism stance of operators/sketch.py)."""
+        o = load_table(spark, "orders", sf_dir)
+        sk = SK.hist_sketch(o, "o_totalprice", ["o_orderpriority"], _LO, _HI, _BINS)
+        est = SK.hist_quantile(sk, ["o_orderpriority"], 0.95, _LO, _HI, _BINS)
+        return est.select(
+            "o_orderpriority", F.round("est", 4).alias("p95_est")
+        )
+
+    @register(
+        "hist_sketch_merge_rollup",
+        oracle=f"""
+        WITH est AS ({SK.hist_quantile_oracle_sql(
+            "orders", "o_totalprice", "o_orderpriority",
+            0.5, _LO, _HI, _BINS)})
+        SELECT g AS o_orderpriority, round(est, 4) AS p50_est FROM est
+        """,
+    )
+    def hist_sketch_merge_rollup(spark, sf_dir):
+        """The MERGE property under the gate: per-(priority, status)
+        partial sketches merged over status must give the same median
+        estimate as sketching the whole table directly — summaries
+        combine by elementwise sum, so per-day/per-shard partials roll
+        up without re-scanning (asserted against the direct-sketch
+        oracle)."""
+        o = load_table(spark, "orders", sf_dir)
+        partials = SK.hist_sketch(
+            o, "o_totalprice", ["o_orderpriority", "o_orderstatus"],
+            _LO, _HI, _BINS,
+        )
+        merged = SK.hist_merge(partials, ["o_orderpriority"])
+        est = SK.hist_quantile(merged, ["o_orderpriority"], 0.5, _LO, _HI, _BINS)
+        return est.select(
+            "o_orderpriority", F.round("est", 4).alias("p50_est")
+        )
+
+
+_install_hist_sketch_queries()

@@ -562,3 +562,37 @@ def test_pipeline_streaming_msgbus_source(spark, tmp_path):
     })
     rows = frames["sink"].collect()
     assert sorted(int(bytes(r.value)) for r in rows) == [10, 20, 30]
+
+
+def test_pipeline_streaming_session_window(spark, sf_dir):
+    """streamingaggregator.session_window: the drained sessions equal
+    the batch session_window aggregation."""
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "streamingsource.file",
+             "config": {"path": f"{sf_dir}/events.parquet"}},
+            {"name": "agg", "type": "streamingaggregator.session_window",
+             "config": {"eventTime": "ts", "gap": "10 minutes",
+                        "watermark": "30 minutes",
+                        "groupByFields": ["user_id"],
+                        "aggregates": [
+                            {"name": "n", "function": "count", "field": "*"}]}},
+            {"name": "sink", "type": "streamingsink.memory",
+             "config": {"queryName": "sess_pipe_sink",
+                        "outputMode": "complete", "statePartitions": 8}},
+        ],
+        "connections": [{"from": "src", "to": "agg"},
+                        {"from": "agg", "to": "sink"}],
+    })
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end)): r.n
+        for r in frames["sink"].collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        (r.user_id, str(r.win.start), str(r.win.end)): r.n
+        for r in ev.groupBy(
+            F.session_window("ts", "10 minutes").alias("win"), "user_id"
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and len(got) > 0
