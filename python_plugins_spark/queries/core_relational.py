@@ -1175,18 +1175,6 @@ def transform(record, emitter, context):
     return run_to_memory_sink(res.output, name, output_mode="append")
 
 
-# ---------------------------------------------------------------------
-# Driver contract accessors
-# ---------------------------------------------------------------------
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
-
-
-def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
-
-
 # =====================================================================
 # Batch 2: grouping sets, extended windows, exact percentiles,
 # correlated aggregates, vocab stats, LSH buckets, sliding windows,

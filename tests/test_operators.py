@@ -861,3 +861,16 @@ def test_pq_topk_gates_unbounded_query_sets(spark):
         codes, df.limit(3), "id", "embedding", books, kk=2, max_queries=10
     )
     assert out.count() > 0
+
+
+def test_driver_contract_accessors():
+    """__spark_entry__ resolves queries()/oracle_sql() through the
+    queries package — the exact attribute surface the driver calls
+    (regression: the package split initially dropped the accessors)."""
+    import __spark_entry__ as e
+    from python_plugins_spark import queries as registry
+
+    assert e.queries() == dict(registry.QUERIES)
+    assert e.oracle_sql() == dict(registry.ORACLES)
+    assert callable(registry.queries) and callable(registry.oracle_sql)
+    assert set(registry.ORACLES) <= set(registry.QUERIES)
