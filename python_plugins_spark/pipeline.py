@@ -583,14 +583,9 @@ def run_pipeline(
                 from python_plugins_spark.sources.iceberg_py import write_iceberg
 
                 part = cfg.get("partitionBy") or []
-                if len(part) > 1:
-                    raise PipelineSpecError(
-                        f"stage {name!r}: iceberg sink models a single "
-                        f"identity partition, got partitionBy={part!r}"
-                    )
                 write_iceberg(
                     df, cfg["path"], mode=cfg.get("mode", "overwrite"),
-                    partition_by=part[0] if part else None,
+                    partition_by=part or None,
                 )
             else:
                 raise PipelineSpecError(f"unknown sink format {fmt!r}")

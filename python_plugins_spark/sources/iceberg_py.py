@@ -304,12 +304,25 @@ def current_metadata_version(path: str) -> int | None:
 
 # ------------------------------------------------- partition transforms
 
-def _normalize_pspec(partition_by):
-    """partition_by (str for identity, or {"transform": ..., "source":
-    ..., n/width} for hidden partitioning) -> normalized spec dict
-    {kind, source, param, pname, tstr} or None."""
+def _normalize_pspecs(partition_by) -> list[dict]:
+    """partition_by (a single spec or a LIST of specs, each a str for
+    identity or {"transform": ..., "source": ..., n/width} for hidden
+    partitioning) -> list of normalized spec dicts — multi-field
+    partition specs compose, e.g. [status, bucket(custkey, 8)]."""
     if partition_by is None:
-        return None
+        return []
+    if isinstance(partition_by, (list, tuple)):
+        out = [_normalize_pspec(pb) for pb in partition_by]
+        pnames = [o["pname"] for o in out]
+        if len(set(pnames)) != len(pnames):
+            raise ValueError(f"duplicate partition fields {pnames}")
+        return out
+    return [_normalize_pspec(partition_by)]
+
+
+def _normalize_pspec(partition_by):
+    """One partition_by entry -> normalized spec dict
+    {kind, source, param, pname, tstr}."""
     if isinstance(partition_by, str):
         return {"kind": "identity", "source": partition_by, "param": None,
                 "pname": partition_by, "tstr": "identity"}
@@ -332,28 +345,29 @@ def _normalize_pspec(partition_by):
     raise ValueError(f"unknown partition transform {kind!r}")
 
 
-def _pspec_from_meta(meta) -> dict | None:
-    """Reconstruct the normalized spec from committed metadata."""
+def _pspecs_from_meta(meta) -> list[dict]:
+    """Reconstruct the normalized spec list from committed metadata."""
     fields = (meta.get("partition-specs") or [{}])[0].get("fields") or []
-    if not fields:
-        return None
-    f = fields[0]
-    tstr = f["transform"]
     id_to_name = {fd["id"]: fd["name"] for fd in _current_schema_node(meta)["fields"]}
-    src = id_to_name[f["source-id"]]
-    if tstr == "identity":
-        return _normalize_pspec(src)
-    if tstr.startswith("bucket["):
-        return _normalize_pspec(
-            {"transform": "bucket", "source": src, "n": int(tstr[7:-1])}
-        )
-    if tstr.startswith("truncate["):
-        return _normalize_pspec(
-            {"transform": "truncate", "source": src, "width": int(tstr[9:-1])}
-        )
-    if tstr == "day":
-        return _normalize_pspec({"transform": "day", "source": src})
-    raise ValueError(f"unknown committed transform {tstr!r}")
+    out = []
+    for f in fields:
+        tstr = f["transform"]
+        src = id_to_name[f["source-id"]]
+        if tstr == "identity":
+            out.append(_normalize_pspec(src))
+        elif tstr.startswith("bucket["):
+            out.append(_normalize_pspec(
+                {"transform": "bucket", "source": src, "n": int(tstr[7:-1])}
+            ))
+        elif tstr.startswith("truncate["):
+            out.append(_normalize_pspec(
+                {"transform": "truncate", "source": src, "width": int(tstr[9:-1])}
+            ))
+        elif tstr == "day":
+            out.append(_normalize_pspec({"transform": "day", "source": src}))
+        else:
+            raise ValueError(f"unknown committed transform {tstr!r}")
+    return out
 
 
 def _transform_col(pspec, dtype: T.DataType):
@@ -586,38 +600,38 @@ def write_iceberg(
                     "schema-id": len(meta["schemas"]),
                     "fields": new_fields,
                 }
-        committed = _pspec_from_meta(meta)
-        pspec = _normalize_pspec(partition_by)
-        if pspec is None:
-            pspec = committed
-        elif committed is None or (
-            pspec["pname"], pspec["tstr"]
-        ) != (committed["pname"], committed["tstr"]):
-            have = committed and f"{committed['tstr']}({committed['source']})"
-            want = f"{pspec['tstr']}({pspec['source']})"
+        committed = _pspecs_from_meta(meta)
+        pspecs = _normalize_pspecs(partition_by)
+        if not pspecs:
+            pspecs = committed
+        elif [(p_["pname"], p_["tstr"]) for p_ in pspecs] != [
+            (p_["pname"], p_["tstr"]) for p_ in committed
+        ]:
+            have = [f"{p_['tstr']}({p_['source']})" for p_ in committed]
+            want = [f"{p_['tstr']}({p_['source']})" for p_ in pspecs]
             raise ValueError(
                 f"table is partitioned by {have!r}, not {want!r}"
             )
     else:
-        pspec = _normalize_pspec(partition_by)
+        pspecs = _normalize_pspecs(partition_by)
 
     # ---- data files via Spark, staged then moved under data/
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     out_df = df
-    if pspec is not None and pspec["kind"] != "identity":
-        # hidden partitioning: the derived value keys the layout; the
-        # SOURCE column stays in the data files (transforms are lossy)
-        src_type = df.schema[pspec["source"]].dataType
-        out_df = df.withColumn(pspec["pname"], _transform_col(pspec, src_type))
+    for p_ in pspecs:
+        if p_["kind"] != "identity":
+            # hidden partitioning: the derived value keys the layout;
+            # the SOURCE column stays in the data files (lossy)
+            src_type = df.schema[p_["source"]].dataType
+            out_df = out_df.withColumn(p_["pname"], _transform_col(p_, src_type))
     writer = out_df.write.mode("overwrite")
-    if pspec is not None:
-        writer = writer.partitionBy(pspec["pname"])
+    if pspecs:
+        writer = writer.partitionBy(*[p_["pname"] for p_ in pspecs])
     writer.parquet(staging)
 
-    data_schema = (
-        T.StructType([f for f in df.schema.fields if f.name != pspec["pname"]])
-        if pspec is not None
-        else df.schema
+    _dir_keys = {p_["pname"] for p_ in pspecs}
+    data_schema = T.StructType(
+        [f for f in df.schema.fields if f.name not in _dir_keys]
     )
     entries = []
     for root, _dirs, files in os.walk(staging):
@@ -628,9 +642,11 @@ def write_iceberg(
             rel = os.path.relpath(root, staging)
             part: dict[str, str] = {}
             if rel != ".":
-                # 'col=value' identity-partition dir (hive layout)
-                k, _, v = rel.partition("=")
-                part[k] = v
+                # nested 'col=value' dirs (hive layout, one level per
+                # partition field)
+                for comp in rel.split(os.sep):
+                    k, _, v = comp.partition("=")
+                    part[k] = v
             dst_dir = os.path.join(path, _DATA_DIR, rel) if rel != "." else os.path.join(path, _DATA_DIR)
             os.makedirs(dst_dir, exist_ok=True)
             name = f"{uuid.uuid4().hex}.parquet"
@@ -658,20 +674,17 @@ def write_iceberg(
     manifest_path = os.path.join(_meta_dir(path), manifest_name)
     write_container(manifest_path, _MANIFEST_ENTRY_NODE, entries)
 
-    spec_fields = (
-        [
-            {
-                "name": pspec["pname"],
-                "transform": pspec["tstr"],
-                "source-id": [f.name for f in df.schema.fields].index(
-                    pspec["source"]
-                ) + 1,
-                "field-id": 1000,
-            }
-        ]
-        if pspec is not None
-        else []
-    )
+    spec_fields = [
+        {
+            "name": p_["pname"],
+            "transform": p_["tstr"],
+            "source-id": [f.name for f in df.schema.fields].index(
+                p_["source"]
+            ) + 1,
+            "field-id": 1000 + i,
+        }
+        for i, p_ in enumerate(pspecs)
+    ]
 
     # ---- optimistic-concurrency commit loop: build the manifest list
     # and metadata against the CURRENT base, publish with put-if-absent
@@ -1128,7 +1141,7 @@ def plan_files(
             f"snapshot {snapshot_id} not in table "
             f"(have {[s['snapshot-id'] for s in snaps]})"
         )
-    pspec = _pspec_from_meta(meta)
+    by_source = {p_["source"]: p_ for p_ in _pspecs_from_meta(meta)}
     out: list[dict] = []
     for ml in read_container(os.path.join(path, snap["manifest-list"])):
         manifest_rel = ml[0]
@@ -1143,14 +1156,12 @@ def plan_files(
                 continue
             keep = True
             for col, v in (eq or {}).items():
-                if (
-                    pspec is not None
-                    and pspec["source"] == col
-                    and pspec["pname"] in part
-                ):
-                    # hidden partitioning: transform the predicate
-                    # constant and compare in partition-value space
-                    if part[pspec["pname"]] != _transform_value(pspec, v):
+                p_ = by_source.get(col)
+                if p_ is not None and p_["pname"] in part:
+                    # identity compares directly; hidden partitioning
+                    # transforms the predicate constant and compares
+                    # in partition-value space
+                    if part[p_["pname"]] != _transform_value(p_, v):
                         keep = False
                         break
                 elif col in part:
@@ -1211,7 +1222,9 @@ def read_iceberg(
     if not files:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(path, f["path"]) for f in files]
-    if part_fields and part_fields[0]["transform"] == "identity":
+    if part_fields and any(
+        f["transform"] == "identity" for f in part_fields
+    ):
         # hive-layout identity partitions: let Spark derive the
         # partition column from dir names, against the base path
         scan = (
@@ -1428,22 +1441,19 @@ def rewrite_data_files(
     dels_before = plan_delete_files(path)
     base_version = current_metadata_version(path)
     meta = _load_metadata(path, base_version)
-    committed_pspec = _pspec_from_meta(meta)
-    part_arg = None
-    if committed_pspec is not None:
-        if committed_pspec["kind"] == "identity":
-            part_arg = committed_pspec["source"]
-        elif committed_pspec["kind"] == "bucket":
-            part_arg = {"transform": "bucket",
-                        "source": committed_pspec["source"],
-                        "n": committed_pspec["param"]}
-        elif committed_pspec["kind"] == "truncate":
-            part_arg = {"transform": "truncate",
-                        "source": committed_pspec["source"],
-                        "width": committed_pspec["param"]}
-        else:
-            part_arg = {"transform": committed_pspec["kind"],
-                        "source": committed_pspec["source"]}
+
+    def _spec_arg(p_):
+        if p_["kind"] == "identity":
+            return p_["source"]
+        if p_["kind"] == "bucket":
+            return {"transform": "bucket", "source": p_["source"],
+                    "n": p_["param"]}
+        if p_["kind"] == "truncate":
+            return {"transform": "truncate", "source": p_["source"],
+                    "width": p_["param"]}
+        return {"transform": p_["kind"], "source": p_["source"]}
+
+    part_arg = [_spec_arg(p_) for p_ in _pspecs_from_meta(meta)] or None
 
     df = read_iceberg(spark, path)
     if zorder_by:

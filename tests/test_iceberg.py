@@ -1027,3 +1027,53 @@ def test_iceberg_rewrite_preserves_transform_spec(spark):
     assert I.read_iceberg(spark, path).count() == 150
     # pruning still works after the rewrite
     assert 0 < len(I.plan_files(path, eq={"id": 7})) < len(I.plan_files(path))
+
+
+def test_iceberg_multi_field_partition_spec(spark):
+    """Composed partition spec — identity(g) + bucket[4](id): nested
+    hive layout, both fields in the manifests, pruning composes on
+    both predicates, identity value reattaches on read while the
+    bucket source stays in the files."""
+    import python_plugins_spark.sources.iceberg_py as I
+
+    path = _fresh("ice_multi_part")
+    df = spark.range(120).selectExpr("id", "id % 3 AS g", "id * 2 AS v")
+    I.write_iceberg(
+        df, path, "overwrite",
+        partition_by=["g", {"transform": "bucket", "source": "id", "n": 4}],
+    )
+    meta = I._load_metadata(path)
+    fields = meta["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in fields] == [
+        ("g", "identity"), ("id_bucket", "bucket[4]"),
+    ]
+    back = I.read_iceberg(spark, path)
+    assert set(back.columns) == {"id", "g", "v"}
+    assert sorted((r.id, r.g, r.v) for r in back.collect()) == [
+        (i, i % 3, i * 2) for i in range(120)
+    ]
+    # pruning composes: g narrows to one identity partition, id to one
+    # bucket within it
+    all_f = I.plan_files(path)
+    g_only = I.plan_files(path, eq={"g": 1})
+    both = I.plan_files(path, eq={"g": 1, "id": 7})
+    assert len(both) < len(g_only) < len(all_f)
+    assert all(f["partition"]["g"] == "1" for f in both)
+    got = (
+        I.read_iceberg(spark, path, eq={"g": 1, "id": 7})
+        .filter("id = 7").collect()
+    )
+    assert [(r.id, r.g, r.v) for r in got] == [(7, 1, 14)]
+
+    # append adopts the composed spec; compaction preserves it
+    I.write_iceberg(
+        spark.range(120, 140).selectExpr("id", "id % 3 AS g", "id * 2 AS v"),
+        path, "append",
+    )
+    I.rewrite_data_files(spark, path, target_parts=2)
+    meta = I._load_metadata(path)
+    assert [(f["name"], f["transform"]) for f in
+            meta["partition-specs"][0]["fields"]] == [
+        ("g", "identity"), ("id_bucket", "bucket[4]"),
+    ]
+    assert I.read_iceberg(spark, path).count() == 140

@@ -246,17 +246,26 @@ def test_pipeline_iceberg_sink_honors_partition_by(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got.select(*want.columns).collect())) == sorted(
         map(tuple, want.collect())
     )
-    with pytest.raises(PipelineSpecError, match="single"):
-        run_pipeline(spark, {
-            "stages": [
-                {"name": "s", "type": "batchsource.parquet",
-                 "config": {"path": f"{sf_dir}/nation.parquet"}},
-                {"name": "k", "type": "batchsink.iceberg",
-                 "config": {"path": str(tmp_path / "t2"),
-                            "partitionBy": ["n_regionkey", "n_name"]}},
-            ],
-            "connections": [{"from": "s", "to": "k"}],
-        })
+    # multi-column partitionBy composes (round-4 multi-field specs)
+    t2 = str(tmp_path / "t2")
+    run_pipeline(spark, {
+        "stages": [
+            {"name": "s", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/nation.parquet"}},
+            {"name": "k", "type": "batchsink.iceberg",
+             "config": {"path": t2,
+                        "partitionBy": ["n_regionkey", "n_name"]}},
+        ],
+        "connections": [{"from": "s", "to": "k"}],
+    })
+    v2 = current_metadata_version(t2)
+    meta2 = _json.loads(
+        open(_os.path.join(t2, "metadata", f"v{v2}.metadata.json")).read()
+    )
+    assert [f["name"] for f in meta2["partition-specs"][0]["fields"]] == [
+        "n_regionkey", "n_name"
+    ]
+    assert read_iceberg(spark, t2).count() == want.count()
 
 
 def test_pipeline_streaming_ports_batch_spec_verbatim(spark, sf_dir, tmp_path):
