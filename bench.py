@@ -135,6 +135,12 @@ def main() -> None:
         "wrangler_recipe_customers",
         "recursive_cte_amortization",
         "pipeline_streaming_end_to_end",
+        "sentence_dedup_docs",
+        "url_canonicalize_dedup",
+        "hist_quantile_sketch_orders",
+        "multimodal_wav_rms_real",
+        "msgbus_stream_events",
+        "iceberg_hidden_partition_prune",
     ]
     extra_timings: dict[str, float] = {}
     for name in EXTRA_QUERIES:
