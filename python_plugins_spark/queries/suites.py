@@ -1755,3 +1755,45 @@ def _install_hist_sketch_queries():
 
 
 _install_hist_sketch_queries()
+
+
+@register(
+    "iceberg_partition_spec_evolution",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def iceberg_partition_spec_evolution(spark, sf_dir):
+    """Partition-spec evolution under the gate: half the table lands
+    unpartitioned (spec 0), the layout then evolves to identity
+    o_orderstatus (a metadata-only commit), and the second half lands
+    under the new spec — the read unions both layouts and must equal
+    the plain table. Repartitioning FUTURE data costs zero rewrites;
+    old files keep the spec they were written with (asserted via
+    per-file spec ids)."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import (
+        evolve_partition_spec, plan_files, read_iceberg, write_iceberg,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        _SCRATCH, f"ice_spec_evo_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(o.filter(F.col("o_orderkey") % 2 == 0), path, "overwrite")
+    evolve_partition_spec(path, "o_orderstatus")
+    write_iceberg(o.filter(F.col("o_orderkey") % 2 == 1), path, "append")
+    assert {f["spec_id"] for f in plan_files(path)} == {0, 1}
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("total"),
+    )

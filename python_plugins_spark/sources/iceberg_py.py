@@ -345,9 +345,15 @@ def _normalize_pspec(partition_by):
     raise ValueError(f"unknown partition transform {kind!r}")
 
 
-def _pspecs_from_meta(meta) -> list[dict]:
-    """Reconstruct the normalized spec list from committed metadata."""
-    fields = (meta.get("partition-specs") or [{}])[0].get("fields") or []
+def _pspecs_from_meta(meta, spec_id: int | None = None) -> list[dict]:
+    """Reconstruct the normalized spec list from committed metadata —
+    the DEFAULT spec unless ``spec_id`` names a historical one (spec
+    evolution keeps every spec a live file was written under)."""
+    specs = meta.get("partition-specs") or [{}]
+    if spec_id is None:
+        spec_id = meta.get("default-spec-id", 0)
+    spec = next((sp for sp in specs if sp.get("spec-id", 0) == spec_id), {})
+    fields = spec.get("fields") or []
     id_to_name = {fd["id"]: fd["name"] for fd in _current_schema_node(meta)["fields"]}
     out = []
     for f in fields:
@@ -728,7 +734,7 @@ def write_iceberg(
             (
                 os.path.relpath(manifest_path, path),
                 os.path.getsize(manifest_path),
-                0,
+                (meta or {}).get("default-spec-id", 0),
                 snapshot_id,
                 len(entries),
                 0,
@@ -767,8 +773,11 @@ def write_iceberg(
                 if evolved_node is not None
                 else (meta or {}).get("current-schema-id", 0)
             ),
-            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-            "default-spec-id": 0,
+            "partition-specs": (
+                (meta or {}).get("partition-specs")
+                or [{"spec-id": 0, "fields": spec_fields}]
+            ),
+            "default-spec-id": (meta or {}).get("default-spec-id", 0),
             "snapshots": ((meta or {}).get("snapshots", [])) + [snapshot],
             "current-snapshot-id": snapshot_id,
             "snapshot-log": ((meta or {}).get("snapshot-log", []))
@@ -864,15 +873,11 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
     meta = _load_metadata(path, base_version)
     _require_v2(meta, "position delete files")
     schema = iceberg_schema_to_spark(_current_schema_node(meta))
-    live = read_iceberg(spark, path)
+    live = read_iceberg(spark, path, with_row_identity=True).withColumnRenamed(
+        "__abs_file", "__file"
+    )
     matched = (
-        live.withColumns(
-            {
-                "__file": F.col("_metadata.file_path"),
-                "__pos": F.col("_metadata.row_index"),
-            }
-        )
-        .filter(F.expr(predicate))
+        live.filter(F.expr(predicate))
         .select(
             # manifest paths are table-relative; _metadata is absolute.
             # Recover the relative form through the data/ dir marker.
@@ -1141,10 +1146,17 @@ def plan_files(
             f"snapshot {snapshot_id} not in table "
             f"(have {[s['snapshot-id'] for s in snaps]})"
         )
-    by_source = {p_["source"]: p_ for p_ in _pspecs_from_meta(meta)}
+    by_spec: dict[int, dict] = {
+        sp.get("spec-id", 0): {
+            p_["source"]: p_
+            for p_ in _pspecs_from_meta(meta, sp.get("spec-id", 0))
+        }
+        for sp in (meta.get("partition-specs") or [])
+    }
     out: list[dict] = []
     for ml in read_container(os.path.join(path, snap["manifest-list"])):
         manifest_rel = ml[0]
+        by_source = by_spec.get(int(ml[2]), {})  # the manifest's spec
         for e in read_container(os.path.join(path, manifest_rel)):
             (status, file_path, _fmt, part, n_rows, _size, lower,
              upper, content, _eq_ids) = e[:10]
@@ -1195,6 +1207,7 @@ def plan_files(
                         # equality deletes scope to files from EARLIER
                         # snapshots — per-entry when compacted
                         "snapshot_id": scope,
+                        "spec_id": int(ml[2]),
                     }
                 )
     return out
@@ -1206,6 +1219,7 @@ def read_iceberg(
     snapshot_id: int | None = None,
     eq: dict | None = None,
     ranges: dict | None = None,
+    with_row_identity: bool = False,
 ) -> DataFrame:
     """Snapshot (or time-travel) read with manifest-level pruning; the
     surviving file list goes straight to Spark's vectorized parquet
@@ -1215,54 +1229,76 @@ def read_iceberg(
     to Iceberg's split planning + Spark residual filters."""
     from pyspark.sql import functions as F
 
+    from collections import defaultdict
+    from functools import reduce
+
     meta = _load_metadata(path)
     schema = iceberg_schema_to_spark(_current_schema_node(meta))
-    part_fields = meta["partition-specs"][0]["fields"]
+    spec_fields_by_id = {
+        sp.get("spec-id", 0): sp.get("fields") or []
+        for sp in (meta.get("partition-specs") or [])
+    }
     files = plan_files(path, snapshot_id, eq=eq, ranges=ranges)
     if not files:
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(path, f["path"]) for f in files]
-    if part_fields and any(
-        f["transform"] == "identity" for f in part_fields
-    ):
-        # hive-layout identity partitions: let Spark derive the
-        # partition column from dir names, against the base path
-        scan = (
-            spark.read.option("basePath", path)
-            .schema(schema)
-            .parquet(*paths)
-            .select(*[f.name for f in schema.fields])
-        )  # partitionBy writes the partition col last; restore order
-    else:
-        # unpartitioned, or a TRANSFORM partition (bucket/truncate/
-        # day): the source column is stored in the data files, so the
-        # derived dir key is layout-only — plain file-list scan
-        scan = spark.read.schema(schema).parquet(*paths)
+    # spec evolution: files may live under different layouts (a file
+    # keeps the spec it was written with); group by spec and build one
+    # scan per layout — identity layouts need basePath reattachment,
+    # transform/unpartitioned layouts are plain file lists
+    groups: dict[int, list[dict]] = defaultdict(list)
+    for f in files:
+        groups[f.get("spec_id", 0)].append(f)
+
+    def _build_scan(flist, fields):
+        paths = [os.path.join(path, f["path"]) for f in flist]
+        if fields and any(f["transform"] == "identity" for f in fields):
+            return (
+                spark.read.option("basePath", path)
+                .schema(schema)
+                .parquet(*paths)
+                .select(*[f.name for f in schema.fields])
+            )  # partitionBy writes the partition col last; restore order
+        return spark.read.schema(schema).parquet(*paths)
 
     delete_entries = plan_delete_files(path, snapshot_id)
     pos_dels = [d for d in delete_entries if d["content"] == 1]
     eq_dels = [d for d in delete_entries if d["content"] == 2]
     out_cols = [f.name for f in schema.fields]
-    if not delete_entries:
-        return scan
+    if not delete_entries and not with_row_identity:
+        return reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                _build_scan(g, spec_fields_by_id.get(sid, []))
+                for sid, g in sorted(groups.items())
+            ],
+        )
 
-    # _metadata only resolves on the raw file-scan relation, so the row
-    # identity (file name, position) and the file's adding snapshot are
-    # captured ONCE here and carried through the anti-joins as hidden
-    # columns, dropped at the end.
+    # _metadata only resolves on a raw file-scan relation (it does NOT
+    # propagate through a Union), so the row identity (absolute file
+    # path, file name, position) and the file's adding snapshot are
+    # captured PER LAYOUT GROUP (before any union) and carried through
+    # the anti-joins as hidden columns, dropped at the end — or kept,
+    # for with_row_identity callers (delete_iceberg) that need stable
+    # (file, pos) row addresses.
     file_snap = {os.path.basename(f["path"]): f["snapshot_id"] for f in files}
     snap_map = F.create_map(
         *[x for k, v in file_snap.items() for x in (F.lit(k), F.lit(v))]
     )
     fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-    scan = scan.withColumns(
-        {
-            "__file": fname,
-            "__pos": F.col("_metadata.row_index"),
-            "__snap": snap_map[fname],
-        }
+    scan = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            _build_scan(g, spec_fields_by_id.get(sid, [])).withColumns(
+                {
+                    "__abs_file": F.col("_metadata.file_path"),
+                    "__file": fname,
+                    "__pos": F.col("_metadata.row_index"),
+                    "__snap": snap_map[fname],
+                }
+            )
+            for sid, g in sorted(groups.items())
+        ],
     )
-
     if pos_dels:
         # merge-on-read positions: anti-join the scan against the
         # position-delete rows on (data file name, row position).
@@ -1323,6 +1359,8 @@ def read_iceberg(
                 scan["__snap"] < F.col("__dsnap")
             ]
             scan = scan.join(F.broadcast(eq_df), on=cond, how="left_anti")
+    if with_row_identity:
+        return scan.select(*out_cols, "__abs_file", "__pos")
     return scan.select(*out_cols)
 
 
@@ -1526,8 +1564,10 @@ def rewrite_manifests(path: str) -> dict:
             "manifests_after": len(mls),
         }
 
-    data_entries: list[tuple] = []
-    delete_entries: list[tuple] = []
+    # one compacted manifest per (partition spec, data/delete kind):
+    # a manifest belongs to exactly one spec (the spec-evolution rule),
+    # and delete files stay out of data manifests per the spec
+    grouped: dict[tuple[int, bool], list[tuple]] = {}
     for ml in mls:
         for e in read_container(os.path.join(path, ml[0])):
             scope = int(e[10]) if len(e) > 10 else int(ml[3])
@@ -1536,7 +1576,7 @@ def rewrite_manifests(path: str) -> dict:
                 continue
             # carried-forward entries are EXISTING (status 0) + scope
             row = (0,) + e10[1:] + (scope,)
-            (data_entries if e10[8] == 0 else delete_entries).append(row)
+            grouped.setdefault((int(ml[2]), e10[8] == 0), []).append(row)
 
     snapshot_id = (base_version or 0) + 1
     now_ms = int(time.time() * 1000)
@@ -1550,15 +1590,13 @@ def rewrite_manifests(path: str) -> dict:
         return mp
 
     ml_rows = []
-    for entries in (data_entries, delete_entries):
-        if not entries:
-            continue
+    for (spec_id, _is_data), entries in sorted(grouped.items()):
         mp = _stage_manifest(entries)
         ml_rows.append(
             (
                 os.path.relpath(mp, path),
                 os.path.getsize(mp),
-                0,
+                spec_id,
                 snapshot_id,
                 0,
                 len(entries),
@@ -1630,6 +1668,54 @@ def upgrade_format_version(path: str, to_version: int = 2) -> int:
     if not _put_if_absent(json.dumps(new_meta), meta_file):
         raise IcebergConcurrentWriteError(
             f"concurrent commit at version {version}: re-run the upgrade"
+        )
+    _advance_hint(path, version)
+    return version
+
+
+def evolve_partition_spec(path: str, new_partition_by) -> int:
+    """Partition-spec EVOLUTION (spec 'Partition Evolution'): commit a
+    NEW default spec — subsequent writes lay data out under it, while
+    every existing file keeps the spec it was written with (specs are
+    kept forever; manifests name their spec id, and both scan planning
+    and reads resolve layout per manifest). Metadata-only: no data
+    file moves, no snapshot. Returns the committed metadata version.
+
+    The 100 TB point: repartitioning a table is otherwise a full
+    rewrite; evolution changes the layout of FUTURE data for free, and
+    a later rewrite_data_files migrates old files incrementally."""
+    base_version = current_metadata_version(path)
+    meta = _load_metadata(path, base_version)
+    pspecs = _normalize_pspecs(new_partition_by)
+    schema_names = [f["name"] for f in _current_schema_node(meta)["fields"]]
+    missing = [p_["source"] for p_ in pspecs if p_["source"] not in schema_names]
+    if missing:
+        raise ValueError(f"partition sources not in schema: {missing}")
+    specs = list(meta.get("partition-specs") or [])
+    new_id = max((sp.get("spec-id", 0) for sp in specs), default=-1) + 1
+    specs.append(
+        {
+            "spec-id": new_id,
+            "fields": [
+                {
+                    "name": p_["pname"],
+                    "transform": p_["tstr"],
+                    "source-id": schema_names.index(p_["source"]) + 1,
+                    "field-id": 1000 + i,
+                }
+                for i, p_ in enumerate(pspecs)
+            ],
+        }
+    )
+    new_meta = dict(meta)
+    new_meta["partition-specs"] = specs
+    new_meta["default-spec-id"] = new_id
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    version = (base_version or 0) + 1
+    meta_file = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
+    if not _put_if_absent(json.dumps(new_meta), meta_file):
+        raise IcebergConcurrentWriteError(
+            f"concurrent commit at version {version}: re-run the spec evolution"
         )
     _advance_hint(path, version)
     return version

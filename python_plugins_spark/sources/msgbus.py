@@ -113,7 +113,21 @@ def _iter_partition(pdir: str):
 
 
 def _partition_count(pdir: str) -> int:
-    return sum(1 for _ in _iter_partition(pdir))
+    """Record count of a partition — a METADATA fetch, not a log
+    scan: segments are named ``<seq>-<count>.log`` so the high
+    watermark is a directory listing (the broker-metadata shape;
+    offset discovery must not re-read a 100 TB log). Legacy unnamed
+    counts fall back to walking the segment once."""
+    total = 0
+    for seg in sorted(os.listdir(pdir)):
+        if not seg.endswith(".log"):
+            continue
+        stem = seg[: -len(".log")]
+        if "-" in stem:
+            total += int(stem.split("-", 1)[1])
+        else:
+            total += sum(1 for _ in _iter_segment(os.path.join(pdir, seg)))
+    return total
 
 
 def create_topic(root: str, topic: str, partitions: int) -> None:
@@ -168,7 +182,7 @@ def produce_dataframe(
             tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "wb") as fh:
                 fh.write(payload)
-            os.replace(tmp, os.path.join(pdir, "00000000.log"))
+            os.replace(tmp, os.path.join(pdir, f"00000000-{len(rs)}.log"))
 
     prepared.foreachPartition(write_partition)
 
@@ -184,12 +198,16 @@ def append_records(
     pdir = os.path.join(_topic_dir(root, topic), f"p{partition}")
     os.makedirs(pdir, exist_ok=True)
     existing = sorted(s for s in os.listdir(pdir) if s.endswith(".log"))
-    nxt = int(existing[-1].split(".")[0]) + 1 if existing else 0
+    nxt = (
+        int(existing[-1][: -len(".log")].split("-", 1)[0]) + 1
+        if existing
+        else 0
+    )
     payload = b"".join(_encode_record(k, v, t) for k, v, t in records)
     tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "wb") as fh:
         fh.write(payload)
-    os.replace(tmp, os.path.join(pdir, f"{nxt:08d}.log"))
+    os.replace(tmp, os.path.join(pdir, f"{nxt:08d}-{len(records)}.log"))
 
 
 class _RangePartition(InputPartition):

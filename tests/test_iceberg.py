@@ -1077,3 +1077,62 @@ def test_iceberg_multi_field_partition_spec(spark):
         ("g", "identity"), ("id_bucket", "bucket[4]"),
     ]
     assert I.read_iceberg(spark, path).count() == 140
+
+
+def test_iceberg_partition_spec_evolution(spark):
+    """Partition-spec evolution: a new default spec applies to FUTURE
+    writes only; files keep the spec they were written with, reads
+    union the layouts, pruning resolves per manifest's spec, deletes
+    work across mixed layouts, compaction groups manifests per spec,
+    and rewrite_data_files migrates everything to the current spec."""
+    import python_plugins_spark.sources.iceberg_py as I
+
+    path = _fresh("ice_spec_evo")
+    # spec 0: unpartitioned
+    I.write_iceberg(
+        spark.range(40).selectExpr("id", "id % 4 AS g"), path, "overwrite"
+    )
+    # spec 1: identity(g) — metadata-only
+    I.evolve_partition_spec(path, "g")
+    I.write_iceberg(
+        spark.range(40, 80).selectExpr("id", "id % 4 AS g"), path, "append"
+    )
+    meta = I._load_metadata(path)
+    assert meta["default-spec-id"] == 1
+    assert len(meta["partition-specs"]) == 2
+
+    back = I.read_iceberg(spark, path)
+    assert sorted((r.id, r.g) for r in back.collect()) == [
+        (i, i % 4) for i in range(80)
+    ]
+    # per-spec pruning: spec-1 files prune on the partition VALUE,
+    # spec-0 files on their logged column bounds
+    files = I.plan_files(path)
+    spec_ids = {f["spec_id"] for f in files}
+    assert spec_ids == {0, 1}
+    pruned = I.plan_files(path, eq={"g": 1})
+    assert len(pruned) < len(files)
+    assert all(
+        f["partition"].get("g") == "1" for f in pruned if f["spec_id"] == 1
+    )
+
+    # row-level delete across MIXED layouts (per-group _metadata capture)
+    I.delete_iceberg(spark, path, "id IN (3, 43)")
+    got = {r.id for r in I.read_iceberg(spark, path).collect()}
+    assert got == set(range(80)) - {3, 43}
+
+    # compaction groups the merged manifests per spec
+    stats = I.rewrite_manifests(path)
+    assert stats["manifests_after"] >= 3  # spec0-data, spec1-data, deletes
+    got2 = {r.id for r in I.read_iceberg(spark, path).collect()}
+    assert got2 == got
+
+    # evolve again (bucket) and MIGRATE via rewrite: everything lands
+    # under the newest spec, deletes applied
+    I.evolve_partition_spec(
+        path, {"transform": "bucket", "source": "id", "n": 4}
+    )
+    I.rewrite_data_files(spark, path, target_parts=2)
+    files3 = I.plan_files(path)
+    assert {f["spec_id"] for f in files3} == {2}
+    assert {r.id for r in I.read_iceberg(spark, path).collect()} == got
