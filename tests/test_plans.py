@@ -571,3 +571,35 @@ def test_delta_dv_read_no_build_time_actions(spark, tmp_path):
     after = tracker.getJobIdsForGroup(None)
     assert len(after) == len(before), "plan build ran a Spark job"
     assert df.count() == 3000
+
+
+def test_round4_corpus_ops_scale_safe(spark, sf_dir):
+    """Round-4 expression-only corpus operators: zero Spark jobs at
+    plan construction, no CartesianProduct, and — their specific
+    claim — ZERO Python evaluation nodes in the plan (whole-stage
+    codegen end to end)."""
+    from python_plugins_spark.queries import QUERIES
+    from python_plugins_spark.sources.io import TABLES
+
+    for t in TABLES:
+        load_table(spark, t, sf_dir)
+    sc = spark.sparkContext
+    for name in (
+        "url_canonicalize_dedup",
+        "sentence_dedup_docs",
+        "hist_quantile_sketch_orders",
+        "hist_sketch_merge_rollup",
+    ):
+        group = f"construct-{name}"
+        sc.setJobGroup(group, "plan-construction probe")
+        try:
+            df = QUERIES[name](spark, sf_dir)
+        finally:
+            sc.setJobGroup("", "")
+        assert not sc.statusTracker().getJobIdsForGroup(group), (
+            f"{name}: jobs ran during plan construction"
+        )
+        plan = plan_str(df)
+        assert "CartesianProduct" not in plan, name
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, f"{name}: {marker} in plan (Python in hot path)"
