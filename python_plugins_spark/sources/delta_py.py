@@ -769,6 +769,19 @@ def _cm_map(schema: T.StructType) -> dict[str, str]:
     }
 
 
+def _cm_to_physical(meta: dict | None, df: DataFrame) -> DataFrame:
+    """Project a LOGICAL-schema frame onto the table's PHYSICAL
+    column names before staging data files (no-op without mapping).
+    Every writer of data files on a mapped table must route here."""
+    if not column_mapping_enabled(meta):
+        return df
+    from pyspark.sql import functions as F
+
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    cm = _cm_map(schema)
+    return df.select(*[F.col(ln).alias(pn) for ln, pn in cm.items()])
+
+
 def _require_no_mapping(meta: dict | None, op: str) -> None:
     if column_mapping_enabled(meta):
         raise ValueError(
@@ -796,11 +809,6 @@ def enable_column_mapping(table_path: str, max_retries: int = 10) -> int:
         raise ValueError(
             "column mapping on partitioned tables is not supported by "
             "this layer (partitionValues would need physical remapping)"
-        )
-    if any(a.get("deletionVector") for a in state.active.values()):
-        raise ValueError(
-            "column mapping upgrade with live deletion vectors is not "
-            "supported; OPTIMIZE (purge) first"
         )
     schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
     if column_mapping_enabled(state.meta):
@@ -1229,18 +1237,29 @@ def _dv_scan(
     subset: dict[str, dict],
     keep_meta: bool = False,
     part_cols: list[str] | None = None,
+    meta: dict | None = None,
 ):
     """Scan the given add-set with deletion vectors applied. With
     ``keep_meta`` the frame carries ``__file`` (data file name) and
     ``__idx`` (physical ``_metadata.row_index``) — the row identity a
     DV keys on — alongside the table columns. ``part_cols`` marks a
     hive-partitioned table (partition columns reconstructed from dir
-    names via basePath)."""
+    names via basePath). Pass ``meta`` so column-mapping tables scan
+    under PHYSICAL names and surface logical ones (DV row identity is
+    (file, index) — schema-agnostic, so the machinery composes)."""
     from pyspark.sql import functions as F
 
     from .delta_dv import deleted_rows_df
 
-    scan = _scan_files(spark, table_path, schema, list(subset), part_cols or [])
+    read_schema = schema
+    cm = None
+    if meta is not None and column_mapping_enabled(meta):
+        read_schema = _cm_physical_schema(schema)
+        cm = list(zip([f.name for f in schema.fields],
+                      [f.name for f in read_schema.fields]))
+    scan = _scan_files(
+        spark, table_path, read_schema, list(subset), part_cols or []
+    )
     cols = [f.name for f in schema.fields]
     keyed = scan.withColumns(
         {
@@ -1248,6 +1267,10 @@ def _dv_scan(
             "__idx": F.col("_metadata.row_index"),
         }
     )
+    if cm is not None:
+        keyed = keyed.select(
+            *[F.col(pn).alias(ln) for ln, pn in cm], "__file", "__idx"
+        )
     dv_adds = {p: a for p, a in subset.items() if a.get("deletionVector")}
     if dv_adds:
         total = sum(a["deletionVector"].get("cardinality", 0) for a in dv_adds.values())
@@ -1308,7 +1331,6 @@ def delete_delta(
         if read_version < 0:
             raise FileNotFoundError(f"no Delta table at {table_path}")
         state = _replay_state(table_path)
-        _require_no_mapping(state.meta, "delete_delta")
         schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
         active = state.active
         now_ms = int(time.time() * 1000)
@@ -1318,7 +1340,7 @@ def delete_delta(
         part_cols = state.meta.get("partitionColumns") or []
         live = _dv_scan(
             spark, table_path, schema, active, keep_meta=True,
-            part_cols=part_cols,
+            part_cols=part_cols, meta=state.meta,
         )
         matched = live.filter(F.expr(predicate))
 
@@ -1414,10 +1436,12 @@ def delete_delta(
                 return read_version
             sub = {p: active[p] for p in touched}
             keep = _dv_scan(
-                spark, table_path, schema, sub, part_cols=part_cols
+                spark, table_path, schema, sub, part_cols=part_cols,
+                meta=state.meta,
             ).filter(~F.coalesce(F.expr(predicate), F.lit(False)))
             adds_staged = _stage_data_files(
-                keep, table_path, now_ms, part_cols or None
+                _cm_to_physical(state.meta, keep), table_path, now_ms,
+                part_cols or None,
             )
             actions = [
                 {
@@ -1515,7 +1539,6 @@ def merge_delta(
         if read_version < 0:
             raise FileNotFoundError(f"no Delta table at {table_path}")
         state = _replay_state(table_path)
-        _require_no_mapping(state.meta, "merge_delta")
         schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
         active = state.active
         part_cols = state.meta.get("partitionColumns") or []
@@ -1546,7 +1569,7 @@ def merge_delta(
             # into the rewrite below
             tgt = _dv_scan(
                 spark, table_path, schema, active, keep_meta=True,
-                part_cols=part_cols,
+                part_cols=part_cols, meta=state.meta,
             )
             skeys = src.select(*on).distinct()
             touched_rows = (
@@ -1566,7 +1589,7 @@ def merge_delta(
         if touched:
             tt = _dv_scan(
                 spark, table_path, schema, {p: active[p] for p in touched},
-                part_cols=part_cols,
+                part_cols=part_cols, meta=state.meta,
             ).alias(t_alias)
             joined = tt.join(
                 src.alias(s_alias),
@@ -1603,7 +1626,7 @@ def merge_delta(
                     _dv_scan(
                         spark, table_path, schema,
                         {p: active[p] for p in touched},
-                        part_cols=part_cols,
+                        part_cols=part_cols, meta=state.meta,
                     )
                     .select(*on)
                     .distinct()
@@ -1628,7 +1651,10 @@ def merge_delta(
             out = out_parts[0]
             for extra in out_parts[1:]:
                 out = out.unionByName(extra)
-            adds = _stage_data_files(out, table_path, now_ms, part_cols or None)
+            adds = _stage_data_files(
+                _cm_to_physical(state.meta, out), table_path, now_ms,
+                part_cols or None,
+            )
 
         actions: list[dict] = [
             {
@@ -1736,7 +1762,6 @@ def optimize_delta(
         if read_version < 0:
             raise FileNotFoundError(f"no Delta table at {table_path}")
         state = _replay_state(table_path)
-        _require_no_mapping(state.meta, "optimize_delta")
         schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
         active = state.active
         part_cols = state.meta.get("partitionColumns") or []
@@ -1758,7 +1783,10 @@ def optimize_delta(
         n_out = max(1, -(-total // target_file_size))
         now_ms = int(time.time() * 1000)
 
-        src = _dv_scan(spark, table_path, schema, victims, part_cols=part_cols)
+        src = _dv_scan(
+            spark, table_path, schema, victims, part_cols=part_cols,
+            meta=state.meta,
+        )
         if zorder_by:
             keyed = _morton_key(src, zorder_by)
             packed = (
@@ -1768,7 +1796,10 @@ def optimize_delta(
             )
         else:
             packed = src.repartition(n_out)
-        adds = _stage_data_files(packed, table_path, now_ms, part_cols or None)
+        adds = _stage_data_files(
+            _cm_to_physical(state.meta, packed), table_path, now_ms,
+            part_cols or None,
+        )
         for a in adds:
             a["add"]["dataChange"] = False
 
@@ -1997,7 +2028,6 @@ def update_delta(
         if read_version < 0:
             raise FileNotFoundError(f"no Delta table at {table_path}")
         state = _replay_state(table_path)
-        _require_no_mapping(state.meta, "update_delta")
         schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
         cols = [f.name for f in schema.fields]
         unknown = [c for c in set_exprs if c not in cols]
@@ -2011,7 +2041,7 @@ def update_delta(
         part_cols = state.meta.get("partitionColumns") or []
         live = _dv_scan(
             spark, table_path, schema, active, keep_meta=True,
-            part_cols=part_cols,
+            part_cols=part_cols, meta=state.meta,
         )
         matched = live.filter(F.expr(predicate))
 
@@ -2027,7 +2057,8 @@ def update_delta(
             ]
         )
         adds_staged = _stage_data_files(
-            updated, table_path, now_ms, part_cols or None
+            _cm_to_physical(state.meta, updated), table_path, now_ms,
+            part_cols or None,
         )
         if not adds_staged:
             return read_version

@@ -1048,8 +1048,10 @@ def test_delta_column_mapping_rename_without_rewrite(spark):
 
 
 def test_delta_column_mapping_guards(spark):
-    """Documented subset: row-level ops, CDC, streaming, merge_schema,
-    partitioned upgrades all refuse mapped tables loudly."""
+    """Documented subset: CDC, streaming, merge_schema, and
+    partitioned upgrades refuse mapped tables loudly (row-level ops
+    were lifted in round 4 and are covered by
+    test_delta_column_mapping_row_level_ops)."""
     import pytest
 
     import python_plugins_spark.sources.delta_py as dp
@@ -1057,8 +1059,6 @@ def test_delta_column_mapping_guards(spark):
     p = _fresh("cm_guards")
     dp.write_delta(spark.range(20).selectExpr("id", "id AS v"), p, "overwrite")
     dp.enable_column_mapping(p)
-    with pytest.raises(ValueError, match="column-mapping"):
-        dp.delete_delta(spark, p, "id < 3")
     with pytest.raises(ValueError, match="column-mapping"):
         dp.table_changes(spark, p, 0)
     with pytest.raises(ValueError, match="column-mapping"):
@@ -1078,3 +1078,66 @@ def test_delta_column_mapping_guards(spark):
     )
     with pytest.raises(ValueError, match="partitioned"):
         dp.enable_column_mapping(p2)
+
+
+def test_delta_column_mapping_row_level_ops(spark):
+    """Row-level ops compose with column mapping (round 4 lift): DV
+    deletes, rewrite deletes, UPDATE, MERGE, and OPTIMIZE all operate
+    on a renamed table — DV row identity is (file, index), schema-
+    agnostic; rewritten/updated/compacted files store PHYSICAL names."""
+    import python_plugins_spark.sources.delta_py as dp
+
+    p = _fresh("cm_rowops")
+    dp.write_delta(
+        spark.range(40).selectExpr("id AS k", "id * 1.0 AS score"),
+        p, "overwrite",
+    )
+    dp.enable_column_mapping(p)
+    dp.rename_column(p, "score", "quality")
+
+    # DV delete under the NEW logical name
+    dp.delete_delta(spark, p, "quality < 5.0", mode="dv")
+    got = {r.k for r in dp.read_delta(spark, p).collect()}
+    assert got == set(range(5, 40))
+
+    # UPDATE referencing logical names
+    dp.update_delta(
+        spark, p, "k >= 38", {"quality": "quality + 100"}
+    )
+    rows = {r.k: r.quality for r in dp.read_delta(spark, p).collect()}
+    assert rows[38] == 138.0 and rows[39] == 139.0 and rows[10] == 10.0
+
+    # MERGE upserts
+    src = spark.createDataFrame([(10, 999.0), (100, 1.0)], "k long, quality double")
+    dp.merge_delta(
+        spark, src, p, on=["k"],
+        when_matched_update="all", when_not_matched_insert=True,
+    )
+    rows = {r.k: r.quality for r in dp.read_delta(spark, p).collect()}
+    assert rows[10] == 999.0 and rows[100] == 1.0
+
+    # rewrite-mode delete + OPTIMIZE (purges DVs), still correct
+    dp.delete_delta(spark, p, "k IN (7, 8)", mode="rewrite")
+    dp.optimize_delta(spark, p)
+    rows = {r.k: r.quality for r in dp.read_delta(spark, p).collect()}
+    assert set(rows) == set(range(5, 40)) - {7, 8} | {100}
+    assert rows[38] == 138.0 and rows[10] == 999.0
+    # compacted files carry PHYSICAL names
+    import os
+
+    import pyarrow.parquet as pq
+
+    newest = max(
+        (f for f in os.listdir(p) if f.endswith(".parquet")),
+        key=lambda f: os.path.getmtime(os.path.join(p, f)),
+    )
+    assert "score" in pq.ParquetFile(os.path.join(p, newest)).schema_arrow.names
+
+    # DVs live BEFORE the upgrade also survive it
+    p2 = _fresh("cm_dv_first")
+    dp.write_delta(spark.range(20).selectExpr("id", "id * 2.0 AS v"), p2, "overwrite")
+    dp.delete_delta(spark, p2, "id < 3", mode="dv")
+    dp.enable_column_mapping(p2)
+    dp.rename_column(p2, "v", "w")
+    got = {(r.id, r.w) for r in dp.read_delta(spark, p2).collect()}
+    assert got == {(i, i * 2.0) for i in range(3, 20)}
