@@ -1880,8 +1880,15 @@ def table_changes(
     if to_version is None:
         to_version = table_version(table_path)
     end_state = _replay_state(table_path, to_version)
-    _require_no_mapping(end_state.meta, "table_changes")
     schema = T.StructType.fromJson(json.loads(end_state.meta["schemaString"]))
+    # column mapping: physicalName is stable across renames, so every
+    # historical file reads under the END snapshot's mapping and the
+    # feed reports the END logical names (CDF's usual contract)
+    _cm = (
+        list(_cm_map(schema).items())
+        if column_mapping_enabled(end_state.meta)
+        else None
+    )
     part_cols = end_state.meta.get("partitionColumns") or []
     cols = [f.name for f in schema.fields]
 
@@ -1922,7 +1929,8 @@ def table_changes(
 
         if plain_adds:
             ins = _dv_scan(
-                spark, table_path, schema, plain_adds, part_cols=part_cols
+                spark, table_path, schema, plain_adds, part_cols=part_cols,
+                meta=end_state.meta,
             ).select(
                 *cols,
                 F.lit("insert").alias("_change_type"),
@@ -1954,7 +1962,9 @@ def table_changes(
                 "__dv_file", F.element_at(F.split("__dv_file", "/"), -1)
             )
             scan = _scan_files(
-                spark, table_path, schema, list(dv_pairs), part_cols
+                spark, table_path,
+                _cm_physical_schema(schema) if _cm else schema,
+                list(dv_pairs), part_cols,
             )
             keyed = scan.withColumns(
                 {
@@ -1964,6 +1974,11 @@ def table_changes(
                     "__idx": F.col("_metadata.row_index"),
                 }
             )
+            if _cm:
+                keyed = keyed.select(
+                    *[F.col(pn).alias(ln) for ln, pn in _cm],
+                    "__file", "__idx",
+                )
             dels = keyed.join(
                 delta_del,
                 on=[

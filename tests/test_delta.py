@@ -1048,10 +1048,10 @@ def test_delta_column_mapping_rename_without_rewrite(spark):
 
 
 def test_delta_column_mapping_guards(spark):
-    """Documented subset: CDC, streaming, merge_schema, and
-    partitioned upgrades refuse mapped tables loudly (row-level ops
-    were lifted in round 4 and are covered by
-    test_delta_column_mapping_row_level_ops)."""
+    """Documented subset: the streaming source, merge_schema
+    evolution, and partitioned upgrades refuse mapped tables loudly
+    (row-level ops and CDC were lifted in round 4 and are covered by
+    the dedicated tests)."""
     import pytest
 
     import python_plugins_spark.sources.delta_py as dp
@@ -1059,8 +1059,6 @@ def test_delta_column_mapping_guards(spark):
     p = _fresh("cm_guards")
     dp.write_delta(spark.range(20).selectExpr("id", "id AS v"), p, "overwrite")
     dp.enable_column_mapping(p)
-    with pytest.raises(ValueError, match="column-mapping"):
-        dp.table_changes(spark, p, 0)
     with pytest.raises(ValueError, match="column-mapping"):
         dp.write_delta(
             spark.range(3).selectExpr("id", "id AS v", "id AS extra"),
@@ -1141,3 +1139,27 @@ def test_delta_column_mapping_row_level_ops(spark):
     dp.rename_column(p2, "v", "w")
     got = {(r.id, r.w) for r in dp.read_delta(spark, p2).collect()}
     assert got == {(i, i * 2.0) for i in range(3, 20)}
+
+
+def test_delta_column_mapping_cdc(spark):
+    """table_changes on a mapped table: historical versions (including
+    pre-rename commits and DV deletes) report under the END snapshot's
+    logical names — physicalName stability is what makes the whole
+    history readable."""
+    import python_plugins_spark.sources.delta_py as dp
+
+    p = _fresh("cm_cdc")
+    dp.write_delta(spark.range(10).selectExpr("id", "id * 2.0 AS v"), p, "overwrite")
+    dp.enable_column_mapping(p)          # v1
+    dp.rename_column(p, "v", "w")        # v2
+    dp.write_delta(
+        spark.range(10, 13).selectExpr("id", "id * 2.0 AS w"), p, "append"
+    )                                     # v3
+    dp.delete_delta(spark, p, "id < 2", mode="dv")  # v4
+    cdc = dp.table_changes(spark, p, 0)
+    assert "w" in cdc.columns and "v" not in cdc.columns
+    ins = {(r.id, r.w) for r in cdc.filter("_change_type = 'insert'").collect()}
+    assert ins == {(i, i * 2.0) for i in range(13)}
+    dels = {(r.id, r._commit_version) for r in
+            cdc.filter("_change_type = 'delete'").collect()}
+    assert dels == {(0, 4), (1, 4)}
