@@ -800,10 +800,13 @@ def enable_column_mapping(table_path: str, max_retries: int = 10) -> int:
     thereafter are metadata-only commits that change the LOGICAL name
     while the physical layout stays put.
 
-    Documented subset: refused on partitioned tables and tables with
-    deletion vectors (their sidecar paths key on physical layout this
-    layer doesn't remap); row-level ops on mapped tables are refused
-    likewise."""
+    Composes with the full table surface as of round 4: row-level
+    ops (DV/rewrite delete, UPDATE, MERGE, OPTIMIZE), derived CDC, and
+    both streaming modes all read/write mapped tables through the
+    logical->physical projection. Documented subset: refused on
+    PARTITIONED tables (partitionValues would need physical
+    remapping), and ``merge_schema`` evolution on mapped tables is
+    refused (new-column physical-name assignment is not implemented)."""
     state = _replay_state(table_path)
     if state.meta.get("partitionColumns"):
         raise ValueError(

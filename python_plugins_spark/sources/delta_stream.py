@@ -54,10 +54,9 @@ class DeltaStreamSource(DataSource):
         return "delta_py_stream"
 
     def schema(self) -> T.StructType:
-        from .delta_py import _replay_state, _require_no_mapping
+        from .delta_py import _replay_state
 
         state = _replay_state(self.options["path"])
-        _require_no_mapping(state.meta, "delta_py_stream")
         cdc = str(self.options.get("readchangefeed", "false")).lower() == "true"
         base = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
         if cdc:
@@ -71,6 +70,15 @@ class DeltaStreamSource(DataSource):
         return base
 
     def streamReader(self, schema):
+        from .delta_py import (
+            _cm_map, _replay_state, column_mapping_enabled,
+        )
+
+        state = _replay_state(self.options["path"])
+        cm = None
+        if column_mapping_enabled(state.meta):
+            base = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
+            cm = _cm_map(base)  # logical -> PHYSICAL file column names
         common = (
             self.options["path"],
             int(self.options.get("starting_version", 0)),
@@ -80,11 +88,13 @@ class DeltaStreamSource(DataSource):
                 *common,
                 int(self.options.get("max_versions_per_batch", 0)) or None,
                 schema,
+                cm,
             )
         return DeltaStreamReader(
             *common,
             str(self.options.get("ignorechanges", "false")).lower() == "true",
             schema,
+            cm,
         )
 
 
@@ -116,11 +126,15 @@ class _FilePartition(InputPartition):
 
 class DeltaStreamReader(DataSourceStreamReader):
     def __init__(self, table_path: str, starting_version: int,
-                 ignore_changes: bool, schema: T.StructType | None = None):
+                 ignore_changes: bool, schema: T.StructType | None = None,
+                 cm: dict[str, str] | None = None):
         self.table_path = table_path
         self.starting_version = starting_version
         self.ignore_changes = ignore_changes
         self.table_schema = schema
+        # column mapping: files store PHYSICAL names; lookups go
+        # logical -> physical (physicalName is rename-stable)
+        self.cm = cm or {}
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version - 1}
@@ -170,11 +184,11 @@ class DeltaStreamReader(DataSourceStreamReader):
 
         table = pq.read_table(partition.abs_path)
         names = (
-            [f.name for f in self.table_schema.fields]
+            [self.cm.get(f.name, f.name) for f in self.table_schema.fields]
             if self.table_schema is not None
             else None
         )
-        if not partition.pvals and (
+        if not partition.pvals and not self.cm and (
             names is None or list(table.schema.names) == names
         ):
             for batch in table.to_batches():
@@ -201,7 +215,7 @@ class DeltaStreamReader(DataSourceStreamReader):
             yield tuple(
                 consts[f.name]
                 if f.name in consts
-                else file_cols.get(f.name, none_col)[r]
+                else file_cols.get(self.cm.get(f.name, f.name), none_col)[r]
                 for f in fields
             )
 
@@ -233,11 +247,13 @@ class DeltaChangeFeedStreamReader(DataSourceStreamReader):
     nothing; in-place rewrites raise (not row-derivable)."""
 
     def __init__(self, table_path, starting_version, max_versions=None,
-                 schema: T.StructType | None = None):
+                 schema: T.StructType | None = None,
+                 cm: dict[str, str] | None = None):
         self.table_path = table_path
         self.starting_version = starting_version
         self.max_versions = max_versions
         self.table_schema = schema
+        self.cm = cm or {}
         self._consumed: int | None = None  # last version handed out
 
     def initialOffset(self) -> dict:
@@ -337,11 +353,12 @@ class DeltaChangeFeedStreamReader(DataSourceStreamReader):
                 new_idx -= set(load_dv(partition.table_path, partition.old_desc))
             rows = sorted(new_idx)
         base_names = (
-            [f.name for f in self.table_schema.fields[:-2]]
+            [self.cm.get(f.name, f.name)
+             for f in self.table_schema.fields[:-2]]
             if self.table_schema is not None
             else None
         )
-        if not partition.pvals and (
+        if not partition.pvals and not self.cm and (
             base_names is None or list(table.schema.names) == base_names
         ):
             cols = [table.column(i).to_pylist() for i in range(table.num_columns)]
@@ -370,7 +387,7 @@ class DeltaChangeFeedStreamReader(DataSourceStreamReader):
             yield tuple(
                 consts[f.name]
                 if f.name in consts
-                else file_cols.get(f.name, none_col)[r]
+                else file_cols.get(self.cm.get(f.name, f.name), none_col)[r]
                 for f in fields
             ) + (partition.change_type, partition.version)
 

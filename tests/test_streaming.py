@@ -1121,3 +1121,59 @@ def test_msgbus_stream_resumes_exactly_once(spark, tmp_path):
     assert batch.count() == 4
     nullkey = batch.filter("key IS NULL").collect()
     assert len(nullkey) == 1 and bytes(nullkey[0].value) == b"v-nullkey"
+
+
+def test_delta_stream_on_column_mapped_table(spark, tmp_path):
+    """The Delta streaming source reads column-mapping tables: files
+    store physical names, the stream surfaces logical ones, and both
+    the append tail and the CDC feed work across a rename."""
+    import python_plugins_spark.sources.delta_py as dp
+    from python_plugins_spark.sources import delta_stream
+
+    delta_stream.register(spark)
+    tbl = str(tmp_path / "cm_stream_t")
+    dp.write_delta(
+        spark.range(10).selectExpr("id", "id * 2.0 AS v"), tbl, "overwrite"
+    )
+    dp.enable_column_mapping(tbl)
+    dp.rename_column(tbl, "v", "w")
+    dp.write_delta(
+        spark.range(10, 15).selectExpr("id", "id * 2.0 AS w"), tbl, "append"
+    )
+
+    q = (
+        spark.readStream.format("delta_py_stream")
+        .option("path", tbl)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cm_stream_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.id, r.w) for r in spark.table("cm_stream_sink").collect()}
+    assert got == {(i, i * 2.0) for i in range(15)}
+
+    dp.delete_delta(spark, tbl, "id < 2", mode="dv")
+    q = (
+        spark.readStream.format("delta_py_stream")
+        .option("path", tbl)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cm_cdc_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("cm_cdc_sink").collect()
+    ins = {(r.id, r.w) for r in rows if r._change_type == "insert"}
+    dels = {r.id for r in rows if r._change_type == "delete"}
+    assert ins == {(i, i * 2.0) for i in range(15)}
+    assert dels == {0, 1}
