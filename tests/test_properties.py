@@ -201,3 +201,81 @@ def test_avro_codec_roundtrip_property(values, tmp_path_factory):
         except OSError:
             pass
     assert got == [row, row]
+
+
+# ------------------------------------------------- round-4 codecs
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767),
+             min_size=1, max_size=400),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(samples, rate):
+    """Any PCM16 signal survives stdlib-encode -> hand-rolled-parse
+    bit-exactly."""
+    from python_plugins_spark.operators.multimodal import parse_wav, wav_bytes
+
+    nch, sr, n, dec = parse_wav(wav_bytes(samples, rate))
+    assert (nch, sr, n) == (1, rate, len(samples))
+    assert dec == samples
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_ppm_roundtrip_property(width, height, seed):
+    """Any image size (incl. widths needing BMP row padding) round-
+    trips through both codecs with identical pixels."""
+    from python_plugins_spark.operators.multimodal import (
+        bmp_bytes, parse_bmp, parse_ppm, ppm_bytes,
+    )
+
+    pf = lambda x, y: (
+        (seed + 3 * x + 7 * y) % 256,
+        (seed // 7 + x + 11 * y) % 256,
+        (seed // 13 + 13 * x + y) % 256,
+    )
+    want = [pf(x, y) for y in range(height) for x in range(width)]
+    w, h, px = parse_bmp(bmp_bytes(width, height, pf))
+    assert (w, h, px) == (width, height, want)
+    w, h, px = parse_ppm(ppm_bytes(width, height, pf))
+    assert (w, h, px) == (width, height, want)
+
+
+_PY2_SNIPPETS = st.lists(
+    st.sampled_from([
+        'print "a", x',
+        'print x,',
+        'print >>sink, x',
+        'x = d.has_key(1)',
+        'x = obj.attr[0].has_key(k)',
+        'v = 0777 + 10L',
+        'for i in xrange(3):\n    print i',
+        'try:\n    raise ValueError, "m"\nexcept ValueError, e:\n    x = str(e)',
+        'b = x <> 1',
+        'n = long(x)',
+    ]),
+    min_size=1, max_size=6,
+)
+
+
+@given(_PY2_SNIPPETS)
+@settings(max_examples=40, deadline=None)
+def test_py2shim_composed_scripts_compile(snippets):
+    """Any composition of the supported py2 forms rewrites to code
+    that compiles AND runs under Python 3 (with the names the
+    snippets reference bound)."""
+    import io
+
+    from python_plugins_spark.operators.py2shim import python2_to_3
+
+    src = "\n".join(snippets) + "\n"
+    out = python2_to_3(src)
+    code = compile(out, "<p>", "exec")
+    ns = {"d": {1: "a"}, "x": 5, "k": 1, "sink": io.StringIO(),
+          "obj": type("O", (), {"attr": [{1: 2}]})()}
+    exec(code, ns)
