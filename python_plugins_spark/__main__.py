@@ -42,6 +42,13 @@ def main(argv: list[str] | None = None) -> int:
     p_pipe.add_argument("--show", type=int, default=0,
                         help="rows of each terminal stage to print")
 
+    p_lin = sub.add_parser(
+        "lineage",
+        help="compile a pipeline document (dry run) and print its "
+        "field-lineage record as JSON",
+    )
+    p_lin.add_argument("spec", help="path to the pipeline spec JSON")
+
     args = parser.parse_args(argv)
 
     from python_plugins_spark.queries import ORACLES, QUERIES
@@ -82,6 +89,15 @@ def main(argv: list[str] | None = None) -> int:
                           file=sys.stderr)
                     if args.show:
                         df.show(args.show, truncate=False)
+            return 0
+        if args.cmd == "lineage":
+            import json as _json
+
+            from python_plugins_spark.pipeline import pipeline_field_lineage
+
+            with open(args.spec) as fh:
+                spec = _json.load(fh)
+            print(_json.dumps(pipeline_field_lineage(spark, spec), indent=2))
             return 0
         if args.cmd == "check":
             import os
