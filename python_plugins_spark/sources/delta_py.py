@@ -801,12 +801,13 @@ def enable_column_mapping(table_path: str, max_retries: int = 10) -> int:
     while the physical layout stays put.
 
     Composes with the full table surface as of round 4: row-level
-    ops (DV/rewrite delete, UPDATE, MERGE, OPTIMIZE), derived CDC, and
-    both streaming modes all read/write mapped tables through the
+    ops (DV/rewrite delete, UPDATE, MERGE, OPTIMIZE), derived CDC,
+    both streaming modes, AND ``merge_schema`` append evolution (new
+    columns take fresh ``col-<uuid>`` physical names and advance
+    maxColumnId) all read/write mapped tables through the
     logical->physical projection. Documented subset: refused on
     PARTITIONED tables (partitionValues would need physical
-    remapping), and ``merge_schema`` evolution on mapped tables is
-    refused (new-column physical-name assignment is not implemented)."""
+    remapping) and for overwriteSchema."""
     state = _replay_state(table_path)
     if state.meta.get("partitionColumns"):
         raise ValueError(
@@ -1018,6 +1019,7 @@ def write_delta(
     # write mode)
     constraints: dict[str, str] = {}
     cm_physical: list[tuple[str, str]] | None = None
+    cm_evolution: tuple | None = None
     if table_version(table_path) >= 0:
         _pre_state = _replay_state(table_path)
         if txn is not None and _pre_state.txns.get(txn[0], -1) >= txn[1]:
@@ -1025,11 +1027,6 @@ def write_delta(
         existing_parts = _pre_state.meta.get("partitionColumns") or []
         cfg = _pre_state.meta.get("configuration") or {}
         if cfg.get(_CM_MODE) == "name":
-            if merge_schema:
-                raise ValueError(
-                    "merge_schema on column-mapping tables is not "
-                    "supported by this layer (documented subset)"
-                )
             _tbl = T.StructType.fromJson(
                 json.loads(_pre_state.meta["schemaString"])
             )
@@ -1037,6 +1034,36 @@ def write_delta(
                 (f.name, (f.metadata or {}).get(_CM_PHYS, f.name))
                 for f in _tbl.fields
             ]
+            if merge_schema:
+                if mode == "overwrite":
+                    raise ValueError(
+                        "overwriteSchema on column-mapping tables is not "
+                        "supported by this layer (documented subset)"
+                    )
+                evolved_logical = _evolve_schema(_tbl, df.schema, mode, True)
+                if evolved_logical is not None:
+                    # new columns take FRESH physical names + ids —
+                    # the protocol's add-column rule under mapping
+                    max_id = int(cfg.get(_CM_MAXID, len(_tbl.fields)))
+                    fields_md = []
+                    for f in evolved_logical.fields:
+                        md = dict(f.metadata or {})
+                        if _CM_PHYS not in md:
+                            max_id += 1
+                            md[_CM_ID] = max_id
+                            md[_CM_PHYS] = f"col-{uuid.uuid4().hex[:12]}"
+                        fields_md.append(
+                            T.StructField(f.name, f.dataType, f.nullable, md)
+                        )
+                    evolved_md = T.StructType(fields_md)
+                    cm_evolution = (
+                        _pre_state.meta["schemaString"],
+                        evolved_md,
+                        {**cfg, _CM_MAXID: str(max_id)},
+                    )
+                    cm_physical = [
+                        (f.name, f.metadata[_CM_PHYS]) for f in fields_md
+                    ]
         constraints = {
             k[len(_CONSTRAINT_PREFIX):]: v
             for k, v in cfg.items()
@@ -1075,15 +1102,23 @@ def write_delta(
 
         # column-mapping: data files store PHYSICAL names; rewrite the
         # projection after the constraint observation so the logical
-        # expressions above still resolve
-        if [f.name for f in df.schema.fields] != [ln for ln, _ in cm_physical]:
+        # expressions above still resolve. Under merge_schema the
+        # frame may add (fresh physical names assigned above) or omit
+        # (read null-fills) columns; otherwise names must match.
+        known = {ln for ln, _ in cm_physical}
+        unknown = [c for c in df.columns if c not in known]
+        if unknown or (
+            cm_evolution is None
+            and [f.name for f in df.schema.fields] != [ln for ln, _ in cm_physical]
+        ):
             raise DeltaSchemaMismatchError(
                 f"write schema {[f.name for f in df.schema.fields]} differs "
-                f"from table schema {[ln for ln, _ in cm_physical]} "
-                "(column-mapping tables do not evolve in this layer)"
+                f"from table schema {[ln for ln, _ in cm_physical]}; pass "
+                "merge_schema=True to add columns"
             )
+        have = set(df.columns)
         df = df.select(
-            *[F.col(ln).alias(pn) for ln, pn in cm_physical]
+            *[F.col(ln).alias(pn) for ln, pn in cm_physical if ln in have]
         )
     adds = _stage_data_files(df, table_path, now_ms, partition_by)
     if obs is not None:
@@ -1128,11 +1163,25 @@ def write_delta(
             existing = T.StructType.fromJson(
                 json.loads(state.meta["schemaString"])
             )
-            evolved = _evolve_schema(existing, enforce_schema, mode, merge_schema)
-            if evolved is not None:
+            if cm_evolution is not None:
+                pinned, evolved_md, new_cfg = cm_evolution
+                if state.meta["schemaString"] != pinned:
+                    raise DeltaConcurrentWriteError(
+                        "concurrent commit changed the schema during a "
+                        "column-mapping evolution; re-run the write"
+                    )
                 new_meta = dict(state.meta)
-                new_meta["schemaString"] = evolved.json()
+                new_meta["schemaString"] = evolved_md.json()
+                new_meta["configuration"] = new_cfg
                 actions.append({"metaData": new_meta})
+            else:
+                evolved = _evolve_schema(
+                    existing, enforce_schema, mode, merge_schema
+                )
+                if evolved is not None:
+                    new_meta = dict(state.meta)
+                    new_meta["schemaString"] = evolved.json()
+                    actions.append({"metaData": new_meta})
         if mode == "overwrite" and version > 0:
             # re-read per attempt: the remove-set must reflect the
             # snapshot we are actually replacing, including files a

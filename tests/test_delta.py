@@ -1048,10 +1048,9 @@ def test_delta_column_mapping_rename_without_rewrite(spark):
 
 
 def test_delta_column_mapping_guards(spark):
-    """Documented subset: the streaming source, merge_schema
-    evolution, and partitioned upgrades refuse mapped tables loudly
-    (row-level ops and CDC were lifted in round 4 and are covered by
-    the dedicated tests)."""
+    """Remaining documented subset after the round-4 lifts:
+    overwriteSchema on mapped tables and partitioned upgrades refuse
+    loudly; plain schema mismatches stay clear errors."""
     import pytest
 
     import python_plugins_spark.sources.delta_py as dp
@@ -1059,10 +1058,10 @@ def test_delta_column_mapping_guards(spark):
     p = _fresh("cm_guards")
     dp.write_delta(spark.range(20).selectExpr("id", "id AS v"), p, "overwrite")
     dp.enable_column_mapping(p)
-    with pytest.raises(ValueError, match="column-mapping"):
+    with pytest.raises(ValueError, match="overwriteSchema"):
         dp.write_delta(
-            spark.range(3).selectExpr("id", "id AS v", "id AS extra"),
-            p, "append", merge_schema=True,
+            spark.range(3).selectExpr("id AS only"),
+            p, "overwrite", merge_schema=True,
         )
     # schema mismatch on a mapped table is a clear error, not corruption
     with pytest.raises(dp.DeltaSchemaMismatchError):
@@ -1163,3 +1162,61 @@ def test_delta_column_mapping_cdc(spark):
     dels = {(r.id, r._commit_version) for r in
             cdc.filter("_change_type = 'delete'").collect()}
     assert dels == {(0, 4), (1, 4)}
+
+
+def test_delta_column_mapping_schema_evolution(spark):
+    """merge_schema appends on mapped tables: new columns take FRESH
+    physical names (never colliding with a dropped column's physical
+    storage), maxColumnId advances, omitted columns null-fill, and the
+    whole surface (read/rename/CDC) sees the evolved schema."""
+    import json as _json
+
+    import pytest
+
+    import python_plugins_spark.sources.delta_py as dp
+
+    p = _fresh("cm_evolve")
+    dp.write_delta(spark.range(5).selectExpr("id", "id * 2.0 AS v"), p, "overwrite")
+    dp.enable_column_mapping(p)
+    dp.rename_column(p, "v", "w")
+
+    # add a column via merge_schema append
+    dp.write_delta(
+        spark.range(5, 8).selectExpr("id", "id * 2.0 AS w", "id % 2 AS flag"),
+        p, "append", merge_schema=True,
+    )
+    back = dp.read_delta(spark, p)
+    assert set(back.columns) == {"id", "w", "flag"}
+    rows = {r.id: (r.w, r.flag) for r in back.collect()}
+    assert rows[6] == (12.0, 0) and rows[2] == (4.0, None)  # null-fill
+
+    # the new column's physical name is fresh (col-*), not its logical
+    state = dp._replay_state(p)
+    schema = dp.T.StructType.fromJson(_json.loads(state.meta["schemaString"]))
+    md = {f.name: dict(f.metadata or {}) for f in schema.fields}
+    assert md["flag"][dp._CM_PHYS].startswith("col-")
+    assert int(state.meta["configuration"][dp._CM_MAXID]) == 3
+
+    # rename the evolved column — still metadata-only
+    dp.rename_column(p, "flag", "parity")
+    assert set(dp.read_delta(spark, p).columns) == {"id", "w", "parity"}
+
+    # appends may OMIT evolved columns (null-fill on read)
+    dp.write_delta(
+        spark.range(8, 9).selectExpr("id", "id * 2.0 AS w"),
+        p, "append", merge_schema=True,
+    )
+    r8 = dp.read_delta(spark, p).filter("id = 8").collect()[0]
+    assert r8.w == 16.0 and r8.parity is None
+
+    # overwriteSchema on mapped tables stays refused
+    with pytest.raises(ValueError, match="overwriteSchema"):
+        dp.write_delta(
+            spark.range(3).selectExpr("id AS only"),
+            p, "overwrite", merge_schema=True,
+        )
+    # unknown columns without merge_schema stay refused
+    with pytest.raises(dp.DeltaSchemaMismatchError):
+        dp.write_delta(
+            spark.range(3).selectExpr("id", "id AS w2"), p, "append"
+        )
