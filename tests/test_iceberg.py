@@ -1136,3 +1136,72 @@ def test_iceberg_partition_spec_evolution(spark):
     files3 = I.plan_files(path)
     assert {f["spec_id"] for f in files3} == {2}
     assert {r.id for r in I.read_iceberg(spark, path).collect()} == got
+
+
+def test_iceberg_metadata_commits_cas_on_race(spark):
+    """upgrade_format_version and evolve_partition_spec are put-if-
+    absent commits: a racing writer claiming the version makes them
+    abort loudly, never silently clobber."""
+    import pytest
+
+    import python_plugins_spark.sources.iceberg_py as I
+
+    path = _fresh("ice_meta_race")
+    I.write_iceberg(
+        spark.range(10).select(F.col("id")), path, "overwrite",
+        format_version=1,
+    )
+
+    real_put = I._put_if_absent
+    state = {"stolen": False}
+
+    def racing_put(content, dst):
+        if not state["stolen"]:
+            state["stolen"] = True
+            I.write_iceberg(
+                spark.range(10, 12).select(F.col("id")), path, "append"
+            )
+        return real_put(content, dst)
+
+    I._put_if_absent = racing_put
+    try:
+        with pytest.raises(I.IcebergConcurrentWriteError):
+            I.upgrade_format_version(path)
+    finally:
+        I._put_if_absent = real_put
+    assert I._load_metadata(path)["format-version"] == 1  # nothing clobbered
+    I.upgrade_format_version(path)  # clean re-run succeeds
+    assert I._load_metadata(path)["format-version"] == 2
+
+    state["stolen"] = False
+    I._put_if_absent = racing_put
+    try:
+        with pytest.raises(I.IcebergConcurrentWriteError):
+            I.evolve_partition_spec(path, "id")
+    finally:
+        I._put_if_absent = real_put
+    assert I._load_metadata(path)["default-spec-id"] == 0
+    I.evolve_partition_spec(path, "id")
+    assert I._load_metadata(path)["default-spec-id"] == 1
+    assert {r.id for r in I.read_iceberg(spark, path).collect()} == set(range(12))
+
+
+def test_iceberg_cdc_on_transform_partitioned_table(spark):
+    """Derived CDC over a bucket-partitioned table: inserts and
+    equality deletes replay correctly (transform partition keys are
+    layout-only; the source column lives in the data files)."""
+    import python_plugins_spark.sources.iceberg_py as I
+
+    path = _fresh("ice_cdc_bucket")
+    I.write_iceberg(
+        spark.range(12).selectExpr("id", "id % 3 AS g"), path, "overwrite",
+        partition_by={"transform": "bucket", "source": "id", "n": 4},
+    )
+    I.equality_delete_iceberg(
+        spark, path, spark.createDataFrame([(5,)], "id bigint")
+    )
+    cdc = I.table_changes_iceberg(spark, path, 1)
+    ins = {(r.id, r.g) for r in cdc.filter("_change_type = 'insert'").collect()}
+    assert ins == {(i, i % 3) for i in range(12)}
+    dels = {(r.id, r.g) for r in cdc.filter("_change_type = 'delete'").collect()}
+    assert dels == {(5, 2)}
