@@ -48,6 +48,10 @@ Stage types (the platform categories the reference's §2c table maps):
 - ``transform.projection`` — select?/drop?/rename? (CDAP's
   projection plugin shape)
 - ``transform.filter`` — condition (SQL expr; keeps matching rows)
+- ``transform.distinct`` — fields? (drop duplicate rows)
+- ``batchaggregator.deduplicate`` — uniqueFields,
+  filterOperation? {field, function: min|max} (keep one record
+  per key, CDAP Deduplicate plugin shape)
 - ``batchjoiner`` — joinKeys (list), joinType; takes 2+ inputs
 - ``batchaggregator.groupby`` — groupByFields, aggregates
   [{name, function, field}] with function in count/sum/avg/min/max/
@@ -271,10 +275,13 @@ def run_pipeline(
                 output_schema=cfg.get("schema"),
                 args=cfg.get("args"),
                 on_error=cfg.get("on_error", "fail"),
+                emit_alerts=bool(cfg.get("emit_alerts")),
             )
             frames[name] = res.output
             if res.errors is not None:
                 frames[f"{name}.error"] = res.errors
+            if res.alerts is not None:
+                frames[f"{name}.alert"] = res.alerts
         elif stype == "transform.router":
             need(1)
             ports = cfg.get("ports") or []
@@ -306,6 +313,44 @@ def run_pipeline(
             if cfg.get("select"):
                 df = df.select(*cfg["select"])
             frames[name] = df
+        elif stype == "transform.distinct":
+            need(1)
+            fields = cfg.get("fields")
+            frames[name] = (
+                ins[0].dropDuplicates(fields) if fields
+                else ins[0].dropDuplicates()
+            )
+        elif stype == "batchaggregator.deduplicate":
+            # CDAP Deduplicate plugin shape: group on uniqueFields and
+            # keep ONE record per group chosen by filterOperation
+            # ({field, function: min|max}) — deterministic tie-break on
+            # the remaining columns so reruns pick the same survivor
+            need(1)
+            df = ins[0]
+            keys = cfg["uniqueFields"]
+            op = cfg.get("filterOperation")
+            if not op:
+                frames[name] = df.dropDuplicates(keys)
+            else:
+                fn = op["function"]
+                if fn not in ("min", "max"):
+                    raise PipelineSpecError(
+                        f"stage {name!r}: filterOperation.function must "
+                        f"be min|max, got {fn!r}"
+                    )
+                from pyspark.sql import Window
+
+                order = (
+                    F.col(op["field"]).asc() if fn == "min"
+                    else F.col(op["field"]).desc()
+                )
+                ties = [c for c in df.columns if c != op["field"]]
+                w = Window.partitionBy(*keys).orderBy(order, *ties)
+                frames[name] = (
+                    df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
         elif stype == "transform.filter":
             need(1)
             frames[name] = ins[0].filter(F.expr(cfg["condition"]))

@@ -605,3 +605,51 @@ def test_pipeline_streaming_session_window(spark, sf_dir):
         ).agg(F.count("*").alias("n")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_pipeline_deduplicate_distinct_and_alert_port(spark, sf_dir):
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/orders.parquet"}},
+            {"name": "dedup", "type": "batchaggregator.deduplicate",
+             "config": {"uniqueFields": ["o_custkey"],
+                        "filterOperation": {"field": "o_totalprice",
+                                            "function": "max"}}},
+            {"name": "seg", "type": "transform.distinct",
+             "config": {"fields": ["o_orderstatus"]}},
+            {"name": "ev", "type": "transform.python",
+             "config": {
+                 "script": (
+                     "def transform(record, emitter, context):\n"
+                     "    emitter.emit(record)\n"
+                     "    if record['o_totalprice'] > 300000:\n"
+                     "        emitter.emitAlert({'level': 'high',\n"
+                     "                           'key': str(record['o_orderkey'])})\n"
+                 ),
+                 "emit_alerts": True,
+             }},
+        ],
+        "connections": [
+            {"from": "src", "to": "dedup"},
+            {"from": "src", "to": "seg"},
+            {"from": "dedup", "to": "ev"},
+        ],
+    })
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # deduplicate: one row per custkey, the max-price one
+    want_n = o.select("o_custkey").distinct().count()
+    assert frames["dedup"].count() == want_n
+    top = frames["dedup"].filter("o_custkey = 371").collect()
+    if top:
+        want_max = (
+            o.filter("o_custkey = 371")
+            .agg(F.max("o_totalprice")).collect()[0][0]
+        )
+        assert top[0].o_totalprice == want_max
+    # distinct on a field subset
+    assert frames["seg"].count() == o.select("o_orderstatus").distinct().count()
+    # alert port wired
+    n_alerts = frames["ev.alert"].count()
+    want_alerts = frames["dedup"].filter("o_totalprice > 300000").count()
+    assert n_alerts == want_alerts and n_alerts > 0
