@@ -1797,3 +1797,43 @@ def iceberg_partition_spec_evolution(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double").alias("total"),
     )
+
+
+@register(
+    "pipeline_deduplicate_latest",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS best_price,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC, o_custkey ASC,
+                        o_orderstatus ASC, o_orderdate ASC,
+                        o_orderpriority ASC) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, best_price FROM ranked WHERE rn = 1
+    """,
+)
+def pipeline_deduplicate_latest(spark, sf_dir):
+    """The CDAP Deduplicate plugin shape through the runner: one
+    record per customer — the highest-priced order, deterministic
+    tie-break over the remaining columns — as a pipeline stage. One
+    window over one shuffle on the dedup key; the oracle replays the
+    identical ranking."""
+    from python_plugins_spark.pipeline import run_pipeline
+
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/orders.parquet"}},
+            {"name": "dedup", "type": "batchaggregator.deduplicate",
+             "config": {"uniqueFields": ["o_custkey"],
+                        "filterOperation": {"field": "o_totalprice",
+                                            "function": "max"}}},
+        ],
+        "connections": [{"from": "src", "to": "dedup"}],
+    })
+    return frames["dedup"].select(
+        "o_custkey", "o_orderkey",
+        F.round("o_totalprice", 4).alias("best_price"),
+    )
