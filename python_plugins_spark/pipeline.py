@@ -49,6 +49,8 @@ Stage types (the platform categories the reference's §2c table maps):
   projection plugin shape)
 - ``transform.filter`` — condition (SQL expr; keeps matching rows)
 - ``transform.distinct`` — fields? (drop duplicate rows)
+- ``transform.sql`` — statement, viewName? (arbitrary SQL over the
+  input registered as a temp view; batch and streaming)
 - ``batchaggregator.deduplicate`` — uniqueFields,
   filterOperation? {field, function: min|max} (keep one record
   per key, CDAP Deduplicate plugin shape)
@@ -351,6 +353,15 @@ def run_pipeline(
                     .filter(F.col("__rn") == 1)
                     .drop("__rn")
                 )
+        elif stype == "transform.sql":
+            # arbitrary SQL over the input, registered as a session-
+            # scoped temp view named after the stage's viewName (the
+            # statement references it by that name). Works on batch
+            # AND streaming frames.
+            need(1)
+            view = cfg.get("viewName", f"{name}_in")
+            ins[0].createOrReplaceTempView(view)
+            frames[name] = spark.sql(cfg["statement"])
         elif stype == "transform.filter":
             need(1)
             frames[name] = ins[0].filter(F.expr(cfg["condition"]))

@@ -653,3 +653,45 @@ def test_pipeline_deduplicate_distinct_and_alert_port(spark, sf_dir):
     n_alerts = frames["ev.alert"].count()
     want_alerts = frames["dedup"].filter("o_totalprice > 300000").count()
     assert n_alerts == want_alerts and n_alerts > 0
+
+
+def test_pipeline_sql_stage_batch_and_streaming(spark, sf_dir):
+    spec_tail = [
+        {"name": "agg", "type": "transform.sql",
+         "config": {"viewName": "ev_in",
+                    "statement": (
+                        "SELECT event_type, count(*) AS n "
+                        "FROM ev_in WHERE value > 100 GROUP BY event_type"
+                    )}},
+    ]
+    batch = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/events.parquet"}},
+            *spec_tail,
+        ],
+        "connections": [{"from": "src", "to": "agg"}],
+    })
+    want = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("value > 100").groupBy("event_type")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    got = {r.event_type: r.n for r in batch["agg"].collect()}
+    assert got == want
+    # streaming: the same SQL stage on a stream, complete-mode drain
+    streaming = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "streamingsource.file",
+             "config": {"path": f"{sf_dir}/events.parquet"}},
+            *spec_tail,
+            {"name": "sink", "type": "streamingsink.memory",
+             "config": {"queryName": "sql_stage_sink",
+                        "outputMode": "complete", "statePartitions": 8}},
+        ],
+        "connections": [{"from": "src", "to": "agg"},
+                        {"from": "agg", "to": "sink"}],
+    })
+    got_s = {r.event_type: r.n for r in streaming["sink"].collect()}
+    assert got_s == want
