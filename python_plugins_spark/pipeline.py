@@ -513,7 +513,7 @@ def run_pipeline(
             df = ins[0]
             drain = cfg.get("drain", True)
             if dry_run:
-                if fmt not in ("memory", "parquet", "foreachbatch", "delta"):
+                if fmt not in ("memory", "parquet", "foreachbatch", "delta", "msgbus"):
                     raise PipelineSpecError(
                         f"unknown streaming sink format {fmt!r}"
                     )
@@ -581,6 +581,41 @@ def run_pipeline(
                     _drain(q)
                 frames[name] = df
                 if not drain:
+                    frames[f"{name}.query"] = q
+            elif fmt == "msgbus":
+                # produce each micro-batch into the topic; the segment
+                # name carries the EPOCH id, so a retried batch
+                # overwrites its own segment with identical content —
+                # exactly-once produce without a transaction log
+                from python_plugins_spark.sources import msgbus as _mb
+
+                root, topic = cfg["path"], cfg["topic"]
+                key_col = cfg.get("keyField", "key")
+                value_col = cfg.get("valueField", "value")
+                n_parts = int(cfg.get("partitions", 4))
+
+                def _produce(bdf, epoch_id, _r=root, _t=topic):
+                    if bdf.isEmpty():
+                        return
+                    _mb.produce_dataframe(
+                        bdf, _r, _t, key_col=key_col, value_col=value_col,
+                        partitions=n_parts, segment_seq=int(epoch_id),
+                    )
+
+                writer = df.writeStream.foreachBatch(_produce)
+                if cfg.get("checkpointLocation"):
+                    writer = writer.option(
+                        "checkpointLocation", cfg["checkpointLocation"]
+                    )
+                q = writer.start()
+                if drain:
+                    _drain(q)
+                    frames[name] = (
+                        spark.read.format("msgbus")
+                        .option("path", root).option("topic", topic).load()
+                    )
+                else:
+                    frames[name] = df
                     frames[f"{name}.query"] = q
             elif fmt == "delta":
                 from python_plugins_spark.sources.delta_py import (

@@ -143,6 +143,7 @@ def produce_dataframe(
     value_col: str,
     ts_col: str | None = None,
     partitions: int = 4,
+    segment_seq: int = 0,
 ) -> None:
     """Executor-side produce: rows hash-partition by key onto the
     topic's partitions; each task writes ONE partition's segment (the
@@ -167,7 +168,7 @@ def produce_dataframe(
 
     topic_root = _topic_dir(root, topic)
 
-    def write_partition(rows):
+    def write_partition(rows, segment_seq=segment_seq):
         by_part: dict[int, list] = {}
         for r in rows:
             by_part.setdefault(r.p, []).append(r)
@@ -182,7 +183,9 @@ def produce_dataframe(
             tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "wb") as fh:
                 fh.write(payload)
-            os.replace(tmp, os.path.join(pdir, f"00000000-{len(rs)}.log"))
+            os.replace(
+                tmp, os.path.join(pdir, f"{segment_seq:08d}-{len(rs)}.log")
+            )
 
     prepared.foreachPartition(write_partition)
 

@@ -695,3 +695,38 @@ def test_pipeline_sql_stage_batch_and_streaming(spark, sf_dir):
     })
     got_s = {r.event_type: r.n for r in streaming["sink"].collect()}
     assert got_s == want
+
+
+def test_pipeline_msgbus_sink_roundtrip(spark, tmp_path):
+    """Bus in, bus out: a streaming pipeline consumes one topic,
+    transforms, and produces into another; the drained sink binds to a
+    batch read of the produced topic."""
+    from python_plugins_spark.sources import msgbus
+
+    root = str(tmp_path / "broker")
+    msgbus.create_topic(root, "in", partitions=2)
+    msgbus.append_records(
+        root, "in", 0, [(b"a", b"1", 0), (b"b", b"2", 0)]
+    )
+    msgbus.append_records(root, "in", 1, [(b"c", b"3", 0)])
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "streamingsource.msgbus",
+             "config": {"path": root, "topic": "in"}},
+            {"name": "xf", "type": "transform.sql",
+             "config": {"viewName": "bus_in",
+                        "statement": (
+                            "SELECT cast(key as string) AS key, "
+                            "cast(cast(cast(value as string) as int) * 10 "
+                            "as string) AS value FROM bus_in"
+                        )}},
+            {"name": "out", "type": "streamingsink.msgbus",
+             "config": {"path": root, "topic": "out", "partitions": 2}},
+        ],
+        "connections": [{"from": "src", "to": "xf"},
+                        {"from": "xf", "to": "out"}],
+    })
+    vals = sorted(
+        int(bytes(r.value)) for r in frames["out"].collect()
+    )
+    assert vals == [10, 20, 30]
