@@ -805,15 +805,13 @@ def enable_column_mapping(table_path: str, max_retries: int = 10) -> int:
     both streaming modes, AND ``merge_schema`` append evolution (new
     columns take fresh ``col-<uuid>`` physical names and advance
     maxColumnId) all read/write mapped tables through the
-    logical->physical projection. Documented subset: refused on
-    PARTITIONED tables (partitionValues would need physical
-    remapping) and for overwriteSchema."""
+    logical->physical projection. Partitioned tables upgrade too:
+    partitionColumns are the PHYSICAL names (equal to the names at
+    upgrade time, the protocol's rule), so existing hive dirs and
+    partitionValues need no rewrite and even the partition column
+    itself renames freely. Remaining documented subset:
+    overwriteSchema on mapped tables."""
     state = _replay_state(table_path)
-    if state.meta.get("partitionColumns"):
-        raise ValueError(
-            "column mapping on partitioned tables is not supported by "
-            "this layer (partitionValues would need physical remapping)"
-        )
     schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
     if column_mapping_enabled(state.meta):
         return table_version(table_path)
@@ -1076,7 +1074,17 @@ def write_delta(
                 f"table is partitioned by {existing_parts}, "
                 f"got partition_by={list(partition_by)}"
             )
-    missing_parts = [c for c in (partition_by or []) if c not in df.columns]
+    # under column mapping partitionColumns are PHYSICAL names (the
+    # protocol's rule; they equal the logical names at upgrade time and
+    # stay put across renames) — presence-check against the LOGICAL
+    # write schema through the inverse map
+    _phys_to_logical = (
+        {pn: ln for ln, pn in cm_physical} if cm_physical else {}
+    )
+    missing_parts = [
+        c for c in (partition_by or [])
+        if _phys_to_logical.get(c, c) not in df.columns
+    ]
     if missing_parts:
         raise ValueError(f"partition columns not in data: {missing_parts}")
 

@@ -204,9 +204,11 @@ class DeltaStreamReader(DataSourceStreamReader):
             for i, n in enumerate(table.schema.names)
         }
         consts = {
-            f.name: _pv_cast(partition.pvals.get(f.name), f.dataType)
+            f.name: _pv_cast(
+                partition.pvals.get(self.cm.get(f.name, f.name)), f.dataType
+            )
             for f in fields
-            if f.name in partition.pvals
+            if self.cm.get(f.name, f.name) in partition.pvals
         }
         none_col = [None] * table.num_rows
         for r in range(table.num_rows):
@@ -378,9 +380,11 @@ class DeltaChangeFeedStreamReader(DataSourceStreamReader):
             for i, n in enumerate(table.schema.names)
         }
         consts = {
-            f.name: _pv_cast(partition.pvals.get(f.name), f.dataType)
+            f.name: _pv_cast(
+                partition.pvals.get(self.cm.get(f.name, f.name)), f.dataType
+            )
             for f in fields
-            if f.name in partition.pvals
+            if self.cm.get(f.name, f.name) in partition.pvals
         }
         none_col = [None] * table.num_rows
         for r in rows:

@@ -1049,8 +1049,8 @@ def test_delta_column_mapping_rename_without_rewrite(spark):
 
 def test_delta_column_mapping_guards(spark):
     """Remaining documented subset after the round-4 lifts:
-    overwriteSchema on mapped tables and partitioned upgrades refuse
-    loudly; plain schema mismatches stay clear errors."""
+    overwriteSchema on mapped tables refuses loudly; plain schema
+    mismatches stay clear errors."""
     import pytest
 
     import python_plugins_spark.sources.delta_py as dp
@@ -1067,14 +1067,8 @@ def test_delta_column_mapping_guards(spark):
     with pytest.raises(dp.DeltaSchemaMismatchError):
         dp.write_delta(spark.range(3).selectExpr("id AS wrong"), p, "append")
 
-    # partitioned tables cannot upgrade
-    p2 = _fresh("cm_part")
-    dp.write_delta(
-        spark.range(20).selectExpr("id", "id % 3 AS g"), p2, "overwrite",
-        partition_by=["g"],
-    )
-    with pytest.raises(ValueError, match="partitioned"):
-        dp.enable_column_mapping(p2)
+    # partitioned upgrades were lifted in round 4 — covered by
+    # test_delta_column_mapping_partitioned_table
 
 
 def test_delta_column_mapping_row_level_ops(spark):
@@ -1220,3 +1214,65 @@ def test_delta_column_mapping_schema_evolution(spark):
         dp.write_delta(
             spark.range(3).selectExpr("id", "id AS w2"), p, "append"
         )
+
+
+def test_delta_column_mapping_partitioned_table(spark, tmp_path):
+    """Partitioned tables upgrade to column mapping (round-4 lift):
+    partitionColumns stay the PHYSICAL names — which equal the names
+    at upgrade time — so existing hive dirs and partitionValues match.
+    Renaming the PARTITION column itself is metadata-only; reads,
+    stats/partition pruning, appends, DV deletes, and the streaming
+    source all work across the rename."""
+    import python_plugins_spark.sources.delta_py as dp
+    from python_plugins_spark.sources import delta_stream
+
+    p = _fresh("cm_part_full")
+    dp.write_delta(
+        spark.range(30).selectExpr("id", "id % 3 AS g", "id * 2.0 AS v"),
+        p, "overwrite", partition_by=["g"],
+    )
+    dp.enable_column_mapping(p)
+    dp.rename_column(p, "g", "grp")      # the PARTITION column
+    dp.rename_column(p, "v", "w")
+
+    back = dp.read_delta(spark, p)
+    assert set(back.columns) == {"id", "grp", "w"}
+    assert sorted((r.id, r.grp, r.w) for r in back.collect()) == [
+        (i, i % 3, i * 2.0) for i in range(30)
+    ]
+    # prune on the renamed partition column (logical name)
+    pruned = dp.read_delta(spark, p, prune={"grp": (1, 1)})
+    assert 0 < pruned.count() < 30
+    assert pruned.filter("grp = 1").count() == 10
+
+    # append under the NEW logical schema lands in the same layout
+    dp.write_delta(
+        spark.range(30, 33).selectExpr("id", "id % 3 AS grp", "id * 2.0 AS w"),
+        p, "append",
+    )
+    assert dp.read_delta(spark, p).count() == 33
+
+    # DV delete on the mapped partitioned table
+    dp.delete_delta(spark, p, "grp = 2 AND id < 10", mode="dv")
+    got = {r.id for r in dp.read_delta(spark, p).collect()}
+    assert got == set(range(33)) - {2, 5, 8}
+
+    # streaming source reattaches the renamed partition value
+    delta_stream.register(spark)
+    q = (
+        spark.readStream.format("delta_py_stream")
+        .option("path", p)
+        .option("ignoreChanges", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cm_part_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("cm_part_stream").collect()
+    assert {(r.id, r.grp) for r in rows} >= {(31, 1), (32, 2), (0, 0)}
+    assert all(r.grp is not None for r in rows)
