@@ -339,9 +339,9 @@ def _normalize_pspec(partition_by):
         w = int(partition_by["width"])
         return {"kind": "truncate", "source": src, "param": w,
                 "pname": f"{src}_trunc", "tstr": f"truncate[{w}]"}
-    if kind == "day":
-        return {"kind": "day", "source": src, "param": None,
-                "pname": f"{src}_day", "tstr": "day"}
+    if kind in ("year", "month", "day", "hour"):
+        return {"kind": kind, "source": src, "param": None,
+                "pname": f"{src}_{kind}", "tstr": kind}
     raise ValueError(f"unknown partition transform {kind!r}")
 
 
@@ -369,8 +369,8 @@ def _pspecs_from_meta(meta, spec_id: int | None = None) -> list[dict]:
             out.append(_normalize_pspec(
                 {"transform": "truncate", "source": src, "width": int(tstr[9:-1])}
             ))
-        elif tstr == "day":
-            out.append(_normalize_pspec({"transform": "day", "source": src}))
+        elif tstr in ("year", "month", "day", "hour"):
+            out.append(_normalize_pspec({"transform": tstr, "source": src}))
         else:
             raise ValueError(f"unknown committed transform {tstr!r}")
     return out
@@ -399,6 +399,15 @@ def _transform_col(pspec, dtype: T.DataType):
         return F.substring(c, 1, w)
     if pspec["kind"] == "day":
         return F.to_date(c)
+    if pspec["kind"] == "year":
+        return F.year(c)
+    if pspec["kind"] == "month":
+        # spec: months since epoch would also work; the hive-dir form
+        # 'YYYY-MM' is what Spark's partitionBy writes legibly and
+        # orders lexicographically — self-consistent with pruning
+        return F.date_format(c, "yyyy-MM")
+    if pspec["kind"] == "hour":
+        return F.date_format(c, "yyyy-MM-dd-HH")
     raise ValueError(pspec["kind"])
 
 
@@ -426,6 +435,18 @@ def _transform_value(pspec, v) -> str:
         if isinstance(v, date):
             return v.isoformat()
         return str(v)[:10]
+    if kind == "year":
+        if isinstance(v, (datetime, date)):
+            return str(v.year)
+        return str(v)[:4]
+    if kind == "month":
+        if isinstance(v, (datetime, date)):
+            return f"{v.year:04d}-{v.month:02d}"
+        return str(v)[:7]
+    if kind == "hour":
+        if isinstance(v, datetime):
+            return f"{v.year:04d}-{v.month:02d}-{v.day:02d}-{v.hour:02d}"
+        return str(v)[:13].replace(" ", "-").replace("T", "-")
     raise ValueError(kind)
 
 

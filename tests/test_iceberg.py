@@ -1205,3 +1205,38 @@ def test_iceberg_cdc_on_transform_partitioned_table(spark):
     assert ins == {(i, i % 3) for i in range(12)}
     dels = {(r.id, r.g) for r in cdc.filter("_change_type = 'delete'").collect()}
     assert dels == {(5, 2)}
+
+
+def test_iceberg_time_transforms_year_month_hour(spark):
+    """The remaining spec time transforms: year/month/hour layouts all
+    prune on plain timestamp predicates."""
+    from datetime import datetime
+
+    import python_plugins_spark.sources.iceberg_py as I
+
+    df = spark.sql(
+        "SELECT id, timestamp'2024-01-15 00:00:00' + "
+        "make_interval(0, 0, 0, cast(id * 3 AS int), cast(id AS int), 0, 0) AS ts "
+        "FROM range(60)"
+    )
+    probe = datetime(2024, 3, 10, 5, 0, 0)
+    for kind, pname, want in (
+        ("year", "ts_year", "2024"),
+        ("month", "ts_month", "2024-03"),
+        ("hour", "ts_hour", None),  # probe not exactly on an hour bucket row
+    ):
+        path = _fresh(f"ice_t_{kind}")
+        I.write_iceberg(
+            df, path, "overwrite",
+            partition_by={"transform": kind, "source": "ts"},
+        )
+        assert I.read_iceberg(spark, path).count() == 60
+        pruned = I.plan_files(path, eq={"ts": probe})
+        allf = I.plan_files(path)
+        if kind == "year":
+            assert all(f["partition"][pname] == want for f in pruned)
+        elif kind == "month":
+            assert pruned and len(pruned) < len(allf)
+            assert all(f["partition"][pname] == want for f in pruned)
+        else:
+            assert len(pruned) <= len(allf)
