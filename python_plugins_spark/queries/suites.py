@@ -1837,3 +1837,51 @@ def pipeline_deduplicate_latest(spark, sf_dir):
         "o_custkey", "o_orderkey",
         F.round("o_totalprice", 4).alias("best_price"),
     )
+
+
+@register(
+    "iceberg_branch_wap",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def iceberg_branch_wap(spark, sf_dir):
+    """Write-audit-publish on BRANCHES (spec v2 refs): half the table
+    lands on main, the other half is written to an 'audit' branch —
+    main readers never see it (asserted) — and only after the audit
+    (row-count + null checks here) does fast-forward promote the
+    branch head to main. The staging-table-free WAP shape refs exist
+    for; tags pin reproducible training-data freezes the same way."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import (
+        create_ref, fast_forward_main, read_iceberg, write_iceberg,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        _SCRATCH, f"ice_wap_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(o.filter(F.col("o_orderkey") % 2 == 0), path, "overwrite")
+    n_main_before = read_iceberg(spark, path).count()
+    create_ref(path, "audit", "branch")
+    write_iceberg(
+        o.filter(F.col("o_orderkey") % 2 == 1), path, "append", branch="audit"
+    )
+    # un-published: main unchanged while the branch holds the full set
+    assert read_iceberg(spark, path).count() == n_main_before
+    staged = read_iceberg(spark, path, ref="audit")
+    assert staged.filter(F.col("o_orderkey").isNull()).count() == 0  # audit
+    fast_forward_main(path, "audit")
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("total"),
+    )

@@ -538,10 +538,11 @@ def write_iceberg(
     df: DataFrame,
     path: str,
     mode: str = "append",
-    partition_by: str | None = None,
+    partition_by=None,
     merge_schema: bool = False,
     expected_version: int | None = None,
     format_version: int = 2,
+    branch: str | None = None,
 ) -> int:
     """Commit a new snapshot; returns the snapshot id.
 
@@ -742,13 +743,30 @@ def write_iceberg(
             f"table moved to version {cur_version} while this commit was "
             f"built against version {expected_version}; re-run the operation"
         )
+    if branch is not None and meta is None:
+        raise ValueError("branch writes need an existing table")
     for _attempt in range(10):
         snapshot_id = (cur_version or 0) + 1
         prior: list[tuple] = []
-        if mode == "append" and meta is not None and meta.get("current-snapshot-id"):
+        # a branch write builds on the BRANCH head (falling back to the
+        # main head when the branch is being created by this write);
+        # main writes build on current-snapshot-id
+        base_id = None
+        if meta is not None:
+            base_id = meta.get("current-snapshot-id")
+            if branch is not None:
+                ref = (meta.get("refs") or {}).get(branch)
+                if ref is not None:
+                    if ref.get("type") == "tag":
+                        raise ValueError(
+                            f"{branch!r} is a TAG (immutable); writes need "
+                            "a branch"
+                        )
+                    base_id = ref["snapshot-id"]
+        if mode == "append" and meta is not None and base_id is not None:
             cur_snap = next(
                 s for s in meta["snapshots"]
-                if s["snapshot-id"] == meta["current-snapshot-id"]
+                if s["snapshot-id"] == base_id
             )
             prior = list(read_container(os.path.join(path, cur_snap["manifest-list"])))
         ml_rows = prior + [
@@ -768,6 +786,7 @@ def write_iceberg(
 
         snapshot = {
             "snapshot-id": snapshot_id,
+            "parent-snapshot-id": base_id,
             "timestamp-ms": now_ms,
             "manifest-list": os.path.relpath(ml_path, path),
             "summary": {
@@ -800,9 +819,26 @@ def write_iceberg(
             ),
             "default-spec-id": (meta or {}).get("default-spec-id", 0),
             "snapshots": ((meta or {}).get("snapshots", [])) + [snapshot],
-            "current-snapshot-id": snapshot_id,
+            # a branch write moves ONLY its ref; main stays put
+            "current-snapshot-id": (
+                (meta or {}).get("current-snapshot-id")
+                if branch is not None
+                else snapshot_id
+            ),
+            "refs": (
+                {
+                    **((meta or {}).get("refs") or {}),
+                    branch: {"snapshot-id": snapshot_id, "type": "branch"},
+                }
+                if branch is not None
+                else ((meta or {}).get("refs") or {})
+            ),
             "snapshot-log": ((meta or {}).get("snapshot-log", []))
-            + [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}],
+            + (
+                []
+                if branch is not None
+                else [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}]
+            ),
         }
         meta_file = os.path.join(_meta_dir(path), f"v{snapshot_id}.metadata.json")
         if _put_if_absent(json.dumps(new_meta), meta_file):
@@ -1241,6 +1277,7 @@ def read_iceberg(
     eq: dict | None = None,
     ranges: dict | None = None,
     with_row_identity: bool = False,
+    ref: str | None = None,
 ) -> DataFrame:
     """Snapshot (or time-travel) read with manifest-level pruning; the
     surviving file list goes straight to Spark's vectorized parquet
@@ -1254,6 +1291,10 @@ def read_iceberg(
     from functools import reduce
 
     meta = _load_metadata(path)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR ref, not both")
+        snapshot_id = resolve_ref(meta, ref)
     schema = iceberg_schema_to_spark(_current_schema_node(meta))
     spec_fields_by_id = {
         sp.get("spec-id", 0): sp.get("fields") or []
@@ -1410,13 +1451,21 @@ def expire_snapshots(
     if len(snaps) <= keep_last:
         return {"expired": [], "deleted": []}
     cutoff = len(snaps) - max(1, keep_last)
+    # named refs (tags/branches) are retention roots: their snapshots
+    # never expire while the ref exists (the spec's ref-aware expire)
+    ref_heads = {
+        r["snapshot-id"] for r in (meta.get("refs") or {}).values()
+    }
     expired, kept = [], []
     for i, s in enumerate(snaps):
         old_enough = (
             older_than_ms is None or s["timestamp-ms"] < older_than_ms
         )
-        if i < cutoff and old_enough and s["snapshot-id"] != meta.get(
-            "current-snapshot-id"
+        if (
+            i < cutoff
+            and old_enough
+            and s["snapshot-id"] != meta.get("current-snapshot-id")
+            and s["snapshot-id"] not in ref_heads
         ):
             expired.append(s)
         else:
@@ -1737,6 +1786,117 @@ def evolve_partition_spec(path: str, new_partition_by) -> int:
     if not _put_if_absent(json.dumps(new_meta), meta_file):
         raise IcebergConcurrentWriteError(
             f"concurrent commit at version {version}: re-run the spec evolution"
+        )
+    _advance_hint(path, version)
+    return version
+
+
+def create_ref(
+    path: str, name: str, ref_type: str = "tag",
+    snapshot_id: int | None = None,
+) -> int:
+    """Create a named ref (spec v2 'refs'): a TAG pins a snapshot
+    immutably ("the training-data freeze for run 7"); a BRANCH is a
+    movable head that :func:`write_iceberg(branch=...)` advances
+    independently of main. Both are retention roots for
+    :func:`expire_snapshots`. Metadata-only put-if-absent commit;
+    returns the committed metadata version."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref_type must be tag|branch, got {ref_type!r}")
+    base_version = current_metadata_version(path)
+    meta = _load_metadata(path, base_version)
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    if not any(
+        s["snapshot-id"] == snapshot_id for s in meta.get("snapshots", [])
+    ):
+        raise ValueError(f"snapshot {snapshot_id} not in table")
+    refs = dict(meta.get("refs") or {})
+    if name in refs:
+        raise ValueError(f"ref {name!r} already exists")
+    refs[name] = {"snapshot-id": snapshot_id, "type": ref_type}
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    version = (base_version or 0) + 1
+    meta_file = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
+    if not _put_if_absent(json.dumps(new_meta), meta_file):
+        raise IcebergConcurrentWriteError(
+            f"concurrent commit at version {version}: re-run create_ref"
+        )
+    _advance_hint(path, version)
+    return version
+
+
+def drop_ref(path: str, name: str) -> int:
+    """Remove a tag/branch (its snapshots become expirable again)."""
+    base_version = current_metadata_version(path)
+    meta = _load_metadata(path, base_version)
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise KeyError(f"no ref named {name!r}")
+    del refs[name]
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    version = (base_version or 0) + 1
+    meta_file = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
+    if not _put_if_absent(json.dumps(new_meta), meta_file):
+        raise IcebergConcurrentWriteError(
+            f"concurrent commit at version {version}: re-run drop_ref"
+        )
+    _advance_hint(path, version)
+    return version
+
+
+def resolve_ref(meta: dict, ref: str) -> int:
+    refs = meta.get("refs") or {}
+    if ref not in refs:
+        raise KeyError(
+            f"no ref named {ref!r} (have {sorted(refs)})"
+        )
+    return refs[ref]["snapshot-id"]
+
+
+def fast_forward_main(path: str, branch: str) -> int:
+    """Fast-forward MAIN to a branch head (the promote step of a
+    write-audit-publish flow on branches): allowed only when main's
+    current snapshot is an ANCESTOR of the branch head (walked via
+    parent-snapshot-id), so no committed main history is discarded.
+    Metadata-only CAS commit; the branch ref remains."""
+    base_version = current_metadata_version(path)
+    meta = _load_metadata(path, base_version)
+    head = resolve_ref(meta, branch)
+    main = meta.get("current-snapshot-id")
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    cur = head
+    seen = []
+    while cur is not None:
+        seen.append(cur)
+        if cur == main:
+            break
+        cur = by_id.get(cur, {}).get("parent-snapshot-id")
+    else:
+        raise ValueError(
+            f"main ({main}) is not an ancestor of branch {branch!r} "
+            f"head ({head}); cannot fast-forward"
+        )
+    if cur != main:
+        raise ValueError(
+            f"main ({main}) is not an ancestor of branch {branch!r} "
+            f"head ({head}); cannot fast-forward"
+        )
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = head
+    new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"snapshot-id": head, "timestamp-ms": int(time.time() * 1000)}
+    ]
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    version = (base_version or 0) + 1
+    meta_file = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
+    if not _put_if_absent(json.dumps(new_meta), meta_file):
+        raise IcebergConcurrentWriteError(
+            f"concurrent commit at version {version}: re-run fast_forward"
         )
     _advance_hint(path, version)
     return version

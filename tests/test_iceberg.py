@@ -1240,3 +1240,55 @@ def test_iceberg_time_transforms_year_month_hour(spark):
             assert all(f["partition"][pname] == want for f in pruned)
         else:
             assert len(pruned) <= len(allf)
+
+
+def test_iceberg_refs_tags_branches_fast_forward(spark):
+    """Spec v2 refs: tags pin snapshots immutably, branches take
+    writes independently of main, expire keeps ref heads alive, and
+    fast-forward promotes a branch to main only when main is an
+    ancestor (write-audit-publish on branches)."""
+    import pytest
+
+    import python_plugins_spark.sources.iceberg_py as I
+
+    path = _fresh("ice_refs")
+    I.write_iceberg(spark.range(10).select(F.col("id")), path, "overwrite")  # s1
+    I.create_ref(path, "v1-freeze", "tag")                                   # tag s1
+    I.write_iceberg(spark.range(10, 20).select(F.col("id")), path, "append")  # s3 (main)
+
+    # tag read is pinned no matter what main does
+    assert I.read_iceberg(spark, path, ref="v1-freeze").count() == 10
+    assert I.read_iceberg(spark, path).count() == 20
+
+    # branch writes move ONLY the branch head
+    I.create_ref(path, "audit", "branch")  # at main head (20 rows)
+    I.write_iceberg(
+        spark.range(20, 25).select(F.col("id")), path, "append", branch="audit"
+    )
+    assert I.read_iceberg(spark, path).count() == 20          # main unmoved
+    assert I.read_iceberg(spark, path, ref="audit").count() == 25
+    # tags refuse writes
+    with pytest.raises(ValueError, match="TAG"):
+        I.write_iceberg(
+            spark.range(1).select(F.col("id")), path, "append",
+            branch="v1-freeze",
+        )
+
+    # expire keeps ref heads (the tag's snapshot survives keep_last=1)
+    res = I.expire_snapshots(path, keep_last=1)
+    assert I.read_iceberg(spark, path, ref="v1-freeze").count() == 10
+    assert I.read_iceberg(spark, path, ref="audit").count() == 25
+
+    # fast-forward main to the audited branch
+    I.fast_forward_main(path, "audit")
+    assert I.read_iceberg(spark, path).count() == 25
+
+    # diverged branch cannot fast-forward: move main past the branch
+    I.write_iceberg(spark.range(25, 26).select(F.col("id")), path, "append")
+    with pytest.raises(ValueError, match="ancestor"):
+        I.fast_forward_main(path, "audit")
+
+    # dropping the tag re-opens expiry
+    I.drop_ref(path, "v1-freeze")
+    with pytest.raises(KeyError):
+        I.read_iceberg(spark, path, ref="v1-freeze")
