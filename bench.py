@@ -248,6 +248,27 @@ def _bench_lakehouse(spark, sf_dir: str) -> dict[str, float]:
         lambda: ip.table_changes_iceberg(spark, itbl, 2)
         .groupBy("_change_type", "_commit_snapshot").count().collect(),
     )
+    # round-4 metadata-layer operations (all metadata-dominated —
+    # their cost must stay flat as the data grows)
+    timed("iceberg_rewrite_manifests", lambda: ip.rewrite_manifests(itbl))
+    timed(
+        "iceberg_branch_write_and_ff",
+        lambda: (
+            ip.create_ref(itbl, "bench_branch", "branch"),
+            ip.write_iceberg(
+                slices[0].limit(1000), itbl, "append", branch="bench_branch"
+            ),
+            ip.fast_forward_main(itbl, "bench_branch"),
+        ),
+    )
+    timed(
+        "delta_column_mapping_rename",
+        lambda: (
+            dp.enable_column_mapping(dtbl),
+            dp.rename_column(dtbl, "o_orderstatus", "status"),
+            dp.read_delta(spark, dtbl).groupBy("status").count().collect(),
+        ),
+    )
     shutil.rmtree(_SCRATCH, ignore_errors=True)
     return out
 
