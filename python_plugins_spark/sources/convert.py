@@ -16,8 +16,9 @@ Preconditions (checked, not assumed):
   ``rewrite_data_files`` first — the error says so).
 - Delta -> Iceberg likewise refuses tables with live deletion vectors
   (run ``optimize_delta`` first) and, like the Iceberg layer's single
-  identity-partition model, only unpartitioned or single-column
-  identity-partitioned sources.
+  identity-partition model: identity-partitioned sources convert
+  (multi-column too); hidden-partitioning transforms, evolved specs,
+  and column-mapping tables refuse with the materialization pointer.
 - The target path must not already contain a table: conversion
   publishes version 0 / v1 via the same put-if-absent primitive the
   writers use, so a concurrent creation is a detected conflict.
@@ -58,7 +59,25 @@ def convert_iceberg_to_delta(ice_path: str, delta_path: str) -> int:
         )
     meta = IP._load_metadata(ice_path)
     schema = IP.iceberg_schema_to_spark(IP._current_schema_node(meta))
-    spec = (meta.get("partition-specs") or [{}])[0].get("fields") or []
+    specs = meta.get("partition-specs") or [{}]
+    if len(specs) > 1:
+        raise ValueError(
+            "iceberg table has evolved partition specs (files under "
+            "mixed layouts); rewrite_data_files() to migrate them to "
+            "one spec, then convert"
+        )
+    default_id = meta.get("default-spec-id", 0)
+    spec = next(
+        (sp for sp in specs if sp.get("spec-id", 0) == default_id), {}
+    ).get("fields") or []
+    hidden = [f["name"] for f in spec if f["transform"] != "identity"]
+    if hidden:
+        raise ValueError(
+            f"iceberg table uses hidden-partitioning transforms {hidden}; "
+            "Delta's hive model is identity-only — rewrite under an "
+            "identity spec (evolve_partition_spec + rewrite_data_files) "
+            "first"
+        )
     part_cols = [f["name"] for f in spec]
 
     now_ms = int(time.time() * 1000)
@@ -110,12 +129,13 @@ def convert_delta_to_iceberg(delta_path: str, ice_path: str) -> int:
     """Publish the CURRENT Delta snapshot as Iceberg snapshot 1.
     Returns the committed snapshot id (always 1)."""
     state = DP._replay_state(delta_path)
-    part_cols = state.meta.get("partitionColumns") or []
-    if len(part_cols) > 1:
+    if DP.column_mapping_enabled(state.meta):
         raise ValueError(
-            "iceberg layer models a single identity partition; "
-            f"source is partitioned by {part_cols}"
+            "delta table uses column mapping (files store physical "
+            "column names the iceberg schema would not match); "
+            "materialize it first"
         )
+    part_cols = state.meta.get("partitionColumns") or []
     dvs = [a for a in state.active.values() if a.get("deletionVector")]
     if dvs:
         raise ValueError(
@@ -170,18 +190,15 @@ def convert_delta_to_iceberg(delta_path: str, ice_path: str) -> int:
     ml_path = os.path.join(IP._meta_dir(ice_path), ml_name)
     write_container(ml_path, IP._MANIFEST_FILE_NODE, ml_rows)
 
-    spec_fields = (
-        [
-            {
-                "name": part_cols[0],
-                "transform": "identity",
-                "source-id": [f.name for f in schema.fields].index(part_cols[0]) + 1,
-                "field-id": 1000,
-            }
-        ]
-        if part_cols
-        else []
-    )
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": [f.name for f in schema.fields].index(c) + 1,
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(part_cols)
+    ]
     new_meta = {
         "format-version": 2,
         "table-uuid": str(uuid.uuid4()),

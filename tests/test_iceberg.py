@@ -1292,3 +1292,55 @@ def test_iceberg_refs_tags_branches_fast_forward(spark):
     I.drop_ref(path, "v1-freeze")
     with pytest.raises(KeyError):
         I.read_iceberg(spark, path, ref="v1-freeze")
+
+
+def test_convert_guards_round4_layouts(spark):
+    """Format conversion refuses layouts its hard-link model cannot
+    represent — hidden-partitioning/evolved iceberg specs and
+    column-mapping delta tables — and now handles multi-column
+    identity partitions."""
+    import pytest
+
+    import python_plugins_spark.sources.delta_py as dp
+    import python_plugins_spark.sources.iceberg_py as I
+    from python_plugins_spark.sources import convert as CV
+
+    # hidden-partitioned iceberg refuses -> delta
+    ice = _fresh("cv_hidden")
+    I.write_iceberg(
+        spark.range(20).selectExpr("id", "id % 3 AS g"), ice, "overwrite",
+        partition_by={"transform": "bucket", "source": "id", "n": 4},
+    )
+    with pytest.raises(ValueError, match="hidden-partitioning"):
+        CV.convert_iceberg_to_delta(ice, _fresh("cv_hidden_d"))
+
+    # evolved specs refuse
+    ice2 = _fresh("cv_evolved")
+    I.write_iceberg(spark.range(10).selectExpr("id", "id % 2 AS g"), ice2, "overwrite")
+    I.evolve_partition_spec(ice2, "g")
+    I.write_iceberg(spark.range(10, 14).selectExpr("id", "id % 2 AS g"), ice2, "append")
+    with pytest.raises(ValueError, match="evolved"):
+        CV.convert_iceberg_to_delta(ice2, _fresh("cv_evolved_d"))
+
+    # column-mapped delta refuses -> iceberg
+    dt = _fresh("cv_mapped")
+    dp.write_delta(spark.range(10).selectExpr("id", "id AS v"), dt, "overwrite")
+    dp.enable_column_mapping(dt)
+    dp.rename_column(dt, "v", "w")
+    with pytest.raises(ValueError, match="column mapping"):
+        CV.convert_delta_to_iceberg(dt, _fresh("cv_mapped_i"))
+
+    # multi-column identity delta now CONVERTS
+    dt2 = _fresh("cv_multi")
+    dp.write_delta(
+        spark.range(24).selectExpr("id", "id % 2 AS a", "id % 3 AS b"),
+        dt2, "overwrite", partition_by=["a", "b"],
+    )
+    ice3 = _fresh("cv_multi_i")
+    CV.convert_delta_to_iceberg(dt2, ice3)
+    back = I.read_iceberg(spark, ice3)
+    assert sorted((r.id, r.a, r.b) for r in back.collect()) == [
+        (i, i % 2, i % 3) for i in range(24)
+    ]
+    pruned = I.plan_files(ice3, eq={"a": 1, "b": 2})
+    assert 0 < len(pruned) < len(I.plan_files(ice3))
