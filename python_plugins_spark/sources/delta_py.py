@@ -707,7 +707,13 @@ def add_check_constraint(
         new_meta["configuration"] = cfg
         version = validated_version + 1
         commit = os.path.join(_log_path(table_path), f"{version:020d}.json")
-        if _put_if_absent(json.dumps({"metaData": new_meta}) + "\n", commit):
+        body = (
+            json.dumps(_commit_info("ADD CONSTRAINT", {"name": name, "expr": expr}))
+            + "\n"
+            + json.dumps({"metaData": new_meta})
+            + "\n"
+        )
+        if _put_if_absent(body, commit):
             return version
     raise DeltaConcurrentWriteError(
         f"lost the commit race {max_retries + 1} times at {table_path}"
@@ -728,7 +734,13 @@ def drop_check_constraint(
         new_meta["configuration"] = cfg
         version = table_version(table_path) + 1
         commit = os.path.join(_log_path(table_path), f"{version:020d}.json")
-        if _put_if_absent(json.dumps({"metaData": new_meta}) + "\n", commit):
+        body = (
+            json.dumps(_commit_info("DROP CONSTRAINT", {"name": name}))
+            + "\n"
+            + json.dumps({"metaData": new_meta})
+            + "\n"
+        )
+        if _put_if_absent(body, commit):
             return version
     raise DeltaConcurrentWriteError(
         f"lost the commit race {max_retries + 1} times at {table_path}"
@@ -832,7 +844,13 @@ def enable_column_mapping(table_path: str, max_retries: int = 10) -> int:
         new_meta["schemaString"] = new_schema.json()
         version = table_version(table_path) + 1
         commit = os.path.join(_log_path(table_path), f"{version:020d}.json")
-        if _put_if_absent(json.dumps({"metaData": new_meta}) + "\n", commit):
+        body = (
+            json.dumps(_commit_info("SET TBLPROPERTIES", {"delta.columnMapping.mode": "name"}))
+            + "\n"
+            + json.dumps({"metaData": new_meta})
+            + "\n"
+        )
+        if _put_if_absent(body, commit):
             return version
     raise DeltaConcurrentWriteError(
         f"lost the commit race {max_retries + 1} times at {table_path}"
@@ -868,7 +886,13 @@ def rename_column(table_path: str, old: str, new: str, max_retries: int = 10) ->
         new_meta["schemaString"] = new_schema.json()
         version = table_version(table_path) + 1
         commit = os.path.join(_log_path(table_path), f"{version:020d}.json")
-        if _put_if_absent(json.dumps({"metaData": new_meta}) + "\n", commit):
+        body = (
+            json.dumps(_commit_info("RENAME COLUMN", {"old": old, "new": new}))
+            + "\n"
+            + json.dumps({"metaData": new_meta})
+            + "\n"
+        )
+        if _put_if_absent(body, commit):
             return version
     raise DeltaConcurrentWriteError(
         f"lost the commit race {max_retries + 1} times at {table_path}"
@@ -903,7 +927,13 @@ def drop_column(table_path: str, name: str, max_retries: int = 10) -> int:
         new_meta["schemaString"] = new_schema.json()
         version = table_version(table_path) + 1
         commit = os.path.join(_log_path(table_path), f"{version:020d}.json")
-        if _put_if_absent(json.dumps({"metaData": new_meta}) + "\n", commit):
+        body = (
+            json.dumps(_commit_info("DROP COLUMN", {"name": name}))
+            + "\n"
+            + json.dumps({"metaData": new_meta})
+            + "\n"
+        )
+        if _put_if_absent(body, commit):
             return version
     raise DeltaConcurrentWriteError(
         f"lost the commit race {max_retries + 1} times at {table_path}"
@@ -953,6 +983,50 @@ def _evolve_schema(
         if f.name not in ex
     ]
     return T.StructType(merged)
+
+
+def _commit_info(operation: str, params: dict | None = None) -> dict:
+    """The protocol's commitInfo action — the audit record DESCRIBE
+    HISTORY reads. Purely informational (replay ignores it), written
+    first in every commit this layer makes."""
+    return {
+        "commitInfo": {
+            "timestamp": int(time.time() * 1000),
+            "operation": operation,
+            "operationParameters": {
+                k: str(v) for k, v in (params or {}).items()
+            },
+            "engineInfo": "python_plugins_spark",
+        }
+    }
+
+
+def table_history(table_path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one record per commit, newest first —
+    ``{version, timestamp, operation, operationParameters}``. Commits
+    from before commitInfo was written surface operation=None."""
+    out = []
+    for version, cpath in _commit_files(table_path):
+        info = None
+        with open(cpath) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    info = action["commitInfo"]
+                    break
+        out.append(
+            {
+                "version": version,
+                "timestamp": (info or {}).get("timestamp"),
+                "operation": (info or {}).get("operation"),
+                "operationParameters": (info or {}).get(
+                    "operationParameters", {}
+                ),
+            }
+        )
+    return sorted(out, key=lambda r: -r["version"])
 
 
 def txn_version(table_path: str, app_id: str) -> int:
@@ -1223,7 +1297,10 @@ def write_delta(
         actions.extend(adds)
 
         commit = os.path.join(_log_path(table_path), f"{version:020d}.json")
-        body = "".join(json.dumps(a) + "\n" for a in actions)
+        body = "".join(
+            json.dumps(a) + "\n"
+            for a in [_commit_info("WRITE" if mode == "append" else "OVERWRITE", {"mode": mode, "partitionBy": partition_by or []})] + actions
+        )
         if _put_if_absent(body, commit):
             if version > 0 and version % _CHECKPOINT_INTERVAL == 0:
                 _write_checkpoint(
@@ -1515,7 +1592,10 @@ def delete_delta(
             ] + adds_staged
 
         commit = os.path.join(_log_path(table_path), f"{read_version + 1:020d}.json")
-        body = "".join(json.dumps(a) + "\n" for a in actions)
+        body = "".join(
+            json.dumps(a) + "\n"
+            for a in [_commit_info("DELETE", {"predicate": predicate, "mode": mode})] + actions
+        )
         if _put_if_absent(body, commit):
             version = read_version + 1
             if version % _CHECKPOINT_INTERVAL == 0:
@@ -1727,7 +1807,10 @@ def merge_delta(
             for p in touched
         ] + adds
         commit = os.path.join(_log_path(table_path), f"{read_version + 1:020d}.json")
-        body = "".join(json.dumps(a) + "\n" for a in actions)
+        body = "".join(
+            json.dumps(a) + "\n"
+            for a in [_commit_info("MERGE", {"on": on})] + actions
+        )
         if _put_if_absent(body, commit):
             version = read_version + 1
             if version % _CHECKPOINT_INTERVAL == 0:
@@ -1874,7 +1957,10 @@ def optimize_delta(
             for p in victims
         ] + adds
         commit = os.path.join(_log_path(table_path), f"{read_version + 1:020d}.json")
-        body = "".join(json.dumps(a) + "\n" for a in actions)
+        body = "".join(
+            json.dumps(a) + "\n"
+            for a in [_commit_info("OPTIMIZE", {"zorderBy": zorder_by or []})] + actions
+        )
         if _put_if_absent(body, commit):
             version = read_version + 1
             if version % _CHECKPOINT_INTERVAL == 0:
@@ -2226,7 +2312,10 @@ def update_delta(
         actions.extend(adds_staged)
 
         commit = os.path.join(_log_path(table_path), f"{read_version + 1:020d}.json")
-        body = "".join(json.dumps(a) + "\n" for a in actions)
+        body = "".join(
+            json.dumps(a) + "\n"
+            for a in [_commit_info("UPDATE", {"predicate": predicate})] + actions
+        )
         if _put_if_absent(body, commit):
             version = read_version + 1
             if version % _CHECKPOINT_INTERVAL == 0:
@@ -2299,7 +2388,10 @@ def restore_delta(spark: SparkSession, table_path: str, version: int) -> int:
 
     new_version = cur_version + 1
     commit = os.path.join(_log_path(table_path), f"{new_version:020d}.json")
-    body = "".join(json.dumps(a) + "\n" for a in actions)
+    body = "".join(
+        json.dumps(a) + "\n"
+        for a in [_commit_info("RESTORE", {"version": version})] + actions
+    )
     if not _put_if_absent(body, commit):
         raise DeltaConcurrentWriteError(
             f"concurrent commit during restore at {table_path}"

@@ -1276,3 +1276,31 @@ def test_delta_column_mapping_partitioned_table(spark, tmp_path):
     rows = spark.table("cm_part_stream").collect()
     assert {(r.id, r.grp) for r in rows} >= {(31, 1), (32, 2), (0, 0)}
     assert all(r.grp is not None for r in rows)
+
+
+def test_delta_table_history(spark):
+    """DESCRIBE HISTORY: every commit carries a commitInfo audit
+    record; table_history returns them newest-first with operation
+    names and parameters."""
+    import python_plugins_spark.sources.delta_py as dp
+
+    p = _fresh("hist_t")
+    dp.write_delta(spark.range(10).selectExpr("id", "id * 1.0 AS v"), p, "overwrite")
+    dp.write_delta(spark.range(10, 12).selectExpr("id", "id * 1.0 AS v"), p, "append")
+    dp.delete_delta(spark, p, "id < 2", mode="dv")
+    dp.add_check_constraint(spark, p, "v_nonneg", "v >= 0")
+    dp.update_delta(spark, p, "id = 11", {"v": "v + 1"})
+    dp.optimize_delta(spark, p)
+    dp.restore_delta(spark, p, 1)
+
+    hist = dp.table_history(p)
+    ops = [h["operation"] for h in hist]
+    assert ops == [
+        "RESTORE", "OPTIMIZE", "UPDATE", "ADD CONSTRAINT", "DELETE",
+        "WRITE", "OVERWRITE",
+    ]
+    assert [h["version"] for h in hist] == list(range(6, -1, -1))
+    by_op = {h["operation"]: h for h in hist}
+    assert by_op["DELETE"]["operationParameters"]["predicate"] == "id < 2"
+    assert by_op["RESTORE"]["operationParameters"]["version"] == "1"
+    assert all(h["timestamp"] is not None for h in hist)
