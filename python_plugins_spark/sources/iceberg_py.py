@@ -1791,6 +1791,31 @@ def evolve_partition_spec(path: str, new_partition_by) -> int:
     return version
 
 
+def table_history_iceberg(path: str) -> list[dict]:
+    """The audit surface (Iceberg twin of delta_py.table_history):
+    one record per snapshot, newest first, from the snapshot list's
+    own summaries — ``{snapshot_id, parent_snapshot_id, timestamp_ms,
+    operation, summary, on_main}`` (``on_main`` marks snapshots in the
+    main snapshot-log; branch-only snapshots show False)."""
+    meta = _load_metadata(path)
+    main_ids = {e["snapshot-id"] for e in meta.get("snapshot-log", [])}
+    out = []
+    for s_ in meta.get("snapshots", []):
+        summary = dict(s_.get("summary") or {})
+        out.append(
+            {
+                "snapshot_id": s_["snapshot-id"],
+                "parent_snapshot_id": s_.get("parent-snapshot-id"),
+                "timestamp_ms": s_.get("timestamp-ms"),
+                "operation": summary.pop("operation", None),
+                "summary": summary,
+                "on_main": s_["snapshot-id"] in main_ids
+                or s_["snapshot-id"] == meta.get("current-snapshot-id"),
+            }
+        )
+    return sorted(out, key=lambda r: -r["snapshot_id"])
+
+
 def create_ref(
     path: str, name: str, ref_type: str = "tag",
     snapshot_id: int | None = None,

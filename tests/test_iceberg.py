@@ -1344,3 +1344,21 @@ def test_convert_guards_round4_layouts(spark):
     ]
     pruned = I.plan_files(ice3, eq={"a": 1, "b": 2})
     assert 0 < len(pruned) < len(I.plan_files(ice3))
+
+
+def test_iceberg_table_history(spark):
+    import python_plugins_spark.sources.iceberg_py as I
+
+    path = _fresh("ice_hist")
+    I.write_iceberg(spark.range(5).select(F.col("id")), path, "overwrite")
+    I.write_iceberg(spark.range(5, 8).select(F.col("id")), path, "append")
+    I.create_ref(path, "b", "branch")
+    I.write_iceberg(spark.range(8, 9).select(F.col("id")), path, "append", branch="b")
+    I.delete_iceberg(spark, path, "id = 0")
+
+    hist = I.table_history_iceberg(path)
+    assert [h["operation"] for h in hist] == [
+        "delete", "append", "append", "overwrite"
+    ]
+    branch_snap = [h for h in hist if not h["on_main"]]
+    assert len(branch_snap) == 1 and branch_snap[0]["parent_snapshot_id"] == 2
