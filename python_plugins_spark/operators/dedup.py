@@ -941,3 +941,135 @@ def mask_repeated_spans_oracle_sql(
                len({toks_t}) - coalesce(a.n_tokens, 0) AS n_removed
         FROM {table} t LEFT JOIN _asm a ON t.{id_col} = a.{id_col}
     """
+
+
+# ---------------------------------------------------------------------
+# Persisted incremental MinHash index (round 4): the PRODUCTION shape
+# of corpus dedup. A 100 TB corpus is not deduplicated once — it is
+# INGESTED, batch after batch, and each batch must be checked against
+# everything already admitted without recomputing the corpus. The
+# index is two Delta tables (ACID appends; the engine's own layer):
+#
+#   <path>/bands : (id, band_id, band_key)  — the LSH candidate keys
+#   <path>/sigs  : (id, sig array<long>)    — for signature-estimate
+#                                             verification of candidates
+#
+# Ingest = band equi-join of the new batch against the index (never a
+# scan of admitted TEXT), signature-agreement verification (>= m of k
+# minhashes equal — integer compare, engine-portable), duplicates
+# rejected, survivors' bands+sigs appended atomically. Each batch's
+# cost is O(batch x matched buckets), independent of corpus size.
+# ---------------------------------------------------------------------
+
+
+def minhash_index_build(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    shingle: int = 3,
+) -> None:
+    """Build (overwrite) the persisted index from an already-deduped
+    base corpus."""
+    from python_plugins_spark.sources.delta_py import write_delta
+
+    sig = minhash_signature(docs, text_col, id_col, num_hashes, shingle)
+    sig = sig.localCheckpoint(eager=True)  # bands + sigs share one pass
+    band_rows = minhash_bands(sig, id_col, num_hashes, bands)
+    write_delta(band_rows, f"{index_path}/bands", mode="overwrite")
+    write_delta(sig, f"{index_path}/sigs", mode="overwrite")
+
+
+def minhash_index_ingest(
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    min_matches: int,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = 8,
+    shingle: int = 3,
+    append: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Check a new batch against the index; returns ``(admitted,
+    duplicates)`` where duplicates is (id, dup_of, matches) — dup_of
+    the smallest admitted id agreeing on >= ``min_matches`` of the
+    ``num_hashes`` minhashes (the signature estimate of Jaccard;
+    integer threshold, engine-portable). With ``append`` the
+    survivors' bands and signatures join the index atomically
+    (per-table ACID appends). The batch is assumed internally deduped
+    (run :func:`minhash_lsh_pairs` within the batch first if not)."""
+    from python_plugins_spark.sources.delta_py import read_delta, write_delta
+
+    spark = new_docs.sparkSession
+    sig_new = minhash_signature(
+        new_docs, text_col, id_col, num_hashes, shingle
+    ).localCheckpoint(eager=True)
+    bands_new = minhash_bands(sig_new, id_col, num_hashes, bands)
+
+    idx_bands = read_delta(spark, f"{index_path}/bands")
+    idx_sigs = read_delta(spark, f"{index_path}/sigs")
+
+    cands = (
+        bands_new.alias("n")
+        .join(
+            idx_bands.alias("i"),
+            on=[
+                F.col(f"n.band_id") == F.col("i.band_id"),
+                F.col("n.band_key") == F.col("i.band_key"),
+            ],
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("_new_id"),
+            F.col(f"i.{id_col}").alias("_idx_id"),
+        )
+        .distinct()
+    )
+    scored = (
+        cands.join(
+            sig_new.select(
+                F.col(id_col).alias("_new_id"), F.col("sig").alias("_sn")
+            ),
+            on="_new_id",
+        )
+        .join(
+            idx_sigs.select(
+                F.col(id_col).alias("_idx_id"), F.col("sig").alias("_si")
+            ),
+            on="_idx_id",
+        )
+        .withColumn(
+            "matches",
+            F.expr("size(filter(zip_with(_sn, _si, (x, y) -> x = y), z -> z))"),
+        )
+        .filter(F.col("matches") >= min_matches)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_new_id").orderBy(
+        F.col("matches").desc(), F.col("_idx_id").asc()
+    )
+    duplicates = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select(
+            F.col("_new_id").alias(id_col),
+            F.col("_idx_id").alias("dup_of"),
+            "matches",
+        )
+    )
+    admitted = new_docs.join(
+        duplicates.select(id_col), on=id_col, how="left_anti"
+    )
+    if append:
+        adm_sig = sig_new.join(
+            duplicates.select(id_col), on=id_col, how="left_anti"
+        ).localCheckpoint(eager=True)
+        write_delta(
+            minhash_bands(adm_sig, id_col, num_hashes, bands),
+            f"{index_path}/bands", mode="append",
+        )
+        write_delta(adm_sig, f"{index_path}/sigs", mode="append")
+    return admitted, duplicates

@@ -1885,3 +1885,96 @@ def iceberg_branch_wap(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double").alias("total"),
     )
+
+
+def _install_minhash_index_query():
+    from python_plugins_spark.operators import dedup as DD
+
+    _K, _BANDS, _MIN = 32, 8, 24
+    _UNION = """(
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id >= 300
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id < 20
+    )"""
+    _cte = DD._sql_minhash_sig_cte(_UNION, "text", "doc_id", _K, 3)
+    _rows = _K // _BANDS
+
+    @register(
+        "incremental_minhash_ingest",
+        oracle=f"""
+        WITH {_cte},
+        _band AS (
+          SELECT doc_id, j AS band_id,
+                 array_to_string(sig[j * {_rows} + 1 : j * {_rows} + {_rows}], ',') AS band_key
+          FROM _sig CROSS JOIN (SELECT unnest(range(0, {_BANDS})) AS j)
+        ),
+        _cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+          FROM _band n JOIN _band i
+            ON n.band_id = i.band_id AND n.band_key = i.band_key
+          WHERE n.doc_id >= 1000000 AND i.doc_id < 1000000
+        ),
+        _scored AS (
+          SELECT c.new_id, c.idx_id,
+                 (SELECT count(*) FROM (SELECT unnest(range(0, {_K})) AS p)
+                  WHERE sn.sig[p + 1] = si.sig[p + 1]) AS matches
+          FROM _cand c
+          JOIN _sig sn ON sn.doc_id = c.new_id
+          JOIN _sig si ON si.doc_id = c.idx_id
+        ),
+        _ranked AS (
+          SELECT new_id, idx_id, matches,
+                 row_number() OVER (PARTITION BY new_id
+                                    ORDER BY matches DESC, idx_id ASC) AS rn
+          FROM _scored WHERE matches >= {_MIN}
+        )
+        SELECT new_id AS doc_id, idx_id AS dup_of, matches
+        FROM _ranked WHERE rn = 1
+        """,
+    )
+    def incremental_minhash_ingest(spark, sf_dir):
+        """The PRODUCTION dedup shape: a persisted MinHash index (two
+        Delta tables: LSH band keys + signatures) built on the admitted
+        corpus, then a NEW ingest batch — the later half of the corpus
+        plus exact copies of 20 admitted docs under fresh ids — checked
+        against it by band equi-join + signature-agreement verification
+        (>= 24 of 32 minhashes, an integer threshold both engines
+        compare identically). The copies MUST surface as duplicates of
+        their originals; survivors join the index atomically. Per-batch
+        cost is O(batch x matched buckets), independent of corpus
+        size — dedup as continuous ingestion, not a one-shot job."""
+        import os
+        import shutil
+
+        docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        base = docs.filter(F.col("doc_id") < 300)
+        new_batch = (
+            docs.filter(F.col("doc_id") >= 300)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+            .unionByName(
+                docs.filter(F.col("doc_id") < 20)
+                .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+            )
+        )
+        idx = os.path.join(
+            _SCRATCH, f"mh_index_{os.path.basename(sf_dir.rstrip('/'))}"
+        )
+        shutil.rmtree(idx, ignore_errors=True)
+        DD.minhash_index_build(base, "text", "doc_id", idx,
+                               num_hashes=_K, bands=_BANDS)
+        admitted, dups = DD.minhash_index_ingest(
+            new_batch, "text", "doc_id", idx, min_matches=_MIN,
+            num_hashes=_K, bands=_BANDS,
+        )
+        # the exact copies are flagged against their originals
+        n_copies = dups.filter(
+            (F.col("doc_id") >= 2000000)
+            & (F.col("dup_of") == F.col("doc_id") - 2000000)
+        ).count()
+        assert n_copies > 0, "no injected duplicate was caught"
+        return dups
+
+
+_install_minhash_index_query()

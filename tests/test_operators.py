@@ -874,3 +874,53 @@ def test_driver_contract_accessors():
     assert e.oracle_sql() == dict(registry.ORACLES)
     assert callable(registry.queries) and callable(registry.oracle_sql)
     assert set(registry.ORACLES) <= set(registry.QUERIES)
+
+
+def test_minhash_index_incremental_append(spark, tmp_path):
+    """Ingest batches accumulate: batch-2 duplicates are caught against
+    docs admitted in batch 1, and a re-ingest of an admitted doc is
+    flagged (the index IS the dedup state)."""
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.operators import dedup as DD
+
+    idx = str(tmp_path / "mh_idx")
+    texts = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta doc {i} "
+            f"unique tail {i * 7}") for i in range(10)
+    ]
+    base = spark.createDataFrame(texts, "doc_id long, text string")
+    DD.minhash_index_build(base, "text", "doc_id", idx, num_hashes=32, bands=8)
+
+    # batch 1: 5 fresh docs -> all admitted and appended
+    b1 = spark.createDataFrame(
+        [(100 + i, f"completely different words here number {i} "
+                   f"orange banana kiwi row {i * 13}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    adm1, dup1 = DD.minhash_index_ingest(
+        b1, "text", "doc_id", idx, min_matches=24, num_hashes=32, bands=8
+    )
+    assert dup1.count() == 0 and adm1.count() == 5
+
+    # batch 2: a copy of a BASE doc and a copy of a BATCH-1 doc
+    b2 = spark.createDataFrame(
+        [(200, texts[3][1]), (201, b1.collect()[2].text),
+         (202, "totally novel content pears plums apricots xyz")],
+        "doc_id long, text string",
+    )
+    adm2, dup2 = DD.minhash_index_ingest(
+        b2, "text", "doc_id", idx, min_matches=24, num_hashes=32, bands=8
+    )
+    got = {(r.doc_id, r.dup_of) for r in dup2.collect()}
+    assert got == {(200, 3), (201, 102)}
+    assert {r.doc_id for r in adm2.collect()} == {202}
+
+    # re-ingesting an admitted doc is caught (append=False probe)
+    _, dup3 = DD.minhash_index_ingest(
+        spark.createDataFrame([(300, "totally novel content pears plums apricots xyz")],
+                              "doc_id long, text string"),
+        "text", "doc_id", idx, min_matches=24, num_hashes=32, bands=8,
+        append=False,
+    )
+    assert [(r.doc_id, r.dup_of) for r in dup3.collect()] == [(300, 202)]
