@@ -992,6 +992,7 @@ def minhash_index_ingest(
     bands: int = 8,
     shingle: int = 3,
     append: bool = True,
+    dedup_batch: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Check a new batch against the index; returns ``(admitted,
     duplicates)`` where duplicates is (id, dup_of, matches) — dup_of
@@ -999,8 +1000,13 @@ def minhash_index_ingest(
     ``num_hashes`` minhashes (the signature estimate of Jaccard;
     integer threshold, engine-portable). With ``append`` the
     survivors' bands and signatures join the index atomically
-    (per-table ACID appends). The batch is assumed internally deduped
-    (run :func:`minhash_lsh_pairs` within the batch first if not)."""
+    (per-table ACID appends).
+
+    ``dedup_batch=True`` first removes INTRA-batch duplicates (same
+    band join + signature agreement WITHIN the batch, min-id survivor
+    per duplicate group's edge), so a batch containing its own copies
+    admits exactly one; otherwise the batch is assumed internally
+    deduped."""
     from python_plugins_spark.sources.delta_py import read_delta, write_delta
 
     spark = new_docs.sparkSession
@@ -1008,6 +1014,50 @@ def minhash_index_ingest(
         new_docs, text_col, id_col, num_hashes, shingle
     ).localCheckpoint(eager=True)
     bands_new = minhash_bands(sig_new, id_col, num_hashes, bands)
+
+    if dedup_batch:
+        # intra-batch pass: candidates from the batch's own bands,
+        # verified by the same m-of-k agreement; losers (larger id of
+        # a verified pair) drop before the index check
+        intra = (
+            bands_new.alias("a")
+            .join(
+                bands_new.alias("b"),
+                on=[
+                    F.col("a.band_id") == F.col("b.band_id"),
+                    F.col("a.band_key") == F.col("b.band_key"),
+                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                ],
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("_ka"),
+                F.col(f"b.{id_col}").alias("_kb"),
+            )
+            .distinct()
+            .join(
+                sig_new.select(F.col(id_col).alias("_ka"),
+                               F.col("sig").alias("_sa")),
+                on="_ka",
+            )
+            .join(
+                sig_new.select(F.col(id_col).alias("_kb"),
+                               F.col("sig").alias("_sb")),
+                on="_kb",
+            )
+            .withColumn(
+                "_m",
+                F.expr(
+                    "size(filter(zip_with(_sa, _sb, (x, y) -> x = y), z -> z))"
+                ),
+            )
+            .filter(F.col("_m") >= min_matches)
+            .select(F.col("_kb").alias(id_col))
+            .distinct()
+        )
+        sig_new = sig_new.join(intra, on=id_col, how="left_anti")
+        sig_new = sig_new.localCheckpoint(eager=True)
+        bands_new = minhash_bands(sig_new, id_col, num_hashes, bands)
+        new_docs = new_docs.join(intra, on=id_col, how="left_anti")
 
     idx_bands = read_delta(spark, f"{index_path}/bands")
     idx_sigs = read_delta(spark, f"{index_path}/sigs")

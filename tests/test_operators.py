@@ -924,3 +924,36 @@ def test_minhash_index_incremental_append(spark, tmp_path):
         append=False,
     )
     assert [(r.doc_id, r.dup_of) for r in dup3.collect()] == [(300, 202)]
+
+
+def test_minhash_index_intra_batch_dedup(spark, tmp_path):
+    """dedup_batch removes copies WITHIN the ingest batch before the
+    index check: one survivor admits, its in-batch copies never reach
+    the index."""
+    from python_plugins_spark.operators import dedup as DD
+
+    idx = str(tmp_path / "mh_idx2")
+    base = spark.createDataFrame(
+        [(1, "base corpus document about storage engines and logs row one")],
+        "doc_id long, text string",
+    )
+    DD.minhash_index_build(base, "text", "doc_id", idx, num_hashes=32, bands=8)
+    dup_text = "same new document repeated twice in one batch xyz abc"
+    batch = spark.createDataFrame(
+        [(10, dup_text), (11, dup_text),
+         (12, "a genuinely different third document pears kiwis")],
+        "doc_id long, text string",
+    )
+    adm, dups = DD.minhash_index_ingest(
+        batch, "text", "doc_id", idx, min_matches=24,
+        num_hashes=32, bands=8, dedup_batch=True,
+    )
+    assert {r.doc_id for r in adm.collect()} == {10, 12}  # 11 dropped in-batch
+    assert dups.count() == 0  # nothing matched the INDEX
+    # and the survivor is now indexed: re-ingesting the text is caught
+    _, dup2 = DD.minhash_index_ingest(
+        spark.createDataFrame([(20, dup_text)], "doc_id long, text string"),
+        "text", "doc_id", idx, min_matches=24, num_hashes=32, bands=8,
+        append=False,
+    )
+    assert [(r.doc_id, r.dup_of) for r in dup2.collect()] == [(20, 10)]
