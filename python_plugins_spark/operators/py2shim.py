@@ -20,6 +20,7 @@ lexes the py2-isms we need — they just arrive as adjacent token pairs:
 - ``except E, e:``                      -> ``except E as e:``
 - ``raise E, v[, tb]``                  -> ``raise E(v)[.with_traceback(tb)]``
 - ``xrange`` / ``long``                 -> ``range`` / ``int``
+- ``.iteritems/itervalues/iterkeys``    -> ``.items/values/keys``
 
 Rewrites operate on the token stream (comments and string literals are
 therefore never touched); output is reassembled with
@@ -114,6 +115,15 @@ def _pass_lexical(raw: list) -> list[tuple[int, str]]:
             continue
         if tok.type == NAME and tok.string == "xrange":
             out.append((NAME, "range"))
+            i += 1
+            continue
+        if (
+            tok.type == NAME
+            and tok.string in ("iteritems", "itervalues", "iterkeys")
+            and out
+            and out[-1] == (OP, ".")
+        ):
+            out.append((NAME, tok.string[4:]))  # .items/.values/.keys
             i += 1
             continue
         if tok.type == NAME and tok.string == "long":

@@ -564,3 +564,20 @@ def test_py2shim_no_deprecation_warnings():
         warnings.simplefilter("error", DeprecationWarning)
         out = _python2_rewrite('print "x"\n')
     assert "print (" in out.replace("print(", "print (")
+
+
+def test_py2shim_iteritems_family():
+    """dict.iteritems/itervalues/iterkeys rewrite to their py3 names;
+    bare names (not attribute accesses) stay untouched."""
+    from python_plugins_spark.operators.py2shim import python2_to_3
+
+    ns = {}
+    exec(python2_to_3(
+        'd = {1: "a", 2: "b"}\n'
+        'ks = sorted(d.iterkeys())\n'
+        'vs = sorted(d.itervalues())\n'
+        'its = sorted(d.iteritems())\n'
+    ), ns)
+    assert ns["ks"] == [1, 2] and ns["vs"] == ["a", "b"]
+    assert ns["its"] == [(1, "a"), (2, "b")]
+    assert "iteritems" in python2_to_3("x = iteritems\n")
