@@ -63,6 +63,8 @@ Stage types (the platform categories the reference's §2c table maps):
   from ``<stage>.<port>``; unmatched rows land on port ``"default"``
 - ``batchsink.parquet|csv|json|orc`` — path, mode?, partitionBy?
 - ``batchsink.delta|iceberg`` — path, mode?
+- ``batchsink.msgbus`` — path, topic, keyField?, valueField?,
+  partitions?, segmentSeq?
 
 Streaming stage types (the ``cdap-data-streams`` deployment surface —
 the reference plugin was declared deployable in streaming pipelines
@@ -656,7 +658,10 @@ def run_pipeline(
                 )
             frames[name] = df
             if dry_run:
-                if fmt not in ("parquet", "csv", "json", "orc", "delta", "iceberg"):
+                if fmt not in (
+                    "parquet", "csv", "json", "orc", "delta", "iceberg",
+                    "msgbus",
+                ):
                     raise PipelineSpecError(f"unknown sink format {fmt!r}")
             elif fmt in ("parquet", "csv", "json", "orc"):
                 writer = df.write.mode(cfg.get("mode", "overwrite"))
@@ -677,6 +682,16 @@ def run_pipeline(
                 write_iceberg(
                     df, cfg["path"], mode=cfg.get("mode", "overwrite"),
                     partition_by=part or None,
+                )
+            elif fmt == "msgbus":
+                from python_plugins_spark.sources import msgbus as _mb
+
+                _mb.produce_dataframe(
+                    df, cfg["path"], cfg["topic"],
+                    key_col=cfg.get("keyField", "key"),
+                    value_col=cfg.get("valueField", "value"),
+                    partitions=int(cfg.get("partitions", 4)),
+                    segment_seq=int(cfg.get("segmentSeq", 0)),
                 )
             else:
                 raise PipelineSpecError(f"unknown sink format {fmt!r}")

@@ -730,3 +730,34 @@ def test_pipeline_msgbus_sink_roundtrip(spark, tmp_path):
         int(bytes(r.value)) for r in frames["out"].collect()
     )
     assert vals == [10, 20, 30]
+
+
+def test_pipeline_batch_msgbus_sink(spark, sf_dir, tmp_path):
+    from python_plugins_spark.sources import msgbus
+
+    root = str(tmp_path / "broker")
+    run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/nation.parquet"}},
+            {"name": "kv", "type": "transform.sql",
+             "config": {"viewName": "nat_in",
+                        "statement": (
+                            "SELECT cast(n_nationkey as string) AS key, "
+                            "n_name AS value FROM nat_in"
+                        )}},
+            {"name": "out", "type": "batchsink.msgbus",
+             "config": {"path": root, "topic": "nations", "partitions": 3}},
+        ],
+        "connections": [{"from": "src", "to": "kv"},
+                        {"from": "kv", "to": "out"}],
+    })
+    msgbus.register(spark)
+    got = (
+        spark.read.format("msgbus")
+        .option("path", root).option("topic", "nations").load()
+    )
+    want = spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    assert got.count() == want
+    names = {bytes(r.value).decode() for r in got.collect()}
+    assert "CANADA" in names or len(names) == want
