@@ -369,3 +369,18 @@ def hist_quantile_oracle_sql(
     SELECT g, (CAST({lo} AS DOUBLE) + (bin::DOUBLE + (total * CAST({q} AS DOUBLE) - (cum - cnt)) / cnt) * CAST({width} AS DOUBLE)) AS est
     FROM hit WHERE rn = 1
     """
+
+
+def hist_range(df: DataFrame, value_col: str) -> tuple[float, float]:
+    """Two-pass convenience for unknown value ranges: one min/max
+    aggregate (metadata-cheap; parquet footers usually answer it) for
+    the [lo, hi) the equi-width sketch needs. hi is nudged one ulp up
+    so the true max lands inside the last bin rather than clamping."""
+    import math
+
+    row = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("lo"),
+        F.max(F.col(value_col).cast("double")).alias("hi"),
+    ).collect()[0]
+    lo, hi = float(row["lo"]), float(row["hi"])
+    return lo, math.nextafter(hi, math.inf) if hi > lo else lo + 1.0

@@ -49,6 +49,9 @@ Stage types (the platform categories the reference's §2c table maps):
   projection plugin shape)
 - ``transform.filter`` — condition (SQL expr; keeps matching rows)
 - ``transform.distinct`` — fields? (drop duplicate rows)
+- ``transform.normalize`` — fieldMapping (carried columns),
+  fieldNormalizing (columns -> rows), typeField?, valueField?
+  (CDAP Normalize plugin: wide -> long via stack())
 - ``transform.sql`` — statement, viewName? (arbitrary SQL over the
   input registered as a temp view; batch and streaming)
 - ``batchaggregator.deduplicate`` — uniqueFields,
@@ -355,6 +358,28 @@ def run_pipeline(
                     .filter(F.col("__rn") == 1)
                     .drop("__rn")
                 )
+        elif stype == "transform.normalize":
+            # CDAP Normalize plugin shape: wide -> long. fieldMapping
+            # lists the columns to carry through unchanged;
+            # fieldNormalizing maps each source column to one output
+            # row as (typeField value = source column name,
+            # valueField value = the cell)
+            need(1)
+            carry = cfg.get("fieldMapping") or []
+            norm = cfg.get("fieldNormalizing") or []
+            if not norm:
+                raise PipelineSpecError(
+                    f"stage {name!r}: normalize needs fieldNormalizing"
+                )
+            type_out = cfg.get("typeField", "type")
+            value_out = cfg.get("valueField", "value")
+            pairs = ", ".join(
+                f"'{c}', cast(`{c}` AS string)" for c in norm
+            )
+            frames[name] = ins[0].selectExpr(
+                *[f"`{c}`" for c in carry],
+                f"stack({len(norm)}, {pairs}) AS (`{type_out}`, `{value_out}`)",
+            )
         elif stype == "transform.sql":
             # arbitrary SQL over the input, registered as a session-
             # scoped temp view named after the stage's viewName (the

@@ -957,3 +957,16 @@ def test_minhash_index_intra_batch_dedup(spark, tmp_path):
         append=False,
     )
     assert [(r.doc_id, r.dup_of) for r in dup2.collect()] == [(20, 10)]
+
+
+def test_hist_range_and_sketch_roundtrip(spark):
+    from python_plugins_spark.operators import sketch as SK
+
+    df = spark.range(1000).selectExpr("cast(id AS double) AS v", "id % 2 AS g")
+    lo, hi = SK.hist_range(df, "v")
+    assert lo == 0.0 and hi > 999.0
+    sk = SK.hist_sketch(df, "v", ["g"], lo, hi, bins=100)
+    est = SK.hist_quantile(sk, ["g"], 0.5, lo, hi, bins=100)
+    vals = {r.g: r.est for r in est.collect()}
+    # true medians ~499/500; bin width ~10 bounds the error
+    assert abs(vals[0] - 499) < 12 and abs(vals[1] - 499) < 12

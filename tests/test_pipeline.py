@@ -761,3 +761,24 @@ def test_pipeline_batch_msgbus_sink(spark, sf_dir, tmp_path):
     assert got.count() == want
     names = {bytes(r.value).decode() for r in got.collect()}
     assert "CANADA" in names or len(names) == want
+
+
+def test_pipeline_normalize_stage(spark, sf_dir):
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/nation.parquet"}},
+            {"name": "norm", "type": "transform.normalize",
+             "config": {"fieldMapping": ["n_nationkey"],
+                        "fieldNormalizing": ["n_name", "n_regionkey"],
+                        "typeField": "attr", "valueField": "val"}},
+        ],
+        "connections": [{"from": "src", "to": "norm"}],
+    })
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    out = frames["norm"]
+    assert out.columns == ["n_nationkey", "attr", "val"]
+    assert out.count() == 2 * n
+    assert set(r.attr for r in out.select("attr").distinct().collect()) == {
+        "n_name", "n_regionkey"
+    }
