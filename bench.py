@@ -141,6 +141,10 @@ def main() -> None:
         "multimodal_wav_rms_real",
         "msgbus_stream_events",
         "iceberg_hidden_partition_prune",
+        "pipeline_theta_join_percentiles",
+        "incremental_minhash_ingest",
+        "iceberg_branch_wap",
+        "pipeline_deduplicate_latest",
     ]
     extra_timings: dict[str, float] = {}
     for name in EXTRA_QUERIES:

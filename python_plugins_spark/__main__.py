@@ -41,6 +41,9 @@ def main(argv: list[str] | None = None) -> int:
     p_pipe.add_argument("spec", help="path to the pipeline spec JSON")
     p_pipe.add_argument("--show", type=int, default=0,
                         help="rows of each terminal stage to print")
+    p_pipe.add_argument("--explain", action="store_true",
+                        help="dry-run compile and print each terminal "
+                             "stage's physical plan instead of running")
 
     p_lin = sub.add_parser(
         "lineage",
@@ -81,6 +84,16 @@ def main(argv: list[str] | None = None) -> int:
 
             with open(args.spec) as fh:
                 spec = _json.load(fh)
+            if args.explain:
+                from python_plugins_spark.plans import plan_str
+
+                frames = run_pipeline(spark, spec, dry_run=True)
+                consumed = {c["from"] for c in spec.get("connections", [])}
+                for name, df in frames.items():
+                    if name not in consumed and not df.isStreaming:
+                        print(f"== terminal stage {name} ==")
+                        print(plan_str(df))
+                return 0
             frames = run_pipeline(spark, spec)
             consumed = {c["from"] for c in spec.get("connections", [])}
             for name, df in frames.items():
