@@ -1177,3 +1177,35 @@ def test_delta_stream_on_column_mapped_table(spark, tmp_path):
     dels = {r.id for r in rows if r._change_type == "delete"}
     assert ins == {(i, i * 2.0) for i in range(15)}
     assert dels == {0, 1}
+
+
+def test_trigger_available_now_consumes_and_stops(spark, sf_dir, tmp_path):
+    """Trigger.AvailableNow: the query consumes everything available in
+    bounded batches and terminates ITSELF (no processAllAvailable/stop
+    choreography) — the modern batch-over-stream trigger."""
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.sources.io import ensure_session_confs, fix_nanos_ts
+    from python_plugins_spark.streaming import read_stream_parquet
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = fix_nanos_ts(
+        read_stream_parquet(spark, f"{sf_dir}/events.parquet", schema)
+    )
+    sink = str(tmp_path / "an_sink")
+    q = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("event_id", "value")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "an_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)  # self-terminates
+    want = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("event_type = 'purchase'").count()
+    )
+    assert spark.read.parquet(sink).count() == want
