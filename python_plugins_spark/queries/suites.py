@@ -1978,3 +1978,49 @@ def _install_minhash_index_query():
 
 
 _install_minhash_index_query()
+
+
+@register(
+    "delta_shallow_clone_fork",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE (o_orderkey % 2 = 0 AND o_totalprice >= 50000)
+       OR o_orderkey % 2 = 1
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_shallow_clone_fork(spark, sf_dir):
+    """Zero-copy experimentation: SHALLOW CLONE forks the source table
+    by absolute file reference (no bytes copied — asserted: zero
+    parquet files in the clone directory), then the FORK takes a DV
+    delete and an append while the source must remain byte-identical
+    (asserted). The fork-a-100TB-table-and-try-something shape; clone
+    cost is one metadata commit regardless of table size."""
+    import os
+    import shutil
+
+    import python_plugins_spark.sources.delta_py as dp
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(_SCRATCH, f"clone_src_{tag}")
+    dst = os.path.join(_SCRATCH, f"clone_fork_{tag}")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    dp.write_delta(o.filter(F.col("o_orderkey") % 2 == 0), src, "overwrite")
+    n_src = dp.read_delta(spark, src).count()
+    dp.shallow_clone(src, dst)
+    assert not [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    dp.delete_delta(spark, dst, "o_totalprice < 50000", mode="dv")
+    dp.write_delta(o.filter(F.col("o_orderkey") % 2 == 1), dst, "append")
+    assert dp.read_delta(spark, src).count() == n_src  # source untouched
+    fork = dp.read_delta(spark, dst)
+    return fork.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("total"),
+    )

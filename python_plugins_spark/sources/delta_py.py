@@ -1314,6 +1314,62 @@ def write_delta(
 
 # ------------------------------------------------------------- vacuum
 
+def shallow_clone(src_path: str, dst_path: str) -> int:
+    """SHALLOW CLONE: a new Delta table whose commit 0 references the
+    SOURCE's current data files by ABSOLUTE path — zero bytes copied,
+    the experimentation shape (fork a 100 TB table, mutate the fork,
+    throw it away) at metadata cost. The clone owns its own log from
+    here: appends land in the clone's directory, overwrites tombstone
+    the absolute references (VACUUM walks only the clone's own
+    directory, so source files are unreachable by construction), and
+    merge-on-read deletes write DV sidecars in the clone against the
+    source's files without touching them. Snapshot semantics: the
+    clone pins the source AS OF clone time; later source commits don't
+    appear (and a source VACUUM past its own retention can of course
+    invalidate the clone — the documented shallow-clone trade-off).
+
+    Refused for partitioned sources (the clone's basePath cannot
+    re-derive partition columns from another table's directories) and
+    sources with live deletion vectors (sidecar paths are
+    source-relative)."""
+    state = _replay_state(src_path)
+    if state.meta.get("partitionColumns"):
+        raise ValueError(
+            "shallow clone of a partitioned table is not supported "
+            "(partition columns derive from the SOURCE's directory "
+            "layout, which the clone's basePath cannot see)"
+        )
+    if any(a.get("deletionVector") for a in state.active.values()):
+        raise ValueError(
+            "source has live deletion vectors (source-relative sidecar "
+            "paths); OPTIMIZE (purge) the source first"
+        )
+    if table_version(dst_path) >= 0:
+        raise ValueError(f"destination {dst_path} already exists")
+    os.makedirs(_log_path(dst_path), exist_ok=True)
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(state.meta)
+    new_meta["id"] = str(uuid.uuid4())
+    new_meta["createdTime"] = now_ms
+    actions = [
+        _commit_info("CLONE", {"source": src_path, "sourceVersion":
+                               table_version(src_path)}),
+        {"protocol": state.protocol
+         or {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": new_meta},
+    ]
+    for rel, add in sorted(state.active.items()):
+        a = dict(add)
+        a["path"] = os.path.abspath(os.path.join(src_path, rel))
+        a["dataChange"] = False
+        actions.append({"add": a})
+    body = "".join(json.dumps(a) + "\n" for a in actions)
+    commit = os.path.join(_log_path(dst_path), f"{0:020d}.json")
+    if not _put_if_absent(body, commit):
+        raise DeltaConcurrentWriteError(f"clone raced at {dst_path}")
+    return 0
+
+
 def vacuum_delta(
     table_path: str,
     retention_hours: float = _DEFAULT_RETENTION_HOURS,

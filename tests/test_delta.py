@@ -1304,3 +1304,58 @@ def test_delta_table_history(spark):
     assert by_op["DELETE"]["operationParameters"]["predicate"] == "id < 2"
     assert by_op["RESTORE"]["operationParameters"]["version"] == "1"
     assert all(h["timestamp"] is not None for h in hist)
+
+
+def test_delta_shallow_clone(spark, tmp_path):
+    """Zero-copy fork: the clone reads the source's files by absolute
+    reference, mutates independently (append, DV delete, overwrite),
+    and a clone VACUUM can never reach source bytes."""
+    import os
+
+    import pytest
+
+    import python_plugins_spark.sources.delta_py as dp
+
+    src = str(tmp_path / "src_t")
+    dst = str(tmp_path / "fork_t")
+    dp.write_delta(
+        spark.range(20).selectExpr("id", "id * 2.0 AS v"), src, "overwrite"
+    )
+    dp.shallow_clone(src, dst)
+    # zero parquet bytes in the clone dir
+    assert not [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert dp.read_delta(spark, dst).count() == 20
+    hist = dp.table_history(dst)
+    assert hist[-1]["operation"] == "CLONE"
+
+    # the clone diverges without touching the source
+    dp.write_delta(
+        spark.range(20, 25).selectExpr("id", "id * 2.0 AS v"), dst, "append"
+    )
+    dp.delete_delta(spark, dst, "id < 3", mode="dv")
+    assert {r.id for r in dp.read_delta(spark, dst).collect()} == set(range(3, 25))
+    assert dp.read_delta(spark, src).count() == 20  # source untouched
+
+    # source evolution after the clone is invisible to it
+    dp.write_delta(
+        spark.range(100, 105).selectExpr("id", "id * 2.0 AS v"), src, "append"
+    )
+    assert dp.read_delta(spark, dst).filter("id >= 100").count() == 0
+
+    # clone overwrite + aggressive vacuum cannot reach source bytes
+    dp.write_delta(
+        spark.range(5).selectExpr("id", "id * 2.0 AS v"), dst, "overwrite"
+    )
+    dp.vacuum_delta(dst, retention_hours=0)
+    assert dp.read_delta(spark, src).count() == 25  # every source file alive
+
+    # guards
+    p2 = str(tmp_path / "part_src")
+    dp.write_delta(
+        spark.range(10).selectExpr("id", "id % 2 AS g"), p2, "overwrite",
+        partition_by=["g"],
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        dp.shallow_clone(p2, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="already exists"):
+        dp.shallow_clone(src, dst)
