@@ -1362,3 +1362,23 @@ def test_iceberg_table_history(spark):
     ]
     branch_snap = [h for h in hist if not h["on_main"]]
     assert len(branch_snap) == 1 and branch_snap[0]["parent_snapshot_id"] == 2
+
+
+def test_iceberg_branch_overwrite(spark):
+    """mode='overwrite' on a branch replaces the BRANCH's content
+    while main keeps its own snapshot."""
+    import python_plugins_spark.sources.iceberg_py as I
+
+    path = _fresh("ice_branch_ow")
+    I.write_iceberg(spark.range(10).select(F.col("id")), path, "overwrite")
+    I.create_ref(path, "exp", "branch")
+    I.write_iceberg(
+        spark.range(100, 103).select(F.col("id")), path, "overwrite",
+        branch="exp",
+    )
+    assert {r.id for r in I.read_iceberg(spark, path, ref="exp").collect()} == {
+        100, 101, 102
+    }
+    assert I.read_iceberg(spark, path).count() == 10  # main untouched
+    hist = I.table_history_iceberg(path)
+    assert hist[0]["operation"] == "overwrite" and not hist[0]["on_main"]
