@@ -650,11 +650,25 @@ def run_pipeline(
                 )
 
                 path = cfg["path"]
+                # SetTransaction idempotence: a crash between the Delta
+                # commit and the streaming-checkpoint commit re-runs the
+                # epoch on restart; the txn key makes the re-run a no-op.
+                # Without a durable checkpointLocation epoch ids restart
+                # at 0 on every run, so the app id must be per-run or a
+                # FRESH query would silently skip its first epochs.
+                if cfg.get("checkpointLocation"):
+                    txn_app = f"pipeline:{name}:{path}"
+                else:
+                    import uuid as _uuid
 
-                def _append(bdf, epoch_id, _path=path):
+                    txn_app = f"pipeline:{name}:{path}:{_uuid.uuid4().hex}"
+
+                def _append(bdf, epoch_id, _path=path, _app=txn_app):
                     if bdf.isEmpty():
                         return
-                    write_delta(bdf, _path, mode="append")
+                    write_delta(
+                        bdf, _path, mode="append", txn=(_app, int(epoch_id))
+                    )
 
                 writer = df.writeStream.foreachBatch(_append)
                 if cfg.get("checkpointLocation"):

@@ -150,18 +150,27 @@ def produce_dataframe(
     one-writer-per-partition model — no contention at any parallelism).
     Task retries are safe: the segment is staged under a temp name and
     renamed into place, so the last attempt wins with identical
-    content (the write is a pure function of the partition's rows)."""
+    content (the write is a pure function of the partition's rows).
+
+    Null keys are legal (the wire schema and Kafka both allow them);
+    they partition by a hash of the VALUE bytes instead of Kafka's
+    sticky round-robin, because retried tasks must land every record
+    on the SAME partition to keep the segment write deterministic."""
     create_topic(root, topic, partitions)
     ts = (
         (F.unix_millis(F.col(ts_col)))
         if ts_col
         else F.lit(0).cast("long")
     )
+    key_b = F.col(key_col).cast("binary")
+    value_b = F.col(value_col).cast("binary")
     prepared = df.select(
-        F.col(key_col).cast("binary").alias("k"),
-        F.col(value_col).cast("binary").alias("v"),
+        key_b.alias("k"),
+        value_b.alias("v"),
         ts.alias("t"),
-        F.pmod(F.crc32(F.col(key_col).cast("binary")), F.lit(partitions))
+        F.pmod(
+            F.crc32(F.coalesce(key_b, value_b, F.lit(b""))), F.lit(partitions)
+        )
         .cast("int")
         .alias("p"),
     ).repartition(partitions, "p")
@@ -173,19 +182,41 @@ def produce_dataframe(
         for r in rows:
             by_part.setdefault(r.p, []).append(r)
         for p, rs in by_part.items():
-            # per-key order inside the partition is the arrival order;
-            # sort by (ts, key) for deterministic retries
-            rs.sort(key=lambda r: (r.t, r.k or b""))
+            # a task retry must write a byte-identical segment (readers
+            # may already have checkpointed offsets into it), so sort by
+            # the FULL record — (ts, key) alone ties when ts_col is
+            # omitted and same-key records would keep nondeterministic
+            # post-shuffle arrival order
+            rs.sort(key=lambda r: (r.t, r.k or b"", r.v or b""))
             payload = b"".join(
                 _encode_record(r.k, r.v, r.t) for r in rs
             )
             pdir = os.path.join(topic_root, f"p{p}")
-            tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
-            with open(tmp, "wb") as fh:
-                fh.write(payload)
-            os.replace(
-                tmp, os.path.join(pdir, f"{segment_seq:08d}-{len(rs)}.log")
-            )
+            # refuse to clobber a DIFFERENT produce that landed on the
+            # same segmentSeq (same-content replace stays idempotent for
+            # task retries); a colliding seq with a different record
+            # count is the same mistake wearing a different filename
+            final = os.path.join(pdir, f"{segment_seq:08d}-{len(rs)}.log")
+            for seg in os.listdir(pdir):
+                if not seg.endswith(".log"):
+                    continue
+                if int(seg.split("-", 1)[0]) != segment_seq:
+                    continue
+                existing = os.path.join(pdir, seg)
+                with open(existing, "rb") as fh:
+                    if existing == final and fh.read() == payload:
+                        break  # identical retry — keep it, skip rewrite
+                raise FileExistsError(
+                    f"msgbus: segment seq {segment_seq} already exists in "
+                    f"{pdir} with different content; bump segment_seq (the "
+                    "batch sink derives it from the epoch id) instead of "
+                    "overwriting committed records"
+                )
+            else:
+                tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
+                with open(tmp, "wb") as fh:
+                    fh.write(payload)
+                os.replace(tmp, final)
 
     prepared.foreachPartition(write_partition)
 
