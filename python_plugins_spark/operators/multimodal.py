@@ -222,6 +222,36 @@ def parse_wav(payload: bytes) -> tuple[int, int, int, list[int]]:
     return n_channels, sample_rate, n, samples
 
 
+def _wav_pcm_array(payload: bytes):
+    """Decode-path twin of :func:`parse_wav` returning the PCM16
+    samples as a numpy int16 view (zero-copy off the data chunk) —
+    the per-sample Python loop is the wrong shape for frame stats
+    over millions of samples per Arrow batch."""
+    import struct
+
+    import numpy as np
+
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _br, _al, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV encoding ({audio_format=}, {bits=})")
+    arr = np.frombuffer(data, dtype="<i2")
+    n = len(arr) // n_channels
+    return n_channels, sample_rate, n, arr[: n * n_channels]
+
+
 def decode_wav_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -244,13 +274,16 @@ def decode_wav_features(
         for b in batches:
             out = {k.name: [] for k in schema.fields}
             for pid, payload in zip(b[id_col], b[payload_col]):
-                nch, sr, n, samples = parse_wav(bytes(payload))
+                nch, sr, n, samples = _wav_pcm_array(bytes(payload))
+                s64 = samples.astype("int64")
                 out[id_col].append(int(pid))
                 out["n_channels"].append(nch)
                 out["sample_rate"].append(sr)
                 out["n_frames"].append(n)
-                out["sum_sq"].append(sum(s * s for s in samples))
-                out["peak"].append(max(abs(s) for s in samples) if samples else 0)
+                out["sum_sq"].append(int((s64 * s64).sum()))
+                out["peak"].append(
+                    int(abs(s64).max()) if len(s64) else 0
+                )
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(decode, schema)

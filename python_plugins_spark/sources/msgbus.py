@@ -112,6 +112,33 @@ def _iter_partition(pdir: str):
             yield from _iter_segment(os.path.join(pdir, seg))
 
 
+def _iter_partition_range(pdir: str, start: int, end: int):
+    """(offset, key, value, ts) for offsets in [start, end) — segments
+    wholly below ``start`` are SKIPPED via the record count encoded in
+    their name (a resumed stream must not re-scan the log it already
+    consumed; at broker scale the committed prefix dominates)."""
+    base = 0
+    for seg in sorted(os.listdir(pdir)):
+        if not seg.endswith(".log"):
+            continue
+        stem = seg[: -len(".log")]
+        count = int(stem.split("-", 1)[1]) if "-" in stem else None
+        if count is not None and base + count <= start:
+            base += count  # fully-consumed segment: name-only skip
+            continue
+        if base >= end:
+            break
+        n = 0
+        for i, rec in enumerate(_iter_segment(os.path.join(pdir, seg))):
+            n = i + 1
+            off = base + i
+            if off >= end:
+                return
+            if off >= start:
+                yield off, *rec
+        base += count if count is not None else n
+
+
 def _partition_count(pdir: str) -> int:
     """Record count of a partition — a METADATA fetch, not a log
     scan: segments are named ``<seq>-<count>.log`` so the high
@@ -177,19 +204,31 @@ def produce_dataframe(
 
     topic_root = _topic_dir(root, topic)
 
-    def write_partition(rows, segment_seq=segment_seq):
+    def write_batches(batches, segment_seq=segment_seq):
+        """One task == one topic partition's writer. Arrow batches in
+        (no per-row pickling), segments out; emits one (p, n) summary
+        row per written partition."""
+        import pyarrow as pa
+
         by_part: dict[int, list] = {}
-        for r in rows:
-            by_part.setdefault(r.p, []).append(r)
+        for b in batches:
+            for k, v, t, p in zip(
+                b.column("k").to_pylist(),
+                b.column("v").to_pylist(),
+                b.column("t").to_pylist(),
+                b.column("p").to_pylist(),
+            ):
+                by_part.setdefault(p, []).append((t, k, v))
+        written: list[tuple[int, int]] = []
         for p, rs in by_part.items():
             # a task retry must write a byte-identical segment (readers
             # may already have checkpointed offsets into it), so sort by
             # the FULL record — (ts, key) alone ties when ts_col is
             # omitted and same-key records would keep nondeterministic
             # post-shuffle arrival order
-            rs.sort(key=lambda r: (r.t, r.k or b"", r.v or b""))
+            rs.sort(key=lambda r: (r[0], r[1] or b"", r[2] or b""))
             payload = b"".join(
-                _encode_record(r.k, r.v, r.t) for r in rs
+                _encode_record(k, v, t) for t, k, v in rs
             )
             pdir = os.path.join(topic_root, f"p{p}")
             # refuse to clobber a DIFFERENT produce that landed on the
@@ -217,8 +256,20 @@ def produce_dataframe(
                 with open(tmp, "wb") as fh:
                     fh.write(payload)
                 os.replace(tmp, final)
+            written.append((p, len(rs)))
+        if written:
+            yield pa.record_batch(
+                [
+                    pa.array([p for p, _ in written], pa.int32()),
+                    pa.array([n for _, n in written], pa.int64()),
+                ],
+                names=["p", "n"],
+            )
 
-    prepared.foreachPartition(write_partition)
+    # mapInArrow keeps the produce loop on the Arrow fast path; the
+    # cheap count() over the per-partition summary rows is the action
+    # that drives the write (the summary is `partitions` rows, total)
+    prepared.mapInArrow(write_batches, "p int, n long").count()
 
 
 def append_records(
@@ -253,22 +304,44 @@ class _RangePartition(InputPartition):
         self.end = end
 
 
-def _emit_rows(part: _RangePartition):
-    from datetime import datetime, timezone
+def _emit_batches(part: _RangePartition):
+    """Yield pyarrow RecordBatches of the wire schema — the Python
+    DataSource's vectorized path (one Arrow batch crosses the bridge
+    instead of one pickled tuple per record)."""
+    import pyarrow as pa
 
-    for off, (key, value, ts) in enumerate(_iter_partition(part.pdir)):
-        if off < part.start or off >= part.end:
-            continue
-        yield (
-            key,
-            value,
-            part.topic,
-            part.pid,
-            off,
-            datetime.fromtimestamp(ts / 1000.0, tz=timezone.utc).replace(
-                tzinfo=None
-            ),
+    CHUNK = 16384
+    offs: list[int] = []
+    keys: list[bytes | None] = []
+    vals: list[bytes] = []
+    tss: list[int] = []
+
+    def make() -> "pa.RecordBatch":
+        n = len(vals)
+        return pa.record_batch(
+            [
+                pa.array(keys, pa.binary()),
+                pa.array(vals, pa.binary()),
+                pa.array([part.topic] * n, pa.string()),
+                pa.array([part.pid] * n, pa.int32()),
+                pa.array(offs, pa.int64()),
+                pa.array([t * 1000 for t in tss], pa.timestamp("us")),
+            ],
+            names=["key", "value", "topic", "partition", "offset", "timestamp"],
         )
+
+    for off, key, value, ts in _iter_partition_range(
+        part.pdir, part.start, part.end
+    ):
+        offs.append(off)
+        keys.append(key)
+        vals.append(value)
+        tss.append(ts)
+        if len(vals) >= CHUNK:
+            yield make()
+            offs, keys, vals, tss = [], [], [], []
+    if vals:
+        yield make()
 
 
 class MsgBusSource(DataSource):
@@ -304,7 +377,7 @@ class MsgBusBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangePartition):
-        yield from _emit_rows(partition)
+        yield from _emit_batches(partition)
 
 
 class MsgBusStreamReader(DataSourceStreamReader):
@@ -335,7 +408,7 @@ class MsgBusStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: _RangePartition):
-        yield from _emit_rows(partition)
+        yield from _emit_batches(partition)
 
     def commit(self, end: dict) -> None:
         pass  # the engine checkpoint IS the consumption record
