@@ -1,0 +1,174 @@
+"""Data-selection operators for training-corpus curation.
+
+Two published selection methods re-expressed as pure DataFrame
+algebra (no UDFs, no driver-side model state):
+
+- :func:`dsir_log_weights` — Data Selection via Importance Resampling
+  (Xie et al. 2023, arXiv:2302.03169): per-example importance weights
+  ``log p_target(x) - log p_source(x)`` under hashed bag-of-ngrams
+  unigram models with add-one smoothing. The bucket distributions are
+  tiny (``buckets`` rows) and broadcast, so scoring is one map-side
+  pipeline over the corpus scan plus one per-doc aggregate.
+- :func:`nb_train_score` — multinomial Naive Bayes trained as pure
+  aggregates (closed form: token-class counts), the classic
+  fastText-shaped corpus classifier (quality / domain filter). The
+  class-conditional model is vocabulary×classes sparse counts; scoring
+  uses the identity ``sum_tok ln(c_tc + 1)`` needs only the SPARSE
+  (token, class) pairs because ln(0 + 1) = 0 — classes a token never
+  hit contribute nothing, so no dense vocab×class materialization
+  ever exists.
+
+Reference parity: the reference plugin's host platform ships corpus
+ops as pipeline stages (see SURVEY §2c "LLM-pipeline ops"); these two
+close the data-SELECTION gap alongside the existing dedup /
+contamination / quality-rule operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from python_plugins_spark.functions import hash32, tokens
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_cond,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+) -> DataFrame:
+    """Per-document DSIR importance weights.
+
+    ``target_cond`` is a boolean Column marking the target-domain rows
+    (the distribution we want the selected corpus to resemble); the
+    SOURCE distribution is the whole input. Returns
+    ``(id_col, n_tok, log_w)`` where ``log_w = sum_tok
+    [ln p_t(b(tok)) - ln p_s(b(tok))]`` with hashed-unigram buckets
+    and add-one smoothing on both models.
+
+    Scale: token stream -> bucket id is a map; the two bucket tables
+    are at most ``buckets`` rows each, joined broadcast; the only
+    shuffle is the final per-document sum."""
+    tok = docs.select(
+        F.col(id_col),
+        target_cond.alias("_is_target"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("b", hash32(F.col("tok")) % buckets)
+
+    src = tok.groupBy("b").agg(F.count("*").alias("c_s"))
+    tgt = tok.filter("_is_target").groupBy("b").agg(F.count("*").alias("c_t"))
+    totals = tok.agg(
+        F.count("*").alias("n_s"),
+        F.sum(F.col("_is_target").cast("long")).alias("n_t"),
+    )
+    ratio = (
+        src.join(tgt, "b", "left")
+        .na.fill({"c_t": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.col("c_t") + 1.0) / (F.col("n_t") + F.lit(buckets)))
+                - F.log((F.col("c_s") + 1.0) / (F.col("n_s") + F.lit(buckets)))
+            ).alias("log_r"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(F.sum("log_r"), 4).alias("log_w"),
+        )
+    )
+
+
+def nb_train_score(
+    train_docs: DataFrame,
+    test_docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes: train on ``train_docs`` (class =
+    ``label_col``), score ``test_docs``; returns
+    ``(id_col, predicted, score)`` with the argmax class per test doc
+    (FP ties broken by class name — deterministic across engines).
+
+    score(d, c) = ln prior(c)
+                + sum_{tok in d ∩ vocab} ln(c_tc + 1)
+                - n_d * ln(c_c + V)
+
+    where c_tc is the token count in class c, c_c the class token
+    total, V the train vocabulary size, and n_d the count of the
+    test doc's in-vocabulary tokens (OOV tokens are dropped — the
+    textbook multinomial-NB convention). Only SPARSE (tok, class)
+    count pairs are ever materialized: ln(0+1)=0 means absent pairs
+    contribute nothing to the middle term.
+
+    Scale: the model tables (vocab-sized counts, class constants) are
+    the small side and broadcast; scoring is one equi-join on token
+    plus a (doc, class) aggregate — classes are bounded, so the dense
+    (doc x class) frame is |test| x |classes|."""
+    lbl = F.col(label_col)
+    train_tok = train_docs.select(
+        lbl.alias("cls"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    c_tc = train_tok.groupBy("cls", "tok").agg(F.count("*").alias("c_tc"))
+    c_c = c_tc.groupBy("cls").agg(F.sum("c_tc").alias("c_c"))
+    vocab_n = c_tc.select(F.countDistinct("tok").alias("v"))
+    priors = (
+        train_docs.groupBy(lbl.alias("cls"))
+        .agg(F.count("*").alias("n_docs"))
+        .crossJoin(
+            F.broadcast(train_docs.agg(F.count("*").alias("n_total")))
+        )
+        .select("cls", F.log(F.col("n_docs") / F.col("n_total")).alias("ln_prior"))
+    )
+    cls_const = (
+        c_c.crossJoin(F.broadcast(vocab_n))
+        .join(priors, "cls")
+        .select("cls", "ln_prior", F.log(F.col("c_c") + F.col("v")).alias("ln_denom"))
+    )
+
+    test_tok = test_docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = c_tc.select("tok").distinct()
+    test_iv = test_tok.join(F.broadcast(vocab), "tok")
+    n_d = test_iv.groupBy(id_col).agg(F.count("*").alias("n_d"))
+    sparse = (
+        test_iv.join(F.broadcast(c_tc), "tok")
+        .groupBy(id_col, "cls")
+        .agg(F.sum(F.log(F.col("c_tc") + 1.0)).alias("ln_hits"))
+    )
+    dense = (
+        n_d.crossJoin(F.broadcast(cls_const))
+        .join(sparse, [id_col, "cls"], "left")
+        .na.fill({"ln_hits": 0.0})
+        .select(
+            id_col,
+            "cls",
+            (
+                F.col("ln_prior")
+                + F.col("ln_hits")
+                - F.col("n_d") * F.col("ln_denom")
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("cls").asc()
+    )
+    return (
+        dense.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("cls").alias("predicted"),
+            F.round(F.col("score"), 4).alias("score"),
+        )
+    )
