@@ -247,7 +247,9 @@ def _wav_pcm_array(payload: bytes):
     audio_format, n_channels, sample_rate, _br, _al, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError(f"unsupported WAV encoding ({audio_format=}, {bits=})")
-    arr = np.frombuffer(data, dtype="<i2")
+    # parse_wav parity: an odd-length data chunk (truncated final
+    # sample) drops the trailing byte instead of raising in frombuffer.
+    arr = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
     n = len(arr) // n_channels
     return n_channels, sample_rate, n, arr[: n * n_channels]
 

@@ -50,7 +50,12 @@ def dsir_log_weights(
 
     Scale: token stream -> bucket id is a map; the two bucket tables
     are at most ``buckets`` rows each, joined broadcast; the only
-    shuffle is the final per-document sum."""
+    shuffle is the final per-document sum.
+
+    Null-text documents contribute no tokens and are DROPPED from the
+    output (``explode`` semantics) — a document with no content has no
+    importance weight under either model. Callers that need a row per
+    input doc should ``coalesce(text, '')`` upstream."""
     tok = docs.select(
         F.col(id_col),
         target_cond.alias("_is_target"),
@@ -104,9 +109,12 @@ def nb_train_score(
     where c_tc is the token count in class c, c_c the class token
     total, V the train vocabulary size, and n_d the count of the
     test doc's in-vocabulary tokens (OOV tokens are dropped — the
-    textbook multinomial-NB convention). Only SPARSE (tok, class)
-    count pairs are ever materialized: ln(0+1)=0 means absent pairs
-    contribute nothing to the middle term.
+    textbook multinomial-NB convention). A test doc whose tokens are
+    ALL out-of-vocabulary (or whose text is null) still gets a row:
+    n_d = 0 collapses the score to ln prior(c), so it predicts the
+    prior-argmax class. Only SPARSE (tok, class) count pairs are ever
+    materialized: ln(0+1)=0 means absent pairs contribute nothing to
+    the middle term.
 
     Scale: the model tables (vocab-sized counts, class constants) are
     the small side and broadcast; scoring is one equi-join on token
@@ -138,7 +146,18 @@ def nb_train_score(
     )
     vocab = c_tc.select("tok").distinct()
     test_iv = test_tok.join(F.broadcast(vocab), "tok")
-    n_d = test_iv.groupBy(id_col).agg(F.count("*").alias("n_d"))
+    # Left-join from the full test-id set so all-OOV / null-text docs
+    # keep a row with n_d = 0 (score degenerates to the prior).
+    n_d = (
+        test_docs.select(id_col)
+        .distinct()
+        .join(
+            test_iv.groupBy(id_col).agg(F.count("*").alias("n_d")),
+            id_col,
+            "left",
+        )
+        .na.fill({"n_d": 0})
+    )
     sparse = (
         test_iv.join(F.broadcast(c_tc), "tok")
         .groupBy(id_col, "cls")

@@ -1268,4 +1268,139 @@ def chi_square_independence(spark, sf_dir):
     )
 
 
+# Data selection (DSIR importance weights, Naive-Bayes corpus
+# classifier) — SURVEY.md §2c LLM-pipeline ops, selection story
+# =====================================================================
+
+@register(
+    "dsir_log_weights_docs",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, (lang = 'en') AS is_target,
+               {OF.sql_hash32('tok')} % 256 AS b
+        FROM (
+            SELECT doc_id, lang,
+                   unnest({OF.sql_tokens('text')}) AS tok
+            FROM documents
+        )
+    ),
+    src AS (SELECT b, count(*) AS c_s FROM tok GROUP BY b),
+    tgt AS (SELECT b, count(*) AS c_t FROM tok WHERE is_target GROUP BY b),
+    totals AS (
+        SELECT count(*) AS n_s,
+               sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_t
+        FROM tok
+    ),
+    ratio AS (
+        SELECT src.b,
+               ln((coalesce(tgt.c_t, 0) + CAST(1.0 AS DOUBLE))
+                  / CAST(totals.n_t + 256 AS DOUBLE))
+             - ln((src.c_s + CAST(1.0 AS DOUBLE))
+                  / CAST(totals.n_s + 256 AS DOUBLE)) AS log_r
+        FROM src LEFT JOIN tgt ON src.b = tgt.b, totals
+    )
+    SELECT tok.doc_id, count(*) AS n_tok, round(sum(log_r), 4) AS log_w
+    FROM tok JOIN ratio ON tok.b = ratio.b
+    GROUP BY tok.doc_id
+    """,
+)
+def dsir_log_weights_docs(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169)
+    over the documents table: target domain = English docs, source =
+    the whole corpus; hashed-unigram models with 256 buckets and
+    add-one smoothing. The two bucket distributions are <=256 rows
+    each and broadcast, so at 100 TB the corpus is scanned once, the
+    bucket id is a map-side expression, and the only shuffle is the
+    per-document sum. Reference carries no selection op; this is the
+    §2c training-data-selection surface."""
+    from python_plugins_spark.operators.selection import dsir_log_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_log_weights(docs, F.col("lang") == "en", buckets=256)
+
+
+@register(
+    "nb_classify_docs",
+    oracle=f"""
+    WITH train AS (
+        SELECT lang AS cls, text FROM documents WHERE doc_id % 5 <> 0
+    ),
+    test AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    train_tok AS (
+        SELECT cls, unnest({OF.sql_tokens('text')}) AS tok FROM train
+    ),
+    ctc AS (
+        SELECT cls, tok, count(*) AS c_tc FROM train_tok GROUP BY cls, tok
+    ),
+    cc AS (SELECT cls, sum(c_tc) AS c_c FROM ctc GROUP BY cls),
+    vocab_n AS (SELECT count(DISTINCT tok) AS v FROM ctc),
+    priors AS (
+        SELECT cls, ln(n_docs / CAST(n_total AS DOUBLE)) AS ln_prior
+        FROM (SELECT cls, count(*) AS n_docs FROM train GROUP BY cls),
+             (SELECT count(*) AS n_total FROM train)
+    ),
+    cls_const AS (
+        SELECT cc.cls, priors.ln_prior,
+               ln(CAST(cc.c_c + vocab_n.v AS DOUBLE)) AS ln_denom
+        FROM cc, vocab_n
+        JOIN priors ON priors.cls = cc.cls
+    ),
+    test_tok AS (
+        SELECT doc_id, unnest({OF.sql_tokens('text')}) AS tok FROM test
+    ),
+    test_iv AS (
+        SELECT doc_id, tok FROM test_tok
+        JOIN (SELECT DISTINCT tok FROM ctc) vocab USING (tok)
+    ),
+    nd AS (
+        SELECT t.doc_id, coalesce(n.n_d, 0) AS n_d
+        FROM (SELECT DISTINCT doc_id FROM test) t
+        LEFT JOIN (
+            SELECT doc_id, count(*) AS n_d FROM test_iv GROUP BY doc_id
+        ) n ON n.doc_id = t.doc_id
+    ),
+    sparse AS (
+        SELECT doc_id, cls,
+               sum(ln(c_tc + CAST(1.0 AS DOUBLE))) AS ln_hits
+        FROM test_iv JOIN ctc USING (tok)
+        GROUP BY doc_id, cls
+    ),
+    dense AS (
+        SELECT nd.doc_id, cls_const.cls,
+               cls_const.ln_prior + coalesce(sparse.ln_hits, CAST(0.0 AS DOUBLE))
+               - nd.n_d * cls_const.ln_denom AS score
+        FROM nd CROSS JOIN cls_const
+        LEFT JOIN sparse ON sparse.doc_id = nd.doc_id
+                        AND sparse.cls = cls_const.cls
+    )
+    SELECT doc_id, cls AS predicted, round(score, 4) AS score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY round(score, 6) DESC, cls ASC
+        ) AS rn
+        FROM dense
+    )
+    WHERE rn = 1
+    """,
+)
+def nb_classify_docs(spark, sf_dir):
+    """Multinomial Naive-Bayes corpus classifier (the fastText-shaped
+    quality/domain filter): train on 4/5 of the documents (class =
+    lang), score the held-out 1/5. Model tables (sparse token-class
+    counts, class constants) broadcast; scoring is one token equi-join
+    plus a bounded (doc x class) aggregate — no dense vocab x class
+    frame ever exists (ln(0+1)=0). All-OOV held-out docs get the
+    prior-argmax row (n_d = 0). Reference carries no classifier op;
+    §2c training-data-selection surface."""
+    from python_plugins_spark.operators.selection import nb_train_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    return nb_train_score(train, test, label_col="lang")
+
+
 # =====================================================================

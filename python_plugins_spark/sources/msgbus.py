@@ -234,28 +234,43 @@ def produce_dataframe(
             # refuse to clobber a DIFFERENT produce that landed on the
             # same segmentSeq (same-content replace stays idempotent for
             # task retries); a colliding seq with a different record
-            # count is the same mistake wearing a different filename
+            # count is the same mistake wearing a different filename.
+            # The pre-scan catches cross-NAME collisions (same seq,
+            # different count); it is check-then-act, which is fine
+            # under the bus's single-producer-per-(topic, seq) model —
+            # Spark retries of the same task write identical bytes. The
+            # same-NAME claim below is fully atomic regardless: link(2)
+            # is put-if-absent, and EEXIST re-verifies content.
             final = os.path.join(pdir, f"{segment_seq:08d}-{len(rs)}.log")
+            collision_msg = (
+                f"msgbus: segment seq {segment_seq} already exists in "
+                f"{pdir} with different content; bump segment_seq (the "
+                "batch sink derives it from the epoch id) instead of "
+                "overwriting committed records"
+            )
             for seg in os.listdir(pdir):
                 if not seg.endswith(".log"):
                     continue
                 if int(seg.split("-", 1)[0]) != segment_seq:
                     continue
-                existing = os.path.join(pdir, seg)
-                with open(existing, "rb") as fh:
-                    if existing == final and fh.read() == payload:
-                        break  # identical retry — keep it, skip rewrite
-                raise FileExistsError(
-                    f"msgbus: segment seq {segment_seq} already exists in "
-                    f"{pdir} with different content; bump segment_seq (the "
-                    "batch sink derives it from the epoch id) instead of "
-                    "overwriting committed records"
-                )
-            else:
-                tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
+                if os.path.join(pdir, seg) != final:
+                    raise FileExistsError(collision_msg)
+            tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
+            try:
                 with open(tmp, "wb") as fh:
                     fh.write(payload)
-                os.replace(tmp, final)
+                try:
+                    os.link(tmp, final)  # atomic put-if-absent
+                except FileExistsError:
+                    with open(final, "rb") as fh:
+                        if fh.read() != payload:
+                            raise FileExistsError(collision_msg) from None
+                    # identical retry — the committed segment stands
+            finally:
+                try:
+                    os.unlink(tmp)
+                except FileNotFoundError:
+                    pass
             written.append((p, len(rs)))
         if written:
             yield pa.record_batch(

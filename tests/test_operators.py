@@ -802,6 +802,30 @@ def test_wav_codec_roundtrip_and_chunk_walk():
         parse_wav(b"nope")
 
 
+def test_wav_numpy_path_odd_length_data_chunk():
+    """ADVICE r5: an odd-length data chunk (truncated trailing byte)
+    must decode identically on the numpy fast path and parse_wav —
+    both drop the dangling byte instead of raising."""
+    import struct
+
+    from python_plugins_spark.operators.multimodal import (
+        _wav_pcm_array, parse_wav, synth_pcm16_samples, wav_bytes,
+    )
+
+    s = synth_pcm16_samples(7, 33)
+    raw = bytearray(wav_bytes(s, 8000))
+    # grow the data chunk by one dangling byte and fix up the sizes
+    data_at = raw.index(b"data")
+    (dlen,) = struct.unpack_from("<I", raw, data_at + 4)
+    struct.pack_into("<I", raw, data_at + 4, dlen + 1)
+    struct.pack_into("<I", raw, 4, len(raw) + 1 - 8)
+    raw += b"\x7f"
+    nch, sr, n, dec = parse_wav(bytes(raw))
+    nch2, sr2, n2, arr = _wav_pcm_array(bytes(raw))
+    assert (nch, sr, n) == (nch2, sr2, n2) == (1, 8000, 33)
+    assert list(arr) == list(dec) == s
+
+
 def test_bmp_codec_padding_and_row_order():
     from python_plugins_spark.operators.multimodal import bmp_bytes, parse_bmp
 
