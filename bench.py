@@ -152,21 +152,31 @@ def main() -> None:
         "iceberg_branch_wap",
         "pipeline_deduplicate_latest",
     ]
+    # Round-6: the two extras under cross-round adjudication run
+    # median-of-3 like the headline (single-pass extras carry the same
+    # ±30% box noise the headline pass was moved off of in round 4).
+    EXTRA_N3 = {"msgbus_stream_events", "incremental_minhash_ingest"}
     extra_timings: dict[str, float] = {}
     for name in EXTRA_QUERIES:
         fn = QUERIES.get(name)
         if fn is None:
             continue
         try:
-            t0 = time.perf_counter()
-            n = materialize(fn(spark, sf_dir))
-            extra_timings[name] = round(time.perf_counter() - t0, 3)
+            runs = []
+            for _ in range(N_RUNS if name in EXTRA_N3 else 1):
+                t0 = time.perf_counter()
+                n = materialize(fn(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            extra_timings[name] = round(statistics.median(runs), 3)
             print(
-                f"# [extra] {name}: {extra_timings[name]:.3f}s ({n} rows)",
+                f"# [extra] {name}: {extra_timings[name]:.3f}s ({n} rows, "
+                f"{len(runs)} run(s))",
                 file=sys.stderr,
             )
         except Exception as exc:  # extras never fail the bench
             print(f"# extra {name} failed: {exc}", file=sys.stderr)
+
+    msgbus_phases = _bench_msgbus_phases(spark, sf_dir)
 
     lakehouse_timings = _bench_lakehouse(spark, sf_dir)
 
@@ -182,6 +192,7 @@ def main() -> None:
         "count_convention_total": round(sum(count_timings.values()), 3),
         "extra_queries": extra_timings,
         "extra_total": round(sum(extra_timings.values()), 3),
+        "msgbus_phases": msgbus_phases,
         "lakehouse_queries": lakehouse_timings,
         "lakehouse_total": round(sum(lakehouse_timings.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -200,6 +211,7 @@ def main() -> None:
     line_payload = dict(payload)
     line_payload["detail"] = "bench_detail.json"
     for droppable in (
+        "msgbus_phases",
         "queries_count_convention",
         "extra_queries",
         "lakehouse_queries",
@@ -212,6 +224,79 @@ def main() -> None:
         line_payload.pop(droppable, None)
     print(json.dumps(line_payload))
     spark.stop()
+
+
+def _bench_msgbus_phases(spark, sf_dir: str) -> dict[str, float]:
+    """Split msgbus_stream_events (the board's slowest extra) into its
+    phases — produce (executor-side segment writes), drain (streaming
+    read -> in-stream JSON decode -> parquet file sink), aggregate
+    (batch read-back) — so the next optimization targets the real
+    cost, not a guess. Mirrors the registry query exactly."""
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.sources import msgbus
+
+    out: dict[str, float] = {}
+    try:
+        msgbus.register(spark)
+        root = os.path.join("/root/repo/.scratch", "bench_msgbus_phases")
+        shutil.rmtree(root, ignore_errors=True)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        payload = ev.select(
+            F.col("user_id").cast("string").alias("k"),
+            F.to_json(
+                F.struct("event_id", "event_type", "value", "user_id")
+            ).alias("v"),
+            "ts",
+        )
+
+        t0 = time.perf_counter()
+        msgbus.produce_dataframe(
+            payload, root, "events", key_col="k", value_col="v",
+            ts_col="ts", partitions=4,
+        )
+        out["produce_s"] = round(time.perf_counter() - t0, 3)
+
+        drain_dir = os.path.join(root, "_drain_out")
+        ckpt_dir = os.path.join(root, "_drain_ckpt")
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.format("msgbus")
+            .option("path", root)
+            .option("topic", "events")
+            .load()
+            .select(
+                F.from_json(
+                    F.col("value").cast("string"),
+                    "event_id long, event_type string, value double, user_id long",
+                ).alias("j")
+            )
+            .select("j.*")
+            .writeStream.format("parquet")
+            .option("path", drain_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out["drain_s"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        spark.read.parquet(drain_dir).groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.countDistinct("user_id").alias("users"),
+        ).collect()
+        out["aggregate_s"] = round(time.perf_counter() - t0, 3)
+        for k, v in out.items():
+            print(f"# [msgbus-phase] {k}: {v:.3f}s", file=sys.stderr)
+        shutil.rmtree(root, ignore_errors=True)
+    except Exception as exc:  # the section never fails the bench
+        print(f"# msgbus phases failed: {exc}", file=sys.stderr)
+    return out
 
 
 def _bench_lakehouse(spark, sf_dir: str) -> dict[str, float]:

@@ -673,20 +673,18 @@ def iceberg_stream_source_read(spark, sf_dir):
         spark.readStream.format("iceberg_py_stream").option("path", table).load()
     )
     name = f"istream_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
+    # Aggregate INSIDE the stream: state lives in the (distributed)
+    # state store and the complete-mode memory table holds only the
+    # grouped rows — never the raw stream (a driver-OOM at scale).
+    agg = stream.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    back = spark.table(name)
-    return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total")
-    )
+    from python_plugins_spark.streaming.ops import run_to_memory_sink
+
+    return run_to_memory_sink(agg, name, output_mode="complete", state_partitions=8)
 
 
 @register(
@@ -736,24 +734,17 @@ def iceberg_stream_cdc_read(spark, sf_dir):
         .load()
     )
     name = f"icdc_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
+    # In-stream aggregation; the memory table holds one row per change
+    # type, not the raw change feed (see iceberg_stream_source_read).
+    agg = stream.groupBy("_change_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return (
-        spark.table(name)
-        .groupBy("_change_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
-        )
-    )
+    from python_plugins_spark.streaming.ops import run_to_memory_sink
+
+    return run_to_memory_sink(agg, name, output_mode="complete", state_partitions=8)
 
 
 @register(
@@ -850,21 +841,14 @@ def delta_cdc_stream_partitioned_read(spark, sf_dir):
         .load()
     )
     name = f"cdcp_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
+    # In-stream aggregation; memory table holds |types| x |priorities|
+    # grouped rows only (see iceberg_stream_source_read).
+    agg = stream.groupBy("_change_type", "o_orderpriority").agg(
+        F.count("*").alias("n")
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return (
-        spark.table(name)
-        .groupBy("_change_type", "o_orderpriority")
-        .agg(F.count("*").alias("n"))
-    )
+    from python_plugins_spark.streaming.ops import run_to_memory_sink
+
+    return run_to_memory_sink(agg, name, output_mode="complete", state_partitions=8)
 
 
 @register(
@@ -1393,7 +1377,6 @@ def msgbus_stream_events(spark, sf_dir):
     (sources/msgbus.py)."""
     import os
     import shutil
-    import uuid
 
     from python_plugins_spark.sources import msgbus
 
@@ -1415,14 +1398,30 @@ def msgbus_stream_events(spark, sf_dir):
         ts_col="ts", partitions=4,
     )
 
-    qname = f"msgbus_sink_{uuid.uuid4().hex[:8]}"
-    q = (
+    # Decode IN the stream and drain to a parquet file sink: rows land
+    # executor-side on storage, never in a driver memory table (the
+    # r5-flagged scale-killer). The exact-distinct aggregate then runs
+    # as a normal batch plan over the drained files (streaming can't
+    # express countDistinct).
+    drain_dir = os.path.join(root, "_drain_out")
+    ckpt_dir = os.path.join(root, "_drain_ckpt")
+    decoded_stream = (
         spark.readStream.format("msgbus")
         .option("path", root)
         .option("topic", "events")
         .load()
-        .writeStream.format("memory")
-        .queryName(qname)
+        .select(
+            F.from_json(
+                F.col("value").cast("string"),
+                "event_id long, event_type string, value double, user_id long",
+            ).alias("j")
+        )
+        .select("j.*")
+    )
+    q = (
+        decoded_stream.writeStream.format("parquet")
+        .option("path", drain_dir)
+        .option("checkpointLocation", ckpt_dir)
         .outputMode("append")
         .start()
     )
@@ -1430,13 +1429,7 @@ def msgbus_stream_events(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
-    wire = spark.table(qname)
-    decoded = wire.select(
-        F.from_json(
-            F.col("value").cast("string"),
-            "event_id long, event_type string, value double, user_id long",
-        ).alias("j")
-    ).select("j.*")
+    decoded = spark.read.parquet(drain_dir)
     return decoded.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(F.sum("value"), 4).alias("total_value"),

@@ -409,21 +409,15 @@ def delta_stream_source_read(spark, sf_dir):
 
     stream = spark.readStream.format("delta_py_stream").option("path", table).load()
     name = f"dstream_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
+    # Aggregate INSIDE the stream: the complete-mode memory table holds
+    # only |event_type| grouped rows, never the raw stream (a
+    # driver-OOM at scale).
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return (
-        spark.table(name)
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
-    )
+    from python_plugins_spark.streaming.ops import run_to_memory_sink
+
+    return run_to_memory_sink(agg, name, output_mode="complete", state_partitions=8)
 
 
 @register(
@@ -447,7 +441,6 @@ def delta_cdf_stream_read(spark, sf_dir):
     applying the feed, never re-scanning the table."""
     import os
     import shutil
-    import uuid
 
     from python_plugins_spark.sources import delta_stream
     from python_plugins_spark.sources.delta_py import delete_delta, write_delta
@@ -470,10 +463,16 @@ def delta_cdf_stream_read(spark, sf_dir):
         .option("readChangeFeed", "true")
         .load()
     )
-    name = f"cdcstream_{uuid.uuid4().hex[:8]}"
+    # Row-level contract (the query RETURNS the feed), so the drain
+    # goes to a parquet file sink — rows land executor-side on storage,
+    # not in a driver memory table.
+    drain_dir = os.path.join(f"{table}_drain", "out")
+    ckpt_dir = os.path.join(f"{table}_drain", "ckpt")
+    shutil.rmtree(f"{table}_drain", ignore_errors=True)
     q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
+        stream.writeStream.format("parquet")
+        .option("path", drain_dir)
+        .option("checkpointLocation", ckpt_dir)
         .outputMode("append")
         .start()
     )
@@ -481,7 +480,7 @@ def delta_cdf_stream_read(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name).select(
+    return spark.read.parquet(drain_dir).select(
         "o_orderkey", "o_orderstatus", "_change_type", "_commit_version"
     )
 
