@@ -1315,6 +1315,59 @@ def iceberg_upsert_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_upsert_partitioned",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 4 IN (1, 2) THEN 'X'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 4 IN (1, 2) THEN CAST(-1.0 AS DOUBLE)
+                ELSE round(o_totalprice, 4) END AS o_totalprice
+    FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+    """,
+)
+def iceberg_upsert_partitioned(spark, sf_dir):
+    """One-commit upsert into a PARTITIONED Iceberg table — the normal
+    case at scale (r5 verdict gap). The source rows all carry a NEW
+    partition value ('X'), so every matched key MOVES partitions: the
+    GLOBAL equality delete erases the old row in whatever partition it
+    lived, the new data files land under o_orderstatus=X with their
+    partition tuple in the manifest (pruning keeps working). Still no
+    table scan at write time — O(source) whatever the table size."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import (
+        read_iceberg,
+        upsert_iceberg,
+        write_iceberg,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        _SCRATCH, f"ice_upsp_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(
+        o.filter(F.col("o_orderkey") % 4 < 2), path,
+        mode="overwrite", partition_by="o_orderstatus",
+    )
+    src = (
+        o.filter((F.col("o_orderkey") % 4).isin(1, 2))
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", F.lit(-1.0))
+    )
+    upsert_iceberg(spark, path, src, on=["o_orderkey"])
+    back = read_iceberg(spark, path)
+    return back.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+    )
+
+
+@register(
     "iceberg_cdf_insert_delete",
     oracle="""
     SELECT o_orderkey, o_orderpriority, 'insert' AS _change_type,

@@ -1108,11 +1108,46 @@ def write_delta(
             ]
             if merge_schema:
                 if mode == "overwrite":
-                    raise ValueError(
-                        "overwriteSchema on column-mapping tables is not "
-                        "supported by this layer (documented subset)"
+                    # overwriteSchema under mapping: every old data
+                    # file is removed in this same commit, so the
+                    # replacement schema only needs protocol-valid
+                    # mapping metadata. Columns matching the old
+                    # schema by NAME AND TYPE keep their id/physical
+                    # name (stable identity across the overwrite);
+                    # everything else draws a FRESH id past
+                    # maxColumnId and a fresh physical name.
+                    old_by_name = {f.name: f for f in _tbl.fields}
+                    max_id = int(cfg.get(_CM_MAXID, len(_tbl.fields)))
+                    fields_md = []
+                    for f in df.schema.fields:
+                        old = old_by_name.get(f.name)
+                        md = dict(f.metadata or {})
+                        if (
+                            old is not None
+                            and old.dataType == f.dataType
+                            and _CM_PHYS in (old.metadata or {})
+                        ):
+                            md[_CM_ID] = old.metadata[_CM_ID]
+                            md[_CM_PHYS] = old.metadata[_CM_PHYS]
+                        else:
+                            max_id += 1
+                            md[_CM_ID] = max_id
+                            md[_CM_PHYS] = f"col-{uuid.uuid4().hex[:12]}"
+                        fields_md.append(
+                            T.StructField(f.name, f.dataType, f.nullable, md)
+                        )
+                    evolved_md = T.StructType(fields_md)
+                    cm_evolution = (
+                        _pre_state.meta["schemaString"],
+                        evolved_md,
+                        {**cfg, _CM_MAXID: str(max_id)},
                     )
-                evolved_logical = _evolve_schema(_tbl, df.schema, mode, True)
+                    cm_physical = [
+                        (f.name, f.metadata[_CM_PHYS]) for f in fields_md
+                    ]
+                    evolved_logical = None
+                else:
+                    evolved_logical = _evolve_schema(_tbl, df.schema, mode, True)
                 if evolved_logical is not None:
                     # new columns take FRESH physical names + ids —
                     # the protocol's add-column rule under mapping

@@ -1017,7 +1017,7 @@ def _commit_delete_snapshot(
         (
             os.path.relpath(manifest_path, path),
             os.path.getsize(manifest_path),
-            0,
+            meta.get("default-spec-id", 0),
             snapshot_id,
             len(entries),
             0,
@@ -2110,14 +2110,19 @@ def upsert_iceberg(
     files — which carry the fresh rows — are untouched. No table scan
     at write time: upsert cost is O(source), whatever the table size.
 
-    Unpartitioned tables only (the same boundary as the streaming
-    source). Returns the new snapshot id."""
+    Partitioned tables: the new data files are written under the
+    table's committed spec (identity AND hidden transforms) with their
+    partition tuples in the manifest, so partition pruning keeps
+    working; the equality-delete file is GLOBAL (no partition tuple —
+    the spec's unpartitioned-spec global delete), which is exactly what
+    makes a key that MOVES partitions correct: the delete erases the
+    old row wherever it lives, the new file carries the row in its new
+    partition. Returns the new snapshot id."""
     import pyarrow.parquet as pq
 
     base_version = current_metadata_version(path)
     meta = _load_metadata(path, base_version)
-    if meta["partition-specs"][0]["fields"]:
-        raise NotImplementedError("upsert_iceberg: unpartitioned tables only")
+    pspecs = _pspecs_from_meta(meta)
     schema = iceberg_schema_to_spark(_current_schema_node(meta))
     name_to_id = {f["name"]: f["id"] for f in _current_schema_node(meta)["fields"]}
     missing = [k for k in on if k not in source.columns]
@@ -2139,7 +2144,18 @@ def upsert_iceberg(
     source.select(*on).distinct().coalesce(1).write.mode("overwrite").parquet(
         os.path.join(staging, "del")
     )
-    source.write.mode("overwrite").parquet(os.path.join(staging, "data"))
+    # data files under the table's committed partition layout (hidden
+    # transforms derive the directory key; the source column stays in
+    # the data files — mirrors write_iceberg's staging walk)
+    out_df = source
+    for p_ in pspecs:
+        if p_["kind"] != "identity":
+            src_type = source.schema[p_["source"]].dataType
+            out_df = out_df.withColumn(p_["pname"], _transform_col(p_, src_type))
+    writer = out_df.write.mode("overwrite")
+    if pspecs:
+        writer = writer.partitionBy(*[p_["pname"] for p_ in pspecs])
+    writer.parquet(os.path.join(staging, "data"))
 
     for f in sorted(os.listdir(os.path.join(staging, "del"))):
         if not f.endswith(".parquet"):
@@ -2156,20 +2172,37 @@ def upsert_iceberg(
             (1, os.path.relpath(dst, path), "PARQUET", {}, n_rows, size,
              {}, {}, 2, eq_ids)
         )
-    data_schema = schema
-    for f in sorted(os.listdir(os.path.join(staging, "data"))):
-        if not f.endswith(".parquet"):
-            continue
-        src = os.path.join(staging, "data", f)
-        name = f"{uuid.uuid4().hex}.parquet"
-        dst = os.path.join(path, _DATA_DIR, name)
-        size = os.path.getsize(src)
-        n_rows, lower, upper = _file_column_bounds(src, data_schema)
-        os.replace(src, dst)
-        entries.append(
-            (1, os.path.relpath(dst, path), "PARQUET", {}, n_rows, size,
-             lower, upper, 0, [])
-        )
+    _dir_keys = {p_["pname"] for p_ in pspecs}
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in _dir_keys]
+    )
+    data_staging = os.path.join(staging, "data")
+    for root_, _dirs, fs in os.walk(data_staging):
+        for f in sorted(fs):
+            if not f.endswith(".parquet"):
+                continue
+            src = os.path.join(root_, f)
+            rel = os.path.relpath(root_, data_staging)
+            part: dict[str, str] = {}
+            if rel != ".":
+                for comp in rel.split(os.sep):
+                    k, _, v = comp.partition("=")
+                    part[k] = v
+            dst_dir = (
+                os.path.join(path, _DATA_DIR, rel)
+                if rel != "."
+                else os.path.join(path, _DATA_DIR)
+            )
+            os.makedirs(dst_dir, exist_ok=True)
+            name = f"{uuid.uuid4().hex}.parquet"
+            dst = os.path.join(dst_dir, name)
+            size = os.path.getsize(src)
+            n_rows, lower, upper = _file_column_bounds(src, data_schema)
+            os.replace(src, dst)
+            entries.append(
+                (1, os.path.relpath(dst, path), "PARQUET", part, n_rows,
+                 size, lower, upper, 0, [])
+            )
     shutil.rmtree(staging, ignore_errors=True)
     if not entries:
         return meta.get("current-snapshot-id")

@@ -1047,28 +1047,79 @@ def test_delta_column_mapping_rename_without_rewrite(spark):
     assert old.columns == ["id", "score"]
 
 
-def test_delta_column_mapping_guards(spark):
-    """Remaining documented subset after the round-4 lifts:
-    overwriteSchema on mapped tables refuses loudly; plain schema
-    mismatches stay clear errors."""
+def test_delta_column_mapping_overwrite_schema(spark):
+    """overwriteSchema on a MAPPED table (the last column-mapping
+    refusal, lifted round 6): the replacement schema re-issues mapping
+    ids — columns matching the old schema by name AND type keep their
+    id/physical name, new or retyped columns draw fresh ids past
+    maxColumnId — and the table stays fully usable (read, append,
+    rename, time travel) afterwards."""
+    import json
+
     import pytest
 
     import python_plugins_spark.sources.delta_py as dp
 
-    p = _fresh("cm_guards")
-    dp.write_delta(spark.range(20).selectExpr("id", "id AS v"), p, "overwrite")
+    p = _fresh("cm_ows")
+    dp.write_delta(spark.range(20).selectExpr("id", "id * 2.0 AS v"), p, "overwrite")
     dp.enable_column_mapping(p)
-    with pytest.raises(ValueError, match="overwriteSchema"):
-        dp.write_delta(
-            spark.range(3).selectExpr("id AS only"),
-            p, "overwrite", merge_schema=True,
-        )
-    # schema mismatch on a mapped table is a clear error, not corruption
+    dp.rename_column(p, "v", "score")
+    st0 = dp._replay_state(p)
+    old_schema = {
+        f["name"]: f["metadata"]
+        for f in json.loads(st0.meta["schemaString"])["fields"]
+    }
+    max_id0 = int(st0.meta["configuration"][dp._CM_MAXID])
+
+    # replacement schema: keep id (same name+type), DROP score, ADD tag
+    dp.write_delta(
+        spark.range(5).selectExpr("id", "concat('t', id) AS tag"),
+        p, "overwrite", merge_schema=True,
+    )
+    back = dp.read_delta(spark, p)
+    assert back.columns == ["id", "tag"]
+    assert back.count() == 5
+    assert back.filter("tag = 't3'").count() == 1
+
+    st1 = dp._replay_state(p)
+    new_schema = {
+        f["name"]: f["metadata"]
+        for f in json.loads(st1.meta["schemaString"])["fields"]
+    }
+    # retained column keeps its mapping identity
+    assert (
+        new_schema["id"][dp._CM_PHYS] == old_schema["id"][dp._CM_PHYS]
+        and new_schema["id"][dp._CM_ID] == old_schema["id"][dp._CM_ID]
+    )
+    # the new column drew a FRESH id past the old maxColumnId, and
+    # maxColumnId advanced with it
+    assert new_schema["tag"][dp._CM_ID] > max_id0
+    assert int(st1.meta["configuration"][dp._CM_MAXID]) >= new_schema["tag"][dp._CM_ID]
+
+    # the table stays a normal mapped table: append, rename, travel
+    dp.write_delta(
+        spark.range(5, 8).selectExpr("id", "concat('t', id) AS tag"), p, "append"
+    )
+    dp.rename_column(p, "tag", "label")
+    assert dp.read_delta(spark, p).filter("label = 't6'").count() == 1
+    assert dp.read_delta(spark, p).count() == 8
+
+    # a type change on a retained name re-issues a fresh id too
+    dp.write_delta(
+        spark.range(3).selectExpr("cast(id as string) AS id"),
+        p, "overwrite", merge_schema=True,
+    )
+    st2 = dp._replay_state(p)
+    id_md = {
+        f["name"]: f["metadata"]
+        for f in json.loads(st2.meta["schemaString"])["fields"]
+    }["id"]
+    assert id_md[dp._CM_ID] > new_schema["tag"][dp._CM_ID]
+    assert dp.read_delta(spark, p).collect()[0]["id"] in {"0", "1", "2"}
+
+    # schema mismatch on a mapped table is still a clear error
     with pytest.raises(dp.DeltaSchemaMismatchError):
         dp.write_delta(spark.range(3).selectExpr("id AS wrong"), p, "append")
-
-    # partitioned upgrades were lifted in round 4 — covered by
-    # test_delta_column_mapping_partitioned_table
 
 
 def test_delta_column_mapping_row_level_ops(spark):
@@ -1203,12 +1254,8 @@ def test_delta_column_mapping_schema_evolution(spark):
     r8 = dp.read_delta(spark, p).filter("id = 8").collect()[0]
     assert r8.w == 16.0 and r8.parity is None
 
-    # overwriteSchema on mapped tables stays refused
-    with pytest.raises(ValueError, match="overwriteSchema"):
-        dp.write_delta(
-            spark.range(3).selectExpr("id AS only"),
-            p, "overwrite", merge_schema=True,
-        )
+    # overwriteSchema on mapped tables was lifted in round 6 — covered
+    # by test_delta_column_mapping_overwrite_schema
     # unknown columns without merge_schema stay refused
     with pytest.raises(dp.DeltaSchemaMismatchError):
         dp.write_delta(
