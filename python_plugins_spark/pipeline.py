@@ -322,10 +322,32 @@ def run_pipeline(
             frames[name] = df
         elif stype == "transform.distinct":
             need(1)
-            fields = cfg.get("fields")
-            frames[name] = (
-                ins[0].dropDuplicates(fields) if fields
-                else ins[0].dropDuplicates()
+            from python_plugins_spark.operators.relational import distinct_rows
+
+            frames[name] = distinct_rows(ins[0], cfg.get("fields"))
+        elif stype == "transform.window":
+            # window-function stage: {partitionBy: [...], orderBy:
+            # ["expr [ASC|DESC]", ...], columns: {out_col: "rank()"}}
+            need(1)
+            from python_plugins_spark.operators.relational import window_apply
+
+            def _sort_expr(e: str):
+                s = e.strip()
+                # F.expr doesn't parse a trailing sort direction
+                if s.upper().endswith(" DESC"):
+                    return F.expr(s[: -len(" DESC")]).desc()
+                if s.upper().endswith(" ASC"):
+                    return F.expr(s[: -len(" ASC")]).asc()
+                return F.expr(s)
+
+            frames[name] = window_apply(
+                ins[0],
+                cfg.get("partitionBy") or [],
+                [_sort_expr(e) for e in (cfg.get("orderBy") or [])],
+                {
+                    k: F.expr(v)
+                    for k, v in (cfg.get("columns") or {}).items()
+                },
             )
         elif stype == "batchaggregator.deduplicate":
             # CDAP Deduplicate plugin shape: group on uniqueFields and
@@ -391,7 +413,9 @@ def run_pipeline(
             frames[name] = spark.sql(cfg["statement"])
         elif stype == "transform.filter":
             need(1)
-            frames[name] = ins[0].filter(F.expr(cfg["condition"]))
+            from python_plugins_spark.operators.relational import filter_rows
+
+            frames[name] = filter_rows(ins[0], cfg["condition"])
         elif stype == "batchjoiner":
             if len(ins) < 2:
                 raise PipelineSpecError(

@@ -782,3 +782,51 @@ def test_pipeline_normalize_stage(spark, sf_dir):
     assert set(r.attr for r in out.select("attr").distinct().collect()) == {
         "n_name", "n_regionkey"
     }
+
+
+def test_pipeline_window_stage(spark, sf_dir):
+    """transform.window (round-6, backed by relational.window_apply):
+    window-function columns from a JSON spec, composed with the
+    filter + distinct stages that now route through the relational
+    operator wrappers."""
+    from pyspark.sql import Window
+
+    spec = {
+        "stages": [
+            {"name": "src", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/orders.parquet"}},
+            {"name": "flt", "type": "transform.filter",
+             "config": {"condition": "o_orderstatus = 'O'"}},
+            {"name": "win", "type": "transform.window",
+             "config": {"partitionBy": ["o_custkey"],
+                        "orderBy": ["o_totalprice DESC", "o_orderkey"],
+                        "columns": {"rn": "row_number()",
+                                    "run_tot": "sum(o_totalprice)"}}},
+            {"name": "top", "type": "transform.filter",
+             "config": {"condition": "rn = 1"}},
+            {"name": "dst", "type": "transform.distinct",
+             "config": {"fields": ["o_custkey", "o_orderkey", "rn"]}},
+        ],
+        "connections": [
+            {"from": "src", "to": "flt"},
+            {"from": "flt", "to": "win"},
+            {"from": "win", "to": "top"},
+            {"from": "top", "to": "dst"},
+        ],
+    }
+    frames = run_pipeline(spark, spec)
+    got = {(r.o_custkey, r.o_orderkey) for r in frames["dst"].collect()}
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_orderstatus = 'O'"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    want = {
+        (r.o_custkey, r.o_orderkey)
+        for r in o.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == want and got
