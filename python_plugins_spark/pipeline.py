@@ -90,6 +90,9 @@ projection/filter/router/wrangler stages apply to a streaming frame):
 - ``streamingaggregator.windowed_groupby`` — eventTime,
   windowDuration, slide?, watermark?, groupByFields?, aggregates
   (same shape as batchaggregator); emits window_start/window_end
+- ``streamingtransform.stateful`` — operation (``running_agg`` |
+  ``max`` | ``topn``), keys, valueField, n?: keyed state held across
+  micro-batches (applyInPandasWithState / transformWithStateInPandas)
 - ``streamingsink.memory`` — queryName?, outputMode? (append),
   statePartitions?, drain? (default true: process all available input
   synchronously, stop, and bind the stage name to the RESULT TABLE as
@@ -527,6 +530,35 @@ def run_pipeline(
             frames[name] = ins[0].withWatermark(
                 cfg["eventTime"], cfg["delay"]
             )
+        elif stype == "streamingtransform.stateful":
+            # keyed-state stage (r5 verdict stretch): ported streaming
+            # pipelines hold per-key state without leaving the spec.
+            # operation: running_agg (applyInPandasWithState count+sum)
+            # | max | topn (transformWithStateInPandas ValueState) —
+            # the operators already exist in streaming/ops.py.
+            need(1)
+            _require_streaming(name, stype, ins[0])
+            from python_plugins_spark.streaming import ops as _sops
+
+            op = cfg.get("operation", "running_agg")
+            if op == "running_agg":
+                frames[name] = _sops.stateful_running_agg(
+                    ins[0], list(cfg["keys"]), cfg["valueField"]
+                )
+            elif op == "max":
+                (key,) = cfg["keys"]
+                frames[name] = _sops.stateful_max_tracker(
+                    ins[0], key, cfg["valueField"]
+                )
+            elif op == "topn":
+                (key,) = cfg["keys"]
+                frames[name] = _sops.stateful_topn_tracker(
+                    ins[0], key, cfg["valueField"], int(cfg.get("n", 3))
+                )
+            else:
+                raise PipelineSpecError(
+                    f"stage {name!r}: unknown stateful operation {op!r}"
+                )
         elif stype == "streamingaggregator.session_window":
             need(1)
             _require_streaming(name, stype, ins[0])

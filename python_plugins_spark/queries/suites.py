@@ -1036,6 +1036,59 @@ def pipeline_streaming_end_to_end(spark, sf_dir):
 
 
 @register(
+    "pipeline_stateful_running_total",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def pipeline_stateful_running_total(spark, sf_dir):
+    """Keyed state from a pipeline DOCUMENT (r5 verdict stretch): the
+    streamingtransform.stateful stage exposes the engine's custom
+    stateful operators (applyInPandasWithState running count+sum here)
+    to ported streaming pipelines — per-key state lives in the
+    (distributed) state store, the update-mode memory sink holds one
+    row per key per batch, and the LAST row per key equals the batch
+    aggregate the oracle computes."""
+    import uuid
+
+    from python_plugins_spark.pipeline import run_pipeline
+    from python_plugins_spark.sources.io import ensure_session_confs
+
+    ensure_session_confs(spark)
+    qname = f"pipe_state_{uuid.uuid4().hex[:8]}"
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "streamingsource.file",
+             "config": {"path": f"{sf_dir}/events.parquet"}},
+            {"name": "state", "type": "streamingtransform.stateful",
+             "config": {"operation": "running_agg",
+                        "keys": ["event_type"], "valueField": "value"}},
+            {"name": "sink", "type": "streamingsink.memory",
+             "config": {"queryName": qname, "outputMode": "update",
+                        "statePartitions": 8}},
+        ],
+        "connections": [
+            {"from": "src", "to": "state"},
+            {"from": "state", "to": "sink"},
+        ],
+    })
+    out = frames["sink"]
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("running_count").desc()
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("running_count").alias("n"),
+            F.round("running_sum", 4).alias("total_value"),
+        )
+    )
+
+
+@register(
     "tokenizer_fertility_by_lang",
     oracle="""
     WITH t AS (

@@ -830,3 +830,56 @@ def test_pipeline_window_stage(spark, sf_dir):
         .collect()
     }
     assert got == want and got
+
+
+def test_pipeline_stateful_stage(spark, sf_dir):
+    """streamingtransform.stateful (round-6): keyed state from a JSON
+    spec. running_agg totals must equal the batch aggregate; unknown
+    operations and batch inputs fail at the right layer."""
+    import uuid
+
+    import pytest
+
+    from python_plugins_spark.pipeline import PipelineSpecError
+
+    qname = f"t_state_{uuid.uuid4().hex[:8]}"
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "streamingsource.file",
+             "config": {"path": f"{sf_dir}/events.parquet"}},
+            {"name": "state", "type": "streamingtransform.stateful",
+             "config": {"operation": "running_agg",
+                        "keys": ["event_type"], "valueField": "value"}},
+            {"name": "sink", "type": "streamingsink.memory",
+             "config": {"queryName": qname, "outputMode": "update",
+                        "statePartitions": 4}},
+        ],
+        "connections": [
+            {"from": "src", "to": "state"},
+            {"from": "state", "to": "sink"},
+        ],
+    })
+    got = {
+        r.event_type: (r.running_count, round(r.running_sum, 4))
+        for r in frames["sink"].collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        r.event_type: (r.n, round(r.total, 4))
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
+
+    with pytest.raises(PipelineSpecError, match="unknown stateful"):
+        run_pipeline(spark, {
+            "stages": [
+                {"name": "src", "type": "streamingsource.file",
+                 "config": {"path": f"{sf_dir}/events.parquet"}},
+                {"name": "state", "type": "streamingtransform.stateful",
+                 "config": {"operation": "frobnicate", "keys": ["k"],
+                            "valueField": "v"}},
+            ],
+            "connections": [{"from": "src", "to": "state"}],
+        })
