@@ -830,3 +830,152 @@ def lsh_index_search_oracle_sql(
     )
     SELECT query_id, neighbor_id, cos_sim, rk FROM _r WHERE rk <= {k}
     """
+
+
+# ------------------------------------------------ distributed PCA
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str, dim: int
+) -> DataFrame:
+    """Sample covariance of an embedding column as (i, j, cov) rows
+    (1-based dims, matching engine list indexing).
+
+    The 100 TB shape of PCA's first half: ONE corpus pass accumulates
+    per-partition Gram matrices + dimension sums in numpy
+    (``mapInPandas``, Arrow-batched, float64), then the d^2-sized
+    partials — one row per task, never per input row — combine with a
+    tiny posexplode + sum. No N x d^2 explosion exists at any scale;
+    cost is O(N d^2 / tasks) compute and O(tasks x d^2) shuffle.
+
+    cov_ij = (G_ij - s_i s_j / n) / (n - 1), the same operation order
+    mirrored in the oracle SQL."""
+    out_schema = T.StructType(
+        [
+            T.StructField("g", T.ArrayType(T.DoubleType())),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def gram_partial(batches):
+        G = np.zeros((dim, dim))
+        s = np.zeros(dim)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            G += X.T @ X
+            s += X.sum(axis=0)
+            n += len(X)
+        if n:
+            yield pd.DataFrame(
+                {"g": [G.ravel().tolist()], "s": [s.tolist()], "n": [n]}
+            )
+
+    partials = df.select(vec_col).mapInPandas(gram_partial, out_schema)
+    # the combine runs over tasks x d^2 rows — trivial at any corpus
+    # size (tasks ~ thousands, d^2 ~ thousands)
+    gsum = (
+        partials.select(F.posexplode("g").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum("val").alias("g"))
+    )
+    ssum = (
+        partials.select(F.posexplode("s").alias("d", "val"))
+        .groupBy("d")
+        .agg(F.sum("val").alias("s"))
+    )
+    ntot = partials.agg(F.sum("n").alias("n"))
+    si = ssum.select((F.col("d") + 1).alias("i"), F.col("s").alias("si"))
+    sj = ssum.select((F.col("d") + 1).alias("j"), F.col("s").alias("sj"))
+    return (
+        gsum.select(
+            (F.expr(f"pos div {dim}") + 1).cast("int").alias("i"),
+            (F.col("pos") % dim + 1).cast("int").alias("j"),
+            "g",
+        )
+        .join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("g") - F.col("si") * F.col("sj") / F.col("n"))
+                / (F.col("n") - 1),
+                6,
+            ).alias("cov"),
+        )
+    )
+
+
+def embedding_covariance_oracle_sql(
+    table: str, vec_col: str, dim: int
+) -> str:
+    """DuckDB twin of :func:`embedding_covariance` — exact same
+    centered-Gram formula over 1-based list indexes."""
+    return f"""
+    WITH dims AS (SELECT i::INT AS i FROM range(1, {dim + 1}) t(i)),
+    stats AS (
+        SELECT di.i AS i, dj.i AS j,
+               sum({vec_col}[di.i]::DOUBLE * {vec_col}[dj.i]::DOUBLE) AS g,
+               sum({vec_col}[di.i]::DOUBLE) AS si,
+               sum({vec_col}[dj.i]::DOUBLE) AS sj,
+               count(*) AS n
+        FROM {table}, dims di, dims dj
+        GROUP BY 1, 2
+    )
+    SELECT i, j, round((g - si * sj / n) / (n - 1), 6) AS cov
+    FROM stats
+    """
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+) -> DataFrame:
+    """Project embeddings onto their top-k principal components —
+    whitening/compression ahead of clustering or SemDeDup.
+
+    Split exactly like production PCA at scale: the DISTRIBUTED pass
+    is the covariance (one corpus scan, see
+    :func:`embedding_covariance`); the eigendecomposition runs on the
+    d x d matrix — O(d^3) independent of corpus size — and the
+    components broadcast back into a second vectorized pass. Sign is
+    fixed per component (largest-|loading| entry positive) so the
+    output is deterministic across BLAS builds."""
+    cov_rows = embedding_covariance(df, vec_col, dim).collect()
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r["i"] - 1, r["j"] - 1] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)  # ascending eigenvalues
+    order = np.argsort(vals)[::-1][:k]
+    P = vecs[:, order]  # dim x k
+    for c in range(k):
+        pivot = np.argmax(np.abs(P[:, c]))
+        if P[pivot, c] < 0:
+            P[:, c] = -P[:, c]
+    explained = vals[order]
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("pc", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            Y = np.round(X @ P, 6)
+            yield pd.DataFrame({id_col: pdf[id_col], "pc": list(map(list, Y))})
+
+    out = df.select(id_col, vec_col).mapInPandas(project, out_schema)
+    out._pca_explained_variance = explained.tolist()  # test introspection
+    return out

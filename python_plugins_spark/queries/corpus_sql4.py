@@ -1403,4 +1403,37 @@ def nb_classify_docs(spark, sf_dir):
     return nb_train_score(train, test, label_col="lang")
 
 
+@register(
+    "embedding_covariance_matrix",
+    oracle=S.embedding_covariance_oracle_sql("embeddings", "embedding", 64),
+)
+def embedding_covariance_matrix(spark, sf_dir):
+    """Distributed covariance of the embedding corpus — PCA's heavy
+    half, in the shape that survives 100 TB: one Arrow-batched corpus
+    pass accumulates per-task numpy Gram matrices (float64), and only
+    tasks x d^2 partial rows ever shuffle (never N x d^2). Exact
+    DuckDB twin of the centered-Gram formula."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.embedding_covariance(emb, "embedding", 64)
+
+
+@register("embedding_pca_project")
+def embedding_pca_project(spark, sf_dir):
+    """Top-8 principal-component projection of the embeddings —
+    whitening/compression ahead of clustering or SemDeDup. The
+    distributed pass is the covariance (oracle-checked above); the
+    eigh runs on the 64x64 matrix (O(d^3), corpus-size independent)
+    and the sign-fixed components broadcast into a second vectorized
+    pass. No SQL oracle (eigendecomposition isn't SQL-expressible);
+    tests/test_operators.py pins orthonormality, variance ordering,
+    and agreement with direct numpy PCA."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = S.pca_project(emb, "vec_id", "embedding", dim=64, k=8)
+    return out.select(
+        "vec_id", F.round(F.element_at("pc", 1), 4).alias("pc1"),
+        F.round(F.element_at("pc", 2), 4).alias("pc2"),
+        F.md5(F.to_json(F.col("pc"))).alias("pc_md5"),
+    )
+
+
 # =====================================================================

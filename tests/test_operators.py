@@ -994,3 +994,45 @@ def test_hist_range_and_sketch_roundtrip(spark):
     vals = {r.g: r.est for r in est.collect()}
     # true medians ~499/500; bin width ~10 bounds the error
     assert abs(vals[0] - 499) < 12 and abs(vals[1] - 499) < 12
+
+
+def test_pca_project_matches_direct_numpy(spark, sf_dir):
+    """Distributed PCA == direct numpy PCA: the mapInPandas Gram pass
+    plus 64x64 eigh must reproduce single-machine PCA (same centered-
+    Gram formula, same sign fix), with descending explained variance
+    and orthonormal components."""
+    import numpy as np
+
+    from python_plugins_spark.operators.similarity import pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = 8
+    out = pca_project(emb, "vec_id", "embedding", dim=64, k=k)
+    rows = {r["vec_id"]: np.array(r["pc"]) for r in out.collect()}
+    assert len(rows) == emb.count()
+    assert all(len(v) == k for v in rows.values())
+
+    # direct numpy PCA on the same data, same formula + sign fix
+    pdf = emb.toPandas().sort_values("vec_id")
+    X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    n = len(X)
+    G, s = X.T @ X, X.sum(axis=0)
+    C = np.round((G - np.outer(s, s) / n) / (n - 1), 6)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    P = vecs[:, order]
+    for c in range(k):
+        piv = np.argmax(np.abs(P[:, c]))
+        if P[piv, c] < 0:
+            P[:, c] = -P[:, c]
+    want = np.round(X @ P, 6)
+    got = np.vstack([rows[v] for v in pdf["vec_id"]])
+    assert np.allclose(got, want, atol=1e-3)
+
+    # components orthonormal, explained variance descending
+    assert np.allclose(P.T @ P, np.eye(k), atol=1e-9)
+    ev = vals[order]
+    assert all(ev[i] >= ev[i + 1] for i in range(k - 1))
+    # projections actually carry that variance (sample, ddof=1)
+    proj_var = got.var(axis=0, ddof=1)
+    assert np.allclose(proj_var, ev, rtol=1e-3)
