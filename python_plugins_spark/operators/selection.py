@@ -26,7 +26,7 @@ contamination / quality-rule operators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from python_plugins_spark.functions import hash32, tokens
@@ -87,6 +87,45 @@ def dsir_log_weights(
             F.count("*").alias("n_tok"),
             F.round(F.sum("log_r"), 4).alias("log_w"),
         )
+    )
+
+
+def dsir_resample_topk(
+    docs: DataFrame,
+    target_cond,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+) -> DataFrame:
+    """DSIR's second half: importance RESAMPLING. Select ``k``
+    documents with probability proportional to their importance
+    weight ``w = exp(log_w)`` via the Efraimidis-Spirakis A-Res
+    scheme, derandomized with md5-derived uniforms — no RNG state, so
+    the same document set falls out of Spark, the SQL oracle, and any
+    rerun (the reproducibility a training-corpus freeze needs).
+
+    A-Res: each doc draws ``key = ln(u) / w`` with
+    ``u = (hash32(id) + 1) / (2^32 + 1)`` in (0, 1); the k LARGEST
+    keys win (equivalent to top-k of ``u^(1/w)``).
+
+    Scale: weights come from :func:`dsir_log_weights` (one corpus
+    pass + broadcast bucket models); selection is orderBy+limit —
+    Spark's TakeOrdered, a per-partition top-k then a k-row driver
+    merge, never a global sort."""
+    w = dsir_log_weights(docs, target_cond, text_col, id_col, buckets)
+    u = (hash32(F.col(id_col).cast("string")) + 1) / F.lit(4294967297.0)
+    keyed = w.select(
+        id_col,
+        "log_w",
+        (F.log(u) / F.exp(F.col("log_w"))).alias("res_key"),
+    )
+    topk = keyed.orderBy(F.col("res_key").desc(), F.col(id_col)).limit(k)
+    # rank attachment runs on the k surviving rows only
+    win = Window.orderBy(F.col("res_key").desc(), F.col(id_col))
+    return (
+        topk.withColumn("sel_rank", F.row_number().over(win))
+        .select(id_col, "log_w", "sel_rank")
     )
 
 

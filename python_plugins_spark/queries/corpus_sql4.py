@@ -1272,10 +1272,10 @@ def chi_square_independence(spark, sf_dir):
 # classifier) — SURVEY.md §2c LLM-pipeline ops, selection story
 # =====================================================================
 
-@register(
-    "dsir_log_weights_docs",
-    oracle=f"""
-    WITH tok AS (
+# Shared CTE chain for the DSIR pair: per-doc (doc_id, n_tok, log_w)
+# under the exact smoothing the Spark operator computes.
+_DSIR_PERDOC_CTES = f"""
+    tok AS (
         SELECT doc_id, (lang = 'en') AS is_target,
                {OF.sql_hash32('tok')} % 256 AS b
         FROM (
@@ -1298,10 +1298,20 @@ def chi_square_independence(spark, sf_dir):
              - ln((src.c_s + CAST(1.0 AS DOUBLE))
                   / CAST(totals.n_s + 256 AS DOUBLE)) AS log_r
         FROM src LEFT JOIN tgt ON src.b = tgt.b, totals
+    ),
+    perdoc AS (
+        SELECT tok.doc_id, count(*) AS n_tok, round(sum(log_r), 4) AS log_w
+        FROM tok JOIN ratio ON tok.b = ratio.b
+        GROUP BY tok.doc_id
     )
-    SELECT tok.doc_id, count(*) AS n_tok, round(sum(log_r), 4) AS log_w
-    FROM tok JOIN ratio ON tok.b = ratio.b
-    GROUP BY tok.doc_id
+"""
+
+
+@register(
+    "dsir_log_weights_docs",
+    oracle=f"""
+    WITH {_DSIR_PERDOC_CTES}
+    SELECT doc_id, n_tok, log_w FROM perdoc
     """,
 )
 def dsir_log_weights_docs(spark, sf_dir):
@@ -1317,6 +1327,38 @@ def dsir_log_weights_docs(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     return dsir_log_weights(docs, F.col("lang") == "en", buckets=256)
+
+
+@register(
+    "dsir_resample_docs",
+    oracle=f"""
+    WITH {_DSIR_PERDOC_CTES},
+    keyed AS (
+        SELECT doc_id, log_w,
+               ln(({OF.sql_hash32('CAST(doc_id AS VARCHAR)')} + 1)
+                  / CAST(4294967297 AS DOUBLE)) / exp(log_w) AS res_key
+        FROM perdoc
+    ),
+    ranked AS (
+        SELECT doc_id, log_w,
+               row_number() OVER (ORDER BY res_key DESC, doc_id) AS sel_rank
+        FROM keyed
+    )
+    SELECT doc_id, log_w, sel_rank FROM ranked WHERE sel_rank <= 100
+    """,
+)
+def dsir_resample_docs(spark, sf_dir):
+    """DSIR end-to-end: importance weights -> derandomized
+    Efraimidis-Spirakis resampling of the top 100 docs (probability
+    proportional to exp(log_w), uniforms derived from md5 so the
+    selected corpus is bit-reproducible across engines and reruns).
+    Selection is orderBy+limit — Spark's TakeOrdered (per-partition
+    top-k, k-row merge), never a global sort; the rank window runs on
+    the k survivors only."""
+    from python_plugins_spark.operators.selection import dsir_resample_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_resample_topk(docs, F.col("lang") == "en", k=100, buckets=256)
 
 
 @register(

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from python_plugins_spark.operators.selection import (
     dsir_log_weights,
+    dsir_resample_topk,
     nb_train_score,
 )
 
@@ -62,6 +63,43 @@ def test_dsir_null_text_dropped(spark):
     docs = _docs(spark, [(1, "en", "a b"), (2, "en", None)])
     ids = {r["doc_id"] for r in dsir_log_weights(docs, F.col("lang") == "en").collect()}
     assert ids == {1}
+
+
+def test_dsir_resample_matches_local_formula(spark):
+    """The derandomized A-Res selection must equal the same formula
+    computed locally: key = ln(u)/exp(log_w) with the md5-derived u,
+    top-k by key desc. Also: deterministic across runs, ranks 1..k."""
+    import hashlib
+
+    rows = [(i, "en", "alpha beta gamma") for i in range(30)]
+    rows += [(100 + i, "de", "eins zwei drei") for i in range(30)]
+    docs = _docs(spark, rows)
+    k = 10
+    out = dsir_resample_topk(docs, F.col("lang") == "en", k=k).collect()
+    assert sorted(r["sel_rank"] for r in out) == list(range(1, k + 1))
+
+    # local recomputation from the operator's own weights
+    w = {r["doc_id"]: r["log_w"] for r in
+         dsir_log_weights(docs, F.col("lang") == "en").collect()}
+
+    def key(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967297.0
+        return math.log(u) / math.exp(w[doc_id])
+
+    want = sorted(w, key=lambda d: (-key(d), d))[:k]
+    got = [r["doc_id"] for r in sorted(out, key=lambda r: r["sel_rank"])]
+    assert got == want
+
+    # determinism: a second run selects the identical set in order
+    again = dsir_resample_topk(docs, F.col("lang") == "en", k=k).collect()
+    assert sorted((r["doc_id"], r["sel_rank"]) for r in again) == sorted(
+        (r["doc_id"], r["sel_rank"]) for r in out
+    )
+
+    # bias: target-domain docs carry higher weights, so they dominate
+    target_share = sum(1 for d in got if d < 100) / k
+    assert target_share >= 0.8
 
 
 def test_nb_hand_computed_two_classes(spark):
