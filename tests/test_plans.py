@@ -603,3 +603,27 @@ def test_round4_corpus_ops_scale_safe(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan, f"{name}: {marker} in plan (Python in hot path)"
+
+
+def test_round6_selection_pca_plan_shapes(spark, sf_dir):
+    """Round-6 operators keep scale-correct shapes: no
+    CartesianProduct over table data anywhere; DSIR's per-token
+    ratio join broadcasts (the model table is <= buckets rows); the
+    resample top-k is TakeOrdered (per-partition top-k + k-row
+    merge), never a global sort of the corpus."""
+    from python_plugins_spark.plans import plan_str
+    from python_plugins_spark.queries import QUERIES
+
+    plans = {
+        name: plan_str(QUERIES[name](spark, sf_dir))
+        for name in (
+            "dsir_log_weights_docs",
+            "nb_classify_docs",
+            "dsir_resample_docs",
+            "embedding_covariance_matrix",
+        )
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, f"{name}: CartesianProduct"
+    assert "BroadcastHashJoin" in plans["dsir_log_weights_docs"]
+    assert "TakeOrdered" in plans["dsir_resample_docs"]
