@@ -1368,6 +1368,61 @@ def iceberg_upsert_partitioned(spark, sf_dir):
 
 
 @register(
+    "iceberg_rename_without_rewrite",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def iceberg_rename_without_rewrite(spark, sf_dir):
+    """Iceberg id-based column rename (round 6 — the format twin of
+    delta_column_mapping_rename): renaming o_orderstatus -> status is
+    a METADATA-ONLY commit (asserted on the data-file list); old files
+    resolve through the pinned write-name, appends after the rename
+    keep writing the stable physical name, and the read emits the new
+    logical schema. O(1) schema refactors on a 100 TB table
+    (sources/iceberg_py.py:rename_column_iceberg)."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import (
+        read_iceberg,
+        rename_column_iceberg,
+        write_iceberg,
+    )
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        _SCRATCH, f"ice_ren_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(o.filter(F.col("o_orderkey") % 2 == 0), path, "overwrite")
+    data_dir = os.path.join(path, "data")
+    files_before = sorted(
+        f for f in os.listdir(data_dir) if f.endswith(".parquet")
+    )
+    rename_column_iceberg(path, "o_orderstatus", "status")
+    assert sorted(
+        f for f in os.listdir(data_dir) if f.endswith(".parquet")
+    ) == files_before  # metadata-only: zero files rewritten
+    write_iceberg(
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .withColumnRenamed("o_orderstatus", "status"),
+        path, mode="append",
+    )
+    back = read_iceberg(spark, path)
+    return back.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@register(
     "iceberg_cdf_insert_delete",
     oracle="""
     SELECT o_orderkey, o_orderpriority, 'insert' AS _change_type,

@@ -480,6 +480,122 @@ def _load_metadata(path: str, version: int | None = None) -> dict:
         return json.load(fh)
 
 
+# --------------------------------- id-based column rename/drop
+#
+# Real Iceberg resolves data-file columns by FIELD ID stored in the
+# parquet metadata; this layer's files are written by Spark's plain
+# parquet writer (no field ids), so identity is carried the way the
+# spec's own name-mapping fallback (and Delta column mapping) carries
+# it: every field has a stable physical WRITE NAME — the name it was
+# created under — recorded as ``write-name`` on the schema field once
+# it diverges from the logical name. Rename and drop are then pure
+# metadata commits: no data file is touched, old files keep resolving
+# through the stable physical name, and a re-added column with a
+# previously-used name draws a FRESH physical name so it can never
+# resurrect dropped data.
+
+def _physical_name(fd: dict) -> str:
+    return fd.get("write-name", fd["name"])
+
+
+def _phys_map(node: dict) -> dict[str, str]:
+    """logical -> physical for the given schema node."""
+    return {fd["name"]: _physical_name(fd) for fd in node["fields"]}
+
+
+def _used_physical_names(meta: dict) -> set[str]:
+    """Every physical column name any schema version ever wrote —
+    the collision set for newly added fields."""
+    used: set[str] = set()
+    for sc in meta.get("schemas", []):
+        for fd in sc["fields"]:
+            used.add(_physical_name(fd))
+    return used
+
+
+def _commit_metadata_only(path: str, mutate, max_retries: int = 10) -> int:
+    """Publish a metadata-only change (schema rename/drop): load the
+    current metadata, apply ``mutate(meta) -> new_meta``, put-if-absent
+    the next version. No snapshot is added; the data tree is
+    untouched. Returns the new metadata version."""
+    for _ in range(max_retries):
+        cur = current_metadata_version(path)
+        meta = _load_metadata(path, cur)
+        new_meta = mutate(json.loads(json.dumps(meta)))
+        new_meta["last-updated-ms"] = int(time.time() * 1000)
+        version = (cur or 0) + 1
+        dst = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
+        if _put_if_absent(json.dumps(new_meta), dst):
+            _advance_hint(path, version)
+            return version
+    raise IcebergConcurrentWriteError(
+        f"metadata-only commit on {path} lost {max_retries} races; re-run"
+    )
+
+
+def _refuse_partition_source(meta: dict, name: str, op: str) -> None:
+    for p_ in _pspecs_from_meta(meta):
+        if p_["source"] == name:
+            raise ValueError(
+                f"{op}: {name!r} is a partition source column "
+                f"({p_['tstr']}); repartitioning is a rewrite, not a "
+                "metadata change"
+            )
+
+
+def rename_column_iceberg(path: str, old: str, new: str) -> int:
+    """Metadata-only column rename (spec: ids are identity, names are
+    labels). Old data files keep their on-disk column name; reads and
+    writes translate through the pinned ``write-name``. Refuses
+    partition source columns. Returns the new metadata version."""
+    meta = _load_metadata(path)
+    node = _current_schema_node(meta)
+    names = [fd["name"] for fd in node["fields"]]
+    if old not in names:
+        raise ValueError(f"rename_column_iceberg: no column {old!r}")
+    if new in names:
+        raise ValueError(f"rename_column_iceberg: {new!r} already exists")
+    _refuse_partition_source(meta, old, "rename_column_iceberg")
+
+    def mutate(m: dict) -> dict:
+        n = json.loads(json.dumps(_current_schema_node(m)))
+        for fd in n["fields"]:
+            if fd["name"] == old:
+                fd["write-name"] = _physical_name(fd)  # pin before rename
+                fd["name"] = new
+        n["schema-id"] = len(m["schemas"])
+        m["schemas"] = m["schemas"] + [n]
+        m["current-schema-id"] = n["schema-id"]
+        return m
+
+    return _commit_metadata_only(path, mutate)
+
+
+def drop_column_iceberg(path: str, name: str) -> int:
+    """Metadata-only column drop: the field leaves the schema, its
+    data stays in the files (ignored by reads) until a rewrite. A
+    later re-add of the same name gets a fresh id AND a fresh physical
+    name, so dropped values can never resurface. Returns the new
+    metadata version."""
+    meta = _load_metadata(path)
+    node = _current_schema_node(meta)
+    if name not in [fd["name"] for fd in node["fields"]]:
+        raise ValueError(f"drop_column_iceberg: no column {name!r}")
+    if len(node["fields"]) == 1:
+        raise ValueError("drop_column_iceberg: cannot drop the last column")
+    _refuse_partition_source(meta, name, "drop_column_iceberg")
+
+    def mutate(m: dict) -> dict:
+        n = json.loads(json.dumps(_current_schema_node(m)))
+        n["fields"] = [fd for fd in n["fields"] if fd["name"] != name]
+        n["schema-id"] = len(m["schemas"])
+        m["schemas"] = m["schemas"] + [n]
+        m["current-schema-id"] = n["schema-id"]
+        return m
+
+    return _commit_metadata_only(path, mutate)
+
+
 def table_snapshots(path: str) -> list[dict]:
     """[{snapshot-id, timestamp-ms, operation}] oldest-first."""
     meta = _load_metadata(path)
@@ -609,6 +725,7 @@ def write_iceberg(
                     )
                 next_id = max(f["id"] for f in cur_node["fields"]) + 1
                 new_fields = list(cur_node["fields"])
+                used_phys = _used_physical_names(meta)
                 for f in df.schema.fields:
                     if f.name not in ex_by_name:
                         ice = _spark_type_to_ice(f.dataType)
@@ -618,10 +735,15 @@ def write_iceberg(
                             )
                         # spec: new columns take FRESH field ids, ids
                         # of existing columns never change
-                        new_fields.append(
-                            {"id": next_id, "name": f.name,
-                             "required": False, "type": ice}
-                        )
+                        nf = {"id": next_id, "name": f.name,
+                              "required": False, "type": ice}
+                        if f.name in used_phys:
+                            # a dropped/renamed field once wrote this
+                            # column name — a fresh physical name keeps
+                            # old file data from resurfacing under the
+                            # new field id
+                            nf["write-name"] = f"c{next_id}_{f.name}"
+                        new_fields.append(nf)
                         next_id += 1
                 evolved_node = {
                     "type": "struct",
@@ -646,6 +768,19 @@ def write_iceberg(
     # ---- data files via Spark, staged then moved under data/
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     out_df = df
+    # renamed columns write under their stable PHYSICAL name (see the
+    # id-based rename block); partition sources can't be renamed, so
+    # the dir layout keys below are unaffected
+    commit_node = evolved_node if evolved_node is not None else (
+        _current_schema_node(meta) if meta is not None else None
+    )
+    phys = _phys_map(commit_node) if commit_node is not None else {}
+    if any(phys.get(c, c) != c for c in df.columns):
+        from pyspark.sql import functions as F
+
+        out_df = out_df.select(
+            *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
+        )
     for p_ in pspecs:
         if p_["kind"] != "identity":
             # hidden partitioning: the derived value keys the layout;
@@ -659,7 +794,11 @@ def write_iceberg(
 
     _dir_keys = {p_["pname"] for p_ in pspecs}
     data_schema = T.StructType(
-        [f for f in df.schema.fields if f.name not in _dir_keys]
+        [
+            T.StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
+            for f in df.schema.fields
+            if f.name not in _dir_keys
+        ]
     )
     entries = []
     for root, _dirs, files in os.walk(staging):
@@ -1103,6 +1242,14 @@ def equality_delete_iceberg(
     eq_ids = sorted(name_to_id[c] for c in keys_df.columns)
 
     staging = os.path.join(path, f".staging-eqdel-{uuid.uuid4().hex}")
+    # delete files store PHYSICAL column names (stable across renames)
+    phys = _phys_map(_current_schema_node(meta))
+    if any(phys.get(c, c) != c for c in keys_df.columns):
+        from pyspark.sql import functions as F
+
+        keys_df = keys_df.select(
+            *[F.col(c).alias(phys.get(c, c)) for c in keys_df.columns]
+        )
     keys_df.distinct().coalesce(1).write.mode("overwrite").parquet(staging)
     import pyarrow.parquet as pq
 
@@ -1210,6 +1357,8 @@ def plan_files(
         }
         for sp in (meta.get("partition-specs") or [])
     }
+    # manifest bounds are keyed by the files' PHYSICAL column names
+    phys = _phys_map(_current_schema_node(meta))
     out: list[dict] = []
     for ml in read_container(os.path.join(path, snap["manifest-list"])):
         manifest_rel = ml[0]
@@ -1237,17 +1386,19 @@ def plan_files(
                     if part[col] != str(v):
                         keep = False
                         break
-                elif col in lower and col in upper:
+                elif phys.get(col, col) in lower and phys.get(col, col) in upper:
+                    pc = phys.get(col, col)
                     vk = _cmp_key(v)
-                    if not (_cmp_key(_dec_bound(lower[col])) <= vk
-                            <= _cmp_key(_dec_bound(upper[col]))):
+                    if not (_cmp_key(_dec_bound(lower[pc])) <= vk
+                            <= _cmp_key(_dec_bound(upper[pc]))):
                         keep = False
                         break
             if keep:
                 for col, (lo, hi) in (ranges or {}).items():
-                    if col in lower and col in upper:
-                        f_lo = _cmp_key(_dec_bound(lower[col]))
-                        f_hi = _cmp_key(_dec_bound(upper[col]))
+                    pc = phys.get(col, col)
+                    if pc in lower and pc in upper:
+                        f_lo = _cmp_key(_dec_bound(lower[pc]))
+                        f_hi = _cmp_key(_dec_bound(upper[pc]))
                         if (hi is not None and f_lo > _cmp_key(hi)) or (
                             lo is not None and f_hi < _cmp_key(lo)
                         ):
@@ -1311,16 +1462,31 @@ def read_iceberg(
     for f in files:
         groups[f.get("spec_id", 0)].append(f)
 
+    # files store PHYSICAL column names (stable across renames); the
+    # scan reads them and aliases back to the current logical names
+    node = _current_schema_node(meta)
+    pairs = [(fd["name"], _physical_name(fd)) for fd in node["fields"]]
+    phys_schema = T.StructType(
+        [
+            T.StructField(pn, f.dataType, f.nullable)
+            for (ln, pn), f in zip(pairs, schema.fields)
+        ]
+    )
+
+    def _to_logical(scan):
+        if all(ln == pn for ln, pn in pairs):
+            return scan.select(*[ln for ln, _ in pairs])
+        return scan.select(*[F.col(pn).alias(ln) for ln, pn in pairs])
+
     def _build_scan(flist, fields):
         paths = [os.path.join(path, f["path"]) for f in flist]
         if fields and any(f["transform"] == "identity" for f in fields):
-            return (
+            return _to_logical(
                 spark.read.option("basePath", path)
-                .schema(schema)
+                .schema(phys_schema)
                 .parquet(*paths)
-                .select(*[f.name for f in schema.fields])
             )  # partitionBy writes the partition col last; restore order
-        return spark.read.schema(schema).parquet(*paths)
+        return _to_logical(spark.read.schema(phys_schema).parquet(*paths))
 
     delete_entries = plan_delete_files(path, snapshot_id)
     pos_dels = [d for d in delete_entries if d["content"] == 1]
@@ -1399,18 +1565,27 @@ def read_iceberg(
         # anti-join is an equi-join on the value columns with a
         # residual __snap < __dsnap filter.
         id_to_name = {f["id"]: f["name"] for f in _current_schema_node(meta)["fields"]}
+        # delete files store PHYSICAL names (stable across renames)
+        id_to_phys = {
+            f["id"]: _physical_name(f)
+            for f in _current_schema_node(meta)["fields"]
+        }
         by_cols: dict[tuple, list[dict]] = {}
         for d in eq_dels:
             key = tuple(sorted(d["equality_ids"]))
             by_cols.setdefault(key, []).append(d)
         for key, group in by_cols.items():
             cols = [id_to_name[i] for i in key]
+            phys_cols = [id_to_phys[i] for i in key]
             parts = []
             for d in group:
                 part = spark.read.parquet(os.path.join(path, d["path"]))
                 parts.append(
                     part.select(
-                        *[F.col(c).alias(f"__eq_{c}") for c in cols],
+                        *[
+                            F.col(pc).alias(f"__eq_{c}")
+                            for c, pc in zip(cols, phys_cols)
+                        ],
                         F.lit(d["snapshot_id"]).alias("__dsnap"),
                     )
                 )
@@ -1988,6 +2163,17 @@ def table_changes_iceberg(
     schema = iceberg_schema_to_spark(_current_schema_node(meta))
     cols = [f.name for f in schema.fields]
     id_to_name = {f["id"]: f["name"] for f in _current_schema_node(meta)["fields"]}
+    # files store PHYSICAL names; emit under current logical names
+    _node = _current_schema_node(meta)
+    pairs = [(fd["name"], _physical_name(fd)) for fd in _node["fields"]]
+    phys_schema = T.StructType(
+        [
+            T.StructField(pn, f.dataType, f.nullable)
+            for (ln, pn), f in zip(pairs, schema.fields)
+        ]
+    )
+    log_cols = [F.col(pn).alias(ln) for ln, pn in pairs]
+    id_to_phys = {fd["id"]: _physical_name(fd) for fd in _node["fields"]}
 
     def _entries(snapshot):
         out = []
@@ -2018,12 +2204,12 @@ def table_changes_iceberg(
         eq_new = [e for e in new_entries if e[8] == 2]
 
         if data_new:
-            scan = spark.read.schema(schema).parquet(
+            scan = spark.read.schema(phys_schema).parquet(
                 *[os.path.join(path, e[1]) for e in data_new]
             )
             frames.append(
                 scan.select(
-                    *cols,
+                    *log_cols,
                     F.lit("insert").alias("_change_type"),
                     F.lit(sid).alias("_commit_snapshot"),
                 )
@@ -2037,7 +2223,7 @@ def table_changes_iceberg(
             )
             # the deleted rows live in data files of EARLIER snapshots
             victims = [f["path"] for f in plan_files(path, sid)]
-            dscan = spark.read.schema(schema).parquet(
+            dscan = spark.read.schema(phys_schema).parquet(
                 *[os.path.join(path, p) for p in victims]
             ).withColumns(
                 {
@@ -2050,7 +2236,7 @@ def table_changes_iceberg(
             frames.append(
                 dscan.join(F.broadcast(pos_df), on=["__f", "__p"], how="leftsemi")
                 .select(
-                    *cols,
+                    *log_cols,
                     F.lit("delete").alias("_change_type"),
                     F.lit(sid).alias("_commit_snapshot"),
                 )
@@ -2061,21 +2247,26 @@ def table_changes_iceberg(
                 f["path"] for f in files if f["snapshot_id"] < sid
             ]
             if earlier:
-                dscan = spark.read.schema(schema).parquet(
+                dscan = spark.read.schema(phys_schema).parquet(
                     *[os.path.join(path, p) for p in earlier]
                 )
                 for e in eq_new:
                     eq_cols = [id_to_name[i] for i in e[9]]
+                    eq_phys = [id_to_phys[i] for i in e[9]]
                     keys = spark.read.parquet(os.path.join(path, e[1])).select(
-                        *[F.col(c).alias(f"__k_{c}") for c in eq_cols]
+                        *[
+                            F.col(pc).alias(f"__k_{c}")
+                            for c, pc in zip(eq_cols, eq_phys)
+                        ]
                     )
                     cond = [
-                        dscan[c] == F.col(f"__k_{c}") for c in eq_cols
+                        dscan[pc] == F.col(f"__k_{c}")
+                        for c, pc in zip(eq_cols, eq_phys)
                     ]
                     frames.append(
                         dscan.join(F.broadcast(keys), on=cond, how="leftsemi")
                         .select(
-                            *cols,
+                            *log_cols,
                             F.lit("delete").alias("_change_type"),
                             F.lit(sid).alias("_commit_snapshot"),
                         )
@@ -2139,15 +2330,25 @@ def upsert_iceberg(
     snapshot_id = (base_version or 0) + 1  # pinned to the PLANNED base
     entries = []
 
-    # equality-delete file: just the distinct source keys
+    # equality-delete file: just the distinct source keys (stored
+    # under PHYSICAL names, stable across renames)
+    from pyspark.sql import functions as F
+
+    phys = _phys_map(_current_schema_node(meta))
     staging = os.path.join(path, f".staging-ups-{uuid.uuid4().hex}")
-    source.select(*on).distinct().coalesce(1).write.mode("overwrite").parquet(
+    source.select(
+        *[F.col(c).alias(phys.get(c, c)) for c in on]
+    ).distinct().coalesce(1).write.mode("overwrite").parquet(
         os.path.join(staging, "del")
     )
     # data files under the table's committed partition layout (hidden
     # transforms derive the directory key; the source column stays in
     # the data files — mirrors write_iceberg's staging walk)
     out_df = source
+    if any(phys.get(c, c) != c for c in source.columns):
+        out_df = out_df.select(
+            *[F.col(c).alias(phys.get(c, c)) for c in source.columns]
+        )
     for p_ in pspecs:
         if p_["kind"] != "identity":
             src_type = source.schema[p_["source"]].dataType
@@ -2174,7 +2375,11 @@ def upsert_iceberg(
         )
     _dir_keys = {p_["pname"] for p_ in pspecs}
     data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in _dir_keys]
+        [
+            T.StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+            if f.name not in _dir_keys
+        ]
     )
     data_staging = os.path.join(staging, "data")
     for root_, _dirs, fs in os.walk(data_staging):

@@ -86,9 +86,17 @@ class IcebergStreamSource(DataSource):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, abs_path: str, pvals: dict | None = None):
+    def __init__(
+        self,
+        abs_path: str,
+        pvals: dict | None = None,
+        pmap: dict | None = None,
+    ):
         self.abs_path = abs_path
         self.pvals = pvals or {}
+        # logical -> physical column names (renamed columns keep their
+        # stable on-disk write-name; see iceberg_py's rename block)
+        self.pmap = pmap or {}
 
 
 class IcebergStreamReader(DataSourceStreamReader):
@@ -109,8 +117,16 @@ class IcebergStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         from .avro_py import read_container
-        from .iceberg_py import _load_metadata, _meta_dir
+        from .iceberg_py import (
+            _current_schema_node,
+            _load_metadata,
+            _meta_dir,
+            _phys_map,
+        )
 
+        pmap = _phys_map(_current_schema_node(_load_metadata(self.table_path)))
+        if all(ln == pn for ln, pn in pmap.items()):
+            pmap = {}
         parts: list[_FilePartition] = []
         for v in range(start["snapshot"] + 1, end["snapshot"] + 1):
             meta_file = os.path.join(_meta_dir(self.table_path), f"v{v}.metadata.json")
@@ -172,6 +188,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                         _FilePartition(
                             os.path.join(self.table_path, file_path),
                             dict(part or {}),
+                            pmap,
                         )
                     )
         return parts
@@ -185,7 +202,7 @@ class IcebergStreamReader(DataSourceStreamReader):
             if self.table_schema is not None
             else None
         )
-        if not partition.pvals and (
+        if not partition.pvals and not partition.pmap and (
             names is None or list(table.schema.names) == names
         ):
             for batch in table.to_batches():
@@ -213,13 +230,15 @@ class IcebergStreamReader(DataSourceStreamReader):
             if f.name in partition.pvals
         }
         none_col = [None] * table.num_rows
+        pmap = partition.pmap
         for r in range(table.num_rows):
             # columns absent from the file (added later by schema
-            # evolution) null-fill, matching the batch reader
+            # evolution) null-fill, matching the batch reader; renamed
+            # columns resolve through their stable physical name
             yield tuple(
                 consts[f.name]
                 if f.name in consts
-                else file_cols.get(f.name, none_col)[r]
+                else file_cols.get(pmap.get(f.name, f.name), none_col)[r]
                 for f in fields
             )
 
@@ -243,7 +262,7 @@ class _CdcPartition(InputPartition):
     """
 
     def __init__(self, kind, version, table_path, data_path=None,
-                 delete_path=None, eq_cols=None, pvals=None):
+                 delete_path=None, eq_cols=None, pvals=None, pmap=None):
         self.kind = kind
         self.version = version
         self.table_path = table_path
@@ -251,6 +270,8 @@ class _CdcPartition(InputPartition):
         self.delete_path = delete_path
         self.eq_cols = eq_cols or []
         self.pvals = pvals or {}
+        # logical -> physical column names (stable across renames)
+        self.pmap = pmap or {}
 
 
 class IcebergChangeFeedStreamReader(DataSourceStreamReader):
@@ -278,8 +299,17 @@ class IcebergChangeFeedStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         from .avro_py import read_container
-        from .iceberg_py import _load_metadata, _meta_dir, plan_files
+        from .iceberg_py import (
+            _current_schema_node,
+            _load_metadata,
+            _meta_dir,
+            _phys_map,
+            plan_files,
+        )
 
+        pmap = _phys_map(_current_schema_node(_load_metadata(self.table_path)))
+        if all(ln == pn for ln, pn in pmap.items()):
+            pmap = {}
         parts: list[_CdcPartition] = []
         for v in range(start["snapshot"] + 1, end["snapshot"] + 1):
             meta_file = os.path.join(_meta_dir(self.table_path), f"v{v}.metadata.json")
@@ -324,6 +354,7 @@ class IcebergChangeFeedStreamReader(DataSourceStreamReader):
                             "insert", v, self.table_path,
                             data_path=os.path.join(self.table_path, e[1]),
                             pvals=dict(e[3] or {}),
+                            pmap=pmap,
                         )
                     )
                 elif e[8] == 1:  # position delete file
@@ -331,6 +362,7 @@ class IcebergChangeFeedStreamReader(DataSourceStreamReader):
                         _CdcPartition(
                             "pos-delete", v, self.table_path,
                             delete_path=os.path.join(self.table_path, e[1]),
+                            pmap=pmap,
                         )
                     )
                 elif e[8] == 2:  # equality delete file
@@ -348,6 +380,7 @@ class IcebergChangeFeedStreamReader(DataSourceStreamReader):
                                     ),
                                     eq_cols=eq_cols,
                                     pvals=dict(f["partition"] or {}),
+                                    pmap=pmap,
                                 )
                             )
         return parts
@@ -373,6 +406,7 @@ class IcebergChangeFeedStreamReader(DataSourceStreamReader):
             schema exactly."""
             if fields is None or (
                 not pvals
+                and not partition.pmap
                 and list(table.schema.names) == [f.name for f in fields]
             ):
                 cols = [
@@ -401,7 +435,9 @@ class IcebergChangeFeedStreamReader(DataSourceStreamReader):
                 yield tuple(
                     consts[f.name]
                     if f.name in consts
-                    else file_cols.get(f.name, none_col)[r]
+                    else file_cols.get(
+                        partition.pmap.get(f.name, f.name), none_col
+                    )[r]
                     for f in fields
                 ) + (tag, partition.version)
 
@@ -438,7 +474,10 @@ class IcebergChangeFeedStreamReader(DataSourceStreamReader):
         # key columns may include the partition column, so match on
         # the fully reassembled rows
         keys = pq.read_table(partition.delete_path).to_pylist()
-        keyset = {tuple(k[c] for c in partition.eq_cols) for k in keys}
+        _pm = partition.pmap
+        keyset = {
+            tuple(k[_pm.get(c, c)] for c in partition.eq_cols) for k in keys
+        }
         table = pq.read_table(partition.data_path)
         if fields is not None:
             from .delta_stream import _pv_cast as _pvc
@@ -457,7 +496,7 @@ class IcebergChangeFeedStreamReader(DataSourceStreamReader):
             def cell(name, r):
                 if name in consts:
                     return consts[name]
-                return file_cols.get(name, none_col)[r]
+                return file_cols.get(_pm.get(name, name), none_col)[r]
 
             idx = [
                 r for r in range(table.num_rows)
@@ -472,7 +511,7 @@ class IcebergChangeFeedStreamReader(DataSourceStreamReader):
             cols = {n: table.column(i).to_pylist() for i, n in enumerate(names)}
             for r in range(table.num_rows):
                 if tuple(
-                    cols[c][r] for c in partition.eq_cols
+                    cols[_pm.get(c, c)][r] for c in partition.eq_cols
                 ) in keyset:
                     yield tuple(cols[n][r] for n in names) + (
                         tag, partition.version

@@ -1428,3 +1428,176 @@ def test_iceberg_branch_overwrite(spark):
     assert I.read_iceberg(spark, path).count() == 10  # main untouched
     hist = I.table_history_iceberg(path)
     assert hist[0]["operation"] == "overwrite" and not hist[0]["on_main"]
+
+
+def test_iceberg_rename_column_metadata_only(spark):
+    """Round-6: id-based column rename — a pure metadata commit. Old
+    data files keep their on-disk name and resolve through the pinned
+    write-name; appends after the rename keep writing the stable
+    physical name; bounds pruning and equality deletes keyed on the
+    renamed column work on both sides of the rename."""
+    import os
+
+    import pytest
+
+    from python_plugins_spark.sources.iceberg_py import (
+        equality_delete_iceberg,
+        plan_files,
+        read_iceberg,
+        rename_column_iceberg,
+        write_iceberg,
+    )
+
+    path = _fresh("ice_rencol")
+    df = spark.range(100).selectExpr("id", "cast(id * 2 as double) AS score")
+    write_iceberg(df.repartition(2), path, mode="overwrite")
+    files_before = {
+        f for f in os.listdir(os.path.join(path, "data"))
+        if f.endswith(".parquet")
+    }
+    # eq delete BEFORE the rename, keyed on the soon-renamed column
+    keys = spark.createDataFrame([(10.0,)], "score double")
+    equality_delete_iceberg(spark, path, keys)
+
+    rename_column_iceberg(path, "score", "quality")
+    back = read_iceberg(spark, path)
+    assert back.columns == ["id", "quality"]
+    assert back.count() == 99                      # id=5 eq-deleted
+    assert back.filter("quality = 10.0").count() == 0
+    assert back.filter("quality = 12.0").count() == 1
+    # rename + delete moved NO data files
+    files_after = {
+        f for f in os.listdir(os.path.join(path, "data"))
+        if f.endswith(".parquet") and "-eq-deletes" not in f
+    }
+    assert files_after == files_before
+
+    # append AFTER the rename: logical write schema, physical storage
+    write_iceberg(
+        spark.range(100, 110).selectExpr("id", "cast(id * 2 as double) AS quality"),
+        path, mode="append",
+    )
+    back = read_iceberg(spark, path)
+    assert back.count() == 109
+    assert back.filter("quality = 218.0").count() == 1
+    # the new file stores the ORIGINAL physical name
+    import pyarrow.parquet as pq
+
+    newest = [
+        f for f in os.listdir(os.path.join(path, "data"))
+        if f.endswith(".parquet") and f not in files_before
+        and "-eq-deletes" not in f
+    ]
+    assert newest
+    for f in newest:
+        assert "score" in pq.ParquetFile(
+            os.path.join(path, "data", f)
+        ).schema_arrow.names
+
+    # manifest bound pruning translates the renamed predicate column
+    pruned = plan_files(path, ranges={"quality": (200.0, None)})
+    assert 0 < len(pruned) < len(plan_files(path))
+
+    # eq delete AFTER the rename, keyed on the NEW logical name
+    equality_delete_iceberg(
+        spark, path, spark.createDataFrame([(12.0,)], "quality double")
+    )
+    assert read_iceberg(spark, path).filter("quality = 12.0").count() == 0
+
+    # partition source columns refuse
+    p2 = _fresh("ice_rencol_part")
+    write_iceberg(
+        spark.range(20).selectExpr("id", "cast(id % 2 as int) AS g"),
+        p2, mode="overwrite", partition_by="g",
+    )
+    with pytest.raises(ValueError, match="partition source"):
+        rename_column_iceberg(p2, "g", "grp")
+
+
+def test_iceberg_drop_and_readd_column(spark):
+    """Drop is metadata-only; re-adding the same name via merge_schema
+    gets a FRESH id and physical name, so dropped values never
+    resurface (old rows read null)."""
+    from python_plugins_spark.sources.iceberg_py import (
+        drop_column_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = _fresh("ice_dropcol")
+    write_iceberg(
+        spark.range(10).selectExpr("id", "cast(id as double) AS v"), path, "overwrite"
+    )
+    drop_column_iceberg(path, "v")
+    assert read_iceberg(spark, path).columns == ["id"]
+
+    # re-add 'v' — same name, new identity
+    write_iceberg(
+        spark.range(10, 13).selectExpr("id", "cast(id * 100 as double) AS v"),
+        path, mode="append", merge_schema=True,
+    )
+    back = read_iceberg(spark, path)
+    rows = {r.id: r.v for r in back.collect()}
+    assert rows[11] == 1100.0
+    assert all(rows[i] is None for i in range(10))  # NOT resurrected
+
+
+def test_iceberg_rename_cdc_and_stream(spark):
+    """CDC (batch + streaming) and the append stream resolve renamed
+    columns through the stable physical name and emit CURRENT logical
+    names."""
+    import uuid
+
+    from python_plugins_spark.sources import iceberg_stream
+    from python_plugins_spark.sources.iceberg_py import (
+        delete_iceberg,
+        read_iceberg,
+        rename_column_iceberg,
+        table_changes_iceberg,
+        write_iceberg,
+    )
+    from python_plugins_spark.sources.io import ensure_session_confs
+
+    ensure_session_confs(spark)
+    iceberg_stream.register(spark)
+    path = _fresh("ice_rencdc")
+    write_iceberg(
+        spark.range(20).selectExpr("id", "cast(id * 2 as double) AS score"), path, "overwrite"
+    )
+    rename_column_iceberg(path, "score", "quality")          # v2 (metadata)
+    write_iceberg(
+        spark.range(20, 30).selectExpr("id", "cast(id * 2 as double) AS quality"),
+        path, mode="append",                                  # v3
+    )
+    delete_iceberg(spark, path, "id % 7 = 0")                 # v4 (pos del)
+
+    cdc = table_changes_iceberg(spark, path, 1)
+    assert set(cdc.columns) == {"id", "quality", "_change_type", "_commit_snapshot"}
+    ins = {r.id: r.quality for r in cdc.filter("_change_type = 'insert'").collect()}
+    assert ins[5] == 10.0 and ins[25] == 50.0
+    dels = {r.id for r in cdc.filter("_change_type = 'delete'").collect()}
+    assert dels == {i for i in range(30) if i % 7 == 0}
+
+    # append stream after the rename (ignoreChanges skips the delete)
+    name = f"ren_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("iceberg_py_stream")
+        .option("path", path)
+        .option("ignoreChanges", "true")
+        .load()
+        .groupBy()
+        .agg(F.count("*").alias("n"), F.sum("quality").alias("s"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    row = spark.table(name).collect()[0]
+    assert row["n"] == 30 and row["s"] == sum(i * 2.0 for i in range(30))
+
+    # read_iceberg agrees (minus the deleted rows)
+    assert read_iceberg(spark, path).count() == 30 - 5
