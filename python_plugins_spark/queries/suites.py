@@ -1692,6 +1692,53 @@ def iceberg_hidden_partition_prune(spark, sf_dir):
 
 
 @register(
+    "delta_generated_columns",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS n, sum(fee_cents) AS fee
+    FROM (
+        SELECT o_orderstatus,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS fee_cents
+        FROM orders
+    ) GROUP BY o_orderstatus
+    """,
+)
+def delta_generated_columns(spark, sf_dir):
+    """Delta GENERATED COLUMNS (protocol feature, round 6 — closes the
+    last documented Delta boundary): fee_cents is declared generated
+    from o_totalprice; the second append OMITS it and the writer
+    computes it (enforcement of provided values rides the constraint
+    observation — zero extra scans). Exact integer math (floor + cast)
+    keeps both engines bit-identical."""
+    import os
+    import shutil
+
+    import python_plugins_spark.sources.delta_py as dp
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        _SCRATCH, f"delta_gen_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    half = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "fee_cents", F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    dp.write_delta(half, path, "overwrite")
+    dp.set_generated_column(
+        spark, path, "fee_cents", "CAST(floor(o_totalprice * 100) AS BIGINT)"
+    )
+    # the second writer doesn't know about the column — it's computed
+    dp.write_delta(
+        o.filter(F.col("o_orderkey") % 2 == 1), path, "append"
+    )
+    back = dp.read_delta(spark, path)
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n"), F.sum("fee_cents").alias("fee")
+    )
+
+
+@register(
     "delta_column_mapping_rename",
     oracle="""
     SELECT o_orderstatus AS status, count(*) AS n,

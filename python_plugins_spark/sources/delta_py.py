@@ -720,6 +720,77 @@ def add_check_constraint(
     )
 
 
+_GEN_EXPR = "delta.generationExpression"
+
+
+def table_generated_columns(table_path: str) -> dict[str, str]:
+    """Active generated columns: {column: sql_expr}."""
+    state = _replay_state(table_path)
+    schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
+    return {
+        f.name: (f.metadata or {})[_GEN_EXPR]
+        for f in schema.fields
+        if _GEN_EXPR in (f.metadata or {})
+    }
+
+
+def set_generated_column(
+    spark: SparkSession, table_path: str, col: str, expr: str,
+    max_retries: int = 10,
+) -> int:
+    """Declare ``col`` a GENERATED column (protocol "Generated
+    Columns": ``delta.generationExpression`` in the field metadata).
+    Existing rows are verified to already satisfy ``col <=> (expr)``
+    (one distributed aggregate); afterwards :func:`write_delta`
+    computes the column when a writer omits it and REJECTS a write
+    whose provided values disagree with the expression — the
+    protocol's writer obligation. Returns the committed version."""
+    def _validate() -> int:
+        v = table_version(table_path)
+        snap = read_delta(spark, table_path, version_as_of=v)
+        if col not in snap.columns:
+            raise KeyError(f"no column {col!r} in {table_path}")
+        bad = snap.filter(f"NOT (`{col}` <=> ({expr}))").count()
+        if bad:
+            raise DeltaConstraintViolationError(
+                f"cannot declare {col!r} generated: {bad} existing "
+                f"row(s) disagree with ({expr})"
+            )
+        return v
+
+    validated_version = _validate()
+    for _ in range(max_retries + 1):
+        if table_version(table_path) != validated_version:
+            validated_version = _validate()
+            continue
+        state = _replay_state(table_path)
+        schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
+        fields = []
+        for f in schema.fields:
+            if f.name == col:
+                md = dict(f.metadata or {})
+                md[_GEN_EXPR] = expr
+                f = T.StructField(f.name, f.dataType, f.nullable, md)
+            fields.append(f)
+        new_meta = dict(state.meta)
+        new_meta["schemaString"] = T.StructType(fields).json()
+        version = validated_version + 1
+        commit = os.path.join(_log_path(table_path), f"{version:020d}.json")
+        body = (
+            json.dumps(_commit_info(
+                "SET GENERATED", {"column": col, "expr": expr}
+            ))
+            + "\n"
+            + json.dumps({"metaData": new_meta})
+            + "\n"
+        )
+        if _put_if_absent(body, commit):
+            return version
+    raise DeltaConcurrentWriteError(
+        f"lost the commit race {max_retries + 1} times at {table_path}"
+    )
+
+
 def drop_check_constraint(
     table_path: str, name: str, max_retries: int = 10
 ) -> int:
@@ -1090,6 +1161,7 @@ def write_delta(
     # an existing table raises — repartitioning is a rewrite, not a
     # write mode)
     constraints: dict[str, str] = {}
+    gen_exprs: dict[str, tuple[str, T.DataType]] = {}
     cm_physical: list[tuple[str, str]] | None = None
     cm_evolution: tuple | None = None
     if table_version(table_path) >= 0:
@@ -1176,6 +1248,14 @@ def write_delta(
             for k, v in cfg.items()
             if k.startswith(_CONSTRAINT_PREFIX)
         }
+        _tbl_full = T.StructType.fromJson(
+            json.loads(_pre_state.meta["schemaString"])
+        )
+        gen_exprs = {
+            f.name: ((f.metadata or {})[_GEN_EXPR], f.dataType)
+            for f in _tbl_full.fields
+            if _GEN_EXPR in (f.metadata or {})
+        }
         if partition_by is None:
             partition_by = existing_parts or None
         elif list(partition_by) != list(existing_parts):
@@ -1200,8 +1280,35 @@ def write_delta(
     # CHECK-constraint enforcement rides the staging write as an
     # observation — violation counts come out of the SAME action that
     # writes the parquet, zero extra passes over the data.
+    # generated columns (protocol "Generated Columns"): compute the
+    # ones the writer omitted; values the writer DID provide must
+    # agree with the expression (checked below, riding the same
+    # observation as CHECK constraints — zero extra passes)
+    provided_gen: list[str] = []
+    if gen_exprs:
+        from pyspark.sql import functions as F
+
+        provided_gen = [c for c in gen_exprs if c in df.columns]
+        missing_gen = [c for c in gen_exprs if c not in df.columns]
+        for c in missing_gen:
+            e, dt = gen_exprs[c]
+            df = df.withColumn(c, F.expr(e).cast(dt))
+        if missing_gen:
+            tbl_names = [f.name for f in _tbl_full.fields]
+            if set(df.columns) == set(tbl_names):
+                df = df.select(*tbl_names)  # restore declared order
+
+    # predicate checks: CHECK constraints + provided generated values
+    checks: dict[str, tuple[str, str]] = {
+        n: (f"CHECK {n}", e) for n, e in constraints.items()
+    }
+    for c in provided_gen:
+        checks[f"__gen__{c}"] = (
+            f"generated column {c}",
+            f"`{c}` <=> ({gen_exprs[c][0]})",
+        )
     obs = None
-    if constraints:
+    if checks:
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
@@ -1209,8 +1316,8 @@ def write_delta(
         df = df.observe(
             obs,
             *[
-                F.sum(F.when(~F.expr(e), 1).otherwise(0)).alias(n)
-                for n, e in sorted(constraints.items())
+                F.sum(F.when(~F.expr(pred), 1).otherwise(0)).alias(n)
+                for n, (_d, pred) in sorted(checks.items())
             ],
         )
     enforce_schema = df.schema
@@ -1247,11 +1354,11 @@ def write_delta(
                 except FileNotFoundError:
                     pass
             details = ", ".join(
-                f"{n} ({constraints[n]}): {v} row(s)"
+                f"{checks[n][0]} ({checks[n][1]}): {v} row(s)"
                 for n, v in sorted(violated.items())
             )
             raise DeltaConstraintViolationError(
-                f"write violates CHECK constraint(s): {details}"
+                f"write violates table invariant(s): {details}"
             )
 
     for attempt in range(max_retries + 1):

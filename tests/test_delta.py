@@ -1406,3 +1406,60 @@ def test_delta_shallow_clone(spark, tmp_path):
         dp.shallow_clone(p2, str(tmp_path / "nope"))
     with pytest.raises(ValueError, match="already exists"):
         dp.shallow_clone(src, dst)
+
+
+def test_delta_generated_columns(spark):
+    """Protocol 'Generated Columns' (round 6 — closes the documented
+    boundary): set_generated_column validates existing rows, then
+    writers that OMIT the column get it computed, writers that provide
+    DISAGREEING values are rejected atomically, and agreeing values
+    pass. Enforcement rides the constraint observation (no extra
+    scan)."""
+    import pytest
+
+    import python_plugins_spark.sources.delta_py as dp
+
+    p = _fresh("gen_cols")
+    base = spark.range(10).selectExpr(
+        "id", "cast(id * 3 as double) AS amount",
+        "cast(floor(id * 3 * 100) as bigint) AS cents",
+    )
+    dp.write_delta(base, p, "overwrite")
+    dp.set_generated_column(
+        spark, p, "cents", "CAST(floor(amount * 100) AS BIGINT)"
+    )
+    assert dp.table_generated_columns(p) == {
+        "cents": "CAST(floor(amount * 100) AS BIGINT)"
+    }
+
+    # writer omits the generated column -> computed server-side
+    dp.write_delta(
+        spark.range(10, 15).selectExpr("id", "cast(id * 3 as double) AS amount"),
+        p, "append",
+    )
+    back = dp.read_delta(spark, p)
+    assert back.count() == 15
+    assert back.filter("cents != cast(floor(amount * 100) as bigint)").count() == 0
+
+    # provided values that AGREE pass
+    dp.write_delta(
+        spark.range(15, 17).selectExpr(
+            "id", "cast(id as double) AS amount",
+            "cast(floor(id * 100) as bigint) AS cents",
+        ),
+        p, "append",
+    )
+    # provided values that DISAGREE are rejected atomically
+    n_before = dp.read_delta(spark, p).count()
+    with pytest.raises(dp.DeltaConstraintViolationError, match="generated column"):
+        dp.write_delta(
+            spark.range(17, 19).selectExpr(
+                "id", "cast(id as double) AS amount", "cast(0 as bigint) AS cents"
+            ),
+            p, "append",
+        )
+    assert dp.read_delta(spark, p).count() == n_before
+
+    # declaring over rows that disagree refuses
+    with pytest.raises(dp.DeltaConstraintViolationError, match="disagree"):
+        dp.set_generated_column(spark, p, "amount", "cast(id AS DOUBLE)")
