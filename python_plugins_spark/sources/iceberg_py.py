@@ -928,6 +928,13 @@ def write_iceberg(
             "parent-snapshot-id": base_id,
             "timestamp-ms": now_ms,
             "manifest-list": os.path.relpath(ml_path, path),
+            # spec: snapshots record the schema they were written
+            # under; time travel reads resolve THIS schema
+            "schema-id": (
+                evolved_node["schema-id"]
+                if evolved_node is not None
+                else (meta or {}).get("current-schema-id", 0)
+            ),
             "summary": {
                 "operation": "append" if mode == "append" else "overwrite",
                 "added-data-files": str(len(entries)),
@@ -1171,6 +1178,7 @@ def _commit_delete_snapshot(
         "snapshot-id": snapshot_id,
         "timestamp-ms": now_ms,
         "manifest-list": os.path.relpath(ml_path, path),
+        "schema-id": meta.get("current-schema-id", 0),
         "summary": {
             "operation": "delete",
             "added-delete-files": str(len(entries)),
@@ -1446,7 +1454,24 @@ def read_iceberg(
         if snapshot_id is not None:
             raise ValueError("pass snapshot_id OR ref, not both")
         snapshot_id = resolve_ref(meta, ref)
-    schema = iceberg_schema_to_spark(_current_schema_node(meta))
+    # time travel reads under the SCHEMA THE SNAPSHOT RECORDED (spec:
+    # per-snapshot schema-id) — a rename after snapshot N must not
+    # relabel N's time-travel view; snapshots predating the stamp fall
+    # back to the current schema
+    _schema_node = _current_schema_node(meta)
+    if snapshot_id is not None:
+        _snap = next(
+            (s for s in meta.get("snapshots", [])
+             if s["snapshot-id"] == snapshot_id),
+            None,
+        )
+        if _snap is not None and "schema-id" in _snap:
+            _schema_node = next(
+                (sc for sc in meta.get("schemas", [])
+                 if sc.get("schema-id", 0) == _snap["schema-id"]),
+                _schema_node,
+            )
+    schema = iceberg_schema_to_spark(_schema_node)
     spec_fields_by_id = {
         sp.get("spec-id", 0): sp.get("fields") or []
         for sp in (meta.get("partition-specs") or [])
@@ -1463,8 +1488,8 @@ def read_iceberg(
         groups[f.get("spec_id", 0)].append(f)
 
     # files store PHYSICAL column names (stable across renames); the
-    # scan reads them and aliases back to the current logical names
-    node = _current_schema_node(meta)
+    # scan reads them and aliases back to the (snapshot's) logical names
+    node = _schema_node
     pairs = [(fd["name"], _physical_name(fd)) for fd in node["fields"]]
     phys_schema = T.StructType(
         [
@@ -1564,12 +1589,9 @@ def read_iceberg(
         # file is scanned natively and stamped with its snapshot; the
         # anti-join is an equi-join on the value columns with a
         # residual __snap < __dsnap filter.
-        id_to_name = {f["id"]: f["name"] for f in _current_schema_node(meta)["fields"]}
+        id_to_name = {f["id"]: f["name"] for f in node["fields"]}
         # delete files store PHYSICAL names (stable across renames)
-        id_to_phys = {
-            f["id"]: _physical_name(f)
-            for f in _current_schema_node(meta)["fields"]
-        }
+        id_to_phys = {f["id"]: _physical_name(f) for f in node["fields"]}
         by_cols: dict[tuple, list[dict]] = {}
         for d in eq_dels:
             key = tuple(sorted(d["equality_ids"]))
@@ -1857,6 +1879,7 @@ def rewrite_manifests(path: str) -> dict:
         "snapshot-id": snapshot_id,
         "timestamp-ms": now_ms,
         "manifest-list": os.path.relpath(ml_path, path),
+        "schema-id": meta.get("current-schema-id", 0),
         "summary": {
             "operation": "replace",
             "manifests-rewritten": str(len(mls)),

@@ -1504,6 +1504,13 @@ def test_iceberg_rename_column_metadata_only(spark):
     )
     assert read_iceberg(spark, path).filter("quality = 12.0").count() == 0
 
+    # time travel reads under the SNAPSHOT's schema (spec: snapshots
+    # record their schema-id): snapshot 1 predates the rename, so its
+    # view keeps the OLD column name and ALL 100 rows
+    old = read_iceberg(spark, path, snapshot_id=1)
+    assert old.columns == ["id", "score"]
+    assert old.count() == 100
+
     # partition source columns refuse
     p2 = _fresh("ice_rencol_part")
     write_iceberg(
