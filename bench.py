@@ -151,6 +151,13 @@ def main() -> None:
         "incremental_minhash_ingest",
         "iceberg_branch_wap",
         "pipeline_deduplicate_latest",
+        # round-6 operators
+        "dsir_log_weights_docs",
+        "nb_classify_docs",
+        "dsir_resample_docs",
+        "embedding_covariance_matrix",
+        "iceberg_rename_without_rewrite",
+        "delta_generated_columns",
     ]
     # Round-6: the two extras under cross-round adjudication run
     # median-of-3 like the headline (single-pass extras carry the same
