@@ -545,16 +545,27 @@ def run_pipeline(
                 frames[name] = _sops.stateful_running_agg(
                     ins[0], list(cfg["keys"]), cfg["valueField"]
                 )
-            elif op == "max":
-                (key,) = cfg["keys"]
-                frames[name] = _sops.stateful_max_tracker(
-                    ins[0], key, cfg["valueField"]
+            elif op in ("max", "topn"):
+                # transformWithStateInPandas keeps each state variable
+                # in its own column family — only the RocksDB provider
+                # supports that. Set it session-wide HERE (picked up
+                # when the downstream sink starts the query) so a spec
+                # user needn't know the engine internals; RocksDB is a
+                # strict upgrade for any later stateful query too.
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass",
+                    "org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider",
                 )
-            elif op == "topn":
                 (key,) = cfg["keys"]
-                frames[name] = _sops.stateful_topn_tracker(
-                    ins[0], key, cfg["valueField"], int(cfg.get("n", 3))
-                )
+                if op == "max":
+                    frames[name] = _sops.stateful_max_tracker(
+                        ins[0], key, cfg["valueField"]
+                    )
+                else:
+                    frames[name] = _sops.stateful_topn_tracker(
+                        ins[0], key, cfg["valueField"], int(cfg.get("n", 3))
+                    )
             else:
                 raise PipelineSpecError(
                     f"stage {name!r}: unknown stateful operation {op!r}"

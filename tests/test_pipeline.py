@@ -883,3 +883,35 @@ def test_pipeline_stateful_stage(spark, sf_dir):
             ],
             "connections": [{"from": "src", "to": "state"}],
         })
+
+
+def test_pipeline_stateful_max_operation(spark, sf_dir):
+    """operation=max routes through transformWithStateInPandas, which
+    needs the RocksDB state-store provider — the stage must arrange
+    that itself so a spec user doesn't have to know."""
+    import uuid
+
+    qname = f"t_smax_{uuid.uuid4().hex[:8]}"
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "streamingsource.file",
+             "config": {"path": f"{sf_dir}/events.parquet"}},
+            {"name": "state", "type": "streamingtransform.stateful",
+             "config": {"operation": "max",
+                        "keys": ["event_type"], "valueField": "value"}},
+            {"name": "sink", "type": "streamingsink.memory",
+             "config": {"queryName": qname, "outputMode": "update",
+                        "statePartitions": 4}},
+        ],
+        "connections": [
+            {"from": "src", "to": "state"},
+            {"from": "state", "to": "sink"},
+        ],
+    })
+    got = {r.event_type: r.max_value for r in frames["sink"].collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        r.event_type: r.m
+        for r in ev.groupBy("event_type").agg(F.max("value").alias("m")).collect()
+    }
+    assert got == want
