@@ -1368,6 +1368,49 @@ def iceberg_upsert_partitioned(spark, sf_dir):
 
 
 @register(
+    "iceberg_add_files_import",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def iceberg_add_files_import(spark, sf_dir):
+    """Zero-copy parquet import (Iceberg's add_files procedure, round
+    6): the raw orders.parquet registers into a governed table as ONE
+    append metadata commit — the data file is a hard link, no row is
+    read or rewritten, so a 100 TB parquet lake becomes an Iceberg
+    table for the cost of its footers. The read-back aggregate must
+    equal querying the raw file directly (the oracle does exactly
+    that)."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import (
+        add_files_iceberg,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    src_file = f"{sf_dir}/orders.parquet"
+    path = os.path.join(
+        _SCRATCH, f"ice_addf_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    write_iceberg(
+        spark.read.parquet(src_file).limit(0), path, mode="overwrite"
+    )
+    add_files_iceberg(path, [src_file])
+    back = read_iceberg(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@register(
     "iceberg_rename_without_rewrite",
     oracle="""
     SELECT o_orderstatus AS status, count(*) AS n,

@@ -1147,9 +1147,11 @@ def _commit_delete_snapshot(
     now_ms: int,
     entries: list[tuple],
     summary_extra: dict[str, str],
+    operation: str = "delete",
 ) -> int:
-    """Shared tail of a delete commit: write the manifest, extend the
-    manifest list, publish metadata json + version hint."""
+    """Shared tail of a manifest-appending commit (deletes, and
+    add_files imports via ``operation="append"``): write the manifest,
+    extend the manifest list, publish metadata json + version hint."""
     manifest_name = f"manifest-{snapshot_id}-{uuid.uuid4().hex}.avro"
     manifest_path = os.path.join(_meta_dir(path), manifest_name)
     write_container(manifest_path, _MANIFEST_ENTRY_NODE, entries)
@@ -1180,8 +1182,12 @@ def _commit_delete_snapshot(
         "manifest-list": os.path.relpath(ml_path, path),
         "schema-id": meta.get("current-schema-id", 0),
         "summary": {
-            "operation": "delete",
-            "added-delete-files": str(len(entries)),
+            "operation": operation,
+            (
+                "added-delete-files"
+                if operation == "delete"
+                else "added-data-files"
+            ): str(len(entries)),
             **summary_extra,
         },
     }
@@ -2308,6 +2314,83 @@ def table_changes_iceberg(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# ------------------------------------------------- add_files (import)
+
+def add_files_iceberg(path: str, files: list[str]) -> int:
+    """Zero-copy IMPORT of existing parquet files (Iceberg's
+    ``add_files`` procedure): each file hard-links into ``data/``
+    (copy fallback across filesystems), its footer statistics become
+    the manifest bounds, and ONE append snapshot publishes them — no
+    row is read or rewritten, so importing a 100 TB directory costs
+    metadata only. The migration on-ramp: existing parquet lakes
+    become governed tables without a rewrite.
+
+    Unpartitioned tables only (an imported file carries no partition
+    tuple). Every file's parquet schema must carry exactly the
+    table's (physical) column set. Returns the new snapshot id."""
+    import pyarrow.parquet as pq
+
+    base_version = current_metadata_version(path)
+    meta = _load_metadata(path, base_version)
+    if _pspecs_from_meta(meta):
+        raise NotImplementedError(
+            "add_files_iceberg: unpartitioned tables only (imported "
+            "files carry no partition tuple); write through "
+            "write_iceberg for partitioned layouts"
+        )
+    node = _current_schema_node(meta)
+    schema = iceberg_schema_to_spark(node)
+    phys = _phys_map(node)
+    phys_schema = T.StructType(
+        [
+            T.StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    want = set(phys_schema.fieldNames())
+    for src in files:
+        have = set(pq.ParquetFile(src).schema_arrow.names)
+        if have != want:
+            raise ValueError(
+                f"add_files_iceberg: {src} columns {sorted(have)} != "
+                f"table (physical) columns {sorted(want)}"
+            )
+
+    now_ms = int(time.time() * 1000)
+    snapshot_id = (base_version or 0) + 1
+    entries = []
+    staged: list[str] = []
+    try:
+        for src in files:
+            name = f"{uuid.uuid4().hex}-imported.parquet"
+            dst = os.path.join(path, _DATA_DIR, name)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)  # zero-copy claim of the bytes
+            except OSError:
+                shutil.copy2(src, dst)
+            staged.append(dst)
+            n_rows, lower, upper = _file_column_bounds(dst, phys_schema)
+            entries.append(
+                (1, os.path.relpath(dst, path), "PARQUET", {}, n_rows,
+                 os.path.getsize(dst), lower, upper, 0, [])
+            )
+    except BaseException:
+        for dst in staged:
+            try:
+                os.unlink(dst)
+            except FileNotFoundError:
+                pass
+        raise
+    if not entries:
+        return meta.get("current-snapshot-id")
+    return _commit_delete_snapshot(
+        path, meta, snapshot_id, now_ms, entries,
+        {"operation-detail": "add-files", "imported-files": str(len(files))},
+        operation="append",
+    )
 
 
 # ------------------------------------------------- upsert (CDC merge)

@@ -1608,3 +1608,68 @@ def test_iceberg_rename_cdc_and_stream(spark):
 
     # read_iceberg agrees (minus the deleted rows)
     assert read_iceberg(spark, path).count() == 30 - 5
+
+
+def test_iceberg_add_files_zero_copy_import(spark, sf_dir):
+    """add_files (round 6): register existing parquet files into the
+    table as ONE append metadata commit — no row rewritten (the data
+    file is a hard link to the source where the fs allows). Schema
+    mismatches and partitioned tables refuse; CDC and the streaming
+    reader see the import as a plain append."""
+    import os
+
+    import pytest
+
+    from python_plugins_spark.sources.iceberg_py import (
+        add_files_iceberg,
+        read_iceberg,
+        table_changes_iceberg,
+        table_snapshots,
+        write_iceberg,
+    )
+
+    src_file = f"{sf_dir}/nation.parquet"
+    want = spark.read.parquet(src_file)
+
+    path = _fresh("ice_addfiles")
+    write_iceberg(want.limit(0), path, mode="overwrite")   # empty table, snap 1
+    s = add_files_iceberg(path, [src_file])
+    assert s == 2 and len(table_snapshots(path)) == 2
+    back = read_iceberg(spark, path)
+    assert back.count() == want.count()
+    assert sorted(back.columns) == sorted(want.columns)
+    assert {r.n_name for r in back.collect()} == {r.n_name for r in want.collect()}
+
+    # zero-copy where possible: identical inode OR byte-identical copy
+    data_files = [
+        f for f in os.listdir(os.path.join(path, "data"))
+        if f.endswith("-imported.parquet")
+    ]
+    assert len(data_files) == 1
+    imported = os.path.join(path, "data", data_files[0])
+    same_inode = os.stat(imported).st_ino == os.stat(src_file).st_ino
+    same_bytes = (
+        open(imported, "rb").read() == open(src_file, "rb").read()
+    )
+    assert same_inode or same_bytes
+
+    # a second import appends again (files are re-registered freely)
+    add_files_iceberg(path, [src_file])
+    assert read_iceberg(spark, path).count() == 2 * want.count()
+
+    # CDC sees both imports as inserts
+    cdc = table_changes_iceberg(spark, path, 1)
+    assert cdc.filter("_change_type = 'insert'").count() == 2 * want.count()
+
+    # schema mismatch refuses
+    with pytest.raises(ValueError, match="columns"):
+        add_files_iceberg(path, [f"{sf_dir}/region.parquet"])
+
+    # partitioned tables refuse
+    p2 = _fresh("ice_addfiles_part")
+    write_iceberg(
+        spark.range(10).selectExpr("id", "cast(id % 2 as int) AS g"),
+        p2, mode="overwrite", partition_by="g",
+    )
+    with pytest.raises(NotImplementedError, match="unpartitioned"):
+        add_files_iceberg(p2, [src_file])
