@@ -98,6 +98,49 @@ def quality_score_oracle_sql(table: str, text_col: str, id_col: str) -> str:
     """
 
 
+def quality_percentile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-GROUP percentile rank of the quality score — the
+    threshold-free filtering shape (FineWeb-style): 'keep the top X%
+    of each domain' survives domains with wildly different absolute
+    score distributions, where one global cutoff would empty some
+    sources and keep junk from others. One window shuffle on the
+    group key; ties broken by id so the rank is deterministic and
+    engine-portable."""
+    from pyspark.sql import Window
+
+    q = quality_score(df, text_col, id_col)
+    j = df.select(id_col, group_col).join(q, id_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("quality").asc(), F.col(id_col).asc()
+    )
+    return j.select(
+        id_col,
+        group_col,
+        "quality",
+        F.round(F.percent_rank().over(w), 6).alias("q_pctile"),
+    )
+
+
+def quality_percentile_oracle_sql(
+    table: str, text_col: str, id_col: str, group_col: str
+) -> str:
+    q = quality_score_oracle_sql(table, text_col, id_col)
+    return f"""
+    WITH _q AS ({q})
+    SELECT d.{id_col}, d.{group_col}, _q.quality,
+           round(percent_rank() OVER (
+               PARTITION BY d.{group_col}
+               ORDER BY _q.quality ASC, d.{id_col} ASC
+           ), 6) AS q_pctile
+    FROM {table} d JOIN _q ON d.{id_col} = _q.{id_col}
+    """
+
+
 def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic language ID: CJK characters present -> 'zh'; otherwise
     the language whose stopword list scores the most token hits, ties

@@ -1459,6 +1459,23 @@ def embedding_covariance_matrix(spark, sf_dir):
     return S.embedding_covariance(emb, "embedding", 64)
 
 
+@register(
+    "quality_percentile_by_source",
+    oracle=TX.quality_percentile_oracle_sql(
+        "documents", "text", "doc_id", "source"
+    ),
+)
+def quality_percentile_by_source(spark, sf_dir):
+    """Per-domain quality percentile (the FineWeb-style threshold-free
+    filter): every document gets its percent_rank WITHIN its source,
+    so 'keep each domain's top X%' works across domains with wildly
+    different absolute score distributions. One window shuffle keyed
+    on source; deterministic tie-break on doc_id keeps both engines'
+    ranks identical."""
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.quality_percentile(docs, "text", "doc_id", "source")
+
+
 @register("embedding_pca_project")
 def embedding_pca_project(spark, sf_dir):
     """Top-8 principal-component projection of the embeddings —

@@ -1036,3 +1036,28 @@ def test_pca_project_matches_direct_numpy(spark, sf_dir):
     # projections actually carry that variance (sample, ddof=1)
     proj_var = got.var(axis=0, ddof=1)
     assert np.allclose(proj_var, ev, rtol=1e-3)
+
+
+def test_quality_percentile_by_group_semantics(spark, sf_dir):
+    """Per-group percentile: each source spans [0, 1], ranks are
+    monotone in the quality score within a group, and the top-X%
+    selection is domain-balanced (the operator's purpose)."""
+    from python_plugins_spark.operators.text import quality_percentile
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = quality_percentile(docs).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src) > 1
+    for src, rows in by_src.items():
+        ps = sorted(r["q_pctile"] for r in rows)
+        assert ps[0] == 0.0 and ps[-1] == 1.0
+        ordered = sorted(rows, key=lambda r: (r["quality"], r["doc_id"]))
+        ranks = [r["q_pctile"] for r in ordered]
+        assert ranks == sorted(ranks)  # monotone in (quality, id)
+    # top-20% cut keeps a proportional share of EVERY source
+    kept = [r for r in out if r["q_pctile"] >= 0.8]
+    for src, rows in by_src.items():
+        share = sum(1 for r in kept if r["source"] == src) / len(rows)
+        assert 0.1 <= share <= 0.3
