@@ -325,9 +325,22 @@ def run_pipeline(
             frames[name] = df
         elif stype == "transform.distinct":
             need(1)
-            from python_plugins_spark.operators.relational import distinct_rows
+            if cfg.get("withinWatermark"):
+                # streaming dedup with BOUNDED state: keys expire with
+                # the watermark instead of accumulating forever — the
+                # only scale-safe distinct on an unbounded stream. The
+                # input must already carry a watermark
+                # (transform.watermark upstream).
+                _require_streaming(name, stype, ins[0])
+                frames[name] = ins[0].dropDuplicatesWithinWatermark(
+                    cfg.get("fields")
+                )
+            else:
+                from python_plugins_spark.operators.relational import (
+                    distinct_rows,
+                )
 
-            frames[name] = distinct_rows(ins[0], cfg.get("fields"))
+                frames[name] = distinct_rows(ins[0], cfg.get("fields"))
         elif stype == "transform.window":
             # window-function stage: {partitionBy: [...], orderBy:
             # ["expr [ASC|DESC]", ...], columns: {out_col: "rank()"}}

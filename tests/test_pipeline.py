@@ -915,3 +915,38 @@ def test_pipeline_stateful_max_operation(spark, sf_dir):
         for r in ev.groupBy("event_type").agg(F.max("value").alias("m")).collect()
     }
     assert got == want
+
+
+def test_pipeline_distinct_within_watermark(spark, sf_dir):
+    """transform.distinct withinWatermark=true: streaming dedup with
+    BOUNDED state (keys expire with the watermark) — duplicates inside
+    the window collapse; batch semantics unchanged."""
+    import uuid
+
+    qname = f"t_wmdedup_{uuid.uuid4().hex[:8]}"
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "streamingsource.file",
+             "config": {"path": f"{sf_dir}/events.parquet"}},
+            {"name": "wm", "type": "transform.watermark",
+             "config": {"eventTime": "ts", "delay": "1 hour"}},
+            {"name": "dd", "type": "transform.distinct",
+             "config": {"fields": ["event_type", "user_id"],
+                        "withinWatermark": True}},
+            {"name": "sink", "type": "streamingsink.memory",
+             "config": {"queryName": qname, "outputMode": "append",
+                        "statePartitions": 4}},
+        ],
+        "connections": [
+            {"from": "src", "to": "wm"},
+            {"from": "wm", "to": "dd"},
+            {"from": "dd", "to": "sink"},
+        ],
+    })
+    got = frames["sink"].count()
+    distinct_pairs = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "user_id").distinct().count()
+    )
+    # whole table arrives within one watermark window -> exact dedup
+    assert got == distinct_pairs
