@@ -141,6 +141,103 @@ def quality_percentile_oracle_sql(
     """
 
 
+def quality_psi_drift(
+    df: DataFrame,
+    ref_cond,
+    cur_cond,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two corpus slices'
+    quality-score distributions — the standard drift monitor for a
+    continuously-ingesting pipeline ("did this crawl batch's quality
+    profile shift?"). Scores bin into ``bins`` equal-width buckets on
+    [0, 1]; counts take add-one smoothing so empty bins stay exact
+    (no epsilon constants to mirror); contrib = (p_ref - p_cur) *
+    ln(p_ref / p_cur) per bin, PSI = their sum.
+
+    Scale: one corpus scan computes scores + bins (pure expressions),
+    two tiny (<=bins rows) count aggregates broadcast back — the only
+    shuffle is the partial-agg count."""
+    q = quality_score(df, text_col, id_col)
+    tagged = (
+        df.select(id_col, ref_cond.alias("_ref"), cur_cond.alias("_cur"))
+        .join(q, id_col)
+        .withColumn(
+            "bin",
+            F.least(F.floor(F.col("quality") * bins), F.lit(bins - 1))
+            .cast("int"),
+        )
+    )
+    ref = tagged.filter("_ref").groupBy("bin").agg(F.count("*").alias("c_ref"))
+    cur = tagged.filter("_cur").groupBy("bin").agg(F.count("*").alias("c_cur"))
+    n = tagged.agg(
+        F.sum(F.col("_ref").cast("long")).alias("n_ref"),
+        F.sum(F.col("_cur").cast("long")).alias("n_cur"),
+    )
+    spark = df.sparkSession
+    grid = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    p_ref = (F.col("c_ref") + 1.0) / (F.col("n_ref") + F.lit(bins))
+    p_cur = (F.col("c_cur") + 1.0) / (F.col("n_cur") + F.lit(bins))
+    return (
+        grid.join(ref, "bin", "left")
+        .join(cur, "bin", "left")
+        .na.fill({"c_ref": 0, "c_cur": 0})
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bin",
+            F.round(p_ref, 6).alias("p_ref"),
+            F.round(p_cur, 6).alias("p_cur"),
+            F.round((p_ref - p_cur) * F.log(p_ref / p_cur), 6).alias(
+                "psi_contrib"
+            ),
+        )
+    )
+
+
+def quality_psi_drift_oracle_sql(
+    table: str,
+    ref_pred: str,
+    cur_pred: str,
+    text_col: str,
+    id_col: str,
+    bins: int = 10,
+) -> str:
+    q = quality_score_oracle_sql(table, text_col, id_col)
+    return f"""
+    WITH _q AS ({q}),
+    tagged AS (
+        SELECT d.{id_col}, ({ref_pred}) AS _ref, ({cur_pred}) AS _cur,
+               least(CAST(floor(_q.quality * {bins}) AS INT), {bins - 1}) AS bin
+        FROM {table} d JOIN _q ON d.{id_col} = _q.{id_col}
+    ),
+    ref AS (SELECT bin, count(*) AS c_ref FROM tagged WHERE _ref GROUP BY bin),
+    cur AS (SELECT bin, count(*) AS c_cur FROM tagged WHERE _cur GROUP BY bin),
+    n AS (
+        SELECT sum(CASE WHEN _ref THEN 1 ELSE 0 END) AS n_ref,
+               sum(CASE WHEN _cur THEN 1 ELSE 0 END) AS n_cur
+        FROM tagged
+    ),
+    grid AS (SELECT i::INT AS bin FROM range(0, {bins}) t(i))
+    SELECT grid.bin,
+           round((coalesce(ref.c_ref, 0) + CAST(1.0 AS DOUBLE))
+                 / (n.n_ref + {bins}), 6) AS p_ref,
+           round((coalesce(cur.c_cur, 0) + CAST(1.0 AS DOUBLE))
+                 / (n.n_cur + {bins}), 6) AS p_cur,
+           round(((coalesce(ref.c_ref, 0) + CAST(1.0 AS DOUBLE))
+                  / (n.n_ref + {bins})
+                - (coalesce(cur.c_cur, 0) + CAST(1.0 AS DOUBLE))
+                  / (n.n_cur + {bins}))
+               * ln(((coalesce(ref.c_ref, 0) + CAST(1.0 AS DOUBLE))
+                     / (n.n_ref + {bins}))
+                  / ((coalesce(cur.c_cur, 0) + CAST(1.0 AS DOUBLE))
+                     / (n.n_cur + {bins}))), 6) AS psi_contrib
+    FROM grid LEFT JOIN ref ON grid.bin = ref.bin
+              LEFT JOIN cur ON grid.bin = cur.bin, n
+    """
+
+
 def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic language ID: CJK characters present -> 'zh'; otherwise
     the language whose stopword list scores the most token hits, ties

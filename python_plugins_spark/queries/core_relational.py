@@ -989,6 +989,44 @@ def jaccard_similar_pairs(spark, sf_dir):
 
 
 @register(
+    "cross_corpus_decontam",
+    oracle=f"""
+    WITH pairs AS (
+        {D.ngram_jaccard_pairs_oracle_sql("documents", "text", "doc_id", 0.5)}
+    )
+    SELECT CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS train_id,
+           CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS bench_id,
+           jaccard
+    FROM pairs
+    WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
+    """,
+)
+def cross_corpus_decontam(spark, sf_dir):
+    """Benchmark decontamination at MinHash scale: docs with
+    doc_id % 10 == 0 stand in for the eval/benchmark set; a TRAIN doc
+    is contaminated when a verified near-dup edge (LSH candidates ->
+    exact Jaccard >= 0.5) connects it to a benchmark doc. Reuses the
+    memoized pair graph, so the whole decontamination costs one
+    band-bucket equi-join however large the corpus — the production
+    'drop paraphrased eval leaks from train' pass, complementing the
+    exact n-gram contamination_ngram_overlap."""
+    is_bench = lambda c: c % 10 == 0  # noqa: E731
+    e = _neardup_edges(spark, sf_dir)
+    return (
+        e.filter(is_bench(F.col("id_a")) != is_bench(F.col("id_b")))
+        .select(
+            F.when(is_bench(F.col("id_a")), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("train_id"),
+            F.when(is_bench(F.col("id_a")), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("bench_id"),
+            "jaccard",
+        )
+    )
+
+
+@register(
     "simhash_signatures",
     oracle=D.simhash_oracle_sql("documents", "text", "doc_id"),
 )

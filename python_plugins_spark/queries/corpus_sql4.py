@@ -1476,6 +1476,25 @@ def quality_percentile_by_source(spark, sf_dir):
     return TX.quality_percentile(docs, "text", "doc_id", "source")
 
 
+@register(
+    "quality_psi_drift_sources",
+    oracle=TX.quality_psi_drift_oracle_sql(
+        "documents", "d.source = 'src0'", "d.source <> 'src0'",
+        "text", "doc_id",
+    ),
+)
+def quality_psi_drift_sources(spark, sf_dir):
+    """Population Stability Index between src0's quality distribution
+    and the rest of the corpus — the drift monitor a continuously-
+    ingesting pipeline runs per batch ('did this crawl's quality
+    profile shift?'). One corpus scan, two <=10-row count tables;
+    add-one smoothing keeps empty bins exact on both engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    return TX.quality_psi_drift(
+        docs, F.col("source") == "src0", F.col("source") != "src0"
+    )
+
+
 @register("embedding_pca_project")
 def embedding_pca_project(spark, sf_dir):
     """Top-8 principal-component projection of the embeddings —

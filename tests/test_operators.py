@@ -1061,3 +1061,43 @@ def test_quality_percentile_by_group_semantics(spark, sf_dir):
     for src, rows in by_src.items():
         share = sum(1 for r in kept if r["source"] == src) / len(rows)
         assert 0.1 <= share <= 0.3
+
+
+def test_quality_psi_drift_invariants(spark, sf_dir):
+    """PSI semantics: identical slices -> PSI == 0 exactly; disjoint
+    slices -> non-negative contributions summing to a positive PSI;
+    smoothed probabilities sum to ~1 per side."""
+    from python_plugins_spark.operators.text import quality_psi_drift
+
+    docs = load_table(spark, "documents", sf_dir)
+    # identical slices: p_ref == p_cur in every bin -> contrib 0
+    same = quality_psi_drift(docs, F.lit(True), F.lit(True)).collect()
+    assert len(same) == 10
+    assert all(r["psi_contrib"] == 0.0 for r in same)
+    assert abs(sum(r["p_ref"] for r in same) - 1.0) < 1e-4
+
+    out = quality_psi_drift(
+        docs, F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1
+    ).collect()
+    psi = sum(r["psi_contrib"] for r in out)
+    assert psi >= 0.0  # PSI is a sum of (p-q)ln(p/q) >= 0 terms
+    assert all(r["psi_contrib"] >= -1e-9 for r in out)
+
+
+def test_cross_corpus_decontam_directionality(spark, sf_dir):
+    """Every emitted pair links one train doc to one benchmark doc,
+    never train-train or bench-bench, and each edge exists in the
+    verified near-dup graph."""
+    from python_plugins_spark.queries import QUERIES
+
+    rows = QUERIES["cross_corpus_decontam"](spark, sf_dir).collect()
+    assert rows  # planted near-dups cross the %10 split at this SF
+    for r in rows:
+        assert r["train_id"] % 10 != 0 and r["bench_id"] % 10 == 0
+        assert r["jaccard"] >= 0.5
+    edges = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in QUERIES["jaccard_similar_pairs"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert tuple(sorted((r["train_id"], r["bench_id"]))) in edges
