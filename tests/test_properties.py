@@ -255,7 +255,10 @@ _PY2_SNIPPETS = st.lists(
         'x = obj.attr[0].has_key(k)',
         'v = 0777 + 10L',
         'for i in xrange(3):\n    print i',
-        'try:\n    raise ValueError, "m"\nexcept ValueError, e:\n    x = str(e)',
+        # binds `msg`, NOT a name other snippets consume: composition
+        # order must never make a later numeric snippet read a string
+        # (hypothesis found ['...except...x = str(e)', 'n = long(x)'])
+        'try:\n    raise ValueError, "m"\nexcept ValueError, e:\n    msg = str(e)',
         'b = x <> 1',
         'n = long(x)',
     ]),
