@@ -48,9 +48,13 @@ def dsir_log_weights(
     [ln p_t(b(tok)) - ln p_s(b(tok))]`` with hashed-unigram buckets
     and add-one smoothing on both models.
 
-    Scale: token stream -> bucket id is a map; the two bucket tables
-    are at most ``buckets`` rows each, joined broadcast; the only
-    shuffle is the final per-document sum.
+    Scale: ONE corpus tokenization pass. The token stream folds
+    map-side into a per-(doc, bucket) count frame (≤ |docs| × buckets
+    rows, far smaller than the token stream); the bucket models, the
+    corpus totals, and the per-doc weights are all re-aggregations of
+    that frame, so the 100 TB text is scanned and exploded exactly
+    once. The bucket/ratio table is at most ``buckets`` rows and
+    broadcast; the only wide shuffle is the (doc, bucket) groupBy.
 
     Null-text documents contribute no tokens and are DROPPED from the
     output (``explode`` semantics) — a document with no content has no
@@ -62,30 +66,35 @@ def dsir_log_weights(
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).withColumn("b", hash32(F.col("tok")) % buckets)
 
-    src = tok.groupBy("b").agg(F.count("*").alias("c_s"))
-    tgt = tok.filter("_is_target").groupBy("b").agg(F.count("*").alias("c_t"))
-    totals = tok.agg(
-        F.count("*").alias("n_s"),
-        F.sum(F.col("_is_target").cast("long")).alias("n_t"),
+    # One pass over the token stream: per-(doc, bucket) counts. Every
+    # downstream quantity (bucket models, totals, per-doc sums) is a
+    # re-aggregation of this much smaller frame.
+    per_doc_bucket = tok.groupBy(id_col, "b").agg(
+        F.count("*").alias("n_bd"),
+        F.sum(F.col("_is_target").cast("long")).alias("t_bd"),
     )
-    ratio = (
-        src.join(tgt, "b", "left")
-        .na.fill({"c_t": 0})
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "b",
-            (
-                F.log((F.col("c_t") + 1.0) / (F.col("n_t") + F.lit(buckets)))
-                - F.log((F.col("c_s") + 1.0) / (F.col("n_s") + F.lit(buckets)))
-            ).alias("log_r"),
-        )
+    bucket = per_doc_bucket.groupBy("b").agg(
+        F.sum("n_bd").alias("c_s"), F.sum("t_bd").alias("c_t")
+    )
+    # Corpus totals fold in as an unbounded window over the ≤buckets-row
+    # bucket table — one lineage, so the ratio side is a single plan and
+    # AQE reuses the per-(doc, bucket) shuffle with the scoring side.
+    w_all = Window.partitionBy()
+    n_s = F.sum("c_s").over(w_all)
+    n_t = F.sum("c_t").over(w_all)
+    ratio = bucket.select(
+        "b",
+        (
+            F.log((F.col("c_t") + 1.0) / (n_t + F.lit(buckets)))
+            - F.log((F.col("c_s") + 1.0) / (n_s + F.lit(buckets)))
+        ).alias("log_r"),
     )
     return (
-        tok.join(F.broadcast(ratio), "b")
+        per_doc_bucket.join(F.broadcast(ratio), "b")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_tok"),
-            F.round(F.sum("log_r"), 4).alias("log_w"),
+            F.sum("n_bd").alias("n_tok"),
+            F.round(F.sum(F.col("n_bd") * F.col("log_r")), 4).alias("log_w"),
         )
     )
 
@@ -158,7 +167,11 @@ def nb_train_score(
     Scale: the model tables (vocab-sized counts, class constants) are
     the small side and broadcast; scoring is one equi-join on token
     plus a (doc, class) aggregate — classes are bounded, so the dense
-    (doc x class) frame is |test| x |classes|."""
+    (doc x class) frame is |test| x |classes|. Each corpus is
+    tokenized ONCE: the train stream folds into the (cls, tok) model
+    shuffle and the test stream into a per-(doc, tok) count shuffle,
+    and every consumer re-aggregates those frames (AQE reuses the
+    shared exchanges), so neither 100 TB text is scanned twice."""
     lbl = F.col(label_col)
     train_tok = train_docs.select(
         lbl.alias("cls"), F.explode(tokens(F.col(text_col))).alias("tok")
@@ -180,27 +193,36 @@ def nb_train_score(
         .select("cls", "ln_prior", F.log(F.col("c_c") + F.col("v")).alias("ln_denom"))
     )
 
-    test_tok = test_docs.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    # One pass over the test token stream: fold to per-(doc, token)
+    # counts first. Both downstream consumers (n_d, sparse) sit on the
+    # same (doc, tok) shuffle, so AQE reuses it and the 100 TB test
+    # text is tokenized exactly once.
+    tv = (
+        test_docs.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("n_t"))
     )
     vocab = c_tc.select("tok").distinct()
-    test_iv = test_tok.join(F.broadcast(vocab), "tok")
     # Left-join from the full test-id set so all-OOV / null-text docs
     # keep a row with n_d = 0 (score degenerates to the prior).
     n_d = (
         test_docs.select(id_col)
         .distinct()
         .join(
-            test_iv.groupBy(id_col).agg(F.count("*").alias("n_d")),
+            tv.join(F.broadcast(vocab), "tok")
+            .groupBy(id_col)
+            .agg(F.sum("n_t").alias("n_d")),
             id_col,
             "left",
         )
         .na.fill({"n_d": 0})
     )
     sparse = (
-        test_iv.join(F.broadcast(c_tc), "tok")
+        tv.join(F.broadcast(c_tc), "tok")
         .groupBy(id_col, "cls")
-        .agg(F.sum(F.log(F.col("c_tc") + 1.0)).alias("ln_hits"))
+        .agg(F.sum(F.col("n_t") * F.log(F.col("c_tc") + 1.0)).alias("ln_hits"))
     )
     dense = (
         n_d.crossJoin(F.broadcast(cls_const))
