@@ -51,11 +51,11 @@ def bfs_reachable_hops(spark, sf_dir):
     from a deterministic seed set (node % 50 == 0) over the event
     graph. Spark runs the textbook frontier loop — each hop is one
     src-keyed join + union; the final min-groupBy collapses duplicate
-    discoveries. Same co-location argument as PageRank: persist edges
-    partitioned by src and every hop's join is shuffle-free. The
-    oracle is a depth-bounded recursive CTE with set (UNION) semantics
-    so the walk stays polynomial. Lineage grows per hop — checkpoint
-    the frontier every few iterations in a deep traversal."""
+    discoveries. Same co-location story as PageRank: the edge list is
+    materialized once, partitioned by src, so each hop's heavy side
+    never re-shuffles; each hop's frontier is checkpointed so the
+    plan stays one hop deep. The oracle is a depth-bounded recursive
+    CTE with set (UNION) semantics so the walk stays polynomial."""
     ev = load_table(spark, "events", sf_dir)
     k = F.get_json_object("props", "$.k").cast("long")
     dst = (k * 7) % 150
@@ -64,6 +64,15 @@ def bfs_reachable_hops(spark, sf_dir):
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    # Materialize the invariant edge list ONCE, partitioned on the join
+    # key (each hop joins frontier.node == edges.src, so the heavy side
+    # never re-shuffles and the event scan happens exactly once instead
+    # of once per unrolled hop); the seed set derives from the
+    # materialized edges too. The frontier itself stays lazy: at a
+    # bounded depth its duplicated subtree is joins over the already-
+    # materialized edges, which is cheaper than a per-hop checkpoint;
+    # a DEEP traversal should checkpoint the frontier every few hops.
+    edges = edges.repartition("src").localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -340,8 +349,19 @@ def label_propagation_communities(spark, sf_dir):
     und = e0.select(
         F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
     ).distinct()
-    adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
-        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    # The adjacency list is the loop invariant: materialize it ONCE
+    # (pre-partitioned on the join key so every round's join reuses the
+    # layout) instead of re-deriving it from the event scan in all four
+    # rounds; localCheckpoint each round's labels so the lineage stays
+    # one-round deep (unrolled, the label frame appears twice per round
+    # and the plan grows geometrically). At a real 100 TB scale use
+    # checkpoint() to a reliable store so executor loss can't drop a
+    # round's blocks.
+    adj = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .union(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .repartition("nbr")
+        .localCheckpoint()
     )
     labels = adj.select("node").distinct().select("node", F.col("node").alias("lbl"))
     for _ in range(4):
@@ -350,9 +370,15 @@ def label_propagation_communities(spark, sf_dir):
             .groupBy("node")
             .agg(F.min("lbl").alias("mn"))
         )
-        labels = labels.join(nbr_min, "node", "left").select(
-            "node",
-            F.least(F.col("lbl"), F.coalesce(F.col("mn"), F.col("lbl"))).alias("lbl"),
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("mn"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
         )
     return labels.select("node", F.col("lbl").alias("community"))
 

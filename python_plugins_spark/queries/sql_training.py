@@ -615,10 +615,11 @@ def pagerank_events_graph(spark, sf_dir):
     graph derived from the event stream. Each iteration is one
     shuffle-join of the rank vector with the edge list plus a
     destination-keyed aggregate — the canonical iterative-dataflow
-    shape. At scale: the edge list is the invariant; persist it
-    partitioned by src so every iteration's join is co-located, and
-    checkpoint the rank vector every few iterations to truncate
-    lineage. Dangling-node mass leaks (no redistribution) — both
+    shape. The edge list is the invariant: it IS materialized once,
+    partitioned by src, so every iteration's join is co-located, and
+    the rank vector is checkpointed per iteration to truncate
+    lineage (at 100 TB, use a reliable checkpoint dir so executor
+    loss can't drop an iteration). Dangling-node mass leaks (no redistribution) — both
     engines implement the identical recurrence, oracle unrolled as
     chained CTEs."""
     d = 0.85
@@ -630,10 +631,18 @@ def pagerank_events_graph(spark, sf_dir):
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    # Materialize the loop invariants once: the edge list partitioned
+    # on src (every iteration's rank join is then co-located) and the
+    # node set; checkpoint the rank vector per iteration so the lineage
+    # is one iteration deep instead of re-deriving all prior rounds
+    # from the event scan (unrolled, nodes/edges appear in every round
+    # and the plan grows with the iteration count).
+    edges = edges.repartition("src").localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     n_nodes = nodes.count()
     deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
@@ -645,14 +654,16 @@ def pagerank_events_graph(spark, sf_dir):
             .groupBy("dst")
             .agg(F.sum(F.col("r") / F.col("outdeg")).alias("m"))
         )
-        ranks = nodes.join(
-            contrib, nodes.node == contrib.dst, "left"
-        ).select(
-            "node",
-            (
-                F.lit((1 - d) / n_nodes)
-                + F.lit(d) * F.coalesce(F.col("m"), F.lit(0.0))
-            ).alias("r"),
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - d) / n_nodes)
+                    + F.lit(d) * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint()
         )
     return ranks.select("node", F.round("r", 6).alias("pr"))
 
