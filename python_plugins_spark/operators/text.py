@@ -67,11 +67,10 @@ def text_stats_oracle_sql(table: str, text_col: str, id_col: str) -> str:
     """
 
 
-def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Composite quality score in [0,1]:
-    0.4 * min(n_tokens/100, 1) + 0.3 * (1 - punct_ratio)
-    + 0.3 * min(stopword_ratio * 5, 1).
-    The exact formula is the contract (mirrored in the oracle)."""
+def quality_expr(text_col: str):
+    """The composite quality score as a plain Column expression, so
+    callers can attach it to any projection in the SAME corpus pass —
+    no separate score frame, no self-join back on the id."""
     t = F.col(text_col)
     toks = tokens(t)
     n_tokens = F.size(toks).cast("double")
@@ -82,7 +81,15 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
         + F.lit(0.3) * F.least(sw_ratio * 5.0, F.lit(1.0))
     )
-    return df.select(F.col(id_col), F.round(score, 6).alias("quality"))
+    return F.round(score, 6)
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Composite quality score in [0,1]:
+    0.4 * min(n_tokens/100, 1) + 0.3 * (1 - punct_ratio)
+    + 0.3 * min(stopword_ratio * 5, 1).
+    The exact formula is the contract (mirrored in the oracle)."""
+    return df.select(F.col(id_col), quality_expr(text_col).alias("quality"))
 
 
 def quality_score_oracle_sql(table: str, text_col: str, id_col: str) -> str:
@@ -110,11 +117,13 @@ def quality_percentile(
     score distributions, where one global cutoff would empty some
     sources and keep junk from others. One window shuffle on the
     group key; ties broken by id so the rank is deterministic and
-    engine-portable."""
+    engine-portable. The score attaches as an expression in the same
+    projection — one corpus scan, no score-frame self-join."""
     from pyspark.sql import Window
 
-    q = quality_score(df, text_col, id_col)
-    j = df.select(id_col, group_col).join(q, id_col)
+    j = df.select(
+        id_col, group_col, quality_expr(text_col).alias("quality")
+    )
     w = Window.partitionBy(group_col).orderBy(
         F.col("quality").asc(), F.col(id_col).asc()
     )
@@ -157,32 +166,33 @@ def quality_psi_drift(
     (no epsilon constants to mirror); contrib = (p_ref - p_cur) *
     ln(p_ref / p_cur) per bin, PSI = their sum.
 
-    Scale: one corpus scan computes scores + bins (pure expressions),
-    two tiny (<=bins rows) count aggregates broadcast back — the only
-    shuffle is the partial-agg count."""
-    q = quality_score(df, text_col, id_col)
-    tagged = (
-        df.select(id_col, ref_cond.alias("_ref"), cur_cond.alias("_cur"))
-        .join(q, id_col)
-        .withColumn(
-            "bin",
-            F.least(F.floor(F.col("quality") * bins), F.lit(bins - 1))
-            .cast("int"),
-        )
+    Scale: ONE corpus scan — score and bin are expressions in the
+    same projection (no score-frame self-join), and a single groupBy
+    folds both slices' per-bin counts at once (conditional sums).
+    The slice totals re-aggregate the ≤bins-row count table, so the
+    heavy aggregate runs once and AQE reuses its shuffle."""
+    tagged = df.select(
+        F.col(id_col),
+        ref_cond.cast("long").alias("_ref"),
+        cur_cond.cast("long").alias("_cur"),
+        F.least(
+            F.floor(quality_expr(text_col) * bins), F.lit(bins - 1)
+        ).cast("int").alias("bin"),
     )
-    ref = tagged.filter("_ref").groupBy("bin").agg(F.count("*").alias("c_ref"))
-    cur = tagged.filter("_cur").groupBy("bin").agg(F.count("*").alias("c_cur"))
-    n = tagged.agg(
-        F.sum(F.col("_ref").cast("long")).alias("n_ref"),
-        F.sum(F.col("_cur").cast("long")).alias("n_cur"),
+    # one wide aggregate; the null-quality bin (if any) keeps its own
+    # group so the slice totals below still count every row
+    counts = tagged.groupBy("bin").agg(
+        F.sum("_ref").alias("c_ref"), F.sum("_cur").alias("c_cur")
+    )
+    n = counts.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
     )
     spark = df.sparkSession
     grid = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
     p_ref = (F.col("c_ref") + 1.0) / (F.col("n_ref") + F.lit(bins))
     p_cur = (F.col("c_cur") + 1.0) / (F.col("n_cur") + F.lit(bins))
     return (
-        grid.join(ref, "bin", "left")
-        .join(cur, "bin", "left")
+        grid.join(counts, "bin", "left")
         .na.fill({"c_ref": 0, "c_cur": 0})
         .crossJoin(F.broadcast(n))
         .select(

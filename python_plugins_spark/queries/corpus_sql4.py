@@ -468,9 +468,12 @@ def tfidf_cosine_pairs(spark, sf_dir):
     n_docs = docs.count()
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # df re-aggregates tf (its rows are already distinct (doc, term)
+    # pairs), so the corpus is tokenized once and AQE reuses tf's
+    # shuffle instead of a second explode + countDistinct pass.
     df_ = (
-        tok.groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df").between(2, 50))
     )
     w = tf.join(F.broadcast(df_), on="term").select(
