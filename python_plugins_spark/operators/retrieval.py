@@ -73,7 +73,10 @@ def bm25_topk(
     """
     tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # dl and df re-aggregate tf instead of re-tokenizing the corpus:
+    # one explode pass feeds everything, and tf's (id, term) shuffle is
+    # shared by all three consumers.
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     qterms = df_.orderBy(F.col("df").desc(), F.col("term").asc()).limit(n_query_terms)
     stats = dl.agg(
@@ -165,16 +168,20 @@ def semantic_dedup(
     ("an earlier similar vector exists") is a deterministic greedy
     scan in id order, expressible without recursion.
 
-    Scale: candidate pairs come from a self-equi-join on the bucket
-    key (shuffle on bucket, never crossJoin); the kept/dropped
-    decision is one aggregated anti-join back to the input. Bucket
-    skew at 100 TB is handled the same way as the LSH near-dup path
-    (more planes -> smaller buckets).
+    Scale: the bucket attaches as an expression in the vector
+    projection (no (id, bucket) frame joined back on the id);
+    candidate pairs come from a self-equi-join on the bucket key
+    (shuffle on bucket, never crossJoin); the kept/dropped decision
+    is one aggregated anti-join back to the input. Bucket skew at
+    100 TB is handled the same way as the LSH near-dup path (more
+    planes -> smaller buckets).
     """
-    buckets = lsh_buckets(emb, id_col, vec_col, n_planes=n_planes, seed=seed, dim=dim)
-    e = (
-        emb.join(buckets, on=id_col)
-        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket")
+    from python_plugins_spark.operators.similarity import lsh_bucket_expr
+
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket_expr(vec_col, n_planes, seed, dim).alias("bucket"),
     )
     a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
     bb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")

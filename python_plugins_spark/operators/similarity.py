@@ -416,11 +416,17 @@ def lsh_bucketed_neardup(
     LSH bucket (equi-join on the packed sign bits — one narrow
     shuffle), verified with exact cosine. Fewer planes -> bigger
     buckets -> higher recall, more verification work. ``dim`` is
-    required (forwarded to :func:`lsh_buckets`)."""
+    required (forwarded to :func:`lsh_bucket_expr`). The bucket
+    attaches as an expression in the vector projection itself — no
+    (id, bucket) frame joined back on the id, so the corpus is
+    scanned once per join side with zero pre-join shuffle."""
     from python_plugins_spark.functions import cosine_similarity
 
-    bucketed = lsh_buckets(df, id_col, vec_col, n_planes, seed, dim=dim)
-    withb = df.join(bucketed, on=id_col)
+    withb = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_expr(vec_col, n_planes, seed, dim).alias("bucket"),
+    )
     a = withb.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
     )
@@ -458,24 +464,19 @@ def lsh_bucketed_neardup_oracle_sql(
     """
 
 
-def lsh_buckets(
-    df: DataFrame,
-    id_col: str,
+def lsh_bucket_expr(
     vec_col: str,
     n_planes: int = 16,
     seed: int = 42,
     dim: int | None = None,
-) -> DataFrame:
-    """Random-hyperplane signature: bit i = sign(v . plane_i). Returns
-    (id, bucket) where bucket packs the sign bits — vectors in the same
-    bucket are ANN candidates. Planes are seeded-deterministic and
-    shipped as literals (no closure capture). ``dim`` (the embedding
-    dimension) is REQUIRED: inferring it would need a ``df.first()``
-    probe, i.e. a silent driver-side Spark job inside what callers
-    reasonably treat as pure plan construction."""
+):
+    """The packed random-hyperplane signature as a Column expression,
+    so callers can attach the bucket in the SAME projection as the
+    vector — no separate (id, bucket) frame and no self-join back on
+    the id. ``dim`` is REQUIRED (see :func:`lsh_buckets`)."""
     if dim is None:
         raise TypeError(
-            "lsh_buckets requires dim= (the embedding dimension); "
+            "lsh_bucket_expr requires dim= (the embedding dimension); "
             "inferring it would run a driver-side action during plan "
             "construction"
         )
@@ -498,7 +499,28 @@ def lsh_buckets(
         bits.append(
             f"(CASE WHEN {dot} >= 0 THEN {1 << i}L ELSE 0L END)"
         )
-    return df.select(F.col(id_col), F.expr(" + ".join(bits)).alias("bucket"))
+    return F.expr(" + ".join(bits))
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane signature: bit i = sign(v . plane_i). Returns
+    (id, bucket) where bucket packs the sign bits — vectors in the same
+    bucket are ANN candidates. Planes are seeded-deterministic and
+    shipped as literals (no closure capture). ``dim`` (the embedding
+    dimension) is REQUIRED: inferring it would need a ``df.first()``
+    probe, i.e. a silent driver-side Spark job inside what callers
+    reasonably treat as pure plan construction."""
+    return df.select(
+        F.col(id_col),
+        lsh_bucket_expr(vec_col, n_planes, seed, dim).alias("bucket"),
+    )
 
 
 # ------------------------------------------- product quantization (PQ)
