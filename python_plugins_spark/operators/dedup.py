@@ -394,17 +394,23 @@ def ngram_containment_pairs(
         F.col(id_col),
         F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle)).alias("s"),
     ).filter(F.size("s") > 0)
+    # The shingle-set projection feeds the inverted index, the prefix
+    # ranking, and both verify sides — persist it so the corpus is
+    # tokenized/shingled once (MEMORY_AND_DISK, spills rather than
+    # recomputes at 100 TB).
+    sh = sh.persist()
     if candidates is None:
-        tok = sh.select(F.col(id_col), F.explode("s").alias("g"))
+        # n_sh rides through the explode as size(s) — no second
+        # per-doc window pass just to count shingles
+        tok = sh.select(
+            F.col(id_col), F.size("s").alias("n_sh"), F.explode("s").alias("g")
+        )
         gdf = tok.groupBy("g").agg(F.count("*").alias("g_df"))
         from pyspark.sql import Window
 
         w_doc = Window.partitionBy(id_col).orderBy("g_df", "g")
-        w_cnt = Window.partitionBy(id_col)
-        ranked = (
-            tok.join(gdf, on="g")
-            .withColumn("rn", F.row_number().over(w_doc))
-            .withColumn("n_sh", F.count("*").over(w_cnt))
+        ranked = tok.join(gdf, on="g").withColumn(
+            "rn", F.row_number().over(w_doc)
         )
         # exact integer bound |A| - ceil(t*|A|) + 1: float floor((1-t)*n)
         # under-counts when 1-t rounds down (e.g. t=0.8 -> 0.19999...),
@@ -702,6 +708,7 @@ def repeated_ngram_spans(
     id_col: str,
     n: int = 10,
     min_dups: int = 2,
+    tok: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal repeated-substring spans, the scalable relational
     formulation of suffix-array substring dedup (the public
@@ -733,12 +740,18 @@ def repeated_ngram_spans(
     suffix-array original: spans shorter than ``n`` tokens are not
     detected; every repeated span >= n tokens is found exactly (no
     probabilistic step — hash collisions aside, md5-32 over a corpus
-    keeps them negligible and only ever ADD a span)."""
+    keeps them negligible and only ever ADD a span).
+
+    ``tok`` optionally supplies a pre-exploded (and ideally persisted)
+    ``(id, _pos, _tk)`` token frame so a caller that already has one
+    (:func:`mask_repeated_spans`) avoids a second corpus tokenize."""
     from pyspark.sql import Window
 
-    tok = df.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tk")
-    )
+    if tok is None:
+        tok = df.select(
+            F.col(id_col),
+            F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tk"),
+        )
     w = Window.partitionBy(id_col).orderBy("_pos")
     parts = [F.col("_tk")] + [F.lead("_tk", j).over(w) for j in range(1, n)]
     last = F.lead("_tk", n - 1).over(w)
@@ -752,6 +765,11 @@ def repeated_ngram_spans(
         .filter("_ok")
         .select(id_col, "_pos", hash32(F.col("_s")).alias("_h"))
     )
+    # The gram frame (one narrow row per token: id, pos, 8-byte hash)
+    # feeds both the occurrence count and the repeated-position
+    # semi-join; persist it so the per-doc sort + n lead() windows run
+    # once, not once per consumer.
+    grams = grams.persist()
     hot = (
         grams.groupBy("_h")
         .agg(F.count("*").alias("_c"))
@@ -861,8 +879,10 @@ def mask_repeated_spans(
 
     tok = df.select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tk")
+    ).persist()  # shared by the span detector and the anti-join side
+    spans = repeated_ngram_spans(
+        df, text_col, id_col, n=n, min_dups=min_dups, tok=tok
     )
-    spans = repeated_ngram_spans(df, text_col, id_col, n=n, min_dups=min_dups)
     covered = spans.select(
         F.col(id_col),
         F.explode(F.sequence("span_start", "span_end")).alias("_pos"),
