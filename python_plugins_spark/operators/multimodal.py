@@ -176,18 +176,39 @@ def synth_pcm16_samples(seed: int, n: int) -> list[int]:
     ]
 
 
-def wav_bytes(samples: list[int], sample_rate: int = 8000) -> bytes:
-    """PCM16 mono WAV via the stdlib ``wave`` writer."""
+def synth_pcm16_array(seed: int, n: int):
+    """Vectorized twin of :func:`synth_pcm16_samples` (same values,
+    numpy int array). The seed product folds through ``% 24001`` in
+    arbitrary-precision Python first, so no int64 overflow for any
+    id; the per-sample arithmetic then runs as one numpy expression
+    instead of an n-iteration Python loop."""
+    import numpy as np
+
+    base = (seed * 2654435761) % 24001
+    i = np.arange(n, dtype=np.int64)
+    return ((base + i * 40503) % 24001) - 12000
+
+
+def wav_bytes(samples, sample_rate: int = 8000) -> bytes:
+    """PCM16 mono WAV via the stdlib ``wave`` writer. ``samples`` is a
+    list of ints or a numpy integer array (written zero-copy as
+    little-endian int16 frames — same bytes as the struct.pack path)."""
     import io
     import struct
     import wave
 
+    import numpy as np
+
+    if isinstance(samples, np.ndarray):
+        frames = samples.astype("<i2").tobytes()
+    else:
+        frames = struct.pack(f"<{len(samples)}h", *samples)
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        w.writeframes(frames)
     return buf.getvalue()
 
 
@@ -447,7 +468,7 @@ def synth_wav_payloads(
                 ids.append(int(pid))
                 payloads.append(
                     wav_bytes(
-                        synth_pcm16_samples(int(pid), n_samples), sample_rate
+                        synth_pcm16_array(int(pid), n_samples), sample_rate
                     )
                 )
             yield pd.DataFrame({id_col: ids, "payload": payloads})
