@@ -158,6 +158,7 @@ def main() -> None:
         "embedding_covariance_matrix",
         "iceberg_rename_without_rewrite",
         "delta_generated_columns",
+        "bloom_prefilter_dedup",
     ]
     # Round-6: the two extras under cross-round adjudication run
     # median-of-3 like the headline (single-pass extras carry the same

@@ -384,3 +384,121 @@ def hist_range(df: DataFrame, value_col: str) -> tuple[float, float]:
     ).collect()[0]
     lo, hi = float(row["lo"]), float(row["hi"])
     return lo, math.nextafter(hi, math.inf) if hi > lo else lo + 1.0
+
+
+# ------------------------------------------------------------- bloom
+# Bloom-filter prefilter (Bloom 1970; the Kafka/BigTable/Parquet
+# row-group membership pattern): fold a huge corpus key set into a
+# fixed-size bit set once, then screen incoming batches against the
+# broadcast bit set map-side, so only the tiny "maybe present" slice
+# ever reaches the exact (shuffling) membership check. No false
+# negatives ever — a present key's positions are all set by
+# construction — so downstream results verified against the corpus
+# are EXACT regardless of the hash functions; false positives only
+# cost extra verification work (~(1 - e^{-kn/m})^k of the batch).
+#
+# The bit set is kept in RELATIONAL form: the DISTINCT set-bit
+# positions, a table bounded by num_bits rows no matter how large the
+# corpus — Spark's partial-aggregate distinct collapses each
+# partition's positions to <= num_bits before the shuffle, and the
+# table broadcasts like any dimension. (A packed bitmap is the same
+# information; the relational form keeps the whole path in Catalyst
+# expressions with zero UDFs and makes the filter trivially
+# persistable/mergeable: union-distinct = bitwise OR.)
+
+BLOOM_BITS = 1 << 17            # 131072 positions ~ 16 KiB packed
+BLOOM_HASHES = 5
+
+
+def bloom_positions_expr(
+    col: Column, num_bits: int = BLOOM_BITS, num_hashes: int = BLOOM_HASHES
+) -> Column:
+    """The key's ``num_hashes`` bit positions as an array<long> —
+    xxhash64 with distinct seeds, all JVM-side."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = BLOOM_BITS,
+    num_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Build the filter from a key column: one corpus pass, returns
+    the distinct set-bit positions (<= ``num_bits`` rows). Null keys
+    set no bits (they can never equi-match anyway). Mergeable:
+    union + distinct of two builds is the filter of the union."""
+    return (
+        df.select(
+            F.explode(
+                bloom_positions_expr(F.col(key_col), num_bits, num_hashes)
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_maybe_contains(
+    keys: DataFrame,
+    positions: DataFrame,
+    key_col: str,
+    num_bits: int = BLOOM_BITS,
+    num_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Screen a key frame against a built filter: keeps the rows whose
+    ``num_hashes`` positions are ALL set (the "maybe present" slice —
+    superset of the truly-present keys). The positions table
+    broadcasts; the only shuffle is the per-key hit count."""
+    hits = (
+        keys.select(
+            F.col(key_col),
+            F.explode(
+                bloom_positions_expr(F.col(key_col), num_bits, num_hashes)
+            ).alias("pos"),
+        )
+        .join(F.broadcast(positions), on="pos")
+        .groupBy(key_col)
+        # duplicate positions within one key's array either all match
+        # or all miss, so a plain count hits num_hashes iff every
+        # position is set
+        .agg(F.count("*").alias("_hits"))
+        .filter(F.col("_hits") >= num_hashes)
+        .select(key_col)
+    )
+    return hits
+
+
+def bloom_semi_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    key_col: str,
+    num_bits: int = BLOOM_BITS,
+    num_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """EXACT "batch rows whose key already exists in the corpus",
+    computed the way a 100 TB ingest should: the corpus folds once
+    into the bloom positions (bounded, broadcastable, persistable for
+    reuse across batches); the batch's distinct keys screen against
+    it map-side; only the surviving "maybe" keys — true dups plus the
+    controlled false-positive slice — are verified with an exact
+    semi-join against the corpus, with the maybe set broadcast so the
+    corpus is never shuffled. Without the prefilter this check is a
+    corpus-by-batch shuffle join on every batch."""
+    positions = bloom_build(corpus, key_col, num_bits, num_hashes)
+    batch_keys = batch.select(key_col).filter(
+        F.col(key_col).isNotNull()
+    ).distinct()
+    maybe = bloom_maybe_contains(
+        batch_keys, positions, key_col, num_bits, num_hashes
+    )
+    confirmed = (
+        corpus.join(F.broadcast(maybe), on=key_col, how="leftsemi")
+        .select(key_col)
+        .distinct()
+    )
+    return batch.join(F.broadcast(confirmed), on=key_col, how="leftsemi")

@@ -1518,3 +1518,56 @@ def embedding_pca_project(spark, sf_dir):
 
 
 # =====================================================================
+
+
+# Bloom-filter prefilter for incremental exact dedup
+# =====================================================================
+
+@register(
+    "bloom_prefilter_dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 400
+    ),
+    batch AS (
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id >= 400
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id < 30
+    ),
+    ck AS (SELECT DISTINCT {D.sql_fingerprint('text')} AS fp FROM corpus)
+    SELECT b.doc_id, {D.sql_fingerprint('b.text')} AS fp
+    FROM batch b
+    WHERE {D.sql_fingerprint('b.text')} IN (SELECT fp FROM ck)
+    """,
+)
+def bloom_prefilter_dedup(spark, sf_dir):
+    """Incremental exact dedup with a Bloom-filter prefilter
+    (operators/sketch.py bloom_semi_dedup): the admitted corpus folds
+    ONCE into a bounded distinct-bit-positions table (<= 2^17 rows,
+    broadcastable, reusable across batches); an ingest batch — the
+    held-out docs plus exact copies of 30 admitted docs under fresh
+    ids — screens its content fingerprints against it MAP-SIDE, and
+    only the surviving "maybe" keys are verified with an exact
+    semi-join (maybe side broadcast, corpus never shuffled). No false
+    negatives by construction, so the emitted duplicate set is EXACT
+    and the oracle is plain SQL membership with no bloom anywhere —
+    hash-function independence is the contract. At 100 TB this is
+    the difference between a corpus-by-batch shuffle join per batch
+    and one bounded broadcast."""
+    from python_plugins_spark.operators import sketch as SK
+
+    docs = load_table(spark, "documents", sf_dir)
+    fp = D.fingerprint_col(F.col("text"))
+    corpus = docs.filter(F.col("doc_id") < 400).select(
+        "doc_id", fp.alias("fp")
+    )
+    batch = (
+        docs.filter(F.col("doc_id") >= 400)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), fp.alias("fp"))
+        .unionByName(
+            docs.filter(F.col("doc_id") < 30)
+            .select((F.col("doc_id") + 2000000).alias("doc_id"), fp.alias("fp"))
+        )
+    )
+    dups = SK.bloom_semi_dedup(batch, corpus, "fp")
+    return dups.select("doc_id", "fp")

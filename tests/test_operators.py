@@ -1101,3 +1101,59 @@ def test_cross_corpus_decontam_directionality(spark, sf_dir):
     }
     for r in rows:
         assert tuple(sorted((r["train_id"], r["bench_id"]))) in edges
+
+
+def test_bloom_semi_dedup_exact_under_forced_false_positives(spark):
+    """With a deliberately tiny bit set (32 bits, 1000 keys) almost
+    every batch key is a bloom 'maybe' — the exact verify must still
+    strip every false positive, so the result equals a plain semi-join
+    no matter how saturated the filter is."""
+    from python_plugins_spark.operators.sketch import (
+        bloom_maybe_contains, bloom_build, bloom_semi_dedup,
+    )
+
+    corpus = spark.range(0, 1000).selectExpr("concat('k', id) AS k")
+    batch = spark.range(500, 1500).selectExpr(
+        "id AS rid", "concat('k', id) AS k"
+    )
+    out = bloom_semi_dedup(batch, corpus, "k", num_bits=32, num_hashes=3)
+    got = sorted(r["rid"] for r in out.collect())
+    assert got == list(range(500, 1000))
+    # the saturated filter really is passing false positives through
+    pos = bloom_build(corpus, "k", num_bits=32, num_hashes=3)
+    maybe = bloom_maybe_contains(
+        batch.select("k").distinct(), pos, "k", num_bits=32, num_hashes=3
+    )
+    assert maybe.count() > 500  # strictly more maybes than true dups
+
+
+def test_bloom_prefilter_is_selective_at_real_size(spark):
+    """At the default 2^17 bits / 5 hashes over a few hundred keys the
+    maybe set should be (deterministically) exactly the true-dup set —
+    the prefilter does its job, and no false negative is possible."""
+    from python_plugins_spark.operators.sketch import (
+        bloom_build, bloom_maybe_contains,
+    )
+
+    corpus = spark.range(0, 400).selectExpr("concat('key', id) AS k")
+    batch = spark.range(300, 700).selectExpr("concat('key', id) AS k")
+    pos = bloom_build(corpus, "k")
+    maybe = set(
+        r["k"] for r in bloom_maybe_contains(batch, pos, "k").collect()
+    )
+    true_dups = {f"key{i}" for i in range(300, 400)}
+    assert true_dups <= maybe          # no false negatives, ever
+    assert maybe == true_dups          # and no FPs at this load factor
+
+
+def test_bloom_prefilter_dedup_plan_shape(spark, sf_dir):
+    """The positions and maybe tables broadcast; nothing in the plan
+    is a CartesianProduct and no Python eval node exists."""
+    from python_plugins_spark.plans import plan_str
+    from python_plugins_spark.queries import QUERIES
+
+    plan = plan_str(QUERIES["bloom_prefilter_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
