@@ -1129,6 +1129,10 @@ def minhash_index_ingest(
             F.col("_idx_id").alias("dup_of"),
             "matches",
         )
+        # a duplicate-per-batch-doc frame is tiny; materialize it once
+        # so the admit anti-joins, the index append, and whatever the
+        # caller does with it don't each re-run the candidate scoring
+        .localCheckpoint(eager=True)
     )
     admitted = new_docs.join(
         duplicates.select(id_col), on=id_col, how="left_anti"
