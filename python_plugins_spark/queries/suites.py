@@ -2117,3 +2117,57 @@ def delta_shallow_clone_fork(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double").alias("total"),
     )
+
+
+@register(
+    "delta_clone_partitioned",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1) AND o_totalprice >= 20000
+    GROUP BY o_orderpriority
+    """,
+)
+def delta_clone_partitioned(spark, sf_dir):
+    """SHALLOW CLONE of a PARTITIONED table (round 6 — partitioned
+    tables are the normal case at 100 TB, so the old unpartitioned-only
+    refusal was a real dead end). The clone's commit-0 adds reference
+    the source's hive-laid-out files ABSOLUTELY; the scan layer groups
+    paths by hive root and reads each root under its own basePath, so
+    partition columns reconstruct across mixed roots once the fork
+    appends its own files. The fork then takes a merge-on-read DV
+    delete THROUGH the multi-root scan (row identity rides a
+    materialized ``_metadata`` copy, since the virtual column does not
+    survive a union). Source asserted byte-identical throughout."""
+    import os
+    import shutil
+
+    import python_plugins_spark.sources.delta_py as dp
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(_SCRATCH, f"pclone_src_{tag}")
+    dst = os.path.join(_SCRATCH, f"pclone_fork_{tag}")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    dp.write_delta(
+        o.filter(F.col("o_orderkey") % 3 == 0), src, "overwrite",
+        partition_by=["o_orderpriority"],
+    )
+    n_src = dp.read_delta(spark, src).count()
+    dp.shallow_clone(src, dst)
+    assert not [
+        f for _, _, fs in os.walk(dst) for f in fs if f.endswith(".parquet")
+    ], "clone copied data bytes"
+    dp.write_delta(o.filter(F.col("o_orderkey") % 3 == 1), dst, "append")
+    dp.delete_delta(spark, dst, "o_totalprice < 20000", mode="dv")
+    assert dp.read_delta(spark, src).count() == n_src  # source untouched
+    fork = dp.read_delta(spark, dst)
+    return fork.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("total"),
+    )

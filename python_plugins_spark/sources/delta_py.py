@@ -425,11 +425,13 @@ def read_delta(
         from pyspark.sql import functions as F
 
         phys = _cm_physical_schema(schema)
-        scan = _scan_files(spark, table_path, phys, keep, part_cols).select(
+        raw = _scan_files(spark, table_path, phys, keep, part_cols)
+        scan = raw.select(
             *[
                 F.col(pf.name).alias(lf.name)
                 for pf, lf in zip(phys.fields, schema.fields)
-            ]
+            ],
+            *(["_metadata"] if "_metadata" in raw.columns else []),
         )
     else:
         scan = _scan_files(spark, table_path, schema, keep, part_cols)
@@ -440,6 +442,8 @@ def read_delta(
         from .delta_dv import apply_dvs
 
         scan = apply_dvs(spark, scan, table_path, dv_adds, [f.name for f in schema.fields])
+    if "_metadata" in scan.columns:
+        scan = scan.select(*[f.name for f in schema.fields])
     return scan
 
 
@@ -454,16 +458,50 @@ def _scan_files(
     tables (hive layout; data files OMIT the partition columns, per the
     protocol) read with ``basePath`` so Spark reconstructs the
     partition columns from the dir names — the same values the adds'
-    ``partitionValues`` record."""
+    ``partitionValues`` record.
+
+    Shallow-clone snapshots mix table-relative adds with ABSOLUTE
+    references into the source's directory tree, so a single basePath
+    cannot cover them: paths group by their hive root (the ancestor
+    ``len(part_cols)`` directory levels above each data file) and each
+    root scans under its own basePath, branches unioned. The virtual
+    ``_metadata`` column does not propagate through a union, so
+    multi-root scans materialize it as a regular struct column —
+    downstream row identity (`_metadata.file_path` / ``row_index`` in
+    the DV anti-joins) then resolves against the materialized copy.
+    Callers all end in explicit projections, so the extra column never
+    leaks into a result schema (read_delta drops it defensively)."""
     paths = [os.path.join(table_path, p) for p in rel_paths]
-    if part_cols:
+    if not part_cols:
+        return spark.read.schema(schema).parquet(*paths)
+    groups: dict[str, list[str]] = {}
+    for p in paths:
+        root = p
+        for _ in range(len(part_cols) + 1):
+            root = os.path.dirname(root)
+        groups.setdefault(root, []).append(p)
+    names = [f.name for f in schema.fields]
+    if len(groups) == 1:
+        ((root, grp),) = groups.items()
         return (
-            spark.read.option("basePath", table_path)
+            spark.read.option("basePath", root)
             .schema(schema)
-            .parquet(*paths)
-            .select(*[f.name for f in schema.fields])
+            .parquet(*grp)
+            .select(*names)
         )
-    return spark.read.schema(schema).parquet(*paths)
+    from pyspark.sql import functions as F
+
+    branches = [
+        spark.read.option("basePath", root)
+        .schema(schema)
+        .parquet(*grp)
+        .select(*names, F.col("_metadata").alias("_metadata"))
+        for root, grp in sorted(groups.items())
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 def _stats_may_match(add: dict, prune: dict[str, tuple]) -> bool:
@@ -863,15 +901,6 @@ def _cm_to_physical(meta: dict | None, df: DataFrame) -> DataFrame:
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     cm = _cm_map(schema)
     return df.select(*[F.col(ln).alias(pn) for ln, pn in cm.items()])
-
-
-def _require_no_mapping(meta: dict | None, op: str) -> None:
-    if column_mapping_enabled(meta):
-        raise ValueError(
-            f"{op} is not supported on column-mapping tables in this "
-            "layer (documented subset); drop the mapping or materialize "
-            "the table first"
-        )
 
 
 def enable_column_mapping(table_path: str, max_retries: int = 10) -> int:
@@ -1470,17 +1499,13 @@ def shallow_clone(src_path: str, dst_path: str) -> int:
     appear (and a source VACUUM past its own retention can of course
     invalidate the clone — the documented shallow-clone trade-off).
 
-    Refused for partitioned sources (the clone's basePath cannot
-    re-derive partition columns from another table's directories) and
-    sources with live deletion vectors (sidecar paths are
-    source-relative)."""
+    Partitioned sources clone too (round 6): the absolute references
+    keep the source's hive layout, and the scan layer groups paths by
+    hive ROOT — one basePath per referenced table root — so partition
+    columns reconstruct correctly even when the clone mixes source
+    references with its own later appends. Refused for sources with
+    live deletion vectors (sidecar paths are source-relative)."""
     state = _replay_state(src_path)
-    if state.meta.get("partitionColumns"):
-        raise ValueError(
-            "shallow clone of a partitioned table is not supported "
-            "(partition columns derive from the SOURCE's directory "
-            "layout, which the clone's basePath cannot see)"
-        )
     if any(a.get("deletionVector") for a in state.active.values()):
         raise ValueError(
             "source has live deletion vectors (source-relative sidecar "

@@ -1397,15 +1397,60 @@ def test_delta_shallow_clone(spark, tmp_path):
     assert dp.read_delta(spark, src).count() == 25  # every source file alive
 
     # guards
-    p2 = str(tmp_path / "part_src")
-    dp.write_delta(
-        spark.range(10).selectExpr("id", "id % 2 AS g"), p2, "overwrite",
-        partition_by=["g"],
-    )
-    with pytest.raises(ValueError, match="partitioned"):
-        dp.shallow_clone(p2, str(tmp_path / "nope"))
     with pytest.raises(ValueError, match="already exists"):
         dp.shallow_clone(src, dst)
+
+
+def test_delta_shallow_clone_partitioned(spark, tmp_path):
+    """Round 6: partitioned sources clone too. The clone's absolute
+    references keep the source's hive layout; the scan groups paths by
+    hive root, so partition columns reconstruct across MIXED roots
+    (source refs + the clone's own appends), DV deletes keep working
+    through the unioned scan, and partition pruning still prunes."""
+    import os
+
+    import pytest
+
+    import python_plugins_spark.sources.delta_py as dp
+
+    src = str(tmp_path / "psrc")
+    dst = str(tmp_path / "pfork")
+    dp.write_delta(
+        spark.range(40).selectExpr("id", "id % 4 AS g", "id * 2.0 AS v"),
+        src, "overwrite", partition_by=["g"],
+    )
+    dp.shallow_clone(src, dst)
+    assert not [
+        f for _, _, fs in os.walk(dst) for f in fs if f.endswith(".parquet")
+    ]
+    back = dp.read_delta(spark, dst)
+    assert back.count() == 40
+    assert {r.g for r in back.select("g").distinct().collect()} == {0, 1, 2, 3}
+
+    # mixed roots: clone-local append unions with the source references
+    dp.write_delta(
+        spark.range(100, 108).selectExpr("id", "id % 4 AS g", "id * 2.0 AS v"),
+        dst, "append",
+    )
+    mixed = dp.read_delta(spark, dst)
+    assert mixed.count() == 48
+    # partition column correct on BOTH branches
+    assert mixed.filter("g = 1").count() == 12  # 10 source + 2 appended
+
+    # DV delete through the multi-root (unioned) scan: row identity
+    # (_metadata file/row_index) must resolve on the materialized copy
+    dp.delete_delta(spark, dst, "id < 4", mode="dv")
+    assert {r.id for r in dp.read_delta(spark, dst).select("id").collect()} \
+        == set(range(4, 40)) | set(range(100, 108))
+    assert dp.read_delta(spark, src).count() == 40  # source untouched
+
+    # partition pruning via the adds' partitionValues still prunes
+    pruned = dp.read_delta(spark, dst, prune={"g": (2, 2)})
+    assert {r.g for r in pruned.select("g").distinct().collect()} == {2}
+
+    # DV-bearing sources still refuse (source-relative sidecars)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        dp.shallow_clone(dst, str(tmp_path / "nope"))
 
 
 def test_delta_generated_columns(spark):
