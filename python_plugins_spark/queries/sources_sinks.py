@@ -1411,6 +1411,68 @@ def iceberg_add_files_import(spark, sf_dir):
 
 
 @register(
+    "iceberg_add_files_partitioned",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    GROUP BY c_nationkey
+    """,
+)
+def iceberg_add_files_partitioned(spark, sf_dir):
+    """Partitioned add_files (round 6): a hive-laid-out parquet lake
+    (customer partitioned by c_mktsegment, partition column NOT in the
+    data files) registers into an identity-partitioned Iceberg table
+    in ONE append commit — each file's hive ``col=value`` path segment
+    becomes its manifest partition tuple, so the read prunes to the
+    single BUILDING partition at the manifest walk and the identity
+    layout reattaches the column. The oracle queries the raw source
+    rows directly: a wrong tuple, a mis-linked directory, or a broken
+    reattachment cannot hash-match."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import (
+        add_files_iceberg,
+        plan_files,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    lake = os.path.join(_SCRATCH, f"ice_addfp_lake_{tag}")
+    path = os.path.join(_SCRATCH, f"ice_addfp_{tag}")
+    shutil.rmtree(lake, ignore_errors=True)
+    shutil.rmtree(path, ignore_errors=True)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    c.write.partitionBy("c_mktsegment").parquet(lake)
+    lake_files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(lake)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    write_iceberg(
+        c.limit(0), path, mode="overwrite", partition_by="c_mktsegment"
+    )
+    add_files_iceberg(path, lake_files)
+    pruned = plan_files(path, eq={"c_mktsegment": "BUILDING"})
+    assert pruned and len(pruned) < len(plan_files(path)), \
+        "hive tuple did not prune"
+    back = read_iceberg(
+        spark, path, eq={"c_mktsegment": "BUILDING"}
+    ).filter(F.col("c_mktsegment") == "BUILDING")
+    return back.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@register(
     "iceberg_rename_without_rewrite",
     oracle="""
     SELECT o_orderstatus AS status, count(*) AS n,

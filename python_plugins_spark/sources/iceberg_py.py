@@ -2327,35 +2327,69 @@ def add_files_iceberg(path: str, files: list[str]) -> int:
     metadata only. The migration on-ramp: existing parquet lakes
     become governed tables without a rewrite.
 
-    Unpartitioned tables only (an imported file carries no partition
-    tuple). Every file's parquet schema must carry exactly the
-    table's (physical) column set. Returns the new snapshot id."""
+    Partitioned tables (round 6 — hive-laid-out lakes are the normal
+    case): every spec field must be an IDENTITY transform, and each
+    imported file's own path must carry one hive ``col=value`` segment
+    per spec field — the same contract as Iceberg's ``add_files`` over
+    a Hive location. The parsed tuple lands in the manifest (so
+    pruning works) and the file hard-links under the matching
+    ``data/col=value/`` directory (so the identity-layout scan
+    reattaches the column on read). Hidden transforms (bucket /
+    truncate / day) refuse: a hive path carries source values, not
+    derived ones — write through write_iceberg instead.
+
+    Data files OMIT identity partition columns (this layer's layout,
+    matching hive); every file's parquet schema must carry exactly the
+    table's remaining (physical) column set. Returns the new snapshot
+    id."""
     import pyarrow.parquet as pq
 
     base_version = current_metadata_version(path)
     meta = _load_metadata(path, base_version)
-    if _pspecs_from_meta(meta):
+    pspecs = _pspecs_from_meta(meta)
+    hidden = [p_["pname"] for p_ in pspecs if p_["tstr"] != "identity"]
+    if hidden:
         raise NotImplementedError(
-            "add_files_iceberg: unpartitioned tables only (imported "
-            "files carry no partition tuple); write through "
-            "write_iceberg for partitioned layouts"
+            f"add_files_iceberg: hidden-transform partition fields "
+            f"{hidden} cannot be parsed from hive paths (they carry "
+            "derived values); write through write_iceberg"
         )
     node = _current_schema_node(meta)
     schema = iceberg_schema_to_spark(node)
     phys = _phys_map(node)
-    phys_schema = T.StructType(
+    pnames = [p_["pname"] for p_ in pspecs]
+    data_schema = T.StructType(
         [
             T.StructField(phys.get(f.name, f.name), f.dataType, f.nullable)
             for f in schema.fields
+            if f.name not in set(pnames)
         ]
     )
-    want = set(phys_schema.fieldNames())
+    want = set(data_schema.fieldNames())
+
+    def _hive_tuple(src: str) -> dict[str, str]:
+        comps = src.split(os.sep)[:-1]
+        part: dict[str, str] = {}
+        for pn in pnames:
+            hits = [c for c in comps if c.startswith(pn + "=")]
+            if len(hits) != 1:
+                raise ValueError(
+                    f"add_files_iceberg: {src} must carry exactly one "
+                    f"hive '{pn}=<value>' path segment (found "
+                    f"{len(hits)}) — the table partitions by {pnames}"
+                )
+            part[pn] = hits[0].partition("=")[2]
+        return part
+
+    tuples = [_hive_tuple(src) for src in files] if pnames else [
+        {} for _ in files
+    ]
     for src in files:
         have = set(pq.ParquetFile(src).schema_arrow.names)
         if have != want:
             raise ValueError(
                 f"add_files_iceberg: {src} columns {sorted(have)} != "
-                f"table (physical) columns {sorted(want)}"
+                f"table (physical) data columns {sorted(want)}"
             )
 
     now_ms = int(time.time() * 1000)
@@ -2363,18 +2397,19 @@ def add_files_iceberg(path: str, files: list[str]) -> int:
     entries = []
     staged: list[str] = []
     try:
-        for src in files:
+        for src, part in zip(files, tuples):
+            rel_dir = os.sep.join(f"{pn}={part[pn]}" for pn in pnames)
             name = f"{uuid.uuid4().hex}-imported.parquet"
-            dst = os.path.join(path, _DATA_DIR, name)
+            dst = os.path.join(path, _DATA_DIR, rel_dir, name)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             try:
                 os.link(src, dst)  # zero-copy claim of the bytes
             except OSError:
                 shutil.copy2(src, dst)
             staged.append(dst)
-            n_rows, lower, upper = _file_column_bounds(dst, phys_schema)
+            n_rows, lower, upper = _file_column_bounds(dst, data_schema)
             entries.append(
-                (1, os.path.relpath(dst, path), "PARQUET", {}, n_rows,
+                (1, os.path.relpath(dst, path), "PARQUET", part, n_rows,
                  os.path.getsize(dst), lower, upper, 0, [])
             )
     except BaseException:

@@ -1665,11 +1665,79 @@ def test_iceberg_add_files_zero_copy_import(spark, sf_dir):
     with pytest.raises(ValueError, match="columns"):
         add_files_iceberg(path, [f"{sf_dir}/region.parquet"])
 
-    # partitioned tables refuse
-    p2 = _fresh("ice_addfiles_part")
-    write_iceberg(
-        spark.range(10).selectExpr("id", "cast(id % 2 as int) AS g"),
-        p2, mode="overwrite", partition_by="g",
+
+def test_iceberg_add_files_partitioned(spark, sf_dir, tmp_path):
+    """Partitioned add_files (round 6): hive ``col=value`` segments in
+    each imported file's own path become the manifest partition tuple;
+    the file links under the matching data/ hive dir so the identity
+    layout reattaches the column on read, and manifest pruning works
+    off the parsed tuple. Hidden-transform specs and files without the
+    hive segment refuse."""
+    import os
+
+    import pytest
+
+    from python_plugins_spark.sources.iceberg_py import (
+        add_files_iceberg,
+        plan_files,
+        read_iceberg,
+        write_iceberg,
     )
-    with pytest.raises(NotImplementedError, match="unpartitioned"):
-        add_files_iceberg(p2, [src_file])
+
+    # a hive-laid-out parquet lake (partition column NOT in the files)
+    lake = str(tmp_path / "lake")
+    src = spark.range(30).selectExpr(
+        "id", "cast(id % 3 as int) AS g", "id * 2.0 AS v"
+    )
+    src.write.partitionBy("g").parquet(lake)
+    lake_files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(lake)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+    path = _fresh("ice_addfiles_hive")
+    write_iceberg(src.limit(0), path, mode="overwrite", partition_by="g")
+    add_files_iceberg(path, lake_files)
+    back = read_iceberg(spark, path)
+    assert back.count() == 30
+    assert sorted(back.columns) == ["g", "id", "v"]
+    assert {r.g for r in back.select("g").distinct().collect()} == {0, 1, 2}
+    assert back.filter("g = 1").count() == 10
+
+    # the parsed tuple prunes at the manifest walk
+    assert all(f["partition"] == {"g": "2"} for f in
+               plan_files(path, eq={"g": 2}))
+    assert len(plan_files(path, eq={"g": 2})) < len(plan_files(path))
+
+    # zero-copy claim: linked under the hive dir
+    linked = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(os.path.join(path, "data"))
+        for f in fs
+        if f.endswith("-imported.parquet")
+    ]
+    assert linked and all(f"{os.sep}g=" in p for p in linked)
+
+    # a file without the hive segment refuses
+    flat = str(tmp_path / "flat.parquet")
+    spark.range(5).selectExpr("id", "id * 2.0 AS v").write.parquet(
+        str(tmp_path / "flatdir")
+    )
+    flat = next(
+        os.path.join(str(tmp_path / "flatdir"), f)
+        for f in os.listdir(str(tmp_path / "flatdir"))
+        if f.endswith(".parquet")
+    )
+    with pytest.raises(ValueError, match="hive"):
+        add_files_iceberg(path, [flat])
+
+    # hidden transforms refuse (a hive path carries source values)
+    p2 = _fresh("ice_addfiles_bucket")
+    write_iceberg(
+        src, p2, mode="overwrite",
+        partition_by={"transform": "bucket", "source": "id", "n": 4},
+    )
+    with pytest.raises(NotImplementedError, match="hidden"):
+        add_files_iceberg(p2, lake_files)
