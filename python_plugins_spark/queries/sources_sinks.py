@@ -1473,6 +1473,121 @@ def iceberg_add_files_partitioned(spark, sf_dir):
 
 
 @register(
+    "delta_type_widening",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           sum(CAST(o_custkey AS BIGINT)) AS key_sum,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+      SELECT o_orderstatus, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderstatus, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 1
+    ) GROUP BY o_orderstatus
+    """,
+)
+def delta_type_widening(spark, sf_dir):
+    """Protocol table feature 'typeWidening' (round 6, the Delta twin
+    of iceberg_type_promotion): a merge_schema append widens int ->
+    long and decimal(12,2) -> decimal(18,2) IN PLACE — the commit
+    carries the feature upgrade and the fields' delta.typeChanges
+    history, no file is rewritten, and old narrow pages widen natively
+    on read. The aggregate spans both file generations, so a broken
+    widening cannot hash-match the oracle."""
+    import os
+    import shutil
+
+    import python_plugins_spark.sources.delta_py as dp
+
+    path = os.path.join(
+        _SCRATCH, f"delta_widen_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    narrow = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderstatus",
+        F.col("o_custkey").cast("int").alias("o_custkey"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+    )
+    dp.write_delta(narrow, path, "overwrite")
+    wide = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderstatus",
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    dp.write_delta(wide, path, "append", merge_schema=True)
+    back = dp.read_delta(spark, path)
+    assert dict(back.dtypes)["o_custkey"] == "bigint"
+    assert dict(back.dtypes)["o_totalprice"] == "decimal(18,2)"
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("o_custkey").alias("key_sum"),
+        F.sum("o_totalprice").cast("double").alias("total"),
+    )
+
+
+@register(
+    "iceberg_type_promotion",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           sum(CAST(o_custkey AS BIGINT)) AS key_sum,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+      SELECT o_orderstatus, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderstatus, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 1
+    ) GROUP BY o_orderstatus
+    """,
+)
+def iceberg_type_promotion(spark, sf_dir):
+    """Spec 'Schema Evolution' type promotion (round 6): the table
+    starts with int / decimal(12,2) columns, then an append under
+    merge_schema widens them to long / decimal(18,2) IN PLACE — same
+    field ids, no file rewritten; Spark's vectorized reader widens the
+    old int32 pages natively. The aggregate spans rows from BOTH file
+    generations, so a broken widening (wrong ids, unreadable old
+    files, value corruption) cannot hash-match the oracle."""
+    import os
+    import shutil
+
+    from python_plugins_spark.sources.iceberg_py import (
+        read_iceberg,
+        write_iceberg,
+    )
+
+    path = os.path.join(
+        _SCRATCH, f"ice_promote_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    narrow = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderstatus",
+        F.col("o_custkey").cast("int").alias("o_custkey"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+    )
+    write_iceberg(narrow, path, "overwrite")
+    wide = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderstatus",
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
+    write_iceberg(wide, path, "append", merge_schema=True)
+    back = read_iceberg(spark, path)
+    assert dict(back.dtypes)["o_custkey"] == "bigint"
+    assert dict(back.dtypes)["o_totalprice"] == "decimal(18,2)"
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("o_custkey").alias("key_sum"),
+        F.sum("o_totalprice").cast("double").alias("total"),
+    )
+
+
+@register(
     "iceberg_rename_without_rewrite",
     oracle="""
     SELECT o_orderstatus AS status, count(*) AS n,

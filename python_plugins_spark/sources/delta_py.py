@@ -613,10 +613,15 @@ def _file_stats(parquet_path: str) -> dict | None:
             name = col.path_in_schema
             if "." in name:  # nested leaf — skip (protocol allows subset)
                 continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = _plain(st.min), _plain(st.max)
+            except Exception:
+                # pyarrow can't cast stats for some logical types
+                # (e.g. decimal) — stats are optional, skip the column
                 continue
-            mn, mx = _plain(st.min), _plain(st.max)
             if mn is None or mx is None:
                 continue
             if name not in mins or mn < mins[name]:
@@ -1040,6 +1045,52 @@ def drop_column(table_path: str, name: str, max_retries: int = 10) -> int:
     )
 
 
+_INT_WIDTH = {T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2, T.LongType: 3}
+
+
+def _delta_widening(frm: T.DataType, to: T.DataType) -> bool:
+    """True iff ``frm -> to`` is a protocol-valid type widening (table
+    feature ``typeWidening``): byte/short/int/long chain upward,
+    float -> double, decimal(P,S) -> decimal(P',S) with P' > P.
+    Readers widen old files' values natively (Spark's vectorized
+    parquet reader handles all of these)."""
+    fw, tw = _INT_WIDTH.get(type(frm)), _INT_WIDTH.get(type(to))
+    if fw is not None and tw is not None:
+        return tw > fw
+    if isinstance(frm, T.FloatType) and isinstance(to, T.DoubleType):
+        return True
+    if isinstance(frm, T.DecimalType) and isinstance(to, T.DecimalType):
+        return to.scale == frm.scale and to.precision > frm.precision
+    return False
+
+
+def _widening_protocol_action(
+    state, existing: T.StructType, evolved: T.StructType
+) -> dict | None:
+    """The protocol-upgrade action a committed type widening requires
+    (table feature ``typeWidening``, same upgrade shape as DVs) — or
+    None when no same-name type changed or the feature is already on."""
+    ex = {f.name: f.dataType for f in existing.fields}
+    if not any(
+        f.name in ex and f.dataType != ex[f.name] for f in evolved.fields
+    ):
+        return None
+    proto = state.protocol or {}
+    rf = set(proto.get("readerFeatures") or [])
+    if proto.get("minReaderVersion", 1) >= 3 and "typeWidening" in rf:
+        return None
+    return {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(rf | {"typeWidening"}),
+            "writerFeatures": sorted(
+                set(proto.get("writerFeatures") or []) | {"typeWidening"}
+            ),
+        }
+    }
+
+
 def _evolve_schema(
     existing: T.StructType, incoming: T.StructType, mode: str, merge_schema: bool
 ) -> T.StructType | None:
@@ -1049,8 +1100,13 @@ def _evolve_schema(
     - identical schemas -> None;
     - ``merge_schema`` append: incoming may ADD columns (appended after
       the existing ones, Delta's mergeSchema) and may OMIT existing
-      ones (read fills nulls); same-name type changes are rejected
-      (no implicit widening);
+      ones (read fills nulls); a same-name type change that is a valid
+      WIDENING (see :func:`_delta_widening`) widens the field in place
+      — the change history lands in the field's ``delta.typeChanges``
+      metadata (protocol table feature ``typeWidening``); any other
+      type change is rejected. (Narrower incoming data never reaches
+      here: write_delta upcasts it to the table type before staging —
+      SQL store-assignment, no schema change.);
     - ``merge_schema`` overwrite: the incoming schema replaces the
       table schema outright (overwriteSchema semantics);
     - otherwise any difference raises
@@ -1065,19 +1121,38 @@ def _evolve_schema(
         raise DeltaSchemaMismatchError(
             f"write schema {incoming.simpleString()} differs from table "
             f"schema {existing.simpleString()}; pass merge_schema=True to "
-            "evolve (append adds columns, overwrite replaces the schema)"
+            "evolve (append adds columns / widens types, overwrite "
+            "replaces the schema)"
         )
     if mode == "overwrite":
         return incoming
     conflicts = [
-        n for n in inc if n in ex and ex[n].dataType != inc[n].dataType
+        n for n in inc
+        if n in ex
+        and ex[n].dataType != inc[n].dataType
+        and not _delta_widening(ex[n].dataType, inc[n].dataType)
     ]
     if conflicts:
         raise DeltaSchemaMismatchError(
-            f"type change on existing column(s) {conflicts} is not "
-            "supported by merge_schema (no implicit widening)"
+            f"type change on existing column(s) {conflicts} is not a "
+            "valid widening (byte/short/int/long up, float->double, "
+            "decimal precision up) — rewrite the table instead"
         )
-    merged = list(existing.fields) + [
+    merged = []
+    for f in existing.fields:
+        nf = inc.get(f.name)
+        if nf is not None and nf.dataType != f.dataType:
+            md = dict(f.metadata or {})
+            md["delta.typeChanges"] = (md.get("delta.typeChanges") or []) + [
+                {
+                    "fromType": f.dataType.simpleString(),
+                    "toType": nf.dataType.simpleString(),
+                }
+            ]
+            merged.append(T.StructField(f.name, nf.dataType, f.nullable, md))
+        else:
+            merged.append(f)
+    merged += [
         T.StructField(f.name, f.dataType, True)  # new cols always nullable
         for f in incoming.fields
         if f.name not in ex
@@ -1199,6 +1274,28 @@ def write_delta(
             return -1  # batch already applied; nothing staged
         existing_parts = _pre_state.meta.get("partitionColumns") or []
         cfg = _pre_state.meta.get("configuration") or {}
+        # store-assignment upcast: incoming columns NARROWER than the
+        # table type cast up before staging (int data into a long
+        # column just works, like SQL INSERT) — no schema change, no
+        # merge_schema needed. Runs BEFORE mapping/evolution so those
+        # paths never see the already-assignable diff.
+        _tbl_pre = T.StructType.fromJson(
+            json.loads(_pre_state.meta["schemaString"])
+        )
+        _tbl_by_name = {f.name: f for f in _tbl_pre.fields}
+        _upcasts = {
+            f.name: _tbl_by_name[f.name].dataType
+            for f in df.schema.fields
+            if f.name in _tbl_by_name
+            and f.dataType != _tbl_by_name[f.name].dataType
+            and _delta_widening(f.dataType, _tbl_by_name[f.name].dataType)
+        }
+        if _upcasts:
+            from pyspark.sql import functions as F
+
+            df = df.withColumns(
+                {c: F.col(c).cast(t) for c, t in _upcasts.items()}
+            )
         if cfg.get(_CM_MODE) == "name":
             _tbl = T.StructType.fromJson(
                 json.loads(_pre_state.meta["schemaString"])
@@ -1423,6 +1520,12 @@ def write_delta(
                         "concurrent commit changed the schema during a "
                         "column-mapping evolution; re-run the write"
                     )
+                if mode == "append":
+                    pa_ = _widening_protocol_action(
+                        state, existing, evolved_md
+                    )
+                    if pa_ is not None:
+                        actions.append(pa_)
                 new_meta = dict(state.meta)
                 new_meta["schemaString"] = evolved_md.json()
                 new_meta["configuration"] = new_cfg
@@ -1432,6 +1535,9 @@ def write_delta(
                     existing, enforce_schema, mode, merge_schema
                 )
                 if evolved is not None:
+                    pa_ = _widening_protocol_action(state, existing, evolved)
+                    if pa_ is not None:
+                        actions.append(pa_)
                     new_meta = dict(state.meta)
                     new_meta["schemaString"] = evolved.json()
                     actions.append({"metaData": new_meta})

@@ -124,6 +124,35 @@ def spark_schema_to_iceberg(schema: T.StructType) -> dict:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
+def _ice_primitive_to_spark(t: str) -> T.DataType:
+    """One Iceberg primitive name -> Spark type (incl. decimal(P,S))."""
+    if t.startswith("decimal(") and t.endswith(")"):
+        p, s = t[len("decimal("):-1].split(",")
+        return T.DecimalType(int(p), int(s))
+    dt = _ICE_TO_SPARK.get(t)
+    if dt is None:
+        raise ValueError(f"unsupported iceberg type {t!r}")
+    return dt
+
+
+def _ice_promotion(old: str, new: str) -> bool:
+    """True iff ``old -> new`` is one of the spec's valid primitive
+    promotions (spec "Schema Evolution"): int->long, float->double,
+    decimal(P,S)->decimal(P',S) with P' > P. Promotions never change
+    the field id; readers widen old files' values (Spark's vectorized
+    parquet reader does this natively)."""
+    if (old, new) in {("int", "long"), ("float", "double")}:
+        return True
+    if (
+        isinstance(old, str) and isinstance(new, str)
+        and old.startswith("decimal(") and new.startswith("decimal(")
+    ):
+        op, osc = old[len("decimal("):-1].split(",")
+        np_, nsc = new[len("decimal("):-1].split(",")
+        return int(osc) == int(nsc) and int(np_) > int(op)
+    return False
+
+
 def iceberg_schema_to_spark(node: dict) -> T.StructType:
     fields = []
     for f in node["fields"]:
@@ -700,31 +729,65 @@ def write_iceberg(
         existing_schema = iceberg_schema_to_spark(cur_node)
         ex_names = [f.name for f in existing_schema.fields]
         in_names = [f.name for f in df.schema.fields]
-        if ex_names != in_names:
+        ex_by_name = {f["name"]: f for f in cur_node["fields"]}
+        # type diffs on shared columns (spec "Schema Evolution"):
+        # a WIDER incoming type is a valid promotion (int->long,
+        # float->double, decimal precision up) and evolves the schema
+        # under merge_schema; a NARROWER incoming type upcasts the
+        # DATA to the table type (SQL store-assignment — no schema
+        # change, no flag needed); anything else refuses.
+        promotions: dict[str, str] = {}
+        upcast_cols: dict[str, T.DataType] = {}
+        bad_types: list[str] = []
+        for f in df.schema.fields:
+            old = ex_by_name.get(f.name)
+            if old is None:
+                continue
+            new_ice = _spark_type_to_ice(f.dataType)
+            if new_ice == old["type"]:
+                continue
+            if _ice_promotion(old["type"], new_ice):
+                promotions[f.name] = new_ice
+            elif _ice_promotion(new_ice, old["type"]):
+                upcast_cols[f.name] = _ice_primitive_to_spark(old["type"])
+            else:
+                bad_types.append(
+                    f"{f.name}: {old['type']} -> {new_ice}"
+                )
+        if mode == "append" and bad_types:
+            raise ValueError(
+                f"type change on existing column(s) {bad_types} is not "
+                "a valid promotion (int->long, float->double, decimal "
+                "precision up) — rewrite the table instead"
+            )
+        if mode == "append" and upcast_cols:
+            from pyspark.sql import functions as F
+
+            df = df.withColumns(
+                {c: F.col(c).cast(t) for c, t in upcast_cols.items()}
+            )
+        if ex_names != in_names or (mode == "append" and promotions):
             if not merge_schema:
                 raise ValueError(
                     f"schema mismatch with existing table "
-                    f"({in_names} vs {ex_names}); pass merge_schema=True "
-                    "to evolve (append adds columns, overwrite replaces)"
+                    f"({in_names} vs {ex_names}"
+                    f"{'; promoted: ' + str(sorted(promotions)) if promotions else ''}"
+                    "); pass merge_schema=True "
+                    "to evolve (append adds columns / promotes types, "
+                    "overwrite replaces)"
                 )
             if mode == "overwrite":
                 evolved_node = spark_schema_to_iceberg(df.schema)
                 evolved_node["schema-id"] = len(meta["schemas"])
             else:
-                ex_by_name = {f["name"]: f for f in cur_node["fields"]}
-                conflicts = [
-                    f.name for f in df.schema.fields
-                    if f.name in ex_by_name
-                    and _spark_type_to_ice(f.dataType)
-                    != ex_by_name[f.name]["type"]
-                ]
-                if conflicts:
-                    raise ValueError(
-                        f"type change on existing column(s) {conflicts} "
-                        "not supported by merge_schema"
-                    )
                 next_id = max(f["id"] for f in cur_node["fields"]) + 1
-                new_fields = list(cur_node["fields"])
+                # promotions keep the FIELD ID (the spec's invariant:
+                # ids never change, only the primitive widens)
+                new_fields = [
+                    {**f, "type": promotions[f["name"]]}
+                    if f["name"] in promotions else f
+                    for f in cur_node["fields"]
+                ]
                 used_phys = _used_physical_names(meta)
                 for f in df.schema.fields:
                     if f.name not in ex_by_name:

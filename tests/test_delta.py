@@ -1453,6 +1453,98 @@ def test_delta_shallow_clone_partitioned(spark, tmp_path):
         dp.shallow_clone(dst, str(tmp_path / "nope"))
 
 
+def test_delta_type_widening(spark, tmp_path):
+    """Protocol table feature 'typeWidening' (round 6): a merge_schema
+    append may WIDEN a column in place (byte/short/int/long up,
+    float->double, decimal precision up) — the commit records the
+    feature upgrade and the field's delta.typeChanges history; old
+    files' narrow pages widen natively on read. Narrower incoming data
+    upcasts to the table type with NO schema change or flag (SQL
+    store-assignment); invalid changes refuse."""
+    import json
+
+    import pytest
+
+    import python_plugins_spark.sources.delta_py as dp
+
+    p = str(tmp_path / "widen_t")
+    narrow = spark.range(5).selectExpr(
+        "cast(id as int) AS a", "cast(id as float) AS b",
+        "cast(id as decimal(10,2)) AS d",
+    )
+    dp.write_delta(narrow, p, "overwrite")
+    wide = spark.range(5, 8).selectExpr(
+        "cast(id as long) AS a", "cast(id as double) AS b",
+        "cast(id as decimal(16,2)) AS d",
+    )
+    # widening without merge_schema refuses
+    with pytest.raises(dp.DeltaSchemaMismatchError, match="merge_schema"):
+        dp.write_delta(wide, p, "append")
+    dp.write_delta(wide, p, "append", merge_schema=True)
+    back = dp.read_delta(spark, p)
+    assert dict(back.dtypes) == {
+        "a": "bigint", "b": "double", "d": "decimal(16,2)"
+    }
+    assert {r.a for r in back.collect()} == set(range(8))
+
+    state = dp._replay_state(p)
+    assert "typeWidening" in (state.protocol or {}).get("readerFeatures", [])
+    fields = {
+        f["name"]: f
+        for f in json.loads(state.meta["schemaString"])["fields"]
+    }
+    assert fields["a"]["metadata"]["delta.typeChanges"] == [
+        {"fromType": "int", "toType": "bigint"}
+    ]
+
+    # narrower incoming upcasts silently — no flag, no schema change
+    dp.write_delta(
+        narrow.selectExpr("cast(a + 100 as int) AS a", "b", "d"), p, "append"
+    )
+    back2 = dp.read_delta(spark, p)
+    assert back2.count() == 13 and dict(back2.dtypes)["a"] == "bigint"
+    assert back2.filter("a >= 100").count() == 5
+
+    # an invalid change refuses
+    with pytest.raises(dp.DeltaSchemaMismatchError, match="not a valid widening"):
+        dp.write_delta(
+            spark.range(3).selectExpr(
+                "cast(id as string) AS a", "cast(id as double) AS b",
+                "cast(id as decimal(16,2)) AS d",
+            ),
+            p, "append", merge_schema=True,
+        )
+
+    # widening composes with column mapping: same id + physicalName
+    p2 = str(tmp_path / "widen_cm")
+    dp.write_delta(
+        spark.range(4).selectExpr("cast(id as int) AS a", "id * 2.0 AS v"),
+        p2, "overwrite",
+    )
+    dp.enable_column_mapping(p2)
+    before = {
+        f["name"]: f["metadata"]
+        for f in json.loads(dp._replay_state(p2).meta["schemaString"])["fields"]
+    }
+    dp.write_delta(
+        spark.range(4, 6).selectExpr("id AS a", "id * 2.0 AS v"),
+        p2, "append", merge_schema=True,
+    )
+    after_state = dp._replay_state(p2)
+    after = {
+        f["name"]: f
+        for f in json.loads(after_state.meta["schemaString"])["fields"]
+    }
+    assert after["a"]["type"] == "long"
+    for k in ("delta.columnMapping.id", "delta.columnMapping.physicalName"):
+        assert after["a"]["metadata"][k] == before["a"][k]
+    assert "typeWidening" in (after_state.protocol or {}).get(
+        "readerFeatures", []
+    )
+    cm_back = dp.read_delta(spark, p2)
+    assert {r.a for r in cm_back.collect()} == set(range(6))
+
+
 def test_delta_generated_columns(spark):
     """Protocol 'Generated Columns' (round 6 — closes the documented
     boundary): set_generated_column validates existing rows, then

@@ -804,6 +804,69 @@ def test_iceberg_merge_schema_with_decimal_column(spark):
     assert dict(back.dtypes)["d2"] == "decimal(6,1)"
 
 
+def test_iceberg_type_promotion(spark):
+    """Spec 'Schema Evolution' primitive promotions (round 6):
+    int->long, float->double, decimal precision up evolve the schema
+    IN PLACE (same field id) under merge_schema; old int32/float32
+    files widen on read (Spark's vectorized reader does this
+    natively). Narrower incoming data upcasts to the table type with
+    no schema change (SQL store-assignment, no flag needed); invalid
+    changes refuse; time travel reads old snapshots under the
+    pre-promotion schema."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import python_plugins_spark.sources.iceberg_py as I
+
+    path = _fresh("ice_promote")
+    narrow = spark.range(5).selectExpr(
+        "cast(id as int) AS a", "cast(id as float) AS b",
+        "cast(id as decimal(10,2)) AS d",
+    )
+    I.write_iceberg(narrow, path, "overwrite")  # snapshot 1
+    old_ids = {f["name"]: f["id"] for f in
+               I._current_schema_node(I._load_metadata(path))["fields"]}
+
+    wide = spark.range(5, 8).selectExpr(
+        "cast(id as long) AS a", "cast(id as double) AS b",
+        "cast(id as decimal(16,2)) AS d",
+    )
+    # promotion without merge_schema refuses
+    with pytest.raises(ValueError, match="merge_schema"):
+        I.write_iceberg(wide, path, "append")
+    I.write_iceberg(wide, path, "append", merge_schema=True)
+    back = I.read_iceberg(spark, path)
+    assert dict(back.dtypes) == {
+        "a": "bigint", "b": "double", "d": "decimal(16,2)"
+    }
+    assert back.count() == 8
+    assert {r.a for r in back.collect()} == set(range(8))
+    # field ids survived the promotion
+    new_ids = {f["name"]: f["id"] for f in
+               I._current_schema_node(I._load_metadata(path))["fields"]}
+    assert new_ids == old_ids
+    # time travel: snapshot 1 still reads under the narrow schema
+    assert dict(I.read_iceberg(spark, path, snapshot_id=1).dtypes)["a"] == "int"
+
+    # narrower incoming upcasts silently — no schema change, no flag
+    I.write_iceberg(narrow.selectExpr(
+        "cast(a + 100 as int) AS a", "cast(b as float) AS b", "d"
+    ), path, "append")
+    back2 = I.read_iceberg(spark, path)
+    assert back2.count() == 13 and dict(back2.dtypes)["a"] == "bigint"
+    assert back2.filter("a >= 100").count() == 5
+
+    # an invalid change (string into long) refuses
+    with pytest.raises(ValueError, match="not a valid promotion"):
+        I.write_iceberg(
+            spark.range(3).selectExpr(
+                "cast(id as string) AS a", "cast(id as double) AS b",
+                "cast(id as decimal(16,2)) AS d"
+            ),
+            path, "append", merge_schema=True,
+        )
+
+
 def test_iceberg_delete_abort_cleans_staged_files(spark):
     """A delete commit that loses the put-if-absent race must remove
     everything it staged (delete parquet files, manifest, manifest
