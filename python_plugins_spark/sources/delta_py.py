@@ -1609,17 +1609,32 @@ def shallow_clone(src_path: str, dst_path: str) -> int:
     keep the source's hive layout, and the scan layer groups paths by
     hive ROOT — one basePath per referenced table root — so partition
     columns reconstruct correctly even when the clone mixes source
-    references with its own later appends. Refused for sources with
-    live deletion vectors (sidecar paths are source-relative)."""
+    references with its own later appends.
+
+    Sources with live DELETION VECTORS clone too (round 6): sidecar
+    paths are table-root-relative, so each live sidecar hard-links
+    into the clone root under its unchanged name — the descriptors
+    stay valid verbatim, the clone sees exactly the source's
+    merge-on-read state, and the bitmaps are tiny (bytes per deleted
+    row) so even the copy fallback is metadata-scale. Inline ("i")
+    DVs travel inside the descriptor and need nothing."""
     state = _replay_state(src_path)
-    if any(a.get("deletionVector") for a in state.active.values()):
-        raise ValueError(
-            "source has live deletion vectors (source-relative sidecar "
-            "paths); OPTIMIZE (purge) the source first"
-        )
     if table_version(dst_path) >= 0:
         raise ValueError(f"destination {dst_path} already exists")
     os.makedirs(_log_path(dst_path), exist_ok=True)
+    for add in state.active.values():
+        desc = add.get("deletionVector")
+        if not desc or desc.get("storageType") != "u":
+            continue
+        rel = _dv_sidecar_name(desc)
+        src_bin = os.path.join(src_path, rel)
+        dst_bin = os.path.join(dst_path, rel)
+        if os.path.exists(dst_bin):
+            continue  # several adds may share one sidecar file
+        try:
+            os.link(src_bin, dst_bin)
+        except OSError:
+            shutil.copy2(src_bin, dst_bin)
     now_ms = int(time.time() * 1000)
     new_meta = dict(state.meta)
     new_meta["id"] = str(uuid.uuid4())

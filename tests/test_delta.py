@@ -1448,9 +1448,18 @@ def test_delta_shallow_clone_partitioned(spark, tmp_path):
     pruned = dp.read_delta(spark, dst, prune={"g": (2, 2)})
     assert {r.g for r in pruned.select("g").distinct().collect()} == {2}
 
-    # DV-bearing sources still refuse (source-relative sidecars)
-    with pytest.raises(ValueError, match="deletion vectors"):
-        dp.shallow_clone(dst, str(tmp_path / "nope"))
+    # DV-bearing sources clone too (round 6): sidecars hard-link into
+    # the clone root under their unchanged relative names, so the
+    # clone-of-a-clone sees exactly the fork's merge-on-read state
+    dst2 = str(tmp_path / "pfork2")
+    dp.shallow_clone(dst, dst2)
+    assert {r.id for r in dp.read_delta(spark, dst2).select("id").collect()} \
+        == set(range(4, 40)) | set(range(100, 108))
+    # ...and diverges independently: deleting in the second clone
+    # writes ITS sidecar without touching the first clone's state
+    dp.delete_delta(spark, dst2, "id >= 100", mode="dv")
+    assert dp.read_delta(spark, dst2).count() == 36
+    assert dp.read_delta(spark, dst).count() == 44
 
 
 def test_delta_type_widening(spark, tmp_path):
