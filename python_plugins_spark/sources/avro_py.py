@@ -102,6 +102,45 @@ def _norm(node):
     return node
 
 
+def _union_match(member, v) -> bool:
+    """Does the runtime value's shape fit this union branch? Primitive
+    branches match by Python type (bool checked before int — bool IS
+    an int in Python); record/array/map/enum/fixed branches match by
+    container shape."""
+    m = _norm(member)
+    if isinstance(m, dict):
+        kind = m.get("type")
+        if "logicalType" in m:
+            lt = m["logicalType"]
+            if lt == "date":
+                return isinstance(v, date) and not isinstance(v, datetime)
+            if lt in ("timestamp-micros", "timestamp-millis"):
+                return isinstance(v, datetime)
+            return isinstance(v, (int, float))
+        if kind == "record":
+            return isinstance(v, (tuple, list)) and len(v) == len(m["fields"])
+        if kind == "array":
+            return isinstance(v, (tuple, list))
+        if kind == "map":
+            return isinstance(v, dict)
+        if kind == "enum":
+            return isinstance(v, str) and v in m.get("symbols", [])
+        if kind == "fixed":
+            return isinstance(v, (bytes, bytearray))
+        return False
+    if m == "boolean":
+        return isinstance(v, bool)
+    if m in ("int", "long"):
+        return isinstance(v, int) and not isinstance(v, bool)
+    if m in ("float", "double"):
+        return isinstance(v, float)
+    if m == "string":
+        return isinstance(v, str)
+    if m == "bytes":
+        return isinstance(v, (bytes, bytearray))
+    return False
+
+
 def _encode(node, v, out: io.BytesIO) -> None:
     node = _norm(node)
     if isinstance(node, list):  # union
@@ -111,7 +150,17 @@ def _encode(node, v, out: io.BytesIO) -> None:
             return
         members = [(i, m) for i, m in enumerate(node) if m != "null"]
         if len(members) != 1:
-            raise ValueError("general (non-nullable) unions are not supported on write")
+            # general union: pick the FIRST branch whose shape matches
+            # the runtime value (the standard Avro-library rule); an
+            # int value lands in the first integer branch, etc.
+            members = [
+                (i, m) for i, m in members if _union_match(m, v)
+            ]
+            if not members:
+                raise ValueError(
+                    f"no union branch in {node!r} matches value "
+                    f"{type(v).__name__}"
+                )
         idx, member = members[0]
         _w_long(out, idx)
         _encode(member, v, out)

@@ -125,6 +125,46 @@ def test_avro_null_codec_and_python_api(tmp_path):
     assert list(read_container(p)) == [(1, "a"), (2, None), (3, "c")]
 
 
+def test_avro_general_union_roundtrip(tmp_path):
+    """General (non-nullable) unions on write (round 6 — the last avro
+    refusal): each value lands in the FIRST branch whose shape matches
+    (the standard Avro-library rule), bool before int (bool IS an int
+    in Python), records by arity, enums by symbol membership. Values
+    round-trip by branch index; unmatched values refuse."""
+    import pytest
+
+    node = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "u", "type": ["null", "long", "string", "boolean",
+                                   {"type": "array", "items": "long"}]},
+        ],
+    }
+    p = str(tmp_path / "union.avro")
+    rows = [
+        (1, None), (2, 42), (3, "hi"), (4, True), (5, [7, 8]), (6, False),
+    ]
+    assert write_container(p, node, rows, codec="null") == 6
+    assert list(read_container(p)) == rows
+
+    # bool is NOT swallowed by the long branch, ints don't match boolean
+    p2 = str(tmp_path / "union2.avro")
+    node2 = {
+        "type": "record", "name": "r2",
+        "fields": [{"name": "u", "type": ["boolean", "long"]}],
+    }
+    write_container(p2, node2, [(True,), (0,)], codec="null")
+    assert list(read_container(p2)) == [(True,), (0,)]
+
+    # no matching branch refuses
+    with pytest.raises(ValueError, match="no union branch"):
+        write_container(
+            str(tmp_path / "bad.avro"), node2, [(1.5,)], codec="null"
+        )
+
+
 def test_avro_overwrite_two_phase_commit(spark):
     """Overwrite must not destroy the previous generation before job
     commit (ADVICE r2): a writer that aborts leaves the old files
