@@ -2120,6 +2120,58 @@ def delta_shallow_clone_fork(spark, sf_dir):
 
 
 @register(
+    "iceberg_snapshot_fork",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1) AND o_totalprice >= 25000
+    GROUP BY o_orderpriority
+    """,
+)
+def iceberg_snapshot_fork(spark, sf_dir):
+    """Iceberg's SNAPSHOT procedure (round 6 — the format twin of
+    delta_clone_partitioned): fork an identity-partitioned table by
+    ABSOLUTE file reference (asserted: zero parquet under the fork),
+    then the fork appends its own files (mixed-root scan, partition
+    reattachment per root) and takes a row-level DELETE through the
+    multi-root scan, while the source must stay byte-identical
+    (asserted). Fork cost is one metadata commit at any table size."""
+    import os
+    import shutil
+
+    import python_plugins_spark.sources.iceberg_py as I
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(_SCRATCH, f"ifork_src_{tag}")
+    dst = os.path.join(_SCRATCH, f"ifork_dst_{tag}")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    I.write_iceberg(
+        o.filter(F.col("o_orderkey") % 3 == 0), src, "overwrite",
+        partition_by="o_orderpriority",
+    )
+    n_src = I.read_iceberg(spark, src).count()
+    I.snapshot_iceberg(src, dst)
+    assert not [
+        f for _, _, fs in os.walk(os.path.join(dst, "data"))
+        for f in fs if f.endswith(".parquet")
+    ], "fork copied data bytes"
+    I.write_iceberg(o.filter(F.col("o_orderkey") % 3 == 1), dst, "append")
+    I.delete_iceberg(spark, dst, "o_totalprice < 25000")
+    assert I.read_iceberg(spark, src).count() == n_src  # source untouched
+    fork = I.read_iceberg(spark, dst)
+    return fork.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("total"),
+    )
+
+
+@register(
     "delta_clone_partitioned",
     oracle="""
     SELECT o_orderpriority, count(*) AS n,

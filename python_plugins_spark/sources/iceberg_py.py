@@ -1574,26 +1574,60 @@ def read_iceberg(
 
     def _build_scan(flist, fields):
         paths = [os.path.join(path, f["path"]) for f in flist]
-        if fields and any(f["transform"] == "identity" for f in fields):
+        if not (fields and any(f["transform"] == "identity" for f in fields)):
+            return _to_logical(spark.read.schema(phys_schema).parquet(*paths))
+        # identity layouts reattach partition columns from hive dirs
+        # under a basePath. A snapshot fork (snapshot_iceberg)
+        # references files under the SOURCE's root, so group by hive
+        # root (strip the filename, one dir per spec field, and the
+        # data dir) and scan each root under its own basePath; the
+        # virtual _metadata column does not survive a union, so
+        # multi-root scans materialize it per branch for downstream
+        # row identity (read_iceberg projects it away at the end).
+        groups: dict[str, list[str]] = {}
+        for p in paths:
+            root = p
+            for _ in range(len(fields) + 2):
+                root = os.path.dirname(root)
+            groups.setdefault(root, []).append(p)
+        if len(groups) == 1:
+            ((root, grp),) = groups.items()
             return _to_logical(
-                spark.read.option("basePath", path)
+                spark.read.option("basePath", root)
                 .schema(phys_schema)
-                .parquet(*paths)
+                .parquet(*grp)
             )  # partitionBy writes the partition col last; restore order
-        return _to_logical(spark.read.schema(phys_schema).parquet(*paths))
+        branches = [
+            spark.read.option("basePath", root)
+            .schema(phys_schema)
+            .parquet(*grp)
+            .select(
+                *[F.col(pn).alias(ln) for ln, pn in pairs],
+                F.col("_metadata").alias("_metadata"),
+            )
+            for root, grp in sorted(groups.items())
+        ]
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out
 
     delete_entries = plan_delete_files(path, snapshot_id)
     pos_dels = [d for d in delete_entries if d["content"] == 1]
     eq_dels = [d for d in delete_entries if d["content"] == 2]
     out_cols = [f.name for f in schema.fields]
     if not delete_entries and not with_row_identity:
-        return reduce(
+        plain = reduce(
             lambda a, b: a.unionByName(b),
             [
                 _build_scan(g, spec_fields_by_id.get(sid, []))
                 for sid, g in sorted(groups.items())
             ],
         )
+        # multi-root identity scans carry a materialized _metadata
+        if "_metadata" in plain.columns:
+            plain = plain.select(*out_cols)
+        return plain
 
     # _metadata only resolves on a raw file-scan relation (it does NOT
     # propagate through a Union), so the row identity (absolute file
@@ -1776,9 +1810,16 @@ def expire_snapshots(
                 "expiration planned against a stale snapshot; re-run it"
             )
         _advance_hint(path, version)
+        root = os.path.abspath(path) + os.sep
         for rel in to_delete:
+            full = os.path.join(path, rel)
+            # a snapshot fork (snapshot_iceberg) references the source
+            # table's files ABSOLUTELY; expiring the fork's snapshots
+            # must never delete outside the fork's own directory
+            if not os.path.abspath(full).startswith(root):
+                continue
             try:
-                os.remove(os.path.join(path, rel))
+                os.remove(full)
             except FileNotFoundError:
                 pass
     return {
@@ -2489,6 +2530,114 @@ def add_files_iceberg(path: str, files: list[str]) -> int:
         {"operation-detail": "add-files", "imported-files": str(len(files))},
         operation="append",
     )
+
+
+def snapshot_iceberg(src_path: str, dst_path: str) -> int:
+    """Iceberg's SNAPSHOT procedure — a zero-copy FORK: a new table
+    whose first snapshot references the SOURCE's current data files by
+    ABSOLUTE path (no byte copied; the Iceberg twin of Delta SHALLOW
+    CLONE). The fork owns its own metadata tree from here: appends,
+    overwrites, row-level deletes, upserts, and compaction land in the
+    fork's directory and the source never sees them; the fork pins the
+    source AS OF snapshot time, so later source commits don't appear.
+    ``expire_snapshots`` on the fork never deletes outside the fork's
+    own directory (absolute references are skipped by construction),
+    mirroring the procedure's parent-table guarantee.
+
+    Schema, partition specs (identity AND hidden transforms), and the
+    current schema-id carry over verbatim; the identity-layout scan
+    reads the source-rooted hive dirs under their own basePath (the
+    multi-root machinery `read_iceberg` shares with spec evolution).
+
+    Refused while the source has live DELETE files (position or
+    equality): flattening them into the fork's single base snapshot
+    would break the spec's sequence scoping (an equality delete does
+    not apply to files of its OWN snapshot) — compact the source
+    first. Returns the fork's snapshot id (1)."""
+    src_meta = _load_metadata(src_path)
+    if current_metadata_version(dst_path) is not None:
+        raise ValueError(f"destination {dst_path} already exists")
+    if plan_delete_files(src_path):
+        raise ValueError(
+            "source has live delete files (position/equality); compact "
+            "it first (rewrite_data_files) — a fork's single base "
+            "snapshot cannot carry the spec's delete-sequence scoping"
+        )
+    files = plan_files(src_path)
+    now_ms = int(time.time() * 1000)
+    os.makedirs(_meta_dir(dst_path), exist_ok=True)
+    os.makedirs(os.path.join(dst_path, _DATA_DIR), exist_ok=True)
+
+    by_spec: dict[int, list[tuple]] = {}
+    for f in files:
+        abs_p = os.path.abspath(os.path.join(src_path, f["path"]))
+        by_spec.setdefault(f["spec_id"], []).append(
+            (
+                1,  # ADDED
+                abs_p,
+                "PARQUET",
+                f["partition"],
+                f["record_count"],
+                os.path.getsize(abs_p),
+                f["lower"],
+                f["upper"],
+                0,  # content: DATA
+                [],  # equality_ids
+            )
+        )
+    ml_rows = []
+    for spec_id, entries in sorted(by_spec.items()):
+        mname = f"manifest-1-{uuid.uuid4().hex}.avro"
+        mpath = os.path.join(_meta_dir(dst_path), mname)
+        write_container(mpath, _MANIFEST_ENTRY_NODE, entries)
+        ml_rows.append(
+            (
+                os.path.relpath(mpath, dst_path),
+                os.path.getsize(mpath),
+                spec_id,
+                1,  # added in the fork's snapshot 1
+                len(entries),
+                0,
+                0,
+            )
+        )
+    ml_name = f"snap-1-{uuid.uuid4().hex}.avro"
+    ml_path = os.path.join(_meta_dir(dst_path), ml_name)
+    write_container(ml_path, _MANIFEST_FILE_NODE, ml_rows)
+    snapshot = {
+        "snapshot-id": 1,
+        "parent-snapshot-id": None,
+        "timestamp-ms": now_ms,
+        "manifest-list": os.path.relpath(ml_path, dst_path),
+        "schema-id": src_meta.get("current-schema-id", 0),
+        "summary": {
+            "operation": "append",
+            "operation-detail": "snapshot-table",
+            "source-table": src_path,
+            "added-data-files": str(len(files)),
+        },
+    }
+    new_meta = {
+        "format-version": src_meta.get("format-version", 2),
+        "table-uuid": str(uuid.uuid4()),
+        "location": dst_path,
+        "last-updated-ms": now_ms,
+        "schemas": src_meta.get("schemas", []),
+        "current-schema-id": src_meta.get("current-schema-id", 0),
+        "partition-specs": src_meta.get("partition-specs") or [
+            {"spec-id": 0, "fields": []}
+        ],
+        "default-spec-id": src_meta.get("default-spec-id", 0),
+        "snapshots": [snapshot],
+        "current-snapshot-id": 1,
+        "refs": {},
+        "snapshot-log": [{"snapshot-id": 1, "timestamp-ms": now_ms}],
+    }
+    meta_file = os.path.join(_meta_dir(dst_path), "v1.metadata.json")
+    if not _put_if_absent(json.dumps(new_meta), meta_file):
+        raise IcebergConcurrentWriteError(f"fork raced at {dst_path}")
+    _advance_hint(dst_path, 1)
+    return 1
 
 
 # ------------------------------------------------- upsert (CDC merge)

@@ -1729,6 +1729,78 @@ def test_iceberg_add_files_zero_copy_import(spark, sf_dir):
         add_files_iceberg(path, [f"{sf_dir}/region.parquet"])
 
 
+def test_iceberg_snapshot_table_fork(spark):
+    """snapshot_iceberg (round 6): zero-copy fork — the Iceberg twin
+    of Delta SHALLOW CLONE. The fork references the source's files
+    absolutely (no parquet under the fork), reads with partition
+    reattachment across MIXED roots after its own appends, takes
+    row-level deletes through the multi-root scan, stays pinned to the
+    source as of fork time, and expire_snapshots on the fork can never
+    delete source bytes."""
+    import os
+
+    import pytest
+
+    import python_plugins_spark.sources.iceberg_py as I
+
+    src = _fresh("ice_fork_src")
+    dst = _fresh("ice_fork_dst")
+    rows = spark.range(30).selectExpr(
+        "id", "cast(id % 3 as int) AS g", "id * 2.0 AS v"
+    )
+    I.write_iceberg(rows, src, "overwrite", partition_by="g")
+    I.snapshot_iceberg(src, dst)
+    assert not [
+        f for _, _, fs in os.walk(os.path.join(dst, "data"))
+        for f in fs if f.endswith(".parquet")
+    ], "fork copied data bytes"
+    fork = I.read_iceberg(spark, dst)
+    assert fork.count() == 30
+    assert {r.g for r in fork.select("g").distinct().collect()} == {0, 1, 2}
+
+    # fork diverges: append (mixed roots), then a row-level delete
+    # THROUGH the multi-root scan; manifest pruning still prunes
+    I.write_iceberg(
+        spark.range(100, 106).selectExpr(
+            "id", "cast(id % 3 as int) AS g", "id * 2.0 AS v"
+        ),
+        dst, "append",
+    )
+    assert I.read_iceberg(spark, dst).count() == 36
+    assert I.read_iceberg(spark, dst).filter("g = 1").count() == 12
+    assert len(I.plan_files(dst, eq={"g": 1})) < len(I.plan_files(dst))
+    I.delete_iceberg(spark, dst, "id < 5")
+    assert {r.id for r in I.read_iceberg(spark, dst).select("id").collect()} \
+        == set(range(5, 30)) | set(range(100, 106))
+    assert I.read_iceberg(spark, src).count() == 30  # source untouched
+
+    # source evolution after the fork is invisible to it
+    I.write_iceberg(
+        spark.range(200, 205).selectExpr(
+            "id", "cast(id % 3 as int) AS g", "id * 2.0 AS v"
+        ),
+        src, "append",
+    )
+    assert I.read_iceberg(spark, dst).filter("id >= 200").count() == 0
+
+    # fork overwrite + expire can never reach source bytes
+    I.write_iceberg(
+        spark.range(3).selectExpr(
+            "id", "cast(id % 3 as int) AS g", "id * 2.0 AS v"
+        ),
+        dst, "overwrite",
+    )
+    I.expire_snapshots(dst, keep_last=1)
+    assert I.read_iceberg(spark, src).count() == 35  # all source files alive
+
+    # guards: delete-bearing sources refuse, existing dst refuses
+    I.delete_iceberg(spark, src, "id = 7")
+    with pytest.raises(ValueError, match="delete files"):
+        I.snapshot_iceberg(src, _fresh("ice_fork_nope"))
+    with pytest.raises(ValueError, match="already exists"):
+        I.snapshot_iceberg(src, dst)
+
+
 def test_iceberg_add_files_partitioned(spark, sf_dir, tmp_path):
     """Partitioned add_files (round 6): hive ``col=value`` segments in
     each imported file's own path become the manifest partition tuple;
