@@ -394,6 +394,32 @@ def _bench_lakehouse(spark, sf_dir: str) -> dict[str, float]:
             dp.read_delta(spark, dtbl).groupBy("status").count().collect(),
         ),
     )
+    # round-6 zero-copy forks/imports: the claim is O(metadata), so
+    # the timing itself is the evidence — it must stay flat as the
+    # table grows (compare across SFs)
+    timed(
+        "delta_shallow_clone",
+        lambda: dp.shallow_clone(dtbl, os.path.join(_SCRATCH, "delta_fork")),
+    )
+    timed(
+        "iceberg_snapshot_fork",
+        lambda: ip.snapshot_iceberg(
+            itbl, os.path.join(_SCRATCH, "iceberg_fork")
+        ),
+    )
+    timed(
+        "iceberg_add_files_import",
+        lambda: (
+            ip.write_iceberg(
+                spark.read.parquet(f"{sf_dir}/orders.parquet").limit(0),
+                os.path.join(_SCRATCH, "iceberg_import"), "overwrite",
+            ),
+            ip.add_files_iceberg(
+                os.path.join(_SCRATCH, "iceberg_import"),
+                [f"{sf_dir}/orders.parquet"],
+            ),
+        ),
+    )
     shutil.rmtree(_SCRATCH, ignore_errors=True)
     return out
 

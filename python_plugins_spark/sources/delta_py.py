@@ -1649,7 +1649,11 @@ def shallow_clone(src_path: str, dst_path: str) -> int:
     for rel, add in sorted(state.active.items()):
         a = dict(add)
         a["path"] = os.path.abspath(os.path.join(src_path, rel))
-        a["dataChange"] = False
+        # dataChange=TRUE: commit 0 is this table's creation — nothing
+        # was visible before it, so CDC and the streaming source must
+        # serve these rows as the initial snapshot (dataChange=false
+        # is for rearrangements of already-visible data, e.g OPTIMIZE)
+        a["dataChange"] = True
         actions.append({"add": a})
     body = "".join(json.dumps(a) + "\n" for a in actions)
     commit = os.path.join(_log_path(dst_path), f"{0:020d}.json")

@@ -1448,6 +1448,30 @@ def test_delta_shallow_clone_partitioned(spark, tmp_path):
     pruned = dp.read_delta(spark, dst, prune={"g": (2, 2)})
     assert {r.g for r in pruned.select("g").distinct().collect()} == {2}
 
+    # the streaming source reads the clone's ABSOLUTE references too
+    # (it opens each file by abs_path and reattaches partitionValues
+    # from the add — no basePath involved)
+    from python_plugins_spark.sources import delta_stream
+
+    delta_stream.register(spark)
+    q = (
+        spark.readStream.format("delta_py_stream")
+        .option("path", dst)
+        .option("ignoreChanges", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("pclone_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    srows = spark.table("pclone_stream").collect()
+    assert {r.id for r in srows} >= set(range(4, 40))
+    assert all(r.g is not None for r in srows)
+
     # DV-bearing sources clone too (round 6): sidecars hard-link into
     # the clone root under their unchanged relative names, so the
     # clone-of-a-clone sees exactly the fork's merge-on-read state
