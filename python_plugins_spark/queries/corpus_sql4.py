@@ -28,6 +28,53 @@ from python_plugins_spark.queries._core import (  # noqa: F401
 # =====================================================================
 
 @register(
+    "corpus_shuffle_shards",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             md5(concat('epoch0', ':', CAST(doc_id AS VARCHAR))) AS key
+      FROM documents
+    ), s AS (
+      SELECT doc_id, key,
+             CAST((('0x' || substr(key, 1, 8))::UBIGINT % 8) AS BIGINT)
+               AS shard
+      FROM k
+    )
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard
+                              ORDER BY key, doc_id) AS pos
+    FROM s
+    """,
+)
+def corpus_shuffle_shards(spark, sf_dir):
+    """Deterministic GLOBAL SHUFFLE + sharding — the training-order
+    randomization step before a corpus is written out as shards. Each
+    doc draws a pseudorandom key md5(seed:doc_id) (re-seed per epoch by
+    changing the literal — no RNG state to coordinate across 1000
+    executors), its shard is the key's top 32 bits mod n_shards, and
+    its position is the rank of the key WITHIN the shard. Bit-identical
+    across runs, machines, and engines. Scale: ONE hash-partition
+    shuffle on shard + an in-partition sort — never a global sort; at
+    100 TB each shard sorts independently, which is exactly how the
+    shard files would be written."""
+    docs = load_table(spark, "documents", sf_dir)
+    key = F.md5(
+        F.concat_ws(":", F.lit("epoch0"), F.col("doc_id").cast("string"))
+    )
+    keyed = docs.select(
+        "doc_id",
+        key.alias("key"),
+        F.pmod(
+            F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), F.lit(8)
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+@register(
     "hash_split_train_test",
     oracle="""
     WITH tagged AS (
