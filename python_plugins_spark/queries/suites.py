@@ -2120,6 +2120,51 @@ def delta_shallow_clone_fork(spark, sf_dir):
 
 
 @register(
+    "iceberg_rollback_snapshot",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_rollback_snapshot(spark, sf_dir):
+    """rollback_to_snapshot (round 6 — Delta RESTORE's format twin): a
+    bad load lands as snapshot 2, ONE metadata-only commit moves main
+    back to snapshot 1 (history preserved — the bad snapshot still
+    time-travels, asserted), and the corrected load appends on top of
+    the rolled-back state. Undo cost is one metadata write regardless
+    of how much data the mis-step touched."""
+    import os
+    import shutil
+
+    import python_plugins_spark.sources.iceberg_py as I
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"irollback_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    I.write_iceberg(o.filter(F.col("o_orderkey") % 2 == 0), path, "overwrite")
+    bad = I.write_iceberg(
+        o.filter(F.col("o_orderkey") % 2 == 1), path, "append"
+    )
+    I.rollback_iceberg(path, 1)
+    # the bad snapshot still time-travels (history, not a rewrite)
+    assert I.read_iceberg(spark, path, snapshot_id=bad).count() > \
+        I.read_iceberg(spark, path).count()
+    I.write_iceberg(o.filter(F.col("o_orderkey") % 4 == 1), path, "append")
+    back = I.read_iceberg(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("total"),
+    )
+
+
+@register(
     "iceberg_snapshot_fork",
     oracle="""
     SELECT o_orderpriority, count(*) AS n,

@@ -2235,6 +2235,43 @@ def fast_forward_main(path: str, branch: str) -> int:
     return version
 
 
+def rollback_iceberg(path: str, snapshot_id: int) -> int:
+    """Iceberg's ``rollback_to_snapshot`` procedure — the format twin
+    of Delta RESTORE: move ``current-snapshot-id`` back to an existing
+    snapshot in ONE metadata-only commit. History is preserved (the
+    rolled-over snapshots stay in the list, still time-travelable and
+    auditable; ``expire_snapshots`` reclaims them later if asked), so
+    the mis-step costs one metadata write to undo regardless of how
+    much data it touched. The next append builds on the rolled-back
+    snapshot's manifest list — the bad snapshot's files simply stop
+    being referenced by main."""
+    base_version = current_metadata_version(path)
+    meta = _load_metadata(path, base_version)
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if snapshot_id not in by_id:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in table "
+            f"(have {sorted(by_id)})"
+        )
+    if meta.get("current-snapshot-id") == snapshot_id:
+        return base_version
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    new_meta["last-updated-ms"] = now_ms
+    version = (base_version or 0) + 1
+    meta_file = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
+    if not _put_if_absent(json.dumps(new_meta), meta_file):
+        raise IcebergConcurrentWriteError(
+            f"concurrent commit at version {version}: re-run the rollback"
+        )
+    _advance_hint(path, version)
+    return version
+
+
 def remove_orphan_files(
     path: str, older_than_hours: float = 72.0, dry_run: bool = False
 ) -> list[str]:

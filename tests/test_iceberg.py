@@ -1801,6 +1801,45 @@ def test_iceberg_snapshot_table_fork(spark):
         I.snapshot_iceberg(src, dst)
 
 
+def test_iceberg_rollback_to_snapshot(spark):
+    """rollback_iceberg (round 6 — Delta RESTORE's format twin): one
+    metadata-only commit moves current back to an existing snapshot;
+    history is preserved (the bad snapshot still time-travels), the
+    next append builds on the rolled-back state, and expire can
+    reclaim the orphaned snapshot later."""
+    import pytest
+
+    import python_plugins_spark.sources.iceberg_py as I
+
+    p = _fresh("ice_rollback")
+    I.write_iceberg(
+        spark.range(10).selectExpr("id", "id * 2.0 AS v"), p, "overwrite"
+    )  # snapshot 1
+    I.write_iceberg(
+        spark.range(100, 105).selectExpr("id", "id * 2.0 AS v"), p, "append"
+    )  # snapshot 2 — the "bad" load
+    assert I.read_iceberg(spark, p).count() == 15
+
+    v = I.rollback_iceberg(p, 1)
+    assert v == 3  # a new metadata version, not a rewrite
+    assert {r.id for r in I.read_iceberg(spark, p).collect()} == set(range(10))
+    # the bad snapshot still time-travels (history preserved)
+    assert I.read_iceberg(spark, p, snapshot_id=2).count() == 15
+
+    # the next append builds on the rolled-back snapshot
+    I.write_iceberg(
+        spark.range(50, 53).selectExpr("id", "id * 2.0 AS v"), p, "append"
+    )
+    assert {r.id for r in I.read_iceberg(spark, p).collect()} \
+        == set(range(10)) | {50, 51, 52}
+
+    # idempotent when already current; unknown snapshot refuses
+    assert I.rollback_iceberg(p, I._load_metadata(p)["current-snapshot-id"]) \
+        == I.current_metadata_version(p)
+    with pytest.raises(ValueError, match="not in table"):
+        I.rollback_iceberg(p, 999)
+
+
 def test_iceberg_add_files_partitioned(spark, sf_dir, tmp_path):
     """Partitioned add_files (round 6): hive ``col=value`` segments in
     each imported file's own path become the manifest partition tuple;
