@@ -2120,6 +2120,57 @@ def delta_shallow_clone_fork(spark, sf_dir):
 
 
 @register(
+    "iceberg_partition_evolution",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def iceberg_partition_evolution(spark, sf_dir):
+    """PARTITION SPEC EVOLUTION (round 6 — Iceberg's headline
+    advantage over hive layouts): the first half of orders lands
+    identity-partitioned by o_orderpriority, then ONE metadata-only
+    commit switches the table to bucket(o_custkey, 8) and the second
+    half lands under the new spec — no file rewritten (asserted: the
+    spec-0 file set is unchanged). The aggregate spans BOTH layouts,
+    and pruning applies each file's OWN spec (asserted: an
+    o_orderpriority predicate still eliminates old-layout files)."""
+    import os
+    import shutil
+
+    import python_plugins_spark.sources.iceberg_py as I
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"ispecevo_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    I.write_iceberg(
+        o.filter(F.col("o_orderkey") % 2 == 0), path, "overwrite",
+        partition_by="o_orderpriority",
+    )
+    old_files = {f["path"] for f in I.plan_files(path)}
+    I.evolve_partition_spec(
+        path, {"transform": "bucket", "source": "o_custkey", "n": 8}
+    )
+    I.write_iceberg(o.filter(F.col("o_orderkey") % 2 == 1), path, "append")
+    now = I.plan_files(path)
+    assert {f["path"] for f in now} >= old_files, "spec evolution rewrote files"
+    assert {f["spec_id"] for f in now} == {0, 1}
+    pruned = I.plan_files(path, eq={"o_orderpriority": "1-URGENT"})
+    assert len(pruned) < len(now), "old-layout pruning broke"
+    back = I.read_iceberg(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("total"),
+    )
+
+
+@register(
     "iceberg_rollback_snapshot",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,

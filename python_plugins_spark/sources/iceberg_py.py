@@ -2235,6 +2235,71 @@ def fast_forward_main(path: str, branch: str) -> int:
     return version
 
 
+def evolve_partition_spec(path: str, partition_by) -> int:
+    """Iceberg PARTITION SPEC EVOLUTION — the format's headline
+    advantage over hive layouts: change how NEW data is partitioned in
+    ONE metadata-only commit. A fresh spec (new spec-id) becomes the
+    table default; existing files keep the spec they were written
+    with, and reads handle both (`read_iceberg` builds one scan per
+    layout group; `plan_files` prunes each file under ITS spec — old
+    files by their partition tuples, new files by column bounds, and
+    vice versa). No data is rewritten, ever: repartitioning a 100 TB
+    table is this one commit plus time.
+
+    ``partition_by`` takes the same shapes as ``write_iceberg`` (a
+    column name, a hidden-transform dict, or a list of either);
+    ``None`` / ``[]`` evolves to UNPARTITIONED (new files land flat).
+    Returns the new metadata version."""
+    base_version = current_metadata_version(path)
+    meta = _load_metadata(path, base_version)
+    pspecs = _normalize_pspecs(partition_by)
+    committed = _pspecs_from_meta(meta)
+    if [(p_["pname"], p_["tstr"]) for p_ in pspecs] == [
+        (p_["pname"], p_["tstr"]) for p_ in committed
+    ]:
+        return base_version  # already the default spec
+    node = _current_schema_node(meta)
+    name_to_id = {f["name"]: f["id"] for f in node["fields"]}
+    missing = [p_["source"] for p_ in pspecs if p_["source"] not in name_to_id]
+    if missing:
+        raise ValueError(f"partition source column(s) {missing} not in schema")
+    old_specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+    next_spec_id = max(sp.get("spec-id", 0) for sp in old_specs) + 1
+    # spec: partition field-ids are unique ACROSS specs
+    used_fids = [
+        f.get("field-id", 999)
+        for sp in old_specs
+        for f in (sp.get("fields") or [])
+    ]
+    next_fid = max(used_fids, default=999) + 1
+    new_spec = {
+        "spec-id": next_spec_id,
+        "fields": [
+            {
+                "name": p_["pname"],
+                "transform": p_["tstr"],
+                "source-id": name_to_id[p_["source"]],
+                "field-id": next_fid + i,
+            }
+            for i, p_ in enumerate(pspecs)
+        ],
+    }
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(meta)
+    new_meta["partition-specs"] = old_specs + [new_spec]
+    new_meta["default-spec-id"] = next_spec_id
+    new_meta["last-updated-ms"] = now_ms
+    version = (base_version or 0) + 1
+    meta_file = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
+    if not _put_if_absent(json.dumps(new_meta), meta_file):
+        raise IcebergConcurrentWriteError(
+            f"concurrent commit at version {version}: re-run the spec "
+            "evolution"
+        )
+    _advance_hint(path, version)
+    return version
+
+
 def rollback_iceberg(path: str, snapshot_id: int) -> int:
     """Iceberg's ``rollback_to_snapshot`` procedure — the format twin
     of Delta RESTORE: move ``current-snapshot-id`` back to an existing

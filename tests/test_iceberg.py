@@ -1801,6 +1801,50 @@ def test_iceberg_snapshot_table_fork(spark):
         I.snapshot_iceberg(src, dst)
 
 
+def test_iceberg_partition_spec_evolution(spark):
+    """evolve_partition_spec (round 6): change how NEW data partitions
+    in one metadata commit — old files keep their spec, reads span
+    both layouts, and pruning applies each file's OWN spec (old files
+    by tuple, new files by bounds). No data rewritten."""
+    import pytest
+
+    import python_plugins_spark.sources.iceberg_py as I
+
+    p = _fresh("ice_spec_evolve")
+    rows = lambda a, b: spark.range(a, b).selectExpr(  # noqa: E731
+        "id", "cast(id % 3 as int) AS g", "id * 2.0 AS v"
+    )
+    I.write_iceberg(rows(0, 20), p, "overwrite", partition_by="g")
+    v = I.evolve_partition_spec(
+        p, {"transform": "bucket", "source": "id", "n": 4}
+    )
+    assert v == 2  # metadata-only commit
+    I.write_iceberg(rows(100, 120), p, "append")  # lands under spec 1
+
+    back = I.read_iceberg(spark, p)
+    assert back.count() == 40
+    assert {r.g for r in back.select("g").distinct().collect()} == {0, 1, 2}
+    # files live under BOTH specs
+    specs = {f["spec_id"] for f in I.plan_files(p)}
+    assert specs == {0, 1}
+    # pruning applies each file's own spec: eq on g eliminates the old
+    # identity files of other partitions (tuple) while new bucket
+    # files stay unless their g-bounds exclude the value
+    assert len(I.plan_files(p, eq={"g": 1})) < len(I.plan_files(p))
+    assert I.read_iceberg(spark, p, eq={"g": 1}).filter("g = 1").count() == 14
+
+    # evolve to UNPARTITIONED: new files land flat, everything reads
+    I.evolve_partition_spec(p, None)
+    I.write_iceberg(rows(200, 205), p, "append")
+    assert I.read_iceberg(spark, p).count() == 45
+    assert {f["spec_id"] for f in I.plan_files(p)} == {0, 1, 2}
+
+    # same-spec evolution is a no-op; unknown source refuses
+    assert I.evolve_partition_spec(p, None) == I.current_metadata_version(p)
+    with pytest.raises(ValueError, match="not in schema"):
+        I.evolve_partition_spec(p, "nope")
+
+
 def test_iceberg_rollback_to_snapshot(spark):
     """rollback_iceberg (round 6 — Delta RESTORE's format twin): one
     metadata-only commit moves current back to an existing snapshot;
