@@ -2120,6 +2120,83 @@ def delta_shallow_clone_fork(spark, sf_dir):
 
 
 @register(
+    "delta_time_travel_timestamp",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def delta_time_travel_timestamp(spark, sf_dir):
+    """TIMESTAMP AS OF (round 6): the even-key half commits, a
+    wall-clock timestamp is captured, the odd-key half commits later —
+    and the timestamp read resolves to the first commit only (the
+    latest version at or before the captured time). The audit shape:
+    'what did the table say when the report ran?'."""
+    import os
+    import shutil
+    import time as _time
+
+    import python_plugins_spark.sources.delta_py as dp
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"dtt_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    dp.write_delta(o.filter(F.col("o_orderkey") % 2 == 0), path, "overwrite")
+    t_mid = int(_time.time() * 1000)
+    _time.sleep(0.05)  # keep the second commit out of t_mid's millisecond
+    dp.write_delta(o.filter(F.col("o_orderkey") % 2 == 1), path, "append")
+    back = dp.read_delta(spark, path, timestamp_as_of=t_mid)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("total"),
+    )
+
+
+@register(
+    "iceberg_time_travel_timestamp",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_time_travel_timestamp(spark, sf_dir):
+    """FOR TIMESTAMP AS OF (round 6, the Iceberg twin): resolution
+    rides the spec's snapshot-log, and the resolved snapshot's
+    recorded schema-id applies — the time-travel view keeps the names
+    and types of its era."""
+    import os
+    import shutil
+    import time as _time
+
+    import python_plugins_spark.sources.iceberg_py as I
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_SCRATCH, f"itt_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    I.write_iceberg(o.filter(F.col("o_orderkey") % 2 == 0), path, "overwrite")
+    t_mid = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    I.write_iceberg(o.filter(F.col("o_orderkey") % 2 == 1), path, "append")
+    back = I.read_iceberg(spark, path, as_of_timestamp=t_mid)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("total"),
+    )
+
+
+@register(
     "iceberg_partition_evolution",
     oracle="""
     SELECT o_orderpriority, count(*) AS n,

@@ -389,11 +389,47 @@ def _replay(table_path: str, version_as_of: int | None = None):
     return state.meta["schemaString"], state.active
 
 
+def version_at_timestamp(table_path: str, ts_ms) -> int:
+    """TIMESTAMP AS OF resolution: the latest committed version whose
+    commit timestamp is <= ``ts_ms`` (epoch millis, or an ISO-8601
+    string). Commit times come from each commit's commitInfo action
+    (file mtime for commits predating commitInfo). Raises if the
+    timestamp predates the table — the same error surface as Delta."""
+    if isinstance(ts_ms, str):
+        import datetime
+
+        dt = datetime.datetime.fromisoformat(ts_ms)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        ts_ms = int(dt.timestamp() * 1000)
+    best = None
+    for version, cpath in _commit_files(table_path):
+        commit_ts = None
+        with open(cpath) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                info = json.loads(line).get("commitInfo")
+                if info is not None:
+                    commit_ts = info.get("timestamp")
+                break  # commitInfo is written first in every commit
+        if commit_ts is None:
+            commit_ts = int(os.path.getmtime(cpath) * 1000)
+        if commit_ts <= ts_ms:
+            best = version
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts_ms} predates the first commit of {table_path}"
+        )
+    return best
+
+
 def read_delta(
     spark: SparkSession,
     table_path: str,
     version_as_of: int | None = None,
     prune: dict[str, tuple] | None = None,
+    timestamp_as_of=None,
 ) -> DataFrame:
     """Snapshot (or time-travel) read: replay the log, scan the active
     parquet files natively. An empty snapshot returns an empty frame
@@ -406,7 +442,15 @@ def read_delta(
     (with a Z-ordered or partitioned layout) turns a selective 100 TB
     scan into a few-file read. It is a HINT, not a filter: callers
     still apply the exact predicate; files without stats are
-    conservatively kept."""
+    conservatively kept.
+
+    ``timestamp_as_of`` (epoch millis or ISO-8601 string) is TIMESTAMP
+    AS OF time travel: resolves to the latest version committed at or
+    before the given time (:func:`version_at_timestamp`)."""
+    if timestamp_as_of is not None:
+        if version_as_of is not None:
+            raise ValueError("pass version_as_of OR timestamp_as_of, not both")
+        version_as_of = version_at_timestamp(table_path, timestamp_as_of)
     state = _replay_state(table_path, version_as_of)
     schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
     active = state.active

@@ -1498,6 +1498,29 @@ def plan_files(
     return out
 
 
+def snapshot_at_timestamp(meta: dict, ts_ms) -> int:
+    """FOR TIMESTAMP AS OF resolution (spec: snapshot-log): the latest
+    MAIN-history snapshot whose timestamp-ms is <= ``ts_ms`` (epoch
+    millis, or an ISO-8601 string). Raises if the timestamp predates
+    the table."""
+    if isinstance(ts_ms, str):
+        import datetime
+
+        dt = datetime.datetime.fromisoformat(ts_ms)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        ts_ms = int(dt.timestamp() * 1000)
+    best = None
+    for e in meta.get("snapshot-log", []):
+        if e["timestamp-ms"] <= ts_ms:
+            best = e["snapshot-id"]
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts_ms} predates the table's first snapshot"
+        )
+    return best
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
@@ -1506,6 +1529,7 @@ def read_iceberg(
     ranges: dict | None = None,
     with_row_identity: bool = False,
     ref: str | None = None,
+    as_of_timestamp=None,
 ) -> DataFrame:
     """Snapshot (or time-travel) read with manifest-level pruning; the
     surviving file list goes straight to Spark's vectorized parquet
@@ -1519,10 +1543,17 @@ def read_iceberg(
     from functools import reduce
 
     meta = _load_metadata(path)
+    if sum(x is not None for x in (snapshot_id, ref, as_of_timestamp)) > 1:
+        raise ValueError(
+            "pass at most one of snapshot_id, ref, as_of_timestamp"
+        )
     if ref is not None:
-        if snapshot_id is not None:
-            raise ValueError("pass snapshot_id OR ref, not both")
         snapshot_id = resolve_ref(meta, ref)
+    elif as_of_timestamp is not None:
+        # FOR TIMESTAMP AS OF: resolve via the main snapshot-log; the
+        # snapshot's recorded schema-id then applies below, so the
+        # time-travel view keeps the names/types of its era
+        snapshot_id = snapshot_at_timestamp(meta, as_of_timestamp)
     # time travel reads under the SCHEMA THE SNAPSHOT RECORDED (spec:
     # per-snapshot schema-id) — a rename after snapshot N must not
     # relabel N's time-travel view; snapshots predating the stamp fall

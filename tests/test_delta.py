@@ -1325,6 +1325,41 @@ def test_delta_column_mapping_partitioned_table(spark, tmp_path):
     assert all(r.grp is not None for r in rows)
 
 
+def test_delta_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF (round 6): resolves to the latest version
+    committed at or before the given time (epoch ms or ISO string);
+    predating timestamps refuse; mutually exclusive with
+    version_as_of."""
+    import time as _time
+
+    import pytest
+
+    import python_plugins_spark.sources.delta_py as dp
+
+    p = str(tmp_path / "ts_t")
+    dp.write_delta(spark.range(10).selectExpr("id", "id * 2.0 AS v"), p, "overwrite")
+    t_mid = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    dp.write_delta(
+        spark.range(10, 15).selectExpr("id", "id * 2.0 AS v"), p, "append"
+    )
+    assert dp.read_delta(spark, p, timestamp_as_of=t_mid).count() == 10
+    assert dp.read_delta(
+        spark, p, timestamp_as_of=int(_time.time() * 1000) + 1000
+    ).count() == 15
+    # ISO-8601 string form
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(
+        t_mid / 1000, tz=datetime.timezone.utc
+    ).isoformat()
+    assert dp.read_delta(spark, p, timestamp_as_of=iso).count() == 10
+    with pytest.raises(ValueError, match="predates"):
+        dp.read_delta(spark, p, timestamp_as_of=0)
+    with pytest.raises(ValueError, match="not both"):
+        dp.read_delta(spark, p, version_as_of=0, timestamp_as_of=t_mid)
+
+
 def test_delta_table_history(spark):
     """DESCRIBE HISTORY: every commit carries a commitInfo audit
     record; table_history returns them newest-first with operation

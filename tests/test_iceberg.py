@@ -1845,6 +1845,36 @@ def test_iceberg_partition_spec_evolution(spark):
         I.evolve_partition_spec(p, "nope")
 
 
+def test_iceberg_timestamp_time_travel(spark):
+    """FOR TIMESTAMP AS OF (round 6): resolves via the main
+    snapshot-log to the latest snapshot at or before the given time;
+    the snapshot's recorded schema applies; predating timestamps
+    refuse; exclusive with snapshot_id/ref."""
+    import time as _time
+
+    import pytest
+
+    import python_plugins_spark.sources.iceberg_py as I
+
+    p = _fresh("ice_ts_travel")
+    I.write_iceberg(
+        spark.range(10).selectExpr("id", "id * 2.0 AS v"), p, "overwrite"
+    )
+    t_mid = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    I.write_iceberg(
+        spark.range(10, 15).selectExpr("id", "id * 2.0 AS v"), p, "append"
+    )
+    assert I.read_iceberg(spark, p, as_of_timestamp=t_mid).count() == 10
+    assert I.read_iceberg(
+        spark, p, as_of_timestamp=int(_time.time() * 1000) + 1000
+    ).count() == 15
+    with pytest.raises(ValueError, match="predates"):
+        I.read_iceberg(spark, p, as_of_timestamp=1)
+    with pytest.raises(ValueError, match="at most one"):
+        I.read_iceberg(spark, p, snapshot_id=1, as_of_timestamp=t_mid)
+
+
 def test_iceberg_rollback_to_snapshot(spark):
     """rollback_iceberg (round 6 — Delta RESTORE's format twin): one
     metadata-only commit moves current back to an existing snapshot;
