@@ -2732,13 +2732,24 @@ def update_delta(
 
 # ------------------------------------------------------------ restore
 
-def restore_delta(spark: SparkSession, table_path: str, version: int) -> int:
+def restore_delta(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    timestamp_as_of=None,
+) -> int:
     """RESTORE TABLE TO VERSION — commit a new version whose active
     file set equals the target snapshot's: removes files added since,
     re-adds files removed since (possible while VACUUM's retention
     window holds them — the same constraint the reference RESTORE
     documents). History is preserved: the restore is itself a commit,
-    so nothing is rewritten and the mis-step remains auditable."""
+    so nothing is rewritten and the mis-step remains auditable.
+    ``timestamp_as_of`` restores to the latest version committed at or
+    before the given time instead (RESTORE ... TO TIMESTAMP AS OF)."""
+    if (version is None) == (timestamp_as_of is None):
+        raise ValueError("pass exactly one of version, timestamp_as_of")
+    if timestamp_as_of is not None:
+        version = version_at_timestamp(table_path, timestamp_as_of)
     cur_version = table_version(table_path)
     if cur_version < 0:
         raise FileNotFoundError(f"no Delta table at {table_path}")

@@ -1359,6 +1359,12 @@ def test_delta_timestamp_time_travel(spark, tmp_path):
     with pytest.raises(ValueError, match="not both"):
         dp.read_delta(spark, p, version_as_of=0, timestamp_as_of=t_mid)
 
+    # RESTORE ... TO TIMESTAMP AS OF rides the same resolution
+    dp.restore_delta(spark, p, timestamp_as_of=t_mid)
+    assert dp.read_delta(spark, p).count() == 10
+    with pytest.raises(ValueError, match="exactly one"):
+        dp.restore_delta(spark, p)
+
 
 def test_delta_table_history(spark):
     """DESCRIBE HISTORY: every commit carries a commitInfo audit
