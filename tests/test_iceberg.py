@@ -1793,6 +1793,31 @@ def test_iceberg_snapshot_table_fork(spark):
     I.expire_snapshots(dst, keep_last=1)
     assert I.read_iceberg(spark, src).count() == 35  # all source files alive
 
+    # the streaming source serves the fork's base snapshot (it opens
+    # each referenced file by absolute path with pyarrow, partition
+    # values from the manifest tuple — no basePath involved)
+    from python_plugins_spark.sources import iceberg_stream
+
+    dst3 = _fresh("ice_fork_stream")
+    I.snapshot_iceberg(src, dst3)
+    iceberg_stream.register(spark)
+    q = (
+        spark.readStream.format("iceberg_py_stream")
+        .option("path", dst3)
+        .load()
+        .writeStream.format("memory")
+        .queryName("fork_stream_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    srows = spark.table("fork_stream_sink").collect()
+    assert {r.id for r in srows} == set(range(30)) | set(range(200, 205))
+    assert all(r.g is not None for r in srows)
+
     # guards: delete-bearing sources refuse, existing dst refuses
     I.delete_iceberg(spark, src, "id = 7")
     with pytest.raises(ValueError, match="delete files"):

@@ -41,6 +41,13 @@ def test_q1_single_shuffle(spark, sf_dir):
     assert count_shuffles(df) == 1
 
 
+def test_corpus_shuffle_single_exchange(spark, sf_dir):
+    df = QUERIES["corpus_shuffle_shards"](spark, sf_dir)
+    # scan -> exchange on shard -> in-partition sort + row_number:
+    # a deterministic global shuffle must never cost a global sort
+    assert count_shuffles(df) == 1
+
+
 def test_q3_broadcasts_customer(spark, sf_dir):
     df = QUERIES["q3_top_orders"](spark, sf_dir)
     assert has_broadcast_join(df)
