@@ -234,6 +234,49 @@ def _install_convert_queries():
             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
         )
 
+    @register(
+        "convert_mapped_delta_to_iceberg",
+        oracle="""
+        SELECT o_orderpriority AS priority, count(*) AS n,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders GROUP BY o_orderpriority
+        """,
+    )
+    def convert_mapped_delta_to_iceberg(spark, sf_dir):
+        """Column-MAPPED Delta converts to Iceberg (round 6): after a
+        mapping upgrade and a rename, the data files store the old
+        PHYSICAL column names — conversion threads delta's
+        physicalName into the iceberg field's write-name (the same
+        stable-physical-name mechanism iceberg's own id-based renames
+        use), so the hard-linked files resolve unchanged and the read
+        surfaces the renamed LOGICAL names. A wrong name mapping
+        cannot hash-match the oracle."""
+        import os
+        import shutil
+
+        import python_plugins_spark.sources.delta_py as dp
+        from python_plugins_spark.sources.convert import convert_delta_to_iceberg
+        from python_plugins_spark.sources.iceberg_py import read_iceberg
+
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        dlt = os.path.join(_SCRATCH, f"cvq_mapped_src_{tag}")
+        ice = os.path.join(_SCRATCH, f"cvq_mapped_dst_{tag}")
+        shutil.rmtree(dlt, ignore_errors=True)
+        shutil.rmtree(ice, ignore_errors=True)
+        dp.write_delta(o, dlt, mode="overwrite")
+        dp.enable_column_mapping(dlt)
+        dp.rename_column(dlt, "o_orderpriority", "priority")
+        convert_delta_to_iceberg(dlt, ice)
+        back = read_iceberg(spark, ice)
+        assert set(back.columns) == {"o_orderkey", "priority", "o_totalprice"}
+        return back.groupBy("priority").agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+
 
 _install_convert_queries()
 

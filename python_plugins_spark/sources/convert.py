@@ -15,10 +15,14 @@ Preconditions (checked, not assumed):
   equality deletes pending would need merge-on-read application; run
   ``rewrite_data_files`` first — the error says so).
 - Delta -> Iceberg likewise refuses tables with live deletion vectors
-  (run ``optimize_delta`` first) and, like the Iceberg layer's single
-  identity-partition model: identity-partitioned sources convert
-  (multi-column too); hidden-partitioning transforms, evolved specs,
-  and column-mapping tables refuse with the materialization pointer.
+  (run ``optimize_delta`` first). Identity-partitioned sources convert
+  (multi-column too); column-mapped tables convert — the delta
+  physicalName becomes the iceberg field's write-name, the same
+  stable-physical-name mechanism the iceberg layer uses for id-based
+  renames — except when a PARTITION column was renamed (the identity
+  layout keys on the column's name; materialize first). Iceberg ->
+  Delta still refuses hidden-partitioning transforms and evolved
+  (mixed-layout) specs, which Delta cannot represent.
 - The target path must not already contain a table: conversion
   publishes version 0 / v1 via the same put-if-absent primitive the
   writers use, so a concurrent creation is a detected conflict.
@@ -129,12 +133,6 @@ def convert_delta_to_iceberg(delta_path: str, ice_path: str) -> int:
     """Publish the CURRENT Delta snapshot as Iceberg snapshot 1.
     Returns the committed snapshot id (always 1)."""
     state = DP._replay_state(delta_path)
-    if DP.column_mapping_enabled(state.meta):
-        raise ValueError(
-            "delta table uses column mapping (files store physical "
-            "column names the iceberg schema would not match); "
-            "materialize it first"
-        )
     part_cols = state.meta.get("partitionColumns") or []
     dvs = [a for a in state.active.values() if a.get("deletionVector")]
     if dvs:
@@ -143,8 +141,38 @@ def convert_delta_to_iceberg(delta_path: str, ice_path: str) -> int:
             "vectors; run optimize_delta() to purge them, then convert"
         )
     schema = T.StructType.fromJson(json.loads(state.meta["schemaString"]))
+    # column mapping converts too (round 6): delta's per-field
+    # physicalName becomes the iceberg field's write-name — the exact
+    # same stable-physical-name mechanism the iceberg layer uses for
+    # its own id-based renames, so the linked files' parquet columns
+    # resolve unchanged. Only a RENAMED PARTITION column refuses
+    # (delta partitionColumns are physical names; the iceberg identity
+    # layout would partition by the logical one — and the iceberg
+    # layer forbids renaming partition sources anyway).
+    cm = DP.column_mapping_enabled(state.meta)
+    _phys = {
+        f.name: (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+        for f in schema.fields
+    } if cm else {f.name: f.name for f in schema.fields}
+    renamed_parts = [
+        f.name for f in schema.fields
+        if _phys[f.name] in part_cols and _phys[f.name] != f.name
+    ]
+    if renamed_parts:
+        raise ValueError(
+            f"partition column(s) {renamed_parts} were renamed under "
+            "column mapping; materialize the table first (iceberg "
+            "identity layouts key on the partition column's name)"
+        )
+    # bounds (and the linked files' columns) use PHYSICAL names
     data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+        [
+            T.StructField(_phys[f.name], f.dataType, f.nullable)
+            for f in schema.fields
+            if f.name not in part_cols
+        ]
     )
 
     os.makedirs(IP._meta_dir(ice_path), exist_ok=True)
@@ -199,12 +227,16 @@ def convert_delta_to_iceberg(delta_path: str, ice_path: str) -> int:
         }
         for i, c in enumerate(part_cols)
     ]
+    ice_node = IP.spark_schema_to_iceberg(schema)
+    for fj, fs in zip(ice_node["fields"], schema.fields):
+        if _phys[fs.name] != fs.name:
+            fj["write-name"] = _phys[fs.name]
     new_meta = {
         "format-version": 2,
         "table-uuid": str(uuid.uuid4()),
         "location": ice_path,
         "last-updated-ms": now_ms,
-        "schemas": [IP.spark_schema_to_iceberg(schema)],
+        "schemas": [ice_node],
         "current-schema-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,

@@ -2082,54 +2082,6 @@ def upgrade_format_version(path: str, to_version: int = 2) -> int:
     return version
 
 
-def evolve_partition_spec(path: str, new_partition_by) -> int:
-    """Partition-spec EVOLUTION (spec 'Partition Evolution'): commit a
-    NEW default spec — subsequent writes lay data out under it, while
-    every existing file keeps the spec it was written with (specs are
-    kept forever; manifests name their spec id, and both scan planning
-    and reads resolve layout per manifest). Metadata-only: no data
-    file moves, no snapshot. Returns the committed metadata version.
-
-    The 100 TB point: repartitioning a table is otherwise a full
-    rewrite; evolution changes the layout of FUTURE data for free, and
-    a later rewrite_data_files migrates old files incrementally."""
-    base_version = current_metadata_version(path)
-    meta = _load_metadata(path, base_version)
-    pspecs = _normalize_pspecs(new_partition_by)
-    schema_names = [f["name"] for f in _current_schema_node(meta)["fields"]]
-    missing = [p_["source"] for p_ in pspecs if p_["source"] not in schema_names]
-    if missing:
-        raise ValueError(f"partition sources not in schema: {missing}")
-    specs = list(meta.get("partition-specs") or [])
-    new_id = max((sp.get("spec-id", 0) for sp in specs), default=-1) + 1
-    specs.append(
-        {
-            "spec-id": new_id,
-            "fields": [
-                {
-                    "name": p_["pname"],
-                    "transform": p_["tstr"],
-                    "source-id": schema_names.index(p_["source"]) + 1,
-                    "field-id": 1000 + i,
-                }
-                for i, p_ in enumerate(pspecs)
-            ],
-        }
-    )
-    new_meta = dict(meta)
-    new_meta["partition-specs"] = specs
-    new_meta["default-spec-id"] = new_id
-    new_meta["last-updated-ms"] = int(time.time() * 1000)
-    version = (base_version or 0) + 1
-    meta_file = os.path.join(_meta_dir(path), f"v{version}.metadata.json")
-    if not _put_if_absent(json.dumps(new_meta), meta_file):
-        raise IcebergConcurrentWriteError(
-            f"concurrent commit at version {version}: re-run the spec evolution"
-        )
-    _advance_hint(path, version)
-    return version
-
-
 def table_history_iceberg(path: str) -> list[dict]:
     """The audit surface (Iceberg twin of delta_py.table_history):
     one record per snapshot, newest first, from the snapshot list's

@@ -1431,13 +1431,42 @@ def test_convert_guards_round4_layouts(spark):
     with pytest.raises(ValueError, match="evolved"):
         CV.convert_iceberg_to_delta(ice2, _fresh("cv_evolved_d"))
 
-    # column-mapped delta refuses -> iceberg
+    # column-mapped delta CONVERTS -> iceberg (round 6): the delta
+    # physicalName becomes the iceberg field's write-name, so the
+    # linked files' parquet columns resolve and the read surfaces the
+    # LOGICAL (renamed) names
     dt = _fresh("cv_mapped")
-    dp.write_delta(spark.range(10).selectExpr("id", "id AS v"), dt, "overwrite")
+    dp.write_delta(spark.range(10).selectExpr("id", "id * 3.0 AS v"), dt, "overwrite")
     dp.enable_column_mapping(dt)
     dp.rename_column(dt, "v", "w")
-    with pytest.raises(ValueError, match="column mapping"):
-        CV.convert_delta_to_iceberg(dt, _fresh("cv_mapped_i"))
+    ice_m = _fresh("cv_mapped_i")
+    CV.convert_delta_to_iceberg(dt, ice_m)
+    back_m = I.read_iceberg(spark, ice_m)
+    assert set(back_m.columns) == {"id", "w"}
+    assert sorted((r.id, r.w) for r in back_m.collect()) == [
+        (i, i * 3.0) for i in range(10)
+    ]
+    # appends to the converted table keep writing the stable physical
+    # name; a further iceberg-side rename composes
+    I.write_iceberg(
+        spark.range(10, 12).selectExpr("id", "id * 3.0 AS w"), ice_m, "append"
+    )
+    I.rename_column_iceberg(ice_m, "w", "w2")
+    assert {(r.id, r.w2) for r in I.read_iceberg(spark, ice_m).collect()} == {
+        (i, i * 3.0) for i in range(12)
+    }
+
+    # ...but a RENAMED PARTITION column still refuses (iceberg
+    # identity layouts key on the partition column's name)
+    dtp = _fresh("cv_mapped_part")
+    dp.write_delta(
+        spark.range(10).selectExpr("id", "id % 2 AS g"), dtp, "overwrite",
+        partition_by=["g"],
+    )
+    dp.enable_column_mapping(dtp)
+    dp.rename_column(dtp, "g", "grp")
+    with pytest.raises(ValueError, match="renamed"):
+        CV.convert_delta_to_iceberg(dtp, _fresh("cv_mapped_part_i"))
 
     # multi-column identity delta now CONVERTS
     dt2 = _fresh("cv_multi")
