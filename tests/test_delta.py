@@ -1513,6 +1513,32 @@ def test_delta_shallow_clone_partitioned(spark, tmp_path):
     assert {r.id for r in srows} >= set(range(4, 40))
     assert all(r.g is not None for r in srows)
 
+    # column-MAPPED partitioned sources clone too: the mapping config
+    # travels in the metaData verbatim, hive dirs carry the PHYSICAL
+    # partition name, and the multi-root scan aliases physical ->
+    # logical per branch
+    msrc = str(tmp_path / "cm_psrc")
+    mdst = str(tmp_path / "cm_pfork")
+    dp.write_delta(
+        spark.range(12).selectExpr("id", "id % 2 AS g", "id * 2.0 AS v"),
+        msrc, "overwrite", partition_by=["g"],
+    )
+    dp.enable_column_mapping(msrc)
+    dp.rename_column(msrc, "v", "w")
+    dp.shallow_clone(msrc, mdst)
+    dp.write_delta(
+        spark.range(12, 15).selectExpr("id", "id % 2 AS g", "id * 2.0 AS w"),
+        mdst, "append",
+    )
+    mixed_m = dp.read_delta(spark, mdst)
+    assert set(mixed_m.columns) == {"id", "g", "w"}
+    assert sorted((r.id, r.g, r.w) for r in mixed_m.collect()) == [
+        (i, i % 2, i * 2.0) for i in range(15)
+    ]
+    dp.delete_delta(spark, mdst, "id < 2", mode="dv")
+    assert dp.read_delta(spark, mdst).count() == 13
+    assert dp.read_delta(spark, msrc).count() == 12
+
     # DV-bearing sources clone too (round 6): sidecars hard-link into
     # the clone root under their unchanged relative names, so the
     # clone-of-a-clone sees exactly the fork's merge-on-read state
