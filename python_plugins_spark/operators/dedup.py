@@ -676,6 +676,40 @@ def neardup_clusters(
     )
 
 
+def neardup_keep_best(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    score_col: str,
+    threshold: float = 0.5,
+    shingle: int = 3,
+) -> DataFrame:
+    """Cluster-representative selection by QUALITY (the FineWeb-style
+    refinement of min-id dedup): near-dup clustering, then each
+    cluster keeps its highest-``score_col`` doc (min-id tiebreak) —
+    dedup that preserves the best version of duplicated content
+    instead of an arbitrary one. Returns
+    ``(id_col, cluster_id, score_col, keep)``.
+
+    Scale: clustering cost is :func:`neardup_clusters`; the
+    representative choice adds ONE windowed rank over cluster_id (a
+    single hash shuffle on cluster ids — clusters are tiny, skew-free
+    by construction since candidate generation is bucket-bounded)."""
+    from pyspark.sql import Window
+
+    clusters = neardup_clusters(df, text_col, id_col, threshold, shingle)
+    scored = clusters.join(df.select(id_col, score_col), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return scored.select(
+        id_col,
+        "cluster_id",
+        score_col,
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 def neardup_clusters_oracle_sql(
     table: str, text_col: str, id_col: str, threshold: float, shingle: int = 3
 ) -> str:

@@ -521,6 +521,33 @@ def neardup_clusters_docs(spark, sf_dir):
 
 
 @register(
+    "neardup_keep_best_docs",
+    oracle=f"""
+    WITH _cc AS ({D.neardup_clusters_oracle_sql("documents", "text", "doc_id", 0.5)})
+    SELECT _cc.doc_id, _cc.cluster_id,
+           length(d.text) AS score,
+           row_number() OVER (PARTITION BY _cc.cluster_id
+                              ORDER BY length(d.text) DESC, _cc.doc_id ASC)
+             = 1 AS keep
+    FROM _cc JOIN documents d ON d.doc_id = _cc.doc_id
+    """,
+)
+def neardup_keep_best_docs(spark, sf_dir):
+    """Cluster-representative selection by quality (FineWeb-style):
+    the near-dup clusters from the shared pair graph each keep their
+    LONGEST doc (min-id tiebreak) instead of the arbitrary min-id
+    canonical — dedup that preserves the best version of duplicated
+    content. One extra windowed rank over cluster_id on top of the
+    clustering; score here is text length (deterministic and
+    engine-portable), production callers pass any quality column."""
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "score", F.length("text").cast("long")
+    )
+    out = D.neardup_keep_best(docs, "text", "doc_id", "score")
+    return out.select("doc_id", "cluster_id", "score", "keep")
+
+
+@register(
     "leakage_safe_split_docs",
     oracle=f"""
     WITH _cc AS ({D.neardup_clusters_oracle_sql("documents", "text", "doc_id", 0.5)}),

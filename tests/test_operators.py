@@ -209,6 +209,33 @@ def test_neardup_clusters_canonical_invariants(spark, sf_dir):
     assert canon.count() == cc.select("cluster_id").distinct().count()
 
 
+def test_neardup_keep_best_picks_highest_score(spark):
+    """Cluster-representative selection (round 6): within each near-dup
+    cluster exactly one doc survives — the highest score, min-id
+    tiebreak — and singletons always keep."""
+    rows = [
+        # a 3-doc near-dup cluster with distinct scores
+        (1, "the quick brown fox jumps over the lazy dog today", 10),
+        (2, "the quick brown fox jumps over the lazy dog today!", 30),
+        (3, "the quick brown fox jumps over the lazy dog today ok", 20),
+        # a singleton
+        (9, "completely unrelated text about something else entirely", 5),
+        # a 2-doc cluster with TIED scores -> min id keeps
+        (20, "pack my box with five dozen liquor jugs right now", 7),
+        (21, "pack my box with five dozen liquor jugs right now!", 7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score long")
+    out = D.neardup_keep_best(df, "text", "doc_id", "score").cache()
+    kept = {r.doc_id for r in out.filter("keep").collect()}
+    assert kept == {2, 9, 20}
+    # exactly one keeper per cluster; every doc labeled
+    assert out.count() == 6
+    assert (
+        out.filter("keep").count()
+        == out.select("cluster_id").distinct().count()
+    )
+
+
 def test_schema_evolution_merge_on_read(spark, tmp_path):
     """Data-lake schema evolution: files written under an old schema
     coexist with new-column files; mergeSchema reads the union, nulls
