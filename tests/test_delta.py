@@ -1513,6 +1513,18 @@ def test_delta_shallow_clone_partitioned(spark, tmp_path):
     assert {r.id for r in srows} >= set(range(4, 40))
     assert all(r.g is not None for r in srows)
 
+    # OPTIMIZE localizes the fork: compaction rewrites the absolute
+    # source references into the clone's own files, detaching it from
+    # the parent's retention — fork materialization for free
+    dp.optimize_delta(spark, dst)
+    import os as _os
+
+    assert not [
+        p for p in dp._replay_state(dst).active if _os.path.isabs(p)
+    ], "optimize left absolute source references"
+    assert dp.read_delta(spark, dst).count() == 44
+    assert dp.read_delta(spark, src).count() == 40  # source untouched
+
     # column-MAPPED partitioned sources clone too: the mapping config
     # travels in the metaData verbatim, hive dirs carry the PHYSICAL
     # partition name, and the multi-root scan aliases physical ->

@@ -1847,6 +1847,19 @@ def test_iceberg_snapshot_table_fork(spark):
     assert {r.id for r in srows} == set(range(30)) | set(range(200, 205))
     assert all(r.g is not None for r in srows)
 
+    # rewrite_data_files LOCALIZES a fork: compaction materializes the
+    # absolute source references into the fork's own files, detaching
+    # it from the parent's retention — fork materialization for free
+    import os as _os
+
+    assert [f for f in I.plan_files(dst3) if _os.path.isabs(f["path"])]
+    I.rewrite_data_files(spark, dst3)
+    assert not [
+        f for f in I.plan_files(dst3) if _os.path.isabs(f["path"])
+    ], "rewrite left absolute source references"
+    assert I.read_iceberg(spark, dst3).count() == 35
+    assert I.read_iceberg(spark, src).count() == 35  # source untouched
+
     # guards: delete-bearing sources refuse, existing dst refuses
     I.delete_iceberg(spark, src, "id = 7")
     with pytest.raises(ValueError, match="delete files"):
