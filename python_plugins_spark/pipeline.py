@@ -41,7 +41,9 @@ Stage types (the platform categories the reference's §2c table maps):
 
 - ``batchsource.parquet|csv|json|orc`` — config: path, schema?,
   options?
-- ``batchsource.delta|iceberg`` — this repo's table layers
+- ``batchsource.delta|iceberg`` — this repo's table layers; time
+  travel via ``version_as_of``/``timestamp_as_of`` (delta) and
+  ``snapshot_id``/``ref``/``as_of_timestamp`` (iceberg)
 - ``transform.python`` — THE reference surface: script, schema?
   (Avro-JSON or DDL), args?, on_error? ('fail'|'route')
 - ``transform.wrangler`` — config: directives (list or newline text)
@@ -265,13 +267,18 @@ def run_pipeline(
                 from python_plugins_spark.sources.delta_py import read_delta
 
                 frames[name] = read_delta(
-                    spark, cfg["path"], version_as_of=cfg.get("version_as_of")
+                    spark, cfg["path"],
+                    version_as_of=cfg.get("version_as_of"),
+                    timestamp_as_of=cfg.get("timestamp_as_of"),
                 )
             elif fmt == "iceberg":
                 from python_plugins_spark.sources.iceberg_py import read_iceberg
 
                 frames[name] = read_iceberg(
-                    spark, cfg["path"], snapshot_id=cfg.get("snapshot_id")
+                    spark, cfg["path"],
+                    snapshot_id=cfg.get("snapshot_id"),
+                    ref=cfg.get("ref"),
+                    as_of_timestamp=cfg.get("as_of_timestamp"),
                 )
             else:
                 raise PipelineSpecError(f"unknown source format {fmt!r}")

@@ -48,6 +48,47 @@ def test_pipeline_join_and_projection(spark, sf_dir):
     assert got == want
 
 
+def test_pipeline_lakehouse_time_travel_sources(spark, tmp_path):
+    """batchsource.delta/iceberg accept the round-6 time-travel
+    selectors in the spec (version_as_of / timestamp_as_of and
+    snapshot_id / ref / as_of_timestamp) — a pinned-snapshot pipeline
+    is reproducible no matter when it re-runs."""
+    import time as _time
+
+    import python_plugins_spark.sources.delta_py as dp
+    import python_plugins_spark.sources.iceberg_py as I
+
+    dt = str(tmp_path / "tt_delta")
+    it = str(tmp_path / "tt_ice")
+    dp.write_delta(spark.range(5).selectExpr("id", "id * 2.0 AS v"), dt, "overwrite")
+    I.write_iceberg(spark.range(7).selectExpr("id", "id * 2.0 AS v"), it, "overwrite")
+    t_mid = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    dp.write_delta(spark.range(5, 9).selectExpr("id", "id * 2.0 AS v"), dt, "append")
+    I.write_iceberg(spark.range(7, 9).selectExpr("id", "id * 2.0 AS v"), it, "append")
+
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "d_now", "type": "batchsource.delta",
+             "config": {"path": dt}},
+            {"name": "d_then", "type": "batchsource.delta",
+             "config": {"path": dt, "timestamp_as_of": t_mid}},
+            {"name": "d_v0", "type": "batchsource.delta",
+             "config": {"path": dt, "version_as_of": 0}},
+            {"name": "i_then", "type": "batchsource.iceberg",
+             "config": {"path": it, "as_of_timestamp": t_mid}},
+            {"name": "i_snap", "type": "batchsource.iceberg",
+             "config": {"path": it, "snapshot_id": 1}},
+        ],
+        "connections": [],
+    })
+    assert frames["d_now"].count() == 9
+    assert frames["d_then"].count() == 5
+    assert frames["d_v0"].count() == 5
+    assert frames["i_then"].count() == 7
+    assert frames["i_snap"].count() == 7
+
+
 def test_pipeline_python_stage_error_port(spark, sf_dir):
     spec = {
         "stages": [
