@@ -27,6 +27,7 @@ from python_plugins_spark.queries import corpus_sql4  # noqa: F401,E402
 from python_plugins_spark.queries import warehouse  # noqa: F401,E402
 from python_plugins_spark.queries import graph_diag  # noqa: F401,E402
 from python_plugins_spark.queries import suites  # noqa: F401,E402
+from python_plugins_spark.queries import lm_mining  # noqa: F401,E402
 
 
 # Driver contract accessors (the __spark_entry__ surface)

@@ -1,0 +1,285 @@
+"""Language-model scoring and phrase-mining queries (round 6b).
+
+Three additions to the LLM-pipeline family, each a closed-form
+relational computation with an exact DuckDB oracle:
+
+- ``kneser_ney_bigram_docs`` — interpolated Kneser-Ney bigram scoring
+  (Kneser & Ney 1995; Chen & Goodman 1999), the smoothing KenLM uses,
+  replacing the add-one gate's crude mass redistribution with
+  continuation-count backoff.
+- ``pmi_collocations_docs`` — pointwise-mutual-information collocation
+  mining (Church & Hanks 1990; the word2phrase pass of Mikolov et al.
+  2013), the standard phrase-vocabulary builder before tokenizer
+  training.
+- ``jl_projection_embeddings`` — Johnson-Lindenstrauss random
+  projection with Achlioptas (2003) sign entries, derandomized via
+  md5 so engines/retries agree bit-for-bit; the cheap dimensionality
+  cut ahead of clustering / ANN when even PCA's one covariance pass
+  is too much.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_plugins_spark.functions import hash32
+from python_plugins_spark.queries._core import register
+from python_plugins_spark.sources.io import load_table
+
+__all__ = [
+    "kneser_ney_bigram_docs",
+    "pmi_collocations_docs",
+    "jl_projection_embeddings",
+]
+
+
+@register(
+    "kneser_ney_bigram_docs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+        WHERE len(t) >= 2
+    ),
+    cab AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+    ca AS (SELECT w1, sum(c_ab) AS c_a, count(*) AS n1f FROM cab GROUP BY 1),
+    cb AS (SELECT w2, count(*) AS n1b FROM cab GROUP BY 1),
+    tt AS (SELECT count(*) AS t_types FROM cab)
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(-ln(
+               (cab.c_ab - 0.75) / ca.c_a
+               + 0.75 * ca.n1f / ca.c_a * cb.n1b / tt.t_types
+           )), 4) AS kn_nll
+    FROM bg
+    JOIN cab USING (w1, w2) JOIN ca USING (w1) JOIN cb USING (w2)
+    CROSS JOIN tt
+    WHERE bg.doc_id < 120
+    GROUP BY bg.doc_id
+    """,
+)
+def kneser_ney_bigram_docs(spark, sf_dir):
+    """Per-document NLL under an interpolated Kneser-Ney bigram model
+    (absolute discount D = 0.75, the Chen-Goodman fixed-discount
+    variant KenLM defaults to):
+
+        P(w2|w1) = (c(w1,w2) - D)/c(w1)
+                 + D * N1+(w1,*)/c(w1) * N1+(*,w2)/T
+
+    where N1+(w1,*) is w1's distinct continuation count, N1+(*,w2)
+    the distinct LEFT-context count of w2 (the "how novel is this
+    word" mass add-one smoothing gets wrong), and T the total bigram
+    type count. Compared with ``bigram_perplexity_docs``' add-one
+    gate, KN stops over-penalizing frequent-but-predictable function
+    words — the published reason KenLM filters use it.
+
+    Scale: identical shape to the add-one gate — the model tables
+    (cab/ca/cb, all vocabulary-bounded) broadcast; the corpus is
+    tokenized ONCE (the bigram frame persists and both the model
+    aggregates and the scoring join re-read it); scoring is a
+    map-side pipeline at 100 TB. Scoring restricted to doc_id<120 to
+    bound the gate payload; the model is always corpus-wide."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    bg = toks.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "t"
+    ).select(
+        "doc_id",
+        F.element_at("t", F.col("i")).alias("w1"),
+        F.element_at("t", F.col("i") + 1).alias("w2"),
+    )
+    bg = bg.persist()  # one tokenization pass feeds model + scoring
+    cab = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    cab = cab.persist()  # ca/cb/T are all re-aggregations of cab
+    ca = cab.groupBy("w1").agg(
+        F.sum("c_ab").alias("c_a"), F.count("*").alias("n1f")
+    )
+    cb = cab.groupBy("w2").agg(F.count("*").alias("n1b"))
+    t_types = cab.select(F.count("*").alias("t_types"))
+    p_kn = (
+        (F.col("c_ab") - 0.75) / F.col("c_a")
+        + F.lit(0.75) * F.col("n1f") / F.col("c_a") * F.col("n1b") / F.col("t_types")
+    )
+    return (
+        bg.filter(F.col("doc_id") < 120)
+        .join(cab, on=["w1", "w2"])
+        .join(ca, on="w1")
+        .join(cb, on="w2")
+        .crossJoin(F.broadcast(t_types))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p_kn)), 4).alias("kn_nll"),
+        )
+    )
+
+
+@register(
+    "pmi_collocations_docs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    uni AS (
+        SELECT w, count(*) AS c_u
+        FROM toks, LATERAL (SELECT unnest(t) AS w) GROUP BY 1
+    ),
+    nn AS (SELECT sum(c_u) AS n FROM uni),
+    bg AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+        WHERE len(t) >= 2
+    ),
+    cab AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+    nb AS (SELECT sum(c_ab) AS n_bg FROM cab)
+    SELECT w1, w2, c_ab,
+           round(ln(c_ab) + 2.0 * ln(nn.n) - ln(nb.n_bg)
+                 - ln(u1.c_u) - ln(u2.c_u), 4) AS pmi
+    FROM cab
+    JOIN uni u1 ON cab.w1 = u1.w
+    JOIN uni u2 ON cab.w2 = u2.w
+    CROSS JOIN nn CROSS JOIN nb
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 100
+    """,
+)
+def pmi_collocations_docs(spark, sf_dir):
+    """Top-100 collocations by pointwise mutual information:
+
+        PMI(w1,w2) = ln [ P(w1,w2) / (P(w1) P(w2)) ]
+                   = ln c(w1,w2) + 2 ln N - ln N_bg - ln c(w1) - ln c(w2)
+
+    with a c(w1,w2) >= 5 support floor (Church & Hanks' guard against
+    the low-count PMI explosion). This is word2phrase's scoring pass:
+    the mined pairs become single tokens before (or instead of) BPE,
+    the standard phrase-vocabulary step in corpus preprocessing.
+
+    Scale: unigram and bigram count tables are vocabulary-bounded —
+    the only corpus-sized work is the two token-stream aggregates,
+    both map-side-combined; the final join runs model-table x
+    model-table and the top-100 is TakeOrdered (per-partition heads,
+    k-row driver merge), never a global sort. Deterministic output:
+    ordered by (rounded PMI desc, w1, w2)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+    )
+    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c_u")
+    )
+    uni = uni.persist()  # pair join reads it twice; N once more
+    nn = uni.select(F.sum("c_u").alias("n"))
+    seq = toks.filter(F.size("t") >= 2).select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "t"
+    )
+    cab = (
+        seq.select(
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    nb = (
+        seq.select(
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .select(F.sum("c_ab").alias("n_bg"))
+    )
+    pmi = (
+        F.log("c_ab")
+        + F.lit(2.0) * F.log("n")
+        - F.log("n_bg")
+        - F.log("c_u1")
+        - F.log("c_u2")
+    )
+    return (
+        cab.join(F.broadcast(uni.withColumnRenamed("c_u", "c_u1")), cab.w1 == F.col("w"))
+        .drop("w")
+        .join(F.broadcast(uni.withColumnRenamed("c_u", "c_u2")), cab.w2 == F.col("w"))
+        .drop("w")
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(nb))
+        .select("w1", "w2", "c_ab", F.round(pmi, 4).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(100)
+    )
+
+
+def _jl_sign(j: int, i):
+    """±1 Achlioptas entry for output dim j, input dim i (a Column),
+    derandomized from md5 — engine/retry/run-stable by construction."""
+    h = hash32(F.concat(F.lit(f"jl:{j}:"), i.cast("string")))
+    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def _sql_jl_sign(j: int, i_expr: str) -> str:
+    return (
+        f"CASE WHEN (('0x' || substr(md5('jl:{j}:' || ({i_expr})::VARCHAR), 1, 8))"
+        f"::UBIGINT)::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+
+
+_JL_K = 16  # output dims; input d = 64 (the embeddings table width)
+
+
+def _jl_oracle() -> str:
+    cols = ",\n           ".join(
+        "round(list_reduce(list_transform(range(1, 65), "
+        f"i -> embedding[i]::DOUBLE * ({_sql_jl_sign(j, 'i - 1')})), "
+        f"(x, y) -> x + y) / 4.0, 4) AS y{j:02d}"
+        for j in range(_JL_K)
+    )
+    return f"SELECT vec_id,\n           {cols}\n    FROM embeddings"
+
+
+@register("jl_projection_embeddings", oracle=_jl_oracle())
+def jl_projection_embeddings(spark, sf_dir):
+    """Johnson-Lindenstrauss projection 64 -> 16 dims with Achlioptas
+    (2003) ±1 sign entries: y_j = sum_i x_i s(j,i) / sqrt(k). The JL
+    lemma bounds pairwise-distance distortion w.h.p., making this the
+    zero-pass dimensionality cut ahead of k-means / LSH / SemDeDup
+    when even PCA's single covariance pass over 100 TB is unwanted.
+
+    The sign matrix is not data: s(j,i) = ±1 from md5("jl:j:i"), an
+    EXPRESSION evaluated inside whole-stage codegen on both engines —
+    nothing is broadcast, shuffled, or stored, and any executor (or a
+    retried task, or the DuckDB oracle) regenerates the identical
+    matrix. The whole operator is one narrow map over the corpus scan:
+    zero shuffles at any scale. Left-fold summation order is mirrored
+    in the oracle (0.0 + x == x exactly), so values match before the
+    4 dp round."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = F.sequence(F.lit(0), F.lit(63))
+
+    def signed_term(j):
+        return lambda x, i: x.cast("double") * _jl_sign(j, i)
+
+    outs = [
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("embedding"), idx, signed_term(j)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(4.0),
+            4,
+        ).alias(f"y{j:02d}")
+        for j in range(_JL_K)
+    ]
+    return emb.select("vec_id", *outs)

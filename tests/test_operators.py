@@ -1184,3 +1184,153 @@ def test_bloom_prefilter_dedup_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_kneser_ney_matches_pure_python_model(spark):
+    """End-to-end fixture: the registry KN query at sf0.001 must equal
+    an independently-coded interpolated-KN model (collections.Counter,
+    no Spark, no SQL) on the same tokenization — proving the formula,
+    not just Spark-vs-DuckDB agreement on one shared mistake."""
+    import math
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet' "
+        "WHERE length(trim(text)) > 0"
+    ).fetchall()
+    cab, ca_tot = Counter(), Counter()
+    docs_bg = {}
+    for doc_id, text in rows:
+        t = re.split(r"\s+", text.strip().lower())
+        bgs = list(zip(t, t[1:]))
+        for b in bgs:
+            cab[b] += 1
+            ca_tot[b[0]] += 1
+        if bgs and doc_id < 120:
+            docs_bg[doc_id] = bgs
+    n1f, n1b = Counter(), Counter()
+    for w1, w2 in cab:
+        n1f[w1] += 1
+        n1b[w2] += 1
+    t_types = len(cab)
+
+    def p_kn(w1, w2):
+        return (cab[(w1, w2)] - 0.75) / ca_tot[w1] + 0.75 * n1f[w1] / ca_tot[
+            w1
+        ] * n1b[w2] / t_types
+
+    expected = {
+        d: round(sum(-math.log(p_kn(*b)) for b in bgs) / len(bgs), 4)
+        for d, bgs in docs_bg.items()
+    }
+    got = {
+        r["doc_id"]: r["kn_nll"]
+        for r in QUERIES["kneser_ney_bigram_docs"](spark, sf).collect()
+    }
+    assert got == expected
+
+
+def test_kneser_ney_distribution_sums_to_one():
+    """The interpolated-KN invariant on a tiny hand corpus: for every
+    context w1, summing P(w2|w1) over the WHOLE vocabulary (observed
+    continuations via the discounted term, everything else via pure
+    backoff mass) must give exactly 1 — the property add-one shares
+    but plain discounting without interpolation loses."""
+    from collections import Counter
+
+    toks = "the cat sat on the mat the cat ran".split()
+    cab, ca_tot, n1f, n1b = Counter(), Counter(), Counter(), Counter()
+    for b in zip(toks, toks[1:]):
+        cab[b] += 1
+        ca_tot[b[0]] += 1
+    for w1, w2 in cab:
+        n1f[w1] += 1
+        n1b[w2] += 1
+    t_types = len(cab)
+    vocab = set(toks)
+    for w1 in ca_tot:
+        s = sum(
+            max(cab[(w1, w2)] - 0.75, 0.0) / ca_tot[w1]
+            + 0.75 * n1f[w1] / ca_tot[w1] * n1b[w2] / t_types
+            for w2 in vocab
+        )
+        assert abs(s - 1.0) < 1e-12
+
+
+def test_pmi_collocations_match_direct_computation(spark):
+    """Registry PMI values at sf0.001 re-derived from raw Counters."""
+    import math
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    texts = duckdb.sql(
+        f"SELECT text FROM '{sf}/documents.parquet' "
+        "WHERE length(trim(text)) > 0"
+    ).fetchall()
+    uni, bg = Counter(), Counter()
+    for (text,) in texts:
+        t = re.split(r"\s+", text.strip().lower())
+        uni.update(t)
+        bg.update(zip(t, t[1:]))
+    n, n_bg = sum(uni.values()), sum(bg.values())
+    out = QUERIES["pmi_collocations_docs"](spark, sf).collect()
+    assert 0 < len(out) <= 100
+    for r in out:
+        c_ab = bg[(r["w1"], r["w2"])]
+        assert c_ab == r["c_ab"] and c_ab >= 5
+        want = round(
+            math.log(c_ab)
+            + 2.0 * math.log(n)
+            - math.log(n_bg)
+            - math.log(uni[r["w1"]])
+            - math.log(uni[r["w2"]]),
+            4,
+        )
+        assert abs(r["pmi"] - want) < 2e-4
+    # descending by PMI with deterministic tiebreak
+    keys = [(-r["pmi"], r["w1"], r["w2"]) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_jl_projection_preserves_distances_and_plan(spark, sf_dir):
+    """JL contract: E||y1-y2||^2 = ||x1-x2||^2 under +-1/sqrt(k)
+    entries — on real embeddings the relative distortion should sit
+    well inside the JL bound for k=16; and the whole operator must
+    compile to a scan-only plan (zero exchanges, zero Python nodes)."""
+    import numpy as np
+
+    from python_plugins_spark.plans import plan_str
+    from python_plugins_spark.sources.io import load_table
+
+    df = QUERIES["jl_projection_embeddings"](spark, sf_dir)
+    plan = plan_str(df)
+    for marker in ("Exchange", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+    proj = {r["vec_id"]: np.array(r[1:]) for r in df.limit(60).collect()}
+    ids = sorted(proj)[:30]
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype="float64")
+        for r in load_table(spark, "embeddings", sf_dir)
+        .filter(F.col("vec_id").isin([int(i) for i in ids]))
+        .collect()
+    }
+    ratios = []
+    for a_i in range(0, len(ids), 3):
+        for b_i in range(a_i + 1, len(ids), 7):
+            a, b = ids[a_i], ids[b_i]
+            dx = float(np.sum((orig[a] - orig[b]) ** 2))
+            dy = float(np.sum((proj[a] - proj[b]) ** 2))
+            if dx > 0:
+                ratios.append(dy / dx)
+    ratios = np.array(ratios)
+    assert len(ratios) > 20
+    assert 0.6 < float(np.median(ratios)) < 1.4   # unbiased, k=16 spread
+    assert float(np.mean(ratios)) == pytest.approx(1.0, rel=0.35)
