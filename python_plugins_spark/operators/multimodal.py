@@ -10,10 +10,14 @@ The engine's convention for image/audio/video data at 100 TB scale:
   boundary once per batch, never per row.
 
 External codec libraries (PIL/opencv/ffmpeg) are not in this
-container. Formats that need them (JPEG/PNG/MP3/...) keep the STUB:
+container. Formats that need them (PNG/MP3/...) keep the STUB:
 ``decode_stub_features`` raises ``NotImplementedError`` unless
 ``fake=True`` (deterministic pseudo-features from the payload's md5).
-Formats decodable with pure stdlib code are REAL as of round 4:
+Formats decodable with pure stdlib/numpy code are REAL:
+
+- JPEG — grayscale baseline-sequential encode AND decode in pure
+  numpy (Annex-K quantization + Huffman, byte stuffing, full JFIF
+  marker parse) — ``operators/jpeg.py``, round 6;
 
 - WAV  — stdlib ``wave`` encoder + a hand-rolled RIFF chunk parser
   (:func:`parse_wav`), frame stats from the actual PCM16 samples;

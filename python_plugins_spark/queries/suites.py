@@ -1335,6 +1335,50 @@ def image_ppm_decode_real(spark, sf_dir):
 
 
 @register(
+    "image_jpeg_roundtrip_real",
+    oracle="""
+    WITH blk AS (
+      SELECT d.doc_id, b.b,
+             (d.doc_id * 37 + b.b * 11) % 256 AS v
+      FROM documents d CROSS JOIN generate_series(0, 3) b(b)
+    ),
+    dec AS (
+      SELECT doc_id, b,
+             CAST(least(255, greatest(0,
+                 2 * round((v - 128) / 2.0) + 128)) AS INT) AS px
+      FROM blk
+    )
+    SELECT doc_id, 16 AS width, 16 AS height,
+           max(CASE WHEN b = 0 THEN px END) AS b00,
+           max(CASE WHEN b = 1 THEN px END) AS b01,
+           max(CASE WHEN b = 2 THEN px END) AS b10,
+           max(CASE WHEN b = 3 THEN px END) AS b11
+    FROM dec GROUP BY doc_id
+    """,
+)
+def image_jpeg_roundtrip_real(spark, sf_dir):
+    """REAL JPEG: per-document 16x16 grayscale baseline JPEGs built by
+    the pure-numpy encoder (operators/jpeg.py — Annex-K quantization +
+    Huffman tables, DC-difference coding, byte stuffing, full JFIF
+    framing) and decoded back by the matching full parser (DQT/DHT
+    canonical rebuild, stuffed-byte bit reader, IDCT). The fixture's
+    four constant 8x8 blocks quantize to a DC-only spectrum, so the
+    decoded level is closed-form: round-half-away((v-128)/2)*2 + 128
+    clamped to [0,255] at quality 50 (where the scaled table IS Annex
+    K, q00=16) — the oracle recomputes exactly that from the generator
+    formula, independent of every codec byte. The bitstream still
+    exercises nonzero DC diffs across blocks, EOBs, and both Huffman
+    tables; the lossy AC path is covered by PSNR roundtrip tests
+    (tests/test_operators.py). Both stages are Arrow-batched narrow
+    maps — zero shuffles at any corpus size."""
+    from python_plugins_spark.operators import jpeg as J
+
+    docs = load_table(spark, "documents", sf_dir)
+    enc = J.synth_jpeg_payloads(docs, "doc_id", quality=50)
+    return J.decode_jpeg_block_means(enc, "doc_id", "payload")
+
+
+@register(
     "iceberg_manifest_compact",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,

@@ -1334,3 +1334,105 @@ def test_jl_projection_preserves_distances_and_plan(spark, sf_dir):
     assert len(ratios) > 20
     assert 0.6 < float(np.median(ratios)) < 1.4   # unbiased, k=16 spread
     assert float(np.mean(ratios)) == pytest.approx(1.0, rel=0.35)
+
+
+def test_jpeg_codec_tables_and_zigzag():
+    """Static sanity on the Annex-K derived structures: the AC table
+    must be a complete (run, size) alphabet of 162 symbols and the
+    generated zigzag walk must be the canonical T.81 sequence."""
+    from python_plugins_spark.operators.jpeg import (
+        AC_BITS, AC_VALS, DC_BITS, ZIGZAG, quality_scaled_quant,
+    )
+
+    want = {(r << 4) | s for r in range(16) for s in range(1, 11)} | {0x00, 0xF0}
+    assert set(AC_VALS) == want and len(AC_VALS) == 162
+    assert sum(AC_BITS) == 162 and sum(DC_BITS) == 12
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    assert ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert ZIGZAG[-4:].tolist() == [47, 55, 62, 63]
+    # quality 50 == Annex K verbatim; 1 is the coarsest, 100 all-ones
+    import numpy as np
+
+    from python_plugins_spark.operators.jpeg import QUANT_LUMA
+
+    assert (quality_scaled_quant(50) == QUANT_LUMA).all()
+    assert (quality_scaled_quant(100) == 1).all()
+    assert (quality_scaled_quant(1) >= quality_scaled_quant(50)).all()
+
+
+def test_jpeg_constant_block_chain_is_closed_form():
+    """Constant blocks must decode to exactly the DC quantization
+    chain the registry oracle computes — including the clamp at 255."""
+    import numpy as np
+
+    from python_plugins_spark.operators.jpeg import (
+        jpeg_decode_gray, jpeg_encode_gray,
+    )
+
+    for v in (0, 3, 77, 127, 128, 129, 200, 255):
+        img = np.full((16, 16), v, dtype=np.uint8)
+        dec = jpeg_decode_gray(jpeg_encode_gray(img, 50))
+        x = (v - 128) / 2.0
+        qdc = int(np.trunc(x + np.sign(x) * 0.5))
+        exp = min(255, max(0, 2 * qdc + 128))
+        assert dec.shape == (16, 16) and (dec == exp).all(), (v, exp)
+
+
+def test_jpeg_roundtrip_psnr_and_stuffing():
+    """The full AC path: gradients and noise at several qualities,
+    non-multiple-of-8 shapes (edge-block crop), and seeds known to
+    emit 0xFF bytes in the entropy stream (stuffed-byte reader)."""
+    import numpy as np
+
+    from python_plugins_spark.operators.jpeg import (
+        jpeg_decode_gray, jpeg_encode_gray,
+    )
+
+    def psnr(a, b):
+        mse = float(np.mean((a.astype(float) - b.astype(float)) ** 2))
+        return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+    smooth = (np.outer(np.arange(24), np.ones(40)) * 10 % 256).astype(np.uint8)
+    diag = (np.indices((16, 16)).sum(0) * 8 % 256).astype(np.uint8)
+    for q, floor in ((95, 30.0), (75, 25.0), (50, 22.0)):
+        for img in (smooth, diag):
+            dec = jpeg_decode_gray(jpeg_encode_gray(img, q))
+            assert dec.shape == img.shape
+            assert psnr(img, dec) > floor, (q, psnr(img, dec))
+
+    stuffed = 0
+    for seed in range(8):
+        img = np.random.default_rng(seed).integers(
+            0, 256, (33, 41), dtype=np.uint8
+        )
+        payload = jpeg_encode_gray(img, 95)
+        scan = payload[payload.find(b"\xff\xda") + 2:]
+        stuffed += b"\xff\x00" in scan
+        dec = jpeg_decode_gray(payload)
+        assert dec.shape == (33, 41)
+        assert psnr(img, dec) > 10.0
+    assert stuffed >= 4  # the stuffing path is genuinely executed
+
+
+def test_jpeg_decoder_refusals_are_precise():
+    import numpy as np
+    import pytest
+
+    from python_plugins_spark.operators.jpeg import (
+        jpeg_decode_gray, jpeg_encode_gray,
+    )
+
+    with pytest.raises(ValueError, match="missing SOI"):
+        jpeg_decode_gray(b"\x00\x01\x02")
+    enc = bytearray(jpeg_encode_gray(np.full((8, 8), 5, np.uint8)))
+    i = enc.find(b"\xff\xc0")
+    prog = bytearray(enc)
+    prog[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline sequential"):
+        jpeg_decode_gray(bytes(prog))
+    multi = bytearray(enc)
+    multi[i + 9] = 3  # claim 3 components
+    with pytest.raises(ValueError, match="grayscale baseline only"):
+        jpeg_decode_gray(bytes(multi))
+    with pytest.raises(ValueError, match="truncated|marker"):
+        jpeg_decode_gray(bytes(enc[:-20]))
