@@ -1,0 +1,269 @@
+"""Pure-stdlib PNG codec (8-bit gray / RGB) — no external libs.
+
+PNG is the one mainstream image format fully decodable with nothing
+beyond the standard library: chunk framing + CRC32 and a zlib stream
+of filtered scanlines. This module implements the RFC 2083 subset
+that matters for corpus work, completing the real-codec family
+(WAV/BMP/PPM round 4, JPEG round 6):
+
+- :func:`png_encode` — 8-bit greyscale (color type 0) or RGB (color
+  type 2), non-interlaced; any of the five scanline filters (None /
+  Sub / Up / Average / Paeth) can be forced per call, so the decoder's
+  de-filter paths are mutually verified by our own encoder in tests.
+- :func:`png_decode` — full chunk walk with CRC verification, IDAT
+  concatenation, zlib inflate, and de-filtering of ALL five filter
+  types per scanline (a conformant external encoder may pick any
+  filter per row). Precise ``ValueError`` refusals for interlace,
+  palette, 16-bit, and CRC mismatches.
+
+PNG is LOSSLESS, so unlike JPEG the registry roundtrip query
+(``image_png_roundtrip_real``) verifies the decoded pixels EXACTLY
+against the same generator-formula oracle the BMP and PPM queries use
+— the three wire formats cross-validate byte-for-byte through one
+shared SQL oracle. Spark integration is the standard multimodal
+shape: Arrow-batched ``mapInPandas``, bytes cross the JVM boundary
+once per batch, zero shuffles.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Per-byte Paeth predictor (vectorized over a scanline)."""
+    p = a.astype(np.int64) + b.astype(np.int64) - c.astype(np.int64)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def png_encode(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as PNG, applying
+    ``filter_type`` (0..4) to every scanline."""
+    pix = np.asarray(pixels, dtype=np.uint8)
+    if pix.ndim == 2:
+        color_type, bpp = 0, 1
+        raw = pix[:, :, None]
+    elif pix.ndim == 3 and pix.shape[2] == 3:
+        color_type, bpp = 2, 3
+        raw = pix
+    else:
+        raise ValueError("png_encode expects (h,w) gray or (h,w,3) RGB uint8")
+    if filter_type not in range(5):
+        raise ValueError(f"filter_type must be 0..4, got {filter_type}")
+    h, w, _ = raw.shape
+    flat = raw.reshape(h, w * bpp)
+
+    lines = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        cur = flat[y]
+        left = np.concatenate([np.zeros(bpp, np.uint8), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:  # Sub
+            enc = (cur.astype(np.int64) - left).astype(np.uint8)
+        elif filter_type == 2:  # Up
+            enc = (cur.astype(np.int64) - prev).astype(np.uint8)
+        elif filter_type == 3:  # Average
+            enc = (
+                cur.astype(np.int64)
+                - (left.astype(np.int64) + prev.astype(np.int64)) // 2
+            ).astype(np.uint8)
+        else:  # Paeth
+            enc = (cur.astype(np.int64) - _paeth(left, prev, upleft)).astype(
+                np.uint8
+            )
+        lines.append(filter_type)
+        lines += enc.tobytes()
+        prev = cur
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(lines), 9))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit gray/RGB non-interlaced PNG; every scanline may
+    use any of the five filters. CRCs are verified. Returns (h, w) or
+    (h, w, 3) uint8."""
+    data = bytes(payload)
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = 8, None
+    idat = bytearray()
+    h = bit_depth = color_type = None
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack(">I", data[pos: pos + 4])
+        ctype = data[pos + 4: pos + 8]
+        body = data[pos + 8: pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk body")
+        (crc,) = struct.unpack(">I", data[pos + 8 + length: pos + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype.decode('latin1')} chunk")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if bit_depth != 8:
+                raise ValueError(f"bit depth {bit_depth} unsupported (8 only)")
+            if color_type not in (0, 2):
+                raise ValueError(
+                    f"color type {color_type} unsupported (gray/RGB only)"
+                )
+            if comp or filt:
+                raise ValueError("nonstandard compression/filter method")
+            if interlace:
+                raise ValueError("Adam7 interlace unsupported")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    bpp = 1 if color_type == 0 else 3
+    try:
+        stream = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError("corrupt IDAT stream") from exc
+    stride = w * bpp
+    if len(stream) != h * (stride + 1):
+        raise ValueError("inflated size does not match dimensions")
+
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        line = np.frombuffer(
+            stream, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        )
+        ftype = stream[y * (stride + 1)]
+        if ftype == 0:
+            cur = line.copy()
+        elif ftype == 2:  # Up
+            cur = (line.astype(np.int64) + prev).astype(np.uint8)
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth need left — sequential
+            cur = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                upleft = prev[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (int(left) + int(up)) // 2
+                else:
+                    pa = abs(int(up) - int(upleft))
+                    pb = abs(int(left) - int(upleft))
+                    pc = abs(int(left) + int(up) - 2 * int(upleft))
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else upleft)
+                cur[i] = (int(line[i]) + int(pred)) & 0xFF
+        else:
+            raise ValueError(f"unknown scanline filter {ftype}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w) if bpp == 1 else out.reshape(h, w, 3)
+
+
+# ------------------------------------------------------- Spark operators
+
+
+def synth_png_payloads(
+    df, id_col: str = "doc_id", width: int = 13, height: int = 12,
+    filter_type: int = 4,
+):
+    """Per-row RGB PNG with the SAME pixel formulas as the BMP/PPM
+    synth (r = 9id+13x+y, g = 5id+x+11y, b = id+3x+7y, mod 256), so
+    one oracle covers all three wire formats. Default filter is Paeth
+    — the decode exercises the hardest de-filter path in production,
+    not just the trivial one."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs, ys = np.meshgrid(np.arange(width), np.arange(height), indexing="xy")
+        for pdf in batches:
+            ids, payloads = [], []
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                img = np.stack(
+                    [
+                        (rid * 9 + 13 * xs + ys) % 256,
+                        (rid * 5 + xs + 11 * ys) % 256,
+                        (rid + 3 * xs + 7 * ys) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                ids.append(rid)
+                payloads.append(png_encode(img, filter_type))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(synth, schema)
+
+
+def decode_png_stats(df, id_col: str = "doc_id", payload_col: str = "payload"):
+    """REAL PNG decode per row; exact per-channel pixel sums from the
+    decoded array (lossless, so they match the generator formulas
+    bit-for-bit)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+        ]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in schema.fields}
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = png_decode(bytes(payload))
+                if img.ndim != 3:
+                    raise ValueError("RGB payload expected")
+                hh, ww, _ = img.shape
+                sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                out[id_col].append(int(rid))
+                out["width"].append(ww)
+                out["height"].append(hh)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(decode, schema)

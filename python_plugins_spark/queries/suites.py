@@ -1335,6 +1335,39 @@ def image_ppm_decode_real(spark, sf_dir):
 
 
 @register(
+    "image_png_roundtrip_real",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             (d.doc_id * 9 + 13 * gx.x + gy.y) % 256 AS r,
+             (d.doc_id * 5 + gx.x + 11 * gy.y) % 256 AS g,
+             (d.doc_id + 3 * gx.x + 7 * gy.y) % 256 AS b
+      FROM documents d
+      CROSS JOIN generate_series(0, 12) gx(x)
+      CROSS JOIN generate_series(0, 11) gy(y)
+    )
+    SELECT doc_id, 13 AS width, 12 AS height,
+           sum(r) AS sum_r, sum(g) AS sum_g, sum(b) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def image_png_roundtrip_real(spark, sf_dir):
+    """REAL PNG: per-document RGB payloads from the pure-stdlib
+    encoder (operators/png.py — zlib scanline stream, CRC-framed
+    chunks, PAETH filter on every row so decode runs the hardest
+    de-filter path), decoded by the full parser (CRC verification,
+    IDAT concat, all five filter types). PNG is lossless, so the
+    EXACT per-channel sums must equal the BMP/PPM queries' shared
+    generator-formula oracle — three wire formats cross-validated by
+    one SQL statement. Arrow-batched narrow maps, zero shuffles."""
+    from python_plugins_spark.operators import png as PNG
+
+    docs = load_table(spark, "documents", sf_dir)
+    enc = PNG.synth_png_payloads(docs, "doc_id", width=13, height=12, filter_type=4)
+    return PNG.decode_png_stats(enc, "doc_id", "payload")
+
+
+@register(
     "image_jpeg_roundtrip_real",
     oracle="""
     WITH blk AS (

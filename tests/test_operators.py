@@ -1436,3 +1436,86 @@ def test_jpeg_decoder_refusals_are_precise():
         jpeg_decode_gray(bytes(multi))
     with pytest.raises(ValueError, match="truncated|marker"):
         jpeg_decode_gray(bytes(enc[:-20]))
+
+
+def test_png_codec_all_filters_roundtrip_exactly():
+    """PNG is lossless: every (filter, colorspace, shape) combination
+    must roundtrip bit-for-bit — including 1x1 and non-square odd
+    shapes, and filters 1/3/4 whose predictors need the left/up-left
+    neighbors."""
+    import numpy as np
+
+    from python_plugins_spark.operators.png import png_decode, png_encode
+
+    rng = np.random.default_rng(7)
+    for ft in range(5):
+        for shape in ((1, 1), (12, 13), (33, 41)):
+            g = rng.integers(0, 256, shape, dtype=np.uint8)
+            assert (png_decode(png_encode(g, ft)) == g).all()
+            c = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+            assert (png_decode(png_encode(c, ft)) == c).all()
+
+
+def test_png_decoder_refusals_and_crc():
+    import numpy as np
+    import pytest
+
+    from python_plugins_spark.operators.png import png_decode, png_encode
+
+    img = np.random.default_rng(1).integers(0, 256, (4, 4), dtype=np.uint8)
+    good = png_encode(img)
+    with pytest.raises(ValueError, match="bad signature"):
+        png_decode(b"junkjunkjunk")
+    bad = bytearray(good)
+    bad[20] ^= 0xFF  # flip a bit inside IHDR
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        png_decode(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        png_decode(good[:-6])
+    # 16-bit depth refusal: rewrite IHDR with depth 16 + fixed CRC
+    import struct
+    import zlib as Z
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", Z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        png_decode(good[:8] + chunk + good[8 + 25:])
+
+
+def test_png_bmp_ppm_cross_validate_on_same_pixels():
+    """The three lossless image codecs must reconstruct the identical
+    pixel array from the identical generator — a mistake in any one
+    codec's byte layout breaks the triple agreement."""
+    import numpy as np
+
+    from python_plugins_spark.operators.multimodal import (
+        bmp_bytes, parse_bmp, parse_ppm, ppm_bytes,
+    )
+    from python_plugins_spark.operators.png import png_decode, png_encode
+
+    rid, w, h = 123, 13, 12
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
+    img = np.stack(
+        [
+            (rid * 9 + 13 * xs + ys) % 256,
+            (rid * 5 + xs + 11 * ys) % 256,
+            (rid + 3 * xs + 7 * ys) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    via_png = png_decode(png_encode(img, 4))
+
+    def pixel_fn(x, y):
+        return (
+            (rid * 9 + 13 * x + y) % 256,
+            (rid * 5 + x + 11 * y) % 256,
+            (rid + 3 * x + 7 * y) % 256,
+        )
+
+    _, _, bmp_px = parse_bmp(bmp_bytes(w, h, pixel_fn))
+    _, _, ppm_px = parse_ppm(ppm_bytes(w, h, pixel_fn))
+    flat = [tuple(int(v) for v in via_png[y, x]) for y in range(h) for x in range(w)]
+    assert flat == list(bmp_px) == list(ppm_px)
