@@ -159,6 +159,12 @@ def main() -> None:
         "iceberg_rename_without_rewrite",
         "delta_generated_columns",
         "bloom_prefilter_dedup",
+        # round-6b operators
+        "kneser_ney_bigram_docs",
+        "pmi_collocations_docs",
+        "jl_projection_embeddings",
+        "image_jpeg_roundtrip_real",
+        "image_png_roundtrip_real",
     ]
     # Round-6: the two extras under cross-round adjudication run
     # median-of-3 like the headline (single-pass extras carry the same

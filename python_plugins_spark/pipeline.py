@@ -439,6 +439,89 @@ def run_pipeline(
             from python_plugins_spark.operators.relational import filter_rows
 
             frames[name] = filter_rows(ins[0], cfg["condition"])
+        elif stype == "transform.qualityfilter":
+            # Corpus-curation gate as pure expressions (no Python in
+            # the row path): token-count floor/ceiling and a distinct-
+            # stopword floor — the cheap Gopher-style rules a spec
+            # author reaches for before the heavier operators.
+            need(1)
+            txt = cfg.get("field", "text")
+            toks = F.split(F.lower(F.trim(F.col(txt))), r"\s+")
+            cond = F.length(F.trim(F.col(txt))) > 0
+            if "minWords" in cfg:
+                cond = cond & (F.size(toks) >= int(cfg["minWords"]))
+            if "maxWords" in cfg:
+                cond = cond & (F.size(toks) <= int(cfg["maxWords"]))
+            if "minStopwordHits" in cfg:
+                stops = cfg.get(
+                    "stopwords",
+                    ["the", "be", "to", "of", "and", "that", "have", "with"],
+                )
+                hits = F.size(
+                    F.array_intersect(
+                        toks, F.array(*[F.lit(s) for s in stops])
+                    )
+                )
+                cond = cond & (hits >= int(cfg["minStopwordHits"]))
+            frames[name] = ins[0].filter(cond)
+        elif stype == "transform.dedup":
+            # Exact content dedup, deterministic min-order survivor.
+            # The window key is md5(field), not the field itself —
+            # at 100 TB the shuffle hashes 16 bytes per row, not the
+            # document body (the row still moves once, as it must).
+            need(1)
+            if cfg.get("method", "exact") != "exact":
+                raise PipelineSpecError(
+                    f"stage {name!r}: dedup method "
+                    f"{cfg.get('method')!r} unsupported (exact only; "
+                    "near-dup lives in the operator API)"
+                )
+            field = cfg.get("field", "text")
+            order = cfg.get("orderField")
+            if not order:
+                raise PipelineSpecError(
+                    f"stage {name!r}: dedup needs orderField (the "
+                    "deterministic survivor tiebreak)"
+                )
+            from pyspark.sql import Window as _W
+
+            w = _W.partitionBy(F.md5(F.col(field).cast("string"))).orderBy(
+                F.col(order).asc()
+            )
+            frames[name] = (
+                ins[0]
+                .withColumn("_dedup_rn", F.row_number().over(w))
+                .filter(F.col("_dedup_rn") == 1)
+                .drop("_dedup_rn")
+            )
+        elif stype == "transform.selection":
+            # Data selection as a declarative stage: DSIR importance
+            # resampling over the incoming frame (routes through the
+            # wired operators/selection.py implementation — bucket
+            # models broadcast, selection is TakeOrdered).
+            need(1)
+            if cfg.get("method", "dsir") != "dsir":
+                raise PipelineSpecError(
+                    f"stage {name!r}: selection method "
+                    f"{cfg.get('method')!r} unsupported (dsir only)"
+                )
+            if "targetCondition" not in cfg or "k" not in cfg:
+                raise PipelineSpecError(
+                    f"stage {name!r}: selection needs targetCondition "
+                    "and k"
+                )
+            from python_plugins_spark.operators.selection import (
+                dsir_resample_topk,
+            )
+
+            frames[name] = dsir_resample_topk(
+                ins[0],
+                F.expr(cfg["targetCondition"]),
+                int(cfg["k"]),
+                text_col=cfg.get("textField", "text"),
+                id_col=cfg.get("idField", "doc_id"),
+                buckets=int(cfg.get("buckets", 256)),
+            )
         elif stype == "batchjoiner":
             if len(ins) < 2:
                 raise PipelineSpecError(

@@ -2516,3 +2516,102 @@ def delta_clone_partitioned(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double").alias("total"),
     )
+
+
+@register(
+    "pipeline_corpus_curation",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, text, lang,
+               str_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    quality AS (
+        SELECT doc_id, text, lang FROM base
+        WHERE len(t) >= 30
+          AND len(list_intersect(t, ['the', 'be', 'to', 'of', 'and',
+                                     'that', 'have', 'with'])) >= 2
+    ),
+    deduped AS (
+        SELECT doc_id, text, lang FROM (
+            SELECT q.*, row_number() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id
+            ) AS rn FROM quality q
+        ) WHERE rn = 1
+    ),
+    tok AS (
+        SELECT doc_id, (lang = 'en') AS is_target,
+               (('0x' || substr(md5(tok), 1, 8))::UBIGINT)::BIGINT % 256 AS b
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(str_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM deduped
+        )
+    ),
+    src AS (SELECT b, count(*) AS c_s FROM tok GROUP BY b),
+    tgt AS (SELECT b, count(*) AS c_t FROM tok WHERE is_target GROUP BY b),
+    totals AS (
+        SELECT count(*) AS n_s,
+               sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_t
+        FROM tok
+    ),
+    ratio AS (
+        SELECT src.b,
+               ln((coalesce(tgt.c_t, 0) + CAST(1.0 AS DOUBLE))
+                  / CAST(totals.n_t + 256 AS DOUBLE))
+             - ln((src.c_s + CAST(1.0 AS DOUBLE))
+                  / CAST(totals.n_s + 256 AS DOUBLE)) AS log_r
+        FROM src LEFT JOIN tgt ON src.b = tgt.b, totals
+    ),
+    perdoc AS (
+        SELECT tok.doc_id, count(*) AS n_tok, round(sum(log_r), 4) AS log_w
+        FROM tok JOIN ratio ON tok.b = ratio.b
+        GROUP BY tok.doc_id
+    ),
+    keyed AS (
+        SELECT doc_id, log_w,
+               ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT)::BIGINT + 1)
+                  / CAST(4294967297 AS DOUBLE)) / exp(log_w) AS res_key
+        FROM perdoc
+    ),
+    ranked AS (
+        SELECT doc_id, log_w,
+               row_number() OVER (ORDER BY res_key DESC, doc_id) AS sel_rank
+        FROM keyed
+    )
+    SELECT doc_id, log_w, sel_rank FROM ranked WHERE sel_rank <= 50
+    """,
+)
+def pipeline_corpus_curation(spark, sf_dir):
+    """The LLM-corpus curation chain as a declarative JSON pipeline:
+    quality gate (token floor + distinct-stopword floor, pure
+    expressions) -> exact dedup (md5-keyed window, min-doc_id
+    survivor) -> DSIR importance RESAMPLING toward the English slice
+    (routes through operators/selection.py — bucket models broadcast,
+    selection TakeOrdered). One spec, one fused Catalyst plan; the
+    oracle replays the identical chain in SQL including the rounded-
+    log-weight resampling keys, so every stage's semantics are pinned
+    end-to-end. This is the 'a reference user can run their corpus
+    pipeline here' surface: the stages are config, not code."""
+    from python_plugins_spark.pipeline import run_pipeline
+
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "docs", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/documents.parquet"}},
+            {"name": "quality", "type": "transform.qualityfilter",
+             "config": {"field": "text", "minWords": 30,
+                        "minStopwordHits": 2}},
+            {"name": "dedup", "type": "transform.dedup",
+             "config": {"field": "text", "orderField": "doc_id"}},
+            {"name": "select", "type": "transform.selection",
+             "config": {"method": "dsir",
+                        "targetCondition": "lang = 'en'", "k": 50}},
+        ],
+        "connections": [
+            {"from": "docs", "to": "quality"},
+            {"from": "quality", "to": "dedup"},
+            {"from": "dedup", "to": "select"},
+        ],
+    })
+    return frames["select"]

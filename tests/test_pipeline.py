@@ -991,3 +991,75 @@ def test_pipeline_distinct_within_watermark(spark, sf_dir):
     )
     # whole table arrives within one watermark window -> exact dedup
     assert got == distinct_pairs
+
+
+def test_pipeline_corpus_curation_stages(spark, sf_dir):
+    """The three corpus stages compose: quality gate drops short/
+    stopword-poor docs, dedup keeps the min-doc_id copy of equal
+    texts, and the selection stage emits exactly k ranked rows that
+    all survive the upstream gates."""
+    spec = {
+        "stages": [
+            {"name": "docs", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/documents.parquet"}},
+            {"name": "q", "type": "transform.qualityfilter",
+             "config": {"field": "text", "minWords": 30,
+                        "minStopwordHits": 2}},
+            {"name": "d", "type": "transform.dedup",
+             "config": {"field": "text", "orderField": "doc_id"}},
+            {"name": "s", "type": "transform.selection",
+             "config": {"method": "dsir",
+                        "targetCondition": "lang = 'en'", "k": 10}},
+        ],
+        "connections": [
+            {"from": "docs", "to": "q"},
+            {"from": "q", "to": "d"},
+            {"from": "d", "to": "s"},
+        ],
+    }
+    frames = run_pipeline(spark, spec)
+    quality = frames["q"]
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    assert quality.filter(F.size(toks) < 30).count() == 0
+    deduped = frames["d"]
+    assert (
+        deduped.groupBy(F.md5(F.col("text").cast("string"))).count()
+        .filter(F.col("count") > 1).count() == 0
+    )
+    # survivors are the minimum doc_id of each duplicate text group
+    raw = frames["q"].select("doc_id", "text")
+    min_ids = {
+        r["mn"]
+        for r in raw.groupBy("text").agg(F.min("doc_id").alias("mn")).collect()
+    }
+    assert {r["doc_id"] for r in deduped.select("doc_id").collect()} == min_ids
+    sel = frames["s"].collect()
+    assert len(sel) == 10
+    assert sorted(r["sel_rank"] for r in sel) == list(range(1, 11))
+    dedup_ids = {r["doc_id"] for r in deduped.select("doc_id").collect()}
+    assert {r["doc_id"] for r in sel} <= dedup_ids
+
+
+def test_pipeline_corpus_stage_validation(spark, sf_dir):
+    src = {"name": "docs", "type": "batchsource.parquet",
+           "config": {"path": f"{sf_dir}/documents.parquet"}}
+
+    with pytest.raises(PipelineSpecError, match="orderField"):
+        run_pipeline(spark, {
+            "stages": [src, {"name": "d", "type": "transform.dedup",
+                             "config": {"field": "text"}}],
+            "connections": [{"from": "docs", "to": "d"}],
+        })
+    with pytest.raises(PipelineSpecError, match="unsupported"):
+        run_pipeline(spark, {
+            "stages": [src, {"name": "d", "type": "transform.dedup",
+                             "config": {"field": "text", "method": "minhash",
+                                        "orderField": "doc_id"}}],
+            "connections": [{"from": "docs", "to": "d"}],
+        })
+    with pytest.raises(PipelineSpecError, match="targetCondition"):
+        run_pipeline(spark, {
+            "stages": [src, {"name": "s", "type": "transform.selection",
+                             "config": {"method": "dsir"}}],
+            "connections": [{"from": "docs", "to": "s"}],
+        })
