@@ -2521,16 +2521,21 @@ def delta_clone_partitioned(spark, sf_dir):
 @register(
     "pipeline_corpus_curation",
     oracle=r"""
-    WITH base AS (
+    WITH unioned AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text, lang FROM documents
+    ),
+    base AS (
         SELECT doc_id, text, lang,
                str_split_regex(lower(trim(text)), '\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0
+        FROM unioned WHERE length(trim(text)) > 0
     ),
     quality AS (
         SELECT doc_id, text, lang FROM base
         WHERE len(t) >= 30
           AND len(list_intersect(t, ['the', 'be', 'to', 'of', 'and',
-                                     'that', 'have', 'with'])) >= 2
+                                     'that', 'have', 'with'])) >= 1
     ),
     deduped AS (
         SELECT doc_id, text, lang FROM (
@@ -2591,17 +2596,27 @@ def pipeline_corpus_curation(spark, sf_dir):
     selection TakeOrdered). One spec, one fused Catalyst plan; the
     oracle replays the identical chain in SQL including the rounded-
     log-weight resampling keys, so every stage's semantics are pinned
-    end-to-end. This is the 'a reference user can run their corpus
-    pipeline here' surface: the stages are config, not code."""
+    end-to-end. A transform.sql stage doubles the corpus under
+    shifted ids first, so the dedup stage's min-id survivor rule is
+    load-bearing in the hash (the +100000 copies must all vanish).
+    This is the 'a reference user can run their corpus pipeline here'
+    surface: the stages are config, not code."""
     from python_plugins_spark.pipeline import run_pipeline
 
     frames = run_pipeline(spark, {
         "stages": [
             {"name": "docs", "type": "batchsource.parquet",
              "config": {"path": f"{sf_dir}/documents.parquet"}},
+            {"name": "doubled", "type": "transform.sql",
+             "config": {"viewName": "curation_docs",
+                        "statement": (
+                            "SELECT doc_id, text, lang FROM curation_docs "
+                            "UNION ALL SELECT doc_id + 100000 AS doc_id, "
+                            "text, lang FROM curation_docs"
+                        )}},
             {"name": "quality", "type": "transform.qualityfilter",
              "config": {"field": "text", "minWords": 30,
-                        "minStopwordHits": 2}},
+                        "minStopwordHits": 1}},
             {"name": "dedup", "type": "transform.dedup",
              "config": {"field": "text", "orderField": "doc_id"}},
             {"name": "select", "type": "transform.selection",
@@ -2609,7 +2624,8 @@ def pipeline_corpus_curation(spark, sf_dir):
                         "targetCondition": "lang = 'en'", "k": 50}},
         ],
         "connections": [
-            {"from": "docs", "to": "quality"},
+            {"from": "docs", "to": "doubled"},
+            {"from": "doubled", "to": "quality"},
             {"from": "quality", "to": "dedup"},
             {"from": "dedup", "to": "select"},
         ],

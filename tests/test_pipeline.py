@@ -1002,9 +1002,16 @@ def test_pipeline_corpus_curation_stages(spark, sf_dir):
         "stages": [
             {"name": "docs", "type": "batchsource.parquet",
              "config": {"path": f"{sf_dir}/documents.parquet"}},
+            {"name": "dbl", "type": "transform.sql",
+             "config": {"viewName": "t_curation_docs",
+                        "statement": (
+                            "SELECT doc_id, text, lang FROM t_curation_docs "
+                            "UNION ALL SELECT doc_id + 100000 AS doc_id, "
+                            "text, lang FROM t_curation_docs"
+                        )}},
             {"name": "q", "type": "transform.qualityfilter",
              "config": {"field": "text", "minWords": 30,
-                        "minStopwordHits": 2}},
+                        "minStopwordHits": 1}},
             {"name": "d", "type": "transform.dedup",
              "config": {"field": "text", "orderField": "doc_id"}},
             {"name": "s", "type": "transform.selection",
@@ -1012,7 +1019,8 @@ def test_pipeline_corpus_curation_stages(spark, sf_dir):
                         "targetCondition": "lang = 'en'", "k": 10}},
         ],
         "connections": [
-            {"from": "docs", "to": "q"},
+            {"from": "docs", "to": "dbl"},
+            {"from": "dbl", "to": "q"},
             {"from": "q", "to": "d"},
             {"from": "d", "to": "s"},
         ],
