@@ -168,21 +168,34 @@ def png_decode(payload: bytes) -> np.ndarray:
         elif ftype == 2:  # Up
             cur = (line.astype(np.int64) + prev).astype(np.uint8)
         elif ftype in (1, 3, 4):  # Sub/Average/Paeth need left — sequential
-            cur = np.empty(stride, dtype=np.uint8)
-            for i in range(stride):
-                left = cur[i - bpp] if i >= bpp else 0
-                up = prev[i]
-                upleft = prev[i - bpp] if i >= bpp else 0
-                if ftype == 1:
-                    pred = left
-                elif ftype == 3:
-                    pred = (int(left) + int(up)) // 2
-                else:
-                    pa = abs(int(up) - int(upleft))
-                    pb = abs(int(left) - int(upleft))
-                    pc = abs(int(left) + int(up) - 2 * int(upleft))
-                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else upleft)
-                cur[i] = (int(line[i]) + int(pred)) & 0xFF
+            # plain-int loop over bytes/lists: numpy scalar indexing is
+            # ~10x slower per element than native ints on this path
+            lb = stream[y * (stride + 1) + 1: (y + 1) * (stride + 1)]
+            pv = prev.tolist()
+            cl = [0] * stride
+            if ftype == 1:
+                for i in range(stride):
+                    left = cl[i - bpp] if i >= bpp else 0
+                    cl[i] = (lb[i] + left) & 0xFF
+            elif ftype == 3:
+                for i in range(stride):
+                    left = cl[i - bpp] if i >= bpp else 0
+                    cl[i] = (lb[i] + (left + pv[i]) // 2) & 0xFF
+            else:
+                for i in range(stride):
+                    left = cl[i - bpp] if i >= bpp else 0
+                    up = pv[i]
+                    upleft = pv[i - bpp] if i >= bpp else 0
+                    pa = abs(up - upleft)
+                    pb = abs(left - upleft)
+                    pc = abs(left + up - 2 * upleft)
+                    pred = (
+                        left
+                        if pa <= pb and pa <= pc
+                        else (up if pb <= pc else upleft)
+                    )
+                    cl[i] = (lb[i] + pred) & 0xFF
+            cur = np.frombuffer(bytes(cl), dtype=np.uint8).copy()
         else:
             raise ValueError(f"unknown scanline filter {ftype}")
         out[y] = cur

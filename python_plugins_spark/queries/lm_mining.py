@@ -221,11 +221,16 @@ def pmi_collocations_docs(spark, sf_dir):
     )
 
 
-def _jl_sign(j: int, i):
-    """±1 Achlioptas entry for output dim j, input dim i (a Column),
-    derandomized from md5 — engine/retry/run-stable by construction."""
-    h = hash32(F.concat(F.lit(f"jl:{j}:"), i.cast("string")))
-    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+def _jl_sign_py(j: int, i: int) -> float:
+    """±1 Achlioptas entry for output dim j, input dim i, derandomized
+    from md5("jl:j:i") — the same value DuckDB's in-SQL md5 computes,
+    so the oracle can re-derive the matrix in-engine while Spark gets
+    it as plan LITERALS (computing 16x64 md5s once on the driver
+    instead of per row: the matrix is a constant, not data)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h % 2 == 0 else -1.0
 
 
 def _sql_jl_sign(j: int, i_expr: str) -> str:
@@ -256,24 +261,24 @@ def jl_projection_embeddings(spark, sf_dir):
     zero-pass dimensionality cut ahead of k-means / LSH / SemDeDup
     when even PCA's single covariance pass over 100 TB is unwanted.
 
-    The sign matrix is not data: s(j,i) = ±1 from md5("jl:j:i"), an
-    EXPRESSION evaluated inside whole-stage codegen on both engines —
-    nothing is broadcast, shuffled, or stored, and any executor (or a
-    retried task, or the DuckDB oracle) regenerates the identical
-    matrix. The whole operator is one narrow map over the corpus scan:
-    zero shuffles at any scale. Left-fold summation order is mirrored
-    in the oracle (0.0 + x == x exactly), so values match before the
-    4 dp round."""
+    The sign matrix is not data: s(j,i) = ±1 from md5("jl:j:i"),
+    computed ONCE on the driver and planted as plan literals (1,024
+    constants), while the DuckDB oracle re-derives the identical
+    values with its own in-SQL md5 — nothing is broadcast, shuffled,
+    or stored, and any retried task re-plans the same constants. The
+    whole operator is one narrow map over the corpus scan (zip_with
+    multiply + ordered fold, whole-stage codegen): zero shuffles at
+    any scale. Left-fold summation order is mirrored in the oracle
+    (0.0 + x == x exactly), so values match before the 4 dp round."""
     emb = load_table(spark, "embeddings", sf_dir)
-    idx = F.sequence(F.lit(0), F.lit(63))
-
-    def signed_term(j):
-        return lambda x, i: x.cast("double") * _jl_sign(j, i)
-
     outs = [
         F.round(
             F.aggregate(
-                F.zip_with(F.col("embedding"), idx, signed_term(j)),
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(_jl_sign_py(j, i)) for i in range(64)]),
+                    lambda x, s: x.cast("double") * s,
+                ),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
