@@ -1368,6 +1368,40 @@ def image_png_roundtrip_real(spark, sf_dir):
 
 
 @register(
+    "image_gif_roundtrip_real",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             (d.doc_id * 9 + 13 * gx.x + gy.y) % 256 AS r,
+             (d.doc_id * 5 + gx.x + 11 * gy.y) % 256 AS g,
+             (d.doc_id + 3 * gx.x + 7 * gy.y) % 256 AS b
+      FROM documents d
+      CROSS JOIN generate_series(0, 12) gx(x)
+      CROSS JOIN generate_series(0, 11) gy(y)
+    )
+    SELECT doc_id, 13 AS width, 12 AS height,
+           sum(r) AS sum_r, sum(g) AS sum_g, sum(b) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def image_gif_roundtrip_real(spark, sf_dir):
+    """REAL GIF: per-document GIF89a payloads from the pure-python
+    encoder (operators/gif.py — per-image palette, full LZW with
+    variable code widths and table resets, sub-block framing) decoded
+    by the matching parser (extension skip, local/global color
+    tables, KwKwK case). A 13x12 formula image has <= 156 distinct
+    colors, so GIF is lossless here and the EXACT per-channel sums
+    must equal the BMP/PPM/PNG queries' shared oracle — FOUR wire
+    formats cross-validated by one SQL statement. Arrow-batched
+    narrow maps, zero shuffles."""
+    from python_plugins_spark.operators import gif as GIF
+
+    docs = load_table(spark, "documents", sf_dir)
+    enc = GIF.synth_gif_payloads(docs, "doc_id", width=13, height=12)
+    return GIF.decode_gif_stats(enc, "doc_id", "payload")
+
+
+@register(
     "image_jpeg_roundtrip_real",
     oracle="""
     WITH blk AS (

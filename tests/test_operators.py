@@ -1519,3 +1519,77 @@ def test_png_bmp_ppm_cross_validate_on_same_pixels():
     _, _, ppm_px = parse_ppm(ppm_bytes(w, h, pixel_fn))
     flat = [tuple(int(v) for v in via_png[y, x]) for y in range(h) for x in range(w)]
     assert flat == list(bmp_px) == list(ppm_px)
+
+
+def test_gif_lzw_roundtrip_including_table_resets():
+    """LZW must survive width growth (512/1024/2048/4096 boundaries),
+    the 4096-entry clear-code reset, and the KwKwK self-reference."""
+    import numpy as np
+
+    from python_plugins_spark.operators.gif import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(3)
+    for n, mcs in ((10, 2), (5000, 8), (100000, 8)):
+        seq = rng.integers(0, 1 << mcs, n).tolist()
+        assert _lzw_decode(_lzw_encode(seq, mcs), mcs) == seq
+    seq = [1] * 50  # KwKwK: runs of one symbol
+    assert _lzw_decode(_lzw_encode(seq, 2), 2) == seq
+
+
+def test_gif_roundtrip_and_refusals():
+    import numpy as np
+    import pytest
+
+    from python_plugins_spark.operators.gif import gif_decode, gif_encode
+
+    rng = np.random.default_rng(3)
+    for shape in ((1, 1), (12, 13), (31, 17)):
+        img = rng.integers(0, 6, (*shape, 3), dtype=np.uint8) * 40
+        assert (gif_decode(gif_encode(img)) == img).all()
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 256, (64, 64))]  # full palette, wide LZW
+    assert (gif_decode(gif_encode(img)) == img).all()
+    with pytest.raises(ValueError, match="bad signature"):
+        gif_decode(b"NOPE")
+    with pytest.raises(ValueError, match="exceed GIF"):
+        gif_encode(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="truncated"):
+        gif_decode(gif_encode(img)[:-10])
+
+
+def test_four_image_codecs_cross_validate():
+    """BMP, PPM, PNG, and GIF must all reconstruct the identical pixel
+    array from the identical generator formula — the quadruple
+    agreement pins each codec's byte layout against three others."""
+    import numpy as np
+
+    from python_plugins_spark.operators.gif import gif_decode, gif_encode
+    from python_plugins_spark.operators.multimodal import (
+        bmp_bytes, parse_bmp,
+    )
+    from python_plugins_spark.operators.png import png_decode, png_encode
+
+    rid, w, h = 321, 13, 12
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
+    img = np.stack(
+        [
+            (rid * 9 + 13 * xs + ys) % 256,
+            (rid * 5 + xs + 11 * ys) % 256,
+            (rid + 3 * xs + 7 * ys) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    via_gif = gif_decode(gif_encode(img))
+    via_png = png_decode(png_encode(img, 4))
+    assert (via_gif == img).all() and (via_png == img).all()
+
+    def pixel_fn(x, y):
+        return (
+            (rid * 9 + 13 * x + y) % 256,
+            (rid * 5 + x + 11 * y) % 256,
+            (rid + 3 * x + 7 * y) % 256,
+        )
+
+    _, _, bmp_px = parse_bmp(bmp_bytes(w, h, pixel_fn))
+    flat = [tuple(int(v) for v in via_gif[y, x]) for y in range(h) for x in range(w)]
+    assert flat == list(bmp_px)
