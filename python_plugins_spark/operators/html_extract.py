@@ -49,13 +49,15 @@ class _TextExtractor(HTMLParser):
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP:
             self._skip_depth += 1
-        elif tag in _BLOCK:
+        elif tag in _BLOCK and self._skip_depth == 0:
+            # block tags inside a skipped subtree contribute nothing —
+            # not even line breaks
             self.parts.append("\n")
 
     def handle_endtag(self, tag):
         if tag in _SKIP:
             self._skip_depth = max(0, self._skip_depth - 1)
-        elif tag in _BLOCK:
+        elif tag in _BLOCK and self._skip_depth == 0:
             self.parts.append("\n")
 
     def handle_data(self, data):

@@ -288,3 +288,56 @@ def jl_projection_embeddings(spark, sf_dir):
         for j in range(_JL_K)
     ]
     return emb.select("vec_id", *outs)
+
+
+@register(
+    "html_text_extract_docs",
+    oracle=r"""
+    SELECT doc_id,
+           'doc ' || doc_id || chr(10) ||
+           'Doc ' || doc_id || chr(10) ||
+           regexp_replace(trim(text), '\s+', ' ', 'g') || chr(10) ||
+           'source: ' || source || ' & lang: ' || lang AS text
+    FROM documents
+    """,
+)
+def html_text_extract_docs(spark, sf_dir):
+    """The crawl front door: HTML -> visible text via the stdlib
+    html.parser extractor (operators/html_extract.py). Each document
+    is first wrapped into deterministic HTML by pure expressions —
+    entity-escaped body text, a <style> block, a <script> whose
+    content contains raw '<' and '&&' (CDATA handling), an HTML
+    comment, block and inline tags, and literal entities in a footer
+    div — and the extractor must recover EXACTLY the title line, the
+    h1 line, the whitespace-normalized body, and the entity-decoded
+    footer. The oracle recomputes that expected text from the raw
+    columns without parsing any HTML, so skip-subtree removal, block
+    breaks, entity decoding, and line normalization are all
+    load-bearing in the hash. One Arrow-batched narrow map over the
+    scan; richer parser cases (nested skips, charrefs, malformed
+    tags) live in tests/test_operators.py."""
+    from python_plugins_spark.operators.html_extract import (
+        extract_text_column,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = F.col("doc_id").cast("string")
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
+    html = F.concat(
+        F.lit("<html><head><title>doc "), d, F.lit("</title>"),
+        F.lit("<style>p{color:red}</style>"),
+        F.lit('<script>var x = 1 < 2 && "junk";</script></head>'),
+        F.lit("<body><!-- crawl "), d, F.lit(" -->"),
+        F.lit("<h1>Doc "), d, F.lit("</h1><p>"), esc,
+        F.lit("</p><div>source: "), F.col("source"),
+        F.lit(" &amp; lang: "), F.col("lang"),
+        F.lit("</div></body></html>"),
+    )
+    wrapped = docs.select("doc_id", html.alias("html"))
+    return extract_text_column(wrapped, "html", "doc_id")

@@ -1593,3 +1593,30 @@ def test_four_image_codecs_cross_validate():
     _, _, bmp_px = parse_bmp(bmp_bytes(w, h, pixel_fn))
     flat = [tuple(int(v) for v in via_gif[y, x]) for y in range(h) for x in range(w)]
     assert flat == list(bmp_px)
+
+
+def test_html_extract_parser_cases():
+    """The parser cases the by-construction registry oracle cannot
+    cover: nested skip subtrees, numeric/hex/named charrefs, malformed
+    markup, attribute values containing '>', and block-break shaping."""
+    from python_plugins_spark.operators.html_extract import extract_text
+
+    # skip subtrees, incl. style nested in a kept div
+    assert extract_text(
+        "<div>keep<style>p {}</style><script>var a = '<div>';</script>"
+        "<template><p>ghost</p></template> this</div>"
+    ) == "keep this"
+    # charrefs: named, decimal, hex
+    assert extract_text("<p>&quot;A&#66;&#x43;&amp;&lt;tag&gt;&quot;</p>") == '"ABC&<tag>"'
+    # block vs inline: inline concatenates, blocks break lines
+    assert extract_text(
+        "<p>one <b>bold</b> word</p><p>two</p><span>a</span><span>b</span>"
+    ) == "one bold word\ntwo\nab"
+    # attribute containing '>' must not truncate the tag
+    assert extract_text('<p><a href="x?a>b">link</a></p>') == "link"
+    # <br> breaks without an end tag; blank lines drop
+    assert extract_text("a<br><br>   <br>b") == "a\nb"
+    # unclosed / stray tags degrade gracefully, text survives
+    assert extract_text("<p>open <i>italic</p> tail") == "open italic\ntail"
+    # whitespace runs collapse per line
+    assert extract_text("<p>  a\t\tb   c  </p>") == "a b c"
