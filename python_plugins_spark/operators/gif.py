@@ -71,6 +71,11 @@ def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
         seq = (px,)
     if seq:
         put(table[seq], width)
+        # the decoder appends one more entry while processing this
+        # final code and grows its width if that append hits 2^width —
+        # mirror that phantom growth or EOI is read at the wrong width
+        if next_code == (1 << width) and width < 12:
+            width += 1
     put(eoi, width)
     if n:
         out.append(acc & 0xFF)

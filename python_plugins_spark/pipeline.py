@@ -315,6 +315,60 @@ def run_pipeline(
                 claimed = claimed | port_cond
             frames[f"{name}.default"] = df.filter(~claimed)
             frames[name] = frames[f"{name}.{ports[0]['port']}"]
+        elif stype == "transform.validate":
+            # Declarative data-quality expectations with the reference
+            # plugin's ERROR-PORT semantics (emitError /
+            # "Could not transform input." fail-fast): a row passes
+            # only if every rule holds, a NULL rule result counts as a
+            # violation, failing rows land on <stage>.errors annotated
+            # with the names of the rules they broke. onViolation
+            # "fail" makes the main port raise mid-job on the first
+            # bad row instead of routing it.
+            need(1)
+            rules = cfg.get("rules") or []
+            if not rules:
+                raise PipelineSpecError(
+                    f"stage {name!r}: validate needs rules "
+                    "[{name, expr}, ...]"
+                )
+            mode = cfg.get("onViolation", "route")
+            if mode not in ("route", "fail"):
+                raise PipelineSpecError(
+                    f"stage {name!r}: onViolation must be route|fail, "
+                    f"got {mode!r}"
+                )
+            viol = F.array_compact(
+                F.array(
+                    *[
+                        F.when(
+                            ~F.coalesce(F.expr(r["expr"]), F.lit(False)),
+                            F.lit(r["name"]),
+                        )
+                        for r in rules
+                    ]
+                )
+            )
+            with_v = ins[0].withColumn("_violations", viol)
+            frames[f"{name}.errors"] = with_v.filter(
+                F.size("_violations") > 0
+            ).withColumn("_n_violations", F.size("_violations"))
+            if mode == "fail":
+                guard = F.assert_true(
+                    F.size("_violations") == 0,
+                    F.concat(
+                        F.lit(f"stage {name}: validation failed: "),
+                        F.array_join("_violations", ","),
+                    ),
+                )
+                frames[name] = (
+                    with_v.withColumn("_guard", guard)
+                    .filter(F.col("_guard").isNull())
+                    .drop("_guard", "_violations")
+                )
+            else:
+                frames[name] = with_v.filter(
+                    F.size("_violations") == 0
+                ).drop("_violations")
         elif stype == "transform.wrangler":
             need(1)
             from python_plugins_spark.operators.wrangler import wrangle

@@ -2665,3 +2665,89 @@ def pipeline_corpus_curation(spark, sf_dir):
         ],
     })
     return frames["select"]
+
+
+@register(
+    "pipeline_validate_errors",
+    oracle="""
+    WITH staged AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                    ELSE o_totalprice END AS price,
+               o_orderpriority
+        FROM orders
+    ),
+    flags AS (
+        SELECT NOT coalesce(price > 0, FALSE) AS v1,
+               NOT coalesce(price <= 400000, FALSE) AS v2,
+               NOT coalesce(length(o_orderpriority) > 0, FALSE) AS v3
+        FROM staged
+    )
+    SELECT rule, n FROM (
+        SELECT 'price_present_positive' AS rule,
+               count(*) FILTER (v1) AS n FROM flags
+        UNION ALL
+        SELECT 'price_cap', count(*) FILTER (v2) FROM flags
+        UNION ALL
+        SELECT 'prio_nonempty', count(*) FILTER (v3) FROM flags
+        UNION ALL
+        SELECT '_passed', count(*) FILTER (NOT v1 AND NOT v2 AND NOT v3)
+        FROM flags
+        UNION ALL
+        SELECT '_errors', count(*) FILTER (v1 OR v2 OR v3) FROM flags
+    ) WHERE n > 0 OR rule IN ('_passed', '_errors')
+    """,
+)
+def pipeline_validate_errors(spark, sf_dir):
+    """Declarative data-quality EXPECTATIONS with the reference's
+    error-port semantics (PythonEvaluator.java:209-214 emitError):
+    a transform.sql stage nullifies every 97th order's price, then a
+    transform.validate stage checks three rules (NULL-safe: a NULL
+    rule result is a violation — the nulled prices must break BOTH
+    price rules at once). Failing rows land on the .errors port
+    annotated with the rule names they broke; the query returns
+    per-rule violation counts plus the passed/errors totals, so the
+    routing split AND the multi-violation annotation are load-bearing
+    in the hash. onViolation='fail' (the reference's 'Could not
+    transform input.' fail-fast) is covered in tests/test_pipeline.py.
+    Scale: the rule array is one codegen expression over the scan —
+    zero extra shuffles; the error port is a filter, not a copy."""
+    from python_plugins_spark.pipeline import run_pipeline
+
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "ord", "type": "batchsource.parquet",
+             "config": {"path": f"{sf_dir}/orders.parquet"}},
+            {"name": "staged", "type": "transform.sql",
+             "config": {"viewName": "validate_orders",
+                        "statement": (
+                            "SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0 "
+                            "THEN NULL ELSE o_totalprice END AS price, "
+                            "o_orderpriority FROM validate_orders"
+                        )}},
+            {"name": "val", "type": "transform.validate",
+             "config": {"rules": [
+                 {"name": "price_present_positive", "expr": "price > 0"},
+                 {"name": "price_cap", "expr": "price <= 400000"},
+                 {"name": "prio_nonempty",
+                  "expr": "length(o_orderpriority) > 0"},
+             ]}},
+        ],
+        "connections": [
+            {"from": "ord", "to": "staged"},
+            {"from": "staged", "to": "val"},
+        ],
+    })
+    errs = frames["val.errors"]
+    per_rule = (
+        errs.select(F.explode("_violations").alias("rule"))
+        .groupBy("rule")
+        .agg(F.count("*").alias("n"))
+    )
+    passed = frames["val"].agg(F.count("*").alias("n")).select(
+        F.lit("_passed").alias("rule"), "n"
+    )
+    esum = errs.agg(F.count("*").alias("n")).select(
+        F.lit("_errors").alias("rule"), "n"
+    )
+    return per_rule.unionByName(passed).unionByName(esum)

@@ -1071,3 +1071,70 @@ def test_pipeline_corpus_stage_validation(spark, sf_dir):
                              "config": {"method": "dsir"}}],
             "connections": [{"from": "docs", "to": "s"}],
         })
+
+
+def test_pipeline_validate_routing_and_fail_fast(spark, sf_dir):
+    """Route mode: NULL rule results count as violations, multi-rule
+    breaks are annotated together, main+errors partition the input.
+    Fail mode: the first violating row aborts the job (the reference's
+    'Could not transform input.' fail-fast contract)."""
+    base = [
+        {"name": "ord", "type": "batchsource.parquet",
+         "config": {"path": f"{sf_dir}/orders.parquet"}},
+        {"name": "staged", "type": "transform.sql",
+         "config": {"viewName": "t_val_orders",
+                    "statement": (
+                        "SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0 "
+                        "THEN NULL ELSE o_totalprice END AS price "
+                        "FROM t_val_orders"
+                    )}},
+    ]
+    rules = [{"name": "present", "expr": "price > 0"},
+             {"name": "cap", "expr": "price <= 400000"}]
+    frames = run_pipeline(spark, {
+        "stages": base + [{"name": "v", "type": "transform.validate",
+                           "config": {"rules": rules}}],
+        "connections": [{"from": "ord", "to": "staged"},
+                        {"from": "staged", "to": "v"}],
+    })
+    total = frames["staged"].count()
+    ok_n, err_n = frames["v"].count(), frames["v.errors"].count()
+    assert ok_n + err_n == total and err_n > 0
+    # nulled prices violate BOTH rules at once
+    both = frames["v.errors"].filter(F.col("price").isNull()).collect()
+    assert both and all(
+        sorted(r["_violations"]) == ["cap", "present"]
+        and r["_n_violations"] == 2
+        for r in both
+    )
+    # main port carries no _violations column and only clean rows
+    assert "_violations" not in frames["v"].columns
+    assert frames["v"].filter(
+        F.col("price").isNull() | (F.col("price") > 400000)
+    ).count() == 0
+
+    frames_fail = run_pipeline(spark, {
+        "stages": base + [{"name": "v", "type": "transform.validate",
+                           "config": {"rules": rules,
+                                      "onViolation": "fail"}}],
+        "connections": [{"from": "ord", "to": "staged"},
+                        {"from": "staged", "to": "v"}],
+    })
+    with pytest.raises(Exception, match="validation failed"):
+        frames_fail["v"].count()
+
+    with pytest.raises(PipelineSpecError, match="rules"):
+        run_pipeline(spark, {
+            "stages": base + [{"name": "v", "type": "transform.validate",
+                               "config": {}}],
+            "connections": [{"from": "ord", "to": "staged"},
+                            {"from": "staged", "to": "v"}],
+        })
+    with pytest.raises(PipelineSpecError, match="route|fail"):
+        run_pipeline(spark, {
+            "stages": base + [{"name": "v", "type": "transform.validate",
+                               "config": {"rules": rules,
+                                          "onViolation": "explode"}}],
+            "connections": [{"from": "ord", "to": "staged"},
+                            {"from": "staged", "to": "v"}],
+        })

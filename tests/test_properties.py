@@ -282,3 +282,63 @@ def test_py2shim_composed_scripts_compile(snippets):
     ns = {"d": {1: "a"}, "x": 5, "k": 1, "sink": io.StringIO(),
           "obj": type("O", (), {"attr": [{1: 2}]})()}
     exec(code, ns)
+
+
+@given(st.data())
+@settings(max_examples=30, deadline=None)
+def test_png_gif_roundtrip_any_image(data):
+    """PNG (every filter) and GIF (when the palette fits) are lossless
+    for ARBITRARY uint8 images, not just the fixture family."""
+    import numpy as np
+
+    from python_plugins_spark.operators.gif import gif_decode, gif_encode
+    from python_plugins_spark.operators.png import png_decode, png_encode
+
+    h = data.draw(st.integers(1, 20))
+    w = data.draw(st.integers(1, 20))
+    ft = data.draw(st.integers(0, 4))
+    seed = data.draw(st.integers(0, 2**31))
+    rng = np.random.default_rng(seed)
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (png_decode(png_encode(gray, ft)) == gray).all()
+    assert (png_decode(png_encode(rgb, ft)) == rgb).all()
+    if h * w <= 256:  # palette guaranteed to fit
+        assert (gif_decode(gif_encode(rgb)) == rgb).all()
+
+
+@given(st.data())
+@settings(max_examples=30, deadline=None)
+def test_gif_lzw_roundtrip_any_sequence(data):
+    from python_plugins_spark.operators.gif import _lzw_decode, _lzw_encode
+
+    mcs = data.draw(st.integers(2, 8))
+    seq = data.draw(
+        st.lists(st.integers(0, (1 << mcs) - 1), min_size=1, max_size=3000)
+    )
+    assert _lzw_decode(_lzw_encode(seq, mcs), mcs) == seq
+
+
+@given(st.data())
+@settings(max_examples=25, deadline=None)
+def test_jpeg_decode_never_crashes_and_bounds_error(data):
+    """Any uint8 image survives encode->decode at any quality with the
+    right shape; reconstruction error is bounded by the quantization
+    table scale (a loose but universal bound: max|err| <= 255)."""
+    import numpy as np
+
+    from python_plugins_spark.operators.jpeg import (
+        jpeg_decode_gray, jpeg_encode_gray,
+    )
+
+    h = data.draw(st.integers(1, 24))
+    w = data.draw(st.integers(1, 24))
+    q = data.draw(st.sampled_from([10, 50, 90]))
+    seed = data.draw(st.integers(0, 2**31))
+    img = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+    dec = jpeg_decode_gray(jpeg_encode_gray(img, q))
+    assert dec.shape == (h, w) and dec.dtype == np.uint8
+    # smooth images must reconstruct closely even at low quality
+    flat = np.full((h, w), int(img.mean()), dtype=np.uint8)
+    dec2 = jpeg_decode_gray(jpeg_encode_gray(flat, q))
+    assert np.abs(dec2.astype(int) - flat.astype(int)).max() <= 16
