@@ -341,3 +341,165 @@ def html_text_extract_docs(spark, sf_dir):
     )
     wrapped = docs.select("doc_id", html.alias("html"))
     return extract_text_column(wrapped, "html", "doc_id")
+
+
+@register(
+    "zipf_fit_docs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(str_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM freq
+    )
+    SELECT count(*) AS vocab,
+           round(regr_slope(ln(c), ln(r)), 4) AS zipf_slope,
+           round(regr_intercept(ln(c), ln(r)), 4) AS zipf_intercept,
+           round(regr_r2(ln(c), ln(r)), 4) AS r2
+    FROM ranked
+    """,
+)
+def zipf_fit_docs(spark, sf_dir):
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS of
+    ln(freq) on ln(rank) (slope ~ -1 for natural language — a crawl
+    whose slope collapses toward 0 is template soup, one that steepens
+    is vocabulary-starved; the standard one-number sanity check on a
+    new corpus snapshot). Deterministic ranking: ties broken by word.
+
+    Scale: ONE token-stream aggregate (map-side combined) builds the
+    vocabulary-bounded frequency table; the rank window and the
+    closed-form OLS fold run on |vocab| rows, never the corpus. The
+    regression is computed with the textbook sums (n, Σx, Σy, Σxy,
+    Σx², Σy²) so Spark needs no regr_* builtins and both engines
+    aggregate the identical doubles."""
+    docs = load_table(spark, "documents", sf_dir)
+    from pyspark.sql import Window
+
+    freq = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w")))
+    ).select(
+        F.log("c").alias("y"), F.log("r").alias("x")
+    )
+    s = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r2 = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    return s.select(
+        F.col("n").cast("long").alias("vocab"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(intercept, 4).alias("zipf_intercept"),
+        F.round(r2, 4).alias("r2"),
+    )
+
+
+@register(
+    "js_divergence_sources",
+    oracle=r"""
+    WITH toks AS (
+        SELECT source, unnest(str_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    cnt AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+    tot AS (SELECT source, sum(c) AS t FROM cnt GROUP BY 1),
+    p AS (
+        SELECT cnt.source, w, c / CAST(t AS DOUBLE) AS p
+        FROM cnt JOIN tot USING (source)
+    ),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b, a.p AS pa, b.p AS pb
+        FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
+    ),
+    shared AS (
+        SELECT src_a, src_b,
+               sum(0.5 * pa * ln(pa / (0.5 * (pa + pb)))
+                 + 0.5 * pb * ln(pb / (0.5 * (pa + pb)))) AS t_shared,
+               sum(pa) AS spa, sum(pb) AS spb
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           round(t_shared + 0.5 * ln(2.0) * (2.0 - spa - spb), 4) AS jsd
+    FROM shared ORDER BY 1, 2
+    """,
+)
+def js_divergence_sources(spark, sf_dir):
+    """Jensen-Shannon divergence between every source pair's unigram
+    distribution — the symmetric, bounded (ln 2) measure for 'how
+    different are these domains really', used to design mixes and to
+    catch a crawl source that silently became a mirror of another.
+
+    Scale: per-source distributions are vocabulary-bounded; the pair
+    join is (vocab x sources) against itself on the word key — the
+    corpus text is scanned once, everything downstream is model-table
+    sized. Words present in only ONE source never need to join: each
+    one-sided term folds to 0.5·p·ln2, so their total contribution is
+    0.5·ln2·(2 − Σ_shared pa − Σ_shared pb) — an exact closed form
+    from the SHARED-word sums alone. The join is therefore inner, not
+    full-outer, and the correction is one expression per pair; the
+    oracle computes the identical decomposition."""
+    docs = load_table(spark, "documents", sf_dir)
+    cnt = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    p = cnt.join(F.broadcast(tot), "source").select(
+        "source", "w", (F.col("c") / F.col("t").cast("double")).alias("p")
+    )
+    a = p.select(
+        F.col("source").alias("src_a"), "w", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("src_b"), "w", F.col("p").alias("pb")
+    )
+    pairs = a.join(b, "w").filter(F.col("src_a") < F.col("src_b"))
+    pa, pb = F.col("pa"), F.col("pb")
+    m = F.lit(0.5) * (pa + pb)
+    term = (
+        F.lit(0.5) * pa * F.log(pa / m) + F.lit(0.5) * pb * F.log(pb / m)
+    )
+    import math
+
+    shared = (
+        pairs.select("src_a", "src_b", term.alias("t"), "pa", "pb")
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum("t").alias("t_shared"),
+            F.sum("pa").alias("spa"),
+            F.sum("pb").alias("spb"),
+        )
+    )
+    jsd = F.col("t_shared") + F.lit(0.5 * math.log(2.0)) * (
+        F.lit(2.0) - F.col("spa") - F.col("spb")
+    )
+    return shared.select(
+        "src_a", "src_b", F.round(jsd, 4).alias("jsd")
+    ).orderBy("src_a", "src_b")

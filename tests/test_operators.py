@@ -1620,3 +1620,66 @@ def test_html_extract_parser_cases():
     assert extract_text("<p>open <i>italic</p> tail") == "open italic\ntail"
     # whitespace runs collapse per line
     assert extract_text("<p>  a\t\tb   c  </p>") == "a b c"
+
+
+def test_zipf_and_jsd_against_pure_python(spark):
+    """Both corpus statistics recomputed with Counters/math only."""
+    import math
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT source, text FROM '{sf}/documents.parquet' "
+        "WHERE length(trim(text)) > 0"
+    ).fetchall()
+
+    # --- Zipf ---
+    freq = Counter()
+    for _, text in rows:
+        freq.update(re.split(r"\s+", text.strip().lower()))
+    ordered = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.log(r + 1) for r in range(len(ordered))]
+    ys = [math.log(c) for _, c in ordered]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    got = QUERIES["zipf_fit_docs"](spark, sf).collect()[0]
+    assert got["vocab"] == len(ordered)
+    assert abs(got["zipf_slope"] - round(slope, 4)) < 2e-4
+    assert abs(got["r2"] - round(r2, 4)) < 2e-4
+    assert got["zipf_slope"] < 0 and 0 <= got["r2"] <= 1
+
+    # --- JSD: exact definition over the union vocabulary ---
+    per_src: dict[str, Counter] = {}
+    for src, text in rows:
+        per_src.setdefault(src, Counter()).update(
+            re.split(r"\s+", text.strip().lower())
+        )
+    dists = {
+        s: {w: c / sum(cnt.values()) for w, c in cnt.items()}
+        for s, cnt in per_src.items()
+    }
+
+    def jsd(pa, pb):
+        total = 0.0
+        for w in set(pa) | set(pb):
+            x, y = pa.get(w, 0.0), pb.get(w, 0.0)
+            m = 0.5 * (x + y)
+            if x > 0:
+                total += 0.5 * x * math.log(x / m)
+            if y > 0:
+                total += 0.5 * y * math.log(y / m)
+        return total
+
+    got_rows = QUERIES["js_divergence_sources"](spark, sf).collect()
+    assert len(got_rows) == len(dists) * (len(dists) - 1) // 2
+    for r in got_rows:
+        want = jsd(dists[r["src_a"]], dists[r["src_b"]])
+        assert abs(r["jsd"] - round(want, 4)) < 2e-4, (r, want)
+        assert 0.0 <= r["jsd"] <= math.log(2) + 1e-9
