@@ -503,3 +503,70 @@ def js_divergence_sources(spark, sf_dir):
     return shared.select(
         "src_a", "src_b", F.round(jsd, 4).alias("jsd")
     ).orderBy("src_a", "src_b")
+
+
+@register(
+    "audio_mulaw_roundtrip_real",
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 2654435761 + t.i * 40503) % 24001) - 12000 AS v
+      FROM documents d CROSS JOIN generate_series(0, 2047) t(i)
+    ),
+    enc AS (
+      SELECT doc_id, v,
+             floor(v / 4.0)::BIGINT AS p
+      FROM s
+    ),
+    seg AS (
+      SELECT doc_id, v, p,
+             least(abs(p), 8159) + 33 AS a,
+             (p < 0) AS neg
+      FROM enc
+    ),
+    segn AS (
+      SELECT *, CASE WHEN a <= 63 THEN 0 WHEN a <= 127 THEN 1
+                     WHEN a <= 255 THEN 2 WHEN a <= 511 THEN 3
+                     WHEN a <= 1023 THEN 4 WHEN a <= 2047 THEN 5
+                     WHEN a <= 4095 THEN 6 ELSE 7 END AS sg
+      FROM seg
+    ),
+    wire AS (
+      SELECT doc_id,
+             xor((sg << 4) | ((a >> (sg + 1)) & 15),
+                 CASE WHEN neg THEN 127 ELSE 255 END) AS w
+      FROM segn
+    ),
+    dec AS (
+      SELECT doc_id,
+             CASE WHEN ((255 - w) & 128) != 0
+                  THEN 132 - (((((255 - w) & 15) << 3) + 132)
+                              << (((255 - w) & 112) >> 4))
+                  ELSE (((((255 - w) & 15) << 3) + 132)
+                        << (((255 - w) & 112) >> 4)) - 132
+             END AS x
+      FROM wire
+    )
+    SELECT doc_id, 8000 AS sample_rate, 2048 AS n_frames,
+           sum(x) AS sum_dec, sum(abs(x)) AS sum_abs,
+           max(abs(x))::INT AS peak
+    FROM dec GROUP BY doc_id
+    """,
+)
+def audio_mulaw_roundtrip_real(spark, sf_dir):
+    """REAL G.711 mu-law (operators/g711.py): the Weyl-sequence PCM16
+    signal is companded to 8-bit wire bytes by the vectorized Sun/
+    CCITT encoder (16->14-bit shift, bias, segment search, mantissa
+    complement), framed as a format-7 WAV (hand-rolled RIFF — stdlib
+    ``wave`` is PCM-only), then parsed and expanded back. The oracle
+    replays the ENTIRE lossy chain in SQL — biased segment CASE arms,
+    wire-byte complement, the <<seg expansion — so every bit of the
+    companding math is hash-checked, not just the framing (the only
+    audio codec whose full lossy path is closed-form). All 65536
+    encoder inputs are additionally pinned exhaustively in pytest.
+    Arrow-batched narrow maps; zero shuffles."""
+    from python_plugins_spark.operators import g711 as G
+
+    docs = load_table(spark, "documents", sf_dir)
+    enc = G.synth_mulaw_wav_payloads(docs, "doc_id", n=2048)
+    return G.decode_mulaw_wav_stats(enc, "doc_id", "payload")

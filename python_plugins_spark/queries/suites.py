@@ -1368,6 +1368,39 @@ def image_png_roundtrip_real(spark, sf_dir):
 
 
 @register(
+    "image_tiff_roundtrip_real",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             (d.doc_id * 9 + 13 * gx.x + gy.y) % 256 AS r,
+             (d.doc_id * 5 + gx.x + 11 * gy.y) % 256 AS g,
+             (d.doc_id + 3 * gx.x + 7 * gy.y) % 256 AS b
+      FROM documents d
+      CROSS JOIN generate_series(0, 12) gx(x)
+      CROSS JOIN generate_series(0, 11) gy(y)
+    )
+    SELECT doc_id, 13 AS width, 12 AS height,
+           sum(r) AS sum_r, sum(g) AS sum_g, sum(b) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def image_tiff_roundtrip_real(spark, sf_dir):
+    """REAL TIFF: uncompressed baseline payloads from the pure-stdlib
+    encoder (operators/tiff.py — typed IFD tags, out-of-line
+    BitsPerSample triple, single strip) decoded by the full IFD walk
+    (both byte orders, SHORT/LONG value types, inline vs offset
+    storage, multi-strip assembly; loud refusals for compressed/
+    tiled/planar/16-bit). Lossless: the EXACT per-channel sums join
+    the BMP/PPM/PNG/GIF queries on the shared generator-formula
+    oracle — FIVE wire formats, one SQL statement."""
+    from python_plugins_spark.operators import tiff as TIFF
+
+    docs = load_table(spark, "documents", sf_dir)
+    enc = TIFF.synth_tiff_payloads(docs, "doc_id", width=13, height=12)
+    return TIFF.decode_tiff_stats(enc, "doc_id", "payload")
+
+
+@register(
     "image_gif_roundtrip_real",
     oracle="""
     WITH px AS (

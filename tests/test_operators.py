@@ -1683,3 +1683,100 @@ def test_zipf_and_jsd_against_pure_python(spark):
         want = jsd(dists[r["src_a"]], dists[r["src_b"]])
         assert abs(r["jsd"] - round(want, 4)) < 2e-4, (r, want)
         assert 0.0 <= r["jsd"] <= math.log(2) + 1e-9
+
+
+def test_tiff_codec_roundtrip_and_foreign_layouts():
+    """Our encoder roundtrips exactly; the decoder also reads layouts
+    our encoder never writes — big-endian ('MM') files with
+    multi-strip data and offset-stored value arrays — plus precise
+    refusals for compressed and non-TIFF input."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from python_plugins_spark.operators.tiff import tiff_decode, tiff_encode
+
+    rng = np.random.default_rng(5)
+    for shape in ((1, 1), (12, 13), (31, 17)):
+        g = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert (tiff_decode(tiff_encode(g)) == g).all()
+        c = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        assert (tiff_decode(tiff_encode(c)) == c).all()
+
+    # hand-built big-endian, two strips, strip arrays stored by offset
+    img = rng.integers(0, 256, (6, 4), dtype=np.uint8)
+    data = img.tobytes()
+    half = len(data) // 2
+    bo, pix_off = ">", 8
+    ifd_off = pix_off + len(data)
+
+    def entry(tag, typ, cnt, val4):
+        return struct.pack(bo + "HHI", tag, typ, cnt) + val4
+
+    entries = [
+        entry(256, 3, 1, struct.pack(bo + "HH", 4, 0)),
+        entry(257, 4, 1, struct.pack(bo + "I", 6)),
+        entry(258, 3, 1, struct.pack(bo + "HH", 8, 0)),
+        entry(259, 3, 1, struct.pack(bo + "HH", 1, 0)),
+        entry(262, 3, 1, struct.pack(bo + "HH", 1, 0)),
+        None,  # strip offsets, patched
+        entry(277, 3, 1, struct.pack(bo + "HH", 1, 0)),
+        entry(278, 4, 1, struct.pack(bo + "I", 3)),
+        None,  # strip bytecounts, patched
+    ]
+    n = len(entries)
+    extra = ifd_off + 2 + 12 * n + 4
+    entries[5] = entry(273, 4, 2, struct.pack(bo + "I", extra))
+    entries[8] = entry(279, 4, 2, struct.pack(bo + "I", extra + 8))
+    buf = bytearray(b"MM" + struct.pack(bo + "H", 42) + struct.pack(bo + "I", ifd_off))
+    buf += data + struct.pack(bo + "H", n)
+    for e in entries:
+        buf += e
+    buf += struct.pack(bo + "I", 0)
+    buf += struct.pack(bo + "II", pix_off, pix_off + half)
+    buf += struct.pack(bo + "II", half, len(data) - half)
+    assert (tiff_decode(bytes(buf)) == img).all()
+
+    with pytest.raises(ValueError, match="byte-order"):
+        tiff_decode(b"XXXXXXXX")
+    enc = bytearray(tiff_encode(img))
+    i = enc.find(struct.pack("<HH", 259, 3))
+    enc[i + 8] = 5  # claim LZW compression
+    with pytest.raises(ValueError, match="baseline only"):
+        tiff_decode(bytes(enc))
+    with pytest.raises(ValueError, match="truncated"):
+        tiff_decode(tiff_encode(img)[:10])
+
+
+def test_g711_mulaw_exhaustive_and_wav_framing():
+    """All 65536 encoder inputs: reconstruction error bounded by the
+    top segment's step, near-exact at small amplitudes, re-encode
+    idempotent (decode is each code's canonical value); format-7 WAV
+    framing roundtrips and refuses PCM files."""
+    import numpy as np
+    import pytest
+
+    from python_plugins_spark.operators.g711 import (
+        mulaw_decode, mulaw_encode, parse_wav_mulaw, wav_mulaw_bytes,
+    )
+    from python_plugins_spark.operators.multimodal import wav_bytes
+
+    x = np.arange(-32768, 32768, dtype=np.int64)
+    d = mulaw_decode(mulaw_encode(x)).astype(np.int64)
+    err = np.abs(d - x)
+    assert err.max() <= 1028  # top-segment step + bias slop
+    assert err[np.abs(x) <= 1000].max() <= 40
+    e1 = mulaw_encode(x)
+    assert (mulaw_encode(mulaw_decode(e1)) == e1).all()
+    # decode is sign-symmetric up to the two zero codes
+    assert int(mulaw_decode(np.array([0xFF]))[0]) == 0
+    assert int(mulaw_decode(np.array([0x7F]))[0]) == 0
+
+    pcm = x[:2048].astype(np.int16)
+    rate, n, back = parse_wav_mulaw(wav_mulaw_bytes(pcm))
+    assert rate == 8000 and n == 2048 and (back == d[:2048]).all()
+    with pytest.raises(ValueError, match="not mu-law"):
+        parse_wav_mulaw(wav_bytes(pcm))  # a PCM16 wav must refuse
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_wav_mulaw(b"nope")

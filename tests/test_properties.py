@@ -303,6 +303,10 @@ def test_png_gif_roundtrip_any_image(data):
     rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     assert (png_decode(png_encode(gray, ft)) == gray).all()
     assert (png_decode(png_encode(rgb, ft)) == rgb).all()
+    from python_plugins_spark.operators.tiff import tiff_decode, tiff_encode
+
+    assert (tiff_decode(tiff_encode(gray)) == gray).all()
+    assert (tiff_decode(tiff_encode(rgb)) == rgb).all()
     if h * w <= 256:  # palette guaranteed to fit
         assert (gif_decode(gif_encode(rgb)) == rgb).all()
 
