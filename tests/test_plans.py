@@ -634,3 +634,45 @@ def test_round6_selection_pca_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name}: CartesianProduct"
     assert "BroadcastHashJoin" in plans["dsir_log_weights_docs"]
     assert "TakeOrdered" in plans["dsir_resample_docs"]
+
+
+def test_round6b_codec_queries_are_shuffle_free(spark, sf_dir):
+    """Every real-codec roundtrip query is a scan -> mapInPandas chain
+    (synth, then decode) with per-row output — ZERO exchanges at any
+    corpus size. If an aggregate or join sneaks into these paths the
+    100 TB story breaks, so the plan shape is pinned."""
+    from python_plugins_spark.plans import plan_str
+    from python_plugins_spark.queries import QUERIES
+
+    for name in (
+        "image_jpeg_roundtrip_real",
+        "image_png_roundtrip_real",
+        "image_gif_roundtrip_real",
+        "image_tiff_roundtrip_real",
+        "audio_mulaw_roundtrip_real",
+        "html_text_extract_docs",
+    ):
+        plan = plan_str(QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles"
+        assert "CartesianProduct" not in plan, name
+
+
+def test_round6b_lm_queries_no_cartesian_and_bounded_joins(spark, sf_dir):
+    """KN / PMI / Zipf / JSD / curation-pipeline plans: no cartesian
+    products, no Python eval nodes in the relational paths (all model
+    math stays in codegen)."""
+    from python_plugins_spark.plans import plan_str
+    from python_plugins_spark.queries import QUERIES
+
+    for name in (
+        "kneser_ney_bigram_docs",
+        "pmi_collocations_docs",
+        "zipf_fit_docs",
+        "js_divergence_sources",
+        "pipeline_corpus_curation",
+        "pipeline_validate_errors",
+    ):
+        plan = plan_str(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, f"{name} has {marker}"
