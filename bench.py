@@ -165,6 +165,14 @@ def main() -> None:
         "jl_projection_embeddings",
         "image_jpeg_roundtrip_real",
         "image_png_roundtrip_real",
+        "image_gif_roundtrip_real",
+        "image_tiff_roundtrip_real",
+        "audio_mulaw_roundtrip_real",
+        "html_text_extract_docs",
+        "zipf_fit_docs",
+        "js_divergence_sources",
+        "pipeline_corpus_curation",
+        "pipeline_validate_errors",
     ]
     # Round-6: the two extras under cross-round adjudication run
     # median-of-3 like the headline (single-pass extras carry the same

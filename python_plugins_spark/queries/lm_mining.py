@@ -570,3 +570,40 @@ def audio_mulaw_roundtrip_real(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     enc = G.synth_mulaw_wav_payloads(docs, "doc_id", n=2048)
     return G.decode_mulaw_wav_stats(enc, "doc_id", "payload")
+
+
+@register(
+    "audio_flac_roundtrip_real",
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id,
+             (abs((t.i % 128) - 64) - 32) * (50 + d.doc_id % 40) AS v
+      FROM documents d CROSS JOIN generate_series(0, 2047) t(i)
+    )
+    SELECT doc_id, 8000 AS sample_rate, 2048 AS n_frames,
+           sum(v * v) AS sum_sq, max(abs(v))::INT AS peak,
+           TRUE AS ratio_ok
+    FROM s GROUP BY doc_id
+    """,
+)
+def audio_flac_roundtrip_real(spark, sf_dir):
+    """REAL FLAC (operators/flac.py): the deterministic triangle PCM16
+    signal is compressed by the fixed-predictor encoder (per-frame
+    best order 0..4, Rice residuals with escape, STREAMINFO MD5,
+    CRC-8/16) and decoded back bit-exactly — the oracle recomputes
+    the stats straight from the triangle formula, so every layer of
+    the compression (prediction, Rice coding, framing, checksums)
+    must be lossless for the hash to match. ``ratio_ok`` pins the
+    MODELING, not just the plumbing: the compressed payload must be
+    under 35% of raw PCM (measured ~0.24-0.29), which only holds if
+    the second-difference predictor genuinely fires. Arrow-batched
+    narrow maps; zero shuffles."""
+    from python_plugins_spark.operators import flac as FL
+
+    docs = load_table(spark, "documents", sf_dir)
+    enc = FL.synth_flac_payloads(docs, "doc_id", n=2048)
+    stats = FL.decode_flac_stats(enc, "doc_id", "payload")
+    return stats.select(
+        "doc_id", "sample_rate", "n_frames", "sum_sq", "peak",
+        (F.col("compressed_bytes") < F.lit(0.35 * 2 * 2048)).alias("ratio_ok"),
+    )

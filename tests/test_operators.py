@@ -1780,3 +1780,46 @@ def test_g711_mulaw_exhaustive_and_wav_framing():
         parse_wav_mulaw(wav_bytes(pcm))  # a PCM16 wav must refuse
     with pytest.raises(ValueError, match="RIFF"):
         parse_wav_mulaw(b"nope")
+
+
+def test_flac_roundtrip_all_subframe_types_and_refusals():
+    """Exact roundtrip through every subframe path: constant blocks
+    (CONSTANT), smooth signals (FIXED orders with small Rice params),
+    white noise (Rice ESCAPE to raw), multi-frame streams with a
+    partial tail block; CRC and MD5 tamper detection."""
+    import numpy as np
+    import pytest
+
+    from python_plugins_spark.operators.flac import (
+        flac_decode, flac_encode, triangle_pcm16,
+    )
+    from python_plugins_spark.operators.multimodal import synth_pcm16_array
+
+    rng = np.random.default_rng(0)
+    cases = [
+        np.full(1000, -1234, dtype=np.int16),            # CONSTANT
+        triangle_pcm16(3, 2048),                          # FIXED, compresses
+        np.arange(-5000, 5000, 3, dtype=np.int16),        # FIXED order 1/2
+        rng.integers(-32768, 32768, 10000).astype(np.int16),  # escape + tail
+        synth_pcm16_array(7, 2048).astype(np.int16),      # Weyl noise
+        np.array([5], dtype=np.int16),                    # single sample
+    ]
+    for pcm in cases:
+        rate, dec = flac_decode(flac_encode(pcm))
+        assert rate == 8000 and (dec == pcm).all()
+    # the smooth signal must actually compress
+    tri = triangle_pcm16(11, 4096)
+    assert len(flac_encode(tri)) < 0.35 * 2 * len(tri)
+
+    good = flac_encode(cases[1])
+    with pytest.raises(ValueError, match="bad magic"):
+        flac_decode(b"nope" + good[4:])
+    bad = bytearray(good)
+    bad[-3] ^= 0x40  # corrupt inside the last frame
+    with pytest.raises(ValueError, match="CRC|MD5|truncated|sync|unary"):
+        flac_decode(bytes(bad))
+    # tamper with a mid-stream residual byte: CRC-16 must catch it
+    mid = bytearray(good)
+    mid[len(mid) // 2] ^= 0x10
+    with pytest.raises(ValueError):
+        flac_decode(bytes(mid))

@@ -1138,3 +1138,48 @@ def test_pipeline_validate_routing_and_fail_fast(spark, sf_dir):
             "connections": [{"from": "ord", "to": "staged"},
                             {"from": "staged", "to": "v"}],
         })
+
+
+def test_pipeline_validate_works_on_streams(spark, sf_dir):
+    """transform.validate is expression-only, so the SAME spec stages
+    run unchanged in a streaming pipeline (the reference's batch/
+    streaming deployment symmetry): main and .errors ports drain to
+    memory sinks and must partition the input exactly as batch does."""
+    stages_tail = [
+        {"name": "staged", "type": "transform.sql",
+         "config": {"viewName": "sv_orders",
+                    "statement": (
+                        "SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0 "
+                        "THEN NULL ELSE o_totalprice END AS price "
+                        "FROM sv_orders"
+                    )}},
+        {"name": "v", "type": "transform.validate",
+         "config": {"rules": [
+             {"name": "present", "expr": "price > 0"},
+             {"name": "cap", "expr": "price <= 400000"}]}},
+    ]
+    batch = run_pipeline(spark, {
+        "stages": [{"name": "src", "type": "batchsource.parquet",
+                    "config": {"path": f"{sf_dir}/orders.parquet"}},
+                   *stages_tail],
+        "connections": [{"from": "src", "to": "staged"},
+                        {"from": "staged", "to": "v"}],
+    })
+    streaming = run_pipeline(spark, {
+        "stages": [{"name": "src", "type": "streamingsource.file",
+                    "config": {"path": f"{sf_dir}/orders.parquet"}},
+                   *stages_tail,
+                   {"name": "ok_sink", "type": "streamingsink.memory",
+                    "config": {"queryName": "sval_ok"}},
+                   {"name": "err_sink", "type": "streamingsink.memory",
+                    "config": {"queryName": "sval_err"}}],
+        "connections": [{"from": "src", "to": "staged"},
+                        {"from": "staged", "to": "v"},
+                        {"from": "v", "to": "ok_sink"},
+                        {"from": "v.errors", "to": "err_sink"}],
+    })
+    b_ok = {r.o_orderkey for r in batch["v"].collect()}
+    b_err = {r.o_orderkey for r in batch["v.errors"].collect()}
+    s_ok = {r.o_orderkey for r in streaming["ok_sink"].collect()}
+    s_err = {r.o_orderkey for r in streaming["err_sink"].collect()}
+    assert b_ok == s_ok and b_err == s_err and len(s_err) > 0
