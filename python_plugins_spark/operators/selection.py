@@ -76,17 +76,17 @@ def dsir_log_weights(
     bucket = per_doc_bucket.groupBy("b").agg(
         F.sum("n_bd").alias("c_s"), F.sum("t_bd").alias("c_t")
     )
-    # Corpus totals fold in as an unbounded window over the ≤buckets-row
-    # bucket table — one lineage, so the ratio side is a single plan and
-    # AQE reuses the per-(doc, bucket) shuffle with the scoring side.
-    w_all = Window.partitionBy()
-    n_s = F.sum("c_s").over(w_all)
-    n_t = F.sum("c_t").over(w_all)
-    ratio = bucket.select(
+    # Corpus totals as a 1-row aggregate broadcast-crossed back onto the
+    # ≤buckets-row bucket table. (Previously an unpartitioned
+    # Window.partitionBy() grand total — same doubles, but the registry
+    # window lint now bans empty-partition windows outright, and the
+    # broadcast join states the "this side is one row" fact in the plan.)
+    tot = bucket.agg(F.sum("c_s").alias("n_s"), F.sum("c_t").alias("n_t"))
+    ratio = bucket.crossJoin(F.broadcast(tot)).select(
         "b",
         (
-            F.log((F.col("c_t") + 1.0) / (n_t + F.lit(buckets)))
-            - F.log((F.col("c_s") + 1.0) / (n_s + F.lit(buckets)))
+            F.log((F.col("c_t") + 1.0) / (F.col("n_t") + F.lit(buckets)))
+            - F.log((F.col("c_s") + 1.0) / (F.col("n_s") + F.lit(buckets)))
         ).alias("log_r"),
     )
     return (

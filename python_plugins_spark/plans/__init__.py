@@ -101,6 +101,39 @@ def field_transform_operation(
     }
 
 
+def _walk_logical(node):
+    yield node
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _walk_logical(it.next())
+
+
+def unpartitioned_unbounded_windows(df: DataFrame) -> list[str]:
+    """Scale lint: Window nodes with an EMPTY partitionSpec whose input
+    subtree carries no Limit. An unpartitioned window collapses its
+    whole input onto one task — fine above a ``limit(k)`` (top-k
+    re-rank) or a provably tiny frame (hourly spine), fatal over an
+    unbounded one (a 100 TB vocabulary through one partition). Walks
+    the ANALYZED logical plan (no jobs run, no AQE ambiguity); a
+    localCheckpoint hides its subtree, which is correct — checkpointed
+    inputs were shaped by their own plan test. Returns a description
+    per offending node (empty list == lint-clean)."""
+    out: list[str] = []
+    plan = df._jdf.queryExecution().analyzed()
+    for node in _walk_logical(plan):
+        if node.getClass().getSimpleName() != "Window":
+            continue
+        if not node.partitionSpec().isEmpty():
+            continue
+        bounded = any(
+            child.getClass().getSimpleName() in ("GlobalLimit", "LocalLimit")
+            for child in _walk_logical(node)
+        )
+        if not bounded:
+            out.append(node.simpleString(120))
+    return out
+
+
 def scan_read_schema(df: DataFrame) -> list[str]:
     """ReadSchema column lists from every file scan in the plan —
     verify column pruning (a 2-column projection must not scan 16)."""

@@ -1304,13 +1304,14 @@ def chi_square_independence(spark, sf_dir):
     )
     w_row = Window.partitionBy("event_type")
     w_col = Window.partitionBy("ubucket")
-    w_all = Window.partitionBy()
+    # grand total as a 1-row broadcast cross-join, not an
+    # empty-partition window (registry window lint)
+    tot = obs.agg(F.sum("o").alias("n"))
     m = obs.select(
         "o",
         F.sum("o").over(w_row).alias("row_tot"),
         F.sum("o").over(w_col).alias("col_tot"),
-        F.sum("o").over(w_all).alias("n"),
-    )
+    ).crossJoin(F.broadcast(tot))
     e = F.col("row_tot") * F.col("col_tot") / F.col("n")
     return m.agg(
         F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias("chi2"),

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from python_plugins_spark.functions import hash32
-from python_plugins_spark.queries._core import register
+from python_plugins_spark.queries._core import _global_index_part, register
 from python_plugins_spark.sources.io import load_table
 
 __all__ = [
@@ -353,12 +353,21 @@ def html_text_extract_docs(spark, sf_dir):
     freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
     ranked AS (
         SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM freq
+    ),
+    xy AS (SELECT ln(r) AS x, ln(c) AS y FROM ranked),
+    s AS (
+        SELECT count(*)::DOUBLE AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+               sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM xy
     )
-    SELECT count(*) AS vocab,
-           round(regr_slope(ln(c), ln(r)), 4) AS zipf_slope,
-           round(regr_intercept(ln(c), ln(r)), 4) AS zipf_intercept,
-           round(regr_r2(ln(c), ln(r)), 4) AS r2
-    FROM ranked
+    SELECT CAST(n AS BIGINT) AS vocab,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 4) AS zipf_intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM s
     """,
 )
 def zipf_fit_docs(spark, sf_dir):
@@ -369,13 +378,17 @@ def zipf_fit_docs(spark, sf_dir):
     new corpus snapshot). Deterministic ranking: ties broken by word.
 
     Scale: ONE token-stream aggregate (map-side combined) builds the
-    vocabulary-bounded frequency table; the rank window and the
-    closed-form OLS fold run on |vocab| rows, never the corpus. The
-    regression is computed with the textbook sums (n, Σx, Σy, Σxy,
-    Σx², Σy²) so Spark needs no regr_* builtins and both engines
-    aggregate the identical doubles."""
+    frequency table, but a web-crawl vocabulary is NOT small (hundreds
+    of millions of distinct whitespace tokens at 100 TB), so the rank
+    is the distributed global index (range-partition on (c DESC, w),
+    number locally, shift by broadcast per-partition offsets — the
+    ``global_sequence_orders`` pattern), never a single-partition
+    row_number window. The regression is computed with the textbook
+    sums (n, Σx, Σy, Σxy, Σx², Σy²) — and the oracle now uses the SAME
+    explicit sums rather than DuckDB's regr_* (whose stable-covariance
+    float path could land differently on a 4-dp rounding boundary) —
+    so both engines aggregate the identical doubles."""
     docs = load_table(spark, "documents", sf_dir)
-    from pyspark.sql import Window
 
     freq = (
         docs.filter(F.length(F.trim("text")) > 0)
@@ -383,10 +396,20 @@ def zipf_fit_docs(spark, sf_dir):
         .groupBy("w")
         .agg(F.count("*").alias("c"))
     )
-    ranked = freq.withColumn(
-        "r", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w")))
-    ).select(
-        F.log("c").alias("y"), F.log("r").alias("x")
+    part = _global_index_part(
+        freq, F.col("c").desc(), F.col("w")
+    ).localCheckpoint(eager=True)
+    counts = part.groupBy("pid").agg(F.count("*").alias("cnt"))
+    c2 = counts.select(F.col("pid").alias("pid2"), F.col("cnt").alias("cnt2"))
+    offsets = (
+        counts.join(F.broadcast(c2), F.col("pid2") <= F.col("pid"))
+        .groupBy("pid", "cnt")
+        .agg((F.sum("cnt2") - F.first("cnt")).alias("offset"))
+        .select("pid", "offset")
+    )
+    ranked = part.join(F.broadcast(offsets), "pid").select(
+        F.log("c").alias("y"),
+        F.log(F.col("offset") + F.col("local_rn") + F.lit(1)).alias("x"),
     )
     s = ranked.agg(
         F.count("*").cast("double").alias("n"),

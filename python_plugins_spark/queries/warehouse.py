@@ -1206,18 +1206,18 @@ def benford_first_digit(spark, sf_dir):
     "ks_two_sample_events",
     oracle="""
     WITH s AS (
-        SELECT value AS v,
+        SELECT CAST(floor(value / 0.25) AS BIGINT) AS b,
                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
                CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g2
         FROM events
         WHERE event_type IN ('click', 'view') AND value IS NOT NULL
     ),
-    pv AS (SELECT v, sum(g1) AS d1, sum(g2) AS d2 FROM s GROUP BY v),
-    t AS (SELECT sum(d1) AS n1, sum(d2) AS n2 FROM pv),
+    pb AS (SELECT b, sum(g1) AS d1, sum(g2) AS d2 FROM s GROUP BY b),
+    t AS (SELECT sum(d1) AS n1, sum(d2) AS n2 FROM pb),
     c AS (
-        SELECT sum(d1) OVER (ORDER BY v) AS c1,
-               sum(d2) OVER (ORDER BY v) AS c2
-        FROM pv
+        SELECT sum(d1) OVER (ORDER BY b) AS c1,
+               sum(d2) OVER (ORDER BY b) AS c2
+        FROM pb
     )
     SELECT round(max(abs(c1 * 1.0 / (SELECT n1 FROM t) - c2 * 1.0 / (SELECT n2 FROM t))), 6) AS ks_d,
            (SELECT n1 FROM t) AS n1,
@@ -1225,28 +1225,80 @@ def benford_first_digit(spark, sf_dir):
     FROM c
     """,
 )
-def ks_two_sample_events(spark, sf_dir):
+def ks_two_sample_events(spark, sf_dir, exact: bool = False, bin_width: float = 0.25):
     """Two-sample Kolmogorov-Smirnov statistic between the `value`
     distributions of click vs view events — the drift detector a
     training pipeline runs between yesterday's and today's feature
-    snapshots. Distributed shape: per-value counts FIRST (groupBy v —
-    full map-side combine, ties collapsed), then one ordered window
-    over the (much smaller) distinct-value set for the running ECDFs.
-    At 100 TB the distinct grid, not the raw stream, pays the global
-    sort; if even that is too wide, quantize v to a fixed grid first
-    (binned-ECDF KS upper-bounds the error by the bin mass)."""
+    snapshots.
+
+    DEFAULT = binned ECDF: values quantize onto a fixed grid
+    (``floor(v / bin_width)``), per-bin counts aggregate map-side, and
+    the running ECDFs come from the DISTRIBUTED prefix-sum shape —
+    range-partition the bin table, per-partition running sums (a
+    window PARTITIONED by pid), plus broadcast offsets of the
+    preceding partitions' totals. No single-partition window anywhere:
+    a 100 TB feature column's raw distinct-value grid is unbounded,
+    and the old ``Window.orderBy(v)`` ECDF collapsed it onto one task.
+    Error bound: binning moves each ECDF evaluation point by at most
+    the largest bin's probability mass, so
+    ``|ks_binned - ks_exact| <= max_b P(bin b)`` — with fine bins on a
+    continuous feature this is far below any drift threshold anyone
+    alerts on. ``exact=True`` opts back into the per-distinct-value
+    grid (small/categorical columns), accepting the single-partition
+    ECDF window."""
     ev = load_table(spark, "events", sf_dir)
     s = ev.filter(F.col("event_type").isin("click", "view") & F.col("value").isNotNull()).select(
         F.col("value").alias("v"),
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
         F.when(F.col("event_type") == "view", 1).otherwise(0).alias("g2"),
     )
-    pv = s.groupBy("v").agg(F.sum("g1").alias("d1"), F.sum("g2").alias("d2"))
-    n1, n2 = pv.agg(F.sum("d1"), F.sum("d2")).first()
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = pv.select(
-        (F.sum("d1").over(w) / F.lit(float(n1))).alias("f1"),
-        (F.sum("d2").over(w) / F.lit(float(n2))).alias("f2"),
+    if exact:
+        pv = s.groupBy("v").agg(F.sum("g1").alias("d1"), F.sum("g2").alias("d2"))
+        n1, n2 = pv.agg(F.sum("d1"), F.sum("d2")).first()
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        c = pv.select(
+            (F.sum("d1").over(w) / F.lit(float(n1))).alias("f1"),
+            (F.sum("d2").over(w) / F.lit(float(n2))).alias("f2"),
+        )
+        return c.agg(
+            F.round(F.max(F.abs(F.col("f1") - F.col("f2"))), 6).alias("ks_d"),
+            F.lit(int(n1)).alias("n1"),
+            F.lit(int(n2)).alias("n2"),
+        )
+    pb = (
+        s.groupBy(F.floor(F.col("v") / F.lit(bin_width)).alias("b"))
+        .agg(F.sum("g1").alias("d1"), F.sum("g2").alias("d2"))
+    )
+    n1, n2 = pb.agg(F.sum("d1"), F.sum("d2")).first()
+    # Distributed prefix sum over the bin grid: range-partition by bin
+    # (eager checkpoint — the frame branches into totals + running sums,
+    # see _global_index_part's AQE note), per-pid running sums, shift by
+    # the broadcast totals of the strictly-preceding partitions.
+    part = (
+        pb.repartitionByRange(8, "b")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    ptot = part.groupBy("pid").agg(F.sum("d1").alias("t1"), F.sum("d2").alias("t2"))
+    prior = ptot.select(
+        F.col("pid").alias("pid2"), F.col("t1").alias("o1"), F.col("t2").alias("o2")
+    )
+    offs = (
+        ptot.join(F.broadcast(prior), F.col("pid2") < F.col("pid"), "left")
+        .groupBy("pid")
+        .agg(
+            F.coalesce(F.sum("o1"), F.lit(0)).alias("off1"),
+            F.coalesce(F.sum("o2"), F.lit(0)).alias("off2"),
+        )
+    )
+    wloc = (
+        Window.partitionBy("pid")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = part.join(F.broadcast(offs), "pid").select(
+        ((F.sum("d1").over(wloc) + F.col("off1")) / F.lit(float(n1))).alias("f1"),
+        ((F.sum("d2").over(wloc) + F.col("off2")) / F.lit(float(n2))).alias("f2"),
     )
     return c.agg(
         F.round(F.max(F.abs(F.col("f1") - F.col("f2"))), 6).alias("ks_d"),
