@@ -99,7 +99,12 @@ projection/filter/router/wrangler stages apply to a streaming frame):
   statePartitions?, drain? (default true: process all available input
   synchronously, stop, and bind the stage name to the RESULT TABLE as
   a batch frame). With drain=false the started StreamingQuery is
-  returned under ``<stage>.query`` and left running.
+  returned under ``<stage>.query`` and left running. REFUSED for
+  ``outputMode: append`` on a stream with no aggregation/deduplication
+  upstream — that shape drains every input row into a driver-side
+  table (the whole stream through one JVM heap); use
+  ``streamingsink.parquet`` / ``streamingsink.delta`` instead, or set
+  ``allowRawMemorySink: true`` for a bounded debug fixture.
 - ``streamingsink.parquet`` — path, checkpointLocation, outputMode?;
   after drain the stage name binds to a batch read of the sink path
 - ``streamingsink.foreachbatch`` — script defining
@@ -184,6 +189,21 @@ def _drain(query) -> None:
         query.processAllAvailable()
     finally:
         query.stop()
+
+
+def _reduces_rows_for_memory_sink(df: DataFrame) -> bool:
+    """True if the stream's plan reduces its input before the sink —
+    an Aggregate (append emits only FINALIZED groups, bounded by key
+    cardinality) or a Deduplicate (bounded by distinct keys). A plan
+    with neither forwards every input row, so an append-mode memory
+    sink would accumulate the whole stream in the driver heap."""
+    from python_plugins_spark.plans import _walk_logical
+
+    reducing = ("Aggregate", "Deduplicate", "DeduplicateWithinWatermark")
+    plan = df._jdf.queryExecution().analyzed()
+    return any(
+        n.getClass().getSimpleName() in reducing for n in _walk_logical(plan)
+    )
 
 
 def _require_streaming(name: str, stype: str, df: DataFrame) -> None:
@@ -771,6 +791,24 @@ def run_pipeline(
                 frames[name] = df
                 continue
             if fmt == "memory":
+                # r5 post-mortem guard: append + no upstream reduction
+                # = every stream row into a driver-side table. A ported
+                # user spec must not silently recreate that shape.
+                if (
+                    cfg.get("outputMode", "append") == "append"
+                    and not cfg.get("allowRawMemorySink", False)
+                    and not _reduces_rows_for_memory_sink(df)
+                ):
+                    raise PipelineSpecError(
+                        f"stage {name!r}: streamingsink.memory with outputMode "
+                        "'append' on an un-aggregated stream drains EVERY input "
+                        "row into a driver-side memory table — the whole stream "
+                        "through one JVM heap at scale. Use streamingsink.parquet "
+                        "or streamingsink.delta (executor-side files; the stage "
+                        "name binds to a batch read of the sink path after "
+                        "drain), or set allowRawMemorySink: true for a bounded "
+                        "debug fixture."
+                    )
                 qname = cfg.get("queryName", name)
                 prev = None
                 if cfg.get("statePartitions") is not None:

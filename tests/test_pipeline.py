@@ -357,7 +357,8 @@ def test_pipeline_streaming_ports_batch_spec_verbatim(spark, sf_dir, tmp_path):
              "config": {"path": f"{sf_dir}/orders.parquet"}},
             *transform_stages,
             {"name": "sink", "type": "streamingsink.memory",
-             "config": {"queryName": "port_verbatim_sink"}},
+             "config": {"queryName": "port_verbatim_sink",
+                        "allowRawMemorySink": True}},
         ],
         "connections": wiring,
     })
@@ -434,10 +435,43 @@ def test_pipeline_streaming_sink_validation(spark, sf_dir):
             "stages": [
                 {"name": "s", "type": "batchsource.parquet",
                  "config": {"path": f"{sf_dir}/nation.parquet"}},
+                {"name": "k", "type": "streamingsink.memory",
+                 "config": {"allowRawMemorySink": True}},
+            ],
+            "connections": [{"from": "s", "to": "k"}],
+        })
+
+
+def test_pipeline_raw_memory_sink_refused(spark, sf_dir):
+    """streamingsink.memory + append on an UN-aggregated stream is the
+    r5 driver-OOM shape (every stream row into one JVM heap) — the
+    runner must refuse it, naming the executor-side file sinks, unless
+    the spec opts in for a bounded debug fixture. Aggregated (complete/
+    append-with-watermark) and deduplicated streams stay allowed: append
+    emits only finalized groups / distinct keys."""
+    with pytest.raises(PipelineSpecError, match="allowRawMemorySink"):
+        run_pipeline(spark, {
+            "stages": [
+                {"name": "s", "type": "streamingsource.file",
+                 "config": {"path": f"{sf_dir}/events.parquet"}},
+                {"name": "k", "type": "streamingsink.memory",
+                 "config": {"queryName": "raw_refused"}},
+            ],
+            "connections": [{"from": "s", "to": "k"}],
+        })
+    # the refusal names the scale-safe alternative
+    try:
+        run_pipeline(spark, {
+            "stages": [
+                {"name": "s", "type": "streamingsource.file",
+                 "config": {"path": f"{sf_dir}/events.parquet"}},
                 {"name": "k", "type": "streamingsink.memory", "config": {}},
             ],
             "connections": [{"from": "s", "to": "k"}],
         })
+    except PipelineSpecError as e:
+        assert "streamingsink.parquet" in str(e)
+        assert "streamingsink.delta" in str(e)
 
 
 def test_pipeline_streaming_delta_source_roundtrip(spark, sf_dir, tmp_path):
@@ -456,7 +490,8 @@ def test_pipeline_streaming_delta_source_roundtrip(spark, sf_dir, tmp_path):
             {"name": "f", "type": "transform.filter",
              "config": {"condition": "g != 4"}},
             {"name": "k", "type": "streamingsink.memory",
-             "config": {"queryName": "delta_rt_sink"}},
+             "config": {"queryName": "delta_rt_sink",
+                        "allowRawMemorySink": True}},
         ],
         "connections": [{"from": "s", "to": "f"}, {"from": "f", "to": "k"}],
     })
@@ -605,7 +640,8 @@ def test_pipeline_streaming_msgbus_source(spark, tmp_path):
             {"name": "proj", "type": "transform.projection",
              "config": {"select": ["partition", "offset", "value"]}},
             {"name": "sink", "type": "streamingsink.memory",
-             "config": {"queryName": "msgbus_pipe_sink"}},
+             "config": {"queryName": "msgbus_pipe_sink",
+                        "allowRawMemorySink": True}},
         ],
         "connections": [{"from": "src", "to": "proj"},
                         {"from": "proj", "to": "sink"}],
@@ -1170,9 +1206,11 @@ def test_pipeline_validate_works_on_streams(spark, sf_dir):
                     "config": {"path": f"{sf_dir}/orders.parquet"}},
                    *stages_tail,
                    {"name": "ok_sink", "type": "streamingsink.memory",
-                    "config": {"queryName": "sval_ok"}},
+                    "config": {"queryName": "sval_ok",
+                               "allowRawMemorySink": True}},
                    {"name": "err_sink", "type": "streamingsink.memory",
-                    "config": {"queryName": "sval_err"}}],
+                    "config": {"queryName": "sval_err",
+                               "allowRawMemorySink": True}}],
         "connections": [{"from": "src", "to": "staged"},
                         {"from": "staged", "to": "v"},
                         {"from": "v", "to": "ok_sink"},
