@@ -32,29 +32,39 @@ import pandas as pd
 
 _BLOCK = 4096
 
-# spec CRC polynomials
+# spec CRC polynomials (table-driven — the per-bit loops were a
+# measurable slice of encode time at 1+ KiB per frame)
 _CRC8_POLY, _CRC16_POLY = 0x07, 0x8005
+
+
+def _make_crc_tables():
+    t8, t16 = [], []
+    for b in range(256):
+        c = b
+        for _ in range(8):
+            c = ((c << 1) ^ _CRC8_POLY) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        t8.append(c)
+        c = b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ _CRC16_POLY) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+        t16.append(c)
+    return bytes(t8), tuple(t16)
+
+
+_CRC8_TABLE, _CRC16_TABLE = _make_crc_tables()
 
 
 def _crc8(data: bytes) -> int:
     crc = 0
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ _CRC8_POLY) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = _CRC8_TABLE[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = (
-                ((crc << 1) ^ _CRC16_POLY) & 0xFFFF
-                if crc & 0x8000
-                else (crc << 1) & 0xFFFF
-            )
+        crc = _CRC16_TABLE[((crc >> 8) ^ b) & 0xFF] ^ ((crc << 8) & 0xFFFF)
     return crc
 
 
@@ -80,6 +90,27 @@ class _BitWriterBE:
             q -= 32
         self.put(1, q + 1)  # q zeros then a one
 
+    def put_bits(self, bits: np.ndarray):
+        """Append an MSB-first 0/1 uint8 bit ARRAY in one vectorized
+        packbits call — the Rice residual fast path (the per-value
+        put/put_unary loop was ~0.012 s/row of pure-python bit ops)."""
+        if len(bits) == 0:
+            return
+        if self.n:
+            lead = np.fromiter(
+                ((self.acc >> (self.n - 1 - i)) & 1 for i in range(self.n)),
+                np.uint8,
+                count=self.n,
+            )
+            bits = np.concatenate([lead, bits])
+            self.acc = 0
+            self.n = 0
+        rem = len(bits) & 7
+        body = bits[: len(bits) - rem] if rem else bits
+        self.buf += np.packbits(body).tobytes()
+        for b in bits[len(bits) - rem:] if rem else ():
+            self.put(int(b), 1)
+
     def align(self):
         if self.n:
             self.put(0, 8 - self.n)
@@ -87,6 +118,83 @@ class _BitWriterBE:
     def bytes(self) -> bytes:
         assert self.n == 0
         return bytes(self.buf)
+
+
+def _rice_bits(zz: np.ndarray, p: int) -> np.ndarray:
+    """Rice-code a zigzagged residual vector into an MSB-first bit
+    array, fully vectorized: quotient terminator 1s scattered by
+    cumulative code-length offsets, remainder bits painted in p
+    vectorized passes (p <= 14)."""
+    q = (zz >> p).astype(np.int64)
+    lens = q + 1 + p
+    offs = np.concatenate(([0], np.cumsum(lens[:-1])))
+    bits = np.zeros(int(lens.sum()), np.uint8)
+    bits[offs + q] = 1
+    for jb in range(p):
+        bits[offs + q + 1 + jb] = ((zz >> (p - 1 - jb)) & 1).astype(np.uint8)
+    return bits
+
+
+def _fixed_width_bits(vals: np.ndarray, width: int) -> np.ndarray:
+    """Two's-complement fixed-width codes as an MSB-first bit array."""
+    m = len(vals)
+    u = vals.astype(np.int64) & ((1 << width) - 1)
+    offs = np.arange(m, dtype=np.int64) * width
+    bits = np.zeros(m * width, np.uint8)
+    for jb in range(width):
+        bits[offs + jb] = ((u >> (width - 1 - jb)) & 1).astype(np.uint8)
+    return bits
+
+
+def _decode_rice_vec(
+    data: bytes, bitpos: int, m: int, p: int
+) -> tuple[np.ndarray, int]:
+    """Decode m Rice codes starting at absolute ``bitpos``. One
+    unpackbits over the remaining payload, then a per-CODE pointer walk
+    over the 1-bit positions (quotient terminators) — O(m + #ones)
+    trivial steps instead of the per-BIT reader loop — and one
+    vectorized gather for all remainder bits."""
+    a = bitpos >> 3
+    bits = np.unpackbits(np.frombuffer(data, np.uint8)[a:])
+    start = bitpos - a * 8
+    ones = np.flatnonzero(bits[start:])
+    L = len(ones)
+    tarr = np.empty(m, np.int64)
+    q = np.empty(m, np.int64)
+    pos = 0
+    j = 0
+    for i in range(m):
+        while j < L and ones[j] < pos:
+            j += 1
+        if j >= L:
+            raise ValueError("truncated FLAC bitstream")
+        ti = int(ones[j])
+        j += 1
+        tarr[i] = ti
+        q[i] = ti - pos
+        pos = ti + 1 + p
+    if p:
+        idx = start + tarr[:, None] + 1 + np.arange(p, dtype=np.int64)
+        w = (1 << np.arange(p - 1, -1, -1)).astype(np.int64)
+        u = (q << p) | (bits[idx].astype(np.int64) @ w)
+    else:
+        u = q
+    return (u >> 1) ^ -(u & 1), a * 8 + start + pos
+
+
+def _decode_fixed_width_vec(
+    data: bytes, bitpos: int, m: int, width: int
+) -> tuple[np.ndarray, int]:
+    """Decode m two's-complement fixed-width codes (the Rice escape)."""
+    a = bitpos >> 3
+    bits = np.unpackbits(np.frombuffer(data, np.uint8)[a:])
+    start = bitpos - a * 8
+    if start + m * width > len(bits):
+        raise ValueError("truncated FLAC bitstream")
+    mat = bits[start: start + m * width].reshape(m, width).astype(np.int64)
+    w = (1 << np.arange(width - 1, -1, -1)).astype(np.int64)
+    u = mat @ w
+    return np.where(u >> (width - 1) & 1, u - (1 << width), u), bitpos + m * width
 
 
 class _BitReaderBE:
@@ -237,21 +345,23 @@ def flac_encode(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
             zz = (res << 1) ^ (res >> 63)  # zigzag to unsigned
             mean = int(zz.mean()) if len(zz) else 0
             p = max(0, min(14, mean.bit_length() - 1))
-            # escape if rice would exceed raw 17-bit residuals
             rice_bits = int((zz >> p).sum()) + len(zz) * (p + 1)
+            # raw width for the escape path: enough two's-complement
+            # bits for the WIDEST residual (max(v, ~v) >= 0 has the
+            # magnitude bit pattern for either sign). The old constant
+            # 17 silently truncated order>=2 residuals, which can need
+            # up to ~21 bits on valid int16 input (ADVICE r6).
+            widest = int(np.maximum(res, ~res).max()) if len(res) else 0
+            raw_bits = min(31, max(1, widest.bit_length() + 1))
             body.put(0b00, 2)  # residual method: rice 4-bit
             body.put(0, 4)  # partition order 0
-            if rice_bits > 17 * len(zz):
+            if rice_bits > raw_bits * len(zz):
                 body.put(15, 4)  # escape
-                body.put(17, 5)  # raw bits per residual
-                for v in res:
-                    body.put(int(v) & 0x1FFFF, 17)
+                body.put(raw_bits, 5)  # raw bits per residual
+                body.put_bits(_fixed_width_bits(res, raw_bits))
             else:
                 body.put(p, 4)
-                for u in zz:
-                    body.put_unary(int(u) >> p)
-                    if p:
-                        body.put(int(u) & ((1 << p) - 1), p)
+                body.put_bits(_rice_bits(zz, p))
         body.align()
         frame = header + body.bytes()
         out += frame + struct.pack(">H", _crc16(frame))
@@ -349,23 +459,24 @@ def flac_decode(payload: bytes) -> tuple[int, np.ndarray]:
                 raise ValueError("only partition order 0 supported")
             p = br.get(4)
             m = n - order
-            res = np.empty(m, dtype=np.int64)
             if p == 15:  # escape: raw residuals
-                bits = br.get(5)
-                for i in range(m):
-                    v = br.get(bits)
-                    res[i] = v - (1 << bits) if v & (1 << (bits - 1)) else v
+                wbits = br.get(5)
+                res, br.bitpos = _decode_fixed_width_vec(data, br.bitpos, m, wbits)
             else:
-                for i in range(m):
-                    q = br.get_unary()
-                    u = (q << p) | (br.get(p) if p else 0)
-                    res[i] = (u >> 1) ^ -(u & 1)  # un-zigzag
-            blk = np.empty(n, dtype=np.int64)
-            blk[:order] = warm
-            coefs = _FIXED_COEFS[order]
-            for i in range(order, n):
-                pred = sum(c * blk[i - j - 1] for j, c in enumerate(coefs))
-                blk[i] = res[i - order] + pred
+                res, br.bitpos = _decode_rice_vec(data, br.bitpos, m, p)
+            # prediction reconstruction = order-fold cumulative sum
+            # (residual IS the order-th difference): integrate back up,
+            # seeding each level with diff^k(warmup)[0] — exact int64,
+            # replaces the per-sample python loop
+            if order == 0:
+                blk = res.astype(np.int64)
+            else:
+                x0 = np.asarray(warm, dtype=np.int64)
+                cur = res.astype(np.int64)
+                for k in range(order - 1, -1, -1):
+                    d0 = np.diff(x0, k)[0] if k else x0[0]
+                    cur = np.concatenate(([d0], d0 + np.cumsum(cur)))
+                blk = cur
         else:
             raise ValueError(f"subframe type {sft} unsupported (LPC?)")
         br.align()

@@ -10,7 +10,7 @@ The engine's convention for image/audio/video data at 100 TB scale:
   boundary once per batch, never per row.
 
 External codec libraries (PIL/opencv/ffmpeg) are not in this
-container. Formats that need them (PNG/MP3/...) keep the STUB:
+container. The one format still needing them (MP3) keeps the STUB:
 ``decode_stub_features`` raises ``NotImplementedError`` unless
 ``fake=True`` (deterministic pseudo-features from the payload's md5).
 Formats decodable with pure stdlib/numpy code are REAL:

@@ -183,24 +183,21 @@ def pmi_collocations_docs(spark, sf_dir):
     seq = toks.filter(F.size("t") >= 2).select(
         "doc_id", F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "t"
     )
-    cab = (
+    # ONE bigram aggregate, persisted — c_ab and the background total
+    # both derive from it (previously each re-aggregated the token
+    # stream from scratch, re-tokenizing the corpus twice; the KN
+    # query's shared-frame pattern applied here — ADVICE r6)
+    big = (
         seq.select(
             F.element_at("t", F.col("i")).alias("w1"),
             F.element_at("t", F.col("i") + 1).alias("w2"),
         )
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c_ab"))
-        .filter(F.col("c_ab") >= 5)
+        .persist()
     )
-    nb = (
-        seq.select(
-            F.element_at("t", F.col("i")).alias("w1"),
-            F.element_at("t", F.col("i") + 1).alias("w2"),
-        )
-        .groupBy("w1", "w2")
-        .agg(F.count("*").alias("c_ab"))
-        .select(F.sum("c_ab").alias("n_bg"))
-    )
+    cab = big.filter(F.col("c_ab") >= 5)
+    nb = big.select(F.sum("c_ab").alias("n_bg"))
     pmi = (
         F.log("c_ab")
         + F.lit(2.0) * F.log("n")
@@ -555,8 +552,14 @@ def js_divergence_sources(spark, sf_dir):
       FROM seg
     ),
     wire AS (
+      -- a > 8191 is the biased-clip overflow (8159 + 33 = 8192): the
+      -- encoder emits the max-magnitude code 0x7F there (g711.py
+      -- ``over`` branch). Unreachable with this fixture (|v| <= 12000
+      -- keeps a <= 3033) but pinned so the oracle matches the encoder
+      -- on ALL int16 inputs, not just these.
       SELECT doc_id,
-             xor((sg << 4) | ((a >> (sg + 1)) & 15),
+             xor(CASE WHEN a > 8191 THEN 127
+                      ELSE (sg << 4) | ((a >> (sg + 1)) & 15) END,
                  CASE WHEN neg THEN 127 ELSE 255 END) AS w
       FROM segn
     ),

@@ -91,6 +91,35 @@ def test_minhash_lsh_finds_planted_neardups(spark):
     assert (2, 3) not in pairs
 
 
+def test_minhash_lsh_recall_vs_exact_baseline(spark, sf_dir):
+    """Quantified candidate recall (VERDICT r6 ask #6): LSH candidates
+    must surface >=95% of the TRUE Jaccard>=0.5 pairs, measured against
+    the exact inverted-index baseline computed in DuckDB — fully
+    independent of the Spark MinHash machinery. (8 bands x 4 rows gives
+    P(candidate) = 1-(1-s^4)^8 ~ 0.93 at s=0.5 per pair and >0.999 at
+    s=0.7; the corpus' planted near-dups sit well above threshold, so
+    the empirical number should be 1.0 — bench.py publishes the same
+    measurement per round at the bench SF.)"""
+    import duckdb
+
+    docs = load_table(spark, "documents", sf_dir)
+    cand = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, "text", "doc_id").collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+    truth = {
+        (a, b)
+        for a, b, _j in con.sql(
+            D.ngram_jaccard_pairs_oracle_sql("documents", "text", "doc_id", 0.5)
+        ).fetchall()
+    }
+    assert truth, "fixture must contain true near-dup pairs"
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.95, f"LSH recall {recall:.3f} < 0.95 ({len(truth)} true pairs)"
+
+
 def test_jaccard_verification_filters_candidates(spark):
     docs = [
         (0, "a b c d e f g h i j"),
@@ -1780,6 +1809,49 @@ def test_g711_mulaw_exhaustive_and_wav_framing():
         parse_wav_mulaw(wav_bytes(pcm))  # a PCM16 wav must refuse
     with pytest.raises(ValueError, match="RIFF"):
         parse_wav_mulaw(b"nope")
+
+
+def test_flac_bitcoders_vectorized_equivalence():
+    """The vectorized Rice/raw bit coders must be bit-identical to the
+    scalar definition, and the escape path must carry residuals WIDER
+    than the old hardcoded 17 bits (ADVICE r6: order>=2 residuals on
+    valid int16 input reach ~21 bits; the constant width silently
+    truncated them)."""
+    import numpy as np
+
+    from python_plugins_spark.operators.flac import (
+        _BitWriterBE, _decode_fixed_width_vec, _decode_rice_vec,
+        _fixed_width_bits, _rice_bits,
+    )
+
+    rng = np.random.default_rng(42)
+    for p in (0, 1, 5, 14):
+        res = rng.integers(-(1 << 12), 1 << 12, 500).astype(np.int64)
+        zz = (res << 1) ^ (res >> 63)
+        # scalar reference: unary quotient then p remainder bits
+        ref = _BitWriterBE()
+        for u in zz:
+            ref.put_unary(int(u) >> p)
+            if p:
+                ref.put(int(u) & ((1 << p) - 1), p)
+        ref.align()
+        vec = _BitWriterBE()
+        vec.put_bits(_rice_bits(zz, p))
+        vec.align()
+        assert ref.bytes() == vec.bytes(), f"rice p={p}"
+        dec, end = _decode_rice_vec(ref.bytes(), 0, len(res), p)
+        assert np.array_equal(dec, res), f"rice decode p={p}"
+
+    # raw escape codes at widths past the old 17-bit constant
+    for width in (17, 21, 31):
+        lim = 1 << (width - 1)
+        vals = rng.integers(-lim, lim, 300).astype(np.int64)
+        vals[0], vals[1] = -lim, lim - 1  # extremes
+        w = _BitWriterBE()
+        w.put_bits(_fixed_width_bits(vals, width))
+        w.align()
+        dec, end = _decode_fixed_width_vec(w.bytes(), 0, len(vals), width)
+        assert np.array_equal(dec, vals), f"raw width={width}"
 
 
 def test_flac_roundtrip_all_subframe_types_and_refusals():
