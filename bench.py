@@ -218,6 +218,7 @@ def main() -> None:
         "pmi_collocations_docs",
         "jl_projection_embeddings",
         "image_jpeg_roundtrip_real",
+        "image_jpeg_color_roundtrip_real",
         "image_png_roundtrip_real",
         "image_gif_roundtrip_real",
         "image_tiff_roundtrip_real",

@@ -1479,6 +1479,63 @@ def image_jpeg_roundtrip_real(spark, sf_dir):
 
 
 @register(
+    "image_jpeg_color_roundtrip_real",
+    oracle="""
+    WITH m AS (
+      SELECT d.doc_id, t.m,
+             (d.doc_id * 37 + t.m * 53) % 256 AS r,
+             (d.doc_id * 59 + t.m * 31) % 256 AS g,
+             (d.doc_id * 83 + t.m * 17) % 256 AS b
+      FROM documents d CROSS JOIN generate_series(0, 3) t(m)
+    ),
+    ycc AS (
+      -- encoder YCbCr conversion: identical double literals and
+      -- evaluation order as operators/jpeg.py rgb_to_ycbcr
+      SELECT doc_id, m,
+             least(255, greatest(0, round(0.299 * r + 0.587 * g + 0.114 * b))) AS y,
+             least(255, greatest(0, round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0))) AS cb,
+             least(255, greatest(0, round(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0))) AS cr
+      FROM m
+    ),
+    rec AS (
+      -- DC quantize/dequantize at quality 50 (Annex K verbatim:
+      -- luma q00 = 16, chroma q00 = 17). The chroma reconstruction
+      -- replays the decoder's EXACT float chain (M00*(17*dcq))*M00
+      -- with M00 = sqrt(0.5)/2's double value, because 17*dcq/8 can
+      -- land exactly on .5 where the ideal and float forms disagree.
+      SELECT doc_id, m,
+             least(255, greatest(0, round(2 * round((y - 128) / 2.0) + 128.0))) AS yq,
+             least(255, greatest(0, round((0.3535533905932738 * (17 * round(8 * (cb - 128) / 17.0))) * 0.3535533905932738 + 128.0))) AS cbq,
+             least(255, greatest(0, round((0.3535533905932738 * (17 * round(8 * (cr - 128) / 17.0))) * 0.3535533905932738 + 128.0))) AS crq
+      FROM ycc
+    )
+    SELECT doc_id, CAST(m AS INT) AS mcu, 32 AS width, 32 AS height,
+           CAST(least(255, greatest(0, round(yq + 1.402 * (crq - 128.0)))) AS INT) AS r_rec,
+           CAST(least(255, greatest(0, round(yq - 0.344136 * (cbq - 128.0) - 0.714136 * (crq - 128.0)))) AS INT) AS g_rec,
+           CAST(least(255, greatest(0, round(yq + 1.772 * (cbq - 128.0)))) AS INT) AS b_rec
+    FROM rec
+    """,
+)
+def image_jpeg_color_roundtrip_real(spark, sf_dir):
+    """REAL COLOR JPEG (round-7 completion of the codec family): per
+    document a 32x32 RGB image of four constant-color 16x16 MCUs,
+    encoded by the pure-numpy 4:2:0 baseline encoder (YCbCr, 2x2 box
+    chroma subsampling, interleaved 4Y+Cb+Cr MCU scan, Annex-K
+    luminance AND chrominance quant/Huffman pairs, three DC predictor
+    chains) and decoded by the full parser. Constant MCUs make every
+    component DC-only, so the oracle reconstructs each reconstructed
+    RGB in closed form from the generator formula — color conversion,
+    both quantization tables, and the RGB inverse are all load-bearing
+    in the hash; the lossy AC path is PSNR-tested in pytest. Both
+    stages Arrow-batched narrow maps; zero shuffles at any scale."""
+    from python_plugins_spark.operators import jpeg as J
+
+    docs = load_table(spark, "documents", sf_dir)
+    enc = J.synth_color_jpeg_payloads(docs, "doc_id", quality=50)
+    return J.decode_color_jpeg_mcu_rgb(enc, "doc_id", "payload")
+
+
+@register(
     "iceberg_manifest_compact",
     oracle="""
     SELECT o_orderstatus, count(*) AS n,

@@ -1443,6 +1443,63 @@ def test_jpeg_roundtrip_psnr_and_stuffing():
     assert stuffed >= 4  # the stuffing path is genuinely executed
 
 
+def test_jpeg_color_roundtrip_psnr_and_shapes():
+    """Color 4:2:0 AC path: RGB gradients and noise at several
+    qualities, non-multiple-of-16 shapes (MCU edge padding + crop),
+    plus the structural facts: 4:2:0 compresses the chroma planes
+    (payload < grayscale-equivalent x3) and the decoder refuses
+    non-4:2:0 layouts precisely."""
+    import numpy as np
+    import pytest
+
+    from python_plugins_spark.operators.jpeg import (
+        jpeg_decode_color, jpeg_decode_gray, jpeg_encode_color,
+        jpeg_encode_gray,
+    )
+
+    def psnr(a, b):
+        mse = float(np.mean((a.astype(float) - b.astype(float)) ** 2))
+        return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+    yy, xx = np.indices((48, 80))
+    smooth = np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    for q, floor in ((95, 28.0), (75, 24.0), (50, 21.0)):
+        dec = jpeg_decode_color(jpeg_encode_color(smooth, q))
+        assert dec.shape == smooth.shape
+        assert psnr(smooth, dec) > floor, (q, psnr(smooth, dec))
+
+    # odd shapes exercise MCU padding + crop; noise exercises stuffing
+    for shape in ((17, 23, 3), (16, 16, 3), (1, 1, 3), (33, 47, 3)):
+        img = np.random.default_rng(shape[0]).integers(
+            0, 256, shape, dtype=np.uint8
+        )
+        dec = jpeg_decode_color(jpeg_encode_color(img, 90))
+        assert dec.shape == shape
+        assert psnr(img, dec) > 8.0  # chroma-subsampled noise is lossy
+
+    # grayscale image through the color path: near-lossless luma
+    g = (np.outer(np.arange(32), np.ones(32)) * 8 % 256).astype(np.uint8)
+    rgb = np.stack([g, g, g], axis=-1)
+    dec = jpeg_decode_color(jpeg_encode_color(rgb, 95))
+    assert psnr(rgb, dec) > 30.0
+
+    # refusals: gray decoder on color stream and vice versa
+    cenc = jpeg_encode_color(smooth, 75)
+    with pytest.raises(ValueError, match="3 components"):
+        jpeg_decode_gray(cenc)
+    genc = jpeg_encode_gray(g, 75)
+    with pytest.raises(ValueError, match="3 components"):
+        jpeg_decode_color(genc)
+    # non-4:2:0 sampling refuses loudly
+    bad = bytearray(cenc)
+    i = bad.find(b"\xff\xc0")
+    bad[i + 11] = 0x11  # Y sampling byte: 1x1 => 4:4:4 claim
+    with pytest.raises(ValueError, match="4:2:0"):
+        jpeg_decode_color(bytes(bad))
+
+
 def test_jpeg_decoder_refusals_are_precise():
     import numpy as np
     import pytest
