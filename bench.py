@@ -223,6 +223,7 @@ def main() -> None:
         "image_gif_roundtrip_real",
         "image_tiff_roundtrip_real",
         "audio_mulaw_roundtrip_real",
+        "audio_alaw_roundtrip_real",
         "audio_flac_roundtrip_real",
         "html_text_extract_docs",
         "zipf_fit_docs",

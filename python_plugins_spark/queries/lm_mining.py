@@ -599,6 +599,77 @@ def audio_mulaw_roundtrip_real(spark, sf_dir):
 
 
 @register(
+    "audio_alaw_roundtrip_real",
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 2654435761 + t.i * 40503) % 24001) - 12000 AS v
+      FROM documents d CROSS JOIN generate_series(0, 2047) t(i)
+    ),
+    mag AS (
+      SELECT doc_id,
+             floor(v / 8.0)::BIGINT < 0 AS neg,
+             CASE WHEN floor(v / 8.0)::BIGINT < 0
+                  THEN -(floor(v / 8.0)::BIGINT) - 1
+                  ELSE floor(v / 8.0)::BIGINT END AS m
+      FROM s
+    ),
+    -- no overflow arm: A-law has no bias, so 16-bit input always
+    -- lands in m <= 4095 = segment 7 (contrast the mu-law oracle)
+    segn AS (
+      SELECT *, CASE WHEN m <= 31 THEN 0 WHEN m <= 63 THEN 1
+                     WHEN m <= 127 THEN 2 WHEN m <= 255 THEN 3
+                     WHEN m <= 511 THEN 4 WHEN m <= 1023 THEN 5
+                     WHEN m <= 2047 THEN 6 ELSE 7 END AS sg
+      FROM mag
+    ),
+    wire AS (
+      SELECT doc_id,
+             xor((sg << 4) | ((m >> CASE WHEN sg < 2 THEN 1 ELSE sg END) & 15),
+                 CASE WHEN neg THEN 85 ELSE 213 END) AS w
+      FROM segn
+    ),
+    av AS (SELECT doc_id, xor(w, 85) AS a FROM wire),
+    dec AS (
+      SELECT doc_id,
+             CASE WHEN (a & 128) != 0 THEN t ELSE -t END AS x
+      FROM (
+        SELECT doc_id, a,
+               CASE WHEN ((a & 112) >> 4) = 0 THEN ((a & 15) << 4) + 8
+                    ELSE (((a & 15) << 4) + 264)
+                         << CASE WHEN ((a & 112) >> 4) > 1
+                                 THEN ((a & 112) >> 4) - 1 ELSE 0 END
+               END AS t
+        FROM av
+      )
+    )
+    SELECT doc_id, 8000 AS sample_rate, 2048 AS n_frames,
+           sum(x) AS sum_dec, sum(abs(x)) AS sum_abs,
+           max(abs(x))::INT AS peak
+    FROM dec GROUP BY doc_id
+    """,
+)
+def audio_alaw_roundtrip_real(spark, sf_dir):
+    """REAL G.711 A-law (operators/g711.py, round 7 — the European
+    half of the codec, completing G.711): the Weyl-sequence PCM16
+    signal is companded by the vectorized Sun/CCITT encoder (13-bit
+    shift, unbiased one's-complement segment search, even-bit XOR
+    0x55/0xD5 wire inversion), framed as a format-6 WAV, parsed and
+    expanded back. The oracle replays the ENTIRE lossy chain in SQL —
+    magnitude CASE arms, segment search, wire inversion, the <<(sg-1)
+    expansion — so every bit of the companding math is hash-checked.
+    All 65536 encoder inputs and all 256 wire codes are additionally
+    pinned exhaustively in pytest (code idempotence, 512 max error,
+    monotone reconstruction). Arrow-batched narrow maps; zero
+    shuffles."""
+    from python_plugins_spark.operators import g711 as G
+
+    docs = load_table(spark, "documents", sf_dir)
+    enc = G.synth_alaw_wav_payloads(docs, "doc_id", n=2048)
+    return G.decode_alaw_wav_stats(enc, "doc_id", "payload")
+
+
+@register(
     "audio_flac_roundtrip_real",
     oracle="""
     WITH s AS (

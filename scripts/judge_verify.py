@@ -69,7 +69,7 @@ def main() -> int:
     rc, log, dt = _run([sys.executable, "scripts/check_correctness.py", sweep_sf])
     fails = re.findall(r"^FAIL\s+(\S+?):", log, re.M)
     counts = {
-        "ok": len(re.findall(r"^ok\s", log, re.M)),
+        "passed": len(re.findall(r"^ok\s", log, re.M)),
         "weak_no_oracle": len(re.findall(r"^weak\s", log, re.M)),
     }
     out["correctness"] = {

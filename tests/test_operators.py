@@ -1868,6 +1868,43 @@ def test_g711_mulaw_exhaustive_and_wav_framing():
         parse_wav_mulaw(b"nope")
 
 
+def test_g711_alaw_exhaustive_and_wav_framing():
+    """A-law, exhaustively: all 256 wire codes re-encode to themselves
+    (decode emits each code's canonical midpoint), all 65536 encoder
+    inputs reconstruct within the half-step bound (512 in the 16-bit
+    domain — tighter than mu-law's biased 1028), reconstruction is
+    monotone, the spec landmark codes hold (0 -> 0xD5, -1 -> 0x55),
+    and format-6 WAV framing roundtrips and refuses mu-law files."""
+    import numpy as np
+    import pytest
+
+    from python_plugins_spark.operators.g711 import (
+        alaw_decode, alaw_encode, parse_wav_alaw, parse_wav_mulaw,
+        wav_alaw_bytes, wav_mulaw_bytes,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    assert (alaw_encode(alaw_decode(codes)) == codes).all()
+
+    x = np.arange(-32768, 32768, dtype=np.int64)
+    d = alaw_decode(alaw_encode(x)).astype(np.int64)
+    assert np.abs(d - x).max() <= 512
+    assert np.abs(d - x)[np.abs(x) <= 1000].max() <= 32
+    assert (np.diff(d) >= 0).all()  # monotone reconstruction
+    assert int(alaw_encode(np.array([0]))[0]) == 0xD5
+    assert int(alaw_encode(np.array([-1]))[0]) == 0x55
+    assert int(alaw_decode(np.array([0xD5]))[0]) == 8
+    assert int(alaw_decode(np.array([0x55]))[0]) == -8
+
+    pcm = x[:2048].astype(np.int16)
+    rate, n, back = parse_wav_alaw(wav_alaw_bytes(pcm))
+    assert rate == 8000 and n == 2048 and (back == d[:2048]).all()
+    with pytest.raises(ValueError, match="not A-law"):
+        parse_wav_alaw(wav_mulaw_bytes(pcm))
+    with pytest.raises(ValueError, match="not mu-law"):
+        parse_wav_mulaw(wav_alaw_bytes(pcm))
+
+
 def test_flac_bitcoders_vectorized_equivalence():
     """The vectorized Rice/raw bit coders must be bit-identical to the
     scalar definition, and the escape path must carry residuals WIDER
