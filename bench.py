@@ -226,6 +226,7 @@ def main() -> None:
         "audio_alaw_roundtrip_real",
         "audio_flac_roundtrip_real",
         "html_text_extract_docs",
+        "warc_extract_records",
         "zipf_fit_docs",
         "js_divergence_sources",
         "pipeline_corpus_curation",

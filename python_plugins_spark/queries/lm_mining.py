@@ -341,6 +341,44 @@ def html_text_extract_docs(spark, sf_dir):
 
 
 @register(
+    "warc_extract_records",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source,
+             'doc ' || doc_id || ' from ' || source
+               || chr(13) || chr(10) || chr(13) || chr(10) || text AS body
+      FROM documents
+    )
+    SELECT doc_id, 3 AS n_records,
+           'http://' || source || '.example/doc/' || doc_id AS target_uri,
+           200 AS http_status,
+           CAST(octet_length(encode(body)) AS BIGINT) AS body_bytes,
+           md5(body) AS body_md5
+    FROM b
+    """,
+)
+def warc_extract_records(spark, sf_dir):
+    """The crawl INGESTION front door (ISO 28500 / CommonCrawl layout,
+    operators/warc.py): each document becomes a 3-record .warc.gz
+    exchange (warcinfo + request + response, per-record gzip members,
+    deterministic mtime=0), then the parser walks the multi-member
+    gzip, the WARC header blocks, the Content-Length octet counts, and
+    the nested HTTP envelope to recover the response body. The fixture
+    body CONTAINS a CRLF CRLF sequence, so only octet-exact extraction
+    — never delimiter scanning — reproduces the md5 the oracle computes
+    from the raw table columns; the hash match is a byte-exactness
+    proof for the whole writer->gzip->parser chain. Both stages are
+    Arrow-batched narrow maps; zero shuffles at any crawl size (the
+    per-record gzip layout is exactly what makes WARC splittable for
+    parallel range reads at 100 TB)."""
+    from python_plugins_spark.operators import warc as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    enc = W.synth_warc_payloads(docs, "doc_id")
+    return W.extract_warc_records(enc, "doc_id", "payload")
+
+
+@register(
     "zipf_fit_docs",
     oracle=r"""
     WITH toks AS (

@@ -1868,6 +1868,57 @@ def test_g711_mulaw_exhaustive_and_wav_framing():
         parse_wav_mulaw(b"nope")
 
 
+def test_warc_build_parse_roundtrip_and_refusals():
+    """WARC writer/parser: multi-member gzip and plain concatenation,
+    binary-safe Content-Length extraction (CRLF CRLF inside the body
+    must survive), HTTP envelope split, deterministic archives, and
+    loud refusals for truncation/corruption."""
+    import pytest
+
+    from python_plugins_spark.operators.warc import build_warc, parse_warc
+
+    body = b"line1\r\n\r\nline2 \xf0\x9f\x8c\x8d end"  # CRLF CRLF + utf-8
+    http = (
+        b"HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\n" + body
+    )
+    recs = [
+        ({"WARC-Type": "warcinfo"}, b"software: test\r\n"),
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "http://x.example/1",
+                "Content-Type": "application/http;msgtype=response",
+            },
+            http,
+        ),
+    ]
+    for gz in (True, False):
+        data = build_warc(recs, per_record_gzip=gz)
+        parsed = parse_warc(data)
+        assert len(parsed) == 2
+        assert parsed[0]["headers"]["WARC-Type"] == "warcinfo"
+        r = parsed[1]
+        assert r["http_status"] == 404
+        assert r["body"] == body  # byte-exact despite inner CRLF CRLF
+        assert r["http_headers"]["content-type"] == "text/plain"
+    # determinism: mtime is pinned, same input -> same archive bytes
+    assert build_warc(recs) == build_warc(recs)
+
+    with pytest.raises(ValueError, match="WARC version line"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+    plain = build_warc(recs, per_record_gzip=False)
+    with pytest.raises(ValueError, match="shorter than Content-Length"):
+        parse_warc(plain[:-30])
+    with pytest.raises(ValueError, match="needs a WARC-Type"):
+        build_warc([({}, b"x")])
+    # corrupting a payload byte breaks the terminator accounting only
+    # if lengths shift — flip a length digit instead
+    i = plain.find(b"Content-Length: ")
+    bad = plain[: i + 16] + b"9" + plain[i + 17:]
+    with pytest.raises(ValueError):
+        parse_warc(bad)
+
+
 def test_g711_alaw_exhaustive_and_wav_framing():
     """A-law, exhaustively: all 256 wire codes re-encode to themselves
     (decode emits each code's canonical midpoint), all 65536 encoder
