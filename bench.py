@@ -227,6 +227,7 @@ def main() -> None:
         "audio_flac_roundtrip_real",
         "html_text_extract_docs",
         "warc_extract_records",
+        "unicode_normalize_docs",
         "zipf_fit_docs",
         "js_divergence_sources",
         "pipeline_corpus_curation",

@@ -341,6 +341,68 @@ def html_text_extract_docs(spark, sf_dir):
 
 
 @register(
+    "unicode_normalize_docs",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'Cafe' || chr(769) || ' ' || chr(9) || chr(9) || text
+               || chr(7) || ' A' || chr(778) || ' ' || chr(8491)
+               || chr(1) || '  end' AS r
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id, r,
+             trim(regexp_replace(
+                 regexp_replace(nfc_normalize(r),
+                     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                 '[ \\t]+', ' ', 'g')) AS n
+      FROM raw
+    )
+    SELECT doc_id,
+           CAST(length(r) AS BIGINT) AS n_raw,
+           CAST(length(n) AS BIGINT) AS n_norm,
+           md5(n) AS norm_md5,
+           (n != r) AS changed
+    FROM norm
+    """,
+)
+def unicode_normalize_docs(spark, sf_dir):
+    """Unicode normalization (operators/textnorm.py) — the first
+    cleaning pass of a crawl pipeline, without which exact dedup and
+    MinHash shingles silently split duplicate groups over byte-level
+    encoding differences. The fixture de-normalizes each document by
+    expression: combining acute ('Cafe'+U+0301), combining ring
+    ('A'+U+030A), the ANGSTROM SIGN singleton (U+212B -> U+00C5), C0
+    controls, and tab soup; the operator must compose, strip, and
+    collapse them back. The oracle replays the exact pipeline with
+    DuckDB's nfc_normalize + RE2 — codepoint counts and the md5 of the
+    normalized string are hash-checked, so the NFC table walk itself
+    is load-bearing. One Arrow-batched pandas UDF over the scan; zero
+    shuffles at any corpus size."""
+    from python_plugins_spark.operators.textnorm import normalize_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            # explicit \u escapes: DEcomposed sequences matching the
+            # oracle's chr() calls codepoint-for-codepoint (an editor
+            # normalizing this source file must not change the fixture)
+            F.lit("Cafe\u0301 \t\t"), F.col("text"),
+            F.lit("\x07 A\u030a \u212b\x01  end"),
+        ).alias("r"),
+    )
+    n = normalize_text(raw, "r", "n")
+    return n.select(
+        "doc_id",
+        F.length("r").cast("long").alias("n_raw"),
+        F.length("n").cast("long").alias("n_norm"),
+        F.md5(F.encode("n", "UTF-8")).alias("norm_md5"),
+        (F.col("n") != F.col("r")).alias("changed"),
+    )
+
+
+@register(
     "warc_extract_records",
     oracle="""
     WITH b AS (

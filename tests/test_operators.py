@@ -1868,6 +1868,30 @@ def test_g711_mulaw_exhaustive_and_wav_framing():
         parse_wav_mulaw(b"nope")
 
 
+def test_unicode_normalize_scalar_contract():
+    """The normalization pipeline's scalar contract: NFC composition
+    (combining sequences, compatibility singletons), C0/DEL stripping,
+    horizontal-whitespace collapse, trim — in that order. NFKC is
+    available for the fullwidth/ligature cases NFC leaves alone."""
+    import pytest
+
+    from python_plugins_spark.operators.textnorm import (
+        normalize_string, normalize_text,
+    )
+
+    assert normalize_string("Café") == "Café"
+    assert normalize_string("Å and Å") == "Å and Å"
+    assert normalize_string("a\x00b\x07c\x7fd") == "abcd"
+    assert normalize_string("  a \t\t b\tc  ") == "a b c"
+    # newlines survive (they are structure, not soup)
+    assert normalize_string("a\nb") == "a\nb"
+    # NFC leaves compatibility forms alone; NFKC folds them
+    assert normalize_string("ﬁsh ｆull") == "ﬁsh ｆull"
+    assert normalize_string("ﬁsh ｆull", "NFKC") == "fish full"
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_text(None, form="NFX")
+
+
 def test_warc_build_parse_roundtrip_and_refusals():
     """WARC writer/parser: multi-member gzip and plain concatenation,
     binary-safe Content-Length extraction (CRLF CRLF inside the body
