@@ -228,6 +228,7 @@ def main() -> None:
         "html_text_extract_docs",
         "warc_extract_records",
         "unicode_normalize_docs",
+        "robots_filter_urls",
         "zipf_fit_docs",
         "js_divergence_sources",
         "pipeline_corpus_curation",

@@ -341,6 +341,78 @@ def html_text_extract_docs(spark, sf_dir):
 
 
 @register(
+    "robots_filter_urls",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, doc_id % 6 AS m,
+             CASE doc_id % 6
+               WHEN 0 THEN '/trap/x' || doc_id
+               WHEN 1 THEN '/trap/exit'
+               WHEN 2 THEN '/trap/exit/m' || doc_id
+               WHEN 3 THEN '/ok/' || doc_id
+               WHEN 4 THEN '/x/y' || doc_id || '.php'
+               ELSE '/x/y.php?q=' || doc_id
+             END AS path
+      FROM documents
+    )
+    -- expected verdicts under RFC 9309 longest-match precedence for
+    -- the fixture's graftbot group (see the query docstring):
+    --   0 /trap/x<i>      Disallow:/trap (5)                 -> blocked
+    --   1 /trap/exit      Allow:/trap/exit$ (11) > /trap (5) -> allowed
+    --   2 /trap/exit/m<i> $ anchor fails; /trap matches      -> blocked
+    --   3 /ok/<i>         no rule matches                    -> allowed
+    --   4 /x/y<i>.php     Disallow:/*.php$ (7)               -> blocked
+    --   5 /x/y.php?q=<i>  $ fails over the query string      -> allowed
+    SELECT doc_id, path, (m IN (1, 3, 5)) AS allowed
+    FROM u
+    """,
+)
+def robots_filter_urls(spark, sf_dir):
+    """RFC 9309 robots.txt filtering (operators/robots.py) — the
+    crawl-policy gate between WARC ingestion and text extraction,
+    implemented from the RFC (stdlib robotparser predates it: no
+    longest-match precedence, no allow-wins-ties, no * / $ patterns —
+    differences that flip real verdicts). The fixture's per-source
+    policy file carries a graftbot-specific group above a
+    deny-everything ``*`` group, so GROUP SELECTION is load-bearing
+    (falling back to * would block every row), and the six path
+    classes exercise prefix rules, the $ end anchor (including its
+    failure over query strings), the * wildcard, longest-match
+    precedence, and the no-rule default. The oracle pins the RFC
+    truth table per class. Parsed policies are memoized per distinct
+    robots text; one narrow map, zero shuffles at any frontier size."""
+    from python_plugins_spark.operators.robots import robots_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 6
+    path = (
+        F.when(m == 0, F.concat(F.lit("/trap/x"), d))
+        .when(m == 1, F.lit("/trap/exit"))
+        .when(m == 2, F.concat(F.lit("/trap/exit/m"), d))
+        .when(m == 3, F.concat(F.lit("/ok/"), d))
+        .when(m == 4, F.concat(F.lit("/x/y"), d, F.lit(".php")))
+        .otherwise(F.concat(F.lit("/x/y.php?q="), d))
+    )
+    robots = F.concat(
+        F.lit("# crawl policy for "), F.col("source"), F.lit("\n"),
+        F.lit(
+            "User-agent: graftbot\n"
+            "Disallow: /trap\n"
+            "Allow: /trap/exit$\n"
+            "Disallow: /*.php$\n"
+            "User-agent: *\n"
+            "Disallow: /\n"
+        ),
+    )
+    urls = docs.select(
+        "doc_id", path.alias("path"), robots.alias("robots_txt")
+    )
+    out = robots_filter(urls, "path", "robots_txt", agent="graftbot/1.0")
+    return out.select("doc_id", "path", "allowed")
+
+
+@register(
     "unicode_normalize_docs",
     oracle="""
     WITH raw AS (

@@ -1868,6 +1868,48 @@ def test_g711_mulaw_exhaustive_and_wav_framing():
         parse_wav_mulaw(b"nope")
 
 
+def test_robots_rfc9309_matcher():
+    """RFC 9309 semantics that stdlib robotparser gets differently:
+    longest-match precedence (not file order), allow wins length ties,
+    * wildcards, $ end anchor, consecutive User-agent lines sharing a
+    group, most-specific agent-token selection, empty-pattern no-op,
+    and the everything-allowed default with no matching group."""
+    from python_plugins_spark.operators.robots import (
+        parse_robots, robots_allowed,
+    )
+
+    txt = """
+    # comment
+    User-agent: alpha
+    User-agent: alphabot
+    Disallow: /a
+    Allow: /a/b
+
+    User-agent: *
+    Disallow: /priv
+    Allow: /priv  # equal length: allow wins the tie
+    Disallow:
+    Disallow: /*.json$
+    """
+    g = parse_robots(txt)
+    assert len(g) == 2 and g[0][0] == ["alpha", "alphabot"]
+
+    # file order is Disallow first — longest match must still allow
+    assert robots_allowed(g, "AlphaBot/2.0", "/a/b/c") is True
+    assert robots_allowed(g, "alphabot", "/a/x") is False
+    # most specific agent token: 'alphabot' (8) beats 'alpha' (5) —
+    # same group here; an unknown agent falls to *
+    assert robots_allowed(g, "zeta", "/priv/x") is True  # allow tie wins
+    assert robots_allowed(g, "zeta", "/data.json") is False
+    assert robots_allowed(g, "zeta", "/data.json?x=1") is True  # $ fails
+    assert robots_allowed(g, "zeta", "/open") is True  # empty rule no-op
+
+    # no * group and no agent match: allowed
+    only = parse_robots("User-agent: other\nDisallow: /")
+    assert robots_allowed(only, "zeta", "/anything") is True
+    assert robots_allowed(only, "otherbot", "/anything") is False
+
+
 def test_unicode_normalize_scalar_contract():
     """The normalization pipeline's scalar contract: NFC composition
     (combining sequences, compatibility singletons), C0/DEL stripping,
