@@ -277,6 +277,66 @@ def domain_mix_rebalance(spark, sf_dir):
     return docs.filter(h % 10000 < rate_bp).select("doc_id", "source")
 
 
+@register(
+    "temperature_mix_weights",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+    t AS (SELECT sum(n_docs) AS total FROM c),
+    w AS (
+      SELECT source, n_docs,
+             n_docs / (SELECT total * 1.0 FROM t) AS p,
+             pow(n_docs / (SELECT total * 1.0 FROM t), 0.3) AS pw
+      FROM c
+    ),
+    z AS (SELECT sum(pw) AS zsum FROM w)
+    SELECT source, n_docs,
+           round(p, 4) AS p,
+           round(pw / (SELECT zsum FROM z), 4) AS w,
+           round(least(1.0, 20000 * (pw / (SELECT zsum FROM z)) / n_docs),
+                 4) AS target_rate
+    FROM w ORDER BY source
+    """,
+)
+def temperature_mix_weights(spark, sf_dir):
+    """Temperature-based sampling weights w_i ∝ p_i^α (α = 0.3, the
+    exponent the multilingual-pretraining literature settled on —
+    XLM-R's upsampling of low-resource languages): the step that turns
+    raw per-source counts into the mixture a training run actually
+    draws, flattening head domains without letting tail domains
+    dominate. Emits per source the raw share p, the tempered weight w,
+    and the per-source acceptance rate for a 20k-document budget
+    (min(1, B·w/n) — the number domain_mix_rebalance's hash-Bernoulli
+    filter would consume). Scale: ONE map-side-combined count over the
+    corpus; everything after runs on the |sources|-row model table.
+    Floats cross engines through pow(), so all outputs round to 4 dp
+    per the registry convention."""
+    docs = load_table(spark, "documents", sf_dir)
+    c = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    t = c.agg(F.sum("n_docs").alias("total"))
+    w = c.crossJoin(F.broadcast(t)).select(
+        "source", "n_docs",
+        (F.col("n_docs") / (F.col("total") * 1.0)).alias("p"),
+        F.pow(F.col("n_docs") / (F.col("total") * 1.0), 0.3).alias("pw"),
+    )
+    z = w.agg(F.sum("pw").alias("zsum"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source", "n_docs",
+            F.round("p", 4).alias("p"),
+            F.round(F.col("pw") / F.col("zsum"), 4).alias("w"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(20000) * (F.col("pw") / F.col("zsum")) / F.col("n_docs"),
+                ),
+                4,
+            ).alias("target_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 # =====================================================================
 # Distributed global index, stream-static enrichment, XML codec,
 # data-quality profile, token entropy

@@ -651,6 +651,13 @@ def test_round6b_codec_queries_are_shuffle_free(spark, sf_dir):
         "image_tiff_roundtrip_real",
         "audio_mulaw_roundtrip_real",
         "html_text_extract_docs",
+        # round-7 additions — same contract
+        "image_jpeg_color_roundtrip_real",
+        "audio_alaw_roundtrip_real",
+        "audio_flac_roundtrip_real",
+        "warc_extract_records",
+        "unicode_normalize_docs",
+        "robots_filter_urls",
     ):
         plan = plan_str(QUERIES[name](spark, sf_dir))
         assert "Exchange" not in plan, f"{name} shuffles"
