@@ -30,6 +30,8 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
+from python_plugins_spark.operators.multimodal import fanout_ids
+
 _BLOCK = 4096
 
 # spec CRC polynomials (table-driven — the per-bit loops were a
@@ -529,7 +531,7 @@ def synth_flac_payloads(df, id_col: str = "doc_id", n: int = 2048):
                 payloads.append(flac_encode(triangle_pcm16(rid, n)))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(synth, schema)
+    return fanout_ids(df, id_col).mapInPandas(synth, schema)
 
 
 def decode_flac_stats(df, id_col: str = "doc_id", payload_col: str = "payload"):

@@ -28,6 +28,8 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
+from python_plugins_spark.operators.multimodal import fanout_ids
+
 _BIAS = 0x84  # 132
 _CLIP14 = 8159  # 14-bit clip after the >>2 scaling
 _SEG_END = np.array(
@@ -185,7 +187,7 @@ def synth_mulaw_wav_payloads(df, id_col: str = "doc_id", n: int = 2048):
                 payloads.append(wav_mulaw_bytes(synth_pcm16_array(rid, n)))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(synth, schema)
+    return fanout_ids(df, id_col).mapInPandas(synth, schema)
 
 
 def synth_alaw_wav_payloads(df, id_col: str = "doc_id", n: int = 2048):
@@ -211,7 +213,7 @@ def synth_alaw_wav_payloads(df, id_col: str = "doc_id", n: int = 2048):
                 payloads.append(wav_alaw_bytes(synth_pcm16_array(rid, n)))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(synth, schema)
+    return fanout_ids(df, id_col).mapInPandas(synth, schema)
 
 
 def decode_alaw_wav_stats(df, id_col: str = "doc_id", payload_col: str = "payload"):

@@ -28,6 +28,8 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
+from python_plugins_spark.operators.multimodal import fanout_ids
+
 
 # ----------------------------------------------------------------- LZW
 
@@ -272,7 +274,7 @@ def synth_gif_payloads(df, id_col: str = "doc_id", width: int = 13, height: int 
                 payloads.append(gif_encode(img))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(synth, schema)
+    return fanout_ids(df, id_col).mapInPandas(synth, schema)
 
 
 def decode_gif_stats(df, id_col: str = "doc_id", payload_col: str = "payload"):

@@ -47,6 +47,8 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
+from python_plugins_spark.operators.multimodal import fanout_ids
+
 # ---------------------------------------------------------------- tables
 
 #: Annex K.1 luminance quantization table (row-major).
@@ -752,7 +754,7 @@ def synth_jpeg_payloads(
                 payloads.append(jpeg_encode_gray(img, quality))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(synth, schema)
+    return fanout_ids(df, id_col).mapInPandas(synth, schema)
 
 
 _MCU_ORIGINS = ((0, 0), (0, 16), (16, 0), (16, 16))
@@ -789,7 +791,7 @@ def synth_color_jpeg_payloads(df, id_col: str = "doc_id", quality: int = 50):
                 payloads.append(jpeg_encode_color(rgb, quality))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(synth, schema)
+    return fanout_ids(df, id_col).mapInPandas(synth, schema)
 
 
 def decode_color_jpeg_mcu_rgb(

@@ -171,6 +171,23 @@ def sample_frames(
 # ---------------------------------------------------------------------
 
 
+def fanout_ids(df, id_col: str):
+    """Project to the bare id column and round-robin it across the
+    cluster's cores before a CPU-bound synthesize/encode map.
+
+    Why: a pure-CPU codec stage downstream of a scan inherits the
+    SCAN's parallelism — and a small parquet file is ONE split, so the
+    whole encode ran on one core at bench SF. The exchange inserted
+    here carries 8 bytes per row (the id), negligible at any scale,
+    and buys parallelism by CORES instead of by input splits. This is
+    the right shape for any synthesize-from-key workload; pipelines
+    that DECODE payloads read from storage skip it — their payloads
+    already live in many splits and shuffling them would move the
+    actual bytes."""
+    ids = df.select(id_col)
+    return ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+
+
 def synth_pcm16_samples(seed: int, n: int) -> list[int]:
     """Deterministic, integer-only PCM16 test signal (no libm — sin()
     differs across engines in the last ulp; a Weyl-style integer
@@ -477,7 +494,7 @@ def synth_wav_payloads(
                 )
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(synth, schema)
+    return fanout_ids(df, id_col).mapInPandas(synth, schema)
 
 
 def synth_image_payloads(
@@ -518,4 +535,4 @@ def synth_image_payloads(
                 )
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(synth, schema)
+    return fanout_ids(df, id_col).mapInPandas(synth, schema)

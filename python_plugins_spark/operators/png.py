@@ -34,6 +34,8 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
+from python_plugins_spark.operators.multimodal import fanout_ids
+
 _SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -242,7 +244,7 @@ def synth_png_payloads(
                 payloads.append(png_encode(img, filter_type))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(synth, schema)
+    return fanout_ids(df, id_col).mapInPandas(synth, schema)
 
 
 def decode_png_stats(df, id_col: str = "doc_id", payload_col: str = "payload"):

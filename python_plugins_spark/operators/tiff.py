@@ -26,6 +26,8 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
+from python_plugins_spark.operators.multimodal import fanout_ids
+
 # baseline tag ids
 _W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
@@ -208,7 +210,7 @@ def synth_tiff_payloads(df, id_col: str = "doc_id", width: int = 13, height: int
                 payloads.append(tiff_encode(img))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(synth, schema)
+    return fanout_ids(df, id_col).mapInPandas(synth, schema)
 
 
 def decode_tiff_stats(df, id_col: str = "doc_id", payload_col: str = "payload"):

@@ -636,12 +636,24 @@ def test_round6_selection_pca_plan_shapes(spark, sf_dir):
     assert "TakeOrdered" in plans["dsir_resample_docs"]
 
 
-def test_round6b_codec_queries_are_shuffle_free(spark, sf_dir):
-    """Every real-codec roundtrip query is a scan -> mapInPandas chain
-    (synth, then decode) with per-row output — ZERO exchanges at any
-    corpus size. If an aggregate or join sneaks into these paths the
-    100 TB story breaks, so the plan shape is pinned."""
-    from python_plugins_spark.plans import plan_str
+def test_codec_queries_plan_shapes(spark, sf_dir):
+    """Codec/crawl plan contracts, two classes:
+
+    (a) SYNTHESIZE-from-id codecs: scan(doc_id) -> ONE RoundRobin
+        exchange of the bare 8-byte id column -> synth -> decode.
+        The exchange is deliberate (round 7): a pure-CPU codec stage
+        downstream of a scan inherits the SCAN's split count, and a
+        small parquet file is one split — the encode ran on one core
+        at bench SF. Fanning out ids costs 8 bytes/row at any scale
+        and buys parallelism by CORES. Pinned: exactly one exchange,
+        round-robin (not hash — no key exists), over the id-only
+        projection; payloads NEVER shuffle (both maps sit above it).
+
+    (b) payload-through-the-row stages (WARC/HTML/unicode/robots):
+        the document bytes travel with the row, so ZERO exchanges —
+        shuffling would move the corpus; parallelism comes from input
+        splits, which a real crawl store has plenty of."""
+    from python_plugins_spark.plans import physical_plan, plan_str
     from python_plugins_spark.queries import QUERIES
 
     for name in (
@@ -650,17 +662,36 @@ def test_round6b_codec_queries_are_shuffle_free(spark, sf_dir):
         "image_gif_roundtrip_real",
         "image_tiff_roundtrip_real",
         "audio_mulaw_roundtrip_real",
-        "html_text_extract_docs",
-        # round-7 additions — same contract
         "image_jpeg_color_roundtrip_real",
         "audio_alaw_roundtrip_real",
         "audio_flac_roundtrip_real",
+        "multimodal_wav_rms_real",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        plan = physical_plan(df)
+        n_ex = plan.count("Exchange ")
+        n_rr = plan.count("Exchange RoundRobinPartitioning")
+        assert n_ex == 1 and n_rr == 1, (
+            f"{name}: want exactly one round-robin id fan-out, "
+            f"got {n_ex} exchanges ({n_rr} round-robin)"
+        )
+        assert "CartesianProduct" not in plan, name
+        # the exchange moves ONLY the id: every scan in the plan reads
+        # a single column
+        for line in plan_str(df).splitlines():
+            if "ReadSchema" in line:
+                assert line.count(":") <= 2 and "," not in line.split(
+                    "struct<", 1
+                )[-1], f"{name}: fan-out scan reads more than the id: {line}"
+
+    for name in (
+        "html_text_extract_docs",
         "warc_extract_records",
         "unicode_normalize_docs",
         "robots_filter_urls",
     ):
         plan = plan_str(QUERIES[name](spark, sf_dir))
-        assert "Exchange" not in plan, f"{name} shuffles"
+        assert "Exchange" not in plan, f"{name} shuffles payload rows"
         assert "CartesianProduct" not in plan, name
 
 
