@@ -237,7 +237,23 @@ def main() -> None:
     # Round-6: the two extras under cross-round adjudication run
     # median-of-3 like the headline (single-pass extras carry the same
     # ±30% box noise the headline pass was moved off of in round 4).
-    EXTRA_N3 = {"msgbus_stream_events", "incremental_minhash_ingest"}
+    # Round-7: the codec roundtrips joined them — a single-pass sample
+    # caught a 10x transient stall (14 s for a query that times 1.2 s
+    # standalone and 1.6 s after a fresh headline pass); medians
+    # reject it, and the per-query cost is ~1-2 s so 3 passes are
+    # cheap. The env fingerprint dates any remaining drift.
+    EXTRA_N3 = {
+        "msgbus_stream_events",
+        "incremental_minhash_ingest",
+        "image_jpeg_roundtrip_real",
+        "image_jpeg_color_roundtrip_real",
+        "image_png_roundtrip_real",
+        "image_gif_roundtrip_real",
+        "image_tiff_roundtrip_real",
+        "audio_mulaw_roundtrip_real",
+        "audio_alaw_roundtrip_real",
+        "audio_flac_roundtrip_real",
+    }
     extra_timings: dict[str, float] = {}
     for name in EXTRA_QUERIES:
         fn = QUERIES.get(name)
