@@ -762,7 +762,8 @@ def audio_mulaw_roundtrip_real(spark, sf_dir):
     companding math is hash-checked, not just the framing (the only
     audio codec whose full lossy path is closed-form). All 65536
     encoder inputs are additionally pinned exhaustively in pytest.
-    Arrow-batched narrow maps; zero shuffles."""
+    Plan: id fan-out exchange (8 bytes/row), then narrow
+    codec maps — payloads never shuffle (plan-pinned)."""
     from python_plugins_spark.operators import g711 as G
 
     docs = load_table(spark, "documents", sf_dir)
@@ -865,8 +866,8 @@ def audio_flac_roundtrip_real(spark, sf_dir):
     must be lossless for the hash to match. ``ratio_ok`` pins the
     MODELING, not just the plumbing: the compressed payload must be
     under 35% of raw PCM (measured ~0.24-0.29), which only holds if
-    the second-difference predictor genuinely fires. Arrow-batched
-    narrow maps; zero shuffles."""
+    the second-difference predictor genuinely fires. Plan: 8-byte id
+    fan-out exchange, then narrow codec maps — payloads never shuffle."""
     from python_plugins_spark.operators import flac as FL
 
     docs = load_table(spark, "documents", sf_dir)

@@ -1359,7 +1359,8 @@ def image_png_roundtrip_real(spark, sf_dir):
     IDAT concat, all five filter types). PNG is lossless, so the
     EXACT per-channel sums must equal the BMP/PPM queries' shared
     generator-formula oracle — three wire formats cross-validated by
-    one SQL statement. Arrow-batched narrow maps, zero shuffles."""
+    one SQL statement. Plan: id fan-out exchange (8 bytes/row), then
+    narrow codec maps — payloads never shuffle (plan-pinned)."""
     from python_plugins_spark.operators import png as PNG
 
     docs = load_table(spark, "documents", sf_dir)
@@ -1426,7 +1427,7 @@ def image_gif_roundtrip_real(spark, sf_dir):
     colors, so GIF is lossless here and the EXACT per-channel sums
     must equal the BMP/PPM/PNG queries' shared oracle — FOUR wire
     formats cross-validated by one SQL statement. Arrow-batched
-    narrow maps, zero shuffles."""
+    narrow maps above the 8-byte id fan-out; payloads never shuffle."""
     from python_plugins_spark.operators import gif as GIF
 
     docs = load_table(spark, "documents", sf_dir)
@@ -1470,7 +1471,7 @@ def image_jpeg_roundtrip_real(spark, sf_dir):
     exercises nonzero DC diffs across blocks, EOBs, and both Huffman
     tables; the lossy AC path is covered by PSNR roundtrip tests
     (tests/test_operators.py). Both stages are Arrow-batched narrow
-    maps — zero shuffles at any corpus size."""
+    maps above the id fan-out — payloads never shuffle at any corpus size."""
     from python_plugins_spark.operators import jpeg as J
 
     docs = load_table(spark, "documents", sf_dir)
@@ -1527,7 +1528,8 @@ def image_jpeg_color_roundtrip_real(spark, sf_dir):
     RGB in closed form from the generator formula — color conversion,
     both quantization tables, and the RGB inverse are all load-bearing
     in the hash; the lossy AC path is PSNR-tested in pytest. Both
-    stages Arrow-batched narrow maps; zero shuffles at any scale."""
+    stages narrow maps above the 8-byte id fan-out exchange — the
+    payloads themselves never shuffle at any scale (plan-pinned)."""
     from python_plugins_spark.operators import jpeg as J
 
     docs = load_table(spark, "documents", sf_dir)
