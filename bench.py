@@ -229,6 +229,7 @@ def main() -> None:
         "warc_extract_records",
         "unicode_normalize_docs",
         "robots_filter_urls",
+        "blocklist_filter_docs",
         "zipf_fit_docs",
         "js_divergence_sources",
         "pipeline_corpus_curation",

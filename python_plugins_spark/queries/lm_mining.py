@@ -340,6 +340,53 @@ def html_text_extract_docs(spark, sf_dir):
     return extract_text_column(wrapped, "html", "doc_id")
 
 
+def _blocklist_oracle() -> str:
+    from python_plugins_spark.operators.blocklist import occurrence_oracle_sql
+
+    occ = [occurrence_oracle_sql("text", p) for p in _BLOCKLIST_PHRASES]
+    hs = ", ".join(f"{o} AS h{i}" for i, o in enumerate(occ))
+    tot = " + ".join(f"h{i}" for i in range(len(occ)))
+    nhit = " + ".join(
+        f"CASE WHEN h{i} > 0 THEN 1 ELSE 0 END" for i in range(len(occ))
+    )
+    return f"""
+    WITH h AS (SELECT doc_id, {hs} FROM documents)
+    SELECT doc_id, CAST({tot} AS BIGINT) AS hits_total,
+           CAST({nhit} AS BIGINT) AS n_phrases_hit,
+           ({tot}) > 0 AS blocked
+    FROM h
+    """
+
+
+_BLOCKLIST_PHRASES = [
+    "slow merge",
+    "big vector",
+    "drop table",
+    "the line sort",
+]
+
+
+@register("blocklist_filter_docs", oracle=_blocklist_oracle())
+def blocklist_filter_docs(spark, sf_dir):
+    """Multi-pattern blocklist gate (operators/blocklist.py) — the
+    C4-style content filter: per-document non-overlapping occurrence
+    counts over a curated phrase list, total hits, and the blocked
+    verdict. This query runs the EXPRESSION path (per-phrase
+    length/replace arithmetic — whole-stage codegen, right for
+    curated lists; the oracle is the identical SQL expression, so the
+    counting semantics are hash-pinned); the Aho-Corasick path is the
+    same operator's scale mode for 100k-phrase lists (O(text)
+    independent of pattern count) and is equivalence-tested against
+    this path on randomized inputs in pytest. Phrase list broadcasts
+    trivially at any corpus size; zero shuffles either way."""
+    from python_plugins_spark.operators.blocklist import blocklist_counts
+
+    docs = load_table(spark, "documents", sf_dir)
+    return blocklist_counts(
+        docs, _BLOCKLIST_PHRASES, "text", "doc_id", mode="expr"
+    )
+
+
 @register(
     "robots_filter_urls",
     oracle="""

@@ -1868,6 +1868,57 @@ def test_g711_mulaw_exhaustive_and_wav_framing():
         parse_wav_mulaw(b"nope")
 
 
+def test_blocklist_ac_matches_expression_path(spark):
+    """The Aho-Corasick scale path must return IDENTICAL counts to the
+    expression (replace-arithmetic) path — same greedy non-overlapping
+    semantics — across randomized texts engineered for the hard cases:
+    overlapping self-similar patterns (aaa in aaaaa -> 1, not 3),
+    shared prefixes, patterns inside patterns, and phrases absent from
+    the text. Scalar counts are additionally pinned to str.count
+    (Python's reference non-overlapping counter)."""
+    import random
+
+    from python_plugins_spark.operators.blocklist import (
+        AhoCorasick, blocklist_counts,
+    )
+
+    phrases = ["aaa", "aab", "ab", "ba", "cab", "abcab", "zzz"]
+    ac = AhoCorasick(phrases)
+    rng = random.Random(7)
+    for _ in range(300):
+        text = "".join(rng.choice("aabbc") for _ in range(rng.randrange(0, 60)))
+        got = ac.count_nonoverlapping(text)
+        want = [text.count(p) for p in phrases]
+        assert got == want, (text, got, want)
+
+    rows = [
+        (0, "aaaaa cab abcab"),
+        (1, ""),
+        (2, "ba" * 30),
+        (3, "the cab drove past the abcab stand zzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sub = ["aaa", "ab", "cab", "zzz"]
+    a = {
+        r.doc_id: (r.hits_total, r.n_phrases_hit, r.blocked)
+        for r in blocklist_counts(df, sub, mode="expr").collect()
+    }
+    b = {
+        r.doc_id: (r.hits_total, r.n_phrases_hit, r.blocked)
+        for r in blocklist_counts(df, sub, mode="ac").collect()
+    }
+    assert a == b
+
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate"):
+        AhoCorasick(["x", "x"])
+    with pytest.raises(ValueError, match="empty"):
+        AhoCorasick([""])
+    with pytest.raises(ValueError, match="mode"):
+        blocklist_counts(df, sub, mode="nope")
+
+
 def test_robots_rfc9309_matcher():
     """RFC 9309 semantics that stdlib robotparser gets differently:
     longest-match precedence (not file order), allow wins length ties,
