@@ -230,6 +230,8 @@ def main() -> None:
         "unicode_normalize_docs",
         "robots_filter_urls",
         "blocklist_filter_docs",
+        "script_detect_docs",
+        "corpus_version_diff",
         "zipf_fit_docs",
         "js_divergence_sources",
         "pipeline_corpus_curation",

@@ -340,6 +340,159 @@ def html_text_extract_docs(spark, sf_dir):
     return extract_text_column(wrapped, "html", "doc_id")
 
 
+@register(
+    "corpus_version_diff",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+    v2 AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 NOT IN (0, 1)
+      UNION ALL
+      SELECT doc_id, md5(text || ' v2') AS h FROM documents WHERE doc_id % 7 = 1
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, md5('new ' || text) AS h
+      FROM documents WHERE doc_id % 7 = 2
+    )
+    SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                ELSE 'modified' END AS change
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.h != v2.h
+    """,
+)
+def corpus_version_diff(spark, sf_dir):
+    """Corpus snapshot diff — the dataset-versioning audit ('what
+    changed between freeze v1 and v2': additions, removals, content
+    edits), run entirely on CONTENT HASHES so the shuffle carries
+    (id, 16-byte md5) pairs, never document text — at 100 TB the diff
+    costs one id-keyed join over hash rows a millionth the corpus
+    size. v2 is synthesized by formula (doc_id%7==0 removed, ==1
+    edited, ==2 re-added under a new id); the full-outer join
+    classifies added/removed/modified and drops unchanged rows.
+    Parity note: lakehouse-native tables get this from
+    delta_snapshot_diff / CDC for free; THIS operator is the
+    format-agnostic version for plain-parquet corpora."""
+    docs = load_table(spark, "documents", sf_dir)
+    v1 = docs.select("doc_id", F.md5(F.encode("text", "UTF-8")).alias("h"))
+    m = F.col("doc_id") % 7
+    v2 = (
+        docs.filter(~m.isin(0, 1)).select(
+            "doc_id", F.md5(F.encode("text", "UTF-8")).alias("h")
+        )
+        .unionAll(
+            docs.filter(m == 1).select(
+                "doc_id",
+                F.md5(F.encode(F.concat("text", F.lit(" v2")), "UTF-8")).alias("h"),
+            )
+        )
+        .unionAll(
+            docs.filter(m == 2).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5(
+                    F.encode(F.concat(F.lit("new "), "text"), "UTF-8")
+                ).alias("h"),
+            )
+        )
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    change = (
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .otherwise("modified")
+    )
+    return (
+        j.filter(
+            F.col("a.doc_id").isNull()
+            | F.col("b.doc_id").isNull()
+            | (F.col("a.h") != F.col("b.h"))
+        )
+        .select(
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            change.alias("change"),
+        )
+    )
+
+
+@register(
+    "script_detect_docs",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' ' || repeat(chr(1046), CAST(doc_id % 5 AS INT))
+                  || repeat(chr(937), CAST(doc_id % 4 AS INT))
+                  || repeat(chr(28450), CAST(doc_id % 3 AS INT)) AS r
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(length(regexp_extract_all(r, '\\p{Latin}')) AS BIGINT) AS n_latin,
+             CAST(length(regexp_extract_all(r, '\\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+             CAST(length(regexp_extract_all(r, '\\p{Greek}')) AS BIGINT) AS n_greek,
+             CAST(length(regexp_extract_all(r, '\\p{Han}')) AS BIGINT) AS n_han
+      FROM raw
+    )
+    SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han,
+           CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
+                     AND n_latin >= n_han THEN 'latin'
+                WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_han
+                     THEN 'cyrillic'
+                WHEN n_greek >= n_han THEN 'greek'
+                ELSE 'han' END AS dominant
+    FROM c
+    """,
+)
+def script_detect_docs(spark, sf_dir):
+    """Writing-system (Unicode SCRIPT) detection — the sibling of
+    lang_id the n-gram heuristic can't provide: a Cyrillic or Han
+    document scores garbage under Latin-trigram language ID, so real
+    pipelines branch on script FIRST (script -> per-script lang-id
+    model). Counts per-script codepoints with \\p{script} regex
+    classes — pure JVM expressions (regexp_count), zero Python — and
+    picks the dominant script with a fixed tie-break order. The
+    fixture injects per-document Cyrillic/Greek/Han runs by formula
+    (repeat(chr(..), doc_id % k)) on top of the Latin base text;
+    Java's \\p{IsX} and RE2's \\p{X} script classes agree on every
+    injected codepoint, so counts AND the dominant verdict are
+    hash-checked. One narrow pass over the scan; zero shuffles."""
+    docs = load_table(spark, "documents", sf_dir)
+    raw = docs.select(
+        "doc_id",
+        F.expr(
+            "text || ' ' || repeat('Ж', CAST(doc_id % 5 AS INT))"
+            " || repeat('Ω', CAST(doc_id % 4 AS INT))"
+            " || repeat('漢', CAST(doc_id % 3 AS INT))"
+        ).alias("r"),
+    )
+    c = raw.select(
+        "doc_id",
+        F.regexp_count("r", F.lit(r"\p{IsLatin}")).cast("long").alias("n_latin"),
+        F.regexp_count("r", F.lit(r"\p{IsCyrillic}")).cast("long").alias("n_cyrillic"),
+        F.regexp_count("r", F.lit(r"\p{IsGreek}")).cast("long").alias("n_greek"),
+        F.regexp_count("r", F.lit(r"\p{IsHan}")).cast("long").alias("n_han"),
+    )
+    dom = (
+        F.when(
+            (F.col("n_latin") >= F.col("n_cyrillic"))
+            & (F.col("n_latin") >= F.col("n_greek"))
+            & (F.col("n_latin") >= F.col("n_han")),
+            "latin",
+        )
+        .when(
+            (F.col("n_cyrillic") >= F.col("n_greek"))
+            & (F.col("n_cyrillic") >= F.col("n_han")),
+            "cyrillic",
+        )
+        .when(F.col("n_greek") >= F.col("n_han"), "greek")
+        .otherwise("han")
+    )
+    return c.select(
+        "doc_id", "n_latin", "n_cyrillic", "n_greek", "n_han",
+        dom.alias("dominant"),
+    )
+
+
 def _blocklist_oracle() -> str:
     from python_plugins_spark.operators.blocklist import occurrence_oracle_sql
 
