@@ -45,18 +45,23 @@ def _occurrence_expr(text_col: str, phrase: str):
     """Non-overlapping occurrence count of ``phrase`` as a pure
     column expression (codegen; oracle-identical in SQL)."""
     t = F.col(text_col)
-    return (
-        (F.length(t) - F.length(F.replace(t, F.lit(phrase), F.lit(""))))
-        / F.lit(len(phrase))
-    ).cast("long")
+    # coalesce to 0 so NULL text counts as zero hits — identical to the
+    # Aho-Corasick path's ``text or ""`` coercion (equivalence-tested).
+    return F.coalesce(
+        (
+            (F.length(t) - F.length(F.replace(t, F.lit(phrase), F.lit(""))))
+            / F.lit(len(phrase))
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
 
 
 def occurrence_oracle_sql(text_col: str, phrase: str) -> str:
     """The DuckDB twin of :func:`_occurrence_expr`."""
     p = phrase.replace("'", "''")
     return (
-        f"CAST((length({text_col}) - length(replace({text_col}, '{p}', '')))"
-        f" / {len(phrase)} AS BIGINT)"
+        f"COALESCE(CAST((length({text_col}) - length(replace({text_col}, '{p}', '')))"
+        f" / {len(phrase)} AS BIGINT), 0)"
     )
 
 
@@ -127,7 +132,10 @@ def blocklist_counts(
     """(id, hits_total, n_phrases_hit, blocked) per row; ``blocked``
     when any phrase occurs. ``mode="expr"`` for curated lists (pure
     codegen), ``mode="ac"`` for huge lists (Aho-Corasick narrow map).
-    Both return identical values (equivalence-tested)."""
+    Both return identical values (equivalence-tested), including on
+    NULL text (counted as zero hits, ``blocked = false``)."""
+    if not phrases:
+        raise ValueError("blocklist phrases must be non-empty")
     if mode == "expr":
         occ = [_occurrence_expr(text_col, p) for p in phrases]
         total = occ[0]

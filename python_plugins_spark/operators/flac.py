@@ -176,6 +176,11 @@ def _decode_rice_vec(
         q[i] = ti - pos
         pos = ti + 1 + p
     if p:
+        # the final code's remainder bits must fit inside the unpacked
+        # payload — otherwise the gather below would raise a raw
+        # IndexError instead of this module's ValueError contract
+        if start + int(tarr[-1]) + p >= len(bits):
+            raise ValueError("truncated FLAC bitstream")
         idx = start + tarr[:, None] + 1 + np.arange(p, dtype=np.int64)
         w = (1 << np.arange(p - 1, -1, -1)).astype(np.int64)
         u = (q << p) | (bits[idx].astype(np.int64) @ w)
@@ -372,8 +377,16 @@ def flac_encode(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
 
 def flac_decode(payload: bytes) -> tuple[int, np.ndarray]:
     """Decode a mono 16-bit fixed-predictor FLAC stream ->
-    (sample_rate, int16 samples). Verifies CRC-8/16 and STREAMINFO MD5."""
-    data = bytes(payload)
+    (sample_rate, int16 samples). Verifies CRC-8/16 and STREAMINFO MD5.
+    Malformed or truncated input always raises ``ValueError`` (same
+    contract as jpeg_decode_gray)."""
+    try:
+        return _flac_decode_impl(bytes(payload))
+    except IndexError as exc:  # short reads anywhere in the parse
+        raise ValueError("truncated or malformed FLAC stream") from exc
+
+
+def _flac_decode_impl(data: bytes) -> tuple[int, np.ndarray]:
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC stream (bad magic)")
     pos = 4

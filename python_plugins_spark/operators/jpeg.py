@@ -820,6 +820,14 @@ def decode_color_jpeg_mcu_rgb(
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 rgb = jpeg_decode_color(bytes(payload))
                 hh, ww = rgb.shape[:2]
+                if (hh, ww) != (32, 32):
+                    # _MCU_ORIGINS walks a fixed 2x2 grid of 16x16 MCUs;
+                    # a smaller decode would otherwise surface as a raw
+                    # IndexError on an empty slice (ADVICE r7)
+                    raise ValueError(
+                        f"decode_color_jpeg_mcu_rgb expects the 32x32 "
+                        f"synth fixture, got {hh}x{ww} at id={rid}"
+                    )
                 for m, (my, mx) in enumerate(_MCU_ORIGINS):
                     quad = rgb[my: my + 16, mx: mx + 16]
                     for c in range(3):

@@ -135,11 +135,22 @@ def robots_filter(
         for pdf in batches:
             def verdict(row):
                 txt = row[robots_col]
+                if txt is None or (isinstance(txt, float) and pd.isna(txt)):
+                    # RFC 9309 §2.3.1.3: an UNAVAILABLE robots.txt means
+                    # the crawler "MAY access any resources" — NULL policy
+                    # text is a clean per-row allow, not a crash.
+                    return True
+                path = row[path_col]
+                if path is None or (isinstance(path, float) and pd.isna(path)):
+                    raise ValueError(
+                        f"robots_filter: NULL {path_col!r} in row "
+                        f"{dict(row)!r} — a URL path is required"
+                    )
                 groups = memo.get(txt)
                 if groups is None:
                     groups = parse_robots(txt)
                     memo[txt] = groups
-                return robots_allowed(groups, agent, row[path_col])
+                return robots_allowed(groups, agent, path)
 
             out = pdf[cols].copy()
             out[out_col] = pdf.apply(verdict, axis=1) if len(pdf) else []

@@ -178,15 +178,21 @@ def pmi_collocations_docs(spark, sf_dir):
     uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
         F.count("*").alias("c_u")
     )
-    uni = uni.persist()  # pair join reads it twice; N once more
+    # pair join reads it twice; N once more. localCheckpoint (not
+    # persist): its blocks are released when the frame is GC'd, so
+    # registry sweeps don't accumulate cached partitions (ADVICE r7)
+    uni = uni.localCheckpoint(eager=True)
     nn = uni.select(F.sum("c_u").alias("n"))
     seq = toks.filter(F.size("t") >= 2).select(
         "doc_id", F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "t"
     )
-    # ONE bigram aggregate, persisted — c_ab and the background total
-    # both derive from it (previously each re-aggregated the token
-    # stream from scratch, re-tokenizing the corpus twice; the KN
-    # query's shared-frame pattern applied here — ADVICE r6)
+    # ONE bigram aggregate, materialized once — c_ab and the background
+    # total both derive from it (previously each re-aggregated the
+    # token stream from scratch, re-tokenizing the corpus twice; the KN
+    # query's shared-frame pattern applied here — ADVICE r6).
+    # localCheckpoint, not persist, so the blocks are released when the
+    # frame goes out of scope instead of living for the session
+    # lifetime across registry sweeps (ADVICE r7).
     big = (
         seq.select(
             F.element_at("t", F.col("i")).alias("w1"),
@@ -194,7 +200,7 @@ def pmi_collocations_docs(spark, sf_dir):
         )
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c_ab"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     cab = big.filter(F.col("c_ab") >= 5)
     nb = big.select(F.sum("c_ab").alias("n_bg"))

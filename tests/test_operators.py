@@ -2157,3 +2157,94 @@ def test_flac_roundtrip_all_subframe_types_and_refusals():
     mid[len(mid) // 2] ^= 0x10
     with pytest.raises(ValueError):
         flac_decode(bytes(mid))
+
+
+def test_flac_truncation_always_valueerror():
+    """Slicing a valid stream at EVERY byte length must raise
+    ValueError — never a raw IndexError (the Rice remainder gather and
+    every header read are bounds-checked; ADVICE r7). Uses both a
+    compressible (small Rice p) and a noise (escape-path) stream so the
+    truncation lands in every decoder code path."""
+    import numpy as np
+    import pytest
+
+    from python_plugins_spark.operators.flac import flac_decode, flac_encode, triangle_pcm16
+
+    rng = np.random.default_rng(3)
+    for pcm in (
+        triangle_pcm16(5, 512),
+        rng.integers(-32768, 32768, 600).astype(np.int16),
+    ):
+        good = flac_encode(pcm)
+        for cut in range(0, len(good) - 1):
+            with pytest.raises(ValueError):
+                flac_decode(good[:cut])
+
+
+def test_blocklist_null_text_and_empty_phrases(spark):
+    """NULL text counts as zero hits / not blocked on BOTH paths
+    (the expression path coalesces; the ac path coerces) — and an
+    empty phrase list refuses loudly instead of IndexError (ADVICE r7)."""
+    import pytest
+
+    from python_plugins_spark.operators.blocklist import blocklist_counts
+
+    df = spark.createDataFrame(
+        [(0, "a cab ride"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    sub = ["cab", "ride"]
+    for mode in ("expr", "ac"):
+        got = {
+            r.doc_id: (r.hits_total, r.n_phrases_hit, r.blocked)
+            for r in blocklist_counts(df, sub, mode=mode).collect()
+        }
+        assert got == {0: (2, 2, True), 1: (0, 0, False), 2: (0, 0, False)}, mode
+    for mode in ("expr", "ac"):
+        with pytest.raises(ValueError, match="non-empty"):
+            blocklist_counts(df, [], mode=mode)
+
+
+def test_robots_filter_null_policy(spark):
+    """NULL robots_txt is a clean per-row ALLOW (RFC 9309 §2.3.1.3:
+    unavailable policy file -> may access any resource); a NULL path is
+    a loud per-row ValueError naming the column (ADVICE r7)."""
+    import pytest
+
+    from python_plugins_spark.operators.robots import robots_filter
+
+    df = spark.createDataFrame(
+        [
+            (0, "/a/x", "User-agent: *\nDisallow: /a"),
+            (1, "/a/x", None),
+            (2, "/open", None),
+        ],
+        "doc_id long, path string, robots_txt string",
+    )
+    got = {r.doc_id: r.allowed for r in robots_filter(df).collect()}
+    assert got == {0: False, 1: True, 2: True}
+
+    bad = spark.createDataFrame(
+        [(9, None, "User-agent: *\nDisallow: /a")],
+        "doc_id long, path string, robots_txt string",
+    )
+    with pytest.raises(Exception, match="NULL 'path'"):
+        robots_filter(bad).collect()
+
+
+def test_decode_color_jpeg_mcu_refuses_wrong_shape(spark):
+    """decode_color_jpeg_mcu_rgb walks a fixed 2x2 MCU grid: feeding it
+    a valid but 16x16 color JPEG must produce a descriptive ValueError
+    (not a raw IndexError on an empty slice; ADVICE r7)."""
+    import numpy as np
+    import pytest
+
+    from python_plugins_spark.operators.jpeg import (
+        decode_color_jpeg_mcu_rgb, jpeg_encode_color,
+    )
+
+    small = np.full((16, 16, 3), 77, dtype=np.uint8)
+    payload = jpeg_encode_color(small)
+    df = spark.createDataFrame([(0, bytearray(payload))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="32x32"):
+        decode_color_jpeg_mcu_rgb(df).collect()
