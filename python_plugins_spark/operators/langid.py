@@ -1,0 +1,355 @@
+"""Character-trigram language identification — the real lang-id.
+
+The stopword heuristic (``operators/text.py:lang_id``) only sees
+documents that happen to contain one of 8 function words per language;
+production crawl pipelines use character n-gram statistics (Cavnar &
+Trenkle 1994, "N-Gram-Based Text Categorization" — the textcat /
+langid.py family), which classify from the distribution of EVERY
+character window, so morphology alone ("-ción", "sch", "eau") decides
+even when no stopword appears.
+
+Pipeline position (mirrors ``script_detect_docs``): branch on dominant
+SCRIPT first — Han text short-circuits to 'zh'; Latin-script text is
+scored against per-language trigram tables. Scoring is multinomial
+naive Bayes with add-one smoothing over the union vocabulary:
+
+    score(lang) = sum over doc trigrams tg of ln P(tg | lang)
+    P(tg | lang) = (c_lang(tg) + 1) / (total_lang + |V| + 1)
+
+where c_lang are trigram counts over that language's profile corpus,
+total_lang their sum, V the union of the per-language top-K vocabularies.
+Out-of-vocabulary trigrams get the same formula with c = 0 — one shared
+OOV constant per language, so the profile map only stores c > 0 entries.
+
+HONESTY CONTRACT (same as the codecs): no fabricated model weights.
+The profiles are derived AT IMPORT TIME by :func:`build_profiles` from
+the in-repo fixture corpora below (original prose, ~120 words per
+language) — the real algorithm on real text, reproducible by reading
+this file. Swapping in full-size profiles (e.g. derived from a public
+corpus) is a data change, not a code change.
+
+100 TB shape: the profile tables are tiny (|V| ~ a few hundred), so
+they ship as plan LITERALS — one combined ``map<string, array<double>>``
+(trigram -> per-language log-probs, one lookup per trigram instead of
+one per trigram per language) folded over each document's trigram
+array with ``aggregate``/``zip_with``. Pure JVM expressions: zero
+Python, zero explode, ZERO SHUFFLES — a narrow map over the scan, and
+the whole corpus-sized cost is embarrassingly parallel. (The alternative
+— explode trigrams + broadcast-join the profile relation — shuffles
+O(corpus characters) rows; the literal-map fold shuffles nothing.)
+
+The DuckDB oracle replays the identical math: same normalization, same
+trigram windows, same MAP literal, same LEFT fold — sequential
+double-precision addition in the same element order is bit-identical
+across engines, so scores (rounded) hash-match, not just the argmax.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Original prose fixture corpora (see module docstring: these exist to
+# make the profile derivation honest and self-contained, not to model
+# the full languages; ~120 words each, written for this repo).
+FIXTURE_CORPORA: dict[str, str] = {
+    "en": (
+        "The old library stood at the corner of the square, and every "
+        "morning the same readers climbed its worn stone steps. They came "
+        "for the quiet more than for the books, although the shelves held "
+        "almost everything a curious mind could want. Outside, the market "
+        "traders shouted about fresh bread and winter apples, but inside "
+        "there was only the sound of turning pages. When the rain arrived "
+        "in the afternoon, students gathered near the tall windows and "
+        "watched the water run along the street. The librarian knew most "
+        "of them by name, and she would set aside the new arrivals for "
+        "those who asked. Nothing about the place was modern, yet nobody "
+        "wished to change it, because it worked the way a town should "
+        "work, slowly and together. "
+        # technical register — Latinate English would otherwise score
+        # closer to French at the trigram level
+        "Modern computing systems process information through layered "
+        "abstractions. A distributed query engine partitions massive "
+        "datasets across many machines, applying filters and "
+        "aggregations in parallel before combining partial results. "
+        "Researchers measure throughput and latency carefully, because "
+        "performance depends on data movement more than raw "
+        "computation. Efficient algorithms minimize network traffic, "
+        "exploit locality, and schedule work dynamically. Documentation "
+        "explains configuration options, typical failure modes, and "
+        "recommended monitoring practices for production deployments."
+    ),
+    "de": (
+        "Der alte Bahnhof lag am Rand der kleinen Stadt, und jeden Morgen "
+        "warteten die gleichen Leute auf den ersten Zug. Sie sprachen "
+        "über das Wetter, über die Arbeit und über die Nachbarn, während "
+        "der Nebel langsam über die Gleise zog. Im Winter brachte der "
+        "Wind den Schnee durch die offene Halle, und der Mann am Schalter "
+        "trank seinen Kaffee und schaute auf die Uhr. Die Züge waren "
+        "selten pünktlich, aber niemand beschwerte sich wirklich, denn "
+        "man kannte einander seit vielen Jahren. Am Abend, wenn die "
+        "Lichter über dem Bahnsteig brannten, wirkte alles ruhig und ein "
+        "wenig müde. Die Kinder zählten die Wagen, die Alten erzählten "
+        "ihre Geschichten, und die Stadt schlief früh ein. "
+        "Moderne Rechensysteme verarbeiten Informationen über mehrere "
+        "Abstraktionsschichten. Eine verteilte Abfrage zerlegt große "
+        "Datenmengen auf viele Maschinen, wendet Filter und "
+        "Aggregationen parallel an und kombiniert anschließend die "
+        "Teilergebnisse. Forscher messen Durchsatz und Latenz sehr "
+        "genau, weil die Leistung stärker von der Datenbewegung als von "
+        "der reinen Berechnung abhängt. Effiziente Algorithmen "
+        "verringern den Netzwerkverkehr, nutzen Lokalität aus und "
+        "verteilen die Arbeit dynamisch. Die Dokumentation beschreibt "
+        "Konfigurationsmöglichkeiten, typische Fehlerbilder und "
+        "empfohlene Überwachungspraktiken für den Produktionsbetrieb."
+    ),
+    "fr": (
+        "Le petit café ouvrait toujours avant le lever du soleil, et les "
+        "premiers clients arrivaient avec les journaux sous le bras. On "
+        "parlait de la pluie, des voisins et du prix des légumes, pendant "
+        "que la machine remplissait les tasses une à une. La patronne "
+        "connaissait les habitudes de chacun, et elle posait le pain "
+        "chaud sur le comptoir sans attendre la commande. Vers midi, les "
+        "ouvriers du chantier venaient chercher leur déjeuner, et la "
+        "salle se remplissait de voix et de rires. Quand le soir tombait "
+        "sur la place, les chaises restaient dehors encore une heure, "
+        "puis la lumière s'éteignait doucement. Personne ne pressait "
+        "jamais personne, car le temps du quartier n'était pas celui de "
+        "la ville. "
+        "Les systèmes informatiques modernes traitent l'information à "
+        "travers plusieurs couches d'abstraction. Un moteur de requêtes "
+        "distribué découpe les grands ensembles de données sur de "
+        "nombreuses machines, applique les filtres et les agrégations "
+        "en parallèle, puis combine les résultats partiels. Les "
+        "chercheurs mesurent soigneusement le débit et la latence, car "
+        "la performance dépend davantage du déplacement des données que "
+        "du calcul lui-même. Des algorithmes efficaces réduisent le "
+        "trafic réseau, exploitent la localité et répartissent le "
+        "travail de manière dynamique. La documentation décrit les "
+        "options de configuration, les pannes typiques et les pratiques "
+        "de surveillance recommandées pour la production."
+    ),
+    "es": (
+        "La plaza del pueblo se llenaba de gente cada domingo por la "
+        "mañana, cuando las campanas llamaban desde la iglesia blanca. "
+        "Los vendedores colocaban sus puestos de fruta, de pan y de "
+        "flores, y los niños corrían entre las mesas persiguiendo a los "
+        "perros. Las mujeres mayores hablaban del tiempo y de las "
+        "cosechas, mientras los hombres discutían sobre el agua y los "
+        "caminos. A mediodía llegaba el olor del arroz desde las casas, "
+        "y todos volvían despacio a comer con la familia. Por la tarde, "
+        "la sombra de los naranjos cubría los bancos de piedra, y la "
+        "vida seguía su paso tranquilo. Nadie tenía prisa en aquel "
+        "lugar, porque todo lo importante estaba siempre cerca. "
+        "Los sistemas informáticos modernos procesan la información a "
+        "través de varias capas de abstracción. Un motor de consultas "
+        "distribuido divide los conjuntos grandes de datos entre muchas "
+        "máquinas, aplica filtros y agregaciones en paralelo y luego "
+        "combina los resultados parciales. Los investigadores miden el "
+        "rendimiento y la latencia con mucho cuidado, porque el "
+        "desempeño depende más del movimiento de datos que del cálculo "
+        "puro. Los algoritmos eficientes reducen el tráfico de red, "
+        "aprovechan la localidad y reparten el trabajo de forma "
+        "dinámica. La documentación describe las opciones de "
+        "configuración, los fallos típicos y las prácticas de "
+        "supervisión recomendadas para producción."
+    ),
+}
+
+# Fixed language order: array slot, output column order, and the
+# argmax tie-break priority (first wins) — same convention as lang_id.
+LANGS = ("en", "de", "fr", "es")
+
+
+def normalize(text: str) -> str:
+    """The exact normalization both engines apply: lower, trim,
+    collapse whitespace runs, pad with one space each side (word
+    boundaries contribute boundary trigrams, per Cavnar & Trenkle)."""
+    return " " + re.sub(r"\s+", " ", text.lower().strip()) + " "
+
+
+def char_trigrams(text: str) -> list[str]:
+    s = normalize(text)
+    return [s[i: i + 3] for i in range(len(s) - 2)]
+
+
+def build_profiles(k: int = 300):
+    """Derive the model from FIXTURE_CORPORA deterministically:
+    per-language top-``k`` trigrams (count desc, trigram asc), union
+    vocabulary V, then add-one log-probs over V. Returns
+    ``(logp, oov)`` where ``logp[tg] = [per-LANGS ln P]`` (only
+    trigrams some language actually saw) and ``oov = [per-LANGS ln P
+    of an unseen trigram]``."""
+    counts = {lang: Counter(char_trigrams(t)) for lang, t in FIXTURE_CORPORA.items()}
+    vocab: set[str] = set()
+    for lang in LANGS:
+        top = sorted(counts[lang].items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        vocab.update(tg for tg, _ in top)
+    v = len(vocab)
+    denom = {}
+    for lang in LANGS:
+        total = sum(counts[lang][tg] for tg in vocab)
+        denom[lang] = float(total + v + 1)
+    oov = [math.log(1.0 / denom[lang]) for lang in LANGS]
+    logp: dict[str, list[float]] = {}
+    for tg in sorted(vocab):
+        if any(counts[lang][tg] for lang in LANGS):
+            logp[tg] = [
+                math.log((counts[lang][tg] + 1.0) / denom[lang]) for lang in LANGS
+            ]
+    return logp, oov
+
+
+_LOGP, _OOV = build_profiles()
+
+
+def classify_py(text: str) -> str:
+    """Scalar reference implementation (tests pin the Spark operator
+    against this)."""
+    if text is None:
+        return "unknown"
+    if re.search("[一-鿿]", text):
+        return "zh"
+    tgs = char_trigrams(text) if text.strip() else []
+    if not tgs:
+        return "unknown"
+    scores = [0.0] * len(LANGS)
+    for tg in tgs:
+        row = _LOGP.get(tg, _OOV)
+        for j in range(len(LANGS)):
+            scores[j] += row[j]
+    best = max(range(len(LANGS)), key=lambda j: (scores[j], -j))
+    return LANGS[best]
+
+
+def lang_id_ngram(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pred_lang, n_trigrams, score_<lang>...) — trigram NB
+    language ID with the script branch. Plan shape: the profile map is
+    a literal; ``aggregate`` + ``zip_with`` fold the per-language score
+    vector over the trigram array — zero shuffles, zero Python."""
+    from python_plugins_spark.functions import cjk_count, norm_text
+
+    nlangs = len(LANGS)
+    # ONE generated SQL expression for the ~600-entry literal map —
+    # building it from individual F.lit() Columns costs thousands of
+    # py4j round trips (~6 s of driver time); one parse is instant.
+    # Catalyst constant-folds it, so executors see a literal MapData.
+    map_sql = ", ".join(
+        f"'{_sql_q(tg)}', array({', '.join(f'{x!r}D' for x in row)})"
+        for tg, row in sorted(_LOGP.items())
+    )
+    profile_map = F.expr(f"map({map_sql})")
+    oov_arr = F.array(*[F.lit(x) for x in _OOV])
+    zero_arr = F.array(*[F.lit(0.0) for _ in LANGS])
+
+    p = F.concat(F.lit(" "), norm_text(F.col(text_col)), F.lit(" "))
+    n = F.length(p)
+    tgs = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2), lambda i: p.substr(i, F.lit(3))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    scores = F.aggregate(
+        tgs,
+        zero_arr,
+        lambda acc, tg: F.zip_with(
+            acc,
+            F.coalesce(F.element_at(profile_map, tg), oov_arr),
+            lambda a, b: a + b,
+        ),
+    )
+
+    d = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.size(tgs).cast("long").alias("n_trigrams"),
+        scores.alias("_sc"),
+    )
+    sc = {lang: F.element_at("_sc", j + 1) for j, lang in enumerate(LANGS)}
+    best = F.lit(None).cast("string")
+    for j in range(nlangs - 1, -1, -1):
+        lang = LANGS[j]
+        others = [sc[o] for o in LANGS if o != lang]
+        best = F.when(sc[lang] >= F.greatest(*others), F.lit(lang)).otherwise(best)
+    pred = (
+        F.when(cjk_count(F.col("_t")) > 0, F.lit("zh"))
+        .when(F.col("n_trigrams") == 0, F.lit("unknown"))
+        .otherwise(best)
+    )
+    return d.select(
+        id_col,
+        pred.alias("pred_lang"),
+        "n_trigrams",
+        *[F.round(sc[lang], 4).alias(f"score_{lang}") for lang in LANGS],
+    )
+
+
+def _sql_q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def lang_id_ngram_oracle_sql(table: str, text_col: str, id_col: str) -> str:
+    """DuckDB twin: same MAP literal, same trigram windows, same LEFT
+    fold (list_reduce with a prepended init mirrors ``aggregate``'s
+    initial value), so the double sums are bit-identical. The map is
+    hoisted into a cross-joined one-row relation — referenced from
+    inside the lambda as a column, DuckDB builds it once per row
+    instead of once per ELEMENT (the literal-in-lambda form re-built
+    the 600-entry map per trigram: ~100x slower)."""
+    from python_plugins_spark.functions import oracle_fragments as O
+
+    nlangs = len(LANGS)
+    map_entries = ", ".join(
+        f"'{_sql_q(tg)}': [{', '.join(repr(x) for x in row)}]::DOUBLE[]"
+        for tg, row in sorted(_LOGP.items())
+    )
+    oov = f"[{', '.join(repr(x) for x in _OOV)}]::DOUBLE[]"
+    zero = f"[{', '.join('0.0' for _ in LANGS)}]::DOUBLE[]"
+    add = ", ".join(f"a[{j + 1}] + b[{j + 1}]" for j in range(nlangs))
+    norm = O.sql_norm_text(text_col)
+    sel_scores = ", ".join(
+        f"round(sc[{j + 1}], 4) AS score_{lang}" for j, lang in enumerate(LANGS)
+    )
+    best = "NULL"
+    for j in range(nlangs - 1, -1, -1):
+        lang = LANGS[j]
+        others = ", ".join(f"sc[{i + 1}]" for i, o in enumerate(LANGS) if o != lang)
+        best = (
+            f"CASE WHEN sc[{j + 1}] >= greatest({others}) "
+            f"THEN '{lang}' ELSE {best} END"
+        )
+    return f"""
+    WITH pad AS (
+      SELECT {id_col}, {text_col} AS _t,
+             ' ' || {norm} || ' ' AS p
+      FROM {table}
+    ),
+    tg AS (
+      SELECT {id_col}, _t,
+             CASE WHEN p IS NULL OR length(p) < 3 THEN []::VARCHAR[]
+                  ELSE list_transform(range(1, length(p) - 1),
+                                      i -> substr(p, i, 3)) END AS tgs
+      FROM pad
+    ),
+    sc AS (
+      SELECT {id_col}, _t, len(tgs)::BIGINT AS n_trigrams,
+             list_reduce(
+               list_prepend({zero},
+                 list_transform(tgs,
+                   t -> coalesce(_m[t][1], {oov}))),
+               (a, b) -> [{add}]) AS sc
+      FROM tg CROSS JOIN (SELECT MAP {{{map_entries}}} AS _m)
+    )
+    SELECT {id_col},
+           CASE WHEN {O.sql_cjk_count('_t')} > 0 THEN 'zh'
+                WHEN n_trigrams = 0 THEN 'unknown'
+                ELSE {best} END AS pred_lang,
+           n_trigrams, {sel_scores}
+    FROM sc
+    """

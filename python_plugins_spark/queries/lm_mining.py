@@ -499,6 +499,34 @@ def script_detect_docs(spark, sf_dir):
     )
 
 
+def _lang_id_ngram_oracle() -> str:
+    from python_plugins_spark.operators.langid import lang_id_ngram_oracle_sql
+
+    return lang_id_ngram_oracle_sql("documents", "text", "doc_id")
+
+
+@register("lang_id_ngram_docs", oracle=_lang_id_ngram_oracle())
+def lang_id_ngram_docs(spark, sf_dir):
+    """REAL character-trigram language identification (operators/
+    langid.py) — the n-gram classifier the stopword heuristic
+    (lang_id_docs) only approximates: multinomial NB over character
+    trigrams (Cavnar & Trenkle's n-gram categorization family), with
+    the script branch first (Han -> 'zh', mirroring script_detect_docs'
+    pipeline position) and profiles derived at import time from the
+    in-repo fixture corpora — real algorithm, no fabricated weights.
+    A pytest shows it classifies stopword-FREE multilingual text the
+    heuristic returns 'unknown' for. Plan shape: the ~800-entry
+    trigram->log-prob table is ONE literal map folded over each
+    document's trigram array (aggregate + zip_with, one lookup per
+    trigram for all 4 languages) — pure JVM expressions, zero Python,
+    ZERO SHUFFLES; the oracle replays the identical left fold, so the
+    per-language scores hash-match bit-for-bit, not just the argmax."""
+    from python_plugins_spark.operators.langid import lang_id_ngram
+
+    docs = load_table(spark, "documents", sf_dir)
+    return lang_id_ngram(docs, "text", "doc_id")
+
+
 def _blocklist_oracle() -> str:
     from python_plugins_spark.operators.blocklist import occurrence_oracle_sql
 

@@ -2248,3 +2248,73 @@ def test_decode_color_jpeg_mcu_refuses_wrong_shape(spark):
     df = spark.createDataFrame([(0, bytearray(payload))], "doc_id long, payload binary")
     with pytest.raises(Exception, match="32x32"):
         decode_color_jpeg_mcu_rgb(df).collect()
+
+
+def test_lang_id_ngram_beats_stopword_heuristic(spark):
+    """The trigram NB classifier must (a) match the scalar reference
+    implementation exactly through Spark, (b) classify a stopword-FREE
+    multilingual fixture perfectly while the stopword heuristic
+    (operators/text.py:lang_id) cannot do better than 'unknown' or a
+    wrong guess on most of it, and (c) handle the edge rows (CJK ->
+    'zh', empty/NULL -> 'unknown')."""
+    from python_plugins_spark.operators import text as TX
+    from python_plugins_spark.operators.langid import classify_py, lang_id_ngram
+
+    cases = [
+        ("en", "Machine translation systems process linguistic structures remarkably quickly."),
+        ("en", "Whenever thunderstorms threaten, sailors lower their sails swiftly."),
+        ("en", "Bright children everywhere enjoy reading wonderful adventure stories."),
+        ("de", "Geschwindigkeitsbegrenzungen gelten überall; Straßenbahnen quietschen nachts laut."),
+        ("de", "Zahlreiche Wissenschaftler untersuchen gegenwärtig erstaunliche Zusammenhänge."),
+        ("de", "Herbstliche Wälder leuchten goldgelb zwischen nebligen Hügeln."),
+        ("fr", "Plusieurs grenouilles vertes chantaient joyeusement près du vieux moulin."),
+        ("fr", "Quelques villages perchés dominent fièrement ces vallées profondes."),
+        ("fr", "Nous apercevions souvent des hirondelles tournoyant au-dessus des toits."),
+        ("es", "Numerosos pájaros amarillos volaban rápidamente hacia montañas lejanas."),
+        ("es", "Aquellas bibliotecas antiguas guardaban manuscritos extraordinarios cuidadosamente."),
+        ("es", "Muchos pescadores regresaban cansados tras jornadas interminables."),
+        ("zh", "漢字文化圈的語言非常有趣"),
+        ("unknown", "   "),
+        ("unknown", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(cases)], "doc_id long, text string"
+    )
+    ngram = {
+        r.doc_id: r.pred_lang
+        for r in lang_id_ngram(df, "text", "doc_id").collect()
+    }
+    stopw = {
+        r.doc_id: r.pred_lang for r in TX.lang_id(df, "text", "doc_id").collect()
+    }
+    n_right = sum(ngram[i] == want for i, (want, _) in enumerate(cases))
+    s_right = sum(stopw.get(i) == want for i, (want, _) in enumerate(cases))
+    assert n_right == len(cases), ngram
+    # the heuristic's stopword lists see almost nothing in this fixture
+    assert s_right < n_right, (s_right, n_right)
+    assert n_right - s_right >= 8, (s_right, stopw)
+
+    # Spark operator == scalar reference on every row
+    for i, (_, t) in enumerate(cases):
+        assert ngram[i] == classify_py(t), (i, t)
+
+
+def test_lang_id_ngram_profiles_deterministic():
+    """build_profiles is a pure function of the in-repo corpora: two
+    invocations agree exactly, the map only stores seen trigrams, and
+    every log-prob is a finite negative double (no fabricated
+    constants can sneak in without a corpus change)."""
+    import math
+
+    from python_plugins_spark.operators.langid import LANGS, build_profiles
+
+    a_logp, a_oov = build_profiles()
+    b_logp, b_oov = build_profiles()
+    assert a_logp == b_logp and a_oov == b_oov
+    assert len(a_oov) == len(LANGS)
+    assert all(math.isfinite(x) and x < 0 for x in a_oov)
+    for tg, row in a_logp.items():
+        assert len(tg) == 3 and len(row) == len(LANGS)
+        assert all(math.isfinite(x) and x < 0 for x in row)
+        # stored rows must beat the OOV floor for at least one language
+        assert any(x > a_oov[j] for j, x in enumerate(row)), tg
