@@ -152,12 +152,21 @@ def _split_http(payload: bytes) -> dict:
 # ------------------------------------------------------- Spark operators
 
 
-def synth_warc_payloads(df, id_col: str = "doc_id"):
+def synth_warc_payloads(
+    df,
+    id_col: str = "doc_id",
+    body_col: str | None = None,
+    path_col: str | None = None,
+):
     """Per-row .warc.gz archive of a 3-record crawl exchange
-    (warcinfo + request + response), REAL writer. The response body
-    deliberately CONTAINS a CRLF CRLF sequence, so only
+    (warcinfo + request + response), REAL writer. Default fixture: the
+    response body deliberately CONTAINS a CRLF CRLF sequence, so only
     Content-Length-exact extraction reproduces its md5 — delimiter
-    scanning fails the hash."""
+    scanning fails the hash. With ``body_col``/``path_col`` the
+    caller supplies the HTTP body (served as text/html) and the URI
+    path — the crawl-pipeline capstone threads its HTML fixture and
+    robots-relevant path THROUGH the archive this way, so downstream
+    stages consume what the parser actually recovered."""
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -166,26 +175,35 @@ def synth_warc_payloads(df, id_col: str = "doc_id"):
             T.StructField("payload", T.BinaryType()),
         ]
     )
+    in_cols = [id_col, "source"]
+    in_cols.append(body_col if body_col else "text")
+    if path_col:
+        in_cols.append(path_col)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, payloads = [], []
-            for rid, source, text in zip(
-                pdf[id_col], pdf["source"], pdf["text"]
-            ):
-                rid = int(rid)
-                uri = f"http://{source}.example/doc/{rid}"
-                body = (
-                    f"doc {rid} from {source}\r\n\r\n{text}".encode("utf-8")
-                )
+            for row in pdf[in_cols].itertuples(index=False):
+                rid = int(row[0])
+                source, text = row[1], row[2]
+                path = row[3] if path_col else f"/doc/{rid}"
+                uri = f"http://{source}.example{path}"
+                if body_col:
+                    body = str(text).encode("utf-8")
+                    ctype = b"Content-Type: text/html; charset=utf-8\r\n"
+                else:
+                    body = (
+                        f"doc {rid} from {source}\r\n\r\n{text}".encode("utf-8")
+                    )
+                    ctype = b"Content-Type: text/plain; charset=utf-8\r\n"
                 http = (
                     b"HTTP/1.1 200 OK\r\n"
-                    b"Content-Type: text/plain; charset=utf-8\r\n"
+                    + ctype
                     + f"Content-Length: {len(body)}".encode()
                     + _CRLF + _CRLF + body
                 )
                 req = (
-                    f"GET /doc/{rid} HTTP/1.1\r\nHost: {source}.example"
+                    f"GET {path} HTTP/1.1\r\nHost: {source}.example"
                     .encode() + _CRLF + _CRLF
                 )
                 recs = [
@@ -220,7 +238,49 @@ def synth_warc_payloads(df, id_col: str = "doc_id"):
                 payloads.append(build_warc(recs))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col, "source", "text").mapInPandas(synth, schema)
+    return df.select(*in_cols).mapInPandas(synth, schema)
+
+
+def extract_warc_bodies(
+    df, id_col: str = "doc_id", payload_col: str = "payload"
+):
+    """REAL .warc.gz parse per row, returning the response record's
+    target URI, HTTP status, and the DECODED body text — the capstone
+    front door that feeds HTML extraction (extract_warc_records is the
+    md5-census sibling used for byte-exactness checks). Arrow-batched
+    narrow map; zero shuffles."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("target_uri", T.StringType()),
+            T.StructField("http_status", T.IntegerType()),
+            T.StructField("body", T.StringType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in schema.fields}
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                recs = parse_warc(bytes(payload))
+                resp = [
+                    r for r in recs
+                    if r["headers"].get("WARC-Type") == "response"
+                ]
+                if len(resp) != 1:
+                    raise ValueError(
+                        f"expected exactly one response record, got {len(resp)}"
+                    )
+                r = resp[0]
+                out[id_col].append(int(rid))
+                out["target_uri"].append(r["headers"]["WARC-Target-URI"])
+                out["http_status"].append(int(r["http_status"]))
+                out["body"].append(r["body"].decode("utf-8"))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(extract, schema)
 
 
 def extract_warc_records(df, id_col: str = "doc_id", payload_col: str = "payload"):

@@ -56,6 +56,15 @@ Stage types (the platform categories the reference's §2c table maps):
   (CDAP Normalize plugin: wide -> long via stack())
 - ``transform.sql`` — statement, viewName? (arbitrary SQL over the
   input registered as a temp view; batch and streaming)
+- ``transform.warc_extract`` — idField?, payloadField?, output?
+  (``bodies`` -> response text for html_extract, ``records`` -> md5
+  census); the crawl-ingestion front door
+- ``transform.robots_filter`` — pathField?, robotsField?, agent?,
+  action? (``filter`` drops disallowed rows, ``annotate`` keeps the
+  boolean verdict)
+- ``transform.html_extract`` — htmlField?, idField? (visible-text
+  extraction)
+- ``transform.nfc_normalize`` — field?, outputField?, form?
 - ``batchaggregator.deduplicate`` — uniqueFields,
   filterOperation? {field, function: min|max} (keep one record
   per key, CDAP Deduplicate plugin shape)
@@ -595,6 +604,72 @@ def run_pipeline(
                 text_col=cfg.get("textField", "text"),
                 id_col=cfg.get("idField", "doc_id"),
                 buckets=int(cfg.get("buckets", 256)),
+            )
+        elif stype == "transform.warc_extract":
+            # crawl front door: parse per-row .warc.gz payloads.
+            # output "bodies" (default) -> (id, target_uri, http_status,
+            # body text) feeding html_extract; "records" -> the md5
+            # census shape used for byte-exactness audits.
+            need(1)
+            from python_plugins_spark.operators import warc as _W
+
+            mode = cfg.get("output", "bodies")
+            fn = {
+                "bodies": _W.extract_warc_bodies,
+                "records": _W.extract_warc_records,
+            }.get(mode)
+            if fn is None:
+                raise PipelineSpecError(
+                    f"stage {name!r}: warc_extract output must be "
+                    f"bodies|records, got {mode!r}"
+                )
+            frames[name] = fn(
+                ins[0],
+                cfg.get("idField", "doc_id"),
+                cfg.get("payloadField", "payload"),
+            )
+        elif stype == "transform.robots_filter":
+            # RFC 9309 policy gate. action "filter" (default) keeps
+            # allowed rows and drops the verdict column; "annotate"
+            # keeps every row with the boolean verdict attached.
+            need(1)
+            from python_plugins_spark.operators.robots import robots_filter
+
+            action = cfg.get("action", "filter")
+            if action not in ("filter", "annotate"):
+                raise PipelineSpecError(
+                    f"stage {name!r}: robots_filter action must be "
+                    f"filter|annotate, got {action!r}"
+                )
+            out = robots_filter(
+                ins[0],
+                cfg.get("pathField", "path"),
+                cfg.get("robotsField", "robots_txt"),
+                agent=cfg.get("agent", "graftbot"),
+            )
+            if action == "filter":
+                out = out.filter("allowed").drop("allowed")
+            frames[name] = out
+        elif stype == "transform.html_extract":
+            need(1)
+            from python_plugins_spark.operators.html_extract import (
+                extract_text_column,
+            )
+
+            frames[name] = extract_text_column(
+                ins[0],
+                cfg.get("htmlField", "html"),
+                cfg.get("idField", "doc_id"),
+            )
+        elif stype == "transform.nfc_normalize":
+            need(1)
+            from python_plugins_spark.operators.textnorm import normalize_text
+
+            frames[name] = normalize_text(
+                ins[0],
+                cfg.get("field", "text"),
+                cfg.get("outputField", "norm_text"),
+                form=cfg.get("form", "NFC"),
             )
         elif stype == "batchjoiner":
             if len(ins) < 2:

@@ -746,6 +746,243 @@ def warc_extract_records(spark, sf_dir):
     return W.extract_warc_records(enc, "doc_id", "payload")
 
 
+def _crawl_pipeline_oracle() -> str:
+    from python_plugins_spark.functions import oracle_fragments as O
+    from python_plugins_spark.operators.blocklist import occurrence_oracle_sql
+
+    hits = " + ".join(
+        occurrence_oracle_sql("ntext", p) for p in _BLOCKLIST_PHRASES
+    )
+    order = ["en", "de", "fr", "es"]
+    sc = {
+        lang: O.sql_stopword_hits("toks", O.LANG_STOPWORDS[lang])
+        for lang in order
+    }
+    sel = ", ".join(f"{sc[lang]} AS sc_{lang}" for lang in order)
+    best = "'unknown'"
+    for lang in reversed(order):
+        others = ", ".join(f"sc_{o}" for o in order if o != lang)
+        best = (
+            f"CASE WHEN sc_{lang} >= greatest({others}, 1) "
+            f"THEN '{lang}' ELSE {best} END"
+        )
+    return f"""
+    WITH allowed AS (
+      -- RFC 9309 truth table for the fixture policy (see
+      -- robots_filter_urls: classes 1/3/5 allowed, 0/2/4 blocked)
+      SELECT doc_id, source, text FROM documents WHERE doc_id % 6 IN (1, 3, 5)
+    ),
+    ext AS (
+      -- what extract_text recovers from the HTML fixture: title line,
+      -- h1 line, whitespace-normalized body, footer with the
+      -- DEcomposed unicode soup still intact
+      SELECT doc_id,
+             'doc ' || doc_id || chr(10) ||
+             'Doc ' || doc_id || chr(10) ||
+             regexp_replace(trim(text), '\\s+', ' ', 'g') || chr(10) ||
+             'source: ' || source || ' & note: Cafe' || chr(769)
+               || ' A' || chr(778) || ' ' || chr(8491) AS rawtext
+      FROM allowed
+    ),
+    norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+                 regexp_replace(nfc_normalize(rawtext),
+                     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                 '[ \\t]+', ' ', 'g')) AS ntext
+      FROM ext
+    ),
+    feat AS (
+      SELECT doc_id, ntext,
+             str_split_regex(lower(trim(ntext)), '\\s+') AS toks
+      FROM norm
+    ),
+    scored AS (
+      SELECT doc_id, ntext, len(toks)::BIGINT AS n_words, {sel},
+             ({hits}) AS hits, {O.sql_cjk_count('ntext')} AS cjk
+      FROM feat
+    ),
+    pred AS (
+      SELECT *,
+             CASE WHEN cjk > 0 THEN 'zh' ELSE {best} END AS pred_lang
+      FROM scored
+    ),
+    gated AS (
+      SELECT * FROM pred
+      WHERE hits = 0 AND pred_lang != 'unknown' AND n_words >= 5
+        AND (length(regexp_replace(ntext, '\\s+', '', 'g'))::DOUBLE
+             / n_words) BETWEEN 2 AND 12
+    ),
+    dedup AS (
+      SELECT min(doc_id) AS doc_id,
+             min_by(pred_lang, doc_id) AS pred_lang,
+             min_by(n_words, doc_id) AS n_words
+      FROM gated GROUP BY md5(ntext)
+    )
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+                THEN 'val' ELSE 'test' END AS split,
+           pred_lang, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words
+    FROM dedup GROUP BY 1, 2
+    """
+
+
+@register("crawl_pipeline_end_to_end", oracle=_crawl_pipeline_oracle())
+def crawl_pipeline_end_to_end(spark, sf_dir):
+    """The composed CRAWL-INGESTION front door in ONE dataflow — the
+    round-7 trio plus the classic curation gates, end to end:
+
+      WARC bytes -> robots re-audit -> HTML text extraction -> NFC
+      normalize -> script/lang branch -> blocklist gate -> quality
+      gate -> exact dedup -> leakage-safe split -> per-(split, lang)
+      audit.
+
+    Each stage is the REAL operator, not a re-implementation: documents
+    are wrapped in deterministic HTML (title/style/script/comment/
+    entities + a DEcomposed-unicode footer), written through the real
+    WARC writer with the robots-relevant URL path carried in the
+    archive's Target-URI, parsed back by the real WARC parser, gated by
+    the RFC 9309 matcher (the robots_filter_urls fixture policy:
+    longest-match, $ anchors, group selection all load-bearing), text-
+    extracted by the real HTML parser, NFC-composed by the real
+    normalizer (the footer's Cafe+U+0301 must become 'Café' or the
+    dedup keys drift), language-gated by the stopword pre-filter
+    (lang_id — the cheap front gate; lang_id_ngram_docs is the real
+    classifier downstream), phrase-gated by the blocklist expressions,
+    quality-gated (word count + mean word length), exact-deduped
+    (min-id survivor per content md5), split leakage-safely by id hash,
+    and audited per (split, pred_lang).
+
+    The oracle recomputes the expected output from the raw table
+    columns WITHOUT any of the operators — the robots truth table, the
+    expected extraction, DuckDB's own nfc_normalize — so every stage's
+    semantics are load-bearing in one hash.
+
+    SHUFFLE COUNT: 2 (the dedup groupBy on md5(ntext) and the final
+    (split, lang) audit — everything upstream is narrow maps and
+    expressions, exactly like corpus_pipeline_end_to_end). At 100 TB
+    the dedup shuffle carries (16-byte md5, id, lang, n_words) rows,
+    never text; WARC/robots/HTML/NFC are embarrassingly parallel."""
+    from python_plugins_spark.operators import warc as W
+    from python_plugins_spark.operators.blocklist import _occurrence_expr
+    from python_plugins_spark.operators.html_extract import extract_text_column
+    from python_plugins_spark.operators.robots import robots_filter
+    from python_plugins_spark.operators.textnorm import normalize_text
+    from python_plugins_spark.functions import (
+        LANG_STOPWORDS, cjk_count, stopword_hits,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 6
+    path = (
+        F.when(m == 0, F.concat(F.lit("/trap/x"), d))
+        .when(m == 1, F.lit("/trap/exit"))
+        .when(m == 2, F.concat(F.lit("/trap/exit/m"), d))
+        .when(m == 3, F.concat(F.lit("/ok/"), d))
+        .when(m == 4, F.concat(F.lit("/x/y"), d, F.lit(".php")))
+        .otherwise(F.concat(F.lit("/x/y.php?q="), d))
+    )
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">", "&gt;",
+    )
+    html = F.concat(
+        F.lit("<html><head><title>doc "), d, F.lit("</title>"),
+        F.lit("<style>p{color:red}</style>"),
+        F.lit('<script>var x = 1 < 2 && "junk";</script></head>'),
+        F.lit("<body><!-- crawl "), d, F.lit(" -->"),
+        F.lit("<h1>Doc "), d, F.lit("</h1><p>"), esc,
+        F.lit("</p><div>source: "), F.col("source"),
+        # DEcomposed soup the NFC stage must compose (explicit \\u
+        # escapes so editors can't silently normalize the fixture)
+        F.lit(" &amp; note: Cafe\u0301 A\u030a \u212b</div></body></html>"),
+    )
+    base = docs.select("doc_id", "source", html.alias("html"), path.alias("path"))
+
+    # 1. through the REAL archive: writer -> .warc.gz -> parser
+    archived = W.synth_warc_payloads(base, "doc_id", body_col="html", path_col="path")
+    fetched = W.extract_warc_bodies(archived, "doc_id", "payload")
+
+    # 2. robots re-audit on the path recovered FROM the archive
+    policy = (
+        "User-agent: graftbot\n"
+        "Disallow: /trap\n"
+        "Allow: /trap/exit$\n"
+        "Disallow: /*.php$\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    with_path = fetched.select(
+        "doc_id", "body",
+        F.regexp_replace("target_uri", r"^[a-z]+://[^/]+", "").alias("path"),
+        F.lit(policy).alias("robots_txt"),
+    )
+    gated = (
+        robots_filter(with_path, "path", "robots_txt", agent="graftbot/1.0")
+        .filter("allowed")
+    )
+
+    # 3. real HTML text extraction + real NFC normalization
+    ext = extract_text_column(gated.select("doc_id", "body"), "body", "doc_id")
+    norm = normalize_text(ext, "text", "ntext")
+
+    # 4. language pre-filter + blocklist + quality gates (expressions)
+    toks = F.split(F.lower(F.trim("ntext")), r"\s+")
+    sc = {
+        lang: stopword_hits(toks, words)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    order = ["en", "de", "fr", "es"]
+    best = F.lit("unknown")
+    for lang in reversed(order):
+        cond = sc[lang] >= F.greatest(
+            *[sc[o] for o in order if o != lang], F.lit(1)
+        )
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+    pred = F.when(cjk_count(F.col("ntext")) > 0, F.lit("zh")).otherwise(best)
+    hits = _occurrence_expr("ntext", _BLOCKLIST_PHRASES[0])
+    for p in _BLOCKLIST_PHRASES[1:]:
+        hits = hits + _occurrence_expr("ntext", p)
+    n_words = F.size(toks).cast("long")
+    mean_wlen = (
+        F.length(F.regexp_replace("ntext", r"\s+", "")).cast("double") / n_words
+    )
+    feat = norm.select(
+        "doc_id", "ntext",
+        n_words.alias("n_words"),
+        pred.alias("pred_lang"),
+        hits.alias("hits"),
+        mean_wlen.alias("mean_wlen"),
+    ).filter(
+        (F.col("hits") == 0)
+        & (F.col("pred_lang") != "unknown")
+        & (F.col("n_words") >= 5)
+        & F.col("mean_wlen").between(2, 12)
+    )
+
+    # 5. exact dedup (shuffle #1) -> split tag -> audit (shuffle #2)
+    dedup = feat.groupBy(F.md5(F.encode("ntext", "UTF-8")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("pred_lang", "doc_id").alias("pred_lang"),
+        F.min_by("n_words", "doc_id").alias("n_words"),
+    )
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    tagged = dedup.select(
+        F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test")
+        .alias("split"),
+        "pred_lang", "n_words",
+    )
+    return tagged.groupBy("split", "pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+    )
+
+
 @register(
     "zipf_fit_docs",
     oracle=r"""

@@ -1221,3 +1221,85 @@ def test_pipeline_validate_works_on_streams(spark, sf_dir):
     s_ok = {r.o_orderkey for r in streaming["ok_sink"].collect()}
     s_err = {r.o_orderkey for r in streaming["err_sink"].collect()}
     assert b_ok == s_ok and b_err == s_err and len(s_err) > 0
+
+
+def test_pipeline_crawl_ingest(spark, tmp_path):
+    """The crawl-ingestion front door as a SPEC, twin of the
+    crawl_pipeline_end_to_end registry query: archived WARC bytes ->
+    warc_extract -> sql path derivation -> robots_filter (RFC 9309) ->
+    html_extract -> nfc_normalize -> qualityfilter -> dedup -> groupby
+    audit. The fixture plants one robots-blocked row, one quality
+    reject, and one exact duplicate so every gate provably drops
+    something."""
+    from python_plugins_spark.operators import warc as W
+
+    rows = [
+        # (doc_id, source, body text, path) — paths map to the RFC
+        # fixture policy: /ok/* allowed, /trap/* blocked
+        (1, "alpha", "the quick brown fox jumps over the lazy dog", "/ok/1"),
+        (2, "alpha", "the quick brown fox jumps over the lazy dog", "/ok/2"),  # dup of 1
+        (3, "beta", "tiny", "/ok/3"),                      # quality reject (h1+body+soup = 3 words < 4)
+        (4, "beta", "a completely different document with many plain words", "/trap/4"),  # robots-blocked
+        (5, "gamma", "another unique document full of ordinary readable words", "/ok/5"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string, path string")
+    html = F.concat(
+        F.lit("<html><body><h1>t</h1><p>"), F.col("text"),
+        # decomposed e + COMBINING ACUTE: nfc stage must compose it
+        F.lit(" café</p><script>junk</script></body></html>"),
+    )
+    base = docs.select("doc_id", "source", html.alias("html"), "path")
+    warc_path = str(tmp_path / "crawl_warc.parquet")
+    W.synth_warc_payloads(base, "doc_id", body_col="html", path_col="path").write.parquet(warc_path)
+
+    policy = "User-agent: *\nDisallow: /trap\n"
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "batchsource.parquet",
+             "config": {"path": warc_path}},
+            {"name": "fetch", "type": "transform.warc_extract",
+             "config": {"output": "bodies"}},
+            {"name": "urls", "type": "transform.sql",
+             "config": {"viewName": "fetched", "statement": f"""
+                 SELECT doc_id, body AS html,
+                        regexp_replace(target_uri, '^[a-z]+://[^/]+', '') AS path,
+                        '{policy.replace(chr(10), chr(92) + 'n')}' AS robots_txt
+                 FROM fetched"""}},
+            {"name": "robots", "type": "transform.robots_filter",
+             "config": {"agent": "anybot"}},
+            {"name": "ext", "type": "transform.html_extract",
+             "config": {"htmlField": "html"}},
+            {"name": "norm", "type": "transform.nfc_normalize",
+             "config": {"field": "text", "outputField": "ntext"}},
+            {"name": "quality", "type": "transform.qualityfilter",
+             "config": {"field": "ntext", "minWords": 4}},
+            {"name": "dedup", "type": "transform.dedup",
+             "config": {"field": "ntext", "orderField": "doc_id"}},
+            {"name": "audit", "type": "batchaggregator.groupby",
+             "config": {"groupByFields": [],
+                        "aggregates": [
+                            {"name": "n_docs", "function": "count", "field": "*"},
+                            {"name": "ids", "function": "collectList", "field": "doc_id"}]}},
+        ],
+        "connections": [
+            {"from": "src", "to": "fetch"},
+            {"from": "fetch", "to": "urls"},
+            {"from": "urls", "to": "robots"},
+            {"from": "robots", "to": "ext"},
+            {"from": "ext", "to": "norm"},
+            {"from": "norm", "to": "quality"},
+            {"from": "quality", "to": "dedup"},
+            {"from": "dedup", "to": "audit"},
+        ],
+    })
+    # robots drops 4; quality drops 3; dedup keeps min-id of {1,2}
+    audit = frames["audit"].collect()
+    assert len(audit) == 1
+    assert audit[0].n_docs == 2 and list(audit[0].ids) == [1, 5]
+    # the NFC stage actually composed the decomposed sequence
+    survivors = {r.doc_id: r.ntext for r in frames["dedup"].collect()}
+    assert all("café" in t for t in survivors.values())
+    assert all("́" not in t for t in survivors.values())
+    # per-stage frames expose the gates' intermediate cardinalities
+    assert frames["robots"].count() == 4
+    assert frames["quality"].count() == 3
