@@ -236,7 +236,31 @@ def main() -> None:
         "js_divergence_sources",
         "pipeline_corpus_curation",
         "pipeline_validate_errors",
+        # round-8 operators
+        "lang_id_ngram_docs",
+        "crawl_pipeline_end_to_end",
     ]
+    # Tier tags (round 8): ~50 extras is past eyeballing — per-tier
+    # subtotals make a tier regression visible without reading every
+    # number. Rule-based so new extras classify themselves.
+
+    def _tier(name: str) -> str:
+        if name.startswith(("image_", "audio_")) or "wav" in name:
+            return "codec"
+        if name.startswith(("iceberg_", "delta_")):
+            return "lakehouse"
+        if name.startswith("pipeline_"):
+            return "pipeline"
+        corpus_markers = (
+            "dedup", "minhash", "bm25", "rrf", "dsir", "nb_classify",
+            "kneser", "pmi_", "jl_", "zipf", "js_divergence", "html_",
+            "warc", "unicode", "robots", "blocklist", "script_detect",
+            "corpus_", "crawl_", "lang_id", "feature_hashing",
+            "embedding_", "url_", "sentence_", "bloom_",
+        )
+        if any(m in name for m in corpus_markers):
+            return "corpus"
+        return "core"
     # Round-6: the two extras under cross-round adjudication run
     # median-of-3 like the headline (single-pass extras carry the same
     # ±30% box noise the headline pass was moved off of in round 4).
@@ -277,11 +301,19 @@ def main() -> None:
         except Exception as exc:  # extras never fail the bench
             print(f"# extra {name} failed: {exc}", file=sys.stderr)
 
+    tier_totals: dict[str, float] = {}
+    for name, t in extra_timings.items():
+        tier = _tier(name)
+        tier_totals[tier] = round(tier_totals.get(tier, 0.0) + t, 3)
+    print(f"# [tier-totals] {tier_totals}", file=sys.stderr)
+
     msgbus_phases = _bench_msgbus_phases(spark, sf_dir)
 
     lakehouse_timings = _bench_lakehouse(spark, sf_dir)
 
     lsh_recall = _bench_lsh_recall(spark, sf_dir)
+
+    lsh_skew = _bench_lsh_skew(spark, sf_dir)
 
     env["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
 
@@ -297,10 +329,12 @@ def main() -> None:
         "count_convention_total": round(sum(count_timings.values()), 3),
         "extra_queries": extra_timings,
         "extra_total": round(sum(extra_timings.values()), 3),
+        "tier_totals": tier_totals,
         "msgbus_phases": msgbus_phases,
         "lakehouse_queries": lakehouse_timings,
         "lakehouse_total": round(sum(lakehouse_timings.values()), 3),
         "lsh_recall": lsh_recall,
+        "lsh_skew": lsh_skew,
         "env": env,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -318,6 +352,7 @@ def main() -> None:
     line_payload["detail"] = "bench_detail.json"
     for droppable in (
         "msgbus_phases",
+        "lsh_skew",
         "lsh_recall",
         "env",
         "queries_count_convention",
@@ -384,6 +419,67 @@ def _bench_lsh_recall(spark, sf_dir: str) -> dict:
         print(f"# [lsh-recall] {out}", file=sys.stderr)
     except Exception as exc:  # the section never fails the bench
         print(f"# lsh recall failed: {exc}", file=sys.stderr)
+    return out
+
+
+def _bench_lsh_skew(spark, sf_dir: str) -> dict:
+    """Skew resilience of the LSH candidate stage, measured per round
+    (round 8): inject 10% byte-identical boilerplate into the corpus
+    (the pathological bucket every crawl has), then time candidate
+    generation uncapped vs with max_bucket. Candidate generation is an
+    array-bucket aggregate, so AQE skew-join does not apply — the cap
+    is the mitigation, and this row proves it (a) bounds the quadratic
+    boilerplate pair blow-up and (b) preserves every clean (non-
+    boilerplate) candidate pair. See
+    test_minhash_skew_cap_bounds_boilerplate for the pytest twin."""
+    out: dict = {}
+    try:
+        from pyspark.sql import functions as F
+
+        from python_plugins_spark.operators import dedup as D
+        from python_plugins_spark.sources.io import load_table
+
+        docs = load_table(spark, "documents", sf_dir)
+        boiler = (
+            "the same cookie banner text repeated on every page of "
+            "this site accept all cookies to continue reading"
+        )
+        skewed = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 0, F.lit(boiler))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        t0 = time.perf_counter()
+        uncapped = {
+            (r.id_a, r.id_b)
+            for r in D.minhash_lsh_pairs(skewed, "text", "doc_id").collect()
+        }
+        uncapped_s = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        capped = {
+            (r.id_a, r.id_b)
+            for r in D.minhash_lsh_pairs(
+                skewed, "text", "doc_id", max_bucket=64
+            ).collect()
+        }
+        capped_s = round(time.perf_counter() - t0, 3)
+        is_boiler = lambda i: i % 10 == 0  # noqa: E731
+        clean_u = {p for p in uncapped if not (is_boiler(p[0]) and is_boiler(p[1]))}
+        clean_c = {p for p in capped if not (is_boiler(p[0]) and is_boiler(p[1]))}
+        out = {
+            "boiler_frac": 0.1,
+            "max_bucket": 64,
+            "uncapped_pairs": len(uncapped),
+            "uncapped_s": uncapped_s,
+            "capped_pairs": len(capped),
+            "capped_s": capped_s,
+            "clean_pairs": len(clean_u),
+            "clean_pairs_preserved": clean_c == clean_u,
+        }
+        print(f"# [lsh-skew] {out}", file=sys.stderr)
+    except Exception as exc:  # the section never fails the bench
+        print(f"# lsh skew failed: {exc}", file=sys.stderr)
     return out
 
 

