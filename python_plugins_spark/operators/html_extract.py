@@ -67,7 +67,21 @@ class _TextExtractor(HTMLParser):
 
 def extract_text(html: str) -> str:
     """Visible text of an HTML string: skip-subtree removal, block
-    breaks, entity decoding, per-line whitespace normalization."""
+    breaks, entity decoding, per-line whitespace normalization.
+    An UNTERMINATED comment swallows everything after it (browser
+    behavior) — stdlib html.parser would instead re-emit the raw
+    '<!--...' markup as DATA at EOF, leaking markup into corpus text
+    (caught by the crawl-parser fuzz suite)."""
+    i = 0
+    while True:
+        j = html.find("<!--", i)
+        if j < 0:
+            break
+        k = html.find("-->", j + 4)
+        if k < 0:
+            html = html[:j]
+            break
+        i = k + 3
     p = _TextExtractor()
     p.feed(html)
     p.close()

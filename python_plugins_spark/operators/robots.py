@@ -42,6 +42,10 @@ def _pattern_re(pat: str) -> re.Pattern:
     if rx is None:
         anchor = pat.endswith("$")
         core = pat[:-1] if anchor else pat
+        # collapse '*' runs: '**' matches exactly what '*' matches, and
+        # stacked '.*.*' terms invite pathological backtracking on
+        # crawler-hostile policy files
+        core = re.sub(r"\*{2,}", "*", core)
         body = "".join(".*" if ch == "*" else re.escape(ch) for ch in core)
         rx = re.compile("^" + body + ("$" if anchor else ""))
         _RULE_RE_CACHE[pat] = rx
@@ -57,6 +61,10 @@ def parse_robots(text: str) -> list[tuple[list[str], list[tuple[bool, str]]]]:
     agents: list[str] = []
     rules: list[tuple[bool, str]] = []
     collecting_agents = False
+    # tolerate a UTF-8 BOM (common in hand-edited robots.txt: without
+    # this the first User-agent key becomes '<BOM>user-agent' and the
+    # whole first group is silently ignored)
+    text = text.lstrip("\ufeff")
     for line in text.splitlines():
         line = line.split("#", 1)[0].strip()
         if not line:

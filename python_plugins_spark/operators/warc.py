@@ -70,9 +70,16 @@ def build_warc(
 
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress ALL concatenated gzip members (a single GzipFile
-    read handles multi-member streams per RFC 1952)."""
-    with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
-        return gz.read()
+    read handles multi-member streams per RFC 1952). Truncated or
+    corrupt members raise ValueError — the module's refusal contract —
+    instead of leaking EOFError / zlib.error to the caller."""
+    import zlib
+
+    try:
+        with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+            return gz.read()
+    except (EOFError, zlib.error, gzip.BadGzipFile, OSError) as exc:
+        raise ValueError(f"truncated or corrupt gzip member: {exc}") from exc
 
 
 def parse_warc(data: bytes) -> list[dict]:

@@ -346,3 +346,156 @@ def test_jpeg_decode_never_crashes_and_bounds_error(data):
     flat = np.full((h, w), int(img.mean()), dtype=np.uint8)
     dec2 = jpeg_decode_gray(jpeg_encode_gray(flat, q))
     assert np.abs(dec2.astype(int) - flat.astype(int)).max() <= 16
+
+
+# ----------------------------------------------------- crawl parsers
+# The round-7 crawl trio gates 100 TB of untrusted bytes; fuzz them the
+# way the GIF LZW coder was fuzzed (that harness caught a real
+# tail-width desync). Contract under test: malformed input either
+# parses to something sensible or raises ValueError — never IndexError,
+# EOFError, zlib.error, or a hang.
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_warc_roundtrip_any_body(data):
+    """Any byte body (binary, CRLF CRLF inside, empty) survives
+    build_warc -> parse_warc octet-exactly, gzipped or plain."""
+    from python_plugins_spark.operators.warc import build_warc, parse_warc
+
+    body = data.draw(st.binary(max_size=300))
+    gz = data.draw(st.booleans())
+    recs = [
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "http://x.example/a",
+                "Content-Type": "application/http;msgtype=response",
+            },
+            b"HTTP/1.1 200 OK\r\nContent-Length: %d\r\n\r\n%s"
+            % (len(body), body),
+        )
+    ]
+    out = parse_warc(build_warc(recs, per_record_gzip=gz))
+    assert len(out) == 1
+    assert out[0]["body"] == body
+    assert out[0]["http_status"] == 200
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_warc_truncation_and_garbage_always_valueerror(data):
+    """Truncating a valid .warc.gz at ANY byte, lying in
+    Content-Length, or feeding arbitrary garbage must raise ValueError
+    (UnicodeDecodeError, a ValueError subclass, included) — never
+    EOFError/zlib.error/IndexError."""
+    import pytest
+
+    from python_plugins_spark.operators.warc import build_warc, parse_warc
+
+    recs = [
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "http://x.example/a",
+                "Content-Type": "application/http;msgtype=response",
+            },
+            b"HTTP/1.1 200 OK\r\n\r\npayload bytes here",
+        )
+    ]
+    good = build_warc(recs)
+    mode = data.draw(st.sampled_from(["truncate", "garbage", "liar"]))
+    if mode == "truncate":
+        cut = data.draw(st.integers(1, len(good) - 1))
+        with pytest.raises(ValueError):
+            parse_warc(good[:cut])
+    elif mode == "garbage":
+        blob = data.draw(st.binary(min_size=1, max_size=200))
+        # a leading gzip magic makes it exercise the gunzip path too
+        if data.draw(st.booleans()):
+            blob = b"\x1f\x8b" + blob
+        try:
+            parse_warc(blob)
+        except ValueError:
+            pass  # refusal is the contract; success only for real WARCs
+    else:
+        # Content-Length lies: declared length overruns the payload
+        plain = build_warc(recs, per_record_gzip=False)
+        lied = plain.replace(
+            b"Content-Length: 37", b"Content-Length: 9999", 1
+        )
+        with pytest.raises(ValueError):
+            parse_warc(lied)
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_robots_parse_never_crashes(text):
+    """parse_robots accepts ANY text (BOM, CR-only lines, mixed-case
+    keys, colons in values, comment soup) and robots_allowed always
+    returns a bool against any parse result."""
+    from python_plugins_spark.operators.robots import (
+        parse_robots, robots_allowed,
+    )
+
+    groups = parse_robots(text)
+    assert isinstance(robots_allowed(groups, "anybot", "/a/b?q=1"), bool)
+
+
+def test_robots_bom_cr_and_star_runs():
+    """Targeted adversarial fixtures: a UTF-8 BOM must not eat the
+    first group; CR-only line endings parse; '*' runs collapse to one
+    wildcard (same verdicts, no stacked-backtracking regex)."""
+    from python_plugins_spark.operators.robots import (
+        _pattern_re, parse_robots, robots_allowed,
+    )
+
+    bom = "﻿User-agent: *\nDisallow: /x\n"
+    assert robots_allowed(parse_robots(bom), "any", "/x/1") is False
+
+    cr_only = "User-agent: *\rDisallow: /y\r"
+    assert robots_allowed(parse_robots(cr_only), "any", "/y") is False
+
+    mixed = "uSeR-AgEnT: Alpha\rDISALLOW: /z\r\nAllow: /z/ok\n"
+    g = parse_robots(mixed)
+    assert robots_allowed(g, "alpha/1.0", "/z/1") is False
+    assert robots_allowed(g, "alpha/1.0", "/z/ok") is True
+
+    assert _pattern_re("/a****b*").pattern == _pattern_re("/a*b*").pattern
+    hostile = "User-agent: *\nDisallow: /" + "*" * 200 + "a$\n"
+    g = parse_robots(hostile)
+    # must answer quickly (collapsed to one '.*'), and correctly
+    assert robots_allowed(g, "any", "/" + "x" * 5000) is True
+    assert robots_allowed(g, "any", "/xxxa") is False
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_html_extract_never_crashes(text):
+    """extract_text accepts ANY text — unterminated comments, orphan
+    '</', raw '<' soup, bad charrefs — and returns a string."""
+    from python_plugins_spark.operators.html_extract import extract_text
+
+    out = extract_text(text)
+    assert isinstance(out, str)
+
+
+def test_html_extract_adversarial_fixtures():
+    """Targeted malformed-HTML cases with pinned expected text:
+    unterminated comment swallows the rest (browser behavior — the
+    stdlib parser alone would leak the raw '<!--' markup into corpus
+    text), unterminated <script> never leaks code, legacy no-semicolon
+    entity expansion ('&not' inside '&notareal;') matches the HTML5
+    named-reference rules, stray '</' and bare '<' survive sanely."""
+    from python_plugins_spark.operators.html_extract import extract_text
+
+    assert extract_text("<p>keep</p><!-- lost forever") == "keep"
+    assert extract_text("<p>a</p><!-- x --><p>b</p><!-- tail") == "a\nb"
+    assert extract_text("<script>var x = 1;") == ""
+    assert "var x" not in extract_text("<p>a</p><script>var x = 1;")
+    # HTML5 legacy named refs expand WITHOUT a semicolon: '&not' is in
+    # the legacy list, so '&notareal;' -> '¬areal;' (what browsers do)
+    assert extract_text("a &notareal; b") == "a ¬areal; b"
+    assert extract_text("<p>x</p></div></div>") == "x"
+    # '< 2' is not a tag open (no tagname start): data passes through
+    assert extract_text("1 < 2 and 2 > 1") == "1 < 2 and 2 > 1"
