@@ -315,6 +315,8 @@ def main() -> None:
 
     lsh_skew = _bench_lsh_skew(spark, sf_dir)
 
+    decontam_recall = _bench_decontam_recall(spark, sf_dir)
+
     env["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
 
     total = round(sum(timings.values()), 3)
@@ -335,6 +337,7 @@ def main() -> None:
         "lakehouse_total": round(sum(lakehouse_timings.values()), 3),
         "lsh_recall": lsh_recall,
         "lsh_skew": lsh_skew,
+        "decontam_recall": decontam_recall,
         "env": env,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -352,6 +355,7 @@ def main() -> None:
     line_payload["detail"] = "bench_detail.json"
     for droppable in (
         "msgbus_phases",
+        "decontam_recall",
         "lsh_skew",
         "lsh_recall",
         "env",
@@ -480,6 +484,56 @@ def _bench_lsh_skew(spark, sf_dir: str) -> dict:
         print(f"# [lsh-skew] {out}", file=sys.stderr)
     except Exception as exc:  # the section never fails the bench
         print(f"# lsh skew failed: {exc}", file=sys.stderr)
+    return out
+
+
+def _bench_decontam_recall(spark, sf_dir: str) -> dict:
+    """Cross-corpus decontamination recall, measured per round at the
+    bench SF (round 8, mirroring lsh_recall): ground truth is the
+    exact inverted-index Jaccard baseline restricted to cross-corpus
+    (train x benchmark) pairs, computed in DuckDB — independent of the
+    Spark LSH/verify machinery; recall = fraction of true contaminated
+    pairs the decontam pass surfaces. pytest floor >= 0.95
+    (test_decontam_recall_vs_exact_baseline)."""
+    out: dict = {}
+    try:
+        import duckdb
+
+        from python_plugins_spark.operators import dedup as D
+        from python_plugins_spark.queries import QUERIES
+
+        t0 = time.perf_counter()
+        found = {
+            (r.train_id, r.bench_id)
+            for r in QUERIES["cross_corpus_decontam"](spark, sf_dir).collect()
+        }
+        found_s = round(time.perf_counter() - t0, 3)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+        t0 = time.perf_counter()
+        truth = {
+            (b if a % 10 == 0 else a, a if a % 10 == 0 else b)
+            for a, b, _j in con.sql(
+                D.ngram_jaccard_pairs_oracle_sql(
+                    "documents", "text", "doc_id", 0.5
+                )
+            ).fetchall()
+            if (a % 10 == 0) != (b % 10 == 0)
+        }
+        truth_s = round(time.perf_counter() - t0, 3)
+        hit = len(truth & found)
+        out = {
+            "threshold": 0.5,
+            "true_pairs": len(truth),
+            "found_pairs": len(found),
+            "found": hit,
+            "recall": round(hit / len(truth), 4) if truth else 1.0,
+            "decontam_s": found_s,
+            "exact_baseline_s": truth_s,
+        }
+        print(f"# [decontam-recall] {out}", file=sys.stderr)
+    except Exception as exc:  # the section never fails the bench
+        print(f"# decontam recall failed: {exc}", file=sys.stderr)
     return out
 
 

@@ -120,6 +120,36 @@ def test_minhash_lsh_recall_vs_exact_baseline(spark, sf_dir):
     assert recall >= 0.95, f"LSH recall {recall:.3f} < 0.95 ({len(truth)} true pairs)"
 
 
+def test_decontam_recall_vs_exact_baseline(spark, sf_dir):
+    """Decontamination recall floor (VERDICT r7 stretch): the
+    LSH-candidates -> exact-Jaccard decontam pass must surface >=95%
+    of the TRUE cross-corpus (train x benchmark) Jaccard>=0.5 pairs,
+    measured against the exact inverted-index baseline computed in
+    DuckDB — independent of the Spark machinery. bench.py publishes
+    the same measurement per round at the bench SF
+    (bench_detail.json decontam_recall)."""
+    import duckdb
+
+    from python_plugins_spark.queries import QUERIES
+
+    found = {
+        (r.train_id, r.bench_id)
+        for r in QUERIES["cross_corpus_decontam"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{sf_dir}/documents.parquet'")
+    truth = {
+        (b if a % 10 == 0 else a, a if a % 10 == 0 else b)
+        for a, b, _j in con.sql(
+            D.ngram_jaccard_pairs_oracle_sql("documents", "text", "doc_id", 0.5)
+        ).fetchall()
+        if (a % 10 == 0) != (b % 10 == 0)
+    }
+    assert truth, "fixture must contain cross-corpus contaminated pairs"
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.95, f"decontam recall {recall:.3f} ({len(truth)} true)"
+
+
 def test_jaccard_verification_filters_candidates(spark):
     docs = [
         (0, "a b c d e f g h i j"),
