@@ -9,8 +9,10 @@ character window, so morphology alone ("-ción", "sch", "eau") decides
 even when no stopword appears.
 
 Pipeline position (mirrors ``script_detect_docs``): branch on dominant
-SCRIPT first — Han text short-circuits to 'zh'; Latin-script text is
-scored against per-language trigram tables. Scoring is multinomial
+SCRIPT first — Cyrillic/Greek/Han-dominant text routes straight to the
+script-level verdict (ru/el/zh; a per-script trigram model is a data
+change, not a code change); Latin-dominant text is scored against
+six per-language trigram tables (en/de/fr/es/it/pt). Scoring is multinomial
 naive Bayes with add-one smoothing over the union vocabulary:
 
     score(lang) = sum over doc trigrams tg of ln P(tg | lang)
@@ -159,11 +161,74 @@ FIXTURE_CORPORA: dict[str, str] = {
         "configuración, los fallos típicos y las prácticas de "
         "supervisión recomendadas para producción."
     ),
+    "it": (
+        "Il vecchio mulino sorgeva lungo il fiume, poco fuori dal "
+        "paese, e ogni mattina il fornaio arrivava presto per accendere "
+        "il forno. Le strade erano strette e piene di voci, con le "
+        "donne che parlavano davanti alle botteghe e i bambini che "
+        "correvano verso la scuola. Durante l'estate, gli anziani "
+        "sedevano all'ombra degli alberi nella piazza principale, "
+        "raccontando storie dei raccolti e dei viaggi. Quando arrivava "
+        "la sera, il profumo del pane e del caffè riempiva le vie, e "
+        "tutti tornavano lentamente verso casa. Nessuno aveva fretta, "
+        "perché la vita del paese seguiva da sempre lo stesso ritmo "
+        "tranquillo. "
+        "I sistemi informatici moderni elaborano le informazioni "
+        "attraverso diversi livelli di astrazione. Un motore di "
+        "interrogazione distribuito suddivide grandi insiemi di dati "
+        "su molte macchine, applica filtri e aggregazioni in parallelo "
+        "e poi combina i risultati parziali. I ricercatori misurano "
+        "con attenzione la velocità e la latenza, perché le "
+        "prestazioni dipendono più dal movimento dei dati che dal "
+        "calcolo puro. Gli algoritmi efficienti riducono il traffico "
+        "di rete, sfruttano la località e distribuiscono il lavoro in "
+        "modo dinamico. La documentazione descrive le opzioni di "
+        "configurazione, i guasti tipici e le pratiche di monitoraggio "
+        "consigliate per la produzione."
+    ),
+    "pt": (
+        "O mercado da vila abria cedo todas as manhãs, quando os "
+        "pescadores voltavam do mar com as caixas cheias de peixe. As "
+        "mulheres escolhiam fruta e legumes nas bancas, enquanto os "
+        "homens conversavam sobre o tempo e as colheitas. Ao meio-dia, "
+        "o cheiro do pão quente espalhava-se pelas ruas estreitas, e "
+        "as crianças corriam para casa depois da escola. À tarde, os "
+        "velhos sentavam-se à sombra das oliveiras, contando histórias "
+        "antigas da aldeia. Quando a noite chegava, as luzes "
+        "acendiam-se devagar e tudo ficava em silêncio. Ninguém tinha "
+        "pressa naquele lugar, porque o importante estava sempre "
+        "perto. "
+        "Os sistemas informáticos modernos processam a informação "
+        "através de várias camadas de abstração. Um motor de consultas "
+        "distribuído divide grandes conjuntos de dados por muitas "
+        "máquinas, aplica filtros e agregações em paralelo e depois "
+        "combina os resultados parciais. Os investigadores medem "
+        "cuidadosamente o desempenho e a latência, porque o custo "
+        "depende mais do movimento dos dados do que do cálculo puro. "
+        "Os algoritmos eficientes reduzem o tráfego de rede, "
+        "aproveitam a localidade e repartem o trabalho de forma "
+        "dinâmica. A documentação descreve as opções de configuração, "
+        "as falhas típicas e as práticas de monitorização recomendadas "
+        "para produção."
+    ),
 }
 
 # Fixed language order: array slot, output column order, and the
 # argmax tie-break priority (first wins) — same convention as lang_id.
-LANGS = ("en", "de", "fr", "es")
+LANGS = ("en", "de", "fr", "es", "it", "pt")
+
+# Script routing (the script_detect_docs pipeline position): the Latin
+# trigram model only runs on Latin-dominant text; Cyrillic/Greek/Han
+# dominance routes to the script-level verdict directly. EXPLICIT
+# codepoint ranges (not \p{script} classes) so Java regex, RE2, and
+# the Python reference count identically with zero engine subtleties.
+SCRIPT_RANGES = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "han": "一-鿿",
+}
+SCRIPT_LANG = {"cyrillic": "ru", "greek": "el", "han": "zh"}
 
 
 def normalize(text: str) -> str:
@@ -212,16 +277,32 @@ def build_profiles(k: int = 300):
 _LOGP, _OOV = build_profiles()
 
 
+def dominant_script_py(text: str) -> str:
+    """Dominance over the four SCRIPT_RANGES, ties resolved in
+    latin > cyrillic > greek > han order (script_detect's convention)."""
+    c = {k: len(re.findall(f"[{rng}]", text)) for k, rng in SCRIPT_RANGES.items()}
+    if c["latin"] >= c["cyrillic"] and c["latin"] >= c["greek"] and c["latin"] >= c["han"]:
+        return "latin"
+    if c["cyrillic"] >= c["greek"] and c["cyrillic"] >= c["han"]:
+        return "cyrillic"
+    if c["greek"] >= c["han"]:
+        return "greek"
+    return "han"
+
+
 def classify_py(text: str) -> str:
     """Scalar reference implementation (tests pin the Spark operator
-    against this)."""
+    against this). Script-dominant non-Latin text routes straight to
+    the script-level verdict (ru/el/zh); Latin-dominant text is scored
+    by the trigram model."""
     if text is None:
         return "unknown"
-    if re.search("[一-鿿]", text):
-        return "zh"
     tgs = char_trigrams(text) if text.strip() else []
     if not tgs:
         return "unknown"
+    dom = dominant_script_py(text)
+    if dom != "latin":
+        return SCRIPT_LANG[dom]
     scores = [0.0] * len(LANGS)
     for tg in tgs:
         row = _LOGP.get(tg, _OOV)
@@ -251,8 +332,9 @@ def lang_id_ngram(
       more than the constant factor.
 
     Both are zero-shuffle narrow maps over the scan; the final
-    argmax/tie-break/rounding is shared Spark expression code."""
-    from python_plugins_spark.functions import cjk_count, norm_text
+    script-dominance branch (ru/el/zh) and the Latin argmax/tie-break/
+    rounding are shared Spark expression code."""
+    from python_plugins_spark.functions import norm_text
 
     nlangs = len(LANGS)
     if mode == "expr":
@@ -332,10 +414,22 @@ def lang_id_ngram(
         lang = LANGS[j]
         others = [sc[o] for o in LANGS if o != lang]
         best = F.when(sc[lang] >= F.greatest(*others), F.lit(lang)).otherwise(best)
+    cnt = {
+        k: F.length(F.regexp_replace(F.col("_t"), f"[^{rng}]", ""))
+        for k, rng in SCRIPT_RANGES.items()
+    }
+    latin_dom = (
+        (cnt["latin"] >= cnt["cyrillic"])
+        & (cnt["latin"] >= cnt["greek"])
+        & (cnt["latin"] >= cnt["han"])
+    )
+    cyr_dom = (cnt["cyrillic"] >= cnt["greek"]) & (cnt["cyrillic"] >= cnt["han"])
     pred = (
-        F.when(cjk_count(F.col("_t")) > 0, F.lit("zh"))
-        .when(F.col("n_trigrams") == 0, F.lit("unknown"))
-        .otherwise(best)
+        F.when(F.col("n_trigrams") == 0, F.lit("unknown"))
+        .when(latin_dom, best)
+        .when(cyr_dom, F.lit(SCRIPT_LANG["cyrillic"]))
+        .when(cnt["greek"] >= cnt["han"], F.lit(SCRIPT_LANG["greek"]))
+        .otherwise(F.lit(SCRIPT_LANG["han"]))
     )
     return d.select(
         id_col,
@@ -368,6 +462,19 @@ def lang_id_ngram_oracle_sql(table: str, text_col: str, id_col: str) -> str:
     zero = f"[{', '.join('0.0' for _ in LANGS)}]::DOUBLE[]"
     add = ", ".join(f"a[{j + 1}] + b[{j + 1}]" for j in range(nlangs))
     norm = O.sql_norm_text(text_col)
+
+    def _sql_range(rng: str) -> str:
+        # RE2 hex escapes for the non-ASCII range endpoints, so the SQL
+        # stays ASCII while matching the same codepoints as the Java
+        # pattern built from the literal SCRIPT_RANGES characters
+        return "".join(
+            ch if ord(ch) < 128 else f"\\x{{{ord(ch):04x}}}" for ch in rng
+        )
+
+    c = {
+        k: f"length(regexp_replace(_t, '[^{_sql_range(rng)}]', '', 'g'))"
+        for k, rng in SCRIPT_RANGES.items()
+    }
     sel_scores = ", ".join(
         f"round(sc[{j + 1}], 4) AS score_{lang}" for j, lang in enumerate(LANGS)
     )
@@ -402,9 +509,16 @@ def lang_id_ngram_oracle_sql(table: str, text_col: str, id_col: str) -> str:
       FROM tg CROSS JOIN (SELECT MAP {{{map_entries}}} AS _m)
     )
     SELECT {id_col},
-           CASE WHEN {O.sql_cjk_count('_t')} > 0 THEN 'zh'
-                WHEN n_trigrams = 0 THEN 'unknown'
-                ELSE {best} END AS pred_lang,
+           CASE WHEN n_trigrams = 0 THEN 'unknown'
+                WHEN {c['latin']} >= {c['cyrillic']}
+                     AND {c['latin']} >= {c['greek']}
+                     AND {c['latin']} >= {c['han']} THEN {best}
+                WHEN {c['cyrillic']} >= {c['greek']}
+                     AND {c['cyrillic']} >= {c['han']}
+                THEN '{SCRIPT_LANG["cyrillic"]}'
+                WHEN {c['greek']} >= {c['han']}
+                THEN '{SCRIPT_LANG["greek"]}'
+                ELSE '{SCRIPT_LANG["han"]}' END AS pred_lang,
            n_trigrams, {sel_scores}
     FROM sc
     """

@@ -44,6 +44,8 @@ Stage types (the platform categories the reference's §2c table maps):
 - ``batchsource.delta|iceberg`` — this repo's table layers; time
   travel via ``version_as_of``/``timestamp_as_of`` (delta) and
   ``snapshot_id``/``ref``/``as_of_timestamp`` (iceberg)
+- ``batchsource.warc`` — .warc.gz crawl archives on disk (path glob);
+  one row per response record with the decoded body
 - ``transform.python`` — THE reference surface: script, schema?
   (Avro-JSON or DDL), args?, on_error? ('fail'|'route')
 - ``transform.wrangler`` — config: directives (list or newline text)
@@ -309,6 +311,13 @@ def run_pipeline(
                     ref=cfg.get("ref"),
                     as_of_timestamp=cfg.get("as_of_timestamp"),
                 )
+            elif fmt == "warc":
+                # crawl archives on disk: one row per response record
+                # (warc_file, target_uri, http_status, body_bytes,
+                # body_md5, body) — see operators/warc.py:read_warc
+                from python_plugins_spark.operators.warc import read_warc
+
+                frames[name] = read_warc(spark, cfg["path"])
             else:
                 raise PipelineSpecError(f"unknown source format {fmt!r}")
         elif stype == "transform.python":

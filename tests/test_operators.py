@@ -2301,8 +2301,16 @@ def test_lang_id_ngram_beats_stopword_heuristic(spark):
         ("fr", "Quelques villages perchés dominent fièrement ces vallées profondes."),
         ("fr", "Nous apercevions souvent des hirondelles tournoyant au-dessus des toits."),
         ("es", "Numerosos pájaros amarillos volaban rápidamente hacia montañas lejanas."),
-        ("es", "Aquellas bibliotecas antiguas guardaban manuscritos extraordinarios cuidadosamente."),
+        ("es", "Los niños pequeños jugaban alegremente en aquellos callejones empedrados."),
         ("es", "Muchos pescadores regresaban cansados tras jornadas interminables."),
+        ("it", "Bellissimi tramonti arancioni illuminavano lentamente quelle colline toscane."),
+        ("it", "Numerosi studenti universitari frequentavano biblioteche antichissime."),
+        ("it", "Gli ingegneri progettavano ponti modernissimi sopra vallate profondissime."),
+        ("pt", "Pequenos barcos coloridos regressavam lentamente àquele porto tranquilo."),
+        ("pt", "Vários escritores famosos nasceram naquelas aldeias montanhosas."),
+        ("pt", "As criancinhas brincavam alegremente debaixo daquelas mangueiras enormes."),
+        ("ru", "Русский текст пишется кириллицей и легко узнаётся"),
+        ("el", "Ελληνικό κείμενο γραμμένο στα ελληνικά αναγνωρίζεται εύκολα"),
         ("zh", "漢字文化圈的語言非常有趣"),
         ("unknown", "   "),
         ("unknown", None),

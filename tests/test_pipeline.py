@@ -1303,3 +1303,44 @@ def test_pipeline_crawl_ingest(spark, tmp_path):
     # per-stage frames expose the gates' intermediate cardinalities
     assert frames["robots"].count() == 4
     assert frames["quality"].count() == 3
+
+
+def test_pipeline_warc_file_source(spark, tmp_path):
+    """batchsource.warc reads .warc.gz FILES from disk (the CommonCrawl
+    landing shape) — one row per response record, bodies decoded; a
+    corrupt archive in the glob refuses loudly, naming the file."""
+    import pytest
+
+    from python_plugins_spark.operators import warc as W
+
+    docs = spark.createDataFrame(
+        [(1, "alpha", "first doc body"), (2, "alpha", "second doc body"),
+         (3, "beta", "third doc body")],
+        "doc_id long, source string, text string",
+    )
+    out_dir = str(tmp_path / "warc_src")
+    manifest = {r.source: r.n_docs for r in W.write_warc_files(docs, out_dir).collect()}
+    assert manifest == {"alpha": 2, "beta": 1}
+
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "crawl", "type": "batchsource.warc",
+             "config": {"path": out_dir + "/*.warc.gz"}},
+            {"name": "audit", "type": "batchaggregator.groupby",
+             "config": {"groupByFields": [],
+                        "aggregates": [
+                            {"name": "n", "function": "count", "field": "*"},
+                            {"name": "uris", "function": "collectList",
+                             "field": "target_uri"}]}},
+        ],
+        "connections": [{"from": "crawl", "to": "audit"}],
+    })
+    rows = {r.target_uri: r.body for r in frames["crawl"].collect()}
+    assert rows["http://alpha.example/doc/1"].endswith("first doc body")
+    assert frames["audit"].collect()[0].n == 3
+
+    # corrupt archive: ValueError naming the file
+    bad = tmp_path / "warc_src" / "crawl-evil.warc.gz"
+    bad.write_bytes(b"\x1f\x8bnot really gzip")
+    with pytest.raises(Exception, match="crawl-evil"):
+        W.read_warc(spark, str(tmp_path / "warc_src") + "/*.warc.gz").collect()
