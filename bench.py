@@ -239,6 +239,8 @@ def main() -> None:
         # round-8 operators
         "lang_id_ngram_docs",
         "crawl_pipeline_end_to_end",
+        "warc_file_source_scan",
+        "gopher_repetition_docs",
     ]
     # Tier tags (round 8): ~50 extras is past eyeballing — per-tier
     # subtotals make a tier regression visible without reading every
@@ -256,7 +258,8 @@ def main() -> None:
             "kneser", "pmi_", "jl_", "zipf", "js_divergence", "html_",
             "warc", "unicode", "robots", "blocklist", "script_detect",
             "corpus_", "crawl_", "lang_id", "feature_hashing",
-            "embedding_", "url_", "sentence_", "bloom_",
+            "embedding_", "url_", "sentence_", "bloom_", "gopher",
+            "repetition",
         )
         if any(m in name for m in corpus_markers):
             return "corpus"

@@ -747,6 +747,66 @@ def warc_extract_records(spark, sf_dir):
     return W.extract_warc_records(enc, "doc_id", "payload")
 
 
+def _gopher_repetition_oracle() -> str:
+    from python_plugins_spark.operators.repetition import (
+        gopher_repetition_oracle_sql,
+    )
+
+    text_expr = (
+        "regexp_replace(regexp_replace(trim(text) || ' ', "
+        "'((\\S+ ){8})', '\\1@@ ', 'g'), ' ?@@ ', chr(10), 'g')"
+        " || chr(10) || regexp_extract(trim(text), '^(\\S+( \\S+){7})', 1)"
+        " || chr(10) || chr(10) ||"
+        " regexp_extract(trim(text), '^(\\S+( \\S+){7})', 1)"
+        " || chr(10) ||"
+        " regexp_extract(trim(text), '^(?:\\S+ ){8}((?:\\S+ ){7}\\S+)', 1)"
+        " || chr(10) || chr(10) ||"
+        " regexp_extract(trim(text), '^(\\S+( \\S+){7})', 1)"
+        " || chr(10) ||"
+        " regexp_extract(trim(text), '^(?:\\S+ ){8}((?:\\S+ ){7}\\S+)', 1)"
+    )
+    return gopher_repetition_oracle_sql("documents", text_expr, "doc_id")
+
+
+@register("gopher_repetition_docs", oracle=_gopher_repetition_oracle())
+def gopher_repetition_docs(spark, sf_dir):
+    """Gopher/MassiveText REPETITION filters (Rae et al. 2021 table
+    A1; operators/repetition.py) — the signal family the threshold
+    rules (gopher_quality_rules_docs) don't cover: duplicate
+    line/paragraph fractions (count and characters), top 2/3/4-gram
+    character fraction, and the duplicated 5..10-gram character COVER
+    (position mask — overlapping repeats counted once). The fixture
+    reshapes each document into 8-word lines and PLANTS duplicates:
+    its first line 3 extra times, a duplicated two-line paragraph
+    twice — so every signal is provably non-zero and the dup-line /
+    dup-para numerators are known. Every signal is a ratio of
+    integers, so the relational DuckDB oracle (unnest + group + cover
+    join, fully independent of the Counter/mask implementation)
+    hash-matches bit-for-bit before the 6 dp round. One Arrow-batched
+    narrow map over the scan; ZERO SHUFFLES at any corpus size."""
+    from python_plugins_spark.operators.repetition import gopher_repetition
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = F.trim("text")
+    lines_str = F.regexp_replace(
+        F.regexp_replace(
+            F.concat(base, F.lit(" ")), r"((\S+ ){8})", "$1@@ "
+        ),
+        " ?@@ ",
+        "\n",
+    )
+    first8 = F.regexp_extract(base, r"^(\S+( \S+){7})", 1)
+    second8 = F.regexp_extract(base, r"^(?:\S+ ){8}((?:\S+ ){7}\S+)", 1)
+    nl = F.lit("\n")
+    final = F.concat(
+        lines_str, nl, first8, nl, nl, first8, nl, second8,
+        nl, nl, first8, nl, second8,
+    )
+    return gopher_repetition(
+        docs.select("doc_id", final.alias("mtext")), "mtext", "doc_id"
+    )
+
+
 @register(
     "warc_file_source_scan",
     oracle="""

@@ -2417,3 +2417,45 @@ def test_minhash_skew_cap_bounds_boilerplate(spark):
     assert clean_capped == clean_uncapped
     # (b) the 20-doc boilerplate buckets exceed the cap and are shed
     assert not {p for p in capped if p[0] in boiler_ids and p[1] in boiler_ids}
+
+
+def test_gopher_repetition_known_values(spark):
+    """Hand-computed repetition signals on a crafted document, plus
+    threshold semantics: a clean document passes, a boilerplate-heavy
+    one fails on the expected rules."""
+    from python_plugins_spark.operators.repetition import (
+        THRESHOLDS, gopher_repetition, repetition_signals_py,
+    )
+
+    # 4 lines, one duplicated ("spam spam"): dup_line_frac = 1/4;
+    # dup chars = 9 of 9+12+9+5 = 35
+    doc = "spam spam\nham and eggs\nspam spam\ntoast"
+    s = repetition_signals_py(doc)
+    assert s["dup_line_frac"] == 0.25
+    assert s["dup_line_char_frac"] == 9 / 35
+    # words: spam spam ham and eggs spam spam toast -> "spam spam"
+    # 2-gram occurs at positions 1 and 6 (0-based 0 and 5) -> count 2,
+    # chars 8; total word chars = 4+4+3+3+4+4+4+5 = 31
+    assert s["top_2gram_char_frac"] == 2 * 8 / 31
+    # no 5-gram repeats
+    assert s["dup_5gram_char_frac"] == 0.0
+
+    # pure repetition: "x y x y ..." — every 5-gram duplicated
+    rep = " ".join(["x y"] * 40)
+    r = repetition_signals_py(rep)
+    assert r["dup_5gram_char_frac"] == 1.0
+    assert r["top_2gram_char_frac"] > THRESHOLDS["top_2gram_char_frac"]
+
+    df = spark.createDataFrame(
+        [(0, doc), (1, rep), (2, None), (3, "one two three four five")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_repetition(df, "text", "doc_id").collect()}
+    assert got[0].dup_line_frac == 0.25
+    # doc 0 trips dup_line_char (0.257 > 0.20) and top_2gram (0.516 > 0.20)
+    assert got[0].passes_repetition is False
+    assert got[1].passes_repetition is False
+    assert got[1].dup_10gram_char_frac == 1.0
+    # NULL text -> all-zero signals, passes (nothing repeats)
+    assert got[2].passes_repetition is True and got[2].top_2gram_char_frac == 0.0
+    assert got[3].passes_repetition is True

@@ -499,3 +499,20 @@ def test_html_extract_adversarial_fixtures():
     assert extract_text("<p>x</p></div></div>") == "x"
     # '< 2' is not a tag open (no tagname start): data passes through
     assert extract_text("1 < 2 and 2 > 1") == "1 < 2 and 2 > 1"
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_langid_classify_total_function(text):
+    """classify_py is total: ANY text (mixed scripts, combining marks,
+    lone surrogates excluded by st.text, whitespace soup) yields one of
+    the known labels, and the trigram extractor never crashes."""
+    from python_plugins_spark.operators.langid import (
+        LANGS, char_trigrams, classify_py,
+    )
+
+    label = classify_py(text)
+    assert label in set(LANGS) | {"ru", "el", "zh", "unknown"}
+    if text.strip():
+        tgs = char_trigrams(text)
+        assert all(len(t) == 3 for t in tgs)
