@@ -714,3 +714,23 @@ def test_round6b_lm_queries_no_cartesian_and_bounded_joins(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan, f"{name} has {marker}"
+
+
+def test_round8_queries_shuffle_budget(spark, sf_dir):
+    """Round-8 plan-shape guarantees, pinned to the docstring claims:
+    the crawl capstone composes nine stages into exactly TWO shuffles
+    (content-hash dedup + the (split, lang) audit); lang-id, the
+    repetition filters, and the WARC file scan are pure narrow maps
+    (zero exchanges); none of them may grow a cartesian product."""
+    from python_plugins_spark.plans import count_shuffles, plan_str
+
+    budgets = {
+        "crawl_pipeline_end_to_end": 2,
+        "gopher_repetition_docs": 0,
+        "lang_id_ngram_docs": 0,
+        "warc_file_source_scan": 0,
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, sf_dir)
+        assert count_shuffles(df) == budget, name
+        assert "CartesianProduct" not in plan_str(df), name
