@@ -81,6 +81,32 @@ def _env_fingerprint(prev_detail: dict | None) -> dict:
     env["calib_s"] = round(time.perf_counter() - t0, 3)
     env["calib_iters"] = 150_000
     env["calib_check"] = h.hexdigest()[:8]
+    # PARALLEL calibration (round 8): the single-core loop missed a
+    # real drift class — round 8 measured a uniform ~1.19x slowdown
+    # across every query family (pure-JVM TPC-H included, no code in
+    # common with the round's changes) while calib_s matched the prior
+    # run within 4%: the box's MULTI-core throughput was degraded
+    # (co-tenancy / CPU quota), invisible to one core. Same fixed work
+    # on every core at once via multiprocessing — the wall-clock is
+    # the all-cores-busy throughput the Spark local[32] bench actually
+    # experiences.
+    try:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")  # fork: no pickling of the target
+        n = os.cpu_count() or 1
+        procs = [
+            ctx.Process(target=_calib_work, args=(30_000,)) for _ in range(n)
+        ]
+        t0 = time.perf_counter()
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+        env["calib_par_s"] = round(time.perf_counter() - t0, 3)
+        env["calib_par_procs"] = n
+    except Exception as exc:  # fingerprint never fails the bench
+        print(f"# parallel calibration failed: {exc}", file=sys.stderr)
     prev = (prev_detail or {}).get("env", {}).get("calib_s")
     if prev:
         drift = (env["calib_s"] - prev) / prev * 100
@@ -94,8 +120,31 @@ def _env_fingerprint(prev_detail: dict | None) -> dict:
                 "the engine.",
                 file=sys.stderr,
             )
+    prev_par = (prev_detail or {}).get("env", {}).get("calib_par_s")
+    if prev_par and env.get("calib_par_s"):
+        pdrift = (env["calib_par_s"] - prev_par) / prev_par * 100
+        env["calib_par_prev_s"] = prev_par
+        env["calib_par_drift_pct"] = round(pdrift, 1)
+        if abs(pdrift) > 15:
+            print(
+                f"# WARNING: PARALLEL calibration drifted {pdrift:+.1f}% vs "
+                f"the last committed run — all-cores throughput changed; "
+                "cross-round deltas measure the BOX, not the engine.",
+                file=sys.stderr,
+            )
     print(f"# [env] {env}", file=sys.stderr)
     return env
+
+
+def _calib_work(iters: int) -> str:
+    """Fixed calibration work unit (module-level so mp can pickle it)."""
+    import hashlib
+
+    buf = b"\xa5" * 4096
+    h = hashlib.md5()
+    for _ in range(iters):
+        h = hashlib.md5(buf)
+    return h.hexdigest()[:8]
 
 
 def main() -> None:
