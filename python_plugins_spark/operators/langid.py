@@ -313,7 +313,11 @@ def classify_py(text: str) -> str:
 
 
 def lang_id_ngram(
-    df: DataFrame, text_col: str, id_col: str, mode: str = "arrow"
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    mode: str = "arrow",
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """(id, pred_lang, n_trigrams, score_<lang>...) — trigram NB
     language ID with the script branch. Two equivalent scoring paths
@@ -333,9 +337,12 @@ def lang_id_ngram(
 
     Both are zero-shuffle narrow maps over the scan; the final
     script-dominance branch (ru/el/zh) and the Latin argmax/tie-break/
-    rounding are shared Spark expression code."""
+    rounding are shared Spark expression code. ``carry`` lists extra
+    input columns to pass through (the pipeline stage carries the whole
+    row this way — a narrow projection, never a join-back shuffle)."""
     from python_plugins_spark.functions import norm_text
 
+    carry = [c for c in (carry or []) if c not in (id_col,)]
     nlangs = len(LANGS)
     if mode == "expr":
         # ONE generated SQL expression for the ~800-entry literal map —
@@ -370,6 +377,7 @@ def lang_id_ngram(
         )
         d = df.select(
             F.col(id_col),
+            *[F.col(c) for c in carry],
             F.col(text_col).alias("_t"),
             F.size(tgs).cast("long").alias("n_trigrams"),
             scores.alias("_sc"),
@@ -399,10 +407,11 @@ def lang_id_ngram(
 
         d = df.select(
             F.col(id_col),
+            *[F.col(c) for c in carry],
             F.col(text_col).alias("_t"),
             _score(F.col(text_col)).alias("_r"),
         ).select(
-            id_col, "_t",
+            id_col, *carry, "_t",
             F.element_at("_r", 1).cast("long").alias("n_trigrams"),
             F.slice("_r", 2, nlangs).alias("_sc"),
         )
@@ -433,6 +442,7 @@ def lang_id_ngram(
     )
     return d.select(
         id_col,
+        *carry,
         pred.alias("pred_lang"),
         "n_trigrams",
         *[F.round(sc[lang], 4).alias(f"score_{lang}") for lang in LANGS],

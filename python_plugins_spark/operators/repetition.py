@@ -124,9 +124,17 @@ def repetition_signals_py(text: str) -> dict[str, float]:
     return out
 
 
-def gopher_repetition(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    carry: list[str] | None = None,
+) -> DataFrame:
     """(id, 13 repetition signals rounded to 6 dp, passes_repetition).
-    One Arrow-batched narrow map; zero shuffles."""
+    One Arrow-batched narrow map; zero shuffles. ``carry`` lists extra
+    input columns to pass through (the pipeline stage carries the
+    whole row this way — a narrow projection, never a join-back)."""
+    carry = [c for c in (carry or []) if c != id_col]
 
     @F.pandas_udf("array<double>")
     def _sig(col: pd.Series) -> pd.Series:
@@ -136,7 +144,11 @@ def gopher_repetition(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             rows.append([s[m] for m in _METRICS])
         return pd.Series(rows)
 
-    d = df.select(F.col(id_col), _sig(F.col(text_col)).alias("_s"))
+    d = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        _sig(F.col(text_col)).alias("_s"),
+    )
     cols = [
         F.round(F.element_at("_s", i + 1), 6).alias(m)
         for i, m in enumerate(_METRICS)
@@ -145,7 +157,9 @@ def gopher_repetition(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     for i, m in enumerate(_METRICS):
         c = F.element_at("_s", i + 1) <= THRESHOLDS[m]
         passes = c if passes is None else (passes & c)
-    return d.select(id_col, *cols, passes.alias("passes_repetition"))
+    return d.select(
+        id_col, *carry, *cols, passes.alias("passes_repetition")
+    )
 
 
 def gopher_repetition_oracle_sql(

@@ -67,6 +67,13 @@ Stage types (the platform categories the reference's §2c table maps):
 - ``transform.html_extract`` — htmlField?, idField? (visible-text
   extraction)
 - ``transform.nfc_normalize`` — field?, outputField?, form?
+- ``transform.langid`` — field?, idField?, mode?, action?
+  (``annotate`` appends pred_lang/n_trigrams/scores, ``filter`` keeps
+  rows with pred_lang in ``keep``); columns carried through the
+  operator's narrow projection, never a join-back
+- ``transform.repetition_filter`` — field?, idField?, action?
+  (``filter`` keeps rows passing the Gopher repetition thresholds,
+  ``annotate`` appends the 13 signals)
 - ``batchaggregator.deduplicate`` — uniqueFields,
   filterOperation? {field, function: min|max} (keep one record
   per key, CDAP Deduplicate plugin shape)
@@ -680,6 +687,67 @@ def run_pipeline(
                 cfg.get("outputField", "norm_text"),
                 form=cfg.get("form", "NFC"),
             )
+        elif stype == "transform.langid":
+            # trigram NB language ID (operators/langid.py). action
+            # "annotate" (default) appends pred_lang + n_trigrams +
+            # per-language scores; "filter" keeps only rows whose
+            # pred_lang is in `keep` (and keeps the verdict column).
+            # Input columns are CARRIED through the operator's own
+            # narrow projection — no join-back, zero shuffles.
+            need(1)
+            from python_plugins_spark.operators.langid import lang_id_ngram
+
+            action = cfg.get("action", "annotate")
+            if action not in ("annotate", "filter"):
+                raise PipelineSpecError(
+                    f"stage {name!r}: langid action must be "
+                    f"annotate|filter, got {action!r}"
+                )
+            if action == "filter" and not cfg.get("keep"):
+                raise PipelineSpecError(
+                    f"stage {name!r}: langid filter needs keep: [langs]"
+                )
+            idf = cfg.get("idField", "doc_id")
+            out = lang_id_ngram(
+                ins[0],
+                cfg.get("field", "text"),
+                idf,
+                mode=cfg.get("mode", "arrow"),
+                carry=[c for c in ins[0].columns if c != idf],
+            )
+            if action == "filter":
+                keep = [str(k) for k in cfg["keep"]]
+                out = out.filter(F.col("pred_lang").isin(keep))
+            frames[name] = out
+        elif stype == "transform.repetition_filter":
+            # Gopher repetition gate (operators/repetition.py): keeps
+            # rows passing the paper thresholds; "annotate" appends the
+            # signals instead of filtering. Carried columns, no join.
+            need(1)
+            from python_plugins_spark.operators.repetition import (
+                gopher_repetition,
+            )
+
+            action = cfg.get("action", "filter")
+            if action not in ("annotate", "filter"):
+                raise PipelineSpecError(
+                    f"stage {name!r}: repetition_filter action must be "
+                    f"annotate|filter, got {action!r}"
+                )
+            idf = cfg.get("idField", "doc_id")
+            sig = gopher_repetition(
+                ins[0],
+                cfg.get("field", "text"),
+                idf,
+                carry=[c for c in ins[0].columns if c != idf],
+            )
+            if action == "filter":
+                frames[name] = sig.filter("passes_repetition").drop(
+                    "passes_repetition",
+                    *[c for c in sig.columns if c.startswith(("dup_", "top_"))],
+                )
+            else:
+                frames[name] = sig
         elif stype == "batchjoiner":
             if len(ins) < 2:
                 raise PipelineSpecError(

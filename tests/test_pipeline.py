@@ -1344,3 +1344,113 @@ def test_pipeline_warc_file_source(spark, tmp_path):
     bad.write_bytes(b"\x1f\x8bnot really gzip")
     with pytest.raises(Exception, match="crawl-evil"):
         W.read_warc(spark, str(tmp_path / "warc_src") + "/*.warc.gz").collect()
+
+
+def test_pipeline_langid_and_repetition_stages(spark, tmp_path):
+    """transform.langid and transform.repetition_filter as spec
+    stages: columns carried through the operators' own projections
+    (zero joins — the stage plans must stay Exchange-free), language
+    filtering keeps the requested set, the repetition gate drops the
+    planted boilerplate row."""
+    from python_plugins_spark.plans import count_shuffles
+
+    rows = [
+        (1, "The river curled slowly through the quiet valley toward the sea.", "keepme"),
+        (2, "Der Zug fuhr langsam durch das enge Tal in Richtung Norden.", "keepme"),
+        (3, "El mercado abría cada mañana junto a la iglesia del pueblo.", "dropme-lang"),
+        (4, " ".join(["spam spam"] * 40), "dropme-repetition"),
+    ]
+    src_path = str(tmp_path / "langid_src.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string, tag string").write.parquet(src_path)
+
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "batchsource.parquet",
+             "config": {"path": src_path}},
+            {"name": "lang", "type": "transform.langid",
+             "config": {"action": "filter", "keep": ["en", "de"]}},
+            {"name": "rep", "type": "transform.repetition_filter",
+             "config": {}},
+        ],
+        "connections": [{"from": "src", "to": "lang"},
+                        {"from": "lang", "to": "rep"}],
+    })
+    lang_rows = {r.doc_id: r.pred_lang for r in frames["lang"].collect()}
+    assert lang_rows[1] == "en" and lang_rows[2] == "de"
+    assert 3 not in lang_rows  # es filtered
+    out = {r.doc_id for r in frames["rep"].collect()}
+    assert out == {1, 2}  # boilerplate row 4 fails the thresholds
+    # carried columns survive both stages
+    assert {r.tag for r in frames["rep"].collect()} == {"keepme"}
+    # the whole two-gate pipeline is a narrow map chain: zero shuffles
+    assert count_shuffles(frames["rep"]) == 0
+
+    annotated = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "batchsource.parquet",
+             "config": {"path": src_path}},
+            {"name": "rep", "type": "transform.repetition_filter",
+             "config": {"action": "annotate"}},
+        ],
+        "connections": [{"from": "src", "to": "rep"}],
+    })["rep"]
+    sig = {r.doc_id: r for r in annotated.collect()}
+    assert sig[4].passes_repetition is False and sig[4].dup_10gram_char_frac == 1.0
+    assert sig[1].passes_repetition is True and sig[1].tag == "keepme"
+
+
+def test_pipeline_streaming_crawl_ingest(spark, tmp_path):
+    """The crawl front-door stages are STREAMING-capable: the same
+    warc_extract -> sql -> robots_filter -> html_extract ->
+    nfc_normalize chain runs over a streaming file source (mapInPandas
+    and pandas UDFs are narrow, so the chain needs no state), draining
+    to the expected surviving rows — continuous ingestion of landing
+    archives with zero changes to the stage implementations."""
+    from python_plugins_spark.operators import warc as W
+
+    rows = [
+        (1, "alpha", "streaming body one", "/ok/1"),
+        (2, "alpha", "streaming body two", "/trap/2"),   # robots-blocked
+        (3, "beta", "streaming body three", "/ok/3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string, path string")
+    html = F.concat(F.lit("<p>"), F.col("text"), F.lit(" café</p>"))
+    base = docs.select("doc_id", "source", html.alias("html"), "path")
+    warc_path = str(tmp_path / "stream_warc.parquet")
+    W.synth_warc_payloads(base, "doc_id", body_col="html", path_col="path").write.parquet(warc_path)
+
+    policy = "User-agent: *\nDisallow: /trap\n"
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "streamingsource.file",
+             "config": {"path": warc_path}},
+            {"name": "fetch", "type": "transform.warc_extract",
+             "config": {"output": "bodies"}},
+            {"name": "urls", "type": "transform.sql",
+             "config": {"viewName": "sfetched", "statement": f"""
+                 SELECT doc_id, body AS html,
+                        regexp_replace(target_uri, '^[a-z]+://[^/]+', '') AS path,
+                        '{policy.replace(chr(10), chr(92) + 'n')}' AS robots_txt
+                 FROM sfetched"""}},
+            {"name": "robots", "type": "transform.robots_filter",
+             "config": {"agent": "anybot"}},
+            {"name": "ext", "type": "transform.html_extract",
+             "config": {"htmlField": "html"}},
+            {"name": "norm", "type": "transform.nfc_normalize",
+             "config": {"field": "text", "outputField": "ntext"}},
+            {"name": "sink", "type": "streamingsink.memory",
+             "config": {"queryName": "crawl_stream",
+                        "allowRawMemorySink": True}},
+        ],
+        "connections": [
+            {"from": "src", "to": "fetch"},
+            {"from": "fetch", "to": "urls"},
+            {"from": "urls", "to": "robots"},
+            {"from": "robots", "to": "ext"},
+            {"from": "ext", "to": "norm"},
+            {"from": "norm", "to": "sink"},
+        ],
+    })
+    got = {r.doc_id: r.ntext for r in frames["sink"].collect()}
+    assert set(got) == {1, 3}  # the /trap row never reaches the sink
+    assert got[1] == "streaming body one café"
