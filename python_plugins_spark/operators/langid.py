@@ -12,7 +12,9 @@ Pipeline position (mirrors ``script_detect_docs``): branch on dominant
 SCRIPT first — Cyrillic/Greek/Han-dominant text routes straight to the
 script-level verdict (ru/el/zh; a per-script trigram model is a data
 change, not a code change); Latin-dominant text is scored against
-six per-language trigram tables (en/de/fr/es/it/pt). Scoring is multinomial
+eight per-language trigram tables (en/de/fr/es/it/pt/nl/sv), with a
+per-trigram confidence MARGIN (best minus second-best log-prob) for
+callers that threshold before trusting the verdict. Scoring is multinomial
 naive Bayes with add-one smoothing over the union vocabulary:
 
     score(lang) = sum over doc trigrams tg of ln P(tg | lang)
@@ -211,11 +213,56 @@ FIXTURE_CORPORA: dict[str, str] = {
         "as falhas típicas e as práticas de monitorização recomendadas "
         "para produção."
     ),
+    "nl": (
+        "De oude molen stond aan de rand van het dorp, vlak bij de "
+        "rivier, en elke ochtend kwam de bakker vroeg om de oven aan "
+        "te steken. De straten waren smal en vol stemmen, met vrouwen "
+        "die voor de winkels praatten en kinderen die naar school "
+        "renden. In de zomer zaten de ouderen in de schaduw van de "
+        "bomen op het plein, en vertelden verhalen over de oogst en "
+        "het weer. Wanneer de avond viel, vulde de geur van brood en "
+        "koffie de straten, en iedereen liep langzaam terug naar "
+        "huis. Niemand had haast, want het leven in het dorp volgde "
+        "al jaren hetzelfde rustige ritme. "
+        "Moderne computersystemen verwerken informatie via "
+        "verschillende lagen van abstractie. Een gedistribueerde "
+        "zoekmachine verdeelt grote hoeveelheden gegevens over veel "
+        "machines, past filters en aggregaties parallel toe en "
+        "combineert daarna de gedeeltelijke resultaten. Onderzoekers "
+        "meten de snelheid en de vertraging zorgvuldig, omdat de "
+        "prestaties meer afhangen van het verplaatsen van gegevens "
+        "dan van de berekening zelf. Efficiënte algoritmen beperken "
+        "het netwerkverkeer, benutten lokaliteit en verdelen het werk "
+        "dynamisch. De documentatie beschrijft de instellingen, de "
+        "gebruikelijke fouten en de aanbevolen controles voor "
+        "productie."
+    ),
+    "sv": (
+        "Den gamla kvarnen låg vid kanten av byn, nära floden, och "
+        "varje morgon kom bagaren tidigt för att tända ugnen. "
+        "Gatorna var smala och fulla av röster, med kvinnor som "
+        "pratade utanför butikerna och barn som sprang mot skolan. "
+        "På sommaren satt de gamla i skuggan av träden på torget och "
+        "berättade historier om skörden och vädret. När kvällen kom "
+        "fylldes gatorna av doften av bröd och kaffe, och alla gick "
+        "långsamt hem igen. Ingen hade bråttom, eftersom livet i byn "
+        "hade följt samma lugna rytm i många år. "
+        "Moderna datorsystem behandlar information genom flera lager "
+        "av abstraktion. En distribuerad frågemotor delar upp stora "
+        "datamängder över många maskiner, tillämpar filter och "
+        "aggregeringar parallellt och kombinerar sedan delresultaten. "
+        "Forskare mäter hastigheten och fördröjningen noggrant, "
+        "eftersom prestandan beror mer på datarörelser än på själva "
+        "beräkningen. Effektiva algoritmer minskar nätverkstrafiken, "
+        "utnyttjar lokalitet och fördelar arbetet dynamiskt. "
+        "Dokumentationen beskriver inställningarna, de vanliga felen "
+        "och de rekommenderade kontrollerna för produktion."
+    ),
 }
 
 # Fixed language order: array slot, output column order, and the
 # argmax tie-break priority (first wins) — same convention as lang_id.
-LANGS = ("en", "de", "fr", "es", "it", "pt")
+LANGS = ("en", "de", "fr", "es", "it", "pt", "nl", "sv")
 
 # Script routing (the script_detect_docs pipeline position): the Latin
 # trigram model only runs on Latin-dominant text; Cyrillic/Greek/Han
@@ -440,11 +487,20 @@ def lang_id_ngram(
         .when(cnt["greek"] >= cnt["han"], F.lit(SCRIPT_LANG["greek"]))
         .otherwise(F.lit(SCRIPT_LANG["han"]))
     )
+    # confidence: (best - second-best) log-prob per trigram — what a
+    # production pipeline thresholds on before trusting the verdict
+    srt = F.sort_array("_sc", asc=False)
+    margin = F.when(
+        F.col("n_trigrams") > 0,
+        (F.element_at(srt, 1) - F.element_at(srt, 2))
+        / F.col("n_trigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
     return d.select(
         id_col,
         *carry,
         pred.alias("pred_lang"),
         "n_trigrams",
+        F.round(margin, 6).alias("margin"),
         *[F.round(sc[lang], 4).alias(f"score_{lang}") for lang in LANGS],
     )
 
@@ -529,6 +585,11 @@ def lang_id_ngram_oracle_sql(table: str, text_col: str, id_col: str) -> str:
                 WHEN {c['greek']} >= {c['han']}
                 THEN '{SCRIPT_LANG["greek"]}'
                 ELSE '{SCRIPT_LANG["han"]}' END AS pred_lang,
-           n_trigrams, {sel_scores}
+           n_trigrams,
+           CASE WHEN n_trigrams > 0 THEN
+             round((list_sort(sc, 'DESC')[1] - list_sort(sc, 'DESC')[2])
+                   / n_trigrams::DOUBLE, 6)
+           ELSE 0.0 END AS margin,
+           {sel_scores}
     FROM sc
     """

@@ -2309,6 +2309,12 @@ def test_lang_id_ngram_beats_stopword_heuristic(spark):
         ("pt", "Pequenos barcos coloridos regressavam lentamente àquele porto tranquilo."),
         ("pt", "Vários escritores famosos nasceram naquelas aldeias montanhosas."),
         ("pt", "As criancinhas brincavam alegremente debaixo daquelas mangueiras enormes."),
+        ("nl", "Verschillende vrachtwagens reden langzaam door nauwe straatjes vol fietsers."),
+        ("nl", "Zonnebloemen groeiden overal langs het kronkelende fietspad richting zee."),
+        ("nl", "Nederlandse schaatsers wonnen gisteren verrassend meerdere gouden medailles."),
+        ("sv", "Flera småbåtar gled långsamt över den spegelblanka sjön mot solnedgången."),
+        ("sv", "Svenska forskare upptäckte nyligen ovanliga mönster i norrskenet."),
+        ("sv", "Många barnfamiljer vandrade genom tysta granskogar under höstlovet."),
         ("ru", "Русский текст пишется кириллицей и легко узнаётся"),
         ("el", "Ελληνικό κείμενο γραμμένο στα ελληνικά αναγνωρίζεται εύκολα"),
         ("zh", "漢字文化圈的語言非常有趣"),
