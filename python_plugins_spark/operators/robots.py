@@ -118,6 +118,48 @@ def robots_allowed(groups, agent: str, path: str) -> bool:
     return True if verdict is None else verdict
 
 
+def parse_robots_extras(text: str) -> tuple[list[str], dict[str, float]]:
+    """The two extension directives real policy files carry beyond
+    RFC 9309's allow/disallow core: ``Sitemap:`` (global per the
+    sitemaps.org protocol — NOT group-scoped) and ``Crawl-delay:``
+    (the de facto per-group politeness extension). Returns
+    ``(sitemaps, {agent_token: delay_seconds})``; unparsable delay
+    values are ignored per the RFC's unknown-directive tolerance."""
+    text = (text or "").lstrip("﻿")
+    sitemaps: list[str] = []
+    delays: dict[str, float] = {}
+    agents: list[str] = []
+    collecting_agents = False
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "sitemap":
+            # partition() split at the FIRST colon, so the URL's own
+            # '://' stays intact inside val
+            if val:
+                sitemaps.append(val)
+        elif key == "user-agent":
+            if not collecting_agents and agents:
+                agents = []
+            agents.append(val.lower())
+            collecting_agents = True
+        else:
+            collecting_agents = False
+            if key == "crawl-delay" and agents:
+                try:
+                    d = float(val)
+                except ValueError:
+                    continue
+                if d >= 0:
+                    for a in agents:
+                        delays[a] = d
+    return sitemaps, delays
+
+
 # ------------------------------------------------------- Spark operators
 
 

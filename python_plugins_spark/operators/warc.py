@@ -328,7 +328,9 @@ def read_warc(spark, path: str):
     per-record gzip members WOULD allow offset-indexed range reads; a
     member index sidecar is the documented upgrade path if single
     files ever dominate). Malformed archives raise ValueError with
-    the file path named."""
+    the file path named; binary (non-UTF-8) bodies flag
+    ``body_utf8_ok = false`` with the HTTP Content-Type surfaced so a
+    downstream gate can route them."""
     import hashlib
 
     from pyspark.sql import types as T
@@ -338,9 +340,11 @@ def read_warc(spark, path: str):
             T.StructField("warc_file", T.StringType()),
             T.StructField("target_uri", T.StringType()),
             T.StructField("http_status", T.IntegerType()),
+            T.StructField("content_type", T.StringType()),
             T.StructField("body_bytes", T.LongType()),
             T.StructField("body_md5", T.StringType()),
             T.StructField("body", T.StringType()),
+            T.StructField("body_utf8_ok", T.BooleanType()),
         ]
     )
 
@@ -355,16 +359,32 @@ def read_warc(spark, path: str):
                 for r in recs:
                     if r["headers"].get("WARC-Type") != "response":
                         continue
+                    body, ok = _decode_body(r["body"])
                     out["warc_file"].append(fpath)
                     out["target_uri"].append(r["headers"]["WARC-Target-URI"])
                     out["http_status"].append(int(r["http_status"]))
+                    out["content_type"].append(
+                        r.get("http_headers", {}).get("content-type")
+                    )
                     out["body_bytes"].append(len(r["body"]))
                     out["body_md5"].append(hashlib.md5(r["body"]).hexdigest())
-                    out["body"].append(r["body"].decode("utf-8"))
+                    out["body"].append(body)
+                    out["body_utf8_ok"].append(ok)
             yield pd.DataFrame(out)
 
     files = spark.read.format("binaryFile").load(path)
     return files.select("path", "content").mapInPandas(parse, schema)
+
+
+def _decode_body(raw: bytes) -> tuple[str, bool]:
+    """UTF-8 decode with a validity flag: real crawls carry binary
+    responses (images, PDFs), which must FLAG, not crash — invalid
+    sequences become U+FFFD and body_utf8_ok goes false so a
+    downstream gate can route them (valid text is untouched)."""
+    try:
+        return raw.decode("utf-8"), True
+    except UnicodeDecodeError:
+        return raw.decode("utf-8", "replace"), False
 
 
 def extract_warc_bodies(
@@ -373,7 +393,8 @@ def extract_warc_bodies(
     """REAL .warc.gz parse per row, returning the response record's
     target URI, HTTP status, and the DECODED body text — the capstone
     front door that feeds HTML extraction (extract_warc_records is the
-    md5-census sibling used for byte-exactness checks). Arrow-batched
+    md5-census sibling used for byte-exactness checks). Binary bodies
+    flag ``body_utf8_ok = false`` instead of crashing. Arrow-batched
     narrow map; zero shuffles."""
     from pyspark.sql import types as T
 
@@ -383,6 +404,7 @@ def extract_warc_bodies(
             T.StructField("target_uri", T.StringType()),
             T.StructField("http_status", T.IntegerType()),
             T.StructField("body", T.StringType()),
+            T.StructField("body_utf8_ok", T.BooleanType()),
         ]
     )
 
@@ -400,10 +422,12 @@ def extract_warc_bodies(
                         f"expected exactly one response record, got {len(resp)}"
                     )
                 r = resp[0]
+                body, ok = _decode_body(r["body"])
                 out[id_col].append(int(rid))
                 out["target_uri"].append(r["headers"]["WARC-Target-URI"])
                 out["http_status"].append(int(r["http_status"]))
-                out["body"].append(r["body"].decode("utf-8"))
+                out["body"].append(body)
+                out["body_utf8_ok"].append(ok)
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(extract, schema)

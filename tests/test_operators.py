@@ -2465,3 +2465,79 @@ def test_gopher_repetition_known_values(spark):
     # NULL text -> all-zero signals, passes (nothing repeats)
     assert got[2].passes_repetition is True and got[2].top_2gram_char_frac == 0.0
     assert got[3].passes_repetition is True
+
+
+def test_warc_binary_bodies_flag_not_crash(spark, tmp_path):
+    """Real crawls carry binary responses (images, PDFs): the body
+    decoders must FLAG invalid UTF-8 (body_utf8_ok=false, U+FFFD
+    replacement) instead of crashing, surface the HTTP Content-Type,
+    and keep byte-exact octet counts/md5 untouched."""
+    import hashlib
+
+    from python_plugins_spark.operators import warc as W
+
+    png_ish = b"\x89PNG\r\n\x1a\n" + bytes(range(256))
+    recs = [
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "http://x.example/logo.png",
+                "Content-Type": "application/http;msgtype=response",
+            },
+            b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n" + png_ish,
+        ),
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "http://x.example/page",
+                "Content-Type": "application/http;msgtype=response",
+            },
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n<p>ok</p>",
+        ),
+    ]
+    out_dir = tmp_path / "bin_warc"
+    out_dir.mkdir()
+    (out_dir / "crawl-mixed.warc.gz").write_bytes(W.build_warc(recs))
+    rows = {
+        r.target_uri: r
+        for r in W.read_warc(spark, str(out_dir) + "/*.warc.gz").collect()
+    }
+    png = rows["http://x.example/logo.png"]
+    assert png.body_utf8_ok is False and png.content_type == "image/png"
+    assert png.body_bytes == len(png_ish)
+    assert png.body_md5 == hashlib.md5(png_ish).hexdigest()
+    page = rows["http://x.example/page"]
+    assert page.body_utf8_ok is True and page.body == "<p>ok</p>"
+    assert page.content_type == "text/html; charset=utf-8"
+
+    # the per-row body extractor flags the same way
+    df = spark.createDataFrame(
+        [(7, bytearray(W.build_warc(recs[:1])))], "doc_id long, payload binary"
+    )
+    got = W.extract_warc_bodies(df).collect()[0]
+    assert got.body_utf8_ok is False and "�" in got.body
+
+
+def test_robots_extras_sitemap_and_crawl_delay():
+    """Sitemap is global (URL colon survives the directive split);
+    Crawl-delay binds to its group's agent tokens; junk values are
+    ignored per the RFC's unknown-directive tolerance."""
+    from python_plugins_spark.operators.robots import parse_robots_extras
+
+    txt = """
+    Sitemap: https://x.example/sitemap.xml
+    User-agent: alpha
+    User-agent: beta
+    Crawl-delay: 2.5
+    Disallow: /x
+    User-agent: *
+    Crawl-delay: junk
+    Sitemap: https://x.example/news.xml
+    """
+    sitemaps, delays = parse_robots_extras(txt)
+    assert sitemaps == [
+        "https://x.example/sitemap.xml", "https://x.example/news.xml"
+    ]
+    assert delays == {"alpha": 2.5, "beta": 2.5}
+    assert parse_robots_extras(None) == ([], {})
+    assert parse_robots_extras("Crawl-delay: 5") == ([], {})  # no group
