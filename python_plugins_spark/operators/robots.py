@@ -207,3 +207,90 @@ def robots_filter(
             yield out
 
     return df.mapInPandas(judge, schema)
+
+
+def select_crawl_delay(text: str, agent: str) -> float | None:
+    """The Crawl-delay that binds ``agent`` under RFC 9309 GROUP
+    selection: a crawler obeys exactly ONE group — the most specific
+    matching product token, else ``*`` — so a delay in a non-selected
+    group never applies, and a selected group WITHOUT a delay yields
+    None (it does NOT fall through to the ``*`` group's delay)."""
+    groups = parse_robots(text)
+    _, delays = parse_robots_extras(text)
+    agent_l = agent.lower()
+    best_len, best_agents = -1, None
+    for agents, _rules in groups:
+        for a in agents:
+            if a != "*" and a and a in agent_l and len(a) > best_len:
+                best_len, best_agents = len(a), agents
+    if best_agents is None:
+        for agents, _rules in groups:
+            if "*" in agents:
+                best_agents = agents
+                break
+    if not best_agents:
+        return None
+    for a in best_agents:
+        if a in delays:
+            return delays[a]
+    return None
+
+
+def robots_extras(
+    df,
+    robots_col: str = "robots_txt",
+    agent: str = "graftbot",
+    carry: list[str] | None = None,
+):
+    """Append the extension directives a crawl SCHEDULER consumes:
+    global ``Sitemap:`` URLs (sitemaps.org protocol — not
+    group-scoped) and the per-group ``Crawl-delay`` politeness bound
+    for ``agent`` (RFC 9309 group selection, see select_crawl_delay).
+    Output columns: ``sitemaps array<string>``, ``n_sitemaps``,
+    ``crawl_delay`` (NULL when the selected group declares none).
+    NULL policy text yields no sitemaps and no delay (RFC 9309
+    unavailable-policy: nothing binds). Parsed extras are memoized per
+    distinct robots text within each Arrow batch (robots files are
+    per-domain: few distinct values, many URLs); zero shuffles."""
+    from pyspark.sql import types as T
+
+    keep = carry if carry is not None else [
+        f.name for f in df.schema.fields
+    ]
+    fields = [f for f in df.schema.fields if f.name in set(keep)]
+    schema = T.StructType(
+        fields
+        + [
+            T.StructField("sitemaps", T.ArrayType(T.StringType())),
+            T.StructField("n_sitemaps", T.IntegerType()),
+            T.StructField("crawl_delay", T.DoubleType()),
+        ]
+    )
+    cols = [f.name for f in fields]
+    in_cols = list(dict.fromkeys(cols + [robots_col]))
+
+    def extras(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, tuple[list[str], float | None]] = {}
+        for pdf in batches:
+            maps, counts, delays = [], [], []
+            for txt in pdf[robots_col]:
+                if txt is None or (isinstance(txt, float) and pd.isna(txt)):
+                    maps.append([])
+                    counts.append(0)
+                    delays.append(None)
+                    continue
+                got = memo.get(txt)
+                if got is None:
+                    sitemaps, _ = parse_robots_extras(txt)
+                    got = (sitemaps, select_crawl_delay(txt, agent))
+                    memo[txt] = got
+                maps.append(got[0])
+                counts.append(len(got[0]))
+                delays.append(got[1])
+            out = pdf[cols].copy()
+            out["sitemaps"] = maps
+            out["n_sitemaps"] = pd.array(counts, dtype="int32")
+            out["crawl_delay"] = pd.array(delays, dtype="float64")
+            yield out
+
+    return df.select(*in_cols).mapInPandas(extras, schema)

@@ -164,6 +164,7 @@ def synth_warc_payloads(
     id_col: str = "doc_id",
     body_col: str | None = None,
     path_col: str | None = None,
+    ctype_col: str | None = None,
 ):
     """Per-row .warc.gz archive of a 3-record crawl exchange
     (warcinfo + request + response), REAL writer. Default fixture: the
@@ -173,7 +174,10 @@ def synth_warc_payloads(
     caller supplies the HTTP body (served as text/html) and the URI
     path — the crawl-pipeline capstone threads its HTML fixture and
     robots-relevant path THROUGH the archive this way, so downstream
-    stages consume what the parser actually recovered."""
+    stages consume what the parser actually recovered. A BINARY
+    ``body_col`` is served byte-exact (real crawls carry images/PDFs,
+    not just text); ``ctype_col`` overrides the served HTTP
+    Content-Type per row."""
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -186,18 +190,30 @@ def synth_warc_payloads(
     in_cols.append(body_col if body_col else "text")
     if path_col:
         in_cols.append(path_col)
+    if ctype_col:
+        in_cols.append(ctype_col)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, payloads = [], []
-            for row in pdf[in_cols].itertuples(index=False):
-                rid = int(row[0])
-                source, text = row[1], row[2]
-                path = row[3] if path_col else f"/doc/{rid}"
+            for tup in pdf[in_cols].itertuples(index=False):
+                row = dict(zip(in_cols, tup))
+                rid = int(row[id_col])
+                source = row["source"]
+                text = row[body_col] if body_col else row["text"]
+                path = row[path_col] if path_col else f"/doc/{rid}"
                 uri = f"http://{source}.example{path}"
                 if body_col:
-                    body = str(text).encode("utf-8")
-                    ctype = b"Content-Type: text/html; charset=utf-8\r\n"
+                    if isinstance(text, (bytes, bytearray, memoryview)):
+                        body = bytes(text)
+                    else:
+                        body = str(text).encode("utf-8")
+                    served = (
+                        str(row[ctype_col])
+                        if ctype_col
+                        else "text/html; charset=utf-8"
+                    )
+                    ctype = f"Content-Type: {served}\r\n".encode("ascii")
                 else:
                     body = (
                         f"doc {rid} from {source}\r\n\r\n{text}".encode("utf-8")
@@ -391,11 +407,13 @@ def extract_warc_bodies(
     df, id_col: str = "doc_id", payload_col: str = "payload"
 ):
     """REAL .warc.gz parse per row, returning the response record's
-    target URI, HTTP status, and the DECODED body text — the capstone
-    front door that feeds HTML extraction (extract_warc_records is the
-    md5-census sibling used for byte-exactness checks). Binary bodies
-    flag ``body_utf8_ok = false`` instead of crashing. Arrow-batched
-    narrow map; zero shuffles."""
+    target URI, HTTP status, Content-Type, raw octet count, and the
+    DECODED body text — the capstone front door that feeds HTML
+    extraction (extract_warc_records is the md5-census sibling used
+    for byte-exactness checks). Binary bodies flag
+    ``body_utf8_ok = false`` (U+FFFD replacement) instead of crashing,
+    with the Content-Type surfaced so a downstream gate can route
+    non-text records. Arrow-batched narrow map; zero shuffles."""
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -403,7 +421,9 @@ def extract_warc_bodies(
             T.StructField(id_col, T.LongType()),
             T.StructField("target_uri", T.StringType()),
             T.StructField("http_status", T.IntegerType()),
+            T.StructField("content_type", T.StringType()),
             T.StructField("body", T.StringType()),
+            T.StructField("body_bytes", T.LongType()),
             T.StructField("body_utf8_ok", T.BooleanType()),
         ]
     )
@@ -426,7 +446,11 @@ def extract_warc_bodies(
                 out[id_col].append(int(rid))
                 out["target_uri"].append(r["headers"]["WARC-Target-URI"])
                 out["http_status"].append(int(r["http_status"]))
+                out["content_type"].append(
+                    r.get("http_headers", {}).get("content-type")
+                )
                 out["body"].append(body)
+                out["body_bytes"].append(len(r["body"]))
                 out["body_utf8_ok"].append(ok)
             yield pd.DataFrame(out)
 
@@ -435,8 +459,9 @@ def extract_warc_bodies(
 
 def extract_warc_records(df, id_col: str = "doc_id", payload_col: str = "payload"):
     """REAL .warc.gz parse per row: record census + the response
-    record's target URI, HTTP status, exact body octet count and body
-    md5 (the byte-exactness witness)."""
+    record's target URI, HTTP status, Content-Type, exact body octet
+    count, body md5 (the byte-exactness witness), and the UTF-8
+    validity flag a binary-vs-text router branches on."""
     import hashlib
 
     from pyspark.sql import types as T
@@ -447,8 +472,10 @@ def extract_warc_records(df, id_col: str = "doc_id", payload_col: str = "payload
             T.StructField("n_records", T.IntegerType()),
             T.StructField("target_uri", T.StringType()),
             T.StructField("http_status", T.IntegerType()),
+            T.StructField("content_type", T.StringType()),
             T.StructField("body_bytes", T.LongType()),
             T.StructField("body_md5", T.StringType()),
+            T.StructField("body_utf8_ok", T.BooleanType()),
         ]
     )
 
@@ -466,12 +493,17 @@ def extract_warc_records(df, id_col: str = "doc_id", payload_col: str = "payload
                         f"expected exactly one response record, got {len(resp)}"
                     )
                 r = resp[0]
+                _, utf8_ok = _decode_body(r["body"])
                 out[id_col].append(int(rid))
                 out["n_records"].append(len(recs))
                 out["target_uri"].append(r["headers"]["WARC-Target-URI"])
                 out["http_status"].append(int(r["http_status"]))
+                out["content_type"].append(
+                    r.get("http_headers", {}).get("content-type")
+                )
                 out["body_bytes"].append(len(r["body"]))
                 out["body_md5"].append(hashlib.md5(r["body"]).hexdigest())
+                out["body_utf8_ok"].append(utf8_ok)
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(extract, schema)

@@ -744,7 +744,11 @@ def warc_extract_records(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     enc = W.synth_warc_payloads(docs, "doc_id")
-    return W.extract_warc_records(enc, "doc_id", "payload")
+    rec = W.extract_warc_records(enc, "doc_id", "payload")
+    return rec.select(
+        "doc_id", "n_records", "target_uri", "http_status",
+        "body_bytes", "body_md5",
+    )
 
 
 def _gopher_repetition_oracle() -> str:
@@ -1462,4 +1466,223 @@ def audio_flac_roundtrip_real(spark, sf_dir):
     return stats.select(
         "doc_id", "sample_rate", "n_frames", "sum_sq", "peak",
         (F.col("compressed_bytes") < F.lit(0.35 * 2 * 2048)).alias("ratio_ok"),
+    )
+
+
+@register(
+    "robots_extras_policy",
+    oracle="""
+    -- truth table for the four fixture policy classes (see the query
+    -- docstring): sitemaps are GLOBAL (class 1's appear even though
+    -- they sit inside the graftbot group), Crawl-delay binds under
+    -- RFC 9309 GROUP selection (class 1's junk 'fast' is ignored and
+    -- does NOT fall through to the * group's 10; class 2's delay
+    -- reaches graftbot through a shared multi-agent group behind a
+    -- BOM; class 3 declares none)
+    SELECT doc_id,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                ELSE 0 END AS INTEGER) AS n_sitemaps,
+           CASE doc_id % 4
+             WHEN 0 THEN 'http://maps.example/m' || doc_id || '.xml'
+             WHEN 1 THEN 'http://a.example/1.xml|https://b.example/2.xml'
+             ELSE '' END AS sitemaps_all,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 1.5 WHEN 2 THEN 2.0
+                ELSE NULL END AS DOUBLE) AS crawl_delay
+    FROM documents
+    """,
+)
+def robots_extras_policy(spark, sf_dir):
+    """Sitemap + Crawl-delay extraction (operators/robots.py:
+    robots_extras) — the two extension directives a crawl SCHEDULER
+    consumes beyond RFC 9309's allow/disallow core. Four fixture
+    policy classes make every semantic load-bearing: (0) sitemap URL
+    with a ``://`` that a naive colon split would truncate, plus a
+    graftbot delay shadowing the * group's; (1) TWO global sitemaps
+    declared INSIDE the graftbot group (sitemaps.org: Sitemap is
+    global, never group-scoped) and a junk delay value ('fast') that
+    must be ignored WITHOUT falling through to the * group's 10 —
+    group selection picks graftbot's group, which then has no valid
+    delay; (2) a BOM-prefixed file whose delay binds graftbot through
+    a shared User-agent block; (3) no extras at all. Parsed extras
+    memoize per distinct policy text; one narrow map, zero shuffles
+    at any frontier size."""
+    from python_plugins_spark.operators.robots import robots_extras
+
+    docs = load_table(spark, "documents", sf_dir)
+    m = F.col("doc_id") % 4
+    d = F.col("doc_id").cast("string")
+    robots = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("Sitemap: http://maps.example/m"), d,
+                F.lit(
+                    ".xml\nUser-agent: graftbot\nCrawl-delay: 1.5\n"
+                    "Disallow: /x\nUser-agent: *\nCrawl-delay: 10\n"
+                    "Disallow: /\n"
+                ),
+            ),
+        )
+        .when(
+            m == 1,
+            F.lit(
+                "User-agent: graftbot\nCrawl-delay: fast\nDisallow: /x\n"
+                "Sitemap: http://a.example/1.xml\n"
+                "Sitemap: https://b.example/2.xml\n"
+                "User-agent: *\nCrawl-delay: 10\nDisallow: /\n"
+            ),
+        )
+        .when(
+            m == 2,
+            F.lit(
+                "﻿User-agent: otherbot\nUser-agent: graftbot\n"
+                "Crawl-delay: 2\nDisallow: /y\n"
+            ),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow: /private\n"))
+    )
+    base = docs.select("doc_id", robots.alias("robots_txt"))
+    out = robots_extras(
+        base, "robots_txt", agent="graftbot/1.0", carry=["doc_id"]
+    )
+    return out.select(
+        "doc_id",
+        "n_sitemaps",
+        F.array_join("sitemaps", "|").alias("sitemaps_all"),
+        "crawl_delay",
+    )
+
+
+@register(
+    "warc_binary_routing",
+    oracle="""
+    -- odd rows serve 0xFF 0xFE + utf8(text) as application/octet-stream:
+    -- the two invalid lead bytes each decode to U+FFFD (chr(65533)) under
+    -- replacement, raw octet counts keep the 2 extra bytes, and the
+    -- utf8_ok flag routes the row
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'application/octet-stream'
+                ELSE 'text/html; charset=utf-8' END AS content_type,
+           (doc_id % 2 = 0) AS body_utf8_ok,
+           CAST(octet_length(encode(text))
+                + CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 0 END
+                AS BIGINT) AS body_bytes,
+           md5(CASE WHEN doc_id % 2 = 1
+               THEN chr(65533) || chr(65533) || text
+               ELSE text END) AS decoded_md5
+    FROM documents
+    """,
+)
+def warc_binary_routing(spark, sf_dir):
+    """Binary-vs-text ROUTING at the crawl front door (operators/
+    warc.py) — real crawls carry images and PDFs, not just text, and
+    the parser must FLAG them (body_utf8_ok = false, U+FFFD
+    replacement, Content-Type surfaced), never crash the ingest job.
+    Even rows serve valid UTF-8 HTML; odd rows serve a body whose
+    first two octets (0xFF 0xFE) are invalid UTF-8 lead bytes under
+    an application/octet-stream Content-Type — both travel through
+    the REAL writer -> .warc.gz -> parser chain byte-exact (the
+    binary body's raw octet count keeps its 2 extra bytes). The
+    oracle replays the replacement-decode (each invalid octet ->
+    U+FFFD) and the served Content-Type per parity class, so the
+    decode path itself is hash-pinned. Two Arrow-batched narrow
+    maps; zero shuffles at any crawl size."""
+    from python_plugins_spark.operators import warc as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    is_bin = F.col("doc_id") % 2 == 1
+    utf8 = F.encode("text", "UTF-8")
+    body = F.when(
+        is_bin, F.concat(F.lit(b"\xff\xfe"), utf8)
+    ).otherwise(utf8)
+    ctype = F.when(is_bin, F.lit("application/octet-stream")).otherwise(
+        F.lit("text/html; charset=utf-8")
+    )
+    base = docs.select(
+        "doc_id", "source", body.alias("body_bin"), ctype.alias("ctype")
+    )
+    enc = W.synth_warc_payloads(
+        base, "doc_id", body_col="body_bin", ctype_col="ctype"
+    )
+    rec = W.extract_warc_bodies(enc, "doc_id", "payload")
+    return rec.select(
+        "doc_id",
+        "content_type",
+        "body_utf8_ok",
+        "body_bytes",
+        F.md5(F.encode("body", "UTF-8")).alias("decoded_md5"),
+    )
+
+
+@register(
+    "crawl_frontier_schedule",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, source, doc_id % 5 AS depth,
+             0.5 * ((length(source) % 4) + 1) AS delay
+      FROM documents
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY source ORDER BY depth, doc_id) AS rk
+      FROM f
+    )
+    SELECT doc_id, source, CAST(depth AS BIGINT) AS depth,
+           CAST(rk AS INTEGER) AS rank_in_domain,
+           CAST(delay AS DOUBLE) AS crawl_delay,
+           CAST((rk - 1) * delay AS DOUBLE) AS fetch_offset_s,
+           CAST(('0x' || substr(md5(source), 1, 8))::UBIGINT % 8
+                AS BIGINT) AS worker
+    FROM r
+    """,
+)
+def crawl_frontier_schedule(spark, sf_dir):
+    """Politeness-aware crawl FRONTIER scheduling — the dispatch step
+    between robots parsing and fetching: each domain's URLs are
+    ranked breadth-first (depth, then id), the domain's Crawl-delay —
+    parsed from its robots.txt by robots_extras under RFC 9309 group
+    selection, NOT read from a config column — spaces consecutive
+    fetches (fetch_offset_s = rank * delay), and domains hash to
+    workers so one domain never spans two workers (politeness is
+    per-domain serial; md5-derived so engines/retries agree). The
+    fixture derives each domain's delay from a length formula the
+    oracle replays, but the Spark side must recover it through the
+    REAL policy parse. Plan: one narrow parse map, then ONE shuffle —
+    the window partitioned BY DOMAIN (never a global sort; a frontier
+    batch of any size scales as its domain count, and skewed domains
+    are bounded by per-batch frontier caps upstream)."""
+    from pyspark.sql import Window
+
+    from python_plugins_spark.operators.robots import robots_extras
+
+    docs = load_table(spark, "documents", sf_dir)
+    delay = 0.5 * ((F.length("source") % 4) + 1)
+    robots = F.concat(
+        F.lit("User-agent: graftbot\nCrawl-delay: "),
+        delay.cast("string"),
+        F.lit("\nDisallow: /private\nUser-agent: *\nDisallow: /\n"),
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 5).alias("depth"),
+        robots.alias("robots_txt"),
+    )
+    ex = robots_extras(
+        base, "robots_txt", agent="graftbot/1.0",
+        carry=["doc_id", "source", "depth"],
+    )
+    w = Window.partitionBy("source").orderBy("depth", "doc_id")
+    rk = F.row_number().over(w)
+    return ex.select(
+        "doc_id",
+        "source",
+        "depth",
+        rk.alias("rank_in_domain"),
+        "crawl_delay",
+        ((rk - F.lit(1)) * F.col("crawl_delay")).alias("fetch_offset_s"),
+        (
+            F.conv(F.substring(F.md5("source"), 1, 8), 16, 10)
+            .cast("long") % 8
+        ).alias("worker"),
     )

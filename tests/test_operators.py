@@ -2541,3 +2541,86 @@ def test_robots_extras_sitemap_and_crawl_delay():
     assert delays == {"alpha": 2.5, "beta": 2.5}
     assert parse_robots_extras(None) == ([], {})
     assert parse_robots_extras("Crawl-delay: 5") == ([], {})  # no group
+
+
+def test_select_crawl_delay_rfc_group_selection():
+    """A crawler obeys exactly ONE group: a junk delay in the selected
+    group must NOT fall through to the * group's delay; a delay
+    reaches an agent through a shared multi-agent block; an absent
+    group means no delay binds."""
+    from python_plugins_spark.operators.robots import select_crawl_delay
+
+    junk_then_star = (
+        "User-agent: graftbot\nCrawl-delay: fast\nDisallow: /x\n"
+        "User-agent: *\nCrawl-delay: 10\nDisallow: /\n"
+    )
+    assert select_crawl_delay(junk_then_star, "graftbot/1.0") is None
+
+    shared = (
+        "﻿User-agent: otherbot\nUser-agent: graftbot\n"
+        "Crawl-delay: 2\nDisallow: /y\n"
+    )
+    assert select_crawl_delay(shared, "graftbot/1.0") == 2.0
+
+    star_only = "User-agent: *\nCrawl-delay: 3.5\nDisallow: /private\n"
+    assert select_crawl_delay(star_only, "graftbot/1.0") == 3.5
+    assert select_crawl_delay("User-agent: *\nDisallow: /p\n", "g") is None
+    # specific group's delay shadows *
+    both = (
+        "User-agent: graftbot\nCrawl-delay: 1.5\nDisallow: /x\n"
+        "User-agent: *\nCrawl-delay: 10\nDisallow: /\n"
+    )
+    assert select_crawl_delay(both, "graftbot/1.0") == 1.5
+
+
+def test_robots_extras_operator(spark):
+    """The Spark wrapper: sitemaps + group-selected delay per row,
+    NULL policy text yields empty extras (RFC 9309 unavailable-policy:
+    nothing binds), carried columns pass through."""
+    from python_plugins_spark.operators.robots import robots_extras
+
+    rows = [
+        (
+            1,
+            "Sitemap: https://x.example/s.xml\nUser-agent: graftbot\n"
+            "Crawl-delay: 1.5\nDisallow: /x\n",
+        ),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, robots_txt string")
+    got = {
+        r.doc_id: r
+        for r in robots_extras(
+            df, "robots_txt", agent="graftbot/1.0", carry=["doc_id"]
+        ).collect()
+    }
+    assert got[1].sitemaps == ["https://x.example/s.xml"]
+    assert got[1].n_sitemaps == 1 and got[1].crawl_delay == 1.5
+    assert got[2].sitemaps == [] and got[2].n_sitemaps == 0
+    assert got[2].crawl_delay is None
+
+
+def test_synth_warc_binary_body_roundtrip(spark):
+    """A BINARY body column travels through the real writer ->
+    .warc.gz -> parser chain byte-exact, with the per-row Content-Type
+    served and the utf8 flag routing it."""
+    import hashlib
+
+    from python_plugins_spark.operators import warc as W
+
+    raw = b"\xff\xfe" + "héllo".encode("utf-8")
+    df = spark.createDataFrame(
+        [(5, "src", bytearray(raw), "application/octet-stream")],
+        "doc_id long, source string, body_bin binary, ctype string",
+    )
+    enc = W.synth_warc_payloads(
+        df, "doc_id", body_col="body_bin", ctype_col="ctype"
+    )
+    rec = W.extract_warc_records(enc, "doc_id", "payload").collect()[0]
+    assert rec.content_type == "application/octet-stream"
+    assert rec.body_bytes == len(raw)
+    assert rec.body_md5 == hashlib.md5(raw).hexdigest()
+    assert rec.body_utf8_ok is False
+    body = W.extract_warc_bodies(enc, "doc_id", "payload").collect()[0]
+    assert body.body == "��héllo" and body.body_bytes == len(raw)
+    assert body.content_type == "application/octet-stream"
