@@ -1686,3 +1686,90 @@ def crawl_frontier_schedule(spark, sf_dir):
             .cast("long") % 8
         ).alias("worker"),
     )
+
+
+@register(
+    "sitemap_parse_urls",
+    oracle="""
+    -- truth table for the two fixture document classes: even docs
+    -- carry a urlset (4 entries, the loc-less third DROPPED per the
+    -- spec's required-<loc> rule — pos keeps positional fidelity 0,1,3),
+    -- odd docs carry a sitemapindex whose nested pointers surface with
+    -- is_index = true for the caller to recurse
+    WITH d AS (SELECT doc_id, source FROM documents)
+    SELECT doc_id, CAST(0 AS INTEGER) AS pos,
+           'http://' || source || '.example/p/' || doc_id || '?a=1&b=2' AS loc,
+           '2025-08-0' || (1 + doc_id % 3) AS lastmod,
+           CAST(NULL AS VARCHAR) AS changefreq,
+           '0.8'::DOUBLE AS priority, false AS is_index
+    FROM d WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INTEGER),
+           'http://' || source || '.example/q/' || doc_id,
+           NULL, 'daily', NULL, false
+    FROM d WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, CAST(3 AS INTEGER),
+           'http://' || source || '.example/r/' || doc_id,
+           NULL, NULL, ('0.' || (doc_id % 10))::DOUBLE, false
+    FROM d WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, CAST(0 AS INTEGER),
+           'http://' || source || '.example/sm/' || doc_id || '-1.xml',
+           '2025-07-15', NULL, NULL, true
+    FROM d WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INTEGER),
+           'http://' || source || '.example/sm/' || doc_id || '-2.xml',
+           NULL, NULL, NULL, true
+    FROM d WHERE doc_id % 2 = 1
+    """,
+)
+def sitemap_parse_urls(spark, sf_dir):
+    """sitemaps.org sitemap.xml parsing (operators/sitemap.py) — the
+    frontier-seeding leg between robots_extras_policy (which finds the
+    Sitemap URLs) and crawl_frontier_schedule (which dispatches the
+    result). Even docs carry a <urlset> exercising entity unescape
+    (&amp; inside a query string), whitespace-padded multiline <loc>,
+    optional lastmod/changefreq/priority, and a loc-LESS entry that
+    must drop (spec: <loc> is required) while pos keeps positional
+    fidelity; odd docs carry a <sitemapindex> whose nested pointers
+    surface with is_index = true so the caller recurses the fetch.
+    priority crosses engines as the SAME decimal string parse, never
+    arithmetic (0.1*n drifts a ulp; '0.n'::DOUBLE does not). Pure JVM
+    expressions end-to-end (regexp_extract_all -> transform ->
+    posexplode): zero Python, and explode is narrow — ZERO SHUFFLES
+    at any frontier size."""
+    from python_plugins_spark.operators.sitemap import parse_sitemap
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("http://"), F.col("source"), F.lit(".example"))
+    urlset = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n<urlset '
+              'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+              " <url><loc>"),
+        host, F.lit("/p/"), d, F.lit("?a=1&amp;b=2</loc><lastmod>2025-08-0"),
+        (1 + F.col("doc_id") % 3).cast("string"),
+        F.lit("</lastmod><priority>0.8</priority></url>\n <url>\n   <loc> "),
+        host, F.lit("/q/"), d,
+        F.lit(" </loc>\n   <changefreq>daily</changefreq>\n </url>\n"
+              " <url><priority>0.5</priority></url>\n <url><loc>"),
+        host, F.lit("/r/"), d, F.lit("</loc><priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url>\n</urlset>"),
+    )
+    index = F.concat(
+        F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+              'sitemap/0.9">\n<sitemap><loc>'),
+        host, F.lit("/sm/"), d,
+        F.lit("-1.xml</loc><lastmod>2025-07-15</lastmod></sitemap>\n"
+              "<sitemap><loc>"),
+        host, F.lit("/sm/"), d,
+        F.lit("-2.xml</loc></sitemap>\n</sitemapindex>"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, urlset).otherwise(index).alias("xml"),
+    )
+    return parse_sitemap(base, "xml", ["doc_id"])

@@ -2624,3 +2624,37 @@ def test_synth_warc_binary_body_roundtrip(spark):
     body = W.extract_warc_bodies(enc, "doc_id", "payload").collect()[0]
     assert body.body == "��héllo" and body.body_bytes == len(raw)
     assert body.content_type == "application/octet-stream"
+
+
+def test_sitemap_parse_urlset_index_and_entities(spark):
+    """urlset vs sitemapindex branch, required-<loc> drop with
+    positional fidelity, whitespace-tolerant tags, and entity
+    unescape ORDER (&amp;lt; must yield the literal '&lt;', never
+    '<' — '&amp;' replaced last)."""
+    from python_plugins_spark.operators.sitemap import parse_sitemap
+
+    urlset = (
+        "<urlset>"
+        "<url><loc>http://x.example/a?q=&amp;lt;tag&amp;gt;</loc>"
+        "<priority>0.8</priority></url>"
+        "<url><changefreq>daily</changefreq></url>"
+        "<url>\n<loc>\n http://x.example/b \n</loc>\n</url>"
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>http://x.example/sm.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [(1, urlset), (2, index)], "doc_id long, xml string"
+    )
+    rows = {
+        (r.doc_id, r.pos): r
+        for r in parse_sitemap(df, "xml", ["doc_id"]).collect()
+    }
+    assert set(rows) == {(1, 0), (1, 2), (2, 0)}  # loc-less pos 1 dropped
+    assert rows[(1, 0)].loc == "http://x.example/a?q=&lt;tag&gt;"
+    assert rows[(1, 0)].priority == 0.8 and rows[(1, 0)].is_index is False
+    assert rows[(1, 2)].loc == "http://x.example/b"
+    assert rows[(2, 0)].loc == "http://x.example/sm.xml"
+    assert rows[(2, 0)].is_index is True
