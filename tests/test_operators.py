@@ -2658,3 +2658,43 @@ def test_sitemap_parse_urlset_index_and_entities(spark):
     assert rows[(1, 2)].loc == "http://x.example/b"
     assert rows[(2, 0)].loc == "http://x.example/sm.xml"
     assert rows[(2, 0)].is_index is True
+
+
+def test_repetition_fast_path_equivalence():
+    """The UDF's optimized path (one zip-built gram list, cumulative
+    char array, interval-merged cover) is bit-identical to the scalar
+    reference on randomized duplicate-heavy inputs — same integer
+    arithmetic over the same windows."""
+    import random
+
+    from python_plugins_spark.operators.repetition import (
+        repetition_signals_fast, repetition_signals_py,
+    )
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(40)] + [f"longword{i}" for i in range(8)]
+
+    def mk(nw, dup_bias):
+        words = []
+        while len(words) < nw:
+            if words and rng.random() < dup_bias:
+                n = rng.randint(2, 12)
+                i = rng.randrange(max(1, len(words) - n))
+                words += words[i: i + n]
+            else:
+                words.append(rng.choice(vocab))
+        txt = " ".join(words[:nw])
+        if rng.random() < 0.7:
+            parts = txt.split(" ")
+            for k in range(0, len(parts), rng.randint(5, 15)):
+                parts[k] = "\n" + parts[k]
+            txt = " ".join(parts)
+            if rng.random() < 0.5:
+                txt = txt.replace("\n", "\n\n", 3)
+        return txt
+
+    cases = ["", "a", "a a a a a a a a a a", "x\n\nx\n\ny"] + [
+        mk(rng.randint(0, 300), rng.random() * 0.6) for _ in range(120)
+    ]
+    for t in cases:
+        assert repetition_signals_py(t) == repetition_signals_fast(t)
