@@ -666,6 +666,32 @@ def run_pipeline(
             if action == "filter":
                 out = out.filter("allowed").drop("allowed")
             frames[name] = out
+        elif stype == "transform.robots_extras":
+            # Sitemap + Crawl-delay extraction (RFC 9309 group
+            # selection; operators/robots.py:robots_extras). Appends
+            # sitemaps/n_sitemaps/crawl_delay; input columns carry
+            # through the operator's narrow projection.
+            need(1)
+            from python_plugins_spark.operators.robots import robots_extras
+
+            frames[name] = robots_extras(
+                ins[0],
+                cfg.get("robotsField", "robots_txt"),
+                agent=cfg.get("agent", "graftbot"),
+            )
+        elif stype == "transform.sitemap_parse":
+            # sitemaps.org urlset/sitemapindex -> one row per <loc>
+            # (operators/sitemap.py): pure JVM expressions, narrow.
+            # carryFields defaults to every input column except the
+            # XML itself.
+            need(1)
+            from python_plugins_spark.operators.sitemap import parse_sitemap
+
+            xml_field = cfg.get("xmlField", "xml")
+            carry = cfg.get("carryFields") or [
+                c for c in ins[0].columns if c != xml_field
+            ]
+            frames[name] = parse_sitemap(ins[0], xml_field, list(carry))
         elif stype == "transform.html_extract":
             need(1)
             from python_plugins_spark.operators.html_extract import (

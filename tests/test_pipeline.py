@@ -1454,3 +1454,64 @@ def test_pipeline_streaming_crawl_ingest(spark, tmp_path):
     got = {r.doc_id: r.ntext for r in frames["sink"].collect()}
     assert set(got) == {1, 3}  # the /trap row never reaches the sink
     assert got[1] == "streaming body one café"
+
+
+def test_pipeline_sitemap_discovery(spark, tmp_path):
+    """The frontier-seeding chain as pipeline stages: robots_extras
+    pulls each domain's Sitemap pointer + group-selected Crawl-delay,
+    sitemap_parse explodes the fetched sitemap XML into URL rows
+    (carrying the domain and its politeness delay), and a filter keeps
+    high-priority entries. Both new stages are narrow — the spec runs
+    with no exchange before the final collect."""
+    rows = [
+        (
+            "alpha",
+            "Sitemap: http://alpha.example/sm.xml\n"
+            "User-agent: graftbot\nCrawl-delay: 1.5\nDisallow: /x\n",
+            "<urlset>"
+            "<url><loc>http://alpha.example/a</loc>"
+            "<priority>0.9</priority></url>"
+            "<url><loc>http://alpha.example/b</loc>"
+            "<priority>0.2</priority></url>"
+            "</urlset>",
+        ),
+        (
+            "beta",
+            "User-agent: *\nDisallow: /private\n",
+            "<urlset><url><loc>http://beta.example/c</loc>"
+            "<priority>0.8</priority></url></urlset>",
+        ),
+    ]
+    src = str(tmp_path / "frontier_src.parquet")
+    spark.createDataFrame(
+        rows, "domain string, robots_txt string, xml string"
+    ).write.parquet(src)
+
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "batchsource.parquet",
+             "config": {"path": src}},
+            {"name": "extras", "type": "transform.robots_extras",
+             "config": {"agent": "graftbot/1.0"}},
+            {"name": "urls", "type": "transform.sitemap_parse",
+             "config": {"xmlField": "xml",
+                        "carryFields": ["domain", "crawl_delay"]}},
+            {"name": "hot", "type": "transform.filter",
+             "config": {"condition": "priority >= 0.5"}},
+        ],
+        "connections": [
+            {"from": "src", "to": "extras"},
+            {"from": "extras", "to": "urls"},
+            {"from": "urls", "to": "hot"},
+        ],
+    })
+    ex = {r.domain: r for r in frames["extras"].collect()}
+    assert ex["alpha"].sitemaps == ["http://alpha.example/sm.xml"]
+    assert ex["alpha"].crawl_delay == 1.5
+    assert ex["beta"].n_sitemaps == 0 and ex["beta"].crawl_delay is None
+    hot = {r.loc: r for r in frames["hot"].collect()}
+    assert set(hot) == {"http://alpha.example/a", "http://beta.example/c"}
+    assert hot["http://alpha.example/a"].crawl_delay == 1.5
+    # both stages are narrow: no Exchange anywhere in the final plan
+    plan = frames["hot"]._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
