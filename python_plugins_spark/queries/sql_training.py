@@ -1479,3 +1479,158 @@ def parquet_zstd_roundtrip(spark, sf_dir):
 
 
 # =====================================================================
+
+
+# Closed-form ridge regression (normal equations + Cramer solve).
+# The formula fragments are SHARED between the Spark plan (selectExpr)
+# and the DuckDB oracle, so both engines execute textually identical
+# double arithmetic over EXACT integer Gram sums — bit-identity by
+# construction, no float-summation order to disagree on.
+
+_RIDGE_CASTS = [
+    "CAST(n AS DOUBLE) + 0.001 AS a00",
+    "CAST(s1 AS DOUBLE) AS a01",
+    "CAST(s2 AS DOUBLE) AS a02",
+    "CAST(s11 AS DOUBLE) + 0.001 AS a11",
+    "CAST(s12 AS DOUBLE) AS a12",
+    "CAST(s22 AS DOUBLE) + 0.001 AS a22",
+    "CAST(b0 AS DOUBLE) AS c0",
+    "CAST(b1 AS DOUBLE) AS c1",
+    "CAST(b2 AS DOUBLE) AS c2",
+    # unshifted doubles for the residual computation (R^2 evaluates
+    # the ACTUAL fit, so no ridge shift here)
+    "CAST(n AS DOUBLE) AS d_n",
+    "CAST(s1 AS DOUBLE) AS d_s1",
+    "CAST(s2 AS DOUBLE) AS d_s2",
+    "CAST(s11 AS DOUBLE) AS d_s11",
+    "CAST(s12 AS DOUBLE) AS d_s12",
+    "CAST(s22 AS DOUBLE) AS d_s22",
+    "CAST(syy AS DOUBLE) AS d_syy",
+]
+_RIDGE_DET = "a00*(a11*a22 - a12*a12) - a01*(a01*a22 - a12*a02) + a02*(a01*a12 - a11*a02)"
+_RIDGE_DET0 = "c0*(a11*a22 - a12*a12) - a01*(c1*a22 - a12*c2) + a02*(c1*a12 - a11*c2)"
+_RIDGE_DET1 = "a00*(c1*a22 - a12*c2) - c0*(a01*a22 - a12*a02) + a02*(a01*c2 - c1*a02)"
+_RIDGE_DET2 = "a00*(a11*c2 - c1*a12) - a01*(a01*c2 - c1*a02) + c0*(a01*a12 - a11*a02)"
+# SSE/SST from the exact moments: SSE = y'y - 2 w'X'y + w'(X'X)w,
+# SST = y'y - (sum y)^2 / n — fixed-order expressions over identical
+# inputs, so R^2 is bit-identical too
+_RIDGE_SSE = (
+    "d_syy - 2*(w0*c0 + w1*c1 + w2*c2) + (w0*w0*d_n + w1*w1*d_s11 "
+    "+ w2*w2*d_s22 + 2*w0*w1*d_s1 + 2*w0*w2*d_s2 + 2*w1*w2*d_s12)"
+)
+_RIDGE_SST = "d_syy - c0*c0/d_n"
+_RIDGE_PRED = (
+    "w0 + w1*(CAST(t1 AS DOUBLE)/CAST(n_docs AS DOUBLE)) "
+    "+ w2*(CAST(t2 AS DOUBLE)/CAST(n_docs AS DOUBLE))"
+)
+# non-overlapping ' the ' occurrences in the space-padded lower text
+# (the blocklist counting convention — identical expression text in
+# both engines)
+_RIDGE_X1 = (
+    "CAST((length(' ' || lower(text) || ' ') - "
+    "length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 AS BIGINT)"
+)
+
+
+def _ridge_probe_oracle() -> str:
+    casts = ", ".join(_RIDGE_CASTS)
+    return f"""
+    WITH f AS (
+      SELECT source,
+             {_RIDGE_X1} AS x1,
+             len(str_split_regex(lower(trim(text)), '\\s+')) AS x2,
+             n_chars AS y
+      FROM documents
+    ),
+    g AS (
+      SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+             sum(y) AS b0, sum(x1*y) AS b1, sum(x2*y) AS b2,
+             sum(y*y) AS syy
+      FROM f
+    ),
+    cst AS (SELECT {casts} FROM g),
+    dets AS (SELECT *, {_RIDGE_DET} AS det, {_RIDGE_DET0} AS det0,
+                    {_RIDGE_DET1} AS det1, {_RIDGE_DET2} AS det2 FROM cst),
+    ws AS (SELECT *, det0/det AS w0, det1/det AS w1, det2/det AS w2
+           FROM dets),
+    fit AS (SELECT w0, w1, w2,
+                   1 - ({_RIDGE_SSE})/({_RIDGE_SST}) AS r2 FROM ws),
+    s AS (SELECT source, count(*) AS n_docs, sum(x1) AS t1, sum(x2) AS t2
+          FROM f GROUP BY source)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           round({_RIDGE_PRED}, 6) AS avg_pred_chars,
+           round(w0, 6) AS w0, round(w1, 6) AS w1, round(w2, 6) AS w2,
+           round(r2, 6) AS r2
+    FROM s, fit
+    """
+
+
+@register("ridge_probe_chars", oracle=_ridge_probe_oracle())
+def ridge_probe_chars(spark, sf_dir):
+    """Distributed CLOSED-FORM ridge regression (normal equations) —
+    the linear-probe pattern of corpus curation: fit w = (X'X+λI)⁻¹X'y
+    predicting document characters from token statistics (x1 =
+    non-overlapping ' the ' count, x2 = whitespace token count,
+    intercept), i.e. RECOVER the corpus' chars-per-token coefficient —
+    the number a token-budget planner multiplies byte counts by. No
+    MLlib, no iteration, no driver solve: the 3x3 Gram matrix
+    accumulates in ONE map-side-combined aggregate over EXACT integer
+    features (integer sums cross engines losslessly — no
+    float-summation order to disagree on), Cramer's rule and the
+    exact-moment R² (SSE = y'y - 2w'X'y + w'(X'X)w) run as expressions
+    on the 1-row frame, and the weights broadcast onto the per-source
+    scoring aggregate. The DuckDB oracle executes the SAME formula
+    fragments textually (shared Python constants), so weights, R², and
+    scores hash-match bit-for-bit before the 6 dp round. Scale: two
+    aggregates over the corpus (Gram + per-source), one broadcast —
+    the d²-sized shuffle is 10 numbers; works unchanged at 100 TB
+    where an iterative fit would need multi-pass SGD."""
+    docs = load_table(spark, "documents", sf_dir)
+    f = docs.selectExpr(
+        "source",
+        f"{_RIDGE_X1} AS x1",
+        "CAST(size(split(lower(trim(text)), '\\\\s+')) AS BIGINT) AS x2",
+        "n_chars AS y",
+    )
+    g = f.agg(
+        F.expr("count(*)").alias("n"),
+        F.expr("sum(x1)").alias("s1"),
+        F.expr("sum(x2)").alias("s2"),
+        F.expr("sum(x1*x1)").alias("s11"),
+        F.expr("sum(x1*x2)").alias("s12"),
+        F.expr("sum(x2*x2)").alias("s22"),
+        F.expr("sum(y)").alias("b0"),
+        F.expr("sum(x1*y)").alias("b1"),
+        F.expr("sum(x2*y)").alias("b2"),
+        F.expr("sum(y*y)").alias("syy"),
+    )
+    fit = (
+        g.selectExpr(*_RIDGE_CASTS)
+        .selectExpr(
+            "*",
+            f"{_RIDGE_DET} AS det",
+            f"{_RIDGE_DET0} AS det0",
+            f"{_RIDGE_DET1} AS det1",
+            f"{_RIDGE_DET2} AS det2",
+        )
+        .selectExpr("*", "det0/det AS w0", "det1/det AS w1", "det2/det AS w2")
+        .selectExpr(
+            "w0", "w1", "w2",
+            f"1 - ({_RIDGE_SSE})/({_RIDGE_SST}) AS r2",
+        )
+    )
+    s = f.groupBy("source").agg(
+        F.expr("count(*)").alias("n_docs"),
+        F.expr("sum(x1)").alias("t1"),
+        F.expr("sum(x2)").alias("t2"),
+    )
+    return s.crossJoin(F.broadcast(fit)).selectExpr(
+        "source",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        f"round({_RIDGE_PRED}, 6) AS avg_pred_chars",
+        "round(w0, 6) AS w0",
+        "round(w1, 6) AS w1",
+        "round(w2, 6) AS w2",
+        "round(r2, 6) AS r2",
+    )
