@@ -290,6 +290,12 @@ def main() -> None:
         "crawl_pipeline_end_to_end",
         "warc_file_source_scan",
         "gopher_repetition_docs",
+        # round-8b operators (crawl scheduler leg + linear probe)
+        "robots_extras_policy",
+        "warc_binary_routing",
+        "crawl_frontier_schedule",
+        "sitemap_parse_urls",
+        "ridge_probe_chars",
     ]
     # Tier tags (round 8): ~50 extras is past eyeballing — per-tier
     # subtotals make a tier regression visible without reading every
@@ -308,7 +314,7 @@ def main() -> None:
             "warc", "unicode", "robots", "blocklist", "script_detect",
             "corpus_", "crawl_", "lang_id", "feature_hashing",
             "embedding_", "url_", "sentence_", "bloom_", "gopher",
-            "repetition",
+            "repetition", "sitemap", "ridge_probe",
         )
         if any(m in name for m in corpus_markers):
             return "corpus"

@@ -2698,3 +2698,41 @@ def test_repetition_fast_path_equivalence():
     ]
     for t in cases:
         assert repetition_signals_py(t) == repetition_signals_fast(t)
+
+
+def test_sitemap_parse_adversarial_inputs(spark):
+    """The sitemap parser gates untrusted crawl bytes like the
+    WARC/robots parsers: adversarial XML (unterminated blocks, nested
+    tags, entity soup, NULL documents, lazy-quantifier bait) must
+    never crash, and every surviving row carries a non-null loc with
+    stripped padding. One Spark job over the whole case list."""
+    import random
+
+    from python_plugins_spark.operators.sitemap import parse_sitemap
+
+    rng = random.Random(99)
+    frags = [
+        "<url>", "</url>", "<loc>", "</loc>", "<urlset>", "</urlset>",
+        "<sitemapindex>", "</sitemapindex>", "<sitemap>", "</sitemap>",
+        "http://x/", "&amp;", "&lt;", "&#x41;", "\n", " ", "<!--", "-->",
+        "<loc >", "</loc >", "<priority>", "</priority>", "0.5", "zzz",
+        "<![CDATA[", "]]>", "\x00", "é", "<loc><loc>", "</loc></loc>",
+    ]
+    cases = ["".join(rng.choice(frags) for _ in range(rng.randint(0, 40)))
+             for _ in range(150)]
+    cases += [
+        None,
+        "",
+        "<urlset><url><loc>" + "a" * 10000,          # unterminated
+        "<url><loc>" + "&amp;" * 2000 + "</loc></url>",  # entity soup
+        "<urlset>" + "<url><loc>http://x/1</loc></url>" * 500 + "</urlset>",
+        "<sitemapindex><sitemap><loc></loc></sitemap></sitemapindex>",
+        "<url><loc>\t\n   \n\t</loc></url>",          # whitespace-only loc
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "doc_id long, xml string"
+    )
+    rows = parse_sitemap(df, "xml", ["doc_id"]).collect()  # must not raise
+    for r in rows:
+        assert r.loc is not None and r.loc == r.loc.strip()
+        assert r.pos >= 0 and isinstance(r.is_index, bool)
