@@ -734,3 +734,32 @@ def test_round8_queries_shuffle_budget(spark, sf_dir):
         df = QUERIES[name](spark, sf_dir)
         assert count_shuffles(df) == budget, name
         assert "CartesianProduct" not in plan_str(df), name
+
+
+def test_round8b_queries_shuffle_budget(spark, sf_dir):
+    """Round-8b plan-shape guarantees, pinned to the docstring claims:
+    robots extras, binary WARC routing, and the sitemap explode are
+    pure narrow maps (zero exchanges); the frontier scheduler spends
+    exactly ONE shuffle (the window partitioned by domain); the ridge
+    probe spends its two aggregate exchanges (Gram + per-source) and
+    its only join is the broadcast of the 1-row weights frame — no
+    cartesian products anywhere."""
+    from python_plugins_spark.plans import count_shuffles, plan_str
+
+    budgets = {
+        "robots_extras_policy": 0,
+        "warc_binary_routing": 0,
+        "sitemap_parse_urls": 0,
+        "crawl_frontier_schedule": 1,
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, sf_dir)
+        assert count_shuffles(df) == budget, name
+        assert "CartesianProduct" not in plan_str(df), name
+    ridge = QUERIES["ridge_probe_chars"](spark, sf_dir)
+    p = plan_str(ridge)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    # two logical aggregations over the corpus, nothing quadratic:
+    # the weights side reaching the scorer must be broadcast
+    assert count_shuffles(ridge) <= 4
