@@ -296,6 +296,7 @@ def main() -> None:
         "crawl_frontier_schedule",
         "sitemap_parse_urls",
         "ridge_probe_chars",
+        "image_dhash_dedup",
     ]
     # Tier tags (round 8): ~50 extras is past eyeballing — per-tier
     # subtotals make a tier regression visible without reading every

@@ -1,0 +1,146 @@
+"""Perceptual image hashing (dHash) — multimodal near-dup detection.
+
+The image-side twin of MinHash/SimHash text dedup: re-encoded, noise-
+dusted, or metadata-tweaked copies of the same image carry different
+byte hashes but the SAME perceptual hash, so corpus-level image dedup
+groups by a tiny fingerprint instead of comparing pixels. This is the
+difference-hash (dHash) family: downscale by integer average pooling,
+then emit one bit per horizontally adjacent cell pair (brighter-to-
+the-right = 1). Gradients survive resizing/noise; absolute levels
+don't matter.
+
+Exact semantics (all INTEGER arithmetic, so the DuckDB oracle can
+replay the hash bit-for-bit from generating formulas):
+
+- luma per pixel = (r + 2*g + b) // 4 (the cheap integer luminance);
+- pooled[row][col] = sum of the block's lumas // block_area;
+- bit(row, col) = pooled[row][col+1] > pooled[row][col], packed
+  little-endian as bit k = row*(grid_w-1)+col; an 8x8 grid yields a
+  56-bit hash — inside BIGINT.
+
+Spark shape: decode + hash is an Arrow-batched narrow map over the
+payload scan (embarrassingly parallel, zero shuffles); the dedup
+verdict is ONE hash-partitioned window over the 8-byte fingerprint —
+the same one-shuffle shape as exact text dedup, at any corpus size.
+Hamming-radius>0 matching would reuse the SimHash band-bucket join
+(operators/dedup.py:simhash_pairs); radius 0 (this operator) needs no
+candidate generation at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dhash_bits(
+    width: int, height: int, pixels: list[tuple[int, int, int]], block: int = 4
+) -> int:
+    """dHash of a decoded RGB image (row-major top-down pixel list).
+    Requires dimensions divisible by ``block``; an 8x8 pooled grid
+    (e.g. 32x32 input, block 4) yields 56 bits."""
+    if width % block or height % block:
+        raise ValueError(
+            f"dhash_bits: {width}x{height} not divisible by block {block}"
+        )
+    arr = np.asarray(pixels, dtype=np.int64).reshape(height, width, 3)
+    luma = (arr[:, :, 0] + 2 * arr[:, :, 1] + arr[:, :, 2]) // 4
+    gh, gw = height // block, width // block
+    pooled = (
+        luma.reshape(gh, block, gw, block).sum(axis=(1, 3)) // (block * block)
+    )
+    bits = pooled[:, 1:] > pooled[:, :-1]  # (gh, gw-1)
+    k = np.arange(gh * (gw - 1), dtype=np.int64).reshape(gh, gw - 1)
+    return int((bits.astype(np.int64) << k).sum())
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fmt: str = "bmp",
+    block: int = 4,
+) -> DataFrame:
+    """(id, phash) through the REAL decode chain: parse the BMP/PPM
+    payload (operators/multimodal.py), luma-pool, difference-hash.
+    Arrow-batched narrow map; zero shuffles."""
+    from python_plugins_spark.operators.multimodal import parse_bmp, parse_ppm
+
+    parse = {"bmp": parse_bmp, "ppm": parse_ppm}[fmt]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, pixels = parse(bytes(payload))
+                ids.append(int(rid))
+                hashes.append(dhash_bits(w, h, pixels, block=block))
+            yield pd.DataFrame({id_col: ids, "phash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(hash_batches, schema)
+
+
+def synth_block_image_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    groups: int = 17,
+    grid: int = 8,
+    block: int = 4,
+    noise_mod: int = 3,
+    fmt: str = "bmp",
+) -> DataFrame:
+    """Near-duplicate image fixture, REAL encoder: each row renders a
+    (grid*block)^2 image whose pixels are UNIFORM per block with
+    channel formulas seeded by group = id % groups, then pixel (0,0)
+    gains per-channel noise id % noise_mod — a sub-LSB-of-the-pool
+    perturbation that changes the payload BYTES (and any exact hash)
+    but provably not the pooled luma (the noise n adds exactly n to
+    one luma via (r+2g+b+4n)//4, and n < block² vanishes under the
+    pooled integer division). Rows sharing a group are therefore
+    perceptual duplicates with distinct payloads."""
+    from python_plugins_spark.operators.multimodal import (
+        bmp_bytes, fanout_ids, ppm_bytes,
+    )
+
+    enc = {"bmp": bmp_bytes, "ppm": ppm_bytes}[fmt]
+    side = grid * block
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, payloads = [], []
+            for pid in b[id_col]:
+                s = int(pid)
+                g = s % groups
+                n = s % noise_mod
+
+                def px(x, y, g=g, n=n):
+                    bx, by = x // block, y // block
+                    r = (g * 31 + bx * 7 + by * 13) % 97
+                    gc = (g * 17 + bx * 11 + by * 3) % 89
+                    bl = (g * 23 + bx * 5 + by * 19) % 83
+                    if x == 0 and y == 0:
+                        return (r + n, gc + n, bl + n)
+                    return (r, gc, bl)
+
+                ids.append(s)
+                payloads.append(enc(side, side, px))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return fanout_ids(df, id_col).mapInPandas(synth, schema)

@@ -2843,3 +2843,72 @@ def pipeline_validate_errors(spark, sf_dir):
         F.lit("_errors").alias("rule"), "n"
     )
     return per_rule.unionByName(passed).unionByName(esum)
+
+
+def _image_dhash_oracle() -> str:
+    """Replays the 56-bit dHash from the GENERATING block formulas
+    (never from decoding — fully independent of the codec chain): one
+    CASE term per gradient bit over the integer luma of adjacent
+    blocks. The (0,0) noise pixel is absent by construction: n < 16
+    vanishes under the pooled //16, which is exactly what the query
+    asserts about the operator."""
+    def v(bx: int, by: int) -> str:
+        return (
+            f"(((doc_id % 17)*31 + {bx}*7 + {by}*13) % 97"
+            f" + 2*(((doc_id % 17)*17 + {bx}*11 + {by}*3) % 89)"
+            f" + (((doc_id % 17)*23 + {bx}*5 + {by}*19) % 83)) // 4"
+        )
+
+    terms = []
+    for row in range(8):
+        for col in range(7):
+            k = row * 7 + col
+            terms.append(
+                f"(CASE WHEN ({v(col + 1, row)}) > ({v(col, row)})"
+                f" THEN {1 << k} ELSE 0 END)"
+            )
+    hash_expr = "\n         + ".join(terms)
+    return f"""
+    WITH h AS (
+      SELECT doc_id, CAST({hash_expr} AS BIGINT) AS phash
+      FROM documents
+    )
+    SELECT doc_id, phash,
+           CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_dups,
+           doc_id = min(doc_id) OVER (PARTITION BY phash) AS keep
+    FROM h
+    """
+
+
+@register("image_dhash_dedup", oracle=_image_dhash_oracle())
+def image_dhash_dedup(spark, sf_dir):
+    """Perceptual-hash IMAGE dedup (operators/phash.py) — the
+    multimodal twin of exact text dedup: re-encoded or noise-dusted
+    copies of an image byte-differ (and md5-differ) but share a dHash,
+    so corpus image dedup groups by a 56-bit fingerprint. The fixture
+    renders REAL 32x32 BMPs (block-uniform channels seeded by
+    doc_id % 17, plus a per-variant noise pixel that changes the
+    payload bytes but provably not the pooled luma), the operator
+    decodes them through the real BMP parser, luma-pools 4x4 blocks,
+    and emits one gradient bit per adjacent cell pair; the oracle
+    replays every bit from the generating integer formulas, fully
+    independent of the codec chain. Verdict columns mirror
+    dedup_exact: group size and keep = min-id canonical. Plan: codec
+    id-fan-out + narrow decode/hash maps, then ONE hash-partitioned
+    window over the 8-byte fingerprint — the exact-dedup shuffle
+    shape at any corpus size (Hamming-radius matching would reuse the
+    SimHash band join instead)."""
+    from python_plugins_spark.operators.phash import (
+        image_dhash, synth_block_image_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    enc = synth_block_image_payloads(docs, "doc_id")
+    h = image_dhash(enc, "doc_id", "payload")
+    w = Window.partitionBy("phash")
+    return h.select(
+        "doc_id",
+        "phash",
+        F.count("*").over(w).cast("long").alias("n_dups"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )

@@ -2736,3 +2736,43 @@ def test_sitemap_parse_adversarial_inputs(spark):
     for r in rows:
         assert r.loc is not None and r.loc == r.loc.strip()
         assert r.pos >= 0 and isinstance(r.is_index, bool)
+
+
+def test_dhash_bits_known_and_invariances():
+    """Hand-checked dHash on a tiny gradient, dimension validation,
+    and the fixture's core claim: sub-pool noise changes payload bytes
+    but not the hash, while a real block change flips it."""
+    import pytest
+
+    from python_plugins_spark.operators.multimodal import bmp_bytes, parse_bmp
+    from python_plugins_spark.operators.phash import dhash_bits
+
+    # 8x4 image, block 4 -> 2x1 grid -> 1 bit: right block brighter
+    bright_right = [(0, 0, 0)] * 4 + [(200, 200, 200)] * 4
+    pixels = bright_right * 4
+    assert dhash_bits(8, 4, pixels, block=4) == 1
+    # flipped gradient -> bit 0
+    dark_right = [(200, 200, 200)] * 4 + [(0, 0, 0)] * 4
+    assert dhash_bits(8, 4, dark_right * 4, block=4) == 0
+    with pytest.raises(ValueError):
+        dhash_bits(9, 4, pixels + [(0, 0, 0)] * 4, block=4)
+
+    def px(x, y, noise=0):
+        bx, by = x // 4, y // 4
+        base = ((bx * 7 + by * 13) % 97, (bx * 11 + by * 3) % 89,
+                (bx * 5 + by * 19) % 83)
+        if x == 0 and y == 0 and noise:
+            return tuple(c + noise for c in base)
+        return base
+
+    clean = bmp_bytes(32, 32, px)
+    dusted = bmp_bytes(32, 32, lambda x, y: px(x, y, noise=2))
+    assert clean != dusted  # bytes (and any exact hash) differ
+    h = [dhash_bits(*parse_bmp(p)) for p in (clean, dusted)]
+    assert h[0] == h[1]  # the perceptual hash does not
+    # a genuinely different image (block formula shifted) does differ
+    other = bmp_bytes(
+        32, 32,
+        lambda x, y: (((x // 4) * 13 + (y // 4) * 7) % 97, 10, 10),
+    )
+    assert dhash_bits(*parse_bmp(other)) != h[0]

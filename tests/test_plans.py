@@ -763,3 +763,13 @@ def test_round8b_queries_shuffle_budget(spark, sf_dir):
     # two logical aggregations over the corpus, nothing quadratic:
     # the weights side reaching the scorer must be broadcast
     assert count_shuffles(ridge) <= 4
+
+
+def test_image_dhash_dedup_one_shuffle(spark, sf_dir):
+    """Perceptual image dedup spends exactly the exact-dedup budget:
+    codec fan-out + the phash window = 2 exchanges, no cartesian."""
+    from python_plugins_spark.plans import count_shuffles, plan_str
+
+    df = QUERIES["image_dhash_dedup"](spark, sf_dir)
+    assert count_shuffles(df) <= 2
+    assert "CartesianProduct" not in plan_str(df)
