@@ -297,6 +297,7 @@ def main() -> None:
         "sitemap_parse_urls",
         "ridge_probe_chars",
         "image_dhash_dedup",
+        "audio_fingerprint_dedup",
     ]
     # Tier tags (round 8): ~50 extras is past eyeballing — per-tier
     # subtotals make a tier regression visible without reading every

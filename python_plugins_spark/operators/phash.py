@@ -144,3 +144,112 @@ def synth_block_image_payloads(
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
     return fanout_ids(df, id_col).mapInPandas(synth, schema)
+
+
+# ---------------------------------------------------------------- audio
+
+def audio_energy_bits(pcm, frames: int = 16) -> int:
+    """Energy-envelope fingerprint of a PCM16 signal — the audio twin
+    of dHash (the Haitsma-Kalker sign-of-band-energy-delta family,
+    reduced to the time axis): split into ``frames`` equal frames,
+    per-frame energy = sum of squared samples (exact int64), one bit
+    per adjacent frame pair (louder-next = 1). Phase/polarity edits
+    change the bytes but never x², so sign-masked variants collapse
+    to one fingerprint."""
+    arr = np.asarray(pcm, dtype=np.int64)
+    if len(arr) % frames:
+        raise ValueError(
+            f"audio_energy_bits: {len(arr)} samples not divisible "
+            f"into {frames} frames"
+        )
+    e = (arr * arr).reshape(frames, -1).sum(axis=1)
+    bits = e[1:] > e[:-1]
+    k = np.arange(frames - 1, dtype=np.int64)
+    return int((bits.astype(np.int64) << k).sum())
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frames: int = 16,
+) -> DataFrame:
+    """(id, afp) through the REAL decode chain: hand-rolled RIFF walk
+    (operators/multimodal.py), exact integer frame energies,
+    delta-sign bits. Arrow-batched narrow map; zero shuffles."""
+    from python_plugins_spark.operators.multimodal import _wav_pcm_array
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("afp", T.LongType()),
+        ]
+    )
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                n_ch, _rate, _n, pcm = _wav_pcm_array(bytes(payload))
+                if n_ch != 1:
+                    raise ValueError(
+                        f"audio_fingerprint: expected mono, got {n_ch} channels"
+                    )
+                ids.append(int(rid))
+                fps.append(audio_energy_bits(pcm, frames=frames))
+            yield pd.DataFrame({id_col: ids, "afp": fps})
+
+    return df.select(id_col, payload_col).mapInPandas(fp, schema)
+
+
+def synth_fingerprint_wav_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    groups: int = 13,
+    frames: int = 16,
+    frame_len: int = 128,
+    variant_mod: int = 3,
+) -> DataFrame:
+    """Near-duplicate audio fixture, REAL writer: each row renders a
+    PCM16 signal whose per-frame amplitude a = 100 + (g*11 + f*23) %
+    173 is seeded by group = id % groups (chosen so all 13 default
+    groups map to DISTINCT 15-bit envelopes) over a fixed
+    {-2,-1,0,-1}*a intra-frame pattern, then variant v = id %
+    variant_mod applies a deterministic SIGN MASK (flip where
+    i % (v+1) == 0, v > 0) — the bytes (and any exact hash) change,
+    the squared samples don't, so rows sharing a group are perceptual
+    duplicates with distinct payloads."""
+    from python_plugins_spark.operators.multimodal import (
+        fanout_ids, wav_bytes,
+    )
+
+    n = frames * frame_len
+    base_pattern = np.array([2, 1, 0, 1] * (frame_len // 4), dtype=np.int64)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, payloads = [], []
+            for pid in b[id_col]:
+                s = int(pid)
+                g, v = s % groups, s % variant_mod
+                amps = np.array(
+                    [100 + (g * 11 + f * 23) % 173 for f in range(frames)],
+                    dtype=np.int64,
+                )
+                pcm = (amps[:, None] * base_pattern[None, :]).reshape(n)
+                pcm = -pcm  # pattern is magnitudes; make it bipolar
+                if v:
+                    idx = np.arange(n)
+                    mask = np.where(idx % (v + 1) == 0, -1, 1)
+                    pcm = pcm * mask
+                ids.append(s)
+                payloads.append(wav_bytes(pcm))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return fanout_ids(df, id_col).mapInPandas(synth, schema)

@@ -2912,3 +2912,59 @@ def image_dhash_dedup(spark, sf_dir):
         F.count("*").over(w).cast("long").alias("n_dups"),
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
     )
+
+
+def _audio_fp_oracle() -> str:
+    """Replays the 15-bit energy envelope from the generating
+    amplitude formula (energy ordering across frames follows a² — the
+    intra-frame pattern and the variant sign mask cancel), fully
+    independent of the RIFF chain."""
+    def a(f: int) -> str:
+        return f"(100 + ((doc_id % 13)*11 + {f}*23) % 173)"
+
+    terms = [
+        f"(CASE WHEN {a(f + 1)} > {a(f)} THEN {1 << f} ELSE 0 END)"
+        for f in range(15)
+    ]
+    fp = "\n         + ".join(terms)
+    return f"""
+    WITH h AS (
+      SELECT doc_id, CAST({fp} AS BIGINT) AS afp FROM documents
+    )
+    SELECT doc_id, afp,
+           CAST(count(*) OVER (PARTITION BY afp) AS BIGINT) AS n_dups,
+           doc_id = min(doc_id) OVER (PARTITION BY afp) AS keep
+    FROM h
+    """
+
+
+@register("audio_fingerprint_dedup", oracle=_audio_fp_oracle())
+def audio_fingerprint_dedup(spark, sf_dir):
+    """Energy-envelope AUDIO dedup (operators/phash.py) — the audio
+    twin of image_dhash_dedup (Haitsma-Kalker sign-of-energy-delta
+    family, time axis): polarity/phase edits change a recording's
+    bytes but never its squared samples, so re-mastered copies share
+    a fingerprint. The fixture renders REAL PCM16 WAVs (per-frame
+    amplitudes seeded by doc_id % 13, all 13 groups mapping to
+    distinct 15-bit envelopes) whose per-variant SIGN MASK changes
+    payload bytes but provably not x²; the operator walks the real
+    RIFF chunks, sums exact int64 frame energies, and emits one
+    louder-next bit per adjacent frame pair. The oracle replays every
+    bit from the generating amplitude formula, independent of the
+    codec. Plan: codec id-fan-out + narrow decode/fingerprint maps,
+    then ONE hash-partitioned window over the fingerprint — the
+    exact-dedup shuffle shape at any corpus size."""
+    from python_plugins_spark.operators.phash import (
+        audio_fingerprint, synth_fingerprint_wav_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    enc = synth_fingerprint_wav_payloads(docs, "doc_id")
+    h = audio_fingerprint(enc, "doc_id", "payload")
+    w = Window.partitionBy("afp")
+    return h.select(
+        "doc_id",
+        "afp",
+        F.count("*").over(w).cast("long").alias("n_dups"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )

@@ -2776,3 +2776,32 @@ def test_dhash_bits_known_and_invariances():
         lambda x, y: (((x // 4) * 13 + (y // 4) * 7) % 97, 10, 10),
     )
     assert dhash_bits(*parse_bmp(other)) != h[0]
+
+
+def test_audio_energy_fingerprint_invariances():
+    """Sign-mask and polarity edits change WAV bytes but not the
+    energy fingerprint; a genuinely different envelope differs;
+    non-divisible frame counts refuse."""
+    import numpy as np
+    import pytest
+
+    from python_plugins_spark.operators.multimodal import (
+        _wav_pcm_array, wav_bytes,
+    )
+    from python_plugins_spark.operators.phash import audio_energy_bits
+
+    amps = np.array([100 + (11 + f * 23) % 173 for f in range(16)])
+    pattern = np.array([2, 1, 0, 1] * 32, dtype=np.int64)
+    pcm = -(amps[:, None] * pattern[None, :]).reshape(-1)
+    masked = pcm * np.where(np.arange(len(pcm)) % 2 == 0, -1, 1)
+    b0, b1 = wav_bytes(pcm), wav_bytes(masked)
+    assert b0 != b1
+    fp = [audio_energy_bits(_wav_pcm_array(b)[3]) for b in (b0, b1)]
+    assert fp[0] == fp[1]
+    # full polarity flip too
+    assert audio_energy_bits(-pcm) == fp[0]
+    # different envelope -> different fingerprint
+    other = (amps[::-1, None] * pattern[None, :]).reshape(-1)
+    assert audio_energy_bits(other) != fp[0]
+    with pytest.raises(ValueError):
+        audio_energy_bits(pcm[:-1])
