@@ -298,6 +298,7 @@ def main() -> None:
         "ridge_probe_chars",
         "image_dhash_dedup",
         "audio_fingerprint_dedup",
+        "video_fingerprint_dedup",
     ]
     # Tier tags (round 8): ~50 extras is past eyeballing — per-tier
     # subtotals make a tier regression visible without reading every

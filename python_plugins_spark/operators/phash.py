@@ -253,3 +253,145 @@ def synth_fingerprint_wav_payloads(
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
     return fanout_ids(df, id_col).mapInPandas(synth, schema)
+
+
+# ---------------------------------------------------------------- video
+
+def parse_bmp_stream(payload: bytes) -> list[bytes]:
+    """Walk a raw BMP frame sequence (back-to-back BMP files — the
+    frame layout of uncompressed AVI/MJPEG-class containers, without
+    the RIFF index): each frame's boundary comes from the BMP header's
+    OWN declared file size (bytes 2-5), never from a fixed-stride
+    assumption. Truncated or non-BMP bytes refuse with the frame
+    index named."""
+    import struct
+
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"BM":
+            raise ValueError(
+                f"parse_bmp_stream: frame {len(frames)} at offset {pos} "
+                "is not a BMP header"
+            )
+        if pos + 6 > len(payload):
+            raise ValueError(
+                f"parse_bmp_stream: frame {len(frames)} header truncated"
+            )
+        (size,) = struct.unpack_from("<I", payload, pos + 2)
+        if size < 14 or pos + size > len(payload):
+            raise ValueError(
+                f"parse_bmp_stream: frame {len(frames)} declares {size} "
+                f"bytes but only {len(payload) - pos} remain"
+            )
+        frames.append(payload[pos : pos + size])
+        pos += size
+    return frames
+
+
+def video_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    k: int = 4,
+    block: int = 8,
+) -> DataFrame:
+    """(id, n_frames, vfp) through the REAL chain: walk the BMP frame
+    stream, sample ``k`` evenly spaced frames (frame (j*F)//k — the
+    sample_frames convention), dHash each on the coarse grid, and md5
+    the ':'-joined hash decimals into one video fingerprint. Sampling
+    makes the fingerprint robust to edits in UNSAMPLED frames — the
+    property the fixture exercises. Arrow-batched narrow map; zero
+    shuffles."""
+    from python_plugins_spark.operators.multimodal import parse_bmp
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("vfp", T.StringType()),
+        ]
+    )
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, counts, fps = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = parse_bmp_stream(bytes(payload))
+                n = len(frames)
+                picks = sorted({(j * n) // k for j in range(k)})
+                hashes = [
+                    dhash_bits(*parse_bmp(frames[j]), block=block)
+                    for j in picks
+                ]
+                ids.append(int(rid))
+                counts.append(n)
+                fps.append(
+                    hashlib.md5(
+                        ":".join(str(h) for h in hashes).encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame({id_col: ids, "n_frames": counts, "vfp": fps})
+
+    return df.select(id_col, payload_col).mapInPandas(fp, schema)
+
+
+def synth_video_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    groups: int = 11,
+    frames: int = 6,
+    grid: int = 4,
+    block: int = 8,
+    variant_mod: int = 3,
+) -> DataFrame:
+    """Near-duplicate VIDEO fixture, REAL encoder: each row renders a
+    ``frames``-frame BMP stream whose sampled frames (0,1,3,4 for
+    F=6, k=4) carry block-uniform content seeded by (group, frame) —
+    the 11 default groups map to DISTINCT fingerprints — while the
+    UNSAMPLED frames (2, 5) are seeded by the variant, and every
+    frame's (0,0) pixel gains variant noise (sub-pool, vanishes under
+    //block²). Rows sharing a group therefore differ in bytes AND in
+    whole unsampled frames, yet share the sampled-frame
+    fingerprint."""
+    from python_plugins_spark.operators.multimodal import (
+        bmp_bytes, fanout_ids,
+    )
+
+    side = grid * block
+    picks = {(j * frames) // 4 for j in range(4)}
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, payloads = [], []
+            for pid in b[id_col]:
+                s = int(pid)
+                g, v = s % groups, s % variant_mod
+                chunks = []
+                for j in range(frames):
+                    seed = g if j in picks else (g * 7 + v * 13 + 5)
+                    fj = j if j in picks else j + v
+
+                    def px(x, y, seed=seed, fj=fj, v=v):
+                        bx, by = x // block, y // block
+                        r = (seed * 31 + fj * 41 + bx * 7 + by * 13) % 97
+                        gc = (seed * 17 + fj * 29 + bx * 11 + by * 3) % 89
+                        bl = (seed * 23 + fj * 37 + bx * 5 + by * 19) % 83
+                        if x == 0 and y == 0:
+                            return (r + v, gc + v, bl + v)
+                        return (r, gc, bl)
+
+                    chunks.append(bmp_bytes(side, side, px))
+                ids.append(s)
+                payloads.append(b"".join(chunks))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return fanout_ids(df, id_col).mapInPandas(synth, schema)

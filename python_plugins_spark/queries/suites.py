@@ -2968,3 +2968,73 @@ def audio_fingerprint_dedup(spark, sf_dir):
         F.count("*").over(w).cast("long").alias("n_dups"),
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
     )
+
+
+def _video_fp_oracle() -> str:
+    """Replays the sampled-frame dHashes (frames 0,1,3,4 of 6; 4x4
+    grid, 12 bits each) from the generating block formulas and md5s
+    the ':'-joined decimals — fully independent of the BMP stream
+    walk. The unsampled frames (2, 5) and the noise pixels are absent
+    by construction: that is exactly the robustness the query
+    asserts."""
+    def luma(j: int, bx: int, by: int) -> str:
+        return (
+            f"((((doc_id % 11)*31 + {j}*41 + {bx}*7 + {by}*13) % 97"
+            f" + 2*(((doc_id % 11)*17 + {j}*29 + {bx}*11 + {by}*3) % 89)"
+            f" + (((doc_id % 11)*23 + {j}*37 + {bx}*5 + {by}*19) % 83)) // 4)"
+        )
+
+    def dh(j: int) -> str:
+        terms = [
+            f"(CASE WHEN {luma(j, c + 1, r)} > {luma(j, c, r)}"
+            f" THEN {1 << (r * 3 + c)} ELSE 0 END)"
+            for r in range(4)
+            for c in range(3)
+        ]
+        return "(" + "\n           + ".join(terms) + ")"
+
+    concat = " || ':' || ".join(
+        f"CAST(CAST({dh(j)} AS BIGINT) AS VARCHAR)" for j in (0, 1, 3, 4)
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id, md5({concat}) AS vfp FROM documents
+    )
+    SELECT doc_id, 6 AS n_frames, vfp,
+           CAST(count(*) OVER (PARTITION BY vfp) AS BIGINT) AS n_dups,
+           doc_id = min(doc_id) OVER (PARTITION BY vfp) AS keep
+    FROM h
+    """
+
+
+@register("video_fingerprint_dedup", oracle=_video_fp_oracle())
+def video_fingerprint_dedup(spark, sf_dir):
+    """Sampled-frame VIDEO dedup (operators/phash.py) — the third
+    modality of the perceptual family (image_dhash_dedup,
+    audio_fingerprint_dedup): a video's fingerprint is the md5 of the
+    dHashes of k=4 evenly sampled frames, so re-encodes, per-frame
+    noise, AND edits confined to unsampled frames all collapse to one
+    fingerprint. The fixture renders REAL 6-frame BMP streams (frame
+    boundaries walked from each BMP header's OWN declared size — the
+    uncompressed-AVI frame layout, no fixed-stride assumption) where
+    variants rewrite whole unsampled frames and dust every frame's
+    (0,0) pixel; the oracle replays the sampled-frame hashes from the
+    generating formulas, independent of the container walk and codec.
+    Plan: codec id-fan-out + narrow walk/decode/hash maps, then ONE
+    hash-partitioned window over the fingerprint — the exact-dedup
+    shuffle shape at any corpus size."""
+    from python_plugins_spark.operators.phash import (
+        synth_video_payloads, video_fingerprint,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    enc = synth_video_payloads(docs, "doc_id")
+    h = video_fingerprint(enc, "doc_id", "payload")
+    w = Window.partitionBy("vfp")
+    return h.select(
+        "doc_id",
+        "n_frames",
+        "vfp",
+        F.count("*").over(w).cast("long").alias("n_dups"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )

@@ -2805,3 +2805,53 @@ def test_audio_energy_fingerprint_invariances():
     assert audio_energy_bits(other) != fp[0]
     with pytest.raises(ValueError):
         audio_energy_bits(pcm[:-1])
+
+
+def test_bmp_stream_walk_and_video_sampling_robustness():
+    """The container walk honors each BMP's own declared size (no
+    fixed stride), refuses truncation/garbage with the frame index
+    named, and the sampled-frame fingerprint ignores edits confined
+    to unsampled frames."""
+    import hashlib
+
+    import pytest
+
+    from python_plugins_spark.operators.multimodal import bmp_bytes, parse_bmp
+    from python_plugins_spark.operators.phash import (
+        dhash_bits, parse_bmp_stream,
+    )
+
+    def frame(seed, side=32):
+        # fixture-style block formulas: gradients depend on the seed
+        # (seeds 10..99 verified pairwise-distinct dHashes)
+        return bmp_bytes(
+            side, side,
+            lambda x, y: ((seed * 31 + (x // 8) * 7 + (y // 8) * 13) % 97,
+                          (seed * 17 + (x // 8) * 11 + (y // 8) * 3) % 89,
+                          (seed * 23 + (x // 8) * 5 + (y // 8) * 19) % 83),
+        )
+
+    # mixed frame SIZES prove the walk is header-driven
+    stream = frame(1) + frame(2, side=16) + frame(3)
+    frames = parse_bmp_stream(stream)
+    assert [parse_bmp(f)[0] for f in frames] == [32, 16, 32]
+
+    with pytest.raises(ValueError, match="frame 1"):
+        parse_bmp_stream(frame(1) + b"JUNK")
+    with pytest.raises(ValueError, match="declares"):
+        parse_bmp_stream(frame(1)[:-10])
+
+    def vfp(stream, k=4):
+        fr = parse_bmp_stream(stream)
+        picks = sorted({(j * len(fr)) // k for j in range(k)})
+        hs = [dhash_bits(*parse_bmp(fr[j]), block=8) for j in picks]
+        return hashlib.md5(":".join(map(str, hs)).encode()).hexdigest()
+
+    base = [frame(s) for s in (10, 20, 30, 40, 50, 60)]
+    edited = list(base)
+    edited[2] = frame(99)   # unsampled (picks = 0,1,3,4 for 6 frames)
+    edited[5] = frame(77)   # unsampled
+    assert vfp(b"".join(base)) == vfp(b"".join(edited))
+    sampled_edit = list(base)
+    sampled_edit[3] = frame(99)
+    assert vfp(b"".join(sampled_edit)) != vfp(b"".join(base))

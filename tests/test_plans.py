@@ -783,3 +783,13 @@ def test_audio_fingerprint_dedup_one_shuffle(spark, sf_dir):
     df = QUERIES["audio_fingerprint_dedup"](spark, sf_dir)
     assert count_shuffles(df) <= 2
     assert "CartesianProduct" not in plan_str(df)
+
+
+def test_video_fingerprint_dedup_one_shuffle(spark, sf_dir):
+    """Video perceptual dedup: codec fan-out + the fingerprint window
+    = 2 exchanges, no cartesian."""
+    from python_plugins_spark.plans import count_shuffles, plan_str
+
+    df = QUERIES["video_fingerprint_dedup"](spark, sf_dir)
+    assert count_shuffles(df) <= 2
+    assert "CartesianProduct" not in plan_str(df)
