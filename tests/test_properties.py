@@ -516,3 +516,53 @@ def test_langid_classify_total_function(text):
     if text.strip():
         tgs = char_trigrams(text)
         assert all(len(t) == 3 for t in tgs)
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_bmp_stream_truncation_and_garbage_always_valueerror(data):
+    """The video container walk gates untrusted bytes like the other
+    crawl parsers: truncating a valid frame stream at any byte,
+    corrupting a declared size, or feeding arbitrary garbage must
+    raise ValueError (never struct.error/IndexError) — and a valid
+    stream always splits into byte-identical frames."""
+    import pytest
+
+    from python_plugins_spark.operators.multimodal import bmp_bytes
+    from python_plugins_spark.operators.phash import parse_bmp_stream
+
+    n_frames = data.draw(st.integers(1, 4))
+    sides = [data.draw(st.sampled_from([8, 16, 32])) for _ in range(n_frames)]
+    frames = [
+        bmp_bytes(s, s, lambda x, y, s=s: ((x * 3 + s) % 251, y % 251, 7))
+        for s in sides
+    ]
+    stream = b"".join(frames)
+    assert parse_bmp_stream(stream) == frames
+
+    mode = data.draw(st.sampled_from(["truncate", "corrupt_size", "garbage"]))
+    if mode == "truncate":
+        cut = data.draw(st.integers(1, len(stream) - 1))
+        bad = stream[:cut]
+        boundaries = {
+            sum(len(f) for f in frames[:k]): k for k in range(1, n_frames)
+        }
+        if cut in boundaries:
+            # a cut exactly on a frame boundary IS a valid shorter stream
+            assert parse_bmp_stream(bad) == frames[: boundaries[cut]]
+            return
+    elif mode == "corrupt_size":
+        import struct
+
+        which = data.draw(st.integers(0, n_frames - 1))
+        off = sum(len(f) for f in frames[:which]) + 2
+        lie = data.draw(st.integers(0, 13))  # < 14 always refuses
+        bad = stream[:off] + struct.pack("<I", lie) + stream[off + 4:]
+    else:
+        bad = bytes(
+            data.draw(st.lists(st.integers(0, 255), min_size=1, max_size=64))
+        )
+        if bad[:2] == b"BM":
+            bad = b"XX" + bad[2:]
+    with pytest.raises(ValueError):
+        parse_bmp_stream(bad)
