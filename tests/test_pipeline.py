@@ -1515,3 +1515,53 @@ def test_pipeline_sitemap_discovery(spark, tmp_path):
     # both stages are narrow: no Exchange anywhere in the final plan
     plan = frames["hot"]._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pipeline_binary_content_routing(spark, tmp_path):
+    """The warc_extract stage's content_type / body_utf8_ok columns
+    route binary crawl responses inside a SPEC: a filter stage keeps
+    text rows for the text path while the binary row is excluded —
+    no stage crashes on invalid UTF-8."""
+    from python_plugins_spark.operators import warc as W
+
+    docs = spark.createDataFrame(
+        [(1, "alpha", "plain text body"), (2, "alpha", "ignored")],
+        "doc_id long, source string, text string",
+    )
+    body = F.when(
+        F.col("doc_id") == 2,
+        F.concat(F.lit(b"\xff\xfe"), F.encode("text", "UTF-8")),
+    ).otherwise(F.encode("text", "UTF-8"))
+    ctype = F.when(
+        F.col("doc_id") == 2, F.lit("application/octet-stream")
+    ).otherwise(F.lit("text/plain; charset=utf-8"))
+    base = docs.select(
+        "doc_id", "source", body.alias("b"), ctype.alias("ct")
+    )
+    warc_path = str(tmp_path / "bin_route.parquet")
+    W.synth_warc_payloads(
+        base, "doc_id", body_col="b", ctype_col="ct"
+    ).write.parquet(warc_path)
+
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "batchsource.parquet",
+             "config": {"path": warc_path}},
+            {"name": "fetch", "type": "transform.warc_extract",
+             "config": {"output": "bodies"}},
+            {"name": "textpath", "type": "transform.filter",
+             "config": {"condition":
+                        "body_utf8_ok AND content_type LIKE 'text/%'"}},
+        ],
+        "connections": [
+            {"from": "src", "to": "fetch"},
+            {"from": "fetch", "to": "textpath"},
+        ],
+    })
+    fetched = {r.doc_id: r for r in frames["fetch"].collect()}
+    assert fetched[2].body_utf8_ok is False
+    assert fetched[2].content_type == "application/octet-stream"
+    assert fetched[2].body.startswith("��")
+    kept = frames["textpath"].collect()
+    assert [r.doc_id for r in kept] == [1]
+    assert kept[0].body == "plain text body"

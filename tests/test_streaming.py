@@ -1209,3 +1209,39 @@ def test_trigger_available_now_consumes_and_stops(spark, sf_dir, tmp_path):
         .filter("event_type = 'purchase'").count()
     )
     assert spark.read.parquet(sink).count() == want
+
+
+def test_online_perceptual_image_dedup(spark):
+    """Streaming dedup composes with the perceptual fingerprint
+    unchanged: images arriving across micro-batches dedupe on their
+    dHash (byte-distinct noise variants collapse; the Delta state
+    carries fingerprints across waves), keeping the min-id copy —
+    multimodal dedup for continuous ingestion with zero new operator
+    code."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.operators.phash import (
+        image_dhash, synth_block_image_payloads,
+    )
+    from python_plugins_spark.streaming.ops import online_exact_dedup
+
+    scratch = "/root/repo/.scratch/online_phash_test"
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+
+    # 12 images, 4 perceptual groups (doc_id % 4 via groups=4), noise
+    # variants byte-differ within each group
+    ids = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    enc = synth_block_image_payloads(ids, "doc_id", groups=4)
+    hashed = image_dhash(enc, "doc_id", "payload").withColumn(
+        "phash_str", F.col("phash").cast("string")
+    )
+    out = online_exact_dedup(
+        spark, hashed, "doc_id", "phash_str", ["doc_id", "phash"],
+        scratch, n_waves=3,
+    )
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == [0, 1, 2, 3]  # one min-id survivor per dHash group
