@@ -299,6 +299,7 @@ def main() -> None:
         "image_dhash_dedup",
         "audio_fingerprint_dedup",
         "video_fingerprint_dedup",
+        "image_phash_neardup_pairs",
     ]
     # Tier tags (round 8): ~50 extras is past eyeballing — per-tier
     # subtotals make a tier regression visible without reading every

@@ -19,12 +19,12 @@ replay the hash bit-for-bit from generating formulas):
   56-bit hash — inside BIGINT.
 
 Spark shape: decode + hash is an Arrow-batched narrow map over the
-payload scan (embarrassingly parallel, zero shuffles); the dedup
-verdict is ONE hash-partitioned window over the 8-byte fingerprint —
-the same one-shuffle shape as exact text dedup, at any corpus size.
-Hamming-radius>0 matching would reuse the SimHash band-bucket join
-(operators/dedup.py:simhash_pairs); radius 0 (this operator) needs no
-candidate generation at all.
+payload scan (embarrassingly parallel, zero shuffles); the radius-0
+dedup verdict is ONE hash-partitioned window over the 8-byte
+fingerprint — the same one-shuffle shape as exact text dedup, at any
+corpus size. Hamming-radius>0 matching is :func:`phash_neardup_pairs`:
+the SimHash pigeonhole band join (d <= bands-1 guarantees a shared
+band), never an O(n²) cross join.
 """
 
 from __future__ import annotations
@@ -99,6 +99,7 @@ def synth_block_image_payloads(
     block: int = 4,
     noise_mod: int = 3,
     fmt: str = "bmp",
+    variant_blocks: bool = False,
 ) -> DataFrame:
     """Near-duplicate image fixture, REAL encoder: each row renders a
     (grid*block)^2 image whose pixels are UNIFORM per block with
@@ -108,7 +109,14 @@ def synth_block_image_payloads(
     but provably not the pooled luma (the noise n adds exactly n to
     one luma via (r+2g+b+4n)//4, and n < block² vanishes under the
     pooled integer division). Rows sharing a group are therefore
-    perceptual duplicates with distinct payloads."""
+    perceptual duplicates with distinct payloads.
+
+    With ``variant_blocks`` the variant v = id % noise_mod instead
+    WHITENS the rightmost-column blocks of rows 0..v-1 (luma 255 >
+    any base luma <= 88): each whitened block participates in exactly
+    ONE gradient comparison (row*7+6 — there is no column to its
+    right), so the variant's dHash differs from its group's base hash
+    by AT MOST v bits — the Hamming-radius near-dup fixture."""
     from python_plugins_spark.operators.multimodal import (
         bmp_bytes, fanout_ids, ppm_bytes,
     )
@@ -132,6 +140,8 @@ def synth_block_image_payloads(
 
                 def px(x, y, g=g, n=n):
                     bx, by = x // block, y // block
+                    if variant_blocks and bx == grid - 1 and by < n:
+                        return (255, 255, 255)
                     r = (g * 31 + bx * 7 + by * 13) % 97
                     gc = (g * 17 + bx * 11 + by * 3) % 89
                     bl = (g * 23 + bx * 5 + by * 19) % 83
@@ -395,3 +405,68 @@ def synth_video_payloads(
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
     return fanout_ids(df, id_col).mapInPandas(synth, schema)
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    bands: int = 4,
+    bits: int = 56,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-radius perceptual matching WITHOUT the O(n²) cross
+    join — the SimHash band trick applied to the dHash: split the
+    ``bits``-bit fingerprint into ``bands`` equal bands; two hashes
+    within Hamming distance d <= bands-1 MUST agree on at least one
+    band (pigeonhole), so candidates come from ``bands`` equi-joins on
+    (band_id, band_value) and only candidates pay the exact
+    bit_count(xor) verification. Returns (id_a, id_b, hamming) with
+    id_a < id_b, hamming <= max_hamming. ``max_hamming`` must stay
+    below ``bands`` or recall is no longer guaranteed — refused
+    loudly. Scale: one band-key shuffle; in-bucket pair counts are
+    quadratic only in the size of each duplicate cluster, the standard
+    LSH shape."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs at least {max_hamming + 1} "
+            f"bands for pigeonhole recall, got {bands}"
+        )
+    if bits % bands:
+        raise ValueError(f"{bits} bits not divisible into {bands} bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(hash_col), width * k)
+                    .bitwiseAND(mask)
+                    .cast("long")
+                    for k in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(_ha ^ _hb)")
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -3038,3 +3038,63 @@ def video_fingerprint_dedup(spark, sf_dir):
         F.count("*").over(w).cast("long").alias("n_dups"),
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
     )
+
+
+def _phash_neardup_oracle() -> str:
+    """Replays the variant-aware 56-bit hashes (whitened rightmost
+    blocks for rows < doc_id % 3 -> luma 255) from the generating
+    formulas, then finds Hamming<=3 pairs by the O(n²) theta join —
+    the exactness baseline the banded Spark path must equal."""
+    def luma(bx: int, r: int) -> str:
+        base = (
+            f"((((doc_id % 17)*31 + {bx}*7 + {r}*13) % 97"
+            f" + 2*(((doc_id % 17)*17 + {bx}*11 + {r}*3) % 89)"
+            f" + (((doc_id % 17)*23 + {bx}*5 + {r}*19) % 83)) // 4)"
+        )
+        if bx == 7:
+            return f"(CASE WHEN {r} < doc_id % 3 THEN 255 ELSE {base} END)"
+        return base
+
+    terms = [
+        f"(CASE WHEN {luma(c + 1, r)} > {luma(c, r)}"
+        f" THEN {1 << (r * 7 + c)} ELSE 0 END)"
+        for r in range(8)
+        for c in range(7)
+    ]
+    hash_expr = "\n         + ".join(terms)
+    return f"""
+    WITH h AS (
+      SELECT doc_id, CAST({hash_expr} AS BIGINT) AS phash FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """
+
+
+@register("image_phash_neardup_pairs", oracle=_phash_neardup_oracle())
+def image_phash_neardup_pairs(spark, sf_dir):
+    """Hamming-radius perceptual NEAR-dup pairs (operators/phash.py:
+    phash_neardup_pairs) — radius-0 grouping (image_dhash_dedup) can't
+    catch a crop or border edit that flips a few gradient bits; this
+    finds all pairs within Hamming distance 3 via the SimHash
+    pigeonhole band join (4 x 14-bit bands: d <= 3 guarantees a shared
+    band), NEVER an O(n²) cross join. The fixture's variants whiten
+    rightmost-column blocks — each flips at most one gradient bit, so
+    within-group distances are <= 2 while the 17 base hashes sit >= 14
+    apart (verified): the radius cleanly separates groups. Hashes
+    travel through the REAL BMP decode; the oracle replays the
+    variant-aware bits from the generating formulas and pairs them
+    with the exact theta join — the banded path must equal the
+    exhaustive baseline. Plan: narrow decode/hash maps, one band-key
+    shuffle, bucket-local candidates (quadratic only inside duplicate
+    clusters — the standard LSH shape)."""
+    from python_plugins_spark.operators.phash import (
+        image_dhash, phash_neardup_pairs, synth_block_image_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    enc = synth_block_image_payloads(docs, "doc_id", variant_blocks=True)
+    h = image_dhash(enc, "doc_id", "payload")
+    return phash_neardup_pairs(h, "doc_id", "phash", bands=4, max_hamming=3)

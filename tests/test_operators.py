@@ -2855,3 +2855,39 @@ def test_bmp_stream_walk_and_video_sampling_robustness():
     sampled_edit = list(base)
     sampled_edit[3] = frame(99)
     assert vfp(b"".join(sampled_edit)) != vfp(b"".join(base))
+
+
+def test_phash_neardup_pairs_pigeonhole_and_refusals(spark):
+    """The band join finds exactly the exhaustive Hamming<=r pairs
+    (pigeonhole recall for r < bands) and refuses configurations
+    where the guarantee breaks."""
+    import itertools
+
+    import pytest
+
+    from python_plugins_spark.operators.phash import phash_neardup_pairs
+
+    # hand-built hashes: 1<->2 distance 1, 1<->3 distance 3 (spread
+    # across three bands), 4 far from everything
+    rows = [
+        (1, 0b1111),
+        (2, 0b1110),
+        (3, 0b1111 ^ ((1 << 2) | (1 << 20) | (1 << 40))),
+        (4, (1 << 56) - 1 - 0b1111),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, phash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_neardup_pairs(df, max_hamming=3).collect()
+    }
+    exhaustive = {
+        (a, b): bin(ha ^ hb).count("1")
+        for (a, ha), (b, hb) in itertools.combinations(rows, 2)
+        if bin(ha ^ hb).count("1") <= 3
+    }
+    assert got == exhaustive and (1, 2) in got and (1, 3) in got
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_neardup_pairs(df, bands=3, max_hamming=3)
+    with pytest.raises(ValueError, match="not divisible"):
+        phash_neardup_pairs(df, bands=5)

@@ -793,3 +793,16 @@ def test_video_fingerprint_dedup_one_shuffle(spark, sf_dir):
     df = QUERIES["video_fingerprint_dedup"](spark, sf_dir)
     assert count_shuffles(df) <= 2
     assert "CartesianProduct" not in plan_str(df)
+
+
+def test_image_phash_neardup_band_join_shape(spark, sf_dir):
+    """The Hamming-radius matcher is a banded equi-join, never a
+    cartesian: bounded exchanges (fan-out, band keys both sides,
+    distinct), SortMergeJoin/ShuffledHashJoin on the band columns."""
+    from python_plugins_spark.plans import count_shuffles, plan_str
+
+    df = QUERIES["image_phash_neardup_pairs"](spark, sf_dir)
+    p = plan_str(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert count_shuffles(df) <= 6
