@@ -300,6 +300,7 @@ def main() -> None:
         "audio_fingerprint_dedup",
         "video_fingerprint_dedup",
         "image_phash_neardup_pairs",
+        "lang_id_cyrillic_docs",
     ]
     # Tier tags (round 8): ~50 extras is past eyeballing — per-tier
     # subtotals make a tier regression visible without reading every

@@ -294,29 +294,36 @@ def char_trigrams(text: str) -> list[str]:
     return [s[i: i + 3] for i in range(len(s) - 2)]
 
 
-def build_profiles(k: int = 300):
-    """Derive the model from FIXTURE_CORPORA deterministically:
+def build_profiles(k: int = 300, corpora: dict[str, str] | None = None):
+    """Derive a model from fixture corpora deterministically:
     per-language top-``k`` trigrams (count desc, trigram asc), union
     vocabulary V, then add-one log-probs over V. Returns
-    ``(logp, oov)`` where ``logp[tg] = [per-LANGS ln P]`` (only
-    trigrams some language actually saw) and ``oov = [per-LANGS ln P
-    of an unseen trigram]``."""
-    counts = {lang: Counter(char_trigrams(t)) for lang, t in FIXTURE_CORPORA.items()}
+    ``(logp, oov)`` where ``logp[tg] = [per-language ln P]`` (only
+    trigrams some language actually saw) and ``oov = [per-language
+    ln P of an unseen trigram]``; languages in sorted-key order.
+    Defaults to the Latin FIXTURE_CORPORA; passing a different corpora
+    dict (e.g. CYRILLIC_CORPORA) is the promised per-script DATA
+    change — same algorithm, new tables. Language order = dict
+    insertion order (FIXTURE_CORPORA's order IS LANGS — pinned by
+    test, since the score-vector layout depends on it)."""
+    corpora = FIXTURE_CORPORA if corpora is None else corpora
+    langs = list(corpora)
+    counts = {lang: Counter(char_trigrams(t)) for lang, t in corpora.items()}
     vocab: set[str] = set()
-    for lang in LANGS:
+    for lang in langs:
         top = sorted(counts[lang].items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         vocab.update(tg for tg, _ in top)
     v = len(vocab)
     denom = {}
-    for lang in LANGS:
+    for lang in langs:
         total = sum(counts[lang][tg] for tg in vocab)
         denom[lang] = float(total + v + 1)
-    oov = [math.log(1.0 / denom[lang]) for lang in LANGS]
+    oov = [math.log(1.0 / denom[lang]) for lang in langs]
     logp: dict[str, list[float]] = {}
     for tg in sorted(vocab):
-        if any(counts[lang][tg] for lang in LANGS):
+        if any(counts[lang][tg] for lang in langs):
             logp[tg] = [
-                math.log((counts[lang][tg] + 1.0) / denom[lang]) for lang in LANGS
+                math.log((counts[lang][tg] + 1.0) / denom[lang]) for lang in langs
             ]
     return logp, oov
 
@@ -585,6 +592,220 @@ def lang_id_ngram_oracle_sql(table: str, text_col: str, id_col: str) -> str:
                 WHEN {c['greek']} >= {c['han']}
                 THEN '{SCRIPT_LANG["greek"]}'
                 ELSE '{SCRIPT_LANG["han"]}' END AS pred_lang,
+           n_trigrams,
+           CASE WHEN n_trigrams > 0 THEN
+             round((list_sort(sc, 'DESC')[1] - list_sort(sc, 'DESC')[2])
+                   / n_trigrams::DOUBLE, 6)
+           ELSE 0.0 END AS margin,
+           {sel_scores}
+    FROM sc
+    """
+
+
+# ------------------------------------------------------------ cyrillic
+# The per-script extension the script branch was built for: once
+# dominant_script says "cyrillic", THIS model separates the languages
+# the script-level verdict lumped together as 'ru'. Same honesty
+# contract as FIXTURE_CORPORA: original prose written for this repo
+# (everyday + technical register per language), profiles derived at
+# import time by the same build_profiles — a DATA change, zero new
+# algorithm code.
+CYRILLIC_CORPORA: dict[str, str] = {
+    "ru": (
+        "Старый вокзал стоял на краю маленького города, и каждое утро "
+        "одни и те же люди ждали первый поезд. Они говорили о погоде, о "
+        "работе и о соседях, пока туман медленно полз над путями. Зимой "
+        "ветер приносил снег в открытый зал, и кассир пил свой чай и "
+        "смотрел на часы. Поезда редко приходили вовремя, но никто "
+        "всерьёз не жаловался, потому что все знали друг друга много "
+        "лет. Вечером, когда над платформой горели огни, всё казалось "
+        "тихим и простым. "
+        "Современные вычислительные системы обрабатывают информацию "
+        "через несколько уровней абстракции. Распределённый механизм "
+        "запросов делит огромные наборы данных между многими машинами, "
+        "применяет фильтры и агрегации параллельно и затем объединяет "
+        "частичные результаты. Исследователи тщательно измеряют "
+        "пропускную способность и задержку, потому что "
+        "производительность зависит от перемещения данных больше, чем "
+        "от чистого вычисления. Эффективные алгоритмы уменьшают сетевой "
+        "трафик, используют локальность и распределяют работу "
+        "динамически."
+    ),
+    "uk": (
+        "Стара бібліотека стояла на розі площі, і щоранку ті самі "
+        "читачі піднімалися її кам'яними сходами. Вони приходили по "
+        "тишу більше, ніж по книжки, хоча полиці тримали майже все, "
+        "чого могла бажати допитлива душа. Надворі торговці кричали про "
+        "свіжий хліб і зимові яблука, але всередині було чути лише "
+        "шелест сторінок. Коли після обіду починався дощ, студенти "
+        "збиралися біля високих вікон і дивилися, як вода біжить уздовж "
+        "вулиці. Бібліотекарка знала більшість із них на ім'я і "
+        "відкладала нові надходження для тих, хто просив. "
+        "Сучасні обчислювальні системи обробляють інформацію через "
+        "кілька рівнів абстракції. Розподілений рушій запитів ділить "
+        "величезні набори даних між багатьма машинами, застосовує "
+        "фільтри та агрегації паралельно, а потім об'єднує часткові "
+        "результати. Дослідники ретельно вимірюють пропускну здатність "
+        "і затримку, бо продуктивність залежить від переміщення даних "
+        "більше, ніж від самого обчислення. Ефективні алгоритми "
+        "зменшують мережевий трафік, використовують локальність і "
+        "розподіляють роботу динамічно."
+    ),
+    "bg": (
+        "Площадът на градчето се пълнеше с хора всяка неделя сутрин. "
+        "Продавачите нареждаха сергиите си с плодове, хляб и сирене, а "
+        "възрастните жени говореха за времето и за реколтата, докато "
+        "мъжете спореха за водата и за пътищата. По пладне от къщите "
+        "идваше миризма на ориз и печено, и животът следваше своя "
+        "спокоен ход. Никой не бързаше в това място, защото важното "
+        "винаги беше наблизо, а чуждото можеше да почака. Вечер "
+        "камбаната биеше бавно и децата се прибираха по тесните улици. "
+        "Съвременните изчислителни системи обработват информация през "
+        "няколко равнища на абстракция. Разпределеният механизъм за "
+        "заявки разделя огромните набори от данни между много машини, "
+        "прилага филтри и агрегации паралелно и после обединява "
+        "частичните резултати. Изследователите внимателно измерват "
+        "пропускателната способност и закъснението, защото "
+        "производителността зависи повече от движението на данните, "
+        "отколкото от самото изчисление. Ефективните алгоритми "
+        "намаляват мрежовия трафик, използват локалността и разпределят "
+        "работата динамично."
+    ),
+}
+CYR_LANGS = tuple(CYRILLIC_CORPORA)
+_CYR_LOGP, _CYR_OOV = build_profiles(corpora=CYRILLIC_CORPORA)
+
+
+def classify_cyrillic_py(text: str) -> str:
+    """Scalar reference for the Cyrillic model (tests pin the Spark
+    operator against this)."""
+    if text is None or not text.strip():
+        return "unknown"
+    scores = [0.0] * len(CYR_LANGS)
+    for tg in char_trigrams(text):
+        row = _CYR_LOGP.get(tg, _CYR_OOV)
+        for j in range(len(CYR_LANGS)):
+            scores[j] += row[j]
+    best = max(range(len(CYR_LANGS)), key=lambda j: (scores[j], -j))
+    return CYR_LANGS[best]
+
+
+def lang_id_cyrillic(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """(id, pred_lang, n_trigrams, margin, score_ru/uk/bg) — the
+    per-script model downstream of the 'cyrillic' branch: multinomial
+    NB over character trigrams, ru/uk/bg profiles from
+    CYRILLIC_CORPORA. Same Arrow-batched sequential left-fold as the
+    Latin flagship (bit-identical to the oracle's list_reduce), zero
+    shuffles."""
+    carry = [c for c in (carry or []) if c != id_col]
+    logp, oov, nl = _CYR_LOGP, _CYR_OOV, len(CYR_LANGS)
+
+    @F.pandas_udf("array<double>")
+    def _score(col: pd.Series) -> pd.Series:
+        out = []
+        for text in col:
+            tgs = (
+                char_trigrams(text)
+                if text is not None and text.strip()
+                else []
+            )
+            acc = [0.0] * nl
+            for tg in tgs:
+                row = logp.get(tg, oov)
+                for j in range(nl):
+                    acc[j] += row[j]
+            out.append([float(len(tgs))] + acc)
+        return pd.Series(out)
+
+    d = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        _score(F.col(text_col)).alias("_r"),
+    ).select(
+        id_col, *carry,
+        F.element_at("_r", 1).cast("long").alias("n_trigrams"),
+        F.slice("_r", 2, nl).alias("_sc"),
+    )
+    sc = {lang: F.element_at("_sc", j + 1) for j, lang in enumerate(CYR_LANGS)}
+    best = F.lit(None).cast("string")
+    for j in range(nl - 1, -1, -1):
+        lang = CYR_LANGS[j]
+        others = [sc[o] for o in CYR_LANGS if o != lang]
+        best = F.when(sc[lang] >= F.greatest(*others), F.lit(lang)).otherwise(best)
+    pred = F.when(F.col("n_trigrams") == 0, F.lit("unknown")).otherwise(best)
+    srt = F.sort_array("_sc", asc=False)
+    margin = F.when(
+        F.col("n_trigrams") > 0,
+        (F.element_at(srt, 1) - F.element_at(srt, 2))
+        / F.col("n_trigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        id_col,
+        *carry,
+        pred.alias("pred_lang"),
+        "n_trigrams",
+        F.round(margin, 6).alias("margin"),
+        *[F.round(sc[lang], 4).alias(f"score_{lang}") for lang in CYR_LANGS],
+    )
+
+
+def lang_id_cyrillic_oracle_sql(table: str, text_col: str, id_col: str) -> str:
+    """DuckDB twin of lang_id_cyrillic: same MAP literal, same trigram
+    windows, same LEFT fold — bit-identical score sums (the Latin
+    oracle's structure minus the script branch)."""
+    from python_plugins_spark.functions import oracle_fragments as O
+
+    nl = len(CYR_LANGS)
+    map_entries = ", ".join(
+        f"'{_sql_q(tg)}': [{', '.join(repr(x) for x in row)}]::DOUBLE[]"
+        for tg, row in sorted(_CYR_LOGP.items())
+    )
+    oov = f"[{', '.join(repr(x) for x in _CYR_OOV)}]::DOUBLE[]"
+    zero = f"[{', '.join('0.0' for _ in CYR_LANGS)}]::DOUBLE[]"
+    add = ", ".join(f"a[{j + 1}] + b[{j + 1}]" for j in range(nl))
+    norm = O.sql_norm_text(text_col)
+    sel_scores = ", ".join(
+        f"round(sc[{j + 1}], 4) AS score_{lang}"
+        for j, lang in enumerate(CYR_LANGS)
+    )
+    best = "NULL"
+    for j in range(nl - 1, -1, -1):
+        lang = CYR_LANGS[j]
+        others = ", ".join(
+            f"sc[{i + 1}]" for i, o in enumerate(CYR_LANGS) if o != lang
+        )
+        best = (
+            f"CASE WHEN sc[{j + 1}] >= greatest({others}) "
+            f"THEN '{lang}' ELSE {best} END"
+        )
+    return f"""
+    WITH pad AS (
+      SELECT {id_col}, ' ' || {norm} || ' ' AS p FROM {table}
+    ),
+    tg AS (
+      SELECT {id_col},
+             CASE WHEN p IS NULL OR length(p) < 3 THEN []::VARCHAR[]
+                  ELSE list_transform(range(1, length(p) - 1),
+                                      i -> substr(p, i, 3)) END AS tgs
+      FROM pad
+    ),
+    sc AS (
+      SELECT {id_col}, len(tgs)::BIGINT AS n_trigrams,
+             list_reduce(
+               list_prepend({zero},
+                 list_transform(tgs,
+                   t -> coalesce(_m[t][1], {oov}))),
+               (a, b) -> [{add}]) AS sc
+      FROM tg CROSS JOIN (SELECT MAP {{{map_entries}}} AS _m)
+    )
+    SELECT {id_col},
+           CASE WHEN n_trigrams = 0 THEN 'unknown' ELSE {best} END
+             AS pred_lang,
            n_trigrams,
            CASE WHEN n_trigrams > 0 THEN
              round((list_sort(sc, 'DESC')[1] - list_sort(sc, 'DESC')[2])

@@ -1773,3 +1773,69 @@ def sitemap_parse_urls(spark, sf_dir):
         F.when(F.col("doc_id") % 2 == 0, urlset).otherwise(index).alias("xml"),
     )
     return parse_sitemap(base, "xml", ["doc_id"])
+
+
+def _cyr_snippets() -> list[str]:
+    """30 deterministic 12-word snippets (10 per language, in
+    CYR_LANGS order) cut from the profile corpora — the same list
+    builds the Spark literal array and the SQL literal list, so both
+    engines score identical text."""
+    from python_plugins_spark.operators.langid import CYR_LANGS, CYRILLIC_CORPORA
+
+    out = []
+    for lang in CYR_LANGS:
+        words = CYRILLIC_CORPORA[lang].split()
+        for c in range(10):
+            start = (c * 12) % max(1, len(words) - 12)
+            out.append(" ".join(words[start: start + 12]))
+    return out
+
+
+def _lang_id_cyrillic_oracle() -> str:
+    from python_plugins_spark.operators.langid import (
+        lang_id_cyrillic_oracle_sql,
+    )
+
+    snips = ", ".join("'" + s.replace("'", "''") + "'" for s in _cyr_snippets())
+    inner = lang_id_cyrillic_oracle_sql("fixture", "text", "doc_id")
+    # splice the fixture CTE ahead of the inner oracle's own WITH chain
+    tail = inner.lstrip().removeprefix("WITH")
+    return f"""
+    WITH fixture AS (
+      SELECT doc_id,
+             ([{snips}])[
+               CAST((doc_id % 3) * 10 + (doc_id // 3) % 10 + 1 AS INTEGER)
+             ] AS text
+      FROM documents
+    ),
+    {tail}
+    """
+
+
+@register("lang_id_cyrillic_docs", oracle=_lang_id_cyrillic_oracle())
+def lang_id_cyrillic_docs(spark, sf_dir):
+    """Per-script CYRILLIC language ID (operators/langid.py:
+    lang_id_cyrillic) — the model the script branch was built to feed:
+    lang_id_ngram routes Cyrillic-dominant text to a script-level 'ru'
+    verdict, and THIS trigram NB separates ru/uk/bg behind that branch
+    (profiles from CYRILLIC_CORPORA — the promised per-script DATA
+    change, zero new algorithm code; a pytest shows held-out sentences
+    classify correctly). The fixture deals each document a 12-word
+    snippet from one of the three corpora by formula; both engines
+    build the text from the SAME literal snippet list, and the oracle
+    replays the identical map-literal left fold, so per-language
+    scores and margins hash-match bit-for-bit, not just the argmax.
+    One Arrow-batched narrow map; ZERO SHUFFLES at any corpus size."""
+    from python_plugins_spark.operators.langid import lang_id_cyrillic
+
+    docs = load_table(spark, "documents", sf_dir)
+    snips = F.array(*[F.lit(s) for s in _cyr_snippets()])
+    idx = (
+        (F.col("doc_id") % 3) * 10
+        + F.floor(F.col("doc_id") / 3) % 10
+        + 1
+    ).cast("int")
+    fixture = docs.select(
+        "doc_id", F.element_at(snips, idx).alias("text")
+    )
+    return lang_id_cyrillic(fixture, "text", "doc_id")

@@ -2891,3 +2891,39 @@ def test_phash_neardup_pairs_pigeonhole_and_refusals(spark):
         phash_neardup_pairs(df, bands=3, max_hamming=3)
     with pytest.raises(ValueError, match="not divisible"):
         phash_neardup_pairs(df, bands=5)
+
+
+def test_lang_id_cyrillic_model(spark):
+    """The per-script Cyrillic model: (a) LANGS order is pinned (the
+    score-vector layout depends on dict insertion order — a reorder
+    would silently swap columns); (b) held-out sentences (not in the
+    profile corpora) classify correctly; (c) the Spark operator
+    matches the scalar reference and labels every fixture snippet
+    with its source language."""
+    from python_plugins_spark.operators import langid as L
+
+    assert L.LANGS == tuple(L.FIXTURE_CORPORA)
+    assert L.CYR_LANGS == ("ru", "uk", "bg")
+    # default profiles are derived from FIXTURE_CORPORA in LANGS order
+    logp, oov = L.build_profiles()
+    assert logp == L._LOGP and oov == L._OOV
+
+    held_out = {
+        "ru": "Мы долго ехали через лес, и вдруг дорога вышла к широкой реке.",
+        "uk": "Ми довго їхали через ліс, і раптом дорога вийшла до широкої річки.",
+        "bg": "Пътувахме дълго през гората и изведнъж пътят излезе при широката река.",
+    }
+    for lang, s in held_out.items():
+        assert L.classify_cyrillic_py(s) == lang, (lang, s)
+    assert L.classify_cyrillic_py("") == "unknown"
+    assert L.classify_cyrillic_py(None) == "unknown"
+
+    rows = [(i, s) for i, s in enumerate(held_out.values())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in L.lang_id_cyrillic(df, "text", "doc_id").collect()
+    }
+    for i, (lang, s) in enumerate(held_out.items()):
+        assert got[i].pred_lang == L.classify_cyrillic_py(s) == lang
+        assert got[i].margin > 0
