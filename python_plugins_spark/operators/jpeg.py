@@ -252,8 +252,18 @@ def _encode_block(
 ) -> int:
     """DCT + quantize + entropy-code one level-shifted 8x8 block;
     returns the new DC predictor. Shared by the grayscale and the
-    color (per-component table pair) encoders."""
-    coef = _M @ block @ _M.T
+    color (per-component table pair) encoders.
+
+    The transform output SNAPS to 6 decimals before quantization:
+    ``_M @ block @ _M.T`` runs through whatever GEMM kernel the host's
+    BLAS selects, and different kernels sum in different orders — a
+    constant-243 block's DC is exactly 920.0 on one host and
+    919.9999999999999 on another, which lands on opposite sides of the
+    q=16 quantization TIE (57.5). The ideal coefficients the oracles
+    model are integers or small multiples of 1/8 here, so a 6-dp snap
+    absorbs kernel-dependent ulp noise without changing any honest
+    value — the codec is then bit-stable across machines."""
+    coef = np.round(_M @ block @ _M.T, 6)
     qc = round_half_away(coef / q).astype(np.int64)
     zz = qc.ravel()[ZIGZAG]
 
@@ -611,7 +621,10 @@ def _decode_block(br: _BitReader, dc_tab: dict, ac_tab: dict, prev_dc: int):
 def _idct_block(zz: np.ndarray, q: np.ndarray) -> np.ndarray:
     coef = np.zeros(64, dtype=np.float64)
     coef[ZIGZAG] = zz
-    return _M.T @ (coef.reshape(8, 8) * q) @ _M
+    # 6-dp snap: same BLAS-kernel-independence contract as the forward
+    # transform (see _encode_block) — the oracles replay the scalar
+    # float chain, and the snapped GEMM result lands on it exactly
+    return np.round(_M.T @ (coef.reshape(8, 8) * q) @ _M, 6)
 
 
 def jpeg_decode_gray(payload: bytes) -> np.ndarray:

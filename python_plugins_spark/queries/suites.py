@@ -1501,13 +1501,16 @@ def image_jpeg_roundtrip_real(spark, sf_dir):
     rec AS (
       -- DC quantize/dequantize at quality 50 (Annex K verbatim:
       -- luma q00 = 16, chroma q00 = 17). The chroma reconstruction
-      -- replays the decoder's EXACT float chain (M00*(17*dcq))*M00
-      -- with M00 = sqrt(0.5)/2's double value, because 17*dcq/8 can
-      -- land exactly on .5 where the ideal and float forms disagree.
+      -- replays the decoder's float chain (M00*(17*dcq))*M00 with
+      -- M00 = sqrt(0.5)/2's double value, SNAPPED to 6 decimals
+      -- exactly as _idct_block snaps its GEMM output (the snap makes
+      -- the codec independent of the host BLAS kernel's summation
+      -- order; 17*dcq/8 can land exactly on .5, so the snap decides
+      -- those ties identically in both engines).
       SELECT doc_id, m,
              least(255, greatest(0, round(2 * round((y - 128) / 2.0) + 128.0))) AS yq,
-             least(255, greatest(0, round((0.3535533905932738 * (17 * round(8 * (cb - 128) / 17.0))) * 0.3535533905932738 + 128.0))) AS cbq,
-             least(255, greatest(0, round((0.3535533905932738 * (17 * round(8 * (cr - 128) / 17.0))) * 0.3535533905932738 + 128.0))) AS crq
+             least(255, greatest(0, round(round((0.3535533905932738 * (17 * round(8 * (cb - 128) / 17.0))) * 0.3535533905932738, 6) + 128.0))) AS cbq,
+             least(255, greatest(0, round(round((0.3535533905932738 * (17 * round(8 * (cr - 128) / 17.0))) * 0.3535533905932738, 6) + 128.0))) AS crq
       FROM ycc
     )
     SELECT doc_id, CAST(m AS INT) AS mcu, 32 AS width, 32 AS height,
