@@ -2927,3 +2927,21 @@ def test_lang_id_cyrillic_model(spark):
     for i, (lang, s) in enumerate(held_out.items()):
         assert got[i].pred_lang == L.classify_cyrillic_py(s) == lang
         assert got[i].margin > 0
+
+
+def test_jpeg_dct_quantization_ties_are_blas_independent():
+    """The quantizer tie that differs between BLAS GEMM kernels: a
+    constant-243 block's DC is ideally 920.0 (some kernels produce
+    919.9999999999999), sitting exactly on the q=16 tie 57.5. The
+    6-dp transform snap must decide it as the ideal — half away from
+    zero — on every host, end to end through the real bitstream."""
+    import numpy as np
+
+    from python_plugins_spark.operators import jpeg as J
+
+    for v, want in [(243, 244), (232, 232), (9, 8), (254, 254)]:
+        img = np.full((8, 8), v, dtype=np.uint8)
+        dec = J.jpeg_decode_gray(J.jpeg_encode_gray(img, quality=50))
+        ideal = (v - 128) / 2.0
+        r = int(np.trunc(ideal + np.sign(ideal) * 0.5))  # half away
+        assert int(dec[0, 0]) == max(0, min(255, 2 * r + 128)) == want, v
