@@ -301,6 +301,7 @@ def main() -> None:
         "video_fingerprint_dedup",
         "image_phash_neardup_pairs",
         "lang_id_cyrillic_docs",
+        "incremental_phash_ingest",
     ]
     # Tier tags (round 8): ~50 extras is past eyeballing — per-tier
     # subtotals make a tier regression visible without reading every
@@ -319,7 +320,7 @@ def main() -> None:
             "warc", "unicode", "robots", "blocklist", "script_detect",
             "corpus_", "crawl_", "lang_id", "feature_hashing",
             "embedding_", "url_", "sentence_", "bloom_", "gopher",
-            "repetition", "sitemap", "ridge_probe",
+            "repetition", "sitemap", "ridge_probe", "phash",
         )
         if any(m in name for m in corpus_markers):
             return "corpus"

@@ -470,3 +470,52 @@ def phash_neardup_pairs(
     return cand.select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def phash_index_build(
+    hashed: DataFrame, id_col: str, index_path: str
+) -> None:
+    """Persist the (id, phash) fingerprint index of an admitted image
+    corpus as a Delta table — the image twin of minhash_index_build.
+    8-byte fingerprints: a billion admitted images index in ~16 GB,
+    trivially joinable at ingest time."""
+    from python_plugins_spark.sources.delta_py import write_delta
+
+    write_delta(
+        hashed.select(id_col, "phash"), f"{index_path}/phash",
+        mode="overwrite",
+    )
+
+
+def phash_index_ingest(
+    hashed_new: DataFrame,
+    id_col: str,
+    index_path: str,
+    append: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Check a new batch's fingerprints against the persisted index;
+    returns ``(admitted, duplicates)`` — duplicates is (id, phash,
+    dup_of) with dup_of the smallest indexed id sharing the
+    fingerprint (radius-0 perceptual identity; a Hamming-radius
+    variant would band the index like phash_neardup_pairs). Survivors
+    append to the index atomically. Per-batch cost is one equi-join
+    on the 8-byte fingerprint — independent of corpus size beyond the
+    index scan, the continuous-ingestion dedup shape."""
+    from python_plugins_spark.sources.delta_py import read_delta, write_delta
+
+    spark = hashed_new.sparkSession
+    idx = read_delta(spark, f"{index_path}/phash").select(
+        F.col(id_col).alias("_idx_id"), F.col("phash").alias("_idx_hash")
+    )
+    matched = (
+        hashed_new.join(idx, hashed_new["phash"] == idx["_idx_hash"], "left")
+        .groupBy(id_col, "phash")
+        .agg(F.min("_idx_id").alias("dup_of"))
+    )
+    dups = matched.filter(F.col("dup_of").isNotNull())
+    admitted = matched.filter(F.col("dup_of").isNull()).select(id_col, "phash")
+    if append:
+        admitted = admitted.localCheckpoint(eager=True)
+        dups = dups.localCheckpoint(eager=True)
+        write_delta(admitted, f"{index_path}/phash", mode="append")
+    return admitted, dups

@@ -3101,3 +3101,99 @@ def image_phash_neardup_pairs(spark, sf_dir):
     enc = synth_block_image_payloads(docs, "doc_id", variant_blocks=True)
     h = image_dhash(enc, "doc_id", "payload")
     return phash_neardup_pairs(h, "doc_id", "phash", bands=4, max_hamming=3)
+
+
+def _dhash_gen_expr(g: str, groups: int = 29) -> str:
+    """56-bit dHash generator expression for group ``g`` (SQL
+    fragment) under the block-formula fixture — the variant noise and
+    encode/decode chain are absent by construction (the noise
+    provably vanishes under the pool; that is the operator's claim)."""
+    def luma(bx: int, by: int) -> str:
+        return (
+            f"((({g})*31 + {bx}*7 + {by}*13) % 97"
+            f" + 2*((({g})*17 + {bx}*11 + {by}*3) % 89)"
+            f" + ((({g})*23 + {bx}*5 + {by}*19) % 83)) // 4"
+        )
+
+    terms = [
+        f"(CASE WHEN ({luma(c + 1, r)}) > ({luma(c, r)})"
+        f" THEN {1 << (r * 7 + c)} ELSE 0 END)"
+        for r in range(8)
+        for c in range(7)
+    ]
+    return "CAST(" + "\n         + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "incremental_phash_ingest",
+    oracle=f"""
+    -- the 15 byte-distinct re-noised copies (generator id d+29: same
+    -- group d, different variant) must flag against the smallest
+    -- indexed doc of their group, which is doc d itself; the 14
+    -- fresh-group docs are admitted and do not appear here
+    SELECT doc_id + 2000000 AS doc_id,
+           {_dhash_gen_expr("doc_id")} AS phash,
+           doc_id AS dup_of
+    FROM documents WHERE doc_id < 15
+    """,
+)
+def incremental_phash_ingest(spark, sf_dir):
+    """The PRODUCTION image-dedup shape (operators/phash.py:
+    phash_index_build/ingest) — a persisted Delta fingerprint index
+    over the admitted image corpus, then a NEW ingest batch checked
+    against it by ONE equi-join on the 8-byte dHash. The index is
+    built on groups 0-14 of the 29-group fixture; the batch carries
+    14 fresh-group images (must be ADMITTED and join the index
+    atomically) and 15 byte-distinct re-noised copies of indexed
+    images (generator id d+29: same group => same fingerprint through
+    the REAL encode->decode->hash chain, different variant => different
+    payload bytes — an md5 index would miss every one). dup_of = the
+    smallest indexed id sharing the fingerprint; the oracle replays
+    the expected dup set and fingerprints from the generating
+    formulas. Per-batch cost is independent of corpus size beyond the
+    16-bytes-per-image index scan — dedup as continuous ingestion.
+    A Hamming-radius variant would band the index like
+    phash_neardup_pairs."""
+    import os
+    import shutil
+
+    from python_plugins_spark.operators.phash import (
+        image_dhash, phash_index_build, phash_index_ingest,
+        synth_block_image_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    base_ids = docs.filter(
+        (F.col("doc_id") < 300) & (F.col("doc_id") % 29 < 15)
+    )
+    h_base = image_dhash(
+        synth_block_image_payloads(base_ids, "doc_id", groups=29),
+        "doc_id", "payload",
+    )
+    idx = os.path.join(
+        _SCRATCH, f"phash_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    phash_index_build(h_base, "doc_id", idx)
+
+    fresh_gen = docs.filter(
+        (F.col("doc_id") >= 15) & (F.col("doc_id") <= 28)
+    )
+    copy_gen = docs.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 29).alias("doc_id")
+    )
+    h_fresh = image_dhash(
+        synth_block_image_payloads(fresh_gen, "doc_id", groups=29),
+        "doc_id", "payload",
+    ).select((F.col("doc_id") + 1000000).alias("doc_id"), "phash")
+    h_copies = image_dhash(
+        synth_block_image_payloads(copy_gen, "doc_id", groups=29),
+        "doc_id", "payload",
+    ).select((F.col("doc_id") - 29 + 2000000).alias("doc_id"), "phash")
+
+    admitted, dups = phash_index_ingest(
+        h_fresh.unionByName(h_copies), "doc_id", idx
+    )
+    n_admitted = admitted.count()
+    assert n_admitted == 14, f"expected 14 fresh admissions, got {n_admitted}"
+    return dups

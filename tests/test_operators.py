@@ -2945,3 +2945,47 @@ def test_jpeg_dct_quantization_ties_are_blas_independent():
         ideal = (v - 128) / 2.0
         r = int(np.trunc(ideal + np.sign(ideal) * 0.5))  # half away
         assert int(dec[0, 0]) == max(0, min(255, 2 * r + 128)) == want, v
+
+
+def test_phash_index_append_is_durable(spark, tmp_path):
+    """Admitted fingerprints join the Delta index atomically: a
+    SECOND batch containing byte-distinct copies of the FIRST batch's
+    admissions must flag them as duplicates of those newly admitted
+    ids."""
+    from python_plugins_spark.operators.phash import (
+        image_dhash, phash_index_build, phash_index_ingest,
+        synth_block_image_payloads,
+    )
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "phash_idx")
+
+    def hashed(ids, relabel=0):
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        h = image_dhash(
+            synth_block_image_payloads(df, "doc_id", groups=29),
+            "doc_id", "payload",
+        )
+        if relabel:
+            h = h.select(
+                (F.col("doc_id") + relabel).alias("doc_id"), "phash"
+            )
+        return h
+
+    phash_index_build(hashed([0, 1, 2]), "doc_id", idx)  # groups 0-2
+    # batch 1: fresh groups 5,6 admitted; copy of group 1 flagged
+    adm1, dup1 = phash_index_ingest(
+        hashed([5, 6]).unionByName(hashed([1 + 29], relabel=1000)),
+        "doc_id", idx,
+    )
+    assert sorted(r.doc_id for r in adm1.collect()) == [5, 6]
+    d1 = dup1.collect()
+    assert len(d1) == 1 and d1[0].dup_of == 1
+    # batch 2: byte-distinct copy of batch-1's admitted group 5
+    # (generator 5+29: same fingerprint, different bytes)
+    adm2, dup2 = phash_index_ingest(
+        hashed([5 + 29], relabel=2000), "doc_id", idx,
+    )
+    assert adm2.count() == 0
+    d2 = dup2.collect()
+    assert len(d2) == 1 and d2[0].dup_of == 5 and d2[0].doc_id == 2034

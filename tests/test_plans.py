@@ -806,3 +806,29 @@ def test_image_phash_neardup_band_join_shape(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert count_shuffles(df) <= 6
+
+
+def test_incremental_phash_ingest_join_shape(spark, sf_dir):
+    """The index check is one fingerprint equi-join + the admission
+    aggregate — no cartesian, bounded exchanges."""
+    import os
+    import shutil
+
+    from python_plugins_spark.plans import plan_str
+    from python_plugins_spark.operators.phash import (
+        image_dhash, phash_index_build, phash_index_ingest,
+        synth_block_image_payloads,
+    )
+
+    ids = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    h = image_dhash(
+        synth_block_image_payloads(ids, "doc_id", groups=29),
+        "doc_id", "payload",
+    )
+    idx = "/root/repo/.scratch/phash_plan_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    phash_index_build(h, "doc_id", idx)
+    _, dups = phash_index_ingest(h, "doc_id", idx, append=False)
+    p = plan_str(dups)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
