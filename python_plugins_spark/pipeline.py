@@ -666,6 +666,48 @@ def run_pipeline(
             if action == "filter":
                 out = out.filter("allowed").drop("allowed")
             frames[name] = out
+        elif stype == "transform.perceptual_hash":
+            # multimodal fingerprint (operators/phash.py): modality
+            # image -> dHash (phash), audio -> energy envelope (afp),
+            # video -> sampled-frame md5 (vfp). action "annotate"
+            # (default) appends the fingerprint; "dedup" keeps the
+            # min-id row per fingerprint (one hash-partitioned window
+            # — the exact-dedup shuffle shape).
+            need(1)
+            from python_plugins_spark.operators import phash as _P
+
+            modality = cfg.get("modality", "image")
+            fn = {
+                "image": (_P.image_dhash, "phash"),
+                "audio": (_P.audio_fingerprint, "afp"),
+                "video": (_P.video_fingerprint, "vfp"),
+            }.get(modality)
+            if fn is None:
+                raise PipelineSpecError(
+                    f"stage {name!r}: perceptual_hash modality must be "
+                    f"image|audio|video, got {modality!r}"
+                )
+            action = cfg.get("action", "annotate")
+            if action not in ("annotate", "dedup"):
+                raise PipelineSpecError(
+                    f"stage {name!r}: perceptual_hash action must be "
+                    f"annotate|dedup, got {action!r}"
+                )
+            idf = cfg.get("idField", "doc_id")
+            hasher, hcol = fn
+            out = hasher(
+                ins[0], idf, cfg.get("payloadField", "payload")
+            )
+            if action == "dedup":
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(hcol)
+                out = (
+                    out.withColumn("_min_id", F.min(idf).over(w))
+                    .filter(F.col(idf) == F.col("_min_id"))
+                    .drop("_min_id")
+                )
+            frames[name] = out
         elif stype == "transform.robots_extras":
             # Sitemap + Crawl-delay extraction (RFC 9309 group
             # selection; operators/robots.py:robots_extras). Appends

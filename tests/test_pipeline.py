@@ -1565,3 +1565,51 @@ def test_pipeline_binary_content_routing(spark, tmp_path):
     kept = frames["textpath"].collect()
     assert [r.doc_id for r in kept] == [1]
     assert kept[0].body == "plain text body"
+
+
+def test_pipeline_perceptual_hash_stage(spark, tmp_path):
+    """The perceptual_hash stage fingerprints image payloads inside a
+    SPEC and its dedup action keeps the min-id copy per fingerprint —
+    byte-distinct noise variants collapse with zero custom code in the
+    spec."""
+    from python_plugins_spark.operators.phash import (
+        synth_block_image_payloads,
+    )
+
+    ids = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    src = str(tmp_path / "phash_stage_src.parquet")
+    # 4 perceptual groups, 3 byte-distinct variants each
+    synth_block_image_payloads(ids, "doc_id", groups=4).write.parquet(src)
+
+    frames = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "batchsource.parquet",
+             "config": {"path": src}},
+            {"name": "fp", "type": "transform.perceptual_hash",
+             "config": {"modality": "image", "action": "annotate"}},
+            {"name": "dedup", "type": "transform.perceptual_hash",
+             "config": {"modality": "image", "action": "dedup"}},
+        ],
+        "connections": [
+            {"from": "src", "to": "fp"},
+            {"from": "src", "to": "dedup"},
+        ],
+    })
+    assert frames["fp"].select("phash").distinct().count() == 4
+    kept = sorted(r.doc_id for r in frames["dedup"].collect())
+    assert kept == [0, 1, 2, 3]  # min id per dHash group
+
+    import pytest
+
+    from python_plugins_spark.pipeline import PipelineSpecError
+
+    with pytest.raises(PipelineSpecError, match="modality"):
+        run_pipeline(spark, {
+            "stages": [
+                {"name": "src", "type": "batchsource.parquet",
+                 "config": {"path": src}},
+                {"name": "bad", "type": "transform.perceptual_hash",
+                 "config": {"modality": "text"}},
+            ],
+            "connections": [{"from": "src", "to": "bad"}],
+        })
