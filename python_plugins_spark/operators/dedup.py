@@ -400,10 +400,11 @@ def ngram_containment_pairs(
         F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle)).alias("s"),
     ).filter(F.size("s") > 0)
     # The shingle-set projection feeds the inverted index, the prefix
-    # ranking, and both verify sides — persist it so the corpus is
-    # tokenized/shingled once (MEMORY_AND_DISK, spills rather than
-    # recomputes at 100 TB).
-    sh = sh.persist()
+    # ranking, and both verify sides — materialize it so the corpus is
+    # tokenized/shingled once (localCheckpoint stores MEMORY_AND_DISK
+    # and spills rather than recomputes at 100 TB; unlike a bare
+    # persist() its blocks release on GC, not at session end).
+    sh = sh.localCheckpoint(eager=True)
     if candidates is None:
         # n_sh rides through the explode as size(s) — no second
         # per-doc window pass just to count shingles
@@ -806,9 +807,10 @@ def repeated_ngram_spans(
     )
     # The gram frame (one narrow row per token: id, pos, 8-byte hash)
     # feeds both the occurrence count and the repeated-position
-    # semi-join; persist it so the per-doc sort + n lead() windows run
-    # once, not once per consumer.
-    grams = grams.persist()
+    # semi-join; materialize it so the per-doc sort + n lead() windows
+    # run once, not once per consumer (localCheckpoint: blocks release
+    # on GC, not at session end).
+    grams = grams.localCheckpoint(eager=True)
     hot = (
         grams.groupBy("_h")
         .agg(F.count("*").alias("_c"))
@@ -918,7 +920,7 @@ def mask_repeated_spans(
 
     tok = df.select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tk")
-    ).persist()  # shared by the span detector and the anti-join side
+    ).localCheckpoint(eager=True)  # shared by span detector + anti-join side
     spans = repeated_ngram_spans(
         df, text_col, id_col, n=n, min_dups=min_dups, tok=tok
     )

@@ -312,6 +312,35 @@ class TransformResult:
             self._tagged.unpersist()
         return self
 
+    def localCheckpoint(self, eager: bool = True) -> "TransformResult":
+        """Materialize the tagged frame ONCE and re-derive the port
+        views from the checkpointed blocks — the multi-consumer
+        barrier without the session-lifetime cache leak of
+        ``persist()`` (localCheckpoint blocks release when the frame
+        is GC'd, so registry sweeps don't accumulate cached
+        partitions — the repo's persist-lifecycle convention)."""
+        if self._tagged is None:
+            return self
+        tagged = self._tagged.localCheckpoint(eager=eager)
+        out_names = self.output.columns
+        return TransformResult(
+            output=tagged.filter(F.col("_port") == PORT_OUT).select(*out_names),
+            errors=(
+                tagged.filter(F.col("_port") == PORT_ERROR).select("_error.*")
+                if self.errors is not None
+                else None
+            ),
+            alerts=(
+                tagged.filter(F.col("_port") == PORT_ALERT).select(
+                    F.col("_alert").alias("alert")
+                )
+                if self.alerts is not None
+                else None
+            ),
+            _tagged=tagged,
+            _accumulators=self._accumulators,
+        )
+
 
 def python_transform(
     df: DataFrame,

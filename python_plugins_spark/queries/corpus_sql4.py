@@ -533,7 +533,7 @@ def tfidf_cosine_pairs(spark, sf_dir):
     # re-tokenized once per reference (16 scans at plan time). Persist
     # collapses the diamond to one tokenization — at 100 TB this is the
     # difference between 1x and 4x corpus I/O.
-    w = w.persist()
+    w = w.localCheckpoint(eager=True)  # released on GC, not session-lifetime
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn"))
     a = w.alias("a")
     b = w.alias("b")
@@ -1083,7 +1083,7 @@ def kmeans_embeddings_3iter(spark, sf_dir):
     ).select(
         "vec_id", (F.col("pos") + 1).alias("dim"), F.col("x").cast("double").alias("val")
     )
-    v = v.persist()
+    v = v.localCheckpoint(eager=True)  # released on GC, not session-lifetime
     c = (
         v.filter(F.col("vec_id").isin(0, 10, 20, 30))
         .select(
@@ -1251,7 +1251,9 @@ def bigram_perplexity_docs(spark, sf_dir):
         F.element_at("t", F.col("i")).alias("w1"),
         F.element_at("t", F.col("i") + 1).alias("w2"),
     )
-    bg = bg.persist()  # model build + scoring share one tokenization pass
+    # model build + scoring share one tokenization pass; localCheckpoint
+    # so the blocks release on GC instead of accumulating across sweeps
+    bg = bg.localCheckpoint(eager=True)
     cab = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
     ca = cab.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
     v = cab.select(F.countDistinct("w2").alias("v")).first()[0]

@@ -96,9 +96,14 @@ def kneser_ney_bigram_docs(spark, sf_dir):
         F.element_at("t", F.col("i")).alias("w1"),
         F.element_at("t", F.col("i") + 1).alias("w2"),
     )
-    bg = bg.persist()  # one tokenization pass feeds model + scoring
+    # one tokenization pass feeds model + scoring; localCheckpoint (not
+    # persist): blocks are released when the frame is GC'd, so registry
+    # sweeps don't accumulate cached partitions (same lifecycle fix as
+    # PMI below — persist() without unpersist leaked for the session)
+    bg = bg.localCheckpoint(eager=True)
     cab = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
-    cab = cab.persist()  # ca/cb/T are all re-aggregations of cab
+    # ca/cb/T are all re-aggregations of cab
+    cab = cab.localCheckpoint(eager=True)
     ca = cab.groupBy("w1").agg(
         F.sum("c_ab").alias("c_a"), F.count("*").alias("n1f")
     )

@@ -214,7 +214,10 @@ def transform(record, emitter, context):
     emitter.emit(record)
 """
     res = python_transform(c, script=script, on_error="route")
-    res.persist()
+    # localCheckpoint, not persist: ok + bad both read the tagged
+    # frame; checkpoint blocks release on GC instead of living for
+    # the session lifetime across registry sweeps
+    res = res.localCheckpoint(eager=True)
     ok = res.output.select(F.lit(0).alias("errorCode"))
     bad = res.errors.select(F.col("errorCode"))
     return ok.unionByName(bad).groupBy("errorCode").agg(F.count("*").alias("n"))

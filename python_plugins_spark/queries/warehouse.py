@@ -901,7 +901,10 @@ def vocab_overlap_sources(spark, sf_dir):
         .select("source", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"))
         .distinct()
     )
-    st = st.persist()  # vocab table feeds sizes + both join sides
+    # vocab table feeds sizes + both join sides; localCheckpoint (not
+    # persist) so the blocks release on GC instead of accumulating
+    # across registry sweeps (persist-lifecycle convention)
+    st = st.localCheckpoint(eager=True)
     sizes = st.groupBy("source").agg(F.count("*").alias("nv"))
     a = st.alias("a")
     b = st.alias("b")
