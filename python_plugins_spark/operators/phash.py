@@ -33,7 +33,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -47,6 +47,14 @@ def dhash_bits(
     if width % block or height % block:
         raise ValueError(
             f"dhash_bits: {width}x{height} not divisible by block {block}"
+        )
+    gh_, gw_ = height // block, width // block
+    if gh_ * (gw_ - 1) > 63:
+        # a >=64-position shift on int64 is undefined (numpy would
+        # silently wrap) — refuse loudly, the module convention
+        raise ValueError(
+            f"dhash_bits: {gh_}x{gw_} grid needs {gh_ * (gw_ - 1)} bits; "
+            "only 63 fit in the int64 hash — use a larger block"
         )
     arr = np.asarray(pixels, dtype=np.int64).reshape(height, width, 3)
     luma = (arr[:, :, 0] + 2 * arr[:, :, 1] + arr[:, :, 2]) // 4
@@ -414,19 +422,38 @@ def phash_neardup_pairs(
     bands: int = 4,
     bits: int = 56,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Hamming-radius perceptual matching WITHOUT the O(n²) cross
     join — the SimHash band trick applied to the dHash: split the
     ``bits``-bit fingerprint into ``bands`` equal bands; two hashes
     within Hamming distance d <= bands-1 MUST agree on at least one
-    band (pigeonhole), so candidates come from ``bands`` equi-joins on
-    (band_id, band_value) and only candidates pay the exact
+    band (pigeonhole), so candidates come from per-(band_id,
+    band_value) buckets and only candidates pay the exact
     bit_count(xor) verification. Returns (id_a, id_b, hamming) with
     id_a < id_b, hamming <= max_hamming. ``max_hamming`` must stay
     below ``bands`` or recall is no longer guaranteed — refused
-    loudly. Scale: one band-key shuffle; in-bucket pair counts are
-    quadratic only in the size of each duplicate cluster, the standard
-    LSH shape."""
+    loudly.
+
+    Shape (the minhash_lsh_pairs structure): band rows group into
+    per-bucket sorted (id, hash) ARRAYS — one shuffle on the band
+    key — and pairs are generated locally inside each bucket with
+    array HOFs, no self-join, so the decode+hash subtree upstream
+    (a Python mapInPandas pass) is computed ONCE instead of once per
+    join side. In-bucket pair counts are quadratic in duplicate-
+    cluster size — the standard LSH shape — and real image corpora
+    are full of degenerate clusters (blank thumbnails, tracking
+    pixels, solid-color placeholders) whose dHash is IDENTICAL, so
+    at scale one such cluster makes a single bucket go quadratic:
+    cap it with ``max_bucket`` (buckets larger than the cap are shed
+    BEFORE pair expansion, exactly like its text twin
+    ``minhash_lsh_pairs(max_bucket=)``). The cap provably preserves
+    every pair outside the shed buckets — pytest-pinned
+    (test_phash_skew_cap_bounds_degenerate_cluster) and measured per
+    round (bench_detail.json phash_skew, mirroring lsh_skew).
+    Production recipe: run radius-0 dedup (the ``image_dhash_dedup``
+    window) FIRST so byte-distinct perceptual-identical copies never
+    reach the matcher, then cap what remains."""
     if max_hamming >= bands:
         raise ValueError(
             f"max_hamming={max_hamming} needs at least {max_hamming + 1} "
@@ -437,8 +464,9 @@ def phash_neardup_pairs(
     width = bits // bands
     mask = (1 << width) - 1
     banded = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(hash_col).alias("_h"),
+        F.struct(
+            F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+        ).alias("_m"),
         F.posexplode(
             F.array(
                 *[
@@ -450,20 +478,21 @@ def phash_neardup_pairs(
             )
         ).alias("band_id", "band_val"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    buckets = banded.groupBy("band_id", "band_val").agg(
+        F.sort_array(F.collect_list("_m")).alias("_ms")
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ms") <= max_bucket)
+    buckets = buckets.filter(F.size("_ms") >= 2)
+    pair_structs = F.expr(
+        "flatten(transform(_ms, (x, i) -> "
+        "transform(slice(_ms, i + 2, size(_ms)), "
+        "y -> struct(x.id AS id_a, y.id AS id_b, "
+        "x.h AS _ha, y.h AS _hb))))"
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._h").alias("_ha"),
-            F.col("b._h").alias("_hb"),
-        )
+        buckets.select(F.explode(pair_structs).alias("_p"))
+        .select("_p.id_a", "_p.id_b", "_p._ha", "_p._hb")
         .distinct()
     )
     ham = F.expr("bit_count(_ha ^ _hb)")
@@ -492,18 +521,42 @@ def phash_index_ingest(
     id_col: str,
     index_path: str,
     append: bool = True,
+    dedup_batch: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Check a new batch's fingerprints against the persisted index;
     returns ``(admitted, duplicates)`` — duplicates is (id, phash,
     dup_of) with dup_of the smallest indexed id sharing the
-    fingerprint (radius-0 perceptual identity; a Hamming-radius
-    variant would band the index like phash_neardup_pairs). Survivors
-    append to the index atomically. Per-batch cost is one equi-join
-    on the 8-byte fingerprint — independent of corpus size beyond the
-    index scan, the continuous-ingestion dedup shape."""
+    fingerprint (radius-0 perceptual identity; the Hamming-radius
+    variant is :func:`phash_index_radius_ingest`). Survivors append
+    to the index atomically. Per-batch cost is one equi-join on the
+    8-byte fingerprint — independent of corpus size beyond the index
+    scan, the continuous-ingestion dedup shape.
+
+    ``dedup_batch=True`` first removes INTRA-batch duplicates (min-id
+    survivor per fingerprint WITHIN the batch; losers flag as dups of
+    that survivor), so a batch containing its own copies admits
+    exactly one; otherwise the batch is ASSUMED internally deduped —
+    two byte-distinct copies sharing a fingerprint in the same batch
+    would both be admitted and both pollute the index (same contract
+    as ``minhash_index_ingest``)."""
     from python_plugins_spark.sources.delta_py import read_delta, write_delta
 
     spark = hashed_new.sparkSession
+    intra_dups = None
+    if dedup_batch:
+        tagged = hashed_new.select(
+            id_col,
+            "phash",
+            F.min(id_col)
+            .over(Window.partitionBy("phash"))
+            .alias("_batch_min"),
+        )
+        intra_dups = tagged.filter(F.col(id_col) != F.col("_batch_min")).select(
+            id_col, "phash", F.col("_batch_min").alias("dup_of")
+        )
+        hashed_new = tagged.filter(
+            F.col(id_col) == F.col("_batch_min")
+        ).select(id_col, "phash")
     idx = read_delta(spark, f"{index_path}/phash").select(
         F.col(id_col).alias("_idx_id"), F.col("phash").alias("_idx_hash")
     )
@@ -511,6 +564,107 @@ def phash_index_ingest(
         hashed_new.join(idx, hashed_new["phash"] == idx["_idx_hash"], "left")
         .groupBy(id_col, "phash")
         .agg(F.min("_idx_id").alias("dup_of"))
+    )
+    dups = matched.filter(F.col("dup_of").isNotNull())
+    if intra_dups is not None:
+        dups = dups.unionByName(intra_dups)
+    admitted = matched.filter(F.col("dup_of").isNull()).select(id_col, "phash")
+    if append:
+        admitted = admitted.localCheckpoint(eager=True)
+        dups = dups.localCheckpoint(eager=True)
+        write_delta(admitted, f"{index_path}/phash", mode="append")
+    return admitted, dups
+
+
+def _phash_band_exploded(
+    df: DataFrame, hash_col: str, bands: int, bits: int
+):
+    """(original columns, band_id, band_val) — one row per band of
+    each fingerprint, the shared banding of phash_neardup_pairs and
+    the radius ingest."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    return df.select(
+        "*",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(hash_col), width * k)
+                    .bitwiseAND(mask)
+                    .cast("long")
+                    for k in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+
+
+def phash_index_radius_ingest(
+    hashed_new: DataFrame,
+    id_col: str,
+    index_path: str,
+    bands: int = 4,
+    bits: int = 56,
+    max_hamming: int = 3,
+    append: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Hamming-RADIUS ingest — the variant :func:`phash_index_ingest`'s
+    docstring names: a re-noised or border-edited copy whose dHash
+    differs from an indexed fingerprint by a few bits slips through
+    the radius-0 equi-join, so this one bands the persisted index the
+    way :func:`phash_neardup_pairs` bands a frame (pigeonhole: within
+    distance d <= bands-1 the copy MUST share a band with its
+    original) and verifies candidates with exact bit_count(xor).
+    Returns ``(admitted, duplicates)``; duplicates is (id, phash,
+    dup_of, hamming) with dup_of the smallest indexed id within
+    ``max_hamming``. Survivors append to the index atomically.
+
+    Scale shape: the BATCH's band keys are broadcast, so the band
+    equi-join is map-side over the index scan — no index shuffle, no
+    single hot task even if one band value is common (each index
+    partition streams against the broadcast table; work distributes
+    with the index partitioning). Per-batch cost: one index scan
+    (``bands``x exploded) + a batch-sized aggregate. The index is
+    also SELF-LIMITING against degenerate buckets: every fingerprint
+    admitted through this ingest is > ``max_hamming`` from all
+    earlier ones, so identical-fingerprint clusters (the
+    phash_neardup_pairs ``max_bucket`` pathology) cannot accumulate
+    in the index itself. Batch assumed internally deduped (run the
+    radius-0 ``dedup_batch`` window or image_dhash_dedup first);
+    within-batch near-pairs both admit — documented, same contract
+    as minhash_index_ingest."""
+    from python_plugins_spark.sources.delta_py import read_delta, write_delta
+
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs at least {max_hamming + 1} "
+            f"bands for pigeonhole recall, got {bands}"
+        )
+    if bits % bands:
+        raise ValueError(f"{bits} bits not divisible into {bands} bands")
+    spark = hashed_new.sparkSession
+    idx = read_delta(spark, f"{index_path}/phash").select(
+        F.col(id_col).alias("_idx_id"), F.col("phash").alias("_idx_hash")
+    )
+    idx_banded = _phash_band_exploded(idx, "_idx_hash", bands, bits)
+    new_banded = _phash_band_exploded(
+        hashed_new.select(id_col, "phash"), "phash", bands, bits
+    )
+    hits = (
+        idx_banded.join(
+            F.broadcast(new_banded), on=["band_id", "band_val"]
+        )
+        .filter(F.expr("bit_count(_idx_hash ^ phash)") <= max_hamming)
+        .groupBy(id_col, "phash")
+        .agg(
+            F.min("_idx_id").alias("dup_of"),
+            F.min_by(
+                F.expr("cast(bit_count(_idx_hash ^ phash) as int)"), "_idx_id"
+            ).alias("hamming"),
+        )
+    )
+    matched = hashed_new.select(id_col, "phash").join(
+        hits, on=[id_col, "phash"], how="left"
     )
     dups = matched.filter(F.col("dup_of").isNotNull())
     admitted = matched.filter(F.col("dup_of").isNull()).select(id_col, "phash")

@@ -3092,7 +3092,13 @@ def image_phash_neardup_pairs(spark, sf_dir):
     with the exact theta join — the banded path must equal the
     exhaustive baseline. Plan: narrow decode/hash maps, one band-key
     shuffle, bucket-local candidates (quadratic only inside duplicate
-    clusters — the standard LSH shape)."""
+    clusters — the standard LSH shape). At scale, degenerate clusters
+    (solid-color placeholders with one shared dHash) are shed with
+    the operator's ``max_bucket`` cap — the minhash_lsh_pairs twin,
+    proven clean-pair-preserving by
+    test_phash_skew_cap_bounds_degenerate_cluster and measured per
+    round (bench_detail.json phash_skew); the gate query runs
+    uncapped so it stays bit-equal to the exhaustive oracle."""
     from python_plugins_spark.operators.phash import (
         image_dhash, phash_neardup_pairs, synth_block_image_payloads,
     )
@@ -3194,6 +3200,118 @@ def incremental_phash_ingest(spark, sf_dir):
     admitted, dups = phash_index_ingest(
         h_fresh.unionByName(h_copies), "doc_id", idx
     )
+    n_admitted = admitted.count()
+    assert n_admitted == 14, f"expected 14 fresh admissions, got {n_admitted}"
+    return dups
+
+
+def _dhash_variant_expr(g: str, v: int) -> str:
+    """56-bit dHash generator expression under the variant_blocks
+    fixture: rightmost-column blocks of rows 0..v-1 are WHITENED
+    (luma 255 > any base luma <= 88); everything else is the base
+    block formula. v is a literal so the whitening is resolved at
+    SQL-generation time."""
+    def luma(bx: int, by: int) -> str:
+        if bx == 7 and by < v:
+            return "255"
+        return (
+            f"((({g})*31 + {bx}*7 + {by}*13) % 97"
+            f" + 2*((({g})*17 + {bx}*11 + {by}*3) % 89)"
+            f" + ((({g})*23 + {bx}*5 + {by}*19) % 83)) // 4"
+        )
+
+    terms = [
+        f"(CASE WHEN ({luma(c + 1, r)}) > ({luma(c, r)})"
+        f" THEN {1 << (r * 7 + c)} ELSE 0 END)"
+        for r in range(8)
+        for c in range(7)
+    ]
+    return "CAST(" + "\n         + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "incremental_phash_radius_ingest",
+    oracle=f"""
+    -- the 15 near-copies (generator id d = 3g+58: same group 3g%29 as
+    -- indexed base 3g, variant v=1 whitens one block => Hamming 0-1
+    -- from the base) must flag against their base id d-58 with the
+    -- exact distance; the 14 fresh-group docs (>= 9 bits from every
+    -- indexed hash, measured) are admitted and do not appear here
+    WITH c AS (
+      SELECT doc_id,
+             {_dhash_variant_expr("doc_id % 29", 1)} AS phash,
+             {_dhash_variant_expr("doc_id % 29", 0)} AS base_hash
+      FROM documents
+      WHERE doc_id >= 58 AND doc_id <= 100 AND doc_id % 3 = 1
+    )
+    SELECT doc_id, phash, doc_id - 58 AS dup_of,
+           CAST(bit_count(xor(phash, base_hash)) AS INTEGER) AS hamming
+    FROM c
+    """,
+)
+def incremental_phash_radius_ingest(spark, sf_dir):
+    """Hamming-RADIUS incremental image ingest (operators/phash.py:
+    phash_index_radius_ingest) — the gap its radius-0 sibling's
+    docstring names: a RE-NOISED copy (border whitened, a few gradient
+    bits flipped) slips through the radius-0 fingerprint equi-join, so
+    this bands the persisted Delta index the way phash_neardup_pairs
+    bands a frame (4 x 14-bit pigeonhole bands) and verifies
+    candidates with exact bit_count(xor) <= 3. Fixture through the
+    REAL encode->decode->hash chain: the index holds 15 base images
+    (generator ids 3g, one per group, variant 0); the batch carries 14
+    fresh-group images (>= 9 bits from every indexed hash — measured,
+    must be ADMITTED) and 15 variant-1 copies (ids 3g+58: same group,
+    whitened rightmost block => Hamming 0-1 from their base — a
+    radius-0 ingest admits the distance-1 ones; THIS one flags every
+    copy with its exact distance). The oracle replays both hash
+    families from the generating formulas, codec-independent.
+    Plan: the batch's band keys BROADCAST, so the band join is
+    map-side over the index scan — no index shuffle, no hot task; the
+    index is self-limiting (every admitted print is > radius from all
+    earlier ones, so degenerate identical-fingerprint clusters cannot
+    accumulate). Durability across batches is pytest-pinned
+    (test_phash_radius_ingest_second_batch)."""
+    import os
+    import shutil
+
+    from python_plugins_spark.operators.phash import (
+        image_dhash, phash_index_build, phash_index_radius_ingest,
+        synth_block_image_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    base_ids = docs.filter((F.col("doc_id") < 45) & (F.col("doc_id") % 3 == 0))
+    h_base = image_dhash(
+        synth_block_image_payloads(
+            base_ids, "doc_id", groups=29, variant_blocks=True
+        ),
+        "doc_id", "payload",
+    )
+    idx = os.path.join(
+        _SCRATCH, f"phash_radius_idx_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    phash_index_build(h_base, "doc_id", idx)
+
+    batch_ids = docs.filter(
+        (
+            (F.col("doc_id") >= 45)
+            & (F.col("doc_id") <= 84)
+            & (F.col("doc_id") % 3 == 0)
+        )
+        | (
+            (F.col("doc_id") >= 58)
+            & (F.col("doc_id") <= 100)
+            & (F.col("doc_id") % 3 == 1)
+        )
+    )
+    h_batch = image_dhash(
+        synth_block_image_payloads(
+            batch_ids, "doc_id", groups=29, variant_blocks=True
+        ),
+        "doc_id", "payload",
+    )
+    admitted, dups = phash_index_radius_ingest(h_batch, "doc_id", idx)
     n_admitted = admitted.count()
     assert n_admitted == 14, f"expected 14 fresh admissions, got {n_admitted}"
     return dups

@@ -2989,3 +2989,148 @@ def test_phash_index_append_is_durable(spark, tmp_path):
     assert adm2.count() == 0
     d2 = dup2.collect()
     assert len(d2) == 1 and d2[0].dup_of == 5 and d2[0].doc_id == 2034
+
+
+def test_phash_skew_cap_bounds_degenerate_cluster(spark):
+    """The max_bucket cap (the minhash_lsh_pairs twin): a planted
+    degenerate cluster — 60 images with IDENTICAL dHash, the
+    solid-color-placeholder pathology — makes every band bucket it
+    touches quadratic (1770 pairs uncapped); the cap sheds those
+    buckets BEFORE pair expansion while preserving every clean
+    near-dup pair exactly."""
+    from python_plugins_spark.operators.phash import phash_neardup_pairs
+
+    degenerate = [(i, 0x00ABCDEF) for i in range(60)]
+    h1 = (1 << 55) | (1 << 30) | 0xFF
+    h2 = (1 << 50) | (1 << 25) | 0xF0F0
+    clean = [
+        (1001, h1), (1002, h1 ^ 1),              # distance 1
+        (1003, h2), (1004, h2 ^ (1 << 15)),      # distance 1
+    ]
+    df = spark.createDataFrame(
+        degenerate + clean, "doc_id long, phash long"
+    )
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in phash_neardup_pairs(df, max_hamming=3).collect()
+    }
+    assert len(uncapped) == 60 * 59 // 2 + 2  # quadratic blow-up is real
+    capped = {
+        (r.id_a, r.id_b)
+        for r in phash_neardup_pairs(df, max_hamming=3, max_bucket=8).collect()
+    }
+    assert capped == {(1001, 1002), (1003, 1004)}  # clean pairs preserved
+    clean_uncapped = {p for p in uncapped if p[0] > 1000}
+    assert capped == clean_uncapped
+
+
+def test_dhash_bits_refuses_overflow_grid():
+    """A grid needing more than 63 bits would shift int64 past its
+    width (undefined in numpy, silently garbage) — refused loudly,
+    per the module convention."""
+    import pytest
+
+    from python_plugins_spark.operators.phash import dhash_bits
+
+    pixels = [(0, 0, 0)] * (32 * 32)
+    with pytest.raises(ValueError, match="63"):
+        dhash_bits(32, 32, pixels, block=1)  # 32x32 grid -> 992 bits
+
+
+def test_phash_index_ingest_dedup_batch(spark, tmp_path):
+    """dedup_batch=True: two byte-distinct copies sharing a
+    fingerprint WITHIN one batch admit exactly one (min id), the
+    other flags as its dup — without the flag both would pollute
+    the index (the documented assumed-internally-deduped contract)."""
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.operators.phash import (
+        image_dhash, phash_index_build, phash_index_ingest,
+        synth_block_image_payloads,
+    )
+
+    idx = str(tmp_path / "phash_idx")
+
+    def hashed(ids, relabel=0):
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        h = image_dhash(
+            synth_block_image_payloads(df, "doc_id", groups=29),
+            "doc_id", "payload",
+        )
+        if relabel:
+            h = h.select(
+                (F.col("doc_id") + relabel).alias("doc_id"), "phash"
+            )
+        return h
+
+    phash_index_build(hashed([0]), "doc_id", idx)  # group 0 only
+    # batch: group 5 twice (generators 5 and 5+29 — byte-distinct,
+    # same fingerprint), relabeled to ids 1005 / 1034
+    batch = hashed([5], relabel=1000).unionByName(
+        hashed([5 + 29], relabel=1000)
+    )
+    adm, dup = phash_index_ingest(batch, "doc_id", idx, dedup_batch=True)
+    assert [r.doc_id for r in adm.collect()] == [1005]
+    d = dup.collect()
+    assert len(d) == 1 and d[0].doc_id == 1034 and d[0].dup_of == 1005
+    # the index holds exactly base + the one admitted print
+    from python_plugins_spark.sources.delta_py import read_delta
+
+    assert read_delta(spark, f"{idx}/phash").count() == 2
+
+
+def test_phash_radius_ingest_second_batch(spark, tmp_path):
+    """Hamming-radius ingest durability: a batch-2 re-noised copy
+    (variant whitening, distance 1 — INVISIBLE to the radius-0
+    equi-join) of a batch-1 ADMISSION must flag against the id
+    batch 1 appended; fresh groups keep admitting."""
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.operators.phash import (
+        image_dhash, phash_index_build, phash_index_ingest,
+        phash_index_radius_ingest, synth_block_image_payloads,
+    )
+
+    idx = str(tmp_path / "phash_radius_idx")
+
+    def hashed(ids, relabel=0):
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        h = image_dhash(
+            synth_block_image_payloads(
+                df, "doc_id", groups=29, variant_blocks=True
+            ),
+            "doc_id", "payload",
+        )
+        if relabel:
+            h = h.select(
+                (F.col("doc_id") + relabel).alias("doc_id"), "phash"
+            )
+        return h
+
+    # index: groups 0 and 3 (generator ids 0, 3 -> variant 0)
+    phash_index_build(hashed([0, 3]), "doc_id", idx)
+    # batch 1: fresh group 6 (id 6, v=0) + variant-1 copy of group 3
+    # (generator 61 = 3+58: same group, whitened block, distance <= 1)
+    adm1, dup1 = phash_index_radius_ingest(
+        hashed([6]).unionByName(hashed([61])), "doc_id", idx
+    )
+    assert [r.doc_id for r in adm1.collect()] == [6]
+    d1 = dup1.collect()
+    assert len(d1) == 1 and d1[0].doc_id == 61
+    assert d1[0].dup_of == 3 and d1[0].hamming <= 1
+    # the radius-0 ingest would have ADMITTED a distance-1 copy —
+    # prove the miss the radius variant closes (fresh index copy)
+    idx0 = str(tmp_path / "phash_r0_idx")
+    phash_index_build(hashed([0, 3]), "doc_id", idx0)
+    variant_copy = hashed([61])
+    base_hash = hashed([3]).collect()[0].phash
+    copy_hash = variant_copy.collect()[0].phash
+    if copy_hash != base_hash:  # distance exactly 1, not 0
+        adm0, _ = phash_index_ingest(variant_copy, "doc_id", idx0)
+        assert adm0.count() == 1  # the radius-0 miss
+    # batch 2: variant-1 copy of batch-1's ADMITTED group 6
+    # (generator 64 = 6+58) -> flags against the appended id 6
+    adm2, dup2 = phash_index_radius_ingest(hashed([64]), "doc_id", idx)
+    assert adm2.count() == 0
+    d2 = dup2.collect()
+    assert len(d2) == 1 and d2[0].dup_of == 6 and d2[0].hamming <= 1
