@@ -9,9 +9,13 @@ character window, so morphology alone ("-ción", "sch", "eau") decides
 even when no stopword appears.
 
 Pipeline position (mirrors ``script_detect_docs``): branch on dominant
-SCRIPT first — Cyrillic/Greek/Han-dominant text routes straight to the
-script-level verdict (ru/el/zh; a per-script trigram model is a data
-change, not a code change); Latin-dominant text is scored against
+SCRIPT first — Cyrillic/Greek/Han/kana/Hangul/Arabic/Devanagari/
+Hebrew/Thai-dominant text routes straight to the script-level verdict
+(ru/el/zh/ja/ko/ar/hi/he/th; Han-dominant text with kana present is
+kanji-bearing Japanese -> 'ja'; per-script trigram models downstream
+are a data change, not a code change — see the Cyrillic and CJK
+tiers), text with NO script character at all is 'unknown';
+Latin-dominant text is scored against
 eight per-language trigram tables (en/de/fr/es/it/pt/nl/sv), with a
 per-trigram confidence MARGIN (best minus second-best log-prob) for
 callers that threshold before trusting the verdict. Scoring is multinomial
@@ -265,17 +269,45 @@ FIXTURE_CORPORA: dict[str, str] = {
 LANGS = ("en", "de", "fr", "es", "it", "pt", "nl", "sv")
 
 # Script routing (the script_detect_docs pipeline position): the Latin
-# trigram model only runs on Latin-dominant text; Cyrillic/Greek/Han
-# dominance routes to the script-level verdict directly. EXPLICIT
-# codepoint ranges (not \p{script} classes) so Java regex, RE2, and
-# the Python reference count identically with zero engine subtleties.
+# trigram model only runs on Latin-dominant text; other script
+# dominance routes to the script-level verdict directly (a per-script
+# trigram model downstream is a data change — the Cyrillic and CJK
+# tiers below). EXPLICIT codepoint ranges (not \p{script} classes) so
+# Java regex, RE2, and the Python reference count identically with
+# zero engine subtleties. Dict order IS the tie-break priority (first
+# wins among equals); a script must have AT LEAST ONE codepoint to
+# win — text with no script characters at all (digits, punctuation)
+# is 'unknown', never a Latin-trigram score (the old latin-tie-at-
+# zero fallback confidently mislabeled every script outside the
+# table; ~10-15% of the web is Arabic/Japanese/Korean/Hindi).
 SCRIPT_RANGES = {
     "latin": "A-Za-zÀ-ɏ",
     "cyrillic": "Ѐ-ӿ",
     "greek": "Ͱ-Ͽ",
-    "han": "一-鿿",
+    "han": "一-鿿",          # U+4E00-9FFF CJK Unified Ideographs
+    "kana": "぀-ヿ",          # U+3040-30FF hiragana + katakana
+    "hangul": "가-힣",        # U+AC00-D7A3 Hangul syllables
+    "arabic": "؀-ۿ",          # U+0600-06FF
+    "devanagari": "ऀ-ॿ",      # U+0900-097F
+    "hebrew": "֐-׿",          # U+0590-05FF
+    "thai": "฀-๿",            # U+0E00-0E7F
 }
-SCRIPT_LANG = {"cyrillic": "ru", "greek": "el", "han": "zh"}
+# Script-level verdicts. Han is the one script shared by two major
+# languages: kanji-bearing JAPANESE can be Han-dominant, so a
+# Han-dominant text with ANY kana present resolves 'ja', pure Han
+# 'zh' (the kana-presence disambiguation; the CJK trigram tier below
+# separates the Han-only overlap by character choice).
+SCRIPT_LANG = {
+    "cyrillic": "ru",
+    "greek": "el",
+    "han": "zh",
+    "kana": "ja",
+    "hangul": "ko",
+    "arabic": "ar",
+    "devanagari": "hi",
+    "hebrew": "he",
+    "thai": "th",
+}
 
 
 def normalize(text: str) -> str:
@@ -331,30 +363,43 @@ def build_profiles(k: int = 300, corpora: dict[str, str] | None = None):
 _LOGP, _OOV = build_profiles()
 
 
+def script_counts_py(text: str) -> dict[str, int]:
+    """Per-script codepoint counts over SCRIPT_RANGES."""
+    return {
+        k: len(re.findall(f"[{rng}]", text))
+        for k, rng in SCRIPT_RANGES.items()
+    }
+
+
 def dominant_script_py(text: str) -> str:
-    """Dominance over the four SCRIPT_RANGES, ties resolved in
-    latin > cyrillic > greek > han order (script_detect's convention)."""
-    c = {k: len(re.findall(f"[{rng}]", text)) for k, rng in SCRIPT_RANGES.items()}
-    if c["latin"] >= c["cyrillic"] and c["latin"] >= c["greek"] and c["latin"] >= c["han"]:
-        return "latin"
-    if c["cyrillic"] >= c["greek"] and c["cyrillic"] >= c["han"]:
-        return "cyrillic"
-    if c["greek"] >= c["han"]:
-        return "greek"
-    return "han"
+    """Dominance over SCRIPT_RANGES: the first script in dict order
+    with a POSITIVE count >= every other script's count; 'none' when
+    the text has no script character at all (digits, punctuation,
+    symbols) — the caller maps 'none' to 'unknown', never to a Latin
+    trigram score."""
+    c = script_counts_py(text)
+    for k in SCRIPT_RANGES:
+        if c[k] > 0 and all(c[k] >= c[o] for o in SCRIPT_RANGES if o != k):
+            return k
+    return "none"
 
 
 def classify_py(text: str) -> str:
     """Scalar reference implementation (tests pin the Spark operator
     against this). Script-dominant non-Latin text routes straight to
-    the script-level verdict (ru/el/zh); Latin-dominant text is scored
-    by the trigram model."""
+    the script-level verdict (ru/el/zh/ja/ko/ar/hi/he/th, with the
+    Han+kana -> 'ja' disambiguation); Latin-dominant text is scored
+    by the trigram model; script-less text is 'unknown'."""
     if text is None:
         return "unknown"
     tgs = char_trigrams(text) if text.strip() else []
     if not tgs:
         return "unknown"
     dom = dominant_script_py(text)
+    if dom == "none":
+        return "unknown"
+    if dom == "han":
+        return "ja" if script_counts_py(text)["kana"] > 0 else "zh"
     if dom != "latin":
         return SCRIPT_LANG[dom]
     scores = [0.0] * len(LANGS)
@@ -477,23 +522,39 @@ def lang_id_ngram(
         lang = LANGS[j]
         others = [sc[o] for o in LANGS if o != lang]
         best = F.when(sc[lang] >= F.greatest(*others), F.lit(lang)).otherwise(best)
-    cnt = {
-        k: F.length(F.regexp_replace(F.col("_t"), f"[^{rng}]", ""))
-        for k, rng in SCRIPT_RANGES.items()
+    # per-script counts as columns (each regex runs once per row, not
+    # once per CASE-chain reference)
+    d = d.select(
+        "*",
+        *[
+            F.length(F.regexp_replace(F.col("_t"), f"[^{rng}]", "")).alias(
+                f"_c_{k}"
+            )
+            for k, rng in SCRIPT_RANGES.items()
+        ],
+    )
+    cnt = {k: F.col(f"_c_{k}") for k in SCRIPT_RANGES}
+
+    def _wins(k: str):
+        # first-in-priority-with-positive-max wins (dict order = the
+        # tie-break; the CASE chain evaluates in that order, so '>='
+        # against every other script is exactly first-wins-ties)
+        c = cnt[k] > 0
+        for o in SCRIPT_RANGES:
+            if o != k:
+                c = c & (cnt[k] >= cnt[o])
+        return c
+
+    verdicts = {
+        "latin": best,
+        # Han+kana -> kanji-bearing Japanese; pure Han -> zh
+        "han": F.when(cnt["kana"] > 0, F.lit("ja")).otherwise(F.lit("zh")),
     }
-    latin_dom = (
-        (cnt["latin"] >= cnt["cyrillic"])
-        & (cnt["latin"] >= cnt["greek"])
-        & (cnt["latin"] >= cnt["han"])
-    )
-    cyr_dom = (cnt["cyrillic"] >= cnt["greek"]) & (cnt["cyrillic"] >= cnt["han"])
-    pred = (
-        F.when(F.col("n_trigrams") == 0, F.lit("unknown"))
-        .when(latin_dom, best)
-        .when(cyr_dom, F.lit(SCRIPT_LANG["cyrillic"]))
-        .when(cnt["greek"] >= cnt["han"], F.lit(SCRIPT_LANG["greek"]))
-        .otherwise(F.lit(SCRIPT_LANG["han"]))
-    )
+    chain = F.lit("unknown")  # no script character at all
+    for k in reversed(list(SCRIPT_RANGES)):
+        v = verdicts.get(k, F.lit(SCRIPT_LANG[k]) if k in SCRIPT_LANG else None)
+        chain = F.when(_wins(k), v).otherwise(chain)
+    pred = F.when(F.col("n_trigrams") == 0, F.lit("unknown")).otherwise(chain)
     # confidence: (best - second-best) log-prob per trigram — what a
     # production pipeline thresholds on before trusting the verdict
     srt = F.sort_array("_sc", asc=False)
@@ -548,6 +609,7 @@ def lang_id_ngram_oracle_sql(table: str, text_col: str, id_col: str) -> str:
         k: f"length(regexp_replace(_t, '[^{_sql_range(rng)}]', '', 'g'))"
         for k, rng in SCRIPT_RANGES.items()
     }
+    count_cols = ",\n             ".join(f"{c[k]} AS c_{k}" for k in SCRIPT_RANGES)
     sel_scores = ", ".join(
         f"round(sc[{j + 1}], 4) AS score_{lang}" for j, lang in enumerate(LANGS)
     )
@@ -559,6 +621,27 @@ def lang_id_ngram_oracle_sql(table: str, text_col: str, id_col: str) -> str:
             f"CASE WHEN sc[{j + 1}] >= greatest({others}) "
             f"THEN '{lang}' ELSE {best} END"
         )
+    # the script branch, generated from the same SCRIPT_RANGES /
+    # SCRIPT_LANG tables as the Spark CASE chain: first script in
+    # priority order with a positive count >= all others wins; Han
+    # resolves ja-if-kana-present; no script at all -> unknown
+    whens = []
+    for k in SCRIPT_RANGES:
+        cond = f"c_{k} > 0 AND " + " AND ".join(
+            f"c_{k} >= c_{o}" for o in SCRIPT_RANGES if o != k
+        )
+        if k == "latin":
+            verdict = best
+        elif k == "han":
+            verdict = "CASE WHEN c_kana > 0 THEN 'ja' ELSE 'zh' END"
+        else:
+            verdict = f"'{SCRIPT_LANG[k]}'"
+        whens.append(f"WHEN {cond}\n                THEN {verdict}")
+    pred_case = (
+        "CASE WHEN n_trigrams = 0 THEN 'unknown'\n                "
+        + "\n                ".join(whens)
+        + "\n                ELSE 'unknown' END"
+    )
     return f"""
     WITH pad AS (
       SELECT {id_col}, {text_col} AS _t,
@@ -580,25 +663,21 @@ def lang_id_ngram_oracle_sql(table: str, text_col: str, id_col: str) -> str:
                    t -> coalesce(_m[t][1], {oov}))),
                (a, b) -> [{add}]) AS sc
       FROM tg CROSS JOIN (SELECT MAP {{{map_entries}}} AS _m)
+    ),
+    cs AS (
+      SELECT *,
+             {count_cols}
+      FROM sc
     )
     SELECT {id_col},
-           CASE WHEN n_trigrams = 0 THEN 'unknown'
-                WHEN {c['latin']} >= {c['cyrillic']}
-                     AND {c['latin']} >= {c['greek']}
-                     AND {c['latin']} >= {c['han']} THEN {best}
-                WHEN {c['cyrillic']} >= {c['greek']}
-                     AND {c['cyrillic']} >= {c['han']}
-                THEN '{SCRIPT_LANG["cyrillic"]}'
-                WHEN {c['greek']} >= {c['han']}
-                THEN '{SCRIPT_LANG["greek"]}'
-                ELSE '{SCRIPT_LANG["han"]}' END AS pred_lang,
+           {pred_case} AS pred_lang,
            n_trigrams,
            CASE WHEN n_trigrams > 0 THEN
              round((list_sort(sc, 'DESC')[1] - list_sort(sc, 'DESC')[2])
                    / n_trigrams::DOUBLE, 6)
            ELSE 0.0 END AS margin,
            {sel_scores}
-    FROM sc
+    FROM cs
     """
 
 
@@ -806,6 +885,249 @@ def lang_id_cyrillic_oracle_sql(table: str, text_col: str, id_col: str) -> str:
     SELECT {id_col},
            CASE WHEN n_trigrams = 0 THEN 'unknown' ELSE {best} END
              AS pred_lang,
+           n_trigrams,
+           CASE WHEN n_trigrams > 0 THEN
+             round((list_sort(sc, 'DESC')[1] - list_sort(sc, 'DESC')[2])
+                   / n_trigrams::DOUBLE, 6)
+           ELSE 0.0 END AS margin,
+           {sel_scores}
+    FROM sc
+    """
+
+
+# ----------------------------------------------------------------- cjk
+# The per-script tier behind the Han/kana/Hangul branch (ask: ja/zh
+# disambiguation beyond kana presence). Branch order is linguistic
+# fact, not statistics: Hangul appears ONLY in Korean, kana ONLY in
+# Japanese, so either's presence decides outright; the trigram model
+# is reached only for the Han-only overlap (Chinese, or the rare
+# kanji-only Japanese fragment), where character CHOICE separates the
+# languages (simplified vs traditional/shinjitai forms, distinct
+# function characters). Same honesty contract as FIXTURE_CORPORA:
+# original prose written for this repo (everyday + technical register
+# per language), profiles derived at import time by the same
+# build_profiles — a DATA change, zero new algorithm code.
+CJK_CORPORA: dict[str, str] = {
+    "zh": (
+        "老图书馆坐落在广场的拐角，每天早晨同样的读者沿着磨旧的石阶走上"
+        "去。他们来这里更多是为了安静，而不是为了书，虽然书架上几乎什么"
+        "都有。外面的集市上，商贩叫卖新鲜的面包和冬天的苹果，里面却只有"
+        "翻动书页的声音。下午下雨的时候，学生们聚在高高的窗边，看着雨水"
+        "沿着街道流下去。管理员认识他们中的大多数人，会为提出请求的人留"
+        "下新到的书。这个地方一点也不现代，但没有人想改变它，因为小城本"
+        "来就应该这样运转，缓慢而齐心。"
+        "现代计算系统通过多层抽象来处理信息。分布式查询引擎把巨大的数据"
+        "集划分到许多机器上，并行地应用过滤和聚合，然后把部分结果合并起"
+        "来。研究人员仔细测量吞吐量和延迟，因为性能更多取决于数据移动，"
+        "而不是纯粹的计算。高效的算法减少网络流量，利用局部性，并且动态"
+        "地分配工作。文档描述了配置项、常见的错误以及生产环境推荐的检查"
+        "方法。"
+    ),
+    "ja": (
+        "古い図書館は広場の角に建っていて、毎朝同じ読者たちがすり減った"
+        "石段を上っていった。彼らは本のためというより静けさのために通っ"
+        "ていたが、棚には好奇心のある人が望むほとんどすべてが並んでいた。"
+        "外では市場の商人が焼きたてのパンと冬の林檎を売る声を張り上げて"
+        "いたけれど、中では頁をめくる音しか聞こえなかった。午後に雨が来"
+        "ると、学生たちは高い窓のそばに集まり、水が通りを流れていくのを"
+        "眺めた。司書はほとんどの利用者の名前を知っていて、頼まれた新刊"
+        "を取り置いてくれた。"
+        "現代の計算機システムは幾つもの抽象層を通して情報を処理する。分"
+        "散問い合わせ処理系は巨大な資料集合を多数の計算機に分割し、絞り"
+        "込みと集約を並列に適用してから部分結果を統合する。研究者は処理"
+        "量と遅延を注意深く測定する。性能は純粋な計算よりも資料の移動に"
+        "左右されるからである。効率の良い算法は通信量を減らし、局所性を"
+        "生かし、仕事を動的に配分する。"
+    ),
+    "ko": (
+        "오래된 도서관은 광장 모퉁이에 서 있었고, 매일 아침 같은 독자들이 "
+        "닳아 버린 돌계단을 올라갔다. 그들은 책보다 고요함을 찾아왔지만, "
+        "서가에는 호기심 많은 사람이 바랄 만한 거의 모든 것이 꽂혀 있었다. "
+        "밖에서는 시장 상인들이 갓 구운 빵과 겨울 사과를 외치며 팔았지만, "
+        "안에서는 책장 넘기는 소리만 들렸다. 오후에 비가 오면 학생들은 높은 "
+        "창가에 모여 물이 거리를 따라 흘러가는 것을 바라보았다. 사서는 "
+        "이용자 대부분의 이름을 알았고, 부탁하는 사람을 위해 신간을 따로 "
+        "챙겨 두었다. "
+        "현대 컴퓨터 시스템은 여러 추상화 계층을 거쳐 정보를 처리한다. "
+        "분산 질의 엔진은 거대한 자료 집합을 많은 기계로 나누고, 필터와 "
+        "집계를 병렬로 적용한 다음 부분 결과를 합친다. 연구자들은 처리량과 "
+        "지연을 주의 깊게 측정하는데, 성능은 순수한 계산보다 자료 이동에 "
+        "더 크게 좌우되기 때문이다. 효율적인 알고리즘은 네트워크 트래픽을 "
+        "줄이고 지역성을 활용하며 작업을 동적으로 분배한다."
+    ),
+}
+CJK_LANGS = tuple(CJK_CORPORA)
+_CJK_LOGP, _CJK_OOV = build_profiles(corpora=CJK_CORPORA)
+
+
+def classify_cjk_py(text: str) -> str:
+    """Scalar reference for the CJK tier (tests pin the Spark
+    operator against this): Hangul presence -> 'ko', kana presence ->
+    'ja' (unique-script facts), else the trigram NB over the Han-only
+    overlap."""
+    if text is None or not text.strip():
+        return "unknown"
+    c = script_counts_py(text)
+    if c["hangul"] > 0:
+        return "ko"
+    if c["kana"] > 0:
+        return "ja"
+    scores = [0.0] * len(CJK_LANGS)
+    for tg in char_trigrams(text):
+        row = _CJK_LOGP.get(tg, _CJK_OOV)
+        for j in range(len(CJK_LANGS)):
+            scores[j] += row[j]
+    best = max(range(len(CJK_LANGS)), key=lambda j: (scores[j], -j))
+    return CJK_LANGS[best]
+
+
+def lang_id_cjk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """(id, pred_lang, n_trigrams, margin, score_zh/ja/ko) — the
+    per-script model downstream of the CJK branch, mirroring
+    lang_id_cyrillic: unique-script presence decides first (Hangul ->
+    'ko', kana -> 'ja' — linguistic facts, zero model risk), and the
+    trigram NB over CJK_CORPORA separates the Han-only overlap by
+    character choice. Same Arrow-batched sequential left-fold as the
+    Latin flagship (bit-identical to the oracle's list_reduce), zero
+    shuffles; the presence counts are JVM regexp expressions."""
+    carry = [c for c in (carry or []) if c != id_col]
+    logp, oov, nl = _CJK_LOGP, _CJK_OOV, len(CJK_LANGS)
+
+    @F.pandas_udf("array<double>")
+    def _score(col: pd.Series) -> pd.Series:
+        out = []
+        for text in col:
+            tgs = (
+                char_trigrams(text)
+                if text is not None and text.strip()
+                else []
+            )
+            acc = [0.0] * nl
+            for tg in tgs:
+                row = logp.get(tg, oov)
+                for j in range(nl):
+                    acc[j] += row[j]
+            out.append([float(len(tgs))] + acc)
+        return pd.Series(out)
+
+    d = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.col(text_col).alias("_t"),
+        _score(F.col(text_col)).alias("_r"),
+    ).select(
+        id_col, *carry, "_t",
+        F.element_at("_r", 1).cast("long").alias("n_trigrams"),
+        F.slice("_r", 2, nl).alias("_sc"),
+    )
+    sc = {lang: F.element_at("_sc", j + 1) for j, lang in enumerate(CJK_LANGS)}
+    best = F.lit(None).cast("string")
+    for j in range(nl - 1, -1, -1):
+        lang = CJK_LANGS[j]
+        others = [sc[o] for o in CJK_LANGS if o != lang]
+        best = F.when(sc[lang] >= F.greatest(*others), F.lit(lang)).otherwise(best)
+    cnt = {
+        k: F.length(
+            F.regexp_replace(F.col("_t"), f"[^{SCRIPT_RANGES[k]}]", "")
+        )
+        for k in ("hangul", "kana")
+    }
+    pred = (
+        F.when(F.col("n_trigrams") == 0, F.lit("unknown"))
+        .when(cnt["hangul"] > 0, F.lit("ko"))
+        .when(cnt["kana"] > 0, F.lit("ja"))
+        .otherwise(best)
+    )
+    srt = F.sort_array("_sc", asc=False)
+    margin = F.when(
+        F.col("n_trigrams") > 0,
+        (F.element_at(srt, 1) - F.element_at(srt, 2))
+        / F.col("n_trigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        id_col,
+        *carry,
+        pred.alias("pred_lang"),
+        "n_trigrams",
+        F.round(margin, 6).alias("margin"),
+        *[F.round(sc[lang], 4).alias(f"score_{lang}") for lang in CJK_LANGS],
+    )
+
+
+def lang_id_cjk_oracle_sql(table: str, text_col: str, id_col: str) -> str:
+    """DuckDB twin of lang_id_cjk: same MAP literal, same trigram
+    windows, same LEFT fold, same presence-branch — bit-identical
+    score sums (the Cyrillic oracle's structure plus the branch)."""
+    from python_plugins_spark.functions import oracle_fragments as O
+
+    nl = len(CJK_LANGS)
+    map_entries = ", ".join(
+        f"'{_sql_q(tg)}': [{', '.join(repr(x) for x in row)}]::DOUBLE[]"
+        for tg, row in sorted(_CJK_LOGP.items())
+    )
+    oov = f"[{', '.join(repr(x) for x in _CJK_OOV)}]::DOUBLE[]"
+    zero = f"[{', '.join('0.0' for _ in CJK_LANGS)}]::DOUBLE[]"
+    add = ", ".join(f"a[{j + 1}] + b[{j + 1}]" for j in range(nl))
+    norm = O.sql_norm_text(text_col)
+
+    def _sql_range(rng: str) -> str:
+        return "".join(
+            ch if ord(ch) < 128 else f"\\x{{{ord(ch):04x}}}" for ch in rng
+        )
+
+    c = {
+        k: (
+            "length(regexp_replace(_t, "
+            f"'[^{_sql_range(SCRIPT_RANGES[k])}]', '', 'g'))"
+        )
+        for k in ("hangul", "kana")
+    }
+    sel_scores = ", ".join(
+        f"round(sc[{j + 1}], 4) AS score_{lang}"
+        for j, lang in enumerate(CJK_LANGS)
+    )
+    best = "NULL"
+    for j in range(nl - 1, -1, -1):
+        lang = CJK_LANGS[j]
+        others = ", ".join(
+            f"sc[{i + 1}]" for i, o in enumerate(CJK_LANGS) if o != lang
+        )
+        best = (
+            f"CASE WHEN sc[{j + 1}] >= greatest({others}) "
+            f"THEN '{lang}' ELSE {best} END"
+        )
+    return f"""
+    WITH pad AS (
+      SELECT {id_col}, {text_col} AS _t,
+             ' ' || {norm} || ' ' AS p
+      FROM {table}
+    ),
+    tg AS (
+      SELECT {id_col}, _t,
+             CASE WHEN p IS NULL OR length(p) < 3 THEN []::VARCHAR[]
+                  ELSE list_transform(range(1, length(p) - 1),
+                                      i -> substr(p, i, 3)) END AS tgs
+      FROM pad
+    ),
+    sc AS (
+      SELECT {id_col}, _t, len(tgs)::BIGINT AS n_trigrams,
+             list_reduce(
+               list_prepend({zero},
+                 list_transform(tgs,
+                   t -> coalesce(_m[t][1], {oov}))),
+               (a, b) -> [{add}]) AS sc
+      FROM tg CROSS JOIN (SELECT MAP {{{map_entries}}} AS _m)
+    )
+    SELECT {id_col},
+           CASE WHEN n_trigrams = 0 THEN 'unknown'
+                WHEN {c['hangul']} > 0 THEN 'ko'
+                WHEN {c['kana']} > 0 THEN 'ja'
+                ELSE {best} END AS pred_lang,
            n_trigrams,
            CASE WHEN n_trigrams > 0 THEN
              round((list_sort(sc, 'DESC')[1] - list_sort(sc, 'DESC')[2])

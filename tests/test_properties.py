@@ -508,11 +508,11 @@ def test_langid_classify_total_function(text):
     lone surrogates excluded by st.text, whitespace soup) yields one of
     the known labels, and the trigram extractor never crashes."""
     from python_plugins_spark.operators.langid import (
-        LANGS, char_trigrams, classify_py,
+        LANGS, SCRIPT_LANG, char_trigrams, classify_py,
     )
 
     label = classify_py(text)
-    assert label in set(LANGS) | {"ru", "el", "zh", "unknown"}
+    assert label in set(LANGS) | set(SCRIPT_LANG.values()) | {"ja", "unknown"}
     if text.strip():
         tgs = char_trigrams(text)
         assert all(len(t) == 3 for t in tgs)
