@@ -820,6 +820,16 @@ def repeated_ngram_spans(
     rep = grams.join(hot, on="_h", how="leftsemi").select(
         id_col, F.col("_pos").alias("_start"), (F.col("_pos") + (n - 1)).alias("_end")
     )
+    return _merge_windows_to_spans(rep, id_col)
+
+
+def _merge_windows_to_spans(rep: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc gaps-and-islands merge of (id, _start, _end) windows
+    into maximal spans ``(id, span_start, span_end, span_tokens)`` —
+    shared by the within-corpus span detector and the cross-document
+    span remover (running-max-end window + cumulative island id)."""
+    from pyspark.sql import Window
+
     wd = Window.partitionBy(id_col).orderBy("_start")
     prev_max_end = F.max("_end").over(
         wd.rowsBetween(Window.unboundedPreceding, -1)
@@ -988,6 +998,223 @@ def mask_repeated_spans_oracle_sql(
           WHERE NOT EXISTS (
             SELECT 1 FROM _cov c
             WHERE c.{id_col} = k.{id_col} AND c.p = k.p
+          )
+        ),
+        _asm AS (
+          SELECT {id_col},
+                 array_to_string(list(tk ORDER BY p), ' ') AS clean_text,
+                 count(*) AS n_tokens
+          FROM _kept GROUP BY {id_col}
+        )
+        SELECT t.{id_col},
+               coalesce(a.clean_text, '') AS clean_text,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               len({toks_t}) - coalesce(a.n_tokens, 0) AS n_removed
+        FROM {table} t LEFT JOIN _asm a ON t.{id_col} = a.{id_col}
+    """
+
+
+def cross_doc_span_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 10,
+) -> DataFrame:
+    """CROSS-document substring dedup with span REMOVAL — the Lee et
+    al. "Deduplicating Training Data" step real pretraining pipelines
+    run between exact and fuzzy dedup: a >= ``n``-token span shared by
+    two or more DOCUMENTS keeps exactly ONE occurrence (the first, in
+    (id, position) order) and every other occurrence is cut out of its
+    document, with order-preserving reassembly. Differs from
+    :func:`mask_repeated_spans` on both axes the name implies: the
+    duplication condition is DISTINCT-DOCUMENT count >= 2 (a document
+    repeating its own boilerplate is untouched here — that is the
+    within-doc operator's job), and the policy is keep-one-canonical
+    (mask_repeated_spans removes ALL occurrences). Returns
+    ``(id, clean_text, n_tokens, n_removed)``.
+
+    Shape (all codegen, no UDFs, no cross join):
+
+    1. n-gram windows with positions (lead() over the exploded token
+       stream — shuffle by id);
+    2. per-hash stats in ONE map-side-combinable aggregate pass:
+       distinct-doc count (two-phase) + the minimum occurrence key
+       (canonical = argmin of id*2^32+pos — an ARITHMETIC key so the
+       DuckDB oracle orders identically with zero struct-comparison
+       subtleties; ids must fit 31 bits and positions 32, refused
+       loudly). No per-hash window sort, so a degenerate boilerplate
+       hash with millions of occurrences costs an aggregate combine,
+       never a single-task sort;
+    3. every occurrence of a cross-doc hash EXCEPT the canonical one
+       becomes a removal window (equi-join on the 8-byte hash);
+    4. gaps-and-islands merge per doc (shared _merge_windows_to_spans),
+       explode covered positions, anti-join the token stream, reorder-
+       preserving reassembly — the mask_repeated_spans mechanics.
+
+    Overlap policy: a token is removed if ANY non-canonical hot window
+    covers it — deterministic and oracle-replayed; when two shared
+    spans overlap in one document, the union of their non-canonical
+    coverage is cut."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tk"),
+    ).localCheckpoint(eager=True)  # shared by gram builder + anti-join side
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_tk")] + [F.lead("_tk", j).over(w) for j in range(1, n)]
+    last = F.lead("_tk", n - 1).over(w)
+    # the 31-bit id bound backing the arithmetic canonical key —
+    # violated ids would silently collide, so they refuse loudly
+    key = F.expr(
+        f"CASE WHEN {id_col} < 0 OR {id_col} >= 2147483648 THEN "
+        f"raise_error('cross_doc_span_dedup: {id_col} exceeds the 31-bit "
+        "canonical-key bound') "
+        f"ELSE CAST({id_col} AS BIGINT) * 4294967296 + CAST(_pos AS BIGINT) "
+        "END"
+    )
+    grams = (
+        tok.select(
+            F.col(id_col),
+            F.col("_pos"),
+            F.concat_ws(" ", *parts).alias("_s"),
+            last.isNotNull().alias("_ok"),
+        )
+        .filter("_ok")
+        .select(
+            id_col,
+            "_pos",
+            hash32(F.col("_s")).alias("_h"),
+            key.alias("_k"),
+        )
+    )
+    # feeds the stats aggregate AND the removal join — one gram pass
+    grams = grams.localCheckpoint(eager=True)
+    stats = (
+        grams.groupBy("_h")
+        .agg(
+            F.countDistinct(id_col).alias("_nd"),
+            F.min("_k").alias("_first"),
+        )
+        .filter(F.col("_nd") >= 2)
+        .select("_h", "_first")
+    )
+    rm = (
+        grams.join(stats, on="_h")
+        .filter(F.col("_k") != F.col("_first"))
+        .select(
+            id_col,
+            F.col("_pos").alias("_start"),
+            (F.col("_pos") + (n - 1)).alias("_end"),
+        )
+    )
+    spans = _merge_windows_to_spans(rm, id_col)
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(F.sequence("span_start", "span_end")).alias("_pos"),
+    )
+    kept = tok.join(covered, on=[id_col, "_pos"], how="left_anti")
+    assembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_tk")))
+            ).alias("_ordered"),
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ", F.expr("transform(_ordered, x -> x._tk)")
+            ).alias("clean_text"),
+            F.size("_ordered").cast("long").alias("n_tokens"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("_total"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        totals.join(assembled, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens", zero).alias("n_tokens"),
+            (F.col("_total") - F.coalesce("n_tokens", zero)).alias("n_removed"),
+        )
+    )
+
+
+def cross_doc_span_dedup_oracle_sql(
+    table: str, text_col: str, id_col: str, n: int = 10
+) -> str:
+    """DuckDB twin: identical tokenization, hash, arithmetic canonical
+    key, distinct-doc condition, islands merge, coverage anti-join,
+    and order-preserving reassembly."""
+    toks = O.sql_tokens(text_col)
+    toks_t = O.sql_tokens(f"t.{text_col}")
+    return f"""
+        WITH _tok AS (SELECT {id_col}, {toks} AS t FROM {table}),
+        _grams AS (
+          SELECT {id_col}, u.g['p'] AS p, {O.sql_hash32("u.g['s']")} AS h,
+                 {id_col} * 4294967296 + u.g['p'] AS k
+          FROM (
+            SELECT {id_col},
+                   unnest([{{'p': i - 1,
+                             's': array_to_string(t[i : i + {n - 1}], ' ')}}
+                           for i in range(1, len(t) - {n - 2})]) AS g
+            FROM _tok WHERE len(t) >= {n}
+          ) u
+        ),
+        _stat AS (
+          SELECT h, min(k) AS first_k
+          FROM _grams GROUP BY h
+          HAVING count(DISTINCT {id_col}) >= 2
+        ),
+        _rm AS (
+          SELECT g.{id_col}, g.p AS s, g.p + {n - 1} AS e
+          FROM _grams g JOIN _stat st ON g.h = st.h
+          WHERE g.k <> st.first_k
+        ),
+        _flag AS (
+          SELECT {id_col}, s, e,
+                 CASE WHEN max(e) OVER (PARTITION BY {id_col} ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      IS NULL
+                      OR s > max(e) OVER (PARTITION BY {id_col} ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                 THEN 1 ELSE 0 END AS ni
+          FROM _rm
+        ),
+        _isl AS (
+          SELECT {id_col}, s, e,
+                 sum(ni) OVER (PARTITION BY {id_col} ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM _flag
+        ),
+        _spans AS (
+          SELECT {id_col}, min(s) AS span_start, max(e) AS span_end
+          FROM _isl GROUP BY {id_col}, island
+        ),
+        _cov AS (
+          SELECT {id_col}, unnest(range(span_start, span_end + 1)) AS p
+          FROM _spans
+        ),
+        _tokp AS (
+          SELECT {id_col}, g['p'] AS p, g['tk'] AS tk
+          FROM (
+            SELECT {id_col},
+                   unnest([{{'p': i - 1, 'tk': tt[i]}}
+                           for i in range(1, len(tt) + 1)]) AS g
+            FROM (SELECT {id_col}, {toks} AS tt FROM {table})
+          )
+        ),
+        _kept AS (
+          SELECT kk.{id_col}, kk.p, kk.tk
+          FROM _tokp kk
+          WHERE NOT EXISTS (
+            SELECT 1 FROM _cov c
+            WHERE c.{id_col} = kk.{id_col} AND c.p = kk.p
           )
         ),
         _asm AS (

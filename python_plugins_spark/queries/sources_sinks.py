@@ -1187,6 +1187,60 @@ def mask_repeated_spans_docs(spark, sf_dir):
     return D.mask_repeated_spans(docs, "text", "doc_id", n=8, min_dups=2)
 
 
+_CROSS_DOC_BOILER = (
+    "please accept the standard cookie banner before reading any "
+    "further content today"
+)
+
+
+def _cross_doc_span_oracle() -> str:
+    b = _CROSS_DOC_BOILER
+    inner = D.cross_doc_span_dedup_oracle_sql("fixture", "text", "doc_id", 8)
+    tail = inner.lstrip().removeprefix("WITH")
+    return f"""
+    WITH fixture AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' {b}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    {tail}
+    """
+
+
+@register("cross_doc_span_dedup", oracle=_cross_doc_span_oracle())
+def cross_doc_span_dedup(spark, sf_dir):
+    """CROSS-document substring dedup with span removal (operators/
+    dedup.py cross_doc_span_dedup) — the Lee et al. step between exact
+    and fuzzy dedup that was the round-8 missing item #2: >= 8-token
+    spans shared by two or more DOCUMENTS keep exactly one canonical
+    occurrence (first in (id, position) order) and every other
+    occurrence is cut, with order-preserving reassembly. Differs from
+    mask_repeated_spans on both axes: distinct-document condition
+    (within-doc self-repeats untouched) and keep-one policy (not
+    remove-all). The fixture appends a 12-token boilerplate sentence
+    to every 7th document, so ~14% of the corpus shares a span; doc 0
+    keeps it, every other carrier loses exactly it (plus whatever
+    natural cross-doc 8-gram repeats exist — both engines replay them
+    identically). Shuffle budget: tokenize window (by id) + ONE
+    map-side-combinable per-hash aggregate (distinct-doc count + an
+    arithmetic argmin — no per-hash sort, so boilerplate hashes with
+    millions of occurrences never serialize into one task) + hash
+    equi-join + islands/reassembly windows (by id). No cross join;
+    exact, zero UDFs."""
+    docs = load_table(spark, "documents", sf_dir)
+    fixture = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _CROSS_DOC_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return D.cross_doc_span_dedup(fixture, "text", "doc_id", n=8)
+
+
 @register(
     "iceberg_positional_delete_read",
     oracle="""

@@ -3211,3 +3211,39 @@ def test_lang_id_cjk_model(spark):
     for i, (lang, s) in enumerate(held_out.items()):
         assert got[i].pred_lang == L.classify_cjk_py(s) == lang
         assert got[i].n_trigrams > 0
+
+
+def test_cross_doc_span_dedup_keep_one_semantics(spark):
+    """The Lee-et-al. cross-document span remover: a shared span keeps
+    exactly its FIRST (id, pos) occurrence; a document repeating its
+    OWN span is untouched (distinct-doc condition — that's the
+    within-doc operator's job); ids past the 31-bit canonical-key
+    bound refuse loudly."""
+    import pytest
+
+    from python_plugins_spark.operators.dedup import cross_doc_span_dedup
+
+    rows = [
+        (0, "alpha beta gamma delta unique zero tail"),
+        (1, "prefix one alpha beta gamma delta suffix two"),
+        (2, "red green blue yellow mid red green blue yellow end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in cross_doc_span_dedup(df, "text", "doc_id", n=4).collect()
+    }
+    # canonical occurrence (doc 0) survives intact
+    assert got[0].clean_text == rows[0][1] and got[0].n_removed == 0
+    # the other carrier loses exactly the shared 4 tokens
+    assert got[1].clean_text == "prefix one suffix two"
+    assert got[1].n_removed == 4
+    # self-repeat without a second document: untouched
+    assert got[2].clean_text == rows[2][1] and got[2].n_removed == 0
+
+    big = spark.createDataFrame(
+        [(2**31, "alpha beta gamma delta"), (7, "alpha beta gamma delta x")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="31-bit"):
+        cross_doc_span_dedup(big, "text", "doc_id", n=4).collect()
