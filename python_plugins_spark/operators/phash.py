@@ -173,7 +173,19 @@ def audio_energy_bits(pcm, frames: int = 16) -> int:
     per-frame energy = sum of squared samples (exact int64), one bit
     per adjacent frame pair (louder-next = 1). Phase/polarity edits
     change the bytes but never x², so sign-masked variants collapse
-    to one fingerprint."""
+    to one fingerprint.
+
+    Invariance boundary (property-tested,
+    test_audio_fingerprint_invariances): EXACT under any sign mask
+    and any positive gain (energies scale by k², preserving every
+    comparison); ROBUST to DC offset while 2|c|·|S_i − S_j| stays
+    below the adjacent-frame energy gap (S_i = frame sample sum) —
+    small offsets never flip a bit, an offset comparable to the
+    signal can. NOT invariant under per-frame gain edits (they
+    reorder the envelope — by design: that IS a loudness edit),
+    clipping (squares saturate non-uniformly), or time-stretch
+    (frame boundaries move). Those edits change the fingerprint and
+    are treated as different audio."""
     arr = np.asarray(pcm, dtype=np.int64)
     if len(arr) % frames:
         raise ValueError(

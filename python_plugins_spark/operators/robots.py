@@ -87,26 +87,31 @@ def parse_robots(text: str) -> list[tuple[list[str], list[tuple[bool, str]]]]:
 
 
 def _select_group(groups, agent: str):
-    """Most specific matching product token (longest), else ``*``."""
+    """Most specific matching product token (longest), else ``*``.
+    Returns the WHOLE selected ``(agents, rules)`` group (or None) —
+    robots_allowed consumes the rules, select_crawl_delay the agents:
+    one copy of RFC 9309 group selection shared by both, so the two
+    call sites cannot drift."""
     agent = agent.lower()
-    best_len, best_rules = -1, None
+    best_len, best = -1, None
     for agents, rules in groups:
         for a in agents:
             if a != "*" and a and a in agent and len(a) > best_len:
-                best_len, best_rules = len(a), rules
-    if best_rules is not None:
-        return best_rules
+                best_len, best = len(a), (agents, rules)
+    if best is not None:
+        return best
     for agents, rules in groups:
         if "*" in agents:
-            return rules
+            return (agents, rules)
     return None
 
 
 def robots_allowed(groups, agent: str, path: str) -> bool:
     """RFC 9309 verdict for ``path`` (path + optional query)."""
-    rules = _select_group(groups, agent)
-    if rules is None:
+    sel = _select_group(groups, agent)
+    if sel is None:
         return True
+    _agents, rules = sel
     verdict, best_len = None, -1
     for is_allow, pat in rules:
         if not pat:  # empty pattern matches nothing
@@ -217,20 +222,11 @@ def select_crawl_delay(text: str, agent: str) -> float | None:
     None (it does NOT fall through to the ``*`` group's delay)."""
     groups = parse_robots(text)
     _, delays = parse_robots_extras(text)
-    agent_l = agent.lower()
-    best_len, best_agents = -1, None
-    for agents, _rules in groups:
-        for a in agents:
-            if a != "*" and a and a in agent_l and len(a) > best_len:
-                best_len, best_agents = len(a), agents
-    if best_agents is None:
-        for agents, _rules in groups:
-            if "*" in agents:
-                best_agents = agents
-                break
-    if not best_agents:
+    sel = _select_group(groups, agent)
+    if sel is None:
         return None
-    for a in best_agents:
+    agents, _rules = sel
+    for a in agents:
         if a in delays:
             return delays[a]
     return None

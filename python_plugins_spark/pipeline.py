@@ -74,6 +74,10 @@ Stage types (the platform categories the reference's §2c table maps):
 - ``transform.repetition_filter`` — field?, idField?, action?
   (``filter`` keeps rows passing the Gopher repetition thresholds,
   ``annotate`` appends the 13 signals)
+- ``transform.perceptual_hash`` — modality? (image|audio|video),
+  idField?, payloadField?, action? (``annotate`` appends the
+  fingerprint columns to the full input row via one id equi-join;
+  ``dedup`` keeps the min-id full row per fingerprint)
 - ``batchaggregator.deduplicate`` — uniqueFields,
   filterOperation? {field, function: min|max} (keep one record
   per key, CDAP Deduplicate plugin shape)
@@ -670,9 +674,12 @@ def run_pipeline(
             # multimodal fingerprint (operators/phash.py): modality
             # image -> dHash (phash), audio -> energy envelope (afp),
             # video -> sampled-frame md5 (vfp). action "annotate"
-            # (default) appends the fingerprint; "dedup" keeps the
-            # min-id row per fingerprint (one hash-partitioned window
-            # — the exact-dedup shuffle shape).
+            # (default) appends the fingerprint to the FULL input row
+            # (one id equi-join back onto the input — the hasher's
+            # Arrow batch carries only id+payload); "dedup" keeps the
+            # min-id FULL row per fingerprint (hash-partitioned window
+            # over the fingerprint frame — the exact-dedup shuffle
+            # shape — then the surviving ids join back).
             need(1)
             from python_plugins_spark.operators import phash as _P
 
@@ -695,19 +702,23 @@ def run_pipeline(
                 )
             idf = cfg.get("idField", "doc_id")
             hasher, hcol = fn
-            out = hasher(
+            fp = hasher(
                 ins[0], idf, cfg.get("payloadField", "payload")
             )
             if action == "dedup":
                 from pyspark.sql import Window
 
                 w = Window.partitionBy(hcol)
-                out = (
-                    out.withColumn("_min_id", F.min(idf).over(w))
+                fp = (
+                    fp.withColumn("_min_id", F.min(idf).over(w))
                     .filter(F.col(idf) == F.col("_min_id"))
                     .drop("_min_id")
                 )
-            frames[name] = out
+            # annotate: every input row + fingerprint columns;
+            # dedup: surviving full rows + fingerprint columns
+            frames[name] = ins[0].join(
+                fp, on=idf, how="left" if action == "annotate" else "inner"
+            )
         elif stype == "transform.robots_extras":
             # Sitemap + Crawl-delay extraction (RFC 9309 group
             # selection; operators/robots.py:robots_extras). Appends

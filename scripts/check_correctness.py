@@ -41,8 +41,14 @@ def frame_hash(pdf: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json-out" in args:
+        i = args.index("--json-out")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from python_plugins_spark import get_spark
     from python_plugins_spark.queries import ORACLES, QUERIES
@@ -55,6 +61,7 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
 
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -64,15 +71,22 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
             failures.append(name)
+            results[name] = {"rows": None, "ok": False, "err": "spark_error"}
             continue
         if name not in ORACLES:
             print(f"weak  {name}: rows={len(spark_pdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            results[name] = {
+                "rows": len(spark_pdf), "ok": True, "err": "no_oracle",
+            }
             continue
         try:
             oracle_pdf = con.sql(ORACLES[name]).df()
         except Exception:
             print(f"FAIL  {name}: oracle error\n{traceback.format_exc()}")
             failures.append(name)
+            results[name] = {
+                "rows": len(spark_pdf), "ok": False, "err": "oracle_error",
+            }
             continue
         problems = []
         if len(spark_pdf) != len(oracle_pdf):
@@ -84,6 +98,10 @@ def main() -> int:
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
             failures.append(name)
+            results[name] = {
+                "rows": len(spark_pdf), "ok": False,
+                "err": "; ".join(problems)[:160],
+            }
             # show a small diff sample
             try:
                 cols = sorted(spark_pdf.columns)
@@ -102,6 +120,19 @@ def main() -> int:
         else:
             empty = " EMPTY-RESULT (vacuous match!)" if len(spark_pdf) == 0 else ""
             print(f"ok    {name}: rows={len(spark_pdf)}{empty} [{time.time()-t0:.1f}s]")
+            results[name] = {"rows": len(spark_pdf), "ok": True, "err": None}
+
+    if json_out:
+        # the committed per-query evidence artifact (VERDICT r8 ask #6):
+        # every query's row count + verdict, diffable across rounds
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "queries": results},
+                fh, indent=1, sort_keys=True,
+            )
+        print(f"wrote {json_out} ({len(results)} queries)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()

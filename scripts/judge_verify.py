@@ -66,7 +66,12 @@ def main() -> int:
     print(f"   {tail}")
 
     print(f"== correctness sweep @ {sweep_sf}", flush=True)
-    rc, log, dt = _run([sys.executable, "scripts/check_correctness.py", sweep_sf])
+    rc, log, dt = _run(
+        [
+            sys.executable, "scripts/check_correctness.py", sweep_sf,
+            "--json-out", os.path.join(ROOT, "SWEEP_full.json"),
+        ]
+    )
     fails = re.findall(r"^FAIL\s+(\S+?):", log, re.M)
     counts = {
         "passed": len(re.findall(r"^ok\s", log, re.M)),
@@ -77,6 +82,7 @@ def main() -> int:
         "sf_dir": sweep_sf,
         **counts,
         "failures": sorted(set(fails)),
+        "per_query": "SWEEP_full.json",
         "wall_s": dt,
     }
     print(f"   {counts} failures={sorted(set(fails))}")

@@ -1596,8 +1596,13 @@ def test_pipeline_perceptual_hash_stage(spark, tmp_path):
         ],
     })
     assert frames["fp"].select("phash").distinct().count() == 4
+    # annotate keeps the FULL input row (payload included) + phash
+    assert set(frames["fp"].columns) == {"doc_id", "payload", "phash"}
+    assert frames["fp"].count() == 12
     kept = sorted(r.doc_id for r in frames["dedup"].collect())
     assert kept == [0, 1, 2, 3]  # min id per dHash group
+    # dedup also yields surviving FULL rows, not bare fingerprints
+    assert set(frames["dedup"].columns) == {"doc_id", "payload", "phash"}
 
     import pytest
 

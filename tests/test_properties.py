@@ -566,3 +566,44 @@ def test_bmp_stream_truncation_and_garbage_always_valueerror(data):
             bad = b"XX" + bad[2:]
     with pytest.raises(ValueError):
         parse_bmp_stream(bad)
+
+
+@given(st.data())
+@settings(max_examples=80, deadline=None)
+def test_audio_fingerprint_invariances(data):
+    """The Haitsma-Kalker invariance claim, property-tested: for any
+    synthetic fixture signal, any sign mask, any positive integer
+    gain, and any bounded DC offset, the energy-envelope fingerprint
+    is UNCHANGED; a per-frame gain edit (a genuine loudness change)
+    must CHANGE it. Documents the operator's invariance boundary."""
+    import numpy as np
+
+    from python_plugins_spark.operators.phash import audio_energy_bits
+
+    frames, frame_len = 16, 128
+    g = data.draw(st.integers(min_value=0, max_value=12))
+    k = data.draw(st.integers(min_value=1, max_value=5))
+    c = data.draw(st.integers(min_value=-100, max_value=100))
+    mask_mod = data.draw(st.integers(min_value=1, max_value=4))
+
+    base_pattern = np.array([2, 1, 0, 1] * (frame_len // 4), dtype=np.int64)
+    amps = np.array(
+        [100 + (g * 11 + f * 23) % 173 for f in range(frames)], dtype=np.int64
+    )
+    pcm = -(amps[:, None] * base_pattern[None, :]).reshape(frames * frame_len)
+
+    fp = audio_energy_bits(pcm, frames=frames)
+    # sign mask: x^2 cancels exactly
+    idx = np.arange(len(pcm))
+    sign = np.where(idx % (mask_mod + 1) == 0, -1, 1)
+    assert audio_energy_bits(pcm * sign, frames=frames) == fp
+    # positive gain: energies scale k^2, every comparison preserved
+    assert audio_energy_bits(pcm * k, frames=frames) == fp
+    # bounded DC offset: 2|c||S_i - S_j| stays below the energy gap
+    # for this family (amps >= 100 => gap >= 192*200 per unit
+    # amplitude step vs 256*|c|), so no bit flips
+    assert audio_energy_bits(pcm + c, frames=frames) == fp
+    # NOT invariant: a per-frame gain edit reorders the envelope
+    edited = pcm.copy().reshape(frames, frame_len)
+    edited[0] *= 1000  # frame 0 becomes the loudest
+    assert audio_energy_bits(edited.reshape(-1), frames=frames) != fp
