@@ -302,6 +302,12 @@ def main() -> None:
         "image_phash_neardup_pairs",
         "lang_id_cyrillic_docs",
         "incremental_phash_ingest",
+        # round-9 operators (script coverage + CJK tier, cross-doc
+        # span removal, Hamming-radius index ingest)
+        "lang_id_scripts_docs",
+        "lang_id_cjk_docs",
+        "cross_doc_span_dedup",
+        "incremental_phash_radius_ingest",
     ]
     # Tier tags (round 8): ~50 extras is past eyeballing — per-tier
     # subtotals make a tier regression visible without reading every

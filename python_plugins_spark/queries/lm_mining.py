@@ -426,81 +426,108 @@ def corpus_version_diff(spark, sf_dir):
     )
 
 
-@register(
-    "script_detect_docs",
-    oracle="""
+# Script classes shared by both engines of script_detect_docs: Java
+# \p{IsX} (Spark) and RE2 \p{X} (DuckDB) script classes agree on every
+# injected codepoint. Kana is the Hiragana+Katakana union class. The
+# injected char + modulus per script makes every count column nonzero
+# on a deterministic subset of docs.
+_SCRIPT_DETECT = [
+    # (name, java_class, re2_class, injected_char, modulus)
+    ("latin", r"\p{IsLatin}", r"\p{Latin}", None, None),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}", "Ж", 5),
+    ("greek", r"\p{IsGreek}", r"\p{Greek}", "Ω", 4),
+    ("han", r"\p{IsHan}", r"\p{Han}", "漢", 3),
+    (
+        "kana",
+        r"[\p{IsHiragana}\p{IsKatakana}]",
+        r"[\p{Hiragana}\p{Katakana}]",
+        "あ",
+        6,
+    ),
+    ("hangul", r"\p{IsHangul}", r"\p{Hangul}", "한", 7),
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}", "م", 8),
+    ("devanagari", r"\p{IsDevanagari}", r"\p{Devanagari}", "ह", 9),
+    ("hebrew", r"\p{IsHebrew}", r"\p{Hebrew}", "ש", 10),
+    ("thai", r"\p{IsThai}", r"\p{Thai}", "ไ", 11),
+]
+
+
+def _script_detect_oracle() -> str:
+    inject = "".join(
+        f" || repeat(chr({ord(ch)}), CAST(doc_id % {m} AS INT))"
+        for _, _, _, ch, m in _SCRIPT_DETECT
+        if ch is not None
+    )
+    counts = ",\n             ".join(
+        f"CAST(length(regexp_extract_all(r, '{re2}', 0)) AS BIGINT)"
+        f" AS n_{name}"
+        for name, _, re2, _, _ in _SCRIPT_DETECT
+    )
+    names = [name for name, *_ in _SCRIPT_DETECT]
+    whens = []
+    for k in names:
+        cond = f"n_{k} > 0 AND " + " AND ".join(
+            f"n_{k} >= n_{o}" for o in names if o != k
+        )
+        whens.append(f"WHEN {cond} THEN '{k}'")
+    sel = ", ".join(f"n_{name}" for name in names)
+    return f"""
     WITH raw AS (
-      SELECT doc_id,
-             text || ' ' || repeat(chr(1046), CAST(doc_id % 5 AS INT))
-                  || repeat(chr(937), CAST(doc_id % 4 AS INT))
-                  || repeat(chr(28450), CAST(doc_id % 3 AS INT)) AS r
-      FROM documents
+      SELECT doc_id, text || ' '{inject} AS r FROM documents
     ),
     c AS (
       SELECT doc_id,
-             CAST(length(regexp_extract_all(r, '\\p{Latin}')) AS BIGINT) AS n_latin,
-             CAST(length(regexp_extract_all(r, '\\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
-             CAST(length(regexp_extract_all(r, '\\p{Greek}')) AS BIGINT) AS n_greek,
-             CAST(length(regexp_extract_all(r, '\\p{Han}')) AS BIGINT) AS n_han
+             {counts}
       FROM raw
     )
-    SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han,
-           CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
-                     AND n_latin >= n_han THEN 'latin'
-                WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_han
-                     THEN 'cyrillic'
-                WHEN n_greek >= n_han THEN 'greek'
-                ELSE 'han' END AS dominant
+    SELECT doc_id, {sel},
+           CASE {' '.join(whens)} ELSE 'none' END AS dominant
     FROM c
-    """,
-)
+    """
+
+
+@register("script_detect_docs", oracle=_script_detect_oracle())
 def script_detect_docs(spark, sf_dir):
     """Writing-system (Unicode SCRIPT) detection — the sibling of
-    lang_id the n-gram heuristic can't provide: a Cyrillic or Han
-    document scores garbage under Latin-trigram language ID, so real
-    pipelines branch on script FIRST (script -> per-script lang-id
-    model). Counts per-script codepoints with \\p{script} regex
-    classes — pure JVM expressions (regexp_count), zero Python — and
-    picks the dominant script with a fixed tie-break order. The
-    fixture injects per-document Cyrillic/Greek/Han runs by formula
-    (repeat(chr(..), doc_id % k)) on top of the Latin base text;
-    Java's \\p{IsX} and RE2's \\p{X} script classes agree on every
-    injected codepoint, so counts AND the dominant verdict are
-    hash-checked. One narrow pass over the scan; zero shuffles."""
+    lang_id the n-gram heuristic can't provide: a non-Latin document
+    scores garbage under Latin-trigram language ID, so real pipelines
+    branch on script FIRST (script -> per-script lang-id model).
+    Counts per-script codepoints for all TEN scripts of the langid
+    branch (extended in round 9 alongside SCRIPT_RANGES) with
+    \\p{script} regex classes — pure JVM expressions (regexp_count),
+    zero Python — and picks the dominant script as the first in
+    priority order with a POSITIVE maximal count ('none' when the text
+    has no script character at all, matching langid's
+    unknown-not-latin convention). The fixture injects per-document
+    runs of one character per script by formula (repeat(chr(..),
+    doc_id % k)) on top of the Latin base text; Java's \\p{IsX} and
+    RE2's \\p{X} classes (kana = the Hiragana+Katakana union) agree
+    on every injected codepoint, so all ten counts AND the dominant
+    verdict are hash-checked. One narrow pass; zero shuffles."""
     docs = load_table(spark, "documents", sf_dir)
-    raw = docs.select(
-        "doc_id",
-        F.expr(
-            "text || ' ' || repeat('Ж', CAST(doc_id % 5 AS INT))"
-            " || repeat('Ω', CAST(doc_id % 4 AS INT))"
-            " || repeat('漢', CAST(doc_id % 3 AS INT))"
-        ).alias("r"),
+    inject = "".join(
+        f" || repeat('{ch}', CAST(doc_id % {m} AS INT))"
+        for _, _, _, ch, m in _SCRIPT_DETECT
+        if ch is not None
     )
+    raw = docs.select("doc_id", F.expr(f"text || ' '{inject}").alias("r"))
     c = raw.select(
         "doc_id",
-        F.regexp_count("r", F.lit(r"\p{IsLatin}")).cast("long").alias("n_latin"),
-        F.regexp_count("r", F.lit(r"\p{IsCyrillic}")).cast("long").alias("n_cyrillic"),
-        F.regexp_count("r", F.lit(r"\p{IsGreek}")).cast("long").alias("n_greek"),
-        F.regexp_count("r", F.lit(r"\p{IsHan}")).cast("long").alias("n_han"),
+        *[
+            F.regexp_count("r", F.lit(java)).cast("long").alias(f"n_{name}")
+            for name, java, _, _, _ in _SCRIPT_DETECT
+        ],
     )
-    dom = (
-        F.when(
-            (F.col("n_latin") >= F.col("n_cyrillic"))
-            & (F.col("n_latin") >= F.col("n_greek"))
-            & (F.col("n_latin") >= F.col("n_han")),
-            "latin",
-        )
-        .when(
-            (F.col("n_cyrillic") >= F.col("n_greek"))
-            & (F.col("n_cyrillic") >= F.col("n_han")),
-            "cyrillic",
-        )
-        .when(F.col("n_greek") >= F.col("n_han"), "greek")
-        .otherwise("han")
-    )
+    names = [name for name, *_ in _SCRIPT_DETECT]
+    dom = F.lit("none")
+    for k in reversed(names):
+        cond = F.col(f"n_{k}") > 0
+        for o in names:
+            if o != k:
+                cond = cond & (F.col(f"n_{k}") >= F.col(f"n_{o}"))
+        dom = F.when(cond, F.lit(k)).otherwise(dom)
     return c.select(
-        "doc_id", "n_latin", "n_cyrillic", "n_greek", "n_han",
-        dom.alias("dominant"),
+        "doc_id", *[f"n_{name}" for name in names], dom.alias("dominant")
     )
 
 
