@@ -1172,3 +1172,143 @@ def cross_join_dims(spark, sf_dir):
 
 
 # =====================================================================
+
+
+_LADDER_PRESS = (
+    "identical press release syndicated verbatim across regional news "
+    "portals every single morning edition"
+)
+_LADDER_BOILER = (
+    "annual maritime festival returns with seventeen decorated boats "
+    "parading past the old lighthouse"
+)
+# 7 shared tokens + one per-doc token = 8 total: the one 8-gram window
+# of each near-dup doc contains its unique token, so the span stage
+# provably cannot touch them (no cross-doc 8-gram), while the 3-word
+# shingle Jaccard between any two is 5/7 — a fuzzy-stage-only clique.
+_LADDER_NEAR = "harbor seals gather near the quiet pier city"
+
+
+def _dedup_ladder_oracle() -> str:
+    """The whole ladder replayed in ONE DuckDB query: fixture -> exact
+    window -> cross-doc span removal (nested WITH) -> LSH-free exact
+    near-dup clustering (recursive CTE) -> cluster-keyed split. Each
+    stage reuses the same oracle builder its standalone query uses;
+    stages nest as WITH-inside-CTE blocks so their internal CTE names
+    (_tok, _grams, ...) cannot collide."""
+    span = D.cross_doc_span_dedup_oracle_sql("surv1", "text", "doc_id", 8)
+    cc = D.neardup_clusters_oracle_sql("s2t", "clean_text", "doc_id", 0.5)
+    return f"""
+    WITH fixture AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 3 THEN '{_LADDER_PRESS}'
+                  WHEN doc_id % 13 = 5
+                  THEN '{_LADDER_NEAR}' || CAST(doc_id AS VARCHAR)
+                  WHEN doc_id % 7 = 0 THEN text || ' {_LADDER_BOILER}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id, text,
+             doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+      FROM fixture
+    ),
+    surv1 AS (SELECT doc_id, text FROM s1 WHERE keep),
+    s2 AS ({span}),
+    s2t AS (SELECT doc_id, clean_text FROM s2),
+    cc AS ({cc}),
+    split AS (
+      SELECT doc_id, cluster_id, is_canonical,
+             substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) AS h2
+      FROM cc
+    )
+    SELECT s1.doc_id,
+           CASE WHEN NOT s1.keep THEN 'dropped_exact'
+                WHEN NOT split.is_canonical THEN 'dropped_neardup'
+                WHEN split.h2 < 'e6' THEN 'train'
+                WHEN split.h2 < 'f3' THEN 'val'
+                ELSE 'test' END AS verdict,
+           CAST(coalesce(s2.n_removed, 0) AS BIGINT) AS n_removed
+    FROM s1
+    LEFT JOIN s2 ON s1.doc_id = s2.doc_id
+    LEFT JOIN split ON s1.doc_id = split.doc_id
+    """
+
+
+@register("dedup_ladder_end_to_end", oracle=_dedup_ladder_oracle())
+def dedup_ladder_end_to_end(spark, sf_dir):
+    """The DEDUP capstone — the full production ladder in one
+    composition, the dedup twin of crawl_pipeline_end_to_end: (1)
+    EXACT dedup (min-id per md5(text) — one hash-partitioned window);
+    (2) CROSS-DOCUMENT span removal on the survivors
+    (cross_doc_span_dedup: shared >= 8-token spans keep one canonical
+    occurrence, the Lee-et-al. step); (3) FUZZY near-dup clustering of
+    the cleaned text (MinHash LSH candidates -> exact Jaccard >= 0.5
+    verification -> connected components, min-id canonical); (4)
+    LEAKAGE-SAFE train/val/test split keyed on the near-dup CLUSTER
+    id, so paraphrased copies of a test document can never reach
+    train. Per-document verdict row: dropped_exact / dropped_neardup /
+    train / val / test plus span-removal token accounting. The fixture
+    plants all three pathologies (byte-identical press releases for
+    the exact stage; a shared 13-token boilerplate sentence for the
+    span stage; an 8-token near-dup clique — 7 shared tokens + one
+    per-doc token, so its single 8-gram window is always unique and
+    the span stage provably cannot pre-empt the fuzzy stage, while
+    pairwise shingle Jaccard is 5/7) on top of the corpus's natural
+    near-dups.
+    ONE DuckDB oracle replays the entire ladder (nested-WITH stage
+    blocks + recursive-CTE components), so every verdict and every
+    removed-token count hash-matches end to end. Scale shape: stages
+    1-2 are the audited shapes of their standalone queries; stage 3's
+    iteration runs on the verified PAIR graph (orders of magnitude
+    smaller than the corpus); the split is a projection."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    fixture = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 3, F.lit(_LADDER_PRESS))
+        .when(
+            F.col("doc_id") % 13 == 5,
+            F.concat(F.lit(_LADDER_NEAR), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _LADDER_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    w = Window.partitionBy(F.md5("text"))
+    s1 = fixture.select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
+    surv1 = s1.filter("keep").select("doc_id", "text")
+    s2 = D.cross_doc_span_dedup(surv1, "text", "doc_id", n=8)
+    clusters = D.neardup_clusters(s2, "clean_text", "doc_id", threshold=0.5)
+    h2 = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2)
+    split = clusters.select(
+        "doc_id",
+        "is_canonical",
+        F.when(h2 < "e6", "train")
+        .when(h2 < "f3", "val")
+        .otherwise("test")
+        .alias("_split"),
+    )
+    verdict = (
+        F.when(~F.col("keep"), "dropped_exact")
+        .when(~F.col("is_canonical"), "dropped_neardup")
+        .otherwise(F.col("_split"))
+    )
+    return (
+        s1.select("doc_id", "keep")
+        .join(s2.select("doc_id", "n_removed"), on="doc_id", how="left")
+        .join(split, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            verdict.alias("verdict"),
+            F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
+        )
+    )

@@ -374,10 +374,14 @@ def test_zorder_key_derivation_single_shuffle(spark, sf_dir):
 
 def test_tfidf_cosine_caches_postings(spark, sf_dir):
     """The postings diamond (self-join a/b + norms) must read the
-    persisted relation, not re-tokenize the corpus per reference."""
+    materialized relation, not re-tokenize the corpus per reference.
+    Round 9 moved the barrier from persist() (InMemoryTableScan) to
+    localCheckpoint (Scan ExistingRDD; blocks release on GC) — the
+    invariant is the same: checkpoint scans on every consumer, ZERO
+    file scans downstream of the postings build."""
     df = QUERIES["tfidf_cosine_pairs"](spark, sf_dir)
     p = plan_str(df)
-    assert "InMemoryTableScan" in p
+    assert "Scan ExistingRDD" in p and "FileScan" not in p
     assert has_broadcast_join(df)  # df-prune side stays broadcast
 
 
