@@ -107,6 +107,30 @@ def _env_fingerprint(prev_detail: dict | None) -> dict:
         env["calib_par_procs"] = n
     except Exception as exc:  # fingerprint never fails the bench
         print(f"# parallel calibration failed: {exc}", file=sys.stderr)
+    # MEMORY-BANDWIDTH calibration (round 9): a round-9 idle-box run
+    # measured every query family uniformly ~15% slower than round 8
+    # while BOTH CPU calibrations were at-or-faster-than the committed
+    # values — CPU-bound md5 loops live in L1/L2 and cannot see
+    # degraded DRAM/interconnect throughput, which Spark scans and
+    # shuffles are bound by. Fixed work: stream-copy a 256 MiB numpy
+    # array 4x; GB/s recorded. A cross-round headline delta with
+    # stable calib_s but degraded membw_gbps is the BOX, not the
+    # engine.
+    try:
+        import numpy as _np
+
+        buf_mb = 256
+        a = _np.ones(buf_mb * 1024 * 1024 // 8, dtype=_np.float64)
+        b = _np.empty_like(a)
+        _np.copyto(b, a)  # touch/allocate before timing
+        t0 = time.perf_counter()
+        for _ in range(4):
+            _np.copyto(b, a)
+        dt = time.perf_counter() - t0
+        # 4 copies x (read + write) of buf_mb
+        env["membw_gbps"] = round(4 * 2 * buf_mb / 1024 / dt, 2)
+    except Exception as exc:  # fingerprint never fails the bench
+        print(f"# membw calibration failed: {exc}", file=sys.stderr)
     prev = (prev_detail or {}).get("env", {}).get("calib_s")
     if prev:
         drift = (env["calib_s"] - prev) / prev * 100

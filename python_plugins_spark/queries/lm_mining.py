@@ -2012,3 +2012,59 @@ def lang_id_cjk_docs(spark, sf_dir):
         "doc_id", F.element_at(snips, idx).alias("text")
     )
     return lang_id_cjk(fixture, "text", "doc_id")
+
+
+_ARABIC_SCRIPT_SNIPPETS: list[str] = [
+    # ar: Arabic repertoire only (ي U+064A, no Perso-Arabic letters)
+    "طور الباحثون في الجامعة نظام حوسبة موزعا جديدا وسريعا",
+    # fa: Perso-Arabic extensions پ ژ گ + keheh/farsi-yeh, no Urdu marks
+    "پژوهشگران دانشگاه یک سامانه محاسباتی توزیع شده جدید ساختند",
+    # ur: retroflex ٹ, gol he ہ, yeh barree ے
+    "یونیورسٹی کے محققین نے ایک نیا تقسیم شدہ نظام بنایا ہے",
+]
+
+
+def _lang_id_arabic_script_oracle() -> str:
+    from python_plugins_spark.operators.langid import (
+        lang_id_arabic_script_oracle_sql,
+    )
+
+    snips = ", ".join(
+        "'" + s.replace("'", "''") + "'" for s in _ARABIC_SCRIPT_SNIPPETS
+    )
+    inner = lang_id_arabic_script_oracle_sql("fixture", "text", "doc_id")
+    return f"""
+    WITH fixture AS (
+      SELECT doc_id,
+             ([{snips}])[CAST(doc_id % 3 + 1 AS INTEGER)] AS text
+      FROM documents
+    )
+    {inner.strip()}
+    """
+
+
+@register(
+    "lang_id_arabic_script_docs", oracle=_lang_id_arabic_script_oracle()
+)
+def lang_id_arabic_script_docs(spark, sf_dir):
+    """Per-script ARABIC tier (operators/langid.py:
+    lang_id_arabic_script) — the third tier after Cyrillic and CJK,
+    downstream of the 'arabic' branch: Arabic script is shared by
+    Arabic, Persian, and Urdu, but the orthographies have distinctive
+    letter repertoires (Urdu's retroflex ٹ/ڈ/ڑ, gol he, yeh barree;
+    Perso-Arabic پ/چ/ژ/گ + keheh/farsi-yeh absent from Arabic), so
+    presence decides — linguistic facts, zero model risk, with the
+    documented boundary that repertoire-neutral fragments route 'ar'.
+    Pure JVM regexp expressions, zero Python, ZERO SHUFFLES; the
+    oracle replays the identical codepoint classes (RE2 hex escapes)
+    and CASE chain, so all counts and verdicts hash-match. A pytest
+    pins one held-out sentence per language."""
+    from python_plugins_spark.operators.langid import lang_id_arabic_script
+
+    docs = load_table(spark, "documents", sf_dir)
+    snips = F.array(*[F.lit(s) for s in _ARABIC_SCRIPT_SNIPPETS])
+    idx = (F.col("doc_id") % 3 + 1).cast("int")
+    fixture = docs.select(
+        "doc_id", F.element_at(snips, idx).alias("text")
+    )
+    return lang_id_arabic_script(fixture, "text", "doc_id")

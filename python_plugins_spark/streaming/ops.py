@@ -332,6 +332,50 @@ def stateful_topn_tracker(
     )
 
 
+def _id_ranged_wave_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str,
+    scratch_dir: str,
+    n_waves: int,
+    run: str,
+) -> DataFrame:
+    """Split ``df`` into ``n_waves`` arrival-ordered micro-batch files
+    (ascending ``id_col`` ranges, file mtimes forcing source order) and
+    return the file-source readStream over them — the shared fixture
+    machinery of the online-dedup family."""
+    import os
+    import shutil
+    import time
+
+    waves_dir = os.path.join(scratch_dir, f"waves_{run}")
+    shutil.rmtree(waves_dir, ignore_errors=True)
+    os.makedirs(waves_dir)
+    lo_id, hi_id = df.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    span = (hi_id - lo_id + 1 + n_waves - 1) // n_waves or 1
+    now = time.time()
+    for i in range(n_waves):
+        lo = lo_id + i * span
+        hi = lo + span
+        tmp = os.path.join(scratch_dir, f"wave_tmp_{run}_{i}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.filter((F.col(id_col) >= lo) & (F.col(id_col) < hi)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(waves_dir, f"wave{i}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(waves_dir)
+    )
+
+
 def online_exact_dedup(
     spark: SparkSession,
     df: DataFrame,
@@ -358,7 +402,6 @@ def online_exact_dedup(
     """
     import os
     import shutil
-    import time
     import uuid
 
     from python_plugins_spark.sources.delta_py import read_delta, write_delta
@@ -367,36 +410,9 @@ def online_exact_dedup(
     ensure_session_confs(spark)
     n_rows = df.count()
     run = uuid.uuid4().hex[:8]
-    waves_dir = os.path.join(scratch_dir, f"waves_{run}")
     table = os.path.join(scratch_dir, f"state_{run}")
-    shutil.rmtree(waves_dir, ignore_errors=True)
     shutil.rmtree(table, ignore_errors=True)
-    os.makedirs(waves_dir)
-
-    lo_id, hi_id = df.agg(
-        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
-    ).first()
-    span = (hi_id - lo_id + 1 + n_waves - 1) // n_waves or 1
-    now = time.time()
-    for i in range(n_waves):
-        lo = lo_id + i * span
-        hi = lo + span
-        tmp = os.path.join(scratch_dir, f"wave_tmp_{run}_{i}")
-        shutil.rmtree(tmp, ignore_errors=True)
-        df.filter((F.col(id_col) >= lo) & (F.col(id_col) < hi)).coalesce(
-            1
-        ).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        dst = os.path.join(waves_dir, f"wave{i}.parquet")
-        os.replace(os.path.join(tmp, part), dst)
-        os.utime(dst, (now + 10 * i, now + 10 * i))
-        shutil.rmtree(tmp, ignore_errors=True)
-
-    stream = (
-        spark.readStream.schema(df.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(waves_dir)
-    )
+    stream = _id_ranged_wave_stream(spark, df, id_col, scratch_dir, n_waves, run)
 
     from pyspark.sql import Window
 
@@ -427,3 +443,80 @@ def online_exact_dedup(
     finally:
         q.stop()
     return read_delta(spark, table).select(*keep_cols)
+
+
+def online_radius_phash_dedup(
+    spark: SparkSession,
+    hashed: DataFrame,
+    id_col: str,
+    scratch_dir: str,
+    bands: int = 4,
+    bits: int = 56,
+    max_hamming: int = 3,
+    n_waves: int = 3,
+) -> DataFrame:
+    """Online perceptual dedup at Hamming RADIUS — the streaming
+    composition of :func:`~python_plugins_spark.operators.phash.
+    phash_index_radius_ingest`: (id, phash) rows arrive in
+    ``n_waves`` micro-batches; each batch is radius-0 deduped within
+    itself (min id per fingerprint), then checked against the
+    persisted Delta fingerprint index by the pigeonhole band join
+    (batch band keys BROADCAST — map-side over the index scan, no
+    index shuffle), and survivors append atomically. A re-noised copy
+    arriving in a LATER wave is rejected even though its fingerprint
+    differs by a few bits from the indexed original — the case the
+    radius-0 online dedup admits. Returns the admitted (id, phash)
+    rows. Same contract as the batch operator: radius>0 near-pairs
+    WITHIN one wave both admit (the intra-batch pass is radius-0);
+    the index stays self-limiting across waves."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window
+
+    from python_plugins_spark.operators.phash import (
+        phash_index_build, phash_index_radius_ingest,
+    )
+    from python_plugins_spark.sources.delta_py import read_delta
+    from python_plugins_spark.sources.io import ensure_session_confs
+
+    ensure_session_confs(spark)
+    run = uuid.uuid4().hex[:8]
+    idx_root = os.path.join(scratch_dir, f"phash_state_{run}")
+    shutil.rmtree(idx_root, ignore_errors=True)
+    # bootstrap an EMPTY index so every wave — the first included —
+    # goes through the same radius ingest (no special first-batch
+    # build that would skip the radius check within the bootstrap)
+    phash_index_build(
+        hashed.select(id_col, "phash").limit(0), id_col, idx_root
+    )
+    stream = _id_ranged_wave_stream(
+        spark, hashed.select(id_col, "phash"), id_col, scratch_dir,
+        n_waves, run,
+    )
+
+    def dedup_batch(bdf, epoch_id):
+        w = Window.partitionBy("phash")
+        in_batch = (
+            bdf.withColumn("_min", F.min(id_col).over(w))
+            .filter(F.col(id_col) == F.col("_min"))
+            .select(id_col, "phash")
+        )
+        phash_index_radius_ingest(
+            in_batch, id_col, idx_root,
+            bands=bands, bits=bits, max_hamming=max_hamming, append=True,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option(
+            "checkpointLocation", os.path.join(scratch_dir, f"ckpt_{run}")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_delta(spark, f"{idx_root}/phash").select(id_col, "phash")

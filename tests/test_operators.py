@@ -3247,3 +3247,33 @@ def test_cross_doc_span_dedup_keep_one_semantics(spark):
     )
     with pytest.raises(Exception, match="31-bit"):
         cross_doc_span_dedup(big, "text", "doc_id", n=4).collect()
+
+
+def test_lang_id_arabic_script_tier(spark):
+    """The ar/fa/ur tier: orthography-distinctive letters decide;
+    held-out sentences classify correctly; repertoire-neutral and
+    non-Arabic-script text behave per the documented boundary; the
+    Spark operator matches the scalar reference."""
+    from python_plugins_spark.operators import langid as L
+
+    held_out = {
+        "ar": "كتب الطالب رسالة طويلة الى صديقه في المدينة القديمة",
+        "fa": "کتابخانه بزرگ شهر هر روز پذیرای پژوهشگران جوان است",
+        "ur": "بڑی لائبریری میں طلبہ روزانہ نئی کتابیں پڑھتے ہیں",
+    }
+    for lang, s in held_out.items():
+        assert L.classify_arabic_script_py(s) == lang, (lang, s)
+    # documented boundary: no Arabic-script characters -> unknown
+    assert L.classify_arabic_script_py("plain latin text") == "unknown"
+    assert L.classify_arabic_script_py("") == "unknown"
+    assert L.classify_arabic_script_py(None) == "unknown"
+
+    rows = [(i, s) for i, s in enumerate(held_out.values())] + [(9, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.pred_lang
+        for r in L.lang_id_arabic_script(df, "text", "doc_id").collect()
+    }
+    for i, (lang, s) in enumerate(held_out.items()):
+        assert got[i] == L.classify_arabic_script_py(s) == lang
+    assert got[9] == "unknown"

@@ -1245,3 +1245,39 @@ def test_online_perceptual_image_dedup(spark):
     )
     got = sorted(r.doc_id for r in out.collect())
     assert got == [0, 1, 2, 3]  # one min-id survivor per dHash group
+
+
+def test_online_radius_phash_dedup(spark):
+    """Streaming perceptual dedup at Hamming RADIUS: re-noised copies
+    (variant whitening, distance 0-1 from their originals) arriving
+    in a LATER wave are rejected by the banded index check — the case
+    radius-0 online dedup admits — while fresh groups keep being
+    admitted; the Delta fingerprint index carries state across
+    micro-batches."""
+    import shutil
+
+    from python_plugins_spark.operators.phash import (
+        image_dhash, synth_block_image_payloads,
+    )
+    from python_plugins_spark.streaming.ops import online_radius_phash_dedup
+
+    scratch = "/root/repo/.scratch/online_radius_phash_test"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    # generator ids: {0,3,6,9,12,15} are distinct groups at variant 0
+    # (arrive in wave 1); {58,61,64,67} are variant-1 whitened copies
+    # of groups 0/3/6/9 (arrive in the last wave: 58+ > the id-range
+    # split point) — byte-distinct, Hamming <= 1 from their originals
+    ids = [0, 3, 6, 9, 12, 15, 58, 61, 64, 67]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    hashed = image_dhash(
+        synth_block_image_payloads(
+            df, "doc_id", groups=29, variant_blocks=True
+        ),
+        "doc_id", "payload",
+    )
+    out = online_radius_phash_dedup(
+        spark, hashed, "doc_id", scratch, n_waves=3,
+    )
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == [0, 3, 6, 9, 12, 15], got
