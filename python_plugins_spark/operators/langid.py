@@ -483,10 +483,19 @@ def lang_id_ngram(
         )
     elif mode == "arrow":
         logp, oov, nl = _LOGP, _OOV, len(LANGS)
+        script_res = [
+            (k, re.compile(f"[{rng}]")) for k, rng in SCRIPT_RANGES.items()
+        ]
+        nsc = len(script_res)
 
-        # array return type (scores + the trigram count as element 0,
-        # exact as double below 2^53): the Series->DataFrame struct
-        # signature isn't accepted by this pyspark's type inference
+        # array return type (trigram count, scores, then the ten
+        # per-script codepoint counts — all exact as double below
+        # 2^53): the counts ride the SAME Arrow pass as the scoring
+        # fold, so extending the script table costs no extra JVM
+        # regex scans over the corpus (adding six scripts in round 9
+        # had made the JVM-count variant 1.8x slower). Python re and
+        # Java regex count these BMP literal-range classes
+        # identically (surrogate halves match neither).
         @F.pandas_udf("array<double>")
         def _score(col: pd.Series) -> pd.Series:
             out = []
@@ -501,18 +510,23 @@ def lang_id_ngram(
                     row = logp.get(tg, oov)
                     for j in range(nl):
                         acc[j] += row[j]
-                out.append([float(len(tgs))] + acc)
+                t = text or ""
+                counts = [float(len(rx.findall(t))) for _, rx in script_res]
+                out.append([float(len(tgs))] + acc + counts)
             return pd.Series(out)
 
         d = df.select(
             F.col(id_col),
             *[F.col(c) for c in carry],
-            F.col(text_col).alias("_t"),
             _score(F.col(text_col)).alias("_r"),
         ).select(
-            id_col, *carry, "_t",
+            id_col, *carry,
             F.element_at("_r", 1).cast("long").alias("n_trigrams"),
             F.slice("_r", 2, nlangs).alias("_sc"),
+            *[
+                F.element_at("_r", 2 + nlangs + j).alias(f"_c_{k}")
+                for j, (k, _) in enumerate(script_res)
+            ],
         )
     else:
         raise ValueError(f"unknown lang_id_ngram mode {mode!r}")
@@ -522,17 +536,19 @@ def lang_id_ngram(
         lang = LANGS[j]
         others = [sc[o] for o in LANGS if o != lang]
         best = F.when(sc[lang] >= F.greatest(*others), F.lit(lang)).otherwise(best)
-    # per-script counts as columns (each regex runs once per row, not
-    # once per CASE-chain reference)
-    d = d.select(
-        "*",
-        *[
-            F.length(F.regexp_replace(F.col("_t"), f"[^{rng}]", "")).alias(
-                f"_c_{k}"
-            )
-            for k, rng in SCRIPT_RANGES.items()
-        ],
-    )
+    if mode == "expr":
+        # per-script counts as columns (each regex runs once per row,
+        # not once per CASE-chain reference); the arrow path computed
+        # them inside its batch pass above
+        d = d.select(
+            "*",
+            *[
+                F.length(
+                    F.regexp_replace(F.col("_t"), f"[^{rng}]", "")
+                ).alias(f"_c_{k}")
+                for k, rng in SCRIPT_RANGES.items()
+            ],
+        )
     cnt = {k: F.col(f"_c_{k}") for k in SCRIPT_RANGES}
 
     def _wins(k: str):

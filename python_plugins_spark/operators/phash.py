@@ -447,25 +447,28 @@ def phash_neardup_pairs(
     below ``bands`` or recall is no longer guaranteed — refused
     loudly.
 
-    Shape (the minhash_lsh_pairs structure): band rows group into
-    per-bucket sorted (id, hash) ARRAYS — one shuffle on the band
-    key — and pairs are generated locally inside each bucket with
-    array HOFs, no self-join, so the decode+hash subtree upstream
-    (a Python mapInPandas pass) is computed ONCE instead of once per
-    join side. In-bucket pair counts are quadratic in duplicate-
-    cluster size — the standard LSH shape — and real image corpora
-    are full of degenerate clusters (blank thumbnails, tracking
-    pixels, solid-color placeholders) whose dHash is IDENTICAL, so
-    at scale one such cluster makes a single bucket go quadratic:
-    cap it with ``max_bucket`` (buckets larger than the cap are shed
-    BEFORE pair expansion, exactly like its text twin
-    ``minhash_lsh_pairs(max_bucket=)``). The cap provably preserves
-    every pair outside the shed buckets — pytest-pinned
-    (test_phash_skew_cap_bounds_degenerate_cluster) and measured per
-    round (bench_detail.json phash_skew, mirroring lsh_skew).
-    Production recipe: run radius-0 dedup (the ``image_dhash_dedup``
-    window) FIRST so byte-distinct perceptual-identical copies never
-    reach the matcher, then cap what remains."""
+    Shape: the banded (id, hash, band_id, band_val) projection is
+    materialized ONCE (localCheckpoint — the decode+hash subtree
+    upstream is a Python mapInPandas pass; a plain self-join would
+    run it per join side), then candidates come from a whole-stage-
+    codegen self-equi-join on the band key (measured ~2x the
+    interpreted array-HOF in-bucket expansion this replaced).
+    In-bucket pair counts are quadratic in duplicate-cluster size —
+    the standard LSH shape — and real image corpora are full of
+    degenerate clusters (blank thumbnails, tracking pixels,
+    solid-color placeholders) whose dHash is IDENTICAL, so at scale
+    one such cluster makes a single bucket go quadratic: cap it with
+    ``max_bucket`` — over-cap buckets (a SMALL set by definition:
+    only the pathological ones) are collected into a broadcast
+    anti-join that sheds their rows BEFORE the pair join, exactly
+    like its text twin ``minhash_lsh_pairs(max_bucket=)``. The cap
+    provably preserves every pair outside the shed buckets —
+    pytest-pinned (test_phash_skew_cap_bounds_degenerate_cluster)
+    and measured per round (bench_detail.json phash_skew, mirroring
+    lsh_skew). Production recipe: run radius-0 dedup (the
+    ``image_dhash_dedup`` window) FIRST so byte-distinct
+    perceptual-identical copies never reach the matcher, then cap
+    what remains."""
     if max_hamming >= bands:
         raise ValueError(
             f"max_hamming={max_hamming} needs at least {max_hamming + 1} "
@@ -476,9 +479,8 @@ def phash_neardup_pairs(
     width = bits // bands
     mask = (1 << width) - 1
     banded = df.select(
-        F.struct(
-            F.col(id_col).alias("id"), F.col(hash_col).alias("h")
-        ).alias("_m"),
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
         F.posexplode(
             F.array(
                 *[
@@ -489,22 +491,31 @@ def phash_neardup_pairs(
                 ]
             )
         ).alias("band_id", "band_val"),
-    )
-    buckets = banded.groupBy("band_id", "band_val").agg(
-        F.sort_array(F.collect_list("_m")).alias("_ms")
-    )
+    ).localCheckpoint(eager=True)
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("_ms") <= max_bucket)
-    buckets = buckets.filter(F.size("_ms") >= 2)
-    pair_structs = F.expr(
-        "flatten(transform(_ms, (x, i) -> "
-        "transform(slice(_ms, i + 2, size(_ms)), "
-        "y -> struct(x.id AS id_a, y.id AS id_b, "
-        "x.h AS _ha, y.h AS _hb))))"
-    )
+        big = (
+            banded.groupBy("band_id", "band_val")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band_id", "band_val")
+        )
+        banded = banded.join(
+            F.broadcast(big), on=["band_id", "band_val"], how="left_anti"
+        )
+    a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        buckets.select(F.explode(pair_structs).alias("_p"))
-        .select("_p.id_a", "_p.id_b", "_p._ha", "_p._hb")
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
         .distinct()
     )
     ham = F.expr("bit_count(_ha ^ _hb)")
