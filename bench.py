@@ -366,6 +366,11 @@ def main() -> None:
     EXTRA_N3 = {
         "msgbus_stream_events",
         "incremental_minhash_ingest",
+        # round-9: the Delta-index ingest pair showed 4.4-5.6 s
+        # single-pass spread (index writes + codec passes) — medians
+        # make their cross-round numbers adjudicable
+        "incremental_phash_ingest",
+        "incremental_phash_radius_ingest",
         "image_jpeg_roundtrip_real",
         "image_jpeg_color_roundtrip_real",
         "image_png_roundtrip_real",

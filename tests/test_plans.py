@@ -836,3 +836,29 @@ def test_incremental_phash_ingest_join_shape(spark, sf_dir):
     p = plan_str(dups)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_round9_queries_shuffle_budget(spark, sf_dir):
+    """Round-9 plan-shape guarantees, pinned to the docstring claims:
+    every lang-id tier and the ten-script detector are pure narrow
+    maps (ZERO exchanges — the extended script branch may not grow a
+    shuffle); the cross-document span remover spends its four
+    post-checkpoint exchanges (hash stats aggregate, removal join,
+    islands window, reassembly); the perceptual Hamming matcher spends
+    exactly ONE (the band-key self-join over the checkpointed banded
+    projection). No cartesian products anywhere."""
+    from python_plugins_spark.plans import count_shuffles, plan_str
+
+    budgets = {
+        "lang_id_scripts_docs": 0,
+        "lang_id_cjk_docs": 0,
+        "lang_id_arabic_script_docs": 0,
+        "lang_id_cyrillic_docs": 0,
+        "script_detect_docs": 0,
+        "cross_doc_span_dedup": 4,
+        "image_phash_neardup_pairs": 1,
+    }
+    for name, budget in budgets.items():
+        df = QUERIES[name](spark, sf_dir)
+        assert count_shuffles(df) == budget, name
+        assert "CartesianProduct" not in plan_str(df), name
