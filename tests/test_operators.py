@@ -3277,3 +3277,55 @@ def test_lang_id_arabic_script_tier(spark):
     for i, (lang, s) in enumerate(held_out.items()):
         assert got[i] == L.classify_arabic_script_py(s) == lang
     assert got[9] == "unknown"
+
+
+def test_cross_doc_span_dedup_matches_python_reference(spark):
+    """Randomized equivalence: cross_doc_span_dedup against a direct
+    pure-Python implementation of the spec (gram map -> distinct-doc
+    condition -> first-(id,pos)-canonical -> covered-position union ->
+    order-preserving reassembly) over corpora drawn from a tiny
+    vocabulary, where shared spans, overlaps, and self-repeats occur
+    constantly by construction."""
+    import random as _random
+    import re as _re
+
+    from python_plugins_spark.operators.dedup import cross_doc_span_dedup
+
+    def reference(docs, n):
+        toks = {
+            i: _re.split(r"\s+", t.strip().lower()) for i, t in docs.items()
+        }
+        occ = {}
+        for i in sorted(toks):
+            tk = toks[i]
+            for p in range(len(tk) - n + 1):
+                occ.setdefault(tuple(tk[p: p + n]), []).append((i, p))
+        rm = {i: set() for i in docs}
+        for lst in occ.values():
+            if len({i for i, _ in lst}) >= 2:
+                first = min(lst)
+                for i, p in lst:
+                    if (i, p) != first:
+                        rm[i].update(range(p, p + n))
+        out = {}
+        for i, tk in toks.items():
+            kept = [t for q, t in enumerate(tk) if q not in rm[i]]
+            out[i] = (" ".join(kept), len(kept), len(tk) - len(kept))
+        return out
+
+    rng = _random.Random(1234)
+    vocab = ["ash", "birch", "cedar", "dune", "elm", "fern", "gale", "holly"]
+    for trial in range(4):
+        docs = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 25)))
+            for i in range(rng.randint(4, 8))
+        }
+        want = reference(docs, 3)
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+            for r in cross_doc_span_dedup(df, "text", "doc_id", n=3).collect()
+        }
+        assert got == want, (trial, docs, got, want)
