@@ -461,6 +461,8 @@ def main() -> None:
 
     phash_skew = _bench_phash_skew(spark, sf_dir)
 
+    ann_recall = _bench_ann_recall(spark, sf_dir)
+
     decontam_recall = _bench_decontam_recall(spark, sf_dir)
 
     env["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
@@ -486,6 +488,7 @@ def main() -> None:
         "lsh_recall": lsh_recall,
         "lsh_skew": lsh_skew,
         "phash_skew": phash_skew,
+        "ann_recall": ann_recall,
         "decontam_recall": decontam_recall,
         "env": env,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -507,6 +510,7 @@ def main() -> None:
         "decontam_recall",
         "lsh_skew",
         "phash_skew",
+        "ann_recall",
         "lsh_recall",
         "headline_v2",
         "env",
@@ -699,6 +703,89 @@ def _bench_phash_skew(spark, sf_dir: str) -> dict:
         print(f"# [phash-skew] {out}", file=sys.stderr)
     except Exception as exc:  # the section never fails the bench
         print(f"# phash skew failed: {exc}", file=sys.stderr)
+    return out
+
+
+def _bench_ann_recall(spark, sf_dir: str) -> dict:
+    """Recall of the APPROXIMATE ANN paths vs the exact blocked
+    top-k, measured per round at the bench SF (round 9, mirroring
+    lsh_recall/decontam_recall): the IVF and PQ registry entries are
+    no-oracle-by-design (approximate), so this row is their
+    driver-visible quality evidence. Ground truth is ann_topk_blocked
+    (exact, distributed); recall = fraction of true (query, neighbor)
+    top-k pairs the approximate path returns. pytest floors:
+    test_ivf_recall, test_pq_recall."""
+    out: dict = {}
+    try:
+        from python_plugins_spark.operators import similarity as S
+        from python_plugins_spark.sources.io import load_table
+
+        emb = load_table(spark, "embeddings", sf_dir)
+        t0 = time.perf_counter()
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ann_topk_blocked(
+                emb, "vec_id", "embedding", 5
+            ).collect()
+        }
+        exact_s = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ivf = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_ann_topk(
+                emb, "vec_id", "embedding", 5, n_centroids=16, nprobe=4
+            ).collect()
+        }
+        ivf_s = round(time.perf_counter() - t0, 3)
+        out = {
+            "k": 5,
+            "true_pairs": len(exact),
+            "ivf_found": len(exact & ivf),
+            "ivf_recall": round(len(exact & ivf) / len(exact), 4)
+            if exact
+            else 1.0,
+            "exact_s": exact_s,
+            "ivf_s": ivf_s,
+        }
+        # the nprobe knob: the synthetic bench embeddings are
+        # near-uniform (barely cluster), so recall runs ~2x the
+        # scanned fraction — real clustered embeddings do far better;
+        # the row tracks both points of the recall/cost curve across
+        # rounds
+        t0 = time.perf_counter()
+        ivf8 = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_ann_topk(
+                emb, "vec_id", "embedding", 5, n_centroids=16, nprobe=8
+            ).collect()
+        }
+        out["ivf_recall_nprobe8"] = (
+            round(len(exact & ivf8) / len(exact), 4) if exact else 1.0
+        )
+        out["ivf_nprobe8_s"] = round(time.perf_counter() - t0, 3)
+        # PQ with exact re-rank over the registry query's 20-query set
+        t0 = time.perf_counter()
+        books = S.pq_train_codebooks(emb, "embedding", dim=64, m=8, k=16)
+        codes = S.pq_encode(emb, "vec_id", "embedding", books)
+        queries = emb.orderBy("vec_id").limit(20)
+        pq = {
+            (r.query_id, r.neighbor_id)
+            for r in S.pq_topk(
+                codes, queries, "vec_id", "embedding", books, kk=5,
+                rerank_vectors=emb,
+            ).collect()
+        }
+        qids = {q for q, _ in pq}
+        exact_q = {p for p in exact if p[0] in qids}
+        out["pq_found"] = len(exact_q & pq)
+        out["pq_true_pairs"] = len(exact_q)
+        out["pq_recall"] = (
+            round(len(exact_q & pq) / len(exact_q), 4) if exact_q else 1.0
+        )
+        out["pq_s"] = round(time.perf_counter() - t0, 3)
+        print(f"# [ann-recall] {out}", file=sys.stderr)
+    except Exception as exc:  # the section never fails the bench
+        print(f"# ann recall failed: {exc}", file=sys.stderr)
     return out
 
 

@@ -335,10 +335,18 @@ def ivf_ann_topk(
     its nearest centroid; each query scores only vectors in its
     ``nprobe`` nearest centroid buckets.
 
-    The bucket join is an equi-join on centroid id — at cluster scale
+    The bucket join is a COGROUP on centroid id — at cluster scale
     both sides hash-partition on it, so each executor scores one
-    bucket's worth of candidates. Approximate: recall vs brute force
-    is tested, not assumed."""
+    bucket's worth of candidates with ONE BLAS matmul (Arrow batch,
+    the ann_topk_blocked trick; the per-pair interpreted expression
+    cosine this replaced made the approximate path 2.7x SLOWER than
+    the exact blocked search at bench SF — measured by the ann_recall
+    bench row). Block-local top-k per query leaves nprobe*k rows per
+    query for the final partitioned-window reduce. Approximate:
+    recall vs brute force is tested and measured per round
+    (bench_detail.json ann_recall), not assumed."""
+    import pandas as _pd
+
     centroids = df.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
     )
@@ -348,23 +356,57 @@ def ivf_ann_topk(
         F.col("c_sim").desc(), F.col("c_id").asc()
     )
     ranked = scored.withColumn("c_rank", F.row_number().over(w_assign))
+    # the member side's key gets a FRESH attribute (alias) — both
+    # sides descend from `ranked`, and a self-cogroup on the same
+    # attribute id is ambiguous; cogroup keys match by position, so
+    # the names may differ
     assignments = ranked.filter(F.col("c_rank") == 1).select(
-        F.col(id_col).alias("m_id"), F.col(vec_col).alias("m_vec"), "c_id"
+        F.col(id_col).alias("m_id"),
+        F.col(vec_col).alias("m_vec"),
+        F.col("c_id").alias("c_id_m"),
     )
     probes = ranked.filter(F.col("c_rank") <= nprobe).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "c_id"
     )
-    pair_cos = F.round(cosine_similarity(F.col("q_vec"), F.col("m_vec")), 6)
-    pairs = (
-        probes.join(assignments, on="c_id")
-        .filter(F.col("q_id") != F.col("m_id"))
-        .withColumn("cos_sim", pair_cos)
+
+    def _score_bucket(key, p_pdf, m_pdf):
+        if len(p_pdf) == 0 or len(m_pdf) == 0:
+            return _pd.DataFrame({"q_id": [], "m_id": [], "cos_sim": []})
+        q = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in p_pdf["q_vec"]]
+        )
+        m = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in m_pdf["m_vec"]]
+        )
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        mn = np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(
+            (q / np.where(qn == 0, 1, qn)) @ (m / np.where(mn == 0, 1, mn)).T,
+            6,
+        )
+        qids = p_pdf["q_id"].to_numpy()
+        mids = m_pdf["m_id"].to_numpy()
+        oq, om, os_ = [], [], []
+        for i in range(len(qids)):
+            s = sims[i]
+            midx = np.nonzero(mids != qids[i])[0]
+            # block-local top-k by (sim desc, m_id asc)
+            sel = midx[np.lexsort((mids[midx], -s[midx]))][:k]
+            oq.extend([qids[i]] * len(sel))
+            om.extend(mids[sel])
+            os_.extend(s[sel])
+        return _pd.DataFrame({"q_id": oq, "m_id": om, "cos_sim": os_})
+
+    local = (
+        probes.groupBy("c_id")
+        .cogroup(assignments.groupBy("c_id_m"))
+        .applyInPandas(_score_bucket, "q_id long, m_id long, cos_sim double")
     )
     w_top = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("m_id").asc()
     )
     return (
-        pairs.withColumn("rk", F.row_number().over(w_top))
+        local.withColumn("rk", F.row_number().over(w_top))
         .filter(F.col("rk") <= k)
         .select(
             F.col("q_id").alias("query_id"),
