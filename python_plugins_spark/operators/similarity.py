@@ -1043,3 +1043,115 @@ def pca_project(
     out = df.select(id_col, vec_col).mapInPandas(project, out_schema)
     out._pca_explained_variance = explained.tolist()  # test introspection
     return out
+
+
+# --------------------------------------------- int8 scalar quantization
+
+def quantize_embeddings_int8(
+    df: DataFrame, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """Per-dimension affine int8 quantization (the faiss-SQ8 /
+    vector-database storage format): corpus-wide per-dim [min, max]
+    maps each float to a byte code = floor((x - min) / scale + 0.5),
+    scale = (max - min) / 255 — a 4x storage cut (64-dim float32
+    corpus: 256 B -> 64 B per vector) that keeps ANN viable in RAM at
+    100 TB. Returns ``(id, codes array<int>, max_abs_err,
+    cos_recon)`` — the reconstruction error and the cosine between
+    the original and dequantized vector, the two numbers a pipeline
+    thresholds on before switching its index to codes.
+
+    Scale shape: the per-dim extrema are ONE map-side-combined
+    aggregate (2*dim min/max expressions — no explode, no shuffle of
+    corpus*dim rows), broadcast back as a 1-row frame; quantize +
+    error math are pure JVM expressions over the row's array. The
+    explicit left-associative sums make the cosine bit-identical to
+    the DuckDB oracle replay."""
+    d = F.col(vec_col)
+    x = [F.element_at(d, i + 1).cast("double") for i in range(dim)]
+    stats = df.agg(
+        *[F.min(x[i]).alias(f"_mn{i}") for i in range(dim)],
+        *[F.max(x[i]).alias(f"_mx{i}") for i in range(dim)],
+    )
+    j = df.crossJoin(F.broadcast(stats))
+    mn = [F.col(f"_mn{i}") for i in range(dim)]
+    scale = [
+        F.when(
+            F.col(f"_mx{i}") == F.col(f"_mn{i}"), F.lit(1.0)
+        ).otherwise((F.col(f"_mx{i}") - F.col(f"_mn{i}")) / F.lit(255.0))
+        for i in range(dim)
+    ]
+    code = [
+        F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.floor((x[i] - mn[i]) / scale[i] + F.lit(0.5)).cast("int"),
+            ),
+        )
+        for i in range(dim)
+    ]
+    deq = [mn[i] + code[i].cast("double") * scale[i] for i in range(dim)]
+
+    def _lsum(terms):
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+
+    dot = _lsum([x[i] * deq[i] for i in range(dim)])
+    na = F.sqrt(_lsum([x[i] * x[i] for i in range(dim)]))
+    nb = F.sqrt(_lsum([deq[i] * deq[i] for i in range(dim)]))
+    cos = F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
+        dot / (na * nb)
+    )
+    err = F.greatest(*[F.abs(x[i] - deq[i]) for i in range(dim)])
+    return j.select(
+        F.col(id_col),
+        F.array(*code).alias("codes"),
+        F.round(err, 6).alias("max_abs_err"),
+        F.round(cos, 6).alias("cos_recon"),
+    )
+
+
+def quantize_int8_oracle_sql(
+    table: str, id_col: str, vec_col: str, dim: int
+) -> str:
+    """DuckDB twin: the same per-dim extrema aggregate (cross-joined
+    1-row relation), the same floor-affine code formula, and the same
+    left-associative sums — bit-identical before the 6 dp round.
+    Codes flatten to (id, pos, code) rows in the companion
+    ``..._codes`` variant; this one returns the summary columns."""
+    xs = [f"CAST({vec_col}[{i + 1}] AS DOUBLE)" for i in range(dim)]
+    stat_cols = ", ".join(
+        f"min({xs[i]}) AS mn{i}, max({xs[i]}) AS mx{i}" for i in range(dim)
+    )
+    scale = [
+        f"(CASE WHEN mx{i} = mn{i} THEN 1.0 "
+        f"ELSE (mx{i} - mn{i}) / 255.0 END)"
+        for i in range(dim)
+    ]
+    code = [
+        f"least(255, greatest(0, CAST(floor(({xs[i]} - mn{i}) / {scale[i]}"
+        f" + 0.5) AS INTEGER)))"
+        for i in range(dim)
+    ]
+    deq = [f"(mn{i} + CAST({code[i]} AS DOUBLE) * {scale[i]})" for i in range(dim)]
+
+    def lsum(terms):
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = f"({acc} + {t})"
+        return acc
+
+    dot = lsum([f"({xs[i]} * {deq[i]})" for i in range(dim)])
+    na = f"sqrt({lsum([f'({xs[i]} * {xs[i]})' for i in range(dim)])})"
+    nb = f"sqrt({lsum([f'({deq[i]} * {deq[i]})' for i in range(dim)])})"
+    err = f"greatest({', '.join(f'abs({xs[i]} - {deq[i]})' for i in range(dim))})"
+    return f"""
+    WITH _st AS (SELECT {stat_cols} FROM {table})
+    SELECT {id_col},
+           round({err}, 6) AS max_abs_err,
+           round(CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0
+                 ELSE {dot} / ({na} * {nb}) END, 6) AS cos_recon
+    FROM {table} CROSS JOIN _st
+    """

@@ -3315,3 +3315,28 @@ def incremental_phash_radius_ingest(spark, sf_dir):
     n_admitted = admitted.count()
     assert n_admitted == 14, f"expected 14 fresh admissions, got {n_admitted}"
     return dups
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle=S.quantize_int8_oracle_sql("embeddings", "vec_id", "embedding", 64),
+)
+def embedding_int8_quantize(spark, sf_dir):
+    """Per-dimension affine INT8 quantization of the embedding corpus
+    (operators/similarity.py quantize_embeddings_int8 — the
+    faiss-SQ8 / vector-database storage format): corpus-wide per-dim
+    [min, max] maps each float32 to a byte code, a 4x storage cut
+    that keeps a 100 TB embedding index RAM-resident, with the two
+    acceptance numbers a pipeline thresholds on — per-vector max
+    reconstruction error and original-vs-dequantized cosine. Plan:
+    ONE map-side-combined aggregate builds the 128 per-dim extrema
+    (no explode — corpus x dim rows never shuffle), broadcast back as
+    a 1-row frame; quantize + error math are pure JVM expressions.
+    The oracle replays the identical extrema, floor-affine code
+    formula, and left-associative sums, so errors and cosines
+    hash-match bit-for-bit before the 6 dp round. Codes are dropped
+    from the comparator output (arrays do not hash portably); the
+    pytest checks code-range and determinism separately."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = S.quantize_embeddings_int8(emb, "vec_id", "embedding", 64)
+    return out.select("vec_id", "max_abs_err", "cos_recon")

@@ -3329,3 +3329,39 @@ def test_cross_doc_span_dedup_matches_python_reference(spark):
             for r in cross_doc_span_dedup(df, "text", "doc_id", n=3).collect()
         }
         assert got == want, (trial, docs, got, want)
+
+
+def test_int8_quantization_bounds_and_quality(spark, sf_dir):
+    """Affine int8 quantization invariants: codes lie in [0, 255];
+    reconstruction error per dimension is bounded by half a step
+    (values inside the observed [min, max] by construction); the
+    dequantized vector stays nearly parallel to the original; two
+    evaluations agree exactly (pure function of the corpus)."""
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.operators import similarity as S
+    from python_plugins_spark.sources.io import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = S.quantize_embeddings_int8(emb, "vec_id", "embedding", 64)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert all(0 <= c <= 255 for c in r.codes)
+        assert r.cos_recon > 0.999, r.vec_id
+    # error bound: half the LARGEST per-dim step (+ float slack)
+    stats = emb.agg(
+        *[
+            (
+                F.max(F.element_at("embedding", i + 1).cast("double"))
+                - F.min(F.element_at("embedding", i + 1).cast("double"))
+            ).alias(f"r{i}")
+            for i in range(64)
+        ]
+    ).first()
+    max_step = max(stats[i] for i in range(64)) / 255.0
+    worst = max(r.max_abs_err for r in rows)
+    assert worst <= max_step / 2 + 1e-9, (worst, max_step)
+    again = {r.vec_id: (tuple(r.codes), r.cos_recon) for r in
+             S.quantize_embeddings_int8(emb, "vec_id", "embedding", 64).collect()}
+    assert again == {r.vec_id: (tuple(r.codes), r.cos_recon) for r in rows}
