@@ -1057,39 +1057,8 @@ def cross_doc_span_dedup(
     coverage is cut."""
     from pyspark.sql import Window
 
-    tok = df.select(
-        F.col(id_col),
-        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tk"),
-    ).localCheckpoint(eager=True)  # shared by gram builder + anti-join side
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    parts = [F.col("_tk")] + [F.lead("_tk", j).over(w) for j in range(1, n)]
-    last = F.lead("_tk", n - 1).over(w)
-    # the 31-bit id bound backing the arithmetic canonical key —
-    # violated ids would silently collide, so they refuse loudly
-    key = F.expr(
-        f"CASE WHEN {id_col} < 0 OR {id_col} >= 2147483648 THEN "
-        f"raise_error('cross_doc_span_dedup: {id_col} exceeds the 31-bit "
-        "canonical-key bound') "
-        f"ELSE CAST({id_col} AS BIGINT) * 4294967296 + CAST(_pos AS BIGINT) "
-        "END"
-    )
-    grams = (
-        tok.select(
-            F.col(id_col),
-            F.col("_pos"),
-            F.concat_ws(" ", *parts).alias("_s"),
-            last.isNotNull().alias("_ok"),
-        )
-        .filter("_ok")
-        .select(
-            id_col,
-            "_pos",
-            hash32(F.col("_s")).alias("_h"),
-            key.alias("_k"),
-        )
-    )
-    # feeds the stats aggregate AND the removal join — one gram pass
-    grams = grams.localCheckpoint(eager=True)
+    tok = _span_tok_frame(df, text_col, id_col)
+    grams = _span_gram_frame(tok, id_col, n)
     stats = (
         grams.groupBy("_h")
         .agg(
@@ -1108,6 +1077,63 @@ def cross_doc_span_dedup(
             (F.col("_pos") + (n - 1)).alias("_end"),
         )
     )
+    return _remove_spans_and_reassemble(df, tok, rm, text_col, id_col)
+
+
+def _span_tok_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Materialized (id, _pos, _tk) token stream — shared by the gram
+    builder and the anti-join/reassembly side of the span removers."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tk"),
+    ).localCheckpoint(eager=True)
+
+
+def _span_gram_frame(tok: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Materialized (id, _pos, _h, _k) n-gram windows over a token
+    stream: _h the 8-byte gram hash, _k the arithmetic canonical key
+    id*2^32+pos (31-bit id bound refused loudly — violated ids would
+    silently collide)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_tk")] + [F.lead("_tk", j).over(w) for j in range(1, n)]
+    last = F.lead("_tk", n - 1).over(w)
+    key = F.expr(
+        f"CASE WHEN {id_col} < 0 OR {id_col} >= 2147483648 THEN "
+        f"raise_error('span dedup: {id_col} exceeds the 31-bit "
+        "canonical-key bound') "
+        f"ELSE CAST({id_col} AS BIGINT) * 4294967296 + CAST(_pos AS BIGINT) "
+        "END"
+    )
+    return (
+        tok.select(
+            F.col(id_col),
+            F.col("_pos"),
+            F.concat_ws(" ", *parts).alias("_s"),
+            last.isNotNull().alias("_ok"),
+        )
+        .filter("_ok")
+        .select(
+            id_col,
+            "_pos",
+            hash32(F.col("_s")).alias("_h"),
+            key.alias("_k"),
+        )
+        .localCheckpoint(eager=True)  # feeds stats agg + removal join
+    )
+
+
+def _remove_spans_and_reassemble(
+    df: DataFrame,
+    tok: DataFrame,
+    rm: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Islands-merge the (id, _start, _end) removal windows, cut the
+    covered positions from the token stream, reassemble in order, and
+    account removed tokens: ``(id, clean_text, n_tokens, n_removed)``."""
     spans = _merge_windows_to_spans(rm, id_col)
     covered = spans.select(
         F.col(id_col),
@@ -1143,6 +1169,106 @@ def cross_doc_span_dedup(
             (F.col("_total") - F.coalesce("n_tokens", zero)).alias("n_removed"),
         )
     )
+
+
+def span_index_build(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    n: int = 10,
+) -> None:
+    """Persist the gram-hash index of an admitted (already span-
+    deduplicated) corpus as a Delta table: one (hash, first_key) row
+    per DISTINCT n-gram window, first_key the arithmetic (id, pos)
+    canonical. SIZE IS THE METHOD'S: O(corpus tokens) — the same
+    class as the on-disk suffix array the Lee et al. pipeline builds
+    (~8 bytes/token there; ~12 here), Delta-backed and equi-join
+    pruned by hash."""
+    from python_plugins_spark.sources.delta_py import write_delta
+
+    tok = _span_tok_frame(df, text_col, id_col)
+    grams = _span_gram_frame(tok, id_col, n)
+    idx = grams.groupBy("_h").agg(F.min("_k").alias("first_k"))
+    write_delta(idx, f"{index_path}/grams", mode="overwrite")
+
+
+def span_index_ingest(
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    n: int = 10,
+    append: bool = True,
+) -> DataFrame:
+    """CONTINUOUS-ingestion cross-document span dedup — the
+    incremental variant of :func:`cross_doc_span_dedup`, completing
+    the ingest family (exact Delta state, MinHash index, perceptual
+    fingerprint index): a new batch's >= ``n``-token spans are cut
+    wherever the gram is ALREADY IN the corpus index (the canonical
+    occurrence lives in the admitted corpus — every batch occurrence
+    is removed), and batch-INTERNAL cross-document spans keep their
+    first (id, pos) occurrence exactly as the batch operator does.
+    Cleaned documents are returned ``(id, clean_text, n_tokens,
+    n_removed)``; with ``append`` the CLEANED text's grams join the
+    index atomically (re-tokenizing the cleaned batch — per-batch
+    cost stays O(batch), never O(corpus)).
+
+    Per-batch plan: one tokenize window + gram hash pass, one
+    equi-join against the index on the 8-byte hash (batch side tiny;
+    at scale Delta file pruning on the hash column bounds the index
+    scan), one map-side-combinable stats aggregate for the
+    batch-internal condition, the shared islands/reassembly shape,
+    and one aggregate + anti-join for the index append."""
+    from python_plugins_spark.sources.delta_py import read_delta, write_delta
+
+    spark = new_docs.sparkSession
+    tok = _span_tok_frame(new_docs, text_col, id_col)
+    grams = _span_gram_frame(tok, id_col, n)
+    idx = read_delta(spark, f"{index_path}/grams").select(
+        F.col("_h").alias("_idx_h")
+    )
+    known = grams.join(
+        idx, grams["_h"] == idx["_idx_h"], how="leftsemi"
+    ).select(
+        id_col,
+        F.col("_pos").alias("_start"),
+        (F.col("_pos") + (n - 1)).alias("_end"),
+    )
+    unknown = grams.join(idx, grams["_h"] == idx["_idx_h"], how="left_anti")
+    stats = (
+        unknown.groupBy("_h")
+        .agg(
+            F.countDistinct(id_col).alias("_nd"),
+            F.min("_k").alias("_first"),
+        )
+        .filter(F.col("_nd") >= 2)
+        .select("_h", "_first")
+    )
+    rm_batch = (
+        unknown.join(stats, on="_h")
+        .filter(F.col("_k") != F.col("_first"))
+        .select(
+            id_col,
+            F.col("_pos").alias("_start"),
+            (F.col("_pos") + (n - 1)).alias("_end"),
+        )
+    )
+    cleaned = _remove_spans_and_reassemble(
+        new_docs, tok, known.unionByName(rm_batch), text_col, id_col
+    )
+    if append:
+        cleaned = cleaned.localCheckpoint(eager=True)
+        tok2 = _span_tok_frame(cleaned, "clean_text", id_col)
+        grams2 = _span_gram_frame(tok2, id_col, n)
+        fresh = (
+            grams2.groupBy("_h")
+            .agg(F.min("_k").alias("first_k"))
+            .join(idx, F.col("_h") == idx["_idx_h"], how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        write_delta(fresh, f"{index_path}/grams", mode="append")
+    return cleaned
 
 
 def cross_doc_span_dedup_oracle_sql(
@@ -1415,3 +1541,107 @@ def minhash_index_ingest(
         )
         write_delta(adm_sig, f"{index_path}/sigs", mode="append")
     return admitted, duplicates
+
+
+def span_index_ingest_oracle_sql(
+    base_table: str,
+    batch_table: str,
+    text_col: str,
+    id_col: str,
+    n: int = 10,
+) -> str:
+    """DuckDB twin of build+ingest in one query: the index is the
+    DISTINCT gram-hash set of ``base_table``; batch grams found there
+    are removed wholesale, batch-internal cross-doc grams keep their
+    first (id, pos) occurrence; identical islands merge, coverage
+    anti-join, and reassembly."""
+    toks = O.sql_tokens(text_col)
+    toks_t = O.sql_tokens(f"t.{text_col}")
+
+    def gram_cte(src: str) -> str:
+        return f"""
+          SELECT {id_col}, u.g['p'] AS p, {O.sql_hash32("u.g['s']")} AS h,
+                 {id_col} * 4294967296 + u.g['p'] AS k
+          FROM (
+            SELECT {id_col},
+                   unnest([{{'p': i - 1,
+                             's': array_to_string(t[i : i + {n - 1}], ' ')}}
+                           for i in range(1, len(t) - {n - 2})]) AS g
+            FROM (SELECT {id_col}, {toks} AS t FROM {src})
+            WHERE len(t) >= {n}
+          ) u
+        """
+
+    return f"""
+        WITH _bg AS ({gram_cte(base_table)}),
+        _idx AS (SELECT DISTINCT h FROM _bg),
+        _g AS ({gram_cte(batch_table)}),
+        _known AS (
+          SELECT g.{id_col}, g.p AS s, g.p + {n - 1} AS e
+          FROM _g g WHERE g.h IN (SELECT h FROM _idx)
+        ),
+        _unk AS (
+          SELECT * FROM _g WHERE h NOT IN (SELECT h FROM _idx)
+        ),
+        _st AS (
+          SELECT h, min(k) AS fk FROM _unk GROUP BY h
+          HAVING count(DISTINCT {id_col}) >= 2
+        ),
+        _rmb AS (
+          SELECT u.{id_col}, u.p AS s, u.p + {n - 1} AS e
+          FROM _unk u JOIN _st st ON u.h = st.h WHERE u.k <> st.fk
+        ),
+        _rm AS (SELECT * FROM _known UNION ALL SELECT * FROM _rmb),
+        _flag AS (
+          SELECT {id_col}, s, e,
+                 CASE WHEN max(e) OVER (PARTITION BY {id_col} ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      IS NULL
+                      OR s > max(e) OVER (PARTITION BY {id_col} ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                 THEN 1 ELSE 0 END AS ni
+          FROM _rm
+        ),
+        _isl AS (
+          SELECT {id_col}, s, e,
+                 sum(ni) OVER (PARTITION BY {id_col} ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM _flag
+        ),
+        _spans AS (
+          SELECT {id_col}, min(s) AS span_start, max(e) AS span_end
+          FROM _isl GROUP BY {id_col}, island
+        ),
+        _cov AS (
+          SELECT {id_col}, unnest(range(span_start, span_end + 1)) AS p
+          FROM _spans
+        ),
+        _tokp AS (
+          SELECT {id_col}, g['p'] AS p, g['tk'] AS tk
+          FROM (
+            SELECT {id_col},
+                   unnest([{{'p': i - 1, 'tk': tt[i]}}
+                           for i in range(1, len(tt) + 1)]) AS g
+            FROM (SELECT {id_col}, {toks} AS tt FROM {batch_table})
+          )
+        ),
+        _kept AS (
+          SELECT kk.{id_col}, kk.p, kk.tk
+          FROM _tokp kk
+          WHERE NOT EXISTS (
+            SELECT 1 FROM _cov c
+            WHERE c.{id_col} = kk.{id_col} AND c.p = kk.p
+          )
+        ),
+        _asm AS (
+          SELECT {id_col},
+                 array_to_string(list(tk ORDER BY p), ' ') AS clean_text,
+                 count(*) AS n_tokens
+          FROM _kept GROUP BY {id_col}
+        )
+        SELECT t.{id_col},
+               coalesce(a.clean_text, '') AS clean_text,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               len({toks_t}) - coalesce(a.n_tokens, 0) AS n_removed
+        FROM {batch_table} t LEFT JOIN _asm a ON t.{id_col} = a.{id_col}
+    """

@@ -1859,3 +1859,82 @@ def udtf_tokenize(spark, sf_dir):
 
 
 # =====================================================================
+
+
+_SPAN_IDX_BOILER = (
+    "subscribe to our weekly newsletter for updates delivered straight "
+    "to your inbox"
+)
+_SPAN_IDX_PRESS = (
+    "the annual regatta committee announced seventeen new safety rules "
+    "for participating vessels"
+)
+
+
+def _span_ingest_fixture_sql() -> str:
+    return f"""
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' {_SPAN_IDX_BOILER}'
+                  WHEN doc_id % 9 = 2 THEN text || ' {_SPAN_IDX_PRESS}'
+                  ELSE text END AS text
+      FROM documents
+    """
+
+
+def _incremental_span_oracle() -> str:
+    fx = _span_ingest_fixture_sql()
+    inner = D.span_index_ingest_oracle_sql("base", "batch", "text", "doc_id", 8)
+    tail = inner.lstrip().removeprefix("WITH")
+    return f"""
+    WITH fixture AS ({fx}),
+    base AS (SELECT * FROM fixture WHERE doc_id < 250),
+    batch AS (SELECT * FROM fixture WHERE doc_id >= 250),
+    {tail}
+    """
+
+
+@register("incremental_span_dedup", oracle=_incremental_span_oracle())
+def incremental_span_dedup(spark, sf_dir):
+    """CONTINUOUS-ingestion cross-document span dedup (operators/
+    dedup.py span_index_build/span_index_ingest) — the incremental
+    variant of cross_doc_span_dedup, completing the persisted-index
+    ingest family (exact Delta state, MinHash bands, perceptual
+    fingerprints, now gram spans): the admitted corpus's gram hashes
+    persist as a Delta table (O(corpus tokens) — the size class of
+    the on-disk suffix array the Lee et al. pipeline builds), and
+    each new batch pays one equi-join against it plus the batch-
+    internal pass. The fixture indexes documents 0-249 (every 7th
+    carries a 12-token boilerplate sentence) and ingests 250-499:
+    batch carriers of the INDEXED boilerplate lose it entirely (the
+    canonical occurrence lives in the corpus), a batch-only press
+    sentence keeps its first batch occurrence, and every natural
+    >= 8-gram overlap between halves replays identically in both
+    engines. The oracle recomputes build+ingest in one query;
+    cleaned text, token counts, and removal accounting hash-match.
+    Cross-batch durability is pytest-pinned
+    (test_span_index_ingest_second_batch)."""
+    import os
+    import shutil
+
+    docs = load_table(spark, "documents", sf_dir)
+    fixture = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SPAN_IDX_BOILER)),
+        )
+        .when(
+            F.col("doc_id") % 9 == 2,
+            F.concat(F.col("text"), F.lit(" " + _SPAN_IDX_PRESS)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    base = fixture.filter(F.col("doc_id") < 250)
+    batch = fixture.filter(F.col("doc_id") >= 250)
+    idx = os.path.join(
+        _SCRATCH, f"span_idx_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(idx, ignore_errors=True)
+    D.span_index_build(base, "text", "doc_id", idx, n=8)
+    return D.span_index_ingest(batch, "text", "doc_id", idx, n=8)

@@ -3365,3 +3365,55 @@ def test_int8_quantization_bounds_and_quality(spark, sf_dir):
     again = {r.vec_id: (tuple(r.codes), r.cos_recon) for r in
              S.quantize_embeddings_int8(emb, "vec_id", "embedding", 64).collect()}
     assert again == {r.vec_id: (tuple(r.codes), r.cos_recon) for r in rows}
+
+
+def test_span_index_ingest_second_batch(spark, tmp_path):
+    """Span-index durability: batch 1's ADMITTED text (including the
+    surviving canonical copy of a batch-internal shared span) joins
+    the index, so a batch-2 document carrying that span loses it
+    entirely — while batch-2-only content is untouched."""
+    from python_plugins_spark.operators.dedup import (
+        span_index_build, span_index_ingest,
+    )
+
+    idx = str(tmp_path / "span_idx")
+    base = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    span_index_build(base, "text", "doc_id", idx, n=4)
+
+    # batch 1: doc 10 repeats the INDEXED span (removed); docs 11+12
+    # share a NEW span ("red green blue yellow") -> 11 keeps it
+    b1 = spark.createDataFrame(
+        [
+            (10, "intro alpha beta gamma delta outro"),
+            (11, "red green blue yellow one"),
+            (12, "start red green blue yellow two"),
+        ],
+        "doc_id long, text string",
+    )
+    got1 = {
+        r.doc_id: r
+        for r in span_index_ingest(b1, "text", "doc_id", idx, n=4).collect()
+    }
+    assert got1[10].clean_text == "intro outro" and got1[10].n_removed == 4
+    assert got1[11].clean_text == "red green blue yellow one"
+    assert got1[12].clean_text == "start two" and got1[12].n_removed == 4
+
+    # batch 2: a carrier of batch-1's ADMITTED span must lose it
+    # (durability: the cleaned batch-1 grams were appended); fresh
+    # content is untouched
+    b2 = spark.createDataFrame(
+        [
+            (20, "prefix red green blue yellow suffix"),
+            (21, "totally novel words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r.doc_id: r
+        for r in span_index_ingest(b2, "text", "doc_id", idx, n=4).collect()
+    }
+    assert got2[20].clean_text == "prefix suffix" and got2[20].n_removed == 4
+    assert got2[21].clean_text == "totally novel words only here"
