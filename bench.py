@@ -332,6 +332,9 @@ def main() -> None:
         "lang_id_cjk_docs",
         "cross_doc_span_dedup",
         "incremental_phash_radius_ingest",
+        "lang_id_arabic_script_docs",
+        "embedding_int8_quantize",
+        "incremental_span_dedup",
     ]
     # Tier tags (round 8): ~50 extras is past eyeballing — per-tier
     # subtotals make a tier regression visible without reading every

@@ -1281,3 +1281,62 @@ def test_online_radius_phash_dedup(spark):
     )
     got = sorted(r.doc_id for r in out.collect())
     assert got == [0, 3, 6, 9, 12, 15], got
+
+
+def test_online_span_dedup_across_waves(spark):
+    """Streaming composition of the span index: documents arriving in
+    micro-batches are span-deduplicated against everything previously
+    admitted — a later wave carrying a span admitted in an earlier
+    wave loses it, while fresh content passes (the foreachBatch +
+    Delta-index shape shared by the whole online-dedup family)."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from python_plugins_spark.operators.dedup import (
+        span_index_build, span_index_ingest,
+    )
+    from python_plugins_spark.streaming.ops import _id_ranged_wave_stream
+
+    scratch = "/root/repo/.scratch/online_span_test"
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    run = uuid.uuid4().hex[:8]
+    idx = os.path.join(scratch, f"idx_{run}")
+
+    rows = [
+        # wave 1 (ids 0-9): doc 1 introduces the span
+        (1, "alpha beta gamma delta unique one"),
+        (2, "totally different words entirely here"),
+        # wave 2 (ids 10-19): doc 11 re-carries wave-1's span
+        (11, "prefix alpha beta gamma delta suffix"),
+        (12, "yet more novel content again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # bootstrap an empty index so every wave goes through ingest
+    span_index_build(df.limit(0), "text", "doc_id", idx, n=4)
+    stream = _id_ranged_wave_stream(spark, df, "doc_id", scratch, 2, run)
+
+    results = {}
+
+    def handle(bdf, epoch_id):
+        cleaned = span_index_ingest(bdf, "text", "doc_id", idx, n=4)
+        for r in cleaned.collect():
+            results[r.doc_id] = (r.clean_text, r.n_removed)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(scratch, f"ckpt_{run}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert results[1] == ("alpha beta gamma delta unique one", 0)
+    assert results[2][1] == 0
+    assert results[11] == ("prefix suffix", 4)  # cross-WAVE removal
+    assert results[12][1] == 0
