@@ -335,6 +335,7 @@ def main() -> None:
         "lang_id_arabic_script_docs",
         "embedding_int8_quantize",
         "incremental_span_dedup",
+        "lang_id_tiered_docs",
     ]
     # Tier tags (round 8): ~50 extras is past eyeballing — per-tier
     # subtotals make a tier regression visible without reading every

@@ -1264,3 +1264,96 @@ def lang_id_arabic_script_oracle_sql(
                 ELSE 'ar' END AS pred_lang
     FROM {table}
     """
+
+
+# ---------------------------------------------------------- tiered
+def lang_id_tiered(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, lang, tier) — the PRODUCTION composition of the whole
+    lang-id family: the flagship trigram classifier with the
+    ten-script branch runs over every document ONCE (text carried
+    through its narrow projection, never a join-back), then each
+    script-level verdict that has a downstream tier is REFINED on
+    just its routed subset: 'ru' -> the Cyrillic trigram tier
+    (ru/uk/bg), 'zh'/'ja'/'ko' -> the CJK tier (presence branch +
+    Han-overlap trigrams), 'ar' -> the Arabic-script repertoire tier
+    (ar/fa/ur). Latin verdicts, single-language scripts (el/hi/he/th),
+    and 'unknown' stand as-is ('base' tier).
+
+    Scale shape: the base pass is the zero-shuffle Arrow map; its
+    output is materialized once (localCheckpoint — four consumers
+    would otherwise re-run the scoring pass per branch) and each tier
+    is another zero-shuffle narrow map over its subset; the final
+    result is a UNION, not a join. Total corpus passes: 1 + the
+    routed fractions."""
+    base = lang_id_ngram(df, text_col, id_col, carry=[text_col])
+    base = base.localCheckpoint(eager=True)
+    routed = ("ru", "zh", "ja", "ko", "ar")
+    rest = base.filter(~F.col("pred_lang").isin(*routed)).select(
+        F.col(id_col),
+        F.col("pred_lang").alias("lang"),
+        F.lit("base").alias("tier"),
+    )
+    cyr = lang_id_cyrillic(
+        base.filter(F.col("pred_lang") == "ru"), text_col, id_col
+    ).select(
+        F.col(id_col),
+        F.col("pred_lang").alias("lang"),
+        F.lit("cyrillic").alias("tier"),
+    )
+    cjk = lang_id_cjk(
+        base.filter(F.col("pred_lang").isin("zh", "ja", "ko")),
+        text_col,
+        id_col,
+    ).select(
+        F.col(id_col),
+        F.col("pred_lang").alias("lang"),
+        F.lit("cjk").alias("tier"),
+    )
+    ara = lang_id_arabic_script(
+        base.filter(F.col("pred_lang") == "ar"), text_col, id_col
+    ).select(
+        F.col(id_col),
+        F.col("pred_lang").alias("lang"),
+        F.lit("arabic-script").alias("tier"),
+    )
+    return rest.unionByName(cyr).unionByName(cjk).unionByName(ara)
+
+
+def lang_id_tiered_oracle_sql(table: str, text_col: str, id_col: str) -> str:
+    """DuckDB twin: the base oracle and each tier oracle nest as
+    WITH-inside-CTE blocks (their internal CTE names cannot collide),
+    routed subsets re-join the source table for their text, and the
+    final UNION mirrors the Spark composition."""
+    base = lang_id_ngram_oracle_sql(table, text_col, id_col)
+    cyr = lang_id_cyrillic_oracle_sql("_ru_in", text_col, id_col)
+    cjk = lang_id_cjk_oracle_sql("_cjk_in", text_col, id_col)
+    ara = lang_id_arabic_script_oracle_sql("_ar_in", text_col, id_col)
+    return f"""
+    WITH _base AS ({base}),
+    _ru_in AS (
+      SELECT t.{id_col}, t.{text_col} FROM {table} t
+      JOIN _base b ON t.{id_col} = b.{id_col} WHERE b.pred_lang = 'ru'
+    ),
+    _cjk_in AS (
+      SELECT t.{id_col}, t.{text_col} FROM {table} t
+      JOIN _base b ON t.{id_col} = b.{id_col}
+      WHERE b.pred_lang IN ('zh', 'ja', 'ko')
+    ),
+    _ar_in AS (
+      SELECT t.{id_col}, t.{text_col} FROM {table} t
+      JOIN _base b ON t.{id_col} = b.{id_col} WHERE b.pred_lang = 'ar'
+    ),
+    _cyr AS ({cyr}),
+    _cjk AS ({cjk}),
+    _ara AS ({ara})
+    SELECT {id_col}, pred_lang AS lang, 'base' AS tier
+    FROM _base WHERE pred_lang NOT IN ('ru', 'zh', 'ja', 'ko', 'ar')
+    UNION ALL
+    SELECT {id_col}, pred_lang AS lang, 'cyrillic' AS tier FROM _cyr
+    UNION ALL
+    SELECT {id_col}, pred_lang AS lang, 'cjk' AS tier FROM _cjk
+    UNION ALL
+    SELECT {id_col}, pred_lang AS lang, 'arabic-script' AS tier FROM _ara
+    """

@@ -2068,3 +2068,80 @@ def lang_id_arabic_script_docs(spark, sf_dir):
         "doc_id", F.element_at(snips, idx).alias("text")
     )
     return lang_id_arabic_script(fixture, "text", "doc_id")
+
+
+# One original sentence per SUPPORTED LANGUAGE across all tiers (the
+# Latin eight, the Cyrillic three, Greek, the CJK three, the
+# Arabic-script three, and the single-language scripts) — the
+# end-to-end routing fixture for the tiered composition. Expected
+# labels are pytest-pinned (test_lang_id_tiered_composition).
+_TIERED_SNIPPETS: list[str] = [
+    "Machine translation systems process linguistic structures remarkably quickly.",
+    "Zahlreiche Wissenschaftler untersuchen gegenwärtig erstaunliche Zusammenhänge.",
+    "Plusieurs grenouilles vertes chantaient joyeusement près du vieux moulin.",
+    "Numerosos pájaros amarillos volaban rápidamente hacia montañas lejanas.",
+    "Bellissimi tramonti arancioni illuminavano lentamente quelle colline toscane.",
+    "Pequenos barcos coloridos regressavam lentamente àquele porto tranquilo.",
+    "Verschillende vrachtwagens reden langzaam door nauwe straatjes vol fietsers.",
+    "Flera småbåtar gled långsamt över den spegelblanka sjön mot solnedgången.",
+    "Мы долго ехали через лес, и вдруг дорога вышла к широкой реке.",
+    "Ми довго їхали через ліс, і раптом дорога вийшла до широкої річки.",
+    "Пътувахме дълго през гората и изведнъж пътят излезе при широката река.",
+    "Οι ερευνητές ανέπτυξαν ένα νέο κατανεμημένο σύστημα",
+    "工程师在新的实验室里测试并行系统的性能",
+    "図書館のとなりにある小さな店で、あたたかいお茶を飲んだ。",
+    "학생들은 도서관 옆 작은 가게에서 따뜻한 차를 마셨다",
+    "كتب الطالب رسالة طويلة الى صديقه في المدينة القديمة",
+    "کتابخانه بزرگ شهر هر روز پذیرای پژوهشگران جوان است",
+    "بڑی لائبریری میں طلبہ روزانہ نئی کتابیں پڑھتے ہیں",
+    "विश्वविद्यालय के शोधकर्ताओं ने नई वितरित प्रणाली विकसित की",
+    "חוקרים באוניברסיטה פיתחו מערכת מחשוב מבוזרת חדשה ומהירה",
+    "นักวิจัยของมหาวิทยาลัยพัฒนาระบบคอมพิวเตอร์แบบกระจายใหม่",
+]
+
+
+def _lang_id_tiered_oracle() -> str:
+    from python_plugins_spark.operators.langid import lang_id_tiered_oracle_sql
+
+    snips = ", ".join(
+        "'" + s.replace("'", "''") + "'" for s in _TIERED_SNIPPETS
+    )
+    inner = lang_id_tiered_oracle_sql("fixture", "text", "doc_id")
+    tail = inner.lstrip().removeprefix("WITH")
+    n = len(_TIERED_SNIPPETS)
+    return f"""
+    WITH fixture AS (
+      SELECT doc_id,
+             ([{snips}])[CAST(doc_id % {n} + 1 AS INTEGER)] AS text
+      FROM documents
+    ),
+    {tail}
+    """
+
+
+@register("lang_id_tiered_docs", oracle=_lang_id_tiered_oracle())
+def lang_id_tiered_docs(spark, sf_dir):
+    """The PRODUCTION lang-id composition (operators/langid.py:
+    lang_id_tiered) — every tier of the family working together over
+    a 21-language fixture: the flagship trigram classifier with the
+    ten-script branch runs once over the corpus (text carried through
+    its zero-shuffle projection), then 'ru' verdicts refine through
+    the Cyrillic tier (ru/uk/bg), 'zh'/'ja'/'ko' through the CJK tier
+    (presence branch + Han-overlap trigrams), and 'ar' through the
+    Arabic-script repertoire tier (ar/fa/ur); Latin, Greek,
+    Devanagari, Hebrew, and Thai verdicts stand. Output (doc_id,
+    lang, tier) — one corpus pass plus the routed fractions, a UNION
+    (never a join-back). The oracle composes the four tier oracles
+    as nested WITH blocks and hash-matches every verdict; a pytest
+    pins the expected label for all 21 languages — including uk and
+    bg sentences the base classifier can only call 'ru', and fa/ur
+    sentences it can only call 'ar'."""
+    from python_plugins_spark.operators.langid import lang_id_tiered
+
+    docs = load_table(spark, "documents", sf_dir)
+    snips = F.array(*[F.lit(s) for s in _TIERED_SNIPPETS])
+    idx = (F.col("doc_id") % len(_TIERED_SNIPPETS) + 1).cast("int")
+    fixture = docs.select(
+        "doc_id", F.element_at(snips, idx).alias("text")
+    )
+    return lang_id_tiered(fixture, "text", "doc_id")

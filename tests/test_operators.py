@@ -3417,3 +3417,37 @@ def test_span_index_ingest_second_batch(spark, tmp_path):
     }
     assert got2[20].clean_text == "prefix suffix" and got2[20].n_removed == 4
     assert got2[21].clean_text == "totally novel words only here"
+
+
+def test_lang_id_tiered_composition(spark):
+    """The tiered composition labels all 21 supported languages
+    correctly end-to-end — including the verdicts only a tier can
+    produce (uk/bg behind the base's 'ru'; fa/ur behind 'ar'; ja for
+    a Han-only fragment the base calls 'zh' stays zh here because the
+    CJK tier's trigram overlap decides, while kana text routes
+    'ja' at the base already) — and tags which tier decided."""
+    from python_plugins_spark.operators.langid import lang_id_tiered
+    from python_plugins_spark.queries.lm_mining import _TIERED_SNIPPETS
+
+    want = [
+        "en", "de", "fr", "es", "it", "pt", "nl", "sv",
+        "ru", "uk", "bg", "el", "zh", "ja", "ko", "ar", "fa", "ur",
+        "hi", "he", "th",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(_TIERED_SNIPPETS)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.lang, r.tier)
+        for r in lang_id_tiered(df, "text", "doc_id").collect()
+    }
+    assert len(got) == len(want)
+    for i, lang in enumerate(want):
+        assert got[i][0] == lang, (i, lang, got[i])
+    # the tier attribution: refined verdicts carry their tier's name
+    assert got[9] == ("uk", "cyrillic") and got[10] == ("bg", "cyrillic")
+    assert got[13] == ("ja", "cjk") and got[14] == ("ko", "cjk")
+    assert got[16] == ("fa", "arabic-script")
+    assert got[17] == ("ur", "arabic-script")
+    assert got[0][1] == "base" and got[11][1] == "base"
