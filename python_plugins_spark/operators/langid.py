@@ -1268,7 +1268,10 @@ def lang_id_arabic_script_oracle_sql(
 
 # ---------------------------------------------------------- tiered
 def lang_id_tiered(
-    df: DataFrame, text_col: str, id_col: str
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """(id, lang, tier) — the PRODUCTION composition of the whole
     lang-id family: the flagship trigram classifier with the
@@ -1286,19 +1289,27 @@ def lang_id_tiered(
     would otherwise re-run the scoring pass per branch) and each tier
     is another zero-shuffle narrow map over its subset; the final
     result is a UNION, not a join. Total corpus passes: 1 + the
-    routed fractions."""
-    base = lang_id_ngram(df, text_col, id_col, carry=[text_col])
+    routed fractions. ``carry`` lists extra input columns to pass
+    through every branch (the pipeline stage carries the whole
+    row this way)."""
+    carry = [c for c in (carry or []) if c not in (id_col, text_col)]
+    base = lang_id_ngram(
+        df, text_col, id_col, carry=[text_col] + carry
+    )
     base = base.localCheckpoint(eager=True)
     routed = ("ru", "zh", "ja", "ko", "ar")
     rest = base.filter(~F.col("pred_lang").isin(*routed)).select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.col("pred_lang").alias("lang"),
         F.lit("base").alias("tier"),
     )
     cyr = lang_id_cyrillic(
-        base.filter(F.col("pred_lang") == "ru"), text_col, id_col
+        base.filter(F.col("pred_lang") == "ru"), text_col, id_col,
+        carry=carry,
     ).select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.col("pred_lang").alias("lang"),
         F.lit("cyrillic").alias("tier"),
     )
@@ -1306,15 +1317,19 @@ def lang_id_tiered(
         base.filter(F.col("pred_lang").isin("zh", "ja", "ko")),
         text_col,
         id_col,
+        carry=carry,
     ).select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.col("pred_lang").alias("lang"),
         F.lit("cjk").alias("tier"),
     )
     ara = lang_id_arabic_script(
-        base.filter(F.col("pred_lang") == "ar"), text_col, id_col
+        base.filter(F.col("pred_lang") == "ar"), text_col, id_col,
+        carry=carry,
     ).select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.col("pred_lang").alias("lang"),
         F.lit("arabic-script").alias("tier"),
     )

@@ -67,10 +67,12 @@ Stage types (the platform categories the reference's §2c table maps):
 - ``transform.html_extract`` — htmlField?, idField? (visible-text
   extraction)
 - ``transform.nfc_normalize`` — field?, outputField?, form?
-- ``transform.langid`` — field?, idField?, mode?, action?
+- ``transform.langid`` — field?, idField?, mode?, action?, tiered?
   (``annotate`` appends pred_lang/n_trigrams/scores, ``filter`` keeps
-  rows with pred_lang in ``keep``); columns carried through the
-  operator's narrow projection, never a join-back
+  rows with pred_lang in ``keep``; ``tiered: true`` runs the full
+  base+per-script-tier composition, verdicts ``lang``/``tier``);
+  columns carried through the operators' narrow projections, never a
+  join-back
 - ``transform.repetition_filter`` — field?, idField?, action?
   (``filter`` keeps rows passing the Gopher repetition thresholds,
   ``annotate`` appends the 13 signals)
@@ -771,10 +773,15 @@ def run_pipeline(
             # "annotate" (default) appends pred_lang + n_trigrams +
             # per-language scores; "filter" keeps only rows whose
             # pred_lang is in `keep` (and keeps the verdict column).
-            # Input columns are CARRIED through the operator's own
-            # narrow projection — no join-back, zero shuffles.
+            # `tiered: true` runs the full production composition
+            # instead (base ten-script pass + per-script refinement;
+            # verdict columns `lang` + `tier`, no score columns).
+            # Input columns are CARRIED through the operators' own
+            # narrow projections — no join-back, zero shuffles.
             need(1)
-            from python_plugins_spark.operators.langid import lang_id_ngram
+            from python_plugins_spark.operators.langid import (
+                lang_id_ngram, lang_id_tiered,
+            )
 
             action = cfg.get("action", "annotate")
             if action not in ("annotate", "filter"):
@@ -787,16 +794,24 @@ def run_pipeline(
                     f"stage {name!r}: langid filter needs keep: [langs]"
                 )
             idf = cfg.get("idField", "doc_id")
-            out = lang_id_ngram(
-                ins[0],
-                cfg.get("field", "text"),
-                idf,
-                mode=cfg.get("mode", "arrow"),
-                carry=[c for c in ins[0].columns if c != idf],
-            )
+            carry = [c for c in ins[0].columns if c != idf]
+            if cfg.get("tiered"):
+                out = lang_id_tiered(
+                    ins[0], cfg.get("field", "text"), idf, carry=carry
+                )
+                verdict_col = "lang"
+            else:
+                out = lang_id_ngram(
+                    ins[0],
+                    cfg.get("field", "text"),
+                    idf,
+                    mode=cfg.get("mode", "arrow"),
+                    carry=carry,
+                )
+                verdict_col = "pred_lang"
             if action == "filter":
                 keep = [str(k) for k in cfg["keep"]]
-                out = out.filter(F.col("pred_lang").isin(keep))
+                out = out.filter(F.col(verdict_col).isin(keep))
             frames[name] = out
         elif stype == "transform.repetition_filter":
             # Gopher repetition gate (operators/repetition.py): keeps

@@ -1398,6 +1398,31 @@ def test_pipeline_langid_and_repetition_stages(spark, tmp_path):
     assert sig[4].passes_repetition is False and sig[4].dup_10gram_char_frac == 1.0
     assert sig[1].passes_repetition is True and sig[1].tag == "keepme"
 
+    # tiered: true runs the full composition — a Ukrainian row (the
+    # base can only say 'ru') refines through the Cyrillic tier, the
+    # verdict column is `lang` + `tier`, carried columns survive
+    tiered_rows = rows[:2] + [
+        (5, "Ми довго їхали через ліс і дорога вийшла до широкої річки.", "keepme"),
+    ]
+    src2 = str(tmp_path / "langid_tiered_src.parquet")
+    spark.createDataFrame(
+        tiered_rows, "doc_id long, text string, tag string"
+    ).write.parquet(src2)
+    tiered = run_pipeline(spark, {
+        "stages": [
+            {"name": "src", "type": "batchsource.parquet",
+             "config": {"path": src2}},
+            {"name": "lang", "type": "transform.langid",
+             "config": {"tiered": True, "action": "filter",
+                        "keep": ["en", "uk"]}},
+        ],
+        "connections": [{"from": "src", "to": "lang"}],
+    })["lang"]
+    got = {r.doc_id: (r.lang, r.tier, r.tag) for r in tiered.collect()}
+    assert got[1] == ("en", "base", "keepme")
+    assert got[5] == ("uk", "cyrillic", "keepme")
+    assert 2 not in got  # de filtered out by keep
+
 
 def test_pipeline_streaming_crawl_ingest(spark, tmp_path):
     """The crawl front-door stages are STREAMING-capable: the same

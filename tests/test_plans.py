@@ -857,6 +857,8 @@ def test_round9_queries_shuffle_budget(spark, sf_dir):
         "script_detect_docs": 0,
         "cross_doc_span_dedup": 4,
         "image_phash_neardup_pairs": 1,
+        # union of narrow maps over the checkpointed base pass
+        "lang_id_tiered_docs": 0,
     }
     for name, budget in budgets.items():
         df = QUERIES[name](spark, sf_dir)
