@@ -1293,6 +1293,13 @@ def lang_id_tiered(
     through every branch (the pipeline stage carries the whole
     row this way)."""
     carry = [c for c in (carry or []) if c not in (id_col, text_col)]
+    if set(carry) & {"lang", "tier"}:
+        # the output verdict columns — a silent duplicate alias would
+        # shadow one side; refuse loudly, the module convention
+        raise ValueError(
+            "lang_id_tiered: carried columns may not be named "
+            "'lang' or 'tier' (the verdict columns); rename them first"
+        )
     base = lang_id_ngram(
         df, text_col, id_col, carry=[text_col] + carry
     )

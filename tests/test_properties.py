@@ -607,3 +607,19 @@ def test_audio_fingerprint_invariances(data):
     edited = pcm.copy().reshape(frames, frame_len)
     edited[0] *= 1000  # frame 0 becomes the loudest
     assert audio_energy_bits(edited.reshape(-1), frames=frames) != fp
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_langid_tier_classifiers_total(text):
+    """The per-script tier scalar references are total over arbitrary
+    text: every input yields a known label, never an exception —
+    the same guarantee the base classifier carries."""
+    from python_plugins_spark.operators.langid import (
+        CJK_LANGS, CYR_LANGS, classify_arabic_script_py,
+        classify_cjk_py, classify_cyrillic_py,
+    )
+
+    assert classify_cyrillic_py(text) in set(CYR_LANGS) | {"unknown"}
+    assert classify_cjk_py(text) in set(CJK_LANGS) | {"unknown"}
+    assert classify_arabic_script_py(text) in {"ar", "fa", "ur", "unknown"}
