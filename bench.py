@@ -336,6 +336,7 @@ def main() -> None:
         "embedding_int8_quantize",
         "incremental_span_dedup",
         "lang_id_tiered_docs",
+        "audio_spectral_dedup",
     ]
     # Tier tags (round 8): ~50 extras is past eyeballing — per-tier
     # subtotals make a tier regression visible without reading every

@@ -696,3 +696,169 @@ def phash_index_radius_ingest(
         dups = dups.localCheckpoint(eager=True)
         write_delta(admitted, f"{index_path}/phash", mode="append")
     return admitted, dups
+
+
+# ---------------------------------------------------------- spectral
+
+def audio_spectral_bits(
+    pcm, frames: int = 9, frame_len: int = 256, bands: int = 8
+) -> int:
+    """FREQUENCY-domain audio fingerprint — the actual Haitsma-Kalker
+    (2002) bit formula, not the time-envelope reduction of
+    :func:`audio_energy_bits`: per frame, an FFT splits the spectrum
+    into ``bands`` equal bins-per-band groups (DC excluded); band
+    energies E[f][b] = sum |X_k|^2; one bit per (frame, band-pair)
+    from the sign of the TIME-AND-FREQUENCY double difference
+
+        bit(f, b) = (E[f][b] - E[f][b+1]) - (E[f-1][b] - E[f-1][b+1]) > 0
+
+    giving (frames-1) x (bands-1) bits (9 x 8 defaults -> 56, inside
+    BIGINT). Phase edits change every byte but no |X_k|, so
+    phase-shifted re-masters collapse to one fingerprint; unlike the
+    envelope bits, a BAND-swap edit with equal total energy flips
+    these (pytest-pinned — that is the frequency axis the envelope
+    cannot see). Float caveat, stated: energies are float64 FFT sums;
+    the fixture family keeps every double difference >= 1.6e3
+    amplitude-squared units while FFT noise is orders smaller, so the
+    bits are exact (FFT-vs-analytic equality pytest-pinned across
+    the whole fixture family)."""
+    arr = np.asarray(pcm, dtype=np.float64)
+    if len(arr) != frames * frame_len:
+        raise ValueError(
+            f"audio_spectral_bits: {len(arr)} samples != "
+            f"{frames}x{frame_len}"
+        )
+    # rfft yields bins 0..frame_len/2; DC excluded, Nyquist included:
+    # frame_len/2 usable bins (256 -> 128 = 8 x 16)
+    nbins = frame_len // 2
+    if nbins % bands:
+        raise ValueError(
+            f"audio_spectral_bits: {nbins} non-DC bins not divisible "
+            f"into {bands} bands"
+        )
+    per = nbins // bands
+    x = arr.reshape(frames, frame_len)
+    spec = np.abs(np.fft.rfft(x, axis=1)) ** 2
+    e = np.stack(
+        [spec[:, 1 + per * b: 1 + per * (b + 1)].sum(axis=1) for b in range(bands)],
+        axis=1,
+    )
+    bits = 0
+    kk = 0
+    for f in range(1, frames):
+        for b in range(bands - 1):
+            d = (e[f][b] - e[f][b + 1]) - (e[f - 1][b] - e[f - 1][b + 1])
+            if d > 0:
+                bits |= 1 << kk
+            kk += 1
+    return bits
+
+
+def audio_spectral_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frames: int = 9,
+    frame_len: int = 256,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, sfp) through the REAL decode chain: RIFF walk, FFT band
+    energies, Haitsma-Kalker double-difference bits. Arrow-batched
+    narrow map; zero shuffles."""
+    from python_plugins_spark.operators.multimodal import _wav_pcm_array
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sfp", T.LongType()),
+        ]
+    )
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                n_ch, _rate, _n, pcm = _wav_pcm_array(bytes(payload))
+                if n_ch != 1:
+                    raise ValueError(
+                        "audio_spectral_fingerprint: expected mono, got "
+                        f"{n_ch} channels"
+                    )
+                ids.append(int(rid))
+                fps.append(
+                    audio_spectral_bits(
+                        pcm, frames=frames, frame_len=frame_len, bands=bands
+                    )
+                )
+            yield pd.DataFrame({id_col: ids, "sfp": fps})
+
+    return df.select(id_col, payload_col).mapInPandas(fp, schema)
+
+
+# fixture constants shared with the oracle replay (SQL is generated
+# from these same numbers)
+SPECTRAL_M1, SPECTRAL_M2, SPECTRAL_M3 = 7, 5, 11
+SPECTRAL_MOD, SPECTRAL_MULT = 83, 3
+
+
+def spectral_amp(g: int, f: int, b: int) -> int:
+    """Per-(group, frame, band) sine amplitude of the fixture —
+    chosen so all 11 default groups map to DISTINCT fingerprints and
+    every Haitsma-Kalker double difference stays >= 1638 amp^2 units
+    (found by search; FFT noise is orders smaller)."""
+    return 100 + (
+        (g * SPECTRAL_M1 + f * SPECTRAL_M2 + b * SPECTRAL_M3) % SPECTRAL_MOD
+    ) * SPECTRAL_MULT
+
+
+def synth_spectral_wav_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    groups: int = 11,
+    frames: int = 9,
+    frame_len: int = 256,
+    bands: int = 8,
+    variant_mod: int = 3,
+) -> DataFrame:
+    """Near-duplicate SPECTRAL audio fixture, REAL writer: each row
+    renders a PCM16 signal whose frame f carries one sine per band at
+    that band's EXACT center bin (k = 9 + 16b for the defaults — an
+    exact-bin DFT has zero spectral leakage) with amplitude
+    spectral_amp(group, f, b), then variant v = id % variant_mod
+    applies a GLOBAL PHASE SHIFT of v*pi/2 — every byte changes (sin
+    -> cos for v=1), no |X_k| does, so rows sharing a group are
+    perceptual duplicates with distinct payloads."""
+    from python_plugins_spark.operators.multimodal import (
+        fanout_ids, wav_bytes,
+    )
+
+    per = (frame_len // 2) // bands
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(frame_len)
+        for batch in batches:
+            ids, payloads = [], []
+            for pid in batch[id_col]:
+                s = int(pid)
+                g, v = s % groups, s % variant_mod
+                phase = v * np.pi / 2
+                chunks = []
+                for f in range(frames):
+                    sig = np.zeros(frame_len)
+                    for b in range(bands):
+                        k = 1 + per * b + per // 2
+                        sig += spectral_amp(g, f, b) * np.sin(
+                            2 * np.pi * k * t / frame_len + phase
+                        )
+                    chunks.append(np.round(sig).astype(np.int64))
+                ids.append(s)
+                payloads.append(wav_bytes(np.concatenate(chunks)))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return fanout_ids(df, id_col).mapInPandas(synth, schema)

@@ -3340,3 +3340,79 @@ def embedding_int8_quantize(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
     out = S.quantize_embeddings_int8(emb, "vec_id", "embedding", 64)
     return out.select("vec_id", "max_abs_err", "cos_recon")
+
+
+def _audio_spectral_oracle() -> str:
+    """Replays every Haitsma-Kalker bit from the generating amplitude
+    formula in EXACT integer arithmetic (band energies order as the
+    squared amplitudes: exact-bin sines have zero spectral leakage
+    and the minimal double-difference gap, 1638 amp^2 units by
+    construction, dwarfs FFT rounding), fully independent of the
+    RIFF/FFT chain."""
+    from python_plugins_spark.operators.phash import (
+        SPECTRAL_M1, SPECTRAL_M2, SPECTRAL_M3, SPECTRAL_MOD, SPECTRAL_MULT,
+    )
+
+    def a(f: int, b: int) -> str:
+        return (
+            f"(100 + (((doc_id % 11)*{SPECTRAL_M1} + {f}*{SPECTRAL_M2}"
+            f" + {b}*{SPECTRAL_M3}) % {SPECTRAL_MOD}) * {SPECTRAL_MULT})"
+        )
+
+    terms = []
+    kk = 0
+    for f in range(1, 9):
+        for b in range(7):
+            d = (
+                f"(({a(f, b)}*{a(f, b)} - {a(f, b + 1)}*{a(f, b + 1)})"
+                f" - ({a(f - 1, b)}*{a(f - 1, b)}"
+                f" - {a(f - 1, b + 1)}*{a(f - 1, b + 1)}))"
+            )
+            terms.append(f"(CASE WHEN {d} > 0 THEN {1 << kk} ELSE 0 END)")
+            kk += 1
+    fp = "\n         + ".join(terms)
+    return f"""
+    WITH h AS (
+      SELECT doc_id, CAST({fp} AS BIGINT) AS sfp FROM documents
+    )
+    SELECT doc_id, sfp,
+           CAST(count(*) OVER (PARTITION BY sfp) AS BIGINT) AS n_dups,
+           doc_id = min(doc_id) OVER (PARTITION BY sfp) AS keep
+    FROM h
+    """
+
+
+@register("audio_spectral_dedup", oracle=_audio_spectral_oracle())
+def audio_spectral_dedup(spark, sf_dir):
+    """FREQUENCY-domain audio dedup (operators/phash.py
+    audio_spectral_bits) — the ACTUAL Haitsma-Kalker 2002 fingerprint,
+    upgrading the time-envelope reduction of audio_fingerprint_dedup:
+    per frame an FFT splits the spectrum into 8 bands, and one bit per
+    (frame, band-pair) takes the sign of the time-and-frequency
+    double difference of band energies — so phase-shifted re-masters
+    (every byte different, sin -> cos) collapse to one fingerprint,
+    while a band-swap edit with equal total energy (invisible to the
+    envelope bits) flips these. The fixture renders REAL PCM16 WAVs:
+    one sine per band at the band's EXACT center bin (zero spectral
+    leakage) with amplitudes seeded by doc_id % 11 (all 11 groups
+    distinct by search) and a per-variant global phase shift; the
+    oracle replays every bit from the amplitude formula in exact
+    integer arithmetic, independent of the RIFF/FFT chain (the
+    minimal double-difference gap dwarfs FFT rounding — equality
+    FFT-vs-analytic is pytest-pinned across the family). Plan: codec
+    id-fan-out + narrow decode/FFT maps, then ONE hash-partitioned
+    window — the exact-dedup shuffle shape at any corpus size."""
+    from python_plugins_spark.operators.phash import (
+        audio_spectral_fingerprint, synth_spectral_wav_payloads,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    enc = synth_spectral_wav_payloads(docs, "doc_id")
+    h = audio_spectral_fingerprint(enc, "doc_id", "payload")
+    w = Window.partitionBy("sfp")
+    return h.select(
+        "doc_id",
+        "sfp",
+        F.count("*").over(w).cast("long").alias("n_dups"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )

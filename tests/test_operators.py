@@ -3451,3 +3451,73 @@ def test_lang_id_tiered_composition(spark):
     assert got[16] == ("fa", "arabic-script")
     assert got[17] == ("ur", "arabic-script")
     assert got[0][1] == "base" and got[11][1] == "base"
+
+
+def test_audio_spectral_bits_haitsma_kalker():
+    """The frequency-domain fingerprint: (a) FFT bits equal the
+    analytic amplitude-formula bits across the whole fixture family
+    (the oracle's exactness claim); (b) a global phase shift changes
+    every byte but no bit; (c) a BAND-swap edit with equal total
+    energy — invisible to the time-envelope bits — flips spectral
+    bits; (d) refusals for bad shapes."""
+    import numpy as np
+    import pytest
+
+    from python_plugins_spark.operators.phash import (
+        audio_energy_bits, audio_spectral_bits, spectral_amp,
+    )
+
+    F_, N, B = 9, 256, 8
+    per = (N // 2) // B
+
+    def synth(g, v, swap=None):
+        t = np.arange(N)
+        chunks = []
+        for f in range(F_):
+            sig = np.zeros(N)
+            for b in range(B):
+                bb = b
+                if swap and f == swap[0] and b in swap[1:]:
+                    bb = swap[2] if b == swap[1] else swap[1]
+                k = 1 + per * b + per // 2
+                sig += spectral_amp(g, f, bb) * np.sin(
+                    2 * np.pi * k * t / N + v * np.pi / 2
+                )
+            chunks.append(np.round(sig).astype(np.int64))
+        return np.concatenate(chunks)
+
+    def analytic(g):
+        bits, kk = 0, 0
+        for f in range(1, F_):
+            for b in range(B - 1):
+                a = spectral_amp
+                d = (a(g, f, b) ** 2 - a(g, f, b + 1) ** 2) - (
+                    a(g, f - 1, b) ** 2 - a(g, f - 1, b + 1) ** 2
+                )
+                if d > 0:
+                    bits |= 1 << kk
+                kk += 1
+        return bits
+
+    for g in range(11):
+        want = analytic(g)
+        for v in range(3):
+            assert audio_spectral_bits(synth(g, v)) == want, (g, v)
+
+    base = synth(3, 0)
+    shifted = synth(3, 1)
+    assert not np.array_equal(base, shifted)  # bytes differ
+    assert audio_spectral_bits(base) == audio_spectral_bits(shifted)
+
+    # band-swap in one frame: equal total energy per frame -> the
+    # time-envelope bits cannot see it; the spectral bits must
+    swapped = synth(3, 0, swap=(4, 0, 5))
+    assert audio_energy_bits(base, frames=F_) == audio_energy_bits(
+        swapped, frames=F_
+    )
+    assert audio_spectral_bits(base) != audio_spectral_bits(swapped)
+
+    with pytest.raises(ValueError, match="samples"):
+        audio_spectral_bits(np.zeros(100))
+    with pytest.raises(ValueError, match="divisible"):
+        audio_spectral_bits(np.zeros(9 * 256), bands=7)
