@@ -767,7 +767,7 @@ def repeated_ngram_spans(
     2. occurrence count per window hash (map-side-combined aggregate —
        shuffle 2, by hash) filtered to >= min_dups;
     3. semi-join window positions against the repeated-hash set
-       (shuffle 3, equi-join on the 8-byte hash — only hash+position
+       (shuffle 3, equi-join on the 60-bit hash — only hash+position
        rows move, never text);
     4. per-doc gaps-and-islands merge: windows at positions p cover
        [p, p+n-1]; runs of overlapping/adjacent windows coalesce into
@@ -779,8 +779,10 @@ def repeated_ngram_spans(
     The n-gram window length trades recall for cost exactly as in the
     suffix-array original: spans shorter than ``n`` tokens are not
     detected; every repeated span >= n tokens is found exactly (no
-    probabilistic step — hash collisions aside, md5-32 over a corpus
-    keeps them negligible and only ever ADD a span).
+    probabilistic step — hash collisions aside, and the 60-bit gram
+    hash keeps those negligible even at 100 TB gram counts: ~10^11
+    distinct grams collide with probability ~0.4 %, and a collision
+    here only ever ADDs a span, never deletes unshared text).
 
     ``tok`` optionally supplies a pre-exploded (and ideally persisted)
     ``(id, _pos, _tk)`` token frame so a caller that already has one
@@ -803,9 +805,9 @@ def repeated_ngram_spans(
             last.isNotNull().alias("_ok"),
         )
         .filter("_ok")
-        .select(id_col, "_pos", hash32(F.col("_s")).alias("_h"))
+        .select(id_col, "_pos", hash60(F.col("_s")).alias("_h"))
     )
-    # The gram frame (one narrow row per token: id, pos, 8-byte hash)
+    # The gram frame (one narrow row per token: id, pos, 60-bit hash)
     # feeds both the occurrence count and the repeated-position
     # semi-join; materialize it so the per-doc sort + n lead() windows
     # run once, not once per consumer (localCheckpoint: blocks release
@@ -868,7 +870,7 @@ def repeated_ngram_spans_oracle_sql(
     return f"""
         WITH _tok AS (SELECT {id_col}, {toks} AS t FROM {table}),
         _grams AS (
-          SELECT {id_col}, u.g['p'] AS p, {O.sql_hash32("u.g['s']")} AS h
+          SELECT {id_col}, u.g['p'] AS p, {O.sql_hash60("u.g['s']")} AS h
           FROM (
             SELECT {id_col},
                    unnest([{{'p': i - 1,
@@ -1046,7 +1048,10 @@ def cross_doc_span_dedup(
        hash with millions of occurrences costs an aggregate combine,
        never a single-task sort;
     3. every occurrence of a cross-doc hash EXCEPT the canonical one
-       becomes a removal window (equi-join on the 8-byte hash);
+       becomes a removal window (equi-join on the 60-bit hash —
+       wide enough that a collision deleting UNRELATED text is
+       negligible even at 100 TB gram counts, unlike a 32-bit key
+       whose 2^32 space saturates at ~100 MB of corpus);
     4. gaps-and-islands merge per doc (shared _merge_windows_to_spans),
        explode covered positions, anti-join the token stream, reorder-
        preserving reassembly — the mask_repeated_spans mechanics.
@@ -1091,7 +1096,10 @@ def _span_tok_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def _span_gram_frame(tok: DataFrame, id_col: str, n: int) -> DataFrame:
     """Materialized (id, _pos, _h, _k) n-gram windows over a token
-    stream: _h the 8-byte gram hash, _k the arithmetic canonical key
+    stream: _h the 60-bit gram hash (NOT 32-bit: here a collision
+    makes two unrelated n-grams look cross-document-duplicated and
+    silently deletes legitimate text, so the keyspace must outlive
+    corpus-scale gram counts), _k the arithmetic canonical key
     id*2^32+pos (31-bit id bound refused loudly — violated ids would
     silently collide)."""
     from pyspark.sql import Window
@@ -1117,7 +1125,7 @@ def _span_gram_frame(tok: DataFrame, id_col: str, n: int) -> DataFrame:
         .select(
             id_col,
             "_pos",
-            hash32(F.col("_s")).alias("_h"),
+            hash60(F.col("_s")).alias("_h"),
             key.alias("_k"),
         )
         .localCheckpoint(eager=True)  # feeds stats agg + removal join
@@ -1215,7 +1223,7 @@ def span_index_ingest(
     cost stays O(batch), never O(corpus)).
 
     Per-batch plan: one tokenize window + gram hash pass, one
-    equi-join against the index on the 8-byte hash (batch side tiny;
+    equi-join against the index on the 60-bit hash (batch side tiny;
     at scale Delta file pruning on the hash column bounds the index
     scan), one map-side-combinable stats aggregate for the
     batch-internal condition, the shared islands/reassembly shape,
@@ -1282,7 +1290,7 @@ def cross_doc_span_dedup_oracle_sql(
     return f"""
         WITH _tok AS (SELECT {id_col}, {toks} AS t FROM {table}),
         _grams AS (
-          SELECT {id_col}, u.g['p'] AS p, {O.sql_hash32("u.g['s']")} AS h,
+          SELECT {id_col}, u.g['p'] AS p, {O.sql_hash60("u.g['s']")} AS h,
                  {id_col} * 4294967296 + u.g['p'] AS k
           FROM (
             SELECT {id_col},
@@ -1560,7 +1568,7 @@ def span_index_ingest_oracle_sql(
 
     def gram_cte(src: str) -> str:
         return f"""
-          SELECT {id_col}, u.g['p'] AS p, {O.sql_hash32("u.g['s']")} AS h,
+          SELECT {id_col}, u.g['p'] AS p, {O.sql_hash60("u.g['s']")} AS h,
                  {id_col} * 4294967296 + u.g['p'] AS k
           FROM (
             SELECT {id_col},
