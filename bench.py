@@ -768,16 +768,39 @@ def _bench_ann_recall(spark, sf_dir: str) -> dict:
             round(len(exact & ivf8) / len(exact), 4) if exact else 1.0
         )
         out["ivf_nprobe8_s"] = round(time.perf_counter() - t0, 3)
-        # PQ with exact re-rank over the registry query's 20-query set
+        # TRAINED centroids (round 10): spherical k-means via
+        # ivf_train_centroids replaces the lowest-id convention
         t0 = time.perf_counter()
-        books = S.pq_train_codebooks(emb, "embedding", dim=64, m=8, k=16)
-        codes = S.pq_encode(emb, "vec_id", "embedding", books)
-        queries = emb.orderBy("vec_id").limit(20)
+        cents = S.ivf_train_centroids(emb, "embedding", k=16)
+        out["ivf_train_s"] = round(time.perf_counter() - t0, 3)
+        for np_ in (4, 8):
+            t0 = time.perf_counter()
+            tr = {
+                (r.query_id, r.neighbor_id)
+                for r in S.ivf_ann_topk(
+                    emb, "vec_id", "embedding", 5,
+                    n_centroids=16, nprobe=np_, centroids=cents,
+                ).collect()
+            }
+            out[f"ivf_trained_recall_nprobe{np_}"] = (
+                round(len(exact & tr) / len(exact), 4) if exact else 1.0
+            )
+            out[f"ivf_trained_nprobe{np_}_s"] = round(
+                time.perf_counter() - t0, 3
+            )
+        # PQ with exact re-rank over the registry query's 20-query
+        # set — COSINE-consistent serving (L2-normalized frames,
+        # 8-bit codebooks) matching the registry query
+        t0 = time.perf_counter()
+        embn = S.l2_normalized(emb, "embedding").localCheckpoint(eager=True)
+        books = S.pq_train_codebooks(embn, "embedding", dim=64, m=8, k=256)
+        codes = S.pq_encode(embn, "vec_id", "embedding", books)
+        queries = embn.orderBy("vec_id").limit(20)
         pq = {
             (r.query_id, r.neighbor_id)
             for r in S.pq_topk(
                 codes, queries, "vec_id", "embedding", books, kk=5,
-                rerank_vectors=emb,
+                rerank_vectors=embn,
             ).collect()
         }
         qids = {q for q, _ in pq}
@@ -788,6 +811,54 @@ def _bench_ann_recall(spark, sf_dir: str) -> dict:
             round(len(exact_q & pq) / len(exact_q), 4) if exact_q else 1.0
         )
         out["pq_s"] = round(time.perf_counter() - t0, 3)
+        # CLUSTERED fixture: the testdata embeddings are near-uniform
+        # (no centroid choice can beat random bucket scanning there),
+        # so index QUALITY is measured on planted Gaussian clusters —
+        # the corpus shape real embedding models produce
+        cl = S.clustered_embeddings(
+            spark, n_clusters=20, per_cluster=100, dim=64
+        ).localCheckpoint(eager=True)
+        cl_exact = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ann_topk_blocked(cl, "vec_id", "embedding", 5).collect()
+        }
+        cl_unt = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_ann_topk(
+                cl, "vec_id", "embedding", 5, n_centroids=16, nprobe=4
+            ).collect()
+        }
+        out["clustered_ivf_untrained_recall"] = round(
+            len(cl_exact & cl_unt) / len(cl_exact), 4
+        )
+        cl_cents = S.ivf_train_centroids(cl, "embedding", k=16)
+        for np_ in (2, 4):
+            cl_tr = {
+                (r.query_id, r.neighbor_id)
+                for r in S.ivf_ann_topk(
+                    cl, "vec_id", "embedding", 5,
+                    n_centroids=16, nprobe=np_, centroids=cl_cents,
+                ).collect()
+            }
+            out[f"clustered_ivf_trained_recall_nprobe{np_}"] = round(
+                len(cl_exact & cl_tr) / len(cl_exact), 4
+            )
+        cln = S.l2_normalized(cl, "embedding").localCheckpoint(eager=True)
+        cl_books = S.pq_train_codebooks(cln, "embedding", dim=64, m=8, k=256)
+        cl_codes = S.pq_encode(cln, "vec_id", "embedding", cl_books)
+        cl_q = cln.orderBy("vec_id").limit(20)
+        cl_pq = {
+            (r.query_id, r.neighbor_id)
+            for r in S.pq_topk(
+                cl_codes, cl_q, "vec_id", "embedding", cl_books, kk=5,
+                rerank_vectors=cln,
+            ).collect()
+        }
+        cl_qids = {q for q, _ in cl_pq}
+        cl_exq = {p for p in cl_exact if p[0] in cl_qids}
+        out["clustered_pq_recall"] = (
+            round(len(cl_exq & cl_pq) / len(cl_exq), 4) if cl_exq else 1.0
+        )
         print(f"# [ann-recall] {out}", file=sys.stderr)
     except Exception as exc:  # the section never fails the bench
         print(f"# ann recall failed: {exc}", file=sys.stderr)

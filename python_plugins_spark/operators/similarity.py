@@ -329,11 +329,16 @@ def ivf_ann_topk(
     k: int,
     n_centroids: int = 16,
     nprobe: int = 4,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
-    """IVF approximate top-k: centroids = the ``n_centroids`` vectors
-    with the lowest ids (deterministic); every vector is assigned to
-    its nearest centroid; each query scores only vectors in its
-    ``nprobe`` nearest centroid buckets.
+    """IVF approximate top-k. Without ``centroids`` the index is
+    UNTRAINED: centroid vectors are the ``n_centroids`` lowest-id rows
+    (deterministic but arbitrary — on clustered data recall suffers
+    badly; the measured gap is published in the ann_recall bench row).
+    Pass ``centroids`` (a ``(n_centroids, dim)`` array from
+    :func:`ivf_train_centroids`) for the trained index real serving
+    uses. Every vector is assigned to its nearest centroid; each query
+    scores only vectors in its ``nprobe`` nearest centroid buckets.
 
     The bucket join is a COGROUP on centroid id — at cluster scale
     both sides hash-partition on it, so each executor scores one
@@ -347,9 +352,19 @@ def ivf_ann_topk(
     (bench_detail.json ann_recall), not assumed."""
     import pandas as _pd
 
-    centroids = df.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
-    )
+    if centroids is not None:
+        spark = df.sparkSession
+        cent_rows = [
+            (int(i), [float(v) for v in centroids[i]])
+            for i in range(len(centroids))
+        ]
+        centroids = spark.createDataFrame(
+            cent_rows, "c_id long, c_vec array<double>"
+        )
+    else:
+        centroids = df.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        )
     cos = cosine_similarity(F.col(vec_col), F.col("c_vec"))
     scored = df.crossJoin(F.broadcast(centroids)).withColumn("c_sim", cos)
     w_assign = Window.partitionBy(id_col).orderBy(
@@ -415,6 +430,173 @@ def ivf_ann_topk(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def l2_normalized(df: DataFrame, vec_col: str) -> DataFrame:
+    """Replace ``vec_col`` with its unit-L2-norm projection (zero
+    vectors pass through). On unit vectors squared-L2 order equals
+    cosine order (``||a-b||^2 = 2 - 2cos``), so the Euclidean-metric
+    PQ path (:func:`pq_topk`) serves COSINE neighbors when its
+    train/encode/rerank frames all go through this first — the exact
+    reason faiss pairs ``METRIC_INNER_PRODUCT`` indexes with
+    pre-normalization. Measured on the clustered fixture: skipping
+    this costs PQ ~0.35 recall vs cosine ground truth (the norm
+    spread re-orders neighbors between the two metrics). Pure JVM
+    expression — one pass, no shuffle."""
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    unit = F.when(nrm == 0, F.col(vec_col).cast("array<double>")).otherwise(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)
+    )
+    return df.withColumn(vec_col, unit)
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    iters: int = 5,
+    refine_iters: int = 2,
+    sample_rows: int = 20_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means centroids for a cosine IVF index (the
+    training step faiss runs before ``IndexIVF`` is usable): k-means++
+    seeding + ``iters`` Lloyd's rounds on a bounded deterministic
+    hash-ordered sample (driver-side, the :func:`pq_train_codebooks`
+    stance — centroid fitting is a tiny dense problem), then
+    ``refine_iters`` DISTRIBUTED refinement passes over the FULL
+    corpus so a biased sample cannot misplace the final centroids.
+
+    Each refinement pass is the canonical distributed-k-means shape
+    (the one Spark MLlib itself uses): centroids ship to every task as
+    a closure constant (k*dim floats), each Arrow batch assigns its
+    rows with ONE BLAS matmul and emits k partial (sum-vector, count)
+    rows, and the k*(dim+1)-sized partials — one set per task, never
+    per input row — combine in a tiny groupBy. O(N*k*dim/tasks)
+    compute, O(tasks*k*dim) shuffle, nothing corpus-sized through the
+    driver. Vectors and centroids are L2-normalized (spherical
+    k-means) so Euclidean argmin == cosine argmax, matching
+    :func:`ivf_ann_topk`'s cosine bucket assignment. Returns a
+    ``(k, dim)`` float64 array of unit-norm centroids."""
+    rng = np.random.RandomState(seed)
+    sample = (
+        df.select(vec_col)
+        .orderBy(F.md5(F.col(vec_col).cast("string")))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.asarray([r[0] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(norms == 0, 1, norms)
+
+    # k-means++ seeding (Arthur & Vassilvitskii 2007) on the sample
+    C = np.empty((k, X.shape[1]))
+    first = rng.randint(len(X))
+    C[0] = X[first]
+    d2 = ((X - C[0]) ** 2).sum(axis=1)
+    for ci in range(1, k):
+        tot = d2.sum()
+        if tot <= 0:
+            C[ci] = X[rng.randint(len(X))]
+        else:
+            C[ci] = X[np.searchsorted(np.cumsum(d2 / tot), rng.rand())]
+        d2 = np.minimum(d2, ((X - C[ci]) ** 2).sum(axis=1))
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for ci in range(k):
+            mask = assign == ci
+            if mask.any():
+                m = X[mask].sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[ci] = m / n
+
+    part_schema = T.StructType(
+        [
+            T.StructField("cid", T.IntegerType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    for _ in range(refine_iters):
+        Cb = C.copy()
+
+        def partials(batches, _C=Cb):
+            S = np.zeros_like(_C)
+            n = np.zeros(len(_C), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                vn = np.linalg.norm(V, axis=1, keepdims=True)
+                V = V / np.where(vn == 0, 1, vn)
+                assign = (V @ _C.T).argmax(axis=1)
+                for ci in np.unique(assign):
+                    mask = assign == ci
+                    S[ci] += V[mask].sum(axis=0)
+                    n[ci] += int(mask.sum())
+            hit = np.nonzero(n)[0]
+            if len(hit):
+                yield pd.DataFrame(
+                    {
+                        "cid": hit.astype(np.int32),
+                        "s": [S[i].tolist() for i in hit],
+                        "n": n[hit],
+                    }
+                )
+
+        combined = (
+            df.select(vec_col)
+            .mapInPandas(partials, part_schema)
+            .select("cid", "n", F.posexplode("s").alias("d", "v"))
+            .groupBy("cid", "d")
+            .agg(F.sum("v").alias("sv"), F.sum("n").alias("sn"))
+            .collect()
+        )
+        for r in combined:
+            C[r["cid"], r["d"]] = r["sv"]
+        for ci in range(k):
+            n = np.linalg.norm(C[ci])
+            if n > 0:
+                C[ci] = C[ci] / n
+    return C
+
+
+def clustered_embeddings(
+    spark,
+    n_clusters: int = 20,
+    per_cluster: int = 100,
+    dim: int = 64,
+    noise: float = 0.15,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic planted-Gaussian-cluster embedding fixture for
+    ANN quality evaluation: ``n_clusters`` unit-norm centers, each
+    with ``per_cluster`` members = center + N(0, noise^2) noise. The
+    driver testdata embeddings are near-uniform (no centroid choice
+    can beat random bucket scanning on them), so recall of the
+    trained IVF/PQ paths is measured HERE — the corpus shape real
+    embedding models produce — while wall-clock stays measured on the
+    testdata tables. Bounded by construction (fixture-sized,
+    driver-generated); ids are sequential so cluster membership is
+    ``vec_id // per_cluster``."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for ci in range(n_clusters):
+        pts = centers[ci] + noise * rng.randn(per_cluster, dim)
+        for p in pts:
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
 def lsh_planes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
@@ -593,6 +775,11 @@ def pq_train_codebooks(
         .collect()
     )
     X = np.array([r[0] for r in sample], dtype=np.float64)
+    if len(X) < k:
+        raise ValueError(
+            f"pq_train_codebooks needs at least k={k} sample rows to "
+            f"seed k-means (got {len(X)}); lower k or raise sample_rows"
+        )
     rng = np.random.RandomState(seed)
     books = np.zeros((m, k, sub))
     for mi in range(m):

@@ -1122,16 +1122,22 @@ def pq_ann_topk_rerank(spark, sf_dir):
     corpus index at 100 TB), queries score codes via per-query lookup
     tables (asymmetric distance), and an exact distributed re-rank
     orders the kk*10 shortlist — codes prune ~99% of the corpus,
-    exact math touches only the shortlist. Approximate by design;
-    recall vs exact search asserted in tests (like IVF)."""
+    exact math touches only the shortlist. COSINE-metric serving:
+    train/encode/query/rerank frames are all L2-normalized first, so
+    the Euclidean PQ machinery ranks by cosine (skipping this cost
+    ~0.35 recall vs cosine ground truth — measured in ann_recall);
+    codebooks use the canonical 8-bit (k=256) codewords. Approximate
+    by design; recall floors asserted in tests (like IVF)."""
     from python_plugins_spark.operators.similarity import (
+        l2_normalized,
         pq_encode,
         pq_topk,
         pq_train_codebooks,
     )
 
-    emb = load_table(spark, "embeddings", sf_dir)
-    books = pq_train_codebooks(emb, "embedding", dim=64, m=8, k=16)
+    emb = l2_normalized(load_table(spark, "embeddings", sf_dir), "embedding")
+    emb = emb.localCheckpoint(eager=True)  # normalize once, 3 consumers
+    books = pq_train_codebooks(emb, "embedding", dim=64, m=8, k=256)
     codes = pq_encode(emb, "vec_id", "embedding", books)
     queries = emb.orderBy("vec_id").limit(20)
     return pq_topk(

@@ -239,6 +239,75 @@ def test_ivf_recall(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
 
 
+def test_ivf_trained_recall_clustered(spark):
+    """Trained centroids (spherical k-means) must lift IVF recall to
+    serving quality on clustered data: >= 0.95 at nprobe=4 on the
+    planted-cluster fixture, and strictly above the untrained
+    lowest-id-centroid baseline (measured ~0.999 vs ~0.63)."""
+    emb = S.clustered_embeddings(
+        spark, n_clusters=10, per_cluster=50, dim=64
+    ).localCheckpoint(eager=True)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_topk_blocked(emb, "vec_id", "embedding", 5).collect()
+    }
+    cents = S.ivf_train_centroids(emb, "embedding", k=8)
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_ann_topk(
+            emb, "vec_id", "embedding", 5, n_centroids=8, nprobe=4,
+            centroids=cents,
+        ).collect()
+    }
+    untrained = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_ann_topk(
+            emb, "vec_id", "embedding", 5, n_centroids=8, nprobe=4
+        ).collect()
+    }
+    r_tr = len(exact & trained) / len(exact)
+    r_un = len(exact & untrained) / len(exact)
+    assert r_tr >= 0.95, f"trained IVF recall too low: {r_tr:.3f}"
+    assert r_tr > r_un, f"training did not help: {r_tr:.3f} <= {r_un:.3f}"
+
+
+def test_pq_cosine_recall_clustered(spark):
+    """COSINE-consistent PQ (L2-normalized train/encode/query/rerank
+    frames) must reach >= 0.85 recall@5 vs exact cosine top-k on the
+    planted-cluster fixture; the unnormalized path measured ~0.56
+    there (squared-L2 order != cosine order when norms vary)."""
+    emb = S.clustered_embeddings(
+        spark, n_clusters=10, per_cluster=50, dim=64
+    ).localCheckpoint(eager=True)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_topk_blocked(emb, "vec_id", "embedding", 5).collect()
+    }
+    embn = S.l2_normalized(emb, "embedding").localCheckpoint(eager=True)
+    books = S.pq_train_codebooks(embn, "embedding", dim=64, m=8, k=64)
+    codes = S.pq_encode(embn, "vec_id", "embedding", books)
+    queries = embn.orderBy("vec_id").limit(15)
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in S.pq_topk(
+            codes, queries, "vec_id", "embedding", books, kk=5,
+            rerank_vectors=embn,
+        ).collect()
+    }
+    qids = {q for q, _ in pq}
+    exq = {p for p in exact if p[0] in qids}
+    recall = len(exq & pq) / len(exq)
+    assert recall >= 0.85, f"cosine PQ recall too low: {recall:.3f}"
+
+
+def test_pq_train_codebooks_refuses_k_over_sample(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="at least k="):
+        S.pq_train_codebooks(
+            emb, "embedding", dim=64, m=8, k=256, sample_rows=100
+        )
+
+
 def test_lsh_buckets_groups_similar(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
     out = S.lsh_buckets(emb, "vec_id", "embedding", n_planes=8, dim=64)
