@@ -1242,17 +1242,24 @@ def quantize_embeddings_int8(
     maps each float to a byte code = floor((x - min) / scale + 0.5),
     scale = (max - min) / 255 — a 4x storage cut (64-dim float32
     corpus: 256 B -> 64 B per vector) that keeps ANN viable in RAM at
-    100 TB. Returns ``(id, codes array<int>, max_abs_err,
-    cos_recon)`` — the reconstruction error and the cosine between
-    the original and dequantized vector, the two numbers a pipeline
-    thresholds on before switching its index to codes.
+    100 TB. Returns ``(id, codes binary, max_abs_err, cos_recon)`` —
+    the reconstruction error and the cosine between the original and
+    dequantized vector, the two numbers a pipeline thresholds on
+    before switching its index to codes.
+
+    ``codes`` is a PACKED ``dim``-byte binary blob — one byte per
+    dimension, so the stated 4x cut is true of the actual output in
+    Spark memory and in any downstream in-RAM ANN index, not just of
+    Parquet's bit-packed on-disk form (an ``array<int>`` would spend
+    4 bytes per dim at serving time). :func:`sq8_adc_topk` scores
+    queries directly against these blobs.
 
     Scale shape: the per-dim extrema are ONE map-side-combined
     aggregate (2*dim min/max expressions — no explode, no shuffle of
     corpus*dim rows), broadcast back as a 1-row frame; quantize +
-    error math are pure JVM expressions over the row's array. The
-    explicit left-associative sums make the cosine bit-identical to
-    the DuckDB oracle replay."""
+    error math + byte packing are pure JVM expressions over the
+    row's array. The explicit left-associative sums make the cosine
+    bit-identical to the DuckDB oracle replay."""
     d = F.col(vec_col)
     x = [F.element_at(d, i + 1).cast("double") for i in range(dim)]
     stats = df.agg(
@@ -1292,12 +1299,200 @@ def quantize_embeddings_int8(
         dot / (na * nb)
     )
     err = F.greatest(*[F.abs(x[i] - deq[i]) for i in range(dim)])
+    packed = F.concat(
+        *[F.unhex(F.lpad(F.hex(code[i]), 2, "0")) for i in range(dim)]
+    )
     return j.select(
         F.col(id_col),
-        F.array(*code).alias("codes"),
+        packed.alias("codes"),
         F.round(err, 6).alias("max_abs_err"),
         F.round(cos, 6).alias("cos_recon"),
     )
+
+
+def sq8_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    n_query_blocks: int = 8,
+    n_corpus_blocks: int = 8,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PACKED SQ8 codes — the serving
+    query the :func:`quantize_embeddings_int8` storage format exists
+    for: float queries score against the dim-byte blobs directly (one
+    ``np.frombuffer`` per block row, dequantize, BLAS matmul), so the
+    index side holds 1 byte/dim in memory end-to-end. Exact given the
+    codes (the quantizer is deterministic and the scan is complete —
+    no probabilistic step), hence fully DuckDB-oracle-able via
+    :func:`sq8_adc_topk_oracle_sql`, unlike IVF/PQ.
+
+    Same 2D block-grid shape as :func:`ann_topk_blocked` (hash-packed
+    blocks, composite-key equi-join, block-local top-k, partitioned
+    window reduce — no CartesianProduct, no driver-side table data).
+    The per-dim (min, scale) pair — 2*dim doubles from one exact
+    map-side-combined aggregate — is the only driver-side collect,
+    same bounded class as the d x d covariance. Ranking:
+    (round(adc cosine, 6) DESC, neighbor_id ASC), self excluded."""
+    x = [F.element_at(F.col(vec_col), i + 1).cast("double") for i in range(dim)]
+    st = df.agg(
+        *[F.min(x[i]).alias(f"mn{i}") for i in range(dim)],
+        *[F.max(x[i]).alias(f"mx{i}") for i in range(dim)],
+    ).collect()[0]
+    mn = np.array([st[f"mn{i}"] for i in range(dim)], dtype=np.float64)
+    mx = np.array([st[f"mx{i}"] for i in range(dim)], dtype=np.float64)
+    scale = np.where(mx == mn, 1.0, (mx - mn) / 255.0)
+
+    codes = quantize_embeddings_int8(df, id_col, vec_col, dim).select(
+        F.col(id_col).alias("c_id"), "codes"
+    )
+    cb = (
+        codes.withColumn(
+            "cblk", F.pmod(F.hash(F.col("c_id")), F.lit(n_corpus_blocks))
+        )
+        .groupBy("cblk")
+        .agg(
+            F.collect_list("c_id").alias("c_ids"),
+            F.collect_list("codes").alias("c_codes"),
+        )
+        .withColumn(
+            "qblk", F.explode(F.sequence(F.lit(0), F.lit(n_query_blocks - 1)))
+        )
+    )
+    qb = (
+        df.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_query_blocks)).alias("qblk"),
+        )
+        .groupBy("qblk")
+        .agg(
+            F.collect_list("q_id").alias("q_ids"),
+            F.collect_list("q_vec").alias("q_vecs"),
+        )
+        .withColumn(
+            "cblk", F.explode(F.sequence(F.lit(0), F.lit(n_corpus_blocks - 1)))
+        )
+    )
+    grid = qb.join(cb, on=["qblk", "cblk"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("adc_cos", T.DoubleType()),
+        ]
+    )
+
+    def score_blocks(batches, _mn=mn, _scale=scale):
+        for pdf in batches:
+            out = {"query_id": [], "neighbor_id": [], "adc_cos": []}
+            for _, row in pdf.iterrows():
+                q_ids = np.asarray(row["q_ids"], dtype=np.int64)
+                q = np.array(list(row["q_vecs"]), dtype=np.float64)
+                c_ids = np.asarray(row["c_ids"], dtype=np.int64)
+                u8 = np.frombuffer(
+                    b"".join(row["c_codes"]), dtype=np.uint8
+                ).reshape(len(c_ids), dim)
+                c = _mn[None, :] + u8.astype(np.float64) * _scale[None, :]
+                qn = np.sqrt((q * q).sum(axis=1))
+                cn = np.sqrt((c * c).sum(axis=1))
+                den = qn[:, None] * cn[None, :]
+                sims = np.round(
+                    np.where(den == 0, 0.0, (q @ c.T) / np.where(den == 0, 1, den)),
+                    6,
+                )
+                sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
+                kk = min(k, sims.shape[1])
+                for i in range(len(q_ids)):
+                    s = sims[i]
+                    idx = np.lexsort((c_ids, -s))[:kk]
+                    idx = idx[s[idx] > -np.inf]
+                    out["query_id"].extend([q_ids[i]] * len(idx))
+                    out["neighbor_id"].extend(c_ids[idx])
+                    out["adc_cos"].extend(s[idx])
+            if out["query_id"]:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.asarray(out["query_id"], dtype=np.int64),
+                        "neighbor_id": np.asarray(out["neighbor_id"], dtype=np.int64),
+                        "adc_cos": np.asarray(out["adc_cos"], dtype=np.float64),
+                    }
+                )
+
+    local = grid.mapInPandas(score_blocks, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "neighbor_id", "adc_cos",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def sq8_adc_topk_oracle_sql(
+    table: str, id_col: str, vec_col: str, dim: int, k: int
+) -> str:
+    """DuckDB twin of :func:`sq8_adc_topk`: replays the per-dim exact
+    extrema, the floor-affine code, the dequantize (all in the
+    identical IEEE-double operation order), precomputes each row's
+    dequantized dims + norms once, then ranks the asymmetric cosine
+    (float query x dequantized candidate) per query. BLAS vs unrolled
+    fold differ only below the shared 6 dp round."""
+    xs = [f"CAST({vec_col}[{i + 1}] AS DOUBLE)" for i in range(dim)]
+    stat_cols = ", ".join(
+        f"min({xs[i]}) AS mn{i}, max({xs[i]}) AS mx{i}" for i in range(dim)
+    )
+    scale = [
+        f"(CASE WHEN mx{i} = mn{i} THEN 1.0 "
+        f"ELSE (mx{i} - mn{i}) / 255.0 END)"
+        for i in range(dim)
+    ]
+    code = [
+        f"least(255, greatest(0, CAST(floor(({xs[i]} - mn{i}) / {scale[i]}"
+        f" + 0.5) AS INTEGER)))"
+        for i in range(dim)
+    ]
+    deq_cols = ", ".join(
+        f"(mn{i} + CAST({code[i]} AS DOUBLE) * {scale[i]}) AS d{i}"
+        for i in range(dim)
+    )
+    x_cols = ", ".join(f"{xs[i]} AS x{i}" for i in range(dim))
+
+    def lsum(terms):
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = f"({acc} + {t})"
+        return acc
+
+    qn = f"sqrt({lsum([f'(x{i} * x{i})' for i in range(dim)])})"
+    dn = f"sqrt({lsum([f'(d{i} * d{i})' for i in range(dim)])})"
+    dot = lsum([f"(a.x{i} * b.d{i})" for i in range(dim)])
+    return f"""
+    WITH _st AS (SELECT {stat_cols} FROM {table}),
+    _r AS (
+      SELECT {id_col} AS id, {x_cols}, {deq_cols}
+      FROM {table} CROSS JOIN _st
+    ),
+    _n AS (SELECT *, {qn} AS qn, {dn} AS dn FROM _r),
+    _p AS (
+      SELECT a.id AS query_id, b.id AS neighbor_id,
+             round(CASE WHEN a.qn * b.dn = 0 THEN 0.0
+                   ELSE {dot} / (a.qn * b.dn) END, 6) AS adc_cos
+      FROM _n a JOIN _n b ON a.id <> b.id
+    ),
+    _k AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id ASC) AS rk
+      FROM _p
+    )
+    SELECT query_id, neighbor_id, adc_cos, rk::INT AS rk FROM _k WHERE rk <= {k}
+    """
 
 
 def quantize_int8_oracle_sql(

@@ -1103,6 +1103,24 @@ def ann_topk_ivf_trained(spark, sf_dir):
 
 
 @register(
+    "ann_topk_sq8",
+    oracle=S.sq8_adc_topk_oracle_sql("embeddings", "vec_id", "embedding", 64, 5),
+)
+def ann_topk_sq8(spark, sf_dir):
+    """Asymmetric-distance top-k served directly over the PACKED
+    1-byte-per-dim SQ8 codes (operators/similarity.py sq8_adc_topk):
+    the query the quantize_embeddings_int8 storage format exists for —
+    the corpus side holds dim bytes per vector in memory end-to-end
+    (the realized 4x cut), float queries dequantize-and-score each
+    block with one BLAS matmul. Deterministic (exact scan over exact
+    codes), so fully oracle-checked — the DuckDB twin replays extrema,
+    floor-affine code, dequantize, and the asymmetric cosine ranking,
+    unlike the approximate IVF/PQ entries."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.sq8_adc_topk(emb, "vec_id", "embedding", dim=64, k=5)
+
+
+@register(
     "text_stats_docs",
     oracle=TX.text_stats_oracle_sql("documents", "text", "doc_id"),
 )

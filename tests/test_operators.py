@@ -3416,7 +3416,10 @@ def test_int8_quantization_bounds_and_quality(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == emb.count()
     for r in rows[:50]:
-        assert all(0 <= c <= 255 for c in r.codes)
+        # codes are PACKED: one byte per dim — the 4x storage claim
+        # is true of the actual output, not just Parquet's encoding
+        assert isinstance(r.codes, (bytes, bytearray))
+        assert len(r.codes) == 64
         assert r.cos_recon > 0.999, r.vec_id
     # error bound: half the LARGEST per-dim step (+ float slack)
     stats = emb.agg(
@@ -3434,6 +3437,30 @@ def test_int8_quantization_bounds_and_quality(spark, sf_dir):
     again = {r.vec_id: (tuple(r.codes), r.cos_recon) for r in
              S.quantize_embeddings_int8(emb, "vec_id", "embedding", 64).collect()}
     assert again == {r.vec_id: (tuple(r.codes), r.cos_recon) for r in rows}
+
+
+def test_sq8_adc_topk_preserves_neighbors(spark):
+    """ADC search over packed SQ8 codes must track exact cosine
+    top-k closely (cos_recon > 0.999 implies near-identical ranking):
+    recall@5 >= 0.8 on the clustered fixture, and every returned
+    query has exactly k ranked rows."""
+    from python_plugins_spark.operators import similarity as S
+
+    emb = S.clustered_embeddings(
+        spark, n_clusters=10, per_cluster=50, dim=64
+    ).localCheckpoint(eager=True)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_topk_blocked(emb, "vec_id", "embedding", 5).collect()
+    }
+    adc_rows = S.sq8_adc_topk(emb, "vec_id", "embedding", dim=64, k=5).collect()
+    adc = {(r.query_id, r.neighbor_id) for r in adc_rows}
+    per_q = {}
+    for r in adc_rows:
+        per_q.setdefault(r.query_id, []).append(r.rk)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    recall = len(exact & adc) / len(exact)
+    assert recall >= 0.8, f"SQ8 ADC recall too low: {recall:.3f}"
 
 
 def test_span_index_ingest_second_batch(spark, tmp_path):
