@@ -1266,6 +1266,244 @@ def lang_id_arabic_script_oracle_sql(
     """
 
 
+# ------------------------------------------------------- devanagari
+# The fourth per-script tier, downstream of the 'hi' branch:
+# Devanagari is shared by Hindi, Marathi, and Nepali (~100 M Marathi
+# + Nepali speakers who a blanket 'hi' verdict confidently
+# mislabels). One orthography-distinctive letter exists — retroflex
+# lateral ळ (U+0933), a core everyday-vocabulary letter in Marathi
+# (वेळ 'time', शाळा 'school', जवळ 'near') that standard Hindi and
+# Nepali orthography do not use — so its presence decides 'mr'
+# outright (the CJK tier's presence-branch pattern); the hi/ne/
+# ळ-less-mr overlap falls to the trigram NB, where the three
+# languages' verb morphology (है/थे vs आहे/असे vs छ/थियो) and
+# Nepali's हरू plural separate cleanly. Same honesty contract as
+# FIXTURE_CORPORA: original prose written for this repo (everyday +
+# technical register per language), profiles derived at import time
+# by the same build_profiles — a DATA change, zero new algorithm
+# code. Documented boundary: a Marathi fragment avoiding ळ is
+# trigram-scored (usually still 'mr'); Sanskrit text routes to
+# whichever of the three its trigrams resemble most (no 'sa' class).
+DEVANAGARI_CORPORA: dict[str, str] = {
+    "hi": (
+        "पुराना बाज़ार शहर के बीच में था और हर सुबह वही लोग सब्ज़ी और फल "
+        "ख़रीदने आते थे। दुकानदार चाय पीते हुए मौसम और फ़सल की बातें करते "
+        "थे। सर्दियों में धुंध देर तक गलियों में टिकी रहती थी और बच्चे "
+        "स्कूल जाते समय हाथ मलते थे। शाम को जब दीये जलते थे तो पूरा "
+        "मोहल्ला शांत और सादा लगता था। किसी को जल्दी नहीं थी क्योंकि सब "
+        "एक दूसरे को बरसों से जानते थे। "
+        "आधुनिक संगणन प्रणालियाँ सूचना को अमूर्तता के कई स्तरों से "
+        "संसाधित करती हैं। वितरित क्वेरी इंजन विशाल डेटा समूहों को अनेक "
+        "मशीनों में बाँटता है, फ़िल्टर और समुच्चयन समानांतर चलाता है और "
+        "फिर आंशिक परिणामों को जोड़ता है। शोधकर्ता प्रवाह क्षमता और "
+        "विलंबता को ध्यान से मापते हैं क्योंकि प्रदर्शन गणना से अधिक डेटा "
+        "की आवाजाही पर निर्भर करता है। कुशल कलनविधियाँ नेटवर्क यातायात "
+        "घटाती हैं, स्थानीयता का उपयोग करती हैं और कार्य को गतिशील रूप "
+        "से बाँटती हैं।"
+    ),
+    "mr": (
+        "गावातील जुना बाजार नदीजवळ भरत असे आणि दर रविवारी तीच माणसं "
+        "भाजी व फळं घ्यायला येत असत. दुकानदार चहा घेत हवामानाच्या आणि "
+        "पिकांच्या गप्पा मारत असत. हिवाळ्यात धुकं उशिरापर्यंत "
+        "गल्ल्यांमध्ये रेंगाळत असे आणि मुलं शाळेत जाताना हात चोळत असत. "
+        "संध्याकाळी दिवे लागले की सगळा गाव शांत आणि साधा वाटत असे. "
+        "कोणालाही घाई नव्हती कारण सगळे एकमेकांना अनेक वर्षांपासून ओळखत "
+        "होते. वेळ मिळाला की म्हातारी माणसं देवळाजवळ बसून जुन्या आठवणी "
+        "सांगत असत. "
+        "आधुनिक संगणकीय प्रणाली माहितीवर अमूर्ततेच्या अनेक "
+        "पातळ्यांमधून प्रक्रिया करतात. वितरित क्वेरी इंजिन प्रचंड डेटा "
+        "संच अनेक यंत्रांमध्ये वाटतो, गाळण्या आणि एकत्रीकरण समांतर "
+        "चालवतो आणि नंतर आंशिक निकाल जोडतो. संशोधक थ्रूपुट आणि विलंब "
+        "काळजीपूर्वक मोजतात कारण कामगिरी गणनेपेक्षा डेटाच्या हालचालीवर "
+        "अवलंबून असते. कार्यक्षम अल्गोरिदम जाळ्यावरील वाहतूक कमी करतात, "
+        "स्थानिकतेचा वापर करतात आणि काम गतिमानपणे वाटून देतात."
+    ),
+    "ne": (
+        "पुरानो बजार सहरको बीचमा थियो र हरेक बिहान उही मानिसहरू तरकारी "
+        "र फलफूल किन्न आउँथे। पसलेहरू चिया पिउँदै मौसम र बालीको कुरा "
+        "गर्थे। जाडोमा कुहिरो धेरै बेरसम्म गल्लीहरूमा अडिन्थ्यो र "
+        "केटाकेटीहरू विद्यालय जाँदा हात माड्थे। साँझ परेपछि बत्ती बल्दा "
+        "सिङ्गो टोल शान्त र सरल देखिन्थ्यो। कसैलाई हतार थिएन किनभने "
+        "सबैले एकअर्कालाई धेरै वर्षदेखि चिनेका थिए। "
+        "आधुनिक अभिकलन प्रणालीहरूले सूचनालाई अमूर्तताका धेरै तहहरूबाट "
+        "प्रशोधन गर्छन्। वितरित क्वेरी इन्जिनले विशाल डेटा समूहहरूलाई "
+        "धेरै मेसिनहरूमा बाँड्छ, फिल्टर र समुच्चय समानान्तर चलाउँछ र "
+        "त्यसपछि आंशिक नतिजाहरू जोड्छ। अनुसन्धानकर्ताहरूले प्रवाह "
+        "क्षमता र विलम्बता ध्यानपूर्वक नाप्छन् किनभने कार्यसम्पादन "
+        "गणनाभन्दा डेटाको आवागमनमा बढी निर्भर हुन्छ। कुशल "
+        "एल्गोरिदमहरूले सञ्जाल यातायात घटाउँछन्, स्थानीयता प्रयोग "
+        "गर्छन् र कामलाई गतिशील रूपमा बाँड्छन्।"
+    ),
+}
+DEV_LANGS = tuple(DEVANAGARI_CORPORA)
+_DEV_LOGP, _DEV_OOV = build_profiles(corpora=DEVANAGARI_CORPORA)
+MARATHI_LLA = "ळ"  # U+0933
+
+
+def classify_devanagari_py(text: str) -> str:
+    """Scalar reference for the Devanagari tier (tests pin the Spark
+    operator against this): ळ presence -> 'mr' (orthography fact),
+    else the trigram NB over the hi/mr/ne overlap."""
+    if text is None or not text.strip():
+        return "unknown"
+    if MARATHI_LLA in text:
+        return "mr"
+    scores = [0.0] * len(DEV_LANGS)
+    for tg in char_trigrams(text):
+        row = _DEV_LOGP.get(tg, _DEV_OOV)
+        for j in range(len(DEV_LANGS)):
+            scores[j] += row[j]
+    best = max(range(len(DEV_LANGS)), key=lambda j: (scores[j], -j))
+    return DEV_LANGS[best]
+
+
+def lang_id_devanagari(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """(id, pred_lang, n_trigrams, margin, score_hi/mr/ne) — the
+    per-script model downstream of the 'hi' branch, mirroring
+    lang_id_cjk: the ळ presence branch decides 'mr' first
+    (orthography fact, zero model risk), and the trigram NB over
+    DEVANAGARI_CORPORA separates the remaining hi/mr/ne overlap by
+    verb morphology and function words. Same Arrow-batched
+    sequential left-fold as the Latin flagship (bit-identical to the
+    oracle's list_reduce), zero shuffles; the presence count is a
+    JVM regexp expression."""
+    carry = [c for c in (carry or []) if c != id_col]
+    logp, oov, nl = _DEV_LOGP, _DEV_OOV, len(DEV_LANGS)
+
+    @F.pandas_udf("array<double>")
+    def _score(col: pd.Series) -> pd.Series:
+        out = []
+        for text in col:
+            tgs = (
+                char_trigrams(text)
+                if text is not None and text.strip()
+                else []
+            )
+            acc = [0.0] * nl
+            for tg in tgs:
+                row = logp.get(tg, oov)
+                for j in range(nl):
+                    acc[j] += row[j]
+            out.append([float(len(tgs))] + acc)
+        return pd.Series(out)
+
+    d = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.col(text_col).alias("_t"),
+        _score(F.col(text_col)).alias("_r"),
+    ).select(
+        id_col, *carry, "_t",
+        F.element_at("_r", 1).cast("long").alias("n_trigrams"),
+        F.slice("_r", 2, nl).alias("_sc"),
+    )
+    sc = {lang: F.element_at("_sc", j + 1) for j, lang in enumerate(DEV_LANGS)}
+    best = F.lit(None).cast("string")
+    for j in range(nl - 1, -1, -1):
+        lang = DEV_LANGS[j]
+        others = [sc[o] for o in DEV_LANGS if o != lang]
+        best = F.when(sc[lang] >= F.greatest(*others), F.lit(lang)).otherwise(best)
+    n_lla = F.length(
+        F.regexp_replace(F.col("_t"), f"[^{MARATHI_LLA}]", "")
+    )
+    pred = (
+        F.when(F.col("n_trigrams") == 0, F.lit("unknown"))
+        .when(n_lla > 0, F.lit("mr"))
+        .otherwise(best)
+    )
+    srt = F.sort_array("_sc", asc=False)
+    margin = F.when(
+        F.col("n_trigrams") > 0,
+        (F.element_at(srt, 1) - F.element_at(srt, 2))
+        / F.col("n_trigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        id_col,
+        *carry,
+        pred.alias("pred_lang"),
+        "n_trigrams",
+        F.round(margin, 6).alias("margin"),
+        *[F.round(sc[lang], 4).alias(f"score_{lang}") for lang in DEV_LANGS],
+    )
+
+
+def lang_id_devanagari_oracle_sql(
+    table: str, text_col: str, id_col: str
+) -> str:
+    """DuckDB twin of lang_id_devanagari: same MAP literal, same
+    trigram windows, same LEFT fold, same ळ presence branch —
+    bit-identical score sums (the CJK oracle's structure with one
+    presence class)."""
+    from python_plugins_spark.functions import oracle_fragments as O
+
+    nl = len(DEV_LANGS)
+    map_entries = ", ".join(
+        f"'{_sql_q(tg)}': [{', '.join(repr(x) for x in row)}]::DOUBLE[]"
+        for tg, row in sorted(_DEV_LOGP.items())
+    )
+    oov = f"[{', '.join(repr(x) for x in _DEV_OOV)}]::DOUBLE[]"
+    zero = f"[{', '.join('0.0' for _ in DEV_LANGS)}]::DOUBLE[]"
+    add = ", ".join(f"a[{j + 1}] + b[{j + 1}]" for j in range(nl))
+    norm = O.sql_norm_text(text_col)
+    c_lla = (
+        "length(regexp_replace(_t, "
+        f"'[^\\x{{{ord(MARATHI_LLA):04x}}}]', '', 'g'))"
+    )
+    sel_scores = ", ".join(
+        f"round(sc[{j + 1}], 4) AS score_{lang}"
+        for j, lang in enumerate(DEV_LANGS)
+    )
+    best = "NULL"
+    for j in range(nl - 1, -1, -1):
+        lang = DEV_LANGS[j]
+        others = ", ".join(
+            f"sc[{i + 1}]" for i, o in enumerate(DEV_LANGS) if o != lang
+        )
+        best = (
+            f"CASE WHEN sc[{j + 1}] >= greatest({others}) "
+            f"THEN '{lang}' ELSE {best} END"
+        )
+    return f"""
+    WITH pad AS (
+      SELECT {id_col}, {text_col} AS _t,
+             ' ' || {norm} || ' ' AS p
+      FROM {table}
+    ),
+    tg AS (
+      SELECT {id_col}, _t,
+             CASE WHEN p IS NULL OR length(p) < 3 THEN []::VARCHAR[]
+                  ELSE list_transform(range(1, length(p) - 1),
+                                      i -> substr(p, i, 3)) END AS tgs
+      FROM pad
+    ),
+    sc AS (
+      SELECT {id_col}, _t, len(tgs)::BIGINT AS n_trigrams,
+             list_reduce(
+               list_prepend({zero},
+                 list_transform(tgs,
+                   t -> coalesce(_m[t][1], {oov}))),
+               (a, b) -> [{add}]) AS sc
+      FROM tg CROSS JOIN (SELECT MAP {{{map_entries}}} AS _m)
+    )
+    SELECT {id_col},
+           CASE WHEN n_trigrams = 0 THEN 'unknown'
+                WHEN {c_lla} > 0 THEN 'mr'
+                ELSE {best} END AS pred_lang,
+           n_trigrams,
+           CASE WHEN n_trigrams > 0 THEN
+             round((list_sort(sc, 'DESC')[1] - list_sort(sc, 'DESC')[2])
+                   / n_trigrams::DOUBLE, 6)
+           ELSE 0.0 END AS margin,
+           {sel_scores}
+    FROM sc
+    """
+
+
 # ---------------------------------------------------------- tiered
 def lang_id_tiered(
     df: DataFrame,
@@ -1281,18 +1519,21 @@ def lang_id_tiered(
     just its routed subset: 'ru' -> the Cyrillic trigram tier
     (ru/uk/bg), 'zh'/'ja'/'ko' -> the CJK tier (presence branch +
     Han-overlap trigrams), 'ar' -> the Arabic-script repertoire tier
-    (ar/fa/ur). Latin verdicts, single-language scripts (el/hi/he/th),
+    (ar/fa/ur), 'hi' -> the Devanagari tier (ळ presence + hi/mr/ne
+    trigrams). Latin verdicts, single-language scripts (el/he/th),
     and 'unknown' stand as-is ('base' tier).
 
     Scale shape: the base pass is the zero-shuffle Arrow map; its
-    output is materialized once (localCheckpoint — four consumers
+    output is materialized once (localCheckpoint — five consumers
     would otherwise re-run the scoring pass per branch) and each tier
     is another zero-shuffle narrow map over its subset; the final
     result is a UNION, not a join. Total corpus passes: 1 + the
     routed fractions. ``carry`` lists extra input columns to pass
-    through every branch (the pipeline stage carries the whole
-    row this way)."""
-    carry = [c for c in (carry or []) if c not in (id_col, text_col)]
+    through every branch (the pipeline stage carries the whole row
+    this way); ``text_col`` itself MAY be carried — include it in
+    ``carry`` and the verdict rows keep their text, matching the
+    non-tiered path's carry contract."""
+    carry = [c for c in (carry or []) if c != id_col]
     if set(carry) & {"lang", "tier"}:
         # the output verdict columns — a silent duplicate alias would
         # shadow one side; refuse loudly, the module convention
@@ -1301,10 +1542,11 @@ def lang_id_tiered(
             "'lang' or 'tier' (the verdict columns); rename them first"
         )
     base = lang_id_ngram(
-        df, text_col, id_col, carry=[text_col] + carry
+        df, text_col, id_col,
+        carry=[text_col] + [c for c in carry if c != text_col],
     )
     base = base.localCheckpoint(eager=True)
-    routed = ("ru", "zh", "ja", "ko", "ar")
+    routed = ("ru", "zh", "ja", "ko", "ar", "hi")
     rest = base.filter(~F.col("pred_lang").isin(*routed)).select(
         F.col(id_col),
         *[F.col(c) for c in carry],
@@ -1340,7 +1582,21 @@ def lang_id_tiered(
         F.col("pred_lang").alias("lang"),
         F.lit("arabic-script").alias("tier"),
     )
-    return rest.unionByName(cyr).unionByName(cjk).unionByName(ara)
+    dev = lang_id_devanagari(
+        base.filter(F.col("pred_lang") == "hi"), text_col, id_col,
+        carry=carry,
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.col("pred_lang").alias("lang"),
+        F.lit("devanagari").alias("tier"),
+    )
+    return (
+        rest.unionByName(cyr)
+        .unionByName(cjk)
+        .unionByName(ara)
+        .unionByName(dev)
+    )
 
 
 def lang_id_tiered_oracle_sql(table: str, text_col: str, id_col: str) -> str:
@@ -1352,6 +1608,7 @@ def lang_id_tiered_oracle_sql(table: str, text_col: str, id_col: str) -> str:
     cyr = lang_id_cyrillic_oracle_sql("_ru_in", text_col, id_col)
     cjk = lang_id_cjk_oracle_sql("_cjk_in", text_col, id_col)
     ara = lang_id_arabic_script_oracle_sql("_ar_in", text_col, id_col)
+    dev = lang_id_devanagari_oracle_sql("_hi_in", text_col, id_col)
     return f"""
     WITH _base AS ({base}),
     _ru_in AS (
@@ -1367,15 +1624,22 @@ def lang_id_tiered_oracle_sql(table: str, text_col: str, id_col: str) -> str:
       SELECT t.{id_col}, t.{text_col} FROM {table} t
       JOIN _base b ON t.{id_col} = b.{id_col} WHERE b.pred_lang = 'ar'
     ),
+    _hi_in AS (
+      SELECT t.{id_col}, t.{text_col} FROM {table} t
+      JOIN _base b ON t.{id_col} = b.{id_col} WHERE b.pred_lang = 'hi'
+    ),
     _cyr AS ({cyr}),
     _cjk AS ({cjk}),
-    _ara AS ({ara})
+    _ara AS ({ara}),
+    _dev AS ({dev})
     SELECT {id_col}, pred_lang AS lang, 'base' AS tier
-    FROM _base WHERE pred_lang NOT IN ('ru', 'zh', 'ja', 'ko', 'ar')
+    FROM _base WHERE pred_lang NOT IN ('ru', 'zh', 'ja', 'ko', 'ar', 'hi')
     UNION ALL
     SELECT {id_col}, pred_lang AS lang, 'cyrillic' AS tier FROM _cyr
     UNION ALL
     SELECT {id_col}, pred_lang AS lang, 'cjk' AS tier FROM _cjk
     UNION ALL
     SELECT {id_col}, pred_lang AS lang, 'arabic-script' AS tier FROM _ara
+    UNION ALL
+    SELECT {id_col}, pred_lang AS lang, 'devanagari' AS tier FROM _dev
     """

@@ -2070,11 +2070,85 @@ def lang_id_arabic_script_docs(spark, sf_dir):
     return lang_id_arabic_script(fixture, "text", "doc_id")
 
 
+def _devanagari_snippets() -> list[str]:
+    """30 fixture snippets (10 per language, hi/mr/ne in DEV_LANGS
+    order) sliced from the profile corpora by CHARACTER windows —
+    the same list builds the Spark literal array and the SQL literal
+    list (the CJK fixture pattern)."""
+    from python_plugins_spark.operators.langid import (
+        DEVANAGARI_CORPORA,
+        DEV_LANGS,
+    )
+
+    out = []
+    for lang in DEV_LANGS:
+        text = DEVANAGARI_CORPORA[lang]
+        for c in range(10):
+            start = (c * 37) % max(1, len(text) - 40)
+            out.append(text[start: start + 40])
+    return out
+
+
+def _lang_id_devanagari_oracle() -> str:
+    from python_plugins_spark.operators.langid import (
+        lang_id_devanagari_oracle_sql,
+    )
+
+    snips = ", ".join(
+        "'" + s.replace("'", "''") + "'" for s in _devanagari_snippets()
+    )
+    inner = lang_id_devanagari_oracle_sql("fixture", "text", "doc_id")
+    tail = inner.lstrip().removeprefix("WITH")
+    return f"""
+    WITH fixture AS (
+      SELECT doc_id,
+             ([{snips}])[
+               CAST((doc_id % 3) * 10 + (doc_id // 3) % 10 + 1 AS INTEGER)
+             ] AS text
+      FROM documents
+    ),
+    {tail}
+    """
+
+
+@register("lang_id_devanagari_docs", oracle=_lang_id_devanagari_oracle())
+def lang_id_devanagari_docs(spark, sf_dir):
+    """Per-script DEVANAGARI tier (operators/langid.py:
+    lang_id_devanagari) — the fourth tier, downstream of the 'hi'
+    branch: Devanagari is shared by Hindi, Marathi, and Nepali
+    (~100 M mr+ne speakers a blanket 'hi' confidently mislabels).
+    Marathi's retroflex lateral ळ decides 'mr' by presence
+    (orthography fact — standard Hindi and Nepali do not use it);
+    the remaining overlap falls to the trigram NB over
+    DEVANAGARI_CORPORA, where verb morphology (है/थे vs आहे/असे vs
+    छ/थियो) and Nepali's हरू plural separate the languages.
+    Profiles from original in-repo prose — the same DATA-change
+    contract as every tier. The fixture deals each document a
+    40-character window from one of the three corpora by formula;
+    the oracle replays the identical presence branch and map-literal
+    left fold, so per-language scores and margins hash-match
+    bit-for-bit. One Arrow-batched narrow map; ZERO SHUFFLES."""
+    from python_plugins_spark.operators.langid import lang_id_devanagari
+
+    docs = load_table(spark, "documents", sf_dir)
+    snips = F.array(*[F.lit(s) for s in _devanagari_snippets()])
+    idx = (
+        (F.col("doc_id") % 3) * 10
+        + F.floor(F.col("doc_id") / 3) % 10
+        + 1
+    ).cast("int")
+    fixture = docs.select(
+        "doc_id", F.element_at(snips, idx).alias("text")
+    )
+    return lang_id_devanagari(fixture, "text", "doc_id")
+
+
 # One original sentence per SUPPORTED LANGUAGE across all tiers (the
 # Latin eight, the Cyrillic three, Greek, the CJK three, the
-# Arabic-script three, and the single-language scripts) — the
-# end-to-end routing fixture for the tiered composition. Expected
-# labels are pytest-pinned (test_lang_id_tiered_composition).
+# Arabic-script three, the Devanagari three, and the single-language
+# scripts) — the end-to-end routing fixture for the tiered
+# composition. Expected labels are pytest-pinned
+# (test_lang_id_tiered_composition).
 _TIERED_SNIPPETS: list[str] = [
     "Machine translation systems process linguistic structures remarkably quickly.",
     "Zahlreiche Wissenschaftler untersuchen gegenwärtig erstaunliche Zusammenhänge.",
@@ -2095,6 +2169,8 @@ _TIERED_SNIPPETS: list[str] = [
     "کتابخانه بزرگ شهر هر روز پذیرای پژوهشگران جوان است",
     "بڑی لائبریری میں طلبہ روزانہ نئی کتابیں پڑھتے ہیں",
     "विश्वविद्यालय के शोधकर्ताओं ने नई वितरित प्रणाली विकसित की",
+    "विद्यापीठातील संशोधकांनी नवी वितरित प्रणाली वेळेत विकसित केली",
+    "विश्वविद्यालयका अनुसन्धानकर्ताहरूले नयाँ वितरित प्रणाली विकास गरेका छन्",
     "חוקרים באוניברסיטה פיתחו מערכת מחשוב מבוזרת חדשה ומהירה",
     "นักวิจัยของมหาวิทยาลัยพัฒนาระบบคอมพิวเตอร์แบบกระจายใหม่",
 ]
@@ -2123,19 +2199,21 @@ def _lang_id_tiered_oracle() -> str:
 def lang_id_tiered_docs(spark, sf_dir):
     """The PRODUCTION lang-id composition (operators/langid.py:
     lang_id_tiered) — every tier of the family working together over
-    a 21-language fixture: the flagship trigram classifier with the
+    a 23-language fixture: the flagship trigram classifier with the
     ten-script branch runs once over the corpus (text carried through
     its zero-shuffle projection), then 'ru' verdicts refine through
     the Cyrillic tier (ru/uk/bg), 'zh'/'ja'/'ko' through the CJK tier
-    (presence branch + Han-overlap trigrams), and 'ar' through the
-    Arabic-script repertoire tier (ar/fa/ur); Latin, Greek,
-    Devanagari, Hebrew, and Thai verdicts stand. Output (doc_id,
-    lang, tier) — one corpus pass plus the routed fractions, a UNION
-    (never a join-back). The oracle composes the four tier oracles
-    as nested WITH blocks and hash-matches every verdict; a pytest
-    pins the expected label for all 21 languages — including uk and
-    bg sentences the base classifier can only call 'ru', and fa/ur
-    sentences it can only call 'ar'."""
+    (presence branch + Han-overlap trigrams), 'ar' through the
+    Arabic-script repertoire tier (ar/fa/ur), and 'hi' through the
+    Devanagari tier (ळ presence + hi/mr/ne trigrams); Latin, Greek,
+    Hebrew, and Thai verdicts stand. Output (doc_id, lang, tier) —
+    one corpus pass plus the routed fractions, a UNION (never a
+    join-back). The oracle composes the five tier oracles as nested
+    WITH blocks and hash-matches every verdict; a pytest pins the
+    expected label for all 23 languages — including uk and bg
+    sentences the base classifier can only call 'ru', fa/ur
+    sentences it can only call 'ar', and mr/ne sentences it can only
+    call 'hi'."""
     from python_plugins_spark.operators.langid import lang_id_tiered
 
     docs = load_table(spark, "documents", sf_dir)

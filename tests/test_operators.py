@@ -3516,19 +3516,20 @@ def test_span_index_ingest_second_batch(spark, tmp_path):
 
 
 def test_lang_id_tiered_composition(spark):
-    """The tiered composition labels all 21 supported languages
+    """The tiered composition labels all 23 supported languages
     correctly end-to-end — including the verdicts only a tier can
-    produce (uk/bg behind the base's 'ru'; fa/ur behind 'ar'; ja for
-    a Han-only fragment the base calls 'zh' stays zh here because the
-    CJK tier's trigram overlap decides, while kana text routes
-    'ja' at the base already) — and tags which tier decided."""
+    produce (uk/bg behind the base's 'ru'; fa/ur behind 'ar'; mr/ne
+    behind 'hi'; ja for a Han-only fragment the base calls 'zh' stays
+    zh here because the CJK tier's trigram overlap decides, while
+    kana text routes 'ja' at the base already) — and tags which tier
+    decided."""
     from python_plugins_spark.operators.langid import lang_id_tiered
     from python_plugins_spark.queries.lm_mining import _TIERED_SNIPPETS
 
     want = [
         "en", "de", "fr", "es", "it", "pt", "nl", "sv",
         "ru", "uk", "bg", "el", "zh", "ja", "ko", "ar", "fa", "ur",
-        "hi", "he", "th",
+        "hi", "mr", "ne", "he", "th",
     ]
     df = spark.createDataFrame(
         [(i, s) for i, s in enumerate(_TIERED_SNIPPETS)],
@@ -3546,7 +3547,46 @@ def test_lang_id_tiered_composition(spark):
     assert got[13] == ("ja", "cjk") and got[14] == ("ko", "cjk")
     assert got[16] == ("fa", "arabic-script")
     assert got[17] == ("ur", "arabic-script")
+    assert got[18] == ("hi", "devanagari")
+    assert got[19] == ("mr", "devanagari")
+    assert got[20] == ("ne", "devanagari")
     assert got[0][1] == "base" and got[11][1] == "base"
+
+
+def test_lang_id_devanagari_held_out(spark):
+    """Held-out sentences (not fixture windows) per Devanagari
+    language classify correctly, the ळ presence branch decides 'mr'
+    even in a single word, script-less text is 'unknown', and the
+    Spark operator agrees with the scalar reference on all of it."""
+    from python_plugins_spark.operators.langid import (
+        classify_devanagari_py,
+        lang_id_devanagari,
+    )
+
+    cases = [
+        # hi: है/के/ने morphology, no ळ
+        ("मुझे नहीं पता था कि वे लोग कहाँ जा रहे हैं", "hi"),
+        # mr: ळ presence decides outright
+        ("शाळेची वेळ झाली", "mr"),
+        # mr without ळ: आहे/ची morphology via trigrams
+        ("ही पुस्तके वाचायची आहेत आणि काम उद्या करायचे आहे", "mr"),
+        # ne: छ/हरू morphology
+        ("उनीहरू भोलि बिहान गाउँ फर्कन्छन् र खेतमा काम गर्छन्", "ne"),
+        # whitespace-only -> unknown (script-less text never reaches
+        # this tier in the composition: the router sends it nowhere)
+        ("   ", "unknown"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.pred_lang
+        for r in lang_id_devanagari(df, "text", "doc_id").collect()
+    }
+    for i, (text, want) in enumerate(cases):
+        assert got[i] == want, (text, want, got[i])
+        assert classify_devanagari_py(text) == want, text
 
 
 def test_audio_spectral_bits_haitsma_kalker():
