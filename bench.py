@@ -470,6 +470,8 @@ def main() -> None:
 
     decontam_recall = _bench_decontam_recall(spark, sf_dir)
 
+    scaling = _bench_scaling(spark)
+
     env["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
 
     total = round(sum(timings.values()), 3)
@@ -495,6 +497,7 @@ def main() -> None:
         "phash_skew": phash_skew,
         "ann_recall": ann_recall,
         "decontam_recall": decontam_recall,
+        "scaling": scaling,
         "env": env,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -511,6 +514,7 @@ def main() -> None:
     line_payload = dict(payload)
     line_payload["detail"] = "bench_detail.json"
     for droppable in (
+        "scaling",
         "msgbus_phases",
         "decontam_recall",
         "lsh_skew",
@@ -862,6 +866,100 @@ def _bench_ann_recall(spark, sf_dir: str) -> dict:
         print(f"# [ann-recall] {out}", file=sys.stderr)
     except Exception as exc:  # the section never fails the bench
         print(f"# ann recall failed: {exc}", file=sys.stderr)
+    return out
+
+
+def _bench_scaling(spark) -> dict:
+    """Scaling-curve instrument (round 10): the single-SF bench proves
+    sf0.1 wall-clock, but the 100 TB claim otherwise rests on
+    plan-shape arguments alone. Six flagships are timed at every
+    available SF (sf0.001/0.01/0.1) and the fitted log-log slope of
+    wall time vs PRIMARY-TABLE ROWS is published per query — a
+    super-linear shape no single-SF number can catch shows up as an
+    exponent well above its expectation. Expectations: ~1.0
+    (near-linear; in practice sub-1 readings are common at these SFs
+    because fixed per-query overhead ~0.3-1 s dominates the small
+    points) for every banded/blocked/pipelined flagship, and 2.0 BY
+    DEFINITION for ann_topk_cosine (exact all-pairs search — included
+    deliberately so the instrument demonstrably flags a quadratic
+    shape when one exists). Single pass per (query, SF): this is a
+    trend instrument, not a cross-round latency axis — the headline
+    medians own that."""
+    import math
+
+    SCALING_SET = {
+        "q1_pricing_summary": ("lineitem", 1.0),
+        "minhash_lsh_candidates": ("documents", 1.0),
+        "cross_doc_span_dedup": ("documents", 1.0),
+        "image_phash_neardup_pairs": ("documents", 1.0),
+        "crawl_pipeline_end_to_end": ("documents", 1.0),
+        "ann_topk_cosine": ("embeddings", 2.0),
+    }
+    out: dict = {}
+    try:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        from python_plugins_spark.queries import QUERIES
+
+        dirs = [
+            d
+            for d in (
+                "/root/testdata/sf0.001",
+                "/root/testdata/sf0.01",
+                "/root/testdata/sf0.1",
+            )
+            if os.path.isdir(d)
+        ]
+
+        def _mat(df) -> int:
+            obs = Observation()
+            observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+            observed.write.format("noop").mode("overwrite").save()
+            return obs.get["n"]
+
+        for name, (table, expected) in SCALING_SET.items():
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            # untimed warm pass on the smallest SF: the first
+            # execution of a query pays JIT/codegen (measured 3.1 s
+            # vs 0.74 s at 10x the data without this), which lands on
+            # the smallest point and corrupts the slope
+            try:
+                _mat(fn(spark, dirs[0]))
+            except Exception:
+                pass
+            pts = []
+            for d in dirs:
+                n_rows = (
+                    spark.read.parquet(f"{d}/{table}.parquet").count()
+                )
+                t0 = time.perf_counter()
+                _mat(fn(spark, d))
+                pts.append((n_rows, round(time.perf_counter() - t0, 3)))
+            # least-squares slope of log t vs log n; duplicate-n
+            # points (documents/embeddings are identical at
+            # sf0.001/0.01) contribute as repeated samples
+            xs = [math.log(n) for n, _ in pts]
+            ys = [math.log(max(t, 1e-3)) for _, t in pts]
+            mx = sum(xs) / len(xs)
+            my = sum(ys) / len(ys)
+            sxx = sum((x - mx) ** 2 for x in xs)
+            slope = (
+                sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sxx
+                if sxx > 0
+                else float("nan")
+            )
+            out[name] = {
+                "table": table,
+                "points": [{"rows": n, "sec": t} for n, t in pts],
+                "exponent": round(slope, 3),
+                "expected": expected,
+            }
+            print(f"# [scaling] {name}: {out[name]}", file=sys.stderr)
+    except Exception as exc:  # the section never fails the bench
+        print(f"# scaling failed: {exc}", file=sys.stderr)
     return out
 
 
