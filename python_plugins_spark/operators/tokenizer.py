@@ -27,9 +27,11 @@ transform operator's contract.
 Training output is the ranked merge table; :func:`bpe_encode_expr`
 applies learned merges to new text (per-token loop, mapInPandas).
 Verified against a pure-Python reference implementation in
-``tests/test_operators.py`` (hand-checkable corpus) — no SQL oracle:
-an iterative argmax loop is not expressible as one DuckDB query, so
-this registers as a rows-only entry like IVF ANN.
+``tests/test_operators.py`` (hand-checkable corpus) AND — since
+round 10 — against a full DuckDB oracle (:func:`bpe_train_oracle_sql`
+unrolls the bounded merge loop into materialized CTE rounds and
+replays the greedy rewrite exactly), so the registry entry is
+oracle-checked, not rows-only.
 """
 
 from __future__ import annotations
@@ -204,3 +206,111 @@ def bpe_train_reference(texts: list[str], num_merges: int):
             }
         )
     return merges
+
+
+def bpe_train_oracle_sql(table: str, text_col: str, num_merges: int) -> str:
+    """DuckDB twin of :func:`bpe_train` — the iterative merge loop
+    UNROLLED into ``num_merges`` CTE rounds (the kmeans_embeddings
+    pattern), converting this entry from rows-only to fully
+    oracle-checked. Everything is exact integer/string arithmetic, so
+    verdicts hash-match bit-for-bit with zero float subtleties.
+
+    Per round: (1) adjacent-pair counts weighted by word frequency;
+    (2) argmax with the contract tie-break (count desc, pair asc) as
+    ORDER BY ... LIMIT 1; (3) the greedy LEFT-TO-RIGHT single-pass
+    rewrite — the one non-trivial step. A plain string/list
+    replace-all is NOT the greedy semantics when ``a == b`` (in a run
+    of five a's greedy merges pairs 1-2 and 3-4, replace-from-the-
+    left-after-consumption drifts), so merge positions are selected
+    by a CHAIN-PARITY rule that is provably the greedy outcome:
+    position i can start a merge iff (sym[i], sym[i+1]) = (a, b);
+    consecutive can-start positions form chains (length 1 whenever
+    a != b, since sym[i+1] cannot be both a and b; a-runs whenever
+    a == b), and greedy merges exactly the EVEN OFFSETS within each
+    chain. Gaps-and-islands gives the chain head, a lag gives the
+    consumed flag, and an ordered FILTERed list() rebuilds the
+    sequence."""
+    from python_plugins_spark.functions import oracle_fragments as O
+
+    toks = O.sql_tokens(text_col)
+    parts = [
+        f"""words AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest({toks}) AS w FROM {table}
+      ) WHERE length(w) > 0 GROUP BY w
+    )""",
+        """v0 AS MATERIALIZED (
+      SELECT w, cnt,
+             list_concat([w[i:i] for i in range(1, length(w) + 1)],
+                         ['</w>']) AS sym
+      FROM words
+    )""",
+    ]
+    for r in range(1, num_merges + 1):
+        p = r - 1
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+      SELECT sym[i] AS a, sym[i + 1] AS b, sum(cnt) AS n
+      FROM v{p}, LATERAL (
+        SELECT unnest(generate_series(1, len(sym) - 1)) AS i
+      )
+      GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"top{r} AS MATERIALIZED (SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"""e{r} AS (
+      SELECT v.w, v.cnt, u.i, v.sym[u.i] AS s,
+             (u.i < len(v.sym)
+              AND v.sym[u.i] = t.a AND v.sym[u.i + 1] = t.b) AS cs
+      FROM v{p} v CROSS JOIN top{r} t,
+           LATERAL (SELECT unnest(generate_series(1, len(v.sym))) AS i) u
+    )"""
+        )
+        parts.append(
+            f"""f{r} AS (
+      SELECT *, coalesce(lag(cs) OVER (PARTITION BY w ORDER BY i),
+                         FALSE) AS lagcs
+      FROM e{r}
+    )"""
+        )
+        parts.append(
+            f"""g{r} AS (
+      SELECT *, sum(CASE WHEN cs AND NOT lagcs THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY w ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS chain_id
+      FROM f{r}
+    )"""
+        )
+        parts.append(
+            f"""h{r} AS (
+      SELECT *,
+             cs AND (i - min(i) OVER (PARTITION BY w, chain_id)) % 2 = 0
+               AS ms,
+             lead(s) OVER (PARTITION BY w ORDER BY i) AS s_next
+      FROM g{r}
+    )"""
+        )
+        parts.append(
+            f"""k{r} AS (
+      SELECT *, coalesce(lag(ms) OVER (PARTITION BY w ORDER BY i),
+                         FALSE) AS consumed
+      FROM h{r}
+    )"""
+        )
+        parts.append(
+            f"""v{r} AS MATERIALIZED (
+      SELECT w, cnt,
+             list(CASE WHEN ms THEN s || s_next ELSE s END ORDER BY i)
+               FILTER (WHERE NOT consumed) AS sym
+      FROM k{r} GROUP BY w, cnt
+    )"""
+        )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT {r - 1} AS rank, a AS left, b AS right, a || b AS merged, "
+        f"CAST(n AS BIGINT) AS pair_count FROM top{r}"
+        for r in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + union

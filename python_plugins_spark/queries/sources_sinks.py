@@ -1146,7 +1146,13 @@ def pq_ann_topk_rerank(spark, sf_dir):
     )
 
 
-@register("bpe_train_merges_docs")  # rows-only: iterative argmax loop
+def _bpe_train_oracle() -> str:
+    from python_plugins_spark.operators.tokenizer import bpe_train_oracle_sql
+
+    return bpe_train_oracle_sql("documents", "text", 12)
+
+
+@register("bpe_train_merges_docs", oracle=_bpe_train_oracle())
 def bpe_train_merges_docs(spark, sf_dir):
     """Distributed BPE tokenizer training (operators/tokenizer.py,
     public Sennrich et al. 2016 algorithm): ONE corpus pass builds the
@@ -1154,9 +1160,13 @@ def bpe_train_merges_docs(spark, sf_dir):
     aggregate+rewrite jobs over that vocabulary-sized table — N merges
     never rescan the corpus, which is what makes tokenizer training
     feasible at 100 TB. Deterministic (count desc, pair asc
-    tie-break); verified against a pure-Python reference
-    implementation in tests (no SQL oracle: an iterative argmax is not
-    one DuckDB query — rows-only entry like IVF ANN)."""
+    tie-break). FULLY ORACLE-CHECKED since round 10: the DuckDB twin
+    unrolls the 12 merge rounds as materialized CTE blocks and
+    replays the greedy left-to-right rewrite via a chain-parity rule
+    (see bpe_train_oracle_sql — a plain replace-all is NOT greedy
+    when left==right), so every rank/pair/count hash-matches in exact
+    integer arithmetic; the pure-Python reference cross-check stays
+    in pytest."""
     docs = load_table(spark, "documents", sf_dir)
     from python_plugins_spark.operators.tokenizer import bpe_train
 

@@ -1280,13 +1280,21 @@ def dedup_ladder_end_to_end(spark, sf_dir):
         .alias("text"),
     )
     w = Window.partitionBy(F.md5("text"))
+    # Stage outputs are shared, not re-derived (the lang_id_tiered
+    # pattern): s1 feeds both the span stage and the final verdict
+    # join, and s2 feeds both the fuzzy stage (tokenize + minhash over
+    # clean_text) and the n_removed join — without materialization
+    # each consumer re-runs the whole upstream stage (the span
+    # assembly twice was ~half the capstone's sweep cost).
     s1 = fixture.select(
         "doc_id",
         "text",
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
-    )
+    ).localCheckpoint(eager=True)
     surv1 = s1.filter("keep").select("doc_id", "text")
-    s2 = D.cross_doc_span_dedup(surv1, "text", "doc_id", n=8)
+    s2 = D.cross_doc_span_dedup(surv1, "text", "doc_id", n=8).localCheckpoint(
+        eager=True
+    )
     clusters = D.neardup_clusters(s2, "clean_text", "doc_id", threshold=0.5)
     h2 = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2)
     split = clusters.select(
