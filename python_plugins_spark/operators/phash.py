@@ -548,12 +548,14 @@ def phash_index_ingest(
 ) -> tuple[DataFrame, DataFrame]:
     """Check a new batch's fingerprints against the persisted index;
     returns ``(admitted, duplicates)`` — duplicates is (id, phash,
-    dup_of) with dup_of the smallest indexed id sharing the
-    fingerprint (radius-0 perceptual identity; the Hamming-radius
-    variant is :func:`phash_index_radius_ingest`). Survivors append
-    to the index atomically. Per-batch cost is one equi-join on the
-    8-byte fingerprint — independent of corpus size beyond the index
-    scan, the continuous-ingestion dedup shape.
+    dup_of, hamming) with dup_of the smallest indexed id sharing the
+    fingerprint and hamming always 0 (radius-0 perceptual identity;
+    the Hamming-radius variant is :func:`phash_index_radius_ingest`,
+    whose duplicates frame is UNION-COMPATIBLE with this one — a
+    caller can feed both ingest paths into one audit sink). Survivors
+    append to the index atomically. Per-batch cost is one equi-join
+    on the 8-byte fingerprint — independent of corpus size beyond the
+    index scan, the continuous-ingestion dedup shape.
 
     ``dedup_batch=True`` first removes INTRA-batch duplicates (min-id
     survivor per fingerprint WITHIN the batch; losers flag as dups of
@@ -575,7 +577,10 @@ def phash_index_ingest(
             .alias("_batch_min"),
         )
         intra_dups = tagged.filter(F.col(id_col) != F.col("_batch_min")).select(
-            id_col, "phash", F.col("_batch_min").alias("dup_of")
+            id_col,
+            "phash",
+            F.col("_batch_min").alias("dup_of"),
+            F.lit(0).cast("int").alias("hamming"),
         )
         hashed_new = tagged.filter(
             F.col(id_col) == F.col("_batch_min")
@@ -588,7 +593,9 @@ def phash_index_ingest(
         .groupBy(id_col, "phash")
         .agg(F.min("_idx_id").alias("dup_of"))
     )
-    dups = matched.filter(F.col("dup_of").isNotNull())
+    dups = matched.filter(F.col("dup_of").isNotNull()).withColumn(
+        "hamming", F.lit(0).cast("int")
+    )
     if intra_dups is not None:
         dups = dups.unionByName(intra_dups)
     admitted = matched.filter(F.col("dup_of").isNull()).select(id_col, "phash")
@@ -630,6 +637,7 @@ def phash_index_radius_ingest(
     bits: int = 56,
     max_hamming: int = 3,
     append: bool = True,
+    dedup_batch: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Hamming-RADIUS ingest — the variant :func:`phash_index_ingest`'s
     docstring names: a re-noised or border-edited copy whose dHash
@@ -652,10 +660,14 @@ def phash_index_radius_ingest(
     admitted through this ingest is > ``max_hamming`` from all
     earlier ones, so identical-fingerprint clusters (the
     phash_neardup_pairs ``max_bucket`` pathology) cannot accumulate
-    in the index itself. Batch assumed internally deduped (run the
-    radius-0 ``dedup_batch`` window or image_dhash_dedup first);
-    within-batch near-pairs both admit — documented, same contract
-    as minhash_index_ingest."""
+    in the index itself. ``dedup_batch=True`` runs the radius-0
+    intra-batch pass its sibling offers (min-id survivor per
+    IDENTICAL fingerprint within the batch; losers flag with
+    hamming=0) — the duplicates frame is union-compatible across the
+    whole ingest family. Within-batch near-pairs at radius>0 both
+    admit either way — documented, same contract as
+    minhash_index_ingest (a full intra-batch radius pass is
+    phash_neardup_pairs on the batch, a caller-side choice)."""
     from python_plugins_spark.sources.delta_py import read_delta, write_delta
 
     if max_hamming >= bands:
@@ -666,6 +678,24 @@ def phash_index_radius_ingest(
     if bits % bands:
         raise ValueError(f"{bits} bits not divisible into {bands} bands")
     spark = hashed_new.sparkSession
+    intra_dups = None
+    if dedup_batch:
+        tagged = hashed_new.select(
+            id_col,
+            "phash",
+            F.min(id_col)
+            .over(Window.partitionBy("phash"))
+            .alias("_batch_min"),
+        )
+        intra_dups = tagged.filter(F.col(id_col) != F.col("_batch_min")).select(
+            id_col,
+            "phash",
+            F.col("_batch_min").alias("dup_of"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+        hashed_new = tagged.filter(
+            F.col(id_col) == F.col("_batch_min")
+        ).select(id_col, "phash")
     idx = read_delta(spark, f"{index_path}/phash").select(
         F.col(id_col).alias("_idx_id"), F.col("phash").alias("_idx_hash")
     )
@@ -690,6 +720,8 @@ def phash_index_radius_ingest(
         hits, on=[id_col, "phash"], how="left"
     )
     dups = matched.filter(F.col("dup_of").isNotNull())
+    if intra_dups is not None:
+        dups = dups.unionByName(intra_dups)
     admitted = matched.filter(F.col("dup_of").isNull()).select(id_col, "phash")
     if append:
         admitted = admitted.localCheckpoint(eager=True)

@@ -3139,7 +3139,8 @@ def _dhash_gen_expr(g: str, groups: int = 29) -> str:
     -- fresh-group docs are admitted and do not appear here
     SELECT doc_id + 2000000 AS doc_id,
            {_dhash_gen_expr("doc_id")} AS phash,
-           doc_id AS dup_of
+           doc_id AS dup_of,
+           CAST(0 AS INTEGER) AS hamming
     FROM documents WHERE doc_id < 15
     """,
 )
@@ -3158,8 +3159,9 @@ def incremental_phash_ingest(spark, sf_dir):
     the expected dup set and fingerprints from the generating
     formulas. Per-batch cost is independent of corpus size beyond the
     16-bytes-per-image index scan — dedup as continuous ingestion.
-    A Hamming-radius variant would band the index like
-    phash_neardup_pairs."""
+    The Hamming-radius variant is incremental_phash_radius_ingest;
+    both variants' duplicates frames share one schema
+    (id, phash, dup_of, hamming — 0 here by definition)."""
     import os
     import shutil
 

@@ -497,15 +497,10 @@ def online_radius_phash_dedup(
     )
 
     def dedup_batch(bdf, epoch_id):
-        w = Window.partitionBy("phash")
-        in_batch = (
-            bdf.withColumn("_min", F.min(id_col).over(w))
-            .filter(F.col(id_col) == F.col("_min"))
-            .select(id_col, "phash")
-        )
         phash_index_radius_ingest(
-            in_batch, id_col, idx_root,
+            bdf, id_col, idx_root,
             bands=bands, bits=bits, max_hamming=max_hamming, append=True,
+            dedup_batch=True,
         )
 
     q = (
