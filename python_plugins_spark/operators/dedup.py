@@ -51,6 +51,7 @@ from python_plugins_spark.functions import (
 )
 from python_plugins_spark.functions import oracle_fragments as O
 from python_plugins_spark.operators.relational import dedup_rows
+from python_plugins_spark.session import stage_checkpoint
 
 # Deterministic permutation parameters: part of the operator contract,
 # mirrored into the oracle SQL. a < 2^16 keeps a*h+b < 2^48 (overflow-
@@ -404,7 +405,7 @@ def ngram_containment_pairs(
     # tokenized/shingled once (localCheckpoint stores MEMORY_AND_DISK
     # and spills rather than recomputes at 100 TB; unlike a bare
     # persist() its blocks release on GC, not at session end).
-    sh = sh.localCheckpoint(eager=True)
+    sh = sh.transform(stage_checkpoint)
     if candidates is None:
         # n_sh rides through the explode as size(s) — no second
         # per-doc window pass just to count shingles
@@ -621,7 +622,7 @@ def connected_components(
     # smaller than the corpus, so the iteration frames shrink
     # accordingly — the decisive win at 100 TB (and locally: the
     # convergence-check join runs on the active set, not the corpus).
-    active = sym.select(F.col("src").alias("v")).distinct().localCheckpoint()
+    active = sym.select(F.col("src").alias("v")).distinct().transform(stage_checkpoint)
     labels = active.select(F.col("v").alias("id"), F.col("v").alias("label"))
     for _ in range(max_iter):
         nbr = (
@@ -637,7 +638,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .transform(stage_checkpoint)
         )
         changed = (
             new_labels.alias("n")
@@ -812,7 +813,7 @@ def repeated_ngram_spans(
     # semi-join; materialize it so the per-doc sort + n lead() windows
     # run once, not once per consumer (localCheckpoint: blocks release
     # on GC, not at session end).
-    grams = grams.localCheckpoint(eager=True)
+    grams = grams.transform(stage_checkpoint)
     hot = (
         grams.groupBy("_h")
         .agg(F.count("*").alias("_c"))
@@ -932,7 +933,7 @@ def mask_repeated_spans(
 
     tok = df.select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tk")
-    ).localCheckpoint(eager=True)  # shared by span detector + anti-join side
+    ).transform(stage_checkpoint)  # shared by span detector + anti-join side
     spans = repeated_ngram_spans(
         df, text_col, id_col, n=n, min_dups=min_dups, tok=tok
     )
@@ -1091,7 +1092,7 @@ def _span_tok_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tk"),
-    ).localCheckpoint(eager=True)
+    ).transform(stage_checkpoint)
 
 
 def _span_gram_frame(tok: DataFrame, id_col: str, n: int) -> DataFrame:
@@ -1128,7 +1129,7 @@ def _span_gram_frame(tok: DataFrame, id_col: str, n: int) -> DataFrame:
             hash60(F.col("_s")).alias("_h"),
             key.alias("_k"),
         )
-        .localCheckpoint(eager=True)  # feeds stats agg + removal join
+        .transform(stage_checkpoint)  # feeds stats agg + removal join
     )
 
 
@@ -1266,14 +1267,14 @@ def span_index_ingest(
         new_docs, tok, known.unionByName(rm_batch), text_col, id_col
     )
     if append:
-        cleaned = cleaned.localCheckpoint(eager=True)
+        cleaned = cleaned.transform(stage_checkpoint)
         tok2 = _span_tok_frame(cleaned, "clean_text", id_col)
         grams2 = _span_gram_frame(tok2, id_col, n)
         fresh = (
             grams2.groupBy("_h")
             .agg(F.min("_k").alias("first_k"))
             .join(idx, F.col("_h") == idx["_idx_h"], how="left_anti")
-            .localCheckpoint(eager=True)
+            .transform(stage_checkpoint)
         )
         write_delta(fresh, f"{index_path}/grams", mode="append")
     return cleaned
@@ -1398,7 +1399,7 @@ def minhash_index_build(
     from python_plugins_spark.sources.delta_py import write_delta
 
     sig = minhash_signature(docs, text_col, id_col, num_hashes, shingle)
-    sig = sig.localCheckpoint(eager=True)  # bands + sigs share one pass
+    sig = sig.transform(stage_checkpoint)  # bands + sigs share one pass
     band_rows = minhash_bands(sig, id_col, num_hashes, bands)
     write_delta(band_rows, f"{index_path}/bands", mode="overwrite")
     write_delta(sig, f"{index_path}/sigs", mode="overwrite")
@@ -1434,7 +1435,7 @@ def minhash_index_ingest(
     spark = new_docs.sparkSession
     sig_new = minhash_signature(
         new_docs, text_col, id_col, num_hashes, shingle
-    ).localCheckpoint(eager=True)
+    ).transform(stage_checkpoint)
     bands_new = minhash_bands(sig_new, id_col, num_hashes, bands)
 
     if dedup_batch:
@@ -1477,7 +1478,7 @@ def minhash_index_ingest(
             .distinct()
         )
         sig_new = sig_new.join(intra, on=id_col, how="left_anti")
-        sig_new = sig_new.localCheckpoint(eager=True)
+        sig_new = sig_new.transform(stage_checkpoint)
         bands_new = minhash_bands(sig_new, id_col, num_hashes, bands)
         new_docs = new_docs.join(intra, on=id_col, how="left_anti")
 
@@ -1534,7 +1535,7 @@ def minhash_index_ingest(
         # a duplicate-per-batch-doc frame is tiny; materialize it once
         # so the admit anti-joins, the index append, and whatever the
         # caller does with it don't each re-run the candidate scoring
-        .localCheckpoint(eager=True)
+        .transform(stage_checkpoint)
     )
     admitted = new_docs.join(
         duplicates.select(id_col), on=id_col, how="left_anti"
@@ -1542,7 +1543,7 @@ def minhash_index_ingest(
     if append:
         adm_sig = sig_new.join(
             duplicates.select(id_col), on=id_col, how="left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(stage_checkpoint)
         write_delta(
             minhash_bands(adm_sig, id_col, num_hashes, bands),
             f"{index_path}/bands", mode="append",

@@ -61,6 +61,8 @@ from collections import Counter
 import pandas as pd  # noqa: F401 — resolves postponed type hints in pandas UDFs
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from python_plugins_spark.session import stage_checkpoint
+
 
 # Original prose fixture corpora (see module docstring: these exist to
 # make the profile derivation honest and self-contained, not to model
@@ -1545,7 +1547,7 @@ def lang_id_tiered(
         df, text_col, id_col,
         carry=[text_col] + [c for c in carry if c != text_col],
     )
-    base = base.localCheckpoint(eager=True)
+    base = base.transform(stage_checkpoint)
     routed = ("ru", "zh", "ja", "ko", "ar", "hi")
     rest = base.filter(~F.col("pred_lang").isin(*routed)).select(
         F.col(id_col),

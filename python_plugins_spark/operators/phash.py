@@ -36,6 +36,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from python_plugins_spark.session import stage_checkpoint
+
 
 
 def dhash_bits(
@@ -491,7 +493,7 @@ def phash_neardup_pairs(
                 ]
             )
         ).alias("band_id", "band_val"),
-    ).localCheckpoint(eager=True)
+    ).transform(stage_checkpoint)
     if max_bucket is not None:
         big = (
             banded.groupBy("band_id", "band_val")
@@ -600,8 +602,8 @@ def phash_index_ingest(
         dups = dups.unionByName(intra_dups)
     admitted = matched.filter(F.col("dup_of").isNull()).select(id_col, "phash")
     if append:
-        admitted = admitted.localCheckpoint(eager=True)
-        dups = dups.localCheckpoint(eager=True)
+        admitted = admitted.transform(stage_checkpoint)
+        dups = dups.transform(stage_checkpoint)
         write_delta(admitted, f"{index_path}/phash", mode="append")
     return admitted, dups
 
@@ -724,8 +726,8 @@ def phash_index_radius_ingest(
         dups = dups.unionByName(intra_dups)
     admitted = matched.filter(F.col("dup_of").isNull()).select(id_col, "phash")
     if append:
-        admitted = admitted.localCheckpoint(eager=True)
-        dups = dups.localCheckpoint(eager=True)
+        admitted = admitted.transform(stage_checkpoint)
+        dups = dups.transform(stage_checkpoint)
         write_delta(admitted, f"{index_path}/phash", mode="append")
     return admitted, dups
 

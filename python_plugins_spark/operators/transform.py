@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from python_plugins_spark.schema import cdap_schema_to_spark
+from python_plugins_spark.session import stage_checkpoint
 
 PORT_OUT = "out"
 PORT_ERROR = "error"
@@ -314,14 +315,18 @@ class TransformResult:
 
     def localCheckpoint(self, eager: bool = True) -> "TransformResult":
         """Materialize the tagged frame ONCE and re-derive the port
-        views from the checkpointed blocks — the multi-consumer
-        barrier without the session-lifetime cache leak of
-        ``persist()`` (localCheckpoint blocks release when the frame
-        is GC'd, so registry sweeps don't accumulate cached
-        partitions — the repo's persist-lifecycle convention)."""
+        views from the materialized blocks — the multi-consumer
+        barrier without the session-lifetime cache leak of a bare
+        ``persist()``. Routed through
+        :func:`python_plugins_spark.session.stage_checkpoint`, so the
+        strategy (localCheckpoint default; persist / reliable
+        checkpoint for cluster runs on preemptible hardware) follows
+        the session-wide ``spark.python_plugins.stageMaterialize``
+        conf like every other shared stage in the library."""
+
         if self._tagged is None:
             return self
-        tagged = self._tagged.localCheckpoint(eager=eager)
+        tagged = stage_checkpoint(self._tagged)
         out_names = self.output.columns
         return TransformResult(
             output=tagged.filter(F.col("_port") == PORT_OUT).select(*out_names),

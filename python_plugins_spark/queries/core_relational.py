@@ -21,6 +21,7 @@ from python_plugins_spark.sources.io import load_table  # noqa: F401
 from python_plugins_spark.queries._core import (  # noqa: F401
     ORACLES, QUERIES, register, _global_index_part, _ts, _STRF,
 )
+from python_plugins_spark.session import stage_checkpoint
 
 
 # =====================================================================
@@ -972,7 +973,7 @@ def _neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = D.minhash_lsh_pairs(docs, "text", "doc_id")
     pairs = D.ngram_jaccard_pairs(
         docs, "text", "doc_id", 0.5, candidates=candidates
-    ).localCheckpoint()
+    ).transform(stage_checkpoint)
     _NEARDUP_EDGES_MEMO[key] = pairs
     return pairs
 

@@ -21,6 +21,7 @@ from python_plugins_spark.sources.io import load_table  # noqa: F401
 from python_plugins_spark.queries._core import (  # noqa: F401
     ORACLES, QUERIES, register, _global_index_part, _ts, _STRF,
 )
+from python_plugins_spark.session import stage_checkpoint
 
 
 # Training-corpus curation II: deterministic splits, chunking, EWMA,
@@ -533,7 +534,7 @@ def tfidf_cosine_pairs(spark, sf_dir):
     # re-tokenized once per reference (16 scans at plan time). Persist
     # collapses the diamond to one tokenization — at 100 TB this is the
     # difference between 1x and 4x corpus I/O.
-    w = w.localCheckpoint(eager=True)  # released on GC, not session-lifetime
+    w = w.transform(stage_checkpoint)  # released on GC, not session-lifetime
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn"))
     a = w.alias("a")
     b = w.alias("b")
@@ -1083,7 +1084,7 @@ def kmeans_embeddings_3iter(spark, sf_dir):
     ).select(
         "vec_id", (F.col("pos") + 1).alias("dim"), F.col("x").cast("double").alias("val")
     )
-    v = v.localCheckpoint(eager=True)  # released on GC, not session-lifetime
+    v = v.transform(stage_checkpoint)  # released on GC, not session-lifetime
     c = (
         v.filter(F.col("vec_id").isin(0, 10, 20, 30))
         .select(
@@ -1253,7 +1254,7 @@ def bigram_perplexity_docs(spark, sf_dir):
     )
     # model build + scoring share one tokenization pass; localCheckpoint
     # so the blocks release on GC instead of accumulating across sweeps
-    bg = bg.localCheckpoint(eager=True)
+    bg = bg.transform(stage_checkpoint)
     cab = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
     ca = cab.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
     v = cab.select(F.countDistinct("w2").alias("v")).first()[0]

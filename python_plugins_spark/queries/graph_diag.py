@@ -21,6 +21,7 @@ from python_plugins_spark.sources.io import load_table  # noqa: F401
 from python_plugins_spark.queries._core import (  # noqa: F401
     ORACLES, QUERIES, register, _global_index_part, _ts, _STRF,
 )
+from python_plugins_spark.session import stage_checkpoint
 
 
 # Graph extensions: bounded BFS reachability, structural similarity
@@ -72,7 +73,7 @@ def bfs_reachable_hops(spark, sf_dir):
     # bounded depth its duplicated subtree is joins over the already-
     # materialized edges, which is cheaper than a per-hop checkpoint;
     # a DEEP traversal should checkpoint the frontier every few hops.
-    edges = edges.repartition("src").localCheckpoint()
+    edges = edges.repartition("src").transform(stage_checkpoint)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -361,7 +362,7 @@ def label_propagation_communities(spark, sf_dir):
         und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .union(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
         .repartition("nbr")
-        .localCheckpoint()
+        .transform(stage_checkpoint)
     )
     labels = adj.select("node").distinct().select("node", F.col("node").alias("lbl"))
     for _ in range(4):
@@ -378,7 +379,7 @@ def label_propagation_communities(spark, sf_dir):
                     F.col("lbl"), F.coalesce(F.col("mn"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint()
+            .transform(stage_checkpoint)
         )
     return labels.select("node", F.col("lbl").alias("community"))
 
@@ -510,7 +511,7 @@ def quality_tier_binning(spark, sf_dir):
     )
     part = _global_index_part(
         q.join(toks, "doc_id"), "quality", "doc_id"
-    ).localCheckpoint(eager=True)
+    ).transform(stage_checkpoint)
     counts = part.groupBy("pid").agg(F.count("*").alias("cnt"))
     # cumulative offsets via a triangular join on the 16-row count
     # table (broadcast both ways) — not even a reduced-input window,

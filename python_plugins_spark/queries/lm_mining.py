@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from python_plugins_spark.functions import hash32
 from python_plugins_spark.queries._core import _global_index_part, register
 from python_plugins_spark.sources.io import load_table
+from python_plugins_spark.session import stage_checkpoint
 
 __all__ = [
     "kneser_ney_bigram_docs",
@@ -100,10 +101,10 @@ def kneser_ney_bigram_docs(spark, sf_dir):
     # persist): blocks are released when the frame is GC'd, so registry
     # sweeps don't accumulate cached partitions (same lifecycle fix as
     # PMI below — persist() without unpersist leaked for the session)
-    bg = bg.localCheckpoint(eager=True)
+    bg = bg.transform(stage_checkpoint)
     cab = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
     # ca/cb/T are all re-aggregations of cab
-    cab = cab.localCheckpoint(eager=True)
+    cab = cab.transform(stage_checkpoint)
     ca = cab.groupBy("w1").agg(
         F.sum("c_ab").alias("c_a"), F.count("*").alias("n1f")
     )
@@ -186,7 +187,7 @@ def pmi_collocations_docs(spark, sf_dir):
     # pair join reads it twice; N once more. localCheckpoint (not
     # persist): its blocks are released when the frame is GC'd, so
     # registry sweeps don't accumulate cached partitions (ADVICE r7)
-    uni = uni.localCheckpoint(eager=True)
+    uni = uni.transform(stage_checkpoint)
     nn = uni.select(F.sum("c_u").alias("n"))
     seq = toks.filter(F.size("t") >= 2).select(
         "doc_id", F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "t"
@@ -205,7 +206,7 @@ def pmi_collocations_docs(spark, sf_dir):
         )
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c_ab"))
-        .localCheckpoint(eager=True)
+        .transform(stage_checkpoint)
     )
     cab = big.filter(F.col("c_ab") >= 5)
     nb = big.select(F.sum("c_ab").alias("n_bg"))
@@ -1189,7 +1190,7 @@ def zipf_fit_docs(spark, sf_dir):
     )
     part = _global_index_part(
         freq, F.col("c").desc(), F.col("w")
-    ).localCheckpoint(eager=True)
+    ).transform(stage_checkpoint)
     counts = part.groupBy("pid").agg(F.count("*").alias("cnt"))
     c2 = counts.select(F.col("pid").alias("pid2"), F.col("cnt").alias("cnt2"))
     offsets = (

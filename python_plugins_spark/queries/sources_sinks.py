@@ -21,6 +21,7 @@ from python_plugins_spark.sources.io import load_table  # noqa: F401
 from python_plugins_spark.queries._core import (  # noqa: F401
     ORACLES, QUERIES, register, _global_index_part, _ts, _STRF,
 )
+from python_plugins_spark.session import stage_checkpoint
 
 
 # Batch 3: sources & sinks (partitioned parquet, CSV, JSON) and the
@@ -1136,7 +1137,7 @@ def pq_ann_topk_rerank(spark, sf_dir):
     )
 
     emb = l2_normalized(load_table(spark, "embeddings", sf_dir), "embedding")
-    emb = emb.localCheckpoint(eager=True)  # normalize once, 3 consumers
+    emb = emb.transform(stage_checkpoint)  # normalize once, 3 consumers
     books = pq_train_codebooks(emb, "embedding", dim=64, m=8, k=256)
     codes = pq_encode(emb, "vec_id", "embedding", books)
     queries = emb.orderBy("vec_id").limit(20)

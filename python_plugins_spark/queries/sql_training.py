@@ -23,6 +23,7 @@ from python_plugins_spark.queries._core import (  # noqa: F401
 )
 
 from python_plugins_spark.queries.sources_sinks import _SCRATCH  # noqa: F401
+from python_plugins_spark.session import stage_checkpoint
 
 
 # SQL-surface widening: lateral join, GROUP BY ALL, regression /
@@ -363,7 +364,7 @@ def global_sequence_orders(spark, sf_dir):
     narrow op (a window on pid would re-shuffle everything a second
     time)."""
     o = load_table(spark, "orders", sf_dir).select("o_orderkey")
-    part = _global_index_part(o, "o_orderkey").localCheckpoint(eager=True)
+    part = _global_index_part(o, "o_orderkey").transform(stage_checkpoint)
     counts = part.groupBy("pid").agg(F.count("*").alias("cnt"))
     # cumulative offsets via a triangular join on the 16-row count
     # table (cheaper to reason about than a reduced-input window, and
@@ -697,12 +698,12 @@ def pagerank_events_graph(spark, sf_dir):
     # is one iteration deep instead of re-deriving all prior rounds
     # from the event scan (unrolled, nodes/edges appear in every round
     # and the plan grows with the iteration count).
-    edges = edges.repartition("src").localCheckpoint()
+    edges = edges.repartition("src").transform(stage_checkpoint)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(stage_checkpoint)
     )
     n_nodes = nodes.count()
     deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
@@ -723,7 +724,7 @@ def pagerank_events_graph(spark, sf_dir):
                     + F.lit(d) * F.coalesce(F.col("m"), F.lit(0.0))
                 ).alias("r"),
             )
-            .localCheckpoint()
+            .transform(stage_checkpoint)
         )
     return ranks.select("node", F.round("r", 6).alias("pr"))
 

@@ -24,6 +24,7 @@ from python_plugins_spark.queries._core import (  # noqa: F401
 
 from python_plugins_spark.queries.core_relational import _neardup_edges  # noqa: F401
 from python_plugins_spark.queries.sources_sinks import _SCRATCH  # noqa: F401
+from python_plugins_spark.session import stage_checkpoint
 
 
 # Batch 4: TPC-H subquery/outer-join/disjunctive shapes, higher-order
@@ -1290,11 +1291,9 @@ def dedup_ladder_end_to_end(spark, sf_dir):
         "doc_id",
         "text",
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
-    ).localCheckpoint(eager=True)
+    ).transform(stage_checkpoint)
     surv1 = s1.filter("keep").select("doc_id", "text")
-    s2 = D.cross_doc_span_dedup(surv1, "text", "doc_id", n=8).localCheckpoint(
-        eager=True
-    )
+    s2 = D.cross_doc_span_dedup(surv1, "text", "doc_id", n=8).transform(stage_checkpoint)
     clusters = D.neardup_clusters(s2, "clean_text", "doc_id", threshold=0.5)
     h2 = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2)
     split = clusters.select(

@@ -24,6 +24,7 @@ from python_plugins_spark.queries._core import (  # noqa: F401
 
 from python_plugins_spark.queries.core_relational import _neardup_edges  # noqa: F401
 from python_plugins_spark.queries.sources_sinks import _SCRATCH  # noqa: F401
+from python_plugins_spark.session import stage_checkpoint
 
 
 # Batch 8: remaining TPC-H shapes (q2/q15/q20/q21 adapted to the
@@ -214,10 +215,10 @@ def transform(record, emitter, context):
     emitter.emit(record)
 """
     res = python_transform(c, script=script, on_error="route")
-    # localCheckpoint, not persist: ok + bad both read the tagged
-    # frame; checkpoint blocks release on GC instead of living for
-    # the session lifetime across registry sweeps
-    res = res.localCheckpoint(eager=True)
+    # ok + bad both read the tagged frame; TransformResult's
+    # localCheckpoint routes through session.stage_checkpoint (GC-
+    # released blocks by default, conf-switchable for cluster runs)
+    res = res.localCheckpoint()
     ok = res.output.select(F.lit(0).alias("errorCode"))
     bad = res.errors.select(F.col("errorCode"))
     return ok.unionByName(bad).groupBy("errorCode").agg(F.count("*").alias("n"))
@@ -1145,7 +1146,7 @@ def neardup_clusters_recursive_sql(spark, sf_dir):
     # an unmaterialized view would re-run the whole LSH+Jaccard
     # pipeline per iteration (~8x the work)
     _neardup_edges(spark, sf_dir).select("id_a", "id_b").createOrReplaceTempView("_rc_pairs")
-    docs.select("doc_id").localCheckpoint().createOrReplaceTempView("_rc_docs")
+    docs.select("doc_id").transform(stage_checkpoint).createOrReplaceTempView("_rc_docs")
     # Spark 4.1 recursion supports UNION ALL only (no dedup across
     # iterations), so cycles would ping-pong forever; the walk is
     # depth-bounded and prunes non-improving labels (lab < src). Near-

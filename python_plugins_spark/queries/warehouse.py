@@ -23,6 +23,7 @@ from python_plugins_spark.queries._core import (  # noqa: F401
 )
 
 from python_plugins_spark.queries.sources_sinks import _SCRATCH  # noqa: F401
+from python_plugins_spark.session import stage_checkpoint
 
 
 # Warehouse lifecycle: compaction, dynamic partition overwrite,
@@ -647,7 +648,7 @@ def kcore_decomposition_graph(spark, sf_dir):
         .filter(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
-        .localCheckpoint()
+        .transform(stage_checkpoint)
     )
     for _ in range(ROUNDS):
         deg = (
@@ -657,13 +658,13 @@ def kcore_decomposition_graph(spark, sf_dir):
         )
         # checkpoint the (tiny) keep-set: both broadcast semi-joins
         # would otherwise independently recompute the degree aggregate
-        keep = deg.filter(F.col("deg") >= K).select("node").localCheckpoint()
+        keep = deg.filter(F.col("deg") >= K).select("node").transform(stage_checkpoint)
         edges = (
             edges.join(
                 F.broadcast(keep.withColumnRenamed("node", "a")), "a", "left_semi"
             )
             .join(F.broadcast(keep.withColumnRenamed("node", "b")), "b", "left_semi")
-            .localCheckpoint()
+            .transform(stage_checkpoint)
         )
     return (
         edges.select(F.explode(F.array("a", "b")).alias("node"))
@@ -904,7 +905,7 @@ def vocab_overlap_sources(spark, sf_dir):
     # vocab table feeds sizes + both join sides; localCheckpoint (not
     # persist) so the blocks release on GC instead of accumulating
     # across registry sweeps (persist-lifecycle convention)
-    st = st.localCheckpoint(eager=True)
+    st = st.transform(stage_checkpoint)
     sizes = st.groupBy("source").agg(F.count("*").alias("nv"))
     a = st.alias("a")
     b = st.alias("b")
@@ -1280,7 +1281,7 @@ def ks_two_sample_events(spark, sf_dir, exact: bool = False, bin_width: float = 
     part = (
         pb.repartitionByRange(8, "b")
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(stage_checkpoint)
     )
     ptot = part.groupBy("pid").agg(F.sum("d1").alias("t1"), F.sum("d2").alias("t2"))
     prior = ptot.select(

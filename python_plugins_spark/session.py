@@ -150,3 +150,57 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+#: Session conf selecting how shared intermediate stages materialize
+#: (see :func:`stage_checkpoint`).
+STAGE_MATERIALIZE_CONF = "spark.python_plugins.stageMaterialize"
+
+
+def stage_checkpoint(df):
+    """Materialize an intermediate frame that several downstream
+    subtrees consume — the library's one choke point for the
+    compute-once pattern (``df.transform(stage_checkpoint)``), so the
+    materialization STRATEGY is a runtime choice instead of being
+    hard-coded at ~60 call sites.
+
+    Modes (session conf ``spark.python_plugins.stageMaterialize``):
+
+    - ``localCheckpoint`` (default): truncates lineage and stores
+      blocks on the executors; blocks release on driver GC of the
+      frame, not at session end — the right trade for single-box
+      runs (bench, the 400-query sweep, tests), where executor loss
+      is impossible. DOCUMENTED FAILURE MODE on a real cluster: if an
+      executor holding checkpoint blocks dies (spot nodes, dynamic
+      allocation), the job fails unrecoverably because the truncated
+      lineage cannot recompute them — Spark's own docs carry the same
+      warning.
+    - ``persist``: StorageLevel MEMORY_AND_DISK with lineage KEPT —
+      executor loss recomputes the lost partitions; blocks are still
+      GC-released (ContextCleaner unpersists cached data whose driver
+      reference is collected). The cluster-safe setting for 100 TB
+      runs on preemptible hardware; costs lineage-tree growth in
+      iterative callers.
+    - ``checkpoint``: reliable checkpoint to
+      ``sparkContext.setCheckpointDir`` storage — lineage truncation
+      AND executor-loss safety, at the price of a write to reliable
+      storage per stage. The cluster setting for deep iterative
+      plans (connected components at scale).
+
+    Every mode materializes EAGERLY: callers rely on the upstream
+    subtree running exactly once even when they fan out into several
+    actions, so laziness here would silently re-run it per consumer.
+    """
+    mode = df.sparkSession.conf.get(STAGE_MATERIALIZE_CONF, "localCheckpoint")
+    if mode == "persist":
+        df = df.persist()
+        df.count()
+        return df
+    if mode == "checkpoint":
+        return df.checkpoint(eager=True)
+    if mode != "localCheckpoint":
+        raise ValueError(
+            f"{STAGE_MATERIALIZE_CONF} must be localCheckpoint|persist|"
+            f"checkpoint, got {mode!r}"
+        )
+    return df.localCheckpoint(eager=True)

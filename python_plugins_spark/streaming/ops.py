@@ -515,3 +515,129 @@ def online_radius_phash_dedup(
     finally:
         q.stop()
     return read_delta(spark, f"{idx_root}/phash").select(id_col, "phash")
+
+
+def online_embedding_radius_dedup(
+    spark: SparkSession,
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    scratch_dir: str,
+    dim: int,
+    n_planes: int = 8,
+    threshold: float = 0.9,
+    seed: int = 42,
+    n_waves: int = 3,
+) -> DataFrame:
+    """Online SEMANTIC dedup at cosine radius — the embedding twin
+    that completes the online-dedup family (exact text, MinHash,
+    perceptual Hamming radius): (id, vector) rows arrive in
+    ``n_waves`` micro-batches; each batch is bucketed with the SAME
+    seeded hyperplanes as the persisted LSH index
+    (:func:`~python_plugins_spark.operators.similarity.lsh_bucket_expr`),
+    checked against already-admitted vectors by ONE bucket equi-join +
+    exact cosine >= ``threshold`` (batch side broadcast — map-side
+    over the index scan, no index shuffle), deduped within itself
+    (a row is rejected when a SMALLER-id batch member shares a bucket
+    within the radius — first-arrival-wins, the window-dedup
+    convention; a chained near-group admits its smallest id), and
+    survivors append (id, vector, bucket) atomically — the
+    semantic-dedup admission step a streaming corpus pipeline runs
+    before training-set assembly. Returns the admitted rows.
+
+    Recall contract is the LSH one (same as lsh_bucketed_neardup): a
+    near-pair split across all ``n_planes`` sign buckets is missed;
+    fewer planes -> bigger buckets -> higher recall, more exact-cosine
+    verification per batch. Per-batch cost: one bucket equi-join
+    against the index + one batch-sized self-join — never O(corpus)
+    pairs. The index is self-limiting like the phash one: every
+    admitted vector is > radius from all earlier admissions within
+    its bucket, so degenerate identical-embedding floods cannot
+    accumulate."""
+    import os
+    import shutil
+    import uuid
+
+    from python_plugins_spark.functions import cosine_similarity
+    from python_plugins_spark.operators.similarity import lsh_bucket_expr
+    from python_plugins_spark.session import stage_checkpoint
+    from python_plugins_spark.sources.delta_py import read_delta, write_delta
+    from python_plugins_spark.sources.io import ensure_session_confs
+
+    ensure_session_confs(spark)
+    run = uuid.uuid4().hex[:8]
+    table = os.path.join(scratch_dir, f"emb_state_{run}")
+    shutil.rmtree(table, ignore_errors=True)
+    # bootstrap an EMPTY index so every wave goes through the same
+    # radius admission (the online family's convention)
+    write_delta(
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            lsh_bucket_expr(vec_col, n_planes, seed, dim).alias("bucket"),
+        ).limit(0),
+        table,
+        mode="overwrite",
+    )
+    stream = _id_ranged_wave_stream(
+        spark, emb.select(id_col, vec_col), id_col, scratch_dir, n_waves, run
+    )
+
+    def dedup_batch(bdf, epoch_id):
+        b = bdf.select(
+            F.col(id_col),
+            F.col(vec_col),
+            lsh_bucket_expr(vec_col, n_planes, seed, dim).alias("bucket"),
+        ).transform(stage_checkpoint)  # tiny batch frame, 3 consumers
+        # within-batch: reject vs any SMALLER-id bucket-mate in radius
+        lhs = b.select(
+            F.col(id_col).alias("_id_a"), F.col(vec_col).alias("_v_a"),
+            "bucket",
+        )
+        rhs = b.select(
+            F.col(id_col).alias("_id_b"), F.col(vec_col).alias("_v_b"),
+            "bucket",
+        )
+        intra_rejected = (
+            lhs.join(rhs, on="bucket")
+            .filter(F.col("_id_a") < F.col("_id_b"))
+            .filter(
+                cosine_similarity(F.col("_v_a"), F.col("_v_b"))
+                >= F.lit(threshold)
+            )
+            .select(F.col("_id_b").alias(id_col))
+            .distinct()
+        )
+        idx = read_delta(bdf.sparkSession, table).select(
+            F.col(id_col).alias("_idx_id"),
+            F.col(vec_col).alias("_idx_vec"),
+            "bucket",
+        )
+        cross_rejected = (
+            idx.join(F.broadcast(b), on="bucket")
+            .filter(
+                cosine_similarity(F.col(vec_col), F.col("_idx_vec"))
+                >= F.lit(threshold)
+            )
+            .select(id_col)
+            .distinct()
+        )
+        admitted = b.join(
+            intra_rejected.unionByName(cross_rejected).distinct(),
+            on=id_col,
+            how="left_anti",
+        )
+        write_delta(admitted, table, mode="append")
+
+    q = (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option(
+            "checkpointLocation", os.path.join(scratch_dir, f"ckpt_{run}")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_delta(spark, table).select(id_col, vec_col)

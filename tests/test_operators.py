@@ -3439,6 +3439,37 @@ def test_int8_quantization_bounds_and_quality(spark, sf_dir):
     assert again == {r.vec_id: (tuple(r.codes), r.cos_recon) for r in rows}
 
 
+def test_stage_checkpoint_modes(spark):
+    """The shared-stage materialization choke point: all three modes
+    return the same rows; persist keeps lineage (cluster-safe under
+    executor loss); an unknown mode is refused loudly. The default
+    localCheckpoint's executor-loss failure mode is documented on the
+    helper — this pins the conf actually switching strategies."""
+    from python_plugins_spark.session import (
+        STAGE_MATERIALIZE_CONF, stage_checkpoint,
+    )
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    want = [(r.id, r.v) for r in df.collect()]
+    try:
+        for mode in ("localCheckpoint", "persist", "checkpoint"):
+            spark.conf.set(STAGE_MATERIALIZE_CONF, mode)
+            if mode == "checkpoint":
+                spark.sparkContext.setCheckpointDir(
+                    "/root/repo/.scratch/ckpt_modes"
+                )
+            out = df.transform(stage_checkpoint)
+            assert sorted((r.id, r.v) for r in out.collect()) == sorted(want)
+            if mode == "persist":
+                assert out.storageLevel.useMemory or out.storageLevel.useDisk
+                out.unpersist()
+        spark.conf.set(STAGE_MATERIALIZE_CONF, "bogus")
+        with pytest.raises(ValueError, match="stageMaterialize"):
+            df.transform(stage_checkpoint)
+    finally:
+        spark.conf.unset(STAGE_MATERIALIZE_CONF)
+
+
 def test_sq8_adc_topk_preserves_neighbors(spark):
     """ADC search over packed SQ8 codes must track exact cosine
     top-k closely (cos_recon > 0.999 implies near-identical ranking):

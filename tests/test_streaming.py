@@ -1283,6 +1283,57 @@ def test_online_radius_phash_dedup(spark):
     assert got == [0, 3, 6, 9, 12, 15], got
 
 
+def test_online_embedding_radius_dedup(spark):
+    """Streaming SEMANTIC dedup: a near-copy embedding (cosine ~1 to
+    an admitted vector) arriving in a LATER wave is rejected by the
+    LSH-bucket + exact-cosine check against the persisted index;
+    orthogonal fresh vectors keep being admitted; within one wave a
+    near-group admits its smallest id. Cross-batch durability: the
+    wave-3 copy of a wave-1 vector is rejected even though two full
+    batches passed in between."""
+    import shutil
+
+    import numpy as np
+
+    from python_plugins_spark.streaming.ops import (
+        online_embedding_radius_dedup,
+    )
+
+    scratch = "/root/repo/.scratch/online_emb_radius_test"
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    dim = 16
+    rng = np.random.RandomState(11)
+    base = rng.randn(6, dim)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+
+    def noisy(v):
+        n = v + 0.01 * rng.randn(dim)
+        return n / np.linalg.norm(n)
+
+    rows = [
+        # wave 1 (ids 0-9): three distinct vectors + an in-wave
+        # near-copy of vector 0 (id 3 > id 0 -> rejected in-wave)
+        (0, base[0]), (1, base[1]), (2, base[2]), (3, noisy(base[0])),
+        # wave 2 (ids 10-19): a near-copy of wave-1's vector 1
+        # (rejected vs index) + a fresh vector (admitted)
+        (10, noisy(base[1])), (11, base[3]),
+        # wave 3 (ids 20-29): near-copies of wave-1's vector 2 and
+        # wave-2's admitted vector (both rejected) + a fresh one
+        (20, noisy(base[2])), (21, noisy(base[3])), (22, base[4]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    out = online_embedding_radius_dedup(
+        spark, emb, "vec_id", "embedding", scratch,
+        dim=dim, n_planes=4, threshold=0.95, n_waves=3,
+    )
+    got = sorted(r.vec_id for r in out.collect())
+    assert got == [0, 1, 2, 11, 22], got
+
+
 def test_online_span_dedup_across_waves(spark):
     """Streaming composition of the span index: documents arriving in
     micro-batches are span-deduplicated against everything previously
