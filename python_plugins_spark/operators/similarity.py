@@ -599,6 +599,172 @@ def clustered_embeddings(
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    train_iters: int = 5,
+    refine_iters: int = 2,
+    seed: int = 42,
+) -> np.ndarray:
+    """Build-once/search-many TRAINED IVF index, the centroid twin of
+    :func:`build_lsh_index`: spherical-k-means centroids
+    (:func:`ivf_train_centroids`) persist as a tiny Delta table and
+    every corpus vector persists with its nearest-centroid assignment
+    — the expensive passes (training + assignment) happen here exactly
+    once; searches read the index and probe buckets without touching
+    the raw corpus or re-training. Returns the trained centroid array
+    (also persisted).
+
+    Assignment is one Arrow pass: centroids ship as a closure constant
+    (k*dim floats), each batch assigns with ONE BLAS matmul — no
+    crossJoin, no shuffle beyond the Delta write."""
+    from python_plugins_spark.sources.delta_py import write_delta
+
+    spark = emb.sparkSession
+    C = ivf_train_centroids(
+        emb, vec_col, k=n_centroids, iters=train_iters,
+        refine_iters=refine_iters, seed=seed,
+    )
+    cent_rows = [
+        (int(i), [float(v) for v in C[i]]) for i in range(len(C))
+    ]
+    write_delta(
+        spark.createDataFrame(cent_rows, "c_id int, c_vec array<double>"),
+        f"{index_path}/centroids",
+        mode="overwrite",
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("vec", T.ArrayType(T.DoubleType())),
+            T.StructField("c_id", T.IntegerType()),
+        ]
+    )
+
+    def assign(batches, _C=C):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = np.linalg.norm(V, axis=1, keepdims=True)
+            a = ((V / np.where(vn == 0, 1, vn)) @ _C.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "vec": pdf[vec_col],
+                    "c_id": a.astype(np.int32),
+                }
+            )
+
+    assigned = emb.select(id_col, vec_col).mapInPandas(assign, out_schema)
+    write_delta(assigned, f"{index_path}/vectors", mode="overwrite")
+    return C
+
+
+def search_ivf_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k cosine neighbors against a persisted IVF index: read the
+    tiny centroid table (driver-side — k*dim floats, the bounded
+    class), assign each query its ``nprobe`` nearest centroids in one
+    Arrow pass, equi-join the probes against the assignment table on
+    centroid id, and score each bucket cogroup with one BLAS matmul
+    (the :func:`ivf_ann_topk` shape, minus the per-search assignment
+    pass — the index already holds it). Returns
+    (query_id, neighbor_id, cos_sim, rk)."""
+    from python_plugins_spark.sources.delta_py import read_delta
+
+    cent = read_delta(spark, f"{index_path}/centroids").collect()
+    C = np.zeros((len(cent), len(cent[0]["c_vec"])))
+    for r in cent:
+        C[r["c_id"]] = r["c_vec"]
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("q_vec", T.ArrayType(T.DoubleType())),
+            T.StructField("c_id", T.IntegerType()),
+        ]
+    )
+
+    def probe(batches, _C=C, _np=nprobe):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = np.linalg.norm(V, axis=1, keepdims=True)
+            sims = (V / np.where(vn == 0, 1, vn)) @ _C.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :_np]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(pdf[id_col].to_numpy(), _np),
+                    "q_vec": [
+                        v for v in pdf[vec_col] for _ in range(_np)
+                    ],
+                    "c_id": top.reshape(n * _np).astype(np.int32),
+                }
+            )
+
+    probes = queries.select(id_col, vec_col).mapInPandas(probe, probe_schema)
+    members = read_delta(spark, f"{index_path}/vectors").select(
+        F.col(id_col).alias("m_id"),
+        F.col("vec").alias("m_vec"),
+        F.col("c_id").alias("c_id_m"),
+    )
+
+    def _score_bucket(key, p_pdf, m_pdf):
+        if len(p_pdf) == 0 or len(m_pdf) == 0:
+            return pd.DataFrame({"q_id": [], "m_id": [], "cos_sim": []})
+        q = np.asarray([np.asarray(v, dtype=np.float64) for v in p_pdf["q_vec"]])
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in m_pdf["m_vec"]])
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        mn = np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(
+            (q / np.where(qn == 0, 1, qn)) @ (m / np.where(mn == 0, 1, mn)).T, 6
+        )
+        qids = p_pdf["q_id"].to_numpy()
+        mids = m_pdf["m_id"].to_numpy()
+        oq, om, os_ = [], [], []
+        for i in range(len(qids)):
+            s = sims[i]
+            midx = np.nonzero(mids != qids[i])[0]
+            sel = midx[np.lexsort((mids[midx], -s[midx]))][:k]
+            oq.extend([qids[i]] * len(sel))
+            om.extend(mids[sel])
+            os_.extend(s[sel])
+        return pd.DataFrame({"q_id": oq, "m_id": om, "cos_sim": os_})
+
+    local = (
+        probes.groupBy("c_id")
+        .cogroup(members.groupBy("c_id_m"))
+        .applyInPandas(_score_bucket, "q_id long, m_id long, cos_sim double")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("m_id").asc()
+    )
+    return (
+        local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("m_id").alias("neighbor_id"),
+            "cos_sim",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 def lsh_planes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes — part of the operator
     contract, mirrored literally into the oracle SQL."""

@@ -445,6 +445,32 @@ def ann_lsh_index_persisted(spark, sf_dir):
     )
 
 
+@register("ann_ivf_index_persisted")  # rows-only: trained floats
+def ann_ivf_index_persisted(spark, sf_dir):
+    """Build-once/search-many TRAINED IVF (operators/similarity.py
+    build_ivf_index/search_ivf_index) — the centroid twin of the LSH
+    index and the production serving shape of round 10's trained-IVF
+    work: spherical-k-means centroids + per-vector assignments persist
+    as Delta tables ONCE; each search assigns queries their nprobe
+    nearest centroids in one Arrow pass and BLAS-scores only the
+    probed buckets via the centroid-id cogroup — no re-training, no
+    corpus re-scan, no assignment pass at query time. No SQL oracle
+    (k-means centroid floats depend on distributed summation order —
+    approximate by design like ann_topk_ivf); recall floor vs exact
+    search pinned in test_ivf_index_persisted_recall."""
+    import os
+    import shutil
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = os.path.join(_SCRATCH, f"ivf_index_{tag}")
+    shutil.rmtree(idx, ignore_errors=True)
+    S.build_ivf_index(emb, idx, "vec_id", "embedding", n_centroids=16)
+    return S.search_ivf_index(
+        spark, idx, emb, "vec_id", "embedding", k=5, nprobe=4
+    )
+
+
 
 @register(
     "delta_check_constraint_gate",

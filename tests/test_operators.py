@@ -300,6 +300,30 @@ def test_pq_cosine_recall_clustered(spark):
     assert recall >= 0.85, f"cosine PQ recall too low: {recall:.3f}"
 
 
+def test_ivf_index_persisted_recall(spark, tmp_path):
+    """The persisted trained-IVF index serves the same quality as the
+    inline trained path: recall@5 >= 0.95 on the clustered fixture at
+    nprobe=4, across a build/search round-trip through Delta (the
+    search never re-trains or re-assigns the corpus)."""
+    emb = S.clustered_embeddings(
+        spark, n_clusters=10, per_cluster=50, dim=64
+    ).localCheckpoint(eager=True)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_topk_blocked(emb, "vec_id", "embedding", 5).collect()
+    }
+    idx = str(tmp_path / "ivf_idx")
+    S.build_ivf_index(emb, idx, "vec_id", "embedding", n_centroids=8)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in S.search_ivf_index(
+            spark, idx, emb, "vec_id", "embedding", k=5, nprobe=4
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.95, f"persisted IVF recall too low: {recall:.3f}"
+
+
 def test_pq_train_codebooks_refuses_k_over_sample(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError, match="at least k="):
