@@ -964,34 +964,46 @@ def pq_train_codebooks(
 
 
 def pq_encode(df, id_col: str, vec_col: str, books):
-    """Encode vectors as m-byte PQ codes: (id, code array<int>). The
-    codebooks ship as a broadcast-sized closure constant (m*k*sub
-    floats); encoding is one distributed Arrow pass — at 100 TB this
-    is the compression step that turns a 256-byte float64[32] into
-    m bytes (here 8 ints), a 32x memory cut for ANN serving."""
+    """Encode vectors as PACKED m-byte PQ codes: (id, code binary) —
+    one byte per subspace, so the compression claim is true of the
+    actual output in Spark memory and in any downstream in-RAM code
+    table (an ``array<int>`` would spend 4 bytes per subspace at
+    serving time — the same defect the SQ8 quantizer had before round
+    10). Requires ``k <= 256``. The codebooks ship as a
+    broadcast-sized closure constant (m*k*sub floats); encoding is
+    one distributed Arrow pass — at 100 TB this is the compression
+    step that turns a 256-byte float64[32] into m bytes, a 32x memory
+    cut for ANN serving."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     m, k, sub = books.shape
+    if k > 256:
+        raise ValueError(
+            f"pq_encode packs one byte per subspace; k={k} codewords "
+            "do not fit a byte — use k <= 256 (the canonical PQ range)"
+        )
     B = books.copy()
 
     schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
-            T.StructField("code", T.ArrayType(T.IntegerType())),
+            T.StructField("code", T.BinaryType()),
         ]
     )
 
     def enc(batches):
         for pdf in batches:
             vecs = np.array(list(pdf["v"]), dtype=np.float64)
-            codes = np.zeros((len(vecs), m), dtype=np.int32)
+            codes = np.zeros((len(vecs), m), dtype=np.uint8)
             for mi in range(m):
                 Xi = vecs[:, mi * sub : (mi + 1) * sub]
                 d = ((Xi[:, None, :] - B[mi][None, :, :]) ** 2).sum(axis=2)
                 codes[:, mi] = d.argmin(axis=1)
-            yield pd.DataFrame({"id": pdf["id"], "code": list(codes)})
+            yield pd.DataFrame(
+                {"id": pdf["id"], "code": [c.tobytes() for c in codes]}
+            )
 
     from pyspark.sql import functions as F
 
@@ -1069,7 +1081,13 @@ def pq_topk(
     def score(batches):
         for pdf in batches:
             ids = pdf["id"].to_numpy(dtype=np.int64)
-            codes = np.array(list(pdf["code"]), dtype=np.int64)  # n x m
+            # unpack the m-byte blobs: ADC runs DIRECTLY over the
+            # packed serving format, like sq8_adc_topk
+            codes = (
+                np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8)
+                .reshape(len(ids), m)
+                .astype(np.int64)
+            )
             out_q, out_n, out_d = [], [], []
             for qi in range(len(q_ids)):
                 lut = luts[qi]  # m x k

@@ -878,6 +878,8 @@ def test_pq_recall_against_exact_topk(spark, sf_dir):
     assert books.shape == (8, 16, 8)
     codes = pq_encode(emb, "vec_id", "embedding", books)
     row = codes.first()
+    # PACKED serving format: one byte per subspace (m=8 -> 8 bytes)
+    assert isinstance(row.code, (bytes, bytearray))
     assert len(row.code) == 8 and all(0 <= c < 16 for c in row.code)
 
     queries = emb.limit(12)
