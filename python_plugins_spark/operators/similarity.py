@@ -608,6 +608,7 @@ def build_ivf_index(
     train_iters: int = 5,
     refine_iters: int = 2,
     seed: int = 42,
+    sq8: bool = False,
 ) -> np.ndarray:
     """Build-once/search-many TRAINED IVF index, the centroid twin of
     :func:`build_lsh_index`: spherical-k-means centroids
@@ -617,6 +618,14 @@ def build_ivf_index(
     once; searches read the index and probe buckets without touching
     the raw corpus or re-training. Returns the trained centroid array
     (also persisted).
+
+    ``sq8=True`` composes the two round-10 serving pieces: member
+    vectors store as PACKED dim-byte SQ8 blobs (plus a 1-row per-dim
+    extrema table), so the resident index costs 1 byte/dim — the
+    faiss ``IVF..,SQ8`` composition, the standard shape when a 100 TB
+    embedding corpus must serve from RAM. Searches dequantize inside
+    the bucket cogroup (asymmetric: float query x dequantized
+    member).
 
     Assignment is one Arrow pass: centroids ship as a closure constant
     (k*dim floats), each batch assigns with ONE BLAS matmul — no
@@ -637,27 +646,62 @@ def build_ivf_index(
         mode="overwrite",
     )
 
+    stats = None
+    if sq8:
+        dim = C.shape[1]
+        x = [
+            F.element_at(F.col(vec_col), i + 1).cast("double")
+            for i in range(dim)
+        ]
+        st = emb.agg(
+            *[F.min(x[i]).alias(f"mn{i}") for i in range(dim)],
+            *[F.max(x[i]).alias(f"mx{i}") for i in range(dim)],
+        ).collect()[0]
+        mn = np.array([st[f"mn{i}"] for i in range(dim)], dtype=np.float64)
+        mx = np.array([st[f"mx{i}"] for i in range(dim)], dtype=np.float64)
+        scale = np.where(mx == mn, 1.0, (mx - mn) / 255.0)
+        stats = (mn, scale)
+        write_delta(
+            spark.createDataFrame(
+                [(mn.tolist(), scale.tolist())],
+                "mn array<double>, scale array<double>",
+            ),
+            f"{index_path}/sq8_stats",
+            mode="overwrite",
+        )
+
+    vec_field = (
+        T.StructField("codes", T.BinaryType())
+        if sq8
+        else T.StructField("vec", T.ArrayType(T.DoubleType()))
+    )
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
-            T.StructField("vec", T.ArrayType(T.DoubleType())),
+            vec_field,
             T.StructField("c_id", T.IntegerType()),
         ]
     )
 
-    def assign(batches, _C=C):
+    def assign(batches, _C=C, _st=stats):
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             vn = np.linalg.norm(V, axis=1, keepdims=True)
             a = ((V / np.where(vn == 0, 1, vn)) @ _C.T).argmax(axis=1)
+            if _st is None:
+                payload = {"vec": pdf[vec_col]}
+            else:
+                mn_, scale_ = _st
+                codes = np.clip(
+                    np.floor((V - mn_[None, :]) / scale_[None, :] + 0.5),
+                    0,
+                    255,
+                ).astype(np.uint8)
+                payload = {"codes": [c.tobytes() for c in codes]}
             yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "vec": pdf[vec_col],
-                    "c_id": a.astype(np.int32),
-                }
+                {id_col: pdf[id_col], **payload, "c_id": a.astype(np.int32)}
             )
 
     assigned = emb.select(id_col, vec_col).mapInPandas(assign, out_schema)
@@ -673,6 +717,7 @@ def search_ivf_index(
     vec_col: str,
     k: int,
     nprobe: int = 4,
+    sq8: bool = False,
 ) -> DataFrame:
     """Top-k cosine neighbors against a persisted IVF index: read the
     tiny centroid table (driver-side — k*dim floats, the bounded
@@ -680,14 +725,23 @@ def search_ivf_index(
     Arrow pass, equi-join the probes against the assignment table on
     centroid id, and score each bucket cogroup with one BLAS matmul
     (the :func:`ivf_ann_topk` shape, minus the per-search assignment
-    pass — the index already holds it). Returns
-    (query_id, neighbor_id, cos_sim, rk)."""
+    pass — the index already holds it). With ``sq8=True`` (an index
+    built with the same flag) the members are dim-byte blobs
+    dequantized inside the cogroup — asymmetric scoring, 1 byte/dim
+    resident. Returns (query_id, neighbor_id, cos_sim, rk)."""
     from python_plugins_spark.sources.delta_py import read_delta
 
     cent = read_delta(spark, f"{index_path}/centroids").collect()
     C = np.zeros((len(cent), len(cent[0]["c_vec"])))
     for r in cent:
         C[r["c_id"]] = r["c_vec"]
+    sq8_stats = None
+    if sq8:
+        srow = read_delta(spark, f"{index_path}/sq8_stats").collect()[0]
+        sq8_stats = (
+            np.asarray(srow["mn"], dtype=np.float64),
+            np.asarray(srow["scale"], dtype=np.float64),
+        )
 
     probe_schema = T.StructType(
         [
@@ -717,17 +771,30 @@ def search_ivf_index(
             )
 
     probes = queries.select(id_col, vec_col).mapInPandas(probe, probe_schema)
+    member_col = "codes" if sq8 else "vec"
     members = read_delta(spark, f"{index_path}/vectors").select(
         F.col(id_col).alias("m_id"),
-        F.col("vec").alias("m_vec"),
+        F.col(member_col).alias("m_vec"),
         F.col("c_id").alias("c_id_m"),
     )
+    dim = C.shape[1]
+    _st, _dim = sq8_stats, dim  # closure captures (cogroup UDFs must
+    # declare exactly (key, left, right) — no default-arg smuggling)
 
     def _score_bucket(key, p_pdf, m_pdf):
         if len(p_pdf) == 0 or len(m_pdf) == 0:
             return pd.DataFrame({"q_id": [], "m_id": [], "cos_sim": []})
         q = np.asarray([np.asarray(v, dtype=np.float64) for v in p_pdf["q_vec"]])
-        m = np.asarray([np.asarray(v, dtype=np.float64) for v in m_pdf["m_vec"]])
+        if _st is None:
+            m = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in m_pdf["m_vec"]]
+            )
+        else:
+            mn_, scale_ = _st
+            u8 = np.frombuffer(
+                b"".join(m_pdf["m_vec"]), dtype=np.uint8
+            ).reshape(len(m_pdf), _dim)
+            m = mn_[None, :] + u8.astype(np.float64) * scale_[None, :]
         qn = np.linalg.norm(q, axis=1, keepdims=True)
         mn = np.linalg.norm(m, axis=1, keepdims=True)
         sims = np.round(

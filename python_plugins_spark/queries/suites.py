@@ -471,6 +471,30 @@ def ann_ivf_index_persisted(spark, sf_dir):
     )
 
 
+@register("ann_topk_ivf_sq8")  # rows-only: trained floats
+def ann_topk_ivf_sq8(spark, sf_dir):
+    """The faiss 'IVF..,SQ8' composition — trained-centroid
+    partitioning over PACKED 1-byte-per-dim codes, the standard shape
+    when a 100 TB embedding corpus must serve from RAM: the persisted
+    index stores dim-byte blobs + a 1-row extrema table; searches
+    probe nprobe buckets and dequantize inside the cogroup
+    (asymmetric scoring, one BLAS matmul per bucket). Composes both
+    round-10 serving pieces (ivf_train_centroids x packed SQ8). No
+    SQL oracle (trained floats, like the IVF family); recall floor vs
+    exact search pinned in test_ivf_sq8_index_recall."""
+    import os
+    import shutil
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = os.path.join(_SCRATCH, f"ivf_sq8_index_{tag}")
+    shutil.rmtree(idx, ignore_errors=True)
+    S.build_ivf_index(emb, idx, "vec_id", "embedding", n_centroids=16, sq8=True)
+    return S.search_ivf_index(
+        spark, idx, emb, "vec_id", "embedding", k=5, nprobe=4, sq8=True
+    )
+
+
 
 @register(
     "delta_check_constraint_gate",

@@ -324,6 +324,36 @@ def test_ivf_index_persisted_recall(spark, tmp_path):
     assert recall >= 0.95, f"persisted IVF recall too low: {recall:.3f}"
 
 
+def test_ivf_sq8_index_recall(spark, tmp_path):
+    """The IVF+SQ8 composition (trained buckets over packed 1-byte
+    codes) keeps serving quality: recall@5 >= 0.9 vs exact cosine on
+    the clustered fixture at nprobe=4, through a Delta round-trip;
+    the index's member payload is dim bytes per vector."""
+    emb = S.clustered_embeddings(
+        spark, n_clusters=10, per_cluster=50, dim=64
+    ).localCheckpoint(eager=True)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_topk_blocked(emb, "vec_id", "embedding", 5).collect()
+    }
+    idx = str(tmp_path / "ivf_sq8_idx")
+    S.build_ivf_index(
+        emb, idx, "vec_id", "embedding", n_centroids=8, sq8=True
+    )
+    from python_plugins_spark.sources.delta_py import read_delta
+
+    row = read_delta(spark, f"{idx}/vectors").first()
+    assert isinstance(row.codes, (bytes, bytearray)) and len(row.codes) == 64
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in S.search_ivf_index(
+            spark, idx, emb, "vec_id", "embedding", k=5, nprobe=4, sq8=True
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"IVF+SQ8 recall too low: {recall:.3f}"
+
+
 def test_pq_train_codebooks_refuses_k_over_sample(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError, match="at least k="):
