@@ -337,6 +337,13 @@ def main() -> None:
         "incremental_span_dedup",
         "lang_id_tiered_docs",
         "audio_spectral_dedup",
+        # round-10 operators (trained IVF, packed-SQ8 ADC serving,
+        # Devanagari tier; the cost of ann_topk_sq8 is dominated by
+        # the constant ~770-expression quantizer codegen compile,
+        # which amortizes to zero at 100x data)
+        "ann_topk_ivf_trained",
+        "ann_topk_sq8",
+        "lang_id_devanagari_docs",
     ]
     # Tier tags (round 8): ~50 extras is past eyeballing — per-tier
     # subtotals make a tier regression visible without reading every
@@ -874,17 +881,25 @@ def _bench_scaling(spark) -> dict:
     sf0.1 wall-clock, but the 100 TB claim otherwise rests on
     plan-shape arguments alone. Six flagships are timed at every
     available SF (sf0.001/0.01/0.1) and the fitted log-log slope of
-    wall time vs PRIMARY-TABLE ROWS is published per query — a
-    super-linear shape no single-SF number can catch shows up as an
-    exponent well above its expectation. Expectations: ~1.0
-    (near-linear; in practice sub-1 readings are common at these SFs
-    because fixed per-query overhead ~0.3-1 s dominates the small
-    points) for every banded/blocked/pipelined flagship, and 2.0 BY
-    DEFINITION for ann_topk_cosine (exact all-pairs search — included
-    deliberately so the instrument demonstrably flags a quadratic
-    shape when one exists). Single pass per (query, SF): this is a
-    trend instrument, not a cross-round latency axis — the headline
-    medians own that."""
+    wall time vs PRIMARY-TABLE ROWS is published per query alongside
+    the raw (rows, sec) points.
+
+    SENSITIVITY, stated honestly: at these SFs fixed per-query
+    overhead (~0.3-1 s of plan/codegen/scheduling) dominates the
+    small points, so measured exponents sit well BELOW their
+    asymptotic shape — the committed runs read ~0 to ~0.4 across the
+    near-linear set AND ~0.3-0.4 for ann_topk_cosine, whose true
+    shape is 2.0 by definition (exact all-pairs; kept in the set as
+    the known-quadratic control precisely so readers can see the
+    instrument's floor). What the instrument CAN catch at this scale
+    is a gross blow-up — a flagship whose largest-SF point grows far
+    faster than its data (exponent >> 1 needs t to grow ~10x per
+    10x rows, visible even over the overhead floor); fine-grained
+    1.0-vs-1.3 discrimination needs larger SF spans than the
+    container ships. The raw points are published so the per-SF
+    wall-clocks stand on their own. Single pass per (query, SF):
+    this is a trend instrument, not a cross-round latency axis — the
+    headline medians own that."""
     import math
 
     SCALING_SET = {
@@ -911,6 +926,9 @@ def _bench_scaling(spark) -> dict:
             )
             if os.path.isdir(d)
         ]
+        if not dirs:
+            print("# scaling: no testdata SF dirs present", file=sys.stderr)
+            return out
 
         def _mat(df) -> int:
             obs = Observation()
@@ -946,15 +964,20 @@ def _bench_scaling(spark) -> dict:
             mx = sum(xs) / len(xs)
             my = sum(ys) / len(ys)
             sxx = sum((x - mx) ** 2 for x in xs)
+            # fewer than 2 distinct sizes -> no slope; publish null
+            # rather than NaN (non-strict JSON) or a fake number
             slope = (
-                sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sxx
+                round(
+                    sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sxx,
+                    3,
+                )
                 if sxx > 0
-                else float("nan")
+                else None
             )
             out[name] = {
                 "table": table,
                 "points": [{"rows": n, "sec": t} for n, t in pts],
-                "exponent": round(slope, 3),
+                "exponent": slope,
                 "expected": expected,
             }
             print(f"# [scaling] {name}: {out[name]}", file=sys.stderr)

@@ -53,6 +53,15 @@ from python_plugins_spark.functions import oracle_fragments as O
 from python_plugins_spark.operators.relational import dedup_rows
 from python_plugins_spark.session import stage_checkpoint
 
+# Gram-hash width of the span-dedup family (round 10: widened from 32
+# to 60 bits — a 32-bit collision DELETES unrelated text). The width
+# is part of the persisted span-index FORMAT: build stamps it into the
+# index's meta table and ingest refuses a mismatch, because both
+# widths are plain BIGINT columns and a silent mismatch would
+# zero-match the gram equi-join, re-admitting every indexed duplicate
+# as novel with no error.
+SPAN_GRAM_HASH_BITS = 60
+
 # Deterministic permutation parameters: part of the operator contract,
 # mirrored into the oracle SQL. a < 2^16 keeps a*h+b < 2^48 (overflow-
 # safe signed-64 in both engines).
@@ -1193,13 +1202,24 @@ def span_index_build(
     canonical. SIZE IS THE METHOD'S: O(corpus tokens) — the same
     class as the on-disk suffix array the Lee et al. pipeline builds
     (~8 bytes/token there; ~12 here), Delta-backed and equi-join
-    pruned by hash."""
+    pruned by hash. The GRAM-HASH WIDTH is part of the index format:
+    a meta table records it, and ingest refuses an index whose width
+    differs from the library's (a silent mismatch would zero-match
+    the equi-join and re-admit every indexed duplicate as novel)."""
     from python_plugins_spark.sources.delta_py import write_delta
 
+    spark = df.sparkSession
     tok = _span_tok_frame(df, text_col, id_col)
     grams = _span_gram_frame(tok, id_col, n)
     idx = grams.groupBy("_h").agg(F.min("_k").alias("first_k"))
     write_delta(idx, f"{index_path}/grams", mode="overwrite")
+    write_delta(
+        spark.createDataFrame(
+            [(SPAN_GRAM_HASH_BITS, n)], "gram_hash_bits int, n int"
+        ),
+        f"{index_path}/meta",
+        mode="overwrite",
+    )
 
 
 def span_index_ingest(
@@ -1232,6 +1252,19 @@ def span_index_ingest(
     from python_plugins_spark.sources.delta_py import read_delta, write_delta
 
     spark = new_docs.sparkSession
+    try:
+        meta = read_delta(spark, f"{index_path}/meta").collect()[0]
+        idx_bits = meta["gram_hash_bits"]
+    except Exception:
+        idx_bits = None  # pre-meta index: width unknown, refuse below
+    if idx_bits != SPAN_GRAM_HASH_BITS:
+        raise ValueError(
+            f"span index at {index_path} was built with gram_hash_bits="
+            f"{idx_bits} but this library uses {SPAN_GRAM_HASH_BITS}; "
+            "a width mismatch silently zero-matches the gram equi-join "
+            "(every indexed duplicate re-admitted as novel) — rebuild "
+            "the index with span_index_build"
+        )
     tok = _span_tok_frame(new_docs, text_col, id_col)
     grams = _span_gram_frame(tok, id_col, n)
     idx = read_delta(spark, f"{index_path}/grams").select(

@@ -541,6 +541,34 @@ def phash_index_build(
     )
 
 
+
+def _intra_batch_exact_dedup(
+    hashed_new: DataFrame, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Radius-0 intra-batch pass shared by BOTH ingest variants:
+    min-id survivor per identical fingerprint within the batch;
+    losers flag as (id, phash, dup_of, hamming=0) — ONE definition,
+    so the family's union-compatible duplicates schema cannot
+    silently diverge between the variants."""
+    tagged = hashed_new.select(
+        id_col,
+        "phash",
+        F.min(id_col)
+        .over(Window.partitionBy("phash"))
+        .alias("_batch_min"),
+    )
+    intra_dups = tagged.filter(F.col(id_col) != F.col("_batch_min")).select(
+        id_col,
+        "phash",
+        F.col("_batch_min").alias("dup_of"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    survivors = tagged.filter(
+        F.col(id_col) == F.col("_batch_min")
+    ).select(id_col, "phash")
+    return survivors, intra_dups
+
+
 def phash_index_ingest(
     hashed_new: DataFrame,
     id_col: str,
@@ -571,22 +599,7 @@ def phash_index_ingest(
     spark = hashed_new.sparkSession
     intra_dups = None
     if dedup_batch:
-        tagged = hashed_new.select(
-            id_col,
-            "phash",
-            F.min(id_col)
-            .over(Window.partitionBy("phash"))
-            .alias("_batch_min"),
-        )
-        intra_dups = tagged.filter(F.col(id_col) != F.col("_batch_min")).select(
-            id_col,
-            "phash",
-            F.col("_batch_min").alias("dup_of"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
-        hashed_new = tagged.filter(
-            F.col(id_col) == F.col("_batch_min")
-        ).select(id_col, "phash")
+        hashed_new, intra_dups = _intra_batch_exact_dedup(hashed_new, id_col)
     idx = read_delta(spark, f"{index_path}/phash").select(
         F.col(id_col).alias("_idx_id"), F.col("phash").alias("_idx_hash")
     )
@@ -682,22 +695,7 @@ def phash_index_radius_ingest(
     spark = hashed_new.sparkSession
     intra_dups = None
     if dedup_batch:
-        tagged = hashed_new.select(
-            id_col,
-            "phash",
-            F.min(id_col)
-            .over(Window.partitionBy("phash"))
-            .alias("_batch_min"),
-        )
-        intra_dups = tagged.filter(F.col(id_col) != F.col("_batch_min")).select(
-            id_col,
-            "phash",
-            F.col("_batch_min").alias("dup_of"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
-        hashed_new = tagged.filter(
-            F.col(id_col) == F.col("_batch_min")
-        ).select(id_col, "phash")
+        hashed_new, intra_dups = _intra_batch_exact_dedup(hashed_new, id_col)
     idx = read_delta(spark, f"{index_path}/phash").select(
         F.col(id_col).alias("_idx_id"), F.col("phash").alias("_idx_hash")
     )

@@ -492,6 +492,15 @@ def ivf_train_centroids(
         .collect()
     )
     X = np.asarray([r[0] for r in sample], dtype=np.float64)
+    if len(X) < k:
+        # same refusal contract as pq_train_codebooks: silently
+        # seeding duplicate centroids would degrade recall with no
+        # error to point at
+        raise ValueError(
+            f"ivf_train_centroids needs at least k={k} sample rows to "
+            f"seed k-means++ (got {len(X)}); lower k or raise "
+            "sample_rows"
+        )
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     X = X / np.where(norms == 0, 1, norms)
 
@@ -505,7 +514,13 @@ def ivf_train_centroids(
         if tot <= 0:
             C[ci] = X[rng.randint(len(X))]
         else:
-            C[ci] = X[np.searchsorted(np.cumsum(d2 / tot), rng.rand())]
+            # clamp: float rounding can leave cumsum[-1] slightly
+            # below rand(), and searchsorted would then return len(X)
+            idx = min(
+                int(np.searchsorted(np.cumsum(d2 / tot), rng.rand())),
+                len(X) - 1,
+            )
+            C[ci] = X[idx]
         d2 = np.minimum(d2, ((X - C[ci]) ** 2).sum(axis=1))
     for _ in range(iters):
         assign = (X @ C.T).argmax(axis=1)
@@ -1486,7 +1501,8 @@ def pca_project(
 # --------------------------------------------- int8 scalar quantization
 
 def quantize_embeddings_int8(
-    df: DataFrame, id_col: str, vec_col: str, dim: int
+    df: DataFrame, id_col: str, vec_col: str, dim: int,
+    stats_row=None,
 ) -> DataFrame:
     """Per-dimension affine int8 quantization (the faiss-SQ8 /
     vector-database storage format): corpus-wide per-dim [min, max]
@@ -1513,10 +1529,28 @@ def quantize_embeddings_int8(
     bit-identical to the DuckDB oracle replay."""
     d = F.col(vec_col)
     x = [F.element_at(d, i + 1).cast("double") for i in range(dim)]
-    stats = df.agg(
-        *[F.min(x[i]).alias(f"_mn{i}") for i in range(dim)],
-        *[F.max(x[i]).alias(f"_mx{i}") for i in range(dim)],
-    )
+    if stats_row is not None:
+        # caller already ran the extrema aggregate (sq8_adc_topk
+        # collects it for the scorer) — rebuild the 1-row broadcast
+        # frame from its exact values instead of re-aggregating the
+        # corpus (min/max are exact, so the values are identical)
+        stats = df.sparkSession.createDataFrame(
+            [
+                tuple(
+                    [float(stats_row[f"mn{i}"]) for i in range(dim)]
+                    + [float(stats_row[f"mx{i}"]) for i in range(dim)]
+                )
+            ],
+            ", ".join(
+                [f"_mn{i} double" for i in range(dim)]
+                + [f"_mx{i} double" for i in range(dim)]
+            ),
+        )
+    else:
+        stats = df.agg(
+            *[F.min(x[i]).alias(f"_mn{i}") for i in range(dim)],
+            *[F.max(x[i]).alias(f"_mx{i}") for i in range(dim)],
+        )
     j = df.crossJoin(F.broadcast(stats))
     mn = [F.col(f"_mn{i}") for i in range(dim)]
     scale = [
@@ -1595,9 +1629,11 @@ def sq8_adc_topk(
     mx = np.array([st[f"mx{i}"] for i in range(dim)], dtype=np.float64)
     scale = np.where(mx == mn, 1.0, (mx - mn) / 255.0)
 
-    codes = quantize_embeddings_int8(df, id_col, vec_col, dim).select(
-        F.col(id_col).alias("c_id"), "codes"
-    )
+    # pass the collected extrema through — the quantizer then skips
+    # its own full-corpus aggregate (it ran once, three lines up)
+    codes = quantize_embeddings_int8(
+        df, id_col, vec_col, dim, stats_row=st
+    ).select(F.col(id_col).alias("c_id"), "codes")
     cb = (
         codes.withColumn(
             "cblk", F.pmod(F.hash(F.col("c_id")), F.lit(n_corpus_blocks))

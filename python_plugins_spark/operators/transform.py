@@ -322,11 +322,18 @@ class TransformResult:
         strategy (localCheckpoint default; persist / reliable
         checkpoint for cluster runs on preemptible hardware) follows
         the session-wide ``spark.python_plugins.stageMaterialize``
-        conf like every other shared stage in the library."""
+        conf like every other shared stage in the library.
+        ``eager=False`` keeps the pre-round-10 deferred contract (no
+        job at call time) via a direct lazy localCheckpoint —
+        stage_checkpoint is always eager by design, so the conf modes
+        apply only to the default eager path."""
 
         if self._tagged is None:
             return self
-        tagged = stage_checkpoint(self._tagged)
+        if eager:
+            tagged = stage_checkpoint(self._tagged)
+        else:
+            tagged = self._tagged.localCheckpoint(eager=False)
         out_names = self.output.columns
         return TransformResult(
             output=tagged.filter(F.col("_port") == PORT_OUT).select(*out_names),
