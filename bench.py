@@ -884,22 +884,24 @@ def _bench_scaling(spark) -> dict:
     wall time vs PRIMARY-TABLE ROWS is published per query alongside
     the raw (rows, sec) points.
 
-    SENSITIVITY, stated honestly: at these SFs fixed per-query
-    overhead (~0.3-1 s of plan/codegen/scheduling) dominates the
-    small points, so measured exponents sit well BELOW their
-    asymptotic shape — the committed runs read ~0 to ~0.4 across the
-    near-linear set AND ~0.3-0.4 for ann_topk_cosine, whose true
-    shape is 2.0 by definition (exact all-pairs; kept in the set as
-    the known-quadratic control precisely so readers can see the
-    instrument's floor). What the instrument CAN catch at this scale
-    is a gross blow-up — a flagship whose largest-SF point grows far
-    faster than its data (exponent >> 1 needs t to grow ~10x per
-    10x rows, visible even over the overhead floor); fine-grained
-    1.0-vs-1.3 discrimination needs larger SF spans than the
-    container ships. The raw points are published so the per-SF
-    wall-clocks stand on their own. Single pass per (query, SF):
-    this is a trend instrument, not a cross-round latency axis — the
-    headline medians own that."""
+    SENSITIVITY, stated honestly and DEMONSTRATED: at these SFs
+    fixed per-query overhead (~0.3-1 s of plan/codegen/scheduling)
+    floors what a cheap-per-row query can show — the committed runs
+    read ~0 to ~0.4 across the near-linear set and similar for
+    ann_topk_cosine, whose true shape is 2.0 by definition but whose
+    BLAS per-pair cost is too small to clear the floor. The POSITIVE
+    control is embedding_neardup_exact_baseline: expression cosine
+    over an O(n^2) crossJoin, whose per-pair cost DOES dominate
+    overhead — it measures exponent ~1.96 at exactly these SFs
+    (500 -> 2000 rows: 2 s -> 31 s), proving the instrument flags a
+    genuinely quadratic flagship loudly whenever the super-linear
+    term carries real wall-clock. A blow-up too cheap to register at
+    sf0.1 is by the same token not a wall-clock risk until far
+    larger scales, where the plan-shape tests (no CartesianProduct,
+    shuffle budgets, window lint) are the guard. The raw points are
+    published so the per-SF wall-clocks stand on their own. Single
+    pass per (query, SF): this is a trend instrument, not a
+    cross-round latency axis — the headline medians own that."""
     import math
 
     SCALING_SET = {
@@ -909,6 +911,11 @@ def _bench_scaling(spark) -> dict:
         "image_phash_neardup_pairs": ("documents", 1.0),
         "crawl_pipeline_end_to_end": ("documents", 1.0),
         "ann_topk_cosine": ("embeddings", 2.0),
+        # the known-quadratic POSITIVE control (size-gated exact
+        # baseline, never a pipeline path): per-pair expression cost
+        # clears the overhead floor, so the quadratic shape IS
+        # measurable — ~1.96 at these SFs
+        "embedding_neardup_exact_baseline": ("embeddings", 2.0),
     }
     out: dict = {}
     try:
