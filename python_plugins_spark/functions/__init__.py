@@ -67,8 +67,16 @@ def hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+#: Width of :func:`hash60` in bits (15 hex chars x 4). Lives HERE,
+#: beside the implementation, because the persisted span-dedup index
+#: stamps it as its format version — a width change must move both or
+#: the ingest equi-join silently zero-matches old indexes.
+HASH60_BITS = 60
+
+
 def hash60(col: Column) -> Column:
-    """md5-derived 60-bit content hash as BIGINT (bit-op safe)."""
+    """md5-derived 60-bit content hash as BIGINT (bit-op safe);
+    width exported as :data:`HASH60_BITS`."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 

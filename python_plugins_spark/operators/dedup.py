@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from python_plugins_spark.functions import (
+    HASH60_BITS,
     MINHASH_PRIME,
     hash32,
     hash60,
@@ -51,7 +52,10 @@ from python_plugins_spark.functions import (
 )
 from python_plugins_spark.functions import oracle_fragments as O
 from python_plugins_spark.operators.relational import dedup_rows
-from python_plugins_spark.session import stage_checkpoint
+from python_plugins_spark.session import (
+    stage_checkpoint,
+    stage_checkpoint_iterative,
+)
 
 # Gram-hash width of the span-dedup family (round 10: widened from 32
 # to 60 bits — a 32-bit collision DELETES unrelated text). The width
@@ -59,8 +63,9 @@ from python_plugins_spark.session import stage_checkpoint
 # index's meta table and ingest refuses a mismatch, because both
 # widths are plain BIGINT columns and a silent mismatch would
 # zero-match the gram equi-join, re-admitting every indexed duplicate
-# as novel with no error.
-SPAN_GRAM_HASH_BITS = 60
+# as novel with no error. DERIVED from the hash implementation's own
+# exported width so the two cannot drift apart.
+SPAN_GRAM_HASH_BITS = HASH60_BITS
 
 # Deterministic permutation parameters: part of the operator contract,
 # mirrored into the oracle SQL. a < 2^16 keeps a*h+b < 2^48 (overflow-
@@ -647,7 +652,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .transform(stage_checkpoint)
+            .transform(stage_checkpoint_iterative)
         )
         changed = (
             new_labels.alias("n")
@@ -1252,18 +1257,31 @@ def span_index_ingest(
     from python_plugins_spark.sources.delta_py import read_delta, write_delta
 
     spark = new_docs.sparkSession
-    try:
+    # a MISSING meta table means a pre-versioning index (width
+    # unknown -> refuse below with the rebuild message); any other
+    # read failure (bad path, permissions, corrupt log) PROPAGATES —
+    # swallowing it would misreport a real I/O error as a format
+    # mismatch and discard the actual diagnostic
+    import os as _os
+
+    if _os.path.isdir(_os.path.join(index_path, "meta", "_delta_log")):
         meta = read_delta(spark, f"{index_path}/meta").collect()[0]
         idx_bits = meta["gram_hash_bits"]
-    except Exception:
-        idx_bits = None  # pre-meta index: width unknown, refuse below
+    else:
+        idx_bits = None
     if idx_bits != SPAN_GRAM_HASH_BITS:
+        detail = (
+            "has no meta table (either a pre-versioning index or a "
+            "wrong index_path)"
+            if idx_bits is None
+            else f"was built with gram_hash_bits={idx_bits}"
+        )
         raise ValueError(
-            f"span index at {index_path} was built with gram_hash_bits="
-            f"{idx_bits} but this library uses {SPAN_GRAM_HASH_BITS}; "
-            "a width mismatch silently zero-matches the gram equi-join "
-            "(every indexed duplicate re-admitted as novel) — rebuild "
-            "the index with span_index_build"
+            f"span index at {index_path} {detail}; this library uses "
+            f"gram_hash_bits={SPAN_GRAM_HASH_BITS}, and a width "
+            "mismatch silently zero-matches the gram equi-join (every "
+            "indexed duplicate re-admitted as novel) — rebuild the "
+            "index with span_index_build"
         )
     tok = _span_tok_frame(new_docs, text_col, id_col)
     grams = _span_gram_frame(tok, id_col, n)

@@ -532,11 +532,13 @@ def ivf_train_centroids(
                 if n > 0:
                     C[ci] = m / n
 
+    # spherical k-means: the new centroid is the NORMALIZED component
+    # sum, so per-centroid counts never enter the update — partials
+    # carry only (cid, sum-vector)
     part_schema = T.StructType(
         [
             T.StructField("cid", T.IntegerType()),
             T.StructField("s", T.ArrayType(T.DoubleType())),
-            T.StructField("n", T.LongType()),
         ]
     )
     for _ in range(refine_iters):
@@ -544,7 +546,7 @@ def ivf_train_centroids(
 
         def partials(batches, _C=Cb):
             S = np.zeros_like(_C)
-            n = np.zeros(len(_C), dtype=np.int64)
+            hit_any = np.zeros(len(_C), dtype=bool)
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -555,23 +557,22 @@ def ivf_train_centroids(
                 for ci in np.unique(assign):
                     mask = assign == ci
                     S[ci] += V[mask].sum(axis=0)
-                    n[ci] += int(mask.sum())
-            hit = np.nonzero(n)[0]
+                    hit_any[ci] = True
+            hit = np.nonzero(hit_any)[0]
             if len(hit):
                 yield pd.DataFrame(
                     {
                         "cid": hit.astype(np.int32),
                         "s": [S[i].tolist() for i in hit],
-                        "n": n[hit],
                     }
                 )
 
         combined = (
             df.select(vec_col)
             .mapInPandas(partials, part_schema)
-            .select("cid", "n", F.posexplode("s").alias("d", "v"))
+            .select("cid", F.posexplode("s").alias("d", "v"))
             .groupBy("cid", "d")
-            .agg(F.sum("v").alias("sv"), F.sum("n").alias("sn"))
+            .agg(F.sum("v").alias("sv"))
             .collect()
         )
         for r in combined:
@@ -612,6 +613,24 @@ def clustered_embeddings(
             rows.append((vid, [float(x) for x in p]))
             vid += 1
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _collect_int8_extrema(df: DataFrame, vec_col: str, dim: int):
+    """ONE exact per-dim extrema aggregate, collected to the driver
+    (2*dim doubles — the bounded class): returns ``(mn, scale,
+    stats_row)``. Shared by every packed-SQ8 consumer (sq8_adc_topk,
+    build_ivf_index's sq8 path) so the affine formula — including the
+    mx==mn -> scale=1 convention the oracle replays — has exactly one
+    definition and cannot drift between them."""
+    x = [F.element_at(F.col(vec_col), i + 1).cast("double") for i in range(dim)]
+    st = df.agg(
+        *[F.min(x[i]).alias(f"mn{i}") for i in range(dim)],
+        *[F.max(x[i]).alias(f"mx{i}") for i in range(dim)],
+    ).collect()[0]
+    mn = np.array([st[f"mn{i}"] for i in range(dim)], dtype=np.float64)
+    mx = np.array([st[f"mx{i}"] for i in range(dim)], dtype=np.float64)
+    scale = np.where(mx == mn, 1.0, (mx - mn) / 255.0)
+    return mn, scale, st
 
 
 def build_ivf_index(
@@ -664,17 +683,7 @@ def build_ivf_index(
     stats = None
     if sq8:
         dim = C.shape[1]
-        x = [
-            F.element_at(F.col(vec_col), i + 1).cast("double")
-            for i in range(dim)
-        ]
-        st = emb.agg(
-            *[F.min(x[i]).alias(f"mn{i}") for i in range(dim)],
-            *[F.max(x[i]).alias(f"mx{i}") for i in range(dim)],
-        ).collect()[0]
-        mn = np.array([st[f"mn{i}"] for i in range(dim)], dtype=np.float64)
-        mx = np.array([st[f"mx{i}"] for i in range(dim)], dtype=np.float64)
-        scale = np.where(mx == mn, 1.0, (mx - mn) / 255.0)
+        mn, scale, _ = _collect_int8_extrema(emb, vec_col, dim)
         stats = (mn, scale)
         write_delta(
             spark.createDataFrame(
@@ -750,6 +759,9 @@ def search_ivf_index(
     C = np.zeros((len(cent), len(cent[0]["c_vec"])))
     for r in cent:
         C[r["c_id"]] = r["c_vec"]
+    # clamp like ivf_ann_topk's rank filter: probing more buckets than
+    # the index has centroids would reshape-crash the probe UDF
+    nprobe = min(nprobe, len(C))
     sq8_stats = None
     if sq8:
         srow = read_delta(spark, f"{index_path}/sq8_stats").collect()[0]
@@ -1620,17 +1632,10 @@ def sq8_adc_topk(
     map-side-combined aggregate — is the only driver-side collect,
     same bounded class as the d x d covariance. Ranking:
     (round(adc cosine, 6) DESC, neighbor_id ASC), self excluded."""
-    x = [F.element_at(F.col(vec_col), i + 1).cast("double") for i in range(dim)]
-    st = df.agg(
-        *[F.min(x[i]).alias(f"mn{i}") for i in range(dim)],
-        *[F.max(x[i]).alias(f"mx{i}") for i in range(dim)],
-    ).collect()[0]
-    mn = np.array([st[f"mn{i}"] for i in range(dim)], dtype=np.float64)
-    mx = np.array([st[f"mx{i}"] for i in range(dim)], dtype=np.float64)
-    scale = np.where(mx == mn, 1.0, (mx - mn) / 255.0)
+    mn, scale, st = _collect_int8_extrema(df, vec_col, dim)
 
     # pass the collected extrema through — the quantizer then skips
-    # its own full-corpus aggregate (it ran once, three lines up)
+    # its own full-corpus aggregate (it ran once, one line up)
     codes = quantize_embeddings_int8(
         df, id_col, vec_col, dim, stats_row=st
     ).select(F.col(id_col).alias("c_id"), "codes")

@@ -21,7 +21,10 @@ from python_plugins_spark.sources.io import load_table  # noqa: F401
 from python_plugins_spark.queries._core import (  # noqa: F401
     ORACLES, QUERIES, register, _global_index_part, _ts, _STRF,
 )
-from python_plugins_spark.session import stage_checkpoint
+from python_plugins_spark.session import (
+    stage_checkpoint,
+    stage_checkpoint_iterative,
+)
 
 
 # Graph extensions: bounded BFS reachability, structural similarity
@@ -379,7 +382,10 @@ def label_propagation_communities(spark, sf_dir):
                     F.col("lbl"), F.coalesce(F.col("mn"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .transform(stage_checkpoint)
+            # in-loop: truncation is load-bearing (plan depth must
+            # stay one round) — the iterative variant keeps it under
+            # every stageMaterialize mode
+            .transform(stage_checkpoint_iterative)
         )
     return labels.select("node", F.col("lbl").alias("community"))
 

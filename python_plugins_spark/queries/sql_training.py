@@ -23,7 +23,10 @@ from python_plugins_spark.queries._core import (  # noqa: F401
 )
 
 from python_plugins_spark.queries.sources_sinks import _SCRATCH  # noqa: F401
-from python_plugins_spark.session import stage_checkpoint
+from python_plugins_spark.session import (
+    stage_checkpoint,
+    stage_checkpoint_iterative,
+)
 
 
 # SQL-surface widening: lateral join, GROUP BY ALL, regression /
@@ -724,7 +727,9 @@ def pagerank_events_graph(spark, sf_dir):
                     + F.lit(d) * F.coalesce(F.col("m"), F.lit(0.0))
                 ).alias("r"),
             )
-            .transform(stage_checkpoint)
+            # in-loop: see stage_checkpoint_iterative — truncation is
+            # load-bearing here under every stageMaterialize mode
+            .transform(stage_checkpoint_iterative)
         )
     return ranks.select("node", F.round("r", 6).alias("pr"))
 

@@ -23,7 +23,10 @@ from python_plugins_spark.queries._core import (  # noqa: F401
 )
 
 from python_plugins_spark.queries.sources_sinks import _SCRATCH  # noqa: F401
-from python_plugins_spark.session import stage_checkpoint
+from python_plugins_spark.session import (
+    stage_checkpoint,
+    stage_checkpoint_iterative,
+)
 
 
 # Warehouse lifecycle: compaction, dynamic partition overwrite,
@@ -658,13 +661,15 @@ def kcore_decomposition_graph(spark, sf_dir):
         )
         # checkpoint the (tiny) keep-set: both broadcast semi-joins
         # would otherwise independently recompute the degree aggregate
-        keep = deg.filter(F.col("deg") >= K).select("node").transform(stage_checkpoint)
+        keep = deg.filter(F.col("deg") >= K).select("node").transform(
+            stage_checkpoint_iterative
+        )
         edges = (
             edges.join(
                 F.broadcast(keep.withColumnRenamed("node", "a")), "a", "left_semi"
             )
             .join(F.broadcast(keep.withColumnRenamed("node", "b")), "b", "left_semi")
-            .transform(stage_checkpoint)
+            .transform(stage_checkpoint_iterative)
         )
     return (
         edges.select(F.explode(F.array("a", "b")).alias("node"))

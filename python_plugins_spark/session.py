@@ -204,3 +204,26 @@ def stage_checkpoint(df):
             f"checkpoint, got {mode!r}"
         )
     return df.localCheckpoint(eager=True)
+
+
+def stage_checkpoint_iterative(df):
+    """In-LOOP variant of :func:`stage_checkpoint` for iterative
+    algorithms (connected components, PageRank, k-core, label
+    propagation): there, lineage TRUNCATION is load-bearing — each
+    round's frame must be one iteration deep, or by round N the plan
+    nests N rounds and Catalyst analysis time / driver memory grow
+    without bound. The ``persist`` mode is therefore NOT honored
+    as-is at these sites: under ``persist``, iterative stages use the
+    reliable checkpoint when a checkpoint dir is configured (both
+    properties: truncation + executor-loss safety) and fall back to
+    localCheckpoint otherwise — accepting the documented
+    executor-loss caveat, because unbounded plan growth is the worse
+    failure on every run, not just on executor loss."""
+    mode = df.sparkSession.conf.get(STAGE_MATERIALIZE_CONF, "localCheckpoint")
+    if mode == "checkpoint":
+        return df.checkpoint(eager=True)
+    if mode == "persist":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
