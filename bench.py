@@ -344,6 +344,8 @@ def main() -> None:
         "ann_topk_ivf_trained",
         "ann_topk_sq8",
         "lang_id_devanagari_docs",
+        # round-11 operators (production BPE encoder)
+        "bpe_encode_docs",
     ]
     # Tier tags (round 8): ~50 extras is past eyeballing — per-tier
     # subtotals make a tier regression visible without reading every
@@ -477,6 +479,8 @@ def main() -> None:
 
     decontam_recall = _bench_decontam_recall(spark, sf_dir)
 
+    bpe_encoder = _bench_bpe_encoder(spark, sf_dir)
+
     scaling = _bench_scaling(spark)
 
     env["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
@@ -504,6 +508,7 @@ def main() -> None:
         "phash_skew": phash_skew,
         "ann_recall": ann_recall,
         "decontam_recall": decontam_recall,
+        "bpe_encoder": bpe_encoder,
         "scaling": scaling,
         "env": env,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -522,6 +527,7 @@ def main() -> None:
     line_payload["detail"] = "bench_detail.json"
     for droppable in (
         "scaling",
+        "bpe_encoder",
         "msgbus_phases",
         "decontam_recall",
         "lsh_skew",
@@ -990,6 +996,73 @@ def _bench_scaling(spark) -> dict:
             print(f"# [scaling] {name}: {out[name]}", file=sys.stderr)
     except Exception as exc:  # the section never fails the bench
         print(f"# scaling failed: {exc}", file=sys.stderr)
+    return out
+
+
+def _bench_bpe_encoder(spark, sf_dir: str) -> dict:
+    """BPE-encoder vocabulary-size independence (round 11, clears the
+    r10 weak mark): the production rank-based encoder's per-token cost
+    must NOT grow with the merge-list size — it looks up only the
+    pairs PRESENT in each word. Times corpus encoding with the real 12
+    learned merges and with 12 + 1,012 inert filler merges (pairs over
+    an out-of-alphabet character, so results are identical — appended
+    AFTER the real merges they can never win the rank argmin) and
+    publishes the cost ratio, which should sit ~1.0; the naive
+    apply-every-merge encoder (bpe_encode_reference) is timed at the
+    same 1,024 merges on a BOUNDED 200-doc sample as the contrast —
+    its cost is proportional to |merges|. pytest floor:
+    test_bpe_encoder_vocab_independence."""
+    out: dict = {}
+    try:
+        from pyspark.sql import functions as F
+
+        from python_plugins_spark.functions import tokens
+        from python_plugins_spark.operators.tokenizer import (
+            bpe_encode,
+            bpe_encode_reference,
+            bpe_train,
+        )
+        from python_plugins_spark.sources.io import load_table
+
+        def _mat(df) -> None:
+            df.write.format("noop").mode("overwrite").save()
+
+        docs = load_table(spark, "documents", sf_dir)
+        merges, _ = bpe_train(docs, "text", 12)
+        filler = [(f"¤{i}", f"¤{i}x") for i in range(1012)]
+        big = list(merges) + filler
+        out["n_tokens"] = docs.select(
+            F.sum(F.size(tokens(F.col("text")))).alias("n")
+        ).collect()[0]["n"]
+        _mat(bpe_encode(docs, "text", "doc_id", merges))  # warm/codegen
+        for label, mm in (("merges12", merges), ("merges1024", big)):
+            t0 = time.perf_counter()
+            _mat(bpe_encode(docs, "text", "doc_id", mm))
+            out[f"{label}_s"] = round(time.perf_counter() - t0, 3)
+        out["cost_ratio_1024_vs_12"] = round(
+            out["merges1024_s"] / max(out["merges12_s"], 1e-9), 3
+        )
+        out["tokens_per_sec_1024"] = round(
+            out["n_tokens"] / max(out["merges1024_s"], 1e-9)
+        )
+        # contrast: the naive per-occurrence encoder at the same 1,024
+        # merges, on a bounded sample (it is O(|merges|) per token —
+        # running it corpus-wide at the bench SF would dominate the
+        # whole bench, which is exactly the point)
+        sample = docs.orderBy("doc_id").limit(200).localCheckpoint()
+        n_sample_tokens = sample.select(
+            F.sum(F.size(tokens(F.col("text")))).alias("n")
+        ).collect()[0]["n"]
+        t0 = time.perf_counter()
+        _mat(bpe_encode_reference(sample, "text", "doc_id", big))
+        naive_s = round(time.perf_counter() - t0, 3)
+        out["naive_1024_sample_s"] = naive_s
+        out["naive_tokens_per_sec_1024"] = round(
+            n_sample_tokens / max(naive_s, 1e-9)
+        )
+        print(f"# [bpe-encoder] {out}", file=sys.stderr)
+    except Exception as exc:  # the section never fails the bench
+        print(f"# bpe encoder bench failed: {exc}", file=sys.stderr)
     return out
 
 

