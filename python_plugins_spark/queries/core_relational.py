@@ -1073,6 +1073,25 @@ def ann_topk_cosine(spark, sf_dir):
     return S.ann_topk_blocked(emb, "vec_id", "embedding", 5)
 
 
+@register(
+    "ann_serving_exact_topk",
+    oracle=S.ann_topk_queries_oracle_sql(
+        "embeddings", "vec_id", "embedding", 10, 100
+    ),
+)
+def ann_serving_exact_topk(spark, sf_dir):
+    """Exact top-k in the SERVING shape (round 11): a bounded
+    100-query batch against the whole corpus via the block-grid BLAS
+    path (operators/similarity.py ann_topk_queries) — the baseline
+    the trained-IVF index must beat, measured head-to-head in the
+    ``ann_serving`` bench row (IVF wins from ~80k corpus rows at
+    recall 0.997 on the clustered fixture). Queries are the lowest
+    100 vec_ids, so the oracle replays the same batch."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.orderBy("vec_id").limit(100)
+    return S.ann_topk_queries(emb, q, "vec_id", "embedding", 10)
+
+
 @register("ann_topk_ivf")
 def ann_topk_ivf(spark, sf_dir):
     """IVF approximate top-k, UNTRAINED index (no SQL oracle —

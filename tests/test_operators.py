@@ -3629,6 +3629,34 @@ def test_stage_checkpoint_modes(spark):
         spark.conf.unset(STAGE_MATERIALIZE_CONF)
 
 
+def test_ann_topk_queries_matches_exact(spark):
+    """The serving-shape exact scan (bounded query batch x corpus)
+    returns exactly the self-search exact result restricted to the
+    query ids — same rounding, same tie-breaks — and default_n_centroids
+    follows the sqrt(N) guideline build_ivf_index applies for
+    n_centroids=None."""
+    from python_plugins_spark.operators import similarity as S
+
+    emb = S.clustered_embeddings(
+        spark, n_clusters=6, per_cluster=30, dim=16
+    ).localCheckpoint(eager=True)
+    q = emb.orderBy("vec_id").limit(20)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rk)
+        for r in S.ann_topk_queries(emb, q, "vec_id", "embedding", 5).collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rk)
+        for r in S.ann_topk(emb, "vec_id", "embedding", 5).collect()
+        if r.query_id < 20
+    )
+    assert got == want and len(got) == 20 * 5
+
+    assert S.default_n_centroids(0) == 4
+    assert S.default_n_centroids(10_000) == 100
+    assert S.default_n_centroids(1_000_000) == 1000
+
+
 def test_sq8_adc_topk_preserves_neighbors(spark):
     """ADC search over packed SQ8 codes must track exact cosine
     top-k closely (cos_recon > 0.999 implies near-identical ranking):
