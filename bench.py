@@ -344,8 +344,11 @@ def main() -> None:
         "ann_topk_ivf_trained",
         "ann_topk_sq8",
         "lang_id_devanagari_docs",
-        # round-11 operators (production BPE encoder)
+        # round-11 operators (production BPE encoder, order-3 KN,
+        # serving-shape exact ANN)
         "bpe_encode_docs",
+        "kneser_ney_trigram_docs",
+        "ann_serving_exact_topk",
     ]
     # Tier tags (round 8): ~50 extras is past eyeballing — per-tier
     # subtotals make a tier regression visible without reading every

@@ -29,6 +29,7 @@ from python_plugins_spark.session import stage_checkpoint
 
 __all__ = [
     "kneser_ney_bigram_docs",
+    "kneser_ney_trigram_docs",
     "pmi_collocations_docs",
     "jl_projection_embeddings",
 ]
@@ -124,6 +125,158 @@ def kneser_ney_bigram_docs(spark, sf_dir):
         .agg(
             F.count("*").alias("n_bigrams"),
             F.round(F.avg(-F.log(p_kn)), 4).alias("kn_nll"),
+        )
+    )
+
+
+@register(
+    "kneser_ney_trigram_docs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    tg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+        WHERE len(t) >= 3
+    ),
+    bg AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+        WHERE len(t) >= 2
+    ),
+    ctg AS (SELECT w1, w2, w3, count(*) AS c_abc FROM tg GROUP BY 1, 2, 3),
+    cab AS (
+        SELECT w1, w2, sum(c_abc) AS c_ab, count(*) AS n1f_ab
+        FROM ctg GROUP BY 1, 2
+    ),
+    cont23 AS (SELECT w2, w3, count(*) AS n1_23 FROM ctg GROUP BY 1, 2),
+    cont2 AS (
+        SELECT w2, count(*) AS n1p_2f, sum(n1_23) AS n1_d2d
+        FROM cont23 GROUP BY 1
+    ),
+    bgt AS (SELECT DISTINCT w1, w2 FROM bg),
+    cb AS (SELECT w2 AS w3, count(*) AS n1b FROM bgt GROUP BY 1),
+    tt AS (SELECT count(*) AS t_types FROM bgt)
+    SELECT tg.doc_id,
+           count(*) AS n_trigrams,
+           round(avg(-ln(
+               (ctg.c_abc - 0.75) / cab.c_ab
+               + 0.75 * cab.n1f_ab / cab.c_ab * (
+                   (cont23.n1_23 - 0.75) / cont2.n1_d2d
+                   + 0.75 * cont2.n1p_2f / cont2.n1_d2d
+                     * cb.n1b / tt.t_types
+               )
+           )), 4) AS kn3_nll
+    FROM tg
+    JOIN ctg USING (w1, w2, w3)
+    JOIN cab USING (w1, w2)
+    JOIN cont23 USING (w2, w3)
+    JOIN cont2 USING (w2)
+    JOIN cb USING (w3)
+    CROSS JOIN tt
+    WHERE tg.doc_id < 120
+    GROUP BY tg.doc_id
+    """,
+)
+def kneser_ney_trigram_docs(spark, sf_dir):
+    """Per-document NLL under an interpolated TRIGRAM Kneser-Ney model
+    (round 11 — the order-3 upgrade of ``kneser_ney_bigram_docs``;
+    fixed absolute discount D = 0.75 at every order, the Chen-Goodman
+    variant KenLM defaults to — CCNet-style perplexity gates are
+    materially better at order 3):
+
+        P(w3|w1,w2) = (c(w1w2w3) - D)/c(w1w2)
+                    + D * N1+(w1w2,*)/c(w1w2) * P_kn(w3|w2)
+        P_kn(w3|w2) = (N1+(*,w2,w3) - D)/N1+(*,w2,*)
+                    + D * N1+(w2,*)/N1+(*,w2,*) * P_kn(w3)
+        P_kn(w3)    = N1+(*,w3)/T
+
+    — the middle order uses trigram-type CONTINUATION counts (how many
+    distinct left contexts the (w2,w3) transition has), the unigram
+    bottom uses bigram-type continuation counts over T total bigram
+    types, exactly the "how novel is this word" correction add-one
+    smoothing lacks. Scoring the training corpus itself keeps every
+    denominator positive (each scored trigram occurrence contributes
+    to every table it is looked up in); the per-context sum-to-one
+    telescoping of this exact formula is pinned in
+    ``test_kneser_ney_trigram_sums_to_one``.
+
+    Scale: same shape as the bigram query — ONE tokenization pass
+    feeds trigram/bigram frames; all model tables (ctg/cab/cont23/
+    cont2/cb, vocabulary^2-bounded) derive from the materialized
+    trigram-type table; scoring is a chain of model-table equi-joins
+    (broadcast at small SF, shuffle joins at web scale) and one
+    map-side-combinable per-doc aggregate. Scoring restricted to
+    doc_id<120 to bound the gate payload; the model is always
+    corpus-wide."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+    )
+    toks = toks.transform(stage_checkpoint)  # trigram + bigram frames
+    tg = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 2)).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+            F.element_at("t", F.col("i") + 2).alias("w3"),
+        )
+    )
+    tg = tg.transform(stage_checkpoint)  # model aggregate + scoring join
+    bgt = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "t"
+        )
+        .select(
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
+        .distinct()
+    )
+    bgt = bgt.transform(stage_checkpoint)  # cb + t_types
+    ctg = tg.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c_abc"))
+    ctg = ctg.transform(stage_checkpoint)  # cab/cont23/cont2 + scoring
+    cab = ctg.groupBy("w1", "w2").agg(
+        F.sum("c_abc").alias("c_ab"), F.count("*").alias("n1f_ab")
+    )
+    cont23 = ctg.groupBy("w2", "w3").agg(F.count("*").alias("n1_23"))
+    cont23 = cont23.transform(stage_checkpoint)  # cont2 + scoring join
+    cont2 = cont23.groupBy("w2").agg(
+        F.count("*").alias("n1p_2f"), F.sum("n1_23").alias("n1_d2d")
+    )
+    cb = bgt.groupBy(F.col("w2").alias("w3")).agg(F.count("*").alias("n1b"))
+    tt = bgt.select(F.count("*").alias("t_types"))
+    p_uni = F.col("n1b") / F.col("t_types")
+    p_mid = (
+        (F.col("n1_23") - 0.75) / F.col("n1_d2d")
+        + F.lit(0.75) * F.col("n1p_2f") / F.col("n1_d2d") * p_uni
+    )
+    p_tri = (
+        (F.col("c_abc") - 0.75) / F.col("c_ab")
+        + F.lit(0.75) * F.col("n1f_ab") / F.col("c_ab") * p_mid
+    )
+    return (
+        tg.filter(F.col("doc_id") < 120)
+        .join(ctg, on=["w1", "w2", "w3"])
+        .join(cab, on=["w1", "w2"])
+        .join(cont23, on=["w2", "w3"])
+        .join(cont2, on="w2")
+        .join(cb, on="w3")
+        .crossJoin(F.broadcast(tt))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(F.avg(-F.log(p_tri)), 4).alias("kn3_nll"),
         )
     )
 

@@ -1541,6 +1541,104 @@ def test_kneser_ney_distribution_sums_to_one():
         assert abs(s - 1.0) < 1e-12
 
 
+def _kn3_model(rows):
+    """Pure-Python interpolated trigram KN (Counter-only) with the
+    exact count definitions of kneser_ney_trigram_docs — shared by the
+    formula-match and sum-to-one tests."""
+    import re
+    from collections import Counter
+
+    ctg, bgt = Counter(), set()
+    docs_tg = {}
+    for doc_id, text in rows:
+        t = re.split(r"\s+", text.strip().lower())
+        bgt.update(zip(t, t[1:]))
+        tgs = list(zip(t, t[1:], t[2:]))
+        for g in tgs:
+            ctg[g] += 1
+        if tgs and doc_id < 120:
+            docs_tg[doc_id] = tgs
+    cab_tot, n1f_ab = Counter(), Counter()
+    cont23, n1p_2f, n1_d2d = Counter(), Counter(), Counter()
+    for (w1, w2, w3), c in ctg.items():
+        cab_tot[(w1, w2)] += c
+        n1f_ab[(w1, w2)] += 1
+        cont23[(w2, w3)] += 1
+    for (w2, w3), c in cont23.items():
+        n1p_2f[w2] += 1
+        n1_d2d[w2] += c
+    n1b = Counter()
+    for _, w2 in bgt:
+        n1b[w2] += 1
+    t_types = len(bgt)
+
+    def p_uni(w3):
+        return n1b[w3] / t_types
+
+    def p_mid(w2, w3):
+        return (
+            max(cont23[(w2, w3)] - 0.75, 0.0) / n1_d2d[w2]
+            + 0.75 * n1p_2f[w2] / n1_d2d[w2] * p_uni(w3)
+        )
+
+    def p_tri(w1, w2, w3):
+        return (
+            max(ctg[(w1, w2, w3)] - 0.75, 0.0) / cab_tot[(w1, w2)]
+            + 0.75 * n1f_ab[(w1, w2)] / cab_tot[(w1, w2)] * p_mid(w2, w3)
+        )
+
+    return docs_tg, p_tri, p_mid, n1b, cab_tot
+
+
+def test_kneser_ney_trigram_matches_pure_python_model(spark):
+    """The order-3 registry query at sf0.001 must equal the
+    independently-coded Counter model — formula proof, not just
+    Spark-vs-DuckDB agreement on a shared mistake."""
+    import math
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet' "
+        "WHERE length(trim(text)) > 0"
+    ).fetchall()
+    docs_tg, p_tri, _, _, _ = _kn3_model(rows)
+    expected = {
+        d: (len(tgs),
+            round(sum(-math.log(p_tri(*g)) for g in tgs) / len(tgs), 4))
+        for d, tgs in docs_tg.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["kn3_nll"])
+        for r in QUERIES["kneser_ney_trigram_docs"](spark, sf).collect()
+    }
+    assert got == expected
+
+
+def test_kneser_ney_trigram_sums_to_one():
+    """The interpolated-KN invariant at order 3: for every observed
+    context (w1, w2), summing P(w3|w1,w2) over the whole vocabulary
+    (all words with a nonzero bigram-continuation count — every other
+    word carries zero mass at the unigram bottom) gives exactly 1;
+    the middle-order P(w3|w2) telescopes the same way. Uses a hand
+    corpus with repeated words so the a==b-adjacent and
+    multiple-continuation paths are exercised."""
+    text = (
+        "the cat sat on the mat the cat ran to the mat "
+        "and the dog sat on the cat"
+    )
+    docs_tg, p_tri, p_mid, n1b, cab_tot = _kn3_model([(0, text)])
+    vocab = [w for w in n1b if n1b[w] > 0]
+    for (w1, w2) in cab_tot:
+        s = sum(p_tri(w1, w2, w3) for w3 in vocab)
+        assert abs(s - 1.0) < 1e-12, (w1, w2, s)
+    mids = {w2 for (_, w2) in cab_tot}
+    for w2 in mids:
+        s = sum(p_mid(w2, w3) for w3 in vocab)
+        assert abs(s - 1.0) < 1e-12, (w2, s)
+
+
 def test_pmi_collocations_match_direct_computation(spark):
     """Registry PMI values at sf0.001 re-derived from raw Counters."""
     import math

@@ -708,6 +708,7 @@ def test_round6b_lm_queries_no_cartesian_and_bounded_joins(spark, sf_dir):
 
     for name in (
         "kneser_ney_bigram_docs",
+        "kneser_ney_trigram_docs",
         "pmi_collocations_docs",
         "zipf_fit_docs",
         "js_divergence_sources",
