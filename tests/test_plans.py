@@ -699,6 +699,25 @@ def test_codec_queries_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+def test_training_shards_shuffle_budget(spark, sf_dir):
+    """The tokens-out capstone's shuffle budget: AFTER the dedup
+    checkpoint (corpus materializes once — train, encode, and the
+    token join all re-read it), the remaining dataflow costs <= 5
+    exchanges (encode's distinct + reassembly, the token join, the
+    pack window, the manifest aggregate — the vocab-side joins
+    broadcast under AQE). bpe_encode_docs alone stays <= 4. No
+    cartesian products, anywhere."""
+    from python_plugins_spark.plans import count_shuffles, plan_str
+    from python_plugins_spark.queries import QUERIES
+
+    df = QUERIES["training_shards_end_to_end"](spark, sf_dir)
+    assert count_shuffles(df) <= 5
+    assert "CartesianProduct" not in plan_str(df)
+    enc = QUERIES["bpe_encode_docs"](spark, sf_dir)
+    assert count_shuffles(enc) <= 4
+    assert "CartesianProduct" not in plan_str(enc)
+
+
 def test_round6b_lm_queries_no_cartesian_and_bounded_joins(spark, sf_dir):
     """KN / PMI / Zipf / JSD / curation-pipeline plans: no cartesian
     products, no Python eval nodes in the relational paths (all model
