@@ -822,7 +822,7 @@ def build_ivf_index(
     ``n_centroids=None`` applies the faiss k ~= sqrt(N) sizing
     (:func:`default_n_centroids`); the explicit default of 16 is a
     fixture-scale constant kept for call-site stability."""
-    from python_plugins_spark.sources.delta_py import write_delta
+    from python_plugins_spark.sources.delta_py import read_delta, write_delta
 
     spark = emb.sparkSession
     if n_centroids is None:
@@ -856,9 +856,39 @@ def build_ivf_index(
             mode="overwrite",
         )
 
+    assigned = _ivf_assign_frame(emb, id_col, vec_col, C, stats)
+    write_delta(assigned, f"{index_path}/vectors", mode="overwrite")
+    # training-time assignment quality — the drift baseline ingest
+    # batches compare against (one aggregate over the just-written
+    # table; bounded: a single double + count through the driver)
+    vecs = read_delta(spark, f"{index_path}/vectors")
+    st_row = vecs.agg(
+        F.avg("assign_cos").alias("m"), F.count("*").alias("n")
+    ).collect()[0]
+    write_delta(
+        spark.createDataFrame(
+            [(int(n_centroids), int(C.shape[1]), bool(sq8),
+              float(st_row["m"]), int(st_row["n"]))],
+            "n_centroids int, dim int, sq8 boolean, "
+            "train_mean_assign_cos double, n_train long",
+        ),
+        f"{index_path}/meta",
+        mode="overwrite",
+    )
+    return C
+
+
+def _ivf_assign_frame(
+    emb: DataFrame, id_col: str, vec_col: str, C: np.ndarray, stats
+) -> DataFrame:
+    """The shared centroid-assignment pass of :func:`build_ivf_index`
+    and :func:`ingest_ivf_index`: one Arrow map, centroids as a
+    closure constant, ONE BLAS matmul per batch. Emits ``assign_cos``
+    (cosine to the assigned centroid) alongside the payload — the
+    per-row statistic the drift check aggregates."""
     vec_field = (
         T.StructField("codes", T.BinaryType())
-        if sq8
+        if stats is not None
         else T.StructField("vec", T.ArrayType(T.DoubleType()))
     )
     out_schema = T.StructType(
@@ -866,6 +896,7 @@ def build_ivf_index(
             T.StructField(id_col, T.LongType()),
             vec_field,
             T.StructField("c_id", T.IntegerType()),
+            T.StructField("assign_cos", T.DoubleType()),
         ]
     )
 
@@ -875,7 +906,9 @@ def build_ivf_index(
                 continue
             V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             vn = np.linalg.norm(V, axis=1, keepdims=True)
-            a = ((V / np.where(vn == 0, 1, vn)) @ _C.T).argmax(axis=1)
+            sims = (V / np.where(vn == 0, 1, vn)) @ _C.T
+            a = sims.argmax(axis=1)
+            best = sims[np.arange(len(sims)), a]
             if _st is None:
                 payload = {"vec": pdf[vec_col]}
             else:
@@ -887,12 +920,75 @@ def build_ivf_index(
                 ).astype(np.uint8)
                 payload = {"codes": [c.tobytes() for c in codes]}
             yield pd.DataFrame(
-                {id_col: pdf[id_col], **payload, "c_id": a.astype(np.int32)}
+                {
+                    id_col: pdf[id_col],
+                    **payload,
+                    "c_id": a.astype(np.int32),
+                    "assign_cos": best,
+                }
             )
 
-    assigned = emb.select(id_col, vec_col).mapInPandas(assign, out_schema)
-    write_delta(assigned, f"{index_path}/vectors", mode="overwrite")
-    return C
+    return emb.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
+def ingest_ivf_index(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    drift_threshold: float = 0.05,
+) -> dict:
+    """APPEND-BATCH ingest for the persisted trained-IVF index (round
+    11 — completes the ingest family: exact/MinHash/phash/span/
+    embedding-LSH all had one): new vectors are assigned to the
+    EXISTING centroids (no retraining — the build-once contract) with
+    the shared one-matmul Arrow pass and appended to the vectors Delta
+    table atomically (readers see the whole batch or none of it;
+    searches probe it with zero code changes, since
+    :func:`search_ivf_index` reads the current snapshot).
+
+    Returns a DRIFT report instead of silently degrading: centroids
+    trained on yesterday's distribution serve today's batch worse, and
+    the first symptom is falling assignment cosine. ``{"n_ingested",
+    "train_mean_assign_cos", "batch_mean_assign_cos", "drift"
+    (train - batch; positive = batch fits worse), "retrain_recommended"
+    (drift > drift_threshold)}``. The 0.05 default flags a batch whose
+    vectors sit ~5 cosine points farther from their buckets than
+    training data did — on the clustered fixture, same-distribution
+    batches drift < 0.01 while a batch of UNSEEN clusters drifts > 0.2
+    (test_ivf_index_ingest). All driver traffic is bounded: one
+    (sum, count) aggregate per ingest."""
+    from python_plugins_spark.sources.delta_py import read_delta, write_delta
+
+    cent = read_delta(spark, f"{index_path}/centroids").collect()
+    C = np.zeros((len(cent), len(cent[0]["c_vec"])))
+    for r in cent:
+        C[r["c_id"]] = r["c_vec"]
+    meta = read_delta(spark, f"{index_path}/meta").collect()[0]
+    stats = None
+    if meta["sq8"]:
+        srow = read_delta(spark, f"{index_path}/sq8_stats").collect()[0]
+        stats = (
+            np.asarray(srow["mn"], dtype=np.float64),
+            np.asarray(srow["scale"], dtype=np.float64),
+        )
+    assigned = _ivf_assign_frame(batch, id_col, vec_col, C, stats)
+    # materialize once: the append and the drift aggregate both
+    # consume it (and the written rows must BE the measured rows)
+    assigned = assigned.localCheckpoint(eager=True)
+    write_delta(assigned, f"{index_path}/vectors", mode="append")
+    st = assigned.agg(
+        F.avg("assign_cos").alias("m"), F.count("*").alias("n")
+    ).collect()[0]
+    drift = float(meta["train_mean_assign_cos"]) - float(st["m"] or 0.0)
+    return {
+        "n_ingested": int(st["n"]),
+        "train_mean_assign_cos": round(float(meta["train_mean_assign_cos"]), 6),
+        "batch_mean_assign_cos": round(float(st["m"] or 0.0), 6),
+        "drift": round(drift, 6),
+        "retrain_recommended": drift > drift_threshold,
+    }
 
 
 def search_ivf_index(

@@ -324,6 +324,63 @@ def test_ivf_index_persisted_recall(spark, tmp_path):
     assert recall >= 0.95, f"persisted IVF recall too low: {recall:.3f}"
 
 
+def test_ivf_index_ingest(spark, tmp_path):
+    """Incremental IVF ingest (round 11 — completes the ingest
+    family): (a) cross-batch durability — after an atomic Delta
+    append, searches find the INGESTED vectors without rebuild or
+    retrain; (b) recall-after-ingest floor — recall@5 vs exact over
+    the UNION corpus stays >= 0.9 for a same-distribution batch; (c)
+    the drift stat separates distributions — a same-distribution
+    batch reads drift ~0 (no retrain flag), a batch of UNSEEN
+    clusters reads large positive drift and flags retraining."""
+    # ids are sequential per cluster (cluster = vec_id // per_cluster),
+    # so id % 60 slices every cluster: 50 members train, 10 arrive
+    # later as the same-distribution ingest batch
+    full = S.clustered_embeddings(
+        spark, n_clusters=10, per_cluster=60, dim=64
+    ).localCheckpoint(eager=True)
+    base = full.filter(F.col("vec_id") % 60 < 50).localCheckpoint(eager=True)
+    same_batch = full.filter(F.col("vec_id") % 60 >= 50).localCheckpoint(
+        eager=True
+    )
+    # a different-seed fixture = centers the index never trained on
+    unseen_batch = (
+        S.clustered_embeddings(
+            spark, n_clusters=4, per_cluster=25, dim=64, seed=99
+        )
+        .select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+    idx = str(tmp_path / "ivf_ingest_idx")
+    S.build_ivf_index(base, idx, "vec_id", "embedding", n_centroids=8)
+
+    rep = S.ingest_ivf_index(spark, idx, same_batch, "vec_id", "embedding")
+    assert rep["n_ingested"] == 100
+    assert abs(rep["drift"]) < 0.02, rep
+    assert not rep["retrain_recommended"], rep
+
+    # durability + recall over the union corpus (base + ingested)
+    union = base.unionByName(same_batch).localCheckpoint(eager=True)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_topk_blocked(union, "vec_id", "embedding", 5).collect()
+    }
+    got_rows = S.search_ivf_index(
+        spark, idx, union, "vec_id", "embedding", k=5, nprobe=4
+    ).collect()
+    got = {(r.query_id, r.neighbor_id) for r in got_rows}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"recall after ingest too low: {recall:.3f}"
+    # ingested ids actually serve as neighbors
+    assert any(n % 60 >= 50 for _, n in got)
+
+    # distribution shift: unseen clusters drift hard and flag retrain
+    rep2 = S.ingest_ivf_index(spark, idx, unseen_batch, "vec_id", "embedding")
+    assert rep2["drift"] > 0.05, rep2
+    assert rep2["retrain_recommended"], rep2
+    assert rep2["drift"] > rep["drift"] + 0.04
+
+
 def test_ivf_sq8_index_recall(spark, tmp_path):
     """The IVF+SQ8 composition (trained buckets over packed 1-byte
     codes) keeps serving quality: recall@5 >= 0.9 vs exact cosine on
