@@ -20,6 +20,7 @@ relational computation with an exact DuckDB oracle:
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from python_plugins_spark.functions import hash32
@@ -30,6 +31,7 @@ from python_plugins_spark.session import stage_checkpoint
 __all__ = [
     "kneser_ney_bigram_docs",
     "kneser_ney_trigram_docs",
+    "ccnet_perplexity_buckets_docs",
     "pmi_collocations_docs",
     "jl_projection_embeddings",
 ]
@@ -129,10 +131,11 @@ def kneser_ney_bigram_docs(spark, sf_dir):
     )
 
 
-@register(
-    "kneser_ney_trigram_docs",
-    oracle="""
-    WITH toks AS (
+#: shared CTE core of the order-3 KN oracles: everything up to the
+#: per-doc (doc_id, n_trigrams, kn3_nll) relation ``dnll`` — the
+#: trigram query selects from it bounded, the CCNet bucket query
+#: windows over it corpus-wide
+_KN3_CORE_SQL = """toks AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
         FROM documents WHERE length(trim(text)) > 0
     ),
@@ -158,7 +161,8 @@ def kneser_ney_bigram_docs(spark, sf_dir):
     ),
     bgt AS (SELECT DISTINCT w1, w2 FROM bg),
     cb AS (SELECT w2 AS w3, count(*) AS n1b FROM bgt GROUP BY 1),
-    tt AS (SELECT count(*) AS t_types FROM bgt)
+    tt AS (SELECT count(*) AS t_types FROM bgt),
+    dnll AS (
     SELECT tg.doc_id,
            count(*) AS n_trigrams,
            round(avg(-ln(
@@ -176,42 +180,16 @@ def kneser_ney_bigram_docs(spark, sf_dir):
     JOIN cont2 USING (w2)
     JOIN cb USING (w3)
     CROSS JOIN tt
-    WHERE tg.doc_id < 120
     GROUP BY tg.doc_id
-    """,
-)
-def kneser_ney_trigram_docs(spark, sf_dir):
-    """Per-document NLL under an interpolated TRIGRAM Kneser-Ney model
-    (round 11 — the order-3 upgrade of ``kneser_ney_bigram_docs``;
-    fixed absolute discount D = 0.75 at every order, the Chen-Goodman
-    variant KenLM defaults to — CCNet-style perplexity gates are
-    materially better at order 3):
+    )"""
 
-        P(w3|w1,w2) = (c(w1w2w3) - D)/c(w1w2)
-                    + D * N1+(w1w2,*)/c(w1w2) * P_kn(w3|w2)
-        P_kn(w3|w2) = (N1+(*,w2,w3) - D)/N1+(*,w2,*)
-                    + D * N1+(w2,*)/N1+(*,w2,*) * P_kn(w3)
-        P_kn(w3)    = N1+(*,w3)/T
 
-    — the middle order uses trigram-type CONTINUATION counts (how many
-    distinct left contexts the (w2,w3) transition has), the unigram
-    bottom uses bigram-type continuation counts over T total bigram
-    types, exactly the "how novel is this word" correction add-one
-    smoothing lacks. Scoring the training corpus itself keeps every
-    denominator positive (each scored trigram occurrence contributes
-    to every table it is looked up in); the per-context sum-to-one
-    telescoping of this exact formula is pinned in
-    ``test_kneser_ney_trigram_sums_to_one``.
-
-    Scale: same shape as the bigram query — ONE tokenization pass
-    feeds trigram/bigram frames; all model tables (ctg/cab/cont23/
-    cont2/cb, vocabulary^2-bounded) derive from the materialized
-    trigram-type table; scoring is a chain of model-table equi-joins
-    (broadcast at small SF, shuffle joins at web scale) and one
-    map-side-combinable per-doc aggregate. Scoring restricted to
-    doc_id<120 to bound the gate payload; the model is always
-    corpus-wide."""
-    docs = load_table(spark, "documents", sf_dir)
+def _kn3_doc_nll(docs, score_bound: int | None):
+    """Per-document (doc_id, n_trigrams, kn3_nll) under the order-3
+    interpolated KN model of :func:`kneser_ney_trigram_docs` (which
+    documents the formula and scale shape). The MODEL is always
+    corpus-wide; ``score_bound`` optionally restricts which docs are
+    scored (the gate-payload bound)."""
     toks = (
         docs.filter(F.length(F.trim("text")) > 0)
         .select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
@@ -265,9 +243,11 @@ def kneser_ney_trigram_docs(spark, sf_dir):
         (F.col("c_abc") - 0.75) / F.col("c_ab")
         + F.lit(0.75) * F.col("n1f_ab") / F.col("c_ab") * p_mid
     )
+    scored = tg if score_bound is None else tg.filter(
+        F.col("doc_id") < score_bound
+    )
     return (
-        tg.filter(F.col("doc_id") < 120)
-        .join(ctg, on=["w1", "w2", "w3"])
+        scored.join(ctg, on=["w1", "w2", "w3"])
         .join(cab, on=["w1", "w2"])
         .join(cont23, on=["w2", "w3"])
         .join(cont2, on="w2")
@@ -278,6 +258,104 @@ def kneser_ney_trigram_docs(spark, sf_dir):
             F.count("*").alias("n_trigrams"),
             F.round(F.avg(-F.log(p_tri)), 4).alias("kn3_nll"),
         )
+    )
+
+
+@register(
+    "kneser_ney_trigram_docs",
+    oracle=f"""
+    WITH {_KN3_CORE_SQL}
+    SELECT doc_id, n_trigrams, kn3_nll FROM dnll WHERE doc_id < 120
+    """,
+)
+def kneser_ney_trigram_docs(spark, sf_dir):
+    """Per-document NLL under an interpolated TRIGRAM Kneser-Ney model
+    (round 11 — the order-3 upgrade of ``kneser_ney_bigram_docs``;
+    fixed absolute discount D = 0.75 at every order, the Chen-Goodman
+    variant KenLM defaults to — CCNet-style perplexity gates are
+    materially better at order 3):
+
+        P(w3|w1,w2) = (c(w1w2w3) - D)/c(w1w2)
+                    + D * N1+(w1w2,*)/c(w1w2) * P_kn(w3|w2)
+        P_kn(w3|w2) = (N1+(*,w2,w3) - D)/N1+(*,w2,*)
+                    + D * N1+(w2,*)/N1+(*,w2,*) * P_kn(w3)
+        P_kn(w3)    = N1+(*,w3)/T
+
+    — the middle order uses trigram-type CONTINUATION counts (how many
+    distinct left contexts the (w2,w3) transition has), the unigram
+    bottom uses bigram-type continuation counts over T total bigram
+    types, exactly the "how novel is this word" correction add-one
+    smoothing lacks. Scoring the training corpus itself keeps every
+    denominator positive (each scored trigram occurrence contributes
+    to every table it is looked up in); the per-context sum-to-one
+    telescoping of this exact formula is pinned in
+    ``test_kneser_ney_trigram_sums_to_one``.
+
+    Scale: same shape as the bigram query — ONE tokenization pass
+    feeds trigram/bigram frames; all model tables (ctg/cab/cont23/
+    cont2/cb, vocabulary^2-bounded) derive from the materialized
+    trigram-type table; scoring is a chain of model-table equi-joins
+    (broadcast at small SF, shuffle joins at web scale) and one
+    map-side-combinable per-doc aggregate. Scoring restricted to
+    doc_id<120 to bound the gate payload; the model is always
+    corpus-wide. (Implementation shared with
+    ``ccnet_perplexity_buckets_docs`` via :func:`_kn3_doc_nll`.)"""
+    docs = load_table(spark, "documents", sf_dir)
+    return _kn3_doc_nll(docs, score_bound=120)
+
+
+@register(
+    "ccnet_perplexity_buckets_docs",
+    oracle=f"""
+    WITH {_KN3_CORE_SQL},
+    src AS (
+      SELECT d.doc_id, d.source, n.n_trigrams, n.kn3_nll
+      FROM documents d JOIN dnll n USING (doc_id)
+    ),
+    tiled AS (
+      SELECT *, ntile(3) OVER (
+        PARTITION BY source ORDER BY kn3_nll, doc_id) AS tile
+      FROM src
+    )
+    SELECT source,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           round(avg(kn3_nll), 4) AS avg_nll
+    FROM tiled GROUP BY source, bucket
+    """,
+)
+def ccnet_perplexity_buckets_docs(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    EVERY document under the corpus-wide order-3 interpolated KN model
+    (:func:`_kn3_doc_nll` — the kneser_ney_trigram_docs machinery) and
+    split each source's documents into head / middle / tail terciles
+    of NLL — the standard quality stratification that decides which
+    third of a crawl is worth training on. Deterministic: ntile orders
+    by (rounded NLL, doc_id) so both engines tile identically.
+
+    Scale: scoring is the KN query's model-table join pipeline over
+    the full corpus (map-side at 100 TB); the tercile window
+    PARTITIONS BY SOURCE (CCNet buckets per language/snapshot — never
+    a global sort); the manifest is one partial aggregate. Docs with
+    fewer than 3 tokens have no trigram probability and are excluded
+    from bucketing (stated, not hidden — CCNet likewise drops
+    too-short paragraphs before perplexity filtering)."""
+    docs = load_table(spark, "documents", sf_dir)
+    nll = _kn3_doc_nll(docs, score_bound=None)
+    src = docs.select("doc_id", "source").join(nll, "doc_id")
+    w = Window.partitionBy("source").orderBy("kn3_nll", "doc_id")
+    tiled = src.withColumn("tile", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return tiled.select("source", bucket.alias("bucket"), "kn3_nll").groupBy(
+        "source", "bucket"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("kn3_nll"), 4).alias("avg_nll"),
     )
 
 
