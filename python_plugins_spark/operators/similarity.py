@@ -822,7 +822,7 @@ def build_ivf_index(
     ``n_centroids=None`` applies the faiss k ~= sqrt(N) sizing
     (:func:`default_n_centroids`); the explicit default of 16 is a
     fixture-scale constant kept for call-site stability."""
-    from python_plugins_spark.sources.delta_py import read_delta, write_delta
+    from python_plugins_spark.sources.delta_py import write_delta
 
     spark = emb.sparkSession
     if n_centroids is None:
@@ -856,13 +856,16 @@ def build_ivf_index(
             mode="overwrite",
         )
 
+    # materialize the assignment once: the Delta write and the drift
+    # baseline below both consume it (and the written rows must BE the
+    # measured rows)
     assigned = _ivf_assign_frame(emb, id_col, vec_col, C, stats)
+    assigned = assigned.localCheckpoint(eager=True)
     write_delta(assigned, f"{index_path}/vectors", mode="overwrite")
     # training-time assignment quality — the drift baseline ingest
-    # batches compare against (one aggregate over the just-written
-    # table; bounded: a single double + count through the driver)
-    vecs = read_delta(spark, f"{index_path}/vectors")
-    st_row = vecs.agg(
+    # batches compare against (bounded: one double + count through
+    # the driver)
+    st_row = assigned.agg(
         F.avg("assign_cos").alias("m"), F.count("*").alias("n")
     ).collect()[0]
     write_delta(
@@ -981,11 +984,24 @@ def ingest_ivf_index(
     st = assigned.agg(
         F.avg("assign_cos").alias("m"), F.count("*").alias("n")
     ).collect()[0]
-    drift = float(meta["train_mean_assign_cos"]) - float(st["m"] or 0.0)
+    # empty batch: nothing ingested, nothing to infer drift from —
+    # report zero drift rather than train_mean - 0 (which would
+    # spuriously recommend retraining)
+    if int(st["n"]) == 0:
+        return {
+            "n_ingested": 0,
+            "train_mean_assign_cos": round(
+                float(meta["train_mean_assign_cos"]), 6
+            ),
+            "batch_mean_assign_cos": None,
+            "drift": 0.0,
+            "retrain_recommended": False,
+        }
+    drift = float(meta["train_mean_assign_cos"]) - float(st["m"])
     return {
         "n_ingested": int(st["n"]),
         "train_mean_assign_cos": round(float(meta["train_mean_assign_cos"]), 6),
-        "batch_mean_assign_cos": round(float(st["m"] or 0.0), 6),
+        "batch_mean_assign_cos": round(float(st["m"]), 6),
         "drift": round(drift, 6),
         "retrain_recommended": drift > drift_threshold,
     }
