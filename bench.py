@@ -348,7 +348,9 @@ def main() -> None:
         # serving-shape exact ANN)
         "bpe_encode_docs",
         "kneser_ney_trigram_docs",
+        "ccnet_perplexity_buckets_docs",
         "ann_serving_exact_topk",
+        "training_shards_end_to_end",
     ]
     # Tier tags (round 8): ~50 extras is past eyeballing — per-tier
     # subtotals make a tier regression visible without reading every
@@ -1139,6 +1141,8 @@ def _bench_ann_serving(spark, sf_dir: str) -> dict:
         import shutil
         import statistics as _stats
 
+        from pyspark.sql import functions as F
+
         from python_plugins_spark.operators import similarity as S
 
         def _mat(df) -> None:
@@ -1153,7 +1157,17 @@ def _bench_ann_serving(spark, sf_dir: str) -> dict:
             emb = S.clustered_embeddings(
                 spark, n_clusters=n_clusters, per_cluster=per, dim=64
             ).localCheckpoint(eager=True)
-            q = emb.orderBy("vec_id").limit(N_Q).localCheckpoint(eager=True)
+            # stride-sample the query batch so it spans ALL clusters
+            # (ids are sequential per cluster — limit(100) would take
+            # the whole batch from cluster 0, skewing every probe into
+            # one bucket cogroup and flattering the index)
+            stride = max(1, (n_clusters * per) // N_Q)
+            q = (
+                emb.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0)
+                .orderBy("vec_id")
+                .limit(N_Q)
+                .localCheckpoint(eager=True)
+            )
             _mat(S.ann_topk_queries(emb, q, "vec_id", "embedding", K))  # warm
             ex = []
             for _ in range(3):
