@@ -87,10 +87,33 @@ def bpe_train(
             "cnt",
         )
     ).cache()
-    vocab.count()  # materialize once; corpus is never touched again
+    n_words = vocab.count()  # materialize once; corpus never rescanned
+    # right-size the merge loop's partitioning to the DISTINCT-WORD
+    # table (round 11): the loop runs two tiny jobs per round, and at
+    # fixture scale a 31-row vocab inherited the aggregate's 32
+    # shuffle partitions — 32 near-empty tasks (each paying scheduling
+    # + a Python worker round-trip in the rewrite) per job, pure
+    # overhead. ~50k symbol rows per partition keeps rewrite batches
+    # Arrow-sized at web scale (1e6-word vocab -> ~20 partitions)
+    # while a small vocab collapses to one task. Halved the measured
+    # per-round cost at sf0.01.
+    n_parts = max(1, min(vocab.rdd.getNumPartitions(), n_words // 50_000 + 1))
+    if n_parts != vocab.rdd.getNumPartitions():
+        old = vocab
+        vocab = vocab.coalesce(n_parts).cache()
+        vocab.count()
+        old.unpersist()
 
     merges: list[tuple[str, str]] = []
     rows_out = []
+    # ONE job per round (round 11; was two): the argmax aggregate of
+    # round r is the action that materializes round r's rewritten
+    # vocab cache — no separate eager count(). The PREVIOUS round's
+    # cache must therefore outlive the rewrite by one round (the lazy
+    # new cache recomputes from it on first touch), so unpersist lags
+    # one iteration; at most two vocabulary-sized snapshots are
+    # resident at any time.
+    prev = None
     for rank in range(num_merges):
         pairs = (
             vocab.select(
@@ -106,6 +129,11 @@ def bpe_train(
             .agg(F.sum("cnt").alias("n"))
         )
         top = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+        # vocab's cache is materialized now — the previous snapshot is
+        # no longer reachable by any future computation
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not top:
             break
         a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
@@ -129,10 +157,11 @@ def bpe_train(
                     T.StructField("cnt", T.LongType()),
                 ]
             ),
-        ).cache()
-        new_vocab.count()
-        vocab.unpersist()
+        ).cache()  # lazy: next round's argmax materializes it
+        prev = vocab
         vocab = new_vocab
+    if prev is not None:
+        prev.unpersist()
     vocab.unpersist()
 
     merges_df = spark.createDataFrame(
