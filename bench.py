@@ -351,6 +351,7 @@ def main() -> None:
         "ccnet_perplexity_buckets_docs",
         "ann_serving_exact_topk",
         "training_shards_end_to_end",
+        "logistic_probe_docs",
     ]
     # Tier tags (round 8): ~50 extras is past eyeballing — per-tier
     # subtotals make a tier regression visible without reading every

@@ -1696,6 +1696,28 @@ def test_kneser_ney_trigram_sums_to_one():
         assert abs(s - 1.0) < 1e-12, (w2, s)
 
 
+def test_logistic_probe_converges(spark):
+    """The GD logistic probe genuinely LEARNS: per-iteration log-loss
+    is strictly decreasing from ln(2) (the w=0 starting loss), and the
+    scaled-token-count weight w1 is positive and dominant — token
+    count is the feature that predicts document length, which is the
+    label. Guards against a silently-diverging learning rate or a
+    feature/label drift that the hash oracle alone would not explain."""
+    import math
+
+    rows = sorted(
+        QUERIES["logistic_probe_docs"](spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["iter"],
+    )
+    assert [r["iter"] for r in rows] == list(range(1, 9))
+    losses = [r["log_loss"] for r in rows]
+    assert abs(losses[0] - math.log(2)) < 1e-6  # loss at w = 0
+    assert all(a > b for a, b in zip(losses, losses[1:])), losses
+    last = rows[-1]
+    assert last["w1"] > 0
+    assert abs(last["w1"]) > max(abs(last["w2"]), abs(last["w3"]))
+
+
 def test_pmi_collocations_match_direct_computation(spark):
     """Registry PMI values at sf0.001 re-derived from raw Counters."""
     import math
