@@ -67,23 +67,50 @@ def _merge_pair_in_seq(seq: list[str], a: str, b: str) -> list[str]:
     return out
 
 
+#: Spark expression rendering a word as its UTF-8 byte sequence, each
+#: byte a lowercase 2-hex-char token — the BYTE-LEVEL symbol alphabet
+#: (GPT-2's representation: no unknown symbols ever, any Unicode word
+#: decomposes into at most 256 base tokens). Lowercase matches
+#: Python's ``f"{b:02x}"`` and the DuckDB twin's ``lower(hex(...))``.
+_BYTE_SYMS_SPARK = (
+    "transform(sequence(1, octet_length(w)), "
+    "i -> substring(lower(hex(encode(w, 'UTF-8'))), 2*i - 1, 2))"
+)
+
+
+def word_syms(word: str, byte_level: bool) -> list[str]:
+    """The initial symbol sequence of one word (shared by the Python
+    reference, the rank encoder, and tests): characters, or lowercase
+    hex UTF-8 bytes when ``byte_level``; ``</w>`` appended."""
+    if byte_level:
+        return [f"{b:02x}" for b in word.encode("utf-8")] + [_EOW]
+    return list(word) + [_EOW]
+
+
 def bpe_train(
-    df: DataFrame, text_col: str, num_merges: int
+    df: DataFrame, text_col: str, num_merges: int,
+    byte_level: bool = False,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``num_merges`` BPE merges from the corpus. Returns
     ``(merges, merges_df)`` — the ranked merge list and its DataFrame
-    ``(rank, left, right, merged, pair_count)``."""
+    ``(rank, left, right, merged, pair_count)``. ``byte_level=True``
+    trains over UTF-8 byte symbols (lowercase hex pairs) instead of
+    characters — the GPT-2 convention, closed under any input: the
+    base alphabet is at most 256 symbols and no word is ever
+    unrepresentable. The merge loop itself is representation-agnostic
+    (symbols are strings either way)."""
     spark = df.sparkSession
 
+    syms = (
+        F.expr(_BYTE_SYMS_SPARK) if byte_level else F.split(F.col("w"), "")
+    )
     vocab = (
         df.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
         .select(
-            F.concat(
-                F.split(F.col("w"), ""), F.array(F.lit(_EOW))
-            ).alias("sym"),
+            F.concat(syms, F.array(F.lit(_EOW))).alias("sym"),
             "cnt",
         )
     ).cache()
@@ -171,7 +198,8 @@ def bpe_train(
     return merges, merges_df
 
 
-def _rank_encode_word(word: str, ranks: dict) -> list[str]:
+def _rank_encode_word(word: str, ranks: dict,
+                      byte_level: bool = False) -> list[str]:
     """Standard rank-based BPE encode of ONE word (the GPT-2/tiktoken
     loop): repeatedly find the lowest-rank learned pair PRESENT in the
     sequence and apply it as one greedy left-to-right pass, until no
@@ -190,7 +218,7 @@ def _rank_encode_word(word: str, ranks: dict) -> list[str]:
     absent it stays absent, and "apply lowest present rank, full
     greedy pass" visits exactly the same (rank, pass) sequence as
     "apply all ranks in order"."""
-    seq = list(word) + [_EOW]
+    seq = word_syms(word, byte_level)
     while len(seq) > 1:
         best_rank = None
         best_i = -1
@@ -205,7 +233,8 @@ def _rank_encode_word(word: str, ranks: dict) -> list[str]:
     return seq
 
 
-def bpe_encode(df: DataFrame, text_col: str, id_col: str, merges) -> DataFrame:
+def bpe_encode(df: DataFrame, text_col: str, id_col: str, merges,
+               byte_level: bool = False) -> DataFrame:
     """PRODUCTION corpus encoder: apply learned merges to text,
     returning ``(id_col, pieces array<string>, n_pieces int)``.
 
@@ -248,7 +277,7 @@ def bpe_encode(df: DataFrame, text_col: str, id_col: str, merges) -> DataFrame:
         ]
     )
 
-    def encode_distinct(batches, _ranks=ranks):
+    def encode_distinct(batches, _ranks=ranks, _bl=byte_level):
         import pandas as pd
 
         for pdf in batches:
@@ -257,7 +286,9 @@ def bpe_encode(df: DataFrame, text_col: str, id_col: str, merges) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "w": pdf["w"],
-                    "sym": [_rank_encode_word(w, _ranks) for w in pdf["w"]],
+                    "sym": [
+                        _rank_encode_word(w, _ranks, _bl) for w in pdf["w"]
+                    ],
                 }
             )
 
@@ -332,7 +363,8 @@ def bpe_encode_reference(
     )
 
 
-def bpe_train_reference(texts: list[str], num_merges: int):
+def bpe_train_reference(texts: list[str], num_merges: int,
+                        byte_level: bool = False):
     """Pure-Python reference implementation (for tests): identical
     tokenization, tie-breaks, and merge semantics."""
     from collections import Counter
@@ -341,7 +373,7 @@ def bpe_train_reference(texts: list[str], num_merges: int):
     for t in texts:
         for w in t.lower().strip().split():
             if w:
-                vocab[tuple(list(w) + [_EOW])] += 1
+                vocab[tuple(word_syms(w, byte_level))] += 1
     merges = []
     for _ in range(num_merges):
         pairs: Counter = Counter()
@@ -365,7 +397,8 @@ def bpe_train_reference(texts: list[str], num_merges: int):
     return merges
 
 
-def bpe_train_oracle_sql(table: str, text_col: str, num_merges: int) -> str:
+def bpe_train_oracle_sql(table: str, text_col: str, num_merges: int,
+                         byte_level: bool = False) -> str:
     """DuckDB twin of :func:`bpe_train` — the iterative merge loop
     UNROLLED into ``num_merges`` CTE rounds (the kmeans_embeddings
     pattern), converting this entry from rows-only to fully
@@ -387,7 +420,7 @@ def bpe_train_oracle_sql(table: str, text_col: str, num_merges: int) -> str:
     chain. Gaps-and-islands gives the chain head, a lag gives the
     consumed flag, and an ordered FILTERed list() rebuilds the
     sequence."""
-    parts = _bpe_oracle_parts(table, text_col, num_merges)
+    parts = _bpe_oracle_parts(table, text_col, num_merges, byte_level)
     union = "\n    UNION ALL\n    ".join(
         f"SELECT {r - 1} AS rank, a AS left, b AS right, a || b AS merged, "
         f"CAST(n AS BIGINT) AS pair_count FROM top{r}"
@@ -396,7 +429,8 @@ def bpe_train_oracle_sql(table: str, text_col: str, num_merges: int) -> str:
     return "WITH " + ",\n    ".join(parts) + "\n    " + union
 
 
-def _bpe_oracle_parts(table: str, text_col: str, num_merges: int) -> list[str]:
+def _bpe_oracle_parts(table: str, text_col: str, num_merges: int,
+                      byte_level: bool = False) -> list[str]:
     """Shared CTE blocks for the BPE oracles: ``words``/``v0`` plus,
     per round r, pair counts ``p{r}``, the argmax ``top{r}``, and the
     chain-parity greedy rewrite ending in ``v{r}`` — the distinct-word
@@ -412,12 +446,24 @@ def _bpe_oracle_parts(table: str, text_col: str, num_merges: int) -> list[str]:
         SELECT unnest({toks}) AS w FROM {table}
       ) WHERE length(w) > 0 GROUP BY w
     )""",
-        """v0 AS MATERIALIZED (
+        (
+            # byte-level: lowercase hex UTF-8 byte pairs (matching
+            # _BYTE_SYMS_SPARK and word_syms); else characters
+            """v0 AS MATERIALIZED (
+      SELECT w, cnt,
+             list_concat([substr(lower(hex(encode(w))), 2*i - 1, 2)
+                          for i in range(1, octet_length(encode(w)) + 1)],
+                         ['</w>']) AS sym
+      FROM words
+    )"""
+            if byte_level
+            else """v0 AS MATERIALIZED (
       SELECT w, cnt,
              list_concat([w[i:i] for i in range(1, length(w) + 1)],
                          ['</w>']) AS sym
       FROM words
-    )""",
+    )"""
+        ),
     ]
     for r in range(1, num_merges + 1):
         p = r - 1

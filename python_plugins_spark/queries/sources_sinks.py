@@ -1175,6 +1175,31 @@ def bpe_train_merges_docs(spark, sf_dir):
     return mdf
 
 
+def _bpe_bytes_oracle() -> str:
+    from python_plugins_spark.operators.tokenizer import bpe_train_oracle_sql
+
+    return bpe_train_oracle_sql("documents", "text", 12, byte_level=True)
+
+
+@register("bpe_train_merges_bytes_docs", oracle=_bpe_bytes_oracle())
+def bpe_train_merges_bytes_docs(spark, sf_dir):
+    """BYTE-LEVEL BPE training (round 11) — the GPT-2 representation:
+    symbols are lowercase-hex UTF-8 bytes instead of characters, so
+    the base alphabet is at most 256 tokens and ANY input (emoji, CJK,
+    mixed scripts, binary-ish noise) decomposes with no unknown-symbol
+    case — the property production tokenizers rely on. Same
+    distributed merge loop as bpe_train_merges_docs (the loop is
+    representation-agnostic), same exact-integer oracle with the v0
+    symbol builder swapped; multibyte correctness (a non-ASCII word
+    splitting into its UTF-8 bytes identically in Spark, DuckDB, and
+    the Python reference) is pinned in test_bpe_byte_level."""
+    from python_plugins_spark.operators.tokenizer import bpe_train
+
+    docs = load_table(spark, "documents", sf_dir)
+    _merges, mdf = bpe_train(docs, "text", 12, byte_level=True)
+    return mdf
+
+
 def _bpe_encode_oracle() -> str:
     from python_plugins_spark.operators.tokenizer import bpe_encode_oracle_sql
 

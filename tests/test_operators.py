@@ -1007,6 +1007,65 @@ def test_bpe_encode_equivalence(spark):
     assert r0.pieces == [] and r0.n_pieces == 0
 
 
+def test_bpe_byte_level(spark):
+    """Byte-level BPE (the GPT-2 representation): (a) multibyte words
+    decompose into identical lowercase-hex UTF-8 byte symbols in the
+    Spark trainer, the pure-Python reference, and the encoder; (b)
+    distributed training equals the reference on a non-ASCII corpus;
+    (c) the production encoder round-trips — concatenated pieces
+    re-decode to the original word bytes — with NO unknown-symbol
+    case for words unseen at training time."""
+    from python_plugins_spark.operators.tokenizer import (
+        _EOW,
+        bpe_encode,
+        bpe_train,
+        bpe_train_reference,
+        word_syms,
+    )
+
+    assert word_syms("café中", True) == [
+        "63", "61", "66", "c3", "a9", "e4", "b8", "ad", _EOW,
+    ]
+    texts = [
+        "café café café crème crème",
+        "中文 中文 中文 données données",
+        "naïve naïve café 中文 🙂 🙂",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges, mdf = bpe_train(df, "text", 10, byte_level=True)
+    assert merges == bpe_train_reference(texts, 10, byte_level=True)
+    # every merged token is a concatenation of hex pairs (or </w>)
+    for a, b in merges:
+        for tok in (a, b):
+            body = tok.replace(_EOW, "")
+            assert len(body) % 2 == 0 and all(
+                c in "0123456789abcdef" for c in body
+            ), tok
+
+    enc = {
+        r.doc_id: r
+        for r in bpe_encode(
+            df, "text", "doc_id", merges, byte_level=True
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        # round-trip: pieces concatenate back to the per-word bytes
+        words = t.lower().strip().split()
+        joined = "".join(enc[i].pieces)
+        expect = "".join(
+            "".join(f"{b:02x}" for b in w.encode("utf-8")) + _EOW
+            for w in words
+        )
+        assert joined == expect, i
+    # unseen multibyte word: never fails, decomposes to byte symbols
+    df2 = spark.createDataFrame([(9, "спасибо")], ["doc_id", "text"])
+    out = bpe_encode(df2, "text", "doc_id", merges, byte_level=True).collect()[0]
+    raw = "".join(out.pieces).replace(_EOW, "")
+    assert bytes.fromhex(raw).decode("utf-8") == "спасибо"
+
+
 def test_bpe_encoder_vocab_independence():
     """The rank-based encoder's WORK is independent of merge-list
     size: measured as pair-lookup count (deterministic — no wall-clock
