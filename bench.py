@@ -1150,7 +1150,12 @@ def _bench_ann_serving(spark, sf_dir: str) -> dict:
             df.write.format("noop").mode("overwrite").save()
 
         K, NPROBE, N_Q = 10, 4, 100
-        sizes = [(50, 100), (100, 200), (200, 400)]  # 5k / 20k / 80k
+        # 5k / 20k / 80k / 160k: at 80k the two paths sit within
+        # run-to-run noise of each other (~1 s each, overhead-floored
+        # — measured 1.02-1.92 s exact across probed-clean runs); the
+        # 160k point is where the exact scan's linear corpus cost
+        # clears the noise band and the index wins decisively
+        sizes = [(50, 100), (100, 200), (200, 400), (400, 400)]
         crossover_rows = None
         pts = []
         for n_clusters, per in sizes:
