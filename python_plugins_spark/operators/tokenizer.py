@@ -9,20 +9,21 @@ Shape, designed for a 100 TB corpus:
    operates on the DISTINCT-WORD table weighted by count, which is
    vocabulary-sized (~1e6 rows for web-scale corpora), not
    corpus-sized — the reason BPE training is feasible at all.
-2. **Merge loop** (``num_merges`` iterations over the small vocab
-   table): count adjacent symbol pairs weighted by word frequency
-   (map-side-combined aggregate), pick the argmax (ties broken
-   lexicographically — determinism is part of the contract), rewrite
-   the symbol sequences with the merged pair. The vocab table is
-   cached and re-cached every few merges; each iteration is one tiny
-   aggregate + one projection, so N merges cost N small jobs, NOT N
-   corpus scans.
-
-The merge REWRITE is per-word local Python over the cached vocab
-(mapInPandas): a greedy left-to-right adjacent-pair merge is
-inherently sequential per word, and the vocab table is small — this is
-the one place Python is the right tool, exactly like the reference
-transform operator's contract.
+2. **Merge loop** over the vocabulary-sized table. Since round 12 the
+   default runs DRIVER-LOCAL (the HF-tokenizers / SentencePiece
+   shape): the weighted distinct-word table is collected once
+   (vocabulary-bounded — tens of MB at web scale) and ``num_merges``
+   rounds run in driver CPU with incremental pair-count maintenance
+   (lazy max-heap + inverted index), so a production 32k-merge
+   vocabulary costs ONE Spark job plus seconds of driver time —
+   instead of 32k sequential driver-coordinated jobs whose ~0.2-0.5 s
+   scheduling floor alone is hours. The round-10 per-round
+   distributed loop (one tiny aggregate-argmax + mapInPandas rewrite
+   job per merge) is kept as ``merge_loop="distributed"`` — the
+   escape hatch for a pathological corpus whose distinct-word table
+   exceeds driver memory — and the two paths are pinned bit-identical
+   (``test_bpe_local_vs_distributed``; ties broken count desc then
+   lexicographically — determinism is part of the contract).
 
 Training output is the ranked merge table; :func:`bpe_encode`
 applies learned merges to new text — the PRODUCTION encoder shape
@@ -90,6 +91,7 @@ def word_syms(word: str, byte_level: bool) -> list[str]:
 def bpe_train(
     df: DataFrame, text_col: str, num_merges: int,
     byte_level: bool = False,
+    merge_loop: str = "local",
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``num_merges`` BPE merges from the corpus. Returns
     ``(merges, merges_df)`` — the ranked merge list and its DataFrame
@@ -98,7 +100,39 @@ def bpe_train(
     characters — the GPT-2 convention, closed under any input: the
     base alphabet is at most 256 symbols and no word is ever
     unrepresentable. The merge loop itself is representation-agnostic
-    (symbols are strings either way)."""
+    (symbols are strings either way).
+
+    ``merge_loop`` selects HOW the (identical) merge sequence is
+    computed — round 12, the vocabulary-scale fix:
+
+    - ``"local"`` (default — the HF-tokenizers / SentencePiece shape):
+      ONE distributed pass aggregates the weighted distinct-word
+      table, which is collected to the driver — it is VOCABULARY-
+      bounded (~1e6 rows / tens of MB for web-scale corpora; the same
+      bounded-through-the-driver stance as ``ivf_train_centroids``) —
+      and the merge loop runs driver-local over it with incremental
+      pair-count maintenance (lazy max-heap + pair->word inverted
+      index, so each merge touches only the words that contain the
+      merged pair). Cost: one Spark job TOTAL; a real 32k-merge
+      vocabulary trains in seconds of driver CPU instead of ~32k
+      sequential Spark jobs of pure scheduling floor.
+    - ``"distributed"``: the round-10 loop — one tiny
+      aggregate-argmax + rewrite job per merge round over the cached
+      vocab table. Kept as the scale escape hatch for a corpus whose
+      DISTINCT-WORD table itself exceeds driver memory (no natural-
+      language corpus does — Zipf — but e.g. random-id "words" could)
+      and as the cross-implementation equivalence baseline
+      (``test_bpe_local_vs_distributed`` pins bit-identical merges,
+      counts, and DataFrames on both representations).
+
+    Both paths produce bit-identical output: same tie-break (count
+    desc, then (left, right) lexicographically asc — Python per-code-
+    point string order and Spark's UTF-8 binary order agree because
+    UTF-8 preserves code-point order), same exact integer counts."""
+    if merge_loop == "local":
+        return _bpe_train_local(df, text_col, num_merges, byte_level)
+    if merge_loop != "distributed":
+        raise ValueError(f"merge_loop must be local|distributed: {merge_loop}")
     spark = df.sparkSession
 
     syms = (
@@ -198,6 +232,117 @@ def bpe_train(
     return merges, merges_df
 
 
+def _bpe_train_local(
+    df: DataFrame, text_col: str, num_merges: int, byte_level: bool
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """The ``merge_loop="local"`` body of :func:`bpe_train`: one
+    distributed word-count aggregate, then a driver-local incremental
+    merge loop (the published HF-tokenizers/SentencePiece algorithm):
+
+    - ``pair_counts``: exact integer count per adjacent symbol pair,
+      weighted by word frequency.
+    - ``pair_words``: inverted index pair -> set of word indices that
+      currently contain it, so a merge round rewrites ONLY the words
+      the winning pair occurs in (for natural language a vanishing
+      fraction of the vocabulary once the frequent pairs are merged).
+    - a LAZY max-heap of ``(-count, a, b)`` entries: every count
+      change pushes a fresh entry; stale entries are discarded on pop
+      by comparing against the live ``pair_counts`` value. Heap order
+      (-n, a, b) ascending IS the contract tie-break (count desc,
+      then pair lexicographically asc).
+
+    Per-merge cost is O(words containing the pair x their length),
+    independent of both corpus size and merge count — this is what
+    makes a production 32k-merge vocabulary train in seconds where
+    the per-round Spark loop pays ~32k job-scheduling floors."""
+    import heapq
+    from collections import Counter
+
+    spark = df.sparkSession
+    rows = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+
+    seqs: list[list[str]] = []
+    cnts: list[int] = []
+    for r in rows:
+        seqs.append(word_syms(r["w"], byte_level))
+        cnts.append(int(r["cnt"]))
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for idx, (seq, cnt) in enumerate(zip(seqs, cnts)):
+        for p in zip(seq, seq[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + cnt
+            pair_words.setdefault(p, set()).add(idx)
+    heap = [(-n, a, b) for (a, b), n in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str]] = []
+    rows_out = []
+    for rank in range(num_merges):
+        best = None
+        while heap:
+            negn, a, b = heapq.heappop(heap)
+            if pair_counts.get((a, b)) == -negn:
+                best = (a, b, -negn)
+                break
+        if best is None:
+            break
+        a, b, n = best
+        merges.append((a, b))
+        rows_out.append((rank, a, b, a + b, n))
+
+        for idx in list(pair_words.get((a, b), ())):
+            seq = seqs[idx]
+            cnt = cnts[idx]
+            new_seq = _merge_pair_in_seq(seq, a, b)
+            before = Counter(zip(seq, seq[1:]))
+            after = Counter(zip(new_seq, new_seq[1:]))
+            for p in before.keys() | after.keys():
+                d = after.get(p, 0) - before.get(p, 0)
+                if d:
+                    nn = pair_counts.get(p, 0) + d * cnt
+                    if nn:
+                        pair_counts[p] = nn
+                        heapq.heappush(heap, (-nn, p[0], p[1]))
+                    else:
+                        pair_counts.pop(p, None)
+                if p != (a, b):
+                    ws = pair_words.setdefault(p, set())
+                    if after.get(p, 0):
+                        ws.add(idx)
+                    else:
+                        ws.discard(idx)
+            seqs[idx] = new_seq
+        pair_words.pop((a, b), None)
+
+    merges_df = spark.createDataFrame(
+        rows_out,
+        "rank int, left string, right string, merged string, pair_count long",
+    )
+    return merges, merges_df
+
+
+def _merge_ranks(merges) -> dict:
+    """Rank lookup for :func:`_rank_encode_word`. If the merge table
+    contains duplicate (left, right) pairs (possible when a later
+    merge recreates an earlier pair's adjacency — see the string-
+    collision caveat on ``_rank_encode_word``), the FIRST (lowest)
+    rank wins: the encoder's argmin over present ranks would always
+    select the lower rank anyway, so this makes the behavior
+    deterministic and documented instead of dict-insertion-order
+    dependent."""
+    ranks: dict = {}
+    for i, (a, b) in enumerate(merges):
+        ranks.setdefault((a, b), i)
+    return ranks
+
+
 def _rank_encode_word(word: str, ranks: dict,
                       byte_level: bool = False) -> list[str]:
     """Standard rank-based BPE encode of ONE word (the GPT-2/tiktoken
@@ -208,16 +353,25 @@ def _rank_encode_word(word: str, ranks: dict,
     the naive apply-every-merge-in-order loop (~2,500x the work at a
     real 32k-merge vocabulary).
 
-    Equivalence to sequential in-rank-order application (proved, and
-    pinned empirically in ``test_bpe_encode_equivalence``): a pair
+    Equivalence to sequential in-rank-order application (argued below
+    and pinned empirically in ``test_bpe_encode_equivalence``): a pair
     learned at rank r is built from tokens that already existed before
-    r, and a merge never creates a NEW adjacency between two
-    pre-existing tokens (it only replaces two adjacent tokens with one
-    token that was created AFTER r at training time, so any pair
-    involving it has rank > r). Hence once every pair of rank < r is
-    absent it stays absent, and "apply lowest present rank, full
-    greedy pass" visits exactly the same (rank, pass) sequence as
-    "apply all ranks in order"."""
+    r, and a merge usually cannot create a NEW adjacency between two
+    pre-existing tokens (it replaces two adjacent tokens with one
+    token created AFTER r at training time, so any pair involving it
+    normally has rank > r). CAVEAT (the argument's known gap): two
+    DIFFERENT learned merges can produce the SAME token string — e.g.
+    ('a','aa') and ('aa','a') both yield 'aaa' — so a later merge can
+    recreate a token that participates in a lower-rank learned pair,
+    and on such degenerate merge tables this loop and the sequential
+    replay can diverge. The equivalence is therefore empirical on
+    non-colliding tables (which greedy training on natural text
+    produces; the training loop can in principle re-learn a pair whose
+    adjacency was recreated, see ``_bpe_train_local``). For
+    determinism under duplicate (left, right) pairs, the ranks dict
+    keeps the FIRST (lowest) rank — the one the rank-argmin would pick
+    anyway — rather than silently keeping the last (see
+    :func:`_merge_ranks`)."""
     seq = word_syms(word, byte_level)
     while len(seq) > 1:
         best_rank = None
@@ -263,7 +417,7 @@ def bpe_encode(df: DataFrame, text_col: str, id_col: str, merges,
     (PythonEvaluator.java:262-266); tokenization is the one stage an
     LLM pipeline runs over 100% of its tokens, so it gets the
     engine's best-known form, not a row-at-a-time loop."""
-    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    ranks = _merge_ranks(merges)
 
     words = df.select(
         F.col(id_col).alias("id"),

@@ -1084,11 +1084,15 @@ def ann_serving_exact_topk(spark, sf_dir):
     100-query batch against the whole corpus via the block-grid BLAS
     path (operators/similarity.py ann_topk_queries) — the baseline
     the trained-IVF index must beat, measured head-to-head in the
-    ``ann_serving`` bench row: at <= 80k corpus rows both paths sit
-    in the ~1 s fixed-overhead noise band; from 160k the persisted
-    index wins decisively (1.25 s vs 1.48 s at recall@10 0.992 on the
-    clustered fixture). Queries are the lowest 100 vec_ids, so the
-    oracle replays the same batch."""
+    ``ann_serving`` bench row. The measured crossover is BOX-STATE
+    DEPENDENT within the 80k-160k corpus-row band (round 12): one
+    probed-clean run had the index decisively ahead already at 80k
+    (1.11 s vs 2.67 s exact, recall@10 0.997); another read exact
+    1.02-1.92 s at 80k — overhead-floored, both paths in the noise —
+    with the first clear win at 160k. The bench row publishes
+    min+median of 3 runs per point and a 320k point whose margin
+    clears the noise band in every observed box state. Queries are
+    the lowest 100 vec_ids, so the oracle replays the same batch."""
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.orderBy("vec_id").limit(100)
     return S.ann_topk_queries(emb, q, "vec_id", "embedding", 10)

@@ -1157,11 +1157,13 @@ def _bpe_train_oracle() -> str:
 def bpe_train_merges_docs(spark, sf_dir):
     """Distributed BPE tokenizer training (operators/tokenizer.py,
     public Sennrich et al. 2016 algorithm): ONE corpus pass builds the
-    weighted distinct-word table; 12 merge rounds then run tiny
-    aggregate+rewrite jobs over that vocabulary-sized table — N merges
-    never rescan the corpus, which is what makes tokenizer training
-    feasible at 100 TB. Deterministic (count desc, pair asc
-    tie-break). FULLY ORACLE-CHECKED since round 10: the DuckDB twin
+    weighted distinct-word table; the merge loop then runs DRIVER-
+    LOCAL over that vocabulary-bounded table (round 12 — the
+    HF-tokenizers shape: incremental pair counts, lazy heap argmax;
+    one Spark job total, so a real 32k-merge vocabulary trains in
+    seconds instead of 32k sequential per-round jobs — the bench's
+    `bpe_train` row measures both). Deterministic (count desc, pair
+    asc tie-break). FULLY ORACLE-CHECKED since round 10: the DuckDB twin
     unrolls the 12 merge rounds as materialized CTE blocks and
     replays the greedy left-to-right rewrite via a chain-parity rule
     (see bpe_train_oracle_sql — a plain replace-all is NOT greedy

@@ -1066,6 +1066,76 @@ def test_bpe_byte_level(spark):
     assert bytes.fromhex(raw).decode("utf-8") == "спасибо"
 
 
+def test_bpe_local_vs_distributed(spark):
+    """The round-12 driver-local merge loop (one distributed word
+    aggregate + incremental heap/inverted-index training — the
+    HF-tokenizers shape) is BIT-IDENTICAL to the per-round distributed
+    loop: same merges in the same order, same pair counts, on (a) an
+    adversarial a==b-heavy corpus where greedy-rewrite parity matters,
+    (b) a byte-level non-ASCII corpus, and (c) deep vocabularies (the
+    local path's merge count exceeding what the fixture supports ends
+    identically). Also pins the greedy prefix property the bench's
+    bpe_train row relies on: the first k merges of an n>k-merge run
+    equal the k-merge run."""
+    import random
+
+    from python_plugins_spark.operators.tokenizer import (
+        bpe_train,
+        bpe_train_reference,
+    )
+
+    rng = random.Random(23)
+    words = [
+        "".join(rng.choice("aabc") for _ in range(rng.randint(1, 10)))
+        for _ in range(150)
+    ] + ["aaaa", "aaaaaaa", "abab", "café", "中文"]
+    texts = [
+        " ".join(rng.sample(words, rng.randint(1, 9))) for _ in range(50)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    # 12 merges: the depth the distributed loop is routinely run at
+    # (deeper runs are exactly what the local path exists to replace —
+    # the per-round loop's cached-lineage plan alone grows with depth)
+    for bl in (False, True):
+        m_dist, df_dist = bpe_train(
+            df, "text", 12, byte_level=bl, merge_loop="distributed"
+        )
+        m_loc, df_loc = bpe_train(
+            df, "text", 12, byte_level=bl, merge_loop="local"
+        )
+        assert m_dist == m_loc == bpe_train_reference(texts, 12, byte_level=bl)
+        assert sorted(map(tuple, df_dist.collect())) == sorted(
+            map(tuple, df_loc.collect())
+        )
+    # deep run (local only): exhausts the fixture vocabulary without
+    # error, and its prefix equals the shallow run (greedy prefix
+    # property)
+    m_deep, _ = bpe_train(df, "text", 500, merge_loop="local")
+    m12, _ = bpe_train(df, "text", 12, merge_loop="local")
+    assert m_deep[:12] == m12
+    assert m_deep == bpe_train_reference(texts, 500)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bpe_train(df, "text", 2, merge_loop="nope")
+
+
+def test_merge_ranks_duplicate_pairs():
+    """_merge_ranks keeps the FIRST (lowest) rank for duplicate
+    (left, right) pairs — the deterministic, documented behavior the
+    ADVICE asked for (the rank-argmin encoder would always pick the
+    lower rank anyway; a plain dict comprehension silently kept the
+    LAST)."""
+    from python_plugins_spark.operators.tokenizer import _merge_ranks
+
+    merges = [("a", "b"), ("c", "d"), ("a", "b"), ("e", "f")]
+    r = _merge_ranks(merges)
+    assert r[("a", "b")] == 0 and r[("c", "d")] == 1 and r[("e", "f")] == 3
+
+
 def test_bpe_encoder_vocab_independence():
     """The rank-based encoder's WORK is independent of merge-list
     size: measured as pair-lookup count (deterministic — no wall-clock
