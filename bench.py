@@ -352,6 +352,8 @@ def main() -> None:
         "ann_serving_exact_topk",
         "training_shards_end_to_end",
         "logistic_probe_docs",
+        # round-12 operators (quality-gate capstone, shard files)
+        "quality_gate_end_to_end",
     ]
     # Tier tags (round 8): ~50 extras is past eyeballing — per-tier
     # subtotals make a tier regression visible without reading every

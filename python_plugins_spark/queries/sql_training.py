@@ -1558,11 +1558,17 @@ _LOGIT_LR = 0.8
 _LOGIT_ITERS = 8
 
 
-def _logistic_probe_oracle() -> str:
+def logit_oracle_parts() -> list[str]:
+    """The logistic probe's DuckDB CTE blocks (feature frame + the 8
+    unrolled GD rounds ending in ``w{_LOGIT_ITERS}``), shared between
+    :func:`_logistic_probe_oracle` and the quality-gate capstone's
+    nested oracle (lm_mining.quality_gate_end_to_end). ``feat``
+    carries ``doc_id`` so a composed oracle can score per-document
+    with the final weights; the training aggregates ignore it."""
     fx = {k: v[1] for k, v in _LOGIT_FEATURES.items()}
     parts = [
         f"""feat AS MATERIALIZED (
-      SELECT {fx['x1']} AS x1, {fx['x2']} AS x2, {fx['x3']} AS x3,
+      SELECT doc_id, {fx['x1']} AS x1, {fx['x2']} AS x2, {fx['x3']} AS x3,
              {_LOGIT_LABEL} AS y
       FROM documents
     )""",
@@ -1592,6 +1598,11 @@ def _logistic_probe_oracle() -> str:
       FROM w{r - 1} w CROSS JOIN a{r} a
     )"""
         )
+    return parts
+
+
+def _logistic_probe_oracle() -> str:
+    parts = logit_oracle_parts()
     union = "\n    UNION ALL\n    ".join(
         f"SELECT {r} AS iter, round(w0, 6) AS w0, round(w1, 6) AS w1, "
         f"round(w2, 6) AS w2, round(w3, 6) AS w3, round(loss, 6) AS log_loss "
@@ -1624,8 +1635,26 @@ def logistic_probe_docs(spark, sf_dir):
     CTE rounds (the bpe/kmeans pattern); weights update unrounded in
     both engines, outputs round to 6 dp."""
     docs = load_table(spark, "documents", sf_dir)
+    _feat, _w, rows = logit_train(docs)
+    return spark.createDataFrame(
+        rows,
+        "iter int, w0 double, w1 double, w2 double, w3 double, "
+        "log_loss double",
+    )
+
+
+def logit_train(docs):
+    """The logistic probe's 8-iteration full-batch GD, extracted so
+    the quality-gate capstone (lm_mining.quality_gate_end_to_end) can
+    train the same classifier and score per document with the FINAL
+    weights. Returns ``(feat, w, rows)`` — the checkpointed per-doc
+    feature frame (doc_id, x1, x2, x3, y), the final UNROUNDED weight
+    vector, and the per-iteration trajectory rows the probe query
+    publishes. Scale shape as documented on logistic_probe_docs: one
+    map-side-combined 5-double aggregate per iteration."""
     fx = {k: v[0] for k, v in _LOGIT_FEATURES.items()}
     feat = docs.selectExpr(
+        "doc_id",
         f"{fx['x1']} AS x1",
         f"{fx['x2']} AS x2",
         f"{fx['x3']} AS x3",
@@ -1663,11 +1692,7 @@ def logistic_probe_docs(spark, sf_dir):
             (it, round(w[0], 6), round(w[1], 6), round(w[2], 6),
              round(w[3], 6), round(r["loss"], 6))
         )
-    return spark.createDataFrame(
-        rows,
-        "iter int, w0 double, w1 double, w2 double, w3 double, "
-        "log_loss double",
-    )
+    return feat, w, rows
 
 
 # non-overlapping ' the ' occurrences in the space-padded lower text

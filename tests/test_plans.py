@@ -718,6 +718,27 @@ def test_training_shards_shuffle_budget(spark, sf_dir):
     assert "CartesianProduct" not in plan_str(enc)
 
 
+def test_quality_gate_shuffle_budget(spark, sf_dir):
+    """The quality-gate capstone's shuffle budget (round 12): the
+    post-checkpoint dataflow — KN model aggregates over the
+    checkpointed trigram frame, the scoring joins, the per-source
+    tercile window, the classifier-score join back to the spine —
+    costs <= 8 exchanges; the model-table joins broadcast under AQE
+    and the logistic training aggregates run against the checkpointed
+    feature frame (not re-planned here). No cartesian product; the
+    Python-free relational pipeline stays in codegen (no Arrow eval
+    nodes — training collects happen before this plan is built)."""
+    from python_plugins_spark.plans import count_shuffles, plan_str
+    from python_plugins_spark.queries import QUERIES
+
+    df = QUERIES["quality_gate_end_to_end"](spark, sf_dir)
+    assert count_shuffles(df) <= 8
+    p = plan_str(df)
+    assert "CartesianProduct" not in p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in p, marker
+
+
 def test_round6b_lm_queries_no_cartesian_and_bounded_joins(spark, sf_dir):
     """KN / PMI / Zipf / JSD / curation-pipeline plans: no cartesian
     products, no Python eval nodes in the relational paths (all model
