@@ -354,6 +354,7 @@ def main() -> None:
         "logistic_probe_docs",
         # round-12 operators (quality-gate capstone, shard files)
         "quality_gate_end_to_end",
+        "training_shard_files_end_to_end",
     ]
     # Tier tags (round 8): ~50 extras is past eyeballing — per-tier
     # subtotals make a tier regression visible without reading every

@@ -3110,6 +3110,38 @@ def test_gopher_repetition_known_values(spark):
     assert got[3].passes_repetition is True
 
 
+def test_write_training_shards(spark, tmp_path):
+    """The shard-file writer (round 12): one parquet file per shard,
+    rows sorted by doc_id inside each file, write manifest matching
+    the read-back, staging directory gone after the atomic publish,
+    and a republish replacing the target wholesale (no stale shard
+    files from a previous epoch)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from python_plugins_spark.operators.shards import write_training_shards
+
+    rows = [(i, f"s{i % 2}", 10 + i, i % 3, i % 4) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_pieces long, bin long, shard long"
+    )
+    out = str(tmp_path / "shards")
+    man = write_training_shards(df, out).collect()
+    assert {r.shard for r in man} == {0, 1, 2, 3}
+    assert sum(r.n_docs for r in man) == 40
+    assert sum(r.total_tokens for r in man) == sum(10 + i for i in range(40))
+    for r in man:
+        assert os.path.exists(r.file) and r.file.startswith(out)
+    assert spark.read.parquet(out).count() == 40
+    t = pq.read_table(man[0].file).to_pandas()
+    assert list(t.doc_id) == sorted(t.doc_id)
+    assert not os.path.exists(out + ".staging")
+    # republish: target replaced wholesale, stale shards gone
+    man2 = write_training_shards(df.filter("shard < 2"), out).collect()
+    assert len(os.listdir(out)) == 2 and len(man2) == 2
+
+
 def test_warc_binary_bodies_flag_not_crash(spark, tmp_path):
     """Real crawls carry binary responses (images, PDFs): the body
     decoders must FLAG invalid UTF-8 (body_utf8_ok=false, U+FFFD
