@@ -178,6 +178,136 @@ HOLDOUT: dict[str, list[str]] = {
 }
 
 
+#: HARD held-out cases (round 12, judge ask #7 — the prose set
+#: saturated at 1.0 and could no longer move): per language, one
+#: ``short`` fragment (3-6 words — too little signal for stable
+#: trigram statistics), one ``noisy`` line (digits / times / hashtags
+#: diluting the letter stream), and one ``mixed`` sentence (borrowed
+#: English vocabulary embedded in native syntax — the code-switching
+#: a real crawl is full of). Within-script confusion is the target:
+#: the script router still lands the right TIER, but ru/uk/bg,
+#: zh/ja/ko, ar/fa/ur, hi/mr/ne, and the 11-language Latin tier must
+#: then separate on thin evidence. Accuracy here is EXPECTED < 1.0;
+#: the published number is the headroom future profile work improves.
+HOLDOUT_HARD: dict[str, list[tuple[str, str]]] = {
+    "en": [
+        ("short", "see you at noon"),
+        ("noisy", "meeting @ 9:30 room 4B cost $120 #update"),
+        ("mixed", "the cafe's decor felt very gemutlich to everyone there"),
+    ],
+    "de": [
+        ("short", "bis morgen früh"),
+        ("noisy", "Zug um 14:45 Gleis 7 #bahn"),
+        ("mixed", "das Meeting war okay, aber das Update kommt erst später"),
+    ],
+    "fr": [
+        ("short", "à demain matin"),
+        ("noisy", "rdv 18h30 salle 3 prix 45 euros #paris"),
+        ("mixed", "le week-end on fait du shopping en ligne avec le smartphone"),
+    ],
+    "es": [
+        ("short", "hasta mañana entonces"),
+        ("noisy", "cita 10:15 sala 3B piso 2 #madrid"),
+        ("mixed", "el equipo de marketing online trabaja full time esta semana"),
+    ],
+    "it": [
+        ("short", "ci vediamo domani"),
+        ("noisy", "treno delle 7:42 binario 9 #roma"),
+        ("mixed", "il manager ha fatto il download del file per il meeting"),
+    ],
+    "pt": [
+        ("short", "até amanhã cedo"),
+        ("noisy", "consulta às 16h20 sala 12 #lisboa"),
+        ("mixed", "o feedback do cliente chegou por email ao manager"),
+    ],
+    "nl": [
+        ("short", "tot morgen vroeg"),
+        ("noisy", "trein van 8:05 spoor 4 #ns"),
+        ("mixed", "de manager stuurde een update over de planning via de mail"),
+    ],
+    "sv": [
+        ("short", "vi ses imorgon"),
+        ("noisy", "tåget 06:55 spår 2 #sj"),
+        ("mixed", "teamet hade ett möte om designen och en deadline"),
+    ],
+    "el": [
+        ("short", "τα λέμε αύριο"),
+        ("noisy", "ραντεβού 19:00 αίθουσα 5 #αθήνα"),
+        ("mixed", "το μίτινγκ για το πρότζεκτ πήγε τελικά καλά"),
+    ],
+    "he": [
+        ("short", "נתראה מחר בבוקר"),
+        ("noisy", "פגישה 9:45 חדר 12 #תלאביב"),
+        ("mixed", "הפידבק על הפרויקט הגיע הבוקר במייל"),
+    ],
+    "th": [
+        ("short", "พรุ่งนี้เจอกัน"),
+        ("noisy", "นัด 10:30 ห้อง 7 #กรุงเทพ"),
+        ("mixed", "ทีมส่งอีเมลเรื่องโปรเจกต์แล้วเมื่อเช้า"),
+    ],
+    "ru": [
+        ("short", "до завтра тогда"),
+        ("noisy", "поезд в 6:40 путь 3 #москва"),
+        ("mixed", "менеджер прислал апдейт по проекту утром"),
+    ],
+    "uk": [
+        ("short", "до завтра тоді"),
+        ("noisy", "потяг о 7:15 колія 2 #київ"),
+        ("mixed", "менеджер надіслав апдейт щодо проєкту вранці"),
+    ],
+    "bg": [
+        ("short", "до утре тогава"),
+        ("noisy", "влак в 5:50 коловоз 4 #софия"),
+        ("mixed", "мениджърът изпрати ъпдейт за проекта сутринта"),
+    ],
+    "zh": [
+        ("short", "明天见吧"),
+        ("noisy", "高铁 G102 次 08:15 检票口 B7"),
+        ("mixed", "项目的 deadline 推迟到周五了"),
+    ],
+    "ja": [
+        ("short", "また明日ね"),
+        ("noisy", "のぞみ9号 10:20発 14番線"),
+        ("mixed", "プロジェクトのミーティングは金曜です"),
+    ],
+    "ko": [
+        ("short", "내일 보자"),
+        ("noisy", "기차 07:30 3번 승강장 #서울"),
+        ("mixed", "프로젝트 미팅은 금요일이에요"),
+    ],
+    "ar": [
+        ("short", "أراك غدا إذن"),
+        ("noisy", "موعد الساعة 9:30 قاعة 12 #دبي"),
+        ("mixed", "وصل الفيدباك على المشروع صباحا بالإيميل"),
+    ],
+    "fa": [
+        ("short", "پس فردا می‌بینمت"),
+        ("noisy", "قطار ساعت 6:45 سکوی 2 #تهران"),
+        ("mixed", "مدیر آپدیت پروژه را صبح ایمیل کرد"),
+    ],
+    "ur": [
+        ("short", "پھر کل ملتے ہیں"),
+        ("noisy", "ٹرین صبح 7:20 پلیٹ فارم 4 #لاہور"),
+        ("mixed", "منیجر نے پروجیکٹ کی اپڈیٹ صبح ای میل کی"),
+    ],
+    "hi": [
+        ("short", "कल मिलते हैं फिर"),
+        ("noisy", "ट्रेन सुबह 6:30 प्लेटफ़ॉर्म 5 #दिल्ली"),
+        ("mixed", "मैनेजर ने प्रोजेक्ट की अपडेट सुबह ईमेल की"),
+    ],
+    "mr": [
+        ("short", "उद्या भेटू मग"),
+        ("noisy", "गाडी सकाळी 7:10 फलाट 3 #पुणे"),
+        ("mixed", "मॅनेजरने प्रोजेक्टची अपडेट सकाळी ईमेल केली"),
+    ],
+    "ne": [
+        ("short", "भोलि भेटौँला है"),
+        ("noisy", "रेल बिहान 8:25 प्लेटफर्म 1 #काठमाडौँ"),
+        ("mixed", "म्यानेजरले प्रोजेक्टको अपडेट बिहान इमेल गरे"),
+    ],
+}
+
+
 def holdout_df(spark) -> DataFrame:
     """The evaluation corpus as (doc_id, text, true_lang) — ids are
     stable (language-sorted, then sentence order) so runs compare."""
@@ -190,18 +320,23 @@ def holdout_df(spark) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, text string, true_lang string")
 
 
-def lang_id_accuracy(spark) -> dict:
-    """Held-out accuracy of the full tiered classifier, grouped by the
-    TRUE language's tier: ``{"overall": r, "n": N, "tiers": {tier:
-    {"accuracy": r, "n": k}}, "wrong": [{id, true, pred}...]}``.
-    One Spark job over 92 fixed sentences — negligible cost; the
-    ``wrong`` list (bounded by the corpus size) makes a regression
-    diagnosable from the published artifact alone."""
-    from python_plugins_spark.operators.langid import lang_id_tiered
+def holdout_hard_df(spark) -> DataFrame:
+    """The HARD evaluation corpus as (doc_id, text, true_lang,
+    case_class) — ids offset by 1000 from the prose set, stable
+    (language-sorted, then case order)."""
+    rows = []
+    i = 1000
+    for lang in sorted(HOLDOUT_HARD):
+        for case_class, s in HOLDOUT_HARD[lang]:
+            rows.append((i, s, lang, case_class))
+            i += 1
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, true_lang string, case_class string"
+    )
 
-    df = holdout_df(spark)
-    pred = lang_id_tiered(df, "text", "doc_id", carry=["true_lang"])
-    rows = pred.select("doc_id", "true_lang", "lang").collect()
+
+def _grade(rows) -> dict:
+    """Shared grading: overall / per-tier accuracy + the wrong list."""
     tiers: dict[str, dict] = {}
     wrong = []
     n_ok = 0
@@ -225,3 +360,43 @@ def lang_id_accuracy(spark) -> dict:
         },
         "wrong": sorted(wrong, key=lambda w: w["id"]),
     }
+
+
+def lang_id_accuracy(spark) -> dict:
+    """Held-out accuracy of the full tiered classifier. Top-level
+    keys grade the PROSE set (unchanged since round 11 — the 92
+    long-sentence subset whose 1.0 floor is pinned in pytest):
+    ``{"overall": r, "n": N, "tiers": {tier: {"accuracy", "n"}},
+    "wrong": [...]}``. Round 12 adds ``"hard"`` — the saturation fix
+    (judge ask #7): the same grading over HOLDOUT_HARD plus a
+    per-case-class breakdown (``short`` / ``noisy`` / ``mixed``), a
+    number that sits below 1.0 and can MOVE when profiles improve.
+    Two Spark jobs over 161 fixed sentences — negligible cost; the
+    ``wrong`` lists make a regression diagnosable from the published
+    artifact alone."""
+    from python_plugins_spark.operators.langid import lang_id_tiered
+
+    pred = lang_id_tiered(
+        holdout_df(spark), "text", "doc_id", carry=["true_lang"]
+    )
+    out = _grade(pred.select("doc_id", "true_lang", "lang").collect())
+
+    hard_pred = lang_id_tiered(
+        holdout_hard_df(spark), "text", "doc_id",
+        carry=["true_lang", "case_class"],
+    )
+    hard_rows = hard_pred.select(
+        "doc_id", "true_lang", "lang", "case_class"
+    ).collect()
+    hard = _grade(hard_rows)
+    classes: dict[str, dict] = {}
+    for r in hard_rows:
+        c = classes.setdefault(r.case_class, {"n": 0, "ok": 0})
+        c["n"] += 1
+        c["ok"] += int(r.lang == r.true_lang)
+    hard["classes"] = {
+        k: {"accuracy": round(v["ok"] / v["n"], 4), "n": v["n"]}
+        for k, v in sorted(classes.items())
+    }
+    out["hard"] = hard
+    return out
