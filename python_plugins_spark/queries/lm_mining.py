@@ -374,47 +374,72 @@ def ccnet_perplexity_buckets_docs(spark, sf_dir):
     )
 
 
-def _quality_gate_oracle() -> str:
+def quality_gate_oracle_parts(logit_prefix: str = "") -> list[str]:
+    """The quality gate's oracle CTE blocks through ``gate_verdict``
+    (per-doc keep boolean), shared by :func:`_quality_gate_oracle` and
+    the pretraining mega-capstone (sources_sinks). ``logit_prefix``
+    forwards to :func:`~python_plugins_spark.queries.sql_training.
+    logit_oracle_parts` — the BPE rounds also name CTEs ``p{{r}}``, so
+    a composition with them must prefix the logistic set."""
     from python_plugins_spark.queries.sql_training import (
         _LOGIT_ITERS,
         logit_oracle_parts,
     )
 
-    lparts = ",\n    ".join(logit_oracle_parts())
-    n = _LOGIT_ITERS
-    return f"""
-    WITH {_KN3_CORE_SQL},
-    src AS (
+    q = logit_prefix
+    parts: list[str] = [_KN3_CORE_SQL]
+    parts.append(
+        """qg_src AS (
       SELECT d.doc_id, d.source, n.kn3_nll
       FROM documents d JOIN dnll n USING (doc_id)
-    ),
-    tiled AS (
+    )"""
+    )
+    parts.append(
+        """qg_tiled AS (
       SELECT *, ntile(3) OVER (
         PARTITION BY source ORDER BY kn3_nll, doc_id) AS tile
-      FROM src
-    ),
-    bucketed AS (
+      FROM qg_src
+    )"""
+    )
+    parts.append(
+        """qg_bucketed AS (
       SELECT doc_id, kn3_nll,
              CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                   ELSE 'tail' END AS bucket
-      FROM tiled
-    ),
-    {lparts},
-    scored AS (
+      FROM qg_tiled
+    )"""
+    )
+    parts.extend(logit_oracle_parts(prefix=q))
+    parts.append(
+        f"""qg_scored AS (
       SELECT f.doc_id,
              round(1.0/(1.0 + exp(-(w.w0 + w.w1*f.x1 + w.w2*f.x2
                                     + w.w3*f.x3))), 6) AS clf_score
-      FROM feat f CROSS JOIN w{n} w
+      FROM {q}feat f CROSS JOIN {q}w{_LOGIT_ITERS} w
+    )"""
     )
-    SELECT d.doc_id, d.source,
-           coalesce(b.bucket, 'excluded') AS bucket,
-           b.kn3_nll AS ppl_nll,
-           s.clf_score,
-           (b.bucket IS NOT NULL AND b.bucket <> 'tail'
-            AND s.clf_score >= 0.5) AS keep
-    FROM documents d
-    LEFT JOIN bucketed b USING (doc_id)
-    JOIN scored s ON d.doc_id = s.doc_id
+    parts.append(
+        """gate_verdict AS (
+      SELECT d.doc_id, d.source,
+             coalesce(b.bucket, 'excluded') AS bucket,
+             b.kn3_nll AS ppl_nll,
+             s.clf_score,
+             (b.bucket IS NOT NULL AND b.bucket <> 'tail'
+              AND s.clf_score >= 0.5) AS keep
+      FROM documents d
+      LEFT JOIN qg_bucketed b USING (doc_id)
+      JOIN qg_scored s ON d.doc_id = s.doc_id
+    )"""
+    )
+    return parts
+
+
+def _quality_gate_oracle() -> str:
+    parts = ",\n    ".join(quality_gate_oracle_parts())
+    return f"""
+    WITH {parts}
+    SELECT doc_id, source, bucket, ppl_nll, clf_score, keep
+    FROM gate_verdict
     """
 
 
@@ -449,9 +474,18 @@ def quality_gate_end_to_end(spark, sf_dir):
     checkpointed feature frame; scoring and the verdict are stateless
     projections joined back on doc_id. Shuffle budget pinned in
     test_query_shuffle_budgets."""
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_gate_verdict(docs)
+
+
+def quality_gate_verdict(docs):
+    """The quality gate's per-document verdict frame (doc_id, source,
+    bucket, ppl_nll, clf_score, keep) — the body of
+    ``quality_gate_end_to_end``, exposed so the pretraining
+    mega-capstone (sources_sinks) can filter the corpus on ``keep``
+    with the identical dataflow."""
     from python_plugins_spark.queries.sql_training import logit_train
 
-    docs = load_table(spark, "documents", sf_dir)
     nll = _kn3_doc_nll(docs, score_bound=None)
     src = docs.select("doc_id", "source").join(nll, "doc_id")
     w_t = Window.partitionBy("source").orderBy("kn3_nll", "doc_id")

@@ -1234,13 +1234,22 @@ def bpe_encode_docs(spark, sf_dir):
 
 
 def _training_shards_oracle() -> str:
+    parts, final = _training_shards_parts("documents")
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final
+
+
+def _training_shards_parts(src: str) -> tuple[list[str], str]:
+    """The shards capstone's oracle CTE blocks, parameterized on the
+    source relation so the pretraining mega-capstone can feed the
+    quality gate's ``kept`` CTE through the identical pipeline.
+    Returns ``(parts, final_manifest_select)``."""
     from python_plugins_spark.functions import oracle_fragments as O
     from python_plugins_spark.operators.tokenizer import _bpe_oracle_parts
 
     toks = O.sql_tokens("text")
     parts = [
         f"""clean AS (
-      SELECT doc_id, text, source FROM documents
+      SELECT doc_id, text, source FROM {src}
       WHERE len({toks}) >= 10
     )""",
         """corpus AS (
@@ -1298,7 +1307,7 @@ def _training_shards_oracle() -> str:
         "           count(DISTINCT bin) AS n_bins\n"
         "    FROM sharded GROUP BY shard, source"
     )
-    return "WITH " + ",\n    ".join(parts) + "\n    " + final
+    return parts, final
 
 
 @register("training_shards_end_to_end", oracle=_training_shards_oracle())
@@ -1336,17 +1345,21 @@ def training_shards_end_to_end(spark, sf_dir):
     )
 
 
-def _training_shards_frame(spark, sf_dir, with_pieces: bool = False):
+def _training_shards_frame(spark, sf_dir, with_pieces: bool = False,
+                           docs=None):
     """The shared clean->dedup->BPE-encode->pack->shard pipeline of
-    ``training_shards_end_to_end`` (manifest) and
-    ``training_shard_files_end_to_end`` (shard FILES): returns the
-    per-document sharded frame (doc_id, source, n_pieces, bin,
-    shard[, pieces]). ``with_pieces`` keeps the encoded token pieces
-    — the actual payload a shard file carries."""
+    ``training_shards_end_to_end`` (manifest),
+    ``training_shard_files_end_to_end`` (shard FILES), and the
+    pretraining mega-capstone (which passes the quality-gated corpus
+    as ``docs``): returns the per-document sharded frame (doc_id,
+    source, n_pieces, bin, shard[, pieces]). ``with_pieces`` keeps
+    the encoded token pieces — the actual payload a shard file
+    carries."""
     from python_plugins_spark.functions import tokens
     from python_plugins_spark.operators.tokenizer import bpe_encode, bpe_train
 
-    docs = load_table(spark, "documents", sf_dir)
+    if docs is None:
+        docs = load_table(spark, "documents", sf_dir)
     clean = docs.filter(F.size(tokens(F.col("text"))) >= 10)
     corpus = D.dedup_exact(clean, ["text"], "doc_id").select(
         "doc_id", "text", "source"
@@ -1378,6 +1391,67 @@ def _training_shards_frame(spark, sf_dir, with_pieces: bool = False):
         F.pmod(
             F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), F.lit(8)
         ),
+    )
+
+
+def _pretraining_oracle() -> str:
+    from python_plugins_spark.queries.lm_mining import (
+        quality_gate_oracle_parts,
+    )
+
+    gparts = quality_gate_oracle_parts(logit_prefix="lg")
+    kept = """kept AS (
+      SELECT d.doc_id, d.text, d.source
+      FROM documents d JOIN gate_verdict v USING (doc_id)
+      WHERE v.keep
+    )"""
+    sparts, final = _training_shards_parts("kept")
+    parts = gparts + [kept] + sparts
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final
+
+
+@register("pretraining_corpus_end_to_end", oracle=_pretraining_oracle())
+def pretraining_corpus_end_to_end(spark, sf_dir):
+    """The PRETRAINING mega-capstone (round 12) — the two round-11/12
+    capstones composed into the full corpus-to-tokens dataflow a
+    pretraining run actually executes:
+
+      QUALITY LEG (lm_mining.quality_gate_verdict): corpus-wide
+      trigram-KN perplexity -> per-source terciles -> logistic quality
+      probe -> per-doc keep/drop -> the corpus FILTERS on keep
+      (CCNet's output feeding the tokenizer, not a side report)
+      -> TOKENS LEG (_training_shards_frame over the SURVIVORS):
+      quality floor -> exact dedup -> BPE train+encode -> 2048-token
+      packing per source -> deterministic epoch shuffle-shard ->
+      per-(shard, source) manifest.
+
+    The nested oracle is the full composition — the shared KN3 CTEs,
+    the tercile window, the unrolled-GD rounds (prefixed ``lg``: the
+    BPE rounds also name CTEs p{r}), the verdict, the kept-corpus
+    filter, then the entire shards pipeline re-rooted on ``kept`` —
+    ~60 CTE blocks of exact arithmetic, hash-matched end to end.
+    Notable: BPE merges are retrained on the FILTERED corpus, so a
+    changed quality verdict changes the learned vocabulary, the
+    encoded token counts, and the packing — the oracle catches any
+    drift anywhere in that chain.
+
+    Scale: each leg keeps its own documented shape (quality <= 8
+    exchanges post-checkpoint, shards <= 5 + the verdict semi-join);
+    the verdict frame is doc_id-partitioned and joins the corpus once
+    before the shards checkpoint."""
+    from python_plugins_spark.queries.lm_mining import quality_gate_verdict
+
+    docs = load_table(spark, "documents", sf_dir)
+    verdict = quality_gate_verdict(docs)
+    kept = docs.join(
+        verdict.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    return _training_shards_frame(spark, sf_dir, docs=kept).groupBy(
+        "shard", "source"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_pieces").alias("total_tokens"),
+        F.countDistinct("bin").alias("n_bins"),
     )
 
 

@@ -1558,44 +1558,48 @@ _LOGIT_LR = 0.8
 _LOGIT_ITERS = 8
 
 
-def logit_oracle_parts() -> list[str]:
+def logit_oracle_parts(prefix: str = "") -> list[str]:
     """The logistic probe's DuckDB CTE blocks (feature frame + the 8
-    unrolled GD rounds ending in ``w{_LOGIT_ITERS}``), shared between
-    :func:`_logistic_probe_oracle` and the quality-gate capstone's
-    nested oracle (lm_mining.quality_gate_end_to_end). ``feat``
-    carries ``doc_id`` so a composed oracle can score per-document
-    with the final weights; the training aggregates ignore it."""
+    unrolled GD rounds ending in ``{prefix}w{_LOGIT_ITERS}``), shared
+    between :func:`_logistic_probe_oracle`, the quality-gate
+    capstone's nested oracle (lm_mining.quality_gate_end_to_end), and
+    the pretraining mega-capstone. ``feat`` carries ``doc_id`` so a
+    composed oracle can score per-document with the final weights;
+    the training aggregates ignore it. ``prefix`` renames every CTE
+    (feat/w/p/a) so a composition with the BPE rounds — which also
+    define ``p{r}`` — cannot collide."""
     fx = {k: v[1] for k, v in _LOGIT_FEATURES.items()}
+    q = prefix
     parts = [
-        f"""feat AS MATERIALIZED (
+        f"""{q}feat AS MATERIALIZED (
       SELECT doc_id, {fx['x1']} AS x1, {fx['x2']} AS x2, {fx['x3']} AS x3,
              {_LOGIT_LABEL} AS y
       FROM documents
     )""",
-        "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)",
+        f"{q}w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)",
     ]
     for r in range(1, _LOGIT_ITERS + 1):
         parts.append(
-            f"""p{r} AS (
+            f"""{q}p{r} AS (
       SELECT f.*, 1.0/(1.0 + exp(-(w.w0 + w.w1*f.x1 + w.w2*f.x2
                                    + w.w3*f.x3))) AS p
-      FROM feat f CROSS JOIN w{r - 1} w
+      FROM {q}feat f CROSS JOIN {q}w{r - 1} w
     )"""
         )
         parts.append(
-            f"""a{r} AS MATERIALIZED (
+            f"""{q}a{r} AS MATERIALIZED (
       SELECT avg(-(y*ln(p) + (1.0 - y)*ln(1.0 - p))) AS loss,
              avg(p - y) AS g0, avg((p - y)*x1) AS g1,
              avg((p - y)*x2) AS g2, avg((p - y)*x3) AS g3
-      FROM p{r}
+      FROM {q}p{r}
     )"""
         )
         parts.append(
-            f"""w{r} AS MATERIALIZED (
+            f"""{q}w{r} AS MATERIALIZED (
       SELECT w.w0 - {_LOGIT_LR}*a.g0 AS w0, w.w1 - {_LOGIT_LR}*a.g1 AS w1,
              w.w2 - {_LOGIT_LR}*a.g2 AS w2, w.w3 - {_LOGIT_LR}*a.g3 AS w3,
              a.loss AS loss
-      FROM w{r - 1} w CROSS JOIN a{r} a
+      FROM {q}w{r - 1} w CROSS JOIN {q}a{r} a
     )"""
         )
     return parts
