@@ -1383,7 +1383,6 @@ def _bench_bpe_train(spark, sf_dir: str) -> dict:
         # 4,000 merges entirely driver-local. This is the merge loop's
         # own cost at production depth, independent of corpus scan
         # cost (which stays the one distributed pass regardless).
-        import itertools
         import time as _t
 
         def _synth_words(n):
@@ -1398,10 +1397,6 @@ def _bench_bpe_train(spark, sf_dir: str) -> dict:
                     s = (s * 2862933555777941757 + 3037000493) % (1 << 64)
                     w.append(letters[(s >> 16) % 12])
                 yield "".join(w), 1 + (i * 7919) % 997
-
-        from python_plugins_spark.operators.tokenizer import (
-            _bpe_train_local,
-        )
 
         words_df = spark.createDataFrame(
             [(w, c) for w, c in _synth_words(50_000)], "w string, cnt long"

@@ -57,7 +57,9 @@ def write_training_shards(
     carry ``shard_col``, ``id_col``, and ``n_pieces``; every other
     column (source, bin, pieces, ...) lands in the file as payload.
     Raises if the read-back audit disagrees with what the writers
-    reported."""
+    reported. Like ``write_warc_files``, the output path must be a
+    filesystem every executor and the driver share (true in local
+    mode; a cluster points this at the mounted object store)."""
     staging = out_dir.rstrip("/") + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(staging, exist_ok=True)

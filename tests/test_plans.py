@@ -718,6 +718,20 @@ def test_training_shards_shuffle_budget(spark, sf_dir):
     assert "CartesianProduct" not in plan_str(enc)
 
 
+def test_pretraining_capstone_shuffle_budget(spark, sf_dir):
+    """The composed pretraining mega-capstone stays the SUM of its
+    legs, not a blowup: quality verdict (<= 8 post-checkpoint) + the
+    keep semi-join + the shards pipeline (<= 5 post-checkpoint) fit
+    in <= 15 exchanges total, with no cartesian product anywhere in
+    the composition."""
+    from python_plugins_spark.plans import count_shuffles, plan_str
+    from python_plugins_spark.queries import QUERIES
+
+    df = QUERIES["pretraining_corpus_end_to_end"](spark, sf_dir)
+    assert count_shuffles(df) <= 15
+    assert "CartesianProduct" not in plan_str(df)
+
+
 def test_quality_gate_shuffle_budget(spark, sf_dir):
     """The quality-gate capstone's shuffle budget (round 12): the
     post-checkpoint dataflow — KN model aggregates over the
