@@ -412,6 +412,11 @@ def main() -> None:
         # other adjudication-prone member
         "crawl_pipeline_end_to_end",
         "pipeline_streaming_end_to_end",
+        # round-12b: a clean-window run caught image_dhash_dedup at
+        # 2.37 s (vs 1.27-1.37 s in every neighboring run, nothing in
+        # its path changed) — the single-pass-transient class the
+        # round-7 note documents; medians reject it
+        "image_dhash_dedup",
     }
     extra_timings: dict[str, float] = {}
     for name in EXTRA_QUERIES:
