@@ -1346,7 +1346,7 @@ def training_shards_end_to_end(spark, sf_dir):
 
 
 def _training_shards_frame(spark, sf_dir, with_pieces: bool = False,
-                           docs=None):
+                           docs=None, epoch: int = 0):
     """The shared clean->dedup->BPE-encode->pack->shard pipeline of
     ``training_shards_end_to_end`` (manifest),
     ``training_shard_files_end_to_end`` (shard FILES), and the
@@ -1354,7 +1354,11 @@ def _training_shards_frame(spark, sf_dir, with_pieces: bool = False,
     as ``docs``): returns the per-document sharded frame (doc_id,
     source, n_pieces, bin, shard[, pieces]). ``with_pieces`` keeps
     the encoded token pieces — the actual payload a shard file
-    carries."""
+    carries. ``epoch`` seeds the shuffle-shard key
+    (md5('epoch{N}:'||doc_id)) — each training epoch gets an
+    independent deterministic permutation of documents to shards,
+    the standard epoch-reshuffle, with per-epoch totals invariant
+    (pinned in ``test_training_shards_epoch_reshuffle``)."""
     from python_plugins_spark.functions import tokens
     from python_plugins_spark.operators.tokenizer import bpe_encode, bpe_train
 
@@ -1384,7 +1388,7 @@ def _training_shards_frame(spark, sf_dir, with_pieces: bool = False,
         ).cast("long").alias("bin"),
     )
     key = F.md5(
-        F.concat_ws(":", F.lit("epoch0"), F.col("doc_id").cast("string"))
+        F.concat_ws(":", F.lit(f"epoch{epoch}"), F.col("doc_id").cast("string"))
     )
     return binned.withColumn(
         "shard",

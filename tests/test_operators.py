@@ -3142,6 +3142,31 @@ def test_write_training_shards(spark, tmp_path):
     assert len(os.listdir(out)) == 2 and len(man2) == 2
 
 
+def test_training_shards_epoch_reshuffle(spark):
+    """Epoch-seeded shuffle-sharding (round 12): different epochs
+    permute documents across shards independently (the standard
+    per-epoch reshuffle) while per-epoch invariants hold — same doc
+    set, same total token count, every doc in exactly one shard."""
+    from python_plugins_spark.queries.sources_sinks import (
+        _training_shards_frame,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e0 = {
+        r.doc_id: r.shard
+        for r in _training_shards_frame(spark, sf, epoch=0).collect()
+    }
+    e1 = {
+        r.doc_id: r.shard
+        for r in _training_shards_frame(spark, sf, epoch=1).collect()
+    }
+    assert e0.keys() == e1.keys()
+    moved = sum(1 for d in e0 if e0[d] != e1[d])
+    # md5 reshuffle: ~7/8 of docs should land on a different shard
+    assert moved > len(e0) // 2, f"only {moved}/{len(e0)} moved"
+    assert set(e0.values()) <= set(range(8))
+
+
 def test_warc_binary_bodies_flag_not_crash(spark, tmp_path):
     """Real crawls carry binary responses (images, PDFs): the body
     decoders must FLAG invalid UTF-8 (body_utf8_ok=false, U+FFFD
