@@ -1100,16 +1100,26 @@ def cross_doc_span_dedup(
     return _remove_spans_and_reassemble(df, tok, rm, text_col, id_col)
 
 
-def _span_tok_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Materialized (id, _pos, _tk) token stream — shared by the gram
-    builder and the anti-join/reassembly side of the span removers."""
-    return df.select(
+def _span_tok_frame(
+    df: DataFrame, text_col: str, id_col: str, materialize: bool = True
+) -> DataFrame:
+    """(id, _pos, _tk) token stream — shared by the gram builder and
+    the anti-join/reassembly side of the span removers. Materialized
+    by default (two downstream consumers at those sites);
+    ``materialize=False`` skips the eager checkpoint where exactly one
+    consumer exists (guide §5: caching is only worth it when a frame
+    is REUSED — a single-consumer checkpoint is a pure extra pass plus
+    executor-memory pressure, round 12)."""
+    out = df.select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tk"),
-    ).transform(stage_checkpoint)
+    )
+    return out.transform(stage_checkpoint) if materialize else out
 
 
-def _span_gram_frame(tok: DataFrame, id_col: str, n: int) -> DataFrame:
+def _span_gram_frame(
+    tok: DataFrame, id_col: str, n: int, materialize: bool = True
+) -> DataFrame:
     """Materialized (id, _pos, _h, _k) n-gram windows over a token
     stream: _h the 60-bit gram hash (NOT 32-bit: here a collision
     makes two unrelated n-grams look cross-document-duplicated and
@@ -1129,7 +1139,7 @@ def _span_gram_frame(tok: DataFrame, id_col: str, n: int) -> DataFrame:
         f"ELSE CAST({id_col} AS BIGINT) * 4294967296 + CAST(_pos AS BIGINT) "
         "END"
     )
-    return (
+    out = (
         tok.select(
             F.col(id_col),
             F.col("_pos"),
@@ -1143,8 +1153,10 @@ def _span_gram_frame(tok: DataFrame, id_col: str, n: int) -> DataFrame:
             hash60(F.col("_s")).alias("_h"),
             key.alias("_k"),
         )
-        .transform(stage_checkpoint)  # feeds stats agg + removal join
     )
+    # feeds stats agg + removal join at the multi-consumer sites;
+    # single-consumer callers (index build / append leg) skip the pass
+    return out.transform(stage_checkpoint) if materialize else out
 
 
 def _remove_spans_and_reassemble(
@@ -1214,8 +1226,11 @@ def span_index_build(
     from python_plugins_spark.sources.delta_py import write_delta
 
     spark = df.sparkSession
-    tok = _span_tok_frame(df, text_col, id_col)
-    grams = _span_gram_frame(tok, id_col, n)
+    # single-consumer chain tok -> grams -> aggregate -> write: no
+    # eager checkpoints (round 12, guide §5 — each one was a full
+    # extra materialization pass of the token/gram stream)
+    tok = _span_tok_frame(df, text_col, id_col, materialize=False)
+    grams = _span_gram_frame(tok, id_col, n, materialize=False)
     idx = grams.groupBy("_h").agg(F.min("_k").alias("first_k"))
     write_delta(idx, f"{index_path}/grams", mode="overwrite")
     write_delta(
@@ -1284,18 +1299,28 @@ def span_index_ingest(
             "index with span_index_build"
         )
     tok = _span_tok_frame(new_docs, text_col, id_col)
-    grams = _span_gram_frame(tok, id_col, n)
+    grams = _span_gram_frame(tok, id_col, n, materialize=False)
     idx = read_delta(spark, f"{index_path}/grams").select(
         F.col("_h").alias("_idx_h")
     )
-    known = grams.join(
-        idx, grams["_h"] == idx["_idx_h"], how="leftsemi"
-    ).select(
+    # ONE left join against the index instead of a semi + an anti
+    # (round 12, guide §2.4/§2.3): the index side is the corpus-sized
+    # relation — scanning and shuffling it twice to split the batch
+    # grams into known/unknown doubled the dominant per-batch cost.
+    # The index holds EXACTLY one row per distinct hash (built by
+    # groupBy(_h); appends are left_anti fresh hashes), so the left
+    # join cannot multiply rows and the match flag is the semi/anti
+    # split. Materialized once; both branches below are narrow filters
+    # over it.
+    flagged = grams.join(
+        idx, grams["_h"] == idx["_idx_h"], how="left"
+    ).transform(stage_checkpoint)
+    known = flagged.filter(F.col("_idx_h").isNotNull()).select(
         id_col,
         F.col("_pos").alias("_start"),
         (F.col("_pos") + (n - 1)).alias("_end"),
     )
-    unknown = grams.join(idx, grams["_h"] == idx["_idx_h"], how="left_anti")
+    unknown = flagged.filter(F.col("_idx_h").isNull()).drop("_idx_h")
     stats = (
         unknown.groupBy("_h")
         .agg(
@@ -1318,14 +1343,17 @@ def span_index_ingest(
         new_docs, tok, known.unionByName(rm_batch), text_col, id_col
     )
     if append:
+        # cleaned is consumed twice (the append leg + the caller);
+        # the append leg itself is a single-consumer chain tok2 ->
+        # grams2 -> aggregate -> anti-join -> write, so none of its
+        # intermediates checkpoint (round 12, guide §5)
         cleaned = cleaned.transform(stage_checkpoint)
-        tok2 = _span_tok_frame(cleaned, "clean_text", id_col)
-        grams2 = _span_gram_frame(tok2, id_col, n)
+        tok2 = _span_tok_frame(cleaned, "clean_text", id_col, materialize=False)
+        grams2 = _span_gram_frame(tok2, id_col, n, materialize=False)
         fresh = (
             grams2.groupBy("_h")
             .agg(F.min("_k").alias("first_k"))
             .join(idx, F.col("_h") == idx["_idx_h"], how="left_anti")
-            .transform(stage_checkpoint)
         )
         write_delta(fresh, f"{index_path}/grams", mode="append")
     return cleaned

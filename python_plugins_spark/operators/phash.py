@@ -608,6 +608,11 @@ def phash_index_ingest(
         .groupBy(id_col, "phash")
         .agg(F.min("_idx_id").alias("dup_of"))
     )
+    if append:
+        # materialize the JOIN RESULT once; admitted and dups are
+        # narrow filters over it (round 12, guide §5 — checkpointing
+        # each branch separately recomputed the index join per branch)
+        matched = matched.transform(stage_checkpoint)
     dups = matched.filter(F.col("dup_of").isNotNull()).withColumn(
         "hamming", F.lit(0).cast("int")
     )
@@ -615,8 +620,6 @@ def phash_index_ingest(
         dups = dups.unionByName(intra_dups)
     admitted = matched.filter(F.col("dup_of").isNull()).select(id_col, "phash")
     if append:
-        admitted = admitted.transform(stage_checkpoint)
-        dups = dups.transform(stage_checkpoint)
         write_delta(admitted, f"{index_path}/phash", mode="append")
     return admitted, dups
 
@@ -719,13 +722,15 @@ def phash_index_radius_ingest(
     matched = hashed_new.select(id_col, "phash").join(
         hits, on=[id_col, "phash"], how="left"
     )
+    if append:
+        # one materialization of the banded-join verdict; both ports
+        # are narrow filters over it (round 12, guide §5)
+        matched = matched.transform(stage_checkpoint)
     dups = matched.filter(F.col("dup_of").isNotNull())
     if intra_dups is not None:
         dups = dups.unionByName(intra_dups)
     admitted = matched.filter(F.col("dup_of").isNull()).select(id_col, "phash")
     if append:
-        admitted = admitted.transform(stage_checkpoint)
-        dups = dups.transform(stage_checkpoint)
         write_delta(admitted, f"{index_path}/phash", mode="append")
     return admitted, dups
 

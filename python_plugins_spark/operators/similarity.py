@@ -2050,75 +2050,81 @@ def quantize_embeddings_int8(
 
     Scale shape: the per-dim extrema are ONE map-side-combined
     aggregate (2*dim min/max expressions — no explode, no shuffle of
-    corpus*dim rows), broadcast back as a 1-row frame; quantize +
-    error math + byte packing are pure JVM expressions over the
-    row's array. The explicit left-associative sums make the cosine
-    bit-identical to the DuckDB oracle replay."""
-    d = F.col(vec_col)
-    x = [F.element_at(d, i + 1).cast("double") for i in range(dim)]
-    if stats_row is not None:
-        # caller already ran the extrema aggregate (sq8_adc_topk
-        # collects it for the scorer) — rebuild the 1-row broadcast
-        # frame from its exact values instead of re-aggregating the
-        # corpus (min/max are exact, so the values are identical)
-        stats = df.sparkSession.createDataFrame(
-            [
-                tuple(
-                    [float(stats_row[f"mn{i}"]) for i in range(dim)]
-                    + [float(stats_row[f"mx{i}"]) for i in range(dim)]
-                )
-            ],
-            ", ".join(
-                [f"_mn{i} double" for i in range(dim)]
-                + [f"_mx{i} double" for i in range(dim)]
-            ),
-        )
-    else:
-        stats = df.agg(
-            *[F.min(x[i]).alias(f"_mn{i}") for i in range(dim)],
-            *[F.max(x[i]).alias(f"_mx{i}") for i in range(dim)],
-        )
-    j = df.crossJoin(F.broadcast(stats))
-    mn = [F.col(f"_mn{i}") for i in range(dim)]
-    scale = [
-        F.when(
-            F.col(f"_mx{i}") == F.col(f"_mn{i}"), F.lit(1.0)
-        ).otherwise((F.col(f"_mx{i}") - F.col(f"_mn{i}")) / F.lit(255.0))
-        for i in range(dim)
-    ]
-    code = [
-        F.least(
-            F.lit(255),
-            F.greatest(
-                F.lit(0),
-                F.floor((x[i] - mn[i]) / scale[i] + F.lit(0.5)).cast("int"),
-            ),
-        )
-        for i in range(dim)
-    ]
-    deq = [mn[i] + code[i].cast("double") * scale[i] for i in range(dim)]
+    corpus*dim rows), collected as the bounded 2*dim-double stats row;
+    quantize + error math + byte packing run as ONE vectorized Arrow
+    pass (guide §4.2) whose per-element IEEE-double operation order is
+    identical to the previous pure-JVM expression tree — including the
+    LEFT-ASSOCIATIVE dot/norm folds (explicit accumulation loops over
+    dimensions, never pairwise/BLAS reductions), so errors and cosines
+    stay bit-identical to the DuckDB oracle replay. (Round 12: the
+    expression-tree form compiled a ~770-node whole-stage-codegen
+    projection per plan — a multi-second constant — and packed bytes
+    through per-dim hex/lpad/unhex string round-trips, a real per-row
+    cost at corpus scale. The final 6 dp rounding stays JVM-side
+    (``F.round``) so its half-up decimal semantics are untouched.)"""
+    spark = df.sparkSession
+    if stats_row is None:
+        # one exact map-side-combined aggregate; 2*dim doubles through
+        # the driver (the bounded class — same as _collect_int8_extrema)
+        x = [F.element_at(F.col(vec_col), i + 1).cast("double") for i in range(dim)]
+        stats_row = df.agg(
+            *[F.min(x[i]).alias(f"mn{i}") for i in range(dim)],
+            *[F.max(x[i]).alias(f"mx{i}") for i in range(dim)],
+        ).collect()[0]
+    mn = np.array([float(stats_row[f"mn{i}"]) for i in range(dim)], dtype=np.float64)
+    mx = np.array([float(stats_row[f"mx{i}"]) for i in range(dim)], dtype=np.float64)
+    scale = np.where(mx == mn, 1.0, (mx - mn) / 255.0)
 
-    def _lsum(terms):
-        acc = terms[0]
-        for t in terms[1:]:
-            acc = acc + t
-        return acc
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("codes", T.BinaryType()),
+            T.StructField("_err_raw", T.DoubleType()),
+            T.StructField("_cos_raw", T.DoubleType()),
+        ]
+    )
 
-    dot = _lsum([x[i] * deq[i] for i in range(dim)])
-    na = F.sqrt(_lsum([x[i] * x[i] for i in range(dim)]))
-    nb = F.sqrt(_lsum([deq[i] * deq[i] for i in range(dim)]))
-    cos = F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
-        dot / (na * nb)
-    )
-    err = F.greatest(*[F.abs(x[i] - deq[i]) for i in range(dim)])
-    packed = F.concat(
-        *[F.unhex(F.lpad(F.hex(code[i]), 2, "0")) for i in range(dim)]
-    )
-    return j.select(
+    def quantize(batches, _mn=mn, _scale=scale):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            # identical op order to the JVM expression tree it replaces:
+            # floor((x - mn) / scale + 0.5) -> int, clamped to [0, 255]
+            code = np.floor((x - _mn[None, :]) / _scale[None, :] + 0.5)
+            code = np.clip(code, 0, 255).astype(np.uint8)
+            deq = _mn[None, :] + code.astype(np.float64) * _scale[None, :]
+            diff = np.abs(x - deq)
+            # left-associative folds, vectorized ACROSS rows only
+            dot = x[:, 0] * deq[:, 0]
+            na2 = x[:, 0] * x[:, 0]
+            nb2 = deq[:, 0] * deq[:, 0]
+            err = diff[:, 0]
+            for i in range(1, dim):
+                dot = dot + x[:, i] * deq[:, i]
+                na2 = na2 + x[:, i] * x[:, i]
+                nb2 = nb2 + deq[:, i] * deq[:, i]
+                err = np.maximum(err, diff[:, i])
+            na = np.sqrt(na2)
+            nb = np.sqrt(nb2)
+            den = na * nb
+            cos = np.where((na == 0) | (nb == 0), 0.0,
+                           dot / np.where(den == 0, 1.0, den))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "codes": [code[r].tobytes() for r in range(len(pdf))],
+                    "_err_raw": err,
+                    "_cos_raw": cos,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(quantize, out_schema).select(
         F.col(id_col),
-        packed.alias("codes"),
-        F.round(err, 6).alias("max_abs_err"),
-        F.round(cos, 6).alias("cos_recon"),
+        F.col("codes"),
+        F.round(F.col("_err_raw"), 6).alias("max_abs_err"),
+        F.round(F.col("_cos_raw"), 6).alias("cos_recon"),
     )
 
 
