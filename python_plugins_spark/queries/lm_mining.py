@@ -117,16 +117,22 @@ def kneser_ney_bigram_docs(spark, sf_dir):
         (F.col("c_ab") - 0.75) / F.col("c_a")
         + F.lit(0.75) * F.col("n1f") / F.col("c_a") * F.col("n1b") / F.col("t_types")
     )
-    return (
-        bg.filter(F.col("doc_id") < 120)
-        .join(cab, on=["w1", "w2"])
-        .join(ca, on="w1")
+    # model-first assembly (round 12, guide §8 — see _kn3_doc_nll):
+    # the vocabulary-bounded tables join among themselves into one
+    # per-bigram-type _nll column; the corpus stream joins ONCE
+    model = (
+        cab.join(ca, on="w1")
         .join(cb, on="w2")
         .crossJoin(F.broadcast(t_types))
+        .select("w1", "w2", (-F.log(p_kn)).alias("_nll"))
+    )
+    return (
+        bg.filter(F.col("doc_id") < 120)
+        .join(model, on=["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.avg(-F.log(p_kn)), 4).alias("kn_nll"),
+            F.round(F.avg("_nll"), 4).alias("kn_nll"),
         )
     )
 
@@ -246,17 +252,33 @@ def _kn3_doc_nll(docs, score_bound: int | None):
     scored = tg if score_bound is None else tg.filter(
         F.col("doc_id") < score_bound
     )
-    return (
-        scored.join(ctg, on=["w1", "w2", "w3"])
-        .join(cab, on=["w1", "w2"])
+    # Round 12 (guide §8/§2.3): assemble the model FIRST — the five
+    # component tables join among THEMSELVES (all vocabulary/type-
+    # bounded; every trigram type is guaranteed a match in each: cab/
+    # cont23/cont2 re-aggregate ctg, and (w2,w3) of any trigram is a
+    # bigram type so cb covers w3), folding the whole interpolated
+    # probability into one per-trigram-type `_nll` column. The CORPUS-
+    # SIZED occurrence stream then joins ONCE on (w1,w2,w3) instead of
+    # flowing through a five-join chain — at web scale that is one
+    # pass of the heavy stream through one equi-join instead of five
+    # (and locally: 5 stream-side broadcast builds -> 1). Arithmetic
+    # and join keys are unchanged, so the per-occurrence double is
+    # bit-identical and the 4 dp rounded average matches the oracle
+    # exactly as before.
+    model = (
+        ctg.join(cab, on=["w1", "w2"])
         .join(cont23, on=["w2", "w3"])
         .join(cont2, on="w2")
         .join(cb, on="w3")
         .crossJoin(F.broadcast(tt))
+        .select("w1", "w2", "w3", (-F.log(p_tri)).alias("_nll"))
+    )
+    return (
+        scored.join(model, on=["w1", "w2", "w3"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_trigrams"),
-            F.round(F.avg(-F.log(p_tri)), 4).alias("kn3_nll"),
+            F.round(F.avg("_nll"), 4).alias("kn3_nll"),
         )
     )
 

@@ -965,6 +965,21 @@ def test_headline_v2_regression_budget():
     pdrift = env.get("calib_par_drift_pct")
     if pdrift is not None and pdrift > 10:
         pytest.skip(f"multi-core calibration drift +{pdrift}% vs prior run")
+    # in-run degradation (round 12): the START fingerprint cannot see
+    # a box that degrades MID-run (observed: clean start — calib
+    # 0.909 s, membw 17.6, loadavg 0.39 — yet the end-of-run probe
+    # read 1.054 s and the extras section carried 3-4x inflated
+    # medians while the headline pass, run first, stayed clean). The
+    # bench records one more fixed-work calibration loop at the end
+    # (calib_s_end); a start->end slowdown beyond 10% marks the later
+    # sections box-contended. Positive drift only, same rationale as
+    # calib_par_drift_pct above.
+    cs, ce = env.get("calib_s"), env.get("calib_s_end")
+    if cs and ce and (ce / cs - 1) * 100 > 10:
+        pytest.skip(
+            f"in-run calibration degradation {cs} -> {ce} s "
+            f"(+{(ce / cs - 1) * 100:.0f}%)"
+        )
     # round-9 medians (BENCH_r09 bench_detail, sf0.1, clean box)
     R9 = {
         "ann_topk_cosine": 1.091,
