@@ -357,6 +357,108 @@ def bmp_bytes(width: int, height: int, pixel_fn) -> bytes:
     return header + bytes(rows)
 
 
+def bmp_bytes_array(arr) -> bytes:
+    """Vectorized twin of :func:`bmp_bytes` (guide §4.2): ``arr`` is an
+    (h, w, 3) uint8 RGB array, y=0 the TOP row. Byte-identical output —
+    the same header, bottom-up BGR rows, 4-byte padding — built with
+    numpy slicing instead of one Python ``pixel_fn`` call per pixel
+    (the scalar encoder costs ~1k interpreter calls per 32x32 frame;
+    this is one reshape + tobytes). The scalar form stays as the
+    format-documenting reference; tests pin the two byte-equal."""
+    import struct
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    height, width = arr.shape[0], arr.shape[1]
+    row_stride = (width * 3 + 3) & ~3
+    img_size = row_stride * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    bgr = arr[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    if row_stride == width * 3:
+        body = bgr.tobytes()
+    else:
+        padded = np.zeros((height, row_stride), dtype=np.uint8)
+        padded[:, : width * 3] = bgr.reshape(height, width * 3)
+        body = padded.tobytes()
+    return header + body
+
+
+def parse_bmp_array(payload: bytes):
+    """Vectorized twin of :func:`parse_bmp`: same header handling
+    (pixel-array offset, top-down/bottom-up, BGR, row padding), but the
+    pixel array comes out as one numpy (h, w, 3) uint8 RGB view built
+    from a single ``frombuffer`` + reshape instead of h*w Python tuple
+    constructions. Returns (width, height, array)."""
+    import struct
+
+    import numpy as np
+
+    if payload[0:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, width, height_raw = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    if bpp != 24 or hdr_size < 40:
+        raise ValueError(f"unsupported BMP ({bpp=}, {hdr_size=})")
+    top_down = height_raw < 0
+    height = abs(height_raw)
+    row_stride = (width * 3 + 3) & ~3
+    data = np.frombuffer(
+        payload, dtype=np.uint8, count=row_stride * height, offset=data_offset
+    )
+    rows = data.reshape(height, row_stride)[:, : width * 3]
+    pix = rows.reshape(height, width, 3)
+    if not top_down:
+        pix = pix[::-1]
+    return width, height, pix[:, :, ::-1]  # BGR -> RGB
+
+
+def ppm_bytes_array(arr) -> bytes:
+    """Vectorized twin of :func:`ppm_bytes`: (h, w, 3) uint8 RGB
+    top-down array -> P6 bytes (identical output)."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    height, width = arr.shape[0], arr.shape[1]
+    return f"P6\n{width} {height}\n255\n".encode() + arr.tobytes()
+
+
+def parse_ppm_array(payload: bytes):
+    """Vectorized twin of :func:`parse_ppm`: same tolerant header scan,
+    numpy pixel array out. Returns (width, height, (h, w, 3) uint8 RGB
+    top-down array)."""
+    import numpy as np
+
+    if payload[0:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pix = np.frombuffer(
+        payload, dtype=np.uint8, count=width * height * 3, offset=pos
+    )
+    return width, height, pix.reshape(height, width, 3)
+
+
 def parse_bmp(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     """Hand-rolled 24bpp BMP decode: honors the pixel-array offset,
     bottom-up (or top-down, negative height) row order, BGR byte order
@@ -443,22 +545,25 @@ def decode_image_stats(
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for bt in batches:
             out = {k.name: [] for k in schema.fields}
             for pid, payload in zip(bt[id_col], bt[payload_col]):
                 raw = bytes(payload)
                 if raw[:2] == b"BM":
-                    w, h, pixels = parse_bmp(raw)
+                    w, h, arr = parse_bmp_array(raw)
                 elif raw[:2] == b"P6":
-                    w, h, pixels = parse_ppm(raw)
+                    w, h, arr = parse_ppm_array(raw)
                 else:
                     raise ValueError("unknown image payload")
+                sums = arr.sum(axis=(0, 1), dtype=np.int64)
                 out[id_col].append(int(pid))
                 out["width"].append(w)
                 out["height"].append(h)
-                out["sum_r"].append(sum(p[0] for p in pixels))
-                out["sum_g"].append(sum(p[1] for p in pixels))
-                out["sum_b"].append(sum(p[2] for p in pixels))
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(decode, schema)
@@ -514,25 +619,27 @@ def synth_image_payloads(
             T.StructField("payload", T.BinaryType()),
         ]
     )
-    enc = {"bmp": bmp_bytes, "ppm": ppm_bytes}[fmt]
+    enc = {"bmp": bmp_bytes_array, "ppm": ppm_bytes_array}[fmt]
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        x = np.arange(width, dtype=np.int64)[None, :]
+        y = np.arange(height, dtype=np.int64)[:, None]
         for b in batches:
             ids, payloads = [], []
             for pid in b[id_col]:
                 s = int(pid)
+                arr = np.stack(
+                    [
+                        (s * 9 + 13 * x + y) % 256,
+                        (s * 5 + x + 11 * y) % 256,
+                        (s + 3 * x + 7 * y) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
                 ids.append(s)
-                payloads.append(
-                    enc(
-                        width,
-                        height,
-                        lambda x, y, s=s: (
-                            (s * 9 + 13 * x + y) % 256,
-                            (s * 5 + x + 11 * y) % 256,
-                            (s + 3 * x + 7 * y) % 256,
-                        ),
-                    )
-                )
+                payloads.append(enc(arr))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
     return fanout_ids(df, id_col).mapInPandas(synth, schema)

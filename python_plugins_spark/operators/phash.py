@@ -79,9 +79,14 @@ def image_dhash(
     """(id, phash) through the REAL decode chain: parse the BMP/PPM
     payload (operators/multimodal.py), luma-pool, difference-hash.
     Arrow-batched narrow map; zero shuffles."""
-    from python_plugins_spark.operators.multimodal import parse_bmp, parse_ppm
+    from python_plugins_spark.operators.multimodal import (
+        parse_bmp_array, parse_ppm_array,
+    )
 
-    parse = {"bmp": parse_bmp, "ppm": parse_ppm}[fmt]
+    # array parsers (round 12, guide §4.2): one frombuffer/reshape per
+    # payload instead of w*h Python tuple builds; dhash_bits consumes
+    # the (h, w, 3) array directly (np.asarray is a no-op on it)
+    parse = {"bmp": parse_bmp_array, "ppm": parse_ppm_array}[fmt]
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -99,6 +104,23 @@ def image_dhash(
             yield pd.DataFrame({id_col: ids, "phash": hashes})
 
     return df.select(id_col, payload_col).mapInPandas(hash_batches, schema)
+
+
+def _block_channel_array(base_r: int, base_g: int, base_b: int, grid: int, block: int):
+    """Vectorized per-block channel formulas shared by the image/video
+    fixtures (guide §4.2): returns the (grid*block, grid*block, 3)
+    int16 RGB array the scalar ``px(x, y)`` closures produce, computed
+    as three (grid, grid) numpy expressions expanded by ``np.repeat``
+    instead of one Python call per pixel. ``base_*`` fold the per-row
+    seed terms (group/frame); the bx/by coefficients and moduli are
+    the fixture constants the oracles replay."""
+    bx = np.arange(grid, dtype=np.int64)[None, :]
+    by = np.arange(grid, dtype=np.int64)[:, None]
+    r = (base_r + bx * 7 + by * 13) % 97
+    g = (base_g + bx * 11 + by * 3) % 89
+    b = (base_b + bx * 5 + by * 19) % 83
+    img = np.stack([r, g, b], axis=-1).astype(np.int16)
+    return np.repeat(np.repeat(img, block, axis=0), block, axis=1)
 
 
 def synth_block_image_payloads(
@@ -128,11 +150,10 @@ def synth_block_image_payloads(
     right), so the variant's dHash differs from its group's base hash
     by AT MOST v bits — the Hamming-radius near-dup fixture."""
     from python_plugins_spark.operators.multimodal import (
-        bmp_bytes, fanout_ids, ppm_bytes,
+        bmp_bytes_array, fanout_ids, ppm_bytes_array,
     )
 
-    enc = {"bmp": bmp_bytes, "ppm": ppm_bytes}[fmt]
-    side = grid * block
+    enc = {"bmp": bmp_bytes_array, "ppm": ppm_bytes_array}[fmt]
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -140,6 +161,13 @@ def synth_block_image_payloads(
         ]
     )
 
+    # Vectorized rendering (round 12, guide §4.2): the scalar form
+    # called a Python ``px(x, y)`` closure once per pixel — ~1k
+    # interpreter calls per image, the dominant cost of the whole
+    # fixture pipeline. The numpy form computes the identical bytes
+    # (same formulas, same variant/noise order of application —
+    # whitening checks the block BEFORE the (0,0) noise, and (0,0)
+    # is never in the whitened column for grid > 1).
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids, payloads = [], []
@@ -147,20 +175,12 @@ def synth_block_image_payloads(
                 s = int(pid)
                 g = s % groups
                 n = s % noise_mod
-
-                def px(x, y, g=g, n=n):
-                    bx, by = x // block, y // block
-                    if variant_blocks and bx == grid - 1 and by < n:
-                        return (255, 255, 255)
-                    r = (g * 31 + bx * 7 + by * 13) % 97
-                    gc = (g * 17 + bx * 11 + by * 3) % 89
-                    bl = (g * 23 + bx * 5 + by * 19) % 83
-                    if x == 0 and y == 0:
-                        return (r + n, gc + n, bl + n)
-                    return (r, gc, bl)
-
+                img = _block_channel_array(g * 31, g * 17, g * 23, grid, block)
+                if variant_blocks and n:
+                    img[0 : n * block, (grid - 1) * block :, :] = 255
+                img[0, 0, :] += n
                 ids.append(s)
-                payloads.append(enc(side, side, px))
+                payloads.append(enc(img.astype(np.uint8)))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
     return fanout_ids(df, id_col).mapInPandas(synth, schema)
@@ -335,7 +355,7 @@ def video_fingerprint(
     makes the fingerprint robust to edits in UNSAMPLED frames — the
     property the fixture exercises. Arrow-batched narrow map; zero
     shuffles."""
-    from python_plugins_spark.operators.multimodal import parse_bmp
+    from python_plugins_spark.operators.multimodal import parse_bmp_array
 
     schema = T.StructType(
         [
@@ -355,7 +375,7 @@ def video_fingerprint(
                 n = len(frames)
                 picks = sorted({(j * n) // k for j in range(k)})
                 hashes = [
-                    dhash_bits(*parse_bmp(frames[j]), block=block)
+                    dhash_bits(*parse_bmp_array(frames[j]), block=block)
                     for j in picks
                 ]
                 ids.append(int(rid))
@@ -389,10 +409,9 @@ def synth_video_payloads(
     whole unsampled frames, yet share the sampled-frame
     fingerprint."""
     from python_plugins_spark.operators.multimodal import (
-        bmp_bytes, fanout_ids,
+        bmp_bytes_array, fanout_ids,
     )
 
-    side = grid * block
     picks = {(j * frames) // 4 for j in range(4)}
     schema = T.StructType(
         [
@@ -401,6 +420,10 @@ def synth_video_payloads(
         ]
     )
 
+    # Vectorized rendering (round 12, guide §4.2) — the scalar form
+    # paid frames * side^2 Python ``px`` calls per row; the numpy form
+    # produces the identical BMP stream byte-for-byte (same per-block
+    # formulas via _block_channel_array, same (0,0) variant noise).
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids, payloads = [], []
@@ -411,17 +434,15 @@ def synth_video_payloads(
                 for j in range(frames):
                     seed = g if j in picks else (g * 7 + v * 13 + 5)
                     fj = j if j in picks else j + v
-
-                    def px(x, y, seed=seed, fj=fj, v=v):
-                        bx, by = x // block, y // block
-                        r = (seed * 31 + fj * 41 + bx * 7 + by * 13) % 97
-                        gc = (seed * 17 + fj * 29 + bx * 11 + by * 3) % 89
-                        bl = (seed * 23 + fj * 37 + bx * 5 + by * 19) % 83
-                        if x == 0 and y == 0:
-                            return (r + v, gc + v, bl + v)
-                        return (r, gc, bl)
-
-                    chunks.append(bmp_bytes(side, side, px))
+                    img = _block_channel_array(
+                        seed * 31 + fj * 41,
+                        seed * 17 + fj * 29,
+                        seed * 23 + fj * 37,
+                        grid,
+                        block,
+                    )
+                    img[0, 0, :] += v
+                    chunks.append(bmp_bytes_array(img.astype(np.uint8)))
                 ids.append(s)
                 payloads.append(b"".join(chunks))
             yield pd.DataFrame({id_col: ids, "payload": payloads})

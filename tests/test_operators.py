@@ -1457,6 +1457,103 @@ def test_bmp_codec_padding_and_row_order():
     assert (w, h) == (13, 5) and px2 == px
 
 
+def test_vectorized_codec_twins_byte_identical():
+    """Round-12 §4.2 vectorization: the numpy encode/parse twins
+    (bmp_bytes_array/parse_bmp_array/ppm twins, _block_channel_array)
+    must be BYTE-identical to the scalar per-pixel reference
+    implementations across the fixture surface — padded widths,
+    bottom-up and top-down BMPs, variant whitening, (0,0) noise."""
+    import struct
+
+    import numpy as np
+
+    from python_plugins_spark.operators.multimodal import (
+        bmp_bytes, bmp_bytes_array, parse_bmp, parse_bmp_array,
+        parse_ppm, parse_ppm_array, ppm_bytes, ppm_bytes_array,
+    )
+    from python_plugins_spark.operators.phash import (
+        _block_channel_array, dhash_bits,
+    )
+
+    # padded-width (13x12) formula image: encoders and parsers agree
+    w13, h12 = 13, 12
+    for s in (0, 1, 7, 41):
+        pf = lambda x, y, s=s: (
+            (s * 9 + 13 * x + y) % 256,
+            (s * 5 + x + 11 * y) % 256,
+            (s + 3 * x + 7 * y) % 256,
+        )
+        x = np.arange(w13, dtype=np.int64)[None, :]
+        y = np.arange(h12, dtype=np.int64)[:, None]
+        arr = np.stack(
+            [(s * 9 + 13 * x + y) % 256, (s * 5 + x + 11 * y) % 256,
+             (s + 3 * x + 7 * y) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        assert bmp_bytes(w13, h12, pf) == bmp_bytes_array(arr)
+        assert ppm_bytes(w13, h12, pf) == ppm_bytes_array(arr)
+        raw = bmp_bytes(w13, h12, pf)
+        pw, ph, plist = parse_bmp(raw)
+        aw, ah, aarr = parse_bmp_array(raw)
+        assert (pw, ph) == (aw, ah)
+        assert np.array_equal(
+            np.asarray(plist, np.int64).reshape(ph, pw, 3),
+            np.asarray(aarr, np.int64),
+        )
+        praw = ppm_bytes(w13, h12, pf)
+        pw, ph, plist = parse_ppm(praw)
+        aw, ah, aarr = parse_ppm_array(praw)
+        assert (pw, ph) == (aw, ah)
+        assert np.array_equal(
+            np.asarray(plist, np.int64).reshape(ph, pw, 3),
+            np.asarray(aarr, np.int64),
+        )
+
+    # block fixture (variant whitening + (0,0) noise): scalar px replay
+    grid, block, groups, noise_mod = 8, 4, 17, 3
+    side = grid * block
+    for variant_blocks in (False, True):
+        for s in (0, 5, 16, 35, 52):
+            g, n = s % groups, s % noise_mod
+
+            def px(x, y, g=g, n=n):
+                bx, by = x // block, y // block
+                if variant_blocks and bx == grid - 1 and by < n:
+                    return (255, 255, 255)
+                r = (g * 31 + bx * 7 + by * 13) % 97
+                gc = (g * 17 + bx * 11 + by * 3) % 89
+                bl = (g * 23 + bx * 5 + by * 19) % 83
+                if x == 0 and y == 0:
+                    return (r + n, gc + n, bl + n)
+                return (r, gc, bl)
+
+            img = _block_channel_array(g * 31, g * 17, g * 23, grid, block)
+            if variant_blocks and n:
+                img[0 : n * block, (grid - 1) * block :, :] = 255
+            img[0, 0, :] += n
+            new = bmp_bytes_array(img.astype(np.uint8))
+            assert bmp_bytes(side, side, px) == new
+            # hash parity through both parse paths
+            pw, ph, plist = parse_bmp(new)
+            aw, ah, aarr = parse_bmp_array(new)
+            assert dhash_bits(pw, ph, plist) == dhash_bits(aw, ah, aarr)
+
+    # top-down BMP (negative height) parses identically in both
+    pf = lambda x, y: ((x * 2) % 256, (y * 3) % 256, (x + y) % 256)
+    raw = bmp_bytes(13, 5, pf)
+    neg = bytearray(raw)
+    struct.pack_into("<i", neg, 22, -5)
+    stride, off = 40, 54
+    rows = [bytes(raw[off + i * stride : off + (i + 1) * stride]) for i in range(5)]
+    neg[off:] = b"".join(reversed(rows))
+    pw, ph, plist = parse_bmp(bytes(neg))
+    aw, ah, aarr = parse_bmp_array(bytes(neg))
+    assert (pw, ph) == (aw, ah) == (13, 5)
+    assert np.array_equal(
+        np.asarray(plist, np.int64).reshape(5, 13, 3), np.asarray(aarr, np.int64)
+    )
+
+
 def test_ppm_codec_comments_and_whitespace():
     from python_plugins_spark.operators.multimodal import parse_ppm, ppm_bytes
 
