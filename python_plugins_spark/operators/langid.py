@@ -328,6 +328,38 @@ def char_trigrams(text: str) -> list[str]:
     return [s[i: i + 3] for i in range(len(s) - 2)]
 
 
+def _profile_matrix(logp: dict[str, list[float]], oov: list[float]):
+    """(index_map, matrix) for the VECTORIZED NB fold (round 12, guide
+    §4.2): matrix rows are the per-trigram log-prob rows in sorted
+    trigram order with the OOV row LAST. Scoring gathers rows by index
+    and accumulates with ``np.add.reduce(axis=0)``, which adds rows
+    strictly in occurrence order — bit-identical to the scalar
+    ``for tg: for j: acc[j] += row[j]`` left fold the oracles replay
+    (numpy's pairwise summation applies only to reductions along the
+    contiguous last axis, not to outer-axis row accumulation; pinned
+    by test_langid_vector_fold_bit_identical)."""
+    import numpy as np
+
+    vocab = sorted(logp)
+    mat = np.array([logp[tg] for tg in vocab] + [oov], dtype=np.float64)
+    return {tg: i for i, tg in enumerate(vocab)}, mat
+
+
+def _fold_scores(tgs: list[str], idx_map: dict[str, int], mat) -> list[float]:
+    """Sum the profile rows of ``tgs`` in occurrence order (vectorized
+    twin of the scalar accumulation loop; see :func:`_profile_matrix`).
+    Returns the per-language score list; zeros when ``tgs`` is empty."""
+    import numpy as np
+
+    if not tgs:
+        return [0.0] * mat.shape[1]
+    noov = mat.shape[0] - 1
+    idx = np.fromiter(
+        (idx_map.get(tg, noov) for tg in tgs), dtype=np.intp, count=len(tgs)
+    )
+    return np.add.reduce(mat[idx], axis=0).tolist()
+
+
 def build_profiles(k: int = 300, corpora: dict[str, str] | None = None):
     """Derive a model from fixture corpora deterministically:
     per-language top-``k`` trigrams (count desc, trigram asc), union
@@ -498,6 +530,8 @@ def lang_id_ngram(
         # had made the JVM-count variant 1.8x slower). Python re and
         # Java regex count these BMP literal-range classes
         # identically (surrogate halves match neither).
+        idx_map, mat = _profile_matrix(logp, oov)
+
         @F.pandas_udf("array<double>")
         def _score(col: pd.Series) -> pd.Series:
             out = []
@@ -507,11 +541,7 @@ def lang_id_ngram(
                     if text is not None and text.strip()
                     else []
                 )
-                acc = [0.0] * nl
-                for tg in tgs:
-                    row = logp.get(tg, oov)
-                    for j in range(nl):
-                        acc[j] += row[j]
+                acc = _fold_scores(tgs, idx_map, mat)
                 t = text or ""
                 counts = [float(len(rx.findall(t))) for _, rx in script_res]
                 out.append([float(len(tgs))] + acc + counts)
@@ -802,6 +832,8 @@ def lang_id_cyrillic(
     carry = [c for c in (carry or []) if c != id_col]
     logp, oov, nl = _CYR_LOGP, _CYR_OOV, len(CYR_LANGS)
 
+    idx_map, mat = _profile_matrix(logp, oov)
+
     @F.pandas_udf("array<double>")
     def _score(col: pd.Series) -> pd.Series:
         out = []
@@ -811,12 +843,7 @@ def lang_id_cyrillic(
                 if text is not None and text.strip()
                 else []
             )
-            acc = [0.0] * nl
-            for tg in tgs:
-                row = logp.get(tg, oov)
-                for j in range(nl):
-                    acc[j] += row[j]
-            out.append([float(len(tgs))] + acc)
+            out.append([float(len(tgs))] + _fold_scores(tgs, idx_map, mat))
         return pd.Series(out)
 
     d = df.select(
@@ -1016,6 +1043,8 @@ def lang_id_cjk(
     carry = [c for c in (carry or []) if c != id_col]
     logp, oov, nl = _CJK_LOGP, _CJK_OOV, len(CJK_LANGS)
 
+    idx_map, mat = _profile_matrix(logp, oov)
+
     @F.pandas_udf("array<double>")
     def _score(col: pd.Series) -> pd.Series:
         out = []
@@ -1025,12 +1054,7 @@ def lang_id_cjk(
                 if text is not None and text.strip()
                 else []
             )
-            acc = [0.0] * nl
-            for tg in tgs:
-                row = logp.get(tg, oov)
-                for j in range(nl):
-                    acc[j] += row[j]
-            out.append([float(len(tgs))] + acc)
+            out.append([float(len(tgs))] + _fold_scores(tgs, idx_map, mat))
         return pd.Series(out)
 
     d = df.select(
@@ -1377,6 +1401,8 @@ def lang_id_devanagari(
     carry = [c for c in (carry or []) if c != id_col]
     logp, oov, nl = _DEV_LOGP, _DEV_OOV, len(DEV_LANGS)
 
+    idx_map, mat = _profile_matrix(logp, oov)
+
     @F.pandas_udf("array<double>")
     def _score(col: pd.Series) -> pd.Series:
         out = []
@@ -1386,12 +1412,7 @@ def lang_id_devanagari(
                 if text is not None and text.strip()
                 else []
             )
-            acc = [0.0] * nl
-            for tg in tgs:
-                row = logp.get(tg, oov)
-                for j in range(nl):
-                    acc[j] += row[j]
-            out.append([float(len(tgs))] + acc)
+            out.append([float(len(tgs))] + _fold_scores(tgs, idx_map, mat))
         return pd.Series(out)
 
     d = df.select(

@@ -1457,6 +1457,40 @@ def test_bmp_codec_padding_and_row_order():
     assert (w, h) == (13, 5) and px2 == px
 
 
+def test_langid_vector_fold_bit_identical():
+    """Round-12 §4.2 vectorization: the numpy profile-matrix fold
+    (_profile_matrix/_fold_scores) must be BIT-identical to the scalar
+    per-trigram, per-language accumulation loop the oracles replay —
+    np.add.reduce(axis=0) accumulates gathered rows strictly in
+    occurrence order (pairwise summation applies only to contiguous
+    last-axis reductions)."""
+    from python_plugins_spark.operators.langid import (
+        _CJK_LOGP, _CJK_OOV, _CYR_LOGP, _CYR_OOV, _LOGP, _OOV,
+        _fold_scores, _profile_matrix, char_trigrams,
+    )
+
+    samples = [
+        "the quick brown fox jumps over the lazy dog " * 20,
+        "der schnelle braune fuchs springt am morgen",
+        "быстрая коричневая лиса прыгает через ленивую собаку",
+        "敏捷的棕色狐狸跳过懒狗 早晨的阳光",
+        "a",  # below trigram length -> empty fold
+        "",
+    ]
+    for logp, oov in ((_LOGP, _OOV), (_CYR_LOGP, _CYR_OOV), (_CJK_LOGP, _CJK_OOV)):
+        idx_map, mat = _profile_matrix(logp, oov)
+        nl = mat.shape[1]
+        for text in samples:
+            tgs = char_trigrams(text) if text.strip() else []
+            acc = [0.0] * nl
+            for tg in tgs:
+                row = logp.get(tg, oov)
+                for j in range(nl):
+                    acc[j] += row[j]
+            vec = _fold_scores(tgs, idx_map, mat)
+            assert all(a == b for a, b in zip(acc, vec)), text[:30]
+
+
 def test_vectorized_codec_twins_byte_identical():
     """Round-12 §4.2 vectorization: the numpy encode/parse twins
     (bmp_bytes_array/parse_bmp_array/ppm twins, _block_channel_array)
