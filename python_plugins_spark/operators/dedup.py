@@ -147,19 +147,28 @@ def minhash_signature(
 def shingle_rows(
     df: DataFrame, text_col: str, id_col: str, shingle: int
 ) -> DataFrame:
-    """(id, _s) rows of n-word shingles, built with lead() over the
-    exploded token sequence — same multiset as the array-HOF
-    ``word_shingles`` but codegen-friendly."""
-    from pyspark.sql import Window
+    """(id, _s) rows of n-word shingles — same multiset as the
+    array-HOF ``word_shingles`` but codegen-friendly.
 
-    tok = df.select(F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tk"))
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    parts = [F.col("_tk")] + [F.lead("_tk", j).over(w) for j in range(1, shingle)]
-    last = F.lead("_tk", shingle - 1).over(w)
+    Round 12 (guide §2.4): built by carrying the token ARRAY through
+    ``posexplode`` and reading neighbors with O(1) ``element_at``,
+    entirely inside one whole-stage-codegen narrow stage. The previous
+    ``lead()``-window formulation forced an Exchange + per-doc SORT of
+    every token row before any consumer (the window needs clustering
+    by id and ordering by position — information the generator already
+    had); this shape has no shuffle at all, so a downstream per-id
+    aggregate (minhash_signature) pays exactly ONE exchange and no
+    sort. Positions past the last full shingle are filtered by bounds
+    check instead of a lead-null sentinel — identical row multiset."""
+    tok = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).select(
+        F.col(id_col), F.col("_t"), F.posexplode("_t").alias("_pos", "_tk")
+    )
+    parts = [F.element_at("_t", F.col("_pos") + 1 + j) for j in range(shingle)]
     return (
-        tok.select(F.col(id_col), F.concat_ws(" ", *parts).alias("_s"), last.isNotNull().alias("_ok"))
-        .filter("_ok")
-        .select(id_col, "_s")
+        tok.filter(F.col("_pos") + shingle <= F.size("_t"))
+        .select(F.col(id_col), F.concat_ws(" ", *parts).alias("_s"))
     )
 
 
