@@ -772,7 +772,6 @@ def repeated_ngram_spans(
     id_col: str,
     n: int = 10,
     min_dups: int = 2,
-    tok: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal repeated-substring spans, the scalable relational
     formulation of suffix-array substring dedup (the public
@@ -786,10 +785,13 @@ def repeated_ngram_spans(
 
     Shape (all codegen, no UDFs):
 
-    1. n-gram windows with their start positions (lead() over the
-       exploded token sequence — shuffle 1, by id);
+    1. n-gram windows with their start positions — element_at over the
+       token array carried through posexplode, one narrow codegen
+       stage with NO shuffle (round 12, guide §2.4: the former lead()
+       window formulation shuffled and SORTED every token row by id
+       for ordering information the generator already had);
     2. occurrence count per window hash (map-side-combined aggregate —
-       shuffle 2, by hash) filtered to >= min_dups;
+       shuffle 1, by hash) filtered to >= min_dups;
     3. semi-join window positions against the repeated-hash set
        (shuffle 3, equi-join on the 60-bit hash — only hash+position
        rows move, never text);
@@ -808,33 +810,25 @@ def repeated_ngram_spans(
     distinct grams collide with probability ~0.4 %, and a collision
     here only ever ADDs a span, never deletes unshared text).
 
-    ``tok`` optionally supplies a pre-exploded (and ideally persisted)
-    ``(id, _pos, _tk)`` token frame so a caller that already has one
-    (:func:`mask_repeated_spans`) avoids a second corpus tokenize."""
-    from pyspark.sql import Window
-
-    if tok is None:
-        tok = df.select(
-            F.col(id_col),
-            F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tk"),
-        )
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    parts = [F.col("_tk")] + [F.lead("_tk", j).over(w) for j in range(1, n)]
-    last = F.lead("_tk", n - 1).over(w)
+    """
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).select(
+        F.col(id_col), F.col("_t"), F.posexplode("_t").alias("_pos", "_tk")
+    )
+    parts = [F.element_at("_t", F.col("_pos") + 1 + j) for j in range(n)]
     grams = (
-        tok.select(
+        base.filter(F.col("_pos") + n <= F.size("_t"))
+        .select(
             F.col(id_col),
             F.col("_pos"),
-            F.concat_ws(" ", *parts).alias("_s"),
-            last.isNotNull().alias("_ok"),
+            hash60(F.concat_ws(" ", *parts)).alias("_h"),
         )
-        .filter("_ok")
-        .select(id_col, "_pos", hash60(F.col("_s")).alias("_h"))
     )
     # The gram frame (one narrow row per token: id, pos, 60-bit hash)
     # feeds both the occurrence count and the repeated-position
-    # semi-join; materialize it so the per-doc sort + n lead() windows
-    # run once, not once per consumer (localCheckpoint: blocks release
+    # semi-join; materialize it so the tokenize + gram-hash pass runs
+    # once, not once per consumer (localCheckpoint: blocks release
     # on GC, not at session end).
     grams = grams.transform(stage_checkpoint)
     hot = (
@@ -952,14 +946,13 @@ def mask_repeated_spans(
     via a struct-sorted collect_list (the same reassembly the
     sentence-dedup pipeline uses). Removed-token accounting rides
     along for the pipeline's yield report."""
-    from pyspark.sql import Window
-
+    # the span detector re-tokenizes with the no-shuffle array-carry
+    # gram builder (round 12); this row-shaped token frame only feeds
+    # the single anti-join below, so no eager checkpoint (guide §5)
     tok = df.select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tk")
-    ).transform(stage_checkpoint)  # shared by span detector + anti-join side
-    spans = repeated_ngram_spans(
-        df, text_col, id_col, n=n, min_dups=min_dups, tok=tok
     )
+    spans = repeated_ngram_spans(df, text_col, id_col, n=n, min_dups=min_dups)
     covered = spans.select(
         F.col(id_col),
         F.explode(F.sequence("span_start", "span_end")).alias("_pos"),
@@ -1086,8 +1079,10 @@ def cross_doc_span_dedup(
     coverage is cut."""
     from pyspark.sql import Window
 
-    tok = _span_tok_frame(df, text_col, id_col)
-    grams = _span_gram_frame(tok, id_col, n)
+    # tok only feeds the single reassembly anti-join now (the gram
+    # builder re-tokenizes shuffle-free) -> no eager checkpoint
+    tok = _span_tok_frame(df, text_col, id_col, materialize=False)
+    grams = _span_gram_frame(df, text_col, id_col, n)
     stats = (
         grams.groupBy("_h")
         .agg(
@@ -1112,13 +1107,13 @@ def cross_doc_span_dedup(
 def _span_tok_frame(
     df: DataFrame, text_col: str, id_col: str, materialize: bool = True
 ) -> DataFrame:
-    """(id, _pos, _tk) token stream — shared by the gram builder and
-    the anti-join/reassembly side of the span removers. Materialized
-    by default (two downstream consumers at those sites);
-    ``materialize=False`` skips the eager checkpoint where exactly one
-    consumer exists (guide §5: caching is only worth it when a frame
-    is REUSED — a single-consumer checkpoint is a pure extra pass plus
-    executor-memory pressure, round 12)."""
+    """(id, _pos, _tk) token stream — the anti-join/reassembly side of
+    the span removers (the gram builder re-tokenizes with the
+    shuffle-free array-carry shape since round 12). ``materialize``
+    keeps the eager checkpoint only where two consumers exist
+    (guide §5: caching is only worth it when a frame is REUSED — a
+    single-consumer checkpoint is a pure extra pass plus
+    executor-memory pressure)."""
     out = df.select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tk"),
@@ -1127,20 +1122,22 @@ def _span_tok_frame(
 
 
 def _span_gram_frame(
-    tok: DataFrame, id_col: str, n: int, materialize: bool = True
+    df: DataFrame, text_col: str, id_col: str, n: int, materialize: bool = True
 ) -> DataFrame:
-    """Materialized (id, _pos, _h, _k) n-gram windows over a token
-    stream: _h the 60-bit gram hash (NOT 32-bit: here a collision
-    makes two unrelated n-grams look cross-document-duplicated and
-    silently deletes legitimate text, so the keyspace must outlive
-    corpus-scale gram counts), _k the arithmetic canonical key
-    id*2^32+pos (31-bit id bound refused loudly — violated ids would
-    silently collide)."""
-    from pyspark.sql import Window
+    """(id, _pos, _h, _k) n-gram windows over ``df``'s text: _h the
+    60-bit gram hash (NOT 32-bit: here a collision makes two unrelated
+    n-grams look cross-document-duplicated and silently deletes
+    legitimate text, so the keyspace must outlive corpus-scale gram
+    counts), _k the arithmetic canonical key id*2^32+pos (31-bit id
+    bound refused loudly — violated ids would silently collide).
 
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    parts = [F.col("_tk")] + [F.lead("_tk", j).over(w) for j in range(1, n)]
-    last = F.lead("_tk", n - 1).over(w)
+    Round 12 (guide §2.4): grams come from element_at over the token
+    array carried through posexplode — one narrow codegen stage, no
+    shuffle. The former lead()-window formulation consumed the shared
+    row-shaped token frame but paid an Exchange + per-doc SORT of the
+    whole token stream for ordering the generator already had;
+    re-tokenizing here is a narrow recompute, strictly cheaper than
+    that shuffle, and the reassembly legs keep their own row frame."""
     key = F.expr(
         f"CASE WHEN {id_col} < 0 OR {id_col} >= 2147483648 THEN "
         f"raise_error('span dedup: {id_col} exceeds the 31-bit "
@@ -1148,18 +1145,18 @@ def _span_gram_frame(
         f"ELSE CAST({id_col} AS BIGINT) * 4294967296 + CAST(_pos AS BIGINT) "
         "END"
     )
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).select(
+        F.col(id_col), F.col("_t"), F.posexplode("_t").alias("_pos", "_tk")
+    )
+    parts = [F.element_at("_t", F.col("_pos") + 1 + j) for j in range(n)]
     out = (
-        tok.select(
+        base.filter(F.col("_pos") + n <= F.size("_t"))
+        .select(
             F.col(id_col),
             F.col("_pos"),
-            F.concat_ws(" ", *parts).alias("_s"),
-            last.isNotNull().alias("_ok"),
-        )
-        .filter("_ok")
-        .select(
-            id_col,
-            "_pos",
-            hash60(F.col("_s")).alias("_h"),
+            hash60(F.concat_ws(" ", *parts)).alias("_h"),
             key.alias("_k"),
         )
     )
@@ -1235,11 +1232,10 @@ def span_index_build(
     from python_plugins_spark.sources.delta_py import write_delta
 
     spark = df.sparkSession
-    # single-consumer chain tok -> grams -> aggregate -> write: no
-    # eager checkpoints (round 12, guide §5 — each one was a full
-    # extra materialization pass of the token/gram stream)
-    tok = _span_tok_frame(df, text_col, id_col, materialize=False)
-    grams = _span_gram_frame(tok, id_col, n, materialize=False)
+    # single-consumer chain grams -> aggregate -> write: no eager
+    # checkpoints (round 12, guide §5), and no row-shaped token frame
+    # at all — the array-carry gram builder needs none
+    grams = _span_gram_frame(df, text_col, id_col, n, materialize=False)
     idx = grams.groupBy("_h").agg(F.min("_k").alias("first_k"))
     write_delta(idx, f"{index_path}/grams", mode="overwrite")
     write_delta(
@@ -1272,7 +1268,7 @@ def span_index_ingest(
     index atomically (re-tokenizing the cleaned batch — per-batch
     cost stays O(batch), never O(corpus)).
 
-    Per-batch plan: one tokenize window + gram hash pass, one
+    Per-batch plan: one shuffle-free tokenize + gram hash pass, one
     equi-join against the index on the 60-bit hash (batch side tiny;
     at scale Delta file pruning on the hash column bounds the index
     scan), one map-side-combinable stats aggregate for the
@@ -1307,8 +1303,10 @@ def span_index_ingest(
             "indexed duplicate re-admitted as novel) — rebuild the "
             "index with span_index_build"
         )
-    tok = _span_tok_frame(new_docs, text_col, id_col)
-    grams = _span_gram_frame(tok, id_col, n, materialize=False)
+    # tok only feeds the single reassembly anti-join (round 12) ->
+    # no eager checkpoint; the gram builder re-tokenizes shuffle-free
+    tok = _span_tok_frame(new_docs, text_col, id_col, materialize=False)
+    grams = _span_gram_frame(new_docs, text_col, id_col, n, materialize=False)
     idx = read_delta(spark, f"{index_path}/grams").select(
         F.col("_h").alias("_idx_h")
     )
@@ -1353,12 +1351,11 @@ def span_index_ingest(
     )
     if append:
         # cleaned is consumed twice (the append leg + the caller);
-        # the append leg itself is a single-consumer chain tok2 ->
-        # grams2 -> aggregate -> anti-join -> write, so none of its
+        # the append leg itself is a single-consumer chain grams2 ->
+        # aggregate -> anti-join -> write, so none of its
         # intermediates checkpoint (round 12, guide §5)
         cleaned = cleaned.transform(stage_checkpoint)
-        tok2 = _span_tok_frame(cleaned, "clean_text", id_col, materialize=False)
-        grams2 = _span_gram_frame(tok2, id_col, n, materialize=False)
+        grams2 = _span_gram_frame(cleaned, "clean_text", id_col, n, materialize=False)
         fresh = (
             grams2.groupBy("_h")
             .agg(F.min("_k").alias("first_k"))
