@@ -129,8 +129,13 @@ def minhash_signature(
     array-HOF formulation — array_min over transform() — is ~7x
     slower: higher-order functions don't codegen.) Duplicate shingles
     don't affect the min, so no distinct pass is needed."""
+    from python_plugins_spark.sources.io import spread_scan
+
     params = MINHASH_PARAMS[:num_hashes]
-    sh = shingle_rows(df, text_col, id_col, shingle)
+    # round 12 (guide §2.5): the tokenize/shingle/hash partial-agg
+    # stage is the expensive narrow span; an under-partitioned scan
+    # (one small parquet file -> 1 split) would run it on one core
+    sh = shingle_rows(spread_scan(df), text_col, id_col, shingle)
     hashed = sh.select(id_col, hash32(F.col("_s")).alias("_h"))
     # SQL-string expressions: one py4j parse per permutation instead of
     # ~6 Column round-trips each (see the build-latency note in
@@ -500,7 +505,11 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     count with one key-partitioned exchange. The +/-1 vote sum is
     derived, not stored: vote_j = 2*S_j - n where S_j counts set bits,
     so the aggregate carries 30 packed bit-pair sums + one count."""
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    from python_plugins_spark.sources.io import spread_scan
+
+    tok = spread_scan(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
     tok = tok.select(id_col, hash60(F.col("_t")).alias("_h"))
     half = SIMHASH_BITS // 2
     # Wide expression trees are built as SQL strings (ONE py4j parse
@@ -811,7 +820,9 @@ def repeated_ngram_spans(
     here only ever ADDs a span, never deletes unshared text).
 
     """
-    base = df.select(
+    from python_plugins_spark.sources.io import spread_scan
+
+    base = spread_scan(df).select(
         F.col(id_col), tokens(F.col(text_col)).alias("_t")
     ).select(
         F.col(id_col), F.col("_t"), F.posexplode("_t").alias("_pos", "_tk")
@@ -1114,7 +1125,9 @@ def _span_tok_frame(
     (guide §5: caching is only worth it when a frame is REUSED — a
     single-consumer checkpoint is a pure extra pass plus
     executor-memory pressure)."""
-    out = df.select(
+    from python_plugins_spark.sources.io import spread_scan
+
+    out = spread_scan(df).select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tk"),
     )
@@ -1145,7 +1158,9 @@ def _span_gram_frame(
         f"ELSE CAST({id_col} AS BIGINT) * 4294967296 + CAST(_pos AS BIGINT) "
         "END"
     )
-    base = df.select(
+    from python_plugins_spark.sources.io import spread_scan
+
+    base = spread_scan(df).select(
         F.col(id_col), tokens(F.col(text_col)).alias("_t")
     ).select(
         F.col(id_col), F.col("_t"), F.posexplode("_t").alias("_pos", "_tk")

@@ -451,6 +451,7 @@ def lang_id_ngram(
     id_col: str,
     mode: str = "arrow",
     carry: list[str] | None = None,
+    spread: bool = True,
 ) -> DataFrame:
     """(id, pred_lang, n_trigrams, score_<lang>...) — trigram NB
     language ID with the script branch. Two equivalent scoring paths
@@ -474,9 +475,19 @@ def lang_id_ngram(
     input columns to pass through (the pipeline stage carries the whole
     row this way — a narrow projection, never a join-back shuffle)."""
     from python_plugins_spark.functions import norm_text
+    from python_plugins_spark.sources.io import spread_scan
 
     carry = [c for c in (carry or []) if c not in (id_col,)]
     nlangs = len(LANGS)
+    # round 12 (guide §2.5): the trigram fold is CPU-bound (Python in
+    # arrow mode, interpreted HOFs in expr mode); a 1-split scan would
+    # serialize it on one core. No-op on already-parallel inputs;
+    # callers that KNOW the input is parallel (lang_id_tiered's routed
+    # subsets of its spread+checkpointed base) pass spread=False to
+    # skip even the partition-count probe, which costs a physical
+    # planning pass of the input subtree.
+    if spread:
+        df = spread_scan(df)
     if mode == "expr":
         # ONE generated SQL expression for the ~800-entry literal map —
         # building it from individual F.lit() Columns costs thousands
@@ -822,6 +833,7 @@ def lang_id_cyrillic(
     text_col: str,
     id_col: str,
     carry: list[str] | None = None,
+    spread: bool = True,
 ) -> DataFrame:
     """(id, pred_lang, n_trigrams, margin, score_ru/uk/bg) — the
     per-script model downstream of the 'cyrillic' branch: multinomial
@@ -829,7 +841,11 @@ def lang_id_cyrillic(
     CYRILLIC_CORPORA. Same Arrow-batched sequential left-fold as the
     Latin flagship (bit-identical to the oracle's list_reduce), zero
     shuffles."""
+    from python_plugins_spark.sources.io import spread_scan
+
     carry = [c for c in (carry or []) if c != id_col]
+    if spread:
+        df = spread_scan(df)  # §2.5 — no-op on already-parallel inputs
     logp, oov, nl = _CYR_LOGP, _CYR_OOV, len(CYR_LANGS)
 
     idx_map, mat = _profile_matrix(logp, oov)
@@ -1031,6 +1047,7 @@ def lang_id_cjk(
     text_col: str,
     id_col: str,
     carry: list[str] | None = None,
+    spread: bool = True,
 ) -> DataFrame:
     """(id, pred_lang, n_trigrams, margin, score_zh/ja/ko) — the
     per-script model downstream of the CJK branch, mirroring
@@ -1040,7 +1057,11 @@ def lang_id_cjk(
     character choice. Same Arrow-batched sequential left-fold as the
     Latin flagship (bit-identical to the oracle's list_reduce), zero
     shuffles; the presence counts are JVM regexp expressions."""
+    from python_plugins_spark.sources.io import spread_scan
+
     carry = [c for c in (carry or []) if c != id_col]
+    if spread:
+        df = spread_scan(df)  # §2.5 — no-op on already-parallel inputs
     logp, oov, nl = _CJK_LOGP, _CJK_OOV, len(CJK_LANGS)
 
     idx_map, mat = _profile_matrix(logp, oov)
@@ -1388,6 +1409,7 @@ def lang_id_devanagari(
     text_col: str,
     id_col: str,
     carry: list[str] | None = None,
+    spread: bool = True,
 ) -> DataFrame:
     """(id, pred_lang, n_trigrams, margin, score_hi/mr/ne) — the
     per-script model downstream of the 'hi' branch, mirroring
@@ -1398,7 +1420,11 @@ def lang_id_devanagari(
     sequential left-fold as the Latin flagship (bit-identical to the
     oracle's list_reduce), zero shuffles; the presence count is a
     JVM regexp expression."""
+    from python_plugins_spark.sources.io import spread_scan
+
     carry = [c for c in (carry or []) if c != id_col]
+    if spread:
+        df = spread_scan(df)  # §2.5 — no-op on already-parallel inputs
     logp, oov, nl = _DEV_LOGP, _DEV_OOV, len(DEV_LANGS)
 
     idx_map, mat = _profile_matrix(logp, oov)
@@ -1578,7 +1604,7 @@ def lang_id_tiered(
     )
     cyr = lang_id_cyrillic(
         base.filter(F.col("pred_lang") == "ru"), text_col, id_col,
-        carry=carry,
+        carry=carry, spread=False,
     ).select(
         F.col(id_col),
         *[F.col(c) for c in carry],
@@ -1589,7 +1615,7 @@ def lang_id_tiered(
         base.filter(F.col("pred_lang").isin("zh", "ja", "ko")),
         text_col,
         id_col,
-        carry=carry,
+        carry=carry, spread=False,
     ).select(
         F.col(id_col),
         *[F.col(c) for c in carry],
@@ -1607,7 +1633,7 @@ def lang_id_tiered(
     )
     dev = lang_id_devanagari(
         base.filter(F.col("pred_lang") == "hi"), text_col, id_col,
-        carry=carry,
+        carry=carry, spread=False,
     ).select(
         F.col(id_col),
         *[F.col(c) for c in carry],

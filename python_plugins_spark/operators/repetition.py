@@ -204,7 +204,11 @@ def gopher_repetition(
             rows.append([s[m] for m in _METRICS])
         return pd.Series(rows)
 
-    d = df.select(
+    from python_plugins_spark.sources.io import spread_scan
+
+    # round 12 (guide §2.5): the per-doc Counter passes are CPU-bound
+    # Python; a 1-split scan would run them all on one core
+    d = spread_scan(df).select(
         F.col(id_col),
         *[F.col(c) for c in carry],
         _sig(F.col(text_col)).alias("_s"),

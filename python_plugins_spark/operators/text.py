@@ -30,13 +30,17 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document stats: char/token counts, mean token length,
     punctuation/digit/stopword ratios — the standard quality-filter
     features."""
+    from python_plugins_spark.sources.io import spread_scan
+
     t = F.col(text_col)
     toks = tokens(t)
     n_tokens = F.size(toks)
     tok_chars = F.aggregate(
         F.transform(toks, F.length), F.lit(0), lambda acc, v: acc + v
     )
-    out = df.select(
+    # interpreted array HOFs per document — spread a 1-split scan
+    # across the cluster first (guide §2.5)
+    out = spread_scan(df).select(
         F.col(id_col),
         F.length(t).cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),

@@ -87,9 +87,12 @@ def kneser_ney_bigram_docs(spark, sf_dir):
     aggregates and the scoring join re-read it); scoring is a
     map-side pipeline at 100 TB. Scoring restricted to doc_id<120 to
     bound the gate payload; the model is always corpus-wide."""
+    from python_plugins_spark.sources.io import spread_scan
+
     docs = load_table(spark, "documents", sf_dir)
     toks = (
-        docs.filter(F.length(F.trim("text")) > 0)
+        spread_scan(docs)  # §2.5: parallelize tokenize/gram build off a 1-split scan
+        .filter(F.length(F.trim("text")) > 0)
         .select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
         .filter(F.size("t") >= 2)
     )
@@ -196,8 +199,11 @@ def _kn3_doc_nll(docs, score_bound: int | None):
     documents the formula and scale shape). The MODEL is always
     corpus-wide; ``score_bound`` optionally restricts which docs are
     scored (the gate-payload bound)."""
+    from python_plugins_spark.sources.io import spread_scan
+
     toks = (
-        docs.filter(F.length(F.trim("text")) > 0)
+        spread_scan(docs)  # §2.5: parallelize tokenize/gram build off a 1-split scan
+        .filter(F.length(F.trim("text")) > 0)
         .select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
     )
     toks = toks.transform(stage_checkpoint)  # trigram + bigram frames
@@ -926,13 +932,19 @@ def script_detect_docs(spark, sf_dir):
     RE2's \\p{X} classes (kana = the Hiragana+Katakana union) agree
     on every injected codepoint, so all ten counts AND the dominant
     verdict are hash-checked. One narrow pass; zero shuffles."""
+    from python_plugins_spark.sources.io import spread_scan
+
     docs = load_table(spark, "documents", sf_dir)
     inject = "".join(
         f" || repeat('{ch}', CAST(doc_id % {m} AS INT))"
         for _, _, _, ch, m in _SCRIPT_DETECT
         if ch is not None
     )
-    raw = docs.select("doc_id", F.expr(f"text || ' '{inject}").alias("r"))
+    # ten regex scans per document are the CPU cost — spread a 1-split
+    # scan across the cluster first (guide §2.5)
+    raw = spread_scan(docs).select(
+        "doc_id", F.expr(f"text || ' '{inject}").alias("r")
+    )
     c = raw.select(
         "doc_id",
         *[
@@ -1475,7 +1487,14 @@ def crawl_pipeline_end_to_end(spark, sf_dir):
         # escapes so editors can't silently normalize the fixture)
         F.lit(" &amp; note: Cafe\u0301 A\u030a \u212b</div></body></html>"),
     )
-    base = docs.select("doc_id", "source", html.alias("html"), path.alias("path"))
+    from python_plugins_spark.sources.io import spread_scan
+
+    # §2.5: every stage below (WARC codec, HTML extract, NFC) is a
+    # CPU-bound narrow map — spread the 1-split scan first so the
+    # whole pipeline runs at cluster parallelism
+    base = spread_scan(docs).select(
+        "doc_id", "source", html.alias("html"), path.alias("path")
+    )
 
     # 1. through the REAL archive: writer -> .warc.gz -> parser
     archived = W.synth_warc_payloads(base, "doc_id", body_col="html", path_col="path")

@@ -1656,8 +1656,13 @@ def logit_train(docs):
     vector, and the per-iteration trajectory rows the probe query
     publishes. Scale shape as documented on logistic_probe_docs: one
     map-side-combined 5-double aggregate per iteration."""
+    from python_plugins_spark.sources.io import spread_scan
+
     fx = {k: v[0] for k, v in _LOGIT_FEATURES.items()}
-    feat = docs.selectExpr(
+    # §2.5: the feature expressions tokenize every document — spread a
+    # 1-split scan so the one-time materialization uses the cluster
+    # (the checkpointed frame then feeds every GD iteration in parallel)
+    feat = spread_scan(docs).selectExpr(
         "doc_id",
         f"{fx['x1']} AS x1",
         f"{fx['x2']} AS x2",

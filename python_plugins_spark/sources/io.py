@@ -69,6 +69,32 @@ def read_json(
     return reader.json(path)
 
 
+def spread_scan(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition an UNDER-PARTITIONED input before a
+    CPU-bound narrow stage (per-doc Python UDFs, tokenize/shingle/hash
+    pipelines), so the stage uses the whole cluster instead of one
+    core per input split.
+
+    This is the optimization guide's input-skew fix (one small or
+    unsplittable file -> 1 scan task) generalized from the precedent
+    already in :func:`operators.transform.python_transform`. It is
+    scale-ADAPTIVE, not a local[32] constant: when the input already
+    carries at least ``defaultParallelism`` partitions — every real
+    corpus scan, whose file count dwarfs the core count — it is a
+    no-op and adds nothing to the plan. It only fires when the scan
+    cannot feed the cluster, where one extra exchange of the raw rows
+    (trivially small by construction: the whole input fits in fewer
+    splits than there are cores) buys parallelism for everything
+    downstream. Streaming frames pass through untouched (their
+    micro-batch partitioning is the source's contract)."""
+    if df.isStreaming:
+        return df
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= (parts or parallelism):
+        return df
+    return df.repartition(parts or parallelism)
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Make any externally-built SparkSession safe for this engine's
     queries (the driver hands us ITS session, not ours):
