@@ -522,36 +522,87 @@ def ivf_ann_topk(
     (bench_detail.json ann_recall), not assumed."""
     import pandas as _pd
 
+    from python_plugins_spark.sources.io import spread_scan
+
+    # Round 12 (guide §2.4): bucket ASSIGNMENT used to be a broadcast
+    # crossJoin (corpus x k rows, each carrying the vector) followed by
+    # a row_number window — an Exchange plus a per-id SORT of the
+    # k-replicated corpus, computed once per cogroup branch. The
+    # centroid table is k*dim doubles — driver-bounded by construction
+    # (the TRAINED path already materializes it as a numpy array; the
+    # untrained path's k lowest-id rows are the same bounded class as
+    # the training sample) — so the top-nprobe centroids per vector are
+    # now computed in ONE narrow vectorized pass: no exchange, no sort,
+    # no k-way row replication. Arithmetic replicates the JVM
+    # cosine_similarity fold exactly (left-associative adds over
+    # ascending dims from 0.0), and ranking replicates the old
+    # (c_sim desc, c_id asc) window: a stable argsort over ascending
+    # centroid ids with NaN mapped to +inf (Spark's descending order
+    # puts NaN first and breaks NaN ties by id; so does this).
     if centroids is not None:
-        spark = df.sparkSession
-        cent_rows = [
-            (int(i), [float(v) for v in centroids[i]])
-            for i in range(len(centroids))
-        ]
-        centroids = spark.createDataFrame(
-            cent_rows, "c_id long, c_vec array<double>"
-        )
+        C = np.asarray(centroids, dtype=np.float64)
+        c_id_vals = np.arange(len(C), dtype=np.int64)
     else:
-        centroids = df.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
-            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        crows = (
+            df.orderBy(F.col(id_col).asc())
+            .limit(n_centroids)
+            .select(F.col(id_col), F.col(vec_col))
+            .collect()
         )
-    cos = cosine_similarity(F.col(vec_col), F.col("c_vec"))
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn("c_sim", cos)
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.col("c_sim").desc(), F.col("c_id").asc()
+        C = np.asarray([list(r[1]) for r in crows], dtype=np.float64)
+        c_id_vals = np.asarray([int(r[0]) for r in crows], dtype=np.int64)
+    npb = min(nprobe, len(C))
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("_vec", T.ArrayType(T.DoubleType())),
+            T.StructField("_cids", T.ArrayType(T.LongType())),
+        ]
     )
-    ranked = scored.withColumn("c_rank", F.row_number().over(w_assign))
+
+    def _assign(batches, _C=C, _ids=c_id_vals, _np=npb):
+        dim = _C.shape[1]
+        nb2 = _C[:, 0] * _C[:, 0]
+        for i in range(1, dim):
+            nb2 = nb2 + _C[:, i] * _C[:, i]
+        nb = np.sqrt(nb2)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            dot = V[:, 0:1] * _C[:, 0][None, :]
+            na2 = V[:, 0] * V[:, 0]
+            for i in range(1, dim):
+                dot = dot + V[:, i : i + 1] * _C[:, i][None, :]
+                na2 = na2 + V[:, i] * V[:, i]
+            sim = dot / (np.sqrt(na2)[:, None] * nb[None, :])
+            key = np.where(np.isnan(sim), np.inf, sim)
+            order = np.argsort(-key, axis=1, kind="stable")[:, :_np]
+            yield _pd.DataFrame(
+                {
+                    "_id": pdf[id_col].values,
+                    "_vec": pdf[vec_col].values,
+                    "_cids": [_ids[order[r]] for r in range(len(order))],
+                }
+            )
+
+    ranked = spread_scan(df.select(id_col, vec_col)).mapInPandas(
+        _assign, assign_schema
+    )
     # the member side's key gets a FRESH attribute (alias) — both
     # sides descend from `ranked`, and a self-cogroup on the same
     # attribute id is ambiguous; cogroup keys match by position, so
     # the names may differ
-    assignments = ranked.filter(F.col("c_rank") == 1).select(
-        F.col(id_col).alias("m_id"),
-        F.col(vec_col).alias("m_vec"),
-        F.col("c_id").alias("c_id_m"),
+    assignments = ranked.select(
+        F.col("_id").alias("m_id"),
+        F.col("_vec").alias("m_vec"),
+        F.element_at("_cids", 1).alias("c_id_m"),
     )
-    probes = ranked.filter(F.col("c_rank") <= nprobe).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "c_id"
+    probes = ranked.select(
+        F.col("_id").alias("q_id"),
+        F.col("_vec").alias("q_vec"),
+        F.explode("_cids").alias("c_id"),
     )
 
     def _score_bucket(key, p_pdf, m_pdf):
@@ -660,13 +711,16 @@ def ivf_train_centroids(
     :func:`ivf_ann_topk`'s cosine bucket assignment. Returns a
     ``(k, dim)`` float64 array of unit-norm centroids."""
     rng = np.random.RandomState(seed)
+    # Arrow toPandas, not a row collect: the sample is sample_rows x
+    # dim doubles, and the pickled-row path costs several times the
+    # Arrow transfer for identical values (guide §6, driver transfers)
     sample = (
         df.select(vec_col)
         .orderBy(F.md5(F.col(vec_col).cast("string")))
         .limit(sample_rows)
-        .collect()
+        .toPandas()
     )
-    X = np.asarray([r[0] for r in sample], dtype=np.float64)
+    X = np.asarray(sample[vec_col].tolist(), dtype=np.float64)
     if len(X) < k:
         # same refusal contract as pq_train_codebooks: silently
         # seeding duplicate centroids would degrade recall with no
@@ -2120,7 +2174,12 @@ def quantize_embeddings_int8(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(quantize, out_schema).select(
+    from python_plugins_spark.sources.io import spread_scan
+
+    # §2.5: the vectorized quantize pass is CPU-bound; spread a
+    # 1-split scan so it runs at cluster parallelism (no-op on
+    # already-parallel corpora)
+    return spread_scan(df.select(id_col, vec_col)).mapInPandas(quantize, out_schema).select(
         F.col(id_col),
         F.col("codes"),
         F.round(F.col("_err_raw"), 6).alias("max_abs_err"),
