@@ -129,13 +129,14 @@ def minhash_signature(
     array-HOF formulation — array_min over transform() — is ~7x
     slower: higher-order functions don't codegen.) Duplicate shingles
     don't affect the min, so no distinct pass is needed."""
-    from python_plugins_spark.sources.io import spread_scan
-
     params = MINHASH_PARAMS[:num_hashes]
-    # round 12 (guide §2.5): the tokenize/shingle/hash partial-agg
-    # stage is the expensive narrow span; an under-partitioned scan
-    # (one small parquet file -> 1 split) would run it on one core
-    sh = shingle_rows(spread_scan(df), text_col, id_col, shingle)
+    # NO spread_scan before the shingle stage (round 12, measured):
+    # the very next step is a by-id shuffle (the signature aggregate),
+    # so a pre-spread only ADDS an exchange of the raw text without
+    # removing any downstream one. Interleaved A/B at sf0.1:
+    # minhash_signatures 0.96 s min without vs 1.17 s with the spread;
+    # minhash_lsh_candidates 2.30 vs 3.04.
+    sh = shingle_rows(df, text_col, id_col, shingle)
     hashed = sh.select(id_col, hash32(F.col("_s")).alias("_h"))
     # SQL-string expressions: one py4j parse per permutation instead of
     # ~6 Column round-trips each (see the build-latency note in
@@ -505,9 +506,10 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     count with one key-partitioned exchange. The +/-1 vote sum is
     derived, not stored: vote_j = 2*S_j - n where S_j counts set bits,
     so the aggregate carries 30 packed bit-pair sums + one count."""
-    from python_plugins_spark.sources.io import spread_scan
-
-    tok = spread_scan(df).select(
+    # no spread_scan: the exploded tokens feed a by-id shuffle next, so
+    # pre-spreading the text only adds an exchange (measured at sf0.1:
+    # simhash_signatures 1.05 s min without vs 1.31 s with)
+    tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
     )
     tok = tok.select(id_col, hash60(F.col("_t")).alias("_h"))
@@ -820,9 +822,11 @@ def repeated_ngram_spans(
     here only ever ADDs a span, never deletes unshared text).
 
     """
-    from python_plugins_spark.sources.io import spread_scan
-
-    base = spread_scan(df).select(
+    # no spread_scan: the gram stream shuffles by hash immediately
+    # after, so a pre-spread is a pure extra exchange (measured:
+    # mask_repeated_spans 2.24 s min without vs 2.38 s with;
+    # cross_doc_span_dedup 2.55 vs 2.80)
+    base = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_t")
     ).select(
         F.col(id_col), F.col("_t"), F.posexplode("_t").alias("_pos", "_tk")
@@ -1125,9 +1129,7 @@ def _span_tok_frame(
     (guide §5: caching is only worth it when a frame is REUSED — a
     single-consumer checkpoint is a pure extra pass plus
     executor-memory pressure)."""
-    from python_plugins_spark.sources.io import spread_scan
-
-    out = spread_scan(df).select(
+    out = df.select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tk"),
     )
@@ -1158,9 +1160,11 @@ def _span_gram_frame(
         f"ELSE CAST({id_col} AS BIGINT) * 4294967296 + CAST(_pos AS BIGINT) "
         "END"
     )
-    from python_plugins_spark.sources.io import spread_scan
-
-    base = spread_scan(df).select(
+    # no spread_scan (same measured rationale as repeated_ngram_spans:
+    # the gram stream shuffles by hash right after; a pre-spread adds
+    # an exchange — incremental_span_dedup 4.64 s min without vs 6.36 s
+    # with at sf0.1)
+    base = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_t")
     ).select(
         F.col(id_col), F.col("_t"), F.posexplode("_t").alias("_pos", "_tk")

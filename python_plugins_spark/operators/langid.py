@@ -1590,11 +1590,28 @@ def lang_id_tiered(
             "lang_id_tiered: carried columns may not be named "
             "'lang' or 'tier' (the verdict columns); rename them first"
         )
+    in_parts = (
+        df.sparkSession.sparkContext.defaultParallelism
+        if df.isStreaming
+        else df.rdd.getNumPartitions()
+    )
     base = lang_id_ngram(
         df, text_col, id_col,
         carry=[text_col] + [c for c in carry if c != text_col],
     )
     base = base.transform(stage_checkpoint)
+    if not df.isStreaming and in_parts < base.rdd.getNumPartitions():
+        # the scorer's spread_scan widened a small input so the heavy
+        # base pass used the cluster; but SIX downstream consumers
+        # (five tier branches + rest) each schedule one job over this
+        # checkpointed frame, and near-empty defaultParallelism-wide
+        # jobs cost more than they parallelize (measured: tiered 5.27 s
+        # min spread-only vs 3.62 s unspread at sf0.1). Coalescing the
+        # MATERIALIZED blocks back to the input's own width is narrow
+        # (no second shuffle) and keeps the base pass parallel. At
+        # corpus scale the input is already >= cluster width, nothing
+        # fires, and every branch keeps full parallelism.
+        base = base.coalesce(max(1, in_parts))
     routed = ("ru", "zh", "ja", "ko", "ar", "hi")
     rest = base.filter(~F.col("pred_lang").isin(*routed)).select(
         F.col(id_col),

@@ -87,11 +87,13 @@ def kneser_ney_bigram_docs(spark, sf_dir):
     aggregates and the scoring join re-read it); scoring is a
     map-side pipeline at 100 TB. Scoring restricted to doc_id<120 to
     bound the gate payload; the model is always corpus-wide."""
-    from python_plugins_spark.sources.io import spread_scan
-
     docs = load_table(spark, "documents", sf_dir)
+    # no spread_scan: the bigram stream shuffles into the model
+    # aggregates right after tokenize, so pre-spreading the text adds
+    # an exchange without removing one (measured at sf0.1:
+    # kneser_ney_trigram 1.57 s min without vs 2.54 s with)
     toks = (
-        spread_scan(docs)  # §2.5: parallelize tokenize/gram build off a 1-split scan
+        docs
         .filter(F.length(F.trim("text")) > 0)
         .select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
         .filter(F.size("t") >= 2)
@@ -199,10 +201,11 @@ def _kn3_doc_nll(docs, score_bound: int | None):
     documents the formula and scale shape). The MODEL is always
     corpus-wide; ``score_bound`` optionally restricts which docs are
     scored (the gate-payload bound)."""
-    from python_plugins_spark.sources.io import spread_scan
-
+    # no spread_scan (same measured rationale as kneser_ney_bigram_docs:
+    # the gram frames shuffle immediately; ccnet_perplexity 2.90 s min
+    # without vs 3.42 s with at sf0.1)
     toks = (
-        spread_scan(docs)  # §2.5: parallelize tokenize/gram build off a 1-split scan
+        docs
         .filter(F.length(F.trim("text")) > 0)
         .select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
     )

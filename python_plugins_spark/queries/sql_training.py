@@ -1656,13 +1656,16 @@ def logit_train(docs):
     vector, and the per-iteration trajectory rows the probe query
     publishes. Scale shape as documented on logistic_probe_docs: one
     map-side-combined 5-double aggregate per iteration."""
-    from python_plugins_spark.sources.io import spread_scan
-
     fx = {k: v[0] for k, v in _LOGIT_FEATURES.items()}
-    # §2.5: the feature expressions tokenize every document — spread a
-    # 1-split scan so the one-time materialization uses the cluster
-    # (the checkpointed frame then feeds every GD iteration in parallel)
-    feat = spread_scan(docs).selectExpr(
+    # NO spread_scan here (deliberate, measured): the feature tokenize
+    # is one cheap pass, but the checkpointed frame then feeds 8 tiny
+    # ITERATION jobs, and a defaultParallelism-wide frame makes every
+    # iteration schedule that many near-empty tasks. Interleaved A/B at
+    # sf0.1: no-spread 2.03 s min vs spread 2.63 s vs spread+coalesce
+    # 2.26 s for the full GD loop. At corpus scale the input already
+    # carries >= parallelism partitions, so the variants coincide —
+    # the spread only ever fires in the regime where it loses.
+    feat = docs.selectExpr(
         "doc_id",
         f"{fx['x1']} AS x1",
         f"{fx['x2']} AS x2",
