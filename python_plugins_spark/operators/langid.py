@@ -574,11 +574,24 @@ def lang_id_ngram(
     else:
         raise ValueError(f"unknown lang_id_ngram mode {mode!r}")
     sc = {lang: F.element_at("_sc", j + 1) for j, lang in enumerate(LANGS)}
-    best = F.lit(None).cast("string")
-    for j in range(nlangs - 1, -1, -1):
-        lang = LANGS[j]
-        others = [sc[o] for o in LANGS if o != lang]
-        best = F.when(sc[lang] >= F.greatest(*others), F.lit(lang)).otherwise(best)
+    # ONE SQL parse for the 23-way argmax chain (round 12, guide §1.2
+    # per-task -> plan-build): the Column-by-Column when/greatest form
+    # cost ~600 py4j round trips of DRIVER latency per plan build —
+    # this is the same fix as the module's literal-map SQL strings.
+    # when/otherwise IS CASE WHEN, so the parsed expression tree (and
+    # every result bit) is identical; the unrolled otherwise-chain
+    # flattens to WHEN branches in ascending j with ELSE NULL.
+    _sc_at = [f"element_at(_sc, {j + 1})" for j in range(nlangs)]
+    best_sql = (
+        "CASE "
+        + " ".join(
+            f"WHEN {_sc_at[j]} >= greatest("
+            + ", ".join(_sc_at[i] for i in range(nlangs) if i != j)
+            + f") THEN '{LANGS[j]}'"
+            for j in range(nlangs)
+        )
+        + " ELSE CAST(NULL AS STRING) END"
+    )
     if mode == "expr":
         # per-script counts as columns (each regex runs once per row,
         # not once per CASE-chain reference); the arrow path computed
@@ -592,28 +605,38 @@ def lang_id_ngram(
                 for k, rng in SCRIPT_RANGES.items()
             ],
         )
-    cnt = {k: F.col(f"_c_{k}") for k in SCRIPT_RANGES}
-
-    def _wins(k: str):
+    def _wins_sql(k: str) -> str:
         # first-in-priority-with-positive-max wins (dict order = the
         # tie-break; the CASE chain evaluates in that order, so '>='
         # against every other script is exactly first-wins-ties)
-        c = cnt[k] > 0
-        for o in SCRIPT_RANGES:
-            if o != k:
-                c = c & (cnt[k] >= cnt[o])
-        return c
+        return " AND ".join(
+            [f"_c_{k} > 0"]
+            + [f"_c_{k} >= _c_{o}" for o in SCRIPT_RANGES if o != k]
+        )
 
-    verdicts = {
-        "latin": best,
+    verdicts_sql = {
+        "latin": best_sql,
         # Han+kana -> kanji-bearing Japanese; pure Han -> zh
-        "han": F.when(cnt["kana"] > 0, F.lit("ja")).otherwise(F.lit("zh")),
+        "han": "CASE WHEN _c_kana > 0 THEN 'ja' ELSE 'zh' END",
     }
-    chain = F.lit("unknown")  # no script character at all
-    for k in reversed(list(SCRIPT_RANGES)):
-        v = verdicts.get(k, F.lit(SCRIPT_LANG[k]) if k in SCRIPT_LANG else None)
-        chain = F.when(_wins(k), v).otherwise(chain)
-    pred = F.when(F.col("n_trigrams") == 0, F.lit("unknown")).otherwise(chain)
+    # same one-parse treatment for the ten-script dominance chain
+    # (~100 more round trips in the Column form); the reversed
+    # otherwise-chain flattens to WHEN branches in dict order with
+    # ELSE 'unknown' (no script character at all)
+    chain_sql = (
+        "CASE "
+        + " ".join(
+            f"WHEN {_wins_sql(k)} THEN "
+            + verdicts_sql.get(
+                k, f"'{SCRIPT_LANG[k]}'" if k in SCRIPT_LANG else "NULL"
+            )
+            for k in SCRIPT_RANGES
+        )
+        + " ELSE 'unknown' END"
+    )
+    pred = F.when(F.col("n_trigrams") == 0, F.lit("unknown")).otherwise(
+        F.expr(chain_sql)
+    )
     # confidence: (best - second-best) log-prob per trigram — what a
     # production pipeline thresholds on before trusting the verdict
     srt = F.sort_array("_sc", asc=False)
