@@ -120,6 +120,7 @@ def top_k_per_group(
     order_by: Sequence[Column],
     k: int,
     rank_col: str = "rn",
+    spread: bool = True,
 ) -> DataFrame:
     """Per-group top-k via row_number — one hash shuffle on the group
     keys, no global sort.
@@ -138,12 +139,23 @@ def top_k_per_group(
     (2.23 s — it re-buys the exchange WindowGroupLimit already
     avoids). Low-cardinality groups do NOT bottleneck the reduce side
     here precisely because the exchange moves only group-limit
-    survivors."""
+    survivors.
+
+    ``spread=False`` (round 13, ADVICE): the spread probe
+    (``df.rdd.getNumPartitions()``) physically plans the input subtree
+    on every invocation, and under AQE a shuffle-bearing input can
+    have upstream stages executed eagerly by the probe and again at
+    action time — the same reason the lang_id family gates its spread
+    behind a flag. Callers feeding a complex/non-scan frame should
+    pass ``spread=False``; the default keeps the measured bare-scan
+    win (the one registry caller feeds a bare lineitem scan)."""
     from python_plugins_spark.sources.io import spread_scan
 
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    if spread:
+        df = spread_scan(df)
     return (
-        spread_scan(df).withColumn(rank_col, F.row_number().over(w))
+        df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
 
