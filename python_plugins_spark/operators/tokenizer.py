@@ -446,9 +446,28 @@ def bpe_encode(df: DataFrame, text_col: str, id_col: str, merges,
                 }
             )
 
-    encoded = (
-        words.select("w").distinct().mapInPandas(encode_distinct, enc_schema)
-    )
+    # Scale-adaptive repartition between the distinct and the encode
+    # pass (round 13, guide §2.5-class): the distinct's output is tiny
+    # in BYTES, so AQE's partition coalescing collapses it to ONE
+    # partition — and the rank-encode mapInPandas (the only Python CPU
+    # in this operator) then runs single-task no matter how many cores
+    # the cluster has. At a web-scale vocabulary (~1e6 words x ~30
+    # us/word) that is ~30 s of serial Python on one core per corpus
+    # encode. The repartition is gated on the INPUT already being at
+    # least cluster-wide (the spread_scan heuristic, inverted: a real
+    # corpus scan carries >= defaultParallelism splits and a
+    # correspondingly large vocabulary; the bench/test tables do not)
+    # because an UNCONDITIONAL repartition measured a real local
+    # regression — interleaved A/B at sf0.1: bpe_encode noop min
+    # 1.15 s without vs 1.40 s with (the extra vocabulary exchange is
+    # pure overhead when the vocab fits one Arrow batch anyway). The
+    # re-shuffled bytes are vocabulary-bounded, so at scale the extra
+    # exchange is noise while the encode parallelizes cluster-wide.
+    sc = df.sparkSession.sparkContext
+    encoded = words.select("w").distinct()
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        encoded = encoded.repartition(sc.defaultParallelism)
+    encoded = encoded.mapInPandas(encode_distinct, enc_schema)
 
     assembled = (
         words.join(encoded, "w")

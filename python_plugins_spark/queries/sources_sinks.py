@@ -1372,7 +1372,29 @@ def _training_shards_frame(spark, sf_dir, with_pieces: bool = False,
     merges, _mdf = bpe_train(corpus, "text", 8)
     enc_cols = ["doc_id", "n_pieces"] + (["pieces"] if with_pieces else [])
     enc = bpe_encode(corpus, "text", "doc_id", merges).select(*enc_cols)
-    tokd = corpus.select("doc_id", "source").join(enc, "doc_id")
+    if with_pieces:
+        # Round 13 (guide §8 — decide with small rows, move big rows
+        # once): the ``pieces`` payload used to ride through the
+        # per-source packing WINDOW, whose partitioning is the source
+        # key — a handful of reducer tasks sorting the ENTIRE encoded
+        # corpus payload — and then reshuffle again to the shard
+        # writers: three payload-carrying exchanges (encode join,
+        # window, shard group). Now the window runs over the NARROW
+        # (doc_id, source, n_pieces) frame and the payload attaches
+        # ONCE by doc_id after the bin/shard decision — two payload
+        # exchanges, none of them the low-parallelism window sort.
+        # ``enc`` gains two consumers (narrow leg + payload leg), so
+        # it materializes once; the join cannot multiply rows (enc is
+        # one-row-per-doc_id by the encoder's spine contract).
+        # Measured locally neutral at sf0.1 (interleaved A/B min
+        # 2.83 s -> 2.85 s; the capstone is fixed-overhead-bound at
+        # this SF) — kept for the scale shape; oracle-pinned.
+        enc = enc.transform(stage_checkpoint)
+        tokd = corpus.select("doc_id", "source").join(
+            enc.select("doc_id", "n_pieces"), "doc_id"
+        )
+    else:
+        tokd = corpus.select("doc_id", "source").join(enc, "doc_id")
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
@@ -1382,7 +1404,6 @@ def _training_shards_frame(spark, sf_dir, with_pieces: bool = False,
         "doc_id",
         "source",
         "n_pieces",
-        *(["pieces"] if with_pieces else []),
         F.floor(
             F.coalesce(F.sum("n_pieces").over(w), F.lit(0)) / 2048
         ).cast("long").alias("bin"),
@@ -1390,12 +1411,17 @@ def _training_shards_frame(spark, sf_dir, with_pieces: bool = False,
     key = F.md5(
         F.concat_ws(":", F.lit(f"epoch{epoch}"), F.col("doc_id").cast("string"))
     )
-    return binned.withColumn(
+    sharded = binned.withColumn(
         "shard",
         F.pmod(
             F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), F.lit(8)
         ),
     )
+    if with_pieces:
+        sharded = sharded.join(
+            enc.select("doc_id", "pieces"), "doc_id"
+        ).select("doc_id", "source", "n_pieces", "pieces", "bin", "shard")
+    return sharded
 
 
 def _pretraining_oracle() -> str:
