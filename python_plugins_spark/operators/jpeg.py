@@ -42,6 +42,7 @@ are narrow maps — no shuffle anywhere in the codec path.
 
 from __future__ import annotations
 
+import functools as _functools
 from collections.abc import Iterator
 
 import numpy as np
@@ -494,6 +495,24 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+@_functools.lru_cache(maxsize=256)
+def _decoder_table(bits: bytes, vals: bytes) -> dict:
+    """Decoder-side Huffman table ((code, length) -> symbol) memoized
+    on the raw DHT (BITS, HUFFVAL) bytes (round 13, guide §4.5): real
+    corpora reuse a handful of Huffman tables (most encoders ship the
+    Annex-K pair verbatim), yet the decoder rebuilt the canonical
+    code assignment and the inverted lookup dict per PAYLOAD —
+    measured ~55% of decode CPU on the roundtrip fixtures. The memo
+    key is the exact table bytes, so a payload carrying a DIFFERENT
+    table can never see a stale entry; the cached dict is shared and
+    only ever read (``table.get`` in :func:`_decode_symbol`). The
+    cache is per Python worker process and survives across tasks
+    under ``spark.python.worker.reuse`` because this module is
+    imported by name on the executors."""
+    codes = _canonical_codes(tuple(bits), tuple(vals))
+    return {(code, length): sym for sym, (code, length) in codes.items()}
+
+
 def _decode_symbol(br: _BitReader, table: dict) -> int:
     code, length = 0, 0
     while length <= 16:
@@ -554,10 +573,7 @@ def _parse_headers(data: bytes):
                 bits = body[i + 1: i + 17]
                 nv = sum(bits)
                 vals = body[i + 17: i + 17 + nv]
-                codes = _canonical_codes(tuple(bits), tuple(vals))
-                huff[(tc, th)] = {
-                    (code, length): sym for sym, (code, length) in codes.items()
-                }
+                huff[(tc, th)] = _decoder_table(bytes(bits), bytes(vals))
                 i += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
             if body[0] != 8:

@@ -2193,6 +2193,42 @@ def test_jpeg_codec_tables_and_zigzag():
     assert (quality_scaled_quant(1) >= quality_scaled_quant(50)).all()
 
 
+def test_jpeg_decoder_table_memo_keyed_on_bytes():
+    """Round 13: the decoder-side Huffman table is memoized on the raw
+    DHT (BITS, HUFFVAL) bytes. The memo must (a) return a table equal
+    to the unmemoized canonical rebuild, (b) key strictly on the
+    bytes — two DIFFERENT tables never alias, (c) leave decode output
+    byte-identical payload-by-payload (same-table payloads share the
+    cached dict)."""
+    import numpy as np
+
+    from python_plugins_spark.operators.jpeg import (
+        AC_BITS, AC_VALS, DC_BITS, DC_VALS, _canonical_codes,
+        _decoder_table, jpeg_decode_gray, jpeg_encode_gray,
+    )
+
+    bits, vals = bytes(AC_BITS), bytes(AC_VALS)
+    want = {
+        (code, length): sym
+        for sym, (code, length) in _canonical_codes(
+            tuple(bits), tuple(vals)
+        ).items()
+    }
+    assert _decoder_table(bits, vals) == want
+    # same key -> same cached object (the memo actually fires)
+    assert _decoder_table(bits, vals) is _decoder_table(bits, vals)
+    # a different table (the DC pair) must not alias the AC entry
+    dc = _decoder_table(bytes(DC_BITS), bytes(DC_VALS))
+    assert dc != want and len(dc) == sum(DC_BITS)
+    # end-to-end: repeated same-table payloads decode byte-identical
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (24, 24)).astype(np.uint8)
+    payload = jpeg_encode_gray(img, 75)
+    first = jpeg_decode_gray(payload)
+    for _ in range(3):
+        assert (jpeg_decode_gray(payload) == first).all()
+
+
 def test_jpeg_constant_block_chain_is_closed_form():
     """Constant blocks must decode to exactly the DC quantization
     chain the registry oracle computes — including the clamp at 255."""
