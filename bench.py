@@ -1089,6 +1089,17 @@ def _bench_scaling(spark) -> dict:
         "cross_doc_span_dedup": ("docs", "documents", 1.0),
         "image_phash_neardup_pairs": ("docs", "documents", 1.0),
         "crawl_pipeline_end_to_end": ("docs", "documents", 1.0),
+        # Round 13 (VERDICT r12 ask #5): at sf0.1 every HEADLINE
+        # query's 8-vs-32-core ratio is ~1 — the headline can no
+        # longer resolve parallelism improvements. These corpus-tier
+        # capstones at the 50k-doc synthetic point are where the data
+        # path (not the scheduler) carries the wall-clock, so the
+        # driver's low-core bench run resolves a real core-count
+        # ratio on them (the adjudication surface for §2-class
+        # claims). Additions only; no existing member changed.
+        "gopher_repetition_docs": ("docs", "documents", 1.0),
+        "quality_gate_end_to_end": ("docs", "documents", 1.0),
+        "training_shard_files_end_to_end": ("docs", "documents", 1.0),
         "ann_topk_cosine": ("sf", "embeddings", 2.0),
         # the known-quadratic POSITIVE control (size-gated exact
         # baseline, never a pipeline path): per-pair expression cost
